@@ -1,0 +1,126 @@
+"""Optimistic commit layer (T1-T4).
+
+The reference commits a compaction as one atomic Iceberg ``RewriteFiles``
+transaction: add new files, remove rewritten ones, pin new files to the
+starting snapshot's sequence number so concurrent newer deletes still
+apply, retry on conflicts with exponential backoff
+(core/src/compaction/mod.rs:950-1061, retry config :765-782).
+
+Our backend is the local JSON manifest (sources/manifest.py) with an
+atomic rename; the CommitManager keeps the same semantics (consistency
+validation across plans, add/delete resolution by path, sequence-number
+pinning, retry loop) so a real Iceberg REST-catalog backend can be
+swapped in without touching callers.
+"""
+
+from __future__ import annotations
+
+import random
+import time
+from dataclasses import dataclass, field
+from typing import Callable
+
+from iceberg_compaction_spark.config import CommitRetryConfig
+from iceberg_compaction_spark.plans.datamodel import CompactionPlan, FileScanTask
+from iceberg_compaction_spark.sources.manifest import Manifest
+
+
+class CommitConflict(RuntimeError):
+    """Retryable commit failure (catalog conflict analog)."""
+
+
+class InconsistentPlansError(ValueError):
+    pass
+
+
+@dataclass
+class RewriteResult:
+    """Outcome of executing one CompactionPlan (executor output)."""
+
+    plan: CompactionPlan
+    added_files: list[FileScanTask]
+    input_rows: int = 0
+    output_rows: int = 0
+
+
+def validate_consistency(results: list[RewriteResult]) -> None:
+    """T3: all plans in a commit must share branch + snapshot id
+    (core/src/compaction/mod.rs:55-76)."""
+    if not results:
+        return
+    branches = {r.plan.branch for r in results}
+    snapshots = {r.plan.snapshot_id for r in results}
+    if len(branches) != 1 or len(snapshots) != 1:
+        raise InconsistentPlansError(
+            f"inconsistent commit: branches={branches} snapshots={snapshots}"
+        )
+
+
+@dataclass
+class CommitManager:
+    retry: CommitRetryConfig = field(default_factory=CommitRetryConfig)
+
+    def rewrite_files(
+        self,
+        manifest: Manifest,
+        results: list[RewriteResult],
+        snapshot_properties: dict | None = None,
+    ) -> Manifest:
+        """T1: swap rewritten files for added ones, atomically.
+
+        New files are pinned to each plan's ``starting_sequence_number``
+        so equality deletes committed concurrently (with higher sequence
+        numbers) still apply to the rewritten rows.
+        """
+        validate_consistency(results)
+        if results and results[0].plan.snapshot_id != manifest.snapshot_id:
+            raise CommitConflict(
+                f"plans pinned to snapshot {results[0].plan.snapshot_id}, "
+                f"table is at {manifest.snapshot_id}"
+            )
+
+        # T4: resolve each plan's input paths against the current listing
+        by_path = manifest.by_path()
+        removed: set[str] = set()
+        added: list[FileScanTask] = []
+        for r in results:
+            for t in r.plan.file_group.data_files:
+                if t.data_file_path not in by_path:
+                    raise CommitConflict(
+                        f"rewritten file no longer in snapshot: {t.data_file_path}"
+                    )
+                removed.add(t.data_file_path)
+            pin = r.plan.starting_sequence_number
+            for f in r.added_files:
+                f.sequence_number = pin
+                added.append(f)
+
+        kept = [t for t in manifest.data_files if t.data_file_path not in removed]
+        new = Manifest(
+            table_root=manifest.table_root,
+            snapshot_id=manifest.next_snapshot(),
+            sequence_number=manifest.sequence_number,
+            data_files=kept + added,
+            properties={**manifest.properties, **(snapshot_properties or {})},
+        )
+        return new
+
+    def commit_with_retry(
+        self, do_commit: Callable[[], Manifest], reload: Callable[[], None] | None = None
+    ) -> Manifest:
+        """Retry loop with exponential backoff on CommitConflict
+        (3 tries, 1s -> 10s in the reference; tests shrink the backoff)."""
+        backoff = self.retry.initial_backoff_s
+        last: Exception | None = None
+        for attempt in range(self.retry.max_retries + 1):
+            try:
+                return do_commit()
+            except CommitConflict as e:  # retryable class only
+                last = e
+                if attempt == self.retry.max_retries:
+                    break
+                if reload is not None:
+                    reload()
+                time.sleep(min(backoff, self.retry.max_backoff_s) * random.uniform(0.8, 1.0))
+                backoff = min(backoff * 2, self.retry.max_backoff_s)
+        raise last  # type: ignore[misc]

@@ -1,0 +1,148 @@
+"""Top-level compaction workflows (§3 query lifecycle).
+
+Mirrors the reference's three entry points:
+
+1. ``Compaction.compact()`` — managed plan → rewrite → commit → validate
+   (core/src/compaction/mod.rs:259-303);
+2. plan-driven: ``plan() / rewrite(plan) / commit(results)`` with the
+   caller owning concurrency (mod.rs:189-199);
+3. ``AutoCompaction`` — stats-driven strategy selection (plans/auto.py).
+
+Concurrency: the reference runs up to ``max_concurrent_compaction_plans``
+rewrites via buffer_unordered (mod.rs:523-540).  On Spark, concurrent
+jobs on one SparkSession come from a thread pool — the scheduler
+interleaves their stages across executors, which is exactly the same
+resource-sharing model.
+"""
+
+from __future__ import annotations
+
+import os
+import uuid
+from concurrent.futures import ThreadPoolExecutor
+from dataclasses import dataclass, field
+
+from pyspark.sql import SparkSession
+
+from iceberg_compaction_spark.commit import CommitManager, RewriteResult
+from iceberg_compaction_spark.config import CompactionConfig
+from iceberg_compaction_spark.operators.mor import rewrite_file_group
+from iceberg_compaction_spark.operators.validator import validate_row_counts
+from iceberg_compaction_spark.plans.datamodel import CompactionPlan
+from iceberg_compaction_spark.plans.strategy import PlanStrategy
+from iceberg_compaction_spark.sources.manifest import Manifest, scan_data_files
+from iceberg_compaction_spark.sources.writer import (
+    SortField,
+    estimate_row_size,
+    write_sized_parquet,
+)
+
+
+@dataclass
+class CompactionStats:
+    """A3: input/output bookkeeping (core/src/executor/mod.rs:79-111)."""
+
+    input_files_count: int = 0
+    output_files_count: int = 0
+    input_total_bytes: int = 0
+    output_total_bytes: int = 0
+
+    def merge(self, other: "CompactionStats") -> None:
+        self.input_files_count += other.input_files_count
+        self.output_files_count += other.output_files_count
+        self.input_total_bytes += other.input_total_bytes
+        self.output_total_bytes += other.output_total_bytes
+
+
+@dataclass
+class Compaction:
+    spark: SparkSession
+    config: CompactionConfig = field(default_factory=CompactionConfig)
+    sort_order: list[SortField] | None = None
+    commit_manager: CommitManager = field(default_factory=CommitManager)
+
+    # --- entry point 2: plan-driven ----------------------------------------
+
+    def plan(self, manifest: Manifest) -> list[CompactionPlan]:
+        tasks = scan_data_files(manifest)
+        strategy = PlanStrategy.from_config(self.config.planning)
+        groups = strategy.run(tasks)
+        return [
+            CompactionPlan(
+                file_group=g,
+                snapshot_id=manifest.snapshot_id,
+                starting_sequence_number=manifest.sequence_number,
+            )
+            for g in groups
+        ]
+
+    def rewrite(self, plan: CompactionPlan, out_dir: str | None = None) -> RewriteResult:
+        g = plan.file_group
+        out_dir = out_dir or os.path.join(
+            "/tmp", f"icspark-rewrite-{uuid.uuid4().hex[:12]}"
+        )
+        df = rewrite_file_group(self.spark, g)
+
+        wcfg = self.config.writer
+        if wcfg.estimated_row_size_bytes is None:
+            row_size = estimate_row_size(
+                g.total_data_size, sum(t.record_count for t in g.data_files)
+            )
+            from dataclasses import replace
+
+            wcfg = replace(wcfg, estimated_row_size_bytes=row_size)
+
+        added = write_sized_parquet(
+            df,
+            out_dir,
+            wcfg,
+            output_parallelism=g.output_parallelism,
+            sort_order=self.sort_order,
+        )
+        res = RewriteResult(plan=plan, added_files=added)
+        if self.config.enable_validate_compaction:
+            out_df = self.spark.read.parquet(*[t.data_file_path for t in added])
+            v = validate_row_counts(rewrite_file_group(self.spark, g), out_df)
+            res.input_rows, res.output_rows = v.input_rows, v.output_rows
+        return res
+
+    def commit(self, manifest: Manifest, results: list[RewriteResult]) -> Manifest:
+        def attempt() -> Manifest:
+            return self.commit_manager.rewrite_files(manifest, results)
+
+        new = self.commit_manager.commit_with_retry(attempt)
+        new.save()
+        return new
+
+    # --- entry point 1: managed --------------------------------------------
+
+    def compact(self, manifest: Manifest, out_root: str | None = None) -> tuple[Manifest, CompactionStats]:
+        plans = self.plan(manifest)
+        stats = CompactionStats()
+        if not plans:
+            return manifest, stats
+        out_root = out_root or os.path.join(
+            manifest.table_root, f"compacted-{manifest.next_snapshot()}"
+        )
+        results: list[RewriteResult] = []
+        pool = ThreadPoolExecutor(self.config.max_concurrent_compaction_plans)
+        futures = [
+            pool.submit(self.rewrite, p, os.path.join(out_root, f"group-{i}"))
+            for i, p in enumerate(plans)
+        ]
+        try:
+            results = [f.result() for f in futures]
+        finally:
+            pool.shutdown(wait=False)
+
+        for r in results:
+            stats.merge(
+                CompactionStats(
+                    input_files_count=r.plan.file_group.input_file_count,
+                    output_files_count=len(r.added_files),
+                    input_total_bytes=r.plan.file_group.input_size,
+                    output_total_bytes=sum(t.file_size_in_bytes for t in r.added_files),
+                )
+            )
+        new_manifest = self.commit(manifest, results)
+        return new_manifest, stats

@@ -1,0 +1,190 @@
+"""Merge-on-read rewrite — the engine's core query (J1, J2, J3, P1).
+
+The reference generates one SQL shape (SqlBuilder,
+core/src/executor/datafusion/datafusion_processor.rs:438-584): data scan
+with hidden columns, wrapped in RIGHT ANTI JOINs against position- and
+equality-delete tables, with a final projection stripping the hidden
+columns.  We express the identical logical plan with the DataFrame API and
+let Catalyst/AQE choose physical strategies:
+
+- J1 position-delete anti-join: drop rows whose (file_path, pos) appears
+  in a position-delete table — equi anti-join on two columns.
+- J2 equality-delete anti-join (one per distinct equality-key schema):
+  drop rows equal on the key columns AND strictly older
+  (``data.seq < delete.seq``).  Spark plans the equi keys as a hash join
+  with the ``<`` as a residual filter — never a nested-loop join (the
+  equality keys stay in the join condition).
+- J3 fixed join order: position deletes innermost, then equality-delete
+  tables in file order (datafusion_processor.rs:489-571).
+
+Scale notes: delete tables are typically orders of magnitude smaller than
+data, so both joins default to broadcast when a size hint allows,
+avoiding any shuffle of the 100 TB side; otherwise AQE picks
+shuffle-hash/broadcast at runtime.  The data side is never repartitioned
+by the joins themselves.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from functools import reduce
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from iceberg_compaction_spark.plans.datamodel import (
+    EQUALITY_DELETE,
+    POSITION_DELETE,
+    FileGroup,
+)
+from iceberg_compaction_spark.sources.scan import (
+    HIDDEN_FILE_PATH,
+    HIDDEN_POS,
+    HIDDEN_SEQ,
+    read_data_files,
+)
+
+# Deletes smaller than this (bytes, on-disk) are force-broadcast; bigger
+# ones are left to AQE. Matches Spark's comfortable broadcast range.
+DEFAULT_BROADCAST_DELETE_BYTES = 256 * 1024 * 1024
+
+
+@dataclass
+class EqualityDeleteTable:
+    """One logical equality-delete table: rows carry the equality-key
+    columns plus ``sys_hidden_seq_num`` (F8).  The reference merges
+    consecutive delete files sharing ``equality_ids`` into one such table
+    (datafusion_processor.rs:701-728)."""
+
+    df: DataFrame
+    equality_keys: list[str]
+    size_bytes: int | None = None
+
+
+def apply_position_deletes(
+    data: DataFrame, pos_deletes: DataFrame, broadcast: bool = False
+) -> DataFrame:
+    """J1: anti-join on (sys_hidden_file_path, sys_hidden_pos)."""
+    right = pos_deletes.select(HIDDEN_FILE_PATH, HIDDEN_POS).dropDuplicates()
+    if broadcast:
+        right = F.broadcast(right)
+    return data.join(right, on=[HIDDEN_FILE_PATH, HIDDEN_POS], how="left_anti")
+
+
+def apply_equality_deletes(
+    data: DataFrame, eq: EqualityDeleteTable, broadcast: bool = False
+) -> DataFrame:
+    """J2: anti-join on equality keys + seq residual (delete applies only
+    to strictly OLDER rows: data.seq < delete.seq)."""
+    # Prefix the delete side so key/seq columns never collide with data's.
+    sel = [F.col(k).alias(f"__eqd_{k}") for k in eq.equality_keys]
+    sel.append(F.col(HIDDEN_SEQ).alias("__eqd_seq"))
+    right = eq.df.select(*sel)
+    if broadcast:
+        right = F.broadcast(right)
+    cond = reduce(
+        lambda a, b: a & b,
+        [data[k] == right[f"__eqd_{k}"] for k in eq.equality_keys],
+    ) & (data[HIDDEN_SEQ] < right["__eqd_seq"])
+    return data.join(right, on=cond, how="left_anti")
+
+
+def merge_on_read(
+    data: DataFrame,
+    table_columns: list[str],
+    position_deletes: DataFrame | None = None,
+    equality_deletes: list[EqualityDeleteTable] = (),
+    pos_delete_size_bytes: int | None = None,
+    broadcast_threshold: int = DEFAULT_BROADCAST_DELETE_BYTES,
+) -> DataFrame:
+    """The full MOR query: J1 innermost, then each J2 in order, then the
+    final projection stripping hidden columns (P1)."""
+    out = data
+    if position_deletes is not None:
+        bcast = (
+            pos_delete_size_bytes is not None
+            and pos_delete_size_bytes <= broadcast_threshold
+        )
+        out = apply_position_deletes(out, position_deletes, broadcast=bcast)
+    for eq in equality_deletes or ():
+        bcast = eq.size_bytes is not None and eq.size_bytes <= broadcast_threshold
+        out = apply_equality_deletes(out, eq, broadcast=bcast)
+    return out.select(*table_columns)
+
+
+def rewrite_file_group(
+    spark: SparkSession,
+    group: FileGroup,
+    table_columns: list[str] | None = None,
+    broadcast_threshold: int = DEFAULT_BROADCAST_DELETE_BYTES,
+) -> DataFrame:
+    """Build the MOR DataFrame for one FileGroup (the unit of a rewrite
+    job, §3.1 step 3-4).
+
+    Hidden columns are appended only when needed (mirrors
+    ``need_seq_num`` / ``need_file_path_and_pos`` in
+    datafusion_processor.rs:691-822): position columns only when position
+    deletes exist, sequence numbers only when equality deletes exist.
+    """
+    has_pos = bool(group.position_delete_files)
+    has_eq = bool(group.equality_delete_files)
+    seq_by_path = {t.data_file_path: t.sequence_number for t in group.data_files}
+
+    data = read_data_files(
+        spark,
+        [t.data_file_path for t in group.data_files],
+        need_seq_num=has_eq,
+        need_file_path_and_pos=has_pos,
+        seq_by_path=seq_by_path,
+    )
+    if table_columns is None:
+        table_columns = [
+            c
+            for c in data.columns
+            if c not in (HIDDEN_SEQ, HIDDEN_FILE_PATH, HIDDEN_POS)
+        ]
+
+    pos_df = None
+    pos_bytes = None
+    if has_pos:
+        pos_df = spark.read.parquet(
+            *[d.path for d in group.position_delete_files]
+        )
+        pos_bytes = sum(d.file_size_in_bytes for d in group.position_delete_files)
+
+    eq_tables: list[EqualityDeleteTable] = []
+    if has_eq:
+        # Merge consecutive delete files sharing equality_ids into one
+        # logical table; start a new table when the key set changes
+        # (datafusion_processor.rs:701-728).
+        runs: list[tuple[tuple[str, ...], list]] = []
+        for d in group.equality_delete_files:
+            if runs and runs[-1][0] == d.equality_ids:
+                runs[-1][1].append(d)
+            else:
+                runs.append((d.equality_ids, [d]))
+        for ids, files in runs:
+            df = None
+            size = 0
+            for d in files:
+                part = spark.read.parquet(d.path)
+                if HIDDEN_SEQ not in part.columns:
+                    part = part.withColumn(
+                        HIDDEN_SEQ, F.lit(d.sequence_number).cast("long")
+                    )
+                df = part if df is None else df.unionByName(part)
+                size += d.file_size_in_bytes
+            eq_tables.append(
+                EqualityDeleteTable(
+                    df=df, equality_keys=list(ids), size_bytes=size
+                )
+            )
+
+    return merge_on_read(
+        data,
+        table_columns,
+        position_deletes=pos_df,
+        equality_deletes=eq_tables,
+        pos_delete_size_bytes=pos_bytes,
+        broadcast_threshold=broadcast_threshold,
+    )

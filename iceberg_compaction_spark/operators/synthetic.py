@@ -1,0 +1,116 @@
+"""Deterministic synthetic MOR workload over the driver's testdata.
+
+The reference generates randomized delete workloads in its integration
+harness (integration-tests/src/test_utils/generator.rs:520-600).  For the
+DuckDB-oracle correctness gate we need the same workload expressible in
+BOTH Spark and ANSI SQL, so deletes are derived from the data by pure
+arithmetic rules (seed-free, engine-agnostic):
+
+- data sequence number: even ``l_orderkey`` -> 1, odd -> 9 (covers both
+  sides of the strict ``<`` residual, FIXTURES.md F8);
+- position deletes: rows with ``l_orderkey % 13 = 0 AND l_linenumber % 2 = 1``,
+  materialized as real ``(file_path, row_index)`` pairs so the Spark side
+  genuinely exercises the J1 (file,pos) anti-join machinery;
+- equality deletes: keys ``(l_orderkey, l_linenumber)`` where
+  ``l_orderkey % 17 = 0``, delete sequence number 5 — even orderkeys
+  (seq 1 < 5) are deleted, odd ones (seq 9) survive.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from iceberg_compaction_spark.sources.scan import (
+    HIDDEN_FILE_PATH,
+    HIDDEN_POS,
+    HIDDEN_SEQ,
+)
+
+# lineitem output columns; l_shipdate is projected as DATE so value hashes
+# are timezone-proof across engines.
+LINEITEM_COLS = [
+    "l_orderkey",
+    "l_partkey",
+    "l_suppkey",
+    "l_linenumber",
+    "l_quantity",
+    "l_extendedprice",
+    "l_discount",
+    "l_tax",
+    "l_returnflag",
+    "l_linestatus",
+]
+
+EQ_DELETE_SEQ = 5
+POS_RULE_SQL = "(l_orderkey % 13 = 0 AND l_linenumber % 2 = 1)"
+SEQ_RULE_SQL = "CASE WHEN l_orderkey % 2 = 0 THEN 1 ELSE 9 END"
+EQ_KEY_RULE_SQL = "l_orderkey % 17 = 0"
+
+
+def _seq_col():
+    return (
+        F.when(F.col("l_orderkey") % 2 == 0, F.lit(1)).otherwise(F.lit(9)).cast("long")
+    )
+
+
+def _pos_rule():
+    return (F.col("l_orderkey") % 13 == 0) & (F.col("l_linenumber") % 2 == 1)
+
+
+def lineitem_path(sf_dir: str) -> str:
+    return f"{sf_dir}/lineitem.parquet"
+
+
+def read_lineitem_with_hidden(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-file scan with all three hidden columns (S8/S9) — file path and
+    row position come from Spark's file-source metadata (zero-cost, no
+    shuffle), the sequence number from the deterministic rule."""
+    df = spark.read.parquet(lineitem_path(sf_dir))
+    return (
+        df.withColumn(
+            HIDDEN_FILE_PATH,
+            F.regexp_replace(F.col("_metadata.file_path"), "^file:/*", "/"),
+        )
+        .withColumn(HIDDEN_POS, F.col("_metadata.row_index"))
+        .withColumn(HIDDEN_SEQ, _seq_col())
+    )
+
+
+def position_delete_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F7: (sys_hidden_file_path, sys_hidden_pos) pairs — a fresh scan so
+    the delete side has independent lineage (like reading a real
+    position-delete file)."""
+    df = spark.read.parquet(lineitem_path(sf_dir))
+    return (
+        df.withColumn(
+            HIDDEN_FILE_PATH,
+            F.regexp_replace(F.col("_metadata.file_path"), "^file:/*", "/"),
+        )
+        .withColumn(HIDDEN_POS, F.col("_metadata.row_index"))
+        .filter(_pos_rule())
+        .select(HIDDEN_FILE_PATH, HIDDEN_POS)
+    )
+
+
+def equality_delete_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F8: distinct (l_orderkey, l_linenumber) keys + delete seq."""
+    df = spark.read.parquet(lineitem_path(sf_dir))
+    return (
+        df.filter(F.col("l_orderkey") % 17 == 0)
+        .select("l_orderkey", "l_linenumber")
+        .dropDuplicates()
+        .withColumn(HIDDEN_SEQ, F.lit(EQ_DELETE_SEQ).cast("long"))
+    )
+
+
+def output_select(df: DataFrame) -> DataFrame:
+    return df.select(
+        *[F.col(c) for c in LINEITEM_COLS],
+        F.col("l_shipdate").cast("date").alias("l_shipdate"),
+    )
+
+
+OUTPUT_COLS_SQL = (
+    ", ".join(LINEITEM_COLS) + ", CAST(l_shipdate AS DATE) AS l_shipdate"
+)

@@ -1,0 +1,152 @@
+"""Planning-layer data model.
+
+Python dataclasses standing in for the reference's Iceberg-native types
+(SURVEY.md §1.1): FileScanTask / FileGroup / CompactionPlan.  At 100 TB
+these stay tiny — they describe *files* (a 100 TB table at 1 GiB/file is
+~100k entries), so driver-side Python manipulation is the right tool; only
+the rewrite dataflow itself runs on the cluster.
+
+Reference shapes: FileScanTask fields per
+core/src/executor/datafusion/iceberg_file_task_scan.rs:681-702; FileGroup
+per core/src/file_selection/strategy.rs:44-117; CompactionPlan per
+core/src/compaction/mod.rs:1227-1285.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from typing import Any
+
+POSITION_DELETE = "position_delete"
+EQUALITY_DELETE = "equality_delete"
+
+
+@dataclass(frozen=True)
+class DeleteFile:
+    """A position- or equality-delete file attached to a data file."""
+
+    path: str
+    content: str  # POSITION_DELETE | EQUALITY_DELETE
+    file_size_in_bytes: int = 0
+    record_count: int = 0
+    sequence_number: int = 0
+    equality_ids: tuple[str, ...] = ()  # column names (ref uses field ids)
+
+
+@dataclass
+class FileScanTask:
+    """One data file to (possibly) rewrite.
+
+    `partition` is an opaque grouping key (tuple of partition values) —
+    mirrors the reference treating the Iceberg partition Struct as a hash
+    key (strategy.rs:953-971).
+    """
+
+    data_file_path: str
+    length: int  # bytes to scan (== file size for whole-file tasks)
+    file_size_in_bytes: int = 0
+    record_count: int = 0
+    sequence_number: int = 0
+    partition: tuple[Any, ...] = ()
+    deletes: list[DeleteFile] = field(default_factory=list)
+
+    def __post_init__(self) -> None:
+        if self.file_size_in_bytes == 0:
+            self.file_size_in_bytes = self.length
+
+
+@dataclass
+class FileGroup:
+    """Unit of one rewrite job (strategy.rs:44-117).
+
+    Position-delete files are de-duplicated by path across the group's data
+    files; equality-delete files likewise (L9, strategy.rs:68-106).
+    """
+
+    data_files: list[FileScanTask]
+    position_delete_files: list[DeleteFile] = field(default_factory=list)
+    equality_delete_files: list[DeleteFile] = field(default_factory=list)
+    input_parallelism: int = 1
+    output_parallelism: int = 1
+    expected_output_files: int = 1
+    partition: tuple[Any, ...] | None = None
+
+    @staticmethod
+    def from_tasks(tasks: list[FileScanTask]) -> "FileGroup":
+        """Build a group, de-duplicating attached delete files by path (L9)."""
+        pos: dict[str, DeleteFile] = {}
+        eq: dict[str, DeleteFile] = {}
+        for t in tasks:
+            for d in t.deletes:
+                target = pos if d.content == POSITION_DELETE else eq
+                target.setdefault(d.path, d)
+        return FileGroup(
+            data_files=list(tasks),
+            position_delete_files=list(pos.values()),
+            equality_delete_files=list(eq.values()),
+        )
+
+    @property
+    def data_file_count(self) -> int:
+        return len(self.data_files)
+
+    @property
+    def total_data_size(self) -> int:
+        return sum(t.file_size_in_bytes for t in self.data_files)
+
+    @property
+    def total_delete_size(self) -> int:
+        return sum(
+            d.file_size_in_bytes
+            for d in (*self.position_delete_files, *self.equality_delete_files)
+        )
+
+    @property
+    def input_size(self) -> int:
+        return self.total_data_size + self.total_delete_size
+
+    @property
+    def input_file_count(self) -> int:
+        return (
+            len(self.data_files)
+            + len(self.position_delete_files)
+            + len(self.equality_delete_files)
+        )
+
+
+@dataclass
+class CompactionPlan:
+    """FileGroup + pinned snapshot (core/src/compaction/mod.rs:1227-1285)."""
+
+    file_group: FileGroup
+    snapshot_id: int = 0
+    branch: str = "main"
+    # sequence number newly-written files are pinned to, so concurrent newer
+    # deletes still apply after the swap (T1; compaction/mod.rs:950-1061)
+    starting_sequence_number: int = 0
+
+
+@dataclass
+class SnapshotStats:
+    """Single-pass snapshot statistics (A2; core/src/compaction/auto.rs:298-321)."""
+
+    total_data_files: int = 0
+    total_data_bytes: int = 0
+    small_files_count: int = 0
+    delete_heavy_files_count: int = 0
+
+    @staticmethod
+    def collect(
+        tasks: list[FileScanTask],
+        small_file_threshold_bytes: int,
+        delete_file_count_threshold: int,
+    ) -> "SnapshotStats":
+        s = SnapshotStats()
+        for t in tasks:
+            s.total_data_files += 1
+            s.total_data_bytes += t.file_size_in_bytes
+            if t.file_size_in_bytes < small_file_threshold_bytes:
+                s.small_files_count += 1
+            if len(t.deletes) >= delete_file_count_threshold:
+                s.delete_heavy_files_count += 1
+        return s

@@ -1,0 +1,177 @@
+"""Table manifest — the planning source (S12).
+
+The reference lists a snapshot's data files via Iceberg metadata
+(`FileSelector::scan_data_files`, core/src/file_selection/mod.rs:55-73).
+For a real Iceberg catalog our Spark engine would read the `.files`
+metadata table; for the local parquet harness we maintain a lightweight
+JSON manifest over a directory of parquet files, carrying exactly the
+metadata planning needs: path, size, record count, sequence number,
+partition value, attached delete files.
+
+The manifest IS the snapshot: committing a compaction atomically replaces
+it (see commit.py), mirroring Iceberg's RewriteFiles swap.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import uuid
+from dataclasses import dataclass, field
+from typing import Any
+
+from iceberg_compaction_spark.plans.datamodel import (
+    EQUALITY_DELETE,
+    POSITION_DELETE,
+    DeleteFile,
+    FileScanTask,
+)
+
+
+@dataclass
+class Manifest:
+    """A snapshot of a table: data files + delete files + schema info."""
+
+    table_root: str
+    snapshot_id: int = 0
+    sequence_number: int = 0  # last assigned data sequence number
+    data_files: list[FileScanTask] = field(default_factory=list)
+    properties: dict[str, Any] = field(default_factory=dict)
+
+    # ---- construction ------------------------------------------------------
+
+    @staticmethod
+    def from_parquet_dir(
+        root: str, pattern_suffix: str = ".parquet", sequence_number: int = 1
+    ) -> "Manifest":
+        """Bootstrap a manifest from a directory of parquet files.
+
+        Every file gets the same sequence number (as if written in one
+        commit); record counts come from parquet footers (cheap: metadata
+        only).
+        """
+        import pyarrow.parquet as pq
+
+        tasks: list[FileScanTask] = []
+        for name in sorted(os.listdir(root)):
+            if not name.endswith(pattern_suffix):
+                continue
+            path = os.path.join(root, name)
+            size = os.path.getsize(path)
+            nrows = pq.read_metadata(path).num_rows
+            tasks.append(
+                FileScanTask(
+                    data_file_path=path,
+                    length=size,
+                    file_size_in_bytes=size,
+                    record_count=nrows,
+                    sequence_number=sequence_number,
+                )
+            )
+        return Manifest(
+            table_root=root,
+            snapshot_id=1,
+            sequence_number=sequence_number,
+            data_files=tasks,
+        )
+
+    # ---- persistence -------------------------------------------------------
+
+    def manifest_path(self) -> str:
+        return os.path.join(self.table_root, "_manifest.json")
+
+    def save(self, path: str | None = None) -> str:
+        path = path or self.manifest_path()
+        tmp = f"{path}.{uuid.uuid4().hex}.tmp"
+        with open(tmp, "w") as f:
+            json.dump(self.to_dict(), f, indent=1)
+        os.replace(tmp, path)  # atomic on POSIX
+        return path
+
+    @staticmethod
+    def load(path: str) -> "Manifest":
+        with open(path) as f:
+            d = json.load(f)
+        return Manifest.from_dict(d)
+
+    def to_dict(self) -> dict[str, Any]:
+        return {
+            "table_root": self.table_root,
+            "snapshot_id": self.snapshot_id,
+            "sequence_number": self.sequence_number,
+            "properties": self.properties,
+            "data_files": [
+                {
+                    "path": t.data_file_path,
+                    "length": t.length,
+                    "file_size_in_bytes": t.file_size_in_bytes,
+                    "record_count": t.record_count,
+                    "sequence_number": t.sequence_number,
+                    "partition": list(t.partition),
+                    "deletes": [
+                        {
+                            "path": d.path,
+                            "content": d.content,
+                            "file_size_in_bytes": d.file_size_in_bytes,
+                            "record_count": d.record_count,
+                            "sequence_number": d.sequence_number,
+                            "equality_ids": list(d.equality_ids),
+                        }
+                        for d in t.deletes
+                    ],
+                }
+                for t in self.data_files
+            ],
+        }
+
+    @staticmethod
+    def from_dict(d: dict[str, Any]) -> "Manifest":
+        tasks = []
+        for t in d.get("data_files", []):
+            deletes = [
+                DeleteFile(
+                    path=x["path"],
+                    content=x["content"],
+                    file_size_in_bytes=x.get("file_size_in_bytes", 0),
+                    record_count=x.get("record_count", 0),
+                    sequence_number=x.get("sequence_number", 0),
+                    equality_ids=tuple(x.get("equality_ids", ())),
+                )
+                for x in t.get("deletes", [])
+            ]
+            tasks.append(
+                FileScanTask(
+                    data_file_path=t["path"],
+                    length=t["length"],
+                    file_size_in_bytes=t.get("file_size_in_bytes", t["length"]),
+                    record_count=t.get("record_count", 0),
+                    sequence_number=t.get("sequence_number", 0),
+                    partition=tuple(t.get("partition", ())),
+                    deletes=deletes,
+                )
+            )
+        return Manifest(
+            table_root=d["table_root"],
+            snapshot_id=d.get("snapshot_id", 0),
+            sequence_number=d.get("sequence_number", 0),
+            data_files=tasks,
+            properties=d.get("properties", {}),
+        )
+
+    # ---- queries -----------------------------------------------------------
+
+    def next_snapshot(self) -> int:
+        return self.snapshot_id + 1
+
+    def paths(self) -> list[str]:
+        return [t.data_file_path for t in self.data_files]
+
+    def by_path(self) -> dict[str, FileScanTask]:
+        return {t.data_file_path: t for t in self.data_files}
+
+
+def scan_data_files(manifest: Manifest) -> list[FileScanTask]:
+    """List all data-content scan tasks of the current snapshot (S12;
+    core/src/file_selection/mod.rs:55-73). Delete files are attached to
+    their data files, not listed as standalone tasks."""
+    return list(manifest.data_files)

@@ -1,0 +1,79 @@
+"""Data-file scan with hidden MOR columns (S1, S8, S9).
+
+The reference appends three hidden columns while scanning parquet
+(core/src/executor/datafusion/datafusion_processor.rs:48-51;
+iceberg_file_task_scan.rs:590-639):
+
+- ``sys_hidden_seq_num``  — the file's data sequence number (constant per file)
+- ``sys_hidden_file_path`` — the originating file path
+- ``sys_hidden_pos``       — 0-based row position within the file
+
+Spark-first mapping: ``_metadata.file_path`` and ``_metadata.row_index``
+are exact, zero-cost equivalents (file-source metadata columns, computed
+at scan time — no shuffle, no window); the per-file sequence number is a
+broadcast map-join on file path, which Catalyst folds into the scan stage.
+This keeps the scan embarrassingly parallel at any scale — no global
+ordering is ever required.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+HIDDEN_SEQ = "sys_hidden_seq_num"
+HIDDEN_FILE_PATH = "sys_hidden_file_path"
+HIDDEN_POS = "sys_hidden_pos"
+
+
+def _normalize_path(col):
+    # Spark reports metadata paths as file:///...; manifests store plain
+    # POSIX paths. Normalize so the seq-map join and delete anti-joins match.
+    return F.regexp_replace(col, "^file:/*", "/")
+
+
+def read_data_files(
+    spark: SparkSession,
+    paths: list[str],
+    need_seq_num: bool = False,
+    need_file_path_and_pos: bool = False,
+    seq_by_path: dict[str, int] | None = None,
+    default_seq: int = 0,
+) -> DataFrame:
+    """Read parquet data files, appending the hidden MOR columns.
+
+    ``seq_by_path`` maps file path -> data sequence number; files absent
+    from the map get ``default_seq``.  The map is manifest metadata (one
+    entry per file), so it is broadcast — the join never shuffles data.
+    """
+    df = spark.read.parquet(*paths)
+
+    if need_file_path_and_pos:
+        df = df.withColumn(
+            HIDDEN_FILE_PATH, _normalize_path(F.col("_metadata.file_path"))
+        ).withColumn(HIDDEN_POS, F.col("_metadata.row_index"))
+
+    if need_seq_num:
+        if seq_by_path:
+            seqs = list(set(seq_by_path.values()))
+            if len(seqs) == 1:
+                df = df.withColumn(HIDDEN_SEQ, F.lit(seqs[0]).cast("long"))
+            else:
+                path_col = (
+                    F.col(HIDDEN_FILE_PATH)
+                    if need_file_path_and_pos
+                    else _normalize_path(F.col("_metadata.file_path"))
+                )
+                mapping = F.create_map(
+                    *[F.lit(x) for kv in seq_by_path.items() for x in kv]
+                )
+                df = df.withColumn(
+                    HIDDEN_SEQ,
+                    F.coalesce(
+                        F.element_at(mapping, path_col), F.lit(default_seq)
+                    ).cast("long"),
+                )
+        else:
+            df = df.withColumn(HIDDEN_SEQ, F.lit(default_seq).cast("long"))
+
+    return df

@@ -1,0 +1,118 @@
+"""Size-targeted parquet sink (S10, S11).
+
+The reference rolls output files at ``target_file_size_bytes`` (default
+1 GiB), ZSTD-compressed, with partition fan-out
+(core/src/executor/datafusion/mod.rs:163-223).
+
+Spark-first mapping: Spark sizes files by *rows*, so target bytes are
+translated to ``maxRecordsPerFile`` using an estimated on-disk row width
+(from the input manifest: total bytes / total records — same basis the
+reference plans with).  ``repartition(expected_output_files)`` gives the
+planned file count (L10's math decides it); ``sortWithinPartitions``
+applies the table sort order per output file with NO global sort
+(O1: SortExec with preserve_partitioning, datafusion_processor.rs:193-213);
+``partitionBy`` is the partition fan-out writer (S11).
+
+At cluster scale this write path is shuffle-minimal: one round-robin
+exchange to the writer parallelism (X1), then narrow sort+write per task.
+"""
+
+from __future__ import annotations
+
+import os
+from dataclasses import dataclass
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from iceberg_compaction_spark.config import WriterConfig
+from iceberg_compaction_spark.plans.datamodel import FileScanTask
+
+
+@dataclass(frozen=True)
+class SortField:
+    """One field of a table sort order (identity transform only — the
+    reference supports only Transform::Identity for sort,
+    datafusion_processor.rs:250-255)."""
+
+    column: str
+    ascending: bool = True
+    nulls_first: bool | None = None  # None => engine default for direction
+
+    def to_column(self) -> Column:
+        c = F.col(self.column)
+        nf = self.nulls_first
+        if self.ascending:
+            return c.asc_nulls_first() if (nf is None or nf) else c.asc_nulls_last()
+        return c.desc_nulls_last() if (nf is None or not nf) else c.desc_nulls_first()
+
+
+def max_records_per_file(
+    target_file_size_bytes: int, estimated_row_size_bytes: int | None
+) -> int | None:
+    if not estimated_row_size_bytes or estimated_row_size_bytes <= 0:
+        return None
+    return max(1, target_file_size_bytes // estimated_row_size_bytes)
+
+
+def estimate_row_size(total_bytes: int, total_records: int) -> int | None:
+    if total_records <= 0:
+        return None
+    return max(1, total_bytes // total_records)
+
+
+def write_sized_parquet(
+    df: DataFrame,
+    out_dir: str,
+    config: WriterConfig,
+    output_parallelism: int | None = None,
+    sort_order: list[SortField] | None = None,
+    partition_by: list[str] | None = None,
+) -> list[FileScanTask]:
+    """Write ``df`` as size-targeted ZSTD parquet; return written files.
+
+    Returns one FileScanTask per produced file (record counts from parquet
+    footers), ready to feed the commit layer (T4).
+    """
+    if output_parallelism and output_parallelism > 0:
+        if partition_by:
+            # co-locate rows of one partition so fan-out writers produce
+            # few files per partition value
+            df = df.repartition(output_parallelism, *[F.col(c) for c in partition_by])
+        else:
+            df = df.repartition(output_parallelism)  # round-robin (X1)
+    if sort_order:
+        df = df.sortWithinPartitions(*[s.to_column() for s in sort_order])
+
+    writer = df.write.mode("overwrite").option("compression", config.compression)
+    mrpf = max_records_per_file(
+        config.target_file_size_bytes, config.estimated_row_size_bytes
+    )
+    if mrpf is not None:
+        writer = writer.option("maxRecordsPerFile", mrpf)
+    if partition_by:
+        writer = writer.partitionBy(*partition_by)
+    writer.parquet(out_dir)
+    return list_written_files(out_dir)
+
+
+def list_written_files(out_dir: str, sequence_number: int = 0) -> list[FileScanTask]:
+    import pyarrow.parquet as pq
+
+    tasks: list[FileScanTask] = []
+    for root, _dirs, names in os.walk(out_dir):
+        for name in sorted(names):
+            if not name.endswith(".parquet") or name.startswith("_"):
+                continue
+            path = os.path.join(root, name)
+            size = os.path.getsize(path)
+            tasks.append(
+                FileScanTask(
+                    data_file_path=path,
+                    length=size,
+                    file_size_in_bytes=size,
+                    record_count=pq.read_metadata(path).num_rows,
+                    sequence_number=sequence_number,
+                )
+            )
+    return tasks

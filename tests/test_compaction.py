@@ -1,0 +1,174 @@
+"""End-to-end compaction lifecycle (§3.1): manifest -> plan -> rewrite ->
+commit -> validate, mirroring the reference's in-crate e2e tests
+(core/src/compaction/mod.rs:1358-2675) on the local-parquet backend."""
+
+import os
+
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+
+from iceberg_compaction_spark.commit import (
+    CommitConflict,
+    CommitManager,
+    InconsistentPlansError,
+    RewriteResult,
+    validate_consistency,
+)
+from iceberg_compaction_spark.compaction import Compaction
+from iceberg_compaction_spark.config import (
+    CommitRetryConfig,
+    CompactionConfig,
+    CompactionType,
+)
+from iceberg_compaction_spark.plans.datamodel import (
+    EQUALITY_DELETE,
+    POSITION_DELETE,
+    CompactionPlan,
+    DeleteFile,
+    FileGroup,
+    FileScanTask,
+)
+from iceberg_compaction_spark.sources.manifest import Manifest
+
+
+@pytest.fixture()
+def table(tmp_path):
+    """A fragmented table: 4 small data files + pos/eq deletes."""
+    root = tmp_path / "tbl"
+    root.mkdir()
+    n = 0
+    for f in range(4):
+        ids = list(range(n, n + 25))
+        n += 25
+        pq.write_table(
+            pa.table({"id": pa.array(ids, type=pa.int64()),
+                      "name": [f"name{i}" for i in ids]}),
+            str(root / f"data{f}.parquet"),
+        )
+    # position delete: first row of data0
+    pos = str(root / "deletes" / "pos.parquet")
+    os.makedirs(os.path.dirname(pos))
+    pq.write_table(
+        pa.table({"sys_hidden_file_path": [str(root / "data0.parquet")],
+                  "sys_hidden_pos": pa.array([0], type=pa.int64())}),
+        pos,
+    )
+    # equality delete: ids 30, 31 with newer seq
+    eq = str(root / "deletes" / "eq.parquet")
+    pq.write_table(
+        pa.table({"id": pa.array([30, 31], type=pa.int64()),
+                  "sys_hidden_seq_num": pa.array([5, 5], type=pa.int64())}),
+        eq,
+    )
+
+    m = Manifest.from_parquet_dir(str(root), sequence_number=1)
+    pos_f = DeleteFile(path=pos, content=POSITION_DELETE,
+                       file_size_in_bytes=os.path.getsize(pos), sequence_number=5)
+    eq_f = DeleteFile(path=eq, content=EQUALITY_DELETE,
+                      file_size_in_bytes=os.path.getsize(eq),
+                      sequence_number=5, equality_ids=("id",))
+    for t in m.data_files:
+        t.deletes = [pos_f, eq_f]
+    m.save()
+    return m
+
+
+def test_full_compaction_end_to_end(spark, table):
+    cfg = CompactionConfig.full()
+    cfg.enable_validate_compaction = True
+    c = Compaction(spark=spark, config=cfg)
+    new_manifest, stats = c.compact(table)
+
+    # 100 rows - 1 pos-delete - 2 eq-deletes = 97 surviving rows
+    rows = sum(t.record_count for t in new_manifest.data_files)
+    assert rows == 97
+    assert stats.input_files_count == 4 + 2  # 4 data + 2 delete files
+    assert stats.output_files_count == len(new_manifest.data_files)
+    assert new_manifest.snapshot_id == table.snapshot_id + 1
+    # old files no longer referenced
+    old = set(table.paths())
+    assert not (old & set(new_manifest.paths()))
+    # new files pinned to starting sequence number (T1)
+    assert all(t.sequence_number == 1 for t in new_manifest.data_files)
+    # survivors correct
+    df = spark.read.parquet(*new_manifest.paths())
+    ids = sorted(r["id"] for r in df.collect())
+    assert ids == sorted(set(range(100)) - {0, 30, 31})
+    # manifest persisted
+    reloaded = Manifest.load(new_manifest.manifest_path())
+    assert reloaded.snapshot_id == new_manifest.snapshot_id
+
+
+def test_small_files_compaction_selects_all_small(spark, table):
+    cfg = CompactionConfig.small_files(min_group_file_count=2)
+    c = Compaction(spark=spark, config=cfg)
+    plans = c.plan(table)
+    assert len(plans) == 1
+    assert plans[0].file_group.data_file_count == 4
+
+
+def test_plan_driven_workflow(spark, table):
+    """Entry point 2: caller drives plan -> rewrite -> commit separately."""
+    c = Compaction(spark=spark, config=CompactionConfig.full())
+    plans = c.plan(table)
+    results = [c.rewrite(p) for p in plans]
+    new = c.commit(table, results)
+    assert sum(t.record_count for t in new.data_files) == 97
+
+
+def test_commit_consistency_validation(table):
+    g = FileGroup(data_files=[])
+    r1 = RewriteResult(plan=CompactionPlan(file_group=g, snapshot_id=1), added_files=[])
+    r2 = RewriteResult(plan=CompactionPlan(file_group=g, snapshot_id=2), added_files=[])
+    with pytest.raises(InconsistentPlansError):
+        validate_consistency([r1, r2])
+
+
+def test_commit_conflict_on_stale_snapshot(table):
+    cm = CommitManager()
+    g = FileGroup(data_files=[])
+    stale = RewriteResult(
+        plan=CompactionPlan(file_group=g, snapshot_id=table.snapshot_id + 7),
+        added_files=[],
+    )
+    with pytest.raises(CommitConflict):
+        cm.rewrite_files(table, [stale])
+
+
+def test_commit_conflict_on_missing_file(table):
+    cm = CommitManager()
+    ghost = FileScanTask(data_file_path="/nope.parquet", length=1)
+    r = RewriteResult(
+        plan=CompactionPlan(
+            file_group=FileGroup(data_files=[ghost]), snapshot_id=table.snapshot_id
+        ),
+        added_files=[],
+    )
+    with pytest.raises(CommitConflict):
+        cm.rewrite_files(table, [r])
+
+
+def test_commit_retry_succeeds_after_conflicts():
+    cm = CommitManager(retry=CommitRetryConfig(max_retries=3, initial_backoff_s=0.001))
+    attempts = {"n": 0}
+
+    def flaky():
+        attempts["n"] += 1
+        if attempts["n"] < 3:
+            raise CommitConflict("try again")
+        return Manifest(table_root="/tmp/x", snapshot_id=9)
+
+    out = cm.commit_with_retry(flaky)
+    assert out.snapshot_id == 9
+    assert attempts["n"] == 3
+
+
+def test_commit_retry_exhausts():
+    cm = CommitManager(retry=CommitRetryConfig(max_retries=2, initial_backoff_s=0.001))
+
+    def always_fail():
+        raise CommitConflict("nope")
+
+    with pytest.raises(CommitConflict):
+        cm.commit_with_retry(always_fail)

@@ -1,0 +1,138 @@
+"""Merge-on-read rewrite correctness (J1/J2/P1) against hand-computed
+expected results — mirrors the reference's golden MOR tests
+(datafusion_processor.rs:1071-1333) at the DataFrame level."""
+
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+
+from iceberg_compaction_spark.operators.mor import rewrite_file_group
+from iceberg_compaction_spark.plans.datamodel import (
+    EQUALITY_DELETE,
+    POSITION_DELETE,
+    DeleteFile,
+    FileGroup,
+    FileScanTask,
+)
+
+
+@pytest.fixture(scope="module")
+def fixture(tmp_path_factory):
+    root = tmp_path_factory.mktemp("mor")
+    d1 = str(root / "data1.parquet")
+    d2 = str(root / "data2.parquet")
+    pq.write_table(
+        pa.table({"id": list(range(10)), "name": [f"n{i}" for i in range(10)]}), d1
+    )
+    pq.write_table(
+        pa.table({"id": list(range(10, 20)), "name": [f"n{i}" for i in range(10, 20)]}),
+        d2,
+    )
+    pos = str(root / "pos_del.parquet")
+    pq.write_table(
+        pa.table(
+            {
+                "sys_hidden_file_path": [d1, d2],
+                "sys_hidden_pos": pa.array([0, 5], type=pa.int64()),
+            }
+        ),
+        pos,
+    )  # removes id=0 and id=15
+    eq = str(root / "eq_del.parquet")
+    pq.write_table(
+        pa.table(
+            {
+                "id": pa.array([5, 12, 7], type=pa.int64()),
+                "sys_hidden_seq_num": pa.array([2, 2, 9], type=pa.int64()),
+            }
+        ),
+        eq,
+    )  # id=5 (seq1<2: del), id=12 (seq3<2 false: keep), id=7 (seq1<9: del)
+
+    pos_f = DeleteFile(path=pos, content=POSITION_DELETE, file_size_in_bytes=100)
+    eq_f = DeleteFile(
+        path=eq, content=EQUALITY_DELETE, file_size_in_bytes=100, equality_ids=("id",)
+    )
+    t1 = FileScanTask(
+        data_file_path=d1, length=500, record_count=10, sequence_number=1,
+        deletes=[pos_f, eq_f],
+    )
+    t2 = FileScanTask(
+        data_file_path=d2, length=500, record_count=10, sequence_number=3,
+        deletes=[pos_f, eq_f],
+    )
+    return FileGroup.from_tasks([t1, t2])
+
+
+def surviving_ids(spark, group):
+    df = rewrite_file_group(spark, group)
+    return sorted(r["id"] for r in df.collect()), df
+
+
+def test_mor_full(spark, fixture):
+    ids, df = surviving_ids(spark, fixture)
+    expected = sorted(set(range(20)) - {0, 15} - {5, 7})
+    assert ids == expected
+    # final projection strips hidden columns (P1)
+    assert df.columns == ["id", "name"]
+
+
+def test_mor_position_only(spark, fixture):
+    g = FileGroup(
+        data_files=fixture.data_files,
+        position_delete_files=fixture.position_delete_files,
+        equality_delete_files=[],
+    )
+    ids, _ = surviving_ids(spark, g)
+    assert ids == sorted(set(range(20)) - {0, 15})
+
+
+def test_mor_equality_only(spark, fixture):
+    g = FileGroup(
+        data_files=fixture.data_files,
+        position_delete_files=[],
+        equality_delete_files=fixture.equality_delete_files,
+    )
+    ids, _ = surviving_ids(spark, g)
+    assert ids == sorted(set(range(20)) - {5, 7})
+
+
+def test_mor_no_deletes(spark, fixture):
+    g = FileGroup(data_files=fixture.data_files)
+    ids, df = surviving_ids(spark, g)
+    assert ids == list(range(20))
+    assert df.columns == ["id", "name"]
+
+
+def test_mor_seq_residual_exact_boundary(spark, fixture):
+    """A delete with seq equal to the data's seq must NOT apply (strict <)."""
+    import pyarrow as pa
+
+    # data2 has seq 3; delete id=11 with seq 3 -> survives
+    eq_path = fixture.equality_delete_files[0].path.replace("eq_del", "eq_del_b")
+    pq.write_table(
+        pa.table(
+            {
+                "id": pa.array([11], type=pa.int64()),
+                "sys_hidden_seq_num": pa.array([3], type=pa.int64()),
+            }
+        ),
+        eq_path,
+    )
+    g = FileGroup(
+        data_files=fixture.data_files,
+        equality_delete_files=[
+            DeleteFile(path=eq_path, content=EQUALITY_DELETE, equality_ids=("id",))
+        ],
+    )
+    ids, _ = surviving_ids(spark, g)
+    assert 11 in ids and len(ids) == 20
+
+
+def test_mor_plan_is_broadcast_hash_join(spark, fixture):
+    """Small delete tables must broadcast — the 100-TB data side is never
+    shuffled by the MOR joins."""
+    df = rewrite_file_group(spark, fixture)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
+    assert "LeftAnti" in plan
