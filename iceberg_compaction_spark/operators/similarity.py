@@ -1,0 +1,184 @@
+"""Similarity search over embedding columns (north-star extensions).
+
+The embedding column is ``array<float>``; all math is done in DOUBLE
+(float->double casts are exact) with built-in higher-order functions
+(``zip_with`` + ``aggregate``) — JVM-side, no Python in the row path.
+Similarities are emitted as integer ppm (floor(1e6*cos)) so cross-engine
+hashing is stable.
+
+- ``brute_force_topk``: exact top-k per query — the correctness baseline.
+  Plan: broadcast the (small) query set, one pass over the corpus, window
+  row_number per query.  At 100 TB this is the "scan once per query
+  batch" pattern: cost O(|corpus| x |queries|), embarrassingly parallel.
+- ``ivf_topk``: IVF-style two-stage ANN — assign every vector to its
+  nearest centroid (data-derived centroids), then search only the
+  query's cluster (single-probe).  The scale path: the corpus is
+  partitioned by cluster id, so each query touches ~1/n_clusters of the
+  data; recall trades against probes exactly like FAISS IVF.
+- ``cosine_pairs``: exact pairwise cosine >= threshold (embedding
+  near-dup detection; quadratic — bound the input or use ivf buckets).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def as_double(col: Column) -> Column:
+    return F.transform(col, lambda x: x.cast("double"))
+
+
+def dot(a: Column, b: Column) -> Column:
+    """Sequential left-to-right double dot product (deterministic)."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x
+    )
+
+
+def cosine(a: Column, b: Column) -> Column:
+    return dot(a, b) / (F.sqrt(dot(a, a)) * F.sqrt(dot(b, b)))
+
+
+def cosine_ppm(a: Column, b: Column) -> Column:
+    return F.floor(cosine(a, b) * 1000000).cast("long")
+
+
+def brute_force_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact cosine top-k: (query_id, neighbor_id, cos_ppm, rank).
+
+    The query set is broadcast (it is small by construction); ranking is a
+    window partitioned by query — each partition holds |corpus| rows
+    pre-aggregation but Spark's TopK (rank <= k) pushes the limit into
+    the sort. Ties break by neighbor id for determinism.
+    """
+    from pyspark.sql.window import Window
+
+    q = F.broadcast(
+        queries.select(
+            F.col(id_col).alias("query_id"), as_double(F.col(vec_col)).alias("qv")
+        )
+    )
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"), as_double(F.col(vec_col)).alias("cv")
+    )
+    scored = (
+        q.crossJoin(c)
+        .where(F.col("query_id") != F.col("neighbor_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            cosine_ppm(F.col("qv"), F.col("cv")).alias("cos_ppm"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cos_ppm").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "cos_ppm", F.col("rank").cast("int").alias("rank"))
+    )
+
+
+def assign_clusters(
+    vectors: DataFrame,
+    centroids: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Nearest-centroid assignment: (id, cluster_id, vector).
+
+    Centroids are broadcast; ties break toward the lower centroid id.
+    """
+    from pyspark.sql.window import Window
+
+    cent = F.broadcast(
+        centroids.select(
+            F.col("cluster_id"), as_double(F.col(vec_col)).alias("centv")
+        )
+    )
+    v = vectors.select(F.col(id_col), as_double(F.col(vec_col)).alias("v"))
+    scored = v.crossJoin(cent).select(
+        id_col,
+        "cluster_id",
+        "v",
+        cosine_ppm(F.col("v"), F.col("centv")).alias("c_ppm"),
+    )
+    w = Window.partitionBy(id_col).orderBy(
+        F.col("c_ppm").desc(), F.col("cluster_id").asc()
+    )
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select(id_col, "cluster_id", "v")
+    )
+
+
+def ivf_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    centroids: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Single-probe IVF ANN: search only the query's cluster.
+
+    Output: (query_id, neighbor_id, cos_ppm, rank) — approximate (recall
+    < 1 when true neighbors live in other clusters), which is the point.
+    """
+    from pyspark.sql.window import Window
+
+    c_assign = assign_clusters(corpus, centroids, id_col, vec_col)
+    q_assign = assign_clusters(queries, centroids, id_col, vec_col)
+
+    q = q_assign.select(
+        F.col(id_col).alias("query_id"), F.col("cluster_id"), F.col("v").alias("qv")
+    )
+    c = c_assign.select(
+        F.col(id_col).alias("neighbor_id"), F.col("cluster_id"), F.col("v").alias("cv")
+    )
+    scored = (
+        F.broadcast(q)
+        .join(c, on="cluster_id")  # co-partition by cluster: the IVF probe
+        .where(F.col("query_id") != F.col("neighbor_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            cosine_ppm(F.col("qv"), F.col("cv")).alias("cos_ppm"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cos_ppm").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "cos_ppm", F.col("rank").cast("int").alias("rank"))
+    )
+
+
+def cosine_pairs(
+    vectors: DataFrame,
+    threshold_ppm: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact pairwise cosine pairs >= threshold (id_a < id_b)."""
+    a = vectors.select(F.col(id_col).alias("id_a"), as_double(F.col(vec_col)).alias("va"))
+    b = vectors.select(F.col(id_col).alias("id_b"), as_double(F.col(vec_col)).alias("vb"))
+    return (
+        a.crossJoin(b)
+        .where(F.col("id_a") < F.col("id_b"))
+        .select(
+            "id_a", "id_b", cosine_ppm(F.col("va"), F.col("vb")).alias("cos_ppm")
+        )
+        .where(F.col("cos_ppm") >= threshold_ppm)
+    )

@@ -1,0 +1,664 @@
+"""Query + oracle registry backing ``__spark_entry__.py``.
+
+Every implemented operator from SURVEY.md §2 (plus the LLM-pipeline
+extensions) registers a Spark callable and, when SQL-expressible, a
+DuckDB oracle string computing the identical result.  Cross-engine
+determinism rules used throughout:
+
+- similarities/ratios as integer ppm: ``floor(1e6 * x)`` over doubles
+  derived from identical integer/float inputs (bit-identical both sides);
+- hashes via md5 (identical everywhere), int-valued via first 8 hex chars;
+- ties broken by explicit id ordering;
+- timestamps projected as DATE or field-extracted ints.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from iceberg_compaction_spark.operators import dedup as dd
+from iceberg_compaction_spark.operators import similarity as sim
+from iceberg_compaction_spark.operators import synthetic as syn
+from iceberg_compaction_spark.operators import text as tx
+from iceberg_compaction_spark.operators.mor import (
+    EqualityDeleteTable,
+    apply_equality_deletes,
+    apply_position_deletes,
+)
+
+QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
+ORACLES: dict[str, str] = {}
+
+
+def register(name: str, oracle: str | None = None):
+    def deco(fn):
+        QUERIES[name] = fn
+        if oracle is not None:
+            ORACLES[name] = oracle
+        return fn
+
+    return deco
+
+
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+
+
+def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+
+
+# ===========================================================================
+# MOR core (S1/S8/S9, J1, J2, P1, A1) — SURVEY §2.1-2.3
+# ===========================================================================
+
+EQ_KEYS = ["l_orderkey", "l_linenumber"]
+
+_MOR_EQ_WHERE = f"""NOT EXISTS (
+    SELECT 1 FROM (
+        SELECT DISTINCT l_orderkey AS k1, l_linenumber AS k2
+        FROM lineitem WHERE {syn.EQ_KEY_RULE_SQL}
+    ) e
+    WHERE e.k1 = d.l_orderkey AND e.k2 = d.l_linenumber
+      AND d.seq < {syn.EQ_DELETE_SEQ}
+)"""
+
+_MOR_FULL_SQL = f"""
+    WITH d AS (SELECT *, {syn.SEQ_RULE_SQL} AS seq FROM lineitem)
+    SELECT {syn.OUTPUT_COLS_SQL} FROM d
+    WHERE NOT {syn.POS_RULE_SQL} AND {_MOR_EQ_WHERE}
+"""
+
+
+@register("mor_no_deletes", f"SELECT {syn.OUTPUT_COLS_SQL} FROM lineitem")
+def q_mor_no_deletes(spark, sf_dir):
+    """P1: projection-only scan."""
+    return syn.output_select(spark.read.parquet(syn.lineitem_path(sf_dir)))
+
+
+@register(
+    "mor_pos_delete",
+    f"SELECT {syn.OUTPUT_COLS_SQL} FROM lineitem WHERE NOT {syn.POS_RULE_SQL}",
+)
+def q_mor_pos_delete(spark, sf_dir):
+    """J1: anti-join on (sys_hidden_file_path, sys_hidden_pos)."""
+    data = syn.read_lineitem_with_hidden(spark, sf_dir)
+    pos = syn.position_delete_table(spark, sf_dir)
+    return syn.output_select(apply_position_deletes(data, pos, broadcast=True))
+
+
+@register(
+    "mor_eq_delete",
+    f"""
+    WITH d AS (SELECT *, {syn.SEQ_RULE_SQL} AS seq FROM lineitem)
+    SELECT {syn.OUTPUT_COLS_SQL} FROM d WHERE {_MOR_EQ_WHERE}
+    """,
+)
+def q_mor_eq_delete(spark, sf_dir):
+    """J2: anti-join on equality keys + strict seq residual."""
+    data = syn.read_lineitem_with_hidden(spark, sf_dir)
+    eq = EqualityDeleteTable(
+        df=syn.equality_delete_table(spark, sf_dir), equality_keys=EQ_KEYS
+    )
+    return syn.output_select(apply_equality_deletes(data, eq, broadcast=True))
+
+
+@register("mor_full", _MOR_FULL_SQL)
+def q_mor_full(spark, sf_dir):
+    """Flagship: full MOR rewrite (J1 innermost, then J2, then P1)."""
+    data = syn.read_lineitem_with_hidden(spark, sf_dir)
+    pos = syn.position_delete_table(spark, sf_dir)
+    eq = EqualityDeleteTable(
+        df=syn.equality_delete_table(spark, sf_dir), equality_keys=EQ_KEYS
+    )
+    out = apply_position_deletes(data, pos, broadcast=True)
+    out = apply_equality_deletes(out, eq, broadcast=True)
+    return syn.output_select(out)
+
+
+@register(
+    "validate_counts",
+    f"""
+    SELECT (SELECT COUNT(*) FROM lineitem) AS input_rows,
+           (SELECT COUNT(*) FROM ({_MOR_FULL_SQL}) s) AS output_rows
+    """,
+)
+def q_validate_counts(spark, sf_dir):
+    """A1: row-count validation."""
+    input_rows = spark.read.parquet(syn.lineitem_path(sf_dir)).agg(
+        F.count(F.lit(1)).alias("input_rows")
+    )
+    survivors = q_mor_full(spark, sf_dir).agg(F.count(F.lit(1)).alias("output_rows"))
+    return input_rows.crossJoin(survivors)
+
+
+# ===========================================================================
+# Text analysis (extensions)
+# ===========================================================================
+
+_NORM = "regexp_replace(trim(lower(text)),'\\s+',' ','g')"
+_TOKS = "string_split_regex(trim(lower(text)), '\\s+')"
+_STOPS = "['" + "','".join(tx.ENGLISH_STOPWORDS) + "']"
+
+
+@register(
+    "text_token_count",
+    f"""
+    SELECT doc_id,
+      CAST(CASE WHEN trim(text)='' THEN 0 ELSE len({_TOKS}) END AS INTEGER) AS ws_tokens,
+      CAST(len(regexp_extract_all(text, '{tx.BPE_TOKEN_RE}')) AS INTEGER) AS bpe_tokens
+    FROM documents
+    """,
+)
+def q_text_token_count(spark, sf_dir):
+    return tx.with_token_counts(_docs(spark, sf_dir)).select(
+        "doc_id", "ws_tokens", "bpe_tokens"
+    )
+
+
+@register(
+    "text_quality",
+    f"""
+    WITH b AS (
+      SELECT doc_id,
+        length(text) AS n,
+        greatest(length(text),1) AS n_safe,
+        length(regexp_replace(text,'[^A-Za-z]','','g')) AS alpha,
+        length(regexp_replace(text,'[^0-9]','','g')) AS digit,
+        length(regexp_replace(text,'[^ ]','','g')) AS space,
+        CASE WHEN trim(text)='' THEN 0 ELSE len({_TOKS}) END AS n_toks,
+        len(list_filter({_TOKS}, x -> list_contains({_STOPS}, x))) AS stops
+      FROM documents
+    ), c AS (
+      SELECT *, greatest(n_toks,1) AS n_toks_safe FROM b
+    )
+    SELECT doc_id,
+      CAST(n AS INTEGER) AS n_chars_c,
+      CAST(n_toks AS INTEGER) AS n_tokens,
+      CAST(FLOOR(1000000*(alpha*1.0/n_safe)) AS BIGINT) AS alpha_ppm,
+      CAST(FLOOR(1000000*(digit*1.0/n_safe)) AS BIGINT) AS digit_ppm,
+      CAST(FLOOR(1000000*(space*1.0/n_safe)) AS BIGINT) AS space_ppm,
+      CAST(FLOOR(1000000*(stops*1.0/n_toks_safe)) AS BIGINT) AS stopword_ppm,
+      CAST(FLOOR(1000000*((alpha+digit)*1.0/n_toks_safe)) AS BIGINT) AS avg_token_len_ppm,
+      CAST(FLOOR(1000000*least(greatest(
+            alpha*1.0/n_safe + least(stops*1.0/n_toks_safe, 0.2)
+            + least(space*1.0/n_safe, 0.25) - digit*1.0/n_safe, 0.0), 1.0)) AS BIGINT)
+        AS quality_ppm
+    FROM c
+    """,
+)
+def q_text_quality(spark, sf_dir):
+    return tx.with_quality(_docs(spark, sf_dir)).select(
+        "doc_id",
+        "n_chars_c",
+        "n_tokens",
+        "alpha_ppm",
+        "digit_ppm",
+        "space_ppm",
+        "stopword_ppm",
+        "avg_token_len_ppm",
+        "quality_ppm",
+    )
+
+
+def _lang_scores_sql() -> str:
+    parts = []
+    for name, words in tx.LANG_PROFILES:
+        lst = "['" + "','".join(words) + "']"
+        parts.append(
+            f"CAST(len(list_filter({_TOKS}, x -> list_contains({lst}, x))) AS INTEGER)"
+            f" AS score_{name}"
+        )
+    return ", ".join(parts)
+
+
+@register(
+    "text_langid",
+    f"""
+    WITH s AS (SELECT doc_id, {_lang_scores_sql()} FROM documents)
+    SELECT doc_id, score_en, score_db, score_ops, score_perf,
+      CASE WHEN score_perf > greatest(score_en, score_db, score_ops) THEN 'perf'
+           WHEN score_ops  > greatest(score_en, score_db) THEN 'ops'
+           WHEN score_db   > score_en THEN 'db'
+           ELSE 'en' END AS pred_lang,
+      greatest(score_en, score_db, score_ops, score_perf) AS pred_score
+    FROM s
+    """,
+)
+def q_text_langid(spark, sf_dir):
+    return tx.with_language_id(_docs(spark, sf_dir)).select(
+        "doc_id", "score_en", "score_db", "score_ops", "score_perf",
+        "pred_lang", "pred_score",
+    )
+
+
+@register(
+    "text_fingerprint",
+    f"""
+    SELECT doc_id, md5({_NORM}) AS content_fp,
+      md5(array_to_string(list_slice(string_split({_NORM}, ' '), 1, 2), ' ')) AS prefix_fp
+    FROM documents
+    """,
+)
+def q_text_fingerprint(spark, sf_dir):
+    return tx.with_fingerprints(_docs(spark, sf_dir)).select(
+        "doc_id", "content_fp", "prefix_fp"
+    )
+
+
+# ===========================================================================
+# Dedup (extensions)
+# ===========================================================================
+
+_SHINGLES = f"""
+  sh AS (
+    SELECT DISTINCT doc_id,
+      array_to_string(list_slice(toks, i, i+2), ' ') AS shingle
+    FROM (SELECT doc_id, string_split({_NORM}, ' ') AS toks FROM documents) d,
+         LATERAL (SELECT unnest(generate_series(1, greatest(len(toks)-2,1))) AS i) g
+  )
+"""
+
+_JACCARD = f"""
+  WITH {_SHINGLES},
+  sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id),
+  inter AS (
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS c
+    FROM sh a JOIN sh b USING (shingle)
+    WHERE a.doc_id < b.doc_id GROUP BY 1, 2
+  ),
+  jac AS (
+    SELECT id_a, id_b,
+      CAST(FLOOR(c*1000000.0/(sa.sz+sb.sz-c)) AS BIGINT) AS jaccard_ppm
+    FROM inter
+    JOIN sizes sa ON sa.doc_id = id_a
+    JOIN sizes sb ON sb.doc_id = id_b
+  )
+"""
+
+JACCARD_THRESHOLD_PPM = 600000
+
+
+@register(
+    "dedup_exact",
+    f"""
+    SELECT md5({_NORM}) AS content_fp, min(doc_id) AS keep_id,
+           count(*) AS n_docs
+    FROM documents GROUP BY 1
+    """,
+)
+def q_dedup_exact(spark, sf_dir):
+    return dd.exact_dedup_groups(_docs(spark, sf_dir))
+
+
+@register(
+    "dedup_ngram_jaccard",
+    f"{_JACCARD} SELECT id_a, id_b, jaccard_ppm FROM jac "
+    f"WHERE jaccard_ppm >= {JACCARD_THRESHOLD_PPM}",
+)
+def q_dedup_ngram_jaccard(spark, sf_dir):
+    return dd.jaccard_pairs(
+        _docs(spark, sf_dir), threshold_ppm=JACCARD_THRESHOLD_PPM
+    )
+
+
+def _minhash_sql() -> str:
+    sig_exprs = ", ".join(
+        f"min(({a}*h + {b}) % {dd.MERSENNE_P}) AS sig_{i}"
+        for i, (a, b) in enumerate(dd.hash_params())
+    )
+    n_bands = dd.DEFAULT_NUM_HASHES // dd.DEFAULT_BAND_SIZE
+    band_selects = " UNION ALL ".join(
+        f"SELECT doc_id, md5(concat_ws('_', '{j}', "
+        + ", ".join(
+            f"CAST(sig_{j * dd.DEFAULT_BAND_SIZE + k} AS VARCHAR)"
+            for k in range(dd.DEFAULT_BAND_SIZE)
+        )
+        + ")) AS band_key FROM sigs"
+        for j in range(n_bands)
+    )
+    return f"""
+    {_JACCARD},
+    hs AS (SELECT doc_id, ('0x' || substr(md5(shingle),1,8))::BIGINT AS h FROM sh),
+    sigs AS (SELECT doc_id, {sig_exprs} FROM hs GROUP BY doc_id),
+    bands AS ({band_selects}),
+    cands AS (
+      SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+      FROM bands a JOIN bands b USING (band_key)
+      WHERE a.doc_id < b.doc_id
+    )
+    SELECT j.id_a, j.id_b, j.jaccard_ppm
+    FROM jac j JOIN cands c ON c.id_a = j.id_a AND c.id_b = j.id_b
+    WHERE j.jaccard_ppm >= {JACCARD_THRESHOLD_PPM}
+    """
+
+
+@register("dedup_minhash_lsh", _minhash_sql())
+def q_dedup_minhash_lsh(spark, sf_dir):
+    return dd.minhash_lsh_dedup_pairs(
+        _docs(spark, sf_dir), threshold_ppm=JACCARD_THRESHOLD_PPM
+    )
+
+
+def _simhash_sql(bits: int = 16) -> str:
+    votes = ", ".join(
+        f"sum(CASE WHEN (h >> {j}) & 1 = 1 THEN 1 ELSE -1 END) AS v_{j}"
+        for j in range(bits)
+    )
+    total = " + ".join(
+        f"CASE WHEN v_{j} > 0 THEN {1 << j} ELSE 0 END" for j in range(bits)
+    )
+    return f"""
+    WITH t AS (
+      SELECT doc_id, unnest(string_split({_NORM}, ' ')) AS tok FROM documents
+    ),
+    h AS (SELECT doc_id, ('0x' || substr(md5(tok),1,8))::BIGINT AS h FROM t),
+    votes AS (SELECT doc_id, {votes} FROM h GROUP BY doc_id)
+    SELECT doc_id, CAST({total} AS BIGINT) AS simhash FROM votes
+    """
+
+
+@register("dedup_simhash", _simhash_sql())
+def q_dedup_simhash(spark, sf_dir):
+    return dd.simhash(_docs(spark, sf_dir))
+
+
+EMB_PAIR_THRESHOLD_PPM = 350000
+
+_COS = (
+    "CAST(FLOOR(1000000 * list_dot_product({a},{b}) / "
+    "(sqrt(list_dot_product({a},{a})) * sqrt(list_dot_product({b},{b})))) AS BIGINT)"
+)
+
+
+@register(
+    "dedup_embedding",
+    f"""
+    WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)
+    SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+      {_COS.format(a="a.v", b="b.v")} AS cos_ppm
+    FROM e a, e b
+    WHERE a.vec_id < b.vec_id
+      AND {_COS.format(a="a.v", b="b.v")} >= {EMB_PAIR_THRESHOLD_PPM}
+    """,
+)
+def q_dedup_embedding(spark, sf_dir):
+    return sim.cosine_pairs(_emb(spark, sf_dir), EMB_PAIR_THRESHOLD_PPM)
+
+
+# ===========================================================================
+# Similarity search (extensions)
+# ===========================================================================
+
+
+@register(
+    "ann_topk",
+    f"""
+    WITH q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv
+               FROM embeddings WHERE vec_id % 100 = 0),
+    c AS (SELECT vec_id AS neighbor_id, embedding::DOUBLE[] AS cv FROM embeddings),
+    scored AS (
+      SELECT query_id, neighbor_id, {_COS.format(a="qv", b="cv")} AS cos_ppm
+      FROM q, c WHERE query_id <> neighbor_id
+    )
+    SELECT query_id, neighbor_id, cos_ppm, CAST(rank AS INTEGER) AS rank FROM (
+      SELECT *, row_number() OVER (
+        PARTITION BY query_id ORDER BY cos_ppm DESC, neighbor_id) AS rank
+      FROM scored) WHERE rank <= 5
+    """,
+)
+def q_ann_topk(spark, sf_dir):
+    emb = _emb(spark, sf_dir)
+    queries = emb.where(F.col("vec_id") % 100 == 0)
+    return sim.brute_force_topk(emb, queries, k=5)
+
+
+IVF_CENTROID_IDS = [1, 2, 3, 5]
+
+
+def _centroids(spark, sf_dir):
+    emb = _emb(spark, sf_dir)
+    m = {v: i for i, v in enumerate(IVF_CENTROID_IDS)}
+    mapping = F.create_map(*[F.lit(x) for kv in m.items() for x in kv])
+    return emb.where(F.col("vec_id").isin(IVF_CENTROID_IDS)).select(
+        F.element_at(mapping, F.col("vec_id")).cast("int").alias("cluster_id"),
+        "embedding",
+    )
+
+
+def _ivf_sql() -> str:
+    cent_case = " ".join(
+        f"WHEN {v} THEN {i}" for i, v in enumerate(IVF_CENTROID_IDS)
+    )
+    ids = ", ".join(str(v) for v in IVF_CENTROID_IDS)
+    return f"""
+    WITH cent AS (
+      SELECT CASE vec_id {cent_case} END AS cluster_id, embedding::DOUBLE[] AS centv
+      FROM embeddings WHERE vec_id IN ({ids})
+    ),
+    v AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    assign AS (
+      SELECT vec_id, cluster_id, v FROM (
+        SELECT v.vec_id, cent.cluster_id, v.v,
+          row_number() OVER (PARTITION BY v.vec_id
+            ORDER BY {_COS.format(a="v.v", b="cent.centv")} DESC, cent.cluster_id) AS rn
+        FROM v, cent) WHERE rn = 1
+    ),
+    q AS (SELECT vec_id AS query_id, cluster_id, v AS qv FROM assign
+          WHERE vec_id % 100 = 0),
+    scored AS (
+      SELECT q.query_id, c.vec_id AS neighbor_id,
+        {_COS.format(a="q.qv", b="c.v")} AS cos_ppm
+      FROM q JOIN assign c USING (cluster_id)
+      WHERE q.query_id <> c.vec_id
+    )
+    SELECT query_id, neighbor_id, cos_ppm, CAST(rank AS INTEGER) AS rank FROM (
+      SELECT *, row_number() OVER (
+        PARTITION BY query_id ORDER BY cos_ppm DESC, neighbor_id) AS rank
+      FROM scored) WHERE rank <= 5
+    """
+
+
+@register("ann_ivf", _ivf_sql())
+def q_ann_ivf(spark, sf_dir):
+    emb = _emb(spark, sf_dir)
+    queries = emb.where(F.col("vec_id") % 100 == 0)
+    return sim.ivf_topk(emb, queries, _centroids(spark, sf_dir), k=5)
+
+
+# ===========================================================================
+# Events / streaming (batch forms; streaming twins live in streaming/pipeline)
+# ===========================================================================
+
+from iceberg_compaction_spark.streaming import events as ev  # noqa: E402
+
+
+@register(
+    "events_hourly",
+    """
+    SELECT epoch_ns(ts) // 3600000000000 AS hour_bucket,
+           event_type,
+           COUNT(*) AS n_events,
+           SUM(CAST(FLOOR(value*1000000) AS BIGINT)) AS sum_value_micro
+    FROM events GROUP BY 1, 2
+    """,
+)
+def q_events_hourly(spark, sf_dir):
+    """Tumbling 1-hour rollup (exact integer value sums)."""
+    return ev.hourly_rollup(ev.read_events(spark, sf_dir))
+
+
+@register(
+    "events_sessionize",
+    """
+    WITH e AS (
+      SELECT user_id, epoch_us(ts) AS ts,
+             CAST(FLOOR(value*1000000) AS BIGINT) AS vmicro,
+             lag(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY epoch_us(ts)) AS prev
+      FROM events
+    ), flagged AS (
+      SELECT *, CASE WHEN prev IS NULL OR ts - prev > 1800000000
+                     THEN 1 ELSE 0 END AS is_new
+      FROM e
+    ), sess AS (
+      SELECT *, SUM(is_new) OVER (
+        PARTITION BY user_id ORDER BY ts
+        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_idx
+      FROM flagged
+    )
+    SELECT user_id, session_idx, COUNT(*) AS n_events,
+           MIN(ts) AS start_ts, MAX(ts) AS end_ts,
+           (MAX(ts) - MIN(ts)) // 1000000 AS duration_sec,
+           SUM(vmicro) AS sum_value_micro
+    FROM sess GROUP BY user_id, session_idx
+    """,
+)
+def q_events_sessionize(spark, sf_dir):
+    """Gaps-and-islands sessionization (30-minute gap).
+
+    Runs at MICROsecond precision: DuckDB timestamps are us-resolution,
+    so the oracle can only see us — we truncate the ns column the same
+    way (`ts div 1000`) and scale the gap accordingly.
+    """
+    from pyspark.sql import functions as F
+
+    events = ev.read_events(spark, sf_dir).withColumn(
+        "ts", F.expr("ts div 1000")
+    )
+    return ev.sessionize(events, gap=1_800_000_000, ts_unit_per_sec=1_000_000)
+
+
+@register(
+    "events_top_users",
+    """
+    SELECT CAST(rank AS INTEGER) AS rank, user_id, n_events, sum_value_micro
+    FROM (
+      SELECT user_id, COUNT(*) AS n_events,
+             SUM(CAST(FLOOR(value*1000000) AS BIGINT)) AS sum_value_micro,
+             row_number() OVER (ORDER BY COUNT(*) DESC, user_id) AS rank
+      FROM events GROUP BY user_id
+    ) WHERE rank <= 10
+    """,
+)
+def q_events_top_users(spark, sf_dir):
+    """Window-function top-k (ranking over aggregated counts)."""
+    return ev.top_users_by_activity(ev.read_events(spark, sf_dir), k=10)
+
+
+# ===========================================================================
+# Multimodal plumbing (mapInPandas decode stage; fake decode is arithmetic)
+# ===========================================================================
+
+
+@register(
+    "multimodal_meta",
+    """
+    WITH b AS (SELECT doc_id, octet_length(encode(text)) AS blen FROM documents)
+    SELECT doc_id,
+           CAST(blen AS BIGINT) AS byte_len,
+           CAST(16*(1 + blen % 64) AS INTEGER) AS width,
+           CAST(16*(1 + blen % 48) AS INTEGER) AS height,
+           CAST(3 AS INTEGER) AS channels,
+           CAST(1 + blen % 7 AS INTEGER) AS n_frames
+    FROM b
+    """,
+)
+def q_multimodal_meta(spark, sf_dir):
+    """Binary payload -> typed metadata via Arrow-batched mapInPandas."""
+    from iceberg_compaction_spark.operators import multimodal as mm
+
+    return mm.decode_meta(mm.to_binary_table(_docs(spark, sf_dir)))
+
+
+@register(
+    "multimodal_frames",
+    """
+    WITH b AS (SELECT doc_id, octet_length(encode(text)) AS blen FROM documents),
+    m AS (SELECT doc_id, 1 + blen % 7 AS n_frames FROM b)
+    SELECT doc_id, unnest(generate_series(0, n_frames - 1, 2)) AS frame_idx FROM m
+    """,
+)
+def q_multimodal_frames(spark, sf_dir):
+    """Frame-sampling fan-out plan for video-like payloads."""
+    from iceberg_compaction_spark.operators import multimodal as mm
+
+    meta = mm.decode_meta(mm.to_binary_table(_docs(spark, sf_dir)))
+    return mm.frame_sample_plan(meta, every_k=2)
+
+
+# ===========================================================================
+# General analytics (beyond reference surface: groupBy/agg + joins; shows
+# partial aggregation, broadcast joins, predicate pushdown)
+# ===========================================================================
+
+
+@register(
+    "agg_pricing_summary",
+    """
+    SELECT l_returnflag, l_linestatus,
+           COUNT(*) AS n_rows,
+           SUM(CAST(FLOOR(l_quantity*100) AS BIGINT)) AS sum_qty_c,
+           SUM(CAST(FLOOR(l_extendedprice*100) AS BIGINT)) AS sum_price_c,
+           SUM(CAST(FLOOR(l_discount*10000) AS BIGINT)) AS sum_disc_bp
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '1998-09-01 00:00:00'
+    GROUP BY l_returnflag, l_linestatus
+    """,
+)
+def q_agg_pricing_summary(spark, sf_dir):
+    """TPC-H-Q1-style aggregation (map-side partial agg; exact integer
+    sums in cents/basis points)."""
+    li = spark.read.parquet(syn.lineitem_path(sf_dir))
+    return (
+        li.where(F.col("l_shipdate") <= F.lit("1998-09-01 00:00:00").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum(F.floor(F.col("l_quantity") * 100).cast("long")).alias("sum_qty_c"),
+            F.sum(F.floor(F.col("l_extendedprice") * 100).cast("long")).alias(
+                "sum_price_c"
+            ),
+            F.sum(F.floor(F.col("l_discount") * 10000).cast("long")).alias(
+                "sum_disc_bp"
+            ),
+        )
+    )
+
+
+@register(
+    "join_order_revenue",
+    """
+    SELECT n.n_name, COUNT(*) AS n_lineitems,
+           SUM(CAST(FLOOR(l.l_extendedprice*(1-l.l_discount)*100) AS BIGINT))
+             AS revenue_c
+    FROM lineitem l
+    JOIN orders o ON l.l_orderkey = o.o_orderkey
+    JOIN customer c ON o.o_custkey = c.c_custkey
+    JOIN nation n ON c.c_nationkey = n.n_nationkey
+    WHERE o.o_orderstatus = 'F'
+    GROUP BY n.n_name
+    """,
+)
+def q_join_order_revenue(spark, sf_dir):
+    """Multi-join star query: fact-fact shuffle join + broadcast dims."""
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    cust = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    nation = spark.read.parquet(f"{sf_dir}/nation.parquet")
+    rev_c = F.floor(
+        F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100
+    ).cast("long")
+    return (
+        li.join(orders.where(F.col("o_orderstatus") == "F"),
+                li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+        .groupBy("n_name")
+        .agg(
+            F.count(F.lit(1)).alias("n_lineitems"),
+            F.sum(rev_c).alias("revenue_c"),
+        )
+    )

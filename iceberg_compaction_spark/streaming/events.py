@@ -1,0 +1,125 @@
+"""Event-stream operators: windowed rollups and sessionization.
+
+The reference engine is batch-only (SURVEY.md §2.9); streaming is part of
+the north-star extension surface.  Two forms are provided:
+
+- **batch form** (this file): tumbling-window rollups and
+  gaps-and-islands sessionization over the ``events`` table, in pure
+  integer nanosecond arithmetic (the testdata carries ns timestamps,
+  which Spark reads as int64 via ``nanosAsLong``).  These are
+  oracle-checkable and also serve as the ground truth for the streaming
+  form.
+- **streaming form** (pipeline.py): the same logical ops as a Structured
+  Streaming job (readStream -> withWatermark -> window/session_window),
+  verified in tests against the batch form.
+
+Scale notes: the hourly rollup is a single hash aggregation with
+map-side partial aggregation — the shuffle carries one row per
+(window, event_type) per task, not per event.  Sessionization shuffles
+once on user_id; the per-user sort happens within partitions
+(``Window.partitionBy(user).orderBy(ts)``), so skew is bounded by the
+hottest single user.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+NS_PER_HOUR = 3_600_000_000_000
+NS_PER_SEC = 1_000_000_000
+DEFAULT_SESSION_GAP_NS = 1_800_000_000_000  # 30 min
+
+
+def read_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Read the events table with ns timestamps as int64.
+
+    Spark rejects TIMESTAMP(NANOS) parquet columns outright
+    (PARQUET_TYPE_ILLEGAL); ``nanosAsLong`` reads them as raw int64
+    nanoseconds — which we prefer anyway: all window math becomes exact
+    integer arithmetic, immune to timezone/precision drift.
+    """
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    return spark.read.parquet(f"{sf_dir}/events.parquet")
+
+
+def _value_micro() -> F.Column:
+    # per-row floor to integer micro-units; summing ints is exact and
+    # order-independent (double SUM is neither)
+    return F.floor(F.col("value") * 1000000).cast("long")
+
+
+def hourly_rollup(events: DataFrame) -> DataFrame:
+    """Tumbling 1-hour window per event_type: count + exact value sum.
+
+    Output: (hour_bucket, event_type, n_events, sum_value_micro) where
+    hour_bucket = floor(ts_ns / 1h) — the window start in hours since
+    epoch.
+    """
+    # integer `div`, NOT floor(double /): ts ~1.7e18 exceeds double's 2^53
+    # exact-integer range, so float division could mis-bucket boundary rows
+    return (
+        events.withColumn(
+            "hour_bucket", F.expr(f"ts div {NS_PER_HOUR}").cast("long")
+        )
+        .withColumn("vmicro", _value_micro())
+        .groupBy("hour_bucket", "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum("vmicro").alias("sum_value_micro"),
+        )
+    )
+
+
+def sessionize(
+    events: DataFrame,
+    gap: int = DEFAULT_SESSION_GAP_NS,
+    ts_unit_per_sec: int = NS_PER_SEC,
+) -> DataFrame:
+    """Gaps-and-islands sessionization: a session breaks when the gap to
+    the previous event of the same user exceeds ``gap_ns``.
+
+    Output: (user_id, session_idx, n_events, start_ts, end_ts,
+    duration_sec, sum_value_micro); session_idx is 1-based per user in
+    time order.  ``ts_unit_per_sec`` declares the resolution of ``ts``
+    (1e9 for ns, 1e6 for us) and scales duration_sec.
+    """
+    w = Window.partitionBy("user_id").orderBy("ts")
+    prev = F.lag("ts").over(w)
+    is_new = F.when(
+        prev.isNull() | ((F.col("ts") - prev) > gap), 1
+    ).otherwise(0)
+    with_sess = (
+        events.withColumn("is_new", is_new)
+        .withColumn(
+            "session_idx",
+            F.sum("is_new").over(
+                w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+            ),
+        )
+        .withColumn("vmicro", _value_micro())
+    )
+    return with_sess.groupBy("user_id", "session_idx").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.min("ts").alias("start_ts"),
+        F.max("ts").alias("end_ts"),
+        F.expr(f"(max(ts) - min(ts)) div {ts_unit_per_sec}")
+        .cast("long")
+        .alias("duration_sec"),
+        F.sum("vmicro").alias("sum_value_micro"),
+    )
+
+
+def top_users_by_activity(events: DataFrame, k: int = 10) -> DataFrame:
+    """Window-function top-k demo (rank over per-user event counts)."""
+    counts = events.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum(_value_micro()).alias("sum_value_micro"),
+    )
+    w = Window.orderBy(F.col("n_events").desc(), F.col("user_id").asc())
+    return (
+        counts.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("rank", "user_id", "n_events", "sum_value_micro")
+    )

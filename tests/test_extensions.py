@@ -1,0 +1,166 @@
+"""LLM-pipeline extension operators: text analysis, dedup, similarity,
+multimodal plumbing — unit semantics on hand-built fixtures."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from iceberg_compaction_spark.operators import dedup as dd
+from iceberg_compaction_spark.operators import multimodal as mm
+from iceberg_compaction_spark.operators import similarity as sim
+from iceberg_compaction_spark.operators import text as tx
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    rows = [
+        (1, "the quick brown fox jumps over the lazy dog"),
+        (2, "the quick brown fox jumps over the lazy dog"),  # exact dup of 1
+        (3, "the quick brown fox jumps over a lazy dog"),  # near dup
+        (4, "completely different text about spark engines"),
+        (5, "numbers 123 and 456 here"),
+    ]
+    return spark.createDataFrame(rows, ["doc_id", "text"])
+
+
+def test_token_counts(spark, docs):
+    r = {x["doc_id"]: x for x in tx.with_token_counts(docs).collect()}
+    assert r[1]["ws_tokens"] == 9
+    assert r[5]["ws_tokens"] == 5
+    # bpe: "numbers","123","and","456","here" -> 5
+    assert r[5]["bpe_tokens"] == 5
+
+
+def test_quality(spark, docs):
+    r = {x["doc_id"]: x for x in tx.with_quality(docs).collect()}
+    assert r[5]["digit_ppm"] > 0
+    assert r[1]["digit_ppm"] == 0
+    assert r[1]["quality_ppm"] > r[5]["quality_ppm"]
+    assert 0 <= r[1]["quality_ppm"] <= 1000000
+
+
+def test_langid_scores(spark, docs):
+    r = {x["doc_id"]: x for x in tx.with_language_id(docs).collect()}
+    assert r[1]["score_en"] == 2  # 'the' x2; no other profile words
+    assert r[1]["pred_lang"] == "en"
+
+
+def test_fingerprint_normalization(spark):
+    rows = [(1, "Hello   World"), (2, "hello world"), (3, "hello  world ")]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    fps = [x["content_fp"] for x in tx.with_fingerprints(df).collect()]
+    assert len(set(fps)) == 1  # all normalize to the same fingerprint
+
+
+def test_exact_dedup(spark, docs):
+    kept = sorted(r["doc_id"] for r in dd.exact_dedup(docs).collect())
+    assert kept == [1, 3, 4, 5]  # 2 is an exact dup of 1
+
+
+def test_jaccard_pairs_finds_near_dup(spark, docs):
+    pairs = {
+        (r["id_a"], r["id_b"]): r["jaccard_ppm"]
+        for r in dd.jaccard_pairs(docs, threshold_ppm=400000).collect()
+    }
+    assert pairs[(1, 2)] == 1000000  # identical
+    assert (1, 3) in pairs and 400000 <= pairs[(1, 3)] < 1000000
+    assert (1, 4) not in pairs
+
+
+def test_minhash_lsh_matches_exact_on_high_sim(spark, docs):
+    got = {
+        (r["id_a"], r["id_b"])
+        for r in dd.minhash_lsh_dedup_pairs(docs, threshold_ppm=400000).collect()
+    }
+    assert (1, 2) in got  # identical docs always collide in every band
+
+
+def test_simhash_identical_docs_same_hash(spark, docs):
+    h = {r["doc_id"]: r["simhash"] for r in dd.simhash(docs).collect()}
+    assert h[1] == h[2]
+    assert 0 <= h[1] < 2**16
+    pairs = {
+        (r["id_a"], r["id_b"]): r["hamming"]
+        for r in dd.simhash_pairs(docs, max_hamming=3).collect()
+    }
+    assert pairs[(1, 2)] == 0
+
+
+@pytest.fixture(scope="module")
+def vectors(spark):
+    rows = [
+        (0, [1.0, 0.0, 0.0]),
+        (1, [0.9, 0.1, 0.0]),  # near 0
+        (2, [0.0, 1.0, 0.0]),
+        (3, [0.0, 0.9, 0.1]),  # near 2
+        (4, [-1.0, 0.0, 0.0]),  # opposite of 0
+    ]
+    from pyspark.sql.types import ArrayType, FloatType, LongType, StructField, StructType
+
+    schema = StructType(
+        [
+            StructField("vec_id", LongType()),
+            StructField("embedding", ArrayType(FloatType())),
+        ]
+    )
+    return spark.createDataFrame(rows, schema)
+
+
+def test_brute_force_topk(spark, vectors):
+    q = vectors.where(F.col("vec_id") == 0)
+    r = sim.brute_force_topk(vectors, q, k=2).collect()
+    assert [x["neighbor_id"] for x in r] == [1, 2]
+    assert r[0]["cos_ppm"] > 990000
+
+
+def test_ivf_assignment_and_search(spark, vectors):
+    centroids = spark.createDataFrame(
+        [(0, [1.0, 0.0, 0.0]), (1, [0.0, 1.0, 0.0])],
+        ["cluster_id", "embedding"],
+    )
+    assign = {
+        r["vec_id"]: r["cluster_id"]
+        for r in sim.assign_clusters(vectors, centroids).collect()
+    }
+    assert assign[0] == 0 and assign[1] == 0
+    assert assign[2] == 1 and assign[3] == 1
+    q = vectors.where(F.col("vec_id") == 0)
+    r = sim.ivf_topk(vectors, q, centroids, k=3).collect()
+    ids = [x["neighbor_id"] for x in r]
+    assert 1 in ids  # same-cluster neighbor found
+    assert 2 not in ids and 3 not in ids  # other cluster not probed
+
+
+def test_cosine_pairs_threshold(spark, vectors):
+    pairs = {
+        (r["id_a"], r["id_b"])
+        for r in sim.cosine_pairs(vectors, threshold_ppm=900000).collect()
+    }
+    assert (0, 1) in pairs and (2, 3) in pairs
+    assert (0, 4) not in pairs
+
+
+def test_multimodal_decode_meta(spark, docs):
+    out = mm.decode_meta(mm.to_binary_table(docs)).collect()
+    r = {x["doc_id"]: x for x in out}
+    blen = len("the quick brown fox jumps over the lazy dog".encode())
+    assert r[1]["byte_len"] == blen
+    assert r[1]["width"] == 16 * (1 + blen % 64)
+    assert r[1]["channels"] == 3
+    assert set(x["doc_id"] for x in out) == {1, 2, 3, 4, 5}
+
+
+def test_multimodal_frame_sampling(spark, docs):
+    meta = mm.decode_meta(mm.to_binary_table(docs))
+    frames = mm.frame_sample_plan(meta, every_k=2).collect()
+    by_doc = {}
+    for f in frames:
+        by_doc.setdefault(f["doc_id"], []).append(f["frame_idx"])
+    meta_rows = {x["doc_id"]: x for x in meta.collect()}
+    for d, idxs in by_doc.items():
+        expected = list(range(0, meta_rows[d]["n_frames"], 2))
+        assert sorted(idxs) == expected
+
+
+def test_multimodal_decode_pixels_stubbed(spark, docs):
+    with pytest.raises(NotImplementedError):
+        mm.decode_pixels(mm.to_binary_table(docs))
