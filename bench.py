@@ -1,0 +1,122 @@
+"""Benchmark harness: headline queries at $SPARK_GRAFT_SF_DIR.
+
+Prints ONE JSON line:
+  {"metric": "...", "value": N, "unit": "sec", "queries": {...}, "sf": ...}
+
+Each query is forced to full materialization with the noop sink (no
+driver collect). ``compaction_e2e`` additionally measures the complete
+engine lifecycle: fragment lineitem into 16 files -> plan -> MOR rewrite
+-> sized write -> commit, on a scratch copy under /tmp.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+BENCH_QUERIES = [
+    "mor_full",
+    "mor_pos_delete",
+    "mor_eq_delete",
+    "agg_pricing_summary",
+    "join_order_revenue",
+    "text_quality",
+    "dedup_exact",
+    "dedup_minhash_lsh",
+    "ann_topk",
+    "events_hourly",
+    "events_sessionize",
+    "multimodal_meta",
+]
+
+
+def build_spark(cpus: int):
+    from pyspark.sql import SparkSession
+
+    return (
+        SparkSession.builder.master(f"local[{cpus}]")
+        .appName("iceberg-compaction-spark-bench")
+        .config("spark.sql.shuffle.partitions", str(cpus))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.ui.enabled", "false")
+        .config("spark.driver.memory", "16g")
+        .getOrCreate()
+    )
+
+
+def run_query(df) -> None:
+    df.write.format("noop").mode("overwrite").save()
+
+
+def bench_compaction_e2e(spark, sf_dir: str) -> float:
+    """Full lifecycle on a fragmented copy of lineitem."""
+    from iceberg_compaction_spark.compaction import Compaction
+    from iceberg_compaction_spark.config import CompactionConfig
+    from iceberg_compaction_spark.sources.manifest import Manifest
+
+    root = "/tmp/bench_compact_tbl"
+    shutil.rmtree(root, ignore_errors=True)
+    os.makedirs(root)
+    src = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    src.repartition(16).write.mode("overwrite").parquet(root + "/frag")
+    import glob
+
+    for i, p in enumerate(sorted(glob.glob(root + "/frag/*.parquet"))):
+        os.rename(p, f"{root}/data{i}.parquet")
+    shutil.rmtree(root + "/frag")
+
+    m = Manifest.from_parquet_dir(root, sequence_number=1)
+    m.save()
+    cfg = CompactionConfig.full()
+    t0 = time.monotonic()
+    c = Compaction(spark=spark, config=cfg)
+    c.compact(m)
+    return time.monotonic() - t0
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    sf = sf_dir.rstrip("/").split("sf")[-1]
+
+    spark = build_spark(cpus)
+    from iceberg_compaction_spark import registry
+
+    # warm up the JVM / codegen / parquet footer caches so the first timed
+    # query doesn't absorb session startup
+    spark.range(1_000_000).selectExpr("sum(id)").collect()
+    run_query(spark.read.parquet(f"{sf_dir}/lineitem.parquet").limit(1000))
+
+    timings: dict[str, float] = {}
+    for name in BENCH_QUERIES:
+        fn = registry.QUERIES[name]
+        t0 = time.monotonic()
+        run_query(fn(spark, sf_dir))
+        timings[name] = round(time.monotonic() - t0, 3)
+
+    timings["compaction_e2e"] = round(bench_compaction_e2e(spark, sf_dir), 3)
+    spark.stop()
+
+    total = round(sum(timings.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "bench_total_wall_clock",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": float(sf),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -42,24 +42,53 @@ def md5_hash64(col: Column) -> Column:
     return F.conv(F.substring(F.md5(col), 1, 8), 16, 10).cast("long")
 
 
-def word_shingles(col: Column, n: int = 3) -> Column:
-    """Array of word n-gram shingles over normalized text.
+def word_shingles_from_tokens(toks: Column, n: int = 3) -> Column:
+    """Array of word n-gram shingles from a BOUND token-array column.
+
+    ``toks`` must be a materialized column reference (not an inline
+    ``split(...)`` expression): HOF lambdas re-evaluate captured
+    expression trees per element, so an inline split would re-tokenize
+    the text O(tokens) times per row (~25x slower, measured).
 
     Texts shorter than n words produce one shingle (the whole text),
     mirroring list_slice clamping in the SQL oracle.
     """
-    toks = F.split(normalize_text(col), " ")
-    starts = F.sequence(F.lit(1), F.greatest(F.size(toks) - (n - 1), F.lit(1)))
-    return F.transform(starts, lambda i: F.array_join(F.slice(toks, i, n), " "))
+    sz = F.size(toks)
+
+    def one(i: Column) -> Column:
+        return F.concat_ws(" ", *[F.element_at(toks, i + k) for k in range(n)])
+
+    return F.when(
+        sz >= n, F.transform(F.sequence(F.lit(1), sz - (n - 1)), one)
+    ).otherwise(F.array(F.array_join(toks, " ")))
+
+
+def shingle_sets(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text", n: int = 3
+) -> DataFrame:
+    """(id, shs: array<string>, sz: int) with per-doc DISTINCT shingles.
+
+    Two-step projection: tokens materialize behind an alias first (see
+    word_shingles_from_tokens), then shingling + ``array_distinct`` run
+    as narrow per-row ops — per-document dedup needs no shuffle, unlike
+    explode + dropDuplicates.
+    """
+    tk = df.select(
+        F.col(id_col), F.split(normalize_text(F.col(text_col)), " ").alias("__tk")
+    )
+    shs = F.array_distinct(word_shingles_from_tokens(F.col("__tk"), n))
+    return tk.select(F.col(id_col), shs.alias("shs")).select(
+        F.col(id_col), "shs", F.size("shs").alias("sz")
+    )
 
 
 def shingle_table(
     df: DataFrame, id_col: str = "doc_id", text_col: str = "text", n: int = 3
 ) -> DataFrame:
-    """Distinct (id, shingle) pairs — the inverted-index input."""
-    return (
-        df.select(F.col(id_col), F.explode(word_shingles(F.col(text_col), n)).alias("shingle"))
-        .dropDuplicates([id_col, "shingle"])
+    """Distinct (id, shingle) pairs — the inverted-index input (narrow:
+    dedup happens in the array before the explode)."""
+    return shingle_sets(df, id_col, text_col, n).select(
+        F.col(id_col), F.explode("shs").alias("shingle")
     )
 
 
@@ -106,8 +135,9 @@ def jaccard_pairs(
     Output: (id_a, id_b, jaccard_ppm) with id_a < id_b, similarity as
     integer ppm = floor(1e6 * |A∩B| / |A∪B|).
     """
-    sh = shingle_table(df, id_col, text_col, n)
-    sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("sz"))
+    sets = shingle_sets(df, id_col, text_col, n)
+    sh = sets.select(F.col(id_col), F.explode("shs").alias("shingle"))
+    sizes = sets.select(F.col(id_col), "sz")
 
     a = sh.select(F.col(id_col).alias("id_a"), "shingle")
     b = sh.select(F.col(id_col).alias("id_b"), "shingle")
@@ -151,16 +181,29 @@ def minhash_signatures(
 ) -> DataFrame:
     """One row per doc: sig_0..sig_{k-1} minhash signature columns.
 
-    Single explode + single groupBy with k min() aggregates — one shuffle
-    regardless of k.
+    ZERO-shuffle formulation: each signature is
+    ``array_min(transform(shingles, s -> (a*H(s)+b) % P))`` computed in
+    the scan projection with higher-order functions — the whole signature
+    matrix materializes without an explode or a groupBy.  (The groupBy
+    formulation shuffles |docs x shingles| rows; this shuffles nothing.)
     """
-    sh = shingle_table(df, id_col, text_col, n)
-    h = md5_hash64(F.col("shingle"))
-    aggs = [
-        F.min((F.lit(a) * h + F.lit(b)) % MERSENNE_P).alias(f"sig_{i}")
+    sets = shingle_sets(df, id_col, text_col, n)
+
+    def _sig(a: int, b: int) -> Column:
+        # NB: pyspark HOF lambdas must take exactly 1-2 positional args,
+        # so close over (a, b) via this factory, not lambda defaults
+        return F.array_min(
+            F.transform(
+                F.col("shs"),
+                lambda s: (F.lit(a) * md5_hash64(s) + F.lit(b)) % MERSENNE_P,
+            )
+        )
+
+    cols = [
+        _sig(a, b).alias(f"sig_{i}")
         for i, (a, b) in enumerate(hash_params(num_hashes))
     ]
-    return sh.groupBy(id_col).agg(*aggs)
+    return sets.select(F.col(id_col), *cols)
 
 
 def lsh_candidate_pairs(
@@ -169,14 +212,22 @@ def lsh_candidate_pairs(
     num_hashes: int = DEFAULT_NUM_HASHES,
     band_size: int = DEFAULT_BAND_SIZE,
 ) -> DataFrame:
-    """Distinct (id_a, id_b) pairs sharing at least one LSH band bucket."""
+    """Distinct (id_a, id_b) pairs sharing at least one LSH band bucket.
+
+    Band keys are produced with one explode over an inline array (a
+    single pass over the signature table) rather than an n_bands-way
+    union, which would re-evaluate the signature subtree per band.
+    """
     n_bands = num_hashes // band_size
-    bands = None
+    keys = []
     for j in range(n_bands):
         cols = [f"sig_{j * band_size + k}" for k in range(band_size)]
-        key = F.md5(F.concat_ws("_", F.lit(str(j)), *[F.col(c) for c in cols]))
-        t = signatures.select(F.col(id_col), key.alias("band_key"))
-        bands = t if bands is None else bands.unionByName(t)
+        keys.append(
+            F.md5(F.concat_ws("_", F.lit(str(j)), *[F.col(c) for c in cols]))
+        )
+    bands = signatures.select(
+        F.col(id_col), F.explode(F.array(*keys)).alias("band_key")
+    )
     a = bands.select(F.col(id_col).alias("id_a"), "band_key")
     b = bands.select(F.col(id_col).alias("id_b"), "band_key")
     return (
@@ -196,12 +247,52 @@ def minhash_lsh_dedup_pairs(
     band_size: int = DEFAULT_BAND_SIZE,
     threshold_ppm: int = 100000,
 ) -> DataFrame:
-    """LSH candidates verified with exact Jaccard (candidates only)."""
-    sigs = minhash_signatures(df, id_col, text_col, n, num_hashes)
+    """LSH candidates verified with exact Jaccard — computed for the
+    candidate pairs ONLY.
+
+    This is the point of LSH at scale: the all-pairs shingle join
+    (cost ~ sum of shingle-frequency squared) is replaced by
+    candidates x their-shingles joins, so verification cost scales with
+    the number of candidate pairs, not with corpus co-occurrence.
+    """
+    # The shingle-set and signature tables are tiny relative to the corpus
+    # (k ints / a string array per doc) but feed multiple join branches;
+    # persist them so the md5/tokenize subtrees evaluate once, not once
+    # per branch. (The reference materializes join build sides the same
+    # way inside DataFusion's hash join.)
+    sets = shingle_sets(df, id_col, text_col, n).persist()
+    sh = sets.select(F.col(id_col), F.explode("shs").alias("shingle"))
+    sigs = minhash_signatures(df, id_col, text_col, n, num_hashes).persist()
     cands = lsh_candidate_pairs(sigs, id_col, num_hashes, band_size)
-    exact = jaccard_pairs(df, id_col, text_col, n, threshold_ppm=0)
+
+    sizes = sets.select(F.col(id_col), "sz")
+    sh_a = sh.select(F.col(id_col).alias("id_a"), "shingle")
+    sh_b = sh.select(
+        F.col(id_col).alias("__b_id"), F.col("shingle").alias("__b_shingle")
+    )
+    inter = (
+        cands.join(sh_a, on="id_a")
+        .join(
+            sh_b,
+            (F.col("id_b") == F.col("__b_id"))
+            & (F.col("shingle") == F.col("__b_shingle")),
+            "inner",
+        )
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    sz_a = sizes.select(F.col(id_col).alias("id_a"), F.col("sz").alias("sz_a"))
+    sz_b = sizes.select(F.col(id_col).alias("id_b"), F.col("sz").alias("sz_b"))
     return (
-        cands.join(exact, on=["id_a", "id_b"])
+        inter.join(sz_a, "id_a")
+        .join(sz_b, "id_b")
+        .withColumn(
+            "jaccard_ppm",
+            F.floor(
+                F.col("inter") * 1000000.0
+                / (F.col("sz_a") + F.col("sz_b") - F.col("inter"))
+            ).cast("long"),
+        )
         .where(F.col("jaccard_ppm") >= threshold_ppm)
         .select("id_a", "id_b", "jaccard_ppm")
     )
