@@ -18,6 +18,7 @@ resource-sharing model.
 from __future__ import annotations
 
 import os
+import time
 import uuid
 from concurrent.futures import ThreadPoolExecutor
 from dataclasses import dataclass, field
@@ -26,6 +27,7 @@ from pyspark.sql import SparkSession
 
 from iceberg_compaction_spark.commit import CommitManager, RewriteResult
 from iceberg_compaction_spark.config import CompactionConfig
+from iceberg_compaction_spark.metrics import CompactionMetrics
 from iceberg_compaction_spark.operators.mor import rewrite_file_group
 from iceberg_compaction_spark.operators.validator import validate_row_counts
 from iceberg_compaction_spark.plans.datamodel import CompactionPlan
@@ -60,6 +62,7 @@ class Compaction:
     config: CompactionConfig = field(default_factory=CompactionConfig)
     sort_order: list[SortField] | None = None
     commit_manager: CommitManager = field(default_factory=CommitManager)
+    metrics: CompactionMetrics = field(default_factory=CompactionMetrics)
 
     # --- entry point 2: plan-driven ----------------------------------------
 
@@ -78,6 +81,9 @@ class Compaction:
 
     def rewrite(self, plan: CompactionPlan, out_dir: str | None = None) -> RewriteResult:
         g = plan.file_group
+        t_start = time.monotonic()
+        self.metrics.plan_file_count.observe(g.input_file_count)
+        self.metrics.plan_size_bytes.observe(g.input_size)
         out_dir = out_dir or os.path.join(
             "/tmp", f"icspark-rewrite-{uuid.uuid4().hex[:12]}"
         )
@@ -99,19 +105,37 @@ class Compaction:
             output_parallelism=g.output_parallelism,
             sort_order=self.sort_order,
         )
+        # rewritten files stay in their group's partition (a group never
+        # spans partitions in PARTITION scope)
+        if g.partition is not None:
+            for t in added:
+                t.partition = tuple(g.partition)
         res = RewriteResult(plan=plan, added_files=added)
         if self.config.enable_validate_compaction:
             out_df = self.spark.read.parquet(*[t.data_file_path for t in added])
             v = validate_row_counts(rewrite_file_group(self.spark, g), out_df)
             res.input_rows, res.output_rows = v.input_rows, v.output_rows
+        m = self.metrics
+        m.plan_execution_duration.observe((time.monotonic() - t_start) * 1000)
+        m.input_files_count.inc(g.input_file_count)
+        m.output_files_count.inc(len(added))
+        m.input_bytes_total.inc(g.input_size)
+        m.output_bytes_total.inc(sum(t.file_size_in_bytes for t in added))
         return res
 
     def commit(self, manifest: Manifest, results: list[RewriteResult]) -> Manifest:
         def attempt() -> Manifest:
             return self.commit_manager.rewrite_files(manifest, results)
 
-        new = self.commit_manager.commit_with_retry(attempt)
+        t0 = time.monotonic()
+        try:
+            new = self.commit_manager.commit_with_retry(attempt)
+        except Exception:
+            self.metrics.commit_failed_counter.inc()
+            raise
         new.save()
+        self.metrics.commit_counter.inc()
+        self.metrics.commit_duration.observe((time.monotonic() - t0) * 1000)
         return new
 
     # --- entry point 1: managed --------------------------------------------
