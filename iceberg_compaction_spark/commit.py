@@ -105,6 +105,46 @@ class CommitManager:
         )
         return new
 
+    def overwrite_files(
+        self,
+        manifest: Manifest,
+        added_files: list[FileScanTask],
+        rewritten_files: list[FileScanTask],
+        pin_sequence_number: int | None = None,
+        snapshot_properties: dict | None = None,
+    ) -> Manifest:
+        """T2: the ``OverwriteFiles``-action analog
+        (core/src/compaction/mod.rs:1068-1177).
+
+        Same swap shape as :meth:`rewrite_files` but caller-supplied
+        added/rewritten lists with file-existence checking; sequence
+        pinning is optional (``use_starting_sequence_number``): when
+        ``pin_sequence_number`` is given, added files adopt it so newer
+        concurrent deletes still apply.
+        """
+        by_path = manifest.by_path()
+        removed: set[str] = set()
+        for t in rewritten_files:
+            if t.data_file_path not in by_path:  # check_file_existence
+                raise CommitConflict(
+                    f"overwritten file no longer in snapshot: {t.data_file_path}"
+                )
+            removed.add(t.data_file_path)
+        added: list[FileScanTask] = []
+        for f in added_files:
+            if pin_sequence_number is not None:
+                f.sequence_number = pin_sequence_number
+            added.append(f)
+
+        kept = [t for t in manifest.data_files if t.data_file_path not in removed]
+        return Manifest(
+            table_root=manifest.table_root,
+            snapshot_id=manifest.next_snapshot(),
+            sequence_number=manifest.sequence_number,
+            data_files=kept + added,
+            properties={**manifest.properties, **(snapshot_properties or {})},
+        )
+
     def commit_with_retry(
         self, do_commit: Callable[[], Manifest], reload: Callable[[], None] | None = None
     ) -> Manifest:

@@ -165,6 +165,81 @@ def ivf_topk(
     )
 
 
+def lsh_bucket(
+    v: Column, anchor_pairs: list[tuple[list[float], list[float]]]
+) -> Column:
+    """Random-hyperplane LSH bucket id from sign bits.
+
+    Bit i is set when ``dot(v, a_i) >= dot(v, b_i)`` — i.e. which side of
+    the hyperplane through the origin with normal ``(a_i - b_i)`` the
+    vector falls on.  Using two anchor dots instead of one hyperplane dot
+    keeps the arithmetic bit-reproducible across engines (no elementwise
+    vector subtraction whose FP rounding could differ).
+
+    n pairs -> 2^n buckets; bucketing is a narrow per-row projection
+    (broadcast-free, shuffle-free) — the scale path for ANN at 100 TB.
+    """
+    bucket: Column = F.lit(0)
+    for i, (ea, eb) in enumerate(anchor_pairs):
+        la = F.array(*[F.lit(float(x)) for x in ea])
+        lb = F.array(*[F.lit(float(x)) for x in eb])
+        bucket = bucket + F.when(
+            dot(v, la) >= dot(v, lb), F.lit(1 << i)
+        ).otherwise(F.lit(0))
+    return bucket.cast("int")
+
+
+def lsh_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    anchor_pairs: list[tuple[list[float], list[float]]],
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """LSH-bucketed ANN: search only the query's hash bucket.
+
+    Same two-stage shape as :func:`ivf_topk` but the partitioning step is
+    a pure projection (no centroid broadcast, no assignment shuffle):
+    bucket each vector by hyperplane sign bits, join queries to corpus on
+    the bucket, rank within the bucket.
+    """
+    from pyspark.sql.window import Window
+
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"),
+        as_double(F.col(vec_col)).alias("cv"),
+    ).withColumn("bucket", lsh_bucket(F.col("cv"), anchor_pairs))
+    q = queries.select(
+        F.col(id_col).alias("query_id"),
+        as_double(F.col(vec_col)).alias("qv"),
+    ).withColumn("bucket", lsh_bucket(F.col("qv"), anchor_pairs))
+
+    scored = (
+        F.broadcast(q)
+        .join(c, on="bucket")
+        .where(F.col("query_id") != F.col("neighbor_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            cosine_ppm(F.col("qv"), F.col("cv")).alias("cos_ppm"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cos_ppm").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select(
+            "query_id",
+            "neighbor_id",
+            "cos_ppm",
+            F.col("rank").cast("int").alias("rank"),
+        )
+    )
+
+
 def cosine_pairs(
     vectors: DataFrame,
     threshold_ppm: int,

@@ -469,6 +469,55 @@ def q_ann_ivf(spark, sf_dir):
     return sim.ivf_topk(emb, queries, _centroids(spark, sf_dir), k=5)
 
 
+# anchor-pair vec_ids defining the LSH hyperplanes (bit i: closer to a
+# than b); 4 pairs -> 16 buckets
+LSH_ANCHOR_PAIRS = [(1, 2), (3, 5), (7, 11), (13, 17)]
+
+
+def _lsh_sql() -> str:
+    def adot(vid: int) -> str:
+        return (
+            f"list_dot_product(v, (SELECT embedding::DOUBLE[] "
+            f"FROM embeddings WHERE vec_id = {vid}))"
+        )
+
+    bits = " + ".join(
+        f"(CASE WHEN {adot(a)} >= {adot(b)} THEN {1 << i} ELSE 0 END)"
+        for i, (a, b) in enumerate(LSH_ANCHOR_PAIRS)
+    )
+    return f"""
+    WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    b AS (SELECT vec_id, v, CAST({bits} AS INTEGER) AS bucket FROM v),
+    q AS (SELECT vec_id AS query_id, v AS qv, bucket FROM b
+          WHERE vec_id % 100 = 0),
+    scored AS (
+      SELECT q.query_id, c.vec_id AS neighbor_id,
+        {_COS.format(a="q.qv", b="c.v")} AS cos_ppm
+      FROM q JOIN b c USING (bucket)
+      WHERE q.query_id <> c.vec_id
+    )
+    SELECT query_id, neighbor_id, cos_ppm, CAST(rank AS INTEGER) AS rank FROM (
+      SELECT *, row_number() OVER (
+        PARTITION BY query_id ORDER BY cos_ppm DESC, neighbor_id) AS rank
+      FROM scored) WHERE rank <= 5
+    """
+
+
+@register("ann_lsh", _lsh_sql())
+def q_ann_lsh(spark, sf_dir):
+    """LSH-bucketed ANN (random-hyperplane sign bits; shuffle-free
+    bucketing — the 100 TB scale path next to ann_ivf's centroid probe)."""
+    emb = _emb(spark, sf_dir)
+    anchor_ids = sorted({v for p in LSH_ANCHOR_PAIRS for v in p})
+    vecs = {
+        r["vec_id"]: [float(x) for x in r["embedding"]]
+        for r in emb.where(F.col("vec_id").isin(anchor_ids)).collect()
+    }
+    pairs = [(vecs[a], vecs[b]) for a, b in LSH_ANCHOR_PAIRS]
+    queries = emb.where(F.col("vec_id") % 100 == 0)
+    return sim.lsh_topk(emb, queries, pairs, k=5)
+
+
 # ===========================================================================
 # Events / streaming (batch forms; streaming twins live in streaming/pipeline)
 # ===========================================================================

@@ -18,12 +18,42 @@ ordering is ever required.
 
 from __future__ import annotations
 
+import heapq
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+
+from iceberg_compaction_spark.plans.datamodel import FileScanTask
 
 HIDDEN_SEQ = "sys_hidden_seq_num"
 HIDDEN_FILE_PATH = "sys_hidden_file_path"
 HIDDEN_POS = "sys_hidden_pos"
+
+
+def split_n_vecs(
+    tasks: list[FileScanTask], split_num: int
+) -> list[list[FileScanTask]]:
+    """S3: deterministic balanced grouping of scan tasks into
+    ``split_num`` groups by total byte length — greedy min-heap, ties
+    broken by group index (iceberg_file_task_scan.rs:245-301).
+
+    Spark normally does this itself (file-split bin packing via
+    ``maxPartitionBytes``/``openCostInBytes``); this is the explicit
+    form for when the planner needs stable per-group file assignments
+    (e.g. one Spark job per group with pinned input sets).
+    """
+    if split_num <= 0:
+        raise ValueError("split_num must be positive")
+    heap: list[tuple[int, int, list[FileScanTask]]] = [
+        (0, idx, []) for idx in range(split_num)
+    ]
+    # heap invariant over (total_length, idx) matches the reference's
+    # Ord: length first, index breaks ties -> fully deterministic
+    for task in tasks:
+        total, idx, group = heapq.heappop(heap)
+        group.append(task)
+        heapq.heappush(heap, (total + task.length, idx, group))
+    return [group for _total, _idx, group in sorted(heap, key=lambda g: g[1])]
 
 
 def _normalize_path(col):

@@ -130,6 +130,28 @@ def test_ivf_assignment_and_search(spark, vectors):
     assert 2 not in ids and 3 not in ids  # other cluster not probed
 
 
+def test_lsh_topk_buckets_partition_search(spark, vectors):
+    # one anchor pair (vec 0 vs vec 2): bucket bit = closer to x-axis
+    # than y-axis -> {0,1,4?} ... vec 4 has dot(v,a)=-1 < dot(v,b)=0
+    anchors = [([1.0, 0.0, 0.0], [0.0, 1.0, 0.0])]
+    from iceberg_compaction_spark.operators.similarity import lsh_bucket
+
+    b = {
+        r["vec_id"]: r["bucket"]
+        for r in vectors.select(
+            "vec_id",
+            lsh_bucket(sim.as_double(F.col("embedding")), anchors).alias("bucket"),
+        ).collect()
+    }
+    assert b[0] == 1 and b[1] == 1  # x-side
+    assert b[2] == 0 and b[3] == 0 and b[4] == 0  # y-side / anti-x
+
+    q = vectors.where(F.col("vec_id") == 0)
+    r = sim.lsh_topk(vectors, q, anchors, k=3).collect()
+    ids = [x["neighbor_id"] for x in r]
+    assert ids == [1]  # only the same-bucket neighbor is searched
+
+
 def test_cosine_pairs_threshold(spark, vectors):
     pairs = {
         (r["id_a"], r["id_b"])

@@ -1,0 +1,104 @@
+"""S3 split_n_vecs (balanced deterministic input splits) and T2
+overwrite_files — pure-Python, no Spark session needed."""
+
+import random
+
+import pytest
+
+from iceberg_compaction_spark.commit import CommitConflict, CommitManager
+from iceberg_compaction_spark.plans.datamodel import FileScanTask
+from iceberg_compaction_spark.sources.manifest import Manifest
+from iceberg_compaction_spark.sources.scan import split_n_vecs
+
+
+def task(i: int, length: int) -> FileScanTask:
+    return FileScanTask(data_file_path=f"/t/f{i}.parquet", length=length)
+
+
+def test_split_balances_by_length():
+    tasks = [task(i, ln) for i, ln in enumerate([800, 100, 100, 100, 100])]
+    groups = split_n_vecs(tasks, 2)
+    totals = sorted(sum(t.length for t in g) for g in groups)
+    # greedy min-heap in arrival order: the 800 takes one group, the
+    # four 100s stack on the other (no FFD pre-sort — matches reference)
+    assert totals == [400, 800]
+    assert sum(len(g) for g in groups) == len(tasks)
+
+
+def test_split_more_groups_than_tasks():
+    tasks = [task(0, 10)]
+    groups = split_n_vecs(tasks, 4)
+    assert len(groups) == 4
+    assert sorted(len(g) for g in groups) == [0, 0, 0, 1]
+
+
+def test_split_invalid_n():
+    with pytest.raises(ValueError):
+        split_n_vecs([], 0)
+
+
+def test_split_deterministic_under_repetition():
+    """The reference stress-tests 10k iterations for byte-stable output
+    (iceberg_file_task_scan.rs:704-797); same contract here."""
+    rng = random.Random(7)
+    tasks = [task(i, rng.randrange(1, 1_000_000)) for i in range(200)]
+    first = split_n_vecs(list(tasks), 8)
+    sig = [[t.data_file_path for t in g] for g in first]
+    for _ in range(1000):
+        again = split_n_vecs(list(tasks), 8)
+        assert [[t.data_file_path for t in g] for g in again] == sig
+
+
+def test_split_even_lengths_spread_round_robin():
+    tasks = [task(i, 50) for i in range(8)]
+    groups = split_n_vecs(tasks, 4)
+    assert all(len(g) == 2 for g in groups)
+
+
+# --- T2 overwrite_files ----------------------------------------------------
+
+
+def manifest_with(paths_sizes: dict[str, int]) -> Manifest:
+    return Manifest(
+        table_root="/t",
+        snapshot_id=5,
+        sequence_number=3,
+        data_files=[
+            FileScanTask(data_file_path=p, length=s, sequence_number=2)
+            for p, s in paths_sizes.items()
+        ],
+    )
+
+
+def test_overwrite_swaps_and_bumps_snapshot():
+    m = manifest_with({"/t/a.parquet": 10, "/t/b.parquet": 20})
+    new_file = FileScanTask(data_file_path="/t/new.parquet", length=30)
+    m2 = CommitManager().overwrite_files(
+        m,
+        added_files=[new_file],
+        rewritten_files=[m.data_files[0]],
+        pin_sequence_number=2,
+    )
+    assert m2.snapshot_id == 6
+    paths = {t.data_file_path for t in m2.data_files}
+    assert paths == {"/t/b.parquet", "/t/new.parquet"}
+    assert m2.by_path()["/t/new.parquet"].sequence_number == 2
+
+
+def test_overwrite_checks_file_existence():
+    m = manifest_with({"/t/a.parquet": 10})
+    ghost = FileScanTask(data_file_path="/t/ghost.parquet", length=1)
+    with pytest.raises(CommitConflict):
+        CommitManager().overwrite_files(m, added_files=[], rewritten_files=[ghost])
+
+
+def test_overwrite_preserves_properties_and_merges_new():
+    m = manifest_with({"/t/a.parquet": 10})
+    m.properties["owner"] = "pipeline"
+    m2 = CommitManager().overwrite_files(
+        m,
+        added_files=[],
+        rewritten_files=[],
+        snapshot_properties={"compaction.trigger": "manual"},
+    )
+    assert m2.properties == {"owner": "pipeline", "compaction.trigger": "manual"}
