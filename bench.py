@@ -29,6 +29,7 @@ BENCH_QUERIES = [
     "dedup_exact",
     "dedup_minhash_lsh",
     "ann_topk",
+    "ann_lsh",
     "events_hourly",
     "events_sessionize",
     "multimodal_meta",

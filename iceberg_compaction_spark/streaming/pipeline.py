@@ -76,6 +76,43 @@ def streaming_hourly_rollup(
     )
 
 
+def streaming_sliding_rollup(
+    stream: DataFrame,
+    window: str = "1 hour",
+    slide: str = "30 minutes",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Sliding-window event counts (each event lands in window/slide
+    overlapping windows; state per open window is one count row)."""
+    ev = _with_event_time(stream).withWatermark("event_time", watermark)
+    return (
+        ev.groupBy(F.window("event_time", window, slide), F.col("event_type"))
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            F.unix_timestamp(F.col("window.start")).alias("window_start_s"),
+            "event_type",
+            "n_events",
+        )
+    )
+
+
+def streaming_tumbling_counts(
+    stream: DataFrame, window: str = "30 minutes", watermark: str = "10 minutes"
+) -> DataFrame:
+    """Append-mode tumbling counts: a window emits exactly once, when the
+    watermark passes its end; events later than the watermark are DROPPED
+    (the late-data contract watermarks exist for)."""
+    ev = _with_event_time(stream).withWatermark("event_time", watermark)
+    return (
+        ev.groupBy(F.window("event_time", window))
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            F.unix_timestamp(F.col("window.start")).alias("window_start_s"),
+            "n_events",
+        )
+    )
+
+
 def streaming_sessionize(
     stream: DataFrame, gap: str = "30 minutes", watermark: str = "2 hours"
 ) -> DataFrame:
@@ -92,14 +129,16 @@ def streaming_sessionize(
     )
 
 
-def run_available_now(result: DataFrame, spark: SparkSession) -> DataFrame:
+def run_available_now(
+    result: DataFrame, spark: SparkSession, output_mode: str = "complete"
+) -> DataFrame:
     """Run a streaming DataFrame to completion (availableNow) into a
     memory sink; return the materialized result as a batch DataFrame."""
     name = f"mem_{uuid.uuid4().hex[:8]}"
     q = (
         result.writeStream.format("memory")
         .queryName(name)
-        .outputMode("complete")
+        .outputMode(output_mode)
         .trigger(availableNow=True)
         .start()
     )

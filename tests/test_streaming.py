@@ -50,6 +50,86 @@ def test_streaming_sessionize_session_counts_match_batch(spark):
     assert stream_counts == batch_counts
 
 
+def test_streaming_sliding_matches_batch(spark):
+    batch_events = ev.read_events(spark, SF)
+    from iceberg_compaction_spark.streaming.pipeline import _with_event_time
+
+    batch = (
+        _with_event_time(batch_events)
+        .groupBy(F.window("event_time", "1 hour", "30 minutes"), F.col("event_type"))
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            F.unix_timestamp(F.col("window.start")).alias("window_start_s"),
+            "event_type",
+            "n_events",
+        )
+    )
+    batch_rows = {
+        (r["window_start_s"], r["event_type"]): r["n_events"]
+        for r in batch.collect()
+    }
+
+    stream = sp.read_events_stream(spark, SF)
+    out = sp.run_available_now(sp.streaming_sliding_rollup(stream), spark)
+    got = {
+        (r["window_start_s"], r["event_type"]): r["n_events"]
+        for r in out.collect()
+    }
+    assert got == batch_rows
+    # every event lands in exactly window/slide = 2 windows
+    n_events = ev.read_events(spark, SF).count()
+    assert sum(got.values()) == 2 * n_events
+
+
+def test_watermark_drops_late_events(spark, tmp_path):
+    """Single-file triggers advancing the watermark, then a too-late
+    event.  NB: Spark applies the late-event filter with a one-batch
+    lag (the filter watermark of batch N is the one computed after
+    batch N-1), so the late 0:30 row is delivered two batches after
+    the 2:00 event that advanced the watermark past its window.
+    Expect: [0:30,1:00) never emits (dropped), on-time windows do."""
+    import glob
+    import os
+    import shutil
+    import time
+
+    from pyspark.sql.types import LongType, StructField, StructType
+
+    d = str(tmp_path / "late-events")
+    os.makedirs(d)
+    h = 3_600_000_000_000  # 1h in ns
+
+    def write_file(name, ts_hours, mtime):
+        rows = [(int(t * h),) for t in ts_hours]
+        schema = StructType([StructField("ts", LongType())])
+        spark.createDataFrame(rows, schema).coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(str(tmp_path / name))
+        src = glob.glob(str(tmp_path / name / "*.parquet"))[0]
+        dst = os.path.join(d, name + ".parquet")
+        shutil.copy(src, dst)
+        os.utime(dst, (mtime, mtime))
+
+    now = time.time()
+    write_file("a", [1.0, 1.0 + 1 / 6, 2.0], now - 400)  # wm -> 1:50
+    write_file("b", [2.0 + 1 / 6], now - 300)  # wm -> ~2:00
+    write_file("c", [0.5, 3.0], now - 200)  # 0:30 now below filter wm: dropped
+    write_file("d", [4.0], now - 100)  # forces emission of closed windows
+
+    schema = StructType([StructField("ts", LongType())])
+    stream = (
+        spark.readStream.schema(schema).option("maxFilesPerTrigger", 1).parquet(d)
+    )
+    out = sp.run_available_now(
+        sp.streaming_tumbling_counts(stream), spark, output_mode="append"
+    )
+    got = {r["window_start_s"]: r["n_events"] for r in out.collect()}
+    assert 1800 not in got  # [0:30,1:00): late event dropped, never emitted
+    assert got.get(3600) == 2  # 1:00 and 1:10
+    assert got.get(7200) == 2  # 2:00 and 2:10
+    assert got.get(10800) == 1  # 3:00, emitted once 4:00 closed it
+
+
 def test_stateful_sessionizer_closes_sessions(spark):
     """applyInPandasWithState sessionizer: with the whole file in one
     trigger, every session except each user's open tail is emitted —
