@@ -33,6 +33,13 @@ class InconsistentPlansError(ValueError):
     pass
 
 
+class SchemaMismatchError(CommitConflict):
+    """Table schema evolved between planning and commit.  Classified as
+    retryable like the reference (it retries DataInvalid errors after
+    reloading the table, compaction/mod.rs:1090-1100) — with a reload
+    callback a planner can re-plan against the new schema."""
+
+
 @dataclass
 class RewriteResult:
     """Outcome of executing one CompactionPlan (executor output)."""
@@ -78,6 +85,11 @@ class CommitManager:
                 f"plans pinned to snapshot {results[0].plan.snapshot_id}, "
                 f"table is at {manifest.snapshot_id}"
             )
+        if results and results[0].plan.schema_id != manifest.schema_id:
+            raise SchemaMismatchError(
+                f"schema id mismatch: expected {results[0].plan.schema_id}, "
+                f"found {manifest.schema_id}"
+            )
 
         # T4: resolve each plan's input paths against the current listing
         by_path = manifest.by_path()
@@ -100,6 +112,7 @@ class CommitManager:
             table_root=manifest.table_root,
             snapshot_id=manifest.next_snapshot(),
             sequence_number=manifest.sequence_number,
+            schema_id=manifest.schema_id,
             data_files=kept + added,
             properties={**manifest.properties, **(snapshot_properties or {})},
         )
@@ -141,6 +154,7 @@ class CommitManager:
             table_root=manifest.table_root,
             snapshot_id=manifest.next_snapshot(),
             sequence_number=manifest.sequence_number,
+            schema_id=manifest.schema_id,
             data_files=kept + added,
             properties={**manifest.properties, **(snapshot_properties or {})},
         )

@@ -75,6 +75,7 @@ class Compaction:
                 file_group=g,
                 snapshot_id=manifest.snapshot_id,
                 starting_sequence_number=manifest.sequence_number,
+                schema_id=manifest.schema_id,
             )
             for g in groups
         ]

@@ -124,6 +124,9 @@ class CompactionPlan:
     # sequence number newly-written files are pinned to, so concurrent newer
     # deletes still apply after the swap (T1; compaction/mod.rs:950-1061)
     starting_sequence_number: int = 0
+    # schema id at plan time; the commit refuses to apply the plan if the
+    # table's schema evolved underneath it (compaction/mod.rs:1090-1100)
+    schema_id: int = 0
 
 
 @dataclass

@@ -581,6 +581,25 @@ def q_events_sessionize(spark, sf_dir):
 
 
 @register(
+    "events_sliding",
+    """
+    SELECT win_start_half, event_type, COUNT(*) AS n_events,
+           SUM(CAST(FLOOR(value*1000000) AS BIGINT)) AS sum_value_micro
+    FROM (
+      SELECT unnest([epoch_ns(ts) // 1800000000000,
+                     epoch_ns(ts) // 1800000000000 - 1]) AS win_start_half,
+             event_type, value
+      FROM events
+    )
+    GROUP BY 1, 2
+    """,
+)
+def q_events_sliding(spark, sf_dir):
+    """Sliding 1h/30min rollup (each event in exactly 2 windows)."""
+    return ev.sliding_rollup(ev.read_events(spark, sf_dir))
+
+
+@register(
     "events_top_users",
     """
     SELECT CAST(rank AS INTEGER) AS rank, user_id, n_events, sum_value_micro

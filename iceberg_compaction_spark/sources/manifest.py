@@ -35,6 +35,7 @@ class Manifest:
     table_root: str
     snapshot_id: int = 0
     sequence_number: int = 0  # last assigned data sequence number
+    schema_id: int = 0  # bumped on schema evolution; commits verify it
     data_files: list[FileScanTask] = field(default_factory=list)
     properties: dict[str, Any] = field(default_factory=dict)
 
@@ -99,6 +100,7 @@ class Manifest:
             "table_root": self.table_root,
             "snapshot_id": self.snapshot_id,
             "sequence_number": self.sequence_number,
+            "schema_id": self.schema_id,
             "properties": self.properties,
             "data_files": [
                 {
@@ -154,6 +156,7 @@ class Manifest:
             table_root=d["table_root"],
             snapshot_id=d.get("snapshot_id", 0),
             sequence_number=d.get("sequence_number", 0),
+            schema_id=d.get("schema_id", 0),
             data_files=tasks,
             properties=d.get("properties", {}),
         )

@@ -72,6 +72,29 @@ def hourly_rollup(events: DataFrame) -> DataFrame:
     )
 
 
+def sliding_rollup(events: DataFrame) -> DataFrame:
+    """Sliding window (1 h window, 30 min slide) per event_type.
+
+    Each event lands in exactly window/slide = 2 windows; the fan-out is
+    an inline 2-element array explode (narrow, no join).  Window id is
+    the start in half-hours since epoch (exact integer math — see
+    hourly_rollup for why not float division).
+
+    Output: (win_start_half, event_type, n_events, sum_value_micro).
+    """
+    half = NS_PER_HOUR // 2
+    b0 = F.expr(f"ts div {half}").cast("long")
+    return (
+        events.withColumn("win_start_half", F.explode(F.array(b0, b0 - 1)))
+        .withColumn("vmicro", _value_micro())
+        .groupBy("win_start_half", "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum("vmicro").alias("sum_value_micro"),
+        )
+    )
+
+
 def sessionize(
     events: DataFrame,
     gap: int = DEFAULT_SESSION_GAP_NS,

@@ -74,6 +74,27 @@ def test_minhash_signatures_have_no_shuffle(spark):
     assert "Exchange" not in s
 
 
+def test_ann_lsh_broadcasts_queries_no_corpus_shuffle(spark):
+    """LSH ANN: bucketing is a projection over the scan; the query set is
+    broadcast — the corpus side reaches the join without any Exchange."""
+    from iceberg_compaction_spark import registry
+
+    df = registry.QUERIES["ann_lsh"](spark, SF)
+    s = plan_of(df)
+    assert "BroadcastHashJoin" in s
+    # exactly one exchange: the window's hashpartitioning on query_id
+    # (scored candidates), never the corpus scan itself
+    import re
+
+    exchanges = [
+        ln
+        for ln in s.splitlines()
+        if "Exchange" in ln and "Reused" not in ln and "BroadcastExchange" not in ln
+    ]
+    assert len(exchanges) == 1, exchanges
+    assert "query_id" in exchanges[0]
+
+
 def test_whole_stage_codegen_covers_mor(spark):
     """The MOR hot path is pure built-ins -> codegen'd stages ('*(n)'
     markers). Text ops using higher-order-function lambdas are

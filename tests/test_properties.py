@@ -1,0 +1,86 @@
+"""Property-based tests (hypothesis) for the pure planning math — the
+invariants the reference pins with stress loops, generalized to random
+inputs: packing conservation, split balance/determinism, output-file
+sizing bounds."""
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from iceberg_compaction_spark.plans.packer import ListPacker
+from iceberg_compaction_spark.plans.parallelism import (
+    default_max_file_size,
+    default_min_file_size,
+    expected_output_files,
+    input_split_size,
+    write_max_file_size,
+)
+from iceberg_compaction_spark.plans.datamodel import FileScanTask
+from iceberg_compaction_spark.sources.scan import split_n_vecs
+
+weights = st.lists(st.integers(min_value=0, max_value=10**12), max_size=60)
+
+
+@settings(max_examples=200, deadline=None)
+@given(weights, st.integers(min_value=0, max_value=10**12), st.integers(1, 5))
+def test_packer_conserves_items(ws, target, lookback):
+    packer = ListPacker(target_weight=target, lookback=lookback)
+    bins = packer.pack(list(enumerate(ws)), lambda it: it[1])
+    flat = sorted(i for b in bins for (i, _w) in b)
+    assert flat == list(range(len(ws)))  # every item exactly once
+    for b in bins:
+        assert b  # no empty bins
+
+
+@settings(max_examples=200, deadline=None)
+@given(weights, st.integers(min_value=1, max_value=10**12), st.integers(1, 5))
+def test_packer_respects_target_unless_single_oversize(ws, target, lookback):
+    packer = ListPacker(target_weight=target, lookback=lookback)
+    for b in packer.pack_decreasing(list(enumerate(ws)), lambda it: it[1]):
+        total = sum(w for (_i, w) in b)
+        assert total <= target or len(b) == 1
+
+
+@settings(max_examples=100, deadline=None)
+@given(weights, st.integers(min_value=1, max_value=16))
+def test_split_n_vecs_conserves_and_bounds(ws, n):
+    tasks = [FileScanTask(data_file_path=f"/f{i}", length=w) for i, w in enumerate(ws)]
+    groups = split_n_vecs(tasks, n)
+    assert len(groups) == n
+    flat = sorted(t.data_file_path for g in groups for t in g)
+    assert flat == sorted(t.data_file_path for t in tasks)
+    # balance bound for the greedy heap: max group <= min group + max item
+    if ws:
+        totals = [sum(t.length for t in g) for g in groups]
+        assert max(totals) <= min(totals) + max(ws)
+
+
+@settings(max_examples=300, deadline=None)
+@given(
+    st.integers(min_value=1, max_value=10**14),
+    st.integers(min_value=1, max_value=2 * 10**9),
+)
+def test_expected_output_files_sizing_bounds(input_size, target):
+    n = expected_output_files(input_size, target)
+    assert n >= 1
+    if input_size < target:
+        assert n == 1
+    else:
+        # the remainder rules keep the average below write-max and above
+        # half a target (ceil(input/target) can halve the average in the
+        # worst case, e.g. input=7 target=6 -> 2 files of 3.5)
+        avg = input_size / n
+        assert avg <= write_max_file_size(target, default_max_file_size(target)) + 1
+        assert avg >= target / 2
+
+
+@settings(max_examples=300, deadline=None)
+@given(
+    st.integers(min_value=1, max_value=10**14),
+    st.integers(min_value=1, max_value=2 * 10**9),
+)
+def test_input_split_size_clamped(input_size, target):
+    s = input_split_size(input_size, target)
+    assert s >= target
+    assert s <= max(
+        target, write_max_file_size(target, default_max_file_size(target))
+    )

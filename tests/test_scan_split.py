@@ -92,6 +92,25 @@ def test_overwrite_checks_file_existence():
         CommitManager().overwrite_files(m, added_files=[], rewritten_files=[ghost])
 
 
+def test_rewrite_commit_rejects_schema_evolution():
+    from iceberg_compaction_spark.commit import RewriteResult, SchemaMismatchError
+    from iceberg_compaction_spark.plans.datamodel import CompactionPlan, FileGroup
+
+    m = manifest_with({"/t/a.parquet": 10})
+    plan = CompactionPlan(
+        file_group=FileGroup.from_tasks(list(m.data_files)),
+        snapshot_id=m.snapshot_id,
+        schema_id=m.schema_id,
+    )
+    m.schema_id += 1  # concurrent schema evolution
+    res = RewriteResult(
+        plan=plan,
+        added_files=[FileScanTask(data_file_path="/t/n.parquet", length=9)],
+    )
+    with pytest.raises(SchemaMismatchError):
+        CommitManager().rewrite_files(m, [res])
+
+
 def test_overwrite_preserves_properties_and_merges_new():
     m = manifest_with({"/t/a.parquet": 10})
     m.properties["owner"] = "pipeline"
