@@ -141,15 +141,20 @@ class Compaction:
 
     # --- entry point 1: managed --------------------------------------------
 
-    def compact(self, manifest: Manifest, out_root: str | None = None) -> tuple[Manifest, CompactionStats]:
-        plans = self.plan(manifest)
+    def compact_plans(
+        self,
+        manifest: Manifest,
+        plans: list[CompactionPlan],
+        out_root: str | None = None,
+    ) -> tuple[Manifest, CompactionStats]:
+        """Execute + commit pre-built plans (shared by compact() and
+        AutoCompaction)."""
         stats = CompactionStats()
         if not plans:
             return manifest, stats
         out_root = out_root or os.path.join(
             manifest.table_root, f"compacted-{manifest.next_snapshot()}"
         )
-        results: list[RewriteResult] = []
         pool = ThreadPoolExecutor(self.config.max_concurrent_compaction_plans)
         futures = [
             pool.submit(self.rewrite, p, os.path.join(out_root, f"group-{i}"))
@@ -166,8 +171,58 @@ class Compaction:
                     input_files_count=r.plan.file_group.input_file_count,
                     output_files_count=len(r.added_files),
                     input_total_bytes=r.plan.file_group.input_size,
-                    output_total_bytes=sum(t.file_size_in_bytes for t in r.added_files),
+                    output_total_bytes=sum(
+                        t.file_size_in_bytes for t in r.added_files
+                    ),
                 )
             )
         new_manifest = self.commit(manifest, results)
         return new_manifest, stats
+
+    def compact(self, manifest: Manifest, out_root: str | None = None) -> tuple[Manifest, CompactionStats]:
+        return self.compact_plans(manifest, self.plan(manifest), out_root)
+
+
+@dataclass
+class AutoCompaction:
+    """Entry point 3 — stats-driven managed workflow
+    (core/src/compaction/auto.rs:421-468): ONE snapshot scan feeds stats,
+    candidate selection (delete plan preferred over small-files, Full
+    never auto-selected), then the same execute/commit path as
+    :class:`Compaction`.  Returns the report alongside the result so
+    callers can observe why (no) work was chosen."""
+
+    spark: SparkSession
+    config: "AutoCompactionConfig | None" = None
+    sort_order: list[SortField] | None = None
+
+    def compact(
+        self, manifest: Manifest, out_root: str | None = None
+    ) -> tuple[Manifest, CompactionStats, "AutoPlanReport"]:
+        from iceberg_compaction_spark.plans.auto import (
+            AutoCompactionConfig,
+            AutoCompactionPlanner,
+        )
+
+        cfg = self.config or AutoCompactionConfig()
+        report = AutoCompactionPlanner(cfg).plan_report(
+            scan_data_files(manifest),
+            snapshot_id=manifest.snapshot_id,
+            starting_sequence_number=manifest.sequence_number,
+        )
+        for p in report.plans:
+            p.schema_id = manifest.schema_id
+        if not report.plans:
+            return manifest, CompactionStats(), report
+
+        inner = Compaction(
+            spark=self.spark,
+            config=CompactionConfig(
+                planning=cfg._planning(report.selected_strategy)
+            ),
+            sort_order=self.sort_order,
+        )
+        new_manifest, stats = inner.compact_plans(
+            manifest, report.plans, out_root
+        )
+        return new_manifest, stats, report

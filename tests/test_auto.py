@@ -83,3 +83,40 @@ def test_zero_threshold_disables_candidate():
     c = cfg(min_delete_heavy_files_count=0, min_small_files_count=0)
     r = AutoCompactionPlanner(c).plan_report(tasks)
     assert r.reason == AutoPlanReason.NO_CANDIDATE
+
+
+def test_auto_compaction_end_to_end(spark, tmp_path):
+    """Entry point 3: auto-select SMALL_FILES on a fragmented table,
+    compact 8 -> 1, then report NO_CANDIDATE at the fixed point."""
+    import glob
+    import os
+    import shutil
+
+    from iceberg_compaction_spark.compaction import AutoCompaction
+    from iceberg_compaction_spark.config import CompactionType
+    from iceberg_compaction_spark.plans.auto import AutoPlanReason
+    from iceberg_compaction_spark.sources.manifest import Manifest
+
+    root = str(tmp_path / "tbl")
+    os.makedirs(root)
+    src = spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet")
+    src.repartition(8).write.mode("overwrite").parquet(root + "/frag")
+    for i, p in enumerate(sorted(glob.glob(root + "/frag/*.parquet"))):
+        os.rename(p, f"{root}/d{i}.parquet")
+    shutil.rmtree(root + "/frag")
+    m = Manifest.from_parquet_dir(root, sequence_number=1)
+    m.save()
+
+    auto = AutoCompaction(spark=spark)
+    m2, stats, report = auto.compact(m)
+    assert report.reason == AutoPlanReason.RECOMMENDED
+    assert report.selected_strategy == CompactionType.SMALL_FILES
+    assert 0 < report.rewrite_ratio <= 1.0
+    assert stats.input_files_count == 8
+    assert stats.output_files_count == 1
+    assert sum(t.record_count for t in m2.data_files) == src.count()
+
+    m3, stats2, report2 = auto.compact(m2)
+    assert report2.reason == AutoPlanReason.NO_CANDIDATE
+    assert stats2.input_files_count == 0
+    assert m3.snapshot_id == m2.snapshot_id

@@ -136,3 +136,97 @@ def test_mor_plan_is_broadcast_hash_join(spark, fixture):
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastHashJoin" in plan
     assert "LeftAnti" in plan
+
+
+def test_mor_multiple_equality_schemas(spark, fixture, tmp_path):
+    """Two equality-delete tables with DIFFERENT key sets nest left-deep,
+    each with its own seq residual (multi-schema test shape of
+    datafusion_processor.rs:1267-1333)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    g = fixture
+    d1, d2 = (t.data_file_path for t in g.data_files)
+
+    eq_id = str(tmp_path / "eq_by_id.parquet")
+    pq.write_table(
+        pa.table(
+            {
+                "id": pa.array([3, 11], type=pa.int64()),
+                "sys_hidden_seq_num": pa.array([5, 2], type=pa.int64()),
+            }
+        ),
+        eq_id,
+    )  # id=3: seq1<5 -> del; id=11: seq3<2 false -> keep
+    eq_name = str(tmp_path / "eq_by_name.parquet")
+    pq.write_table(
+        pa.table(
+            {
+                "name": ["n8", "n13"],
+                "sys_hidden_seq_num": pa.array([9, 2], type=pa.int64()),
+            }
+        ),
+        eq_name,
+    )  # n8: seq1<9 -> del; n13: seq3<2 false -> keep
+
+    fa = DeleteFile(
+        path=eq_id, content=EQUALITY_DELETE, file_size_in_bytes=50,
+        equality_ids=("id",),
+    )
+    fb = DeleteFile(
+        path=eq_name, content=EQUALITY_DELETE, file_size_in_bytes=50,
+        equality_ids=("name",),
+    )
+    t1 = FileScanTask(
+        data_file_path=d1, length=500, record_count=10, sequence_number=1,
+        deletes=[fa, fb],
+    )
+    t2 = FileScanTask(
+        data_file_path=d2, length=500, record_count=10, sequence_number=3,
+        deletes=[fa, fb],
+    )
+    ids, _ = surviving_ids(spark, FileGroup.from_tasks([t1, t2]))
+    assert ids == [i for i in range(20) if i not in (3, 8)]
+
+
+def test_mor_consecutive_same_schema_files_merge(spark, fixture, tmp_path):
+    """Consecutive delete files sharing equality_ids act as ONE logical
+    table (datafusion_processor.rs:701-728): both files' keys apply."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    g = fixture
+    d1, d2 = (t.data_file_path for t in g.data_files)
+
+    p1 = str(tmp_path / "eq1.parquet")
+    pq.write_table(
+        pa.table(
+            {
+                "id": pa.array([2], type=pa.int64()),
+                "sys_hidden_seq_num": pa.array([5], type=pa.int64()),
+            }
+        ),
+        p1,
+    )
+    p2 = str(tmp_path / "eq2.parquet")
+    # no seq column in the file: the file-level sequence_number is applied
+    pq.write_table(pa.table({"id": pa.array([4], type=pa.int64())}), p2)
+
+    fa = DeleteFile(
+        path=p1, content=EQUALITY_DELETE, file_size_in_bytes=50,
+        equality_ids=("id",), sequence_number=5,
+    )
+    fb = DeleteFile(
+        path=p2, content=EQUALITY_DELETE, file_size_in_bytes=50,
+        equality_ids=("id",), sequence_number=7,
+    )
+    t1 = FileScanTask(
+        data_file_path=d1, length=500, record_count=10, sequence_number=1,
+        deletes=[fa, fb],
+    )
+    t2 = FileScanTask(
+        data_file_path=d2, length=500, record_count=10, sequence_number=3,
+        deletes=[fa, fb],
+    )
+    ids, _ = surviving_ids(spark, FileGroup.from_tasks([t1, t2]))
+    assert ids == [i for i in range(20) if i not in (2, 4)]
