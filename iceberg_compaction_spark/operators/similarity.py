@@ -240,6 +240,38 @@ def lsh_topk(
     )
 
 
+def lsh_cosine_pairs(
+    vectors: DataFrame,
+    anchor_pairs: list[tuple[list[float], list[float]]],
+    threshold_ppm: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Bucketed near-dup pairs: only pairs sharing an LSH bucket are
+    scored — the scale path for :func:`cosine_pairs` (quadratic in the
+    corpus) — cost becomes sum over buckets of |bucket|², and the
+    bucketing itself is a shuffle-free projection.  Approximate by
+    design: cross-bucket pairs are unseen (recall rises with fewer
+    hyperplane bits or multiple tables)."""
+    v = vectors.select(
+        F.col(id_col), as_double(F.col(vec_col)).alias("v")
+    ).withColumn("bucket", lsh_bucket(F.col("v"), anchor_pairs))
+    a = v.select(
+        F.col(id_col).alias("id_a"), F.col("v").alias("va"), "bucket"
+    )
+    b = v.select(
+        F.col(id_col).alias("id_b"), F.col("v").alias("vb"), "bucket"
+    )
+    return (
+        a.join(b, on="bucket")
+        .where(F.col("id_a") < F.col("id_b"))
+        .select(
+            "id_a", "id_b", cosine_ppm(F.col("va"), F.col("vb")).alias("cos_ppm")
+        )
+        .where(F.col("cos_ppm") >= threshold_ppm)
+    )
+
+
 def cosine_pairs(
     vectors: DataFrame,
     threshold_ppm: int,

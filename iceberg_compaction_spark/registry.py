@@ -474,6 +474,53 @@ def q_ann_ivf(spark, sf_dir):
 LSH_ANCHOR_PAIRS = [(1, 2), (3, 5), (7, 11), (13, 17)]
 
 
+def _lsh_bucket_sql_bits() -> str:
+    def adot(vid: int) -> str:
+        return (
+            f"list_dot_product(v, (SELECT embedding::DOUBLE[] "
+            f"FROM embeddings WHERE vec_id = {vid}))"
+        )
+
+    return " + ".join(
+        f"(CASE WHEN {adot(a)} >= {adot(b)} THEN {1 << i} ELSE 0 END)"
+        for i, (a, b) in enumerate(LSH_ANCHOR_PAIRS)
+    )
+
+
+def _collect_anchor_pairs(spark, sf_dir):
+    emb = _emb(spark, sf_dir)
+    anchor_ids = sorted({v for p in LSH_ANCHOR_PAIRS for v in p})
+    vecs = {
+        r["vec_id"]: [float(x) for x in r["embedding"]]
+        for r in emb.where(F.col("vec_id").isin(anchor_ids)).collect()
+    }
+    return [(vecs[a], vecs[b]) for a, b in LSH_ANCHOR_PAIRS]
+
+
+def _dedup_embedding_lsh_sql() -> str:
+    return f"""
+    WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    b AS (SELECT vec_id, v,
+          CAST({_lsh_bucket_sql_bits()} AS INTEGER) AS bucket FROM v)
+    SELECT a.vec_id AS id_a, b2.vec_id AS id_b,
+      {_COS.format(a="a.v", b="b2.v")} AS cos_ppm
+    FROM b a JOIN b b2 USING (bucket)
+    WHERE a.vec_id < b2.vec_id
+      AND {_COS.format(a="a.v", b="b2.v")} >= {EMB_PAIR_THRESHOLD_PPM}
+    """
+
+
+@register("dedup_embedding_lsh", _dedup_embedding_lsh_sql())
+def q_dedup_embedding_lsh(spark, sf_dir):
+    """Bucketed embedding near-dup: pairs scored only within LSH buckets
+    (the scale path for dedup_embedding's quadratic scan)."""
+    return sim.lsh_cosine_pairs(
+        _emb(spark, sf_dir),
+        _collect_anchor_pairs(spark, sf_dir),
+        EMB_PAIR_THRESHOLD_PPM,
+    )
+
+
 def _lsh_sql() -> str:
     def adot(vid: int) -> str:
         return (
@@ -508,14 +555,8 @@ def q_ann_lsh(spark, sf_dir):
     """LSH-bucketed ANN (random-hyperplane sign bits; shuffle-free
     bucketing — the 100 TB scale path next to ann_ivf's centroid probe)."""
     emb = _emb(spark, sf_dir)
-    anchor_ids = sorted({v for p in LSH_ANCHOR_PAIRS for v in p})
-    vecs = {
-        r["vec_id"]: [float(x) for x in r["embedding"]]
-        for r in emb.where(F.col("vec_id").isin(anchor_ids)).collect()
-    }
-    pairs = [(vecs[a], vecs[b]) for a, b in LSH_ANCHOR_PAIRS]
     queries = emb.where(F.col("vec_id") % 100 == 0)
-    return sim.lsh_topk(emb, queries, pairs, k=5)
+    return sim.lsh_topk(emb, queries, _collect_anchor_pairs(spark, sf_dir), k=5)
 
 
 # ===========================================================================

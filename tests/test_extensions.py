@@ -152,6 +152,26 @@ def test_lsh_topk_buckets_partition_search(spark, vectors):
     assert ids == [1]  # only the same-bucket neighbor is searched
 
 
+def test_lsh_cosine_pairs_subset_of_exact(spark, vectors):
+    anchors = [([1.0, 0.0, 0.0], [0.0, 1.0, 0.0])]
+    exact = {
+        (r["id_a"], r["id_b"]): r["cos_ppm"]
+        for r in sim.cosine_pairs(vectors, threshold_ppm=900000).collect()
+    }
+    bucketed = {
+        (r["id_a"], r["id_b"]): r["cos_ppm"]
+        for r in sim.lsh_cosine_pairs(
+            vectors, anchors, threshold_ppm=900000
+        ).collect()
+    }
+    # every bucketed pair is an exact pair with the identical score
+    for k, v in bucketed.items():
+        assert exact[k] == v
+    # same-bucket near-dup (0,1) found; cross-bucket (2,3)... both are
+    # y-side so found too; the x-side/y-side split loses nothing here
+    assert (0, 1) in bucketed and (2, 3) in bucketed
+
+
 def test_cosine_pairs_threshold(spark, vectors):
     pairs = {
         (r["id_a"], r["id_b"])
