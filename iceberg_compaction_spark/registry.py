@@ -705,6 +705,44 @@ def q_multimodal_frames(spark, sf_dir):
 
 
 @register(
+    "supplier_part_region",
+    """
+    SELECT r.r_name,
+           COUNT(*) AS n_parts,
+           COUNT(DISTINCT s.s_suppkey) AS n_suppliers,
+           SUM(CAST(FLOOR(p.p_retailprice*100) AS BIGINT)) AS sum_retail_c
+    FROM part p
+    JOIN supplier s ON p.p_partkey % 1000 = s.s_suppkey % 1000
+    JOIN nation n ON s.s_nationkey = n.n_nationkey
+    JOIN region r ON n.n_regionkey = r.r_regionkey
+    WHERE p.p_size <= 20
+    GROUP BY r.r_name
+    """,
+)
+def q_supplier_part_region(spark, sf_dir):
+    """Star join over part/supplier/nation/region (distinct agg +
+    broadcast dims; the part-supplier link is a synthetic equi-key since
+    the driver testdata has no partsupp table)."""
+    part = spark.read.parquet(f"{sf_dir}/part.parquet").where(F.col("p_size") <= 20)
+    supp = spark.read.parquet(f"{sf_dir}/supplier.parquet")
+    nation = spark.read.parquet(f"{sf_dir}/nation.parquet")
+    region = spark.read.parquet(f"{sf_dir}/region.parquet")
+    return (
+        part.join(supp, part.p_partkey % 1000 == supp.s_suppkey % 1000)
+        .join(F.broadcast(nation), supp.s_nationkey == nation.n_nationkey)
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+        .groupBy("r_name")
+        .agg(
+            F.count(F.lit(1)).alias("n_parts"),
+            F.countDistinct("s_suppkey").alias("n_suppliers"),
+            F.sum(F.floor(F.col("p_retailprice") * 100).cast("long")).alias(
+                "sum_retail_c"
+            ),
+        )
+    )
+
+
+@register(
     "agg_pricing_summary",
     """
     SELECT l_returnflag, l_linestatus,
