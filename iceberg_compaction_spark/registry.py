@@ -657,6 +657,34 @@ def q_events_top_users(spark, sf_dir):
     return ev.top_users_by_activity(ev.read_events(spark, sf_dir), k=10)
 
 
+# Structured Streaming twins — registered WITHOUT oracles (non-SQL-
+# expressible in DuckDB: watermark/state semantics).  The driver records
+# rows-only checks; batch-equivalence is pinned by tests/test_streaming.py.
+
+
+@register("stream_hourly_rollup")
+def q_stream_hourly_rollup(spark, sf_dir):
+    """readStream -> watermark -> tumbling 1h window, run to completion
+    with availableNow; returns the materialized result."""
+    from iceberg_compaction_spark.streaming import pipeline as sp
+
+    stream = sp.read_events_stream(spark, sf_dir)
+    return sp.run_available_now(sp.streaming_hourly_rollup(stream), spark)
+
+
+@register("stream_stateful_sessions")
+def q_stream_stateful_sessions(spark, sf_dir):
+    """applyInPandasWithState sessionizer over the events stream
+    (closed sessions only; open tails stay in state)."""
+    from iceberg_compaction_spark.streaming import pipeline as sp
+    from iceberg_compaction_spark.streaming import stateful as st
+
+    stream = sp.read_events_stream(spark, sf_dir)
+    return sp.run_available_now(
+        st.stateful_sessionize(stream), spark, output_mode="append"
+    )
+
+
 # ===========================================================================
 # Multimodal plumbing (mapInPandas decode stage; fake decode is arithmetic)
 # ===========================================================================
