@@ -65,7 +65,13 @@ def lineitem_path(sf_dir: str) -> str:
 def read_lineitem_with_hidden(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Data-file scan with all three hidden columns (S8/S9) — file path and
     row position come from Spark's file-source metadata (zero-cost, no
-    shuffle), the sequence number from the deterministic rule."""
+    shuffle), the sequence number from the deterministic rule.
+
+    Deliberately NOT repartitioned (unlike the documents/embeddings
+    readers in registry.py): the MOR downstream is broadcast-hash-join
+    probes, cheaper per row than exchanging the wide lineitem rows —
+    measured 2-3x slower with a spread at sf0.1.  The engine-level rule
+    generalizes: never shuffle the data side of a MOR rewrite."""
     df = spark.read.parquet(lineitem_path(sf_dir))
     return (
         df.withColumn(

@@ -43,12 +43,43 @@ def register(name: str, oracle: str | None = None):
     return deco
 
 
+def _spread(spark: SparkSession, df: DataFrame, path: str) -> DataFrame:
+    """Round-robin repartition when the source yields (far) fewer scan
+    splits than cores — single-row-group test files otherwise serialize
+    every compute-heavy narrow op onto one task (6x slowdown measured on
+    text_quality at sf0.1).  The split estimate comes straight from the
+    filesystem (bytes / maxPartitionBytes), costing no Spark planning;
+    at production scale a table has orders of magnitude more splits than
+    cores, so the condition never triggers and no exchange is added."""
+    import os
+
+    cores = spark.sparkContext.defaultParallelism
+    mpb = 128 * 1024 * 1024  # spark.sql.files.maxPartitionBytes default
+    try:
+        est_splits = max(1, os.path.getsize(path) // mpb)
+    except OSError:
+        return df
+    if est_splits < max(2, cores // 2):
+        return df.repartition(cores)
+    return df
+
+
 def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+    p = f"{sf_dir}/documents.parquet"
+    return _spread(spark, spark.read.parquet(p), p)
 
 
 def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # raw (unspread): the ANN queries broadcast a side derived from this
+    # scan, and a repartition in the lineage would serialize the
+    # broadcast behind the exchange.  The quadratic pair queries spread
+    # explicitly (_emb_spread) where the compute amortizes it 4-8x.
     return spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+
+
+def _emb_spread(spark: SparkSession, sf_dir: str) -> DataFrame:
+    p = f"{sf_dir}/embeddings.parquet"
+    return _spread(spark, spark.read.parquet(p), p)
 
 
 # ===========================================================================
@@ -386,7 +417,7 @@ _COS = (
     """,
 )
 def q_dedup_embedding(spark, sf_dir):
-    return sim.cosine_pairs(_emb(spark, sf_dir), EMB_PAIR_THRESHOLD_PPM)
+    return sim.cosine_pairs(_emb_spread(spark, sf_dir), EMB_PAIR_THRESHOLD_PPM)
 
 
 # ===========================================================================
@@ -515,7 +546,7 @@ def q_dedup_embedding_lsh(spark, sf_dir):
     """Bucketed embedding near-dup: pairs scored only within LSH buckets
     (the scale path for dedup_embedding's quadratic scan)."""
     return sim.lsh_cosine_pairs(
-        _emb(spark, sf_dir),
+        _emb_spread(spark, sf_dir),
         _collect_anchor_pairs(spark, sf_dir),
         EMB_PAIR_THRESHOLD_PPM,
     )
@@ -704,10 +735,16 @@ def q_stream_stateful_sessions(spark, sf_dir):
     """,
 )
 def q_multimodal_meta(spark, sf_dir):
-    """Binary payload -> typed metadata via Arrow-batched mapInPandas."""
+    """Binary payload -> typed metadata via Arrow-batched mapInPandas.
+
+    Reads the raw (unspread) scan: fanning a small table out to all
+    cores costs more in Python-worker startup than the decode saves —
+    mapInPandas parallelism should follow the data, not the core count.
+    """
     from iceberg_compaction_spark.operators import multimodal as mm
 
-    return mm.decode_meta(mm.to_binary_table(_docs(spark, sf_dir)))
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return mm.decode_meta(mm.to_binary_table(docs))
 
 
 @register(
@@ -722,7 +759,8 @@ def q_multimodal_frames(spark, sf_dir):
     """Frame-sampling fan-out plan for video-like payloads."""
     from iceberg_compaction_spark.operators import multimodal as mm
 
-    meta = mm.decode_meta(mm.to_binary_table(_docs(spark, sf_dir)))
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    meta = mm.decode_meta(mm.to_binary_table(docs))
     return mm.frame_sample_plan(meta, every_k=2)
 
 
