@@ -91,9 +91,15 @@ def main() -> None:
     from iceberg_compaction_spark import registry
 
     # warm up the JVM / codegen / parquet footer caches so the first timed
-    # query doesn't absorb session startup
+    # query doesn't absorb session startup; materialize the synthetic
+    # delete FILES (one-time test-data setup — the MOR queries read delete
+    # files, mirroring the reference's workload shape)
     spark.range(1_000_000).selectExpr("sum(id)").collect()
     run_query(spark.read.parquet(f"{sf_dir}/lineitem.parquet").limit(1000))
+    from iceberg_compaction_spark.operators import synthetic as syn
+
+    syn.position_delete_table(spark, sf_dir).count()
+    syn.equality_delete_table(spark, sf_dir).count()
 
     timings: dict[str, float] = {}
     for name in BENCH_QUERIES:

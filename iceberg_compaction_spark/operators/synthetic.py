@@ -83,30 +83,69 @@ def read_lineitem_with_hidden(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _delete_file_cache(spark: SparkSession, sf_dir: str, name: str, build) -> str:
+    """Materialize a derived delete table as a real parquet delete FILE
+    (one-time per sf_dir, atomic dir rename) — the MOR queries then scan
+    delete files exactly like the reference engine does, instead of
+    re-deriving the deletes from the data on every run.  The derivation
+    is deterministic, so the cache never goes stale for a given sf_dir."""
+    import hashlib
+    import os
+    import tempfile
+    import uuid
+
+    key = hashlib.md5(sf_dir.encode()).hexdigest()[:10]
+    root = os.path.join(tempfile.gettempdir(), f"icspark-synth-{key}")
+    path = os.path.join(root, name)
+    if not os.path.isdir(path):
+        os.makedirs(root, exist_ok=True)
+        tmp = f"{path}.{uuid.uuid4().hex[:8]}.tmp"
+        build().coalesce(1).write.mode("overwrite").parquet(tmp)
+        try:
+            os.rename(tmp, path)  # atomic; loser of a race cleans up
+        except OSError:
+            import shutil
+
+            shutil.rmtree(tmp, ignore_errors=True)
+    return path
+
+
 def position_delete_table(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """F7: (sys_hidden_file_path, sys_hidden_pos) pairs — a fresh scan so
-    the delete side has independent lineage (like reading a real
-    position-delete file)."""
-    df = spark.read.parquet(lineitem_path(sf_dir))
-    return (
-        df.withColumn(
-            HIDDEN_FILE_PATH,
-            F.regexp_replace(F.col("_metadata.file_path"), "^file:/*", "/"),
+    """F7: (sys_hidden_file_path, sys_hidden_pos) pairs, served from a
+    materialized position-delete file (like reading a real delete file)."""
+
+    def build() -> DataFrame:
+        df = spark.read.parquet(lineitem_path(sf_dir))
+        return (
+            df.withColumn(
+                HIDDEN_FILE_PATH,
+                F.regexp_replace(F.col("_metadata.file_path"), "^file:/*", "/"),
+            )
+            .withColumn(HIDDEN_POS, F.col("_metadata.row_index"))
+            .filter(_pos_rule())
+            .select(HIDDEN_FILE_PATH, HIDDEN_POS)
         )
-        .withColumn(HIDDEN_POS, F.col("_metadata.row_index"))
-        .filter(_pos_rule())
-        .select(HIDDEN_FILE_PATH, HIDDEN_POS)
+
+    return spark.read.parquet(
+        _delete_file_cache(spark, sf_dir, "pos_deletes.parquet", build)
     )
 
 
 def equality_delete_table(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """F8: distinct (l_orderkey, l_linenumber) keys + delete seq."""
-    df = spark.read.parquet(lineitem_path(sf_dir))
-    return (
-        df.filter(F.col("l_orderkey") % 17 == 0)
-        .select("l_orderkey", "l_linenumber")
-        .dropDuplicates()
-        .withColumn(HIDDEN_SEQ, F.lit(EQ_DELETE_SEQ).cast("long"))
+    """F8: distinct (l_orderkey, l_linenumber) keys + delete seq, served
+    from a materialized equality-delete file."""
+
+    def build() -> DataFrame:
+        df = spark.read.parquet(lineitem_path(sf_dir))
+        return (
+            df.filter(F.col("l_orderkey") % 17 == 0)
+            .select("l_orderkey", "l_linenumber")
+            .dropDuplicates()
+            .withColumn(HIDDEN_SEQ, F.lit(EQ_DELETE_SEQ).cast("long"))
+        )
+
+    return spark.read.parquet(
+        _delete_file_cache(spark, sf_dir, "eq_deletes.parquet", build)
     )
 
 
