@@ -420,6 +420,56 @@ def q_dedup_embedding(spark, sf_dir):
     return sim.cosine_pairs(_emb_spread(spark, sf_dir), EMB_PAIR_THRESHOLD_PPM)
 
 
+@register(
+    "pipeline_corpus_filter",
+    f"""
+    WITH keepers AS (
+      SELECT min(doc_id) AS doc_id FROM documents GROUP BY md5({_NORM})
+    ),
+    kept AS (SELECT d.* FROM documents d JOIN keepers USING (doc_id)),
+    q AS (
+      SELECT doc_id,
+        CASE WHEN trim(text)='' THEN 0 ELSE len({_TOKS}) END AS n_toks,
+        len(list_filter({_TOKS}, x -> list_contains({_STOPS}, x))) AS stops
+      FROM kept
+    ),
+    qq AS (
+      SELECT doc_id, CAST(n_toks AS INTEGER) AS n_tokens,
+        CAST(FLOOR(1000000*(stops*1.0/greatest(n_toks,1))) AS BIGINT)
+          AS stopword_ppm
+      FROM q
+    ),
+    l AS (
+      SELECT doc_id, pred_lang FROM (
+        SELECT doc_id, score_en, score_db, score_ops, score_perf,
+          CASE WHEN score_perf > greatest(score_en, score_db, score_ops) THEN 'perf'
+               WHEN score_ops  > greatest(score_en, score_db) THEN 'ops'
+               WHEN score_db   > score_en THEN 'db'
+               ELSE 'en' END AS pred_lang
+        FROM (SELECT doc_id, {_lang_scores_sql()} FROM kept) s)
+    )
+    SELECT qq.doc_id, n_tokens, stopword_ppm, pred_lang
+    FROM qq JOIN l ON qq.doc_id = l.doc_id
+    WHERE n_tokens >= 40 AND stopword_ppm >= 50000
+    """,
+)
+def q_pipeline_corpus_filter(spark, sf_dir):
+    """Composed cleaning pipeline: exact-dedup survivors -> token-count
+    and stopword-ratio gates -> language tag.  Demonstrates operator
+    composition staying lazy end-to-end: one narrow quality pass + one
+    fingerprint shuffle + one id join, no materialization between
+    stages."""
+    docs = _docs(spark, sf_dir)
+    kept = dd.exact_dedup(docs)
+    q = tx.with_quality(kept).select("doc_id", "n_tokens", "stopword_ppm")
+    lang = tx.with_language_id(kept).select("doc_id", "pred_lang")
+    return (
+        q.where((F.col("n_tokens") >= 40) & (F.col("stopword_ppm") >= 50000))
+        .join(lang, on="doc_id")
+        .select("doc_id", "n_tokens", "stopword_ppm", "pred_lang")
+    )
+
+
 # ===========================================================================
 # Similarity search (extensions)
 # ===========================================================================
