@@ -61,8 +61,12 @@ class Compaction:
     spark: SparkSession
     config: CompactionConfig = field(default_factory=CompactionConfig)
     sort_order: list[SortField] | None = None
-    commit_manager: CommitManager = field(default_factory=CommitManager)
+    commit_manager: CommitManager | None = None
     metrics: CompactionMetrics = field(default_factory=CompactionMetrics)
+
+    def __post_init__(self) -> None:
+        if self.commit_manager is None:
+            self.commit_manager = CommitManager(retry=self.config.retry)
 
     # --- entry point 2: plan-driven ----------------------------------------
 
@@ -125,8 +129,18 @@ class Compaction:
         return res
 
     def commit(self, manifest: Manifest, results: list[RewriteResult]) -> Manifest:
+        """Commit against the CURRENT persisted snapshot, not the one the
+        plans were built from — mirrors the reference reloading the table
+        inside every commit attempt (compaction/mod.rs:988).  A
+        concurrent commit bumps the on-disk snapshot id, so the stale
+        plans fail the pin check instead of silently clobbering it.
+        (The local JSON backend has no CAS between load and rename; a
+        real catalog backend supplies that atomicity.)"""
+
         def attempt() -> Manifest:
-            return self.commit_manager.rewrite_files(manifest, results)
+            path = manifest.manifest_path()
+            current = Manifest.load(path) if os.path.exists(path) else manifest
+            return self.commit_manager.rewrite_files(current, results)
 
         t0 = time.monotonic()
         try:
@@ -195,10 +209,15 @@ class AutoCompaction:
     spark: SparkSession
     config: "AutoCompactionConfig | None" = None
     sort_order: list[SortField] | None = None
+    # engine-level knobs for the execute/commit phase (writer sizing,
+    # validation, retry, plan concurrency); planning comes from `config`
+    engine_config: CompactionConfig = field(default_factory=CompactionConfig)
 
     def compact(
         self, manifest: Manifest, out_root: str | None = None
     ) -> tuple[Manifest, CompactionStats, "AutoPlanReport"]:
+        from dataclasses import replace
+
         from iceberg_compaction_spark.plans.auto import (
             AutoCompactionConfig,
             AutoCompactionPlanner,
@@ -217,8 +236,9 @@ class AutoCompaction:
 
         inner = Compaction(
             spark=self.spark,
-            config=CompactionConfig(
-                planning=cfg._planning(report.selected_strategy)
+            config=replace(
+                self.engine_config,
+                planning=cfg._planning(report.selected_strategy),
             ),
             sort_order=self.sort_order,
         )

@@ -23,9 +23,8 @@ DEFAULT_MIN_DELETE_FILE_COUNT = 128  # (mod.rs:43)
 DEFAULT_TARGET_GROUP_SIZE = 100 * 1024 * 1024 * 1024  # 100 GiB (mod.rs:52)
 SPLIT_OVERHEAD = 5 * 1024 * 1024  # 5 MiB per split (mod.rs:55)
 
-# Iceberg-ported output sizing ratios (strategy.rs:335-343)
-MIN_FILE_SIZE_RATIO = 0.75
-MAX_FILE_SIZE_RATIO = 1.8
+# Iceberg-ported output sizing ratios (strategy.rs:335-343) live as
+# integer math in plans/parallelism.py: min = target*3//4, max = target*9//5.
 
 
 class CompactionType(enum.Enum):

@@ -31,14 +31,22 @@ PLAN_SIZE_BUCKETS = exponential_buckets(1024.0 * 1024.0, 4.0, 12)  # 1MB .. 16TB
 
 @dataclass
 class Counter:
+    """Thread-safe: rewrites update metrics from the plan thread pool."""
+
     value: float = 0.0
 
+    def __post_init__(self) -> None:
+        self._lock = threading.Lock()
+
     def inc(self, by: float = 1.0) -> None:
-        self.value += by
+        with self._lock:
+            self.value += by
 
 
 @dataclass
 class Histogram:
+    """Thread-safe (see Counter)."""
+
     buckets: list[float]
     counts: list[int] = field(default_factory=list)
     total: float = 0.0
@@ -47,14 +55,16 @@ class Histogram:
     def __post_init__(self) -> None:
         if not self.counts:
             self.counts = [0] * (len(self.buckets) + 1)  # +overflow
+        self._lock = threading.Lock()
 
     def observe(self, v: float) -> None:
         i = 0
         while i < len(self.buckets) and v > self.buckets[i]:
             i += 1
-        self.counts[i] += 1
-        self.total += v
-        self.n += 1
+        with self._lock:
+            self.counts[i] += 1
+            self.total += v
+            self.n += 1
 
     @property
     def mean(self) -> float:

@@ -42,27 +42,6 @@ def md5_hash64(col: Column) -> Column:
     return F.conv(F.substring(F.md5(col), 1, 8), 16, 10).cast("long")
 
 
-def word_shingles_from_tokens(toks: Column, n: int = 3) -> Column:
-    """Array of word n-gram shingles from a BOUND token-array column.
-
-    ``toks`` must be a materialized column reference (not an inline
-    ``split(...)`` expression): HOF lambdas re-evaluate captured
-    expression trees per element, so an inline split would re-tokenize
-    the text O(tokens) times per row (~25x slower, measured).
-
-    Texts shorter than n words produce one shingle (the whole text),
-    mirroring list_slice clamping in the SQL oracle.
-    """
-    sz = F.size(toks)
-
-    def one(i: Column) -> Column:
-        return F.concat_ws(" ", *[F.element_at(toks, i + k) for k in range(n)])
-
-    return F.when(
-        sz >= n, F.transform(F.sequence(F.lit(1), sz - (n - 1)), one)
-    ).otherwise(F.array(F.array_join(toks, " ")))
-
-
 def shingle_sets(
     df: DataFrame, id_col: str = "doc_id", text_col: str = "text", n: int = 3
 ) -> DataFrame:
@@ -236,6 +215,11 @@ def lsh_candidate_pairs(
     single pass over the signature table) rather than an n_bands-way
     union, which would re-evaluate the signature subtree per band.
     """
+    if num_hashes % band_size != 0:
+        raise ValueError(
+            f"num_hashes ({num_hashes}) must be divisible by band_size "
+            f"({band_size}) — trailing signatures would be silently unused"
+        )
     n_bands = num_hashes // band_size
     keys = []
     for j in range(n_bands):
@@ -277,7 +261,10 @@ def minhash_lsh_dedup_pairs(
     # (k ints / a string array per doc) but feed multiple join branches;
     # persist them so the md5/tokenize subtrees evaluate once, not once
     # per branch. (The reference materializes join build sides the same
-    # way inside DataFusion's hash join.)
+    # way inside DataFusion's hash join.)  The handles stay cached after
+    # the result is consumed — Spark's LRU storage eviction reclaims
+    # them under pressure; callers running many corpora per session can
+    # clear explicitly via spark.catalog.clearCache().
     sets = shingle_sets(df, id_col, text_col, n).persist()
     sh = sets.select(F.col(id_col), F.explode("shs").alias("shingle"))
     sigs = minhash_signatures(

@@ -43,12 +43,22 @@ def read_events_stream(
     if schema is None:
         schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
     # the file-stream source requires a *directory*; expose the single
-    # events file through a temp dir of symlinks
+    # events file through a per-sf_dir cached symlink dir (idempotent —
+    # a fresh mkdtemp per call would leak directories for the machine's
+    # tmp lifetime)
+    import hashlib
     import os
     import tempfile
 
-    d = tempfile.mkdtemp(prefix="events-stream-")
-    os.symlink(f"{sf_dir}/events.parquet", os.path.join(d, "events.parquet"))
+    key = hashlib.md5(sf_dir.encode()).hexdigest()[:10]
+    d = os.path.join(tempfile.gettempdir(), f"events-stream-{key}")
+    link = os.path.join(d, "events.parquet")
+    if not os.path.islink(link):
+        os.makedirs(d, exist_ok=True)
+        try:
+            os.symlink(f"{sf_dir}/events.parquet", link)
+        except FileExistsError:
+            pass  # concurrent caller won the race
     return (
         spark.readStream.schema(schema)
         .option("maxFilesPerTrigger", 1)

@@ -83,9 +83,16 @@ def _make_sessionizer(gap_us: int, idle_timeout_ms: int | None):
             start = last = None
             n = sv = 0
 
+        # A key's trigger data arrives as an ITERATOR of Arrow-sized
+        # pandas chunks in arbitrary order — sorting per chunk would
+        # mis-sessionize any key spanning >1 chunk, so gather then sort
+        # once.  (Bounded by one key's rows per trigger, the same memory
+        # Spark already buffers for the group.)
+        chunks = list(pdfs)
+        whole = pd.concat(chunks) if chunks else pd.DataFrame()
         closed: list[tuple[int, int, int, int]] = []
-        for pdf in pdfs:
-            pdf = pdf.sort_values("ts_us")
+        if len(whole):
+            pdf = whole.sort_values("ts_us")
             for ts, vm in zip(pdf["ts_us"].to_numpy(), pdf["vmicro"].to_numpy()):
                 ts = int(ts)
                 if start is None:

@@ -172,3 +172,39 @@ def test_commit_retry_exhausts():
 
     with pytest.raises(CommitConflict):
         cm.commit_with_retry(always_fail)
+
+
+def test_concurrent_commit_loses_cleanly(spark, table):
+    """Two compactions planned from the same snapshot: the first commit
+    wins, the second must fail the pin check against the RELOADED
+    on-disk manifest instead of silently clobbering (lost update)."""
+    from iceberg_compaction_spark.commit import CommitConflict
+    from iceberg_compaction_spark.config import CommitRetryConfig
+
+    cfg = CompactionConfig.full()
+    cfg.retry = CommitRetryConfig(max_retries=1, initial_backoff_s=0.01, max_backoff_s=0.02)
+    c1 = Compaction(spark=spark, config=cfg)
+    c2 = Compaction(spark=spark, config=cfg)
+
+    plans1 = c1.plan(table)
+    plans2 = c2.plan(table)
+    r1 = [c1.rewrite(p) for p in plans1]
+    r2 = [c2.rewrite(p) for p in plans2]
+
+    m2 = c1.commit(table, r1)
+    assert m2.snapshot_id == table.snapshot_id + 1
+    with pytest.raises(CommitConflict):
+        c2.commit(table, r2)
+    # the winner's manifest is still what's on disk
+    from iceberg_compaction_spark.sources.manifest import Manifest
+
+    assert Manifest.load(table.manifest_path()).snapshot_id == m2.snapshot_id
+
+
+def test_compaction_config_retry_plumbed():
+    from iceberg_compaction_spark.config import CommitRetryConfig
+
+    cfg = CompactionConfig.full()
+    cfg.retry = CommitRetryConfig(max_retries=7)
+    c = Compaction(spark=None, config=cfg)
+    assert c.commit_manager.retry.max_retries == 7
