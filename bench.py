@@ -25,9 +25,12 @@ BENCH_QUERIES = [
     "mor_eq_delete",
     "agg_pricing_summary",
     "join_order_revenue",
+    "supplier_part_region",
     "text_quality",
     "dedup_exact",
     "dedup_minhash_lsh",
+    "dedup_embedding_lsh",
+    "pipeline_corpus_filter",
     "ann_topk",
     "ann_lsh",
     "events_hourly",
