@@ -1,0 +1,90 @@
+"""Writer-path coverage: O1 sort-within-partitions and S11 partition
+fan-out, driven through the public write/compaction surfaces."""
+
+import os
+
+import pyarrow.parquet as pq
+import pytest
+from pyspark.sql import functions as F
+
+from iceberg_compaction_spark.compaction import Compaction
+from iceberg_compaction_spark.config import CompactionConfig, WriterConfig
+from iceberg_compaction_spark.sources.manifest import Manifest
+from iceberg_compaction_spark.sources.writer import SortField, write_sized_parquet
+
+SF = "/root/testdata/sf0.001"
+
+
+def test_sorted_compaction_sorts_within_each_output_file(spark, tmp_path):
+    root = str(tmp_path / "tbl")
+    os.makedirs(root)
+    src = spark.read.parquet(f"{SF}/lineitem.parquet")
+    import glob
+
+    src.repartition(4).write.mode("overwrite").parquet(root + "/frag")
+    for i, p in enumerate(sorted(glob.glob(root + "/frag/*.parquet"))):
+        os.rename(p, f"{root}/d{i}.parquet")
+    import shutil
+
+    shutil.rmtree(root + "/frag")
+    m = Manifest.from_parquet_dir(root, sequence_number=1)
+    m.save()
+
+    c = Compaction(
+        spark=spark,
+        config=CompactionConfig.full(),
+        sort_order=[SortField("l_orderkey"), SortField("l_linenumber")],
+    )
+    m2, _stats = c.compact(m)
+    for t in m2.data_files:
+        keys = [
+            (r["l_orderkey"], r["l_linenumber"])
+            for r in spark.read.parquet(t.data_file_path).collect()
+        ]
+        assert keys == sorted(keys)  # each output file internally sorted
+
+
+def test_partition_fanout_write(spark, tmp_path):
+    out = str(tmp_path / "fanout")
+    li = spark.read.parquet(f"{SF}/lineitem.parquet")
+    tasks = write_sized_parquet(
+        li,
+        out,
+        WriterConfig(),
+        output_parallelism=2,
+        partition_by=["l_returnflag"],
+    )
+    # hive-style layout, one value dir per distinct flag
+    flags = {r["l_returnflag"] for r in li.select("l_returnflag").distinct().collect()}
+    dirs = {d for d in os.listdir(out) if d.startswith("l_returnflag=")}
+    assert dirs == {f"l_returnflag={f}" for f in flags}
+    # listed tasks cover every written row exactly once
+    assert sum(t.record_count for t in tasks) == li.count()
+    for t in tasks:
+        assert pq.read_metadata(t.data_file_path).num_rows == t.record_count
+    # read back partitioned: per-flag counts match the source
+    per_flag_src = {
+        r["l_returnflag"]: r["n"]
+        for r in li.groupBy("l_returnflag").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    back = spark.read.parquet(out)
+    per_flag_out = {
+        r["l_returnflag"]: r["n"]
+        for r in back.groupBy("l_returnflag").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    assert per_flag_out == per_flag_src
+
+
+def test_max_records_per_file_rolls_output(spark, tmp_path):
+    out = str(tmp_path / "rolled")
+    li = spark.read.parquet(f"{SF}/lineitem.parquet")
+    n = li.count()
+    # force tiny target: row width estimate 100B, target 100*ceil(n/4)B
+    target_rows = max(1, n // 4)
+    cfg = WriterConfig(
+        target_file_size_bytes=100 * target_rows, estimated_row_size_bytes=100
+    )
+    tasks = write_sized_parquet(li, out, cfg, output_parallelism=1)
+    assert len(tasks) >= 4  # rolled into multiple files despite 1 writer task
+    assert sum(t.record_count for t in tasks) == n
+    assert all(t.record_count <= target_rows for t in tasks)
