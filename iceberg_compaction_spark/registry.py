@@ -859,6 +859,46 @@ def q_supplier_part_region(spark, sf_dir):
 
 
 @register(
+    "setop_part_overlap",
+    """
+    WITH f AS (SELECT DISTINCT l_partkey FROM lineitem
+               JOIN orders ON l_orderkey = o_orderkey
+               WHERE o_orderstatus = 'F'),
+    o AS (SELECT DISTINCT l_partkey FROM lineitem
+          JOIN orders ON l_orderkey = o_orderkey
+          WHERE o_orderstatus = 'O')
+    SELECT 'both' AS bucket, COUNT(*) AS n_parts
+      FROM (SELECT l_partkey FROM f INTERSECT SELECT l_partkey FROM o)
+    UNION ALL
+    SELECT 'f_only', COUNT(*)
+      FROM (SELECT l_partkey FROM f EXCEPT SELECT l_partkey FROM o)
+    UNION ALL
+    SELECT 'o_only', COUNT(*)
+      FROM (SELECT l_partkey FROM o EXCEPT SELECT l_partkey FROM f)
+    """,
+)
+def q_setop_part_overlap(spark, sf_dir):
+    """Set operations (INTERSECT / EXCEPT / UNION ALL) over part-key
+    populations of finished vs open orders."""
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    j = li.join(orders, li.l_orderkey == orders.o_orderkey)
+    f = j.where(F.col("o_orderstatus") == "F").select("l_partkey").distinct()
+    o = j.where(F.col("o_orderstatus") == "O").select("l_partkey").distinct()
+
+    def count_row(name, df):
+        return df.agg(F.count(F.lit(1)).alias("n_parts")).select(
+            F.lit(name).alias("bucket"), "n_parts"
+        )
+
+    return (
+        count_row("both", f.intersect(o))
+        .unionAll(count_row("f_only", f.exceptAll(o).distinct()))
+        .unionAll(count_row("o_only", o.exceptAll(f).distinct()))
+    )
+
+
+@register(
     "agg_pricing_summary",
     """
     SELECT l_returnflag, l_linestatus,

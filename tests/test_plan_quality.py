@@ -95,6 +95,23 @@ def test_ann_lsh_broadcasts_queries_no_corpus_shuffle(spark):
     assert "query_id" in exchanges[0]
 
 
+def test_star_query_broadcasts_all_dims(spark):
+    from iceberg_compaction_spark import registry
+
+    df = registry.QUERIES["supplier_part_region"](spark, SF)
+    s = plan_of(df)
+    assert s.count("BroadcastHashJoin") >= 2  # nation + region broadcast
+
+
+def test_pipeline_corpus_filter_stays_jvm_side(spark):
+    """The composed cleaning pipeline must not fall back to Python row
+    processing anywhere (only built-ins + NGram's Scala transform)."""
+    from iceberg_compaction_spark import registry
+
+    s = plan_of(registry.QUERIES["pipeline_corpus_filter"](spark, SF))
+    assert "BatchEvalPython" not in s and "ArrowEvalPython" not in s
+
+
 def test_whole_stage_codegen_covers_mor(spark):
     """The MOR hot path is pure built-ins -> codegen'd stages ('*(n)'
     markers). Text ops using higher-order-function lambdas are
