@@ -722,6 +722,25 @@ def q_events_sliding(spark, sf_dir):
 
 
 @register(
+    "events_asof_join",
+    """
+    SELECT p.user_id,
+           epoch_us(p.ts) AS purchase_us,
+           epoch_us(c.ts) AS click_us,
+           epoch_us(p.ts) - epoch_us(c.ts) AS gap_us
+    FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+    ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c
+      ON p.user_id = c.user_id AND c.ts <= p.ts
+    """,
+)
+def q_events_asof_join(spark, sf_dir):
+    """As-of join (most recent click at-or-before each purchase) via the
+    union + running-max window — one user_id shuffle, no range blow-up;
+    the oracle uses DuckDB's native ASOF JOIN."""
+    return ev.asof_join_last_event(ev.read_events(spark, sf_dir))
+
+
+@register(
     "events_top_users",
     """
     SELECT CAST(rank AS INTEGER) AS rank, user_id, n_events, sum_value_micro

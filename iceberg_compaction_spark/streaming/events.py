@@ -134,6 +134,50 @@ def sessionize(
     )
 
 
+def asof_join_last_event(
+    events: DataFrame,
+    probe_type: str = "purchase",
+    build_type: str = "click",
+) -> DataFrame:
+    """As-of join: for each ``probe_type`` event, the most recent
+    ``build_type`` event of the same user at-or-before it.
+
+    Spark has no native ASOF JOIN; the scalable formulation is the
+    union + ordered-window running max — ONE shuffle on (user_id), no
+    range-join explosion: tag both streams, sort per user by time
+    (build rows before probe rows on ties, making the join inclusive),
+    carry the latest build timestamp forward, keep probe rows.
+
+    Output: (user_id, purchase_us, click_us nullable, gap_us nullable).
+    """
+    ts_us = F.expr("ts div 1000")
+    tagged = events.where(
+        F.col("event_type").isin(probe_type, build_type)
+    ).select(
+        "user_id",
+        ts_us.alias("ts_us"),
+        (F.col("event_type") == build_type).cast("int").alias("is_build"),
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.col("ts_us").asc(), F.col("is_build").desc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    carried = tagged.withColumn(
+        "click_us",
+        F.max(F.when(F.col("is_build") == 1, F.col("ts_us"))).over(w),
+    )
+    return (
+        carried.where(F.col("is_build") == 0)
+        .select(
+            "user_id",
+            F.col("ts_us").alias("purchase_us"),
+            "click_us",
+            (F.col("ts_us") - F.col("click_us")).alias("gap_us"),
+        )
+    )
+
+
 def top_users_by_activity(events: DataFrame, k: int = 10) -> DataFrame:
     """Window-function top-k demo (rank over per-user event counts)."""
     counts = events.groupBy("user_id").agg(
