@@ -741,6 +741,26 @@ def q_events_asof_join(spark, sf_dir):
 
 
 @register(
+    "events_range_join",
+    """
+    SELECT p.user_id, epoch_us(p.ts) AS purchase_us,
+           count(c.ts) AS n_clicks_30m
+    FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+    LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c
+      ON c.user_id = p.user_id
+     AND epoch_us(c.ts) > epoch_us(p.ts) - 1800000000
+     AND epoch_us(c.ts) <= epoch_us(p.ts)
+    GROUP BY 1, 2
+    """,
+)
+def q_events_range_join(spark, sf_dir):
+    """Range join (clicks within 30 min before each purchase) via
+    window-sized bin bucketing + residual — candidate pairs bounded by
+    bin occupancy, never a nested-loop time join."""
+    return ev.range_join_counts(ev.read_events(spark, sf_dir))
+
+
+@register(
     "events_top_users",
     """
     SELECT CAST(rank AS INTEGER) AS rank, user_id, n_events, sum_value_micro

@@ -178,6 +178,60 @@ def asof_join_last_event(
     )
 
 
+def range_join_counts(
+    events: DataFrame,
+    probe_type: str = "purchase",
+    build_type: str = "click",
+    window_us: int = 30 * 60 * 1_000_000,
+) -> DataFrame:
+    """Range join: per ``probe_type`` event, count ``build_type`` events
+    of the same user in ``(probe_ts - window, probe_ts]``.
+
+    A naive time-inequality join plans as a nested-loop explosion; the
+    scale formulation buckets time into window-sized bins and equi-joins
+    each probe to its own and previous bin (any in-range build event
+    must fall in one of the two), leaving the exact range as a cheap
+    residual.  Cost: one shuffle on (user_id, bin), candidate pairs
+    bounded by 2x bin occupancy — independent of the table's time span.
+
+    Output: (user_id, purchase_us, n_clicks_30m).
+    """
+    ts_us = F.expr("ts div 1000")
+    probes = events.where(F.col("event_type") == probe_type).select(
+        "user_id", ts_us.alias("p_us")
+    )
+    builds = events.where(F.col("event_type") == build_type).select(
+        F.col("user_id").alias("b_user"),
+        ts_us.alias("b_us"),
+        (ts_us / window_us).cast("long").alias("b_bin"),
+    )
+    p_bin = (F.col("p_us") / window_us).cast("long")
+    cand = probes.withColumn(
+        "p_bin", F.explode(F.array(p_bin, p_bin - 1))
+    )
+    joined = cand.join(
+        builds,
+        (cand["user_id"] == builds["b_user"]) & (cand["p_bin"] == builds["b_bin"]),
+        "left",
+    )
+    # the exact range check stays INSIDE the aggregation (a WHERE would
+    # drop a probe entirely when its only bin-matches are out of range,
+    # losing the n=0 row); each in-range build appears in exactly one of
+    # the probe's two candidate bins, so nothing double-counts
+    in_range = (F.col("b_us") > F.col("p_us") - window_us) & (
+        F.col("b_us") <= F.col("p_us")
+    )
+    return (
+        joined.groupBy("user_id", "p_us")
+        .agg(F.sum(F.when(in_range, 1).otherwise(0)).alias("n"))
+        .select(
+            "user_id",
+            F.col("p_us").alias("purchase_us"),
+            F.col("n").cast("long").alias("n_clicks_30m"),
+        )
+    )
+
+
 def top_users_by_activity(events: DataFrame, k: int = 10) -> DataFrame:
     """Window-function top-k demo (rank over per-user event counts)."""
     counts = events.groupBy("user_id").agg(

@@ -112,6 +112,16 @@ def test_pipeline_corpus_filter_stays_jvm_side(spark):
     assert "BatchEvalPython" not in s and "ArrowEvalPython" not in s
 
 
+def test_range_join_is_hash_not_nested_loop(spark):
+    """The bin-bucketed range join must plan as an equi hash join with a
+    residual — never a nested-loop/cartesian time join."""
+    from iceberg_compaction_spark import registry
+
+    s = plan_of(registry.QUERIES["events_range_join"](spark, SF))
+    assert "BroadcastNestedLoopJoin" not in s and "CartesianProduct" not in s
+    assert "Join" in s
+
+
 def test_whole_stage_codegen_covers_mor(spark):
     """The MOR hot path is pure built-ins -> codegen'd stages ('*(n)'
     markers). Text ops using higher-order-function lambdas are
