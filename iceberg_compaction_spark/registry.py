@@ -761,6 +761,35 @@ def q_events_range_join(spark, sf_dir):
 
 
 @register(
+    "events_rollup",
+    """
+    SELECT event_type,
+           epoch_ns(ts) // 86400000000000 AS day_bucket,
+           COUNT(*) AS n_events,
+           SUM(CAST(FLOOR(value*1000000) AS BIGINT)) AS sum_value_micro
+    FROM events
+    GROUP BY ROLLUP(event_type, day_bucket)
+    """,
+)
+def q_events_rollup(spark, sf_dir):
+    """Hierarchical rollup (event_type -> day -> grand total) — Spark's
+    native ROLLUP produces the partial-aggregate expansion; subtotal
+    rows carry NULL group keys in both engines."""
+    events = ev.read_events(spark, sf_dir)
+    return (
+        events.withColumn(
+            "day_bucket", F.expr("ts div 86400000000000").cast("long")
+        )
+        .withColumn("vmicro", F.floor(F.col("value") * 1000000).cast("long"))
+        .rollup("event_type", "day_bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum("vmicro").alias("sum_value_micro"),
+        )
+    )
+
+
+@register(
     "events_top_users",
     """
     SELECT CAST(rank AS INTEGER) AS rank, user_id, n_events, sum_value_micro
