@@ -35,6 +35,8 @@ BENCH_QUERIES = [
     "ann_lsh",
     "events_hourly",
     "events_sessionize",
+    "events_asof_join",
+    "events_range_join",
     "multimodal_meta",
 ]
 
