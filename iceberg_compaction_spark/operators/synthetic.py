@@ -94,7 +94,13 @@ def _delete_file_cache(spark: SparkSession, sf_dir: str, name: str, build) -> st
     import tempfile
     import uuid
 
-    key = hashlib.md5(sf_dir.encode()).hexdigest()[:10]
+    src = lineitem_path(sf_dir)
+    st = os.stat(src)
+    # key on source identity AND content version (size+mtime) so a
+    # regenerated testdata file can never serve stale cached deletes
+    key = hashlib.md5(
+        f"{src}|{st.st_size}|{st.st_mtime_ns}".encode()
+    ).hexdigest()[:10]
     root = os.path.join(tempfile.gettempdir(), f"icspark-synth-{key}")
     path = os.path.join(root, name)
     if not os.path.isdir(path):
