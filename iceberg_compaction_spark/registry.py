@@ -790,6 +790,29 @@ def q_events_rollup(spark, sf_dir):
 
 
 @register(
+    "events_cube",
+    """
+    SELECT event_type,
+           CAST(epoch_ns(ts) // 86400000000000 % 7 AS BIGINT) AS weekday_bucket,
+           COUNT(*) AS n_events
+    FROM events
+    GROUP BY CUBE(event_type, weekday_bucket)
+    """,
+)
+def q_events_cube(spark, sf_dir):
+    """Full cube over (event_type, weekday): all four grouping-set
+    combinations in one pass."""
+    events = ev.read_events(spark, sf_dir)
+    return (
+        events.withColumn(
+            "weekday_bucket", F.expr("(ts div 86400000000000) % 7").cast("long")
+        )
+        .cube("event_type", "weekday_bucket")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+    )
+
+
+@register(
     "events_top_users",
     """
     SELECT CAST(rank AS INTEGER) AS rank, user_id, n_events, sum_value_micro
