@@ -813,6 +813,47 @@ def q_events_cube(spark, sf_dir):
 
 
 @register(
+    "events_median_value",
+    """
+    SELECT event_type,
+           CAST(FLOOR(median(CAST(FLOOR(value*1000000) AS BIGINT))) AS BIGINT)
+             AS median_micro,
+           COUNT(*) AS n_events
+    FROM events GROUP BY event_type
+    """,
+)
+def q_events_median_value(spark, sf_dir):
+    """Exact per-group median via an Arrow-batched grouped-aggregate
+    pandas UDF — the UDAF surface (built-in percentile_approx is
+    approximate; the UDAF computes the true median).  Cost: one shuffle
+    on the group key, values Arrow-transferred per group."""
+    from pyspark.sql.functions import PandasUDFType, pandas_udf
+
+    # explicit functionType: this module uses `from __future__ import
+    # annotations`, which stringifies type hints and breaks pandas_udf's
+    # signature inference
+    @pandas_udf("long", PandasUDFType.GROUPED_AGG)
+    def median_floor(v):
+        import math
+
+        return int(math.floor(v.median()))
+
+    # Spark can't mix pandas and JVM aggregates in one agg; count rides
+    # along as a second tiny pandas UDAF
+    @pandas_udf("long", PandasUDFType.GROUPED_AGG)
+    def n_rows(v):
+        return len(v)
+
+    events = ev.read_events(spark, sf_dir).withColumn(
+        "vmicro", F.floor(F.col("value") * 1000000).cast("long")
+    )
+    return events.groupBy("event_type").agg(
+        median_floor("vmicro").alias("median_micro"),
+        n_rows("vmicro").alias("n_events"),
+    )
+
+
+@register(
     "events_top_users",
     """
     SELECT CAST(rank AS INTEGER) AS rank, user_id, n_events, sum_value_micro
