@@ -653,7 +653,8 @@ from iceberg_compaction_spark.streaming import events as ev  # noqa: E402
     SELECT epoch_ns(ts) // 3600000000000 AS hour_bucket,
            event_type,
            COUNT(*) AS n_events,
-           SUM(CAST(FLOOR(value*1000000) AS BIGINT)) AS sum_value_micro
+           CAST(SUM(CAST(FLOOR(value*1000000) AS BIGINT)) AS BIGINT)
+             AS sum_value_micro
     FROM events GROUP BY 1, 2
     """,
 )
@@ -675,15 +676,16 @@ def q_events_hourly(spark, sf_dir):
                      THEN 1 ELSE 0 END AS is_new
       FROM e
     ), sess AS (
-      SELECT *, SUM(is_new) OVER (
+      SELECT *, CAST(SUM(is_new) OVER (
         PARTITION BY user_id ORDER BY ts
-        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_idx
+        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+        AS session_idx
       FROM flagged
     )
     SELECT user_id, session_idx, COUNT(*) AS n_events,
            MIN(ts) AS start_ts, MAX(ts) AS end_ts,
            (MAX(ts) - MIN(ts)) // 1000000 AS duration_sec,
-           SUM(vmicro) AS sum_value_micro
+           CAST(SUM(vmicro) AS BIGINT) AS sum_value_micro
     FROM sess GROUP BY user_id, session_idx
     """,
 )
@@ -706,7 +708,8 @@ def q_events_sessionize(spark, sf_dir):
     "events_sliding",
     """
     SELECT win_start_half, event_type, COUNT(*) AS n_events,
-           SUM(CAST(FLOOR(value*1000000) AS BIGINT)) AS sum_value_micro
+           CAST(SUM(CAST(FLOOR(value*1000000) AS BIGINT)) AS BIGINT)
+             AS sum_value_micro
     FROM (
       SELECT unnest([epoch_ns(ts) // 1800000000000,
                      epoch_ns(ts) // 1800000000000 - 1]) AS win_start_half,
@@ -766,7 +769,8 @@ def q_events_range_join(spark, sf_dir):
     SELECT event_type,
            epoch_ns(ts) // 86400000000000 AS day_bucket,
            COUNT(*) AS n_events,
-           SUM(CAST(FLOOR(value*1000000) AS BIGINT)) AS sum_value_micro
+           CAST(SUM(CAST(FLOOR(value*1000000) AS BIGINT)) AS BIGINT)
+             AS sum_value_micro
     FROM events
     GROUP BY ROLLUP(event_type, day_bucket)
     """,
@@ -859,7 +863,8 @@ def q_events_median_value(spark, sf_dir):
     SELECT CAST(rank AS INTEGER) AS rank, user_id, n_events, sum_value_micro
     FROM (
       SELECT user_id, COUNT(*) AS n_events,
-             SUM(CAST(FLOOR(value*1000000) AS BIGINT)) AS sum_value_micro,
+             CAST(SUM(CAST(FLOOR(value*1000000) AS BIGINT)) AS BIGINT)
+               AS sum_value_micro,
              row_number() OVER (ORDER BY COUNT(*) DESC, user_id) AS rank
       FROM events GROUP BY user_id
     ) WHERE rank <= 10
@@ -958,9 +963,11 @@ def q_multimodal_frames(spark, sf_dir):
     SELECT r.r_name,
            COUNT(*) AS n_parts,
            COUNT(DISTINCT s.s_suppkey) AS n_suppliers,
-           SUM(CAST(FLOOR(p.p_retailprice*100) AS BIGINT)) AS sum_retail_c
+           CAST(SUM(CAST(FLOOR(p.p_retailprice*100) AS BIGINT)) AS BIGINT)
+             AS sum_retail_c
     FROM part p
-    JOIN supplier s ON p.p_partkey % 1000 = s.s_suppkey % 1000
+    JOIN supplier s
+      ON s.s_suppkey = p.p_partkey % (SELECT COUNT(*) FROM supplier)
     JOIN nation n ON s.s_nationkey = n.n_nationkey
     JOIN region r ON n.n_regionkey = r.r_regionkey
     WHERE p.p_size <= 20
@@ -969,14 +976,20 @@ def q_multimodal_frames(spark, sf_dir):
 )
 def q_supplier_part_region(spark, sf_dir):
     """Star join over part/supplier/nation/region (distinct agg +
-    broadcast dims; the part-supplier link is a synthetic equi-key since
-    the driver testdata has no partsupp table)."""
+    broadcast dims; the part-supplier link is a synthetic ONE-TO-ONE
+    equi-key — each part maps to exactly one supplier via
+    ``p_partkey % n_supp`` — since the driver testdata has no partsupp
+    table.  One-to-one keeps output linear in |part| at any scale
+    (the old ``% 1000`` on both sides fanned out |part|*|supp|/1000)."""
     part = spark.read.parquet(f"{sf_dir}/part.parquet").where(F.col("p_size") <= 20)
     supp = spark.read.parquet(f"{sf_dir}/supplier.parquet")
     nation = spark.read.parquet(f"{sf_dir}/nation.parquet")
     region = spark.read.parquet(f"{sf_dir}/region.parquet")
+    # scalar dim cardinality (suppliers are keyed 0..n-1); a one-value
+    # action on a dimension table, not a per-row collect
+    n_supp = supp.count()
     return (
-        part.join(supp, part.p_partkey % 1000 == supp.s_suppkey % 1000)
+        part.join(F.broadcast(supp), part.p_partkey % n_supp == supp.s_suppkey)
         .join(F.broadcast(nation), supp.s_nationkey == nation.n_nationkey)
         .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
         .groupBy("r_name")
@@ -1035,9 +1048,12 @@ def q_setop_part_overlap(spark, sf_dir):
     """
     SELECT l_returnflag, l_linestatus,
            COUNT(*) AS n_rows,
-           SUM(CAST(FLOOR(l_quantity*100) AS BIGINT)) AS sum_qty_c,
-           SUM(CAST(FLOOR(l_extendedprice*100) AS BIGINT)) AS sum_price_c,
-           SUM(CAST(FLOOR(l_discount*10000) AS BIGINT)) AS sum_disc_bp
+           CAST(SUM(CAST(FLOOR(l_quantity*100) AS BIGINT)) AS BIGINT)
+             AS sum_qty_c,
+           CAST(SUM(CAST(FLOOR(l_extendedprice*100) AS BIGINT)) AS BIGINT)
+             AS sum_price_c,
+           CAST(SUM(CAST(FLOOR(l_discount*10000) AS BIGINT)) AS BIGINT)
+             AS sum_disc_bp
     FROM lineitem
     WHERE l_shipdate <= TIMESTAMP '1998-09-01 00:00:00'
     GROUP BY l_returnflag, l_linestatus
@@ -1067,7 +1083,8 @@ def q_agg_pricing_summary(spark, sf_dir):
     "join_order_revenue",
     """
     SELECT n.n_name, COUNT(*) AS n_lineitems,
-           SUM(CAST(FLOOR(l.l_extendedprice*(1-l.l_discount)*100) AS BIGINT))
+           CAST(SUM(CAST(FLOOR(l.l_extendedprice*(1-l.l_discount)*100)
+                         AS BIGINT)) AS BIGINT)
              AS revenue_c
     FROM lineitem l
     JOIN orders o ON l.l_orderkey = o.o_orderkey

@@ -233,14 +233,22 @@ def range_join_counts(
 
 
 def top_users_by_activity(events: DataFrame, k: int = 10) -> DataFrame:
-    """Window-function top-k demo (rank over per-user event counts)."""
+    """Top-k users by event count.
+
+    Deliberately NOT a global ``Window.orderBy`` + ``row_number``: an
+    unpartitioned window funnels every per-user count through a single
+    task.  ``orderBy().limit(k)`` compiles to Spark's TakeOrderedAndProject
+    — per-partition top-k then a k*p-row merge on the driver — so the
+    plan has no single-partition exchange and survives 10^9 users.
+    The rank is then re-derived on the k collected rows (k is tiny).
+    """
     counts = events.groupBy("user_id").agg(
         F.count(F.lit(1)).alias("n_events"),
         F.sum(_value_micro()).alias("sum_value_micro"),
     )
+    topk = counts.orderBy(F.col("n_events").desc(), F.col("user_id").asc()).limit(k)
     w = Window.orderBy(F.col("n_events").desc(), F.col("user_id").asc())
     return (
-        counts.withColumn("rank", F.row_number().over(w))
-        .where(F.col("rank") <= k)
+        topk.withColumn("rank", F.row_number().over(w))
         .select("rank", "user_id", "n_events", "sum_value_micro")
     )

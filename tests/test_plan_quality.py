@@ -122,6 +122,32 @@ def test_range_join_is_hash_not_nested_loop(spark):
     assert "Join" in s
 
 
+def test_top_users_has_no_global_window_funnel(spark):
+    """events_top_users must plan as TakeOrderedAndProject (per-partition
+    top-k + k*p-row driver merge), never a single-partition Exchange
+    feeding an unpartitioned window over the full per-user count set."""
+    from iceberg_compaction_spark import registry
+
+    s = plan_of(registry.QUERIES["events_top_users"](spark, SF))
+    assert "TakeOrderedAndProject" in s, s
+    # the only SinglePartition exchange allowed is over the k-row result
+    # of the limit (rank re-derivation), which appears above TakeOrdered;
+    # assert no rangepartitioning (global sort of all users) either
+    assert "rangepartitioning" not in s.lower(), s
+
+
+def test_supplier_part_join_is_one_to_one_broadcast(spark):
+    """The synthetic part->supplier link joins each part to exactly one
+    supplier and broadcasts the supplier dim — no shuffle of the part
+    side, no fan-out."""
+    from iceberg_compaction_spark import registry
+
+    df = registry.QUERIES["supplier_part_region"](spark, SF)
+    s = plan_of(df)
+    assert s.count("BroadcastHashJoin") >= 3  # supplier + nation + region
+    assert "SortMergeJoin" not in s
+
+
 def test_whole_stage_codegen_covers_mor(spark):
     """The MOR hot path is pure built-ins -> codegen'd stages ('*(n)'
     markers). Text ops using higher-order-function lambdas are

@@ -22,10 +22,17 @@ TABLES = [
 
 def norm_cell(v) -> str:
     import datetime
+    import decimal
     import math
 
     if v is None:
         return "NULL"
+    if isinstance(v, decimal.Decimal):
+        # DuckDB HUGEINT/DECIMAL surface as Decimal in some fetch paths;
+        # integral values must hash identically to Spark's bigint.
+        if v == v.to_integral_value():
+            return str(int(v))
+        return f"{float(v):.10g}"
     if isinstance(v, float):
         if math.isnan(v):
             return "NaN"
@@ -92,8 +99,14 @@ def main() -> int:
             continue
         try:
             res = con.sql(oracles[name])
-            ocols = [c.lower() for c in res.columns]
-            orows = res.fetchall()
+            # Fetch through Arrow, like the driver: DuckDB HUGEINT (the
+            # type of any uncast SUM(BIGINT)) degrades to float64 in the
+            # Arrow conversion, so an uncast oracle aggregate fails HERE
+            # the same way it fails the driver gate.  fetchall() would
+            # mask it (HUGEINT -> Python int).
+            atbl = res.arrow()
+            ocols = [c.lower() for c in atbl.column_names]
+            orows = [tuple(d.values()) for d in atbl.to_pylist()]
         except Exception as e:
             print(f"FAIL {name}: duckdb error: {e}")
             failures += 1
