@@ -80,9 +80,18 @@ class CommitManager:
         numbers) still apply to the rewritten rows.
         """
         validate_consistency(results)
-        if results and results[0].plan.snapshot_id != manifest.snapshot_id:
+        # The starting snapshot must EXIST, but need not be current: the
+        # reference only requires the table to still contain the starting
+        # snapshot, the schema to match, and every rewritten file to still
+        # be live (check_file_existence) — so non-overlapping concurrent
+        # commits succeed after a reload (compaction/mod.rs:968-1000).
+        # Requiring equality here would make the retry loop dead code: a
+        # reload can never change the plans' pinned id.  The local JSON
+        # backend keeps only the latest snapshot, so "exists" means the
+        # pinned id is not in the future.
+        if results and results[0].plan.snapshot_id > manifest.snapshot_id:
             raise CommitConflict(
-                f"plans pinned to snapshot {results[0].plan.snapshot_id}, "
+                f"plans pinned to unknown snapshot {results[0].plan.snapshot_id}, "
                 f"table is at {manifest.snapshot_id}"
             )
         if results and results[0].plan.schema_id != manifest.schema_id:

@@ -131,16 +131,32 @@ class Compaction:
     def commit(self, manifest: Manifest, results: list[RewriteResult]) -> Manifest:
         """Commit against the CURRENT persisted snapshot, not the one the
         plans were built from — mirrors the reference reloading the table
-        inside every commit attempt (compaction/mod.rs:988).  A
-        concurrent commit bumps the on-disk snapshot id, so the stale
-        plans fail the pin check instead of silently clobbering it.
-        (The local JSON backend has no CAS between load and rename; a
-        real catalog backend supplies that atomicity.)"""
+        inside every commit attempt (compaction/mod.rs:988).  The whole
+        load -> validate -> save sequence runs under the table's commit
+        mutex (manifest_lock), so a concurrent writer can't slip a new
+        snapshot in between the staleness checks and the rename — the
+        local-backend analog of a catalog's compare-and-swap.  Plans
+        whose rewritten files were taken by a concurrent commit fail the
+        per-file existence check (T4) and retry/raise; non-overlapping
+        commits succeed on the reloaded manifest."""
+        from iceberg_compaction_spark.commit import CommitConflict
+        from iceberg_compaction_spark.sources.manifest import (
+            ManifestLockTimeout,
+            manifest_lock,
+        )
 
         def attempt() -> Manifest:
             path = manifest.manifest_path()
-            current = Manifest.load(path) if os.path.exists(path) else manifest
-            return self.commit_manager.rewrite_files(current, results)
+            try:
+                with manifest_lock(path):
+                    current = (
+                        Manifest.load(path) if os.path.exists(path) else manifest
+                    )
+                    new = self.commit_manager.rewrite_files(current, results)
+                    new.save()
+                    return new
+            except ManifestLockTimeout as e:
+                raise CommitConflict(str(e)) from e  # retryable
 
         t0 = time.monotonic()
         try:
@@ -148,7 +164,6 @@ class Compaction:
         except Exception:
             self.metrics.commit_failed_counter.inc()
             raise
-        new.save()
         self.metrics.commit_counter.inc()
         self.metrics.commit_duration.observe((time.monotonic() - t0) * 1000)
         return new

@@ -14,11 +14,13 @@ it (see commit.py), mirroring Iceberg's RewriteFiles swap.
 
 from __future__ import annotations
 
+import contextlib
 import json
 import os
+import time
 import uuid
 from dataclasses import dataclass, field
-from typing import Any
+from typing import Any, Iterator
 
 from iceberg_compaction_spark.plans.datamodel import (
     EQUALITY_DELETE,
@@ -26,6 +28,55 @@ from iceberg_compaction_spark.plans.datamodel import (
     DeleteFile,
     FileScanTask,
 )
+
+
+class ManifestLockTimeout(RuntimeError):
+    """Could not acquire the table's commit mutex in time (another
+    writer holds it, or a crashed writer left a stale lock)."""
+
+
+@contextlib.contextmanager
+def manifest_lock(
+    manifest_path: str,
+    timeout_s: float = 10.0,
+    poll_s: float = 0.02,
+    stale_s: float = 60.0,
+) -> Iterator[None]:
+    """Cross-process commit mutex for the local JSON backend.
+
+    ``os.open(O_CREAT | O_EXCL)`` is atomic on POSIX: exactly one
+    process creates the lock file.  Holding it across load -> validate
+    -> save closes the TOCTOU window between reading the current
+    manifest and renaming the new one (the CAS a real catalog supplies
+    natively; see commit.py).  Locks older than ``stale_s`` (a crashed
+    writer — healthy commits hold the lock for milliseconds) are broken;
+    ``stale_s`` is deliberately independent of the acquisition timeout.
+    """
+    lock_path = f"{manifest_path}.lock"
+    deadline = time.monotonic() + timeout_s
+    while True:
+        try:
+            fd = os.open(lock_path, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+            break
+        except FileExistsError:
+            try:
+                if time.time() - os.path.getmtime(lock_path) > stale_s:
+                    os.unlink(lock_path)  # break stale lock
+                    continue
+            except FileNotFoundError:
+                continue  # holder released between open and stat; retry now
+            if time.monotonic() > deadline:
+                raise ManifestLockTimeout(
+                    f"commit lock busy for >{timeout_s}s: {lock_path}"
+                )
+            time.sleep(poll_s)
+    try:
+        os.write(fd, str(os.getpid()).encode())
+        os.close(fd)
+        yield
+    finally:
+        with contextlib.suppress(FileNotFoundError):
+            os.unlink(lock_path)
 
 
 @dataclass

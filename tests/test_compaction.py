@@ -201,6 +201,97 @@ def test_concurrent_commit_loses_cleanly(spark, table):
     assert Manifest.load(table.manifest_path()).snapshot_id == m2.snapshot_id
 
 
+def test_non_overlapping_concurrent_commits_both_succeed(spark, table):
+    """Two plans from the SAME starting snapshot touching DISJOINT file
+    sets: both commits must land (the second sees a bumped snapshot id
+    but all its rewritten files still live) — matching the reference,
+    which only requires the starting snapshot to exist + schema match +
+    file existence (compaction/mod.rs:968-1000).  Under the old
+    snapshot-id equality check the second commit could never succeed
+    and the retry loop was dead code."""
+    cfg = CompactionConfig.full()
+    c = Compaction(spark=spark, config=cfg)
+
+    tasks = list(table.data_files)
+    mk = lambda ts: CompactionPlan(  # noqa: E731
+        file_group=FileGroup.from_tasks(ts),
+        snapshot_id=table.snapshot_id,
+        starting_sequence_number=table.sequence_number,
+        schema_id=table.schema_id,
+    )
+    p1, p2 = mk(tasks[:2]), mk(tasks[2:])
+    r1, r2 = c.rewrite(p1), c.rewrite(p2)
+
+    m1 = c.commit(table, [r1])
+    assert m1.snapshot_id == table.snapshot_id + 1
+    m2 = c.commit(table, [r2])  # pinned to the ORIGINAL snapshot — succeeds
+    assert m2.snapshot_id == table.snapshot_id + 2
+    # all survivors present exactly once: 100 - 1 pos - 2 eq = 97
+    assert sum(t.record_count for t in m2.data_files) == 97
+    ids = sorted(r["id"] for r in spark.read.parquet(*m2.paths()).collect())
+    assert ids == sorted(set(range(100)) - {0, 30, 31})
+
+
+def test_two_writer_race_exactly_one_wins(spark, table):
+    """Both writers rewrite ALL files and commit simultaneously: the
+    commit mutex serializes load->validate->save, so exactly one lands
+    and the other fails T4 (its inputs were swapped out) — never a
+    silent lost update."""
+    import threading
+
+    cfg = CompactionConfig.full()
+    cfg.retry = CommitRetryConfig(
+        max_retries=1, initial_backoff_s=0.01, max_backoff_s=0.02
+    )
+    cs = [Compaction(spark=spark, config=cfg) for _ in range(2)]
+    results = [[c.rewrite(p) for p in c.plan(table)] for c in cs]
+
+    outcomes: list = [None, None]
+
+    def run(i):
+        try:
+            outcomes[i] = cs[i].commit(table, results[i])
+        except CommitConflict as e:
+            outcomes[i] = e
+
+    threads = [threading.Thread(target=run, args=(i,)) for i in range(2)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+
+    wins = [o for o in outcomes if isinstance(o, Manifest)]
+    losses = [o for o in outcomes if isinstance(o, CommitConflict)]
+    assert len(wins) == 1 and len(losses) == 1, outcomes
+    assert Manifest.load(table.manifest_path()).snapshot_id == wins[0].snapshot_id
+
+
+def test_manifest_lock_breaks_stale_and_times_out(tmp_path):
+    from iceberg_compaction_spark.sources.manifest import (
+        ManifestLockTimeout,
+        manifest_lock,
+    )
+
+    path = str(tmp_path / "_manifest.json")
+    lock = f"{path}.lock"
+
+    # stale lock (older than timeout) is broken and acquired
+    with open(lock, "w") as f:
+        f.write("999999")
+    os.utime(lock, (0, 0))
+    with manifest_lock(path, timeout_s=0.2):
+        assert os.path.exists(lock)
+    assert not os.path.exists(lock)
+
+    # fresh lock held by someone else -> timeout
+    with open(lock, "w") as f:
+        f.write("1")
+    with pytest.raises(ManifestLockTimeout):
+        with manifest_lock(path, timeout_s=0.2, poll_s=0.02):
+            pass
+    os.unlink(lock)
+
+
 def test_compaction_config_retry_plumbed():
     from iceberg_compaction_spark.config import CommitRetryConfig
 
