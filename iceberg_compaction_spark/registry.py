@@ -875,12 +875,29 @@ def q_events_top_users(spark, sf_dir):
     return ev.top_users_by_activity(ev.read_events(spark, sf_dir), k=10)
 
 
-# Structured Streaming twins — registered WITHOUT oracles (non-SQL-
-# expressible in DuckDB: watermark/state semantics).  The driver records
-# rows-only checks; batch-equivalence is pinned by tests/test_streaming.py.
+# Structured Streaming twins — WITH batch-twin oracles.  The streaming
+# semantics themselves (watermark eviction, state) aren't SQL, but under
+# the driver's bounded replay (one file, availableNow => a single
+# trigger) the RESULT is deterministic and batch-expressible:
+#  - hourly rollup: all data arrives in batch 0, the late-data filter
+#    uses the pre-batch watermark (epoch), so nothing is dropped and
+#    complete-mode output == the batch rollup;
+#  - stateful sessions: append-mode emits exactly the CLOSED sessions —
+#    every session except each user's last (the open tail held in
+#    state).  Multi-trigger behavior is pinned by tests/test_streaming.py.
 
 
-@register("stream_hourly_rollup")
+@register(
+    "stream_hourly_rollup",
+    """
+    SELECT (epoch_ns(ts) // 3600000000000) * 3600 AS window_start_s,
+           event_type,
+           COUNT(*) AS n_events,
+           CAST(SUM(CAST(FLOOR(value*1000000) AS BIGINT)) AS BIGINT)
+             AS sum_value_micro
+    FROM events GROUP BY 1, 2
+    """,
+)
 def q_stream_hourly_rollup(spark, sf_dir):
     """readStream -> watermark -> tumbling 1h window, run to completion
     with availableNow; returns the materialized result."""
@@ -890,10 +907,40 @@ def q_stream_hourly_rollup(spark, sf_dir):
     return sp.run_available_now(sp.streaming_hourly_rollup(stream), spark)
 
 
-@register("stream_stateful_sessions")
+@register(
+    "stream_stateful_sessions",
+    """
+    WITH e AS (
+      SELECT user_id, epoch_us(ts) AS ts,
+             CAST(FLOOR(value*1000000) AS BIGINT) AS vmicro,
+             lag(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY epoch_us(ts)) AS prev
+      FROM events
+    ), flagged AS (
+      SELECT *, CASE WHEN prev IS NULL OR ts - prev > 1800000000
+                     THEN 1 ELSE 0 END AS is_new
+      FROM e
+    ), sess AS (
+      SELECT *, CAST(SUM(is_new) OVER (
+        PARTITION BY user_id ORDER BY ts
+        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+        AS session_idx
+      FROM flagged
+    ), agg AS (
+      SELECT user_id, session_idx, COUNT(*) AS n_events,
+             MIN(ts) AS start_us, MAX(ts) AS end_us,
+             CAST(SUM(vmicro) AS BIGINT) AS sum_value_micro
+      FROM sess GROUP BY user_id, session_idx
+    )
+    SELECT user_id, start_us, end_us, n_events, sum_value_micro
+    FROM agg
+    WHERE session_idx < (SELECT MAX(session_idx) FROM agg a2
+                         WHERE a2.user_id = agg.user_id)
+    """,
+)
 def q_stream_stateful_sessions(spark, sf_dir):
     """applyInPandasWithState sessionizer over the events stream
-    (closed sessions only; open tails stay in state)."""
+    (closed sessions only; open tails stay in state — the oracle is the
+    batch sessionization minus each user's final session)."""
     from iceberg_compaction_spark.streaming import pipeline as sp
     from iceberg_compaction_spark.streaming import stateful as st
 

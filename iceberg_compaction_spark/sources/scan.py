@@ -72,9 +72,14 @@ def read_data_files(
 ) -> DataFrame:
     """Read parquet data files, appending the hidden MOR columns.
 
-    ``seq_by_path`` maps file path -> data sequence number; files absent
-    from the map get ``default_seq``.  The map is manifest metadata (one
-    entry per file), so it is broadcast — the join never shuffles data.
+    ``seq_by_path`` maps file path -> data sequence number.  When the map
+    is provided it must cover EVERY input path: a silent fallback to
+    ``default_seq`` (0) would make unmapped rows strictly older than
+    every equality delete and cause invisible over-deletion on any path
+    normalization mismatch (symlink, ``//``, non-file: scheme) — so
+    unmapped rows fail the query loudly instead.  The map is manifest
+    metadata (one entry per file), so it is inlined as a literal — the
+    lookup never shuffles data.
     """
     df = spark.read.parquet(*paths)
 
@@ -97,11 +102,20 @@ def read_data_files(
                 mapping = F.create_map(
                     *[F.lit(x) for kv in seq_by_path.items() for x in kv]
                 )
+                looked = F.element_at(mapping, path_col)
                 df = df.withColumn(
                     HIDDEN_SEQ,
-                    F.coalesce(
-                        F.element_at(mapping, path_col), F.lit(default_seq)
-                    ).cast("long"),
+                    F.when(
+                        looked.isNull(),
+                        F.raise_error(
+                            F.concat(
+                                F.lit("data file missing from seq_by_path: "),
+                                path_col,
+                            )
+                        ),
+                    )
+                    .otherwise(looked)
+                    .cast("long"),
                 )
         else:
             df = df.withColumn(HIDDEN_SEQ, F.lit(default_seq).cast("long"))

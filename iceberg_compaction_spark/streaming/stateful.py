@@ -97,6 +97,15 @@ def _make_sessionizer(gap_us: int, idle_timeout_ms: int | None):
                 ts = int(ts)
                 if start is None:
                     start, last, n, sv = ts, ts, 1, int(vm)
+                elif ts <= last:
+                    # out-of-order arrival (a later trigger delivering an
+                    # event older than the stored session end): fold into
+                    # the open session WITHOUT moving its end backwards —
+                    # `last = ts` here would shrink the session and could
+                    # spuriously close it on the next event
+                    start = min(start, ts)
+                    n += 1
+                    sv += int(vm)
                 elif ts - last > gap_us:
                     closed.append((start, last, n, sv))
                     start, last, n, sv = ts, ts, 1, int(vm)

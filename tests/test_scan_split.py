@@ -121,3 +121,33 @@ def test_overwrite_preserves_properties_and_merges_new():
         snapshot_properties={"compaction.trigger": "manual"},
     )
     assert m2.properties == {"owner": "pipeline", "compaction.trigger": "manual"}
+
+
+def test_read_data_files_fails_loudly_on_unmapped_path(spark, tmp_path):
+    """seq_by_path must cover every input file: a silent default-0 seq
+    would make unmapped rows older than every equality delete (invisible
+    over-deletion), so the lookup raises instead."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from iceberg_compaction_spark.sources.scan import read_data_files
+
+    p1, p2 = str(tmp_path / "a.parquet"), str(tmp_path / "b.parquet")
+    pq.write_table(pa.table({"id": pa.array([1, 2], type=pa.int64())}), p1)
+    pq.write_table(pa.table({"id": pa.array([3, 4], type=pa.int64())}), p2)
+
+    # two distinct seqs so the single-seq literal shortcut doesn't apply;
+    # p2 deliberately missing from the map
+    df = read_data_files(
+        spark, [p1, p2], need_seq_num=True,
+        seq_by_path={p1: 3, "/elsewhere.parquet": 5},
+    )
+    with pytest.raises(Exception, match="missing from seq_by_path"):
+        df.collect()
+
+    # fully-covered map still works
+    ok = read_data_files(
+        spark, [p1, p2], need_seq_num=True, seq_by_path={p1: 3, p2: 5}
+    )
+    seqs = {r["id"]: r["sys_hidden_seq_num"] for r in ok.collect()}
+    assert seqs == {1: 3, 2: 3, 3: 5, 4: 5}

@@ -173,3 +173,58 @@ def test_stateful_sessionizer_closes_sessions(spark):
             r["n_events"],
             r["sum_value_micro"],
         )
+
+
+def test_stateful_sessionizer_out_of_order_trigger_keeps_session_end(spark, tmp_path):
+    """An event arriving in a LATER trigger with a ts older than the
+    stored session end must fold into the open session without moving
+    its end backwards (moving it back would shrink the session or
+    spuriously close it)."""
+    import glob
+    import os
+    import shutil
+    import time
+
+    from pyspark.sql.types import DoubleType, LongType, StructField, StructType
+
+    from iceberg_compaction_spark.streaming import stateful as st
+
+    d = str(tmp_path / "ooo-events")
+    os.makedirs(d)
+    s_ns = 1_000_000_000  # 1s in ns
+
+    schema = StructType(
+        [
+            StructField("user_id", LongType()),
+            StructField("ts", LongType()),
+            StructField("value", DoubleType()),
+        ]
+    )
+
+    def write_file(name, ts_seconds, mtime):
+        rows = [(1, int(t * s_ns), 0.0) for t in ts_seconds]
+        spark.createDataFrame(rows, schema).coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(str(tmp_path / name))
+        src = glob.glob(str(tmp_path / name / "*.parquet"))[0]
+        dst = os.path.join(d, name + ".parquet")
+        shutil.copy(src, dst)
+        os.utime(dst, (mtime, mtime))
+
+    now = time.time()
+    write_file("a", [1000, 1600], now - 300)  # open session [1000, 1600]
+    write_file("b", [1200], now - 200)  # out-of-order: inside the session
+    # 1600 + 1800 (gap) + 100 => closes the session; a new tail opens
+    write_file("c", [3500], now - 100)
+
+    stream = (
+        spark.readStream.schema(schema).option("maxFilesPerTrigger", 1).parquet(d)
+    )
+    out = sp.run_available_now(
+        st.stateful_sessionize(stream), spark, output_mode="append"
+    ).collect()
+    assert len(out) == 1, out
+    r = out[0]
+    assert r["start_us"] == 1000 * 1_000_000
+    assert r["end_us"] == 1600 * 1_000_000  # NOT dragged back to 1200s
+    assert r["n_events"] == 3
