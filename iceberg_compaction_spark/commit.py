@@ -122,6 +122,7 @@ class CommitManager:
             snapshot_id=manifest.next_snapshot(),
             sequence_number=manifest.sequence_number,
             schema_id=manifest.schema_id,
+            format_version=manifest.format_version,
             data_files=kept + added,
             properties={**manifest.properties, **(snapshot_properties or {})},
         )
@@ -164,6 +165,7 @@ class CommitManager:
             snapshot_id=manifest.next_snapshot(),
             sequence_number=manifest.sequence_number,
             schema_id=manifest.schema_id,
+            format_version=manifest.format_version,
             data_files=kept + added,
             properties={**manifest.properties, **(snapshot_properties or {})},
         )

@@ -74,6 +74,8 @@ class Compaction:
         tasks = scan_data_files(manifest)
         strategy = PlanStrategy.from_config(self.config.planning)
         groups = strategy.run(tasks)
+        for g in groups:
+            g.format_version = manifest.format_version
         return [
             CompactionPlan(
                 file_group=g,

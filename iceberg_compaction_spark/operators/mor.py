@@ -156,17 +156,43 @@ def rewrite_file_group(
     ``need_seq_num`` / ``need_file_path_and_pos`` in
     datafusion_processor.rs:691-822): position columns only when position
     deletes exist, sequence numbers only when equality deletes exist.
+
+    Format version (datafusion_processor.rs:632-653, :730): for v3
+    tables position deletes are DELETION VECTORS applied reader-side —
+    the scan filters deleted positions directly
+    (``need_file_path_and_pos`` is false, no J1 join appears in the
+    plan) and only equality deletes become anti-joins.  v2 keeps the
+    explicit J1 anti-join.  Both produce identical survivors.
     """
+    ge_v3 = group.format_version >= 3
     has_pos = bool(group.position_delete_files)
     has_eq = bool(group.equality_delete_files)
     seq_by_path = {t.data_file_path: t.sequence_number for t in group.data_files}
+
+    position_vectors = None
+    if ge_v3 and has_pos:
+        # The planner hands the reader its deletion vectors (v3 stores
+        # them as puffin bitmaps; the local harness keeps (path, pos)
+        # parquet).  Loaded driver-side with pyarrow: DV metadata scale,
+        # not data scale.
+        import pyarrow.parquet as pq
+
+        position_vectors = {}
+        for d in group.position_delete_files:
+            t = pq.read_table(d.path, columns=[HIDDEN_FILE_PATH, HIDDEN_POS])
+            for p, pos in zip(
+                t.column(HIDDEN_FILE_PATH).to_pylist(),
+                t.column(HIDDEN_POS).to_pylist(),
+            ):
+                position_vectors.setdefault(p, []).append(pos)
 
     data = read_data_files(
         spark,
         [t.data_file_path for t in group.data_files],
         need_seq_num=has_eq,
-        need_file_path_and_pos=has_pos,
+        need_file_path_and_pos=has_pos and not ge_v3,
         seq_by_path=seq_by_path,
+        position_vectors=position_vectors,
     )
     if table_columns is None:
         table_columns = [
@@ -177,7 +203,7 @@ def rewrite_file_group(
 
     pos_df = None
     pos_bytes = None
-    if has_pos:
+    if has_pos and not ge_v3:
         pos_df = spark.read.parquet(
             *[d.path for d in group.position_delete_files]
         )

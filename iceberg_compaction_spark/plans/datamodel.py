@@ -70,6 +70,11 @@ class FileGroup:
     output_parallelism: int = 1
     expected_output_files: int = 1
     partition: tuple[Any, ...] | None = None
+    # Iceberg table format version (datafusion_processor.rs:632-653):
+    # v2 -> position deletes are applied by the compaction query (J1
+    # anti-join); v3 -> position deletes are deletion vectors applied
+    # READER-side during the scan, only equality deletes become joins.
+    format_version: int = 2
 
     @staticmethod
     def from_tasks(tasks: list[FileScanTask]) -> "FileGroup":

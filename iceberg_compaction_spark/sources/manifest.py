@@ -87,6 +87,7 @@ class Manifest:
     snapshot_id: int = 0
     sequence_number: int = 0  # last assigned data sequence number
     schema_id: int = 0  # bumped on schema evolution; commits verify it
+    format_version: int = 2  # Iceberg spec version (v3: reader-side DVs)
     data_files: list[FileScanTask] = field(default_factory=list)
     properties: dict[str, Any] = field(default_factory=dict)
 
@@ -152,6 +153,7 @@ class Manifest:
             "snapshot_id": self.snapshot_id,
             "sequence_number": self.sequence_number,
             "schema_id": self.schema_id,
+            "format_version": self.format_version,
             "properties": self.properties,
             "data_files": [
                 {
@@ -208,6 +210,7 @@ class Manifest:
             snapshot_id=d.get("snapshot_id", 0),
             sequence_number=d.get("sequence_number", 0),
             schema_id=d.get("schema_id", 0),
+            format_version=d.get("format_version", 2),
             data_files=tasks,
             properties=d.get("properties", {}),
         )

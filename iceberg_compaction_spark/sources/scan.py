@@ -69,6 +69,7 @@ def read_data_files(
     need_file_path_and_pos: bool = False,
     seq_by_path: dict[str, int] | None = None,
     default_seq: int = 0,
+    position_vectors: dict[str, list[int]] | None = None,
 ) -> DataFrame:
     """Read parquet data files, appending the hidden MOR columns.
 
@@ -82,6 +83,31 @@ def read_data_files(
     lookup never shuffles data.
     """
     df = spark.read.parquet(*paths)
+
+    if position_vectors:
+        # Reader-side deletion-vector application (format v3,
+        # datafusion_processor.rs:632-653): drop deleted row positions
+        # INSIDE the scan stage instead of a J1 anti-join.  The vectors
+        # are planner metadata attached to the scan task (in real v3
+        # they're compact roaring bitmaps from puffin files), so they are
+        # inlined as a path -> sorted-positions map literal and the check
+        # is a JVM-side filter fused into the scan's codegen stage — the
+        # Spark analog of the ArrowReader applying attached DVs.
+        dv_map = F.create_map(
+            *[
+                x
+                for p, positions in sorted(position_vectors.items())
+                for x in (
+                    F.lit(p),
+                    F.array(*[F.lit(int(i)) for i in sorted(set(positions))]),
+                )
+            ]
+        )
+        path_col = _normalize_path(F.col("_metadata.file_path"))
+        dv = F.element_at(dv_map, path_col)
+        df = df.where(
+            dv.isNull() | ~F.array_contains(dv, F.col("_metadata.row_index"))
+        )
 
     if need_file_path_and_pos:
         df = df.withColumn(

@@ -299,3 +299,22 @@ def test_compaction_config_retry_plumbed():
     cfg.retry = CommitRetryConfig(max_retries=7)
     c = Compaction(spark=None, config=cfg)
     assert c.commit_manager.retry.max_retries == 7
+
+
+def test_v3_table_compaction_end_to_end(spark, table):
+    """A format-v3 table compacts through the same lifecycle with
+    reader-side position-delete application; survivors identical and the
+    version survives the commit."""
+    table.format_version = 3
+    table.save()
+    t = Manifest.load(table.manifest_path())
+    assert t.format_version == 3
+
+    c = Compaction(spark=spark, config=CompactionConfig.full())
+    new_manifest, _ = c.compact(t)
+    assert new_manifest.format_version == 3
+    assert sum(x.record_count for x in new_manifest.data_files) == 97
+    ids = sorted(
+        r["id"] for r in spark.read.parquet(*new_manifest.paths()).collect()
+    )
+    assert ids == sorted(set(range(100)) - {0, 30, 31})

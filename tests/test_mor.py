@@ -261,3 +261,56 @@ def test_mor_equality_skew_two_path_matches_plain(spark, fixture):
         for r in apply_equality_deletes(data, eq, hot_keys=hot, n_salts=4).collect()
     }
     assert two_path == plain
+
+
+def test_mor_v3_reader_side_dv_matches_v2(spark, fixture):
+    """Format v3: position deletes apply reader-side (deletion vectors in
+    the scan), only equality deletes join — survivors identical to v2
+    (datafusion_processor.rs:632-653)."""
+    import dataclasses
+
+    v3 = dataclasses.replace(fixture, format_version=3)
+    ids_v2, _ = surviving_ids(spark, fixture)
+    ids_v3, df3 = surviving_ids(spark, v3)
+    assert ids_v3 == ids_v2
+    assert df3.columns == ["id", "name"]
+
+
+def test_mor_v3_plan_has_no_position_join(spark, fixture):
+    """v3 plan shape: no J1 — exactly one LeftAnti (the equality join),
+    no sys_hidden_pos/file_path columns anywhere, and the DV check is a
+    Filter fused over the scan."""
+    import dataclasses
+
+    v3 = dataclasses.replace(fixture, format_version=3)
+    plan = (
+        rewrite_file_group(spark, v3)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert plan.count("LeftAnti") == 1, plan  # equality only
+    assert "sys_hidden_pos" not in plan, plan
+    # v2 for contrast: two anti-joins, position columns present
+    plan2 = (
+        rewrite_file_group(spark, fixture)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert plan2.count("LeftAnti") == 2, plan2
+
+
+def test_mor_v3_position_only_group(spark, fixture):
+    """v3 group with ONLY position deletes: pure scan + filter, no joins
+    and no hidden columns at all."""
+    import dataclasses
+
+    g = dataclasses.replace(
+        fixture, equality_delete_files=[], format_version=3
+    )
+    df = rewrite_file_group(spark, g)
+    ids = sorted(r["id"] for r in df.collect())
+    assert ids == sorted(set(range(20)) - {0, 15})
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "LeftAnti" not in plan and "Join" not in plan, plan
