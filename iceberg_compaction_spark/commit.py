@@ -25,6 +25,51 @@ from iceberg_compaction_spark.plans.datamodel import CompactionPlan, FileScanTas
 from iceberg_compaction_spark.sources.manifest import Manifest
 
 
+#: Iceberg snapshot-summary keys auto-computed during snapshot
+#: production (compaction/mod.rs:1187-1211).  They must NOT be copied
+#: from the previous snapshot — a new snapshot recomputes them — so only
+#: keys outside this list (and not ``partitions.``-prefixed) are custom
+#: metadata that carries forward.
+KNOWN_SNAPSHOT_SUMMARY_KEYS = frozenset(
+    {
+        "added-data-files",
+        "added-delete-files",
+        "added-equality-delete-files",
+        "added-position-delete-files",
+        "added-files-size",
+        "added-records",
+        "added-equality-deletes",
+        "added-position-deletes",
+        "deleted-data-files",
+        "removed-delete-files",
+        "removed-equality-delete-files",
+        "removed-position-delete-files",
+        "removed-files-size",
+        "deleted-records",
+        "removed-equality-deletes",
+        "removed-position-deletes",
+        "total-data-files",
+        "total-delete-files",
+        "total-files-size",
+        "total-records",
+        "total-equality-deletes",
+        "total-position-deletes",
+        "changed-partition-count",
+    }
+)
+
+
+def custom_snapshot_properties(properties: dict) -> dict:
+    """Extract the CUSTOM subset of a snapshot's summary properties —
+    everything except auto-computed summary keys and per-partition
+    rollups (compaction/mod.rs:1214-1224)."""
+    return {
+        k: v
+        for k, v in properties.items()
+        if k not in KNOWN_SNAPSHOT_SUMMARY_KEYS and not k.startswith("partitions.")
+    }
+
+
 class CommitConflict(RuntimeError):
     """Retryable commit failure (catalog conflict analog)."""
 
@@ -124,7 +169,10 @@ class CommitManager:
             schema_id=manifest.schema_id,
             format_version=manifest.format_version,
             data_files=kept + added,
-            properties={**manifest.properties, **(snapshot_properties or {})},
+            properties={
+                **custom_snapshot_properties(manifest.properties),
+                **(snapshot_properties or {}),
+            },
         )
         return new
 
@@ -167,7 +215,10 @@ class CommitManager:
             schema_id=manifest.schema_id,
             format_version=manifest.format_version,
             data_files=kept + added,
-            properties={**manifest.properties, **(snapshot_properties or {})},
+            properties={
+                **custom_snapshot_properties(manifest.properties),
+                **(snapshot_properties or {}),
+            },
         )
 
     def commit_with_retry(

@@ -151,3 +151,38 @@ def test_read_data_files_fails_loudly_on_unmapped_path(spark, tmp_path):
     )
     seqs = {r["id"]: r["sys_hidden_seq_num"] for r in ok.collect()}
     assert seqs == {1: 3, 2: 3, 3: 5, 4: 5}
+
+
+def test_snapshot_properties_reserved_keys_excluded():
+    """Mirrors mod.rs:2620-2656: auto-computed summary keys and
+    partitions.* rollups are NOT carried into the next snapshot; custom
+    keys are; caller-supplied properties win."""
+    from iceberg_compaction_spark.commit import (
+        KNOWN_SNAPSHOT_SUMMARY_KEYS,
+        custom_snapshot_properties,
+    )
+
+    props = {k: "100" for k in KNOWN_SNAPSHOT_SUMMARY_KEYS}
+    props["partitions.date=2024-01-01"] = "added-data-files=1"
+    props["pipeline-id"] = "pipe-42"
+    props["bobsled.source-table"] = "events_raw"
+
+    custom = custom_snapshot_properties(props)
+    assert custom == {
+        "pipeline-id": "pipe-42",
+        "bobsled.source-table": "events_raw",
+    }
+
+    # through a commit: reserved keys dropped, custom preserved, caller wins
+    m = manifest_with({"/t/a.parquet": 10})
+    m.properties = dict(props)
+    m2 = CommitManager().overwrite_files(
+        m,
+        added_files=[],
+        rewritten_files=[],
+        snapshot_properties={"pipeline-id": "pipe-43"},
+    )
+    assert m2.properties == {
+        "pipeline-id": "pipe-43",
+        "bobsled.source-table": "events_raw",
+    }
