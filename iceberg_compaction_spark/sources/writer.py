@@ -68,12 +68,29 @@ def write_sized_parquet(
     output_parallelism: int | None = None,
     sort_order: list[SortField] | None = None,
     partition_by: list[str] | None = None,
+    partition_spec: "list | None" = None,
 ) -> list[FileScanTask]:
     """Write ``df`` as size-targeted ZSTD parquet; return written files.
 
+    ``partition_spec`` (a list of ``functions.transforms.PartitionField``)
+    is the transform-aware fan-out (S11 + the reference's computed
+    partition values, executor/datafusion/mod.rs:205-221): each field
+    becomes a derived column (bucket/truncate/day/...) that the writer
+    fans out on; derived columns live only in the directory structure,
+    not in the data files.  Plain ``partition_by`` column names remain
+    for pre-materialized partition values.
+
     Returns one FileScanTask per produced file (record counts from parquet
-    footers), ready to feed the commit layer (T4).
+    footers, partition tuple parsed from the hive-style path), ready to
+    feed the commit layer (T4).
     """
+    if partition_spec:
+        from iceberg_compaction_spark.functions.transforms import (
+            with_partition_columns,
+        )
+
+        df, derived = with_partition_columns(df, partition_spec)
+        partition_by = [*(partition_by or []), *derived]
     if output_parallelism and output_parallelism > 0:
         if partition_by:
             # co-locate rows of one partition so fan-out writers produce
@@ -101,6 +118,13 @@ def list_written_files(out_dir: str, sequence_number: int = 0) -> list[FileScanT
 
     tasks: list[FileScanTask] = []
     for root, _dirs, names in os.walk(out_dir):
+        # hive-style partition dirs (k=v/...) between out_dir and the file
+        rel = os.path.relpath(root, out_dir)
+        part = tuple(
+            seg.split("=", 1)[1]
+            for seg in ([] if rel == "." else rel.split(os.sep))
+            if "=" in seg
+        )
         for name in sorted(names):
             if not name.endswith(".parquet") or name.startswith("_"):
                 continue
@@ -113,6 +137,7 @@ def list_written_files(out_dir: str, sequence_number: int = 0) -> list[FileScanT
                     file_size_in_bytes=size,
                     record_count=pq.read_metadata(path).num_rows,
                     sequence_number=sequence_number,
+                    partition=part,
                 )
             )
     return tasks
