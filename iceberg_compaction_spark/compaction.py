@@ -172,17 +172,17 @@ class Compaction:
 
     # --- entry point 1: managed --------------------------------------------
 
-    def compact_plans(
+    def execute_plans(
         self,
         manifest: Manifest,
         plans: list[CompactionPlan],
         out_root: str | None = None,
-    ) -> tuple[Manifest, CompactionStats]:
-        """Execute + commit pre-built plans (shared by compact() and
-        AutoCompaction)."""
+    ) -> tuple[list[RewriteResult], CompactionStats]:
+        """Run the rewrites for pre-built plans (no commit): the shared
+        execution phase of every entry point."""
         stats = CompactionStats()
         if not plans:
-            return manifest, stats
+            return [], stats
         out_root = out_root or os.path.join(
             manifest.table_root, f"compacted-{manifest.next_snapshot()}"
         )
@@ -207,11 +207,54 @@ class Compaction:
                     ),
                 )
             )
+        return results, stats
+
+    def compact_plans(
+        self,
+        manifest: Manifest,
+        plans: list[CompactionPlan],
+        out_root: str | None = None,
+    ) -> tuple[Manifest, CompactionStats]:
+        """Execute + commit pre-built plans (shared by compact() and
+        AutoCompaction)."""
+        results, stats = self.execute_plans(manifest, plans, out_root)
+        if not results:
+            return manifest, stats
         new_manifest = self.commit(manifest, results)
         return new_manifest, stats
 
     def compact(self, manifest: Manifest, out_root: str | None = None) -> tuple[Manifest, CompactionStats]:
         return self.compact_plans(manifest, self.plan(manifest), out_root)
+
+    def compact_catalog(
+        self, catalog, table_name: str, out_root: str | None = None
+    ) -> tuple[Manifest, CompactionStats]:
+        """Entry point 1 against a CATALOG table: load -> plan -> rewrite
+        -> CAS commit with retry (the reference's managed flow,
+        compaction/mod.rs:259-303, which loads the table from its
+        catalog and commits through it).  Each retry reloads the table
+        so non-overlapping concurrent commits land; the catalog's
+        exclusive version-file create supplies the atomicity."""
+        manifest = catalog.load_table(table_name)
+        plans = self.plan(manifest)
+        results, stats = self.execute_plans(manifest, plans, out_root)
+        if not results:
+            return manifest, stats
+
+        def attempt() -> Manifest:
+            current = catalog.load_table(table_name)
+            new = self.commit_manager.rewrite_files(current, results)
+            return catalog.commit_table(table_name, current.snapshot_id, new)
+
+        t0 = time.monotonic()
+        try:
+            new = self.commit_manager.commit_with_retry(attempt)
+        except Exception:
+            self.metrics.commit_failed_counter.inc()
+            raise
+        self.metrics.commit_counter.inc()
+        self.metrics.commit_duration.observe((time.monotonic() - t0) * 1000)
+        return new, stats
 
 
 @dataclass

@@ -1,0 +1,171 @@
+"""Catalog-backed tables with compare-and-swap commits.
+
+The reference loads its tables from an Iceberg catalog and commits
+through it (``core/src/compaction/mod.rs:270,450``; the integration
+suite runs a REST catalog + MinIO,
+``integration-tests/src/integration_tests.rs:38-579``).  This module
+supplies that seam locally: a Hadoop-catalog-style file layout,
+
+    <warehouse>/<table>/metadata/v<N>.metadata.json
+    <warehouse>/<table>/metadata/version-hint.text
+
+where commit N+1 atomically creates ``v<N+1>.metadata.json`` with
+``O_CREAT | O_EXCL`` — the filesystem primitive Iceberg's
+HadoopTableOperations uses for its atomic version swap.  Exactly one
+writer can create a given version, so the version-file create IS the
+compare-and-swap: no lock, no window.  (A REST/Glue/pyiceberg catalog
+implements the same ``load_table`` / ``commit_table`` contract
+server-side; swapping one in touches nothing above this seam.)
+
+Versions map 1:1 to snapshot ids (both bump by one per commit), so
+"create v<expected+1> exclusively" simultaneously checks that the head
+has not moved and publishes the new snapshot.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from dataclasses import dataclass
+
+from iceberg_compaction_spark.sources.manifest import Manifest
+
+
+class TableNotFound(KeyError):
+    pass
+
+
+class TableAlreadyExists(ValueError):
+    pass
+
+
+@dataclass
+class FileCatalog:
+    """Minimal catalog: namespace = directory, table = versioned
+    metadata files.  All mutations go through CAS commits."""
+
+    warehouse: str
+
+    # ---- layout --------------------------------------------------------
+
+    def _table_dir(self, name: str) -> str:
+        return os.path.join(self.warehouse, name)
+
+    def _metadata_dir(self, name: str) -> str:
+        return os.path.join(self._table_dir(name), "metadata")
+
+    def _version_path(self, name: str, version: int) -> str:
+        return os.path.join(self._metadata_dir(name), f"v{version}.metadata.json")
+
+    def _hint_path(self, name: str) -> str:
+        return os.path.join(self._metadata_dir(name), "version-hint.text")
+
+    # ---- catalog API ---------------------------------------------------
+
+    def list_tables(self) -> list[str]:
+        if not os.path.isdir(self.warehouse):
+            return []
+        return sorted(
+            d
+            for d in os.listdir(self.warehouse)
+            if os.path.isdir(os.path.join(self.warehouse, d, "metadata"))
+        )
+
+    def table_exists(self, name: str) -> bool:
+        return os.path.isdir(self._metadata_dir(name))
+
+    def create_table(self, name: str, manifest: Manifest) -> Manifest:
+        """Register a table; its first metadata version is the given
+        manifest (snapshot id forced to 1)."""
+        if self.table_exists(name):
+            raise TableAlreadyExists(name)
+        os.makedirs(self._metadata_dir(name))
+        manifest.snapshot_id = 1
+        self._write_version(name, manifest)
+        return manifest
+
+    def load_table(self, name: str) -> Manifest:
+        """Current table state: the highest committed version (the hint
+        file is an optimization; the directory scan is authoritative,
+        matching HadoopTableOperations' fallback)."""
+        v = self._current_version(name)
+        if v == 0:
+            raise TableNotFound(name)
+        with open(self._version_path(name, v)) as f:
+            return Manifest.from_dict(json.load(f))
+
+    def commit_table(
+        self, name: str, expected_snapshot_id: int, new_manifest: Manifest
+    ):
+        """CAS commit: publish ``new_manifest`` as the next version iff
+        the head is still ``expected_snapshot_id``.
+
+        Raises ``commit.CommitConflict`` (retryable) when another writer
+        got there first — either the head moved past ``expected`` or the
+        exclusive create of the next version file loses the race.
+        """
+        from iceberg_compaction_spark.commit import CommitConflict
+
+        new_version = expected_snapshot_id + 1
+        if new_manifest.snapshot_id != new_version:
+            raise ValueError(
+                f"new manifest snapshot {new_manifest.snapshot_id} != "
+                f"expected head {expected_snapshot_id} + 1"
+            )
+        current = self._current_version(name)
+        if current == 0:
+            raise TableNotFound(name)
+        if current != expected_snapshot_id:
+            raise CommitConflict(
+                f"{name}: head at v{current}, commit expected v{expected_snapshot_id}"
+            )
+        try:
+            self._write_version(name, new_manifest, exclusive=True)
+        except FileExistsError:
+            raise CommitConflict(
+                f"{name}: lost CAS race for v{new_version}"
+            ) from None
+        return new_manifest
+
+    # ---- internals -----------------------------------------------------
+
+    def _current_version(self, name: str) -> int:
+        mdir = self._metadata_dir(name)
+        if not os.path.isdir(mdir):
+            return 0
+        # hint is best-effort; trust it only if the version file exists
+        hint = 0
+        try:
+            with open(self._hint_path(name)) as f:
+                hint = int(f.read().strip())
+        except (FileNotFoundError, ValueError):
+            hint = 0
+        if hint and os.path.exists(self._version_path(name, hint + 1)):
+            hint = 0  # stale hint: fall through to the scan
+        if hint and os.path.exists(self._version_path(name, hint)):
+            return hint
+        versions = [
+            int(n[1:].split(".", 1)[0])
+            for n in os.listdir(mdir)
+            if n.startswith("v") and n.endswith(".metadata.json")
+        ]
+        return max(versions, default=0)
+
+    def _write_version(
+        self, name: str, manifest: Manifest, exclusive: bool = False
+    ) -> None:
+        path = self._version_path(name, manifest.snapshot_id)
+        payload = json.dumps(manifest.to_dict(), indent=1)
+        if exclusive:
+            # THE atomic CAS: exactly one writer creates this version
+            fd = os.open(path, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+            with os.fdopen(fd, "w") as f:
+                f.write(payload)
+        else:
+            with open(path, "w") as f:
+                f.write(payload)
+        # hint update is advisory (readers rescan on staleness)
+        tmp = f"{self._hint_path(name)}.tmp"
+        with open(tmp, "w") as f:
+            f.write(str(manifest.snapshot_id))
+        os.replace(tmp, self._hint_path(name))

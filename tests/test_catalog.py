@@ -1,0 +1,130 @@
+"""Catalog-backed compaction: CAS commits through the FileCatalog seam,
+mirroring the reference's catalog-driven integration flow
+(integration-tests/src/integration_tests.rs:38-363: load table from
+catalog, compact, re-run is a no-op fixed point)."""
+
+import os
+import threading
+
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+
+from iceberg_compaction_spark.commit import CommitConflict
+from iceberg_compaction_spark.compaction import Compaction
+from iceberg_compaction_spark.config import CompactionConfig
+from iceberg_compaction_spark.sources.catalog import (
+    FileCatalog,
+    TableAlreadyExists,
+    TableNotFound,
+)
+from iceberg_compaction_spark.sources.manifest import Manifest
+
+
+@pytest.fixture()
+def warehouse(tmp_path):
+    return FileCatalog(warehouse=str(tmp_path / "warehouse"))
+
+
+@pytest.fixture()
+def fragmented(tmp_path):
+    """8 small files of 16 rows each, no deletes."""
+    root = str(tmp_path / "data")
+    os.makedirs(root)
+    n = 0
+    for f in range(8):
+        ids = list(range(n, n + 16))
+        n += 16
+        pq.write_table(
+            pa.table({"id": pa.array(ids, type=pa.int64())}),
+            os.path.join(root, f"part{f}.parquet"),
+        )
+    return Manifest.from_parquet_dir(root, sequence_number=1)
+
+
+def test_create_load_roundtrip(warehouse, fragmented):
+    warehouse.create_table("events", fragmented)
+    assert warehouse.list_tables() == ["events"]
+    assert warehouse.table_exists("events")
+    loaded = warehouse.load_table("events")
+    assert loaded.snapshot_id == 1
+    assert loaded.paths() == fragmented.paths()
+    with pytest.raises(TableAlreadyExists):
+        warehouse.create_table("events", fragmented)
+    with pytest.raises(TableNotFound):
+        warehouse.load_table("nope")
+
+
+def test_catalog_compaction_then_fixed_point(spark, warehouse, fragmented):
+    warehouse.create_table("t", fragmented)
+    c = Compaction(
+        spark=spark, config=CompactionConfig.small_files(min_group_file_count=2)
+    )
+
+    m2, stats = c.compact_catalog(warehouse, "t")
+    assert m2.snapshot_id == 2
+    assert stats.input_files_count == 8
+    assert stats.output_files_count == 1
+    assert sum(t.record_count for t in m2.data_files) == 128
+    # the commit is visible through a fresh load
+    assert warehouse.load_table("t").snapshot_id == 2
+    assert os.path.exists(warehouse._version_path("t", 2))
+
+    # second run: nothing to do — a no-op FIXED POINT (the reference's
+    # integration_tests.rs:311-319 re-run assertion)
+    m3, stats2 = c.compact_catalog(warehouse, "t")
+    assert m3.snapshot_id == 2
+    assert stats2.input_files_count == 0
+    assert warehouse.load_table("t").snapshot_id == 2
+
+
+def test_cas_exactly_one_winner(warehouse, fragmented):
+    warehouse.create_table("t", fragmented)
+    base = warehouse.load_table("t")
+
+    def make_next():
+        m = Manifest.from_dict(base.to_dict())
+        m.snapshot_id = base.snapshot_id + 1
+        return m
+
+    outcomes = [None, None]
+    barrier = threading.Barrier(2)
+
+    def run(i):
+        try:
+            barrier.wait()
+            outcomes[i] = warehouse.commit_table("t", base.snapshot_id, make_next())
+        except CommitConflict as e:
+            outcomes[i] = e
+
+    ts = [threading.Thread(target=run, args=(i,)) for i in range(2)]
+    for t in ts:
+        t.start()
+    for t in ts:
+        t.join()
+    wins = [o for o in outcomes if isinstance(o, Manifest)]
+    losses = [o for o in outcomes if isinstance(o, CommitConflict)]
+    assert len(wins) == 1 and len(losses) == 1, outcomes
+    assert warehouse.load_table("t").snapshot_id == 2
+
+
+def test_stale_or_missing_hint_recovers(warehouse, fragmented):
+    warehouse.create_table("t", fragmented)
+    nxt = Manifest.from_dict(fragmented.to_dict())
+    nxt.snapshot_id = 2
+    warehouse.commit_table("t", 1, nxt)
+
+    # hint destroyed -> directory scan is authoritative
+    os.unlink(warehouse._hint_path("t"))
+    assert warehouse.load_table("t").snapshot_id == 2
+
+    # hint stale (points at v1) -> scan finds v2
+    with open(warehouse._hint_path("t"), "w") as f:
+        f.write("1")
+    assert warehouse.load_table("t").snapshot_id == 2
+
+    # commit against a stale expected head conflicts
+    nxt3 = Manifest.from_dict(fragmented.to_dict())
+    nxt3.snapshot_id = 2
+    with pytest.raises(CommitConflict):
+        warehouse.commit_table("t", 1, nxt3)
