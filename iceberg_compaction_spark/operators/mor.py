@@ -45,8 +45,12 @@ from iceberg_compaction_spark.sources.scan import (
 )
 
 # Deletes smaller than this (bytes, on-disk) are force-broadcast; bigger
-# ones are left to AQE. Matches Spark's comfortable broadcast range.
-DEFAULT_BROADCAST_DELETE_BYTES = 256 * 1024 * 1024
+# ones are left to AQE (which still broadcasts mid-size sides at runtime
+# when its own threshold allows).  64 MiB on disk deserializes to a few
+# hundred MiB of driver/executor heap — the comfortable ceiling for an
+# explicit broadcast hint at cluster scale; 256 MiB risked multi-GiB
+# broadcast blow-ups on wide delete rows.
+DEFAULT_BROADCAST_DELETE_BYTES = 64 * 1024 * 1024
 
 
 @dataclass

@@ -240,6 +240,128 @@ def lsh_topk(
     )
 
 
+def n_bits_for_target_occupancy(
+    n_vectors: int, target_bucket_size: int = 1024, max_bits: int = 24
+) -> int:
+    """Hyperplane-bit count so expected bucket occupancy stays bounded.
+
+    ``2^bits >= n / target`` — with b bits a uniform corpus lands
+    ``n / 2^b`` vectors per bucket, so within-bucket pairing costs
+    ``sum |bucket|^2 ~ n * target`` instead of ``n^2 / 2^b``.  A FIXED
+    bit count (e.g. 4 bits -> 16 buckets) silently degrades to ~n²/16
+    as the corpus grows — bits must scale with log2(n).  Recall loss
+    from more bits is recovered by extra hash tables
+    (:func:`lsh_cosine_pairs_multi` / :func:`lsh_topk_multi`).
+    """
+    import math
+
+    if n_vectors <= target_bucket_size:
+        return 1
+    return min(max_bits, math.ceil(math.log2(n_vectors / target_bucket_size)))
+
+
+def _with_table_buckets(
+    v: DataFrame, tables: list[list[tuple[list[float], list[float]]]]
+) -> DataFrame:
+    for t, pairs in enumerate(tables):
+        v = v.withColumn(f"__bucket_{t}", lsh_bucket(F.col("v"), pairs))
+    return v
+
+
+def lsh_cosine_pairs_multi(
+    vectors: DataFrame,
+    tables: list[list[tuple[list[float], list[float]]]],
+    threshold_ppm: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Multi-table LSH near-dup pairs: a candidate pair only needs to
+    collide in ONE of the hash tables, so recall at b bits with T tables
+    is ``1 - (1 - p^b)^T`` instead of ``p^b`` — the standard recall
+    recovery when bits grow with the corpus.  Candidates are unioned
+    across tables and de-duplicated BEFORE the cosine is computed, so
+    each surviving pair is scored exactly once."""
+    v = _with_table_buckets(
+        vectors.select(F.col(id_col), as_double(F.col(vec_col)).alias("v")), tables
+    )
+    cands = None
+    for t in range(len(tables)):
+        a = v.select(
+            F.col(id_col).alias("id_a"), F.col("v").alias("va"),
+            F.col(f"__bucket_{t}").alias("__bk"),
+        )
+        b = v.select(
+            F.col(id_col).alias("id_b"), F.col("v").alias("vb"),
+            F.col(f"__bucket_{t}").alias("__bk"),
+        )
+        c = a.join(b, on="__bk").where(F.col("id_a") < F.col("id_b")).drop("__bk")
+        cands = c if cands is None else cands.unionByName(c)
+    return (
+        cands.dropDuplicates(["id_a", "id_b"])
+        .select(
+            "id_a", "id_b", cosine_ppm(F.col("va"), F.col("vb")).alias("cos_ppm")
+        )
+        .where(F.col("cos_ppm") >= threshold_ppm)
+    )
+
+
+def lsh_topk_multi(
+    corpus: DataFrame,
+    queries: DataFrame,
+    tables: list[list[tuple[list[float], list[float]]]],
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Multi-table LSH ANN: candidates from every table's bucket join,
+    de-duplicated per (query, neighbor), then one ranking window."""
+    from pyspark.sql.window import Window
+
+    c = _with_table_buckets(
+        corpus.select(
+            F.col(id_col).alias("neighbor_id"), as_double(F.col(vec_col)).alias("v")
+        ),
+        tables,
+    ).withColumnRenamed("v", "cv")
+    q = _with_table_buckets(
+        queries.select(
+            F.col(id_col).alias("query_id"), as_double(F.col(vec_col)).alias("v")
+        ),
+        tables,
+    ).withColumnRenamed("v", "qv")
+
+    cands = None
+    for t in range(len(tables)):
+        qt = q.select("query_id", "qv", F.col(f"__bucket_{t}").alias("__bk"))
+        ct = c.select("neighbor_id", "cv", F.col(f"__bucket_{t}").alias("__bk"))
+        x = (
+            F.broadcast(qt)
+            .join(ct, on="__bk")
+            .where(F.col("query_id") != F.col("neighbor_id"))
+            .drop("__bk")
+        )
+        cands = x if cands is None else cands.unionByName(x)
+
+    scored = cands.dropDuplicates(["query_id", "neighbor_id"]).select(
+        "query_id",
+        "neighbor_id",
+        cosine_ppm(F.col("qv"), F.col("cv")).alias("cos_ppm"),
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cos_ppm").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select(
+            "query_id",
+            "neighbor_id",
+            "cos_ppm",
+            F.col("rank").cast("int").alias("rank"),
+        )
+    )
+
+
 def lsh_cosine_pairs(
     vectors: DataFrame,
     anchor_pairs: list[tuple[list[float], list[float]]],
