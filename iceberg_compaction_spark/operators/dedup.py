@@ -248,6 +248,7 @@ def minhash_lsh_dedup_pairs(
     num_hashes: int = DEFAULT_NUM_HASHES,
     band_size: int = DEFAULT_BAND_SIZE,
     threshold_ppm: int = 100000,
+    scope=None,
 ) -> DataFrame:
     """LSH candidates verified with exact Jaccard — computed for the
     candidate pairs ONLY.
@@ -256,20 +257,24 @@ def minhash_lsh_dedup_pairs(
     (cost ~ sum of shingle-frequency squared) is replaced by
     candidates x their-shingles joins, so verification cost scales with
     the number of candidate pairs, not with corpus co-occurrence.
+
+    ``scope``: an optional
+    :class:`~iceberg_compaction_spark.operators.cache.CacheScope` that
+    bounds the lifetime of the persisted shingle/signature intermediates
+    — consume the result inside the scope and their storage is released
+    on exit.  Without a scope the handles stay cached (Spark's LRU
+    storage eviction reclaims them under pressure; a long-lived session
+    processing many corpora should pass a scope).
     """
     # The shingle-set and signature tables are tiny relative to the corpus
     # (k ints / a string array per doc) but feed multiple join branches;
     # persist them so the md5/tokenize subtrees evaluate once, not once
     # per branch. (The reference materializes join build sides the same
-    # way inside DataFusion's hash join.)  The handles stay cached after
-    # the result is consumed — Spark's LRU storage eviction reclaims
-    # them under pressure; callers running many corpora per session can
-    # clear explicitly via spark.catalog.clearCache().
-    sets = shingle_sets(df, id_col, text_col, n).persist()
+    # way inside DataFusion's hash join.)
+    _persist = scope.persist if scope is not None else (lambda d: d.persist())
+    sets = _persist(shingle_sets(df, id_col, text_col, n))
     sh = sets.select(F.col(id_col), F.explode("shs").alias("shingle"))
-    sigs = minhash_signatures(
-        df, id_col, text_col, n, num_hashes, sets=sets
-    ).persist()
+    sigs = _persist(minhash_signatures(df, id_col, text_col, n, num_hashes, sets=sets))
     cands = lsh_candidate_pairs(sigs, id_col, num_hashes, band_size)
 
     sizes = sets.select(F.col(id_col), "sz")
@@ -343,10 +348,11 @@ def simhash_pairs(
     bits: int = 16,
     max_hamming: int = 3,
 ) -> DataFrame:
-    """Near-dup pairs by simhash hamming distance.
+    """Near-dup pairs by simhash hamming distance (quadratic baseline).
 
-    Note: the pair join here is quadratic (fine for verification subsets);
-    the scale path buckets by simhash bands exactly like LSH.
+    The pair join here is an all-pairs crossJoin — correctness baseline
+    only; :func:`simhash_banded_pairs` is the bucketed scale path with
+    identical output.
     """
     s = simhash(df, id_col, text_col, bits)
     a = s.select(F.col(id_col).alias("id_a"), F.col("simhash").alias("sh_a"))
@@ -359,4 +365,71 @@ def simhash_pairs(
         )
         .where(F.col("hamming") <= max_hamming)
         .select("id_a", "id_b", "hamming")
+    )
+
+
+def _band_layout(bits: int, n_bands: int) -> list[tuple[int, int]]:
+    """(offset, width) per band, widths as even as possible, covering all bits."""
+    layout, off = [], 0
+    for i in range(n_bands):
+        w = bits // n_bands + (1 if i < bits % n_bands else 0)
+        layout.append((off, w))
+        off += w
+    return layout
+
+
+def simhash_banded_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    bits: int = 32,
+    max_hamming: int = 3,
+) -> DataFrame:
+    """Near-dup pairs by simhash hamming distance — Hamming-LSH scale path.
+
+    Pigeonhole: splitting a ``bits``-wide fingerprint into
+    ``max_hamming + 1`` disjoint bands guarantees that any pair within
+    Hamming distance ``max_hamming`` agrees EXACTLY on at least one full
+    band.  So candidates come from equality joins on (band index, band
+    value) buckets — cost proportional to bucket co-occupancy, never the
+    n² crossJoin of :func:`simhash_pairs` — and the exact Hamming
+    distance is verified for candidates only.  Output is identical to
+    the quadratic baseline (no false negatives by construction).
+
+    The fingerprint rides along through the band explode so verification
+    needs no join back to the fingerprint table.
+    """
+    n_bands = max_hamming + 1
+    s = simhash(df, id_col, text_col, bits)
+    band_cols = [
+        F.concat_ws(
+            "_",
+            F.lit(i),
+            F.shiftright(F.col("simhash"), off)
+            .bitwiseAND(F.lit((1 << w) - 1))
+            .cast("string"),
+        )
+        for i, (off, w) in enumerate(_band_layout(bits, n_bands))
+    ]
+    bands = s.select(
+        F.col(id_col),
+        F.col("simhash"),
+        F.explode(F.array(*band_cols)).alias("band_key"),
+    )
+    a = bands.select(
+        F.col(id_col).alias("id_a"), F.col("simhash").alias("sh_a"), "band_key"
+    )
+    b = bands.select(
+        F.col(id_col).alias("id_b"), F.col("simhash").alias("sh_b"), "band_key"
+    )
+    return (
+        a.join(b, "band_key")
+        .where(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", "sh_a", "sh_b")
+        .dropDuplicates(["id_a", "id_b"])
+        .withColumn(
+            "hamming", F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b")))
+        )
+        .where(F.col("hamming") <= max_hamming)
+        .select("id_a", "id_b", F.col("hamming").cast("long").alias("hamming"))
     )

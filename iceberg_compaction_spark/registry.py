@@ -397,6 +397,33 @@ def q_dedup_simhash(spark, sf_dir):
     return dd.simhash(_docs(spark, sf_dir))
 
 
+SIMHASH_PAIR_BITS = 32
+SIMHASH_MAX_HAMMING = 3
+
+
+def _simhash_pairs_sql(bits: int = SIMHASH_PAIR_BITS) -> str:
+    # Oracle is the quadratic formulation (fine at sf0.01); the Spark side
+    # runs the banded Hamming-LSH scale path — identical output by the
+    # pigeonhole guarantee (dedup.simhash_banded_pairs).
+    fingerprints = _simhash_sql(bits).strip()
+    return f"""
+    WITH fp AS ({fingerprints})
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           CAST(bit_count(xor(a.simhash, b.simhash)) AS BIGINT) AS hamming
+    FROM fp a JOIN fp b ON a.doc_id < b.doc_id
+    WHERE bit_count(xor(a.simhash, b.simhash)) <= {SIMHASH_MAX_HAMMING}
+    """
+
+
+@register("dedup_simhash_pairs", _simhash_pairs_sql())
+def q_dedup_simhash_pairs(spark, sf_dir):
+    return dd.simhash_banded_pairs(
+        _docs(spark, sf_dir),
+        bits=SIMHASH_PAIR_BITS,
+        max_hamming=SIMHASH_MAX_HAMMING,
+    )
+
+
 EMB_PAIR_THRESHOLD_PPM = 350000
 
 _COS = (

@@ -85,6 +85,64 @@ def test_simhash_identical_docs_same_hash(spark, docs):
     assert pairs[(1, 2)] == 0
 
 
+def test_simhash_banded_equals_quadratic(spark, docs):
+    # Pigeonhole guarantee: the banded Hamming-LSH path produces EXACTLY
+    # the quadratic baseline's pairs — no false negatives at any
+    # threshold, including uneven band widths (bits not divisible by
+    # max_hamming + 1).
+    for bits, mh in [(32, 3), (16, 3), (17, 4), (32, 0)]:
+        quad = sorted(
+            (r["id_a"], r["id_b"], r["hamming"])
+            for r in dd.simhash_pairs(docs, bits=bits, max_hamming=mh).collect()
+        )
+        banded = sorted(
+            (r["id_a"], r["id_b"], r["hamming"])
+            for r in dd.simhash_banded_pairs(
+                docs, bits=bits, max_hamming=mh
+            ).collect()
+        )
+        assert banded == quad
+    assert any(a == 1 and b == 2 for a, b, _ in banded)  # identical docs pair
+
+
+def test_cache_scope_releases_storage(spark, docs):
+    from iceberg_compaction_spark.operators.cache import CacheScope
+
+    with CacheScope() as cs:
+        d = cs.persist(docs.select("doc_id"))
+        d.count()
+        assert d.storageLevel.useMemory
+    assert not d.storageLevel.useMemory  # released on scope exit
+
+
+def test_minhash_with_cache_scope_same_result(spark, docs):
+    from iceberg_compaction_spark.operators.cache import CacheScope
+
+    plain = {
+        (r["id_a"], r["id_b"])
+        for r in dd.minhash_lsh_dedup_pairs(docs, threshold_ppm=400000).collect()
+    }
+    with CacheScope() as cs:
+        scoped = {
+            (r["id_a"], r["id_b"])
+            for r in dd.minhash_lsh_dedup_pairs(
+                docs, threshold_ppm=400000, scope=cs
+            ).collect()
+        }
+    assert scoped == plain
+
+
+def test_band_layout_covers_all_bits():
+    for bits in (8, 16, 17, 31, 32):
+        for n_bands in (1, 3, 4, 5):
+            layout = dd._band_layout(bits, n_bands)
+            assert len(layout) == n_bands
+            assert layout[0][0] == 0
+            for (o1, w1), (o2, _) in zip(layout, layout[1:]):
+                assert o1 + w1 == o2
+            assert layout[-1][0] + layout[-1][1] == bits
+
+
 @pytest.fixture(scope="module")
 def vectors(spark):
     rows = [
