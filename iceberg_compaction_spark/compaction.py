@@ -183,6 +183,17 @@ class Compaction:
         stats = CompactionStats()
         if not plans:
             return [], stats
+        # Bounded-memory contract (core/src/config/mod.rs:464-488): size
+        # input splits so concurrent tasks stay inside the budget after
+        # decode inflation, failing fast (try_grow analog) when the
+        # budget is infeasible — BEFORE any rewrite launches.
+        mem = self.config.memory
+        if mem.max_memory_bytes is not None:
+            parallelism = self.spark.sparkContext.defaultParallelism
+            for key, val in mem.spark_conf(parallelism).items():
+                if key == "spark.local.dir":
+                    continue  # session-fixed; builder-time only
+                self.spark.conf.set(key, val)
         out_root = out_root or os.path.join(
             manifest.table_root, f"compacted-{manifest.next_snapshot()}"
         )

@@ -86,6 +86,84 @@ class CompactionPlanningConfig:
     max_output_parallelism: int = 32  # reference: CPUs
 
 
+class MemoryBudgetExceeded(RuntimeError):
+    """Fail-fast analog of DataFusion's ``ResourcesExhausted``: the
+    configured ``max_memory_bytes`` cannot accommodate the requested
+    parallelism even at the minimum useful input-split size."""
+
+
+# Decoded-Arrow inflation of ZSTD parquet: the reference documents 5-20x
+# (core/src/config/mod.rs:471-473); 8x is the planning midpoint.
+DEFAULT_DECODE_INFLATION = 8
+# A sort holds decoded input plus sort buffers (~2x; mod.rs:472-474).
+DEFAULT_SORT_MULTIPLIER = 2
+# Below this per-task split size, scheduling overhead dominates and the
+# budget is effectively infeasible — fail fast instead of thrashing.
+MIN_USEFUL_PARTITION_BYTES = 4 * 1024 * 1024
+
+
+@dataclass
+class ExecutionMemoryConfig:
+    """Bounded-memory execution (core/src/config/mod.rs:464-488).
+
+    The reference maps ``max_memory_bytes`` to a DataFusion
+    ``FairSpillPool`` + ``DiskManager`` (spill instead of OOM) and
+    charges every decoded batch to the pool with fail-fast ``try_grow``
+    (iceberg_file_task_scan.rs:55-69, 378-386).  Spark's unified memory
+    manager already gives sort/agg/join spill-to-disk (O2); what the
+    budget must control Spark-side is the DECODED INPUT footprint per
+    task, and the lever for that is ``spark.sql.files.maxPartitionBytes``
+    — on-disk split size × decode inflation × sort multiplier is the
+    peak per-task memory a compaction rewrite holds.
+
+    ``max_memory_bytes=None`` (default) preserves unbounded behavior,
+    exactly like the reference's ``Option::None``.
+    """
+
+    max_memory_bytes: int | None = None
+    spill_dir: str | None = None
+    decode_inflation: int = DEFAULT_DECODE_INFLATION
+    sort_multiplier: int = DEFAULT_SORT_MULTIPLIER
+
+    def max_partition_bytes(self, parallelism: int) -> int | None:
+        """On-disk split ceiling so ``parallelism`` concurrent tasks stay
+        inside the budget after decode + sort amplification."""
+        if self.max_memory_bytes is None:
+            return None
+        per_task = self.max_memory_bytes // max(parallelism, 1)
+        return per_task // (self.decode_inflation * self.sort_multiplier)
+
+    def validate(self, parallelism: int) -> None:
+        """Fail fast (the ``try_grow`` contract) when the budget cannot
+        fit the parallelism at any useful split size."""
+        mpb = self.max_partition_bytes(parallelism)
+        if mpb is not None and mpb < MIN_USEFUL_PARTITION_BYTES:
+            raise MemoryBudgetExceeded(
+                f"max_memory_bytes={self.max_memory_bytes} supports only "
+                f"{mpb} on-disk bytes per task at parallelism={parallelism} "
+                f"(x{self.decode_inflation} decode, x{self.sort_multiplier} "
+                f"sort); minimum useful is {MIN_USEFUL_PARTITION_BYTES}. "
+                "Lower parallelism or raise the budget."
+            )
+
+    def spark_conf(self, parallelism: int) -> dict[str, str]:
+        """Spark conf entries realizing the budget.
+
+        ``spark.sql.files.maxPartitionBytes`` is runtime-settable and is
+        applied by :class:`~iceberg_compaction_spark.compaction.Compaction`
+        automatically; ``spark.local.dir`` (the spill directory) is
+        session-fixed — pass it to the ``SparkSession`` builder.
+        """
+        self.validate(parallelism)
+        conf: dict[str, str] = {}
+        mpb = self.max_partition_bytes(parallelism)
+        if mpb is not None:
+            conf["spark.sql.files.maxPartitionBytes"] = str(mpb)
+        if self.spill_dir is not None:
+            conf["spark.local.dir"] = self.spill_dir
+        return conf
+
+
 @dataclass
 class CommitRetryConfig:
     """Optimistic-commit retry (core/src/compaction/mod.rs:765-782)."""
@@ -102,6 +180,7 @@ class CompactionConfig:
     planning: CompactionPlanningConfig = field(default_factory=CompactionPlanningConfig)
     writer: WriterConfig = field(default_factory=WriterConfig)
     retry: CommitRetryConfig = field(default_factory=CommitRetryConfig)
+    memory: ExecutionMemoryConfig = field(default_factory=ExecutionMemoryConfig)
     max_concurrent_compaction_plans: int = DEFAULT_MAX_CONCURRENT_COMPACTION_PLANS
     enable_validate_compaction: bool = False
 
