@@ -44,6 +44,64 @@ def cosine_ppm(a: Column, b: Column) -> Column:
     return F.floor(cosine(a, b) * 1000000).cast("long")
 
 
+def l2_normalize(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Unit-normalize each embedding; emit integer micro-units.
+
+    Output: ``(id, norm_micro, unit_micro: array<bigint>)`` — the L2
+    norm and the unit vector scaled by 1e6 and floored, so the result
+    hashes identically across engines (raw doubles differ in the last
+    ulp between formatters).  Pure higher-order functions in the scan
+    projection: narrow, zero-shuffle, whole-stage codegen — the shape
+    that matters when normalizing 10^11 vectors before ANN indexing.
+    Zero vectors emit NULL components (division by zero -> NULL) rather
+    than failing the batch.
+    """
+    v = as_double(F.col(vec_col))
+    norm = F.sqrt(dot(v, v))
+    return df.select(
+        F.col(id_col),
+        F.floor(norm * 1000000).cast("long").alias("norm_micro"),
+        F.transform(
+            v, lambda x: F.floor(x / norm * 1000000).cast("long")
+        ).alias("unit_micro"),
+    )
+
+
+def quantize_int8(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Symmetric scalar int8 quantization (the standard ANN-index
+    compression: 4x smaller than float32, distance error ~0.4%).
+
+    Per-vector scale ``127 / max(|x|)``; components become
+    ``floor(x * scale)`` in [-128, 127].  Output:
+    ``(id, scale_micro, q: array<bigint>)`` with the scale in integer
+    micro-units for engine-stable hashing.  All-zero vectors quantize
+    to all-zero with NULL scale (no max magnitude to normalize by).
+    """
+    v = as_double(F.col(vec_col))
+    absmax = F.aggregate(
+        v, F.lit(0.0), lambda acc, x: F.greatest(acc, F.abs(x))
+    )
+    scale = F.when(absmax > 0, F.lit(127.0) / absmax)
+    return df.select(
+        F.col(id_col),
+        F.floor(scale * 1000000).cast("long").alias("scale_micro"),
+        F.transform(
+            v,
+            lambda x: F.when(absmax > 0, F.floor(x * scale))
+            .otherwise(F.lit(0))
+            .cast("long"),
+        ).alias("q"),
+    )
+
+
 def brute_force_topk(
     corpus: DataFrame,
     queries: DataFrame,

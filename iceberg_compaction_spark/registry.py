@@ -667,6 +667,121 @@ def q_ann_lsh(spark, sf_dir):
     return sim.lsh_topk(emb, queries, _collect_anchor_pairs(spark, sf_dir), k=5)
 
 
+def _zorder_sql(bits: int = 8) -> str:
+    from iceberg_compaction_spark.operators import zorder as zo
+
+    top = (1 << bits) - 1
+    sp = f"((l_partkey - pmin) * {top} // greatest(pmax - pmin, 1))"
+    ss = f"((l_suppkey - smin) * {top} // greatest(smax - smin, 1))"
+    z = zo.zorder_code_expr([sp, ss], bits)
+    return f"""
+    WITH mm AS (SELECT MIN(l_partkey) AS pmin, MAX(l_partkey) AS pmax,
+                       MIN(l_suppkey) AS smin, MAX(l_suppkey) AS smax
+                FROM lineitem)
+    SELECT l_orderkey, l_linenumber, CAST({z} AS BIGINT) AS zcode
+    FROM lineitem, mm
+    """
+
+
+@register("zorder_lineitem", _zorder_sql())
+def q_zorder_lineitem(spark, sf_dir):
+    """Morton code over (l_partkey, l_suppkey): the clustering key a
+    z-ordered compaction sorts by.  Pure integer shift/mask expressions
+    (whole-stage codegen); the min/max scaling aggregate is one tiny
+    metadata-sized job."""
+    from iceberg_compaction_spark.operators import zorder as zo
+
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    df, code = zo.zorder_code(li, ["l_partkey", "l_suppkey"], bits=8)
+    return df.select(
+        "l_orderkey", "l_linenumber", code.cast("long").alias("zcode")
+    )
+
+
+TOP_NGRAMS_K = 20
+
+
+@register(
+    "text_top_ngrams",
+    f"""
+    WITH t AS (SELECT string_split({_NORM}, ' ') AS toks FROM documents),
+    b AS (
+      SELECT unnest(list_transform(range(1, array_length(toks)),
+                                   i -> toks[i] || ' ' || toks[i + 1])) AS ngram
+      FROM t
+    )
+    SELECT ngram, COUNT(*) AS n
+    FROM b GROUP BY ngram
+    ORDER BY n DESC, ngram ASC LIMIT {TOP_NGRAMS_K}
+    """,
+)
+def q_text_top_ngrams(spark, sf_dir):
+    """Corpus-wide top-k word bigrams WITH multiplicity (vocabulary
+    statistics for a training corpus).  One explode + one count shuffle;
+    the top-k is orderBy().limit() — Spark's TakeOrderedAndProject does
+    per-partition top-k then merges k rows per partition on the driver,
+    never a single-partition global sort."""
+    from iceberg_compaction_spark.operators.text import normalize_text
+
+    docs = _docs(spark, sf_dir)
+    toks_df = docs.select(
+        F.split(normalize_text(F.col("text")), " ").alias("toks")
+    )
+    bigrams = F.when(
+        F.size("toks") >= 2,
+        F.expr(
+            "transform(sequence(0, size(toks) - 2),"
+            " i -> concat(toks[i], ' ', toks[i + 1]))"
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    return (
+        toks_df.select(F.explode(bigrams).alias("ngram"))
+        .groupBy("ngram")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.col("n").desc(), F.col("ngram").asc())
+        .limit(TOP_NGRAMS_K)
+    )
+
+
+@register(
+    "emb_normalize",
+    """
+    WITH n AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    m AS (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm FROM n)
+    SELECT vec_id,
+           CAST(FLOOR(nrm * 1000000) AS BIGINT) AS norm_micro,
+           list_transform(v, x -> CAST(FLOOR(x / nrm * 1000000) AS BIGINT))
+             AS unit_micro
+    FROM m
+    """,
+)
+def q_emb_normalize(spark, sf_dir):
+    """L2 normalization to integer micro-units — narrow scan projection,
+    zero shuffle (the pre-index normalize pass of an ANN pipeline)."""
+    return sim.l2_normalize(_emb(spark, sf_dir))
+
+
+@register(
+    "emb_quantize",
+    """
+    WITH n AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    m AS (SELECT vec_id, v,
+                 list_max(list_transform(v, x -> abs(x))) AS am FROM n)
+    SELECT vec_id,
+           CAST(FLOOR(CASE WHEN am > 0 THEN 127.0 / am END * 1000000)
+             AS BIGINT) AS scale_micro,
+           list_transform(v, x -> CAST(
+             CASE WHEN am > 0 THEN FLOOR(x * (127.0 / am)) ELSE 0 END
+             AS BIGINT)) AS q
+    FROM m
+    """,
+)
+def q_emb_quantize(spark, sf_dir):
+    """Symmetric int8 scalar quantization (4x index compression) —
+    per-row higher-order functions, zero shuffle."""
+    return sim.quantize_int8(_emb(spark, sf_dir))
+
+
 # ===========================================================================
 # Events / streaming (batch forms; streaming twins live in streaming/pipeline)
 # ===========================================================================
@@ -974,6 +1089,27 @@ def q_stream_stateful_sessions(spark, sf_dir):
     stream = sp.read_events_stream(spark, sf_dir)
     return sp.run_available_now(
         st.stateful_sessionize(stream), spark, output_mode="append"
+    )
+
+
+@register(
+    "stream_dedup",
+    """
+    SELECT DISTINCT user_id, event_type,
+           (epoch_ns(ts) // 3600000000000) * 3600 AS hour_s
+    FROM events
+    """,
+)
+def q_stream_dedup(spark, sf_dir):
+    """dropDuplicatesWithinWatermark over the events stream (bounded
+    dedup state); under the driver's single-trigger replay every
+    duplicate is in-watermark, so the result equals batch DISTINCT on
+    the key."""
+    from iceberg_compaction_spark.streaming import pipeline as sp
+
+    stream = sp.read_events_stream(spark, sf_dir)
+    return sp.run_available_now(
+        sp.streaming_dedup(stream), spark, output_mode="append"
     )
 
 

@@ -139,6 +139,29 @@ def streaming_sessionize(
     )
 
 
+def streaming_dedup(
+    stream: DataFrame, watermark: str = "2 hours"
+) -> DataFrame:
+    """Streaming exact dedup: first row wins per (user_id, event_type,
+    event-hour) key; subsequent duplicates are dropped.
+
+    Uses ``dropDuplicatesWithinWatermark`` so the dedup state holds only
+    keys newer than the watermark horizon — bounded state at 100 TB,
+    unlike plain ``dropDuplicates`` whose key set grows forever.  The
+    hour bucket is computed with integer division on the raw int64-ns
+    timestamp (exact; float division would lose precision above 2^53).
+    Output projects only the key columns, so which duplicate won is
+    irrelevant to the result.
+    """
+    ev = _with_event_time(stream).withWatermark("event_time", watermark)
+    keyed = ev.withColumn(
+        "hour_s", (F.expr("ts div 3600000000000") * 3600).cast("long")
+    )
+    return keyed.dropDuplicatesWithinWatermark(
+        ["user_id", "event_type", "hour_s"]
+    ).select("user_id", "event_type", "hour_s")
+
+
 def run_available_now(
     result: DataFrame, spark: SparkSession, output_mode: str = "complete"
 ) -> DataFrame:

@@ -228,3 +228,66 @@ def test_stateful_sessionizer_out_of_order_trigger_keeps_session_end(spark, tmp_
     assert r["start_us"] == 1000 * 1_000_000
     assert r["end_us"] == 1600 * 1_000_000  # NOT dragged back to 1200s
     assert r["n_events"] == 3
+
+
+def test_streaming_dedup_drops_cross_trigger_duplicates(spark, tmp_path):
+    """A duplicate key arriving in a LATER trigger (within the watermark
+    horizon) is dropped; a fresh key in the same trigger passes.  State
+    is keyed on (user_id, event_type, hour) — dropDuplicatesWithinWatermark
+    holds only keys newer than the watermark."""
+    import glob
+    import os
+    import shutil
+    import time
+
+    from pyspark.sql.types import LongType, StringType, StructField, StructType
+
+    d = str(tmp_path / "dedup-events")
+    os.makedirs(d)
+    h_ns = 3_600_000_000_000
+
+    schema = StructType(
+        [
+            StructField("user_id", LongType()),
+            StructField("ts", LongType()),
+            StructField("event_type", StringType()),
+        ]
+    )
+
+    def write_file(name, rows, mtime):
+        spark.createDataFrame(rows, schema).coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(str(tmp_path / name))
+        src = glob.glob(str(tmp_path / name / "*.parquet"))[0]
+        dst = os.path.join(d, name + ".parquet")
+        shutil.copy(src, dst)
+        os.utime(dst, (mtime, mtime))
+
+    now = time.time()
+    # Trigger 1: two events, same (user, type, hour) -> one key; plus
+    # a distinct key from another user.
+    write_file(
+        "a",
+        [(1, h_ns, "click"), (1, h_ns + 60 * 10**9, "click"), (2, h_ns, "view")],
+        now - 300,
+    )
+    # Trigger 2: ANOTHER duplicate of user 1's key (cross-trigger, in
+    # watermark) and one new key in the next hour.
+    write_file(
+        "b",
+        [(1, h_ns + 120 * 10**9, "click"), (1, 2 * h_ns, "click")],
+        now - 200,
+    )
+
+    stream = (
+        spark.readStream.schema(schema).option("maxFilesPerTrigger", 1).parquet(d)
+    )
+    out = sp.run_available_now(
+        sp.streaming_dedup(stream), spark, output_mode="append"
+    ).collect()
+    keys = sorted((r["user_id"], r["event_type"], r["hour_s"]) for r in out)
+    assert keys == [
+        (1, "click", 3600),
+        (1, "click", 7200),
+        (2, "view", 3600),
+    ]

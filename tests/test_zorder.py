@@ -1,0 +1,94 @@
+"""Z-order clustering: Morton-code correctness and locality benefit."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from iceberg_compaction_spark.operators import zorder as zo
+
+
+def _morton2(x: int, y: int, bits: int) -> int:
+    z = 0
+    for j in range(bits):
+        z |= ((x >> j) & 1) << (2 * j)
+        z |= ((y >> j) & 1) << (2 * j + 1)
+    return z
+
+
+def test_zorder_expr_matches_reference_morton(spark):
+    rows = [(x, y) for x in range(8) for y in range(8)]
+    df = spark.createDataFrame(rows, ["x", "y"])
+    expr = zo.zorder_code_expr(["x", "y"], bits=3)
+    got = {
+        (r["x"], r["y"]): r["z"]
+        for r in df.select("x", "y", F.expr(expr).alias("z")).collect()
+    }
+    for (x, y), z in got.items():
+        assert z == _morton2(x, y, 3), (x, y)
+
+
+def test_zorder_golden_vectors(spark):
+    # interleave(x=0b111, y=0b000) -> 0b010101 = 21; swapped -> 42
+    df = spark.createDataFrame([(7, 0), (0, 7), (7, 7)], ["x", "y"])
+    expr = zo.zorder_code_expr(["x", "y"], bits=3)
+    vals = {
+        (r["x"], r["y"]): r["z"]
+        for r in df.select("x", "y", F.expr(expr).alias("z")).collect()
+    }
+    assert vals[(7, 0)] == 0b010101
+    assert vals[(0, 7)] == 0b101010
+    assert vals[(7, 7)] == 0b111111
+
+
+def test_minmax_scale_expr_bounds(spark):
+    df = spark.createDataFrame([(v,) for v in (10, 55, 100)], ["v"])
+    e = zo.minmax_scale_expr("v", 10, 100, bits=8)
+    got = [r["s"] for r in df.select(F.expr(e).alias("s")).collect()]
+    assert got[0] == 0  # min -> 0
+    assert got[2] == 255  # max -> 2^bits - 1
+    assert 0 < got[1] < 255
+
+
+def test_zorder_clustering_tightens_file_extents(spark):
+    """Chunked by position after a global sort, z-order yields tighter
+    combined per-chunk min-max extents over BOTH dimensions than a
+    single-column sort (which is tight on one dim, unclustered on the
+    other).  This is exactly the min-max pruning benefit written files
+    would see."""
+    import random
+
+    rng = random.Random(7)
+    n, chunk = 4096, 256
+    rows = [(rng.randrange(1024), rng.randrange(1024)) for _ in range(n)]
+    df = spark.createDataFrame(rows, ["x", "y"])
+
+    def extent_sum(sorted_df):
+        data = [(r["x"], r["y"]) for r in sorted_df.coalesce(1).collect()]
+        total = 0
+        for i in range(0, len(data), chunk):
+            c = data[i : i + chunk]
+            xs = [a for a, _ in c]
+            ys = [b for _, b in c]
+            total += (max(xs) - min(xs)) + (max(ys) - min(ys))
+        return total
+
+    # Theory for 16 chunks over a 1024^2 uniform square: z-order chunks
+    # cover ~1/16 of the area (~512 summed extent each) vs x-sort's
+    # x-tight-but-y-full ~1088 — measured ratio lands ~0.65-0.7 once
+    # chunk boundaries cut across z-cells; 0.8 is a safe, still-meaningful
+    # bar (uniform data is z-order's WORST case).
+    z_sorted = zo.cluster_by_zorder(df, ["x", "y"], bits=10)
+    x_sorted = df.orderBy("x")
+    assert extent_sum(z_sorted) < 0.8 * extent_sum(x_sorted)
+
+
+def test_cluster_by_zorder_preserves_rows(spark):
+    df = spark.createDataFrame([(i, i * 7 % 50) for i in range(200)], ["a", "b"])
+    out = zo.cluster_by_zorder(df, ["a", "b"], bits=6)
+    assert sorted(r["a"] for r in out.collect()) == list(range(200))
+
+
+def test_zorder_constant_column_degenerates_safely(spark):
+    df = spark.createDataFrame([(5, i) for i in range(16)], ["c", "v"])
+    _, code = zo.zorder_code(df, ["c", "v"], bits=4)
+    vals = [r["z"] for r in df.select(code.alias("z")).collect()]
+    assert len(set(vals)) == 16  # constant dim contributes nothing, no crash
