@@ -38,6 +38,9 @@ BENCH_QUERIES = [
     "events_asof_join",
     "events_range_join",
     "multimodal_meta",
+    "zorder_lineitem",
+    "emb_quantize",
+    "text_top_ngrams",
 ]
 
 

@@ -56,6 +56,12 @@ class WriterConfig:
     # Spark sizes files by rows, not bytes: estimated average row width is
     # used to translate target bytes -> maxRecordsPerFile (SURVEY.md §7.3).
     estimated_row_size_bytes: int | None = None
+    # Z-order clustering (extension beyond the reference's identity-only
+    # sort orders): output files are range-partitioned and sorted by the
+    # Morton code of these columns, tightening per-file min-max stats on
+    # EVERY listed dimension.  Mutually exclusive with a sort order.
+    zorder_by: tuple[str, ...] | None = None
+    zorder_bits: int = 12
 
 
 @dataclass

@@ -91,15 +91,33 @@ def write_sized_parquet(
 
         df, derived = with_partition_columns(df, partition_spec)
         partition_by = [*(partition_by or []), *derived]
+    zcode = None
+    if config.zorder_by:
+        if sort_order:
+            raise ValueError(
+                "zorder_by and sort_order are mutually exclusive: the "
+                "Morton code IS the sort key"
+            )
+        from iceberg_compaction_spark.operators.zorder import zorder_code
+
+        df, zcode = zorder_code(df, list(config.zorder_by), config.zorder_bits)
     if output_parallelism and output_parallelism > 0:
         if partition_by:
             # co-locate rows of one partition so fan-out writers produce
             # few files per partition value
             df = df.repartition(output_parallelism, *[F.col(c) for c in partition_by])
+        elif zcode is not None:
+            # range partition on the Morton code: each output file covers
+            # a compact hyper-rectangle of the z-ordered key space
+            df = df.repartitionByRange(output_parallelism, zcode)
         else:
             df = df.repartition(output_parallelism)  # round-robin (X1)
+    elif zcode is not None:
+        df = df.repartitionByRange(zcode)
     if sort_order:
         df = df.sortWithinPartitions(*[s.to_column() for s in sort_order])
+    elif zcode is not None:
+        df = df.sortWithinPartitions(zcode)
 
     writer = df.write.mode("overwrite").option("compression", config.compression)
     mrpf = max_records_per_file(

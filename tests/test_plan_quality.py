@@ -165,3 +165,41 @@ def test_whole_stage_codegen_covers_mor(spark):
     docs = spark.read.parquet(f"{SF}/documents.parquet")
     sq = plan_of(tx.with_quality(docs))
     assert "Exchange" not in sq  # narrow map, no shuffle, single stage
+
+
+def test_simhash_banded_pairs_no_cartesian(spark):
+    from iceberg_compaction_spark import registry
+
+    df = registry.QUERIES["dedup_simhash_pairs"](spark, SF)
+    s = plan_of(df)
+    assert "CartesianProduct" not in s
+    assert "BroadcastNestedLoopJoin" not in s
+
+
+def test_emb_ops_have_no_shuffle(spark):
+    from iceberg_compaction_spark import registry
+
+    for name in ("emb_normalize", "emb_quantize"):
+        df = registry.QUERIES[name](spark, SF)
+        s = plan_of(df)
+        # narrow per-row projection: scan -> project, nothing else
+        assert "Exchange" not in s, name
+
+
+def test_top_ngrams_uses_take_ordered(spark):
+    from iceberg_compaction_spark import registry
+
+    df = registry.QUERIES["text_top_ngrams"](spark, SF)
+    s = plan_of(df)
+    assert "TakeOrderedAndProject" in s
+    # the global sort alternative would show a rangepartitioning exchange
+    assert "rangepartitioning" not in s.lower()
+
+
+def test_zorder_code_is_codegen_projection(spark):
+    from iceberg_compaction_spark import registry
+
+    df = registry.QUERIES["zorder_lineitem"](spark, SF)
+    s = plan_of(df)
+    assert "Exchange" not in s  # pure scan -> project
+    assert "BatchEvalPython" not in s and "ArrowEvalPython" not in s  # no UDF

@@ -87,6 +87,68 @@ def test_cluster_by_zorder_preserves_rows(spark):
     assert sorted(r["a"] for r in out.collect()) == list(range(200))
 
 
+def test_writer_zorder_tightens_parquet_stats(spark, tmp_path):
+    """End-to-end through write_sized_parquet: with zorder_by set, the
+    written files' parquet footer min-max envelopes are tighter on both
+    dimensions than a round-robin write — the stats an Iceberg/parquet
+    reader prunes on."""
+    import random
+
+    import pyarrow.parquet as pq
+
+    from iceberg_compaction_spark.config import WriterConfig
+    from iceberg_compaction_spark.sources.writer import write_sized_parquet
+
+    rng = random.Random(11)
+    rows = [(rng.randrange(1024), rng.randrange(1024)) for _ in range(4096)]
+    df = spark.createDataFrame(rows, ["x", "y"])
+
+    def footer_extent_sum(out):
+        total = 0
+        for t in out:
+            md = pq.read_metadata(t.data_file_path)
+            mins = {"x": 10**9, "y": 10**9}
+            maxs = {"x": -1, "y": -1}
+            for rg in range(md.num_row_groups):
+                for ci in range(md.num_columns):
+                    col = md.row_group(rg).column(ci)
+                    name = col.path_in_schema
+                    st = col.statistics
+                    mins[name] = min(mins[name], st.min)
+                    maxs[name] = max(maxs[name], st.max)
+            total += (maxs["x"] - mins["x"]) + (maxs["y"] - mins["y"])
+        return total
+
+    zcfg = WriterConfig(zorder_by=("x", "y"), zorder_bits=10)
+    z_files = write_sized_parquet(
+        df, str(tmp_path / "z"), zcfg, output_parallelism=16
+    )
+    plain = write_sized_parquet(
+        df, str(tmp_path / "p"), WriterConfig(), output_parallelism=16
+    )
+    assert len(z_files) == 16
+    assert footer_extent_sum(z_files) < 0.8 * footer_extent_sum(plain)
+
+
+def test_writer_zorder_excludes_sort_order(spark, tmp_path):
+    import pytest as _pytest
+
+    from iceberg_compaction_spark.config import WriterConfig
+    from iceberg_compaction_spark.sources.writer import (
+        SortField,
+        write_sized_parquet,
+    )
+
+    df = spark.createDataFrame([(1, 2)], ["x", "y"])
+    with _pytest.raises(ValueError):
+        write_sized_parquet(
+            df,
+            str(tmp_path / "bad"),
+            WriterConfig(zorder_by=("x",)),
+            sort_order=[SortField("y")],
+        )
+
+
 def test_zorder_constant_column_degenerates_safely(spark):
     df = spark.createDataFrame([(5, i) for i in range(16)], ["c", "v"])
     _, code = zo.zorder_code(df, ["c", "v"], bits=4)
