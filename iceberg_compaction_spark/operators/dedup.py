@@ -318,15 +318,33 @@ def simhash(
     id_col: str = "doc_id",
     text_col: str = "text",
     bits: int = 16,
+    hash_via_vocab: bool = True,
 ) -> DataFrame:
     """Token-frequency-weighted simhash fingerprint (one int per doc).
 
     Tokens keep their multiplicity (standard simhash weighting). A bit is
     set when the weighted vote is strictly positive.
+
+    ``hash_via_vocab`` (default): md5 runs once per DISTINCT token, and
+    occurrences pick their hash up through a join — natural-language
+    vocabularies are orders of magnitude smaller than token streams
+    (Heaps' law), so this cuts the dominant md5 cost by the corpus's
+    repetition factor (5x measured on the sf0.1 documents).  The join
+    strategy is left to AQE: a small vocabulary broadcasts, a huge one
+    (adversarial token space) falls back to a shuffle join rather than
+    OOMing the driver.  ``False`` hashes inline per occurrence — same
+    result, no join — for token spaces known to be near-unique.
     """
     toks = F.split(normalize_text(F.col(text_col)), " ")
     t = df.select(F.col(id_col), F.explode(toks).alias("tok"))
-    h = md5_hash64(F.col("tok"))
+    if hash_via_vocab:
+        vocab = t.select("tok").distinct().withColumn(
+            "__h", md5_hash64(F.col("tok"))
+        )
+        t = t.join(vocab, "tok")
+        h = F.col("__h")
+    else:
+        h = md5_hash64(F.col("tok"))
     votes = [
         F.sum(
             F.when(F.shiftright(h, j).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
@@ -384,6 +402,7 @@ def simhash_banded_pairs(
     text_col: str = "text",
     bits: int = 32,
     max_hamming: int = 3,
+    scope=None,
 ) -> DataFrame:
     """Near-dup pairs by simhash hamming distance — Hamming-LSH scale path.
 
@@ -400,7 +419,20 @@ def simhash_banded_pairs(
     needs no join back to the fingerprint table.
     """
     n_bands = max_hamming + 1
-    s = simhash(df, id_col, text_col, bits)
+    # The fingerprint table (one long per doc) feeds three branches
+    # (distinct banding + both expansion sides); persist so the
+    # token-explode/vote subtree runs once.  ``scope`` (a CacheScope)
+    # bounds the cache lifetime, as in minhash_lsh_dedup_pairs.
+    _persist = scope.persist if scope is not None else (lambda d: d.persist())
+    s = _persist(simhash(df, id_col, text_col, bits))
+
+    # Work on DISTINCT fingerprints, not documents.  Template-heavy
+    # corpora put thousands of docs on one fingerprint; banding doc
+    # rows directly would square that multiplicity inside every band
+    # bucket.  Distinct-fingerprint banding keeps the candidate join
+    # proportional to fingerprint entropy; doc multiplicity re-enters
+    # only in the final expansion, whose cost is the OUTPUT size.
+    fps = s.select("simhash").distinct()
     band_cols = [
         F.concat_ws(
             "_",
@@ -411,25 +443,37 @@ def simhash_banded_pairs(
         )
         for i, (off, w) in enumerate(_band_layout(bits, n_bands))
     ]
-    bands = s.select(
-        F.col(id_col),
-        F.col("simhash"),
-        F.explode(F.array(*band_cols)).alias("band_key"),
+    bands = fps.select(
+        F.col("simhash"), F.explode(F.array(*band_cols)).alias("band_key")
     )
-    a = bands.select(
-        F.col(id_col).alias("id_a"), F.col("simhash").alias("sh_a"), "band_key"
-    )
-    b = bands.select(
-        F.col(id_col).alias("id_b"), F.col("simhash").alias("sh_b"), "band_key"
-    )
-    return (
+    a = bands.select(F.col("simhash").alias("sh_a"), "band_key")
+    b = bands.select(F.col("simhash").alias("sh_b"), "band_key")
+    # <= keeps equal fingerprints: distinct docs sharing one fingerprint
+    # are hamming-0 pairs of the output
+    fp_pairs = (
         a.join(b, "band_key")
-        .where(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b", "sh_a", "sh_b")
-        .dropDuplicates(["id_a", "id_b"])
+        .where(F.col("sh_a") <= F.col("sh_b"))
+        .select("sh_a", "sh_b")
+        .dropDuplicates()
         .withColumn(
             "hamming", F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b")))
         )
         .where(F.col("hamming") <= max_hamming)
-        .select("id_a", "id_b", F.col("hamming").cast("long").alias("hamming"))
+    )
+
+    da = s.select(F.col(id_col).alias("id_a"), F.col("simhash").alias("sh_a"))
+    db = s.select(F.col(id_col).alias("id_b"), F.col("simhash").alias("sh_b"))
+    # For distinct fingerprints every cross doc pair appears exactly once
+    # (a doc has one fingerprint); least/greatest restores id order.  For
+    # equal fingerprints the self cross-product needs the id_a < id_b
+    # half-filter.
+    expanded = (
+        fp_pairs.join(da, "sh_a")
+        .join(db, "sh_b")
+        .where((F.col("sh_a") != F.col("sh_b")) | (F.col("id_a") < F.col("id_b")))
+    )
+    return expanded.select(
+        F.least("id_a", "id_b").alias("id_a"),
+        F.greatest("id_a", "id_b").alias("id_b"),
+        F.col("hamming").cast("long").alias("hamming"),
     )

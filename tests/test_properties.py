@@ -84,3 +84,37 @@ def test_input_split_size_clamped(input_size, target):
     assert s <= max(
         target, write_max_file_size(target, default_max_file_size(target))
     )
+
+
+@settings(max_examples=500, deadline=None)
+@given(
+    st.integers(min_value=0, max_value=2**32 - 1),
+    st.integers(min_value=8, max_value=32),
+    st.integers(min_value=0, max_value=6),
+    st.data(),
+)
+def test_simhash_band_pigeonhole_guarantee(fp, bits, max_hamming, data):
+    """Any fingerprint within `max_hamming` bit flips of another must
+    share at least one of the max_hamming+1 disjoint bands — the
+    no-false-negative guarantee simhash_banded_pairs relies on."""
+    from iceberg_compaction_spark.operators.dedup import _band_layout
+
+    fp &= (1 << bits) - 1
+    n_flips = data.draw(st.integers(min_value=0, max_value=max_hamming))
+    positions = data.draw(
+        st.lists(
+            st.integers(min_value=0, max_value=bits - 1),
+            min_size=n_flips,
+            max_size=n_flips,
+            unique=True,
+        )
+    )
+    fp2 = fp
+    for p in positions:
+        fp2 ^= 1 << p
+    layout = _band_layout(bits, max_hamming + 1)
+    shared = any(
+        (fp >> off) & ((1 << w) - 1) == (fp2 >> off) & ((1 << w) - 1)
+        for off, w in layout
+    )
+    assert shared
