@@ -1113,6 +1113,31 @@ def q_stream_dedup(spark, sf_dir):
     )
 
 
+@register(
+    "stream_interval_join",
+    """
+    SELECT v.user_id,
+           epoch_us(v.ts) AS view_us,
+           epoch_us(c.ts) AS click_us
+    FROM events v JOIN events c
+      ON v.user_id = c.user_id
+     AND v.event_type = 'view' AND c.event_type = 'click'
+     AND epoch_us(c.ts) >= epoch_us(v.ts)
+     AND epoch_us(c.ts) <= epoch_us(v.ts) + 1800000000
+    """,
+)
+def q_stream_interval_join(spark, sf_dir):
+    """Stream-stream interval join (view->click attribution within 30
+    minutes) — watermarked on both sides so join state is bounded; the
+    single-trigger replay makes the result equal the batch self-join."""
+    from iceberg_compaction_spark.streaming import pipeline as sp
+
+    stream = sp.read_events_stream(spark, sf_dir)
+    return sp.run_available_now(
+        sp.streaming_interval_join(stream), spark, output_mode="append"
+    )
+
+
 # ===========================================================================
 # Multimodal plumbing (mapInPandas decode stage; fake decode is arithmetic)
 # ===========================================================================

@@ -162,6 +162,53 @@ def streaming_dedup(
     ).select("user_id", "event_type", "hour_s")
 
 
+def streaming_interval_join(
+    stream: DataFrame,
+    left_type: str = "view",
+    right_type: str = "click",
+    max_delay_s: int = 1800,
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Stream-stream interval join: attribute each ``right_type`` event
+    to same-user ``left_type`` events in the preceding ``max_delay_s``
+    window (view -> click attribution).
+
+    Both sides carry watermarks and the join condition bounds event time
+    on both ends, so Spark evicts buffered rows once the watermark
+    passes ``l_time + max_delay`` — bounded state, the requirement for
+    an unbounded 100 TB/day stream (an unconstrained stream-stream join
+    would buffer forever).  Timestamps compare at Spark's native
+    microsecond precision; outputs are integer microseconds so the
+    batch twin hashes identically.
+    """
+    ev = _with_event_time(stream)
+    left = (
+        ev.where(F.col("event_type") == left_type)
+        .select(
+            "user_id",
+            F.col("event_time").alias("l_time"),
+            F.expr("ts div 1000").alias("view_us"),
+        )
+        .withWatermark("l_time", watermark)
+    )
+    right = (
+        ev.where(F.col("event_type") == right_type)
+        .select(
+            F.col("user_id").alias("r_user"),
+            F.col("event_time").alias("r_time"),
+            F.expr("ts div 1000").alias("click_us"),
+        )
+        .withWatermark("r_time", watermark)
+    )
+    cond = F.expr(
+        "user_id = r_user AND r_time >= l_time "
+        f"AND r_time <= l_time + interval {max_delay_s} seconds"
+    )
+    return left.join(right, cond, "inner").select(
+        "user_id", "view_us", "click_us"
+    )
+
+
 def run_available_now(
     result: DataFrame, spark: SparkSession, output_mode: str = "complete"
 ) -> DataFrame:

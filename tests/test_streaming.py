@@ -291,3 +291,55 @@ def test_streaming_dedup_drops_cross_trigger_duplicates(spark, tmp_path):
         (1, "click", 7200),
         (2, "view", 3600),
     ]
+
+
+def test_streaming_interval_join_across_triggers(spark, tmp_path):
+    """A click arriving in a LATER trigger joins the view buffered in
+    stream-stream join state from an earlier trigger; a click outside
+    the 30-minute attribution window never joins."""
+    import glob
+    import os
+    import shutil
+    import time
+
+    from pyspark.sql.types import LongType, StringType, StructField, StructType
+
+    d = str(tmp_path / "attr-events")
+    os.makedirs(d)
+    s_ns = 1_000_000_000
+
+    schema = StructType(
+        [
+            StructField("user_id", LongType()),
+            StructField("ts", LongType()),
+            StructField("event_type", StringType()),
+        ]
+    )
+
+    def write_file(name, rows, mtime):
+        spark.createDataFrame(rows, schema).coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(str(tmp_path / name))
+        src = glob.glob(str(tmp_path / name / "*.parquet"))[0]
+        dst = os.path.join(d, name + ".parquet")
+        shutil.copy(src, dst)
+        os.utime(dst, (mtime, mtime))
+
+    now = time.time()
+    write_file("a", [(1, 1000 * s_ns, "view"), (2, 1000 * s_ns, "view")], now - 300)
+    # user 1 clicks 10 min after the view (in-window, later trigger);
+    # user 2 clicks 40 min after (outside the 30-min window)
+    write_file(
+        "b",
+        [(1, 1600 * s_ns, "click"), (2, 3400 * s_ns, "click")],
+        now - 200,
+    )
+
+    stream = (
+        spark.readStream.schema(schema).option("maxFilesPerTrigger", 1).parquet(d)
+    )
+    out = sp.run_available_now(
+        sp.streaming_interval_join(stream), spark, output_mode="append"
+    ).collect()
+    got = [(r["user_id"], r["view_us"], r["click_us"]) for r in out]
+    assert got == [(1, 1000 * 10**6, 1600 * 10**6)]
