@@ -1349,3 +1349,99 @@ def q_join_order_revenue(spark, sf_dir):
             F.sum(rev_c).alias("revenue_c"),
         )
     )
+
+
+BIG_ORDER_THRESHOLD = 300000
+
+
+@register(
+    "anti_customers_no_orders",
+    f"""
+    SELECT c.c_custkey, c.c_name
+    FROM customer c
+    WHERE NOT EXISTS (SELECT 1 FROM orders o
+                      WHERE o.o_custkey = c.c_custkey
+                        AND o.o_totalprice > {BIG_ORDER_THRESHOLD})
+    """,
+)
+def q_anti_customers_no_orders(spark, sf_dir):
+    """NOT EXISTS as a distributed left anti-join (TPC-H Q22 pattern):
+    customers with no high-value orders.  The filter prunes the build
+    side before the join; both sides shuffle on the key, and at scale
+    AQE converts to broadcast when the filtered key set fits."""
+    cust = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet").where(
+        F.col("o_totalprice") > BIG_ORDER_THRESHOLD
+    )
+    return cust.join(
+        orders, cust.c_custkey == orders.o_custkey, "left_anti"
+    ).select("c_custkey", "c_name")
+
+
+@register(
+    "window_running_revenue",
+    """
+    WITH o AS (
+      SELECT o_custkey, o_orderkey, o_orderdate,
+             CAST(FLOOR(o_totalprice * 100) AS BIGINT) AS price_c
+      FROM orders
+    )
+    SELECT o_custkey, o_orderkey,
+           CAST(SUM(price_c) OVER (
+             PARTITION BY o_custkey
+             ORDER BY o_orderdate, o_orderkey
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+           ) AS BIGINT) AS running_revenue_c
+    FROM o
+    """,
+)
+def q_window_running_revenue(spark, sf_dir):
+    """Per-customer running revenue: partitioned window (one shuffle on
+    o_custkey, never a global sort); deterministic ORDER BY tiebreak on
+    the unique order key."""
+    from pyspark.sql.window import Window
+
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    price_c = F.floor(F.col("o_totalprice") * 100).cast("long")
+    return orders.select(
+        "o_custkey",
+        "o_orderkey",
+        F.sum(price_c).over(w).cast("long").alias("running_revenue_c"),
+    )
+
+
+@register(
+    "subquery_above_brand_avg",
+    """
+    WITH avgs AS (
+      SELECT p_brand, AVG(p_retailprice) AS brand_avg
+      FROM part GROUP BY p_brand
+    )
+    SELECT p.p_partkey, p.p_brand,
+           CAST(FLOOR(p.p_retailprice * 100) AS BIGINT) AS price_c
+    FROM part p JOIN avgs a ON p.p_brand = a.p_brand
+    WHERE p.p_retailprice > a.brand_avg
+    """,
+)
+def q_subquery_above_brand_avg(spark, sf_dir):
+    """Correlated-aggregate pattern (parts above their brand's average
+    price) decorrelated into groupBy + broadcast join — the scalable
+    rewrite of a per-row correlated subquery."""
+    part = spark.read.parquet(f"{sf_dir}/part.parquet")
+    avgs = part.groupBy("p_brand").agg(
+        F.avg("p_retailprice").alias("brand_avg")
+    )
+    return (
+        part.join(F.broadcast(avgs), "p_brand")
+        .where(F.col("p_retailprice") > F.col("brand_avg"))
+        .select(
+            "p_partkey",
+            "p_brand",
+            F.floor(F.col("p_retailprice") * 100).cast("long").alias("price_c"),
+        )
+    )
