@@ -1017,6 +1017,35 @@ def q_events_top_users(spark, sf_dir):
     return ev.top_users_by_activity(ev.read_events(spark, sf_dir), k=10)
 
 
+@register(
+    "events_funnel",
+    """
+    WITH v AS (
+      SELECT user_id, MIN(epoch_us(ts)) AS step0_us
+      FROM events WHERE event_type = 'view' GROUP BY user_id
+    ), c AS (
+      SELECT e.user_id, MIN(epoch_us(e.ts)) AS step1_us
+      FROM events e JOIN v ON e.user_id = v.user_id
+      WHERE e.event_type = 'click' AND epoch_us(e.ts) > v.step0_us
+      GROUP BY e.user_id
+    ), p AS (
+      SELECT e.user_id, MIN(epoch_us(e.ts)) AS step2_us
+      FROM events e JOIN c ON e.user_id = c.user_id
+      WHERE e.event_type = 'purchase' AND epoch_us(e.ts) > c.step1_us
+      GROUP BY e.user_id
+    )
+    SELECT v.user_id, v.step0_us, c.step1_us, p.step2_us
+    FROM v JOIN c ON v.user_id = c.user_id JOIN p ON p.user_id = c.user_id
+    """,
+)
+def q_events_funnel(spark, sf_dir):
+    """view -> click -> purchase funnel (CEP sequence detection): one
+    exchange on user_id, then per-step narrow passes."""
+    return ev.funnel(
+        ev.read_events(spark, sf_dir), ["view", "click", "purchase"]
+    )
+
+
 # Structured Streaming twins — WITH batch-twin oracles.  The streaming
 # semantics themselves (watermark eviction, state) aren't SQL, but under
 # the driver's bounded replay (one file, availableNow => a single

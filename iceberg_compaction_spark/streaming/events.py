@@ -252,3 +252,47 @@ def top_users_by_activity(events: DataFrame, k: int = 10) -> DataFrame:
         topk.withColumn("rank", F.row_number().over(w))
         .select("rank", "user_id", "n_events", "sum_value_micro")
     )
+
+
+def funnel(
+    events: DataFrame,
+    steps: list[str],
+    id_col: str = "user_id",
+    type_col: str = "event_type",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Ordered-sequence funnel (complex-event-processing pattern): for
+    each id, the EARLIEST chain of ``steps`` events in strict timestamp
+    order — step i+1 must occur strictly after the chosen step-i event.
+
+    Emits one row per id that completes every step:
+    ``(id, step0_us, step1_us, ...)`` with microsecond timestamps.
+
+    Earliest-chain greedy is correct for existence: taking the minimal
+    timestamp at each step never forecloses a later step (any valid
+    chain's step-i time is >= the greedy one, so the greedy prefix
+    admits a superset of continuations).
+
+    Scale shape: one filtered aggregate per step, all keyed on
+    ``id_col`` — after the first shuffle every join/groupBy reuses the
+    same hash partitioning, so a k-step funnel is one real exchange
+    plus k narrow passes, never a window over the full event stream.
+    """
+    us = F.expr(f"{ts_col} div 1000")
+    step_frames: list[DataFrame] = []
+    prev: DataFrame | None = None
+    for i, et in enumerate(steps):
+        e = events.where(F.col(type_col) == et).select(
+            F.col(id_col), us.alias("__us")
+        )
+        if prev is not None:
+            e = e.join(prev, id_col).where(
+                F.col("__us") > F.col(f"step{i - 1}_us")
+            )
+        cur = e.groupBy(id_col).agg(F.min("__us").alias(f"step{i}_us"))
+        step_frames.append(cur)
+        prev = cur
+    out = step_frames[0]
+    for nxt in step_frames[1:]:
+        out = out.join(nxt, id_col)
+    return out

@@ -343,3 +343,32 @@ def test_streaming_interval_join_across_triggers(spark, tmp_path):
     ).collect()
     got = [(r["user_id"], r["view_us"], r["click_us"]) for r in out]
     assert got == [(1, 1000 * 10**6, 1600 * 10**6)]
+
+
+def test_funnel_strict_order_and_greedy_chain(spark):
+    """Funnel requires strictly increasing timestamps across steps; the
+    greedy earliest chain never misses a completable funnel."""
+    rows = [
+        # user 1: completes view(10) -> click(20) -> purchase(30)
+        (1, 10, "view"), (1, 20, "click"), (1, 30, "purchase"),
+        # user 2: click BEFORE view -> no funnel
+        (2, 20, "click"), (2, 30, "view"), (2, 40, "purchase"),
+        # user 3: greedy view=5; click at 7 precedes a later view(9) —
+        # still valid (5 < 7); purchase at 8 is before click? no: 8 > 7 ok
+        (3, 5, "view"), (3, 9, "view"), (3, 7, "click"), (3, 8, "purchase"),
+        # user 4: purchase equals click ts -> strict order fails
+        (4, 1, "view"), (4, 2, "click"), (4, 2, "purchase"),
+    ]
+    s_us = 1_000_000_000  # ns per value unit so ts div 1000 = v * 1e6... 
+    df = spark.createDataFrame(
+        [(u, t * s_us, e) for u, t, e in rows], ["user_id", "ts", "event_type"]
+    )
+    got = {
+        r["user_id"]: (r["step0_us"], r["step1_us"], r["step2_us"])
+        for r in ev.funnel(df, ["view", "click", "purchase"]).collect()
+    }
+    m = s_us // 1000  # expected us per unit
+    assert got == {
+        1: (10 * m, 20 * m, 30 * m),
+        3: (5 * m, 7 * m, 8 * m),
+    }  # user 2 (wrong order) and user 4 (tie, not strict) excluded
