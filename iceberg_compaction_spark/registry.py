@@ -698,6 +698,31 @@ def q_zorder_lineitem(spark, sf_dir):
     )
 
 
+SAMPLE_PCT = 5
+
+
+@register(
+    "sample_docs_hash",
+    f"""
+    SELECT doc_id, lang, n_chars
+    FROM documents
+    WHERE ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT
+          % 100 < {SAMPLE_PCT}
+    """,
+)
+def q_sample_docs_hash(spark, sf_dir):
+    """Deterministic systematic sampling: hash(doc_id) mod 100 — the
+    reproducible sampling a training-data pipeline needs (same sample
+    across engines/runs/partitionings, unlike rng-based df.sample);
+    pure narrow filter, pushes through any scan."""
+    from iceberg_compaction_spark.operators.dedup import md5_hash64
+
+    docs = _docs(spark, sf_dir)
+    return docs.where(
+        md5_hash64(F.col("doc_id").cast("string")) % 100 < SAMPLE_PCT
+    ).select("doc_id", "lang", "n_chars")
+
+
 TOP_NGRAMS_K = 20
 
 
