@@ -1043,6 +1043,54 @@ def q_events_top_users(spark, sf_dir):
 
 
 @register(
+    "events_retention",
+    """
+    WITH active AS (
+      SELECT DISTINCT user_id, epoch_ns(ts) // 3600000000000 AS hour_b
+      FROM events
+    )
+    SELECT a.hour_b * 3600 AS hour_s,
+           COUNT(*) AS n_active,
+           CAST(SUM(CASE WHEN r.user_id IS NOT NULL THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_retained
+    FROM active a
+    LEFT JOIN active r
+      ON r.user_id = a.user_id AND r.hour_b = a.hour_b + 1
+    GROUP BY a.hour_b
+    """,
+)
+def q_events_retention(spark, sf_dir):
+    """Cohort retention: of each hour's active users, how many return
+    the next hour.  One distinct shuffle on (user, hour), then a
+    self-join keyed on the same columns — the second shuffle reuses the
+    first's partitioning on user_id."""
+    e = ev.read_events(spark, sf_dir)
+    active = e.select(
+        "user_id", F.expr("ts div 3600000000000").alias("hour_b")
+    ).distinct()
+    nxt = active.select(
+        F.col("user_id").alias("r_user"), (F.col("hour_b") - 1).alias("r_prev")
+    )
+    joined = active.join(
+        nxt,
+        (active.user_id == nxt.r_user) & (active.hour_b == nxt.r_prev),
+        "left",
+    )
+    return (
+        joined.groupBy("hour_b")
+        .agg(
+            F.count(F.lit(1)).alias("n_active"),
+            F.sum(F.when(F.col("r_user").isNotNull(), 1).otherwise(0))
+            .cast("long")
+            .alias("n_retained"),
+        )
+        .select(
+            (F.col("hour_b") * 3600).alias("hour_s"), "n_active", "n_retained"
+        )
+    )
+
+
+@register(
     "events_funnel",
     """
     WITH v AS (
