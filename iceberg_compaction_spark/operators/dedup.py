@@ -365,13 +365,25 @@ def simhash_pairs(
     text_col: str = "text",
     bits: int = 16,
     max_hamming: int = 3,
+    max_rows: int | None = None,
 ) -> DataFrame:
     """Near-dup pairs by simhash hamming distance (quadratic baseline).
 
     The pair join here is an all-pairs crossJoin — correctness baseline
     only; :func:`simhash_banded_pairs` is the bucketed scale path with
-    identical output.
+    identical output.  Guarded like the similarity baselines: refuses
+    inputs above ``max_rows`` (default
+    ``similarity.DEFAULT_ALL_PAIRS_MAX_ROWS``).
     """
+    from iceberg_compaction_spark.operators.similarity import (
+        DEFAULT_ALL_PAIRS_MAX_ROWS,
+        _guard_all_pairs,
+    )
+
+    _guard_all_pairs(
+        df, max_rows if max_rows is not None else DEFAULT_ALL_PAIRS_MAX_ROWS,
+        "simhash_pairs",
+    )
     s = simhash(df, id_col, text_col, bits)
     a = s.select(F.col(id_col).alias("id_a"), F.col("simhash").alias("sh_a"))
     b = s.select(F.col(id_col).alias("id_b"), F.col("simhash").alias("sh_b"))

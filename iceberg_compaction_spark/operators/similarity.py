@@ -452,13 +452,40 @@ def lsh_cosine_pairs(
     )
 
 
+# All-pairs baselines refuse to run above this row count: n^2 cost is a
+# correctness-verification tool, never a scale path.  Raise the bound
+# explicitly (max_rows=...) to acknowledge the quadratic cost.
+DEFAULT_ALL_PAIRS_MAX_ROWS = 100_000
+
+
+class AllPairsScaleError(RuntimeError):
+    """Refusal to run a quadratic baseline on an input too large for it."""
+
+
+def _guard_all_pairs(vectors: DataFrame, max_rows: int, what: str) -> None:
+    n = vectors.count()
+    if n > max_rows:
+        raise AllPairsScaleError(
+            f"{what} is an O(n^2) correctness baseline; input has {n} rows "
+            f"(> max_rows={max_rows}). Use the bucketed scale path "
+            "(lsh_cosine_pairs / simhash_banded_pairs / minhash LSH) or "
+            "pass a larger max_rows to acknowledge the quadratic cost."
+        )
+
+
 def cosine_pairs(
     vectors: DataFrame,
     threshold_ppm: int,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    max_rows: int = DEFAULT_ALL_PAIRS_MAX_ROWS,
 ) -> DataFrame:
-    """Exact pairwise cosine pairs >= threshold (id_a < id_b)."""
+    """Exact pairwise cosine pairs >= threshold (id_a < id_b).
+
+    Quadratic baseline — guarded by ``max_rows`` (the count costs one
+    metadata-cheap job and prevents an accidental 10^22-pair plan at
+    corpus scale)."""
+    _guard_all_pairs(vectors, max_rows, "cosine_pairs")
     a = vectors.select(F.col(id_col).alias("id_a"), as_double(F.col(vec_col)).alias("va"))
     b = vectors.select(F.col(id_col).alias("id_b"), as_double(F.col(vec_col)).alias("vb"))
     return (

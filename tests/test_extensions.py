@@ -264,3 +264,20 @@ def test_multimodal_frame_sampling(spark, docs):
 def test_multimodal_decode_pixels_stubbed(spark, docs):
     with pytest.raises(NotImplementedError):
         mm.decode_pixels(mm.to_binary_table(docs))
+
+
+def test_all_pairs_baselines_refuse_large_inputs(spark):
+    from iceberg_compaction_spark.operators.similarity import AllPairsScaleError
+
+    big = spark.range(0, 200).select(
+        F.col("id").alias("vec_id"),
+        F.array(F.lit(1.0), F.lit(0.0)).alias("embedding"),
+        F.concat(F.lit("doc "), F.col("id").cast("string")).alias("text"),
+        F.col("id").alias("doc_id"),
+    )
+    with pytest.raises(AllPairsScaleError):
+        sim.cosine_pairs(big, threshold_ppm=0, max_rows=100)
+    with pytest.raises(AllPairsScaleError):
+        dd.simhash_pairs(big, max_rows=100)
+    # acknowledged bound runs fine
+    assert sim.cosine_pairs(big, threshold_ppm=999999, max_rows=500).count() >= 0

@@ -203,3 +203,35 @@ def test_zorder_code_is_codegen_projection(spark):
     s = plan_of(df)
     assert "Exchange" not in s  # pure scan -> project
     assert "BatchEvalPython" not in s and "ArrowEvalPython" not in s  # no UDF
+
+
+def test_funnel_and_retention_have_no_cartesian(spark):
+    from iceberg_compaction_spark import registry
+
+    for name in ("events_funnel", "events_retention"):
+        df = registry.QUERIES[name](spark, SF)
+        s = plan_of(df)
+        assert "CartesianProduct" not in s, name
+        assert "BroadcastNestedLoopJoin" not in s, name
+
+
+def test_anti_join_filters_build_side_before_join(spark):
+    from iceberg_compaction_spark import registry
+
+    df = registry.QUERIES["anti_customers_no_orders"](spark, SF)
+    s = formatted(df)
+    # the o_totalprice filter must reach the orders scan, not sit above
+    # the join
+    assert "GreaterThan(o_totalprice" in s
+    assert "LeftAnti" in plan_of(df)
+
+
+def test_running_window_partitions_by_customer(spark):
+    from iceberg_compaction_spark import registry
+
+    df = registry.QUERIES["window_running_revenue"](spark, SF)
+    s = plan_of(df)
+    # partitioned window: hashpartitioning on o_custkey, never a global
+    # single-partition sort
+    assert "hashpartitioning(o_custkey" in s
+    assert "SinglePartition" not in s
