@@ -179,6 +179,93 @@ def assign_clusters(
     )
 
 
+def kmeans_train(
+    vectors: DataFrame,
+    k: int,
+    iters: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Lloyd's k-means over the embedding column — trains the IVF
+    centroid table with pure DataFrame aggregations (no MLlib, no UDFs).
+
+    Init is deterministic: the ``k`` lowest ids (callers wanting k-means++
+    can pass a pre-seeded corpus sample).  Each iteration is one
+    broadcast assignment (narrow) + one groupBy mean:  element-wise
+    centroid means come from ``posexplode`` -> groupBy (cluster,
+    position) -> avg -> ``array_agg`` sorted by position.  Per-iteration
+    cost is two shuffles of k x dim rows — independent of corpus row
+    width, the shape that holds at 10^11 vectors.
+
+    Returns the final ``(cluster_id, embedding)`` centroid table (double
+    components), directly usable by :func:`assign_clusters` /
+    :func:`ivf_topk`.  Iterative and data-dependent, so no SQL oracle —
+    convergence (non-increasing inertia) is pinned by pytest instead.
+    """
+    from pyspark.sql.window import Window
+
+    v = vectors.select(F.col(id_col), as_double(F.col(vec_col)).alias("v"))
+    # the k-row init is driver-scale; the single-partition window is fine
+    centroids = (
+        v.orderBy(id_col)
+        .limit(k)
+        .withColumn(
+            "cluster_id", F.row_number().over(Window.orderBy(id_col)) - 1
+        )
+        .select("cluster_id", F.col("v").alias("embedding"))
+    )
+    for _ in range(iters):
+        # assign_clusters reads vec_col from BOTH sides; centroids are
+        # always named (cluster_id, embedding)
+        assigned = assign_clusters(
+            v.select(F.col(id_col), F.col("v").alias("embedding")),
+            centroids,
+            id_col=id_col,
+            vec_col="embedding",
+        )
+        centroids = (
+            assigned.select(
+                "cluster_id", F.posexplode("v").alias("pos", "x")
+            )
+            .groupBy("cluster_id", "pos")
+            .agg(F.avg("x").alias("m"))
+            .groupBy("cluster_id")
+            .agg(
+                F.array_sort(
+                    F.collect_list(F.struct("pos", "m"))
+                ).alias("pm")
+            )
+            .select(
+                "cluster_id",
+                F.transform(F.col("pm"), lambda s: s["m"]).alias("embedding"),
+            )
+        )
+    return centroids
+
+
+def kmeans_inertia(
+    vectors: DataFrame,
+    centroids: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> float:
+    """Mean cosine distance (1 - cos, in ppm) of vectors to their
+    assigned centroid — the convergence metric for :func:`kmeans_train`."""
+    assigned = assign_clusters(vectors, centroids, id_col, vec_col)
+    cent = F.broadcast(
+        centroids.select(
+            F.col("cluster_id"), as_double(F.col("embedding")).alias("centv")
+        )
+    )
+    row = (
+        assigned.join(cent, "cluster_id")
+        .select((1000000 - cosine_ppm(F.col("v"), F.col("centv"))).alias("d"))
+        .agg(F.avg("d").alias("inertia"))
+        .collect()[0]
+    )
+    return float(row["inertia"])
+
+
 def ivf_topk(
     corpus: DataFrame,
     queries: DataFrame,

@@ -281,3 +281,44 @@ def test_all_pairs_baselines_refuse_large_inputs(spark):
         dd.simhash_pairs(big, max_rows=100)
     # acknowledged bound runs fine
     assert sim.cosine_pairs(big, threshold_ppm=999999, max_rows=500).count() >= 0
+
+
+def test_kmeans_train_converges_and_feeds_ivf(spark):
+    """Lloyd's iterations never increase inertia; trained centroids plug
+    straight into assign_clusters/ivf_topk."""
+    import random
+
+    rng = random.Random(5)
+    # three well-separated direction clusters on the unit circle-ish
+    base = [(1.0, 0.0, 0.0), (0.0, 1.0, 0.0), (0.0, 0.0, 1.0)]
+    rows = []
+    for i in range(90):
+        bx, by, bz = base[i % 3]
+        rows.append(
+            (
+                i,
+                [
+                    bx + rng.uniform(-0.05, 0.05),
+                    by + rng.uniform(-0.05, 0.05),
+                    bz + rng.uniform(-0.05, 0.05),
+                ],
+            )
+        )
+    df = spark.createDataFrame(rows, ["vec_id", "embedding"])
+
+    c1 = sim.kmeans_train(df, k=3, iters=1)
+    c5 = sim.kmeans_train(df, k=3, iters=5)
+    i1 = sim.kmeans_inertia(df, c1)
+    i5 = sim.kmeans_inertia(df, c5)
+    assert i5 <= i1 + 1e-9
+
+    # converged centroids separate the three direction clusters
+    assign = {
+        r["vec_id"]: r["cluster_id"]
+        for r in sim.assign_clusters(df, c5).collect()
+    }
+    groups = {}
+    for vid, cid in assign.items():
+        groups.setdefault(vid % 3, set()).add(cid)
+    assert all(len(cids) == 1 for cids in groups.values())  # pure clusters
+    assert len({next(iter(c)) for c in groups.values()}) == 3
