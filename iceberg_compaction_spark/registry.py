@@ -1043,6 +1043,34 @@ def q_events_top_users(spark, sf_dir):
 
 
 @register(
+    "agg_price_quantiles",
+    """
+    SELECT l_returnflag,
+           CAST(FLOOR(quantile_cont(l_extendedprice, 0.5)*100) AS BIGINT)
+             AS p50_c,
+           CAST(FLOOR(quantile_cont(l_extendedprice, 0.9)*100) AS BIGINT)
+             AS p90_c
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def q_agg_price_quantiles(spark, sf_dir):
+    """Exact interpolated quantiles per group (Spark `percentile` ==
+    DuckDB `quantile_cont`: both linear-interpolate on the sorted
+    group).  Exact percentile sorts within each group — fine when group
+    count is small and groups are large; the approx path at stricter
+    memory bounds is `percentile_approx`."""
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    return li.groupBy("l_returnflag").agg(
+        F.floor(F.expr("percentile(l_extendedprice, 0.5)") * 100)
+        .cast("long")
+        .alias("p50_c"),
+        F.floor(F.expr("percentile(l_extendedprice, 0.9)") * 100)
+        .cast("long")
+        .alias("p90_c"),
+    )
+
+
+@register(
     "events_retention",
     """
     WITH active AS (
