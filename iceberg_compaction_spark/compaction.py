@@ -186,26 +186,36 @@ class Compaction:
         # Bounded-memory contract (core/src/config/mod.rs:464-488): size
         # input splits so concurrent tasks stay inside the budget after
         # decode inflation, failing fast (try_grow analog) when the
-        # budget is infeasible — BEFORE any rewrite launches.
+        # budget is infeasible — BEFORE any rewrite launches.  The conf
+        # change is scoped to the rewrites (restored after), matching
+        # the reference's per-execution memory pool rather than leaking
+        # into unrelated queries on the shared session.
         mem = self.config.memory
+        saved_conf: dict[str, str | None] = {}
         if mem.max_memory_bytes is not None:
             parallelism = self.spark.sparkContext.defaultParallelism
             for key, val in mem.spark_conf(parallelism).items():
                 if key == "spark.local.dir":
                     continue  # session-fixed; builder-time only
+                saved_conf[key] = self.spark.conf.get(key, None)
                 self.spark.conf.set(key, val)
         out_root = out_root or os.path.join(
             manifest.table_root, f"compacted-{manifest.next_snapshot()}"
         )
         pool = ThreadPoolExecutor(self.config.max_concurrent_compaction_plans)
-        futures = [
-            pool.submit(self.rewrite, p, os.path.join(out_root, f"group-{i}"))
-            for i, p in enumerate(plans)
-        ]
         try:
+            futures = [
+                pool.submit(self.rewrite, p, os.path.join(out_root, f"group-{i}"))
+                for i, p in enumerate(plans)
+            ]
             results = [f.result() for f in futures]
         finally:
             pool.shutdown(wait=False)
+            for key, val in saved_conf.items():
+                if val is None:
+                    self.spark.conf.unset(key)
+                else:
+                    self.spark.conf.set(key, val)
 
         for r in results:
             stats.merge(

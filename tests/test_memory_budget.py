@@ -74,19 +74,30 @@ def small_table(tmp_path):
     return Manifest.from_parquet_dir(str(root), sequence_number=1)
 
 
-def test_compaction_applies_budget_conf(spark, small_table):
+def test_compaction_applies_budget_conf_scoped(spark, small_table):
+    """The budget conf is live during the rewrites and restored after —
+    per-execution like the reference's memory pool, never leaked into
+    unrelated queries on the shared session."""
     budget = 64 * 1024**3
     cfg = CompactionConfig.small_files()
     cfg.memory = ExecutionMemoryConfig(max_memory_bytes=budget)
     before = spark.conf.get("spark.sql.files.maxPartitionBytes")
-    try:
-        new_m, stats = Compaction(spark, cfg).compact(small_table)
-        assert stats.input_files_count == 3
-        par = spark.sparkContext.defaultParallelism
-        expect = cfg.memory.max_partition_bytes(par)
-        assert spark.conf.get("spark.sql.files.maxPartitionBytes") == str(expect)
-    finally:
-        spark.conf.set("spark.sql.files.maxPartitionBytes", before)
+
+    seen = {}
+    comp = Compaction(spark, cfg)
+    orig_rewrite = comp.rewrite
+
+    def spy_rewrite(plan, out_dir=None):
+        seen["mpb"] = spark.conf.get("spark.sql.files.maxPartitionBytes")
+        return orig_rewrite(plan, out_dir)
+
+    comp.rewrite = spy_rewrite
+    new_m, stats = comp.compact(small_table)
+    assert stats.input_files_count == 3
+    par = spark.sparkContext.defaultParallelism
+    assert seen["mpb"] == str(cfg.memory.max_partition_bytes(par))
+    # restored after the run
+    assert spark.conf.get("spark.sql.files.maxPartitionBytes") == before
 
 
 def test_compaction_fails_fast_on_infeasible_budget(spark, small_table, tmp_path):
