@@ -154,9 +154,15 @@ def assign_clusters(
     """Nearest-centroid assignment: (id, cluster_id, vector).
 
     Centroids are broadcast; ties break toward the lower centroid id.
-    """
-    from pyspark.sql.window import Window
 
+    The argmax is a ``max(struct(c_ppm, -cluster_id, ...))`` aggregate,
+    not a per-id ranking window: structs compare lexicographically, and
+    (c_ppm, -cluster_id) is unique per id, so the max picks the highest
+    similarity with the lowest cluster id on ties — same answer, but a
+    groupBy gets a map-side partial combine (each task reduces its k
+    candidate rows per id locally before the exchange) where a window
+    would shuffle all ``n x k`` scored rows and sort them.
+    """
     cent = F.broadcast(
         centroids.select(
             F.col("cluster_id"), as_double(F.col(vec_col)).alias("centv")
@@ -169,13 +175,18 @@ def assign_clusters(
         "v",
         cosine_ppm(F.col("v"), F.col("centv")).alias("c_ppm"),
     )
-    w = Window.partitionBy(id_col).orderBy(
-        F.col("c_ppm").desc(), F.col("cluster_id").asc()
+    best = scored.groupBy(id_col).agg(
+        F.max(
+            F.struct(
+                F.col("c_ppm"),
+                (-F.col("cluster_id")).alias("neg_cid"),
+                F.col("cluster_id"),
+                F.col("v"),
+            )
+        ).alias("b")
     )
-    return (
-        scored.withColumn("rn", F.row_number().over(w))
-        .where(F.col("rn") == 1)
-        .select(id_col, "cluster_id", "v")
+    return best.select(
+        id_col, F.col("b.cluster_id").alias("cluster_id"), F.col("b.v").alias("v")
     )
 
 

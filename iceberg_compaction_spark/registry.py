@@ -1118,9 +1118,7 @@ def q_events_retention(spark, sf_dir):
     )
 
 
-@register(
-    "events_funnel",
-    """
+_FUNNEL_SQL = """
     WITH v AS (
       SELECT user_id, MIN(epoch_us(ts)) AS step0_us
       FROM events WHERE event_type = 'view' GROUP BY user_id
@@ -1137,13 +1135,29 @@ def q_events_retention(spark, sf_dir):
     )
     SELECT v.user_id, v.step0_us, c.step1_us, p.step2_us
     FROM v JOIN c ON v.user_id = c.user_id JOIN p ON p.user_id = c.user_id
-    """,
-)
+    """
+
+
+@register("events_funnel", _FUNNEL_SQL)
 def q_events_funnel(spark, sf_dir):
     """view -> click -> purchase funnel (CEP sequence detection): one
     exchange on user_id, then per-step narrow passes."""
     return ev.funnel(
         ev.read_events(spark, sf_dir), ["view", "click", "purchase"]
+    )
+
+
+@register("stream_funnel", _FUNNEL_SQL)
+def q_stream_funnel(spark, sf_dir):
+    """applyInPandasWithState funnel state machine over the events
+    stream; oracle is the batch funnel (identical under the in-order
+    single-trigger replay)."""
+    from iceberg_compaction_spark.streaming import pipeline as sp
+    from iceberg_compaction_spark.streaming import stateful as st
+
+    stream = sp.read_events_stream(spark, sf_dir)
+    return sp.run_available_now(
+        st.stateful_funnel(stream), spark, output_mode="append"
     )
 
 

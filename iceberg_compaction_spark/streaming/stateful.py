@@ -161,3 +161,100 @@ def stateful_sessionize(
         outputMode="append",
         timeoutConf=timeout,
     )
+
+
+FUNNEL_SCHEMA = StructType(
+    [
+        StructField("user_id", LongType()),
+        StructField("step0_us", LongType()),
+        StructField("step1_us", LongType()),
+        StructField("step2_us", LongType()),
+    ]
+)
+
+# state: which step we're waiting for next + the greedy chain so far
+FUNNEL_STATE_SCHEMA = StructType(
+    [
+        StructField("next_step", LongType()),
+        StructField("t0", LongType()),
+        StructField("t1", LongType()),
+    ]
+)
+
+
+def _make_funnel(steps: tuple[str, ...]):
+    """Closure factory for the 3-step streaming funnel state machine."""
+
+    def funnel_group(key, pdfs, state: GroupState):
+        import pandas as pd
+
+        (user_id,) = key
+        if state.exists:
+            next_step, t0, t1 = state.get
+        else:
+            next_step, t0, t1 = 0, 0, 0
+        if next_step < 0:  # funnel already completed and emitted
+            return
+
+        chunks = list(pdfs)
+        whole = pd.concat(chunks) if chunks else pd.DataFrame()
+        done = None
+        if len(whole):
+            pdf = whole.sort_values("ts_us")
+            for ts, et in zip(pdf["ts_us"].to_numpy(), pdf["event_type"]):
+                ts = int(ts)
+                # strict order: each step must be AFTER the previous one
+                if next_step == 0 and et == steps[0]:
+                    t0, next_step = ts, 1
+                elif next_step == 1 and et == steps[1] and ts > t0:
+                    t1, next_step = ts, 2
+                elif next_step == 2 and et == steps[2] and ts > t1:
+                    done = (t0, t1, ts)
+                    next_step = -1
+                    break
+        if done is not None:
+            state.update((-1, 0, 0))
+            yield pd.DataFrame(
+                {
+                    "user_id": [user_id],
+                    "step0_us": [done[0]],
+                    "step1_us": [done[1]],
+                    "step2_us": [done[2]],
+                }
+            )
+        else:
+            state.update((next_step, t0, t1))
+
+    return funnel_group
+
+
+def stateful_funnel(
+    stream: DataFrame,
+    steps: tuple[str, ...] = ("view", "click", "purchase"),
+) -> DataFrame:
+    """Streaming twin of :func:`events.funnel` as a per-key state
+    machine: each user's state holds which step is awaited plus the
+    greedy chain so far; a completed funnel emits once and the key goes
+    dormant (state flagged done — O(1) state per user forever after).
+
+    Greedy earliest-chain equals the batch funnel when each user's
+    events arrive in timestamp order across triggers (single-file
+    availableNow replay satisfies this; out-of-order live streams would
+    need watermark-delayed evaluation like the sessionizer's caveat).
+    """
+    from pyspark.sql import functions as F
+
+    if len(steps) != 3:
+        raise ValueError("stateful_funnel implements the 3-step machine")
+    prepped = stream.select(
+        F.col("user_id"),
+        F.expr("ts div 1000").alias("ts_us"),
+        F.col("event_type"),
+    )
+    return prepped.groupBy("user_id").applyInPandasWithState(
+        _make_funnel(tuple(steps)),
+        outputStructType=FUNNEL_SCHEMA,
+        stateStructType=FUNNEL_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

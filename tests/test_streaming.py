@@ -372,3 +372,57 @@ def test_funnel_strict_order_and_greedy_chain(spark):
         1: (10 * m, 20 * m, 30 * m),
         3: (5 * m, 7 * m, 8 * m),
     }  # user 2 (wrong order) and user 4 (tie, not strict) excluded
+
+
+def test_stateful_funnel_completes_across_triggers_once(spark, tmp_path):
+    """Funnel steps split across triggers complete via state; a
+    completed user never emits twice even when later events re-match."""
+    import glob
+    import os
+    import shutil
+    import time
+
+    from pyspark.sql.types import LongType, StringType, StructField, StructType
+
+    from iceberg_compaction_spark.streaming import stateful as st
+
+    d = str(tmp_path / "funnel-events")
+    os.makedirs(d)
+    s_ns = 1_000_000_000
+
+    schema = StructType(
+        [
+            StructField("user_id", LongType()),
+            StructField("ts", LongType()),
+            StructField("event_type", StringType()),
+        ]
+    )
+
+    def write_file(name, rows, mtime):
+        spark.createDataFrame(rows, schema).coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(str(tmp_path / name))
+        src = glob.glob(str(tmp_path / name / "*.parquet"))[0]
+        dst = os.path.join(d, name + ".parquet")
+        shutil.copy(src, dst)
+        os.utime(dst, (mtime, mtime))
+
+    now = time.time()
+    write_file("a", [(1, 100 * s_ns, "view"), (1, 200 * s_ns, "click")], now - 300)
+    write_file("b", [(1, 300 * s_ns, "purchase")], now - 200)  # completes
+    # a second full chain afterwards must NOT re-emit
+    write_file(
+        "c",
+        [(1, 400 * s_ns, "view"), (1, 500 * s_ns, "click"),
+         (1, 600 * s_ns, "purchase")],
+        now - 100,
+    )
+
+    stream = (
+        spark.readStream.schema(schema).option("maxFilesPerTrigger", 1).parquet(d)
+    )
+    out = sp.run_available_now(
+        st.stateful_funnel(stream), spark, output_mode="append"
+    ).collect()
+    assert [(r["user_id"], r["step0_us"], r["step1_us"], r["step2_us"])
+            for r in out] == [(1, 100 * 10**6, 200 * 10**6, 300 * 10**6)]
