@@ -1071,6 +1071,29 @@ def q_agg_price_quantiles(spark, sf_dir):
 
 
 @register(
+    "events_json_extract",
+    """
+    SELECT event_type,
+           COUNT(*) AS n,
+           CAST(SUM(CAST(props->>'k' AS BIGINT)) AS BIGINT) AS sum_k,
+           CAST(MAX(CAST(props->>'k' AS BIGINT)) AS BIGINT) AS max_k
+    FROM events GROUP BY event_type
+    """,
+)
+def q_events_json_extract(spark, sf_dir):
+    """Semi-structured extraction: JSON path into the props column with
+    the JVM-side get_json_object (no Python, schema-on-read), then a
+    partial-aggregated rollup."""
+    e = ev.read_events(spark, sf_dir)
+    k = F.get_json_object(F.col("props"), "$.k").cast("long")
+    return e.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(k).alias("sum_k"),
+        F.max(k).alias("max_k"),
+    )
+
+
+@register(
     "events_retention",
     """
     WITH active AS (
