@@ -267,6 +267,30 @@ def q_text_langid(spark, sf_dir):
 
 
 @register(
+    "text_langid_confusion",
+    f"""
+    WITH s AS (SELECT doc_id, lang, {_lang_scores_sql()} FROM documents),
+    p AS (
+      SELECT lang,
+        CASE WHEN score_perf > greatest(score_en, score_db, score_ops) THEN 'perf'
+             WHEN score_ops  > greatest(score_en, score_db) THEN 'ops'
+             WHEN score_db   > score_en THEN 'db'
+             ELSE 'en' END AS pred_lang
+      FROM s
+    )
+    SELECT lang, pred_lang, COUNT(*) AS n FROM p GROUP BY lang, pred_lang
+    """,
+)
+def q_text_langid_confusion(spark, sf_dir):
+    """Classifier-evaluation rollup: ground-truth lang x predicted lang
+    counts — the confusion matrix a data-quality pipeline monitors.  One
+    partial-aggregated groupBy over the narrow langid projection."""
+    docs = _docs(spark, sf_dir)
+    pred = tx.with_language_id(docs).select("lang", "pred_lang")
+    return pred.groupBy("lang", "pred_lang").agg(F.count(F.lit(1)).alias("n"))
+
+
+@register(
     "text_fingerprint",
     f"""
     SELECT doc_id, md5({_NORM}) AS content_fp,
