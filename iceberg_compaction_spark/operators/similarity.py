@@ -277,6 +277,44 @@ def kmeans_inertia(
     return float(row["inertia"])
 
 
+def probe_clusters(
+    queries: DataFrame,
+    centroids: DataFrame,
+    nprobe: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Top-``nprobe`` nearest centroids per query: (id, cluster_id, v),
+    one row per (query, probed cluster).
+
+    The ranking window partitions by query over only ``k_centroids``
+    scored rows per query — the query side is the small side by IVF
+    construction, so this never windows over corpus-scale data.
+    """
+    from pyspark.sql.window import Window
+
+    cent = F.broadcast(
+        centroids.select(
+            F.col("cluster_id"), as_double(F.col(vec_col)).alias("centv")
+        )
+    )
+    v = queries.select(F.col(id_col), as_double(F.col(vec_col)).alias("v"))
+    scored = v.crossJoin(cent).select(
+        id_col,
+        "cluster_id",
+        "v",
+        cosine_ppm(F.col("v"), F.col("centv")).alias("c_ppm"),
+    )
+    w = Window.partitionBy(id_col).orderBy(
+        F.col("c_ppm").desc(), F.col("cluster_id").asc()
+    )
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= nprobe)
+        .select(id_col, "cluster_id", "v")
+    )
+
+
 def ivf_topk(
     corpus: DataFrame,
     queries: DataFrame,
@@ -284,16 +322,26 @@ def ivf_topk(
     k: int = 5,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    nprobe: int = 1,
 ) -> DataFrame:
-    """Single-probe IVF ANN: search only the query's cluster.
+    """IVF ANN: search the query's ``nprobe`` nearest clusters.
 
     Output: (query_id, neighbor_id, cos_ppm, rank) — approximate (recall
-    < 1 when true neighbors live in other clusters), which is the point.
+    < 1 when true neighbors live in unprobed clusters, which is the
+    point); raising ``nprobe`` trades cost ~``nprobe/k_centroids`` of
+    the corpus per query for recall, exactly the FAISS IVF knob.  Each
+    (query, neighbor) pair appears at most once even under multi-probe:
+    a neighbor lives in exactly one cluster, which matches at most one
+    of the query's probe rows.
     """
     from pyspark.sql.window import Window
 
     c_assign = assign_clusters(corpus, centroids, id_col, vec_col)
-    q_assign = assign_clusters(queries, centroids, id_col, vec_col)
+    q_assign = (
+        assign_clusters(queries, centroids, id_col, vec_col)
+        if nprobe <= 1
+        else probe_clusters(queries, centroids, nprobe, id_col, vec_col)
+    )
 
     q = q_assign.select(
         F.col(id_col).alias("query_id"), F.col("cluster_id"), F.col("v").alias("qv")

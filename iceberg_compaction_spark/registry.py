@@ -561,7 +561,7 @@ def _centroids(spark, sf_dir):
     )
 
 
-def _ivf_sql() -> str:
+def _ivf_sql(nprobe: int = 1) -> str:
     cent_case = " ".join(
         f"WHEN {v} THEN {i}" for i, v in enumerate(IVF_CENTROID_IDS)
     )
@@ -579,8 +579,12 @@ def _ivf_sql() -> str:
             ORDER BY {_COS.format(a="v.v", b="cent.centv")} DESC, cent.cluster_id) AS rn
         FROM v, cent) WHERE rn = 1
     ),
-    q AS (SELECT vec_id AS query_id, cluster_id, v AS qv FROM assign
-          WHERE vec_id % 100 = 0),
+    q AS (SELECT vec_id AS query_id, cluster_id, v AS qv FROM (
+        SELECT v.vec_id, cent.cluster_id, v.v,
+          row_number() OVER (PARTITION BY v.vec_id
+            ORDER BY {_COS.format(a="v.v", b="cent.centv")} DESC, cent.cluster_id) AS rn
+        FROM v, cent WHERE v.vec_id % 100 = 0) WHERE rn <= {nprobe}
+    ),
     scored AS (
       SELECT q.query_id, c.vec_id AS neighbor_id,
         {_COS.format(a="q.qv", b="c.v")} AS cos_ppm
@@ -599,6 +603,19 @@ def q_ann_ivf(spark, sf_dir):
     emb = _emb(spark, sf_dir)
     queries = emb.where(F.col("vec_id") % 100 == 0)
     return sim.ivf_topk(emb, queries, _centroids(spark, sf_dir), k=5)
+
+
+@register("ann_ivf_multiprobe", _ivf_sql(nprobe=2))
+def q_ann_ivf_multiprobe(spark, sf_dir):
+    """IVF with nprobe=2 (the FAISS recall knob): each query searches
+    its two nearest clusters — ~2/k_centroids of the corpus instead of
+    1/k_centroids, recovering neighbors that straddle a cluster
+    boundary."""
+    emb = _emb(spark, sf_dir)
+    queries = emb.where(F.col("vec_id") % 100 == 0)
+    return sim.ivf_topk(
+        emb, queries, _centroids(spark, sf_dir), k=5, nprobe=2
+    )
 
 
 # anchor-pair vec_ids defining the LSH hyperplanes (bit i: closer to a

@@ -322,3 +322,30 @@ def test_kmeans_train_converges_and_feeds_ivf(spark):
         groups.setdefault(vid % 3, set()).add(cid)
     assert all(len(cids) == 1 for cids in groups.values())  # pure clusters
     assert len({next(iter(c)) for c in groups.values()}) == 3
+
+
+def test_ivf_multiprobe_recall_dominates_single_probe(spark):
+    """nprobe=2 searches a superset of nprobe=1's candidates, so its
+    top-k per query is at least as close to brute force (monotone
+    recall), and exactly equal when nprobe covers all clusters."""
+    import random
+
+    rng = random.Random(9)
+    rows = [
+        (i, [rng.uniform(-1, 1) for _ in range(8)]) for i in range(300)
+    ]
+    emb = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    cents = sim.kmeans_train(emb, k=4, iters=3)
+    queries = emb.where(F.col("vec_id") % 50 == 0)
+
+    def result_set(df):
+        return {
+            (r["query_id"], r["neighbor_id"]) for r in df.collect()
+        }
+
+    exact = result_set(sim.brute_force_topk(emb, queries, k=3))
+    p1 = result_set(sim.ivf_topk(emb, queries, cents, k=3, nprobe=1))
+    p2 = result_set(sim.ivf_topk(emb, queries, cents, k=3, nprobe=2))
+    p4 = result_set(sim.ivf_topk(emb, queries, cents, k=3, nprobe=4))
+    assert len(p2 & exact) >= len(p1 & exact)  # monotone recall
+    assert p4 == exact  # probing every cluster == brute force
