@@ -210,7 +210,12 @@ class Compaction:
             ]
             results = [f.result() for f in futures]
         finally:
-            pool.shutdown(wait=False)
+            # Wait for (and cancel) outstanding rewrites BEFORE restoring
+            # the memory-budget confs: shutdown(wait=False) would leave
+            # surviving rewrite threads planning their scans with the
+            # unbounded maxPartitionBytes — defeating the budget exactly
+            # when memory pressure likely caused the first failure.
+            pool.shutdown(wait=True, cancel_futures=True)
             for key, val in saved_conf.items():
                 if val is None:
                     self.spark.conf.unset(key)

@@ -65,7 +65,7 @@ def zorder_code_expr(scaled_cols: list[str], bits: int) -> str:
 
 def zorder_code(
     df: DataFrame, cols: list[str], bits: int = 8
-) -> tuple[DataFrame, Column]:
+) -> tuple[DataFrame, Column | None]:
     """Attach a Morton code over ``cols`` (integer columns), scaled by
     their global min/max.
 
@@ -74,14 +74,27 @@ def zorder_code(
     be materialized into the output schema.  The min/max aggregate is
     one job over stats-prunable columns (at 100 TB: seconds, and with
     Iceberg metadata it's a manifest read, not a scan).
+
+    When the input is empty or a z-order column is entirely NULL the
+    min/max aggregates return NULL and no meaningful code exists; the
+    code column is ``None`` so callers fall back to the plain
+    (unclustered) path instead of failing the whole rewrite — a
+    compaction of a fully-deleted file group must still write its
+    (empty) output.
     """
     aggs = []
     for c in cols:
         aggs += [F.min(c).alias(f"__min_{c}"), F.max(c).alias(f"__max_{c}")]
     row = df.agg(*aggs).collect()[0]
+    bounds = []
+    for c in cols:
+        vmin, vmax = row[f"__min_{c}"], row[f"__max_{c}"]
+        if vmin is None or vmax is None:
+            return df, None
+        bounds.append((int(vmin), int(vmax)))
     scaled = [
-        minmax_scale_expr(c, int(row[f"__min_{c}"]), int(row[f"__max_{c}"]), bits)
-        for c in cols
+        minmax_scale_expr(c, vmin, vmax, bits)
+        for c, (vmin, vmax) in zip(cols, bounds)
     ]
     return df, F.expr(zorder_code_expr(scaled, bits))
 
@@ -93,4 +106,6 @@ def cluster_by_zorder(
     shuffle).  Downstream size-rolled writes then produce files whose
     min-max envelopes are tight on EVERY interleaved dimension."""
     df, code = zorder_code(df, cols, bits)
+    if code is None:
+        return df
     return df.orderBy(code)

@@ -816,15 +816,23 @@ def q_text_top_ngrams(spark, sf_dir):
     m AS (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm FROM n)
     SELECT vec_id,
            CAST(FLOOR(nrm * 1000000) AS BIGINT) AS norm_micro,
-           list_transform(v, x -> CAST(FLOOR(x / nrm * 1000000) AS BIGINT))
-             AS unit_micro
-    FROM m
+           CAST(g.i - 1 AS INTEGER) AS pos,
+           CAST(FLOOR(v[g.i] / nrm * 1000000) AS BIGINT) AS u_micro
+    FROM m, LATERAL (SELECT unnest(generate_series(1, len(v))) AS i) g
     """,
 )
 def q_emb_normalize(spark, sf_dir):
     """L2 normalization to integer micro-units — narrow scan projection,
-    zero shuffle (the pre-index normalize pass of an ANN pipeline)."""
-    return sim.l2_normalize(_emb(spark, sf_dir))
+    zero shuffle (the pre-index normalize pass of an ANN pipeline).
+    The driver-facing result explodes the unit vector to one scalar row
+    per component (the gate's canonicalizer hashes scalars only); the
+    array-valued operator surface is :func:`sim.l2_normalize`."""
+    nm = sim.l2_normalize(_emb(spark, sf_dir))
+    return nm.select(
+        "vec_id",
+        "norm_micro",
+        F.posexplode("unit_micro").alias("pos", "u_micro"),
+    )
 
 
 @register(
@@ -836,16 +844,20 @@ def q_emb_normalize(spark, sf_dir):
     SELECT vec_id,
            CAST(FLOOR(CASE WHEN am > 0 THEN 127.0 / am END * 1000000)
              AS BIGINT) AS scale_micro,
-           list_transform(v, x -> CAST(
-             CASE WHEN am > 0 THEN FLOOR(x * (127.0 / am)) ELSE 0 END
-             AS BIGINT)) AS q
-    FROM m
+           CAST(g.i - 1 AS INTEGER) AS pos,
+           CAST(CASE WHEN am > 0 THEN FLOOR(v[g.i] * (127.0 / am)) ELSE 0 END
+             AS BIGINT) AS q
+    FROM m, LATERAL (SELECT unnest(generate_series(1, len(v))) AS i) g
     """,
 )
 def q_emb_quantize(spark, sf_dir):
     """Symmetric int8 scalar quantization (4x index compression) —
-    per-row higher-order functions, zero shuffle."""
-    return sim.quantize_int8(_emb(spark, sf_dir))
+    per-row higher-order functions, zero shuffle; exploded to scalar
+    rows for the driver gate (array surface: :func:`sim.quantize_int8`)."""
+    qt = sim.quantize_int8(_emb(spark, sf_dir))
+    return qt.select(
+        "vec_id", "scale_micro", F.posexplode("q").alias("pos", "q")
+    )
 
 
 # ===========================================================================

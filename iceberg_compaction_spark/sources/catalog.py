@@ -75,14 +75,22 @@ class FileCatalog:
         return os.path.isdir(self._metadata_dir(name))
 
     def create_table(self, name: str, manifest: Manifest) -> Manifest:
-        """Register a table; its first metadata version is the given
-        manifest (snapshot id forced to 1)."""
+        """Register a table; its first metadata version is a COPY of the
+        given manifest with snapshot id 1 (the argument is not mutated).
+
+        Concurrent creators race on the makedirs: the loser surfaces the
+        documented ``TableAlreadyExists``, not a raw ``FileExistsError``.
+        """
         if self.table_exists(name):
             raise TableAlreadyExists(name)
-        os.makedirs(self._metadata_dir(name))
-        manifest.snapshot_id = 1
-        self._write_version(name, manifest)
-        return manifest
+        try:
+            os.makedirs(self._metadata_dir(name))
+        except FileExistsError:
+            raise TableAlreadyExists(name) from None
+        registered = Manifest.from_dict(manifest.to_dict())
+        registered.snapshot_id = 1
+        self._write_version(name, registered)
+        return registered
 
     def load_table(self, name: str) -> Manifest:
         """Current table state: the highest committed version (the hint

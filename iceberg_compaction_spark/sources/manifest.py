@@ -61,7 +61,22 @@ def manifest_lock(
         except FileExistsError:
             try:
                 if time.time() - os.path.getmtime(lock_path) > stale_s:
-                    os.unlink(lock_path)  # break stale lock
+                    # Break by renaming ASIDE, not unlinking in place: two
+                    # waiters can both pass the staleness check, and after
+                    # the first unlink + a fresh acquisition by a third
+                    # process, the second waiter's pending unlink would
+                    # delete the FRESH lock (two writers in the critical
+                    # section).  rename is atomic and the source vanishes
+                    # for the loser, so exactly one breaker wins; it then
+                    # re-contends through the normal O_EXCL create.
+                    broken = f"{lock_path}.stale.{os.getpid()}.{uuid.uuid4().hex}"
+                    try:
+                        os.rename(lock_path, broken)
+                    except FileNotFoundError:
+                        pass  # another breaker (or the holder) got there
+                    else:
+                        with contextlib.suppress(FileNotFoundError):
+                            os.unlink(broken)
                     continue
             except FileNotFoundError:
                 continue  # holder released between open and stat; retry now
