@@ -25,6 +25,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql.types import LongType, TimestampNTZType, TimestampType
 from pyspark.sql.window import Window
 
 NS_PER_HOUR = 3_600_000_000_000
@@ -32,16 +33,45 @@ NS_PER_SEC = 1_000_000_000
 DEFAULT_SESSION_GAP_NS = 1_800_000_000_000  # 30 min
 
 
-def read_events(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Read the events table with ns timestamps as int64.
+def normalize_ts_ns(df: DataFrame, col: str = "ts") -> DataFrame:
+    """Normalize the ``col`` timestamp column to int64 epoch-nanoseconds.
 
-    Spark rejects TIMESTAMP(NANOS) parquet columns outright
-    (PARQUET_TYPE_ILLEGAL); ``nanosAsLong`` reads them as raw int64
-    nanoseconds — which we prefer anyway: all window math becomes exact
-    integer arithmetic, immune to timezone/precision drift.
+    The events fixture has shipped ``ts`` as int64-ns, TIMESTAMP(NANOS)
+    (readable only via ``nanosAsLong``), and ``timestamp[us]`` (which
+    Spark 4 reads as TIMESTAMP_NTZ) across rounds — so the engine
+    accepts all of them and canonicalizes at the read boundary.  All
+    downstream window/session/join math is exact integer ns arithmetic,
+    immune to timezone and float-precision drift, and matches the
+    DuckDB oracles' ``epoch_ns(ts)``.
+
+    TIMESTAMP_NTZ is converted with pure wall-clock arithmetic
+    (``timestampdiff`` against the NTZ epoch) — no session-timezone
+    dependence; TIMESTAMP (ltz) via ``unix_micros``.
+    """
+    dt = df.schema[col].dataType
+    if isinstance(dt, LongType):
+        return df
+    if isinstance(dt, TimestampNTZType):
+        us = F.expr(
+            f"timestampdiff(MICROSECOND, TIMESTAMP_NTZ '1970-01-01 00:00:00', {col})"
+        )
+    elif isinstance(dt, TimestampType):
+        us = F.unix_micros(F.col(col))
+    else:
+        raise TypeError(f"unsupported timestamp column type for {col!r}: {dt}")
+    return df.withColumn(col, (us * F.lit(1000)).cast("long"))
+
+
+def read_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Read the events table with ``ts`` normalized to int64 epoch-ns.
+
+    ``nanosAsLong`` keeps TIMESTAMP(NANOS) fixtures readable (Spark
+    rejects them outright otherwise — PARQUET_TYPE_ILLEGAL); whatever
+    physical type the file carries, :func:`normalize_ts_ns` canonicalizes
+    it so all window math is exact integer arithmetic.
     """
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    return spark.read.parquet(f"{sf_dir}/events.parquet")
+    return normalize_ts_ns(spark.read.parquet(f"{sf_dir}/events.parquet"))
 
 
 def _value_micro() -> F.Column:

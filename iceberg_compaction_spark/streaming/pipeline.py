@@ -28,6 +28,8 @@ import uuid
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from .events import normalize_ts_ns
+
 
 def _with_event_time(events: DataFrame) -> DataFrame:
     # int64 ns -> TIMESTAMP (micros) via integer `div` — float division
@@ -59,11 +61,14 @@ def read_events_stream(
             os.symlink(f"{sf_dir}/events.parquet", link)
         except FileExistsError:
             pass  # concurrent caller won the race
-    return (
+    stream = (
         spark.readStream.schema(schema)
         .option("maxFilesPerTrigger", 1)
         .parquet(d)
     )
+    # same int64-ns canonicalization as the batch reader, so the
+    # streaming twins hash identically whatever the fixture's ts type
+    return normalize_ts_ns(stream)
 
 
 def streaming_hourly_rollup(
