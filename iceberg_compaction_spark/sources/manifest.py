@@ -61,20 +61,38 @@ def manifest_lock(
         except FileExistsError:
             try:
                 if time.time() - os.path.getmtime(lock_path) > stale_s:
-                    # Break by renaming ASIDE, not unlinking in place: two
-                    # waiters can both pass the staleness check, and after
-                    # the first unlink + a fresh acquisition by a third
-                    # process, the second waiter's pending unlink would
-                    # delete the FRESH lock (two writers in the critical
-                    # section).  rename is atomic and the source vanishes
-                    # for the loser, so exactly one breaker wins; it then
-                    # re-contends through the normal O_EXCL create.
+                    # Break by renaming ASIDE, then re-verify the CAPTURED
+                    # file.  rename is atomic, so exactly one breaker owns
+                    # whatever was at lock_path — but the thing captured may
+                    # be a FRESH lock created after another breaker already
+                    # broke the stale one (the stat above raced).  Only a
+                    # capture that is itself stale is deleted; a fresh
+                    # capture is restored via os.link (which atomically
+                    # no-ops if a newer lock already exists).  This narrows
+                    # the two-breakers window to the rename->link gap
+                    # (microseconds, vs stale_s=60 s); it is best-effort,
+                    # not a proof — a real catalog's CAS replaces this
+                    # entirely (see commit.py).
                     broken = f"{lock_path}.stale.{os.getpid()}.{uuid.uuid4().hex}"
                     try:
                         os.rename(lock_path, broken)
                     except FileNotFoundError:
                         pass  # another breaker (or the holder) got there
                     else:
+                        try:
+                            captured_stale = (
+                                time.time() - os.path.getmtime(broken) > stale_s
+                            )
+                        except FileNotFoundError:
+                            captured_stale = True  # vanished; nothing to restore
+                        if not captured_stale:
+                            # stole a live lock: put it back (unless a newer
+                            # one took the slot meanwhile — then the live
+                            # holder re-contends like everyone else)
+                            with contextlib.suppress(
+                                FileExistsError, FileNotFoundError
+                            ):
+                                os.link(broken, lock_path)
                         with contextlib.suppress(FileNotFoundError):
                             os.unlink(broken)
                     continue
@@ -169,7 +187,9 @@ class Manifest:
             "sequence_number": self.sequence_number,
             "schema_id": self.schema_id,
             "format_version": self.format_version,
-            "properties": self.properties,
+            # copy: callers round-trip through to_dict/from_dict (e.g. the
+            # catalog register path) and must not alias the source's dict
+            "properties": dict(self.properties),
             "data_files": [
                 {
                     "path": t.data_file_path,
@@ -227,7 +247,7 @@ class Manifest:
             schema_id=d.get("schema_id", 0),
             format_version=d.get("format_version", 2),
             data_files=tasks,
-            properties=d.get("properties", {}),
+            properties=dict(d.get("properties", {})),
         )
 
     # ---- queries -----------------------------------------------------------
