@@ -118,15 +118,40 @@ def jaccard_pairs(
     text_col: str = "text",
     n: int = 3,
     threshold_ppm: int = 100000,
+    max_df: int | None = None,
 ) -> DataFrame:
     """Exact Jaccard similarity pairs from the shingle inverted index.
 
     Output: (id_a, id_b, jaccard_ppm) with id_a < id_b, similarity as
     integer ppm = floor(1e6 * |A∩B| / |A∪B|).
+
+    The self-join's cost is sum over shingles of df(s)^2 — one shingle
+    appearing in 1M docs alone generates 10^12 candidate rows.  At scale
+    pass ``max_df`` to drop such stop-shingles from the index (standard
+    stop-word treatment): Jaccard is then computed over the FILTERED
+    shingle space — both intersections and set sizes exclude capped
+    shingles, so the measure stays a true Jaccard of the reduced sets
+    (a doc whose shingles are all hot vanishes from the output).  The
+    default (None) keeps the exact oracle-checkable semantics; the
+    MinHash/LSH path is the other scale answer when exact similarity
+    on the full shingle space is required.
     """
     sets = shingle_sets(df, id_col, text_col, n)
     sh = sets.select(F.col(id_col), F.explode("shs").alias("shingle"))
-    sizes = sets.select(F.col(id_col), "sz")
+    if max_df is not None:
+        # semi-join against the sub-cap shingle vocabulary; the shuffle
+        # on `shingle` is the same partitioning the self-join needs, so
+        # the cap adds one aggregate, not a new exchange pattern
+        keep = (
+            sh.groupBy("shingle")
+            .agg(F.count(F.lit(1)).alias("df"))
+            .where(F.col("df") <= max_df)
+            .select("shingle")
+        )
+        sh = sh.join(keep, "shingle", "left_semi")
+        sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("sz"))
+    else:
+        sizes = sets.select(F.col(id_col), "sz")
 
     a = sh.select(F.col(id_col).alias("id_a"), "shingle")
     b = sh.select(F.col(id_col).alias("id_b"), "shingle")

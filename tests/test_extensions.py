@@ -66,6 +66,36 @@ def test_jaccard_pairs_finds_near_dup(spark, docs):
     assert (1, 4) not in pairs
 
 
+def test_jaccard_max_df_high_cap_is_exact(spark, docs):
+    # a cap no shingle reaches must reproduce the exact output
+    exact = sorted(
+        (r["id_a"], r["id_b"], r["jaccard_ppm"])
+        for r in dd.jaccard_pairs(docs, threshold_ppm=400000).collect()
+    )
+    capped = sorted(
+        (r["id_a"], r["id_b"], r["jaccard_ppm"])
+        for r in dd.jaccard_pairs(
+            docs, threshold_ppm=400000, max_df=10**6
+        ).collect()
+    )
+    assert capped == exact
+
+
+def test_jaccard_max_df_drops_hot_shingle_pairs(spark):
+    # docs share ONLY the hot 3-token prefix shingle; with it capped
+    # away the remaining shingle sets are disjoint, so no pair survives
+    rows = [
+        (1, "the common prefix alpha beta gamma"),
+        (2, "the common prefix epsilon zeta eta"),
+        (3, "the common prefix iota kappa lam"),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    uncapped = dd.jaccard_pairs(df, threshold_ppm=1).collect()
+    assert len(uncapped) > 0  # the hot shingles do link them
+    capped = dd.jaccard_pairs(df, threshold_ppm=1, max_df=2).collect()
+    assert capped == []
+
+
 def test_minhash_lsh_matches_exact_on_high_sim(spark, docs):
     got = {
         (r["id_a"], r["id_b"])
