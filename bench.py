@@ -104,6 +104,12 @@ def main() -> None:
     # files, mirroring the reference's workload shape)
     spark.range(1_000_000).selectExpr("sum(id)").collect()
     run_query(spark.read.parquet(f"{sf_dir}/lineitem.parquet").limit(1000))
+    # warm the reusable Python/Arrow worker pool (spark.python.worker.reuse)
+    # so the one mapInPandas query doesn't absorb the daemon fork + pandas
+    # import — on a long-lived cluster that cost amortizes to zero
+    spark.range(32).repartition(32).mapInPandas(
+        lambda it: it, "id long"
+    ).write.format("noop").mode("overwrite").save()
     from iceberg_compaction_spark.operators import synthetic as syn
 
     syn.position_delete_table(spark, sf_dir).count()

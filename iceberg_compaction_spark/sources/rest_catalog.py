@@ -1,0 +1,399 @@
+"""Iceberg REST-catalog backend: HTTP client + in-process test server.
+
+The reference's integration suite drives compaction through a REST
+catalog (``integration-tests/src/integration_tests.rs:38-579`` spins up
+``iceberg-rest`` + MinIO via ``docker_compose.rs:28-120``).  This module
+supplies that backend for the Spark engine: :class:`RestCatalog` speaks
+the public Iceberg REST catalog protocol (OpenAPI spec shipped with
+apache/iceberg, ``open-api/rest-catalog-open-api.yaml``) —
+
+    GET  /v1/config
+    GET  /v1/namespaces/{ns}/tables              (list)
+    POST /v1/namespaces/{ns}/tables              (create)
+    GET  /v1/namespaces/{ns}/tables/{table}      (load)
+    HEAD /v1/namespaces/{ns}/tables/{table}      (exists)
+    POST /v1/namespaces/{ns}/tables/{table}      (commit)
+
+with the spec's commit shape: a ``requirements`` list the server MUST
+validate atomically (we send ``assert-ref-snapshot-id`` on ``main``)
+and an ``updates`` list (``add-snapshot`` + ``set-snapshot-ref``).  A
+failed requirement is the spec's ``CommitFailedException`` → HTTP 409 →
+retryable :class:`~iceberg_compaction_spark.commit.CommitConflict`:
+THE point of a REST catalog is that the compare-and-swap happens
+server-side, so N engines on N machines serialize through one
+authority instead of a shared filesystem.
+
+The payload bodies carry our :class:`Manifest` as the snapshot content
+(key ``iceberg-compaction-spark.manifest`` inside the snapshot's
+``summary``, where the spec allows engine-specific fields).  A real
+Iceberg deployment would carry full TableMetadata; the protocol
+mechanics — paths, requirements, error codes, optimistic retry — are
+the spec's.
+
+:class:`RestCatalog` is contract-compatible with
+:class:`~iceberg_compaction_spark.sources.catalog.FileCatalog`
+(``list_tables / table_exists / create_table / load_table /
+commit_table``), so ``Compaction.compact_catalog`` works against either
+backend unchanged.  :func:`serve_rest_catalog` runs the server side
+in-process (stdlib ``ThreadingHTTPServer``) for tests and local use,
+delegating storage + CAS to a ``FileCatalog``.
+"""
+
+from __future__ import annotations
+
+import json
+import threading
+import urllib.error
+import urllib.request
+from dataclasses import dataclass, field
+from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+
+from iceberg_compaction_spark.sources.catalog import (
+    FileCatalog,
+    TableAlreadyExists,
+    TableNotFound,
+)
+from iceberg_compaction_spark.sources.manifest import Manifest
+
+MAIN_REF = "main"
+_MANIFEST_KEY = "iceberg-compaction-spark.manifest"
+
+
+# ---------------------------------------------------------------------------
+# client
+# ---------------------------------------------------------------------------
+
+
+@dataclass
+class RestCatalog:
+    """Client for an Iceberg-REST-protocol catalog server.
+
+    ``uri`` is the server base (e.g. ``http://127.0.0.1:8181``);
+    ``namespace`` maps to the REST path segment.  ``token``, when given,
+    is sent as the spec's ``Authorization: Bearer`` header.
+    """
+
+    uri: str
+    namespace: str = "default"
+    token: str | None = None
+    timeout_s: float = 10.0
+    # filled by fetch_config(); server-supplied property overrides
+    config: dict = field(default_factory=dict)
+
+    # ---- plumbing ------------------------------------------------------
+
+    def _url(self, *segments: str) -> str:
+        base = self.uri.rstrip("/")
+        return "/".join([base, "v1", *segments])
+
+    def _request(self, method: str, url: str, body: dict | None = None) -> dict:
+        data = json.dumps(body).encode() if body is not None else None
+        req = urllib.request.Request(url, data=data, method=method)
+        req.add_header("Content-Type", "application/json")
+        if self.token:
+            req.add_header("Authorization", f"Bearer {self.token}")
+        try:
+            with urllib.request.urlopen(req, timeout=self.timeout_s) as resp:
+                raw = resp.read()
+                return json.loads(raw) if raw else {}
+        except urllib.error.HTTPError as e:
+            raise self._to_error(e) from None
+
+    @staticmethod
+    def _to_error(e: urllib.error.HTTPError) -> Exception:
+        """Map the spec's error envelope to the engine's exceptions."""
+        from iceberg_compaction_spark.commit import CommitConflict
+
+        try:
+            err = json.loads(e.read()).get("error", {})
+        except Exception:
+            err = {}
+        msg = err.get("message", str(e))
+        etype = err.get("type", "")
+        if e.code == 404:
+            return TableNotFound(msg)
+        if e.code == 409 and etype == "AlreadyExistsException":
+            return TableAlreadyExists(msg)
+        if e.code == 409:  # CommitFailedException: CAS lost, retryable
+            return CommitConflict(msg)
+        return RuntimeError(f"REST catalog error {e.code} {etype}: {msg}")
+
+    # ---- catalog API (FileCatalog contract) ----------------------------
+
+    def fetch_config(self) -> dict:
+        """GET /v1/config — server capability/property handshake."""
+        self.config = self._request("GET", self._url("config"))
+        return self.config
+
+    def list_tables(self) -> list[str]:
+        out = self._request(
+            "GET", self._url("namespaces", self.namespace, "tables")
+        )
+        return sorted(i["name"] for i in out.get("identifiers", []))
+
+    def table_exists(self, name: str) -> bool:
+        req = urllib.request.Request(
+            self._url("namespaces", self.namespace, "tables", name),
+            method="HEAD",
+        )
+        if self.token:
+            req.add_header("Authorization", f"Bearer {self.token}")
+        try:
+            with urllib.request.urlopen(req, timeout=self.timeout_s):
+                return True
+        except urllib.error.HTTPError as e:
+            if e.code == 404:
+                return False
+            raise self._to_error(e) from None
+
+    def create_table(self, name: str, manifest: Manifest) -> Manifest:
+        out = self._request(
+            "POST",
+            self._url("namespaces", self.namespace, "tables"),
+            {"name": name, "properties": {_MANIFEST_KEY: manifest.to_dict()}},
+        )
+        return self._manifest_from_load(out)
+
+    def load_table(self, name: str) -> Manifest:
+        out = self._request(
+            "GET", self._url("namespaces", self.namespace, "tables", name)
+        )
+        return self._manifest_from_load(out)
+
+    def commit_table(
+        self, name: str, expected_snapshot_id: int, new_manifest: Manifest
+    ) -> Manifest:
+        """Spec-shaped commit: assert-ref-snapshot-id + add-snapshot +
+        set-snapshot-ref.  The server validates the requirement and
+        applies the updates atomically; 409 surfaces as CommitConflict
+        for the caller's optimistic-retry loop (commit.py)."""
+        new_id = new_manifest.snapshot_id
+        body = {
+            "requirements": [
+                {
+                    "type": "assert-ref-snapshot-id",
+                    "ref": MAIN_REF,
+                    "snapshot-id": expected_snapshot_id,
+                }
+            ],
+            "updates": [
+                {
+                    "action": "add-snapshot",
+                    "snapshot": {
+                        "snapshot-id": new_id,
+                        "summary": {_MANIFEST_KEY: new_manifest.to_dict()},
+                    },
+                },
+                {
+                    "action": "set-snapshot-ref",
+                    "ref-name": MAIN_REF,
+                    "type": "branch",
+                    "snapshot-id": new_id,
+                },
+            ],
+        }
+        out = self._request(
+            "POST",
+            self._url("namespaces", self.namespace, "tables", name),
+            body,
+        )
+        return self._manifest_from_load(out)
+
+    @staticmethod
+    def _manifest_from_load(out: dict) -> Manifest:
+        md = out.get("metadata", {})
+        return Manifest.from_dict(md["properties"][_MANIFEST_KEY])
+
+
+# ---------------------------------------------------------------------------
+# in-process server (tests / local single-node deployments)
+# ---------------------------------------------------------------------------
+
+
+class _Handler(BaseHTTPRequestHandler):
+    """Minimal REST-catalog server over a FileCatalog.
+
+    Commit atomicity: requirement validation + update application run
+    under one lock, on top of the FileCatalog's own exclusive-create
+    CAS — belt and suspenders so a crashed server process can never
+    leave two winners on disk."""
+
+    catalog: FileCatalog  # set by serve_rest_catalog
+    lock: threading.Lock
+    token: str | None
+
+    # silence per-request stderr logging
+    def log_message(self, *a):  # noqa: D102
+        pass
+
+    # ---- helpers -------------------------------------------------------
+
+    def _send(self, code: int, body: dict | None = None) -> None:
+        payload = json.dumps(body).encode() if body is not None else b""
+        self.send_response(code)
+        self.send_header("Content-Type", "application/json")
+        self.send_header("Content-Length", str(len(payload)))
+        self.end_headers()
+        if self.command != "HEAD":
+            self.wfile.write(payload)
+
+    def _error(self, code: int, etype: str, msg: str) -> None:
+        self._send(
+            code, {"error": {"message": msg, "type": etype, "code": code}}
+        )
+
+    def _authorized(self) -> bool:
+        if self.token is None:
+            return True
+        return self.headers.get("Authorization") == f"Bearer {self.token}"
+
+    def _body(self) -> dict:
+        n = int(self.headers.get("Content-Length", 0))
+        return json.loads(self.rfile.read(n)) if n else {}
+
+    @staticmethod
+    def _load_payload(name: str, m: Manifest) -> dict:
+        return {
+            "metadata-location": f"catalog://{name}/v{m.snapshot_id}",
+            "metadata": {
+                "current-snapshot-id": m.snapshot_id,
+                "refs": {MAIN_REF: {"snapshot-id": m.snapshot_id}},
+                "properties": {_MANIFEST_KEY: m.to_dict()},
+            },
+        }
+
+    def _route(self) -> tuple[str, ...]:
+        return tuple(p for p in self.path.split("?")[0].split("/") if p)
+
+    # ---- methods -------------------------------------------------------
+
+    def do_GET(self):  # noqa: N802
+        if not self._authorized():
+            return self._error(401, "NotAuthorizedException", "bad token")
+        r = self._route()
+        if r == ("v1", "config"):
+            return self._send(200, {"defaults": {}, "overrides": {}})
+        if len(r) == 4 and r[:2] == ("v1", "namespaces") and r[3] == "tables":
+            ids = [
+                {"namespace": [r[2]], "name": t}
+                for t in self.catalog.list_tables()
+            ]
+            return self._send(200, {"identifiers": ids})
+        if len(r) == 5 and r[3] == "tables":
+            try:
+                m = self.catalog.load_table(r[4])
+            except TableNotFound:
+                return self._error(
+                    404, "NoSuchTableException", f"table not found: {r[4]}"
+                )
+            return self._send(200, self._load_payload(r[4], m))
+        return self._error(404, "NotFoundException", f"no route: {self.path}")
+
+    def do_HEAD(self):  # noqa: N802
+        if not self._authorized():
+            return self._error(401, "NotAuthorizedException", "bad token")
+        r = self._route()
+        if len(r) == 5 and r[3] == "tables":
+            if self.catalog.table_exists(r[4]):
+                return self._send(204)
+            return self._send(404)
+        return self._send(404)
+
+    def do_POST(self):  # noqa: N802
+        if not self._authorized():
+            return self._error(401, "NotAuthorizedException", "bad token")
+        r = self._route()
+        if len(r) == 4 and r[3] == "tables":  # create
+            body = self._body()
+            name = body["name"]
+            manifest = Manifest.from_dict(body["properties"][_MANIFEST_KEY])
+            try:
+                created = self.catalog.create_table(name, manifest)
+            except TableAlreadyExists:
+                return self._error(
+                    409, "AlreadyExistsException", f"table exists: {name}"
+                )
+            return self._send(200, self._load_payload(name, created))
+        if len(r) == 5 and r[3] == "tables":  # commit
+            return self._commit(r[4], self._body())
+        return self._error(404, "NotFoundException", f"no route: {self.path}")
+
+    def _commit(self, name: str, body: dict) -> None:
+        from iceberg_compaction_spark.commit import CommitConflict
+
+        expected = None
+        for req in body.get("requirements", []):
+            if (
+                req.get("type") == "assert-ref-snapshot-id"
+                and req.get("ref") == MAIN_REF
+            ):
+                expected = req["snapshot-id"]
+        if expected is None:
+            return self._error(
+                400, "BadRequestException", "missing assert-ref-snapshot-id"
+            )
+        new_manifest = None
+        for upd in body.get("updates", []):
+            if upd.get("action") == "add-snapshot":
+                new_manifest = Manifest.from_dict(
+                    upd["snapshot"]["summary"][_MANIFEST_KEY]
+                )
+        if new_manifest is None:
+            return self._error(
+                400, "BadRequestException", "missing add-snapshot update"
+            )
+        with self.lock:
+            try:
+                committed = self.catalog.commit_table(
+                    name, expected, new_manifest
+                )
+            except TableNotFound:
+                return self._error(
+                    404, "NoSuchTableException", f"table not found: {name}"
+                )
+            except CommitConflict as e:
+                return self._error(409, "CommitFailedException", str(e))
+            except ValueError as e:
+                return self._error(400, "BadRequestException", str(e))
+        return self._send(200, self._load_payload(name, committed))
+
+
+@dataclass
+class RestCatalogServer:
+    """Handle for a running in-process server: ``uri`` + ``shutdown()``."""
+
+    uri: str
+    _httpd: ThreadingHTTPServer
+    _thread: threading.Thread
+
+    def shutdown(self) -> None:
+        self._httpd.shutdown()
+        self._httpd.server_close()
+        self._thread.join(timeout=5)
+
+    def __enter__(self) -> "RestCatalogServer":
+        return self
+
+    def __exit__(self, *exc) -> None:
+        self.shutdown()
+
+
+def serve_rest_catalog(
+    backing: FileCatalog,
+    host: str = "127.0.0.1",
+    port: int = 0,
+    token: str | None = None,
+) -> RestCatalogServer:
+    """Start an Iceberg-REST-protocol server over ``backing`` on an
+    ephemeral port; returns a handle whose ``uri`` a :class:`RestCatalog`
+    client (this process or another) can connect to."""
+    handler = type(
+        "_BoundHandler",
+        (_Handler,),
+        {"catalog": backing, "lock": threading.Lock(), "token": token},
+    )
+    httpd = ThreadingHTTPServer((host, port), handler)
+    thread = threading.Thread(target=httpd.serve_forever, daemon=True)
+    thread.start()
+    uri = f"http://{httpd.server_address[0]}:{httpd.server_address[1]}"
+    return RestCatalogServer(uri=uri, _httpd=httpd, _thread=thread)
