@@ -605,6 +605,69 @@ def q_ann_ivf(spark, sf_dir):
     return sim.ivf_topk(emb, queries, _centroids(spark, sf_dir), k=5)
 
 
+def _kmeans_iter_sql() -> str:
+    cent_case = " ".join(
+        f"WHEN {v} THEN {i}" for i, v in enumerate(IVF_CENTROID_IDS)
+    )
+    ids = ", ".join(str(v) for v in IVF_CENTROID_IDS)
+    return f"""
+    WITH cent AS (
+      SELECT CASE vec_id {cent_case} END AS cluster_id, embedding::DOUBLE[] AS centv
+      FROM embeddings WHERE vec_id IN ({ids})
+    ),
+    v AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    assign AS (
+      SELECT vec_id, cluster_id, v FROM (
+        SELECT v.vec_id, cent.cluster_id, v.v,
+          row_number() OVER (PARTITION BY v.vec_id
+            ORDER BY {_COS.format(a="v.v", b="cent.centv")} DESC, cent.cluster_id) AS rn
+        FROM v, cent) WHERE rn = 1
+    ),
+    ex AS (
+      SELECT cluster_id,
+             CAST(generate_subscripts(v, 1) - 1 AS INTEGER) AS pos,
+             CAST(FLOOR(unnest(v) * 1000000) AS BIGINT) AS xm
+      FROM assign
+    )
+    SELECT cluster_id, pos, COUNT(*) AS n_vectors, SUM(xm) AS sum_micro
+    FROM ex GROUP BY 1, 2
+    """
+
+
+@register("ann_kmeans_iteration", _kmeans_iter_sql())
+def q_ann_kmeans_iteration(spark, sf_dir):
+    """One Lloyd k-means step from the fixed IVF centroid init —
+    nearest-centroid assignment + per-(cluster, dimension) mean, the
+    building block kmeans_train iterates (similarity.py:226).
+
+    The update is emitted as exact integer sums (floor(x*1e6) summed as
+    longs, with the count to divide by) rather than float means: long
+    addition is order-independent, so the result hashes identically
+    whatever partitioning/combiner order Spark or DuckDB uses — the
+    same trick the events rollups use for value sums.  Scale shape:
+    posexplode fans out n_vectors x dim rows, but map-side partial
+    aggregation reduces each task to k x dim rows before the single
+    shuffle."""
+    assigned = sim.assign_clusters(
+        _emb(spark, sf_dir), _centroids(spark, sf_dir)
+    )
+    return (
+        assigned.select("cluster_id", F.posexplode("v").alias("pos", "x"))
+        .withColumn("xm", F.floor(F.col("x") * 1000000).cast("long"))
+        .groupBy("cluster_id", "pos")
+        .agg(
+            F.count(F.lit(1)).alias("n_vectors"),
+            F.sum("xm").alias("sum_micro"),
+        )
+        .select(
+            "cluster_id",
+            F.col("pos").cast("int").alias("pos"),
+            "n_vectors",
+            "sum_micro",
+        )
+    )
+
+
 @register("ann_ivf_multiprobe", _ivf_sql(nprobe=2))
 def q_ann_ivf_multiprobe(spark, sf_dir):
     """IVF with nprobe=2 (the FAISS recall knob): each query searches
@@ -1678,12 +1741,15 @@ def q_subquery_above_brand_avg(spark, sf_dir):
 # twin-check: ann_ivf_multiprobe (ann_ivf with nprobe>1),
 # dedup_simhash_pairs (pair expansion of dedup_simhash), events_cube
 # (CUBE grouping-sets twin of events_rollup), stream_funnel
-# (hash-identical streaming twin of events_funnel).
+# (hash-identical streaming twin of events_funnel), dedup_embedding
+# (exact all-pairs baseline whose scale path dedup_embedding_lsh stays
+# in-window).
 for _tail in (
     "ann_ivf_multiprobe",
     "dedup_simhash_pairs",
     "events_cube",
     "stream_funnel",
+    "dedup_embedding",
 ):
     QUERIES[_tail] = QUERIES.pop(_tail)
     if _tail in ORACLES:

@@ -29,6 +29,10 @@ HIDDEN_SEQ = "sys_hidden_seq_num"
 HIDDEN_FILE_PATH = "sys_hidden_file_path"
 HIDDEN_POS = "sys_hidden_pos"
 
+# deletion vectors up to this many total positions inline as a plan
+# literal (scan-fused filter); larger ones broadcast-anti-join instead
+DV_INLINE_MAX_POSITIONS = 4096
+
 
 def split_n_vecs(
     tasks: list[FileScanTask], split_num: int
@@ -89,25 +93,60 @@ def read_data_files(
         # datafusion_processor.rs:632-653): drop deleted row positions
         # INSIDE the scan stage instead of a J1 anti-join.  The vectors
         # are planner metadata attached to the scan task (in real v3
-        # they're compact roaring bitmaps from puffin files), so they are
-        # inlined as a path -> sorted-positions map literal and the check
-        # is a JVM-side filter fused into the scan's codegen stage — the
-        # Spark analog of the ArrowReader applying attached DVs.
-        dv_map = F.create_map(
-            *[
-                x
-                for p, positions in sorted(position_vectors.items())
-                for x in (
-                    F.lit(p),
-                    F.array(*[F.lit(int(i)) for i in sorted(set(positions))]),
-                )
-            ]
-        )
+        # they're compact roaring bitmaps from puffin files).  Two
+        # physical strategies by DV size:
+        #
+        # - small DVs inline as a path -> sorted-positions map literal;
+        #   the check is a JVM-side filter fused into the scan's codegen
+        #   stage (the Spark analog of the ArrowReader applying attached
+        #   DVs).  Zero shuffle, zero extra operators.
+        # - large DVs would bloat the literal plan tree (every position
+        #   becomes an expression node serialized to every task) and the
+        #   array_contains probe is O(|DV|) per row — so beyond
+        #   DV_INLINE_MAX_POSITIONS the vectors become a broadcast
+        #   anti-join on (path, pos): the data side still never
+        #   shuffles, the DV side ships once per executor as a hash
+        #   relation, and the probe is O(1).
+        total_positions = sum(len(v) for v in position_vectors.values())
         path_col = _normalize_path(F.col("_metadata.file_path"))
-        dv = F.element_at(dv_map, path_col)
-        df = df.where(
-            dv.isNull() | ~F.array_contains(dv, F.col("_metadata.row_index"))
-        )
+        if total_positions <= DV_INLINE_MAX_POSITIONS:
+            dv_map = F.create_map(
+                *[
+                    x
+                    for p, positions in sorted(position_vectors.items())
+                    for x in (
+                        F.lit(p),
+                        F.array(
+                            *[F.lit(int(i)) for i in sorted(set(positions))]
+                        ),
+                    )
+                ]
+            )
+            dv = F.element_at(dv_map, path_col)
+            df = df.where(
+                dv.isNull()
+                | ~F.array_contains(dv, F.col("_metadata.row_index"))
+            )
+        else:
+            dv_rows = [
+                (p, int(i))
+                for p, positions in sorted(position_vectors.items())
+                for i in sorted(set(positions))
+            ]
+            dv_df = spark.createDataFrame(
+                dv_rows, schema="__dv_path string, __dv_pos long"
+            )
+            df = (
+                df.withColumn("__dv_probe_path", path_col)
+                .withColumn("__dv_probe_pos", F.col("_metadata.row_index"))
+                .join(
+                    F.broadcast(dv_df),
+                    (F.col("__dv_probe_path") == F.col("__dv_path"))
+                    & (F.col("__dv_probe_pos") == F.col("__dv_pos")),
+                    "left_anti",
+                )
+                .drop("__dv_probe_path", "__dv_probe_pos")
+            )
 
     if need_file_path_and_pos:
         df = df.withColumn(

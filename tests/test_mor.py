@@ -314,3 +314,35 @@ def test_mor_v3_position_only_group(spark, fixture):
     assert ids == sorted(set(range(20)) - {0, 15})
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "LeftAnti" not in plan and "Join" not in plan, plan
+
+
+def test_mor_v3_large_dv_broadcast_path(spark, tmp_path):
+    """DVs beyond DV_INLINE_MAX_POSITIONS switch from the inlined plan
+    literal (which would bloat the plan tree) to a broadcast anti-join:
+    result identical, plan shows a broadcast join, data side unshuffled."""
+    from iceberg_compaction_spark.sources import scan as sc
+
+    path = str(tmp_path / "big.parquet")
+    n = 8000
+    pq.write_table(
+        pa.table({"id": pa.array(range(n), type=pa.int64())}), path
+    )
+    deleted = list(range(0, n, 2))  # 4000 positions in one file
+    small_dv = {path: deleted}
+    assert len(deleted) <= sc.DV_INLINE_MAX_POSITIONS
+
+    inline = sc.read_data_files(spark, [path], position_vectors=small_dv)
+    got_inline = sorted(r["id"] for r in inline.collect())
+    assert got_inline == list(range(1, n, 2))
+
+    big_deleted = list(range(0, n, 2)) + list(range(1, n, 4))  # 6000 > cap
+    big_dv = {path: big_deleted}
+    assert len(big_deleted) > sc.DV_INLINE_MAX_POSITIONS
+    bcast = sc.read_data_files(spark, [path], position_vectors=big_dv)
+    expect = sorted(set(range(n)) - set(big_deleted))
+    assert sorted(r["id"] for r in bcast.collect()) == expect
+
+    plan = bcast._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan and "LeftAnti" in plan, plan
+    # the scanned data side must not shuffle for the DV application
+    assert "hashpartitioning" not in plan, plan
