@@ -1,0 +1,100 @@
+"""Oracle verification for registrations beyond the driver gate's
+50-entry window.
+
+The driver's correctness gate compares the FIRST 50 ``queries()``
+entries against their DuckDB oracles; registration order is curated so
+those are 50 distinct operators (registry.py tail block).  Everything
+past the window would otherwise be formally unverified — this suite
+runs the SAME rows/columns/value-hash comparison for every tail entry
+at sf0.001, so no registered query is invisible to any gate.
+"""
+
+import hashlib
+
+import duckdb
+import pytest
+
+SF_DIR = "/root/testdata/sf0.001"
+WINDOW = 50
+TABLES = [
+    "region", "nation", "customer", "supplier", "part",
+    "orders", "lineitem", "events", "documents", "embeddings",
+]
+
+
+def _norm_cell(v) -> str:
+    import datetime
+    import decimal
+    import math
+
+    if v is None:
+        return "NULL"
+    if isinstance(v, decimal.Decimal):
+        if v == v.to_integral_value():
+            return str(int(v))
+        return f"{float(v):.10g}"
+    if isinstance(v, float):
+        if math.isnan(v):
+            return "NaN"
+        return f"{v:.10g}"
+    if isinstance(v, (datetime.datetime, datetime.date)):
+        return v.isoformat()
+    if isinstance(v, (list, tuple)):
+        return "[" + ",".join(_norm_cell(x) for x in v) + "]"
+    return str(v)
+
+
+def _table_hash(cols, rows) -> str:
+    order = sorted(range(len(cols)), key=lambda i: cols[i])
+    lines = sorted(
+        "|".join(_norm_cell(r[i]) for i in order) for r in rows
+    )
+    h = hashlib.sha256()
+    for ln in lines:
+        h.update(ln.encode())
+        h.update(b"\n")
+    return h.hexdigest()[:16]
+
+
+def _tail_names():
+    from iceberg_compaction_spark import registry
+
+    return list(registry.QUERIES)[WINDOW:]
+
+
+@pytest.fixture(scope="module")
+def duck():
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM "
+            f"read_parquet('{SF_DIR}/{t}.parquet')"
+        )
+    yield con
+    con.close()
+
+
+@pytest.mark.parametrize("name", _tail_names())
+def test_tail_query_matches_oracle(spark, duck, name):
+    from iceberg_compaction_spark import registry
+
+    sdf = registry.QUERIES[name](spark, SF_DIR)
+    scols = [c.lower() for c in sdf.columns]
+    srows = [tuple(r) for r in sdf.collect()]
+
+    assert name in registry.ORACLES, (
+        f"tail query {name} has no oracle — either add one or move it "
+        "into the driver window where the rows-only check applies"
+    )
+    # Arrow fetch, like the driver: surfaces HUGEINT degradation
+    atbl = duck.sql(registry.ORACLES[name]).arrow()
+    ocols = [c.lower() for c in atbl.column_names]
+    orows = [tuple(d.values()) for d in atbl.to_pylist()]
+
+    assert len(srows) == len(orows), f"{name}: row counts differ"
+    assert sorted(scols) == sorted(ocols), (
+        f"{name}: columns differ: {scols} vs {ocols}"
+    )
+    assert _table_hash(scols, srows) == _table_hash(ocols, orows), (
+        f"{name}: value hash mismatch"
+    )
