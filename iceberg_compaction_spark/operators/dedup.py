@@ -514,3 +514,80 @@ def simhash_banded_pairs(
         F.greatest("id_a", "id_b").alias("id_b"),
         F.col("hamming").cast("long").alias("hamming"),
     )
+
+
+# --- duplicate-group resolution (connected components) ----------------------
+
+
+def connected_components(
+    pairs: DataFrame,
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+    max_iters: int = 25,
+) -> DataFrame:
+    """Resolve pairwise duplicate candidates into groups: for every node
+    appearing in ``pairs``, the minimum id reachable through the
+    undirected pair graph — the canonical representative every dedup
+    pipeline needs after pair generation (keep min-id, drop the rest).
+
+    Output: (doc_id, component_id).
+
+    Min-label propagation with pointer jumping: each round a node takes
+    the min of (its label, its neighbors' labels, its LABEL'S label).
+    The last term is the pointer-doubling trick — label chains halve
+    every round, so convergence is O(log diameter) rounds instead of
+    O(diameter), the same asymptotic as the large-star/small-star CC
+    algorithm (Kiveris et al., "Connected Components in MapReduce and
+    Beyond") with simpler per-round shapes: two shuffle-joins keyed on
+    node id plus one groupBy-min with map-side partial aggregation.
+
+    Two fixpoint-loop essentials: ``localCheckpoint`` (not persist)
+    after each round — caching alone leaves the logical plan growing
+    exponentially (round k's plan embeds round k-1's twice) until
+    Catalyst analysis itself OOMs; and the per-round convergence count,
+    the unavoidable driver action of any fixpoint algorithm (it reads
+    one scalar, not the data).  On a real cluster prefer
+    ``spark.sparkContext.setCheckpointDir`` + ``checkpoint`` for
+    executor-loss fault tolerance; localCheckpoint keeps the local
+    harness dependency-free.
+    """
+    edges = (
+        pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
+        .union(pairs.select(F.col(id_b).alias("src"), F.col(id_a).alias("dst")))
+        .dropDuplicates()
+        .localCheckpoint()
+    )
+    labels = (
+        edges.select(F.col("src").alias("node"))
+        .dropDuplicates()
+        .withColumn("lbl", F.col("node"))
+        .localCheckpoint()
+    )
+
+    for _ in range(max_iters):
+        neighbor = edges.join(
+            labels, edges["src"] == labels["node"]
+        ).select(F.col("dst").alias("node"), "lbl")
+        jumped = (
+            labels.alias("x")
+            .join(labels.alias("y"), F.col("x.lbl") == F.col("y.node"))
+            .select(F.col("x.node").alias("node"), F.col("y.lbl").alias("lbl"))
+        )
+        new_labels = (
+            labels.unionByName(neighbor)
+            .unionByName(jumped)
+            .groupBy("node")
+            .agg(F.min("lbl").alias("lbl"))
+            .localCheckpoint()
+        )
+        changed = (
+            new_labels.join(labels.withColumnRenamed("lbl", "old"), "node")
+            .where(F.col("lbl") != F.col("old"))
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels.select(
+        F.col("node").alias("doc_id"), F.col("lbl").alias("component_id")
+    )

@@ -1732,6 +1732,37 @@ def q_subquery_above_brand_avg(spark, sf_dir):
     )
 
 
+@register(
+    "dedup_cc_groups",
+    _JACCARD.replace("WITH ", "WITH RECURSIVE ", 1)
+    + f""",
+    prs AS (SELECT id_a, id_b FROM jac WHERE jaccard_ppm >= {JACCARD_THRESHOLD_PPM}),
+    edges AS (
+      SELECT id_a AS src, id_b AS dst FROM prs
+      UNION SELECT id_b, id_a FROM prs
+    ),
+    reach(node, lbl) AS (
+      SELECT DISTINCT src, src FROM edges
+      UNION
+      SELECT e.dst, r.lbl FROM reach r JOIN edges e ON e.src = r.node
+    )
+    SELECT node AS doc_id, MIN(lbl) AS component_id
+    FROM reach GROUP BY node
+    """,
+)
+def q_dedup_cc_groups(spark, sf_dir):
+    """Duplicate-GROUP resolution: connected components over the
+    near-dup pair graph (min reachable id per node) — pairwise
+    candidates alone can't say "keep one per group" when dups chain
+    A~B~C without A~C.  Iterative min-label propagation
+    (operators/dedup.py connected_components); the DuckDB oracle is the
+    same fixpoint as a recursive transitive-closure CTE."""
+    pairs = dd.jaccard_pairs(
+        _docs(spark, sf_dir), threshold_ppm=JACCARD_THRESHOLD_PPM
+    )
+    return dd.connected_components(pairs)
+
+
 # ---------------------------------------------------------------------------
 # Registration-order curation.  The driver's correctness gate checks a
 # fixed-size window of the FIRST 50 registrations; everything must still
@@ -1750,6 +1781,7 @@ for _tail in (
     "events_cube",
     "stream_funnel",
     "dedup_embedding",
+    "dedup_cc_groups",
 ):
     QUERIES[_tail] = QUERIES.pop(_tail)
     if _tail in ORACLES:

@@ -379,3 +379,27 @@ def test_ivf_multiprobe_recall_dominates_single_probe(spark):
     p4 = result_set(sim.ivf_topk(emb, queries, cents, k=3, nprobe=4))
     assert len(p2 & exact) >= len(p1 & exact)  # monotone recall
     assert p4 == exact  # probing every cluster == brute force
+
+
+def test_connected_components_chain_and_islands(spark):
+    # chain 1-2-3 (no 1-3 edge), island 7-9, pair 20-21: three groups
+    pairs = spark.createDataFrame(
+        [(2, 3), (1, 2), (7, 9), (20, 21)], ["id_a", "id_b"]
+    )
+    got = {
+        r["doc_id"]: r["component_id"]
+        for r in dd.connected_components(pairs).collect()
+    }
+    assert got == {1: 1, 2: 1, 3: 1, 7: 7, 9: 7, 20: 20, 21: 20}
+
+
+def test_connected_components_deep_chain_converges(spark):
+    # a 12-node path graph needs multiple propagation rounds
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(11)], ["id_a", "id_b"]
+    )
+    got = {
+        r["doc_id"]: r["component_id"]
+        for r in dd.connected_components(pairs).collect()
+    }
+    assert got == {i: 0 for i in range(12)}
