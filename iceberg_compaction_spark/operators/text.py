@@ -148,3 +148,52 @@ def with_fingerprints(
     return df.withColumn("content_fp", F.md5(norm)).withColumn(
         "prefix_fp", F.md5(prefix)
     )
+
+
+def tfidf_top_terms(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 3,
+) -> DataFrame:
+    """Top-``k`` characteristic terms per document by TF-IDF with a
+    LINEAR idf: ``score_ppm = (1e6 * tf * n_docs) div df(term)`` in
+    exact bigint arithmetic.  The classic ``log`` idf ranks via float
+    transcendentals whose last-ulp behavior differs across engines;
+    linear idf preserves the "rare terms score high" ordering principle
+    and makes the result bit-reproducible anywhere (same trick as the
+    engine's ppm-integer cosine and value sums).
+
+    Output: (doc_id, term, score_ppm, rank), rank 1..k, ties broken by
+    term ascending.
+
+    Scale shape: tokenize narrow -> one shuffle on (doc, term) for tf
+    -> one shuffle on term for document frequency -> score join keyed
+    on term.  The per-doc top-k window partitions by doc_id over that
+    doc's DISTINCT terms only — bounded by document length, never
+    corpus-scale.  n_docs is a driver scalar (metadata-class count).
+    """
+    toks = df.select(
+        F.col(id_col),
+        F.explode(F.split(normalize_text(F.col(text_col)), " ")).alias("term"),
+    )
+    tf = toks.groupBy(id_col, "term").agg(F.count(F.lit(1)).alias("tf"))
+    dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("dfr"))
+    n_docs = df.count()
+    scored = tf.join(dfreq, "term").select(
+        F.col(id_col),
+        "term",
+        F.expr(f"(1000000 * tf * {n_docs}) div dfr").alias("score_ppm"),
+    )
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy(id_col).orderBy(
+        F.col("score_ppm").desc(), F.col("term").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select(
+            id_col, "term", "score_ppm", F.col("rank").cast("int").alias("rank")
+        )
+    )

@@ -1733,6 +1733,112 @@ def q_subquery_above_brand_avg(spark, sf_dir):
 
 
 @register(
+    "text_tfidf_top_terms",
+    f"""
+    WITH toks AS (
+      SELECT doc_id, unnest({_TOKS}) AS term FROM documents
+    ),
+    tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM toks GROUP BY 1, 2),
+    dfreq AS (SELECT term, COUNT(*) AS dfr FROM tf GROUP BY 1),
+    n AS (SELECT COUNT(*) AS n_docs FROM documents),
+    scored AS (
+      SELECT tf.doc_id, tf.term,
+             CAST((1000000 * tf.tf * n.n_docs) // dfreq.dfr AS BIGINT)
+               AS score_ppm
+      FROM tf JOIN dfreq USING (term) CROSS JOIN n
+    )
+    SELECT doc_id, term, score_ppm, CAST(rank AS INTEGER) AS rank FROM (
+      SELECT *, row_number() OVER (
+        PARTITION BY doc_id ORDER BY score_ppm DESC, term) AS rank
+      FROM scored) WHERE rank <= 3
+    """,
+)
+def q_text_tfidf_top_terms(spark, sf_dir):
+    """Per-document characteristic terms (TF-IDF, linear idf in exact
+    bigint ppm — see operators/text.py tfidf_top_terms for why not
+    log)."""
+    return tx.tfidf_top_terms(_docs(spark, sf_dir), k=3)
+
+
+@register(
+    "text_zipf_histogram",
+    f"""
+    WITH toks AS (
+      SELECT doc_id, unnest({_TOKS}) AS term FROM documents
+    ),
+    tf AS (SELECT term, COUNT(*) AS freq FROM toks GROUP BY 1)
+    SELECT CAST(FLOOR(LOG2(freq)) AS BIGINT) AS freq_log2_bucket,
+           COUNT(*) AS n_terms,
+           SUM(freq) AS n_occurrences
+    FROM tf GROUP BY 1
+    """,
+)
+def q_text_zipf_histogram(spark, sf_dir):
+    """Zipf / frequency-of-frequency histogram: how many distinct terms
+    fall in each log2 corpus-frequency bucket — the standard one-look
+    corpus health check (a natural corpus shows the Zipf slope; scraped
+    boilerplate shows a hot-bucket bulge).  Two aggregations, both with
+    map-side partial combine; the second runs over distinct terms only.
+
+    log2 on exact integer counts: both engines compute floor(log2(n))
+    on the same bigint, and the result feeds GROUP BY, not ranking —
+    a half-ulp difference at an exact power of 2 cannot occur because
+    IEEE doubles represent those exactly.
+    """
+    toks = _docs(spark, sf_dir).select(
+        F.explode(
+            F.split(tx.normalize_text(F.col("text")), " ")
+        ).alias("term")
+    )
+    tf = toks.groupBy("term").agg(F.count(F.lit(1)).alias("freq"))
+    return tf.groupBy(
+        F.floor(F.log2("freq")).cast("long").alias("freq_log2_bucket")
+    ).agg(
+        F.count(F.lit(1)).alias("n_terms"),
+        F.sum("freq").alias("n_occurrences"),
+    )
+
+
+STRATIFIED_RATES_PPM = {0: 500000, 1: 250000, 2: 125000}  # label % 3 -> rate
+
+
+@register(
+    "sample_stratified",
+    f"""
+    WITH r AS (
+      SELECT vec_id, label,
+        CASE label % 3 WHEN 0 THEN 500000 WHEN 1 THEN 250000 ELSE 125000 END
+          AS rate_ppm,
+        ('0x' || substr(md5(CAST(vec_id AS VARCHAR)), 1, 8))::BIGINT % 1000000
+          AS bucket
+      FROM embeddings
+    )
+    SELECT vec_id, label FROM r WHERE bucket < rate_ppm
+    """,
+)
+def q_sample_stratified(spark, sf_dir):
+    """Stratified deterministic sampling: per-stratum rates (here by
+    label mod 3) with an md5-hash acceptance test — reproducible across
+    engines and runs, unlike rand()-based sampling, and a narrow
+    filter in the scan projection: no shuffle, no driver state, the
+    shape that samples 10^11 rows by just scanning them.  Downsampling
+    over-represented strata is the training-mix knob every corpus
+    pipeline ends up needing."""
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    rate = (
+        F.when(F.col("label") % 3 == 0, STRATIFIED_RATES_PPM[0])
+        .when(F.col("label") % 3 == 1, STRATIFIED_RATES_PPM[1])
+        .otherwise(STRATIFIED_RATES_PPM[2])
+    )
+    bucket = (
+        F.conv(F.substring(F.md5(F.col("vec_id").cast("string")), 1, 8), 16, 10)
+        .cast("long")
+        % 1000000
+    )
+    return emb.select("vec_id", "label").where(bucket < rate)
+
+
+@register(
     "dedup_cc_groups",
     _JACCARD.replace("WITH ", "WITH RECURSIVE ", 1)
     + f""",
@@ -1782,6 +1888,9 @@ for _tail in (
     "stream_funnel",
     "dedup_embedding",
     "dedup_cc_groups",
+    "text_tfidf_top_terms",
+    "text_zipf_histogram",
+    "sample_stratified",
 ):
     QUERIES[_tail] = QUERIES.pop(_tail)
     if _tail in ORACLES:
