@@ -403,3 +403,45 @@ def test_connected_components_deep_chain_converges(spark):
         for r in dd.connected_components(pairs).collect()
     }
     assert got == {i: 0 for i in range(12)}
+
+
+def _union_find_components(pairs):
+    """Reference CC oracle: classic union-find, pure Python."""
+    parent = {}
+
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in pairs:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    return {n: find(n) for n in parent}
+
+
+def test_connected_components_random_graphs_match_union_find(spark):
+    import random
+
+    rng = random.Random(42)
+    for trial in range(3):
+        n_nodes = rng.randint(5, 40)
+        n_edges = rng.randint(1, 60)
+        pairs = [
+            (rng.randrange(n_nodes), rng.randrange(n_nodes))
+            for _ in range(n_edges)
+        ]
+        pairs = [(a, b) for a, b in pairs if a != b]
+        if not pairs:
+            continue
+        expect = _union_find_components(pairs)
+        got = {
+            r["doc_id"]: r["component_id"]
+            for r in dd.connected_components(
+                spark.createDataFrame(pairs, ["id_a", "id_b"])
+            ).collect()
+        }
+        assert got == expect, f"trial {trial}: {sorted(pairs)}"

@@ -235,3 +235,34 @@ def test_running_window_partitions_by_customer(spark):
     # single-partition sort
     assert "hashpartitioning(o_custkey" in s
     assert "SinglePartition" not in s
+
+
+def test_tfidf_aggs_partial_and_no_cartesian(spark):
+    from iceberg_compaction_spark import registry
+
+    df = registry.QUERIES["text_tfidf_top_terms"](spark, SF)
+    p = plan_of(df)
+    assert "partial_count" in p, p  # tf and df aggs combine map-side
+    assert "CartesianProduct" not in p, p
+    # the per-doc top-k window must partition by doc, not sort globally
+    assert "row_number" in p and "Sort [doc_id" in p, p
+
+
+def test_zipf_histogram_double_partial_agg(spark):
+    from iceberg_compaction_spark import registry
+
+    df = registry.QUERIES["text_zipf_histogram"](spark, SF)
+    p = plan_of(df)
+    assert p.count("partial_count") >= 1, p
+    assert "Exchange" in p  # one shuffle per agg level at most
+    assert "CartesianProduct" not in p, p
+
+
+def test_stratified_sample_is_narrow_scan_filter(spark):
+    from iceberg_compaction_spark import registry
+
+    df = registry.QUERIES["sample_stratified"](spark, SF)
+    p = plan_of(df)
+    # pure scan + project/filter: no exchange, no join, no aggregation
+    assert "Exchange" not in p, p
+    assert "Join" not in p and "Aggregate" not in p, p
