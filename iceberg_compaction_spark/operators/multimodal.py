@@ -100,3 +100,38 @@ def frame_sample_plan(
             F.sequence(F.lit(0), F.col("n_frames") - 1, F.lit(every_k))
         ).alias("frame_idx"),
     )
+
+
+def frame_sample_udtf(spark, decoded_meta: DataFrame, every_k: int = 2):
+    """Python-UDTF twin of :func:`frame_sample_plan` — completes the
+    UDF/UDAF/UDTF surface (SURVEY.md §2.9: the reference has none; we
+    carry pandas UDFs, a grouped-agg UDAF, and this table function).
+
+    A UDTF is the right tool when per-row fan-out needs imperative
+    logic a ``sequence``/``explode`` can't express (e.g. codec-driven
+    keyframe selection where the output rows depend on parsing the
+    payload).  Here the logic IS expressible — frame_sample_plan is the
+    production path and this twin exists to pin the UDTF plumbing
+    (registration, lateral join shape, row-yield semantics) against it.
+
+    UDTFs run row-at-a-time in Python workers — the slow path.  The
+    eval ships only (doc_id, n_frames), never the binary payload, so
+    the Arrow transfer stays metadata-thin regardless of blob size.
+    """
+    import uuid
+
+    from pyspark.sql.functions import udtf
+
+    @udtf(returnType="doc_id: bigint, frame_idx: int")
+    class FrameSampler:
+        def eval(self, doc_id: int, n_frames: int, k: int):
+            for i in range(0, n_frames, k):
+                yield doc_id, i
+
+    spark.udtf.register("frame_sampler", FrameSampler)
+    view = f"__frame_meta_{uuid.uuid4().hex[:8]}"
+    decoded_meta.select("doc_id", "n_frames").createOrReplaceTempView(view)
+    return spark.sql(
+        f"SELECT f.doc_id, f.frame_idx FROM {view}, "
+        f"LATERAL frame_sampler(doc_id, n_frames, {int(every_k)}) f"
+    )

@@ -445,3 +445,18 @@ def test_connected_components_random_graphs_match_union_find(spark):
             ).collect()
         }
         assert got == expect, f"trial {trial}: {sorted(pairs)}"
+
+
+def test_frame_sample_udtf_matches_plan_twin(spark):
+    rows = [(1, 5), (2, 1), (3, 7)]
+    meta = spark.createDataFrame(rows, ["doc_id", "n_frames"])
+    plan_based = sorted(
+        (r["doc_id"], r["frame_idx"])
+        for r in mm.frame_sample_plan(meta, every_k=2).collect()
+    )
+    udtf_based = sorted(
+        (r["doc_id"], r["frame_idx"])
+        for r in mm.frame_sample_udtf(spark, meta, every_k=2).collect()
+    )
+    assert udtf_based == plan_based
+    assert (3, 6) in udtf_based and (2, 0) in udtf_based
