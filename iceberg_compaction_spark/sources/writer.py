@@ -159,3 +159,35 @@ def list_written_files(out_dir: str, sequence_number: int = 0) -> list[FileScanT
                 )
             )
     return tasks
+
+
+def write_bucketed_table(
+    df: DataFrame,
+    table_name: str,
+    bucket_keys: list[str],
+    n_buckets: int,
+    sort: bool = True,
+    mode: str = "overwrite",
+) -> None:
+    """Write ``df`` as a bucketed (and optionally sorted) managed table —
+    the co-located-join layout.
+
+    Two tables bucketed by the same keys into the same bucket count
+    join WITHOUT a shuffle: each task reads matching bucket files from
+    both sides, so the exchange that dominates large-join cost at
+    100 TB disappears entirely (the output layout is decided once, at
+    write time, and every subsequent join amortizes it).  ``sort=True``
+    additionally orders within buckets so sort-merge joins skip their
+    sort as well.  This is Spark's equivalent of the reference laying
+    out files by partition spec for partitioned execution (X2) — taken
+    one step further to join keys.
+
+    Bucketing requires the table-catalog write path (``saveAsTable``);
+    plain ``.parquet(path)`` cannot record bucket metadata.
+    """
+    w = df.write.format("parquet").mode(mode).bucketBy(
+        n_buckets, *bucket_keys
+    )
+    if sort:
+        w = w.sortBy(*bucket_keys)
+    w.saveAsTable(table_name)

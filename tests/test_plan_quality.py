@@ -266,3 +266,41 @@ def test_stratified_sample_is_narrow_scan_filter(spark):
     # pure scan + project/filter: no exchange, no join, no aggregation
     assert "Exchange" not in p, p
     assert "Join" not in p and "Aggregate" not in p, p
+
+
+def test_bucketed_join_has_no_exchange(spark, tmp_path):
+    """Co-located join layout: two tables bucketed by the join key into
+    the same bucket count sort-merge-join with NO shuffle on either
+    side — the write-once, join-free-forever layout for 100 TB facts."""
+    from iceberg_compaction_spark.sources.writer import write_bucketed_table
+
+    li = (
+        spark.read.parquet(f"{SF}/lineitem.parquet")
+        .select("l_orderkey", "l_quantity")
+    )
+    orders = spark.read.parquet(f"{SF}/orders.parquet").select(
+        "o_orderkey", "o_totalprice"
+    )
+    write_bucketed_table(li, "bt_lineitem", ["l_orderkey"], 8)
+    write_bucketed_table(
+        orders.withColumnRenamed("o_orderkey", "l_orderkey"),
+        "bt_orders",
+        ["l_orderkey"],
+        8,
+    )
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        # force the sort-merge path a 100 TB x 100 TB join would take
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        joined = spark.table("bt_lineitem").join(
+            spark.table("bt_orders"), "l_orderkey"
+        )
+        p = plan_of(joined)
+        assert "SortMergeJoin" in p, p
+        assert "Exchange" not in p, p  # bucketing replaced the shuffle
+        # sanity: the join actually produces rows
+        assert joined.count() > 0
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+        spark.sql("DROP TABLE IF EXISTS bt_lineitem")
+        spark.sql("DROP TABLE IF EXISTS bt_orders")
