@@ -1761,6 +1761,54 @@ def q_text_tfidf_top_terms(spark, sf_dir):
 
 
 @register(
+    "events_hourly_users",
+    """
+    SELECT epoch_ns(ts) // 3600000000000 AS hour_bucket,
+           COUNT(DISTINCT user_id) AS n_users,
+           COUNT(*) AS n_events
+    FROM events GROUP BY 1
+    """,
+)
+def q_events_hourly_users(spark, sf_dir):
+    """Hourly distinct active users (exact).  The two-aggregate shape
+    (distinct + plain count in one pass) compiles to Spark's expand +
+    two-level partial aggregation — the distinct shuffles (hour, user)
+    pairs, already deduplicated map-side, never raw events.  The HLL
+    twin (events_hourly_users_approx) is the sketch path when the
+    per-hour user set itself is too wide to shuffle."""
+    events = ev.read_events(spark, sf_dir)
+    return (
+        events.withColumn(
+            "hour_bucket", F.expr("ts div 3600000000000").cast("long")
+        )
+        .groupBy("hour_bucket")
+        .agg(
+            F.countDistinct("user_id").alias("n_users"),
+            F.count(F.lit(1)).alias("n_events"),
+        )
+    )
+
+
+@register("events_hourly_users_approx")  # approximate: no SQL oracle
+def q_events_hourly_users_approx(spark, sf_dir):
+    """HLL-sketch hourly distinct users: ``approx_count_distinct``
+    shuffles ONE fixed-size sketch per (hour, task) instead of the
+    per-hour user set — the only shape that survives when an hour has
+    10^9 distinct users.  Sketches are mergeable, so partial aggregation
+    applies exactly as for sums.  Approximate by construction (default
+    rsd 5%), hence no value oracle; the error bound against the exact
+    twin is pinned in test_extensions.py."""
+    events = ev.read_events(spark, sf_dir)
+    return (
+        events.withColumn(
+            "hour_bucket", F.expr("ts div 3600000000000").cast("long")
+        )
+        .groupBy("hour_bucket")
+        .agg(F.approx_count_distinct("user_id").alias("n_users_approx"))
+    )
+
+
+@register(
     "text_zipf_histogram",
     f"""
     WITH toks AS (
@@ -1891,6 +1939,8 @@ for _tail in (
     "text_tfidf_top_terms",
     "text_zipf_histogram",
     "sample_stratified",
+    "events_hourly_users",
+    "events_hourly_users_approx",
 ):
     QUERIES[_tail] = QUERIES.pop(_tail)
     if _tail in ORACLES:

@@ -460,3 +460,23 @@ def test_frame_sample_udtf_matches_plan_twin(spark):
     )
     assert udtf_based == plan_based
     assert (3, 6) in udtf_based and (2, 0) in udtf_based
+
+
+def test_hll_hourly_users_within_rsd_of_exact(spark):
+    from iceberg_compaction_spark import registry
+
+    sf = "/root/testdata/sf0.001"
+    exact = {
+        r["hour_bucket"]: r["n_users"]
+        for r in registry.QUERIES["events_hourly_users"](spark, sf).collect()
+    }
+    approx = {
+        r["hour_bucket"]: r["n_users_approx"]
+        for r in registry.QUERIES["events_hourly_users_approx"](
+            spark, sf
+        ).collect()
+    }
+    assert set(approx) == set(exact)
+    for h, n in exact.items():
+        # default rsd is 5%; allow 4 sigma plus integer slack
+        assert abs(approx[h] - n) <= max(3, 0.2 * n), (h, n, approx[h])

@@ -16,6 +16,8 @@ import pytest
 
 SF_DIR = "/root/testdata/sf0.001"
 WINDOW = 50
+# sketch-based queries whose output is approximate by construction
+APPROX_NO_ORACLE = {"events_hourly_users_approx"}
 TABLES = [
     "region", "nation", "customer", "supplier", "part",
     "orders", "lineitem", "events", "documents", "embeddings",
@@ -82,6 +84,12 @@ def test_tail_query_matches_oracle(spark, duck, name):
     scols = [c.lower() for c in sdf.columns]
     srows = [tuple(r) for r in sdf.collect()]
 
+    if name in APPROX_NO_ORACLE:
+        # approximate-by-construction: value oracle impossible; error
+        # bound vs the exact twin is pinned in test_extensions.py —
+        # here just assert the query runs and produces rows
+        assert len(srows) > 0
+        return
     assert name in registry.ORACLES, (
         f"tail query {name} has no oracle — either add one or move it "
         "into the driver window where the rows-only check applies"
