@@ -90,6 +90,113 @@ def bench_compaction_e2e(spark, sf_dir: str) -> float:
     return time.monotonic() - t0
 
 
+def bench_reference_workload(spark) -> tuple[float, dict]:
+    """The reference's own bench workload, reproduced exactly
+    (integration-tests/testdata/mock_iceberg.yaml:11-27 +
+    bin/bench.rs:65-99): 5 data files x 10,000 rows, schema
+    (v1 int, v2 bigint, v3 varchar(20)) with pk (v1, v2); per data file
+    100 equality-delete rows and 100 position-delete rows.  Table mock
+    is untimed (as in bench.rs); the timed section is the full
+    compact() — plan, MOR rewrite, sized write, commit.  Returns
+    (seconds, stats) with the same counters bench.rs prints."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from iceberg_compaction_spark.compaction import Compaction
+    from iceberg_compaction_spark.config import CompactionConfig
+    from iceberg_compaction_spark.plans.datamodel import (
+        EQUALITY_DELETE,
+        POSITION_DELETE,
+        DeleteFile,
+    )
+    from iceberg_compaction_spark.sources.manifest import Manifest
+
+    root = "/tmp/bench_ref_workload"
+    shutil.rmtree(root, ignore_errors=True)
+    os.makedirs(root + "/deletes")
+
+    n_files, rows_per, n_eq, n_pos = 5, 10_000, 100, 100
+    delete_files = []
+    for f in range(n_files):
+        base = f * rows_per
+        v1 = list(range(base, base + rows_per))
+        data_path = f"{root}/data{f}.parquet"
+        pq.write_table(
+            pa.table(
+                {
+                    "v1": pa.array(v1, type=pa.int32()),
+                    "v2": pa.array(v1, type=pa.int64()),
+                    "v3": [f"val{j % 100}" for j in v1],
+                }
+            ),
+            data_path,
+        )
+        eq_path = f"{root}/deletes/eq{f}.parquet"
+        pq.write_table(
+            pa.table(
+                {
+                    "v1": pa.array(v1[:n_eq], type=pa.int32()),
+                    "v2": pa.array(v1[:n_eq], type=pa.int64()),
+                    "sys_hidden_seq_num": pa.array([2] * n_eq, type=pa.int64()),
+                }
+            ),
+            eq_path,
+        )
+        pos_path = f"{root}/deletes/pos{f}.parquet"
+        pq.write_table(
+            pa.table(
+                {
+                    "sys_hidden_file_path": [data_path] * n_pos,
+                    # disjoint from the eq-deleted range, as in the mock
+                    "sys_hidden_pos": pa.array(
+                        range(rows_per - n_pos, rows_per), type=pa.int64()
+                    ),
+                }
+            ),
+            pos_path,
+        )
+        delete_files.append(
+            (
+                data_path,
+                DeleteFile(
+                    path=eq_path,
+                    content=EQUALITY_DELETE,
+                    file_size_in_bytes=os.path.getsize(eq_path),
+                    sequence_number=2,
+                    equality_ids=("v1", "v2"),
+                ),
+                DeleteFile(
+                    path=pos_path,
+                    content=POSITION_DELETE,
+                    file_size_in_bytes=os.path.getsize(pos_path),
+                    sequence_number=2,
+                ),
+            )
+        )
+
+    m = Manifest.from_parquet_dir(root, sequence_number=1)
+    by_path = {p: (e, po) for p, e, po in delete_files}
+    for t in m.data_files:
+        e, po = by_path[t.data_file_path]
+        t.deletes = [e, po]
+    m.save()
+
+    t0 = time.monotonic()
+    c = Compaction(spark=spark, config=CompactionConfig.full())
+    new_manifest, stats = c.compact(m)
+    dt = time.monotonic() - t0
+    out_rows = sum(t.record_count for t in new_manifest.data_files)
+    expected = n_files * (rows_per - n_eq - n_pos)
+    return dt, {
+        "input_files": stats.input_files_count,
+        "output_files": stats.output_files_count,
+        "input_bytes": stats.input_total_bytes,
+        "output_bytes": stats.output_total_bytes,
+        "output_rows": out_rows,
+        "rows_correct": out_rows == expected,
+    }
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
@@ -133,6 +240,8 @@ def main() -> None:
             timings[name] = min(timings.get(name, dt), dt)
 
     timings["compaction_e2e"] = round(bench_compaction_e2e(spark, sf_dir), 3)
+    ref_s, ref_stats = bench_reference_workload(spark)
+    timings["compaction_reference_workload"] = round(ref_s, 3)
     spark.stop()
 
     total = round(sum(timings.values()), 3)
@@ -143,6 +252,7 @@ def main() -> None:
                 "value": total,
                 "unit": "sec",
                 "queries": timings,
+                "reference_workload": ref_stats,
                 "sf": float(sf),
             }
         )
