@@ -102,6 +102,34 @@ class FileCatalog:
         with open(self._version_path(name, v)) as f:
             return Manifest.from_dict(json.load(f))
 
+    def table_history(self, name: str) -> list[int]:
+        """All committed snapshot ids, ascending — every version file is
+        retained on disk (Iceberg keeps superseded snapshots until
+        expiration), so the full history is always listable."""
+        mdir = self._metadata_dir(name)
+        if not os.path.isdir(mdir):
+            raise TableNotFound(name)
+        return sorted(
+            int(n[1:].split(".", 1)[0])
+            for n in os.listdir(mdir)
+            if n.startswith("v") and n.endswith(".metadata.json")
+        )
+
+    def load_table_at(self, name: str, snapshot_id: int) -> Manifest:
+        """Time travel: the table exactly as of ``snapshot_id``.  A
+        compaction commit rewrites files but never changes visible rows,
+        so reading an old snapshot returns the pre-compaction file set —
+        Iceberg's snapshot-read semantics."""
+        path = self._version_path(name, snapshot_id)
+        try:
+            with open(path) as f:
+                return Manifest.from_dict(json.load(f))
+        except FileNotFoundError:
+            raise TableNotFound(
+                f"{name}@{snapshot_id} (history: "
+                f"{self.table_history(name) if self.table_exists(name) else []})"
+            ) from None
+
     def commit_table(
         self, name: str, expected_snapshot_id: int, new_manifest: Manifest
     ):

@@ -128,3 +128,34 @@ def test_stale_or_missing_hint_recovers(warehouse, fragmented):
     nxt3.snapshot_id = 2
     with pytest.raises(CommitConflict):
         warehouse.commit_table("t", 1, nxt3)
+
+
+def test_time_travel_reads_precompaction_snapshot(spark, warehouse, fragmented):
+    """Snapshot reads: after a compaction commit, loading the previous
+    snapshot still lists the ORIGINAL 8 files with identical rows —
+    Iceberg's time-travel contract (superseded snapshots stay readable
+    until expiration)."""
+    from iceberg_compaction_spark.compaction import Compaction
+    from iceberg_compaction_spark.config import CompactionConfig
+
+    warehouse.create_table("t", fragmented)
+    c = Compaction(
+        spark=spark, config=CompactionConfig.small_files(min_group_file_count=2)
+    )
+    m2, _ = c.compact_catalog(warehouse, "t")
+    assert warehouse.table_history("t") == [1, 2]
+
+    old = warehouse.load_table_at("t", 1)
+    assert len(old.data_files) == 8
+    assert sorted(old.paths()) == sorted(fragmented.paths())
+    new = warehouse.load_table_at("t", 2)
+    assert sorted(new.paths()) == sorted(m2.paths())
+    # same visible rows at both snapshots
+    rows_old = spark.read.parquet(*old.paths()).count()
+    rows_new = spark.read.parquet(*new.paths()).count()
+    assert rows_old == rows_new == 128
+
+    with pytest.raises(TableNotFound):
+        warehouse.load_table_at("t", 99)
+    with pytest.raises(TableNotFound):
+        warehouse.table_history("nope")
