@@ -24,6 +24,7 @@ has not moved and publishes the new snapshot.
 
 from __future__ import annotations
 
+import contextlib
 import json
 import os
 from dataclasses import dataclass
@@ -129,6 +130,58 @@ class FileCatalog:
                 f"{name}@{snapshot_id} (history: "
                 f"{self.table_history(name) if self.table_exists(name) else []})"
             ) from None
+
+    def expire_snapshots(self, name: str, keep_last: int = 2) -> list[int]:
+        """Iceberg's expire-snapshots maintenance: drop the oldest
+        version files, always retaining the newest ``keep_last``
+        (minimum 1 — the head is never expirable).  Returns the expired
+        snapshot ids.  Time-travel to an expired snapshot then raises
+        TableNotFound, exactly like Iceberg after expiration."""
+        keep_last = max(1, keep_last)
+        history = self.table_history(name)
+        expired = history[:-keep_last]
+        for v in expired:
+            with contextlib.suppress(FileNotFoundError):
+                os.unlink(self._version_path(name, v))
+        return expired
+
+    def remove_orphan_files(
+        self, name: str, scan_root: str | None = None
+    ) -> list[str]:
+        """Iceberg's remove-orphan-files maintenance: delete parquet
+        files under the table's data root that no RETAINED snapshot
+        references (crashed writes, files superseded by expired
+        snapshots).  Returns the removed paths.
+
+        Safety mirrors Iceberg's: only the table's own root is scanned,
+        only ``*.parquet`` is eligible, and the referenced set is the
+        union over ALL retained snapshots — a file visible to any
+        time-travelable snapshot is never touched.  Run AFTER
+        expire_snapshots; with full history retained nothing is ever an
+        orphan.
+        """
+        referenced: set[str] = set()
+        root = scan_root
+        for v in self.table_history(name):
+            m = self.load_table_at(name, v)
+            referenced.update(os.path.realpath(p) for p in m.paths())
+            for t in m.data_files:
+                for d in t.deletes:
+                    referenced.add(os.path.realpath(d.path))
+            root = root or m.table_root
+        removed = []
+        if not root or not os.path.isdir(root):
+            return removed
+        for dirpath, _dirs, files in os.walk(root):
+            for fn in files:
+                if not fn.endswith(".parquet"):
+                    continue
+                p = os.path.join(dirpath, fn)
+                if os.path.realpath(p) not in referenced:
+                    with contextlib.suppress(FileNotFoundError):
+                        os.unlink(p)
+                    removed.append(p)
+        return sorted(removed)
 
     def commit_table(
         self, name: str, expected_snapshot_id: int, new_manifest: Manifest

@@ -159,3 +159,39 @@ def test_time_travel_reads_precompaction_snapshot(spark, warehouse, fragmented):
         warehouse.load_table_at("t", 99)
     with pytest.raises(TableNotFound):
         warehouse.table_history("nope")
+
+
+def test_expire_then_orphan_cleanup_full_lifecycle(spark, warehouse, fragmented):
+    """Maintenance lifecycle: compact -> expire old snapshot -> orphan
+    cleanup removes exactly the superseded data files; the live
+    snapshot's files and rows are untouched; expired time travel raises."""
+    from iceberg_compaction_spark.compaction import Compaction
+    from iceberg_compaction_spark.config import CompactionConfig
+
+    warehouse.create_table("t", fragmented)
+    c = Compaction(
+        spark=spark, config=CompactionConfig.small_files(min_group_file_count=2)
+    )
+    m2, _ = c.compact_catalog(warehouse, "t")
+
+    # with full history retained, nothing is an orphan
+    assert warehouse.remove_orphan_files("t") == []
+    for p in fragmented.paths():
+        assert os.path.exists(p)
+
+    expired = warehouse.expire_snapshots("t", keep_last=1)
+    assert expired == [1]
+    assert warehouse.table_history("t") == [2]
+    with pytest.raises(TableNotFound):
+        warehouse.load_table_at("t", 1)
+
+    removed = warehouse.remove_orphan_files("t")
+    assert sorted(removed) == sorted(fragmented.paths())
+    for p in fragmented.paths():
+        assert not os.path.exists(p)
+    # live snapshot intact, rows preserved
+    live = warehouse.load_table("t")
+    assert all(os.path.exists(p) for p in live.paths())
+    assert spark.read.parquet(*live.paths()).count() == 128
+    # head can never be expired
+    assert warehouse.expire_snapshots("t", keep_last=1) == []
