@@ -283,6 +283,63 @@ class Compaction:
         return new, stats
 
 
+    def compact_catalog_partial(
+        self,
+        catalog,
+        table_name: str,
+        out_root: str | None = None,
+        groups_per_commit: int = 1,
+    ) -> tuple[Manifest, CompactionStats]:
+        """Partial-progress compaction: commit after every
+        ``groups_per_commit`` file groups instead of once at the end —
+        Iceberg's ``partial-progress.enabled``.
+
+        At 100 TB a plan can hold hundreds of groups and run for hours;
+        a single terminal failure (spot-instance loss, a poison file)
+        must not discard every completed group's work.  Each batch's
+        commit is an independent CAS with retry; on failure the
+        exception propagates but all previously committed batches stay
+        durable and visible, and a re-run plans only the remaining
+        fragmentation (compaction is idempotent toward its fixed
+        point).  Safe because file groups are disjoint and
+        rewrite_files validates per-file liveness, not head equality —
+        batch k commits cleanly on top of batch k-1's new head.
+
+        Trade-off vs the single commit: readers may observe
+        intermediate snapshots (each is fully consistent), and history
+        grows by one snapshot per batch — exactly Iceberg's documented
+        partial-progress behavior.
+        """
+        manifest = catalog.load_table(table_name)
+        plans = self.plan(manifest)
+        stats = CompactionStats()
+        committed = manifest
+        if not plans:
+            return manifest, stats
+        base = out_root or os.path.join(
+            manifest.table_root, f"compacted-{manifest.next_snapshot()}"
+        )
+        for i in range(0, len(plans), max(1, groups_per_commit)):
+            batch = plans[i : i + max(1, groups_per_commit)]
+            results, bstats = self.execute_plans(
+                committed, batch, os.path.join(base, f"batch-{i}")
+            )
+            if not results:
+                continue
+
+            def attempt() -> Manifest:
+                current = catalog.load_table(table_name)
+                new = self.commit_manager.rewrite_files(current, results)
+                return catalog.commit_table(
+                    table_name, current.snapshot_id, new
+                )
+
+            committed = self.commit_manager.commit_with_retry(attempt)
+            self.metrics.commit_counter.inc()
+            stats.merge(bstats)
+        return committed, stats
+
+
 @dataclass
 class AutoCompaction:
     """Entry point 3 — stats-driven managed workflow

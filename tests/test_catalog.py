@@ -195,3 +195,80 @@ def test_expire_then_orphan_cleanup_full_lifecycle(spark, warehouse, fragmented)
     assert spark.read.parquet(*live.paths()).count() == 128
     # head can never be expired
     assert warehouse.expire_snapshots("t", keep_last=1) == []
+
+
+@pytest.fixture()
+def six_files(tmp_path):
+    root = str(tmp_path / "data6")
+    os.makedirs(root)
+    n = 0
+    for f in range(6):
+        ids = list(range(n, n + 10))
+        n += 10
+        pq.write_table(
+            pa.table({"id": pa.array(ids, type=pa.int64())}),
+            os.path.join(root, f"part{f}.parquet"),
+        )
+    return Manifest.from_parquet_dir(root, sequence_number=1)
+
+
+def _partial_cfg():
+    from iceberg_compaction_spark.config import CompactionConfig
+
+    # bin-pack ~620-byte files into ~2-file groups -> 3 groups of 6 files
+    return CompactionConfig.small_files(
+        min_group_file_count=1, target_group_size_bytes=1400
+    )
+
+
+def test_partial_progress_commits_per_batch(spark, warehouse, six_files):
+    from iceberg_compaction_spark.compaction import Compaction
+
+    warehouse.create_table("t", six_files)
+    c = Compaction(spark=spark, config=_partial_cfg())
+    n_groups = len(c.plan(six_files))
+    assert n_groups >= 2  # the premise: multiple groups
+
+    final, stats = c.compact_catalog_partial(warehouse, "t", groups_per_commit=1)
+    # one snapshot per committed batch on top of v1
+    history = warehouse.table_history("t")
+    assert len(history) == 1 + n_groups
+    assert final.snapshot_id == history[-1]
+    assert stats.input_files_count == 6
+    live = warehouse.load_table("t")
+    assert spark.read.parquet(*live.paths()).count() == 60
+
+
+def test_partial_progress_failure_keeps_completed_batches(
+    spark, warehouse, six_files, monkeypatch
+):
+    from iceberg_compaction_spark.compaction import Compaction
+
+    warehouse.create_table("t", six_files)
+    c = Compaction(spark=spark, config=_partial_cfg())
+    n_groups = len(c.plan(six_files))
+    assert n_groups >= 2
+
+    real_rewrite = Compaction.rewrite
+    calls = {"n": 0}
+
+    def flaky(self, plan, out_dir=None):
+        calls["n"] += 1
+        if calls["n"] == 2:
+            raise RuntimeError("injected: executor lost")
+        return real_rewrite(self, plan, out_dir)
+
+    monkeypatch.setattr(Compaction, "rewrite", flaky)
+    with pytest.raises(RuntimeError, match="injected"):
+        c.compact_catalog_partial(warehouse, "t", groups_per_commit=1)
+
+    # batch 1 committed and durable; everything still consistent
+    assert warehouse.table_history("t") == [1, 2]
+    live = warehouse.load_table("t")
+    assert spark.read.parquet(*live.paths()).count() == 60
+
+    # recovery: a fresh run finishes the remaining groups
+    monkeypatch.setattr(Compaction, "rewrite", real_rewrite)
+    final, _ = c.compact_catalog_partial(warehouse, "t", groups_per_commit=1)
+    assert spark.read.parquet(*final.paths()).count() == 60
+    assert len(final.data_files) < 6
