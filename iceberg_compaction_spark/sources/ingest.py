@@ -1,0 +1,174 @@
+"""Upsert / CDC write path: the producer of the MOR state compaction
+consumes.
+
+The reference engine only CONSUMES merge-on-read tables (its docs
+describe streaming writers like RisingWave/Flink producing
+equality-delete + data files, README.md "Why Compaction"); this module
+closes the loop so the Spark engine is a self-contained system: apply a
+changes DataFrame to a catalog table the way a streaming upsert sink
+would —
+
+- one EQUALITY-DELETE file over the primary keys of every changed row,
+  sequenced ABOVE all current data files (so it applies to them and
+  only them: Iceberg's sequence-number rule, J2's ``seq`` residual);
+- one data file holding the upserted rows, carrying that same new
+  sequence number (so the delete does NOT apply to it);
+- a CAS catalog commit appending both.
+
+Reading the table through :func:`read_table_mor` then shows exactly the
+upserted state; running compaction afterwards materializes it and drops
+the delete files — the full produce -> read -> compact lifecycle.
+
+At scale this writes one delete file + one data file per commit
+(streaming sinks roll them per checkpoint); the heavy lifting (key
+dedup within the batch) is one window-free groupBy on the keys.
+"""
+
+from __future__ import annotations
+
+import os
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from iceberg_compaction_spark.operators.mor import rewrite_file_group
+from iceberg_compaction_spark.plans.datamodel import (
+    EQUALITY_DELETE,
+    DeleteFile,
+    FileGroup,
+    FileScanTask,
+)
+from iceberg_compaction_spark.sources.manifest import Manifest
+from iceberg_compaction_spark.sources.scan import HIDDEN_SEQ
+
+DELETE_OP = "D"
+
+
+def _write_single_parquet(df: DataFrame, path: str) -> None:
+    """Write a DataFrame as exactly one parquet FILE at ``path``."""
+    tmp = f"{path}.tmpdir-{uuid.uuid4().hex[:8]}"
+    df.coalesce(1).write.mode("overwrite").parquet(tmp)
+    part = next(
+        f for f in os.listdir(tmp) if f.endswith(".parquet")
+    )
+    os.replace(os.path.join(tmp, part), path)
+    import shutil
+
+    shutil.rmtree(tmp, ignore_errors=True)
+
+
+def upsert(
+    spark: SparkSession,
+    catalog,
+    table_name: str,
+    changes: DataFrame,
+    keys: list[str],
+    op_col: str | None = None,
+) -> Manifest:
+    """Apply ``changes`` to a catalog table as one upsert commit.
+
+    Without ``op_col`` every row is an upsert (insert-or-replace by
+    ``keys``).  With ``op_col``, rows whose op is ``"D"`` are deletes
+    (key removed, no new row); anything else upserts.  If the batch
+    contains several rows per key, the LAST one wins per the dataframe's
+    current order is NOT assumed — callers must pre-deduplicate;
+    this function asserts key uniqueness to fail loudly instead of
+    committing ambiguous state.
+
+    Commit protocol: CAS with retry through the catalog (same seam as
+    compaction commits); each retry reloads the table and re-attaches
+    the delete file to the files of the fresh snapshot.
+    """
+    upserts = changes
+    deletes = None
+    if op_col is not None:
+        deletes = changes.where(F.col(op_col) == DELETE_OP).drop(op_col)
+        upserts = changes.where(F.col(op_col) != DELETE_OP).drop(op_col)
+    n_changed = changes.count()
+    n_distinct = changes.select(*keys).distinct().count()
+    if n_changed != n_distinct:
+        raise ValueError(
+            f"changes batch has duplicate keys ({n_changed} rows, "
+            f"{n_distinct} distinct keys) — pre-deduplicate (last-wins "
+            "or otherwise) before upserting"
+        )
+
+    from iceberg_compaction_spark.commit import CommitConflict  # noqa: F401
+
+    current = catalog.load_table(table_name)
+    new_seq = current.sequence_number + 1
+    table_root = current.table_root
+    suffix = uuid.uuid4().hex[:8]
+
+    # equality-delete file: keys of EVERY change row (upserts replace,
+    # deletes remove — both need the old row gone)
+    key_df = (
+        upserts.select(*keys)
+        if deletes is None
+        else upserts.select(*keys).unionByName(deletes.select(*keys))
+    ).withColumn(HIDDEN_SEQ, F.lit(new_seq).cast("long"))
+    eq_path = os.path.join(table_root, f"upsert-{suffix}-eqdel.parquet")
+    _write_single_parquet(key_df, eq_path)
+    eq_file = DeleteFile(
+        path=eq_path,
+        content=EQUALITY_DELETE,
+        file_size_in_bytes=os.path.getsize(eq_path),
+        sequence_number=new_seq,
+        equality_ids=tuple(keys),
+    )
+
+    # data file: the upserted rows at the same (new) sequence number
+    data_task = None
+    if upserts.limit(1).count() > 0:
+        data_path = os.path.join(table_root, f"upsert-{suffix}-data.parquet")
+        _write_single_parquet(upserts, data_path)
+        import pyarrow.parquet as pq
+
+        md = pq.read_metadata(data_path)
+        data_task = FileScanTask(
+            data_file_path=data_path,
+            length=os.path.getsize(data_path),
+            file_size_in_bytes=os.path.getsize(data_path),
+            record_count=md.num_rows,
+            sequence_number=new_seq,
+        )
+
+    def attempt() -> Manifest:
+        cur = catalog.load_table(table_name)
+        new = Manifest(
+            table_root=cur.table_root,
+            snapshot_id=cur.next_snapshot(),
+            sequence_number=new_seq,
+            schema_id=cur.schema_id,
+            format_version=cur.format_version,
+            data_files=[
+                FileScanTask(
+                    data_file_path=t.data_file_path,
+                    length=t.length,
+                    file_size_in_bytes=t.file_size_in_bytes,
+                    record_count=t.record_count,
+                    sequence_number=t.sequence_number,
+                    partition=t.partition,
+                    # the new delete applies to every file with an older
+                    # sequence number — i.e. all current files
+                    deletes=list(t.deletes) + [eq_file],
+                )
+                for t in cur.data_files
+            ]
+            + ([data_task] if data_task is not None else []),
+            properties=dict(cur.properties),
+        )
+        return catalog.commit_table(table_name, cur.snapshot_id, new)
+
+    from iceberg_compaction_spark.commit import CommitManager
+
+    return CommitManager().commit_with_retry(attempt)
+
+
+def read_table_mor(spark: SparkSession, manifest: Manifest) -> DataFrame:
+    """Read a manifest table with all its delete files applied — the
+    query-engine view of a MOR table (what compaction materializes)."""
+    group = FileGroup.from_tasks(manifest.data_files)
+    group.format_version = manifest.format_version
+    return rewrite_file_group(spark, group)
