@@ -91,3 +91,58 @@ def test_upsert_rejects_ambiguous_batch(spark, table):
     dup = spark.createDataFrame([(1, "a"), (1, "b")], ["id", "val"])
     with pytest.raises(ValueError, match="duplicate keys"):
         upsert(spark, table, "t", dup, keys=["id"])
+
+
+def test_streaming_upsert_foreachbatch(spark, table, tmp_path):
+    """Structured Streaming -> upsert commits via foreachBatch: each
+    micro-batch lands as one equality-delete + one data file, exactly a
+    streaming CDC sink; final table state matches the batch ground
+    truth (last event per key)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    src = str(tmp_path / "stream_src")
+    os.makedirs(src)
+    # two files -> two micro-batches (maxFilesPerTrigger=1); key 3 is
+    # updated in batch 1 then again in batch 2: last write must win
+    pq.write_table(
+        pa.table({"id": pa.array([3, 20], type=pa.int64()),
+                  "val": ["b1-v3", "b1-v20"]}),
+        os.path.join(src, "b1.parquet"),
+    )
+    pq.write_table(
+        pa.table({"id": pa.array([3, 21], type=pa.int64()),
+                  "val": ["b2-v3", "b2-v21"]}),
+        os.path.join(src, "b2.parquet"),
+    )
+    # the file stream orders batches by modification time; same-second
+    # writes tie, so pin explicit mtimes to make b1 -> b2 deterministic
+    os.utime(os.path.join(src, "b1.parquet"), (1_700_000_000, 1_700_000_000))
+    os.utime(os.path.join(src, "b2.parquet"), (1_700_000_100, 1_700_000_100))
+
+    from iceberg_compaction_spark.sources.ingest import upsert
+
+    stream = (
+        spark.readStream.schema("id long, val string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+
+    def sink(batch_df, batch_id):
+        if batch_df.limit(1).count() > 0:
+            upsert(spark, table, "t", batch_df, keys=["id"])
+
+    q = (
+        stream.writeStream.foreachBatch(sink)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+    got = _rows(spark, table)
+    assert got[3] == "b2-v3"  # second batch overwrote the first
+    assert got[20] == "b1-v20" and got[21] == "b2-v21"
+    assert len(got) == 12  # 10 base + 2 inserts (3 replaced in place)
+    # one commit per micro-batch on top of v1
+    assert table.table_history("t") == [1, 2, 3]
