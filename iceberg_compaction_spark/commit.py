@@ -21,7 +21,12 @@ from dataclasses import dataclass, field
 from typing import Callable
 
 from iceberg_compaction_spark.config import CommitRetryConfig
-from iceberg_compaction_spark.plans.datamodel import CompactionPlan, FileScanTask
+from iceberg_compaction_spark.plans.datamodel import (
+    EQUALITY_DELETE,
+    CompactionPlan,
+    DeleteFile,
+    FileScanTask,
+)
 from iceberg_compaction_spark.sources.manifest import Manifest
 
 
@@ -147,6 +152,22 @@ class CommitManager:
 
         # T4: resolve each plan's input paths against the current listing
         by_path = manifest.by_path()
+        # Equality deletes committed AFTER the plan was built (sequence
+        # above the pin) must still apply to the rewritten rows — the
+        # whole point of sequence pinning.  In this manifest model
+        # deletes attach per data file, so the swap has to RE-ATTACH
+        # every such newer delete to the added files; dropping them
+        # would resurrect concurrently-deleted rows the moment the
+        # compaction commit lands.  (Position deletes address (path,
+        # pos) of the OLD files, which cease to exist — they never
+        # transfer; the reference behaves identically because v2 pos
+        # deletes are resolved against file paths,
+        # compaction/mod.rs:968-1000.)
+        current_eq_deletes: dict[str, DeleteFile] = {}
+        for t in manifest.data_files:
+            for d in t.deletes:
+                if d.content == EQUALITY_DELETE:
+                    current_eq_deletes[d.path] = d
         removed: set[str] = set()
         added: list[FileScanTask] = []
         for r in results:
@@ -157,8 +178,14 @@ class CommitManager:
                     )
                 removed.add(t.data_file_path)
             pin = r.plan.starting_sequence_number
+            newer = [
+                d
+                for d in current_eq_deletes.values()
+                if d.sequence_number > pin
+            ]
             for f in r.added_files:
                 f.sequence_number = pin
+                f.deletes = list(f.deletes) + newer
                 added.append(f)
 
         kept = [t for t in manifest.data_files if t.data_file_path not in removed]

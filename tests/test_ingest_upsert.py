@@ -146,3 +146,38 @@ def test_streaming_upsert_foreachbatch(spark, table, tmp_path):
     assert len(got) == 12  # 10 base + 2 inserts (3 replaced in place)
     # one commit per micro-batch on top of v1
     assert table.table_history("t") == [1, 2, 3]
+
+
+def test_compaction_racing_upsert_keeps_upsert_visible(spark, table):
+    """THE sequence-pinning semantic (T1): an upsert lands between
+    compaction's rewrite and its commit; the compaction retry succeeds
+    AND the upsert's equality delete still applies to the rewritten
+    files (pinned below the upsert's sequence) — rows never resurrect."""
+    from iceberg_compaction_spark.compaction import Compaction
+    from iceberg_compaction_spark.config import CompactionConfig
+
+    c = Compaction(spark=spark, config=CompactionConfig.full())
+    base = table.load_table("t")
+    plans = c.plan(base)
+    results, _ = c.execute_plans(base, plans)  # rewrite done, NOT committed
+
+    # concurrent upsert commits first: key 3 changes, key 0 is deleted
+    changes = spark.createDataFrame(
+        [(3, "mid-flight", "U"), (0, "x", "D")], ["id", "val", "op"]
+    )
+    upsert(spark, table, "t", changes, keys=["id"], op_col="op")
+    assert table.load_table("t").snapshot_id == 2
+
+    # compaction commit: first CAS attempt is stale, retry reloads v2
+    def attempt():
+        cur = table.load_table("t")
+        new = c.commit_manager.rewrite_files(cur, results)
+        return table.commit_table("t", cur.snapshot_id, new)
+
+    final = c.commit_manager.commit_with_retry(attempt)
+    assert final.snapshot_id == 3
+
+    got = _rows(spark, table)
+    assert got[3] == "mid-flight"  # upsert survived the rewrite swap
+    assert 0 not in got  # deleted row did NOT resurrect
+    assert len(got) == 9
