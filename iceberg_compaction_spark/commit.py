@@ -228,10 +228,24 @@ class CommitManager:
                     f"overwritten file no longer in snapshot: {t.data_file_path}"
                 )
             removed.add(t.data_file_path)
+        # pinned mode = rewrite semantics: newer equality deletes must
+        # follow the rows onto the added files (see rewrite_files)
+        newer: list[DeleteFile] = []
+        if pin_sequence_number is not None:
+            seen: dict[str, DeleteFile] = {}
+            for t in manifest.data_files:
+                for d in t.deletes:
+                    if (
+                        d.content == EQUALITY_DELETE
+                        and d.sequence_number > pin_sequence_number
+                    ):
+                        seen[d.path] = d
+            newer = list(seen.values())
         added: list[FileScanTask] = []
         for f in added_files:
             if pin_sequence_number is not None:
                 f.sequence_number = pin_sequence_number
+                f.deletes = list(f.deletes) + newer
             added.append(f)
 
         kept = [t for t in manifest.data_files if t.data_file_path not in removed]

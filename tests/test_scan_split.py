@@ -186,3 +186,37 @@ def test_snapshot_properties_reserved_keys_excluded():
         "pipeline-id": "pipe-43",
         "bobsled.source-table": "events_raw",
     }
+
+
+def test_overwrite_pinned_reattaches_newer_equality_deletes():
+    from iceberg_compaction_spark.plans.datamodel import (
+        EQUALITY_DELETE,
+        POSITION_DELETE,
+        DeleteFile,
+    )
+
+    m = manifest_with({"/t/a.parquet": 10, "/t/b.parquet": 20})
+    newer_eq = DeleteFile(
+        path="/t/eq.parquet", content=EQUALITY_DELETE,
+        file_size_in_bytes=1, sequence_number=3, equality_ids=("id",),
+    )
+    older_eq = DeleteFile(
+        path="/t/eq-old.parquet", content=EQUALITY_DELETE,
+        file_size_in_bytes=1, sequence_number=1, equality_ids=("id",),
+    )
+    pos = DeleteFile(
+        path="/t/pos.parquet", content=POSITION_DELETE,
+        file_size_in_bytes=1, sequence_number=3,
+    )
+    m.data_files[0].deletes = [newer_eq, older_eq, pos]
+    new_file = FileScanTask(data_file_path="/t/new.parquet", length=30)
+    m2 = CommitManager().overwrite_files(
+        m,
+        added_files=[new_file],
+        rewritten_files=[m.data_files[0]],
+        pin_sequence_number=2,
+    )
+    got = m2.by_path()["/t/new.parquet"].deletes
+    # only the eq delete NEWER than the pin transfers; older eq deletes
+    # were already applied by the rewrite, pos deletes address dead paths
+    assert [d.path for d in got] == ["/t/eq.parquet"]
