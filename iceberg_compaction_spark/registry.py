@@ -65,8 +65,14 @@ def _spread(spark: SparkSession, df: DataFrame, path: str) -> DataFrame:
 
 
 def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # canonicalize dtypes at the read boundary (the events fixture's ts
+    # type changed across rounds — cheap insurance that an int32 doc_id
+    # or varchar-typed text never breaks 20 downstream queries)
     p = f"{sf_dir}/documents.parquet"
-    return _spread(spark, spark.read.parquet(p), p)
+    df = spark.read.parquet(p).withColumn(
+        "doc_id", F.col("doc_id").cast("long")
+    ).withColumn("text", F.col("text").cast("string"))
+    return _spread(spark, df, p)
 
 
 def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
