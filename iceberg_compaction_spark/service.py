@@ -1,0 +1,115 @@
+"""Table maintenance service: the cron-able entry point a platform runs
+per table.
+
+Composes the engine's pieces in the order a production table service
+executes them (the reference's positioning — compaction as a managed
+background service over streaming-ingested tables, README.md "Why
+Compaction" — extended with the snapshot-hygiene steps Iceberg
+deployments schedule alongside):
+
+1. **auto-compact** — stats-driven candidate selection
+   (plans/auto.py); commits through the catalog CAS seam, so it
+   coexists with live writers (racing upserts keep their sequence
+   semantics, commit.py).
+2. **expire snapshots** — bound time-travel history.
+3. **remove orphan files** — reclaim storage unreachable from any
+   retained snapshot (includes files superseded by the expiration in
+   step 2).
+
+Each step is independently safe to re-run; the whole service is
+idempotent at its fixed point: a second run on a maintained table does
+nothing.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+from pyspark.sql import SparkSession
+
+from iceberg_compaction_spark.compaction import Compaction, CompactionStats
+from iceberg_compaction_spark.config import CompactionConfig
+from iceberg_compaction_spark.plans.auto import (
+    AutoCompactionConfig,
+    AutoCompactionPlanner,
+    AutoPlanReport,
+)
+from iceberg_compaction_spark.sources.manifest import Manifest, scan_data_files
+
+
+@dataclass
+class MaintenancePolicy:
+    auto: AutoCompactionConfig = field(default_factory=AutoCompactionConfig)
+    engine: CompactionConfig = field(default_factory=CompactionConfig)
+    keep_snapshots: int = 3
+    clean_orphans: bool = True
+
+
+@dataclass
+class MaintenanceReport:
+    table: str
+    snapshot_before: int
+    snapshot_after: int
+    compaction: AutoPlanReport
+    stats: CompactionStats
+    expired_snapshots: list[int]
+    orphans_removed: list[str]
+
+
+def maintain(
+    spark: SparkSession,
+    catalog,
+    table_name: str,
+    policy: MaintenancePolicy | None = None,
+) -> MaintenanceReport:
+    """Run one maintenance pass over a catalog table; see module doc."""
+    from dataclasses import replace
+
+    policy = policy or MaintenancePolicy()
+    manifest = catalog.load_table(table_name)
+    before = manifest.snapshot_id
+
+    report = AutoCompactionPlanner(policy.auto).plan_report(
+        scan_data_files(manifest),
+        snapshot_id=manifest.snapshot_id,
+        starting_sequence_number=manifest.sequence_number,
+    )
+    for p in report.plans:
+        p.schema_id = manifest.schema_id
+    stats = CompactionStats()
+    if report.plans:
+        engine = Compaction(
+            spark=spark,
+            config=replace(
+                policy.engine,
+                planning=policy.auto._planning(report.selected_strategy),
+            ),
+        )
+        results, stats = engine.execute_plans(manifest, report.plans)
+        if results:
+
+            def attempt() -> Manifest:
+                current = catalog.load_table(table_name)
+                new = engine.commit_manager.rewrite_files(current, results)
+                return catalog.commit_table(
+                    table_name, current.snapshot_id, new
+                )
+
+            engine.commit_manager.commit_with_retry(attempt)
+
+    expired = catalog.expire_snapshots(table_name, policy.keep_snapshots)
+    orphans = (
+        catalog.remove_orphan_files(table_name)
+        if policy.clean_orphans
+        else []
+    )
+    after = catalog.load_table(table_name).snapshot_id
+    return MaintenanceReport(
+        table=table_name,
+        snapshot_before=before,
+        snapshot_after=after,
+        compaction=report,
+        stats=stats,
+        expired_snapshots=expired,
+        orphans_removed=orphans,
+    )
