@@ -181,3 +181,62 @@ def test_compaction_racing_upsert_keeps_upsert_visible(spark, table):
     assert got[3] == "mid-flight"  # upsert survived the rewrite swap
     assert 0 not in got  # deleted row did NOT resurrect
     assert len(got) == 9
+
+
+def test_upsert_random_sequences_match_dict_model(spark, tmp_path):
+    """Model-based check: random upsert/delete batch sequences must
+    leave the table equal to a plain last-write-wins dict; a compaction
+    dropped in mid-sequence must be invisible to the final state."""
+    import random
+
+    from iceberg_compaction_spark.compaction import Compaction
+    from iceberg_compaction_spark.config import CompactionConfig
+
+    rng = random.Random(7)
+    root = str(tmp_path / "mtbl")
+    os.makedirs(root)
+    base = {i: f"v{i}" for i in range(8)}
+    pq.write_table(
+        pa.table(
+            {
+                "id": pa.array(sorted(base), type=pa.int64()),
+                "val": [base[i] for i in sorted(base)],
+            }
+        ),
+        os.path.join(root, "base.parquet"),
+    )
+    cat = FileCatalog(warehouse=str(tmp_path / "mwh"))
+    cat.create_table("m", Manifest.from_parquet_dir(root, sequence_number=1))
+    model = dict(base)
+
+    compact_at = rng.randrange(1, 5)
+    for step in range(5):
+        keys = rng.sample(range(14), rng.randint(1, 4))
+        batch = [
+            (k, f"s{step}-k{k}", "D" if rng.random() < 0.3 else "U")
+            for k in keys
+        ]
+        for k, v, op in batch:
+            if op == "D":
+                model.pop(k, None)
+            else:
+                model[k] = v
+        # deletes of absent keys are legal no-ops in both systems
+        upsert(
+            spark,
+            cat,
+            "m",
+            spark.createDataFrame(batch, ["id", "val", "op"]),
+            keys=["id"],
+            op_col="op",
+        )
+        if step == compact_at:
+            Compaction(
+                spark=spark, config=CompactionConfig.full()
+            ).compact_catalog(cat, "m")
+
+    got = {
+        r["id"]: r["val"]
+        for r in read_table_mor(spark, cat.load_table("m")).collect()
+    }
+    assert got == model
