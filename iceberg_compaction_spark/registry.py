@@ -1815,6 +1815,47 @@ def q_events_hourly_users_approx(spark, sf_dir):
 
 
 @register(
+    "events_interarrival",
+    """
+    WITH d AS (
+      SELECT (epoch_ns(ts) - lag(epoch_ns(ts)) OVER (
+                PARTITION BY user_id
+                ORDER BY epoch_ns(ts), event_id)) // 1000 AS delta_us
+      FROM events
+    )
+    SELECT CAST(LENGTH(CAST(delta_us AS VARCHAR)) AS INTEGER) AS delta_digits,
+           COUNT(*) AS n_gaps
+    FROM d WHERE delta_us IS NOT NULL GROUP BY 1
+    """,
+)
+def q_events_interarrival(spark, sf_dir):
+    """Inter-arrival-time histogram per user: decimal-digit-count
+    buckets (~log10) of the gap between a user's consecutive events —
+    the burstiness diagnostic behind session-gap and watermark tuning.
+
+    Buckets are DIGIT COUNTS of the exact integer gap, not floor(log2):
+    JVM and C log functions disagree in the last ulp near exact powers
+    (Math.log(8)/Math.log(2) = 2.9999...96 is the classic), which would
+    flip boundary buckets between engines; string length of an exact
+    integer is exact everywhere.  One shuffle on user_id for the lag
+    window, then a map-side-combined global aggregate."""
+    from pyspark.sql.window import Window
+
+    e = ev.read_events(spark, sf_dir)
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    delta_us = F.expr("(ts - __prev) div 1000")
+    return (
+        e.withColumn("__prev", F.lag("ts").over(w))
+        .where(F.col("__prev").isNotNull())
+        .select(
+            F.length(delta_us.cast("string")).cast("int").alias("delta_digits")
+        )
+        .groupBy("delta_digits")
+        .agg(F.count(F.lit(1)).alias("n_gaps"))
+    )
+
+
+@register(
     "text_zipf_histogram",
     f"""
     WITH toks AS (
@@ -1947,6 +1988,7 @@ for _tail in (
     "sample_stratified",
     "events_hourly_users",
     "events_hourly_users_approx",
+    "events_interarrival",
 ):
     QUERIES[_tail] = QUERIES.pop(_tail)
     if _tail in ORACLES:
