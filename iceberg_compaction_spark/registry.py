@@ -1964,6 +1964,63 @@ def q_dedup_cc_groups(spark, sf_dir):
     return dd.connected_components(pairs)
 
 
+@register(
+    "pipeline_curation_full",
+    _JACCARD.replace("WITH ", "WITH RECURSIVE ", 1)
+    + f""",
+    prs AS (SELECT id_a, id_b FROM jac WHERE jaccard_ppm >= {JACCARD_THRESHOLD_PPM}),
+    edges AS (
+      SELECT id_a AS src, id_b AS dst FROM prs
+      UNION SELECT id_b, id_a FROM prs
+    ),
+    reach(node, lbl) AS (
+      SELECT DISTINCT src, src FROM edges
+      UNION
+      SELECT e.dst, r.lbl FROM reach r JOIN edges e ON e.src = r.node
+    ),
+    demoted AS (
+      SELECT node AS doc_id FROM reach GROUP BY node
+      HAVING MIN(lbl) <> node
+    ),
+    kept AS (
+      SELECT d.* FROM documents d
+      WHERE NOT EXISTS (SELECT 1 FROM demoted x WHERE x.doc_id = d.doc_id)
+    ),
+    q AS (
+      SELECT doc_id,
+        CASE WHEN trim(text)='' THEN 0 ELSE len({_TOKS}) END AS n_toks,
+        len(list_filter({_TOKS}, x -> list_contains({_STOPS}, x))) AS stops
+      FROM kept
+    )
+    SELECT doc_id, CAST(n_toks AS INTEGER) AS n_tokens,
+      CAST(FLOOR(1000000*(stops*1.0/greatest(n_toks,1))) AS BIGINT)
+        AS stopword_ppm
+    FROM q
+    WHERE n_toks >= 40
+      AND FLOOR(1000000*(stops*1.0/greatest(n_toks,1))) >= 50000
+    """,
+)
+def q_pipeline_curation_full(spark, sf_dir):
+    """The full curation flagship: near-dup GROUP demotion (connected
+    components over the Jaccard pair graph keep only each component's
+    min-id representative — this subsumes exact dedup, since exact dups
+    are Jaccard-1.0 pairs) -> quality gates (token count, stopword
+    ratio).  Composes jaccard_pairs + connected_components +
+    with_quality end-to-end; the CC fixpoint loop is the only eager
+    stage, everything else stays lazy."""
+    docs = _docs(spark, sf_dir)
+    pairs = dd.jaccard_pairs(docs, threshold_ppm=JACCARD_THRESHOLD_PPM)
+    cc = dd.connected_components(pairs)
+    demoted = cc.where(F.col("component_id") != F.col("doc_id")).select(
+        "doc_id"
+    )
+    kept = docs.join(demoted, "doc_id", "left_anti")
+    q = tx.with_quality(kept).select("doc_id", "n_tokens", "stopword_ppm")
+    return q.where(
+        (F.col("n_tokens") >= 40) & (F.col("stopword_ppm") >= 50000)
+    )
+
+
 # ---------------------------------------------------------------------------
 # Registration-order curation.  The driver's correctness gate checks a
 # fixed-size window of the FIRST 50 registrations; everything must still
@@ -1989,6 +2046,7 @@ for _tail in (
     "events_hourly_users",
     "events_hourly_users_approx",
     "events_interarrival",
+    "pipeline_curation_full",
 ):
     QUERIES[_tail] = QUERIES.pop(_tail)
     if _tail in ORACLES:
