@@ -41,6 +41,7 @@ BENCH_QUERIES = [
     "zorder_lineitem",
     "emb_quantize",
     "text_top_ngrams",
+    "pipeline_curation_full",
 ]
 
 

@@ -304,3 +304,16 @@ def test_bucketed_join_has_no_exchange(spark, tmp_path):
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
         spark.sql("DROP TABLE IF EXISTS bt_lineitem")
         spark.sql("DROP TABLE IF EXISTS bt_orders")
+
+
+def test_curation_pipeline_no_cartesian_and_quality_stays_jvm(spark):
+    from iceberg_compaction_spark import registry
+
+    df = registry.QUERIES["pipeline_curation_full"](spark, SF)
+    p = plan_of(df)
+    assert "CartesianProduct" not in p, p
+    # quality scoring must not fall back to a Python row UDF
+    assert "BatchEvalPython" not in p, p
+    # the demotion is an anti-join against the (checkpointed) CC labels;
+    # the quality gates stay fused in the projection above it
+    assert "LeftAnti" in p, p
