@@ -199,6 +199,52 @@ class RestCatalog:
         )
         return self._manifest_from_load(out)
 
+    # ---- history / maintenance (server extensions beyond the minimal
+    # spec surface: real REST catalogs expose snapshots inside the load
+    # response's TableMetadata and expire via remove-snapshots updates;
+    # the dedicated endpoints keep the in-process server simple) -------
+
+    def table_history(self, name: str) -> list[int]:
+        out = self._request(
+            "GET",
+            self._url("namespaces", self.namespace, "tables", name, "snapshots"),
+        )
+        return list(out["snapshot-ids"])
+
+    def load_table_at(self, name: str, snapshot_id: int) -> Manifest:
+        out = self._request(
+            "GET",
+            self._url(
+                "namespaces",
+                self.namespace,
+                "tables",
+                name,
+                "snapshots",
+                str(snapshot_id),
+            ),
+        )
+        return self._manifest_from_load(out)
+
+    def expire_snapshots(self, name: str, keep_last: int = 2) -> list[int]:
+        out = self._request(
+            "POST",
+            self._url(
+                "namespaces", self.namespace, "tables", name, "maintenance"
+            ),
+            {"action": "expire-snapshots", "keep-last": keep_last},
+        )
+        return list(out["expired-snapshot-ids"])
+
+    def remove_orphan_files(self, name: str) -> list[str]:
+        out = self._request(
+            "POST",
+            self._url(
+                "namespaces", self.namespace, "tables", name, "maintenance"
+            ),
+            {"action": "remove-orphan-files"},
+        )
+        return list(out["removed"])
+
     @staticmethod
     def _manifest_from_load(out: dict) -> Manifest:
         md = out.get("metadata", {})
@@ -287,6 +333,24 @@ class _Handler(BaseHTTPRequestHandler):
                     404, "NoSuchTableException", f"table not found: {r[4]}"
                 )
             return self._send(200, self._load_payload(r[4], m))
+        if len(r) == 6 and r[3] == "tables" and r[5] == "snapshots":
+            try:
+                ids = self.catalog.table_history(r[4])
+            except TableNotFound:
+                return self._error(
+                    404, "NoSuchTableException", f"table not found: {r[4]}"
+                )
+            return self._send(200, {"snapshot-ids": ids})
+        if len(r) == 7 and r[3] == "tables" and r[5] == "snapshots":
+            try:
+                m = self.catalog.load_table_at(r[4], int(r[6]))
+            except (TableNotFound, ValueError):
+                return self._error(
+                    404,
+                    "NoSuchTableException",
+                    f"snapshot not found: {r[4]}@{r[6]}",
+                )
+            return self._send(200, self._load_payload(r[4], m))
         return self._error(404, "NotFoundException", f"no route: {self.path}")
 
     def do_HEAD(self):  # noqa: N802
@@ -316,6 +380,27 @@ class _Handler(BaseHTTPRequestHandler):
             return self._send(200, self._load_payload(name, created))
         if len(r) == 5 and r[3] == "tables":  # commit
             return self._commit(r[4], self._body())
+        if len(r) == 6 and r[3] == "tables" and r[5] == "maintenance":
+            body = self._body()
+            action = body.get("action")
+            try:
+                if action == "expire-snapshots":
+                    with self.lock:
+                        expired = self.catalog.expire_snapshots(
+                            r[4], int(body.get("keep-last", 2))
+                        )
+                    return self._send(200, {"expired-snapshot-ids": expired})
+                if action == "remove-orphan-files":
+                    with self.lock:
+                        removed = self.catalog.remove_orphan_files(r[4])
+                    return self._send(200, {"removed": removed})
+            except TableNotFound:
+                return self._error(
+                    404, "NoSuchTableException", f"table not found: {r[4]}"
+                )
+            return self._error(
+                400, "BadRequestException", f"unknown action: {action}"
+            )
         return self._error(404, "NotFoundException", f"no route: {self.path}")
 
     def _commit(self, name: str, body: dict) -> None:

@@ -148,3 +148,35 @@ def test_compaction_through_rest_catalog(spark, client, fragmented):
     m3, stats2 = c.compact_catalog(client, "t")
     assert m3.snapshot_id == 2
     assert stats2.input_files_count == 0
+
+
+def test_rest_backend_runs_full_maintenance_service(spark, client, fragmented):
+    """Backend parity: the table-service pass (auto-compact + expire +
+    orphan cleanup) runs over the REST client exactly as over the
+    FileCatalog — history, time travel, and maintenance all over HTTP."""
+    from iceberg_compaction_spark.plans.auto import (
+        AutoCompactionConfig,
+        AutoPlanReason,
+    )
+    from iceberg_compaction_spark.service import MaintenancePolicy, maintain
+
+    client.create_table("t", fragmented)
+    rows_before = spark.read.parquet(*client.load_table("t").paths()).count()
+
+    r = maintain(
+        spark,
+        client,
+        "t",
+        MaintenancePolicy(
+            auto=AutoCompactionConfig(min_small_files_count=2),
+            keep_snapshots=1,
+        ),
+    )
+    assert r.compaction.reason == AutoPlanReason.RECOMMENDED
+    assert r.expired_snapshots == [1]
+    assert len(r.orphans_removed) == 8
+    assert client.table_history("t") == [2]
+    live = client.load_table_at("t", 2)
+    assert spark.read.parquet(*live.paths()).count() == rows_before
+    with pytest.raises(TableNotFound):
+        client.load_table_at("t", 1)
