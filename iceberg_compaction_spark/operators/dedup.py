@@ -563,6 +563,11 @@ def connected_components(
         .withColumn("lbl", F.col("node"))
         .localCheckpoint()
     )
+    if labels.limit(1).count() == 0:
+        # clean corpus: no pairs, no components — skip the fixpoint loop
+        return labels.select(
+            F.col("node").alias("doc_id"), F.col("lbl").alias("component_id")
+        )
 
     for _ in range(max_iters):
         neighbor = edges.join(

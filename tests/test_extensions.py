@@ -480,3 +480,8 @@ def test_hll_hourly_users_within_rsd_of_exact(spark):
     for h, n in exact.items():
         # default rsd is 5%; allow 4 sigma plus integer slack
         assert abs(approx[h] - n) <= max(3, 0.2 * n), (h, n, approx[h])
+
+
+def test_connected_components_empty_pairs(spark):
+    empty = spark.createDataFrame([], "id_a long, id_b long")
+    assert dd.connected_components(empty).collect() == []
