@@ -166,7 +166,20 @@ class RestCatalog:
         """Spec-shaped commit: assert-ref-snapshot-id + add-snapshot +
         set-snapshot-ref.  The server validates the requirement and
         applies the updates atomically; 409 surfaces as CommitConflict
-        for the caller's optimistic-retry loop (commit.py)."""
+        for the caller's optimistic-retry loop (commit.py).
+
+        Commit-status-unknown handling: a network failure on the commit
+        POST leaves the outcome ambiguous (the classic distributed-
+        commit hazard — the server may have applied it and lost only
+        the response).  Blindly retrying would double-commit; blindly
+        failing would drop a successful commit.  The client reconciles
+        by reloading the table: our commit is uniquely identified by
+        its snapshot id AND file-path set (paths carry fresh uuids), so
+        if the head matches both, the commit landed — return success.
+        Anything else means it did not land (or another writer took the
+        slot): surface retryable CommitConflict so the caller's retry
+        loop re-plans against the fresh head.
+        """
         new_id = new_manifest.snapshot_id
         body = {
             "requirements": [
@@ -192,12 +205,37 @@ class RestCatalog:
                 },
             ],
         }
-        out = self._request(
-            "POST",
-            self._url("namespaces", self.namespace, "tables", name),
-            body,
-        )
+        try:
+            out = self._request(
+                "POST",
+                self._url("namespaces", self.namespace, "tables", name),
+                body,
+            )
+        except (urllib.error.URLError, TimeoutError) as e:
+            # non-HTTP transport failure (HTTP errors are mapped inside
+            # _request); includes read timeouts
+            return self._reconcile_unknown_commit(name, new_manifest, e)
         return self._manifest_from_load(out)
+
+    def _reconcile_unknown_commit(
+        self, name: str, new_manifest: Manifest, cause: Exception
+    ) -> Manifest:
+        from iceberg_compaction_spark.commit import CommitConflict
+
+        try:
+            current = self.load_table(name)
+        except Exception:
+            raise CommitConflict(
+                f"{name}: commit status unknown and reload failed: {cause}"
+            ) from cause
+        if current.snapshot_id == new_manifest.snapshot_id and sorted(
+            current.paths()
+        ) == sorted(new_manifest.paths()):
+            return current  # our commit landed; only the response was lost
+        raise CommitConflict(
+            f"{name}: commit lost to network failure (head at "
+            f"v{current.snapshot_id}): {cause}"
+        ) from cause
 
     # ---- history / maintenance (server extensions beyond the minimal
     # spec surface: real REST catalogs expose snapshots inside the load

@@ -180,3 +180,51 @@ def test_rest_backend_runs_full_maintenance_service(spark, client, fragmented):
     assert spark.read.parquet(*live.paths()).count() == rows_before
     with pytest.raises(TableNotFound):
         client.load_table_at("t", 1)
+
+
+def test_commit_status_unknown_reconciles(client, fragmented, monkeypatch):
+    """Lost-response commits: the POST reaches the server but the
+    response dies on the wire. The client must reconcile by reload —
+    recognizing its own landed commit (snapshot id + uuid'd path set) —
+    instead of double-committing or dropping a success."""
+    import urllib.error
+
+    client.create_table("t", fragmented)
+
+    real_request = RestCatalog._request
+
+    def lossy(self, method, url, body=None):
+        out = real_request(self, method, url, body)
+        if method == "POST" and url.endswith("/tables/t"):
+            raise urllib.error.URLError("connection reset by peer")
+        return out
+
+    nxt = Manifest.from_dict(fragmented.to_dict())
+    nxt.snapshot_id = 2
+    monkeypatch.setattr(RestCatalog, "_request", lossy)
+    committed = client.commit_table("t", 1, nxt)  # reconciled, not raised
+    monkeypatch.setattr(RestCatalog, "_request", real_request)
+    assert committed.snapshot_id == 2
+    assert client.load_table("t").snapshot_id == 2
+
+
+def test_commit_never_sent_raises_retryable(client, fragmented, monkeypatch):
+    """If the POST never reached the server, reconciliation finds the
+    head unmoved and surfaces retryable CommitConflict."""
+    import urllib.error
+
+    client.create_table("t", fragmented)
+    real_request = RestCatalog._request
+
+    def dead(self, method, url, body=None):
+        if method == "POST" and url.endswith("/tables/t"):
+            raise urllib.error.URLError("no route to host")
+        return real_request(self, method, url, body)
+
+    nxt = Manifest.from_dict(fragmented.to_dict())
+    nxt.snapshot_id = 2
+    monkeypatch.setattr(RestCatalog, "_request", dead)
+    with pytest.raises(CommitConflict, match="network failure"):
+        client.commit_table("t", 1, nxt)
+    monkeypatch.setattr(RestCatalog, "_request", real_request)
+    assert client.load_table("t").snapshot_id == 1  # nothing landed
