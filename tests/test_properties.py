@@ -118,3 +118,91 @@ def test_simhash_band_pigeonhole_guarantee(fp, bits, max_hamming, data):
         for off, w in layout
     )
     assert shared
+
+
+@settings(max_examples=100, deadline=None)
+@st.composite
+def _manifests(draw):
+    from iceberg_compaction_spark.plans.datamodel import (
+        EQUALITY_DELETE,
+        POSITION_DELETE,
+        DeleteFile,
+    )
+
+    n = draw(st.integers(0, 5))
+    tasks = []
+    for i in range(n):
+        deletes = []
+        for j in range(draw(st.integers(0, 2))):
+            eq = draw(st.booleans())
+            deletes.append(
+                DeleteFile(
+                    path=f"/t/del{i}_{j}.parquet",
+                    content=EQUALITY_DELETE if eq else POSITION_DELETE,
+                    file_size_in_bytes=draw(st.integers(1, 10**9)),
+                    sequence_number=draw(st.integers(0, 100)),
+                    equality_ids=("id",) if eq else (),
+                )
+            )
+        tasks.append(
+            FileScanTask(
+                data_file_path=f"/t/d{i}.parquet",
+                length=draw(st.integers(1, 10**12)),
+                record_count=draw(st.integers(0, 10**9)),
+                sequence_number=draw(st.integers(0, 100)),
+                partition=tuple(
+                    draw(
+                        st.lists(
+                            st.one_of(st.integers(), st.text(max_size=5)),
+                            max_size=2,
+                        )
+                    )
+                ),
+                deletes=deletes,
+            )
+        )
+    from iceberg_compaction_spark.sources.manifest import Manifest
+
+    return Manifest(
+        table_root="/t",
+        snapshot_id=draw(st.integers(0, 1000)),
+        sequence_number=draw(st.integers(0, 1000)),
+        schema_id=draw(st.integers(0, 10)),
+        format_version=draw(st.sampled_from([2, 3])),
+        data_files=tasks,
+        properties=draw(
+            st.dictionaries(st.text(max_size=8), st.text(max_size=8), max_size=3)
+        ),
+    )
+
+
+def _roundtrip(m):
+    from iceberg_compaction_spark.sources.manifest import Manifest
+
+    return Manifest.from_dict(m.to_dict())
+
+
+@settings(max_examples=100, deadline=None)
+@given(_manifests())
+def test_manifest_dict_roundtrip_exact(m):
+    """The catalog wire format (to_dict/from_dict — also what the REST
+    payloads carry) must round-trip every field exactly, including
+    per-task delete attachments and no properties aliasing."""
+    r = _roundtrip(m)
+    assert r.to_dict() == m.to_dict()
+    assert r.snapshot_id == m.snapshot_id
+    assert r.sequence_number == m.sequence_number
+    assert r.schema_id == m.schema_id
+    assert r.format_version == m.format_version
+    assert [t.data_file_path for t in r.data_files] == [
+        t.data_file_path for t in m.data_files
+    ]
+    for a, b in zip(r.data_files, m.data_files):
+        assert a.sequence_number == b.sequence_number
+        assert a.record_count == b.record_count
+        assert [(d.path, d.content, d.sequence_number) for d in a.deletes] == [
+            (d.path, d.content, d.sequence_number) for d in b.deletes
+        ]
+    # properties must be a COPY, not an alias
+    r.properties["__mut"] = "x"
+    assert "__mut" not in m.properties
