@@ -1965,6 +1965,35 @@ def q_dedup_cc_groups(spark, sf_dir):
 
 
 @register(
+    "dedup_prefix_groups",
+    f"""
+    WITH p AS (
+      SELECT doc_id,
+        md5(array_to_string(({_TOKS})[1:2], ' ')) AS prefix_fp
+      FROM documents
+    )
+    SELECT prefix_fp, MIN(doc_id) AS keep_id, COUNT(*) AS n_docs
+    FROM p GROUP BY 1 HAVING COUNT(*) > 1
+    """,
+)
+def q_dedup_prefix_groups(spark, sf_dir):
+    """Prefix-fingerprint grouping (operators/text.py with_fingerprints):
+    documents sharing their first two normalized tokens — the cheap
+    boilerplate/mirror detector crawl pipelines run before any shingle
+    machinery (identical page headers collide here at md5-groupBy cost,
+    one 16-byte-key shuffle)."""
+    fps = tx.with_fingerprints(_docs(spark, sf_dir), prefix_tokens=2)
+    return (
+        fps.groupBy("prefix_fp")
+        .agg(
+            F.min("doc_id").alias("keep_id"),
+            F.count(F.lit(1)).alias("n_docs"),
+        )
+        .where(F.col("n_docs") > 1)
+    )
+
+
+@register(
     "pipeline_curation_full",
     _JACCARD.replace("WITH ", "WITH RECURSIVE ", 1)
     + f""",
@@ -2047,6 +2076,7 @@ for _tail in (
     "events_hourly_users_approx",
     "events_interarrival",
     "pipeline_curation_full",
+    "dedup_prefix_groups",
 ):
     QUERIES[_tail] = QUERIES.pop(_tail)
     if _tail in ORACLES:
