@@ -635,7 +635,8 @@ def _kmeans_iter_sql() -> str:
              CAST(FLOOR(unnest(v) * 1000000) AS BIGINT) AS xm
       FROM assign
     )
-    SELECT cluster_id, pos, COUNT(*) AS n_vectors, SUM(xm) AS sum_micro
+    SELECT cluster_id, pos, COUNT(*) AS n_vectors,
+           CAST(SUM(xm) AS BIGINT) AS sum_micro
     FROM ex GROUP BY 1, 2
     """
 
@@ -1862,23 +1863,26 @@ def q_events_interarrival(spark, sf_dir):
       SELECT doc_id, unnest({_TOKS}) AS term FROM documents
     ),
     tf AS (SELECT term, COUNT(*) AS freq FROM toks GROUP BY 1)
-    SELECT CAST(FLOOR(LOG2(freq)) AS BIGINT) AS freq_log2_bucket,
+    SELECT CAST(LENGTH(CAST(freq AS VARCHAR)) AS BIGINT) AS freq_digits_bucket,
            COUNT(*) AS n_terms,
-           SUM(freq) AS n_occurrences
+           CAST(SUM(freq) AS BIGINT) AS n_occurrences
     FROM tf GROUP BY 1
     """,
 )
 def q_text_zipf_histogram(spark, sf_dir):
     """Zipf / frequency-of-frequency histogram: how many distinct terms
-    fall in each log2 corpus-frequency bucket — the standard one-look
-    corpus health check (a natural corpus shows the Zipf slope; scraped
-    boilerplate shows a hot-bucket bulge).  Two aggregations, both with
-    map-side partial combine; the second runs over distinct terms only.
+    fall in each decimal-magnitude corpus-frequency bucket — the
+    standard one-look corpus health check (a natural corpus shows the
+    Zipf slope; scraped boilerplate shows a hot-bucket bulge).  Two
+    aggregations, both with map-side partial combine; the second runs
+    over distinct terms only.
 
-    log2 on exact integer counts: both engines compute floor(log2(n))
-    on the same bigint, and the result feeds GROUP BY, not ranking —
-    a half-ulp difference at an exact power of 2 cannot occur because
-    IEEE doubles represent those exactly.
+    Buckets are the DIGIT COUNT of the exact integer frequency (string
+    length), not floor(log2): JVM and libm log functions disagree in
+    the last ulp at exact powers of two (Math.log(8)/Math.log(2) =
+    2.999...96), which flips floor buckets between engines.  Integer
+    digit count is exact everywhere — same trick as
+    events_interarrival.
     """
     toks = _docs(spark, sf_dir).select(
         F.explode(
@@ -1887,7 +1891,9 @@ def q_text_zipf_histogram(spark, sf_dir):
     )
     tf = toks.groupBy("term").agg(F.count(F.lit(1)).alias("freq"))
     return tf.groupBy(
-        F.floor(F.log2("freq")).cast("long").alias("freq_log2_bucket")
+        F.length(F.col("freq").cast("string"))
+        .cast("long")
+        .alias("freq_digits_bucket")
     ).agg(
         F.count(F.lit(1)).alias("n_terms"),
         F.sum("freq").alias("n_occurrences"),
