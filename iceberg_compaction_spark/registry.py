@@ -406,7 +406,8 @@ def q_dedup_minhash_lsh(spark, sf_dir):
 
 def _simhash_sql(bits: int = 16) -> str:
     votes = ", ".join(
-        f"sum(CASE WHEN (h >> {j}) & 1 = 1 THEN 1 ELSE -1 END) AS v_{j}"
+        f"CAST(sum(CASE WHEN (h >> {j}) & 1 = 1 THEN 1 ELSE -1 END)"
+        f" AS BIGINT) AS v_{j}"
         for j in range(bits)
     )
     total = " + ".join(

@@ -1,12 +1,12 @@
-"""Oracle verification for registrations beyond the driver gate's
-50-entry window.
+"""Oracle verification for EVERY registered query.
 
 The driver's correctness gate compares the FIRST 50 ``queries()``
-entries against their DuckDB oracles; registration order is curated so
-those are 50 distinct operators (registry.py tail block).  Everything
-past the window would otherwise be formally unverified — this suite
-runs the SAME rows/columns/value-hash comparison for every tail entry
-at sf0.001, so no registered query is invisible to any gate.
+entries against their DuckDB oracles; round 4 proved that checking only
+the tail here leaves in-window entries invisible to pytest (the
+ann_kmeans_iteration miss shipped with a 244-green suite).  This suite
+now runs the rows/columns/value-hash comparison for ALL entries at
+sf0.001 — in-window and tail alike — so a red driver row can no longer
+coexist with a green pytest run.
 """
 
 import hashlib
@@ -15,7 +15,6 @@ import duckdb
 import pytest
 
 SF_DIR = "/root/testdata/sf0.001"
-WINDOW = 50
 # sketch-based queries whose output is approximate by construction
 APPROX_NO_ORACLE = {"events_hourly_users_approx"}
 TABLES = [
@@ -58,10 +57,10 @@ def _table_hash(cols, rows) -> str:
     return h.hexdigest()[:16]
 
 
-def _tail_names():
+def _all_names():
     from iceberg_compaction_spark import registry
 
-    return list(registry.QUERIES)[WINDOW:]
+    return list(registry.QUERIES)
 
 
 @pytest.fixture(scope="module")
@@ -76,8 +75,8 @@ def duck():
     con.close()
 
 
-@pytest.mark.parametrize("name", _tail_names())
-def test_tail_query_matches_oracle(spark, duck, name):
+@pytest.mark.parametrize("name", _all_names())
+def test_query_matches_oracle(spark, duck, name):
     from iceberg_compaction_spark import registry
 
     sdf = registry.QUERIES[name](spark, SF_DIR)
@@ -91,8 +90,8 @@ def test_tail_query_matches_oracle(spark, duck, name):
         assert len(srows) > 0
         return
     assert name in registry.ORACLES, (
-        f"tail query {name} has no oracle — either add one or move it "
-        "into the driver window where the rows-only check applies"
+        f"query {name} has no oracle — either add one or mark it "
+        "approximate (APPROX_NO_ORACLE) with a pinned error-bound test"
     )
     # Arrow fetch, like the driver: surfaces HUGEINT degradation
     atbl = duck.sql(registry.ORACLES[name]).arrow()
@@ -105,4 +104,28 @@ def test_tail_query_matches_oracle(spark, duck, name):
     )
     assert _table_hash(scols, srows) == _table_hash(ocols, orows), (
         f"{name}: value hash mismatch"
+    )
+
+
+def test_no_bare_bigint_sums_in_oracles():
+    """DuckDB SUM(BIGINT) returns HUGEINT (decimal128 over Arrow), which
+    the driver's value hash renders differently from Spark's int64 even
+    when the values are equal — the exact mismatch that made
+    ann_kmeans_iteration red in round 4 while this suite was green (the
+    local Decimal normalization masks it).  Enforce the repo convention
+    statically: every SUM in an oracle must be wrapped in CAST(...).
+    """
+    import re
+
+    from iceberg_compaction_spark import registry
+
+    offenders = []
+    for name, sql in registry.ORACLES.items():
+        for m in re.finditer(r"SUM\s*\(", sql, flags=re.IGNORECASE):
+            prefix = sql[max(0, m.start() - 5):m.start()]
+            if not prefix.upper().endswith("CAST("):
+                offenders.append(name)
+                break
+    assert not offenders, (
+        f"bare SUM( in oracle SQL (wrap in CAST(... AS BIGINT)): {offenders}"
     )
