@@ -150,11 +150,19 @@ class Compaction:
         def attempt() -> Manifest:
             path = manifest.manifest_path()
             try:
-                with manifest_lock(path):
+                with manifest_lock(path) as still_held:
                     current = (
                         Manifest.load(path) if os.path.exists(path) else manifest
                     )
                     new = self.commit_manager.rewrite_files(current, results)
+                    if not still_held():
+                        # a stale-lock breaker stole our lock mid-commit
+                        # (manifest_lock's documented best-effort window):
+                        # another writer may now be inside the critical
+                        # section — abort retryably, never double-write
+                        raise CommitConflict(
+                            f"commit lock stolen mid-commit: {path}.lock"
+                        )
                     new.save()
                     return new
             except ManifestLockTimeout as e:

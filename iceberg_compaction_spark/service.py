@@ -43,6 +43,10 @@ class MaintenancePolicy:
     engine: CompactionConfig = field(default_factory=CompactionConfig)
     keep_snapshots: int = 3
     clean_orphans: bool = True
+    # grace window before an unreferenced file is deletable (Iceberg's
+    # olderThan, default 3 days): protects files staged by in-flight
+    # writers that have not yet CAS-committed
+    orphan_older_than_s: float = 3 * 24 * 3600
 
 
 @dataclass
@@ -99,7 +103,9 @@ def maintain(
 
     expired = catalog.expire_snapshots(table_name, policy.keep_snapshots)
     orphans = (
-        catalog.remove_orphan_files(table_name)
+        catalog.remove_orphan_files(
+            table_name, older_than_s=policy.orphan_older_than_s
+        )
         if policy.clean_orphans
         else []
     )

@@ -145,21 +145,37 @@ class FileCatalog:
                 os.unlink(self._version_path(name, v))
         return expired
 
+    # Iceberg's remove_orphan_files default olderThan is 3 days — the
+    # grace window that keeps in-flight writers' staged files safe.
+    DEFAULT_ORPHAN_GRACE_S = 3 * 24 * 3600
+
     def remove_orphan_files(
-        self, name: str, scan_root: str | None = None
+        self,
+        name: str,
+        scan_root: str | None = None,
+        older_than_s: float = DEFAULT_ORPHAN_GRACE_S,
     ) -> list[str]:
         """Iceberg's remove-orphan-files maintenance: delete parquet
         files under the table's data root that no RETAINED snapshot
         references (crashed writes, files superseded by expired
         snapshots).  Returns the removed paths.
 
-        Safety mirrors Iceberg's: only the table's own root is scanned,
-        only ``*.parquet`` is eligible, and the referenced set is the
-        union over ALL retained snapshots — a file visible to any
-        time-travelable snapshot is never touched.  Run AFTER
-        expire_snapshots; with full history retained nothing is ever an
-        orphan.
+        Safety mirrors Iceberg's on BOTH axes: only the table's own root
+        is scanned, only ``*.parquet`` is eligible, the referenced set is
+        the union over ALL retained snapshots, and — like the Spark
+        procedure's ``olderThan`` (default 3 days) — only files whose
+        mtime is older than ``older_than_s`` are eligible.  An in-flight
+        writer stages its data/delete parquet under the table root
+        BEFORE its CAS commit (``ingest.upsert``); without the grace
+        window a concurrent maintenance pass could unlink those files
+        and the writer's later commit would publish dangling paths.
+        As a second guard the head manifest is re-loaded AFTER the walk
+        and any path it references is excluded — this catches a commit
+        that landed while the walk was running.  Pass ``older_than_s=0``
+        only when no concurrent writers exist (tests, offline repair).
         """
+        import time
+
         referenced: set[str] = set()
         root = scan_root
         for v in self.table_history(name):
@@ -169,18 +185,40 @@ class FileCatalog:
                 for d in t.deletes:
                     referenced.add(os.path.realpath(d.path))
             root = root or m.table_root
-        removed = []
         if not root or not os.path.isdir(root):
-            return removed
+            return []
+        cutoff = time.time() - older_than_s
+        candidates = []
         for dirpath, _dirs, files in os.walk(root):
             for fn in files:
                 if not fn.endswith(".parquet"):
                     continue
                 p = os.path.join(dirpath, fn)
-                if os.path.realpath(p) not in referenced:
-                    with contextlib.suppress(FileNotFoundError):
-                        os.unlink(p)
-                    removed.append(p)
+                if os.path.realpath(p) in referenced:
+                    continue
+                try:
+                    if os.path.getmtime(p) > cutoff:
+                        continue  # inside the grace window: maybe in-flight
+                except OSError:
+                    continue  # vanished mid-walk: someone else owns it
+                candidates.append(p)
+        # a commit may have landed during the walk — never unlink what
+        # the (possibly new) head now references
+        try:
+            head = self.load_table(name)
+            referenced.update(os.path.realpath(p) for p in head.paths())
+            for t in head.data_files:
+                for d in t.deletes:
+                    referenced.add(os.path.realpath(d.path))
+        except TableNotFound:
+            pass
+        removed = []
+        for p in candidates:
+            if os.path.realpath(p) in referenced:
+                continue
+            with contextlib.suppress(FileNotFoundError):
+                os.unlink(p)
+            removed.append(p)
         return sorted(removed)
 
     def commit_table(

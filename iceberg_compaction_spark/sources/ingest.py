@@ -77,8 +77,13 @@ def upsert(
     committing ambiguous state.
 
     Commit protocol: CAS with retry through the catalog (same seam as
-    compaction commits); each retry reloads the table and re-attaches
-    the delete file to the files of the fresh snapshot.
+    compaction commits); each retry reloads the table, RE-SEQUENCES the
+    write above the fresh head (rewriting the equality-delete file's
+    baked sys_hidden_seq_num column when the sequence moved — equality
+    deletes apply only to strictly-LOWER sequences, so committing a
+    retry at the stale sequence would skip the race winner's files and
+    leave two live rows per key), and re-attaches the delete file to the
+    files of the fresh snapshot.
     """
     upserts = changes
     deletes = None
@@ -97,45 +102,62 @@ def upsert(
     from iceberg_compaction_spark.commit import CommitConflict  # noqa: F401
 
     current = catalog.load_table(table_name)
-    new_seq = current.sequence_number + 1
     table_root = current.table_root
     suffix = uuid.uuid4().hex[:8]
+    eq_path = os.path.join(table_root, f"upsert-{suffix}-eqdel.parquet")
+    data_path = os.path.join(table_root, f"upsert-{suffix}-data.parquet")
 
-    # equality-delete file: keys of EVERY change row (upserts replace,
-    # deletes remove — both need the old row gone)
+    # equality-delete keys: EVERY change row (upserts replace, deletes
+    # remove — both need the old row gone)
     key_df = (
         upserts.select(*keys)
         if deletes is None
         else upserts.select(*keys).unionByName(deletes.select(*keys))
-    ).withColumn(HIDDEN_SEQ, F.lit(new_seq).cast("long"))
-    eq_path = os.path.join(table_root, f"upsert-{suffix}-eqdel.parquet")
-    _write_single_parquet(key_df, eq_path)
-    eq_file = DeleteFile(
-        path=eq_path,
-        content=EQUALITY_DELETE,
-        file_size_in_bytes=os.path.getsize(eq_path),
-        sequence_number=new_seq,
-        equality_ids=tuple(keys),
     )
-
-    # data file: the upserted rows at the same (new) sequence number
-    data_task = None
-    if upserts.limit(1).count() > 0:
-        data_path = os.path.join(table_root, f"upsert-{suffix}-data.parquet")
+    has_upserts = upserts.limit(1).count() > 0
+    if has_upserts:
         _write_single_parquet(upserts, data_path)
-        import pyarrow.parquet as pq
 
-        md = pq.read_metadata(data_path)
-        data_task = FileScanTask(
-            data_file_path=data_path,
-            length=os.path.getsize(data_path),
-            file_size_in_bytes=os.path.getsize(data_path),
-            record_count=md.num_rows,
-            sequence_number=new_seq,
+    written_seq: list[int] = []  # seq the eq parquet currently carries
+
+    def _stamp(seq: int) -> None:
+        """(Re)write the eq-delete parquet with ``seq`` baked into its
+        sys_hidden_seq_num column.  os.replace keeps the path stable, so
+        retries republish the same manifest paths."""
+        _write_single_parquet(
+            key_df.withColumn(HIDDEN_SEQ, F.lit(seq).cast("long")), eq_path
         )
+        written_seq[:] = [seq]
 
     def attempt() -> Manifest:
         cur = catalog.load_table(table_name)
+        # sequence ABOVE the head we are committing against — recomputed
+        # per attempt so a retry after losing the CAS race lands STRICTLY
+        # above the winner (its delete must apply to the winner's files)
+        new_seq = cur.sequence_number + 1
+        if written_seq != [new_seq]:
+            _stamp(new_seq)
+        eq_file = DeleteFile(
+            path=eq_path,
+            content=EQUALITY_DELETE,
+            file_size_in_bytes=os.path.getsize(eq_path),
+            sequence_number=new_seq,
+            equality_ids=tuple(keys),
+        )
+        data_task = None
+        if has_upserts:
+            import pyarrow.parquet as pq
+
+            md = pq.read_metadata(data_path)
+            # data parquet carries no seq column (seq is manifest
+            # metadata, attached at scan time) — no rewrite needed
+            data_task = FileScanTask(
+                data_file_path=data_path,
+                length=os.path.getsize(data_path),
+                file_size_in_bytes=os.path.getsize(data_path),
+                record_count=md.num_rows,
+                sequence_number=new_seq,
+            )
         new = Manifest(
             table_root=cur.table_root,
             snapshot_id=cur.next_snapshot(),

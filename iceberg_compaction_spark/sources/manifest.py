@@ -41,7 +41,7 @@ def manifest_lock(
     timeout_s: float = 10.0,
     poll_s: float = 0.02,
     stale_s: float = 60.0,
-) -> Iterator[None]:
+) -> Iterator[Any]:
     """Cross-process commit mutex for the local JSON backend.
 
     ``os.open(O_CREAT | O_EXCL)`` is atomic on POSIX: exactly one
@@ -51,6 +51,14 @@ def manifest_lock(
     natively; see commit.py).  Locks older than ``stale_s`` (a crashed
     writer — healthy commits hold the lock for milliseconds) are broken;
     ``stale_s`` is deliberately independent of the acquisition timeout.
+
+    Yields a ``still_held() -> bool`` callable: True iff ``lock_path``
+    still refers to OUR lock inode.  The stale-break protocol above is
+    best-effort — in the narrow rename->link race a breaker can unlink a
+    live holder's lock without the holder knowing.  A holder that calls
+    ``still_held()`` immediately before its final commit rename detects
+    exactly that theft and can abort retryably instead of double-writing
+    (the catalog CAS backstop still exists above this, commit.py).
     """
     lock_path = f"{manifest_path}.lock"
     deadline = time.monotonic() + timeout_s
@@ -105,11 +113,26 @@ def manifest_lock(
             time.sleep(poll_s)
     try:
         os.write(fd, str(os.getpid()).encode())
-        os.close(fd)
-        yield
+        # keep fd OPEN for the lock's lifetime: the inode stays allocated
+        # to us, so a usurper's fresh lock file can never reuse it and
+        # the identity check below cannot false-positive
+        ours = os.fstat(fd)
+
+        def still_held() -> bool:
+            try:
+                cur = os.stat(lock_path)
+            except OSError:
+                return False
+            return (cur.st_dev, cur.st_ino) == (ours.st_dev, ours.st_ino)
+
+        yield still_held
     finally:
-        with contextlib.suppress(FileNotFoundError):
-            os.unlink(lock_path)
+        # release only OUR lock: if a breaker stole it and another writer
+        # now holds the slot, unlinking here would repeat the theft
+        if still_held():
+            with contextlib.suppress(FileNotFoundError):
+                os.unlink(lock_path)
+        os.close(fd)
 
 
 @dataclass

@@ -232,6 +232,26 @@ class RestCatalog:
             current.paths()
         ) == sorted(new_manifest.paths()):
             return current  # our commit landed; only the response was lost
+        # Head moved PAST our snapshot id: the commit may still have
+        # landed, with another writer committing on top before our
+        # reload.  Misreading that as "lost" makes the caller retry a
+        # commit that succeeded — an upsert would append its data file a
+        # second time (duplicate rows) and a compaction retry would fail
+        # permanently on "rewritten file no longer in snapshot".  The
+        # server retains full history, so check it for our snapshot.
+        if current.snapshot_id > new_manifest.snapshot_id:
+            try:
+                history = self.table_history(name)
+                if new_manifest.snapshot_id in history:
+                    landed = self.load_table_at(
+                        name, new_manifest.snapshot_id
+                    )
+                    if sorted(landed.paths()) == sorted(
+                        new_manifest.paths()
+                    ):
+                        return landed  # ours landed; others built on it
+            except Exception:
+                pass  # history probe failed: fall through to conflict
         raise CommitConflict(
             f"{name}: commit lost to network failure (head at "
             f"v{current.snapshot_id}): {cause}"
@@ -273,13 +293,18 @@ class RestCatalog:
         )
         return list(out["expired-snapshot-ids"])
 
-    def remove_orphan_files(self, name: str) -> list[str]:
+    def remove_orphan_files(
+        self, name: str, older_than_s: float | None = None
+    ) -> list[str]:
+        body = {"action": "remove-orphan-files"}
+        if older_than_s is not None:
+            body["older-than-s"] = older_than_s
         out = self._request(
             "POST",
             self._url(
                 "namespaces", self.namespace, "tables", name, "maintenance"
             ),
-            {"action": "remove-orphan-files"},
+            body,
         )
         return list(out["removed"])
 
@@ -429,8 +454,16 @@ class _Handler(BaseHTTPRequestHandler):
                         )
                     return self._send(200, {"expired-snapshot-ids": expired})
                 if action == "remove-orphan-files":
+                    grace = float(
+                        body.get(
+                            "older-than-s",
+                            self.catalog.DEFAULT_ORPHAN_GRACE_S,
+                        )
+                    )
                     with self.lock:
-                        removed = self.catalog.remove_orphan_files(r[4])
+                        removed = self.catalog.remove_orphan_files(
+                            r[4], older_than_s=grace
+                        )
                     return self._send(200, {"removed": removed})
             except TableNotFound:
                 return self._error(

@@ -175,7 +175,7 @@ def test_expire_then_orphan_cleanup_full_lifecycle(spark, warehouse, fragmented)
     m2, _ = c.compact_catalog(warehouse, "t")
 
     # with full history retained, nothing is an orphan
-    assert warehouse.remove_orphan_files("t") == []
+    assert warehouse.remove_orphan_files("t", older_than_s=0) == []
     for p in fragmented.paths():
         assert os.path.exists(p)
 
@@ -185,7 +185,14 @@ def test_expire_then_orphan_cleanup_full_lifecycle(spark, warehouse, fragmented)
     with pytest.raises(TableNotFound):
         warehouse.load_table_at("t", 1)
 
-    removed = warehouse.remove_orphan_files("t")
+    # default grace window (Iceberg's 3-day olderThan): the superseded
+    # files were written seconds ago, so they are NOT yet deletable —
+    # exactly the guard that keeps in-flight writers' staged files safe
+    assert warehouse.remove_orphan_files("t") == []
+    for p in fragmented.paths():
+        assert os.path.exists(p)
+
+    removed = warehouse.remove_orphan_files("t", older_than_s=0)
     assert sorted(removed) == sorted(fragmented.paths())
     for p in fragmented.paths():
         assert not os.path.exists(p)

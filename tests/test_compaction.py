@@ -292,6 +292,25 @@ def test_manifest_lock_breaks_stale_and_times_out(tmp_path):
     os.unlink(lock)
 
 
+def test_manifest_lock_detects_mid_commit_theft(tmp_path):
+    """A holder whose lock inode vanishes (a stale-break race stole it)
+    must see still_held() == False before its final rename — the inode
+    self-check from the lock's best-effort protocol."""
+    from iceberg_compaction_spark.sources.manifest import manifest_lock
+
+    path = str(tmp_path / "_manifest.json")
+    lock = f"{path}.lock"
+
+    with manifest_lock(path) as still_held:
+        assert still_held()
+        os.unlink(lock)  # breaker steals our lock
+        assert not still_held()
+        # a DIFFERENT writer's lock in the slot is also not ours
+        with open(lock, "w") as f:
+            f.write("other")
+        assert not still_held()
+
+
 def test_compaction_config_retry_plumbed():
     from iceberg_compaction_spark.config import CommitRetryConfig
 

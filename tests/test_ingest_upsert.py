@@ -183,6 +183,57 @@ def test_compaction_racing_upsert_keeps_upsert_visible(spark, table):
     assert len(got) == 9
 
 
+def test_upsert_racing_upsert_resequences_on_retry(spark, table):
+    """Two concurrent upserts on the SAME key: the CAS loser's retry
+    must re-sequence ABOVE the winner (equality deletes apply only to
+    strictly-lower sequences).  Before the fix the retry committed at
+    the stale pre-race sequence: its delete skipped the winner's data
+    file, leaving TWO live rows for one key, and the manifest sequence
+    regressed below the head."""
+    from iceberg_compaction_spark.sources.ingest import read_table_mor
+
+    real_commit = table.commit_table
+    injected = []
+
+    def racing_commit(name, expected, new):
+        if not injected:
+            injected.append(True)
+            # a concurrent writer beats us to the head with the same key
+            upsert(
+                spark,
+                table,
+                "t",
+                spark.createDataFrame([(3, "winner-mid")], ["id", "val"]),
+                keys=["id"],
+            )
+        return real_commit(name, expected, new)
+
+    table.commit_table = racing_commit
+    try:
+        upsert(
+            spark,
+            table,
+            "t",
+            spark.createDataFrame([(3, "retried-final")], ["id", "val"]),
+            keys=["id"],
+        )
+    finally:
+        del table.commit_table
+
+    head = table.load_table("t")
+    assert head.snapshot_id == 3
+    # strictly monotonic: loser re-sequenced above the winner's seq
+    assert head.sequence_number == 3
+
+    df = read_table_mor(spark, head)
+    # exactly ONE live row for the contended key (the dict helper would
+    # mask a duplicate), and it is the last committer's value
+    key3 = df.where(df["id"] == 3).collect()
+    assert len(key3) == 1
+    assert key3[0]["val"] == "retried-final"
+    assert df.count() == 10
+
+
 def test_upsert_random_sequences_match_dict_model(spark, tmp_path):
     """Model-based check: random upsert/delete batch sequences must
     leave the table equal to a plain last-write-wins dict; a compaction

@@ -170,6 +170,7 @@ def test_rest_backend_runs_full_maintenance_service(spark, client, fragmented):
         MaintenancePolicy(
             auto=AutoCompactionConfig(min_small_files_count=2),
             keep_snapshots=1,
+            orphan_older_than_s=0,
         ),
     )
     assert r.compaction.reason == AutoPlanReason.RECOMMENDED
@@ -206,6 +207,40 @@ def test_commit_status_unknown_reconciles(client, fragmented, monkeypatch):
     monkeypatch.setattr(RestCatalog, "_request", real_request)
     assert committed.snapshot_id == 2
     assert client.load_table("t").snapshot_id == 2
+
+
+def test_commit_status_unknown_landed_then_buried(
+    client, fragmented, monkeypatch
+):
+    """Lost-response commit where ANOTHER writer commits on top before
+    the reconcile reload: head != ours is NOT proof the commit was lost.
+    The client must find its snapshot in the retained history (matching
+    path set) and return success — retrying a landed upsert appends its
+    data file twice; a landed compaction retry fails permanently."""
+    import urllib.error
+
+    client.create_table("t", fragmented)
+    real_request = RestCatalog._request
+
+    def lossy_then_buried(self, method, url, body=None):
+        out = real_request(self, method, url, body)
+        if method == "POST" and url.endswith("/tables/t"):
+            # our commit landed; before we can reload, another writer
+            # commits v3 on top
+            nxt3 = Manifest.from_dict(fragmented.to_dict())
+            nxt3.snapshot_id = 3
+            monkeypatch.setattr(RestCatalog, "_request", real_request)
+            client.commit_table("t", 2, nxt3)
+            raise urllib.error.URLError("connection reset by peer")
+        return out
+
+    nxt = Manifest.from_dict(fragmented.to_dict())
+    nxt.snapshot_id = 2
+    monkeypatch.setattr(RestCatalog, "_request", lossy_then_buried)
+    committed = client.commit_table("t", 1, nxt)  # reconciled via history
+    assert committed.snapshot_id == 2
+    assert client.load_table("t").snapshot_id == 3  # the later writer's head
+    assert client.table_history("t") == [1, 2, 3]
 
 
 def test_commit_never_sent_raises_retryable(client, fragmented, monkeypatch):

@@ -37,6 +37,8 @@ def _policy():
     return MaintenancePolicy(
         auto=AutoCompactionConfig(min_small_files_count=2),
         keep_snapshots=1,
+        # no concurrent writers in the test: allow immediate cleanup
+        orphan_older_than_s=0,
     )
 
 
