@@ -174,21 +174,39 @@ def rewrite_file_group(
     seq_by_path = {t.data_file_path: t.sequence_number for t in group.data_files}
 
     position_vectors = None
+    position_vector_paths = None
+    dv_bytes = None
     if ge_v3 and has_pos:
         # The planner hands the reader its deletion vectors (v3 stores
         # them as puffin bitmaps; the local harness keeps (path, pos)
-        # parquet).  Loaded driver-side with pyarrow: DV metadata scale,
-        # not data scale.
-        import pyarrow.parquet as pq
+        # parquet).  Small DVs load driver-side with pyarrow — genuine
+        # metadata scale — and fuse into the scan; DVs beyond
+        # DV_DRIVER_MAX_BYTES on disk stay DISTRIBUTED (executor-read
+        # parquet + anti-join): an equality-heavy table at 100 TB can
+        # carry billions of delete positions, which as a driver-side
+        # Python list is an OOM.
+        from iceberg_compaction_spark.sources.scan import DV_DRIVER_MAX_BYTES
 
-        position_vectors = {}
-        for d in group.position_delete_files:
-            t = pq.read_table(d.path, columns=[HIDDEN_FILE_PATH, HIDDEN_POS])
-            for p, pos in zip(
-                t.column(HIDDEN_FILE_PATH).to_pylist(),
-                t.column(HIDDEN_POS).to_pylist(),
-            ):
-                position_vectors.setdefault(p, []).append(pos)
+        dv_bytes = sum(
+            d.file_size_in_bytes for d in group.position_delete_files
+        )
+        if dv_bytes <= DV_DRIVER_MAX_BYTES:
+            import pyarrow.parquet as pq
+
+            position_vectors = {}
+            for d in group.position_delete_files:
+                t = pq.read_table(
+                    d.path, columns=[HIDDEN_FILE_PATH, HIDDEN_POS]
+                )
+                for p, pos in zip(
+                    t.column(HIDDEN_FILE_PATH).to_pylist(),
+                    t.column(HIDDEN_POS).to_pylist(),
+                ):
+                    position_vectors.setdefault(p, []).append(pos)
+        else:
+            position_vector_paths = [
+                d.path for d in group.position_delete_files
+            ]
 
     data = read_data_files(
         spark,
@@ -197,6 +215,8 @@ def rewrite_file_group(
         need_file_path_and_pos=has_pos and not ge_v3,
         seq_by_path=seq_by_path,
         position_vectors=position_vectors,
+        position_vector_paths=position_vector_paths,
+        position_vector_bytes=dv_bytes,
     )
     if table_columns is None:
         table_columns = [

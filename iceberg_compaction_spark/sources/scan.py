@@ -33,6 +33,17 @@ HIDDEN_POS = "sys_hidden_pos"
 # literal (scan-fused filter); larger ones broadcast-anti-join instead
 DV_INLINE_MAX_POSITIONS = 4096
 
+# DV parquet up to this many on-disk bytes may be materialized on the
+# driver (pyarrow -> plan literal / local rows); beyond it the vectors
+# MUST stay distributed (spark.read.parquet + anti-join) — an
+# equality-heavy 100 TB table can carry billions of delete positions,
+# and a driver-side Python list of those is an OOM, not a plan choice
+DV_DRIVER_MAX_BYTES = 8 * 1024 * 1024
+
+# DV tables up to this size broadcast to the anti-join; larger ones are
+# left to AQE (mirrors mor.DEFAULT_BROADCAST_DELETE_BYTES)
+DV_BROADCAST_MAX_BYTES = 64 * 1024 * 1024
+
 
 def split_n_vecs(
     tasks: list[FileScanTask], split_num: int
@@ -74,8 +85,17 @@ def read_data_files(
     seq_by_path: dict[str, int] | None = None,
     default_seq: int = 0,
     position_vectors: dict[str, list[int]] | None = None,
+    position_vector_paths: list[str] | None = None,
+    position_vector_bytes: int | None = None,
 ) -> DataFrame:
     """Read parquet data files, appending the hidden MOR columns.
+
+    Deletion vectors come in one of two forms (mutually exclusive):
+    ``position_vectors`` is the small-DV driver-side dict (planner
+    metadata, bounded by mor's DV_DRIVER_MAX_BYTES gate);
+    ``position_vector_paths`` keeps LARGE vectors distributed — they are
+    read with ``spark.read.parquet`` and anti-joined, never touching the
+    driver, with ``position_vector_bytes`` choosing broadcast vs AQE.
 
     ``seq_by_path`` maps file path -> data sequence number.  When the map
     is provided it must cover EVERY input path: a silent fallback to
@@ -147,6 +167,36 @@ def read_data_files(
                 )
                 .drop("__dv_probe_path", "__dv_probe_pos")
             )
+
+    if position_vector_paths:
+        # Large-DV scale path: the vectors never exist as driver-side
+        # Python objects.  Executors read the DV parquet directly and
+        # the scan output anti-joins it on (path, pos) — the data side
+        # still never shuffles; the DV side broadcasts when small enough
+        # on disk, otherwise AQE picks the strategy at runtime.
+        # no dropDuplicates: anti-join drops a row on ANY match, so DV
+        # duplicates are harmless — and deduping would shuffle the DV side
+        dv_df = spark.read.parquet(*position_vector_paths).select(
+            F.col(HIDDEN_FILE_PATH).alias("__dv_path"),
+            F.col(HIDDEN_POS).alias("__dv_pos"),
+        )
+        if (
+            position_vector_bytes is not None
+            and position_vector_bytes <= DV_BROADCAST_MAX_BYTES
+        ):
+            dv_df = F.broadcast(dv_df)
+        path_col = _normalize_path(F.col("_metadata.file_path"))
+        df = (
+            df.withColumn("__dv_probe_path", path_col)
+            .withColumn("__dv_probe_pos", F.col("_metadata.row_index"))
+            .join(
+                dv_df,
+                (F.col("__dv_probe_path") == F.col("__dv_path"))
+                & (F.col("__dv_probe_pos") == F.col("__dv_pos")),
+                "left_anti",
+            )
+            .drop("__dv_probe_path", "__dv_probe_pos")
+        )
 
     if need_file_path_and_pos:
         df = df.withColumn(

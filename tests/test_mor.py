@@ -316,6 +316,44 @@ def test_mor_v3_position_only_group(spark, fixture):
     assert "LeftAnti" not in plan and "Join" not in plan, plan
 
 
+def test_mor_v3_huge_dv_never_materializes_on_driver(
+    spark, fixture, monkeypatch
+):
+    """DV parquet beyond DV_DRIVER_MAX_BYTES must stay distributed:
+    pyarrow is never invoked on the driver (spy), the vectors are read
+    by executors (spark.read.parquet + anti-join), and survivors are
+    identical to the driver-side small-DV path."""
+    import dataclasses
+
+    import pyarrow.parquet as real_pq
+
+    from iceberg_compaction_spark.sources import scan as sc
+
+    v3 = dataclasses.replace(fixture, format_version=3)
+    want, _ = surviving_ids(spark, v3)  # small-DV (driver) path first
+
+    # force the fixture's 100-byte DV over the threshold
+    monkeypatch.setattr(sc, "DV_DRIVER_MAX_BYTES", 0)
+
+    def boom(*a, **k):
+        raise AssertionError(
+            "driver-side pyarrow read of a large DV — the distributed "
+            "path must not materialize delete positions on the driver"
+        )
+
+    monkeypatch.setattr(real_pq, "read_table", boom)
+    df = rewrite_file_group(spark, v3)
+    got = sorted(r["id"] for r in df.collect())
+    assert got == want
+
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    # DV application is an anti-join (plus the equality anti-join; AQE
+    # prints initial+final, hence >=) and NOTHING shuffles: DV and
+    # equality sides broadcast, the data side is scan+joins only
+    assert plan.count("LeftAnti") >= 2, plan
+    assert "hashpartitioning" not in plan, plan
+
+
 def test_mor_v3_large_dv_broadcast_path(spark, tmp_path):
     """DVs beyond DV_INLINE_MAX_POSITIONS switch from the inlined plan
     literal (which would bloat the plan tree) to a broadcast anti-join:
