@@ -68,8 +68,16 @@ class EqualityDeleteTable:
 def apply_position_deletes(
     data: DataFrame, pos_deletes: DataFrame, broadcast: bool = False
 ) -> DataFrame:
-    """J1: anti-join on (sys_hidden_file_path, sys_hidden_pos)."""
-    right = pos_deletes.select(HIDDEN_FILE_PATH, HIDDEN_POS).dropDuplicates()
+    """J1: anti-join on (sys_hidden_file_path, sys_hidden_pos).
+
+    No dropDuplicates on the delete side: an anti-join drops a left row
+    on ANY match, so duplicate (path, pos) entries cannot change the
+    result — and the dedup cost a full exchange of the delete table on
+    every run (the round-4 mor_pos_delete bench regression, 4.8 s vs the
+    1.2 s baseline).  The broadcast hash relation collapses duplicate
+    keys anyway on the build side.
+    """
+    right = pos_deletes.select(HIDDEN_FILE_PATH, HIDDEN_POS)
     if broadcast:
         right = F.broadcast(right)
     return data.join(right, on=[HIDDEN_FILE_PATH, HIDDEN_POS], how="left_anti")
