@@ -1,0 +1,306 @@
+"""Pure-Python Avro Object Container File reader/writer.
+
+Iceberg stores its snapshot metadata — manifest lists and manifests —
+as Avro OCF files (Iceberg spec "Manifests"; the reference reads them
+through the iceberg-rust crate, ``core/src/compaction/mod.rs:734-761``).
+This environment ships no Avro library, so the engine carries a minimal
+implementation of the PUBLIC Avro 1.11 container-file format
+(https://avro.apache.org/docs/current/specification/): enough to walk
+real Iceberg metadata (reader: full generic datum support, ``null`` +
+``deflate`` codecs) and to emit byte-valid fixtures/exports (writer).
+
+The reader is schema-driven from the file's EMBEDDED writer schema, so
+it needs no schema registry or resolution rules; named-type references
+(Iceberg reuses record names like ``r2``/``r102``) resolve against the
+names seen earlier in the same schema document.
+"""
+
+from __future__ import annotations
+
+import io
+import json
+import os
+import struct
+import zlib
+
+MAGIC = b"Obj\x01"
+
+_PRIMITIVES = {
+    "null", "boolean", "int", "long", "float", "double", "bytes", "string"
+}
+
+
+# ---------------------------------------------------------------------------
+# primitive codecs (Avro binary encoding: zigzag varints, little-endian IEEE)
+# ---------------------------------------------------------------------------
+
+
+def _read_long(buf: io.BytesIO) -> int:
+    shift = 0
+    acc = 0
+    while True:
+        b = buf.read(1)
+        if not b:
+            raise EOFError("truncated varint")
+        byte = b[0]
+        acc |= (byte & 0x7F) << shift
+        if not byte & 0x80:
+            break
+        shift += 7
+    return (acc >> 1) ^ -(acc & 1)  # zigzag decode
+
+
+def _write_long(out: io.BytesIO, n: int) -> None:
+    n = (n << 1) ^ (n >> 63) if n < 0 else n << 1  # zigzag encode
+    while True:
+        b = n & 0x7F
+        n >>= 7
+        if n:
+            out.write(bytes([b | 0x80]))
+        else:
+            out.write(bytes([b]))
+            break
+
+
+def _read_bytes(buf: io.BytesIO) -> bytes:
+    n = _read_long(buf)
+    data = buf.read(n)
+    if len(data) != n:
+        raise EOFError("truncated bytes")
+    return data
+
+
+def _write_bytes(out: io.BytesIO, data: bytes) -> None:
+    _write_long(out, len(data))
+    out.write(data)
+
+
+# ---------------------------------------------------------------------------
+# schema walking
+# ---------------------------------------------------------------------------
+
+
+def _resolve(schema, names: dict):
+    """Resolve a schema node; register/look up named types."""
+    if isinstance(schema, str):
+        if schema in _PRIMITIVES:
+            return schema
+        if schema in names:
+            return names[schema]
+        raise ValueError(f"unresolved named type: {schema}")
+    if isinstance(schema, dict):
+        t = schema.get("type")
+        if t in ("record", "enum", "fixed"):
+            name = schema.get("name")
+            if name is not None and name not in names:
+                names[name] = schema
+                ns = schema.get("namespace")
+                if ns:
+                    names[f"{ns}.{name}"] = schema
+        return schema
+    return schema  # union (list)
+
+
+def _read_datum(buf: io.BytesIO, schema, names: dict):
+    schema = _resolve(schema, names)
+    if isinstance(schema, list):  # union
+        idx = _read_long(buf)
+        return _read_datum(buf, schema[idx], names)
+    t = schema if isinstance(schema, str) else schema["type"]
+    if t == "null":
+        return None
+    if t == "boolean":
+        return buf.read(1) == b"\x01"
+    if t in ("int", "long"):
+        return _read_long(buf)
+    if t == "float":
+        return struct.unpack("<f", buf.read(4))[0]
+    if t == "double":
+        return struct.unpack("<d", buf.read(8))[0]
+    if t == "bytes":
+        return _read_bytes(buf)
+    if t == "string":
+        return _read_bytes(buf).decode("utf-8")
+    if t == "fixed":
+        return buf.read(schema["size"])
+    if t == "enum":
+        return schema["symbols"][_read_long(buf)]
+    if t == "record":
+        return {
+            f["name"]: _read_datum(buf, f["type"], names)
+            for f in schema["fields"]
+        }
+    if t == "array":
+        out = []
+        while True:
+            count = _read_long(buf)
+            if count == 0:
+                break
+            if count < 0:
+                count = -count
+                _read_long(buf)  # block byte size (skippable hint)
+            for _ in range(count):
+                out.append(_read_datum(buf, schema["items"], names))
+        return out
+    if t == "map":
+        out = {}
+        while True:
+            count = _read_long(buf)
+            if count == 0:
+                break
+            if count < 0:
+                count = -count
+                _read_long(buf)
+            for _ in range(count):
+                k = _read_bytes(buf).decode("utf-8")
+                out[k] = _read_datum(buf, schema["values"], names)
+        return out
+    raise ValueError(f"unsupported Avro type: {t!r}")
+
+
+def _write_datum(out: io.BytesIO, datum, schema, names: dict) -> None:
+    schema = _resolve(schema, names)
+    if isinstance(schema, list):  # union: first matching branch
+        for idx, branch in enumerate(schema):
+            if _matches(datum, branch, names):
+                _write_long(out, idx)
+                _write_datum(out, datum, branch, names)
+                return
+        raise ValueError(f"datum {datum!r} matches no union branch {schema}")
+    t = schema if isinstance(schema, str) else schema["type"]
+    if t == "null":
+        return
+    if t == "boolean":
+        out.write(b"\x01" if datum else b"\x00")
+    elif t in ("int", "long"):
+        _write_long(out, int(datum))
+    elif t == "float":
+        out.write(struct.pack("<f", datum))
+    elif t == "double":
+        out.write(struct.pack("<d", datum))
+    elif t == "bytes":
+        _write_bytes(out, bytes(datum))
+    elif t == "string":
+        _write_bytes(out, datum.encode("utf-8"))
+    elif t == "fixed":
+        assert len(datum) == schema["size"]
+        out.write(datum)
+    elif t == "enum":
+        _write_long(out, schema["symbols"].index(datum))
+    elif t == "record":
+        for f in schema["fields"]:
+            _write_datum(out, datum.get(f["name"]), f["type"], names)
+    elif t == "array":
+        if datum:
+            _write_long(out, len(datum))
+            for item in datum:
+                _write_datum(out, item, schema["items"], names)
+        _write_long(out, 0)
+    elif t == "map":
+        if datum:
+            _write_long(out, len(datum))
+            for k, v in datum.items():
+                _write_bytes(out, k.encode("utf-8"))
+                _write_datum(out, v, schema["values"], names)
+        _write_long(out, 0)
+    else:
+        raise ValueError(f"unsupported Avro type: {t!r}")
+
+
+def _matches(datum, schema, names: dict) -> bool:
+    schema = _resolve(schema, names)
+    t = schema if isinstance(schema, str) else schema["type"]
+    if t == "null":
+        return datum is None
+    if datum is None:
+        return False
+    if t == "boolean":
+        return isinstance(datum, bool)
+    if t in ("int", "long"):
+        return isinstance(datum, int) and not isinstance(datum, bool)
+    if t in ("float", "double"):
+        return isinstance(datum, (int, float)) and not isinstance(datum, bool)
+    if t in ("bytes", "fixed"):
+        return isinstance(datum, (bytes, bytearray))
+    if t in ("string", "enum"):
+        return isinstance(datum, str)
+    if t == "record":
+        return isinstance(datum, dict)
+    if t == "array":
+        return isinstance(datum, list)
+    if t == "map":
+        return isinstance(datum, dict)
+    return False
+
+
+# ---------------------------------------------------------------------------
+# container file
+# ---------------------------------------------------------------------------
+
+
+def read_avro_file(path: str) -> tuple[dict, list]:
+    """Read an Avro OCF; returns (writer schema, records as dicts)."""
+    with open(path, "rb") as f:
+        raw = f.read()
+    buf = io.BytesIO(raw)
+    if buf.read(4) != MAGIC:
+        raise ValueError(f"not an Avro object container file: {path}")
+    names: dict = {}
+    meta = _read_datum(buf, {"type": "map", "values": "bytes"}, names)
+    schema = json.loads(meta["avro.schema"].decode("utf-8"))
+    codec = meta.get("avro.codec", b"null").decode("utf-8")
+    sync = buf.read(16)
+    names = {}
+    _resolve(schema, names)
+    records = []
+    while buf.tell() < len(raw):
+        count = _read_long(buf)
+        block = _read_bytes(buf)
+        if codec == "deflate":
+            block = zlib.decompress(block, -15)  # raw deflate, no header
+        elif codec != "null":
+            raise ValueError(f"unsupported avro codec: {codec}")
+        bbuf = io.BytesIO(block)
+        for _ in range(count):
+            records.append(_read_datum(bbuf, schema, names))
+        if buf.read(16) != sync:
+            raise ValueError(f"sync marker mismatch in {path}")
+    return schema, records
+
+
+def write_avro_file(
+    path: str,
+    schema: dict,
+    records: list,
+    metadata: dict | None = None,
+    codec: str = "deflate",
+) -> None:
+    """Write records as a spec-valid Avro OCF (single block)."""
+    names: dict = {}
+    _resolve(schema, names)
+    body = io.BytesIO()
+    for rec in records:
+        _write_datum(body, rec, schema, names)
+    block = body.getvalue()
+    if codec == "deflate":
+        comp = zlib.compressobj(9, zlib.DEFLATED, -15)
+        block = comp.compress(block) + comp.flush()
+    elif codec != "null":
+        raise ValueError(f"unsupported avro codec: {codec}")
+
+    meta = {
+        "avro.schema": json.dumps(schema).encode("utf-8"),
+        "avro.codec": codec.encode("utf-8"),
+    }
+    for k, v in (metadata or {}).items():
+        meta[k] = v if isinstance(v, bytes) else str(v).encode("utf-8")
+    sync = os.urandom(16)
+    out = io.BytesIO()
+    out.write(MAGIC)
+    _write_datum(out, meta, {"type": "map", "values": "bytes"}, {})
+    out.write(sync)
+    _write_long(out, len(records))
+    _write_bytes(out, block)
+    out.write(sync)
+    with open(path, "wb") as f:
+        f.write(out.getvalue())

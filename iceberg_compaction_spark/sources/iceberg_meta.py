@@ -1,0 +1,469 @@
+"""Real Apache Iceberg table-metadata interop.
+
+The reference compacts genuine Iceberg tables: it loads them from a
+catalog and walks the snapshot's manifest list and manifests into data
+and delete files (``core/src/compaction/mod.rs:270,734-761``).  This
+module gives the Spark engine the same on-disk entry point WITHOUT any
+catalog service: point :func:`load_iceberg_table` at a table directory
+written by Spark/Trino/Flink (Hadoop-catalog layout, or any directory
+holding ``metadata/*.metadata.json``) and it returns the engine's
+:class:`Manifest` — table-metadata JSON parsed per the Iceberg spec,
+manifest list and manifests decoded from Avro (``sources/avro_io.py``),
+sequence numbers inherited per the v2 rules, equality-delete field ids
+translated to column names through the table's current schema, and
+delete files attached to data files by the sequence predicates the MOR
+query applies (position: ``delete.seq >= data.seq``; equality:
+``delete.seq > data.seq``).
+
+:func:`export_iceberg_metadata` is the reverse bridge (and the test
+fixture generator): it emits a spec-shaped metadata JSON + Avro manifest
+list + manifests for one of our manifests, so round-trip tests exercise
+the real wire format end to end.  Export is unpartitioned (our
+``partition`` tuples are opaque — they carry no field names/types to
+describe a partition spec with).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+import uuid
+
+from iceberg_compaction_spark.plans.datamodel import (
+    EQUALITY_DELETE,
+    POSITION_DELETE,
+    DeleteFile,
+    FileScanTask,
+)
+from iceberg_compaction_spark.sources.avro_io import (
+    read_avro_file,
+    write_avro_file,
+)
+from iceberg_compaction_spark.sources.manifest import Manifest
+
+# Iceberg DataContentType (spec: "content" field 134)
+_CONTENT_DATA = 0
+_CONTENT_POS_DELETES = 1
+_CONTENT_EQ_DELETES = 2
+
+# manifest_file.content (spec: field 517)
+_MANIFEST_DATA = 0
+_MANIFEST_DELETES = 1
+
+_ADDED, _EXISTING, _DELETED = 1, 0, 2  # manifest_entry.status
+
+
+def _local_path(p: str) -> str:
+    """Iceberg metadata stores absolute URIs; the local engine wants
+    plain POSIX paths (same normalization as the scan layer)."""
+    if p.startswith("file:"):
+        rest = p[len("file:"):]
+        while rest.startswith("//"):
+            rest = rest[1:]
+        return rest
+    return p
+
+
+def _latest_metadata_file(path: str) -> str:
+    """Resolve a table dir / metadata dir / metadata file to the CURRENT
+    metadata JSON: explicit file > version-hint.text (Hadoop catalog) >
+    highest-sorting ``*.metadata.json`` (both the Hadoop ``v<N>`` and the
+    object-store ``<5-digit>-<uuid>`` conventions sort correctly)."""
+    if os.path.isfile(path):
+        return path
+    mdir = path
+    if os.path.isdir(os.path.join(path, "metadata")):
+        mdir = os.path.join(path, "metadata")
+    hint = os.path.join(mdir, "version-hint.text")
+    if os.path.exists(hint):
+        with open(hint) as f:
+            v = f.read().strip()
+        for name in (f"v{v}.metadata.json", f"{v}.metadata.json"):
+            cand = os.path.join(mdir, name)
+            if os.path.exists(cand):
+                return cand
+    metas = sorted(
+        n for n in os.listdir(mdir) if n.endswith(".metadata.json")
+    )
+    if not metas:
+        raise FileNotFoundError(f"no *.metadata.json under {mdir}")
+
+    def _version_key(n: str):
+        head = n.split(".", 1)[0].lstrip("v").split("-", 1)[0]
+        return (int(head), n) if head.isdigit() else (-1, n)
+
+    return os.path.join(mdir, max(metas, key=_version_key))
+
+
+def _current_schema_fields(md: dict) -> list[dict]:
+    if "schemas" in md:
+        sid = md.get("current-schema-id", 0)
+        for s in md["schemas"]:
+            if s.get("schema-id") == sid:
+                return s.get("fields", [])
+        if md["schemas"]:
+            return md["schemas"][0].get("fields", [])
+    return md.get("schema", {}).get("fields", [])  # v1 layout
+
+
+def load_iceberg_table(
+    path: str, snapshot_id: int | None = None
+) -> Manifest:
+    """Load a real Iceberg table's current (or given) snapshot into the
+    engine's :class:`Manifest` — mirrors the reference's
+    ``get_all_files_from_snapshot`` (core/src/compaction/mod.rs:734-761):
+    manifest list -> manifests -> data/delete files."""
+    meta_path = _latest_metadata_file(path)
+    with open(meta_path) as f:
+        md = json.load(f)
+
+    snap_id = snapshot_id if snapshot_id is not None else md.get(
+        "current-snapshot-id"
+    )
+    if snap_id is None or snap_id == -1:
+        raise ValueError(f"{meta_path}: table has no current snapshot")
+    snapshot = next(
+        (s for s in md.get("snapshots", []) if s["snapshot-id"] == snap_id),
+        None,
+    )
+    if snapshot is None:
+        raise ValueError(f"{meta_path}: snapshot {snap_id} not found")
+
+    id_to_name = {
+        f["id"]: f["name"] for f in _current_schema_fields(md)
+    }
+
+    tasks: list[FileScanTask] = []
+    pos_deletes: list[tuple[DeleteFile, tuple]] = []
+    eq_deletes: list[tuple[DeleteFile, tuple]] = []
+
+    _schema, mf_entries = read_avro_file(
+        _local_path(snapshot["manifest-list"])
+    )
+    for mf in mf_entries:
+        _mschema, entries = read_avro_file(_local_path(mf["manifest_path"]))
+        for e in entries:
+            if e.get("status") == _DELETED:
+                continue
+            df = e["data_file"]
+            # v2 inheritance: a null sequence_number on an ADDED entry
+            # inherits the sequence number of the snapshot that wrote
+            # the manifest (== the manifest-list entry's)
+            seq = e.get("sequence_number")
+            if seq is None:
+                seq = mf.get("sequence_number", 0) or 0
+            part = tuple((df.get("partition") or {}).values())
+            content = df.get("content", _CONTENT_DATA)
+            path_local = _local_path(df["file_path"])
+            if content == _CONTENT_DATA:
+                tasks.append(
+                    FileScanTask(
+                        data_file_path=path_local,
+                        length=df["file_size_in_bytes"],
+                        file_size_in_bytes=df["file_size_in_bytes"],
+                        record_count=df["record_count"],
+                        sequence_number=seq,
+                        partition=part,
+                    )
+                )
+            elif content == _CONTENT_POS_DELETES:
+                pos_deletes.append(
+                    (
+                        DeleteFile(
+                            path=path_local,
+                            content=POSITION_DELETE,
+                            file_size_in_bytes=df["file_size_in_bytes"],
+                            record_count=df["record_count"],
+                            sequence_number=seq,
+                        ),
+                        part,
+                    )
+                )
+            elif content == _CONTENT_EQ_DELETES:
+                ids = df.get("equality_ids") or []
+                names = tuple(
+                    id_to_name.get(i, str(i)) for i in ids
+                )
+                eq_deletes.append(
+                    (
+                        DeleteFile(
+                            path=path_local,
+                            content=EQUALITY_DELETE,
+                            file_size_in_bytes=df["file_size_in_bytes"],
+                            record_count=df["record_count"],
+                            sequence_number=seq,
+                            equality_ids=names,
+                        ),
+                        part,
+                    )
+                )
+
+    def _applies(dpart: tuple, tpart: tuple) -> bool:
+        # partition-scoped deletes apply within their partition;
+        # global (unpartitioned) deletes apply everywhere
+        return not dpart or dpart == tpart
+
+    for t in tasks:
+        for d, dpart in pos_deletes:
+            if d.sequence_number >= t.sequence_number and _applies(
+                dpart, t.partition
+            ):
+                t.deletes.append(d)
+        for d, dpart in eq_deletes:
+            if d.sequence_number > t.sequence_number and _applies(
+                dpart, t.partition
+            ):
+                t.deletes.append(d)
+
+    return Manifest(
+        table_root=_local_path(md.get("location", os.path.dirname(meta_path))),
+        snapshot_id=snap_id,
+        sequence_number=md.get(
+            "last-sequence-number", snapshot.get("sequence-number", 0)
+        ),
+        schema_id=md.get("current-schema-id", 0),
+        format_version=md.get("format-version", 2),
+        data_files=tasks,
+        properties=dict(md.get("properties", {})),
+    )
+
+
+# ---------------------------------------------------------------------------
+# export (reverse bridge + round-trip fixture generator)
+# ---------------------------------------------------------------------------
+
+_PARTITION_SCHEMA = {"type": "record", "name": "r102", "fields": []}
+
+_DATA_FILE_SCHEMA = {
+    "type": "record",
+    "name": "r2",
+    "fields": [
+        {"name": "content", "type": "int", "field-id": 134},
+        {"name": "file_path", "type": "string", "field-id": 100},
+        {"name": "file_format", "type": "string", "field-id": 101},
+        {"name": "partition", "type": _PARTITION_SCHEMA, "field-id": 102},
+        {"name": "record_count", "type": "long", "field-id": 103},
+        {"name": "file_size_in_bytes", "type": "long", "field-id": 104},
+        {
+            "name": "equality_ids",
+            "type": ["null", {"type": "array", "items": "int"}],
+            "default": None,
+            "field-id": 135,
+        },
+    ],
+}
+
+_MANIFEST_ENTRY_SCHEMA = {
+    "type": "record",
+    "name": "manifest_entry",
+    "fields": [
+        {"name": "status", "type": "int", "field-id": 0},
+        {
+            "name": "snapshot_id",
+            "type": ["null", "long"],
+            "default": None,
+            "field-id": 1,
+        },
+        {
+            "name": "sequence_number",
+            "type": ["null", "long"],
+            "default": None,
+            "field-id": 3,
+        },
+        {
+            "name": "file_sequence_number",
+            "type": ["null", "long"],
+            "default": None,
+            "field-id": 4,
+        },
+        {"name": "data_file", "type": _DATA_FILE_SCHEMA, "field-id": 2},
+    ],
+}
+
+_MANIFEST_FILE_SCHEMA = {
+    "type": "record",
+    "name": "manifest_file",
+    "fields": [
+        {"name": "manifest_path", "type": "string", "field-id": 500},
+        {"name": "manifest_length", "type": "long", "field-id": 501},
+        {"name": "partition_spec_id", "type": "int", "field-id": 502},
+        {"name": "content", "type": "int", "field-id": 517},
+        {"name": "sequence_number", "type": "long", "field-id": 515},
+        {"name": "min_sequence_number", "type": "long", "field-id": 516},
+        {"name": "added_snapshot_id", "type": "long", "field-id": 503},
+        {"name": "added_files_count", "type": "int", "field-id": 504},
+        {"name": "existing_files_count", "type": "int", "field-id": 505},
+        {"name": "deleted_files_count", "type": "int", "field-id": 506},
+        {"name": "added_rows_count", "type": "long", "field-id": 512},
+        {"name": "existing_rows_count", "type": "long", "field-id": 513},
+        {"name": "deleted_rows_count", "type": "long", "field-id": 514},
+    ],
+}
+
+
+def export_iceberg_metadata(
+    manifest: Manifest,
+    table_dir: str,
+    schema_fields: list[dict],
+    snapshot_id: int | None = None,
+) -> str:
+    """Write ``manifest`` as a real Iceberg v2 table-metadata layout
+    under ``table_dir/metadata``: ``v1.metadata.json`` +
+    ``version-hint.text`` + Avro manifest list + one data and (if any
+    deletes) one delete manifest.  ``schema_fields`` is the Iceberg
+    schema field list (``[{"id":1,"name":"id","type":"long",
+    "required":true}, ...]``); equality-delete column names are mapped
+    back to these field ids.  Returns the metadata JSON path.
+    """
+    mdir = os.path.join(table_dir, "metadata")
+    os.makedirs(mdir, exist_ok=True)
+    snap_id = snapshot_id or (8_000_000_000 + manifest.snapshot_id)
+    seq = manifest.sequence_number
+    name_to_id = {f["name"]: f["id"] for f in schema_fields}
+
+    def _uri(p: str) -> str:
+        return p if "://" in p else f"file://{os.path.abspath(p)}"
+
+    def _entry(status, eseq, df_record):
+        return {
+            "status": status,
+            "snapshot_id": snap_id,
+            "sequence_number": eseq,
+            "file_sequence_number": eseq,
+            "data_file": df_record,
+        }
+
+    data_entries = [
+        _entry(
+            _ADDED,
+            t.sequence_number,
+            {
+                "content": _CONTENT_DATA,
+                "file_path": _uri(t.data_file_path),
+                "file_format": "PARQUET",
+                "partition": {},
+                "record_count": t.record_count,
+                "file_size_in_bytes": t.file_size_in_bytes,
+                "equality_ids": None,
+            },
+        )
+        for t in manifest.data_files
+    ]
+    seen: dict[str, DeleteFile] = {}
+    for t in manifest.data_files:
+        for d in t.deletes:
+            seen.setdefault(d.path, d)
+    delete_entries = [
+        _entry(
+            _ADDED,
+            d.sequence_number,
+            {
+                "content": (
+                    _CONTENT_POS_DELETES
+                    if d.content == POSITION_DELETE
+                    else _CONTENT_EQ_DELETES
+                ),
+                "file_path": _uri(d.path),
+                "file_format": "PARQUET",
+                "partition": {},
+                "record_count": d.record_count,
+                "file_size_in_bytes": d.file_size_in_bytes,
+                "equality_ids": (
+                    [name_to_id[n] for n in d.equality_ids]
+                    if d.content == EQUALITY_DELETE
+                    else None
+                ),
+            },
+        )
+        for d in seen.values()
+    ]
+
+    commit_uuid = uuid.uuid4().hex
+    mf_entries = []
+    for i, (entries, content) in enumerate(
+        ((data_entries, _MANIFEST_DATA), (delete_entries, _MANIFEST_DELETES))
+    ):
+        if not entries:
+            continue
+        mpath = os.path.join(mdir, f"{commit_uuid}-m{i}.avro")
+        write_avro_file(
+            mpath,
+            _MANIFEST_ENTRY_SCHEMA,
+            entries,
+            metadata={"format-version": "2", "content": "data"},
+        )
+        seqs = [e["sequence_number"] for e in entries]
+        mf_entries.append(
+            {
+                "manifest_path": _uri(mpath),
+                "manifest_length": os.path.getsize(mpath),
+                "partition_spec_id": 0,
+                "content": content,
+                "sequence_number": max(seqs),
+                "min_sequence_number": min(seqs),
+                "added_snapshot_id": snap_id,
+                "added_files_count": len(entries),
+                "existing_files_count": 0,
+                "deleted_files_count": 0,
+                "added_rows_count": sum(
+                    e["data_file"]["record_count"] for e in entries
+                ),
+                "existing_rows_count": 0,
+                "deleted_rows_count": 0,
+            }
+        )
+    list_path = os.path.join(mdir, f"snap-{snap_id}-1-{commit_uuid}.avro")
+    write_avro_file(
+        list_path,
+        _MANIFEST_FILE_SCHEMA,
+        mf_entries,
+        metadata={"format-version": "2"},
+    )
+
+    now_ms = int(time.time() * 1000)
+    md = {
+        "format-version": manifest.format_version,
+        "table-uuid": str(uuid.uuid4()),
+        "location": _uri(os.path.abspath(table_dir)),
+        "last-sequence-number": seq,
+        "last-updated-ms": now_ms,
+        "last-column-id": max((f["id"] for f in schema_fields), default=0),
+        "current-schema-id": 0,
+        "schemas": [
+            {
+                "type": "struct",
+                "schema-id": 0,
+                "fields": schema_fields,
+            }
+        ],
+        "default-spec-id": 0,
+        "partition-specs": [{"spec-id": 0, "fields": []}],
+        "last-partition-id": 999,
+        "default-sort-order-id": 0,
+        "sort-orders": [{"order-id": 0, "fields": []}],
+        "properties": {
+            str(k): str(v) for k, v in manifest.properties.items()
+        },
+        "current-snapshot-id": snap_id,
+        "snapshots": [
+            {
+                "snapshot-id": snap_id,
+                "sequence-number": seq,
+                "timestamp-ms": now_ms,
+                "summary": {"operation": "append"},
+                "manifest-list": _uri(list_path),
+                "schema-id": 0,
+            }
+        ],
+        "snapshot-log": [
+            {"snapshot-id": snap_id, "timestamp-ms": now_ms}
+        ],
+        "metadata-log": [],
+    }
+    meta_path = os.path.join(mdir, "v1.metadata.json")
+    with open(meta_path, "w") as f:
+        json.dump(md, f, indent=1)
+    with open(os.path.join(mdir, "version-hint.text"), "w") as f:
+        f.write("1")
+    return meta_path

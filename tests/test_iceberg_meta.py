@@ -1,0 +1,319 @@
+"""Real Iceberg metadata interop: Avro OCF round-trips, metadata-layout
+loading (the reference's get_all_files_from_snapshot walk,
+core/src/compaction/mod.rs:734-761), and end-to-end compaction of a
+table loaded purely from spec-format metadata files."""
+
+import json
+import os
+
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+
+from iceberg_compaction_spark.plans.datamodel import (
+    EQUALITY_DELETE,
+    POSITION_DELETE,
+    DeleteFile,
+    FileScanTask,
+)
+from iceberg_compaction_spark.sources.avro_io import (
+    read_avro_file,
+    write_avro_file,
+)
+from iceberg_compaction_spark.sources.iceberg_meta import (
+    export_iceberg_metadata,
+    load_iceberg_table,
+)
+from iceberg_compaction_spark.sources.manifest import Manifest
+
+SCHEMA_FIELDS = [
+    {"id": 1, "name": "id", "type": "long", "required": True},
+    {"id": 2, "name": "name", "type": "string", "required": False},
+]
+
+
+def test_avro_ocf_round_trip_all_types(tmp_path):
+    """Generic datum coverage: primitives, unions, arrays, maps, nested
+    records, named-type references, enum, fixed — byte round-trip under
+    both codecs."""
+    nested = {
+        "type": "record",
+        "name": "inner",
+        "fields": [{"name": "x", "type": "long"}],
+    }
+    schema = {
+        "type": "record",
+        "name": "outer",
+        "fields": [
+            {"name": "b", "type": "boolean"},
+            {"name": "i", "type": "int"},
+            {"name": "l", "type": "long"},
+            {"name": "f", "type": "float"},
+            {"name": "d", "type": "double"},
+            {"name": "s", "type": "string"},
+            {"name": "by", "type": "bytes"},
+            {"name": "u", "type": ["null", "string"], "default": None},
+            {"name": "arr", "type": {"type": "array", "items": "long"}},
+            {"name": "m", "type": {"type": "map", "values": "long"}},
+            {"name": "rec", "type": nested},
+            {"name": "rec2", "type": "inner"},  # named reference
+            {
+                "name": "e",
+                "type": {
+                    "type": "enum",
+                    "name": "col",
+                    "symbols": ["RED", "BLUE"],
+                },
+            },
+            {
+                "name": "fx",
+                "type": {"type": "fixed", "name": "f8", "size": 8},
+            },
+        ],
+    }
+    rows = [
+        {
+            "b": True,
+            "i": -7,
+            "l": 2**40,
+            "f": 0.5,
+            "d": -1.25,
+            "s": "héllo",
+            "by": b"\x00\xff",
+            "u": "set",
+            "arr": [1, -2, 3],
+            "m": {"k1": 10, "k2": -20},
+            "rec": {"x": 5},
+            "rec2": {"x": 9},
+            "e": "BLUE",
+            "fx": b"12345678",
+        },
+        {
+            "b": False,
+            "i": 0,
+            "l": -(2**50),
+            "f": 2.0,
+            "d": 3.5,
+            "s": "",
+            "by": b"",
+            "u": None,
+            "arr": [],
+            "m": {},
+            "rec": {"x": -1},
+            "rec2": {"x": 0},
+            "e": "RED",
+            "fx": b"abcdefgh",
+        },
+    ]
+    for codec in ("deflate", "null"):
+        p = str(tmp_path / f"rt-{codec}.avro")
+        write_avro_file(p, schema, rows, codec=codec)
+        got_schema, got = read_avro_file(p)
+        assert got == rows
+        assert got_schema["name"] == "outer"
+
+
+@pytest.fixture()
+def iceberg_table(tmp_path):
+    """A real-layout Iceberg v2 table: parquet data + delete files under
+    data/, spec-format metadata (JSON + Avro manifests) under metadata/.
+    Same row semantics as the test_mor fixture: pos deletes remove id 0
+    and 15, eq deletes remove 5 and 7 (12's delete is too old)."""
+    root = str(tmp_path / "tbl")
+    data_dir = os.path.join(root, "data")
+    os.makedirs(data_dir)
+    d1 = os.path.join(data_dir, "d1.parquet")
+    d2 = os.path.join(data_dir, "d2.parquet")
+    pq.write_table(
+        pa.table(
+            {"id": list(range(10)), "name": [f"n{i}" for i in range(10)]}
+        ),
+        d1,
+    )
+    pq.write_table(
+        pa.table(
+            {
+                "id": list(range(10, 20)),
+                "name": [f"n{i}" for i in range(10, 20)],
+            }
+        ),
+        d2,
+    )
+    pos = os.path.join(data_dir, "pos-del.parquet")
+    pq.write_table(
+        pa.table(
+            {
+                "sys_hidden_file_path": [d1, d2],
+                "sys_hidden_pos": pa.array([0, 5], type=pa.int64()),
+            }
+        ),
+        pos,
+    )
+    eqo = os.path.join(data_dir, "eq-old.parquet")  # seq 2: hits seq-1 file
+    pq.write_table(
+        pa.table(
+            {
+                "id": pa.array([5, 12], type=pa.int64()),
+                "sys_hidden_seq_num": pa.array([2, 2], type=pa.int64()),
+            }
+        ),
+        eqo,
+    )
+    eqn = os.path.join(data_dir, "eq-new.parquet")  # seq 9: hits both files
+    pq.write_table(
+        pa.table(
+            {
+                "id": pa.array([7], type=pa.int64()),
+                "sys_hidden_seq_num": pa.array([9], type=pa.int64()),
+            }
+        ),
+        eqn,
+    )
+
+    pos_f = DeleteFile(
+        path=pos,
+        content=POSITION_DELETE,
+        file_size_in_bytes=os.path.getsize(pos),
+        record_count=2,
+        sequence_number=9,
+    )
+    eqo_f = DeleteFile(
+        path=eqo,
+        content=EQUALITY_DELETE,
+        file_size_in_bytes=os.path.getsize(eqo),
+        record_count=2,
+        sequence_number=2,
+        equality_ids=("id",),
+    )
+    eqn_f = DeleteFile(
+        path=eqn,
+        content=EQUALITY_DELETE,
+        file_size_in_bytes=os.path.getsize(eqn),
+        record_count=1,
+        sequence_number=9,
+        equality_ids=("id",),
+    )
+    t1 = FileScanTask(
+        data_file_path=d1,
+        length=os.path.getsize(d1),
+        record_count=10,
+        sequence_number=1,
+        deletes=[pos_f, eqo_f, eqn_f],
+    )
+    t2 = FileScanTask(
+        data_file_path=d2,
+        length=os.path.getsize(d2),
+        record_count=10,
+        sequence_number=3,
+        deletes=[pos_f, eqn_f],  # eq-old (seq 2) does NOT apply to seq 3
+    )
+    ours = Manifest(
+        table_root=root,
+        snapshot_id=1,
+        sequence_number=9,
+        data_files=[t1, t2],
+    )
+    export_iceberg_metadata(ours, root, SCHEMA_FIELDS)
+    return root, ours
+
+
+EXPECTED_IDS = sorted(set(range(20)) - {0, 15, 5, 7})
+
+
+def test_load_iceberg_table_round_trip(iceberg_table):
+    """export -> load reproduces file paths, sequence numbers, equality
+    ids (field ids translated back to column names), and the per-file
+    delete attachments implied by the sequence predicates."""
+    root, ours = iceberg_table
+    loaded = load_iceberg_table(root)
+    assert loaded.format_version == 2
+    assert loaded.sequence_number == 9
+    assert sorted(t.data_file_path for t in loaded.data_files) == sorted(
+        t.data_file_path for t in ours.data_files
+    )
+    by_path = {t.data_file_path: t for t in loaded.data_files}
+    for want in ours.data_files:
+        got = by_path[want.data_file_path]
+        assert got.sequence_number == want.sequence_number
+        assert got.record_count == want.record_count
+        assert sorted(d.path for d in got.deletes) == sorted(
+            d.path for d in want.deletes
+        )
+        for d in got.deletes:
+            if d.content == EQUALITY_DELETE:
+                assert d.equality_ids == ("id",)
+
+
+def test_loaded_table_mor_read_and_compaction(spark, iceberg_table):
+    """End-to-end on metadata alone: MOR-read the loaded table, then
+    compact it — survivors match the expected delete application."""
+    from iceberg_compaction_spark.compaction import Compaction
+    from iceberg_compaction_spark.config import CompactionConfig
+    from iceberg_compaction_spark.sources.ingest import read_table_mor
+
+    root, _ours = iceberg_table
+    loaded = load_iceberg_table(root)
+
+    ids = sorted(
+        r["id"] for r in read_table_mor(spark, loaded).collect()
+    )
+    assert ids == EXPECTED_IDS
+
+    c = Compaction(spark=spark, config=CompactionConfig.full())
+    compacted, stats = c.compact(loaded, out_root=root)
+    assert stats.input_files_count == 5  # 2 data + 1 pos + 2 eq deletes
+    rows = spark.read.parquet(*compacted.paths())
+    assert sorted(r["id"] for r in rows.collect()) == EXPECTED_IDS
+    # compaction materialized the deletes away
+    assert all(not t.deletes for t in compacted.data_files)
+
+
+def test_load_object_store_layout_without_hint(iceberg_table):
+    """Spark/Trino object-store convention: no version-hint.text, files
+    named <5-digit>-<uuid>.metadata.json — the newest one wins."""
+    root, _ours = iceberg_table
+    mdir = os.path.join(root, "metadata")
+    os.unlink(os.path.join(mdir, "version-hint.text"))
+    src = os.path.join(mdir, "v1.metadata.json")
+    with open(src) as f:
+        md = json.load(f)
+    os.unlink(src)
+    # an OLDER metadata version with no snapshots, then the real one
+    stale = dict(md, **{"current-snapshot-id": -1, "snapshots": []})
+    with open(
+        os.path.join(mdir, "00000-aaaaaaaa.metadata.json"), "w"
+    ) as f:
+        json.dump(stale, f)
+    with open(
+        os.path.join(mdir, "00001-bbbbbbbb.metadata.json"), "w"
+    ) as f:
+        json.dump(md, f)
+    loaded = load_iceberg_table(root)
+    assert len(loaded.data_files) == 2
+    assert loaded.sequence_number == 9
+
+
+def test_manifest_entry_sequence_inheritance(iceberg_table):
+    """v2 inheritance: a null sequence_number on an ADDED entry takes
+    the manifest-list entry's sequence number."""
+    root, _ours = iceberg_table
+    mdir = os.path.join(root, "metadata")
+    with open(os.path.join(mdir, "v1.metadata.json")) as f:
+        md = json.load(f)
+    list_path = md["snapshots"][0]["manifest-list"].replace("file://", "")
+    _s, mf_entries = read_avro_file(list_path)
+    data_mf = next(
+        m for m in mf_entries if m["content"] == 0
+    )["manifest_path"].replace("file://", "")
+    schema, entries = read_avro_file(data_mf)
+    for e in entries:
+        e["sequence_number"] = None  # force inheritance
+        e["file_sequence_number"] = None
+    write_avro_file(data_mf, schema, entries)
+
+    loaded = load_iceberg_table(root)
+    # both data files now inherit the manifest's sequence number
+    mf_seq = next(m for m in mf_entries if m["content"] == 0)[
+        "sequence_number"
+    ]
+    assert {t.sequence_number for t in loaded.data_files} == {mf_seq}
