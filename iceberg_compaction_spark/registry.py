@@ -2057,6 +2057,30 @@ def q_pipeline_curation_full(spark, sf_dir):
     )
 
 
+@register("events_sessionize_salted", ORACLES["events_sessionize"])
+def q_events_sessionize_salted(spark, sf_dir):
+    """Skew-safe twin of events_sessionize (same oracle, same output):
+    users above the hot threshold sessionize via time-bucketed local
+    windows + a session-summary stitch (streaming/events.py
+    sessionize_skew), so one hot user never serializes a reducer —
+    the leftover flagged by the round-4 scale audit.  Thresholds are
+    tuned so the hot path genuinely engages at oracle scale (users
+    have ~60-90 events; bucket = 4 x gap forces cross-bucket
+    stitching); the plan gate asserts the heavy window partitions by
+    (user, bucket), not raw user_id."""
+    gap = 1_800_000_000  # 30 min in us
+    events = ev.read_events(spark, sf_dir).withColumn(
+        "ts", F.expr("ts div 1000")
+    )
+    return ev.sessionize_skew(
+        events,
+        gap=gap,
+        ts_unit_per_sec=1_000_000,
+        hot_min_events=80,
+        bucket_units=4 * gap,
+    )
+
+
 # ---------------------------------------------------------------------------
 # Registration-order curation.  The driver's correctness gate checks a
 # fixed-size window of the FIRST 50 registrations; everything must still
@@ -2084,6 +2108,7 @@ for _tail in (
     "events_interarrival",
     "pipeline_curation_full",
     "dedup_prefix_groups",
+    "events_sessionize_salted",
 ):
     QUERIES[_tail] = QUERIES.pop(_tail)
     if _tail in ORACLES:

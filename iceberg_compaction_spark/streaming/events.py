@@ -164,6 +164,121 @@ def sessionize(
     )
 
 
+def sessionize_skew(
+    events: DataFrame,
+    gap: int = DEFAULT_SESSION_GAP_NS,
+    ts_unit_per_sec: int = NS_PER_SEC,
+    hot_min_events: int = 100_000,
+    bucket_units: int | None = None,
+) -> DataFrame:
+    """Skew-aware sessionization: identical output to :func:`sessionize`,
+    but hot users never serialize one reducer.
+
+    A per-user ORDERED window cannot be randomly salted (session
+    boundaries depend on consecutive events of the same user), so the
+    hot-key path splits each hot user's timeline by fixed TIME BUCKETS
+    instead:
+
+    1. users with >= ``hot_min_events`` events (exact count, one narrow
+       aggregate) are split off; cold users run the plain window —
+       per-user output is unchanged because sessionization is
+       per-user-independent;
+    2. hot users sessionize WITHIN (user, bucket) — the heavy window now
+       partitions by (user, bucket), so a user with 10^9 events spreads
+       over timeline/bucket reducers;
+    3. local sessions (tiny summaries: start/end/n/sum) stitch across
+       bucket boundaries with a second gaps-and-islands over SESSION
+       rows per user.  Within a bucket adjacent local sessions already
+       exceed ``gap``, so only boundary sessions can merge — and chains
+       across many buckets are exactly what the second pass computes.
+
+    The stitch window partitions by raw user_id, but over session
+    summaries, not events: dense hot users (the realistic skew: bots,
+    replayed devices) collapse to ~timeline/gap rows.  A pathological
+    user whose events are ALL farther apart than ``gap`` keeps
+    session-rows == event-rows; that shape needs streaming state, not a
+    batch window, and is documented as out of scope here.
+
+    ``bucket_units`` defaults to 1024 x ``gap`` (in ts units): big enough
+    that stitch rows are ~0.1% of events for dense users, small enough
+    to spread a year-long hot timeline over thousands of reducers.
+    """
+    bucket = bucket_units or gap * 1024
+    counts = events.groupBy("user_id").agg(F.count(F.lit(1)).alias("__n"))
+    hot_users = F.broadcast(
+        counts.where(F.col("__n") >= hot_min_events).select("user_id")
+    )
+    cold = events.join(hot_users, on="user_id", how="left_anti")
+    hot = events.join(hot_users, on="user_id", how="left_semi")
+
+    cold_sessions = sessionize(cold, gap=gap, ts_unit_per_sec=ts_unit_per_sec)
+
+    # --- hot path: local sessionize within (user, time bucket) ---------
+    wb = Window.partitionBy("user_id", "__sbucket").orderBy("ts")
+    prev = F.lag("ts").over(wb)
+    is_new = F.when(prev.isNull() | ((F.col("ts") - prev) > gap), 1).otherwise(0)
+    local = (
+        hot.withColumn("__sbucket", F.expr(f"ts div {bucket}").cast("long"))
+        .withColumn("is_new", is_new)
+        .withColumn(
+            "__lidx",
+            F.sum("is_new").over(
+                wb.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+            ),
+        )
+        .withColumn("vmicro", _value_micro())
+        .groupBy("user_id", "__sbucket", "__lidx")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.min("ts").alias("start_ts"),
+            F.max("ts").alias("end_ts"),
+            F.sum("vmicro").alias("sum_value_micro"),
+        )
+    )
+    # --- stitch: gaps-and-islands over session summaries per user ------
+    ws = Window.partitionBy("user_id").orderBy("start_ts")
+    prev_end = F.lag("end_ts").over(ws)
+    sess_new = F.when(
+        prev_end.isNull() | ((F.col("start_ts") - prev_end) > gap), 1
+    ).otherwise(0)
+    hot_sessions = (
+        local.withColumn("__snew", sess_new)
+        .withColumn(
+            "session_idx",
+            F.sum("__snew").over(
+                ws.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+            ),
+        )
+        .groupBy("user_id", "session_idx")
+        .agg(
+            F.sum("n_events").alias("n_events"),
+            F.min("start_ts").alias("start_ts"),
+            F.max("end_ts").alias("end_ts"),
+            F.sum("sum_value_micro").alias("sum_value_micro"),
+        )
+    )
+    out_cols = [
+        "user_id",
+        "session_idx",
+        "n_events",
+        "start_ts",
+        "end_ts",
+        F.expr(f"(end_ts - start_ts) div {ts_unit_per_sec}")
+        .cast("long")
+        .alias("duration_sec"),
+        "sum_value_micro",
+    ]
+    return cold_sessions.select(
+        "user_id",
+        "session_idx",
+        "n_events",
+        "start_ts",
+        "end_ts",
+        "duration_sec",
+        "sum_value_micro",
+    ).unionByName(hot_sessions.select(*out_cols))
+
+
 def asof_join_last_event(
     events: DataFrame,
     probe_type: str = "purchase",
