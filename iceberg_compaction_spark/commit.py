@@ -145,10 +145,27 @@ class CommitManager:
                 f"table is at {manifest.snapshot_id}"
             )
         if results and results[0].plan.schema_id != manifest.schema_id:
-            raise SchemaMismatchError(
-                f"schema id mismatch: expected {results[0].plan.schema_id}, "
-                f"found {manifest.schema_id}"
+            # Re-plan-on-evolution: an ADDITIVE evolution (every column
+            # the plan was built against still exists — add-column,
+            # which in Iceberg never rewrites data files) lets the
+            # commit adopt the current schema id: the rewritten
+            # old-schema parquet stays valid, readers fill the new
+            # column with nulls.  Anything else (drop/retype, or no
+            # column metadata to judge with) stays a retryable
+            # mismatch so the caller re-plans.
+            plan_cols = results[0].plan.schema_columns
+            cur_cols = manifest.properties.get("schema.columns")
+            additive = (
+                bool(plan_cols)
+                and isinstance(cur_cols, (list, tuple))
+                and set(plan_cols) <= set(cur_cols)
             )
+            if not additive:
+                raise SchemaMismatchError(
+                    f"schema id mismatch: expected "
+                    f"{results[0].plan.schema_id}, found "
+                    f"{manifest.schema_id} (not provably additive)"
+                )
 
         # T4: resolve each plan's input paths against the current listing
         by_path = manifest.by_path()

@@ -76,12 +76,14 @@ class Compaction:
         groups = strategy.run(tasks)
         for g in groups:
             g.format_version = manifest.format_version
+        cols = manifest.properties.get("schema.columns") or ()
         return [
             CompactionPlan(
                 file_group=g,
                 snapshot_id=manifest.snapshot_id,
                 starting_sequence_number=manifest.sequence_number,
                 schema_id=manifest.schema_id,
+                schema_columns=tuple(cols),
             )
             for g in groups
         ]

@@ -132,6 +132,13 @@ class CompactionPlan:
     # schema id at plan time; the commit refuses to apply the plan if the
     # table's schema evolved underneath it (compaction/mod.rs:1090-1100)
     schema_id: int = 0
+    # column names of the schema the plan was built against (from the
+    # manifest's "schema.columns" property when present).  Lets the
+    # commit distinguish ADDITIVE evolution (add-column: rewritten
+    # old-schema files stay valid, commit adopts the new schema id —
+    # Iceberg's add-column never rewrites data) from destructive
+    # evolution (drop/retype: must re-plan), instead of failing both.
+    schema_columns: tuple[str, ...] = ()
 
 
 @dataclass

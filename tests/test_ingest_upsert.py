@@ -234,6 +234,44 @@ def test_upsert_racing_upsert_resequences_on_retry(spark, table):
     assert df.count() == 10
 
 
+def test_compaction_racing_schema_evolution(spark, table):
+    """Schema ADD-COLUMN lands between compaction's rewrite and its
+    commit: the retry adopts the evolved schema id (old-schema rewrite
+    output stays valid) instead of failing forever; rows unchanged."""
+    from iceberg_compaction_spark.compaction import Compaction
+    from iceberg_compaction_spark.config import CompactionConfig
+
+    # seed the schema metadata the evolution check consults
+    base = table.load_table("t")
+    base.properties["schema.columns"] = ["id", "val"]
+    nxt = Manifest.from_dict(base.to_dict())
+    nxt.snapshot_id = base.snapshot_id + 1
+    table.commit_table("t", base.snapshot_id, nxt)
+
+    c = Compaction(spark=spark, config=CompactionConfig.full())
+    cur = table.load_table("t")
+    plans = c.plan(cur)
+    assert plans and plans[0].schema_columns == ("id", "val")
+    results, _ = c.execute_plans(cur, plans)
+
+    # concurrent ADD COLUMN evolution commits first
+    evolved = Manifest.from_dict(cur.to_dict())
+    evolved.snapshot_id = cur.snapshot_id + 1
+    evolved.schema_id = cur.schema_id + 1
+    evolved.properties["schema.columns"] = ["id", "val", "added"]
+    table.commit_table("t", cur.snapshot_id, evolved)
+
+    def attempt():
+        live = table.load_table("t")
+        new = c.commit_manager.rewrite_files(live, results)
+        return table.commit_table("t", live.snapshot_id, new)
+
+    final = c.commit_manager.commit_with_retry(attempt)
+    assert final.schema_id == evolved.schema_id  # adopted the evolution
+    got = _rows(spark, table)
+    assert len(got) == 10 and got[3] == "v3"  # rows intact
+
+
 def test_upsert_random_sequences_match_dict_model(spark, tmp_path):
     """Model-based check: random upsert/delete batch sequences must
     leave the table equal to a plain last-write-wins dict; a compaction

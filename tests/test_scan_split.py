@@ -111,6 +111,41 @@ def test_rewrite_commit_rejects_schema_evolution():
         CommitManager().rewrite_files(m, [res])
 
 
+def test_rewrite_commit_adopts_additive_schema_evolution():
+    """Add-column evolution between plan and commit: every planned
+    column still exists, so the commit ADOPTS the new schema id (the
+    rewritten old-schema files stay valid; Iceberg's add-column never
+    rewrites data).  Drop-column stays a SchemaMismatchError."""
+    from iceberg_compaction_spark.commit import RewriteResult, SchemaMismatchError
+    from iceberg_compaction_spark.plans.datamodel import CompactionPlan, FileGroup
+
+    m = manifest_with({"/t/a.parquet": 10})
+    m.properties["schema.columns"] = ["id", "name"]
+    plan = CompactionPlan(
+        file_group=FileGroup.from_tasks(list(m.data_files)),
+        snapshot_id=m.snapshot_id,
+        schema_id=m.schema_id,
+        schema_columns=("id", "name"),
+    )
+    res = RewriteResult(
+        plan=plan,
+        added_files=[FileScanTask(data_file_path="/t/n.parquet", length=9)],
+    )
+
+    # additive: a column was ADDED concurrently
+    m.schema_id += 1
+    m.properties["schema.columns"] = ["id", "name", "added_col"]
+    new = CommitManager().rewrite_files(m, [res])
+    assert new.schema_id == m.schema_id  # adopted, not rejected
+    assert {t.data_file_path for t in new.data_files} == {"/t/n.parquet"}
+
+    # destructive: a planned column is GONE -> still a conflict
+    m.schema_id += 1
+    m.properties["schema.columns"] = ["id", "added_col"]
+    with pytest.raises(SchemaMismatchError):
+        CommitManager().rewrite_files(m, [res])
+
+
 def test_overwrite_preserves_properties_and_merges_new():
     m = manifest_with({"/t/a.parquet": 10})
     m.properties["owner"] = "pipeline"
