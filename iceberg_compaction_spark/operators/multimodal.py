@@ -3,10 +3,12 @@
 Large-scale training pipelines carry images/audio/video as ``binary``
 columns with typed metadata structs.  This module implements the
 Spark-side plumbing — schema, Arrow-batched ``mapInPandas`` decode
-stage, partitioning — for real.  The actual codec calls are STUBBED
-(this container has no image/audio libraries): ``decode_meta`` computes a
-deterministic fake decode from the payload bytes, and ``decode_pixels``
-raises ``NotImplementedError`` with the integration point documented.
+stage, partitioning — for real.  ``decode_meta`` computes a
+deterministic fake decode from the payload bytes (oracle-checkable);
+``decode_pixels`` REALLY decodes: netpbm P6 natively (pure Python, no
+codec needed), compressed formats through an import-probed codec
+library (``PIXEL_CODEC``: Pillow, else OpenCV) — only a compressed
+payload with no codec installed raises, and the error names the probe.
 
 The mapInPandas stage is the honest shape of a 100 TB decode job:
 Arrow-batched transfer, per-batch vectorized work in pandas, output
@@ -23,6 +25,7 @@ import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.types import (
+    BinaryType,
     IntegerType,
     LongType,
     StructField,
@@ -75,17 +78,124 @@ def decode_meta(binary_df: DataFrame) -> DataFrame:
     return binary_df.mapInPandas(_decode_batch, DECODED_META_SCHEMA)
 
 
-def decode_pixels(binary_df: DataFrame) -> DataFrame:
-    """Real pixel decode — requires an image codec library.
+def _probe_pixel_codec() -> str | None:
+    """Import-probe for an image codec library (Pillow preferred, then
+    OpenCV).  Returns the codec name or None; decode_pixels consults
+    this for non-netpbm payloads, and tests skip-mark on it."""
+    try:
+        import PIL.Image  # noqa: F401
 
-    Integration point: mapInPandas with schema
-    (doc_id long, height int, width int, pixels array<array<int>>);
-    body would be ``PIL.Image.open(io.BytesIO(p))``.
+        return "pillow"
+    except ImportError:
+        pass
+    try:
+        import cv2  # noqa: F401
+
+        return "cv2"
+    except ImportError:
+        return None
+
+
+PIXEL_CODEC = _probe_pixel_codec()
+
+DECODED_PIXELS_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("height", IntegerType()),
+        StructField("width", IntegerType()),
+        StructField("channels", IntegerType()),
+        # row-major H x W x C uint8 bytes: the Arrow-friendly columnar
+        # pixel representation downstream feature extraction consumes
+        StructField("pixels", BinaryType()),
+    ]
+)
+
+
+def _decode_ppm(data: bytes) -> tuple[int, int, int, bytes]:
+    """Decode binary netpbm P6 (RGB, maxval 255): pure Python, the
+    uncompressed interchange format every codec can emit.  Returns
+    (height, width, channels, raw_bytes)."""
+    if not data.startswith(b"P6"):
+        raise ValueError("not a P6 netpbm payload")
+    # header tokens: magic, width, height, maxval; '#' comments allowed
+    tokens: list[bytes] = []
+    i = 2
+    while len(tokens) < 3:
+        while i < len(data) and data[i : i + 1].isspace():
+            i += 1
+        if data[i : i + 1] == b"#":
+            while i < len(data) and data[i] != 0x0A:
+                i += 1
+            continue
+        start = i
+        while i < len(data) and not data[i : i + 1].isspace():
+            i += 1
+        tokens.append(data[start:i])
+    i += 1  # single whitespace after maxval
+    w, h, maxval = int(tokens[0]), int(tokens[1]), int(tokens[2])
+    if maxval != 255:
+        raise ValueError(f"only maxval 255 supported, got {maxval}")
+    body = data[i : i + w * h * 3]
+    if len(body) != w * h * 3:
+        raise ValueError("truncated P6 body")
+    return h, w, 3, body
+
+
+def decode_pixels(binary_df: DataFrame) -> DataFrame:
+    """Real pixel decode to (doc_id, height, width, channels, pixels).
+
+    Arrow-batched ``mapInPandas``: per batch, each payload is decoded by
+    format — netpbm P6 natively (pure Python, works in this
+    environment), anything else through the probed codec library
+    (``PIXEL_CODEC``: Pillow, else OpenCV).  Without a codec, a
+    non-netpbm payload raises ``NotImplementedError`` naming the probe
+    result — the documented environment limitation, now scoped to the
+    formats that genuinely need a codec instead of the whole operator.
+
+    Scale shape: the payload never leaves the executor, transfer is
+    Arrow-batched both ways, and the output is raw uint8 bytes (no
+    per-pixel Python objects).
     """
-    raise NotImplementedError(
-        "no image codec in this environment; use decode_meta for the "
-        "metadata path — the mapInPandas plumbing is identical"
-    )
+    codec = PIXEL_CODEC
+
+    def _decode_batch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {"doc_id": [], "height": [], "width": [], "channels": [], "pixels": []}
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                data = bytes(payload)
+                if data.startswith(b"P6"):
+                    h, w, c, px = _decode_ppm(data)
+                elif codec == "pillow":
+                    import io
+
+                    from PIL import Image
+
+                    img = Image.open(io.BytesIO(data)).convert("RGB")
+                    w, h, c = img.width, img.height, 3
+                    px = img.tobytes()
+                elif codec == "cv2":
+                    import cv2
+                    import numpy as np
+
+                    arr = cv2.imdecode(
+                        np.frombuffer(data, dtype=np.uint8), cv2.IMREAD_COLOR
+                    )
+                    h, w, c = arr.shape
+                    px = arr.tobytes()
+                else:
+                    raise NotImplementedError(
+                        "payload is not netpbm P6 and no image codec is "
+                        f"available (probe: pillow=no, cv2=no); install "
+                        "Pillow or OpenCV for compressed formats"
+                    )
+                out["doc_id"].append(int(doc_id))
+                out["height"].append(h)
+                out["width"].append(w)
+                out["channels"].append(c)
+                out["pixels"].append(px)
+            yield pd.DataFrame(out)
+
+    return binary_df.mapInPandas(_decode_batch, DECODED_PIXELS_SCHEMA)
 
 
 def frame_sample_plan(

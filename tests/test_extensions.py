@@ -291,9 +291,59 @@ def test_multimodal_frame_sampling(spark, docs):
         assert sorted(idxs) == expected
 
 
-def test_multimodal_decode_pixels_stubbed(spark, docs):
-    with pytest.raises(NotImplementedError):
-        mm.decode_pixels(mm.to_binary_table(docs))
+def test_multimodal_decode_pixels_ppm_native(spark):
+    """REAL pixel decode, no codec library needed: binary netpbm P6
+    payloads round-trip exactly through the Arrow-batched mapInPandas
+    stage (dims + raw RGB bytes)."""
+
+    def ppm(w, h, rgb: bytes) -> bytes:
+        return b"P6\n# comment\n%d %d\n255\n" % (w, h) + rgb
+
+    px1 = bytes(range(2 * 3 * 3))  # 2x3 RGB gradient
+    px2 = b"\xff\x00\x00" * 4  # 4x1 red row
+    df = spark.createDataFrame(
+        [(1, ppm(3, 2, px1)), (2, ppm(4, 1, px2))],
+        "doc_id long, payload binary",
+    )
+    got = {r["doc_id"]: r for r in mm.decode_pixels(df).collect()}
+    assert (got[1]["height"], got[1]["width"], got[1]["channels"]) == (2, 3, 3)
+    assert bytes(got[1]["pixels"]) == px1
+    assert (got[2]["height"], got[2]["width"]) == (1, 4)
+    assert bytes(got[2]["pixels"]) == px2
+
+
+def test_multimodal_decode_pixels_compressed_needs_codec(spark, docs):
+    """Compressed (non-netpbm) payloads need a codec library; without
+    one the error names the probe result."""
+    if mm.PIXEL_CODEC is not None:
+        pytest.skip(f"codec available: {mm.PIXEL_CODEC}")
+    with pytest.raises(Exception) as ei:
+        mm.decode_pixels(mm.to_binary_table(docs)).collect()
+    assert "NotImplementedError" in str(
+        ei.value
+    ) or "no image codec" in str(ei.value)
+
+
+@pytest.mark.skipif(
+    mm.PIXEL_CODEC is None,
+    reason="no image codec in environment (probe: pillow=no, cv2=no)",
+)
+def test_multimodal_decode_pixels_via_codec(spark):
+    """When Pillow/cv2 IS present, compressed payloads decode through
+    it — skip-marked proof of the import probe otherwise."""
+    import io
+
+    from PIL import Image
+
+    buf = io.BytesIO()
+    Image.frombytes("RGB", (2, 2), b"\x01\x02\x03" * 4).save(
+        buf, format="PNG"
+    )
+    df = spark.createDataFrame(
+        [(1, buf.getvalue())], "doc_id long, payload binary"
+    )
+    got = mm.decode_pixels(df).collect()[0]
+    assert (got["height"], got["width"]) == (2, 2)
 
 
 def test_all_pairs_baselines_refuse_large_inputs(spark):
