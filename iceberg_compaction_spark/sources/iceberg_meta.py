@@ -302,28 +302,18 @@ _MANIFEST_FILE_SCHEMA = {
 }
 
 
-def export_iceberg_metadata(
-    manifest: Manifest,
-    table_dir: str,
-    schema_fields: list[dict],
-    snapshot_id: int | None = None,
-) -> str:
-    """Write ``manifest`` as a real Iceberg v2 table-metadata layout
-    under ``table_dir/metadata``: ``v1.metadata.json`` +
-    ``version-hint.text`` + Avro manifest list + one data and (if any
-    deletes) one delete manifest.  ``schema_fields`` is the Iceberg
-    schema field list (``[{"id":1,"name":"id","type":"long",
-    "required":true}, ...]``); equality-delete column names are mapped
-    back to these field ids.  Returns the metadata JSON path.
-    """
-    mdir = os.path.join(table_dir, "metadata")
-    os.makedirs(mdir, exist_ok=True)
-    snap_id = snapshot_id or (8_000_000_000 + manifest.snapshot_id)
-    seq = manifest.sequence_number
-    name_to_id = {f["name"]: f["id"] for f in schema_fields}
+def _uri(p: str) -> str:
+    return p if "://" in p else f"file://{os.path.abspath(p)}"
 
-    def _uri(p: str) -> str:
-        return p if "://" in p else f"file://{os.path.abspath(p)}"
+
+def _write_snapshot_avro(
+    manifest: Manifest,
+    mdir: str,
+    snap_id: int,
+    name_to_id: dict[str, int],
+) -> str:
+    """Write one snapshot's Avro manifests + manifest list under
+    ``mdir``; returns the manifest-list path."""
 
     def _entry(status, eseq, df_record):
         return {
@@ -420,6 +410,29 @@ def export_iceberg_metadata(
         mf_entries,
         metadata={"format-version": "2"},
     )
+    return list_path
+
+
+def export_iceberg_metadata(
+    manifest: Manifest,
+    table_dir: str,
+    schema_fields: list[dict],
+    snapshot_id: int | None = None,
+) -> str:
+    """Write ``manifest`` as a real Iceberg v2 table-metadata layout
+    under ``table_dir/metadata``: ``v1.metadata.json`` +
+    ``version-hint.text`` + Avro manifest list + one data and (if any
+    deletes) one delete manifest.  ``schema_fields`` is the Iceberg
+    schema field list (``[{"id":1,"name":"id","type":"long",
+    "required":true}, ...]``); equality-delete column names are mapped
+    back to these field ids.  Returns the metadata JSON path.
+    """
+    mdir = os.path.join(table_dir, "metadata")
+    os.makedirs(mdir, exist_ok=True)
+    snap_id = snapshot_id or (8_000_000_000 + manifest.snapshot_id)
+    seq = manifest.sequence_number
+    name_to_id = {f["name"]: f["id"] for f in schema_fields}
+    list_path = _write_snapshot_avro(manifest, mdir, snap_id, name_to_id)
 
     now_ms = int(time.time() * 1000)
     md = {
@@ -467,3 +480,277 @@ def export_iceberg_metadata(
     with open(os.path.join(mdir, "version-hint.text"), "w") as f:
         f.write("1")
     return meta_path
+
+
+# ---------------------------------------------------------------------------
+# Hadoop-layout catalog: CAS commits in the REAL metadata format
+# ---------------------------------------------------------------------------
+
+_PA_TO_ICEBERG = {
+    "int64": "long",
+    "int32": "int",
+    "string": "string",
+    "large_string": "string",
+    "double": "double",
+    "float": "float",
+    "bool": "boolean",
+    "binary": "binary",
+    "large_binary": "binary",
+}
+
+
+def infer_schema_fields(parquet_path: str) -> list[dict]:
+    """Iceberg schema field list inferred from a parquet file's Arrow
+    schema (hidden MOR columns excluded); field ids assigned in column
+    order — the id assignment a fresh Iceberg table creation performs."""
+    import pyarrow.parquet as pq
+
+    sch = pq.read_schema(parquet_path)
+    fields = []
+    fid = 0
+    for f in sch:
+        if f.name.startswith("sys_hidden_"):
+            continue
+        t = str(f.type)
+        if t.startswith("timestamp"):
+            ice = "timestamptz" if getattr(f.type, "tz", None) else "timestamp"
+        elif t.startswith("decimal"):
+            ice = t  # decimal(P, S) spells identically
+        elif t in _PA_TO_ICEBERG:
+            ice = _PA_TO_ICEBERG[t]
+        else:
+            raise ValueError(
+                f"cannot map parquet type {t!r} of column {f.name!r} to an "
+                "Iceberg type; pass schema_fields explicitly"
+            )
+        fid += 1
+        fields.append(
+            {"id": fid, "name": f.name, "type": ice, "required": False}
+        )
+    return fields
+
+
+class IcebergHadoopCatalog:
+    """Catalog over the REAL Iceberg on-disk layout — the same
+    ``load_table`` / ``commit_table`` contract as :class:`FileCatalog`
+    (sources/catalog.py), but every version is a genuine
+    ``v<N>.metadata.json`` + Avro manifest list + manifests instead of
+    the engine's JSON wire format.
+
+    The CAS is exactly HadoopTableOperations': commit N+1 creates
+    ``v<N+1>.metadata.json`` with ``O_CREAT | O_EXCL`` — one writer wins,
+    losers surface retryable ``CommitConflict``.  Snapshot ids equal
+    metadata versions (the engine's CAS protocol needs monotonic ids;
+    Iceberg permits any unique id).  Export is unpartitioned — partition
+    tuples are opaque in this engine and carry no spec to describe.
+
+    Upsert, compaction, expiration and the maintenance service run
+    against this backend unchanged; every metadata file it writes is
+    re-read through :func:`load_iceberg_table`'s spec-driven path, so
+    the wire format is exercised on BOTH sides of each lifecycle step.
+    """
+
+    def __init__(self, warehouse: str):
+        self.warehouse = warehouse
+
+    # ---- layout --------------------------------------------------------
+
+    def _table_dir(self, name: str) -> str:
+        return os.path.join(self.warehouse, name)
+
+    def _mdir(self, name: str) -> str:
+        return os.path.join(self._table_dir(name), "metadata")
+
+    def _vpath(self, name: str, version: int) -> str:
+        return os.path.join(self._mdir(name), f"v{version}.metadata.json")
+
+    # ---- catalog API ---------------------------------------------------
+
+    def table_exists(self, name: str) -> bool:
+        return os.path.isdir(self._mdir(name))
+
+    def create_table(
+        self,
+        name: str,
+        manifest: Manifest,
+        schema_fields: list[dict] | None = None,
+    ) -> Manifest:
+        from iceberg_compaction_spark.sources.catalog import (
+            TableAlreadyExists,
+        )
+
+        if self.table_exists(name):
+            raise TableAlreadyExists(name)
+        if schema_fields is None:
+            if not manifest.data_files:
+                raise ValueError(
+                    "cannot infer schema from an empty table; pass "
+                    "schema_fields"
+                )
+            schema_fields = infer_schema_fields(
+                manifest.data_files[0].data_file_path
+            )
+        os.makedirs(self._mdir(name))
+        registered = Manifest.from_dict(manifest.to_dict())
+        registered.snapshot_id = 1
+        self._write_version(name, registered, schema_fields, exclusive=False)
+        return self.load_table(name)
+
+    def load_table(self, name: str) -> Manifest:
+        from iceberg_compaction_spark.sources.catalog import TableNotFound
+
+        if not self.table_exists(name):
+            raise TableNotFound(name)
+        try:
+            return load_iceberg_table(self._table_dir(name))
+        except FileNotFoundError:
+            raise TableNotFound(name) from None
+
+    def table_history(self, name: str) -> list[int]:
+        from iceberg_compaction_spark.sources.catalog import TableNotFound
+
+        mdir = self._mdir(name)
+        if not os.path.isdir(mdir):
+            raise TableNotFound(name)
+        return sorted(
+            int(n[1:].split(".", 1)[0])
+            for n in os.listdir(mdir)
+            if n.startswith("v") and n.endswith(".metadata.json")
+        )
+
+    def load_table_at(self, name: str, snapshot_id: int) -> Manifest:
+        from iceberg_compaction_spark.sources.catalog import TableNotFound
+
+        path = self._vpath(name, snapshot_id)
+        if not os.path.exists(path):
+            raise TableNotFound(f"{name}@{snapshot_id}")
+        return load_iceberg_table(path)
+
+    def commit_table(
+        self, name: str, expected_snapshot_id: int, new_manifest: Manifest
+    ) -> Manifest:
+        from iceberg_compaction_spark.commit import CommitConflict
+        from iceberg_compaction_spark.sources.catalog import TableNotFound
+
+        new_version = expected_snapshot_id + 1
+        if new_manifest.snapshot_id != new_version:
+            raise ValueError(
+                f"new manifest snapshot {new_manifest.snapshot_id} != "
+                f"expected head {expected_snapshot_id} + 1"
+            )
+        history = self.table_history(name)
+        if not history:
+            raise TableNotFound(name)
+        current = max(history)
+        if current != expected_snapshot_id:
+            raise CommitConflict(
+                f"{name}: head at v{current}, commit expected "
+                f"v{expected_snapshot_id}"
+            )
+        # carry the previous version's schema forward
+        with open(self._vpath(name, current)) as f:
+            prev_md = json.load(f)
+        schema_fields = _current_schema_fields(prev_md)
+        try:
+            self._write_version(
+                name, new_manifest, schema_fields, exclusive=True
+            )
+        except FileExistsError:
+            raise CommitConflict(
+                f"{name}: lost CAS race for v{new_version}"
+            ) from None
+        return new_manifest
+
+    def expire_snapshots(self, name: str, keep_last: int = 2) -> list[int]:
+        keep_last = max(1, keep_last)
+        history = self.table_history(name)
+        expired = history[:-keep_last]
+        for v in expired:
+            try:
+                os.unlink(self._vpath(name, v))
+            except FileNotFoundError:
+                pass
+        return expired
+
+    # ---- internals -----------------------------------------------------
+
+    def _write_version(
+        self,
+        name: str,
+        manifest: Manifest,
+        schema_fields: list[dict],
+        exclusive: bool,
+    ) -> None:
+        mdir = self._mdir(name)
+        version = manifest.snapshot_id
+        snap_id = version  # snapshot id == metadata version (CAS protocol)
+        name_to_id = {f["name"]: f["id"] for f in schema_fields}
+        list_path = _write_snapshot_avro(
+            manifest, mdir, snap_id, name_to_id
+        )
+        now_ms = int(time.time() * 1000)
+        md = {
+            "format-version": manifest.format_version,
+            "table-uuid": str(uuid.uuid4()),
+            "location": _uri(os.path.abspath(self._table_dir(name))),
+            "last-sequence-number": manifest.sequence_number,
+            "last-updated-ms": now_ms,
+            "last-column-id": max(
+                (f["id"] for f in schema_fields), default=0
+            ),
+            "current-schema-id": manifest.schema_id,
+            "schemas": [
+                {
+                    "type": "struct",
+                    "schema-id": manifest.schema_id,
+                    "fields": schema_fields,
+                }
+            ],
+            "default-spec-id": 0,
+            "partition-specs": [{"spec-id": 0, "fields": []}],
+            "last-partition-id": 999,
+            "default-sort-order-id": 0,
+            "sort-orders": [{"order-id": 0, "fields": []}],
+            "properties": {
+                str(k): (v if isinstance(v, (list, dict)) else str(v))
+                for k, v in manifest.properties.items()
+            },
+            "current-snapshot-id": snap_id,
+            "snapshots": [
+                {
+                    "snapshot-id": snap_id,
+                    "sequence-number": manifest.sequence_number,
+                    "timestamp-ms": now_ms,
+                    "summary": {"operation": "overwrite"},
+                    "manifest-list": _uri(list_path),
+                    "schema-id": manifest.schema_id,
+                }
+            ],
+            "snapshot-log": [
+                {"snapshot-id": snap_id, "timestamp-ms": now_ms}
+            ],
+            "metadata-log": [],
+        }
+        path = self._vpath(name, version)
+        payload = json.dumps(md, indent=1)
+        if exclusive:
+            fd = os.open(path, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+            with os.fdopen(fd, "w") as f:
+                f.write(payload)
+        else:
+            with open(path, "w") as f:
+                f.write(payload)
+        tmp = os.path.join(mdir, "version-hint.text.tmp")
+        with open(tmp, "w") as f:
+            f.write(str(version))
+        os.replace(tmp, os.path.join(mdir, "version-hint.text"))
+
+
+# Orphan cleanup is layout-independent: FileCatalog's implementation only
+# uses the shared catalog API (table_history / load_table_at / load_table)
+# plus Manifest fields, so the Hadoop-layout backend reuses it verbatim —
+# including the in-flight-writer grace window.
+from iceberg_compaction_spark.sources.catalog import FileCatalog as _FC  # noqa: E402
+
+IcebergHadoopCatalog.DEFAULT_ORPHAN_GRACE_S = _FC.DEFAULT_ORPHAN_GRACE_S
+IcebergHadoopCatalog.remove_orphan_files = _FC.remove_orphan_files
