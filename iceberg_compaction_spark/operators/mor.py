@@ -155,6 +155,62 @@ def merge_on_read(
     return out.select(*table_columns)
 
 
+def puffin_dv_frame(spark: SparkSession, puffin_paths: list[str]) -> DataFrame:
+    """Distributed decode of puffin deletion vectors: footers (tiny
+    JSON) are read driver-side to enumerate blobs, but each Roaring
+    bitmap is decoded on EXECUTORS via an Arrow-batched mapInPandas —
+    one blob can expand to 10^8 positions, which must never become a
+    driver-side list.  Output: ``(__dv_path, __dv_pos)``, one partition
+    per blob so expansion parallelizes across the cluster."""
+    import pandas as pd
+
+    from iceberg_compaction_spark.sources.puffin import read_puffin_footer
+
+    def _local(p: str) -> str:
+        if p.startswith("file:"):
+            rest = p[len("file:"):]
+            while rest.startswith("//"):
+                rest = rest[1:]
+            return rest
+        return p
+
+    metas = []
+    for pf in puffin_paths:
+        for blob in read_puffin_footer(pf).get("blobs", []):
+            if blob.get("type") != "deletion-vector-v1":
+                continue
+            metas.append(
+                (
+                    pf,
+                    int(blob["offset"]),
+                    int(blob["length"]),
+                    _local(blob["properties"]["referenced-data-file"]),
+                )
+            )
+    meta_df = spark.createDataFrame(
+        metas, "__pf string, __off long, __len long, __ref string"
+    ).repartition(max(1, len(metas)))
+
+    def _expand(batches):
+        from iceberg_compaction_spark.sources.puffin import (
+            dv_blob_deserialize,
+        )
+
+        for pdf in batches:
+            for pf, off, ln, ref in zip(
+                pdf["__pf"], pdf["__off"], pdf["__len"], pdf["__ref"]
+            ):
+                with open(pf, "rb") as f:
+                    f.seek(int(off))
+                    blob = f.read(int(ln))
+                positions = dv_blob_deserialize(blob)
+                yield pd.DataFrame(
+                    {"__dv_path": [ref] * len(positions), "__dv_pos": positions}
+                )
+
+    return meta_df.mapInPandas(_expand, "__dv_path string, __dv_pos long")
+
+
 def rewrite_file_group(
     spark: SparkSession,
     group: FileGroup,
@@ -183,18 +239,31 @@ def rewrite_file_group(
 
     position_vectors = None
     position_vector_paths = None
+    position_vector_df = None
     dv_bytes = None
     if ge_v3 and has_pos:
-        # The planner hands the reader its deletion vectors (v3 stores
-        # them as puffin bitmaps; the local harness keeps (path, pos)
-        # parquet).  Small DVs load driver-side with pyarrow — genuine
-        # metadata scale — and fuse into the scan; DVs beyond
-        # DV_DRIVER_MAX_BYTES on disk stay DISTRIBUTED (executor-read
-        # parquet + anti-join): an equality-heavy table at 100 TB can
-        # carry billions of delete positions, which as a driver-side
-        # Python list is an OOM.
+        # The planner hands the reader its deletion vectors — puffin
+        # Roaring bitmaps (the real v3 format, sources/puffin.py) or the
+        # local harness's (path, pos) parquet.  Small DVs load
+        # driver-side — genuine metadata scale — and fuse into the scan;
+        # DVs beyond DV_DRIVER_MAX_BYTES on disk stay DISTRIBUTED
+        # (executor-read parquet / executor-decoded puffin + anti-join):
+        # an equality-heavy table at 100 TB can carry billions of delete
+        # positions, which as a driver-side Python list is an OOM.
+        from iceberg_compaction_spark.sources.puffin import (
+            is_puffin_file,
+            read_puffin_dvs,
+        )
         from iceberg_compaction_spark.sources.scan import DV_DRIVER_MAX_BYTES
 
+        puffins = [
+            d for d in group.position_delete_files if is_puffin_file(d.path)
+        ]
+        parquets = [
+            d
+            for d in group.position_delete_files
+            if not is_puffin_file(d.path)
+        ]
         dv_bytes = sum(
             d.file_size_in_bytes for d in group.position_delete_files
         )
@@ -202,7 +271,7 @@ def rewrite_file_group(
             import pyarrow.parquet as pq
 
             position_vectors = {}
-            for d in group.position_delete_files:
+            for d in parquets:
                 t = pq.read_table(
                     d.path, columns=[HIDDEN_FILE_PATH, HIDDEN_POS]
                 )
@@ -211,10 +280,18 @@ def rewrite_file_group(
                     t.column(HIDDEN_POS).to_pylist(),
                 ):
                     position_vectors.setdefault(p, []).append(pos)
+            for d in puffins:
+                for ref, positions in read_puffin_dvs(d.path).items():
+                    if ref.startswith("file:"):
+                        ref = "/" + ref[len("file:"):].lstrip("/")
+                    position_vectors.setdefault(ref, []).extend(positions)
         else:
-            position_vector_paths = [
-                d.path for d in group.position_delete_files
-            ]
+            if parquets:
+                position_vector_paths = [d.path for d in parquets]
+            if puffins:
+                position_vector_df = puffin_dv_frame(
+                    spark, [d.path for d in puffins]
+                )
 
     data = read_data_files(
         spark,
@@ -225,6 +302,7 @@ def rewrite_file_group(
         position_vectors=position_vectors,
         position_vector_paths=position_vector_paths,
         position_vector_bytes=dv_bytes,
+        position_vector_df=position_vector_df,
     )
     if table_columns is None:
         table_columns = [

@@ -1,0 +1,257 @@
+"""Puffin deletion-vector files (Iceberg format v3).
+
+Format v3 stores position deletes as DELETION VECTORS: Roaring bitmaps
+in Puffin files (the reference consumes them through iceberg-rust; this
+engine's v3 reader-side DV path previously accepted only (path, pos)
+parquet).  Everything here implements the PUBLIC specs:
+
+- Puffin container (Iceberg "Puffin spec"): ``PFA1`` magic, blobs,
+  footer = magic + JSON payload + payload size (int32 LE) + flags +
+  magic.  The footer JSON lists each blob's type/offset/length and
+  properties — for ``deletion-vector-v1``, the ``referenced-data-file``
+  the vector applies to and its ``cardinality``.
+- ``deletion-vector-v1`` blob (Iceberg v3 spec): int32 BE length,
+  magic ``D1 D3 39 64``, the vector in the portable 64-bit Roaring
+  serialization, int32 BE CRC-32 of magic+vector.
+- Portable Roaring (RoaringFormatSpec): 64-bit = u64 LE map count, then
+  per entry a u32 LE high key + a 32-bit roaring bitmap (cookie with or
+  without run containers, descriptive headers, offsets, array / bitset /
+  run containers).
+
+Reader handles all three container kinds; the writer emits array and
+bitset containers (always with offsets), which every Roaring
+implementation accepts.
+"""
+
+from __future__ import annotations
+
+import io
+import json
+import struct
+import zlib
+
+PUFFIN_MAGIC = b"PFA1"
+DV_MAGIC = b"\xd1\xd3\x39\x64"
+DV_BLOB_TYPE = "deletion-vector-v1"
+
+_SERIAL_COOKIE_NO_RUN = 12346
+_SERIAL_COOKIE_RUN = 12347
+_NO_OFFSET_THRESHOLD = 4
+_ARRAY_MAX = 4096
+
+
+# ---------------------------------------------------------------------------
+# portable Roaring bitmaps
+# ---------------------------------------------------------------------------
+
+
+def _read_roaring32(buf: io.BytesIO) -> list[int]:
+    cookie = struct.unpack("<I", buf.read(4))[0]
+    if (cookie & 0xFFFF) == _SERIAL_COOKIE_RUN:
+        n_containers = (cookie >> 16) + 1
+        run_flags = buf.read((n_containers + 7) // 8)
+        has_run = [
+            bool(run_flags[i // 8] & (1 << (i % 8)))
+            for i in range(n_containers)
+        ]
+    elif cookie == _SERIAL_COOKIE_NO_RUN:
+        n_containers = struct.unpack("<I", buf.read(4))[0]
+        has_run = [False] * n_containers
+    else:
+        raise ValueError(f"bad roaring cookie: {cookie}")
+    keys_cards = [
+        struct.unpack("<HH", buf.read(4)) for _ in range(n_containers)
+    ]
+    if cookie == _SERIAL_COOKIE_NO_RUN or n_containers >= _NO_OFFSET_THRESHOLD:
+        buf.read(4 * n_containers)  # offsets (sequential read ignores them)
+    out: list[int] = []
+    for i, (key, card_m1) in enumerate(keys_cards):
+        card = card_m1 + 1
+        base = key << 16
+        if has_run[i]:
+            n_runs = struct.unpack("<H", buf.read(2))[0]
+            for _ in range(n_runs):
+                start, length = struct.unpack("<HH", buf.read(4))
+                out.extend(range(base + start, base + start + length + 1))
+        elif card > _ARRAY_MAX:
+            words = struct.unpack("<1024Q", buf.read(8192))
+            for wi, w in enumerate(words):
+                while w:
+                    low = w & -w
+                    out.append(base + (wi << 6) + low.bit_length() - 1)
+                    w ^= low
+        else:
+            vals = struct.unpack(f"<{card}H", buf.read(2 * card))
+            out.extend(base + v for v in vals)
+    return out
+
+
+def _write_roaring32(values: list[int]) -> bytes:
+    """Serialize sorted u32 values: always the no-run cookie + offsets
+    layout (universally readable)."""
+    containers: dict[int, list[int]] = {}
+    for v in values:
+        containers.setdefault(v >> 16, []).append(v & 0xFFFF)
+    keys = sorted(containers)
+    header = io.BytesIO()
+    header.write(struct.pack("<II", _SERIAL_COOKIE_NO_RUN, len(keys)))
+    for k in keys:
+        header.write(struct.pack("<HH", k, len(containers[k]) - 1))
+    bodies = []
+    for k in keys:
+        lows = sorted(containers[k])
+        if len(lows) > _ARRAY_MAX:
+            words = [0] * 1024
+            for lo in lows:
+                words[lo >> 6] |= 1 << (lo & 63)
+            bodies.append(struct.pack("<1024Q", *words))
+        else:
+            bodies.append(struct.pack(f"<{len(lows)}H", *lows))
+    # offset header: absolute positions from the start of the bitmap
+    offsets = io.BytesIO()
+    pos = header.tell() + 4 * len(keys)
+    for b in bodies:
+        offsets.write(struct.pack("<I", pos))
+        pos += len(b)
+    return header.getvalue() + offsets.getvalue() + b"".join(bodies)
+
+
+def roaring64_serialize(positions: list[int]) -> bytes:
+    by_high: dict[int, list[int]] = {}
+    for p in sorted(set(positions)):
+        by_high.setdefault(p >> 32, []).append(p & 0xFFFFFFFF)
+    out = io.BytesIO()
+    out.write(struct.pack("<Q", len(by_high)))
+    for high in sorted(by_high):
+        out.write(struct.pack("<I", high))
+        out.write(_write_roaring32(by_high[high]))
+    return out.getvalue()
+
+
+def roaring64_deserialize(data: bytes) -> list[int]:
+    buf = io.BytesIO(data)
+    n_maps = struct.unpack("<Q", buf.read(8))[0]
+    out: list[int] = []
+    for _ in range(n_maps):
+        high = struct.unpack("<I", buf.read(4))[0]
+        out.extend((high << 32) | v for v in _read_roaring32(buf))
+    return out
+
+
+# ---------------------------------------------------------------------------
+# deletion-vector-v1 blob
+# ---------------------------------------------------------------------------
+
+
+def dv_blob_serialize(positions: list[int]) -> bytes:
+    vec = roaring64_serialize(positions)
+    crc = zlib.crc32(DV_MAGIC + vec) & 0xFFFFFFFF
+    return (
+        struct.pack(">I", len(vec) + 4)
+        + DV_MAGIC
+        + vec
+        + struct.pack(">I", crc)
+    )
+
+
+def dv_blob_deserialize(blob: bytes) -> list[int]:
+    (length,) = struct.unpack(">I", blob[:4])
+    if blob[4:8] != DV_MAGIC:
+        raise ValueError("bad deletion-vector magic")
+    vec = blob[8 : 4 + length]
+    (crc,) = struct.unpack(">I", blob[4 + length : 8 + length])
+    if zlib.crc32(blob[4 : 4 + length]) & 0xFFFFFFFF != crc:
+        raise ValueError("deletion-vector CRC mismatch")
+    return roaring64_deserialize(vec)
+
+
+# ---------------------------------------------------------------------------
+# Puffin container
+# ---------------------------------------------------------------------------
+
+
+def write_puffin_dvs(
+    path: str, dvs: dict[str, list[int]], properties: dict | None = None
+) -> None:
+    """Write one deletion-vector-v1 blob per referenced data file."""
+    blobs_meta = []
+    out = io.BytesIO()
+    out.write(PUFFIN_MAGIC)
+    for ref_path in sorted(dvs):
+        blob = dv_blob_serialize(dvs[ref_path])
+        blobs_meta.append(
+            {
+                "type": DV_BLOB_TYPE,
+                "fields": [],
+                "snapshot-id": -1,
+                "sequence-number": -1,
+                "offset": out.tell(),
+                "length": len(blob),
+                "properties": {
+                    "referenced-data-file": ref_path,
+                    "cardinality": str(len(set(dvs[ref_path]))),
+                },
+            }
+        )
+        out.write(blob)
+    payload = json.dumps(
+        {"blobs": blobs_meta, "properties": properties or {}}
+    ).encode("utf-8")
+    out.write(PUFFIN_MAGIC)
+    out.write(payload)
+    out.write(struct.pack("<I", len(payload)))
+    out.write(struct.pack("<I", 0))  # flags: footer payload uncompressed
+    out.write(PUFFIN_MAGIC)
+    with open(path, "wb") as f:
+        f.write(out.getvalue())
+
+
+def read_puffin_footer(path: str) -> dict:
+    with open(path, "rb") as f:
+        f.seek(0, 2)
+        size = f.tell()
+        f.seek(size - 12)
+        payload_size, flags, magic = struct.unpack("<II4s", f.read(12))
+        if magic != PUFFIN_MAGIC:
+            raise ValueError(f"not a puffin file (trailing magic): {path}")
+        if flags & 1:
+            raise ValueError("compressed puffin footers not supported")
+        f.seek(size - 12 - payload_size - 4)
+        head = f.read(4)
+        if head != PUFFIN_MAGIC:
+            raise ValueError(f"corrupt puffin footer start: {path}")
+        return json.loads(f.read(payload_size).decode("utf-8"))
+
+
+def read_puffin_dvs(path: str) -> dict[str, list[int]]:
+    """All deletion vectors in a puffin file, keyed by the referenced
+    data-file path (as written — URI normalization is the caller's)."""
+    footer = read_puffin_footer(path)
+    out: dict[str, list[int]] = {}
+    with open(path, "rb") as f:
+        for blob in footer.get("blobs", []):
+            if blob.get("type") != DV_BLOB_TYPE:
+                continue
+            if blob.get("compression-codec"):
+                raise ValueError(
+                    f"unsupported DV compression: {blob['compression-codec']}"
+                )
+            f.seek(blob["offset"])
+            data = f.read(blob["length"])
+            ref = blob.get("properties", {}).get("referenced-data-file")
+            positions = dv_blob_deserialize(data)
+            if ref in out:
+                out[ref] = sorted(set(out[ref]) | set(positions))
+            else:
+                out[ref] = positions
+    return out
+
+
+def is_puffin_file(path: str) -> bool:
+    if path.endswith(".puffin"):
+        return True
+    try:
+        with open(path, "rb") as f:
+            return f.read(4) == PUFFIN_MAGIC
+    except OSError:
+        return False

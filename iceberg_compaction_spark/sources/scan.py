@@ -87,15 +87,19 @@ def read_data_files(
     position_vectors: dict[str, list[int]] | None = None,
     position_vector_paths: list[str] | None = None,
     position_vector_bytes: int | None = None,
+    position_vector_df: DataFrame | None = None,
 ) -> DataFrame:
     """Read parquet data files, appending the hidden MOR columns.
 
-    Deletion vectors come in one of two forms (mutually exclusive):
+    Deletion vectors come in one of three forms (mutually exclusive):
     ``position_vectors`` is the small-DV driver-side dict (planner
     metadata, bounded by mor's DV_DRIVER_MAX_BYTES gate);
-    ``position_vector_paths`` keeps LARGE vectors distributed — they are
+    ``position_vector_paths`` keeps LARGE parquet vectors distributed —
     read with ``spark.read.parquet`` and anti-joined, never touching the
-    driver, with ``position_vector_bytes`` choosing broadcast vs AQE.
+    driver, with ``position_vector_bytes`` choosing broadcast vs AQE;
+    ``position_vector_df`` is a pre-built distributed
+    ``(__dv_path, __dv_pos)`` frame (e.g. executor-decoded puffin
+    bitmaps) applied the same way.
 
     ``seq_by_path`` maps file path -> data sequence number.  When the map
     is provided it must cover EVERY input path: a silent fallback to
@@ -168,18 +172,24 @@ def read_data_files(
                 .drop("__dv_probe_path", "__dv_probe_pos")
             )
 
-    if position_vector_paths:
+    if position_vector_paths or position_vector_df is not None:
         # Large-DV scale path: the vectors never exist as driver-side
-        # Python objects.  Executors read the DV parquet directly and
-        # the scan output anti-joins it on (path, pos) — the data side
-        # still never shuffles; the DV side broadcasts when small enough
-        # on disk, otherwise AQE picks the strategy at runtime.
+        # Python objects.  Executors read the DV parquet (or decode the
+        # puffin bitmaps) directly and the scan output anti-joins it on
+        # (path, pos) — the data side still never shuffles; the DV side
+        # broadcasts when small enough on disk, otherwise AQE picks the
+        # strategy at runtime.
         # no dropDuplicates: anti-join drops a row on ANY match, so DV
         # duplicates are harmless — and deduping would shuffle the DV side
-        dv_df = spark.read.parquet(*position_vector_paths).select(
-            F.col(HIDDEN_FILE_PATH).alias("__dv_path"),
-            F.col(HIDDEN_POS).alias("__dv_pos"),
-        )
+        if position_vector_paths:
+            dv_df = spark.read.parquet(*position_vector_paths).select(
+                F.col(HIDDEN_FILE_PATH).alias("__dv_path"),
+                F.col(HIDDEN_POS).alias("__dv_pos"),
+            )
+            if position_vector_df is not None:
+                dv_df = dv_df.unionByName(position_vector_df)
+        else:
+            dv_df = position_vector_df
         if (
             position_vector_bytes is not None
             and position_vector_bytes <= DV_BROADCAST_MAX_BYTES
