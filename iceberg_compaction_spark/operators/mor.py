@@ -76,8 +76,17 @@ def apply_position_deletes(
     every run (the round-4 mor_pos_delete bench regression, 4.8 s vs the
     1.2 s baseline).  The broadcast hash relation collapses duplicate
     keys anyway on the build side.
+
+    The delete side's file_path is scheme-normalized like the data
+    side's hidden column (file:// stripped, s3a/s3n folded to s3://),
+    so deletes written by a different engine/connector still match.
     """
-    right = pos_deletes.select(HIDDEN_FILE_PATH, HIDDEN_POS)
+    from iceberg_compaction_spark.sources.scan import _normalize_path
+
+    right = pos_deletes.select(
+        _normalize_path(F.col(HIDDEN_FILE_PATH)).alias(HIDDEN_FILE_PATH),
+        HIDDEN_POS,
+    )
     if broadcast:
         right = F.broadcast(right)
     return data.join(right, on=[HIDDEN_FILE_PATH, HIDDEN_POS], how="left_anti")
@@ -165,14 +174,9 @@ def puffin_dv_frame(spark: SparkSession, puffin_paths: list[str]) -> DataFrame:
     import pandas as pd
 
     from iceberg_compaction_spark.sources.puffin import read_puffin_footer
-
-    def _local(p: str) -> str:
-        if p.startswith("file:"):
-            rest = p[len("file:"):]
-            while rest.startswith("//"):
-                rest = rest[1:]
-            return rest
-        return p
+    from iceberg_compaction_spark.sources.scan import (
+        normalize_path_str as _local,
+    )
 
     metas = []
     for pf in puffin_paths:
@@ -280,11 +284,15 @@ def rewrite_file_group(
                     t.column(HIDDEN_POS).to_pylist(),
                 ):
                     position_vectors.setdefault(p, []).append(pos)
+            from iceberg_compaction_spark.sources.scan import (
+                normalize_path_str,
+            )
+
             for d in puffins:
                 for ref, positions in read_puffin_dvs(d.path).items():
-                    if ref.startswith("file:"):
-                        ref = "/" + ref[len("file:"):].lstrip("/")
-                    position_vectors.setdefault(ref, []).extend(positions)
+                    position_vectors.setdefault(
+                        normalize_path_str(ref), []
+                    ).extend(positions)
         else:
             if parquets:
                 position_vector_paths = [d.path for d in parquets]

@@ -72,9 +72,37 @@ def split_n_vecs(
 
 
 def _normalize_path(col):
-    # Spark reports metadata paths as file:///...; manifests store plain
-    # POSIX paths. Normalize so the seq-map join and delete anti-joins match.
-    return F.regexp_replace(col, "^file:/*", "/")
+    """Canonicalize a file URI for path-identity joins (the seq-map
+    lookup and delete anti-joins): Spark reports ``file:///...`` /
+    ``s3a://bucket/...`` while manifests may store plain POSIX paths or
+    ``s3://`` URIs.  Local: strip the scheme and slash-collapse to one
+    leading ``/``.  Object store: fold the s3a/s3n connector schemes
+    into canonical ``s3://`` (same bucket/key identity; Iceberg
+    metadata written by Spark uses s3a, by Trino/Flink s3) and collapse
+    duplicate slashes in the key.  Pure string ops — stays in the scan
+    projection's codegen."""
+    local = F.regexp_replace(col, "^file:/*", "/")
+    return F.when(
+        col.rlike("^s3[an]?://"),
+        F.regexp_replace(
+            F.regexp_replace(col, "^s3[an]?://", "s3://"),
+            "(?<!s3:)//+",
+            "/",
+        ),
+    ).otherwise(local)
+
+
+def normalize_path_str(p: str) -> str:
+    """Python twin of :func:`_normalize_path` for driver-side metadata
+    (manifest paths, puffin referenced-data-file entries) — both sides
+    of every path join must normalize identically."""
+    import re
+
+    if re.match(r"^s3[an]?://", p):
+        p = re.sub(r"^s3[an]?://", "s3://", p)
+        head, rest = p[:5], p[5:]
+        return head + re.sub(r"//+", "/", rest)
+    return re.sub(r"^file:/*", "/", p)
 
 
 def read_data_files(
@@ -137,7 +165,10 @@ def read_data_files(
             dv_map = F.create_map(
                 *[
                     x
-                    for p, positions in sorted(position_vectors.items())
+                    for p, positions in sorted(
+                        (normalize_path_str(k), v)
+                        for k, v in position_vectors.items()
+                    )
                     for x in (
                         F.lit(p),
                         F.array(
@@ -153,7 +184,7 @@ def read_data_files(
             )
         else:
             dv_rows = [
-                (p, int(i))
+                (normalize_path_str(p), int(i))
                 for p, positions in sorted(position_vectors.items())
                 for i in sorted(set(positions))
             ]
@@ -183,7 +214,7 @@ def read_data_files(
         # duplicates are harmless — and deduping would shuffle the DV side
         if position_vector_paths:
             dv_df = spark.read.parquet(*position_vector_paths).select(
-                F.col(HIDDEN_FILE_PATH).alias("__dv_path"),
+                _normalize_path(F.col(HIDDEN_FILE_PATH)).alias("__dv_path"),
                 F.col(HIDDEN_POS).alias("__dv_pos"),
             )
             if position_vector_df is not None:
@@ -225,7 +256,14 @@ def read_data_files(
                     else _normalize_path(F.col("_metadata.file_path"))
                 )
                 mapping = F.create_map(
-                    *[F.lit(x) for kv in seq_by_path.items() for x in kv]
+                    *[
+                        F.lit(x)
+                        for kv in (
+                            (normalize_path_str(k), v)
+                            for k, v in seq_by_path.items()
+                        )
+                        for x in kv
+                    ]
                 )
                 looked = F.element_at(mapping, path_col)
                 df = df.withColumn(

@@ -255,3 +255,36 @@ def test_overwrite_pinned_reattaches_newer_equality_deletes():
     # only the eq delete NEWER than the pin transfers; older eq deletes
     # were already applied by the rewrite, pos deletes address dead paths
     assert [d.path for d in got] == ["/t/eq.parquet"]
+
+
+def test_path_normalization_sql_python_parity(spark):
+    """The Spark-expression and Python path canonicalizations must agree
+    byte-for-byte on every scheme shape — both sides of every path join
+    depend on it (file:// vs plain POSIX, s3a/s3n vs s3, duplicate
+    slashes in keys)."""
+    from pyspark.sql import functions as F
+
+    from iceberg_compaction_spark.sources.scan import (
+        _normalize_path,
+        normalize_path_str,
+    )
+
+    uris = [
+        "file:///data/t/a.parquet",
+        "file:/data/t/a.parquet",
+        "/data/t/a.parquet",
+        "s3a://bucket/wh/t/a.parquet",
+        "s3://bucket/wh/t/a.parquet",
+        "s3n://bucket/wh//t///a.parquet",
+        "s3a://bucket//double//slash.parquet",
+    ]
+    df = spark.createDataFrame([(u,) for u in uris], ["p"])
+    got = [
+        r["n"] for r in df.select(_normalize_path(F.col("p")).alias("n")).collect()
+    ]
+    want = [normalize_path_str(u) for u in uris]
+    assert got == want
+    # scheme folding: all three s3 connectors canonicalize identically
+    assert normalize_path_str("s3a://b/k.parquet") == normalize_path_str(
+        "s3n://b/k.parquet"
+    ) == "s3://b/k.parquet"
