@@ -431,26 +431,30 @@ def test_ivf_multiprobe_recall_dominates_single_probe(spark):
     assert p4 == exact  # probing every cluster == brute force
 
 
-def test_connected_components_chain_and_islands(spark):
-    # chain 1-2-3 (no 1-3 edge), island 7-9, pair 20-21: three groups
+@pytest.mark.parametrize("dme", [dd.CC_DRIVER_MAX_EDGES, 0])
+def test_connected_components_chain_and_islands(spark, dme):
+    # chain 1-2-3 (no 1-3 edge), island 7-9, pair 20-21: three groups.
+    # dme=0 forces the distributed fixpoint; the default takes the
+    # driver-side union-find fast path — both must agree.
     pairs = spark.createDataFrame(
         [(2, 3), (1, 2), (7, 9), (20, 21)], ["id_a", "id_b"]
     )
     got = {
         r["doc_id"]: r["component_id"]
-        for r in dd.connected_components(pairs).collect()
+        for r in dd.connected_components(pairs, driver_max_edges=dme).collect()
     }
     assert got == {1: 1, 2: 1, 3: 1, 7: 7, 9: 7, 20: 20, 21: 20}
 
 
-def test_connected_components_deep_chain_converges(spark):
+@pytest.mark.parametrize("dme", [dd.CC_DRIVER_MAX_EDGES, 0])
+def test_connected_components_deep_chain_converges(spark, dme):
     # a 12-node path graph needs multiple propagation rounds
     pairs = spark.createDataFrame(
         [(i, i + 1) for i in range(11)], ["id_a", "id_b"]
     )
     got = {
         r["doc_id"]: r["component_id"]
-        for r in dd.connected_components(pairs).collect()
+        for r in dd.connected_components(pairs, driver_max_edges=dme).collect()
     }
     assert got == {i: 0 for i in range(12)}
 
@@ -488,13 +492,15 @@ def test_connected_components_random_graphs_match_union_find(spark):
         if not pairs:
             continue
         expect = _union_find_components(pairs)
-        got = {
-            r["doc_id"]: r["component_id"]
-            for r in dd.connected_components(
-                spark.createDataFrame(pairs, ["id_a", "id_b"])
-            ).collect()
-        }
-        assert got == expect, f"trial {trial}: {sorted(pairs)}"
+        df = spark.createDataFrame(pairs, ["id_a", "id_b"])
+        for dme in (dd.CC_DRIVER_MAX_EDGES, 0):
+            got = {
+                r["doc_id"]: r["component_id"]
+                for r in dd.connected_components(
+                    df, driver_max_edges=dme
+                ).collect()
+            }
+            assert got == expect, f"trial {trial} dme={dme}: {sorted(pairs)}"
 
 
 def test_frame_sample_udtf_matches_plan_twin(spark):
