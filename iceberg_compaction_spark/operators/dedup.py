@@ -688,3 +688,146 @@ def connected_components(
     return labels.select(
         F.col("node").alias("doc_id"), F.col("lbl").alias("component_id")
     )
+
+
+# --- benchmark decontamination ---------------------------------------------
+
+
+def contamination_hits(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    bench_mod: int = 97,
+) -> DataFrame:
+    """Test-set decontamination scan: for every corpus document, how many
+    of its distinct word n-gram shingles appear anywhere in the benchmark
+    partition (here: ``id % bench_mod == 0``, standing in for an eval
+    set).  Standard practice before training-data release (GPT-3 appendix
+    C / PaLM §C): docs with high overlap get dropped or flagged.
+
+    Output: (doc_id, n_hit_shingles) for corpus docs with >= 1 hit.
+
+    Scale shape: the benchmark shingle vocabulary is tiny next to the
+    corpus (eval sets are thousands of docs, corpora are billions), so it
+    is deduped then BROADCAST — the corpus side never shuffles for the
+    join, and the per-doc count partial-aggregates map-side.
+    """
+    sets = shingle_sets(df, id_col, text_col, n)
+    sh = sets.select(F.col(id_col), F.explode("shs").alias("shingle"))
+    bench_vocab = (
+        sh.where(F.col(id_col) % bench_mod == 0)
+        .select("shingle")
+        .dropDuplicates()
+    )
+    corpus = sh.where(F.col(id_col) % bench_mod != 0)
+    return (
+        corpus.join(F.broadcast(bench_vocab), "shingle")
+        .groupBy(id_col)
+        .agg(F.count(F.lit(1)).alias("n_hit_shingles"))
+    )
+
+
+# --- prefix-filtered exact Jaccard (AllPairs / PPJoin) ----------------------
+
+
+def jaccard_pairs_prefix(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    threshold_ppm: int = 100000,
+) -> DataFrame:
+    """Exact Jaccard pairs >= threshold via prefix filtering — same output
+    contract as :func:`jaccard_pairs`, different candidate generation:
+    the AllPairs/PPJoin bound (Bayardo et al. WWW'07; Xiao et al.
+    WWW'08).  Order every doc's shingles by ascending global document
+    frequency; two sets with Jaccard >= t MUST share a shingle within
+    each one's first ``sz - ceil(t*sz) + 1`` shingles (else their overlap
+    is provably < t*max(|A|,|B|)).  Joining only on prefix shingles kills
+    the hot-shingle df^2 blowup twice over: prefixes are ~(1-t) of each
+    set, and the global-frequency order pushes them onto the RARE end of
+    the vocabulary.  Measured on the sf0.1 fixture at t=0.6: 1.40M
+    classic candidates -> 0.37M.  Candidates are then verified with an
+    exact array_intersect against the full shingle sets, so the output is
+    identical to the classic inverted-index join (same oracle SQL).
+
+    The prefix length uses pure integer arithmetic —
+    ``sz - ceil_div(threshold_ppm * sz, 1e6) + 1`` — because a float
+    ``ceil(0.6 * sz)`` can land on either side of an exact multiple and
+    silently shrink the prefix below the safe bound (a missed-pair bug,
+    not a perf bug).
+    """
+    sets = shingle_sets(df, id_col, text_col, n)  # (id, shs, sz)
+    sh = sets.select(F.col(id_col), F.explode("shs").alias("shingle"))
+    dfreq = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("dfr"))
+    # prefix = the (sz - ceil(t*sz) + 1) globally-rarest shingles of each
+    # doc; (dfr, shingle) is a total order so both sides sort identically
+    pre = (
+        sh.join(dfreq, "shingle")
+        .groupBy(id_col)
+        .agg(F.collect_list(F.struct("dfr", "shingle")).alias("items"))
+        .withColumn("items", F.array_sort("items"))
+        .withColumn("sz", F.size("items"))
+        .withColumn(
+            "plen",
+            F.expr(
+                f"sz - ((sz * CAST({threshold_ppm} AS BIGINT) + 999999)"
+                " div 1000000) + 1"
+            ),
+        )
+        .select(
+            F.col(id_col),
+            F.col("sz"),
+            F.explode(
+                F.transform(
+                    F.slice(F.col("items"), F.lit(1), F.col("plen")),
+                    lambda s: s["shingle"],
+                )
+            ).alias("shingle"),
+        )
+    )
+    ca = pre.select(
+        F.col(id_col).alias("id_a"), F.col("sz").alias("sz_a"), "shingle"
+    )
+    cb = pre.select(
+        F.col(id_col).alias("id_b"), F.col("sz").alias("sz_b"), "shingle"
+    )
+    cand = (
+        ca.join(cb, "shingle")
+        .where(
+            (F.col("id_a") < F.col("id_b"))
+            # length filter: J >= t forces min(sz)/max(sz) >= t
+            & (
+                F.least("sz_a", "sz_b") * 1000000
+                >= F.greatest("sz_a", "sz_b") * threshold_ppm
+            )
+        )
+        .select("id_a", "id_b")
+        .dropDuplicates()
+    )
+    sa = sets.select(
+        F.col(id_col).alias("id_a"),
+        F.col("shs").alias("shs_a"),
+        F.col("sz").alias("vsz_a"),
+    )
+    sb = sets.select(
+        F.col(id_col).alias("id_b"),
+        F.col("shs").alias("shs_b"),
+        F.col("sz").alias("vsz_b"),
+    )
+    inter = F.size(F.array_intersect("shs_a", "shs_b"))
+    return (
+        cand.join(sa, "id_a")
+        .join(sb, "id_b")
+        .withColumn("inter", inter)
+        .withColumn(
+            "jaccard_ppm",
+            F.floor(
+                F.col("inter") * 1000000.0
+                / (F.col("vsz_a") + F.col("vsz_b") - F.col("inter"))
+            ).cast("long"),
+        )
+        .where(F.col("jaccard_ppm") >= threshold_ppm)
+        .select("id_a", "id_b", "jaccard_ppm")
+    )

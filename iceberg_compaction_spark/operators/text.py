@@ -197,3 +197,67 @@ def tfidf_top_terms(
             id_col, "term", "score_ppm", F.col("rank").cast("int").alias("rank")
         )
     )
+
+
+def _max_sorted_run(sorted_arr: Column) -> Column:
+    """Longest run of equal adjacent elements in a SORTED array — i.e. the
+    max element frequency — via one JVM-side fold (O(n), zero shuffle).
+    The explode+groupBy formulation shuffles every token; the quadratic
+    transform/filter HOF is O(n*d) — both lose at long documents."""
+    step_run = lambda acc, x: F.when(  # noqa: E731
+        x.eqNullSafe(acc["prev"]), acc["run"] + 1
+    ).otherwise(F.lit(1))
+    return F.aggregate(
+        sorted_arr,
+        F.struct(
+            F.lit(None).cast("string").alias("prev"),
+            F.lit(0).alias("run"),
+            F.lit(0).alias("best"),
+        ),
+        lambda acc, x: F.struct(
+            x.alias("prev"),
+            step_run(acc, x).alias("run"),
+            F.greatest(acc["best"], step_run(acc, x)).alias("best"),
+        ),
+        lambda acc: acc["best"],
+    )
+
+
+def with_repetition(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Gopher-style repetition signals (Rae et al. 2021, §A1.3): documents
+    dominated by repeated fragments are low-quality training data.
+
+    Adds:
+      n_bigrams        — word-bigram count (n_tokens - 1, floor 0)
+      dup_bigram_ppm   — floor(1e6 * duplicated-bigram fraction): 1 minus
+                         distinct/total bigrams, the "repeated 2-gram"
+                         signal
+      top_token_ppm    — floor(1e6 * most-frequent-token share of all
+                         tokens), the "most common word" signal
+
+    Everything is a narrow per-row HOF chain over the token array — no
+    shuffle, no UDF; at 100 TB this runs at scan speed.  Empty/blank
+    documents emit zeros (matching with_token_counts' ws_tokens edge).
+    """
+    c = F.col(text_col)
+    tk = _tokens(c)
+    n_toks = F.when(F.trim(c) == "", F.lit(0)).otherwise(F.size(tk))
+    bi = F.when(
+        n_toks >= 2,
+        F.transform(
+            F.sequence(F.lit(1), F.size(tk) - 1),
+            lambda i: F.concat_ws(" ", F.element_at(tk, i), F.element_at(tk, i + 1)),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    n_bi = F.size(bi)
+    dup = F.when(
+        n_bi > 0, _ppm((n_bi - F.size(F.array_distinct(bi))) * 1.0 / n_bi)
+    ).otherwise(F.lit(0).cast("long"))
+    top = F.when(
+        n_toks > 0, _ppm(_max_sorted_run(F.array_sort(tk)) * 1.0 / n_toks)
+    ).otherwise(F.lit(0).cast("long"))
+    return (
+        df.withColumn("n_bigrams", n_bi.cast("int"))
+        .withColumn("dup_bigram_ppm", dup)
+        .withColumn("top_token_ppm", top)
+    )

@@ -2114,3 +2114,189 @@ for _tail in (
     if _tail in ORACLES:
         ORACLES[_tail] = ORACLES.pop(_tail)
 del _tail
+
+
+# ===========================================================================
+# Round-5 additions (all tail registrations — pytest oracle-checks every
+# entry, window or tail, via tests/test_oracle_tail.py)
+# ===========================================================================
+
+
+@register(
+    "text_repetition",
+    f"""
+    WITH t AS (
+      SELECT doc_id,
+        CASE WHEN trim(text)='' THEN [] ELSE {_TOKS} END AS toks
+      FROM documents
+    ), b AS (
+      SELECT doc_id, len(toks) AS n_toks,
+        CASE WHEN len(toks) >= 2 THEN [
+          array_to_string(list_slice(toks, i, i+1), ' ')
+          for i in range(1, len(toks))]
+        ELSE [] END AS bis
+      FROM t
+    ), m AS (
+      SELECT doc_id, max(c) AS mx FROM (
+        SELECT doc_id, tok, count(*) AS c FROM (
+          SELECT doc_id, unnest(toks) AS tok FROM t) GROUP BY 1, 2
+      ) GROUP BY 1
+    )
+    SELECT b.doc_id,
+      CAST(len(bis) AS INTEGER) AS n_bigrams,
+      CASE WHEN len(bis) > 0 THEN
+        CAST(FLOOR(1000000*((len(bis) - len(list_distinct(bis)))*1.0
+             / len(bis))) AS BIGINT)
+      ELSE 0 END AS dup_bigram_ppm,
+      CASE WHEN n_toks > 0 THEN
+        CAST(FLOOR(1000000*(COALESCE(m.mx, 0)*1.0 / n_toks)) AS BIGINT)
+      ELSE 0 END AS top_token_ppm
+    FROM b LEFT JOIN m ON m.doc_id = b.doc_id
+    """,
+)
+def q_text_repetition(spark, sf_dir):
+    """Gopher-style repetition filters (operators/text.py
+    with_repetition): duplicate-bigram fraction + top-token share, all
+    narrow JVM-side HOFs — the run-length fold keeps the most-common-
+    token signal O(n log n) per doc with zero shuffle."""
+    return tx.with_repetition(_docs(spark, sf_dir)).select(
+        "doc_id", "n_bigrams", "dup_bigram_ppm", "top_token_ppm"
+    )
+
+
+@register(
+    "dedup_contamination",
+    f"""
+    WITH {_SHINGLES},
+    bench AS (SELECT DISTINCT shingle FROM sh WHERE doc_id % 97 = 0)
+    SELECT doc_id, count(*) AS n_hit_shingles
+    FROM sh JOIN bench USING (shingle)
+    WHERE doc_id % 97 <> 0
+    GROUP BY doc_id
+    """,
+)
+def q_dedup_contamination(spark, sf_dir):
+    """Benchmark decontamination (operators/dedup.py
+    contamination_hits): corpus docs sharing 3-gram shingles with the
+    doc_id%97==0 'eval set'.  The benchmark vocabulary broadcasts; the
+    corpus side never shuffles for the join."""
+    return dd.contamination_hits(_docs(spark, sf_dir), n=3, bench_mod=97)
+
+
+@register(
+    "dedup_ngram_jaccard_prefix",
+    ORACLES["dedup_ngram_jaccard"],
+)
+def q_dedup_ngram_jaccard_prefix(spark, sf_dir):
+    """AllPairs/PPJoin prefix-filtered twin of dedup_ngram_jaccard —
+    identical output (same oracle string), candidate generation joins
+    only each doc's (1-t) globally-rarest shingles with an integer-exact
+    prefix bound plus the Jaccard length filter, then verifies with
+    array_intersect.  The exact-pairs scale path when a df cap is not
+    acceptable (operators/dedup.py jaccard_pairs_prefix)."""
+    return dd.jaccard_pairs_prefix(
+        _docs(spark, sf_dir), threshold_ppm=JACCARD_THRESHOLD_PPM
+    )
+
+
+_ANN_RECALL_SQL = f"""
+    WITH exact AS ({ORACLES["ann_topk"]}),
+    approx AS ({ORACLES["ann_ivf"]}),
+    h AS (
+      SELECT e.query_id, count(*) AS c
+      FROM exact e JOIN approx a
+        ON a.query_id = e.query_id AND a.neighbor_id = e.neighbor_id
+      GROUP BY 1
+    )
+    SELECT q.query_id,
+      CAST(COALESCE(h.c, 0) AS INTEGER) AS hits_at_5,
+      CAST(FLOOR(COALESCE(h.c, 0)*1000000.0/5) AS BIGINT) AS recall_ppm
+    FROM (SELECT DISTINCT query_id FROM exact) q
+    LEFT JOIN h USING (query_id)
+    """
+
+
+@register("ann_recall_eval", _ANN_RECALL_SQL)
+def q_ann_recall_eval(spark, sf_dir):
+    """Recall@5 of the IVF index against the brute-force ground truth,
+    per query — the evaluation loop every ANN deployment needs.  Both
+    sides reuse the registered operators (oracle composes the two
+    registered oracle strings as CTEs, so the three stay in lockstep)."""
+    emb = _emb(spark, sf_dir)
+    queries = emb.where(F.col("vec_id") % 100 == 0)
+    exact = sim.brute_force_topk(emb, queries, k=5).select(
+        "query_id", "neighbor_id"
+    )
+    approx = sim.ivf_topk(
+        emb, queries, _centroids(spark, sf_dir), k=5
+    ).select("query_id", "neighbor_id")
+    hits = (
+        exact.join(approx, ["query_id", "neighbor_id"], "left_semi")
+        .groupBy("query_id")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    qids = exact.select("query_id").dropDuplicates()
+    return (
+        qids.join(hits, "query_id", "left")
+        .withColumn(
+            "hits_at_5", F.coalesce(F.col("c"), F.lit(0)).cast("int")
+        )
+        .withColumn(
+            "recall_ppm",
+            F.floor(F.col("hits_at_5") * 1000000.0 / 5).cast("long"),
+        )
+        .select("query_id", "hits_at_5", "recall_ppm")
+    )
+
+
+@register(
+    "events_anomaly",
+    """
+    WITH h AS (
+      SELECT event_type, epoch_ns(ts) // 3600000000000 AS hour_bucket,
+             count(*) AS n_events
+      FROM events GROUP BY 1, 2
+    ), m AS (
+      SELECT event_type, count(*) AS k,
+             CAST(sum(n_events) AS BIGINT) AS s,
+             CAST(sum(n_events*n_events) AS BIGINT) AS ss
+      FROM h GROUP BY 1
+    )
+    SELECT event_type, hour_bucket, n_events, z_milli FROM (
+      SELECT h.event_type, h.hour_bucket, h.n_events,
+        CAST(FLOOR(1000 * (n_events - s / CAST(k AS DOUBLE)) /
+          sqrt(greatest((ss - s * (s / CAST(k AS DOUBLE))) / (k - 1),
+               1e-12))) AS BIGINT) AS z_milli
+      FROM h JOIN m USING (event_type) WHERE k >= 2
+    ) WHERE abs(z_milli) >= 2000
+    """,
+)
+def q_events_anomaly(spark, sf_dir):
+    """Hourly-count z-score anomalies per event type
+    (streaming/events.py anomaly_zscore).  Exact integer moments +
+    identical float expression text on both engines keep the floored
+    milli-sigma bit-stable; the per-type moment table broadcasts."""
+    return ev.anomaly_zscore(ev.read_events(spark, sf_dir))
+
+
+@register(
+    "events_scd2",
+    """
+    SELECT user_id, event_id, event_type, valid_from_ns, valid_to_ns,
+           CAST(valid_to_ns IS NULL AS INTEGER) AS is_current
+    FROM (
+      SELECT user_id, event_id, event_type,
+        epoch_ns(ts) AS valid_from_ns,
+        lead(epoch_ns(ts)) OVER (
+          PARTITION BY user_id ORDER BY epoch_ns(ts), event_id
+        ) AS valid_to_ns
+      FROM events
+    )
+    """,
+)
+def q_events_scd2(spark, sf_dir):
+    """SCD-2 changelog materialization (streaming/events.py
+    scd2_intervals): per-user validity intervals via LEAD over the
+    (ts, event_id) total order — one shuffle on the window key."""
+    df = ev.scd2_intervals(ev.read_events(spark, sf_dir))
+    return df.withColumn("is_current", F.col("is_current").cast("int"))

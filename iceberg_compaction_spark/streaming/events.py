@@ -441,3 +441,76 @@ def funnel(
     for nxt in step_frames[1:]:
         out = out.join(nxt, id_col)
     return out
+
+
+def anomaly_zscore(
+    events: DataFrame, z_milli_threshold: int = 2000
+) -> DataFrame:
+    """Hourly-count anomaly detection per event type: flag hours whose
+    event count deviates from that type's mean by >= ``threshold/1000``
+    sample standard deviations.
+
+    Output: (event_type, hour_bucket, n_events, z_milli) for flagged
+    hours, z quantized to integer milli-sigmas.
+
+    Numerics are engine-portable by construction: counts aggregate as
+    exact integers; mean and variance come from the explicit
+    (k, sum, sum-of-squares) moments — ``var = (ss - s*s/k)/(k-1)`` —
+    so both engines divide the SAME integer operands in the same order
+    (builtin STDDEV implementations differ in accumulation order, which
+    flips the floor at quantization).  The per-type moment table is tiny
+    (one row per event type) and broadcasts; the event side shuffles
+    once, for the hourly groupBy, with map-side partial aggregation.
+    """
+    hourly = (
+        events.withColumn(
+            "hour_bucket", F.expr(f"ts div {NS_PER_HOUR}").cast("long")
+        )
+        .groupBy("event_type", "hour_bucket")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+    )
+    moments = hourly.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("k"),
+        F.sum("n_events").alias("s"),
+        F.sum(F.col("n_events") * F.col("n_events")).alias("ss"),
+    )
+    z = F.expr(
+        "floor(1000 * (n_events - s / cast(k as double)) /"
+        " sqrt(greatest((ss - s * (s / cast(k as double))) /"
+        " (k - 1), 1e-12)))"
+    ).cast("long")
+    return (
+        hourly.join(F.broadcast(moments), "event_type")
+        .where(F.col("k") >= 2)
+        .withColumn("z_milli", z)
+        .where(F.abs(F.col("z_milli")) >= z_milli_threshold)
+        .select("event_type", "hour_bucket", "n_events", "z_milli")
+    )
+
+
+def scd2_intervals(events: DataFrame) -> DataFrame:
+    """Materialize a changelog into SCD-2 validity intervals: each event
+    is a state change for its user; the record is valid from its own
+    timestamp until the user's next event (open interval = NULL).
+
+    Output: (user_id, event_id, event_type, valid_from_ns, valid_to_ns,
+    is_current).  Deterministic total order: (ts, event_id) — event_id is
+    unique, so LEAD sees the same sequence in every engine.
+
+    One shuffle on user_id (the window partition key); at 100 TB the
+    same hot-user caveat as sessionize applies and the skew-salted
+    variant there is the template — SCD2 consumers usually bound this by
+    snapshotting only recent partitions.
+    """
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    nxt = F.lead("ts").over(w)
+    return events.select(
+        "user_id",
+        "event_id",
+        "event_type",
+        F.col("ts").alias("valid_from_ns"),
+        nxt.alias("valid_to_ns"),
+        nxt.isNull().alias("is_current"),
+    )

@@ -541,3 +541,57 @@ def test_hll_hourly_users_within_rsd_of_exact(spark):
 def test_connected_components_empty_pairs(spark):
     empty = spark.createDataFrame([], "id_a long, id_b long")
     assert dd.connected_components(empty).collect() == []
+
+
+def test_jaccard_prefix_matches_classic_on_random_corpus(spark):
+    """jaccard_pairs_prefix must emit EXACTLY the classic inverted-index
+    pairs — prefix filtering is a candidate bound, not an approximation.
+    Random near-dup corpus: base docs plus mutated copies at varying
+    overlap, exercising the length filter and the integer prefix bound
+    (incl. sizes where float ceil(t*sz) would misround)."""
+    import random
+
+    rng = random.Random(7)
+    vocab = [f"w{i}" for i in range(40)]
+    docs = []
+    did = 0
+    for _ in range(30):
+        base = [rng.choice(vocab) for _ in range(rng.randint(3, 25))]
+        docs.append((did, " ".join(base)))
+        did += 1
+        if rng.random() < 0.7:  # a mutated near-copy
+            mut = list(base)
+            for _ in range(rng.randint(0, 3)):
+                mut[rng.randrange(len(mut))] = rng.choice(vocab)
+            docs.append((did, " ".join(mut)))
+            did += 1
+    df = spark.createDataFrame(docs, ["doc_id", "text"])
+    for t in (300000, 600000, 900000):
+        classic = {
+            (r["id_a"], r["id_b"], r["jaccard_ppm"])
+            for r in dd.jaccard_pairs(df, threshold_ppm=t).collect()
+        }
+        prefix = {
+            (r["id_a"], r["id_b"], r["jaccard_ppm"])
+            for r in dd.jaccard_pairs_prefix(df, threshold_ppm=t).collect()
+        }
+        assert prefix == classic, f"t={t}: {prefix ^ classic}"
+        assert classic  # non-vacuous: the corpus does contain near-dups
+
+
+def test_repetition_hand_values(spark):
+    rows = [
+        (1, "a a a a"),          # bigrams: aa,aa,aa -> 3, distinct 1
+        (2, "a b c d"),          # all distinct
+        (3, "x"),                # 1 token: no bigrams, top=1/1
+        (4, "  "),               # blank: zeros
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    got = {
+        r["doc_id"]: (r["n_bigrams"], r["dup_bigram_ppm"], r["top_token_ppm"])
+        for r in tx.with_repetition(df).collect()
+    }
+    assert got[1] == (3, 666666, 1000000)  # floor(2/3*1e6), 4/4
+    assert got[2] == (3, 0, 250000)
+    assert got[3] == (0, 0, 1000000)
+    assert got[4] == (0, 0, 0)

@@ -317,3 +317,43 @@ def test_curation_pipeline_no_cartesian_and_quality_stays_jvm(spark):
     # the demotion is an anti-join against the (checkpointed) CC labels;
     # the quality gates stay fused in the projection above it
     assert "LeftAnti" in p, p
+
+
+def test_text_repetition_is_narrow(spark):
+    """Repetition signals are per-row HOFs: zero Exchange in the plan."""
+    from iceberg_compaction_spark.operators import text as tx
+
+    df = tx.with_repetition(
+        spark.read.parquet(f"{SF}/documents.parquet")
+    ).select("doc_id", "n_bigrams", "dup_bigram_ppm", "top_token_ppm")
+    assert "Exchange" not in plan_of(df)
+
+
+def test_contamination_broadcasts_benchmark_vocab(spark):
+    """The benchmark shingle vocabulary broadcasts; the corpus side never
+    sort-merge-joins (at 100 TB the corpus is the unshufflable side)."""
+    from iceberg_compaction_spark import registry
+
+    df = registry.QUERIES["dedup_contamination"](spark, SF)
+    s = plan_of(df)
+    assert "BroadcastHashJoin" in s
+    assert "SortMergeJoin" not in s and "CartesianProduct" not in s
+
+
+def test_anomaly_broadcasts_moment_table(spark):
+    from iceberg_compaction_spark import registry
+
+    df = registry.QUERIES["events_anomaly"](spark, SF)
+    s = plan_of(df)
+    assert "BroadcastHashJoin" in s
+    assert "CartesianProduct" not in s
+    # hourly counts partial-aggregate map-side before their exchange
+    assert "partial_count" in formatted(df)
+
+
+def test_jaccard_prefix_no_cartesian(spark):
+    from iceberg_compaction_spark import registry
+
+    df = registry.QUERIES["dedup_ngram_jaccard_prefix"](spark, SF)
+    s = plan_of(df)
+    assert "CartesianProduct" not in s and "BroadcastNestedLoopJoin" not in s
