@@ -49,6 +49,11 @@ class FileScanTask:
     sequence_number: int = 0
     partition: tuple[Any, ...] = ()
     deletes: list[DeleteFile] = field(default_factory=list)
+    # per-column (lower, upper) over non-null values + null counts, from
+    # parquet footers (Iceberg manifest lower_bounds/upper_bounds/
+    # null_value_counts) — consumed by plans/pruning.py; empty = unknown
+    column_bounds: dict[str, tuple] = field(default_factory=dict)
+    null_counts: dict[str, int] = field(default_factory=dict)
 
     def __post_init__(self) -> None:
         if self.file_size_in_bytes == 0:

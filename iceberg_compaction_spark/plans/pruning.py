@@ -1,0 +1,233 @@
+"""File-level min/max pruning — Iceberg's ``InclusiveMetricsEvaluator``
+re-expressed for this engine's manifests.
+
+At 100 TB the cheapest scan is the file you never open: Iceberg keeps
+per-column lower/upper bounds and null counts in manifest entries and
+evaluates query predicates against them at PLAN time, skipping whole
+files whose bound range cannot contain a match (reference:
+iceberg-rust's ``InclusiveMetricsEvaluator`` used by the scan planner the
+compaction reads through; spec §Manifests `lower_bounds`/`upper_bounds`).
+
+Semantics are INCLUSIVE (may-match): a file is dropped only when its
+stats PROVE no row can match.  Missing stats for a referenced column keep
+the file — correctness never depends on stats being present.  Bound
+comparisons happen on plain Python scalars of the column's own type
+(int/float/str/date/datetime), which order identically to Spark/parquet
+ordering for these primitives; NaN-polluted float columns surface in
+parquet footers as has-no-min-max and therefore never prune.
+
+Stats are collected from parquet FOOTERS only (``collect_file_stats``) —
+metadata reads, no data IO — at manifest bootstrap and on files written
+by the compaction/ingest writers.
+"""
+
+from __future__ import annotations
+
+import datetime as _dt
+from dataclasses import dataclass
+from typing import Any, Iterable
+
+# ops with a value operand
+_BINARY_OPS = {"eq", "ne", "lt", "le", "gt", "ge", "in"}
+_UNARY_OPS = {"is_null", "not_null"}
+
+
+@dataclass(frozen=True)
+class ColumnPredicate:
+    """One conjunct of a scan filter: ``col <op> value``.
+
+    op: eq | ne | lt | le | gt | ge | in | is_null | not_null
+    (`in` takes a tuple/list of values; unary ops ignore `value`).
+    """
+
+    col: str
+    op: str
+    value: Any = None
+
+    def __post_init__(self) -> None:
+        if self.op not in _BINARY_OPS | _UNARY_OPS:
+            raise ValueError(f"unknown predicate op: {self.op!r}")
+
+
+def collect_file_stats(path: str) -> tuple[dict[str, tuple], dict[str, int]]:
+    """(column_bounds, null_counts) from a parquet footer.
+
+    Bounds cover a column only when EVERY row group publishes min/max for
+    it (a single stats-less row group makes the file's range unknown).
+    Only flat orderable primitives participate; nested/binary columns are
+    skipped (never pruned on).
+    """
+    import pyarrow.parquet as pq
+
+    md = pq.read_metadata(path)
+    bounds: dict[str, list] = {}
+    nulls: dict[str, int] = {}
+    dead: set[str] = set()
+    for rg in range(md.num_row_groups):
+        g = md.row_group(rg)
+        for ci in range(g.num_columns):
+            c = g.column(ci)
+            name = c.path_in_schema
+            if "." in name or name in dead:  # nested leaf — skip
+                dead.add(name)
+                continue
+            st = c.statistics
+            if st is None or not st.has_min_max:
+                dead.add(name)
+                continue
+            lo, hi = st.min, st.max
+            if isinstance(lo, bytes) or isinstance(hi, bytes):
+                dead.add(name)  # physical binary without logical order
+                continue
+            if name in bounds:
+                b = bounds[name]
+                b[0] = min(b[0], lo)
+                b[1] = max(b[1], hi)
+            else:
+                bounds[name] = [lo, hi]
+            if st.has_null_count:
+                nulls[name] = nulls.get(name, 0) + st.null_count
+            else:
+                nulls.pop(name, None)
+                dead.add(name)
+    for name in dead:
+        bounds.pop(name, None)
+        nulls.pop(name, None)
+    return {k: (v[0], v[1]) for k, v in bounds.items()}, nulls
+
+
+def might_match(
+    bounds: dict[str, tuple],
+    null_counts: dict[str, int],
+    record_count: int,
+    predicates: Iterable[ColumnPredicate],
+) -> bool:
+    """Inclusive evaluation of a predicate CONJUNCTION against file stats.
+
+    Returns False only when some conjunct provably matches no row.
+    """
+    for p in predicates:
+        b = bounds.get(p.col)
+        nn = null_counts.get(p.col)
+        if p.op == "is_null":
+            # prunable only when the null count is known to be zero
+            if nn == 0:
+                return False
+            continue
+        if p.op == "not_null":
+            if (
+                nn is not None
+                and record_count > 0
+                and nn >= record_count
+            ):
+                return False
+            continue
+        if b is None:
+            continue  # no stats — cannot prune
+        lo, hi = b
+        v = p.value
+        try:
+            if p.op == "eq" and (v < lo or v > hi):
+                return False
+            if p.op == "lt" and lo >= v:
+                return False
+            if p.op == "le" and lo > v:
+                return False
+            if p.op == "gt" and hi <= v:
+                return False
+            if p.op == "ge" and hi < v:
+                return False
+            if p.op == "in" and all(x < lo or x > hi for x in v):
+                return False
+            # `ne` can only prune a single-value file.  NULL rows never
+            # satisfy any comparison predicate (SQL three-valued logic),
+            # so bounds over the non-null values alone decide this.
+            if p.op == "ne" and lo == hi == v:
+                return False
+        except TypeError:
+            # cross-type comparison (e.g. predicate str vs int bounds):
+            # stats can't decide — keep the file
+            continue
+    return True
+
+
+def prune_tasks(tasks, predicates: Iterable[ColumnPredicate]):
+    """Return the sub-list of FileScanTasks whose stats may match."""
+    preds = list(predicates)
+    return [
+        t
+        for t in tasks
+        if might_match(
+            getattr(t, "column_bounds", {}) or {},
+            getattr(t, "null_counts", {}) or {},
+            t.record_count,
+            preds,
+        )
+    ]
+
+
+def predicate_to_spark(preds: Iterable[ColumnPredicate]):
+    """The same conjunction as a Spark Column (residual filter: pruning
+    skips files, this keeps row-level exactness inside surviving files)."""
+    from pyspark.sql import functions as F
+
+    out = None
+    for p in preds:
+        c = F.col(p.col)
+        if p.op == "eq":
+            e = c == F.lit(p.value)
+        elif p.op == "ne":
+            e = c != F.lit(p.value)
+        elif p.op == "lt":
+            e = c < F.lit(p.value)
+        elif p.op == "le":
+            e = c <= F.lit(p.value)
+        elif p.op == "gt":
+            e = c > F.lit(p.value)
+        elif p.op == "ge":
+            e = c >= F.lit(p.value)
+        elif p.op == "in":
+            e = c.isin(list(p.value))
+        elif p.op == "is_null":
+            e = c.isNull()
+        else:
+            e = c.isNotNull()
+        out = e if out is None else (out & e)
+    return out
+
+
+# ---- JSON wire helpers (manifest persistence) ------------------------------
+
+_TYPE_TAGS = {
+    int: "i",
+    float: "f",
+    str: "s",
+    bool: "b",
+    _dt.date: "d",
+    _dt.datetime: "ts",
+}
+
+
+def bound_to_json(v: Any) -> list:
+    """[tag, value] — dates/datetimes as ISO strings, rest as-is."""
+    t = type(v)
+    tag = _TYPE_TAGS.get(t)
+    if tag is None:  # subclass (e.g. datetime is a date subclass)
+        for k, g in _TYPE_TAGS.items():
+            if isinstance(v, k):
+                tag, t = g, k
+                break
+    if tag in ("d", "ts"):
+        return [tag, v.isoformat()]
+    if tag is None:
+        raise TypeError(f"unsupported bound type: {t}")
+    return [tag, v]
+
+
+def bound_from_json(x: list) -> Any:
+    tag, v = x
+    if tag == "d":
+        return _dt.date.fromisoformat(v)
+    if tag == "ts":
+        return _dt.datetime.fromisoformat(v)
+    return v

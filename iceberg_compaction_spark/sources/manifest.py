@@ -22,6 +22,7 @@ import uuid
 from dataclasses import dataclass, field
 from typing import Any, Iterator
 
+from iceberg_compaction_spark.plans import pruning as _pruning
 from iceberg_compaction_spark.plans.datamodel import (
     EQUALITY_DELETE,
     POSITION_DELETE,
@@ -151,15 +152,21 @@ class Manifest:
 
     @staticmethod
     def from_parquet_dir(
-        root: str, pattern_suffix: str = ".parquet", sequence_number: int = 1
+        root: str,
+        pattern_suffix: str = ".parquet",
+        sequence_number: int = 1,
+        collect_stats: bool = True,
     ) -> "Manifest":
         """Bootstrap a manifest from a directory of parquet files.
 
         Every file gets the same sequence number (as if written in one
-        commit); record counts come from parquet footers (cheap: metadata
-        only).
+        commit); record counts — and, with ``collect_stats``, per-column
+        bounds + null counts for plan-time file pruning — come from
+        parquet footers (cheap: metadata only, no data IO).
         """
         import pyarrow.parquet as pq
+
+        from iceberg_compaction_spark.plans import pruning as pr
 
         tasks: list[FileScanTask] = []
         for name in sorted(os.listdir(root)):
@@ -168,6 +175,9 @@ class Manifest:
             path = os.path.join(root, name)
             size = os.path.getsize(path)
             nrows = pq.read_metadata(path).num_rows
+            bounds, nulls = (
+                pr.collect_file_stats(path) if collect_stats else ({}, {})
+            )
             tasks.append(
                 FileScanTask(
                     data_file_path=path,
@@ -175,6 +185,8 @@ class Manifest:
                     file_size_in_bytes=size,
                     record_count=nrows,
                     sequence_number=sequence_number,
+                    column_bounds=bounds,
+                    null_counts=nulls,
                 )
             )
         return Manifest(
@@ -221,6 +233,17 @@ class Manifest:
                     "record_count": t.record_count,
                     "sequence_number": t.sequence_number,
                     "partition": list(t.partition),
+                    **(
+                        {
+                            "column_bounds": {
+                                c: [_pruning.bound_to_json(b[0]), _pruning.bound_to_json(b[1])]
+                                for c, b in t.column_bounds.items()
+                            },
+                            "null_counts": dict(t.null_counts),
+                        }
+                        if t.column_bounds or t.null_counts
+                        else {}
+                    ),
                     "deletes": [
                         {
                             "path": d.path,
@@ -261,6 +284,14 @@ class Manifest:
                     sequence_number=t.get("sequence_number", 0),
                     partition=tuple(t.get("partition", ())),
                     deletes=deletes,
+                    column_bounds={
+                        c: (
+                            _pruning.bound_from_json(b[0]),
+                            _pruning.bound_from_json(b[1]),
+                        )
+                        for c, b in t.get("column_bounds", {}).items()
+                    },
+                    null_counts=dict(t.get("null_counts", {})),
                 )
             )
         return Manifest(

@@ -284,3 +284,35 @@ def read_data_files(
             df = df.withColumn(HIDDEN_SEQ, F.lit(default_seq).cast("long"))
 
     return df
+
+
+def read_pruned(
+    spark: SparkSession,
+    manifest,
+    predicates,
+) -> DataFrame:
+    """Predicate-pruned snapshot scan: drop whole files whose manifest
+    column bounds prove no row can match (plans/pruning.py — Iceberg's
+    InclusiveMetricsEvaluator), then apply the SAME predicate as a Spark
+    filter over the survivors for row-level exactness.
+
+    This is the plan-time half of predicate pushdown: Catalyst pushes
+    the filter into surviving files' row groups; the manifest stats stop
+    Spark from ever LISTING the dead files — on object stores at 100 TB
+    the listing+footer round-trips alone dominate a selective query.
+
+    Returns an empty DataFrame with the table's schema when every file
+    prunes (schema comes from an 0-row read of the first file's footer).
+    """
+    from iceberg_compaction_spark.plans import pruning as pr
+
+    tasks = manifest.data_files
+    alive = pr.prune_tasks(tasks, predicates)
+    cond = pr.predicate_to_spark(predicates)
+    if not alive:
+        if not tasks:
+            raise ValueError("cannot infer schema of an empty table")
+        empty = spark.read.parquet(tasks[0].data_file_path).limit(0)
+        return empty if cond is None else empty.where(cond)
+    df = spark.read.parquet(*[t.data_file_path for t in alive])
+    return df if cond is None else df.where(cond)

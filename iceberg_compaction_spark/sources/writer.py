@@ -26,6 +26,7 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from iceberg_compaction_spark.config import WriterConfig
+from iceberg_compaction_spark.plans import pruning as _pruning
 from iceberg_compaction_spark.plans.datamodel import FileScanTask
 
 
@@ -148,6 +149,7 @@ def list_written_files(out_dir: str, sequence_number: int = 0) -> list[FileScanT
                 continue
             path = os.path.join(root, name)
             size = os.path.getsize(path)
+            bounds, nulls = _pruning.collect_file_stats(path)
             tasks.append(
                 FileScanTask(
                     data_file_path=path,
@@ -156,6 +158,11 @@ def list_written_files(out_dir: str, sequence_number: int = 0) -> list[FileScanT
                     record_count=pq.read_metadata(path).num_rows,
                     sequence_number=sequence_number,
                     partition=part,
+                    # footer-only stats: compacted output stays prunable
+                    # (Iceberg writers always publish bounds; a rewrite
+                    # that dropped them would degrade every later scan)
+                    column_bounds=bounds,
+                    null_counts=nulls,
                 )
             )
     return tasks
