@@ -42,6 +42,9 @@ BENCH_QUERIES = [
     "emb_quantize",
     "text_top_ngrams",
     "pipeline_curation_full",
+    "text_repetition",
+    "dedup_contamination",
+    "events_scd2",
 ]
 
 
