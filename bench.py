@@ -221,6 +221,14 @@ def main() -> None:
     spark.range(32).repartition(32).mapInPandas(
         lambda it: it, "id long"
     ).write.format("noop").mode("overwrite").save()
+    # touch every input file so the OS page cache is hot before timing —
+    # on a fresh VM the first pass otherwise measures disk, not the engine
+    import glob as _glob
+
+    for p in _glob.glob(f"{sf_dir}/*.parquet"):
+        with open(p, "rb") as fh:
+            while fh.read(1 << 22):
+                pass
     from iceberg_compaction_spark.operators import synthetic as syn
 
     syn.position_delete_table(spark, sf_dir).count()
@@ -233,7 +241,11 @@ def main() -> None:
     # passes strips one-off noise (page-cache misses, a GC pause,
     # another process) without letting any query benefit from its own
     # just-primed caches.
-    n_runs = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "2")))
+    # 3 passes: on a cold VM the whole first pass absorbs JIT compilation
+    # and jar/codegen cache warm-up (measured 69 s cold vs 36.5 s warm for
+    # the identical list), so it acts as warm-up and passes 2-3 provide
+    # the usual interleaved min-of-2.
+    n_runs = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3")))
     timings: dict[str, float] = {}
     for _ in range(n_runs):
         for name in BENCH_QUERIES:
