@@ -627,9 +627,18 @@ def connected_components(
     executor-loss fault tolerance; localCheckpoint keeps the local
     harness dependency-free.
     """
+    # Materialize the (usually expensive) candidate-pair computation ONCE
+    # before symmetrizing: the two union branches otherwise each embed the
+    # full upstream pair join in their physical plan, so the edge build
+    # runs it twice.  At corpus scale the pair join is the dominant cost
+    # of the whole CC call — halving it is structural, not a micro-win.
+    half_edges = pairs.select(
+        F.col(id_a).alias("src"), F.col(id_b).alias("dst")
+    ).localCheckpoint()
     edges = (
-        pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
-        .union(pairs.select(F.col(id_b).alias("src"), F.col(id_a).alias("dst")))
+        half_edges.union(
+            half_edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+        )
         .dropDuplicates()
         .localCheckpoint()
     )
