@@ -1,0 +1,187 @@
+"""Corpus assembly operators: deterministic splits, source mixing,
+sequence packing, and PII scrubbing.
+
+These are the operations that turn a curated document table into an
+actual training corpus: assign every doc a reproducible train/val/test
+split, downsample sources to a target mixture, pack token streams into
+fixed-length training sequences, and redact PII before release.
+
+Design rules shared by every operator here:
+
+- **Hash acceptance, never ``rand()``.**  Sampling decisions are a pure
+  function of the row key (md5 with a per-operator salt), so reruns,
+  retries, and other engines reproduce the same corpus bit-for-bit.
+  A salt per operator keeps the split decision independent of the
+  mixture decision — hashing the same key for both would correlate
+  them (every val doc would also be the first to be dropped by the
+  sampler).
+- **Narrow where possible.**  Split and mixture are pure scan-side
+  filters/projections: no shuffle, no driver state — the shape that
+  labels 10^11 rows by just scanning them.
+- **Integer arithmetic at decision points** (bucket < rate_ppm), so no
+  float formatting or ulp issue can flip a membership decision between
+  engines.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import Column, DataFrame
+from pyspark.sql.window import Window
+
+__all__ = [
+    "hash_bucket",
+    "train_val_test_split",
+    "mixture_sample",
+    "pack_sequences",
+    "scrub_pii",
+]
+
+
+def hash_bucket(key: Column, salt: str, modulus: int) -> Column:
+    """Deterministic bucket in [0, modulus): first 8 hex chars of
+    ``md5(salt || key)`` as an integer, mod ``modulus``.  Matches the
+    DuckDB expression ``('0x' || substr(md5(salt || key), 1, 8))::BIGINT
+    % modulus`` exactly (32-bit value, no sign issues)."""
+    return (
+        F.conv(F.substring(F.md5(F.concat(F.lit(salt), key.cast("string"))), 1, 8), 16, 10)
+        .cast("long")
+        % modulus
+    )
+
+
+def train_val_test_split(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    train_ppm: int = 800_000,
+    val_ppm: int = 100_000,
+    salt: str = "split_",
+) -> DataFrame:
+    """Assign every row a reproducible split label.
+
+    ``bucket = md5(salt || id) % 1e6``; [0, train) -> train,
+    [train, train+val) -> val, rest -> test.  The assignment is a pure
+    projection — a doc's split never changes when the corpus grows,
+    which is the property that keeps eval sets stable across corpus
+    versions (row-number-based splits reshuffle everything on every
+    insert).
+    """
+    b = hash_bucket(F.col(id_col), salt, 1_000_000)
+    return df.withColumn(
+        "split",
+        F.when(b < train_ppm, "train")
+        .when(b < train_ppm + val_ppm, "val")
+        .otherwise("test"),
+    )
+
+
+def mixture_sample(
+    df: DataFrame,
+    rates_ppm: dict[str, int],
+    id_col: str = "doc_id",
+    source_col: str = "source",
+    default_ppm: int = 1_000_000,
+    salt: str = "mix_",
+) -> DataFrame:
+    """Downsample each source to its target acceptance rate — the
+    training-mixture knob (keep 100% of high-quality sources, 10% of
+    the crawl, ...).  Pure scan-side filter via salted hash acceptance;
+    sources absent from ``rates_ppm`` keep ``default_ppm``.
+
+    The acceptance hash is salted differently from the split hash so
+    mixture membership is independent of split membership.
+    """
+    rate = None
+    for src, ppm in sorted(rates_ppm.items()):
+        cond = F.col(source_col) == src
+        rate = F.when(cond, ppm) if rate is None else rate.when(cond, ppm)
+    rate = F.lit(default_ppm) if rate is None else rate.otherwise(default_ppm)
+    b = hash_bucket(F.col(id_col), salt, 1_000_000)
+    return df.where(b < rate)
+
+
+def pack_sequences(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    tokens_col: str = "n_tokens",
+    capacity: int = 2048,
+    n_buckets: int = 32,
+) -> DataFrame:
+    """Concat-and-cut sequence packing: assign each document its
+    position in a fixed-length training-sequence stream.
+
+    Semantics are the standard pretraining layout: within a bucket,
+    documents are concatenated in ``id`` order and the token stream is
+    cut every ``capacity`` tokens.  Each doc gets the sequence id where
+    it STARTS (``tokens_before div capacity``), its offset in that
+    sequence, and a flag for whether it straddles a cut point.  (This is
+    deliberately not bin packing — no reordering, no driver state; the
+    greedy reset of first-fit packing is inherently sequential, while
+    the concat-and-cut stream is one window cumsum.)
+
+    Scale shape: docs hash into ``n_buckets`` independent streams
+    (bucket = id % n_buckets), so the cumulative window parallelizes
+    across buckets; each reducer sees corpus/n_buckets rows.  At 100 TB
+    n_buckets is sized to executor count, not 32.  Empty docs are
+    excluded (they occupy no stream positions).
+    """
+    w = (
+        Window.partitionBy("pack_bucket")
+        .orderBy(id_col)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    toks = F.col(tokens_col).cast("long")
+    return (
+        df.where(toks > 0)
+        .withColumn("pack_bucket", (F.col(id_col) % n_buckets).cast("long"))
+        .withColumn("cum_tokens", F.sum(toks).over(w))
+        .withColumn("tokens_before", F.col("cum_tokens") - toks)
+        .select(
+            F.col(id_col),
+            "pack_bucket",
+            toks.alias("n_tokens"),
+            (F.col("tokens_before") / capacity)
+            .cast("long")
+            .alias("seq_id"),
+            (F.col("tokens_before") % capacity).alias("seq_offset"),
+            (
+                (F.col("tokens_before") / capacity).cast("long")
+                != ((F.col("cum_tokens") - 1) / capacity).cast("long")
+            )
+            .cast("int")
+            .alias("spans_cut"),
+        )
+    )
+
+
+# PII patterns restricted to the regex subset Java and RE2 agree on
+# (no backrefs, no lookaround): pattern -> replacement tag.
+PII_PATTERNS: list[tuple[str, str]] = [
+    # order matters: emails first so phone patterns can't eat their digits
+    (r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
+    (r"\b\d{3}-\d{2}-\d{4}\b", "<SSN>"),
+    # no leading \b: a word boundary can't precede '(' or '+' (both
+    # non-word), which would silently skip "(555) ..." / "+1-..." forms
+    (r"(?:\+?1[-. ]?)?\(?\d{3}\)?[-. ]\d{3}[-. ]\d{4}\b", "<PHONE>"),
+    (r"\b(?:\d{1,3}\.){3}\d{1,3}\b", "<IP>"),
+]
+
+
+def scrub_pii(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Redact common PII patterns and count what was removed.
+
+    Adds ``text_scrubbed`` plus an integer hit count per PII class
+    (n_email, n_ssn, n_phone, n_ip).  All JVM-side ``regexp_replace`` /
+    ``regexp_count`` in one projection — narrow, zero-shuffle,
+    whole-stage codegen; at 100 TB this is scan-speed.  Counts are
+    computed on the progressively redacted text in the same order as
+    the replacements, so overlapping classes (an SSN inside a phone-
+    like string) are attributed exactly once, to the first pattern.
+    """
+    out = df
+    cur = F.col(text_col)
+    for pat, tag in PII_PATTERNS:
+        name = "n_" + tag.strip("<>").lower()
+        out = out.withColumn(name, F.regexp_count(cur, F.lit(pat)).cast("int"))
+        cur = F.regexp_replace(cur, pat, tag)
+    return out.withColumn("text_scrubbed", cur)

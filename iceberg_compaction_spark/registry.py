@@ -19,6 +19,7 @@ from collections.abc import Callable
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from iceberg_compaction_spark.operators import corpus as cp
 from iceberg_compaction_spark.operators import dedup as dd
 from iceberg_compaction_spark.operators import similarity as sim
 from iceberg_compaction_spark.operators import synthetic as syn
@@ -2324,3 +2325,104 @@ def q_events_scd2(spark, sf_dir):
     (ts, event_id) total order — one shuffle on the window key."""
     df = ev.scd2_intervals(ev.read_events(spark, sf_dir))
     return df.withColumn("is_current", F.col("is_current").cast("int"))
+
+
+# --- corpus assembly (operators/corpus.py) ---------------------------------
+
+
+@register(
+    "pipeline_split",
+    """
+    SELECT doc_id,
+      CASE WHEN b < 800000 THEN 'train'
+           WHEN b < 900000 THEN 'val'
+           ELSE 'test' END AS split
+    FROM (
+      SELECT doc_id,
+        ('0x' || substr(md5('split_' || CAST(doc_id AS VARCHAR)), 1, 8))
+          ::BIGINT % 1000000 AS b
+      FROM documents
+    )
+    """,
+)
+def q_pipeline_split(spark, sf_dir):
+    """Deterministic 80/10/10 train/val/test assignment
+    (operators/corpus.py train_val_test_split): salted-md5 bucket per
+    doc, so a doc's split never changes as the corpus grows.  Pure
+    scan-side projection — no shuffle, no state."""
+    return cp.train_val_test_split(_docs(spark, sf_dir)).select(
+        "doc_id", "split"
+    )
+
+
+# target mixture: source index mod 4 -> acceptance ppm (keep premium
+# sources whole, downsample the crawl-like tail)
+MIXTURE_RATES_PPM = {
+    f"src{i}": (900_000, 600_000, 300_000, 100_000)[i % 4] for i in range(20)
+}
+
+
+@register(
+    "pipeline_mixture",
+    """
+    SELECT doc_id, source FROM (
+      SELECT doc_id, source,
+        CASE CAST(substr(source, 4) AS INTEGER) % 4
+          WHEN 0 THEN 900000 WHEN 1 THEN 600000
+          WHEN 2 THEN 300000 ELSE 100000 END AS rate_ppm,
+        ('0x' || substr(md5('mix_' || CAST(doc_id AS VARCHAR)), 1, 8))
+          ::BIGINT % 1000000 AS b
+      FROM documents
+    ) WHERE b < rate_ppm
+    """,
+)
+def q_pipeline_mixture(spark, sf_dir):
+    """Source-weighted mixture sampling (operators/corpus.py
+    mixture_sample): per-source hash-acceptance rates — the knob that
+    sets the training mix.  Salted independently of pipeline_split so
+    mixture membership doesn't correlate with split membership.
+    Scan-side filter: samples 10^11 rows by scanning them once."""
+    return cp.mixture_sample(
+        _docs(spark, sf_dir), MIXTURE_RATES_PPM
+    ).select("doc_id", "source")
+
+
+PACK_CAPACITY = 2048
+PACK_BUCKETS = 32
+
+
+@register(
+    "pipeline_pack_sequences",
+    f"""
+    WITH t AS (
+      SELECT doc_id,
+        CASE WHEN trim(text)='' THEN 0 ELSE len({_TOKS}) END AS n
+      FROM documents
+    ), p AS (
+      SELECT doc_id, doc_id % {PACK_BUCKETS} AS pack_bucket,
+        CAST(n AS BIGINT) AS n_tokens,
+        sum(CAST(n AS BIGINT)) OVER (
+          PARTITION BY doc_id % {PACK_BUCKETS} ORDER BY doc_id
+          ROWS UNBOUNDED PRECEDING) AS cum
+      FROM t WHERE n > 0
+    )
+    SELECT doc_id, pack_bucket, n_tokens,
+      (cum - n_tokens) // {PACK_CAPACITY} AS seq_id,
+      (cum - n_tokens) % {PACK_CAPACITY} AS seq_offset,
+      CAST((cum - n_tokens) // {PACK_CAPACITY}
+           <> (cum - 1) // {PACK_CAPACITY} AS INTEGER) AS spans_cut
+    FROM p
+    """,
+)
+def q_pipeline_pack_sequences(spark, sf_dir):
+    """Concat-and-cut sequence packing (operators/corpus.py
+    pack_sequences): each doc's position in the fixed-length training-
+    sequence stream — bucketed cumulative window, parallel across
+    {PACK_BUCKETS} independent streams."""
+    docs = tx.with_token_counts(_docs(spark, sf_dir))
+    return cp.pack_sequences(
+        docs,
+        tokens_col="ws_tokens",
+        capacity=PACK_CAPACITY,
+        n_buckets=PACK_BUCKETS,
+    )

@@ -1,0 +1,124 @@
+"""Corpus assembly operators (operators/corpus.py): splits, mixture,
+sequence packing, PII scrub.
+
+The three query-shaped operators are oracle-checked end-to-end by
+tests/test_oracle_tail.py (pipeline_split / pipeline_mixture /
+pipeline_pack_sequences); this file covers the INVARIANTS the value
+hash can't express, and scrub_pii, which needs constructed fixtures —
+the synthetic documents table contains no PII-shaped strings.
+"""
+
+import pyspark.sql.functions as F
+import pytest
+
+from iceberg_compaction_spark.operators import corpus as cp
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return spark.read.parquet(f"{SF}/documents.parquet")
+
+
+def test_split_is_stable_under_corpus_growth(spark, docs):
+    """A doc's split must be a pure function of its id: splitting a
+    subset assigns the same labels as splitting the whole corpus."""
+    full = {
+        r["doc_id"]: r["split"]
+        for r in cp.train_val_test_split(docs).select("doc_id", "split").collect()
+    }
+    sub = cp.train_val_test_split(docs.where(F.col("doc_id") % 3 == 0))
+    for r in sub.select("doc_id", "split").collect():
+        assert full[r["doc_id"]] == r["split"]
+
+
+def test_split_proportions_roughly_match(spark, docs):
+    counts = dict(
+        cp.train_val_test_split(docs)
+        .groupBy("split")
+        .count()
+        .rdd.map(lambda r: (r["split"], r["count"]))
+        .collect()
+    )
+    n = sum(counts.values())
+    assert n == docs.count()
+    # 500 docs; binomial 3-sigma on 80% is ~±5.4pp
+    assert 0.72 <= counts.get("train", 0) / n <= 0.88
+    assert 0.04 <= counts.get("val", 0) / n <= 0.16
+    assert 0.04 <= counts.get("test", 0) / n <= 0.16
+
+
+def test_mixture_independent_of_split(spark, docs):
+    """The mixture and split hashes are salted differently: the val/test
+    fraction inside the sampled corpus must match the global fraction
+    (correlated hashes would concentrate or exclude eval docs)."""
+    rates = {f"src{i}": 500_000 for i in range(20)}
+    sampled = cp.mixture_sample(docs, rates)
+    both = cp.train_val_test_split(sampled)
+    frac = both.where(F.col("split") != "train").count() / both.count()
+    assert 0.1 <= frac <= 0.35  # global is 20%
+
+
+def test_mixture_default_rate_keeps_unlisted_sources(spark, docs):
+    sampled = cp.mixture_sample(docs, {"src0": 0}, default_ppm=1_000_000)
+    srcs = {r["source"] for r in sampled.select("source").distinct().collect()}
+    assert "src0" not in srcs
+    assert len(srcs) == 19
+
+
+def test_pack_sequences_stream_invariants(spark, docs):
+    from iceberg_compaction_spark.operators.text import with_token_counts
+
+    cap, nb = 128, 8
+    packed = cp.pack_sequences(
+        with_token_counts(docs), tokens_col="ws_tokens", capacity=cap, n_buckets=nb
+    ).collect()
+    assert packed, "fixture produced no packed docs"
+    by_bucket = {}
+    for r in packed:
+        assert 0 <= r["seq_offset"] < cap
+        assert r["pack_bucket"] == r["doc_id"] % nb
+        assert r["n_tokens"] > 0
+        by_bucket.setdefault(r["pack_bucket"], []).append(r)
+    for rows in by_bucket.values():
+        rows.sort(key=lambda r: r["doc_id"])
+        stream_pos = 0
+        for r in rows:
+            # each doc starts exactly where the previous one ended
+            assert r["seq_id"] * cap + r["seq_offset"] == stream_pos
+            end = stream_pos + r["n_tokens"] - 1
+            assert r["spans_cut"] == int(stream_pos // cap != end // cap)
+            stream_pos += r["n_tokens"]
+
+
+def test_scrub_pii_redacts_and_counts(spark):
+    rows = [
+        (1, "contact john.doe+x@example.com or jane@sub.example.org today"),
+        (2, "ssn 123-45-6789 phone (555) 123-4567 ip 10.0.0.1"),
+        (3, "call +1-555-123-4567 or 555 123 4567"),
+        (4, "clean text with no pii at all"),
+        (5, ""),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["doc_id"]: r for r in cp.scrub_pii(df).collect()}
+
+    assert out[1]["n_email"] == 2
+    assert out[1]["text_scrubbed"] == "contact <EMAIL> or <EMAIL> today"
+    assert out[2]["n_ssn"] == 1
+    assert out[2]["n_phone"] == 1
+    assert out[2]["n_ip"] == 1
+    assert out[2]["text_scrubbed"] == "ssn <SSN> phone <PHONE> ip <IP>"
+    assert out[3]["n_phone"] == 2
+    assert out[4]["text_scrubbed"] == out[4]["text"]
+    for r in out.values():
+        assert "@" not in r["text_scrubbed"]
+
+
+def test_scrub_pii_ssn_not_double_counted_as_phone(spark):
+    """An SSN-shaped string must be attributed to the SSN class only —
+    counts are taken on the progressively redacted text."""
+    df = spark.createDataFrame([(1, "id 123-45-6789")], "doc_id long, text string")
+    r = cp.scrub_pii(df).collect()[0]
+    assert r["n_ssn"] == 1
+    assert r["n_phone"] == 0
