@@ -2401,9 +2401,9 @@ PACK_BUCKETS = 32
     ), p AS (
       SELECT doc_id, doc_id % {PACK_BUCKETS} AS pack_bucket,
         CAST(n AS BIGINT) AS n_tokens,
-        sum(CAST(n AS BIGINT)) OVER (
+        CAST(sum(CAST(n AS BIGINT)) OVER (
           PARTITION BY doc_id % {PACK_BUCKETS} ORDER BY doc_id
-          ROWS UNBOUNDED PRECEDING) AS cum
+          ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum
       FROM t WHERE n > 0
     )
     SELECT doc_id, pack_bucket, n_tokens,

@@ -1,0 +1,227 @@
+"""Incremental / CDC reads: row-level changes between two snapshots.
+
+The reference engine only rewrites snapshots; the surface a consumer of
+those snapshots needs next is "what changed between snapshot A and B" —
+Iceberg's incremental append scan and changelog scan.  This module
+provides both, Spark-first:
+
+- :func:`diff_files` — manifest-level diff (added/removed data files,
+  per-file delete-set changes).  Pure metadata, no data IO.
+- :func:`table_changes` — row-level changelog between two snapshots
+  with a ``_change_type`` column ('insert' / 'delete').  Updates appear
+  as delete+insert pairs, like Iceberg's changelog scan without the
+  optional pre/post-update image pairing.
+- :func:`changelog_between` — the multi-snapshot changelog over a
+  catalog table's history, each row stamped with the snapshot that
+  produced it.
+
+Execution strategy (the scale story):
+
+- **Append fast path.**  When the old file set is carried over intact
+  (no data file removed, no carried file's delete set changed), the
+  changelog is exactly the added files' live rows — read ONLY those
+  files through the normal MOR scan.  This is Iceberg's incremental
+  append scan: cost proportional to the delta, not the table.  At
+  100 TB with daily appends this is the only affordable path, and it is
+  chosen automatically from manifest metadata.
+- **General diff.**  For rewrites/overwrites/deletes the changelog is
+  computed exactly as a symmetric multiset difference of live rows:
+  ``new exceptAll old`` / ``old exceptAll new`` — two hash-partitioned
+  distributed anti-diffs, no driver materialization.  A compaction
+  rewrite correctly produces an EMPTY changelog (same live rows, new
+  layout), which is also the cheapest possible correctness check that a
+  rewrite preserved data.
+
+Schema evolution between the snapshots is handled by aligning both
+sides on the NEW snapshot's columns (dropped/renamed-away columns are
+ignored, added columns read as NULL on the old side) — matching how
+Iceberg reads old snapshots through the current schema.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession
+
+from iceberg_compaction_spark.operators.mor import rewrite_file_group
+from iceberg_compaction_spark.plans.datamodel import FileGroup
+from iceberg_compaction_spark.sources.manifest import Manifest
+
+CHANGE_TYPE = "_change_type"
+
+__all__ = [
+    "CHANGE_TYPE",
+    "FileDiff",
+    "diff_files",
+    "snapshot_rows",
+    "table_changes",
+    "changelog_between",
+]
+
+
+@dataclass
+class FileDiff:
+    """Metadata-level diff between two manifests."""
+
+    added_data_files: list[str] = field(default_factory=list)
+    removed_data_files: list[str] = field(default_factory=list)
+    # carried-over data files whose attached delete set changed (new
+    # equality/position deletes now apply to previously-live rows)
+    changed_delete_files: list[str] = field(default_factory=list)
+
+    @property
+    def is_append_only(self) -> bool:
+        return not self.removed_data_files and not self.changed_delete_files
+
+    @property
+    def is_noop(self) -> bool:
+        return (
+            not self.added_data_files
+            and not self.removed_data_files
+            and not self.changed_delete_files
+        )
+
+
+def _delete_key(task) -> tuple:
+    return tuple(
+        sorted((d.path, d.content, d.sequence_number) for d in task.deletes)
+    )
+
+
+def diff_files(old: Manifest, new: Manifest) -> FileDiff:
+    old_by = {t.data_file_path: t for t in old.data_files}
+    new_by = {t.data_file_path: t for t in new.data_files}
+    diff = FileDiff()
+    for p in new_by:
+        if p not in old_by:
+            diff.added_data_files.append(p)
+    for p, t in old_by.items():
+        if p not in new_by:
+            diff.removed_data_files.append(p)
+        elif _delete_key(t) != _delete_key(new_by[p]):
+            diff.changed_delete_files.append(p)
+    return diff
+
+
+def _group(tasks, format_version: int) -> FileGroup:
+    g = FileGroup.from_tasks(list(tasks))
+    g.format_version = format_version
+    return g
+
+
+def snapshot_rows(spark: SparkSession, manifest: Manifest) -> DataFrame:
+    """All live rows of a snapshot: the full-table MOR read (position +
+    equality deletes applied, hidden columns projected away)."""
+    return rewrite_file_group(
+        spark, _group(manifest.data_files, manifest.format_version)
+    )
+
+
+def _align(df: DataFrame, columns: list[str]) -> DataFrame:
+    have = set(df.columns)
+    return df.select(
+        *[
+            F.col(c) if c in have else F.lit(None).alias(c)
+            for c in columns
+        ]
+    )
+
+
+def table_changes(
+    spark: SparkSession, old: Manifest, new: Manifest
+) -> DataFrame:
+    """Row-level changelog from ``old`` to ``new``: the new snapshot's
+    columns plus ``_change_type`` ('insert' / 'delete')."""
+    diff = diff_files(old, new)
+    new_schema_df = snapshot_rows(spark, new)
+    columns = new_schema_df.columns
+    empty = new_schema_df.limit(0).withColumn(CHANGE_TYPE, F.lit(""))
+    if diff.is_noop:
+        return empty
+    if diff.is_append_only:
+        added = {p for p in diff.added_data_files}
+        tasks = [t for t in new.data_files if t.data_file_path in added]
+        if not tasks:
+            return empty
+        inserts = rewrite_file_group(
+            spark, _group(tasks, new.format_version)
+        )
+        return _align(inserts, columns).withColumn(
+            CHANGE_TYPE, F.lit("insert")
+        )
+    # General path, restricted to the AFFECTED file sets: a carried-over
+    # file whose delete set did not change contributes identical live
+    # rows to both snapshots, so its rows cancel exactly in the multiset
+    # difference — skipping them is lossless and turns an upsert
+    # changelog from a full-table scan into a delta-priced one.  Only
+    # added/removed files and carried files with changed deletes are
+    # scanned, on each side with that side's delete attachments.
+    affected = set(diff.added_data_files + diff.removed_data_files) | set(
+        diff.changed_delete_files
+    )
+    old_tasks = [t for t in old.data_files if t.data_file_path in affected]
+    new_tasks = [t for t in new.data_files if t.data_file_path in affected]
+    old_rows = _align(
+        rewrite_file_group(spark, _group(old_tasks, old.format_version))
+        if old_tasks
+        else snapshot_rows(spark, old).limit(0),
+        columns,
+    )
+    new_rows = _align(
+        rewrite_file_group(spark, _group(new_tasks, new.format_version))
+        if new_tasks
+        else new_schema_df.limit(0),
+        columns,
+    )
+    inserts = new_rows.exceptAll(old_rows).withColumn(
+        CHANGE_TYPE, F.lit("insert")
+    )
+    deletes = old_rows.exceptAll(new_rows).withColumn(
+        CHANGE_TYPE, F.lit("delete")
+    )
+    return inserts.unionByName(deletes)
+
+
+def changelog_between(
+    spark: SparkSession,
+    catalog,
+    name: str,
+    from_snapshot: int,
+    to_snapshot: int,
+) -> DataFrame:
+    """Changelog across a table's history: the union of per-commit
+    changes for every snapshot in ``(from_snapshot, to_snapshot]``,
+    each row stamped with ``_commit_snapshot_id``.
+
+    The walk is a driver loop over snapshot METADATA (bounded by
+    history length); each step's row work is delegated to
+    :func:`table_changes`, so appends stay delta-priced.
+    """
+    history = [
+        s
+        for s in catalog.table_history(name)
+        if from_snapshot <= s <= to_snapshot
+    ]
+    if from_snapshot not in history:
+        raise ValueError(
+            f"snapshot {from_snapshot} not in history of {name!r}: {history}"
+        )
+    out: DataFrame | None = None
+    for prev, cur in zip(history, history[1:]):
+        step = table_changes(
+            spark,
+            catalog.load_table_at(name, prev),
+            catalog.load_table_at(name, cur),
+        ).withColumn("_commit_snapshot_id", F.lit(cur).cast("long"))
+        out = step if out is None else out.unionByName(step)
+    if out is None:
+        m = catalog.load_table_at(name, to_snapshot)
+        return (
+            snapshot_rows(spark, m)
+            .limit(0)
+            .withColumn(CHANGE_TYPE, F.lit(""))
+            .withColumn("_commit_snapshot_id", F.lit(0).cast("long"))
+        )
+    return out

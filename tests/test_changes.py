@@ -1,0 +1,170 @@
+"""Incremental / CDC reads (sources/changes.py): file diff, row-level
+changelog, append fast path, and the history walk."""
+
+import os
+
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+from pyspark.sql import functions as F
+
+from iceberg_compaction_spark.compaction import Compaction
+from iceberg_compaction_spark.config import CompactionConfig
+from iceberg_compaction_spark.sources import changes as ch
+from iceberg_compaction_spark.sources.catalog import FileCatalog
+from iceberg_compaction_spark.sources.ingest import upsert
+from iceberg_compaction_spark.sources.manifest import Manifest
+
+
+def _write(root, name, ids):
+    pq.write_table(
+        pa.table(
+            {
+                "id": pa.array(ids, type=pa.int64()),
+                "val": [f"v{i}" for i in ids],
+            }
+        ),
+        os.path.join(root, name),
+    )
+
+
+@pytest.fixture()
+def cat(tmp_path):
+    root = str(tmp_path / "tbl")
+    os.makedirs(root)
+    _write(root, "base.parquet", range(10))
+    cat = FileCatalog(warehouse=str(tmp_path / "wh"))
+    cat.create_table("t", Manifest.from_parquet_dir(root, sequence_number=1))
+    return cat
+
+
+def _changes_dict(df):
+    return {
+        (r["id"], r[ch.CHANGE_TYPE]): r["val"] for r in df.collect()
+    }
+
+
+def test_diff_files_and_noop(cat):
+    m = cat.load_table("t")
+    d = ch.diff_files(m, m)
+    assert d.is_noop and d.is_append_only
+    empty = d
+    assert not empty.added_data_files
+
+
+def test_append_only_changelog_reads_only_added_files(spark, cat):
+    m1 = cat.load_table("t")
+    root = m1.table_root
+    _write(root, "extra.parquet", range(100, 105))
+    m2 = Manifest.from_parquet_dir(root, sequence_number=2)
+    m2.snapshot_id = m1.snapshot_id + 1
+
+    d = ch.diff_files(m1, m2)
+    assert d.is_append_only and d.added_data_files == [
+        os.path.join(root, "extra.parquet")
+    ]
+
+    out = ch.table_changes(spark, m1, m2)
+    got = _changes_dict(out)
+    assert got == {(i, "insert"): f"v{i}" for i in range(100, 105)}
+    # fast path: the plan must scan ONLY the added file — no Except, and
+    # no reference to the carried-over base file
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "Except" not in plan
+    scanned = [ln for ln in plan.splitlines() if "base.parquet" in ln]
+    assert not scanned
+
+
+def test_compaction_rewrite_produces_empty_changelog(spark, cat):
+    m1 = cat.load_table("t")
+    root = m1.table_root
+    _write(root, "extra.parquet", range(100, 105))
+    m2 = Manifest.from_parquet_dir(root, sequence_number=2)
+    c = Compaction(spark=spark, config=CompactionConfig.full())
+    m3, _ = c.compact(m2)
+    # layout changed entirely -> general path; live rows identical
+    d = ch.diff_files(m2, m3)
+    assert not d.is_append_only
+    out = ch.table_changes(spark, m2, m3)
+    assert out.count() == 0
+
+
+def test_upsert_changelog_shows_delete_insert_pairs(spark, cat):
+    m1 = cat.load_table("t")
+    delta = spark.createDataFrame([(3, "v3-new"), (42, "v42")], ["id", "val"])
+    m2 = upsert(spark, cat, "t", delta, keys=["id"])
+
+    d = ch.diff_files(m1, m2)
+    # the equality delete attaches to the carried-over base file
+    assert d.changed_delete_files and not d.is_append_only
+
+    got = _changes_dict(ch.table_changes(spark, m1, m2))
+    assert got == {
+        (3, "delete"): "v3",
+        (3, "insert"): "v3-new",
+        (42, "insert"): "v42",
+    }
+
+
+def test_changelog_between_walks_history(spark, cat):
+    delta1 = spark.createDataFrame([(42, "v42")], ["id", "val"])
+    m2 = upsert(spark, cat, "t", delta1, keys=["id"])
+    delta2 = spark.createDataFrame([(42, "v42-b")], ["id", "val"])
+    m3 = upsert(spark, cat, "t", delta2, keys=["id"])
+
+    out = ch.changelog_between(
+        spark, cat, "t", cat.table_history("t")[0], m3.snapshot_id
+    )
+    rows = {
+        (r["id"], r[ch.CHANGE_TYPE], r["_commit_snapshot_id"])
+        for r in out.collect()
+    }
+    assert (42, "insert", m2.snapshot_id) in rows
+    assert (42, "delete", m3.snapshot_id) in rows
+    assert (42, "insert", m3.snapshot_id) in rows
+    # untouched base rows never appear
+    assert not [r for r in rows if r[0] == 1]
+
+
+def test_schema_evolution_aligns_on_new_columns(spark, cat):
+    m1 = cat.load_table("t")
+    root = m1.table_root
+    pq.write_table(
+        pa.table(
+            {
+                "id": pa.array([200], type=pa.int64()),
+                "val": ["v200"],
+                "extra_col": ["e200"],
+            }
+        ),
+        os.path.join(root, "evolved.parquet"),
+    )
+    m2 = Manifest.from_parquet_dir(root, sequence_number=2)
+    # general path (force it): remove nothing but touch deletes via a
+    # fake removed file to exercise alignment
+    m2.data_files = [
+        t for t in m2.data_files if "base" not in t.data_file_path
+    ]
+    out = ch.table_changes(spark, m1, m2)
+    got = {(r["id"], r[ch.CHANGE_TYPE]) for r in out.collect()}
+    assert (200, "insert") in got
+    assert all(t == "delete" for (i, t) in got if i < 10)
+    assert "extra_col" in out.columns
+
+
+def test_general_path_skips_carried_unchanged_files(spark, cat):
+    """Dropping one file must not scan the other carried files: their
+    rows are identical on both sides and cancel exactly."""
+    m1 = cat.load_table("t")
+    root = m1.table_root
+    _write(root, "drop_me.parquet", range(300, 303))
+    m2 = Manifest.from_parquet_dir(root, sequence_number=2)
+    m3 = Manifest.from_parquet_dir(root, sequence_number=2)
+    m3.data_files = [
+        t for t in m3.data_files if "drop_me" not in t.data_file_path
+    ]
+    out = ch.table_changes(spark, m2, m3)
+    got = _changes_dict(out)
+    assert got == {(i, "delete"): f"v{i}" for i in range(300, 303)}
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert not [ln for ln in plan.splitlines() if "base.parquet" in ln]
