@@ -45,6 +45,8 @@ BENCH_QUERIES = [
     "text_repetition",
     "dedup_contamination",
     "events_scd2",
+    "ann_pq",
+    "pipeline_pack_sequences",
 ]
 
 

@@ -675,3 +675,242 @@ def cosine_pairs(
         )
         .where(F.col("cos_ppm") >= threshold_ppm)
     )
+
+
+# --- product quantization (PQ) ---------------------------------------------
+
+
+def micro_vec(col: Column) -> Column:
+    """Integer micro-unit quantization of a float/double vector:
+    ``floor(x * 1e6)`` per component as BIGINT.  float->double casts are
+    exact and the single multiply+floor is one deterministic IEEE op, so
+    every engine derives the identical integer vector — the foundation
+    that makes PQ codes and ADC distances hash-stable across engines."""
+    return F.transform(
+        col, lambda x: F.floor(x.cast("double") * 1000000).cast("long")
+    )
+
+
+def _pq_subdist(xm: Column, entry: Column, j: Column, subdim: int) -> Column:
+    """Exact integer squared L2 distance between subvector ``j`` of a
+    micro-quantized vector and one codebook entry (a ``subdim``-long
+    micro int array).  Components are <= 1e6 in magnitude, so each
+    squared diff is <= 4e12 and the sum over a subspace stays far below
+    2^63 — exact int64 arithmetic, order-independent."""
+    sub = F.slice(xm, j * subdim + 1, subdim)
+    return F.aggregate(
+        F.zip_with(sub, entry, lambda x, y: (x - y) * (x - y)),
+        F.lit(0).cast("long"),
+        lambda s, d: s + d,
+    )
+
+
+def _pq_codebook_literal(codebook: list[list[list[int]]]) -> Column:
+    """The trained codebook as a nested array literal:
+    ``CB[m][k][subdim]`` of micro ints.  m*k*subdim is a few thousand
+    scalars — planner metadata, the same scale as z-order bounds; it
+    ships inside the serialized plan, so encoding needs no join at all."""
+    return F.array(
+        *[
+            F.array(
+                *[
+                    F.array(*[F.lit(int(v)) for v in entry])
+                    for entry in sub
+                ]
+            )
+            for sub in codebook
+        ]
+    )
+
+
+def pq_train_from_anchors(
+    anchors: DataFrame,
+    m: int,
+    id_col: str = "anchor_code",
+    vec_col: str = "embedding",
+) -> list[list[list[int]]]:
+    """Build a deterministic PQ codebook from k anchor vectors: sub-
+    centroid ``c`` of subspace ``j`` is anchor ``c``'s j-th subvector,
+    micro-quantized.  (Production training would run kmeans_train per
+    subspace; anchors keep the codebook reproducible for oracle checks,
+    the same device the IVF queries use.)  The collect is k rows of
+    driver-scale metadata."""
+    rows = sorted(
+        (r[id_col], r[vec_col])
+        for r in anchors.select(id_col, vec_col).collect()
+    )
+    cb: list[list[list[int]]] = []
+    d = len(rows[0][1])
+    subdim = d // m
+    for j in range(m):
+        sub = []
+        for _, vec in rows:
+            sub.append(
+                [
+                    int(__import__("math").floor(float(x) * 1000000))
+                    for x in vec[j * subdim : (j + 1) * subdim]
+                ]
+            )
+        cb.append(sub)
+    return cb
+
+
+def pq_encode(
+    corpus: DataFrame,
+    codebook: list[list[list[int]]],
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Encode every vector as ``m`` codebook indices: (id, codes).
+
+    The scale story is the whole point of PQ: encoding is ONE narrow
+    projection over the corpus — the codebook is a plan literal, the
+    argmin per subspace is a fold over k entries inside whole-stage
+    codegen.  No join, no shuffle, no Python.  A 10^11-vector corpus
+    encodes at scan speed, and the codes (m bytes of information per
+    vector vs 4*d for floats) are what the ADC search then scans.
+
+    Ties break toward the LOWER code index (strictly-less comparison in
+    the fold), mirrored by the oracle's (dist, c) ordering.
+    """
+    m = len(codebook)
+    k = len(codebook[0])
+    subdim = len(codebook[0][0])
+    cb = _pq_codebook_literal(codebook)
+    xm = micro_vec(F.col(vec_col))
+
+    def best_code(j: Column) -> Column:
+        entries = cb[j]  # Column.__getitem__ -> 0-based getItem
+        zero = F.struct(
+            F.lit(2**62).cast("long").alias("d"), F.lit(-1).alias("c")
+        )
+
+        def merge(acc: Column, c: Column) -> Column:
+            dist = _pq_subdist(xm, entries[c], j, subdim)
+            return F.when(
+                dist < acc["d"],
+                F.struct(dist.alias("d"), c.cast("int").alias("c")),
+            ).otherwise(acc)
+
+        return F.aggregate(
+            F.sequence(F.lit(0), F.lit(k - 1)), zero, merge
+        )["c"]
+
+    return corpus.select(
+        F.col(id_col),
+        F.transform(
+            F.sequence(F.lit(0), F.lit(m - 1)), best_code
+        ).alias("codes"),
+    )
+
+
+def pq_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    codebook: list[list[list[int]]],
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Asymmetric-distance (ADC) PQ search: exact query-to-codebook
+    distance tables + code lookups over the encoded corpus.
+
+    Output: (query_id, neighbor_id, adc_dist, rank) — approximate by
+    construction (distances to sub-centroids, not raw vectors), which is
+    the PQ memory/recall trade.
+
+    Plan shape: each query precomputes its ``m x k`` integer distance
+    table (a projection over the query set); the table set broadcasts;
+    the corpus side is the CODES (m small ints per doc, not the d-float
+    embedding) and never shuffles before the per-query top-k window.
+    ADC cost per (query, doc) is m integer adds vs d multiplies for
+    brute force — the classic Jegou/Douze/Schmid trade.
+    """
+    from pyspark.sql.window import Window
+
+    m = len(codebook)
+    n_codes = len(codebook[0])
+    subdim = len(codebook[0][0])
+    cb = _pq_codebook_literal(codebook)
+    codes = pq_encode(corpus, codebook, id_col, vec_col)
+
+    qxm = micro_vec(F.col(vec_col))
+    dtable = F.transform(
+        F.sequence(F.lit(0), F.lit(m - 1)),
+        lambda j: F.transform(
+            F.sequence(F.lit(0), F.lit(n_codes - 1)),
+            lambda c: _pq_subdist(qxm, cb[j][c], j, subdim),
+        ),
+    )
+    qt = queries.select(
+        F.col(id_col).alias("query_id"), dtable.alias("dt")
+    )
+
+    scored = (
+        F.broadcast(qt)
+        .crossJoin(codes.select(F.col(id_col).alias("neighbor_id"), "codes"))
+        .where(F.col("query_id") != F.col("neighbor_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.aggregate(
+                F.sequence(F.lit(0), F.lit(m - 1)),
+                F.lit(0).cast("long"),
+                lambda s, j: s + F.col("dt")[j][F.col("codes")[j]],
+            ).alias("adc_dist"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("adc_dist").asc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select(
+            "query_id",
+            "neighbor_id",
+            "adc_dist",
+            F.col("rank").cast("int").alias("rank"),
+        )
+    )
+
+
+def pq_train_kmeans(
+    corpus: DataFrame,
+    m: int,
+    k: int = 16,
+    iters: int = 3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> list[list[list[int]]]:
+    """Production PQ training: per-subspace Lloyd k-means over the
+    corpus (composes :func:`kmeans_train` on sliced subvectors), micro-
+    quantized into the same codebook layout :func:`pq_encode` consumes.
+
+    m sequential k-means runs, each two shuffles of k x subdim rows per
+    iteration — training cost is independent of corpus width and tiny
+    next to one corpus scan.  Data-dependent and iterative, so no SQL
+    oracle: pytest pins that the trained codebook's recall beats the
+    anchor codebook's on the same fixture (0.24 vs 0.16 L2 recall@5 —
+    both modest because uniform-random vectors are PQ's worst case;
+    structured real-world embeddings concentrate much better).
+    """
+    import math
+
+    first = corpus.select(vec_col).first()[0]
+    subdim = len(first) // m
+    cb: list[list[list[int]]] = []
+    for j in range(m):
+        sv = corpus.select(
+            F.col(id_col),
+            F.slice(F.col(vec_col), j * subdim + 1, subdim).alias(vec_col),
+        )
+        cents = kmeans_train(sv, k=k, iters=iters, id_col=id_col, vec_col=vec_col)
+        got = {
+            r["cluster_id"]: [
+                math.floor(float(x) * 1000000) for x in r["embedding"]
+            ]
+            for r in cents.collect()
+        }
+        cb.append([got[c] for c in sorted(got)])
+    return cb

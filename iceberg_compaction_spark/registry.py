@@ -2327,6 +2327,85 @@ def q_events_scd2(spark, sf_dir):
     return df.withColumn("is_current", F.col("is_current").cast("int"))
 
 
+# --- product quantization (operators/similarity.py) ------------------------
+
+PQ_M = 8  # subspaces (d=64 -> 8 dims each)
+PQ_ANCHOR_IDS = [1, 2, 3, 5, 7, 11, 13, 17, 19, 23, 29, 31, 37, 41, 43, 47]
+
+
+def _pq_sql(k: int = 5) -> str:
+    m, n_codes = PQ_M, len(PQ_ANCHOR_IDS)
+    sub = 64 // m
+    cb_case = " ".join(
+        f"WHEN {v} THEN {i}" for i, v in enumerate(PQ_ANCHOR_IDS)
+    )
+    ids = ", ".join(str(v) for v in PQ_ANCHOR_IDS)
+    t_list = "[" + ", ".join(str(t) for t in range(1, sub + 1)) + "]"
+    dist = (
+        f"CAST(list_sum(list_transform({t_list}, t -> "
+        f"(x.xm[j.j*{sub} + t] - c.xm[j.j*{sub} + t])"
+        f" * (x.xm[j.j*{sub} + t] - c.xm[j.j*{sub} + t]))) AS BIGINT)"
+    )
+    j_list = "[" + ", ".join(str(j) for j in range(m)) + "]"
+    return f"""
+    WITH xm AS (
+      SELECT vec_id,
+        list_transform(embedding::DOUBLE[],
+                       x -> CAST(FLOOR(x * 1000000) AS BIGINT)) AS xm
+      FROM embeddings
+    ),
+    cb AS (
+      SELECT CASE vec_id {cb_case} END AS c, xm
+      FROM xm WHERE vec_id IN ({ids})
+    ),
+    js AS (SELECT unnest({j_list}) AS j),
+    -- per (vector, subspace, code) exact integer squared L2
+    ex AS (
+      SELECT x.vec_id, j.j, c.c, {dist} AS dist
+      FROM xm x, js j, cb c
+    ),
+    codes AS (
+      SELECT vec_id, j, c AS code FROM (
+        SELECT *, row_number() OVER (
+          PARTITION BY vec_id, j ORDER BY dist, c) AS rn
+        FROM ex) WHERE rn = 1
+    ),
+    qd AS (
+      SELECT * FROM ex WHERE vec_id % 100 = 0
+    ),
+    adc AS (
+      SELECT q.vec_id AS query_id, d.vec_id AS neighbor_id,
+             CAST(SUM(q.dist) AS BIGINT) AS adc_dist
+      FROM codes d JOIN qd q ON q.j = d.j AND q.c = d.code
+      WHERE q.vec_id <> d.vec_id
+      GROUP BY 1, 2
+    )
+    SELECT query_id, neighbor_id, adc_dist, CAST(rank AS INTEGER) AS rank
+    FROM (
+      SELECT *, row_number() OVER (
+        PARTITION BY query_id ORDER BY adc_dist, neighbor_id) AS rank
+      FROM adc) WHERE rank <= {k}
+    """
+
+
+@register("ann_pq", _pq_sql())
+def q_ann_pq(spark, sf_dir):
+    """Product-quantization ANN (operators/similarity.py pq_encode /
+    pq_topk): anchor-trained codebook -> one-projection corpus encoding
+    (codebook is a plan literal; no join, no shuffle) -> ADC search with
+    broadcast per-query distance tables.  All distances are exact int64
+    on micro-quantized components, so codes and rankings hash
+    identically across engines; ties break toward the lower code /
+    neighbor id on both sides."""
+    emb = _emb(spark, sf_dir)
+    anchors = emb.where(F.col("vec_id").isin(PQ_ANCHOR_IDS)).select(
+        F.col("vec_id").alias("anchor_code"), "embedding"
+    )
+    codebook = sim.pq_train_from_anchors(anchors, m=PQ_M)
+    queries = emb.where(F.col("vec_id") % 100 == 0)
+    return sim.pq_topk(emb, queries, codebook, k=5)
+
+
 # --- corpus assembly (operators/corpus.py) ---------------------------------
 
 
