@@ -261,3 +261,57 @@ def with_repetition(df: DataFrame, text_col: str = "text") -> DataFrame:
         .withColumn("dup_bigram_ppm", dup)
         .withColumn("top_token_ppm", top)
     )
+
+
+def chunk_documents(
+    df: DataFrame,
+    chunk_tokens: int = 64,
+    stride: int = 32,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Split documents into overlapping token windows — the unit every
+    embedding / retrieval pipeline feeds to the encoder.
+
+    Output: (id, chunk_id, chunk_text, n_tokens) with
+    ``chunk_id = start_token / stride``.  Windows start every ``stride``
+    tokens while a full-or-partial window remains: starts at
+    0, stride, 2*stride, ..., the last window may be short, and a doc
+    shorter than one window yields exactly one chunk.  Empty docs yield
+    none.
+
+    Plan shape: tokenization, the window index sequence, slicing and
+    re-joining are all array HOFs in ONE projection feeding a
+    posexplode — narrow until the explode, no shuffle at all, and the
+    explode's fan-out (~n_tokens/stride per doc) is the output itself.
+    Chunking a 100 TB corpus is scan-bound, which is the correct cost.
+    """
+    toks = _tokens(F.col(text_col))
+    n = F.size(toks)
+    # number of windows: 1 + ceil(max(0, n - chunk) / stride), 0 if empty
+    n_win = F.when(F.trim(F.col(text_col)) == "", F.lit(0)).otherwise(
+        F.lit(1)
+        + F.floor(
+            (
+                F.greatest(n - chunk_tokens, F.lit(0))
+                + F.lit(stride - 1)
+            )
+            / stride
+        ).cast("int")
+    )
+    chunks = F.transform(
+        F.sequence(F.lit(0), n_win - 1),
+        lambda w: F.slice(toks, w * stride + 1, chunk_tokens),
+    )
+    out = df.select(
+        F.col(id_col),
+        F.posexplode(
+            F.when(n_win > 0, chunks).otherwise(F.array())
+        ).alias("chunk_id", "chunk_toks"),
+    )
+    return out.select(
+        id_col,
+        F.col("chunk_id").cast("long").alias("chunk_id"),
+        F.array_join("chunk_toks", " ").alias("chunk_text"),
+        F.size("chunk_toks").cast("int").alias("n_tokens"),
+    )

@@ -2327,6 +2327,50 @@ def q_events_scd2(spark, sf_dir):
     return df.withColumn("is_current", F.col("is_current").cast("int"))
 
 
+# --- document chunking (operators/text.py) ---------------------------------
+
+CHUNK_TOKENS = 64
+CHUNK_STRIDE = 32
+
+
+@register(
+    "text_chunking",
+    f"""
+    WITH t AS (
+      SELECT doc_id,
+        CASE WHEN trim(text)='' THEN [] ELSE {_TOKS} END AS toks
+      FROM documents
+    ), w AS (
+      SELECT doc_id, toks,
+        CASE WHEN len(toks) = 0 THEN 0
+             ELSE 1 + (greatest(len(toks) - {CHUNK_TOKENS}, 0)
+                       + {CHUNK_STRIDE - 1}) // {CHUNK_STRIDE} END AS n_win
+      FROM t
+    ), e AS (
+      SELECT doc_id, toks, unnest(range(0, n_win)) AS w FROM w
+    )
+    SELECT doc_id, CAST(w AS BIGINT) AS chunk_id,
+      array_to_string(list_slice(
+        toks, w*{CHUNK_STRIDE} + 1,
+        w*{CHUNK_STRIDE} + {CHUNK_TOKENS}), ' ') AS chunk_text,
+      CAST(len(list_slice(
+        toks, w*{CHUNK_STRIDE} + 1,
+        w*{CHUNK_STRIDE} + {CHUNK_TOKENS})) AS INTEGER) AS n_tokens
+    FROM e
+    """,
+)
+def q_text_chunking(spark, sf_dir):
+    """Overlapping token-window chunking (operators/text.py
+    chunk_documents): the embedding-pipeline unit splitter.  One
+    projection of array HOFs into a posexplode — narrow until the
+    fan-out, which IS the output."""
+    return tx.chunk_documents(
+        _docs(spark, sf_dir),
+        chunk_tokens=CHUNK_TOKENS,
+        stride=CHUNK_STRIDE,
+    )
+
+
 # --- product quantization (operators/similarity.py) ------------------------
 
 PQ_M = 8  # subspaces (d=64 -> 8 dims each)

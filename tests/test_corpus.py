@@ -122,3 +122,35 @@ def test_scrub_pii_ssn_not_double_counted_as_phone(spark):
     r = cp.scrub_pii(df).collect()[0]
     assert r["n_ssn"] == 1
     assert r["n_phone"] == 0
+
+
+def test_chunk_documents_window_invariants(spark, docs):
+    from iceberg_compaction_spark.operators import text as tx
+
+    chunk, stride = 16, 8
+    out = tx.chunk_documents(docs, chunk_tokens=chunk, stride=stride)
+    rows = sorted(
+        ((r["doc_id"], r["chunk_id"]), (r["chunk_text"], r["n_tokens"]))
+        for r in out.collect()
+    )
+    toks_by_doc = {
+        r["doc_id"]: (r["text"].strip().lower().split() if r["text"].strip() else [])
+        for r in docs.collect()
+    }
+    seen = {}
+    for (doc, cid), (text, n) in rows:
+        words = text.split(" ") if text else []
+        assert len(words) == n <= chunk
+        start = cid * stride
+        assert toks_by_doc[doc][start : start + chunk] == words
+        seen.setdefault(doc, []).append(cid)
+    for doc, toks in toks_by_doc.items():
+        if not toks:
+            assert doc not in seen
+            continue
+        cids = sorted(seen[doc])
+        assert cids == list(range(len(cids)))  # contiguous window ids
+        # windows cover the whole doc: last window reaches the final token
+        assert cids[-1] * stride + chunk >= len(toks)
+        # and no window starts past the end
+        assert cids[-1] * stride < max(len(toks), 1)
