@@ -134,16 +134,111 @@ class FileCatalog:
     def expire_snapshots(self, name: str, keep_last: int = 2) -> list[int]:
         """Iceberg's expire-snapshots maintenance: drop the oldest
         version files, always retaining the newest ``keep_last``
-        (minimum 1 — the head is never expirable).  Returns the expired
-        snapshot ids.  Time-travel to an expired snapshot then raises
-        TableNotFound, exactly like Iceberg after expiration."""
+        (minimum 1 — the head is never expirable) and every snapshot a
+        tag or branch points at (Iceberg never expires referenced
+        snapshots).  Returns the expired snapshot ids.  Time-travel to
+        an expired snapshot then raises TableNotFound, exactly like
+        Iceberg after expiration."""
         keep_last = max(1, keep_last)
         history = self.table_history(name)
-        expired = history[:-keep_last]
+        pinned = {r["snapshot_id"] for r in self.list_refs(name).values()}
+        expired = [v for v in history[:-keep_last] if v not in pinned]
         for v in expired:
             with contextlib.suppress(FileNotFoundError):
                 os.unlink(self._version_path(name, v))
         return expired
+
+    # ---- refs: tags and branches (Iceberg table refs) -------------------
+
+    def _refs_path(self, name: str) -> str:
+        return os.path.join(self._metadata_dir(name), "refs.json")
+
+    def list_refs(self, name: str) -> dict[str, dict]:
+        """All named refs: ``{ref_name: {"type": "tag"|"branch",
+        "snapshot_id": int}}``."""
+        if not self.table_exists(name):
+            raise TableNotFound(name)
+        try:
+            with open(self._refs_path(name)) as f:
+                return json.load(f)
+        except FileNotFoundError:
+            return {}
+
+    def _write_refs(self, name: str, refs: dict[str, dict]) -> None:
+        tmp = f"{self._refs_path(name)}.tmp"
+        with open(tmp, "w") as f:
+            json.dump(refs, f, indent=1)
+        os.replace(tmp, self._refs_path(name))
+
+    def _set_ref(
+        self, name: str, ref: str, ref_type: str, snapshot_id: int | None
+    ) -> dict:
+        sid = (
+            self._current_version(name) if snapshot_id is None else snapshot_id
+        )
+        if sid not in self.table_history(name):
+            raise TableNotFound(f"{name}@{sid}")
+        refs = self.list_refs(name)
+        existing = refs.get(ref)
+        if existing and existing["type"] == "tag":
+            raise ValueError(
+                f"ref {ref!r} is a tag (immutable); drop it to re-point"
+            )
+        if existing and existing["type"] != ref_type:
+            raise ValueError(
+                f"ref {ref!r} is a {existing['type']}, not a {ref_type}"
+            )
+        refs[ref] = {"type": ref_type, "snapshot_id": sid}
+        self._write_refs(name, refs)
+        return refs[ref]
+
+    def create_tag(
+        self, name: str, tag: str, snapshot_id: int | None = None
+    ) -> dict:
+        """Pin a snapshot under an immutable name (audit marks, release
+        pins).  A tagged snapshot survives expire_snapshots."""
+        if tag in self.list_refs(name):
+            raise ValueError(f"ref {tag!r} already exists")
+        return self._set_ref(name, tag, "tag", snapshot_id)
+
+    def create_branch(
+        self, name: str, branch: str, snapshot_id: int | None = None
+    ) -> dict:
+        """Create a movable named pointer (defaults to the current
+        head).  Advance it with :meth:`fast_forward`."""
+        if branch in self.list_refs(name):
+            raise ValueError(f"ref {branch!r} already exists")
+        return self._set_ref(name, branch, "branch", snapshot_id)
+
+    def fast_forward(self, name: str, branch: str, snapshot_id: int) -> dict:
+        """Move a branch forward to a newer snapshot — the publish step
+        of write-audit-publish: stage commits, audit the branch, then
+        fast-forward the consumer branch to the audited snapshot."""
+        refs = self.list_refs(name)
+        if branch not in refs:
+            raise KeyError(f"no such branch: {branch!r}")
+        cur = refs[branch]["snapshot_id"]
+        if snapshot_id < cur:
+            raise ValueError(
+                f"fast-forward must move forward: {branch!r} at {cur}, "
+                f"target {snapshot_id}"
+            )
+        return self._set_ref(name, branch, "branch", snapshot_id)
+
+    def drop_ref(self, name: str, ref: str) -> None:
+        refs = self.list_refs(name)
+        if ref not in refs:
+            raise KeyError(f"no such ref: {ref!r}")
+        del refs[ref]
+        self._write_refs(name, refs)
+
+    def load_table_ref(self, name: str, ref: str) -> Manifest:
+        """Read the table as of a named ref — ``load_table_at`` with a
+        name instead of a snapshot id."""
+        refs = self.list_refs(name)
+        if ref not in refs:
+            raise KeyError(f"no such ref: {ref!r}")
+        return self.load_table_at(name, refs[ref]["snapshot_id"])
 
     # Iceberg's remove_orphan_files default olderThan is 3 days — the
     # grace window that keeps in-flight writers' staged files safe.
