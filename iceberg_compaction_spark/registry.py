@@ -2377,8 +2377,10 @@ PQ_M = 8  # subspaces (d=64 -> 8 dims each)
 PQ_ANCHOR_IDS = [1, 2, 3, 5, 7, 11, 13, 17, 19, 23, 29, 31, 37, 41, 43, 47]
 
 
-def _pq_sql(k: int = 5) -> str:
-    m, n_codes = PQ_M, len(PQ_ANCHOR_IDS)
+def _pq_ctes() -> str:
+    """PQ CTE chain ending at ``codes`` (corpus PQ codes) and ``qd``
+    (per-query distance-table rows) — shared by ann_pq and ann_ivfpq."""
+    m = PQ_M
     sub = 64 // m
     cb_case = " ".join(
         f"WHEN {v} THEN {i}" for i, v in enumerate(PQ_ANCHOR_IDS)
@@ -2416,7 +2418,12 @@ def _pq_sql(k: int = 5) -> str:
     ),
     qd AS (
       SELECT * FROM ex WHERE vec_id % 100 = 0
-    ),
+    )"""
+
+
+def _pq_sql(k: int = 5) -> str:
+    return f"""
+    {_pq_ctes()},
     adc AS (
       SELECT q.vec_id AS query_id, d.vec_id AS neighbor_id,
              CAST(SUM(q.dist) AS BIGINT) AS adc_dist
@@ -2448,6 +2455,64 @@ def q_ann_pq(spark, sf_dir):
     codebook = sim.pq_train_from_anchors(anchors, m=PQ_M)
     queries = emb.where(F.col("vec_id") % 100 == 0)
     return sim.pq_topk(emb, queries, codebook, k=5)
+
+
+def _ivfpq_sql(k: int = 5) -> str:
+    cent_case = " ".join(
+        f"WHEN {v} THEN {i}" for i, v in enumerate(IVF_CENTROID_IDS)
+    )
+    ids = ", ".join(str(v) for v in IVF_CENTROID_IDS)
+    return f"""
+    {_pq_ctes()},
+    cent AS (
+      SELECT CASE vec_id {cent_case} END AS cluster_id,
+             embedding::DOUBLE[] AS centv
+      FROM embeddings WHERE vec_id IN ({ids})
+    ),
+    v AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    iassign AS (
+      SELECT vec_id, cluster_id FROM (
+        SELECT v.vec_id, cent.cluster_id,
+          row_number() OVER (PARTITION BY v.vec_id
+            ORDER BY {_COS.format(a="v.v", b="cent.centv")} DESC,
+                     cent.cluster_id) AS rn
+        FROM v, cent) WHERE rn = 1
+    ),
+    adc AS (
+      SELECT q.vec_id AS query_id, d.vec_id AS neighbor_id,
+             CAST(SUM(q.dist) AS BIGINT) AS adc_dist
+      FROM codes d
+      JOIN qd q ON q.j = d.j AND q.c = d.code
+      JOIN iassign ia ON ia.vec_id = d.vec_id
+      JOIN iassign iq ON iq.vec_id = q.vec_id
+                     AND iq.cluster_id = ia.cluster_id
+      WHERE q.vec_id <> d.vec_id
+      GROUP BY 1, 2
+    )
+    SELECT query_id, neighbor_id, adc_dist, CAST(rank AS INTEGER) AS rank
+    FROM (
+      SELECT *, row_number() OVER (
+        PARTITION BY query_id ORDER BY adc_dist, neighbor_id) AS rank
+      FROM adc) WHERE rank <= {k}
+    """
+
+
+@register("ann_ivfpq", _ivfpq_sql())
+def q_ann_ivfpq(spark, sf_dir):
+    """IVF-PQ composition (operators/similarity.py ivfpq_topk): coarse
+    cluster restriction (broadcast centroids, cosine-ppm argmax — the
+    verified assign_clusters) + exact-integer ADC over PQ codes.  The
+    FAISS IndexIVFPQ shape: a query touches ~1/n_clusters of the corpus
+    and pays m integer adds per candidate."""
+    emb = _emb(spark, sf_dir)
+    anchors = emb.where(F.col("vec_id").isin(PQ_ANCHOR_IDS)).select(
+        F.col("vec_id").alias("anchor_code"), "embedding"
+    )
+    codebook = sim.pq_train_from_anchors(anchors, m=PQ_M)
+    queries = emb.where(F.col("vec_id") % 100 == 0)
+    return sim.ivfpq_topk(
+        emb, queries, _centroids(spark, sf_dir), codebook, k=5
+    )
 
 
 # --- corpus assembly (operators/corpus.py) ---------------------------------

@@ -144,3 +144,31 @@ def test_adc_distance_is_exact_codebook_distance(spark, emb, codebook):
         ]
         expect = sum((a - b) * (a - b) for a, b in zip(qxm, recon))
         assert r["adc_dist"] == expect
+
+
+def test_ivfpq_restricts_to_probe_cluster(spark, emb, codebook):
+    """IVF-PQ candidates must be a subset of the query's coarse cluster
+    (no cartesian in the plan), and every returned neighbor must share
+    the query's cluster assignment."""
+    from iceberg_compaction_spark.registry import IVF_CENTROID_IDS
+
+    cent = emb.where(F.col("vec_id").isin(IVF_CENTROID_IDS))
+    order = {v: i for i, v in enumerate(sorted(IVF_CENTROID_IDS))}
+    mapping = F.create_map(
+        *[F.lit(x) for kv in order.items() for x in kv]
+    )
+    centroids = cent.select(
+        mapping[F.col("vec_id")].cast("int").alias("cluster_id"), "embedding"
+    )
+    queries = emb.where(F.col("vec_id") % 100 == 0)
+    out = sim.ivfpq_topk(emb, queries, centroids, codebook, k=5)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "Cartesian" not in plan
+    assert "BroadcastExchange" in plan
+
+    assign = {
+        r["vec_id"]: r["cluster_id"]
+        for r in sim.assign_clusters(emb, centroids).collect()
+    }
+    for r in out.collect():
+        assert assign[r["query_id"]] == assign[r["neighbor_id"]]
