@@ -121,7 +121,13 @@ def test_no_bare_bigint_sums_in_oracles():
 
     offenders = []
     for name, sql in registry.ORACLES.items():
-        for m in re.finditer(r"SUM\s*\(", sql, flags=re.IGNORECASE):
+        # \b so list_sum(...) (an elementwise list function, not the
+        # SQL aggregate) doesn't false-positive
+        for m in re.finditer(r"\bSUM\s*\(", sql, flags=re.IGNORECASE):
+            if sql[max(0, m.start() - 1)].isalnum() or sql[
+                max(0, m.start() - 1)
+            ] == "_":
+                continue
             prefix = sql[max(0, m.start() - 5):m.start()]
             if not prefix.upper().endswith("CAST("):
                 offenders.append(name)
