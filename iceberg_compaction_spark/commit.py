@@ -217,6 +217,8 @@ class CommitManager:
                 **custom_snapshot_properties(manifest.properties),
                 **(snapshot_properties or {}),
             },
+            partition_spec=[dict(f) for f in manifest.partition_spec],
+            default_spec_id=manifest.default_spec_id,
         )
         return new
 
@@ -277,6 +279,8 @@ class CommitManager:
                 **custom_snapshot_properties(manifest.properties),
                 **(snapshot_properties or {}),
             },
+            partition_spec=[dict(f) for f in manifest.partition_spec],
+            default_spec_id=manifest.default_spec_id,
         )
 
     def commit_with_retry(

@@ -77,6 +77,10 @@ class Compaction:
         for g in groups:
             g.format_version = manifest.format_version
         cols = manifest.properties.get("schema.columns") or ()
+        spec = tuple(
+            (f["source"], f.get("transform", "identity"), f.get("name"))
+            for f in manifest.partition_spec
+        )
         return [
             CompactionPlan(
                 file_group=g,
@@ -84,6 +88,8 @@ class Compaction:
                 starting_sequence_number=manifest.sequence_number,
                 schema_id=manifest.schema_id,
                 schema_columns=tuple(cols),
+                partition_spec=spec,
+                spec_id=manifest.default_spec_id,
             )
             for g in groups
         ]
@@ -107,16 +113,34 @@ class Compaction:
 
             wcfg = replace(wcfg, estimated_row_size_bytes=row_size)
 
+        spec_fields = None
+        if plan.partition_spec:
+            from iceberg_compaction_spark.functions.transforms import (
+                PartitionField,
+            )
+
+            spec_fields = [
+                PartitionField(source=s, transform=tr, name=nm)
+                for s, tr, nm in plan.partition_spec
+            ]
         added = write_sized_parquet(
             df,
             out_dir,
             wcfg,
             output_parallelism=g.output_parallelism,
             sort_order=self.sort_order,
+            partition_spec=spec_fields,
         )
+        for t in added:
+            # outputs are written under the table's CURRENT spec — this
+            # rewrite IS the spec-evolution migration path for any
+            # old-spec input files in the group
+            t.spec_id = plan.spec_id
         # rewritten files stay in their group's partition (a group never
-        # spans partitions in PARTITION scope)
-        if g.partition is not None:
+        # spans partitions in PARTITION scope); when a spec drove the
+        # write, the fan-out writer already parsed the real partition
+        # values from the hive paths — don't clobber them
+        if g.partition is not None and not spec_fields:
             for t in added:
                 t.partition = tuple(g.partition)
         res = RewriteResult(plan=plan, added_files=added)

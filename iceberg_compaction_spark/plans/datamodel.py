@@ -48,6 +48,10 @@ class FileScanTask:
     record_count: int = 0
     sequence_number: int = 0
     partition: tuple[Any, ...] = ()
+    # id of the partition spec this file was written under (Iceberg
+    # partition-spec evolution: old files keep their old layout; only a
+    # rewrite migrates them to the table's current spec)
+    spec_id: int = 0
     deletes: list[DeleteFile] = field(default_factory=list)
     # per-column (lower, upper) over non-null values + null counts, from
     # parquet footers (Iceberg manifest lower_bounds/upper_bounds/
@@ -144,6 +148,13 @@ class CompactionPlan:
     # Iceberg's add-column never rewrites data) from destructive
     # evolution (drop/retype: must re-plan), instead of failing both.
     schema_columns: tuple[str, ...] = ()
+    # the table's CURRENT partition spec at plan time, as
+    # (source, transform, name) triples; a rewrite writes its output
+    # under this spec, which is how old-spec files migrate to the new
+    # layout (Iceberg: spec evolution changes only future writes —
+    # rewrites are the migration mechanism)
+    partition_spec: tuple[tuple[str, str, str | None], ...] = ()
+    spec_id: int = 0
 
 
 @dataclass

@@ -147,6 +147,13 @@ class Manifest:
     format_version: int = 2  # Iceberg spec version (v3: reader-side DVs)
     data_files: list[FileScanTask] = field(default_factory=list)
     properties: dict[str, Any] = field(default_factory=dict)
+    # the table's CURRENT partition spec: list of {source, transform,
+    # name} dicts (functions.transforms.PartitionField shape).  Empty =
+    # unpartitioned.  default_spec_id bumps on every evolve_spec; data
+    # files record the spec they were written under (Iceberg
+    # partition-spec evolution).
+    partition_spec: list[dict] = field(default_factory=list)
+    default_spec_id: int = 0
 
     # ---- construction ------------------------------------------------------
 
@@ -225,6 +232,14 @@ class Manifest:
             # copy: callers round-trip through to_dict/from_dict (e.g. the
             # catalog register path) and must not alias the source's dict
             "properties": dict(self.properties),
+            **(
+                {
+                    "partition_spec": [dict(f) for f in self.partition_spec],
+                    "default_spec_id": self.default_spec_id,
+                }
+                if self.partition_spec or self.default_spec_id
+                else {}
+            ),
             "data_files": [
                 {
                     "path": t.data_file_path,
@@ -233,6 +248,7 @@ class Manifest:
                     "record_count": t.record_count,
                     "sequence_number": t.sequence_number,
                     "partition": list(t.partition),
+                    **({"spec_id": t.spec_id} if t.spec_id else {}),
                     **(
                         {
                             "column_bounds": {
@@ -283,6 +299,7 @@ class Manifest:
                     record_count=t.get("record_count", 0),
                     sequence_number=t.get("sequence_number", 0),
                     partition=tuple(t.get("partition", ())),
+                    spec_id=t.get("spec_id", 0),
                     deletes=deletes,
                     column_bounds={
                         c: (
@@ -302,7 +319,59 @@ class Manifest:
             format_version=d.get("format_version", 2),
             data_files=tasks,
             properties=dict(d.get("properties", {})),
+            partition_spec=[dict(f) for f in d.get("partition_spec", [])],
+            default_spec_id=d.get("default_spec_id", 0),
         )
+
+    # ---- spec evolution ----------------------------------------------------
+
+    def evolve_spec(self, fields: list) -> int:
+        """Adopt a new partition spec (Iceberg's partition-spec
+        evolution): bumps ``default_spec_id`` and replaces the current
+        spec.  EXISTING data files are untouched — they keep their
+        original spec id and layout; only future writes (and rewrites,
+        which is the migration path) use the new spec.
+
+        ``fields``: ``functions.transforms.PartitionField`` instances or
+        ``{source, transform, name}`` dicts.  Returns the new spec id.
+        """
+        ser = []
+        for f in fields:
+            if isinstance(f, dict):
+                ser.append(
+                    {
+                        "source": f["source"],
+                        "transform": f.get("transform", "identity"),
+                        "name": f.get("name"),
+                    }
+                )
+            else:
+                ser.append(
+                    {
+                        "source": f.source,
+                        "transform": f.transform,
+                        "name": f.name,
+                    }
+                )
+        self.partition_spec = ser
+        self.default_spec_id += 1
+        return self.default_spec_id
+
+    def spec_fields(self) -> list:
+        """The current spec as ``PartitionField`` objects ([] when
+        unpartitioned)."""
+        from iceberg_compaction_spark.functions.transforms import (
+            PartitionField,
+        )
+
+        return [
+            PartitionField(
+                source=f["source"],
+                transform=f.get("transform", "identity"),
+                name=f.get("name"),
+            )
+            for f in self.partition_spec
+        ]
 
     # ---- queries -----------------------------------------------------------
 

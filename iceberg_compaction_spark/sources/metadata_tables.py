@@ -36,7 +36,7 @@ __all__ = [
 
 _FILES_SCHEMA = (
     "file_path string, file_size_in_bytes long, record_count long, "
-    "sequence_number long, partition string, "
+    "sequence_number long, partition string, spec_id int, "
     "position_delete_count int, equality_delete_count int, "
     "column_bounds string"
 )
@@ -51,6 +51,7 @@ def files_table(spark: SparkSession, manifest: Manifest) -> DataFrame:
             int(t.record_count),
             int(t.sequence_number),
             json.dumps(list(t.partition)) if t.partition else None,
+            int(t.spec_id),
             sum(1 for d in t.deletes if d.content == POSITION_DELETE),
             sum(1 for d in t.deletes if d.content == EQUALITY_DELETE),
             json.dumps(t.column_bounds, default=str) if t.column_bounds else None,
