@@ -65,11 +65,15 @@ class DeleteFileCountFilter:
 def group_files_by_partition(
     tasks: list[FileScanTask],
 ) -> dict[tuple[Any, ...], list[FileScanTask]]:
-    """Hash-group tasks by opaque partition value (L3). Unpartitioned tables
-    all share the empty tuple, yielding one scope."""
+    """Hash-group tasks by (spec_id, partition value) (L3).  The spec id
+    is part of the key because partition tuples are only comparable
+    WITHIN one spec: after partition-spec evolution, a spec-0 ``(5,)``
+    (say, identity(id)) and a spec-1 ``(5,)`` (bucket(id, 8)) mean
+    different row sets and must not co-group under PARTITION scope.
+    Unpartitioned tables all share one key, yielding one scope."""
     out: dict[tuple[Any, ...], list[FileScanTask]] = {}
     for t in tasks:
-        out.setdefault(tuple(t.partition), []).append(t)
+        out.setdefault((t.spec_id, *tuple(t.partition)), []).append(t)
     return out
 
 
@@ -138,10 +142,12 @@ class PlanStrategy:
 
         groups: list[FileGroup] = []
         if self.scope == FileGroupScope.PARTITION:
-            for part, part_tasks in group_files_by_partition(tasks).items():
+            for key, part_tasks in group_files_by_partition(tasks).items():
                 for chunk in self.grouping(part_tasks):
                     g = FileGroup.from_tasks(chunk)
-                    g.partition = part
+                    # key is (spec_id, *partition); the group's partition
+                    # identity is the tuple without the spec prefix
+                    g.partition = key[1:]
                     groups.append(g)
         else:
             groups = [FileGroup.from_tasks(c) for c in self.grouping(tasks)]

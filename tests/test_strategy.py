@@ -54,9 +54,21 @@ def test_delete_count_filter():
 def test_group_by_partition():
     tasks = [task("a", partition=(1,)), task("b", partition=(2,)), task("c", partition=(1,))]
     groups = group_files_by_partition(tasks)
+    # keys are (spec_id, *partition) — same-looking tuples from different
+    # specs must never co-group
     assert {k: [t.data_file_path for t in v] for k, v in groups.items()} == {
-        (1,): ["a", "c"],
-        (2,): ["b"],
+        (0, 1): ["a", "c"],
+        (0, 2): ["b"],
+    }
+
+
+def test_group_by_partition_splits_specs():
+    a, b = task("a", partition=(1,)), task("b", partition=(1,))
+    b.spec_id = 1
+    groups = group_files_by_partition([a, b])
+    assert {k: [t.data_file_path for t in v] for k, v in groups.items()} == {
+        (0, 1): ["a"],
+        (1, 1): ["b"],
     }
 
 
