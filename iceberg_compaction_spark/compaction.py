@@ -423,3 +423,138 @@ class AutoCompaction:
             manifest, report.plans, out_root
         )
         return new_manifest, stats, report
+
+
+@dataclass
+class DeleteRewriteStats:
+    input_delete_files: int = 0
+    output_delete_files: int = 0
+    positions_kept: int = 0
+    dangling_positions_dropped: int = 0
+
+
+def rewrite_position_deletes(
+    spark: SparkSession,
+    manifest: Manifest,
+    out_dir: str | None = None,
+) -> "tuple[Manifest, DeleteRewriteStats]":
+    """Iceberg's ``rewrite_position_delete_files`` maintenance action:
+    consolidate the table's parquet position-delete files into one
+    sorted, deduplicated file and drop DANGLING positions (references to
+    data files no longer live in the snapshot).
+
+    Streaming upserts leave a trail of tiny per-commit delete files;
+    every MOR read pays their open/footers even when the data files are
+    already compact.  This action is the delete-side twin of data
+    compaction: all delete content is read DISTRIBUTED
+    (``spark.read.parquet`` over the delete set — never a driver list),
+    anti-joined against the live path set (driver-scale manifest
+    metadata, broadcast), deduplicated on (path, pos) and written back
+    sorted by (path, pos) so reader-side application scans runs.
+
+    Puffin deletion vectors are left untouched (they are already
+    compact bitmaps); equality deletes are NOT merged — their semantics
+    depend on exact sequence numbers, which is why Iceberg's action is
+    position-only too.
+
+    Returns ``(new_manifest, stats)``; the caller commits.  The new
+    manifest is unchanged when there is nothing to consolidate.
+    """
+    from pyspark.sql import functions as F
+
+    from iceberg_compaction_spark.plans.datamodel import (
+        POSITION_DELETE,
+        DeleteFile,
+    )
+    from iceberg_compaction_spark.sources.puffin import is_puffin_file
+    from iceberg_compaction_spark.sources.scan import (
+        HIDDEN_FILE_PATH,
+        HIDDEN_POS,
+        _normalize_path,
+        normalize_path_str,
+    )
+
+    pos_files = {
+        d.path: d
+        for t in manifest.data_files
+        for d in t.deletes
+        if d.content == POSITION_DELETE and not is_puffin_file(d.path)
+    }
+    stats = DeleteRewriteStats(input_delete_files=len(pos_files))
+    if len(pos_files) <= 1:
+        return Manifest.from_dict(manifest.to_dict()), stats
+
+    live = {
+        normalize_path_str(t.data_file_path): t.data_file_path
+        for t in manifest.data_files
+    }
+    raw = spark.read.parquet(*pos_files).select(
+        _normalize_path(F.col(HIDDEN_FILE_PATH)).alias(HIDDEN_FILE_PATH),
+        F.col(HIDDEN_POS),
+    )
+    distinct_total = raw.dropDuplicates([HIDDEN_FILE_PATH, HIDDEN_POS]).count()
+    live_df = F.broadcast(
+        spark.createDataFrame(
+            [(p,) for p in sorted(live)], f"{HIDDEN_FILE_PATH} string"
+        )
+    )
+    merged = (
+        raw.join(live_df, HIDDEN_FILE_PATH)  # drop dangling references
+        .dropDuplicates([HIDDEN_FILE_PATH, HIDDEN_POS])
+        .repartitionByRange(1, HIDDEN_FILE_PATH, HIDDEN_POS)
+        .sortWithinPartitions(HIDDEN_FILE_PATH, HIDDEN_POS)
+    )
+    out_dir = out_dir or os.path.join(
+        manifest.table_root, f"pos-deletes-{uuid.uuid4().hex[:12]}"
+    )
+    merged.write.mode("overwrite").option("compression", "zstd").parquet(
+        out_dir
+    )
+
+    import pyarrow.parquet as pq
+
+    written = sorted(
+        os.path.join(out_dir, n)
+        for n in os.listdir(out_dir)
+        if n.endswith(".parquet") and not n.startswith("_")
+    )
+    # which data files each output references (manifest-scale collect:
+    # one row per distinct referenced path)
+    referenced: dict[str, set[str]] = {}
+    for w in written:
+        t = pq.read_table(w, columns=[HIDDEN_FILE_PATH])
+        referenced[w] = set(t.column(HIDDEN_FILE_PATH).to_pylist())
+    kept_positions = sum(
+        pq.read_metadata(w).num_rows for w in written
+    )
+    stats.output_delete_files = len(written)
+    stats.positions_kept = kept_positions
+    # distinct positions that referenced no live data file
+    stats.dangling_positions_dropped = distinct_total - kept_positions
+    max_seq = max(d.sequence_number for d in pos_files.values())
+    new_deletes = {
+        w: DeleteFile(
+            path=w,
+            content=POSITION_DELETE,
+            file_size_in_bytes=os.path.getsize(w),
+            record_count=pq.read_metadata(w).num_rows,
+            sequence_number=max_seq,
+        )
+        for w in written
+    }
+
+    new = Manifest.from_dict(manifest.to_dict())
+    for t in new.data_files:
+        norm = normalize_path_str(t.data_file_path)
+        kept = [
+            d
+            for d in t.deletes
+            if not (
+                d.content == POSITION_DELETE and not is_puffin_file(d.path)
+            )
+        ]
+        for w, refs in referenced.items():
+            if norm in refs:
+                kept.append(new_deletes[w])
+        t.deletes = kept
+    return new, stats

@@ -27,7 +27,12 @@ from dataclasses import dataclass, field
 
 from pyspark.sql import SparkSession
 
-from iceberg_compaction_spark.compaction import Compaction, CompactionStats
+from iceberg_compaction_spark.compaction import (
+    Compaction,
+    CompactionStats,
+    DeleteRewriteStats,
+    rewrite_position_deletes,
+)
 from iceberg_compaction_spark.config import CompactionConfig
 from iceberg_compaction_spark.plans.auto import (
     AutoCompactionConfig,
@@ -43,6 +48,9 @@ class MaintenancePolicy:
     engine: CompactionConfig = field(default_factory=CompactionConfig)
     keep_snapshots: int = 3
     clean_orphans: bool = True
+    # consolidate parquet position-delete files when more than this many
+    # are live (Iceberg's rewrite_position_delete_files); 0 disables
+    rewrite_deletes_min_files: int = 2
     # grace window before an unreferenced file is deletable (Iceberg's
     # olderThan, default 3 days): protects files staged by in-flight
     # writers that have not yet CAS-committed
@@ -58,6 +66,9 @@ class MaintenanceReport:
     stats: CompactionStats
     expired_snapshots: list[int]
     orphans_removed: list[str]
+    delete_rewrite: DeleteRewriteStats = field(
+        default_factory=DeleteRewriteStats
+    )
 
 
 def maintain(
@@ -101,6 +112,17 @@ def maintain(
 
             engine.commit_manager.commit_with_retry(attempt)
 
+    drw = DeleteRewriteStats()
+    if policy.rewrite_deletes_min_files:
+        current = catalog.load_table(table_name)
+        new_m, drw = rewrite_position_deletes(spark, current)
+        if (
+            drw.input_delete_files >= policy.rewrite_deletes_min_files
+            and drw.output_delete_files
+        ):
+            new_m.snapshot_id = current.snapshot_id + 1
+            catalog.commit_table(table_name, current.snapshot_id, new_m)
+
     expired = catalog.expire_snapshots(table_name, policy.keep_snapshots)
     orphans = (
         catalog.remove_orphan_files(
@@ -118,4 +140,5 @@ def maintain(
         stats=stats,
         expired_snapshots=expired,
         orphans_removed=orphans,
+        delete_rewrite=drw,
     )

@@ -75,3 +75,74 @@ def test_maintain_retains_history_when_policy_keeps(spark, fragmented_catalog):
     assert cat.table_history("t") == [1, 2]
     old = cat.load_table_at("t", 1)
     assert all(os.path.exists(p) for p in old.paths())
+
+
+def test_maintain_consolidates_position_deletes(spark, tmp_path):
+    from iceberg_compaction_spark.plans.datamodel import (
+        POSITION_DELETE,
+        DeleteFile,
+    )
+
+    root = str(tmp_path / "data")
+    os.makedirs(root + "/deletes")
+    for f in range(2):
+        ids = list(range(f * 50, f * 50 + 50))
+        pq.write_table(
+            pa.table(
+                {
+                    "id": pa.array(ids, type=pa.int64()),
+                    "val": [f"v{i}" for i in ids],
+                }
+            ),
+            os.path.join(root, f"part{f}.parquet"),
+        )
+    m = Manifest.from_parquet_dir(root, sequence_number=1)
+    # four tiny per-commit position-delete files against file 0
+    d0 = m.data_files[0].data_file_path
+    dels = []
+    for i in range(4):
+        p = f"{root}/deletes/d{i}.parquet"
+        pq.write_table(
+            pa.table(
+                {
+                    "sys_hidden_file_path": [d0],
+                    "sys_hidden_pos": pa.array([i], type=pa.int64()),
+                }
+            ),
+            p,
+        )
+        dels.append(
+            DeleteFile(
+                path=p,
+                content=POSITION_DELETE,
+                file_size_in_bytes=os.path.getsize(p),
+                record_count=1,
+                sequence_number=2,
+            )
+        )
+    m.data_files[0].deletes = dels
+    cat = FileCatalog(warehouse=str(tmp_path / "wh"))
+    cat.create_table("t", m)
+
+    policy = MaintenancePolicy(
+        auto=AutoCompactionConfig(min_small_files_count=100),  # no compact
+        keep_snapshots=1,
+        clean_orphans=False,
+    )
+    r = maintain(spark, cat, "t", policy)
+    assert r.delete_rewrite.input_delete_files == 4
+    assert r.delete_rewrite.output_delete_files == 1
+    assert r.delete_rewrite.positions_kept == 4
+    live = cat.load_table("t")
+    pos = [
+        d
+        for t in live.data_files
+        for d in t.deletes
+        if d.content == POSITION_DELETE
+    ]
+    assert len(pos) == 1
+
+    # fixed point
+    r2 = maintain(spark, cat, "t", policy)
+    assert r2.delete_rewrite.output_delete_files == 0
+    assert r2.snapshot_after == r.snapshot_after
