@@ -2327,6 +2327,52 @@ def q_events_scd2(spark, sf_dir):
     return df.withColumn("is_current", F.col("is_current").cast("int"))
 
 
+# --- pivot ------------------------------------------------------------------
+
+EVENT_TYPES = ["click", "error", "purchase", "signup", "view"]
+
+
+@register(
+    "events_pivot",
+    f"""
+    SELECT day_bucket,
+      {", ".join(
+        f"CAST(COALESCE(SUM(CASE WHEN event_type = '{t}' THEN 1 END), 0)"
+        f" AS BIGINT) AS n_{t}"
+        for t in EVENT_TYPES
+      )}
+    FROM (
+      SELECT event_type, epoch_ns(ts) // 86400000000000 AS day_bucket
+      FROM events
+    )
+    GROUP BY day_bucket
+    """,
+)
+def q_events_pivot(spark, sf_dir):
+    """Day x event-type pivot (wide daily counts) — Spark's native
+    ``groupBy().pivot(values=...)`` with the value list FIXED so the
+    output schema is deterministic and the plan skips the
+    distinct-values discovery job a bare pivot() would run (an extra
+    full scan at 100 TB).  The pivot compiles to one hash aggregate
+    with map-side partial combine — same shuffle as the tall rollup."""
+    events = ev.read_events(spark, sf_dir)
+    wide = (
+        events.withColumn(
+            "day_bucket", F.expr("ts div 86400000000000").cast("long")
+        )
+        .groupBy("day_bucket")
+        .pivot("event_type", EVENT_TYPES)
+        .count()
+    )
+    return wide.select(
+        "day_bucket",
+        *[
+            F.coalesce(F.col(t), F.lit(0)).cast("long").alias(f"n_{t}")
+            for t in EVENT_TYPES
+        ],
+    )
+
+
 # --- document chunking (operators/text.py) ---------------------------------
 
 CHUNK_TOKENS = 64
