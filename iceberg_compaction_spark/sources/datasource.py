@@ -43,14 +43,16 @@ serializable and cluster-safe.
 
 from __future__ import annotations
 
-import json
-from dataclasses import dataclass, field
+import os
+from dataclasses import dataclass
 
 from pyspark.sql.datasource import (
     DataSource,
     DataSourceReader,
     DataSourceStreamReader,
+    DataSourceWriter,
     InputPartition,
+    WriterCommitMessage,
 )
 
 FORMAT_NAME = "iceberg-table"
@@ -297,7 +299,112 @@ class IcebergTableDataSource(DataSource):
     def streamReader(self, schema):
         return _ChangesStreamReader(self.options)
 
+    def writer(self, schema, overwrite):
+        return _AppendWriter(self.options, overwrite)
+
 
 def register(spark) -> None:
     """Register the ``iceberg-table`` format on this session."""
     spark.dataSource.register(IcebergTableDataSource)
+
+
+# --- write path --------------------------------------------------------------
+
+
+@dataclass
+class _FileCommit(WriterCommitMessage):
+    path: str = ""
+    rows: int = 0
+    size: int = 0
+
+
+class _AppendWriter(DataSourceWriter):
+    """Executor-parallel append: each task writes one parquet file into
+    the table root with pyarrow; the DRIVER turns the commit messages
+    into new FileScanTasks and CAS-commits them against the catalog
+    head with the standard retry loop.  Files from aborted jobs are
+    never referenced and age out through remove_orphan_files — the same
+    write-then-swap discipline as the compaction path, so a crashed
+    write can never corrupt the table."""
+
+    def __init__(self, options, overwrite: bool):
+        self._wh = options["warehouse"]
+        self._table = options["table"]
+        self._overwrite = overwrite
+        # resolve the target directory at plan time (driver); executors
+        # must not need the catalog
+        from iceberg_compaction_spark.sources.catalog import FileCatalog
+
+        self._root = (
+            FileCatalog(warehouse=self._wh).load_table(self._table).table_root
+        )
+
+    def write(self, iterator):
+        import uuid as _uuid
+
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        rows = list(iterator)
+        if not rows:
+            return _FileCommit()
+        cols = rows[0].__fields__
+        table = pa.table(
+            {c: [r[c] for r in rows] for c in cols}
+        )
+        path = os.path.join(
+            self._root, f"append-{_uuid.uuid4().hex[:12]}.parquet"
+        )
+        pq.write_table(table, path, compression="zstd")
+        return _FileCommit(
+            path=path, rows=table.num_rows, size=os.path.getsize(path)
+        )
+
+    def commit(self, messages):
+        from iceberg_compaction_spark.commit import CommitManager
+        from iceberg_compaction_spark.plans.datamodel import FileScanTask
+        from iceberg_compaction_spark.plans import pruning as pr
+        from iceberg_compaction_spark.sources.catalog import FileCatalog
+
+        files = [m for m in messages if m and m.path]
+        cat = FileCatalog(warehouse=self._wh)
+        mgr = CommitManager()
+
+        def attempt():
+            cur = cat.load_table(self._table)
+            new_seq = cur.sequence_number + 1
+            added = []
+            for m in files:
+                bounds, nulls = pr.collect_file_stats(m.path)
+                added.append(
+                    FileScanTask(
+                        data_file_path=m.path,
+                        length=m.size,
+                        file_size_in_bytes=m.size,
+                        record_count=m.rows,
+                        sequence_number=new_seq,
+                        spec_id=cur.default_spec_id,
+                        column_bounds=bounds,
+                        null_counts=nulls,
+                    )
+                )
+            from iceberg_compaction_spark.sources.manifest import Manifest
+
+            new = Manifest.from_dict(cur.to_dict())
+            new.snapshot_id = cur.snapshot_id + 1
+            new.sequence_number = new_seq
+            if self._overwrite:
+                new.data_files = added
+            else:
+                new.data_files = list(new.data_files) + added
+            return cat.commit_table(self._table, cur.snapshot_id, new)
+
+        mgr.commit_with_retry(attempt)
+
+    def abort(self, messages):
+        for m in messages:
+            if m and m.path:
+                try:
+                    os.remove(m.path)
+                except OSError:
+                    pass

@@ -151,3 +151,46 @@ def test_stream_overwrite_commit_raises_unless_skipped(spark, cat, tmp_path):
     )
     # the upsert's added data file still emits
     assert [(r["id"], r["val"]) for r in rows] == [(3, "changed")]
+
+
+def test_write_append_roundtrip(spark, cat):
+    delta = spark.createDataFrame(
+        [(200, "w200"), (201, "w201")], "id long, val string"
+    )
+    (
+        delta.write.format("iceberg-table")
+        .option("warehouse", cat.warehouse)
+        .option("table", "t")
+        .mode("append")
+        .save()
+    )
+    m = cat.load_table("t")
+    assert m.snapshot_id == 2
+    assert m.sequence_number == 2
+    added = [t for t in m.data_files if "append-" in t.data_file_path]
+    assert added and sum(t.record_count for t in added) == 2
+    assert all(t.column_bounds for t in added)  # stats collected
+    got = {r["id"]: r["val"] for r in _batch(spark, cat).collect()}
+    assert got[200] == "w200" and got[201] == "w201"
+    assert len(got) == 22
+
+
+def test_write_then_stream_sees_the_commit(spark, cat, tmp_path):
+    assert _stream_rows(spark, cat, tmp_path) == []
+    spark.createDataFrame([(300, "s")], "id long, val string").write.format(
+        "iceberg-table"
+    ).option("warehouse", cat.warehouse).option("table", "t").mode(
+        "append"
+    ).save()
+    rows = _stream_rows(spark, cat, tmp_path)
+    assert [(r["id"], r["val"]) for r in rows] == [(300, "s")]
+
+
+def test_write_overwrite_replaces_table(spark, cat):
+    spark.createDataFrame([(1, "only")], "id long, val string").write.format(
+        "iceberg-table"
+    ).option("warehouse", cat.warehouse).option("table", "t").mode(
+        "overwrite"
+    ).save()
+    df = _batch(spark, cat)
+    assert [(r["id"], r["val"]) for r in df.collect()] == [(1, "only")]
