@@ -2337,7 +2337,7 @@ EVENT_TYPES = ["click", "error", "purchase", "signup", "view"]
     f"""
     SELECT day_bucket,
       {", ".join(
-        f"CAST(COALESCE(SUM(CASE WHEN event_type = '{t}' THEN 1 END), 0)"
+        f"CAST(COUNT(CASE WHEN event_type = '{t}' THEN 1 END)"
         f" AS BIGINT) AS n_{t}"
         for t in EVENT_TYPES
       )}
