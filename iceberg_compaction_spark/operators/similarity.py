@@ -21,6 +21,7 @@ hashing is stable.
 
 from __future__ import annotations
 
+import pandas as pd
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
@@ -709,18 +710,14 @@ def _pq_codebook_literal(codebook: list[list[list[int]]]) -> Column:
     """The trained codebook as a nested array literal:
     ``CB[m][k][subdim]`` of micro ints.  m*k*subdim is a few thousand
     scalars — planner metadata, the same scale as z-order bounds; it
-    ships inside the serialized plan, so encoding needs no join at all."""
-    return F.array(
-        *[
-            F.array(
-                *[
-                    F.array(*[F.lit(int(v)) for v in entry])
-                    for entry in sub
-                ]
-            )
-            for sub in codebook
-        ]
-    )
+    ships inside the serialized plan, so encoding needs no join at all.
+
+    Built as ONE ``F.lit`` of the nested Python list — a single Literal
+    node — rather than nested ``F.array`` constructors, which produce a
+    ~m*k*subdim-node expression tree that Catalyst re-analyzes on every
+    plan (measured ~4.5 s of pure driver time per ann_pq run at m=8,
+    k=16, d=64; the single-literal form planned in <1 s)."""
+    return F.lit([[[int(v) for v in entry] for entry in sub] for sub in codebook])
 
 
 def pq_train_from_anchors(
@@ -763,15 +760,58 @@ def pq_encode(
 ) -> DataFrame:
     """Encode every vector as ``m`` codebook indices: (id, codes).
 
-    The scale story is the whole point of PQ: encoding is ONE narrow
-    projection over the corpus — the codebook is a plan literal, the
-    argmin per subspace is a fold over k entries inside whole-stage
-    codegen.  No join, no shuffle, no Python.  A 10^11-vector corpus
-    encodes at scan speed, and the codes (m bytes of information per
-    vector vs 4*d for floats) are what the ADC search then scans.
+    Encoding is one narrow map over the corpus — no join, no shuffle —
+    implemented as an Arrow-batched numpy kernel: quantize the batch to
+    int64 micro units, broadcast-subtract the (m, k, subdim) codebook,
+    square-sum, argmin.  This is the documented pandas-UDF exception:
+    the pure higher-order-function formulation (kept below as
+    :func:`pq_encode_hof`, pinned equal in tests) runs on Catalyst's
+    INTERPRETED expression path — lambda HOFs are excluded from
+    whole-stage codegen — and measured ~1.7 ms/row at m=8, k=16, d=64,
+    ~400x slower than the vectorized kernel.  At 10^11 rows that is the
+    difference between a scan-speed encode and an unrunnable one.
 
-    Ties break toward the LOWER code index (strictly-less comparison in
-    the fold), mirrored by the oracle's (dist, c) ordering.
+    numpy argmin returns the FIRST minimal index, so ties break toward
+    the lower code, identical to the HOF fold and the oracle's
+    (dist, c) ordering.  All arithmetic is exact int64 (diffs <= 2e6,
+    squares <= 4e12, subspace sums < 2^63), so the codes are
+    bit-identical to the oracle's.
+    """
+    from pyspark.sql.functions import pandas_udf
+
+    cb_list = [[[int(v) for v in e] for e in sub] for sub in codebook]
+    m = len(cb_list)
+    subdim = len(cb_list[0][0])
+
+    @pandas_udf("array<int>")
+    def _codes(embs: pd.Series) -> pd.Series:
+        import numpy as np
+
+        cb = np.asarray(cb_list, dtype=np.int64)  # (m, k, sub)
+        X = np.vstack(embs.to_numpy())
+        Xm = np.floor(X.astype(np.float64) * 1_000_000).astype(np.int64)
+        Xs = Xm.reshape(len(Xm), m, subdim)
+        # (n, m, k): exact integer squared L2 per (vector, subspace, code)
+        d2 = ((Xs[:, :, None, :] - cb[None]) ** 2).sum(-1)
+        codes = d2.argmin(-1).astype(np.int32)
+        return pd.Series(list(codes))
+
+    return corpus.select(
+        F.col(id_col), _codes(F.col(vec_col)).alias("codes")
+    )
+
+
+def pq_encode_hof(
+    corpus: DataFrame,
+    codebook: list[list[list[int]]],
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Pure-DataFrame twin of :func:`pq_encode` (codebook as a plan
+    literal, argmin as an ``aggregate`` fold).  Same output bit-for-bit
+    — kept as the zero-Python-worker reference implementation and the
+    parity pin for the vectorized kernel; see pq_encode's docstring for
+    why it is not the default (interpreted HOF path, ~400x slower).
     """
     m = len(codebook)
     k = len(codebook[0])

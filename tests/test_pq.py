@@ -172,3 +172,17 @@ def test_ivfpq_restricts_to_probe_cluster(spark, emb, codebook):
     }
     for r in out.collect():
         assert assign[r["query_id"]] == assign[r["neighbor_id"]]
+
+
+def test_vectorized_encode_matches_hof_reference(spark, emb, codebook):
+    """The Arrow/numpy encode kernel and the pure-HOF reference must be
+    bit-identical, including tie direction (first minimal index)."""
+    fast = sorted(
+        (r["vec_id"], tuple(r["codes"]))
+        for r in sim.pq_encode(emb, codebook).collect()
+    )
+    ref = sorted(
+        (r["vec_id"], tuple(r["codes"]))
+        for r in sim.pq_encode_hof(emb, codebook).collect()
+    )
+    assert fast == ref
