@@ -2327,6 +2327,124 @@ def q_events_scd2(spark, sf_dir):
     return df.withColumn("is_current", F.col("is_current").cast("int"))
 
 
+# --- argmin join-back (TPC-H Q2 shape without partsupp) ---------------------
+
+
+@register(
+    "argmin_cheapest_supplier",
+    """
+    SELECT l_partkey,
+           CAST(best_suppkey AS BIGINT) AS best_suppkey,
+           CAST(best_price_micro AS BIGINT) AS best_price_micro
+    FROM (
+      SELECT l_partkey, l_suppkey AS best_suppkey,
+        CAST(FLOOR(l_extendedprice * 1000000) AS BIGINT) AS best_price_micro,
+        row_number() OVER (
+          PARTITION BY l_partkey
+          ORDER BY CAST(FLOOR(l_extendedprice * 1000000) AS BIGINT),
+                   l_suppkey) AS rn
+      FROM lineitem
+    ) WHERE rn = 1
+    """,
+)
+def q_argmin_cheapest_supplier(spark, sf_dir):
+    """Cheapest supplier per part (the TPC-H Q2 argmin shape over the
+    available tables): implemented as ``min(struct(price, suppkey))``
+    per part — structs compare lexicographically, so one groupBy with a
+    MAP-SIDE partial combine replaces the rank-1 window (which would
+    shuffle and sort every lineitem row).  The same
+    aggregate-instead-of-window trick as assign_clusters; the oracle
+    keeps the window formulation, proving the two agree."""
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    best = (
+        li.select(
+            "l_partkey",
+            F.struct(
+                F.floor(F.col("l_extendedprice") * 1000000)
+                .cast("long")
+                .alias("p"),
+                F.col("l_suppkey").alias("s"),
+            ).alias("cand"),
+        )
+        .groupBy("l_partkey")
+        .agg(F.min("cand").alias("b"))
+    )
+    return best.select(
+        "l_partkey",
+        F.col("b.s").cast("long").alias("best_suppkey"),
+        F.col("b.p").alias("best_price_micro"),
+    )
+
+
+# --- containment near-dup (asymmetric: quote/subset detection) --------------
+
+CONTAINMENT_THRESHOLD_PPM = 800_000
+
+
+@register(
+    "dedup_containment",
+    f"""
+    {_minhash_ctes()},
+    szs AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS sz
+            FROM sh GROUP BY doc_id),
+    cont AS (
+      SELECT i.id_a, i.id_b,
+        CAST(FLOOR(i.c * 1000000.0 / LEAST(sa.sz, sb.sz)) AS BIGINT)
+          AS containment_ppm
+      FROM inter i
+      JOIN cands cd ON cd.id_a = i.id_a AND cd.id_b = i.id_b
+      JOIN szs sa ON sa.doc_id = i.id_a
+      JOIN szs sb ON sb.doc_id = i.id_b
+    )
+    SELECT id_a, id_b, containment_ppm FROM cont
+    WHERE containment_ppm >= {CONTAINMENT_THRESHOLD_PPM}
+    """,
+)
+def q_dedup_containment(spark, sf_dir):
+    """Asymmetric containment near-dup: ``|A ∩ B| / min(|A|, |B|)`` over
+    the banded-LSH candidate set — catches a short document quoted
+    inside a long one, which symmetric Jaccard misses (the union term
+    drowns the overlap).  Candidates come from the same deterministic
+    minhash banding as dedup_minhash_lsh (bucketed, 100 TB-safe); only
+    the verification formula differs, so the oracle reuses the shared
+    CTE chain with a LEAST() denominator."""
+    docs = _docs(spark, sf_dir)
+    pairs = dd.minhash_lsh_dedup_pairs(docs, threshold_ppm=0)
+    sets = dd.shingle_sets(docs)
+    sa = sets.select(F.col("doc_id").alias("id_a"), F.col("sz").alias("sz_a"))
+    sb = sets.select(F.col("doc_id").alias("id_b"), F.col("sz").alias("sz_b"))
+    # exact intersection count for candidate pairs (same shape as
+    # minhash_lsh_dedup_pairs' verify stage)
+    sh = sets.select(F.col("doc_id"), F.explode("shs").alias("shingle"))
+    a = sh.select(F.col("doc_id").alias("id_a"), "shingle")
+    b = sh.select(
+        F.col("doc_id").alias("__b_id"), F.col("shingle").alias("__b_sh")
+    )
+    cand = pairs.select("id_a", "id_b")
+    inter = (
+        cand.join(a, "id_a")
+        .join(
+            b,
+            (F.col("id_b") == F.col("__b_id"))
+            & (F.col("shingle") == F.col("__b_sh")),
+        )
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    return (
+        inter.join(sa, "id_a")
+        .join(sb, "id_b")
+        .withColumn(
+            "containment_ppm",
+            F.floor(
+                F.col("c") * 1000000.0 / F.least("sz_a", "sz_b")
+            ).cast("long"),
+        )
+        .where(F.col("containment_ppm") >= CONTAINMENT_THRESHOLD_PPM)
+        .select("id_a", "id_b", "containment_ppm")
+    )
+
+
 # --- pivot ------------------------------------------------------------------
 
 EVENT_TYPES = ["click", "error", "purchase", "signup", "view"]
