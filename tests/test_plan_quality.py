@@ -357,3 +357,57 @@ def test_jaccard_prefix_no_cartesian(spark):
     df = registry.QUERIES["dedup_ngram_jaccard_prefix"](spark, SF)
     s = plan_of(df)
     assert "CartesianProduct" not in s and "BroadcastNestedLoopJoin" not in s
+
+
+def test_split_and_mixture_are_scan_side(spark):
+    """Split assignment and mixture sampling are pure scan projections/
+    filters — zero Exchange: the shape that labels 10^11 rows by
+    scanning them once."""
+    from iceberg_compaction_spark import registry
+
+    for name in ("pipeline_split", "pipeline_mixture"):
+        s = plan_of(registry.QUERIES[name](spark, SF))
+        # _docs round-robins the single input file across cores; what
+        # must NOT appear is any KEY shuffle or global collapse
+        assert "hashpartitioning" not in s, name
+        assert "rangepartitioning" not in s, name
+        assert "SinglePartition" not in s, name
+
+
+def test_pack_sequences_single_bucket_shuffle(spark):
+    """Packing costs exactly one hash exchange (the bucketed cumulative
+    window); the window partitions by pack_bucket, never a global sort."""
+    from iceberg_compaction_spark import registry
+
+    s = plan_of(registry.QUERIES["pipeline_pack_sequences"](spark, SF))
+    assert s.count("Exchange hashpartitioning") == 1
+    assert "Exchange SinglePartition" not in s
+    assert "rangepartitioning" not in s
+
+
+def test_chunking_has_no_key_shuffle(spark):
+    from iceberg_compaction_spark import registry
+
+    s = plan_of(registry.QUERIES["text_chunking"](spark, SF))
+    assert "hashpartitioning" not in s
+    assert "rangepartitioning" not in s
+    assert "SinglePartition" not in s
+
+
+def test_containment_no_cartesian(spark):
+    from iceberg_compaction_spark import registry
+
+    s = plan_of(registry.QUERIES["dedup_containment"](spark, SF))
+    assert "CartesianProduct" not in s
+    assert "BroadcastNestedLoopJoin" not in s
+
+
+def test_argmin_uses_partial_aggregate_not_window(spark):
+    """The argmin runs as a groupBy min(struct) with a map-side partial
+    aggregate — no window sort over the full lineitem."""
+    from iceberg_compaction_spark import registry
+
+    df = registry.QUERIES["argmin_cheapest_supplier"](spark, SF)
+    s = plan_of(df)
+    assert "Window" not in s
+    assert "partial_min" in formatted(df)
