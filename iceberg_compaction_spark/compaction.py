@@ -558,3 +558,153 @@ def rewrite_position_deletes(
                 kept.append(new_deletes[w])
         t.deletes = kept
     return new, stats
+
+
+@dataclass
+class EqConvertStats:
+    input_equality_files: int = 0
+    output_position_files: int = 0
+    positions_written: int = 0
+
+
+def convert_equality_deletes(
+    spark: SparkSession,
+    manifest: Manifest,
+    out_dir: str | None = None,
+) -> "tuple[Manifest, EqConvertStats]":
+    """Convert equality deletes to position deletes — the maintenance
+    step between streaming ingestion and full compaction (Flink's
+    Iceberg sink does this inline; the reference exists because nobody
+    did it for RisingWave's sink).
+
+    An equality delete makes EVERY subsequent read pay a key anti-join
+    against the full data side; a position delete is a per-file row mask
+    applied in the scan.  This action pays the join ONCE: scan the data
+    files with hidden (path, pos) columns, inner-join the (broadcast)
+    delete keys under the strictly-lower-sequence rule, and write the
+    matched positions as one sorted position-delete parquet.  The new
+    snapshot carries only position deletes for the converted content —
+    same live rows (pinned in tests), cheaper every read after.
+
+    Scale shape: one distributed scan of the affected data files; the
+    delete-key side broadcasts (delete files are small next to data —
+    when they are not, run full compaction instead).  Output positions
+    never touch the driver: the matched (path, pos) frame is written
+    directly by executors.
+
+    Groups equality deletes by their exact (keys, sequence) semantics:
+    each distinct sequence number converts against the data files it
+    strictly postdates, so mixed-sequence histories stay correct.
+    """
+    from pyspark.sql import functions as F
+
+    from iceberg_compaction_spark.operators.mor import EqualityDeleteTable
+    from iceberg_compaction_spark.plans.datamodel import (
+        EQUALITY_DELETE,
+        POSITION_DELETE,
+        DeleteFile,
+    )
+    from iceberg_compaction_spark.sources.scan import (
+        HIDDEN_FILE_PATH,
+        HIDDEN_POS,
+        HIDDEN_SEQ,
+        read_data_files,
+    )
+
+    eq_files = {
+        d.path: d
+        for t in manifest.data_files
+        for d in t.deletes
+        if d.content == EQUALITY_DELETE
+    }
+    stats = EqConvertStats(input_equality_files=len(eq_files))
+    if not eq_files:
+        return Manifest.from_dict(manifest.to_dict()), stats
+
+    seq_by_path = {
+        t.data_file_path: t.sequence_number for t in manifest.data_files
+    }
+    data = read_data_files(
+        spark,
+        [t.data_file_path for t in manifest.data_files],
+        need_seq_num=True,
+        need_file_path_and_pos=True,
+        seq_by_path=seq_by_path,
+    )
+
+    matched = None
+    for d in eq_files.values():
+        keys = list(d.equality_ids)
+        raw = spark.read.parquet(d.path)
+        # per-row sequence when the writer baked it (ingest.upsert does);
+        # else the delete file's manifest-level sequence
+        seq_col = (
+            F.coalesce(F.col(HIDDEN_SEQ), F.lit(d.sequence_number))
+            if HIDDEN_SEQ in raw.columns
+            else F.lit(d.sequence_number)
+        )
+        del_df = raw.select(
+            *[F.col(k).alias(f"__k_{k}") for k in keys],
+            seq_col.alias("__dseq"),
+        ).dropDuplicates()
+        cond = F.lit(True)
+        for k in keys:
+            cond = cond & (F.col(k) == F.col(f"__k_{k}"))
+        cond = cond & (F.col(HIDDEN_SEQ) < F.col("__dseq"))
+        hit = (
+            data.join(F.broadcast(del_df), on=cond, how="left_semi")
+            .select(F.col(HIDDEN_FILE_PATH), F.col(HIDDEN_POS))
+        )
+        matched = hit if matched is None else matched.unionByName(hit)
+
+    merged = (
+        matched.dropDuplicates([HIDDEN_FILE_PATH, HIDDEN_POS])
+        .repartitionByRange(1, HIDDEN_FILE_PATH, HIDDEN_POS)
+        .sortWithinPartitions(HIDDEN_FILE_PATH, HIDDEN_POS)
+    )
+    out_dir = out_dir or os.path.join(
+        manifest.table_root, f"eq-convert-{uuid.uuid4().hex[:12]}"
+    )
+    merged.write.mode("overwrite").option("compression", "zstd").parquet(
+        out_dir
+    )
+
+    import pyarrow.parquet as pq
+
+    from iceberg_compaction_spark.sources.scan import normalize_path_str
+
+    written = sorted(
+        os.path.join(out_dir, n)
+        for n in os.listdir(out_dir)
+        if n.endswith(".parquet") and not n.startswith("_")
+    )
+    max_seq = max(d.sequence_number for d in eq_files.values())
+    new_deletes = {}
+    referenced = {}
+    for w in written:
+        t = pq.read_table(w, columns=[HIDDEN_FILE_PATH])
+        refs = set(t.column(HIDDEN_FILE_PATH).to_pylist())
+        if not refs:
+            continue
+        referenced[w] = refs
+        new_deletes[w] = DeleteFile(
+            path=w,
+            content=POSITION_DELETE,
+            file_size_in_bytes=os.path.getsize(w),
+            record_count=pq.read_metadata(w).num_rows,
+            sequence_number=max_seq,
+        )
+    stats.output_position_files = len(new_deletes)
+    stats.positions_written = sum(
+        d.record_count for d in new_deletes.values()
+    )
+
+    new = Manifest.from_dict(manifest.to_dict())
+    for t in new.data_files:
+        norm = normalize_path_str(t.data_file_path)
+        kept = [d for d in t.deletes if d.content != EQUALITY_DELETE]
+        for w, refs in referenced.items():
+            if norm in refs:
+                kept.append(new_deletes[w])
+        t.deletes = kept
+    return new, stats
