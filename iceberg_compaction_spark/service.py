@@ -31,6 +31,8 @@ from iceberg_compaction_spark.compaction import (
     Compaction,
     CompactionStats,
     DeleteRewriteStats,
+    EqConvertStats,
+    convert_equality_deletes,
     rewrite_position_deletes,
 )
 from iceberg_compaction_spark.config import CompactionConfig
@@ -51,6 +53,10 @@ class MaintenancePolicy:
     # consolidate parquet position-delete files when more than this many
     # are live (Iceberg's rewrite_position_delete_files); 0 disables
     rewrite_deletes_min_files: int = 2
+    # convert equality deletes to position deletes before consolidation
+    # (pays the key anti-join once; every later read is a scan mask).
+    # Off by default: full compaction subsumes it when it runs anyway.
+    convert_eq_deletes: bool = False
     # grace window before an unreferenced file is deletable (Iceberg's
     # olderThan, default 3 days): protects files staged by in-flight
     # writers that have not yet CAS-committed
@@ -69,6 +75,7 @@ class MaintenanceReport:
     delete_rewrite: DeleteRewriteStats = field(
         default_factory=DeleteRewriteStats
     )
+    eq_convert: EqConvertStats = field(default_factory=EqConvertStats)
 
 
 def maintain(
@@ -112,6 +119,14 @@ def maintain(
 
             engine.commit_manager.commit_with_retry(attempt)
 
+    eqc = EqConvertStats()
+    if policy.convert_eq_deletes:
+        current = catalog.load_table(table_name)
+        new_m, eqc = convert_equality_deletes(spark, current)
+        if eqc.input_equality_files:
+            new_m.snapshot_id = current.snapshot_id + 1
+            catalog.commit_table(table_name, current.snapshot_id, new_m)
+
     drw = DeleteRewriteStats()
     if policy.rewrite_deletes_min_files:
         current = catalog.load_table(table_name)
@@ -141,4 +156,5 @@ def maintain(
         expired_snapshots=expired,
         orphans_removed=orphans,
         delete_rewrite=drw,
+        eq_convert=eqc,
     )

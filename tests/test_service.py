@@ -146,3 +146,47 @@ def test_maintain_consolidates_position_deletes(spark, tmp_path):
     r2 = maintain(spark, cat, "t", policy)
     assert r2.delete_rewrite.output_delete_files == 0
     assert r2.snapshot_after == r.snapshot_after
+
+
+def test_maintain_converts_equality_deletes_when_enabled(spark, tmp_path):
+    from iceberg_compaction_spark.plans.datamodel import (
+        EQUALITY_DELETE,
+        POSITION_DELETE,
+    )
+    from iceberg_compaction_spark.sources.ingest import read_table_mor, upsert
+
+    root = str(tmp_path / "data")
+    os.makedirs(root)
+    pq.write_table(
+        pa.table(
+            {
+                "id": pa.array(range(30), type=pa.int64()),
+                "val": [f"v{i}" for i in range(30)],
+            }
+        ),
+        os.path.join(root, "base.parquet"),
+    )
+    cat = FileCatalog(warehouse=str(tmp_path / "wh"))
+    cat.create_table("t", Manifest.from_parquet_dir(root, sequence_number=1))
+    delta = spark.createDataFrame([(5, "five")], ["id", "val"])
+    upsert(spark, cat, "t", delta, keys=["id"])
+    before = {
+        r["id"]: r["val"]
+        for r in read_table_mor(spark, cat.load_table("t")).collect()
+    }
+
+    policy = MaintenancePolicy(
+        auto=AutoCompactionConfig(min_small_files_count=100),
+        keep_snapshots=1,
+        clean_orphans=False,
+        convert_eq_deletes=True,
+    )
+    r = maintain(spark, cat, "t", policy)
+    assert r.eq_convert.input_equality_files == 1
+    live = cat.load_table("t")
+    kinds = {d.content for t in live.data_files for d in t.deletes}
+    assert EQUALITY_DELETE not in kinds and POSITION_DELETE in kinds
+    after = {
+        r2["id"]: r2["val"] for r2 in read_table_mor(spark, live).collect()
+    }
+    assert after == before
