@@ -632,16 +632,45 @@ def convert_equality_deletes(
         seq_by_path=seq_by_path,
     )
 
-    matched = None
+    # One join per DISTINCT key set, not per delete file: a CDC history
+    # carries thousands of per-commit delete files with the same keys,
+    # and a per-file loop would grow the plan (and the number of
+    # broadcasts) linearly.  Files in a group are read as one multi-path
+    # scan; each row's effective sequence is its baked per-row value
+    # (ingest.upsert writes one) with the file's manifest-level sequence
+    # as fallback, delivered via a path->seq literal map on the scan's
+    # _metadata column — the same planner-metadata device the data scan
+    # uses for seq_by_path.
+    from iceberg_compaction_spark.sources.scan import (
+        _normalize_path,
+        normalize_path_str,
+    )
+
+    by_keys: dict[tuple, list] = {}
     for d in eq_files.values():
-        keys = list(d.equality_ids)
-        raw = spark.read.parquet(d.path)
-        # per-row sequence when the writer baked it (ingest.upsert does);
-        # else the delete file's manifest-level sequence
+        by_keys.setdefault(tuple(d.equality_ids), []).append(d)
+
+    matched = None
+    for keys_t, group in sorted(by_keys.items()):
+        keys = list(keys_t)
+        raw = spark.read.option("mergeSchema", "true").parquet(
+            *[d.path for d in group]
+        )
+        seq_map = F.create_map(
+            *[
+                x
+                for d in group
+                for x in (
+                    F.lit(normalize_path_str(d.path)),
+                    F.lit(int(d.sequence_number)),
+                )
+            ]
+        )
+        file_seq = seq_map[_normalize_path(F.col("_metadata.file_path"))]
         seq_col = (
-            F.coalesce(F.col(HIDDEN_SEQ), F.lit(d.sequence_number))
+            F.coalesce(F.col(HIDDEN_SEQ), file_seq)
             if HIDDEN_SEQ in raw.columns
-            else F.lit(d.sequence_number)
+            else file_seq
         )
         del_df = raw.select(
             *[F.col(k).alias(f"__k_{k}") for k in keys],

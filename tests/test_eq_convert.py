@@ -153,3 +153,24 @@ def test_convert_after_upsert_roundtrip(spark, tmp_path):
     assert stats.input_equality_files == 1
     after = {r["id"]: r["val"] for r in read_table_mor(spark, new).collect()}
     assert after == before
+
+
+def test_convert_groups_same_key_files_with_distinct_sequences(spark, tmp_path):
+    """Many delete files with the same key set convert in ONE grouped
+    join, but each file's own sequence still gates which data files it
+    converts against."""
+    root, m = _table(tmp_path)
+    m.data_files[0].sequence_number = 1
+    m.data_files[1].sequence_number = 3  # newer than delete "old"
+    d_old = _eq_delete(root, "old", [3, 60], seq=2)  # hits file0 only
+    d_new = _eq_delete(root, "new", [61], seq=4)  # hits both files
+    for t in m.data_files:
+        t.deletes = [d_old, d_new]
+
+    before = _survivors(spark, m)
+    assert 3 not in before and 60 in before and 61 not in before
+
+    new, stats = convert_equality_deletes(spark, m)
+    # converted: (file0, id 3) from d_old; (file1, id 61) from d_new
+    assert stats.positions_written == 2
+    assert _survivors(spark, new) == before
