@@ -174,3 +174,28 @@ def test_convert_groups_same_key_files_with_distinct_sequences(spark, tmp_path):
     # converted: (file0, id 3) from d_old; (file1, id 61) from d_new
     assert stats.positions_written == 2
     assert _survivors(spark, new) == before
+
+
+def test_convert_invariance_randomized(spark, tmp_path):
+    """Randomized layouts: any mix of delete key sets, sequences and
+    attachment patterns must convert with identical survivors."""
+    import random
+
+    rnd = random.Random(20260814)
+    root, m = _table(tmp_path, n_files=3, rows_per=30)
+    for i, t in enumerate(m.data_files):
+        t.sequence_number = rnd.choice([1, 2, 3])
+    dels = []
+    for i in range(4):
+        ids = rnd.sample(range(0, 90), rnd.randint(1, 6))
+        dels.append(
+            _eq_delete(root, f"r{i}", ids, seq=rnd.choice([2, 3, 4]))
+        )
+    for t in m.data_files:
+        t.deletes = rnd.sample(dels, rnd.randint(0, len(dels)))
+
+    before = _survivors(spark, m)
+    new, _ = convert_equality_deletes(spark, m)
+    assert _survivors(spark, new) == before
+    kinds = {d.content for t in new.data_files for d in t.deletes}
+    assert EQUALITY_DELETE not in kinds
