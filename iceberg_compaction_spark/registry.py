@@ -2409,18 +2409,22 @@ def q_dedup_containment(spark, sf_dir):
     the verification formula differs, so the oracle reuses the shared
     CTE chain with a LEAST() denominator."""
     docs = _docs(spark, sf_dir)
-    pairs = dd.minhash_lsh_dedup_pairs(docs, threshold_ppm=0)
-    sets = dd.shingle_sets(docs)
+    sets = dd.shingle_sets(docs).persist()
+    sigs = dd.minhash_signatures(docs, sets=sets)
+    cand = dd.lsh_candidate_pairs(
+        sigs, "doc_id", dd.DEFAULT_NUM_HASHES, dd.DEFAULT_BAND_SIZE
+    )
     sa = sets.select(F.col("doc_id").alias("id_a"), F.col("sz").alias("sz_a"))
     sb = sets.select(F.col("doc_id").alias("id_b"), F.col("sz").alias("sz_b"))
     # exact intersection count for candidate pairs (same shape as
-    # minhash_lsh_dedup_pairs' verify stage)
+    # minhash_lsh_dedup_pairs' verify stage — but WITHOUT the jaccard
+    # verify join that dedup_minhash_lsh adds; containment only needs
+    # the raw candidates)
     sh = sets.select(F.col("doc_id"), F.explode("shs").alias("shingle"))
     a = sh.select(F.col("doc_id").alias("id_a"), "shingle")
     b = sh.select(
         F.col("doc_id").alias("__b_id"), F.col("shingle").alias("__b_sh")
     )
-    cand = pairs.select("id_a", "id_b")
     inter = (
         cand.join(a, "id_a")
         .join(
