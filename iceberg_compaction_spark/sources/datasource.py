@@ -50,6 +50,7 @@ from pyspark.sql.datasource import (
     DataSource,
     DataSourceReader,
     DataSourceStreamReader,
+    DataSourceStreamWriter,
     DataSourceWriter,
     InputPartition,
     WriterCommitMessage,
@@ -302,6 +303,9 @@ class IcebergTableDataSource(DataSource):
     def writer(self, schema, overwrite):
         return _AppendWriter(self.options, overwrite)
 
+    def streamWriter(self, schema, overwrite):
+        return _StreamAppendWriter(self.options)
+
 
 def register(spark) -> None:
     """Register the ``iceberg-table`` format on this session."""
@@ -408,3 +412,72 @@ class _AppendWriter(DataSourceWriter):
                     os.remove(m.path)
                 except OSError:
                     pass
+
+
+
+class _StreamAppendWriter(DataSourceStreamWriter):
+    """Streaming append sink: each micro-batch commits one snapshot.
+
+    Executors write the batch's partitions as parquet files (same
+    mechanics as the batch writer); the driver's ``commit(batchId)``
+    folds them into a new manifest version through the CAS retry loop.
+    Idempotence across engine retries comes from the batch-id snapshot
+    property: if a batch's commit already landed (query restarted after
+    a commit but before the checkpoint advanced), the replayed batch is
+    detected via ``streaming.last-batch-id`` and skipped instead of
+    double-appending — the same dedup contract Iceberg's Spark sink
+    implements with snapshot properties.  ``abort`` unlinks the orphan
+    files immediately; crashed jobs age out via remove_orphan_files.
+    """
+
+    def __init__(self, options):
+        self._inner = _AppendWriter(options, overwrite=False)
+        self._wh = options["warehouse"]
+        self._table = options["table"]
+
+    def write(self, iterator):
+        return self._inner.write(iterator)
+
+    def commit(self, messages, batchId):
+        from iceberg_compaction_spark.commit import CommitManager
+        from iceberg_compaction_spark.plans import pruning as pr
+        from iceberg_compaction_spark.plans.datamodel import FileScanTask
+        from iceberg_compaction_spark.sources.catalog import FileCatalog
+        from iceberg_compaction_spark.sources.manifest import Manifest
+
+        files = [m for m in messages if m and m.path]
+        cat = FileCatalog(warehouse=self._wh)
+        mgr = CommitManager()
+
+        def attempt():
+            cur = cat.load_table(self._table)
+            last = cur.properties.get("streaming.last-batch-id")
+            if last is not None and int(last) >= batchId:
+                return cur  # replayed batch: already committed
+            new_seq = cur.sequence_number + 1
+            added = []
+            for m in files:
+                bounds, nulls = pr.collect_file_stats(m.path)
+                added.append(
+                    FileScanTask(
+                        data_file_path=m.path,
+                        length=m.size,
+                        file_size_in_bytes=m.size,
+                        record_count=m.rows,
+                        sequence_number=new_seq,
+                        spec_id=cur.default_spec_id,
+                        column_bounds=bounds,
+                        null_counts=nulls,
+                    )
+                )
+            new = Manifest.from_dict(cur.to_dict())
+            new.snapshot_id = cur.snapshot_id + 1
+            new.sequence_number = new_seq
+            new.data_files = list(new.data_files) + added
+            new.properties["streaming.last-batch-id"] = int(batchId)
+            return cat.commit_table(self._table, cur.snapshot_id, new)
+
+        mgr.commit_with_retry(attempt)
+
+    def abort(self, messages, batchId):
+        self._inner.abort(messages)

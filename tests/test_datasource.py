@@ -194,3 +194,54 @@ def test_write_overwrite_replaces_table(spark, cat):
     ).save()
     df = _batch(spark, cat)
     assert [(r["id"], r["val"]) for r in df.collect()] == [(1, "only")]
+
+
+def test_stream_write_sink_commits_per_batch(spark, cat, tmp_path):
+    """rate-limited streaming INTO the table: each micro-batch lands as
+    one CAS-committed snapshot, and the batch-id property makes replays
+    idempotent."""
+    import pyspark.sql.functions as SF
+
+    src_dir = str(tmp_path / "src")
+    os.makedirs(src_dir)
+    pq.write_table(
+        pa.table(
+            {
+                "id": pa.array([500, 501], type=pa.int64()),
+                "val": ["s500", "s501"],
+            }
+        ),
+        os.path.join(src_dir, "in0.parquet"),
+    )
+    before = cat.load_table("t").snapshot_id
+    q = (
+        spark.readStream.schema("id long, val string")
+        .parquet(src_dir)
+        .writeStream.format("iceberg-table")
+        .option("warehouse", cat.warehouse)
+        .option("table", "t")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+
+    m = cat.load_table("t")
+    assert m.snapshot_id == before + 1
+    assert m.properties.get("streaming.last-batch-id") == 0
+    got = {r["id"]: r["val"] for r in _batch(spark, cat).collect()}
+    assert got[500] == "s500" and got[501] == "s501"
+
+    # restart with the same checkpoint and no new input: no new snapshot
+    q2 = (
+        spark.readStream.schema("id long, val string")
+        .parquet(src_dir)
+        .writeStream.format("iceberg-table")
+        .option("warehouse", cat.warehouse)
+        .option("table", "t")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q2.awaitTermination(120)
+    assert cat.load_table("t").snapshot_id == m.snapshot_id
