@@ -116,6 +116,8 @@ class RestCatalog:
             return TableAlreadyExists(msg)
         if e.code == 409:  # CommitFailedException: CAS lost, retryable
             return CommitConflict(msg)
+        if e.code == 400 and etype == "ValidationException":
+            return ValueError(msg)
         return RuntimeError(f"REST catalog error {e.code} {etype}: {msg}")
 
     # ---- catalog API (FileCatalog contract) ----------------------------
@@ -308,6 +310,56 @@ class RestCatalog:
         )
         return list(out["removed"])
 
+    # ---- refs: tags and branches (FileCatalog parity) -------------------
+
+    def list_refs(self, name: str) -> dict:
+        out = self._request(
+            "GET",
+            self._url("namespaces", self.namespace, "tables", name, "refs"),
+        )
+        return dict(out["refs"])
+
+    def _ref_action(self, name: str, body: dict) -> dict:
+        return self._request(
+            "POST",
+            self._url("namespaces", self.namespace, "tables", name, "refs"),
+            body,
+        )
+
+    def create_tag(self, name, tag, snapshot_id=None) -> dict:
+        body = {"action": "create-tag", "ref": tag}
+        if snapshot_id is not None:
+            body["snapshot-id"] = snapshot_id
+        return self._ref_action(name, body)["ref"]
+
+    def create_branch(self, name, branch, snapshot_id=None) -> dict:
+        body = {"action": "create-branch", "ref": branch}
+        if snapshot_id is not None:
+            body["snapshot-id"] = snapshot_id
+        return self._ref_action(name, body)["ref"]
+
+    def fast_forward(self, name, branch, snapshot_id) -> dict:
+        return self._ref_action(
+            name,
+            {
+                "action": "fast-forward",
+                "ref": branch,
+                "snapshot-id": snapshot_id,
+            },
+        )["ref"]
+
+    def drop_ref(self, name, ref) -> None:
+        self._ref_action(name, {"action": "drop", "ref": ref})
+
+    def load_table_ref(self, name: str, ref: str) -> Manifest:
+        out = self._request(
+            "GET",
+            self._url(
+                "namespaces", self.namespace, "tables", name, "refs", ref
+            ),
+        )
+        return self._manifest_from_load(out)
+
     @staticmethod
     def _manifest_from_load(out: dict) -> Manifest:
         md = out.get("metadata", {})
@@ -404,6 +456,22 @@ class _Handler(BaseHTTPRequestHandler):
                     404, "NoSuchTableException", f"table not found: {r[4]}"
                 )
             return self._send(200, {"snapshot-ids": ids})
+        if len(r) == 6 and r[3] == "tables" and r[5] == "refs":
+            try:
+                refs = self.catalog.list_refs(r[4])
+            except TableNotFound:
+                return self._error(
+                    404, "NoSuchTableException", f"table not found: {r[4]}"
+                )
+            return self._send(200, {"refs": refs})
+        if len(r) == 7 and r[3] == "tables" and r[5] == "refs":
+            try:
+                m = self.catalog.load_table_ref(r[4], r[6])
+            except (TableNotFound, KeyError):
+                return self._error(
+                    404, "NoSuchTableException", f"no such ref: {r[6]}"
+                )
+            return self._send(200, self._load_payload(r[4], m))
         if len(r) == 7 and r[3] == "tables" and r[5] == "snapshots":
             try:
                 m = self.catalog.load_table_at(r[4], int(r[6]))
@@ -443,6 +511,34 @@ class _Handler(BaseHTTPRequestHandler):
             return self._send(200, self._load_payload(name, created))
         if len(r) == 5 and r[3] == "tables":  # commit
             return self._commit(r[4], self._body())
+        if len(r) == 6 and r[3] == "tables" and r[5] == "refs":
+            body = self._body()
+            action, ref = body.get("action"), body.get("ref")
+            sid = body.get("snapshot-id")
+            try:
+                with self.lock:
+                    if action == "create-tag":
+                        out = self.catalog.create_tag(r[4], ref, sid)
+                    elif action == "create-branch":
+                        out = self.catalog.create_branch(r[4], ref, sid)
+                    elif action == "fast-forward":
+                        out = self.catalog.fast_forward(r[4], ref, int(sid))
+                    elif action == "drop":
+                        self.catalog.drop_ref(r[4], ref)
+                        out = None
+                    else:
+                        return self._error(
+                            400,
+                            "BadRequestException",
+                            f"unknown ref action: {action}",
+                        )
+            except TableNotFound as e:
+                return self._error(404, "NoSuchTableException", str(e))
+            except KeyError as e:
+                return self._error(404, "NoSuchTableException", str(e))
+            except ValueError as e:
+                return self._error(400, "ValidationException", str(e))
+            return self._send(200, {"ref": out} if out else {})
         if len(r) == 6 and r[3] == "tables" and r[5] == "maintenance":
             body = self._body()
             action = body.get("action")

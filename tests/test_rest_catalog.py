@@ -263,3 +263,38 @@ def test_commit_never_sent_raises_retryable(client, fragmented, monkeypatch):
         client.commit_table("t", 1, nxt)
     monkeypatch.setattr(RestCatalog, "_request", real_request)
     assert client.load_table("t").snapshot_id == 1  # nothing landed
+
+
+def test_refs_over_http(client, fragmented, spark):
+    """Tag/branch lifecycle through the REST client: create, resolve,
+    WAP fast-forward, immutability errors, expiry pinning."""
+    client.create_table("t", fragmented)
+    client.create_tag("t", "audit-v1")  # defaults to head (=1)
+    assert client.list_refs("t") == {
+        "audit-v1": {"type": "tag", "snapshot_id": 1}
+    }
+    assert client.load_table_ref("t", "audit-v1").snapshot_id == 1
+
+    # advance the table twice via compaction commits
+    eng = Compaction(spark=spark, config=CompactionConfig.full())
+    for _ in range(2):
+        cur = client.load_table("t")
+        new, _ = eng.compact_catalog(client, "t")
+
+    client.create_branch("t", "prod", snapshot_id=1)
+    head = client.load_table("t").snapshot_id
+    client.fast_forward("t", "prod", head)
+    assert client.load_table_ref("t", "prod").snapshot_id == head
+    with pytest.raises(ValueError):
+        client.fast_forward("t", "prod", 1)  # backwards
+    with pytest.raises(ValueError):
+        client.create_tag("t", "audit-v1")  # exists
+
+    # expiry over HTTP must pin the tagged snapshot
+    expired = client.expire_snapshots("t", keep_last=1)
+    assert 1 not in expired
+    assert client.load_table_ref("t", "audit-v1").snapshot_id == 1
+
+    client.drop_ref("t", "audit-v1")
+    with pytest.raises(TableNotFound):
+        client.load_table_ref("t", "audit-v1")
