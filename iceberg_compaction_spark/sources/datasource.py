@@ -105,7 +105,14 @@ class _FilePartition(InputPartition):
 
 
 def _read_partition(part: _FilePartition, columns: list[str] | None):
-    """Executor-side MOR for one file: pyarrow only."""
+    """Executor-side MOR for one file: pyarrow only.
+
+    The data file is STREAMED batch-by-batch (never materialized whole
+    — a task holds one Arrow batch, not a 1 GB file); delete content is
+    loaded up front because delete sets are small next to data.
+    Position deletes become an absolute-row-index mask tracked across
+    batches; equality deletes a key-set anti-filter under the
+    strictly-lower-sequence rule."""
     import pyarrow.parquet as pq
 
     def norm(p: str) -> str:
@@ -115,12 +122,9 @@ def _read_partition(part: _FilePartition, columns: list[str] | None):
                 break
         return p
 
-    table = pq.read_table(part.path)
-    n = table.num_rows
-    mask = None
+    drop: set[int] = set()
     if part.pos_delete_paths:
         me = norm(part.path)
-        drop: set[int] = set()
         for dp in part.pos_delete_paths:
             dt = pq.read_table(
                 dp, columns=["sys_hidden_file_path", "sys_hidden_pos"]
@@ -129,29 +133,37 @@ def _read_partition(part: _FilePartition, columns: list[str] | None):
                 dt.column("sys_hidden_file_path").to_pylist(),
                 dt.column("sys_hidden_pos").to_pylist(),
             ):
-                if norm(p) == me and 0 <= pos < n:
+                if norm(p) == me:
                     drop.add(pos)
-        if drop:
-            mask = [i not in drop for i in range(n)]
-    if mask is not None:
-        table = table.filter(mask)
+    eq_key_sets = []
     for dp, dseq, key_cols in part.eq_deletes:
         # equality deletes apply to strictly LOWER sequence numbers
         if not dseq > part.sequence_number:
             continue
         key_cols = list(key_cols)
         dt = pq.read_table(dp, columns=key_cols)
-        keys = set(
-            zip(*[dt.column(c).to_pylist() for c in key_cols])
-        )
-        if not keys:
-            continue
-        cols = [table.column(c).to_pylist() for c in key_cols]
-        keep = [t not in keys for t in zip(*cols)]
-        table = table.filter(keep)
-    if columns:
-        table = table.select(columns)
-    yield from table.to_batches()
+        keys = set(zip(*[dt.column(c).to_pylist() for c in key_cols]))
+        if keys:
+            eq_key_sets.append((key_cols, keys))
+
+    pf = pq.ParquetFile(part.path)
+    offset = 0
+    for batch in pf.iter_batches():
+        table = __import__("pyarrow").Table.from_batches([batch])
+        n = table.num_rows
+        if drop:
+            local = [p - offset for p in drop if offset <= p < offset + n]
+            if local:
+                hit = set(local)
+                table = table.filter([i not in hit for i in range(n)])
+        offset += n
+        for key_cols, keys in eq_key_sets:
+            cols = [table.column(c).to_pylist() for c in key_cols]
+            table = table.filter([t not in keys for t in zip(*cols)])
+        if columns:
+            table = table.select(columns)
+        if table.num_rows:
+            yield from table.to_batches()
 
 
 def _partitions_for_manifest(manifest) -> list[_FilePartition]:

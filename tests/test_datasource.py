@@ -245,3 +245,61 @@ def test_stream_write_sink_commits_per_batch(spark, cat, tmp_path):
     )
     q2.awaitTermination(120)
     assert cat.load_table("t").snapshot_id == m.snapshot_id
+
+
+def test_batch_read_masks_positions_across_row_groups(spark, tmp_path):
+    """Position masks must track ABSOLUTE row indices across streamed
+    row-group batches, not per-batch indices."""
+    from iceberg_compaction_spark.plans.datamodel import (
+        POSITION_DELETE,
+        DeleteFile,
+    )
+
+    root = str(tmp_path / "tbl2")
+    os.makedirs(root)
+    ids = list(range(100))
+    pq.write_table(
+        pa.table(
+            {
+                "id": pa.array(ids, type=pa.int64()),
+                "val": [f"v{i}" for i in ids],
+            }
+        ),
+        os.path.join(root, "multi.parquet"),
+        row_group_size=17,  # forces several batches
+    )
+    data_path = os.path.join(root, "multi.parquet")
+    # delete rows in the first, a middle, and the last row group
+    positions = [0, 16, 17, 50, 99]
+    dpath = os.path.join(root, "pos.parquet")
+    pq.write_table(
+        pa.table(
+            {
+                "sys_hidden_file_path": [data_path] * len(positions),
+                "sys_hidden_pos": pa.array(positions, type=pa.int64()),
+            }
+        ),
+        dpath,
+    )
+    m = Manifest.from_parquet_dir(root, pattern_suffix="multi.parquet")
+    m.data_files[0].deletes = [
+        DeleteFile(
+            path=dpath,
+            content=POSITION_DELETE,
+            file_size_in_bytes=os.path.getsize(dpath),
+            record_count=len(positions),
+            sequence_number=2,
+        )
+    ]
+    cat = FileCatalog(warehouse=str(tmp_path / "wh2"))
+    cat.create_table("t2", m)
+    register(spark)
+    got = sorted(
+        r["id"]
+        for r in spark.read.format("iceberg-table")
+        .option("warehouse", cat.warehouse)
+        .option("table", "t2")
+        .load()
+        .collect()
+    )
+    assert got == [i for i in ids if i not in positions]
