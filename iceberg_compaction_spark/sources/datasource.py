@@ -113,6 +113,7 @@ def _read_partition(part: _FilePartition, columns: list[str] | None):
     Position deletes become an absolute-row-index mask tracked across
     batches; equality deletes a key-set anti-filter under the
     strictly-lower-sequence rule."""
+    import pyarrow as pa
     import pyarrow.parquet as pq
 
     def norm(p: str) -> str:
@@ -149,7 +150,7 @@ def _read_partition(part: _FilePartition, columns: list[str] | None):
     pf = pq.ParquetFile(part.path)
     offset = 0
     for batch in pf.iter_batches():
-        table = __import__("pyarrow").Table.from_batches([batch])
+        table = pa.Table.from_batches([batch])
         n = table.num_rows
         if drop:
             local = [p - offset for p in drop if offset <= p < offset + n]
