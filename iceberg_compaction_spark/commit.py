@@ -219,6 +219,8 @@ class CommitManager:
             },
             partition_spec=[dict(f) for f in manifest.partition_spec],
             default_spec_id=manifest.default_spec_id,
+            # row-preserving rewrite: streaming consumers skip it
+            operation="replace",
         )
         return new
 
@@ -281,6 +283,7 @@ class CommitManager:
             },
             partition_spec=[dict(f) for f in manifest.partition_spec],
             default_spec_id=manifest.default_spec_id,
+            operation="overwrite",
         )
 
     def commit_with_retry(

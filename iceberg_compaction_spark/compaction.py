@@ -131,6 +131,18 @@ class Compaction:
             sort_order=self.sort_order,
             partition_spec=spec_fields,
         )
+        if wcfg.enforce_size_band and not spec_fields:
+            from iceberg_compaction_spark.sources.writer import (
+                enforce_size_band,
+            )
+
+            added = enforce_size_band(
+                self.spark,
+                out_dir,
+                added,
+                wcfg,
+                sort_order=self.sort_order if not wcfg.zorder_by else None,
+            )
         for t in added:
             # outputs are written under the table's CURRENT spec — this
             # rewrite IS the spec-evolution migration path for any
@@ -544,6 +556,7 @@ def rewrite_position_deletes(
     }
 
     new = Manifest.from_dict(manifest.to_dict())
+    new.operation = "replace"  # live rows unchanged: streams skip it
     for t in new.data_files:
         norm = normalize_path_str(t.data_file_path)
         kept = [
@@ -729,6 +742,7 @@ def convert_equality_deletes(
     )
 
     new = Manifest.from_dict(manifest.to_dict())
+    new.operation = "replace"  # live rows unchanged: streams skip it
     for t in new.data_files:
         norm = normalize_path_str(t.data_file_path)
         kept = [d for d in t.deletes if d.content != EQUALITY_DELETE]

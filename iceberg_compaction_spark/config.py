@@ -62,6 +62,15 @@ class WriterConfig:
     # EVERY listed dimension.  Mutually exclusive with a sort order.
     zorder_by: tuple[str, ...] | None = None
     zorder_bits: int = 12
+    # Enforce the reference's output-size band (0.75x-1.8x of target,
+    # core/src/file_selection/strategy.rs:335-343): when the row-width
+    # ESTIMATE drifts (consolidated files compress better than their
+    # fragmented inputs) and pass-1 output lands out of band, re-write
+    # the output once with the now-EXACT width — the Spark-first stand-in
+    # for the reference's byte-exact rolling writer.  Off by default:
+    # the correction pass re-reads+re-writes only the output bytes, but
+    # that is still a second write of the group.
+    enforce_size_band: bool = False
 
 
 @dataclass

@@ -131,6 +131,13 @@ def pack_sequences(
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     toks = F.col(tokens_col).cast("long")
+    # integer `div` on longs, NOT float `/` + cast: corpus-scale
+    # cumulative sums exceed the 2^53 double mantissa and non-power-of-2
+    # capacities can double-round a float quotient across a cut point —
+    # `div` matches the oracle's `//` bit-for-bit for every capacity
+    cap = int(capacity)
+    seq_id = F.expr(f"tokens_before div {cap}")
+    end_seq_id = F.expr(f"(cum_tokens - 1) div {cap}")
     return (
         df.where(toks > 0)
         .withColumn("pack_bucket", (F.col(id_col) % n_buckets).cast("long"))
@@ -140,16 +147,9 @@ def pack_sequences(
             F.col(id_col),
             "pack_bucket",
             toks.alias("n_tokens"),
-            (F.col("tokens_before") / capacity)
-            .cast("long")
-            .alias("seq_id"),
+            seq_id.alias("seq_id"),
             (F.col("tokens_before") % capacity).alias("seq_offset"),
-            (
-                (F.col("tokens_before") / capacity).cast("long")
-                != ((F.col("cum_tokens") - 1) / capacity).cast("long")
-            )
-            .cast("int")
-            .alias("spans_cut"),
+            (seq_id != end_seq_id).cast("int").alias("spans_cut"),
         )
     )
 

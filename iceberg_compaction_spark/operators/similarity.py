@@ -851,6 +851,7 @@ def pq_topk(
     k: int = 5,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    max_rows: int = DEFAULT_ALL_PAIRS_MAX_ROWS,
 ) -> DataFrame:
     """Asymmetric-distance (ADC) PQ search: exact query-to-codebook
     distance tables + code lookups over the encoded corpus.
@@ -865,8 +866,15 @@ def pq_topk(
     embedding) and never shuffles before the per-query top-k window.
     ADC cost per (query, doc) is m integer adds vs d multiplies for
     brute force — the classic Jegou/Douze/Schmid trade.
+
+    Exhaustive over the corpus (every query scores every code), so the
+    same ``max_rows`` guard as the other quadratic baselines applies:
+    at scale use :func:`ivfpq_topk`, whose coarse quantizer restricts
+    ADC to the probed cells.
     """
     from pyspark.sql.window import Window
+
+    _guard_all_pairs(corpus, max_rows, "pq_topk (exhaustive ADC baseline)")
 
     m = len(codebook)
     n_codes = len(codebook[0])

@@ -119,24 +119,73 @@ def maintain(
 
             engine.commit_manager.commit_with_retry(attempt)
 
+    # Both delete-maintenance steps commit through the SAME retry loop
+    # the compaction step uses: a concurrent writer racing the long
+    # Spark job turns into a re-load + re-run instead of aborting the
+    # whole maintenance pass (conflicts are rare; the retry price is
+    # paid only when one actually happens).
+    from iceberg_compaction_spark.commit import CommitManager
+    from iceberg_compaction_spark.plans.datamodel import POSITION_DELETE
+    from iceberg_compaction_spark.sources.puffin import is_puffin_file
+
+    mgr = CommitManager()
+
     eqc = EqConvertStats()
     if policy.convert_eq_deletes:
-        current = catalog.load_table(table_name)
-        new_m, eqc = convert_equality_deletes(spark, current)
-        if eqc.input_equality_files:
-            new_m.snapshot_id = current.snapshot_id + 1
-            catalog.commit_table(table_name, current.snapshot_id, new_m)
+        eq_live = {
+            d.path
+            for t in catalog.load_table(table_name).data_files
+            for d in t.deletes
+            if d.content != POSITION_DELETE
+        }
+        if eq_live:
+            holder: list[EqConvertStats] = []
+
+            def attempt_eq() -> Manifest:
+                current = catalog.load_table(table_name)
+                new_m, stats_eq = convert_equality_deletes(spark, current)
+                holder.append(stats_eq)
+                if not stats_eq.input_equality_files:
+                    return current  # raced away: nothing left to convert
+                new_m.snapshot_id = current.snapshot_id + 1
+                return catalog.commit_table(
+                    table_name, current.snapshot_id, new_m
+                )
+
+            mgr.commit_with_retry(attempt_eq)
+            eqc = holder[-1]
 
     drw = DeleteRewriteStats()
     if policy.rewrite_deletes_min_files:
-        current = catalog.load_table(table_name)
-        new_m, drw = rewrite_position_deletes(spark, current)
-        if (
-            drw.input_delete_files >= policy.rewrite_deletes_min_files
-            and drw.output_delete_files
-        ):
-            new_m.snapshot_id = current.snapshot_id + 1
-            catalog.commit_table(table_name, current.snapshot_id, new_m)
+        # gate on driver-scale manifest metadata BEFORE the Spark job:
+        # below the threshold the consolidation would only be abandoned
+        # (its output files left orphaned) — never start it
+        pos_live = {
+            d.path
+            for t in catalog.load_table(table_name).data_files
+            for d in t.deletes
+            if d.content == POSITION_DELETE and not is_puffin_file(d.path)
+        }
+        if len(pos_live) >= policy.rewrite_deletes_min_files:
+            holder_d: list[DeleteRewriteStats] = []
+
+            def attempt_drw() -> Manifest:
+                current = catalog.load_table(table_name)
+                new_m, stats_d = rewrite_position_deletes(spark, current)
+                holder_d.append(stats_d)
+                if not (
+                    stats_d.input_delete_files
+                    >= policy.rewrite_deletes_min_files
+                    and stats_d.output_delete_files
+                ):
+                    return current  # raced below the threshold
+                new_m.snapshot_id = current.snapshot_id + 1
+                return catalog.commit_table(
+                    table_name, current.snapshot_id, new_m
+                )
+
+            mgr.commit_with_retry(attempt_drw)
+            drw = holder_d[-1]
 
     expired = catalog.expire_snapshots(table_name, policy.keep_snapshots)
     orphans = (

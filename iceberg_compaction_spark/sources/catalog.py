@@ -26,7 +26,6 @@ from __future__ import annotations
 
 import contextlib
 import json
-import os
 from dataclasses import dataclass
 
 from iceberg_compaction_spark.sources.manifest import Manifest
@@ -43,54 +42,71 @@ class TableAlreadyExists(ValueError):
 @dataclass
 class FileCatalog:
     """Minimal catalog: namespace = directory, table = versioned
-    metadata files.  All mutations go through CAS commits."""
+    metadata files.  All mutations go through CAS commits.
+
+    All byte-level access routes through the FileIO seam
+    (sources/fileio.py), resolved from the warehouse URI's scheme — the
+    same catalog code runs over POSIX (``/wh`` or ``file://``), the
+    in-memory object store (``mem://``, the test tier standing in for
+    the reference's MinIO integration harness), or fsspec-backed object
+    stores.
+    """
 
     warehouse: str
 
     # ---- layout --------------------------------------------------------
 
+    @property
+    def _io(self):
+        from iceberg_compaction_spark.sources.fileio import fileio_for
+
+        return fileio_for(self.warehouse)
+
     def _table_dir(self, name: str) -> str:
-        return os.path.join(self.warehouse, name)
+        return self._io.join(self.warehouse, name)
 
     def _metadata_dir(self, name: str) -> str:
-        return os.path.join(self._table_dir(name), "metadata")
+        return self._io.join(self._table_dir(name), "metadata")
 
     def _version_path(self, name: str, version: int) -> str:
-        return os.path.join(self._metadata_dir(name), f"v{version}.metadata.json")
+        return self._io.join(self._metadata_dir(name), f"v{version}.metadata.json")
 
     def _hint_path(self, name: str) -> str:
-        return os.path.join(self._metadata_dir(name), "version-hint.text")
+        return self._io.join(self._metadata_dir(name), "version-hint.text")
 
     # ---- catalog API ---------------------------------------------------
 
     def list_tables(self) -> list[str]:
-        if not os.path.isdir(self.warehouse):
+        io = self._io
+        if not io.is_dir(self.warehouse):
             return []
         return sorted(
             d
-            for d in os.listdir(self.warehouse)
-            if os.path.isdir(os.path.join(self.warehouse, d, "metadata"))
+            for d in io.listdir(self.warehouse)
+            if io.is_dir(io.join(self.warehouse, d, "metadata"))
         )
 
     def table_exists(self, name: str) -> bool:
-        return os.path.isdir(self._metadata_dir(name))
+        return self._io.is_dir(self._metadata_dir(name))
 
     def create_table(self, name: str, manifest: Manifest) -> Manifest:
         """Register a table; its first metadata version is a COPY of the
         given manifest with snapshot id 1 (the argument is not mutated).
 
-        Concurrent creators race on the makedirs: the loser surfaces the
-        documented ``TableAlreadyExists``, not a raw ``FileExistsError``.
+        Concurrent creators race on the exclusive v1 create (directories
+        are implicit on object stores, so makedirs can't arbitrate): the
+        loser surfaces the documented ``TableAlreadyExists``, not a raw
+        ``FileExistsError``.
         """
         if self.table_exists(name):
             raise TableAlreadyExists(name)
-        try:
-            os.makedirs(self._metadata_dir(name))
-        except FileExistsError:
-            raise TableAlreadyExists(name) from None
+        self._io.makedirs(self._metadata_dir(name))
         registered = Manifest.from_dict(manifest.to_dict())
         registered.snapshot_id = 1
-        self._write_version(name, registered)
+        try:
+            self._write_version(name, registered, exclusive=True)
+        except FileExistsError:
+            raise TableAlreadyExists(name) from None
         return registered
 
     def load_table(self, name: str) -> Manifest:
@@ -100,19 +116,20 @@ class FileCatalog:
         v = self._current_version(name)
         if v == 0:
             raise TableNotFound(name)
-        with open(self._version_path(name, v)) as f:
-            return Manifest.from_dict(json.load(f))
+        return Manifest.from_dict(
+            json.loads(self._io.read_bytes(self._version_path(name, v)))
+        )
 
     def table_history(self, name: str) -> list[int]:
         """All committed snapshot ids, ascending — every version file is
         retained on disk (Iceberg keeps superseded snapshots until
         expiration), so the full history is always listable."""
         mdir = self._metadata_dir(name)
-        if not os.path.isdir(mdir):
+        if not self._io.is_dir(mdir):
             raise TableNotFound(name)
         return sorted(
             int(n[1:].split(".", 1)[0])
-            for n in os.listdir(mdir)
+            for n in self._io.listdir(mdir)
             if n.startswith("v") and n.endswith(".metadata.json")
         )
 
@@ -123,8 +140,7 @@ class FileCatalog:
         Iceberg's snapshot-read semantics."""
         path = self._version_path(name, snapshot_id)
         try:
-            with open(path) as f:
-                return Manifest.from_dict(json.load(f))
+            return Manifest.from_dict(json.loads(self._io.read_bytes(path)))
         except FileNotFoundError:
             raise TableNotFound(
                 f"{name}@{snapshot_id} (history: "
@@ -145,13 +161,13 @@ class FileCatalog:
         expired = [v for v in history[:-keep_last] if v not in pinned]
         for v in expired:
             with contextlib.suppress(FileNotFoundError):
-                os.unlink(self._version_path(name, v))
+                self._io.remove(self._version_path(name, v))
         return expired
 
     # ---- refs: tags and branches (Iceberg table refs) -------------------
 
     def _refs_path(self, name: str) -> str:
-        return os.path.join(self._metadata_dir(name), "refs.json")
+        return self._io.join(self._metadata_dir(name), "refs.json")
 
     def list_refs(self, name: str) -> dict[str, dict]:
         """All named refs: ``{ref_name: {"type": "tag"|"branch",
@@ -159,16 +175,14 @@ class FileCatalog:
         if not self.table_exists(name):
             raise TableNotFound(name)
         try:
-            with open(self._refs_path(name)) as f:
-                return json.load(f)
+            return json.loads(self._io.read_bytes(self._refs_path(name)))
         except FileNotFoundError:
             return {}
 
     def _write_refs(self, name: str, refs: dict[str, dict]) -> None:
-        tmp = f"{self._refs_path(name)}.tmp"
-        with open(tmp, "w") as f:
-            json.dump(refs, f, indent=1)
-        os.replace(tmp, self._refs_path(name))
+        self._io.write_atomic(
+            self._refs_path(name), json.dumps(refs, indent=1).encode()
+        )
 
     def _set_ref(
         self, name: str, ref: str, ref_type: str, snapshot_id: int | None
@@ -271,48 +285,47 @@ class FileCatalog:
         """
         import time
 
+        io = self._io
         referenced: set[str] = set()
         root = scan_root
         for v in self.table_history(name):
             m = self.load_table_at(name, v)
-            referenced.update(os.path.realpath(p) for p in m.paths())
+            referenced.update(io.canonical(p) for p in m.paths())
             for t in m.data_files:
                 for d in t.deletes:
-                    referenced.add(os.path.realpath(d.path))
+                    referenced.add(io.canonical(d.path))
             root = root or m.table_root
-        if not root or not os.path.isdir(root):
+        if not root or not io.is_dir(root):
             return []
         cutoff = time.time() - older_than_s
         candidates = []
-        for dirpath, _dirs, files in os.walk(root):
-            for fn in files:
-                if not fn.endswith(".parquet"):
-                    continue
-                p = os.path.join(dirpath, fn)
-                if os.path.realpath(p) in referenced:
-                    continue
-                try:
-                    if os.path.getmtime(p) > cutoff:
-                        continue  # inside the grace window: maybe in-flight
-                except OSError:
-                    continue  # vanished mid-walk: someone else owns it
-                candidates.append(p)
+        for p in io.walk_files(root):
+            if not p.endswith(".parquet"):
+                continue
+            if io.canonical(p) in referenced:
+                continue
+            try:
+                if io.mtime(p) > cutoff:
+                    continue  # inside the grace window: maybe in-flight
+            except OSError:
+                continue  # vanished mid-walk: someone else owns it
+            candidates.append(p)
         # a commit may have landed during the walk — never unlink what
         # the (possibly new) head now references
         try:
             head = self.load_table(name)
-            referenced.update(os.path.realpath(p) for p in head.paths())
+            referenced.update(io.canonical(p) for p in head.paths())
             for t in head.data_files:
                 for d in t.deletes:
-                    referenced.add(os.path.realpath(d.path))
+                    referenced.add(io.canonical(d.path))
         except TableNotFound:
             pass
         removed = []
         for p in candidates:
-            if os.path.realpath(p) in referenced:
+            if io.canonical(p) in referenced:
                 continue
             with contextlib.suppress(FileNotFoundError):
-                os.unlink(p)
+                io.remove(p)
             removed.append(p)
         return sorted(removed)
 
@@ -352,23 +365,23 @@ class FileCatalog:
     # ---- internals -----------------------------------------------------
 
     def _current_version(self, name: str) -> int:
+        io = self._io
         mdir = self._metadata_dir(name)
-        if not os.path.isdir(mdir):
+        if not io.is_dir(mdir):
             return 0
         # hint is best-effort; trust it only if the version file exists
         hint = 0
         try:
-            with open(self._hint_path(name)) as f:
-                hint = int(f.read().strip())
+            hint = int(io.read_bytes(self._hint_path(name)).decode().strip())
         except (FileNotFoundError, ValueError):
             hint = 0
-        if hint and os.path.exists(self._version_path(name, hint + 1)):
+        if hint and io.exists(self._version_path(name, hint + 1)):
             hint = 0  # stale hint: fall through to the scan
-        if hint and os.path.exists(self._version_path(name, hint)):
+        if hint and io.exists(self._version_path(name, hint)):
             return hint
         versions = [
             int(n[1:].split(".", 1)[0])
-            for n in os.listdir(mdir)
+            for n in io.listdir(mdir)
             if n.startswith("v") and n.endswith(".metadata.json")
         ]
         return max(versions, default=0)
@@ -376,18 +389,14 @@ class FileCatalog:
     def _write_version(
         self, name: str, manifest: Manifest, exclusive: bool = False
     ) -> None:
+        io = self._io
         path = self._version_path(name, manifest.snapshot_id)
-        payload = json.dumps(manifest.to_dict(), indent=1)
+        payload = json.dumps(manifest.to_dict(), indent=1).encode()
         if exclusive:
             # THE atomic CAS: exactly one writer creates this version
-            fd = os.open(path, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
-            with os.fdopen(fd, "w") as f:
-                f.write(payload)
+            if not io.create_exclusive(path, payload):
+                raise FileExistsError(path)
         else:
-            with open(path, "w") as f:
-                f.write(payload)
+            io.write_bytes(path, payload)
         # hint update is advisory (readers rescan on staleness)
-        tmp = f"{self._hint_path(name)}.tmp"
-        with open(tmp, "w") as f:
-            f.write(str(manifest.snapshot_id))
-        os.replace(tmp, self._hint_path(name))
+        io.write_atomic(self._hint_path(name), str(manifest.snapshot_id).encode())

@@ -8,12 +8,14 @@ executor calls ``read(partition)`` and yields Arrow batches.  This
 module registers ``iceberg-table``:
 
 - **Batch**: the table's CURRENT snapshot with merge-on-read applied —
-  position deletes as row-index masks, equality deletes as key-set
-  anti-filters honoring the strictly-lower-sequence rule.  One
-  partition per data file, so Spark parallelizes across files exactly
-  like the native parquet source; delete content is re-read per
-  partition executor-side (delete sets are small next to data, and
-  nothing ever funnels through the driver).
+  position deletes and format-v3 puffin deletion vectors as vectorized
+  row-index masks, equality deletes as fused-key ``is_in`` anti-filters
+  honoring the strictly-lower-sequence rule.  One partition per data
+  file, so Spark parallelizes across files exactly like the native
+  parquet source; delete content is read executor-side through a
+  bounded per-worker cache (so a delete file covering many data files
+  parses ~once per executor, and nothing ever funnels through the
+  driver).
 - **Streaming**: incremental append consumption, the shape of Iceberg's
   Spark streaming read: each micro-batch covers the snapshots committed
   since the last offset; append-only commits emit their added files'
@@ -36,9 +38,10 @@ Usage::
     stream = (spark.readStream.format("iceberg-table")
               .option("warehouse", wh).option("table", "t").load())
 
-Executor-side reads use only pyarrow + the filesystem (no SparkSession,
-no engine imports beyond dataclasses), which is what makes the source
-serializable and cluster-safe.
+Executor-side reads use only pyarrow/numpy + the FileIO seam
+(sources/fileio.py — local, memory, or fsspec object stores) plus the
+pure-stdlib puffin decoder; no SparkSession is ever touched on an
+executor, which is what makes the source serializable and cluster-safe.
 """
 
 from __future__ import annotations
@@ -95,85 +98,441 @@ def _ddl_from_file(path: str) -> str:
 @dataclass
 class _FilePartition(InputPartition):
     """One data file + the delete content that applies to it.  Plain
-    picklable data: executors re-read delete files with pyarrow."""
+    picklable data: executors re-read delete files with pyarrow
+    (through a per-worker bounded cache — see ``_cached_delete``)."""
 
     path: str
     sequence_number: int = 0
     pos_delete_paths: tuple = ()
+    # puffin deletion-vector files (format v3): decoded executor-side
+    dv_paths: tuple = ()
     # (path, sequence_number, key_columns) triples
     eq_deletes: tuple = ()
+    # changelog mode (streaming CDC): '' = plain read; 'insert'/'delete'
+    # stamp every live row; 'delete_diff' emits rows live under the
+    # PREVIOUS delete attachments but dead under the current ones (the
+    # per-file executor-computable form of an upsert's delete half)
+    change_type: str = ""
+    commit_snapshot_id: int = 0
+    prev_pos_delete_paths: tuple = ()
+    prev_dv_paths: tuple = ()
+    prev_eq_deletes: tuple = ()
+    # pushed-down scan predicates as (col, op, value) conjuncts —
+    # best-effort: applied for row-group pruning + Arrow-side batch
+    # filtering; Spark re-applies the same filters above the source, so
+    # correctness never depends on this path
+    predicates: tuple = ()
+
+
+# --- executor-side delete-content cache --------------------------------------
+#
+# Delete files fan out: one position-delete / DV / equality-delete file
+# typically covers MANY data files, and Spark hands each data file to
+# its own task.  Without a cache that is D x F object reads (the
+# reference instead dedups delete reads per group,
+# core/src/file_selection/strategy.rs:68-106).  Python workers are
+# reused across tasks (spark.python.worker.reuse, on by default), so a
+# small per-process LRU makes each delete file's parse cost amortize to
+# ~once per executor while keeping one-file-per-partition parallelism.
+# Bounded: delete sets are small next to data, but 100 TB tables can
+# carry many delete files — the LRU caps worker memory, not correctness.
+
+_DELETE_CACHE: "dict[tuple, object]" = {}
+_DELETE_CACHE_ORDER: list = []
+_DELETE_CACHE_MAX = 64
+
+
+def _cached_delete(key: tuple, loader):
+    if key in _DELETE_CACHE:
+        _DELETE_CACHE_ORDER.remove(key)
+        _DELETE_CACHE_ORDER.append(key)
+        return _DELETE_CACHE[key]
+    val = loader()
+    _DELETE_CACHE[key] = val
+    _DELETE_CACHE_ORDER.append(key)
+    while len(_DELETE_CACHE_ORDER) > _DELETE_CACHE_MAX:
+        old = _DELETE_CACHE_ORDER.pop(0)
+        _DELETE_CACHE.pop(old, None)
+    return val
+
+
+def _load_pos_delete(path: str):
+    """Parse one (file_path, pos) parquet into {normalized data path ->
+    sorted int64 numpy positions} — grouped ONCE, then every covered
+    data file's task is a dict lookup."""
+    import numpy as np
+    import pyarrow.parquet as pq
+
+    from iceberg_compaction_spark.sources.fileio import open_input
+    from iceberg_compaction_spark.sources.scan import normalize_path_str
+
+    with open_input(path) as f:
+        dt = pq.read_table(
+            f, columns=["sys_hidden_file_path", "sys_hidden_pos"]
+        )
+    grouped = dt.group_by("sys_hidden_file_path").aggregate(
+        [("sys_hidden_pos", "list")]
+    )
+    out = {}
+    for p, positions in zip(
+        grouped.column("sys_hidden_file_path").to_pylist(),
+        grouped.column("sys_hidden_pos_list").to_pylist(),
+    ):
+        key = normalize_path_str(p)
+        arr = np.asarray(positions, dtype=np.int64)
+        if key in out:
+            arr = np.concatenate([out[key], arr])
+        out[key] = arr
+    return {k: np.unique(v) for k, v in out.items()}
+
+
+def _load_dv(path: str):
+    """Decode a puffin deletion-vector file into {normalized data path
+    -> sorted int64 numpy positions} (Roaring bitmaps, sources/puffin.py)."""
+    import numpy as np
+
+    from iceberg_compaction_spark.sources.puffin import read_puffin_dvs
+    from iceberg_compaction_spark.sources.scan import normalize_path_str
+
+    return {
+        normalize_path_str(ref): np.asarray(sorted(set(positions)), dtype=np.int64)
+        for ref, positions in read_puffin_dvs(path).items()
+    }
+
+
+_EQ_SEP = "\x1f"
+_EQ_NULL = "\x00\x00N"
+
+
+def _fuse_key_columns(table, key_cols: list[str]):
+    """Fuse the equality-key columns of an Arrow table into ONE string
+    array so the anti-filter is a single vectorized ``is_in`` probe
+    instead of a per-row Python tuple check.  Nulls are folded to a
+    sentinel (Iceberg equality deletes match null keys by equality)."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    cols = [pc.cast(table.column(c), pa.string()) for c in key_cols]
+    return pc.binary_join_element_wise(
+        *cols,
+        _EQ_SEP,
+        null_handling="replace",
+        null_replacement=_EQ_NULL,
+    )
+
+
+def _load_eq_delete(path: str, key_cols: tuple):
+    """Parse one equality-delete parquet into the Arrow value set
+    ``is_in`` consumes: the raw typed column for single-column keys
+    (no cast at all — the common case), the fused string array for
+    composite keys."""
+    import pyarrow.parquet as pq
+
+    from iceberg_compaction_spark.sources.fileio import open_input
+
+    with open_input(path) as f:
+        dt = pq.read_table(f, columns=list(key_cols))
+    if len(key_cols) == 1:
+        return dt.column(key_cols[0]).combine_chunks()
+    return _fuse_key_columns(dt, list(key_cols))
+
+
+def _eq_delete_mask(table, key_cols: list[str], value_set):
+    """Boolean keep-mask dropping rows whose key is in ``value_set``.
+    Null keys match null deletes (Iceberg equality is null-safe)."""
+    import pyarrow.compute as pc
+
+    if len(key_cols) == 1:
+        col = table.column(key_cols[0])
+        matched = pc.is_in(col, value_set=value_set)
+        if value_set.null_count > 0:
+            matched = pc.or_(matched, pc.is_null(col))
+    else:
+        matched = pc.is_in(
+            _fuse_key_columns(table, key_cols), value_set=value_set
+        )
+    return pc.invert(matched)
+
+
+def _delete_sets(
+    me: str, seq: int, pos_paths: tuple, dv_paths: tuple, eq_deletes: tuple
+):
+    """Resolve one delete attachment set (through the cache) into the
+    (sorted position array | None, [(key_cols, value_set)]) pair the
+    batch loop consumes."""
+    import numpy as np
+
+    pos_arrays = []
+    for dp in pos_paths:
+        hit = _cached_delete(("pos", dp), lambda dp=dp: _load_pos_delete(dp)).get(me)
+        if hit is not None and len(hit):
+            pos_arrays.append(hit)
+    for dp in dv_paths:
+        hit = _cached_delete(("dv", dp), lambda dp=dp: _load_dv(dp)).get(me)
+        if hit is not None and len(hit):
+            pos_arrays.append(hit)
+    drop = np.unique(np.concatenate(pos_arrays)) if pos_arrays else None
+
+    eq_filters = []
+    for dp, dseq, key_cols in eq_deletes:
+        # equality deletes apply to strictly LOWER sequence numbers
+        if not dseq > seq:
+            continue
+        value_set = _cached_delete(
+            ("eq", dp, key_cols),
+            lambda dp=dp, kc=key_cols: _load_eq_delete(dp, kc),
+        )
+        if len(value_set):
+            eq_filters.append((list(key_cols), value_set))
+    return drop, eq_filters
+
+
+def _keep_mask(table, offset: int, drop, eq_filters):
+    """Live-row boolean mask for one batch: positions dropped via a
+    numpy scatter over the absolute row window (two binary searches, no
+    Python loop), equality keys via vectorized ``is_in``."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    n = table.num_rows
+    mask = np.ones(n, dtype=bool)
+    if drop is not None:
+        lo = np.searchsorted(drop, offset, side="left")
+        hi = np.searchsorted(drop, offset + n, side="left")
+        if hi > lo:
+            mask[drop[lo:hi] - offset] = False
+    keep = pa.array(mask)
+    for key_cols, value_set in eq_filters:
+        keep = pc.and_(keep, _eq_delete_mask(table, key_cols, value_set))
+    return keep
+
+
+def _spark_filters_to_predicates(filters):
+    """Translate Spark DataSource pushdown filters into the engine's
+    (col, op, value) conjuncts.  Only top-level-column comparisons the
+    manifest-bounds evaluator understands are kept; everything else is
+    simply not translated (Spark re-applies all filters regardless)."""
+    from pyspark.sql.datasource import (
+        EqualTo,
+        GreaterThan,
+        GreaterThanOrEqual,
+        In,
+        IsNotNull,
+        IsNull,
+        LessThan,
+        LessThanOrEqual,
+    )
+
+    out = []
+    for f in filters:
+        attr = getattr(f, "attribute", None)
+        if not attr or len(attr) != 1:
+            continue
+        col = attr[0]
+        if isinstance(f, EqualTo):
+            out.append((col, "eq", f.value))
+        elif isinstance(f, GreaterThan):
+            out.append((col, "gt", f.value))
+        elif isinstance(f, GreaterThanOrEqual):
+            out.append((col, "ge", f.value))
+        elif isinstance(f, LessThan):
+            out.append((col, "lt", f.value))
+        elif isinstance(f, LessThanOrEqual):
+            out.append((col, "le", f.value))
+        elif isinstance(f, In):
+            out.append((col, "in", tuple(f.values)))
+        elif isinstance(f, IsNull):
+            out.append((col, "is_null", None))
+        elif isinstance(f, IsNotNull):
+            out.append((col, "not_null", None))
+    return tuple(out)
+
+
+def _rg_might_match(md, rg: int, name_to_idx: dict, predicates) -> bool:
+    """Row-group-level may-match check from parquet footer statistics —
+    the executor-side twin of the manifest-bounds file pruning (same
+    inclusive semantics: missing/odd stats keep the group)."""
+    for col, op, value in predicates:
+        i = name_to_idx.get(col)
+        if i is None:
+            continue
+        st = md.row_group(rg).column(i).statistics
+        if st is None:
+            continue
+        if op in ("is_null", "not_null"):
+            if not st.has_null_count:
+                continue
+            nulls = st.null_count
+            rows = md.row_group(rg).num_rows
+            if op == "is_null" and nulls == 0:
+                return False
+            if op == "not_null" and nulls == rows:
+                return False
+            continue
+        if not st.has_min_max:
+            continue
+        lo, hi = st.min, st.max
+        try:
+            if op == "eq" and (value < lo or value > hi):
+                return False
+            if op == "in" and all(v < lo or v > hi for v in value):
+                return False
+            if op == "lt" and lo >= value:
+                return False
+            if op == "le" and lo > value:
+                return False
+            if op == "gt" and hi <= value:
+                return False
+            if op == "ge" and hi < value:
+                return False
+        except TypeError:
+            continue  # incomparable types (logical-type mismatch): keep
+    return True
+
+
+def _predicate_mask(table, predicates):
+    """Arrow-side exact filter for the pushed conjuncts (cheap pre-trim
+    before batches cross into the JVM; Spark still re-checks)."""
+    import pyarrow.compute as pc
+
+    keep = None
+    ops = {
+        "eq": pc.equal,
+        "lt": pc.less,
+        "le": pc.less_equal,
+        "gt": pc.greater,
+        "ge": pc.greater_equal,
+    }
+    for col, op, value in predicates:
+        if col not in table.column_names:
+            continue
+        c = table.column(col)
+        if op in ops:
+            m = ops[op](c, value)
+        elif op == "in":
+            import pyarrow as pa
+
+            m = pc.is_in(c, value_set=pa.array(list(value)))
+        elif op == "is_null":
+            m = pc.is_null(c)
+        elif op == "not_null":
+            m = pc.is_valid(c)
+        else:
+            continue
+        m = pc.fill_null(m, False)
+        keep = m if keep is None else pc.and_(keep, m)
+    return keep
 
 
 def _read_partition(part: _FilePartition, columns: list[str] | None):
-    """Executor-side MOR for one file: pyarrow only.
+    """Executor-side MOR for one file: pyarrow only (vectorized).
 
     The data file is STREAMED batch-by-batch (never materialized whole
-    — a task holds one Arrow batch, not a 1 GB file); delete content is
-    loaded up front because delete sets are small next to data.
-    Position deletes become an absolute-row-index mask tracked across
-    batches; equality deletes a key-set anti-filter under the
-    strictly-lower-sequence rule."""
+    — a task holds one Arrow batch, not a 1 GB file); delete content
+    comes from the per-worker cache.  Position deletes and decoded
+    deletion vectors merge into one sorted position array applied as a
+    numpy boolean mask per batch; equality deletes are a fused-key
+    ``pc.is_in`` anti-filter under the strictly-lower-sequence rule.
+    The reference's vectorized scan stream is the model
+    (core/src/executor/datafusion/iceberg_file_task_scan.rs:146-347).
+
+    Changelog partitions reuse the same masks: 'insert'/'delete' stamp
+    live rows with a constant ``_change_type``; 'delete_diff' emits
+    rows live under the previous attachments AND dead under the current
+    ones — the executor-computable delete half of an upsert."""
     import pyarrow as pa
+    import pyarrow.compute as pc
     import pyarrow.parquet as pq
 
-    def norm(p: str) -> str:
-        for pre in ("file://", "file:"):
-            if p.startswith(pre):
-                p = p[len(pre):]
-                break
-        return p
+    from iceberg_compaction_spark.sources.fileio import open_input
+    from iceberg_compaction_spark.sources.scan import normalize_path_str
 
-    drop: set[int] = set()
-    if part.pos_delete_paths:
-        me = norm(part.path)
-        for dp in part.pos_delete_paths:
-            dt = pq.read_table(
-                dp, columns=["sys_hidden_file_path", "sys_hidden_pos"]
-            )
-            for p, pos in zip(
-                dt.column("sys_hidden_file_path").to_pylist(),
-                dt.column("sys_hidden_pos").to_pylist(),
-            ):
-                if norm(p) == me:
-                    drop.add(pos)
-    eq_key_sets = []
-    for dp, dseq, key_cols in part.eq_deletes:
-        # equality deletes apply to strictly LOWER sequence numbers
-        if not dseq > part.sequence_number:
-            continue
-        key_cols = list(key_cols)
-        dt = pq.read_table(dp, columns=key_cols)
-        keys = set(zip(*[dt.column(c).to_pylist() for c in key_cols]))
-        if keys:
-            eq_key_sets.append((key_cols, keys))
+    me = normalize_path_str(part.path)
+    drop, eq_filters = _delete_sets(
+        me,
+        part.sequence_number,
+        part.pos_delete_paths,
+        part.dv_paths,
+        part.eq_deletes,
+    )
+    diff_mode = part.change_type == "delete_diff"
+    if diff_mode:
+        prev_drop, prev_eq = _delete_sets(
+            me,
+            part.sequence_number,
+            part.prev_pos_delete_paths,
+            part.prev_dv_paths,
+            part.prev_eq_deletes,
+        )
 
-    pf = pq.ParquetFile(part.path)
-    offset = 0
-    for batch in pf.iter_batches():
-        table = pa.Table.from_batches([batch])
-        n = table.num_rows
-        if drop:
-            local = [p - offset for p in drop if offset <= p < offset + n]
-            if local:
-                hit = set(local)
-                table = table.filter([i not in hit for i in range(n)])
-        offset += n
-        for key_cols, keys in eq_key_sets:
-            cols = [table.column(c).to_pylist() for c in key_cols]
-            table = table.filter([t not in keys for t in zip(*cols)])
-        if columns:
-            table = table.select(columns)
-        if table.num_rows:
-            yield from table.to_batches()
+    with open_input(part.path) as f:
+        pf = pq.ParquetFile(f)
+        md = pf.metadata
+        name_to_idx = {
+            md.schema.column(i).name: i for i in range(md.num_columns)
+        }
+
+        def batches():
+            """Row-group stream with row-group-level predicate pruning;
+            yields (batch, absolute_offset).  Skipped groups advance the
+            offset WITHOUT reading (position masks address absolute row
+            indices, so the offset must count pruned rows too)."""
+            offset = 0
+            for rg in range(md.num_row_groups):
+                n_rg = md.row_group(rg).num_rows
+                if part.predicates and not _rg_might_match(
+                    md, rg, name_to_idx, part.predicates
+                ):
+                    offset += n_rg
+                    continue
+                produced = 0
+                for batch in pf.iter_batches(row_groups=[rg]):
+                    yield batch, offset + produced
+                    produced += batch.num_rows
+                offset += n_rg
+
+        for batch, offset in batches():
+            table = pa.Table.from_batches([batch])
+            keep = _keep_mask(table, offset, drop, eq_filters)
+            if diff_mode:
+                was_live = _keep_mask(table, offset, prev_drop, prev_eq)
+                table = table.filter(pc.and_(was_live, pc.invert(keep)))
+            else:
+                table = table.filter(keep)
+            if part.predicates:
+                mask = _predicate_mask(table, part.predicates)
+                if mask is not None:
+                    table = table.filter(mask)
+            if columns:
+                table = table.select(columns)
+            if part.change_type:
+                ct = "delete" if diff_mode else part.change_type
+                table = table.append_column(
+                    "_change_type",
+                    pa.array([ct] * table.num_rows, type=pa.string()),
+                ).append_column(
+                    "_commit_snapshot_id",
+                    pa.array(
+                        [part.commit_snapshot_id] * table.num_rows,
+                        type=pa.int64(),
+                    ),
+                )
+            if table.num_rows:
+                yield from table.to_batches()
 
 
 def _partitions_for_manifest(manifest) -> list[_FilePartition]:
+    from iceberg_compaction_spark.sources.puffin import is_puffin_file
+
     parts = []
     for t in manifest.data_files:
-        pos, eq = [], []
+        pos, dvs, eq = [], [], []
         for d in t.deletes:
             if d.content == "position_delete":
-                pos.append(d.path)
+                # v3 deletion vectors ride the position-delete channel
+                # as puffin files; they decode executor-side
+                (dvs if is_puffin_file(d.path) else pos).append(d.path)
             else:
                 eq.append((d.path, d.sequence_number, tuple(d.equality_ids)))
         parts.append(
@@ -181,6 +540,7 @@ def _partitions_for_manifest(manifest) -> list[_FilePartition]:
                 path=t.data_file_path,
                 sequence_number=t.sequence_number,
                 pos_delete_paths=tuple(pos),
+                dv_paths=tuple(dvs),
                 eq_deletes=tuple(eq),
             )
         )
@@ -188,12 +548,38 @@ def _partitions_for_manifest(manifest) -> list[_FilePartition]:
 
 
 class _BatchReader(DataSourceReader):
+    """Batch MOR reader with best-effort predicate pushdown.
+
+    ``pushFilters`` returns EVERY filter back to Spark (Spark keeps the
+    exact row-level check above the source), but the translatable
+    conjuncts still flow down three pruning tiers — the same funnel the
+    reference's scan planner applies (manifest metrics evaluation, then
+    row-group stats, then the vectorized filter):
+
+    1. plan time: files whose MANIFEST bounds prove no match are never
+       even listed as partitions (plans/pruning.py — Iceberg's
+       InclusiveMetricsEvaluator); at 100 TB this is the difference
+       between touching 3 files and 100k;
+    2. executor: row groups whose footer stats prove no match are
+       skipped without reading;
+    3. executor: surviving Arrow batches are pre-trimmed before
+       crossing into the JVM.
+    """
+
     def __init__(self, options):
         self._wh = options["warehouse"]
         self._table = options["table"]
         self._snapshot = options.get("snapshot_id")
+        self._predicates: tuple = ()
+
+    def pushFilters(self, filters):
+        self._predicates = _spark_filters_to_predicates(filters)
+        # yield everything back: Spark re-applies, so the pruning tiers
+        # below are pure optimization with zero correctness exposure
+        yield from filters
 
     def partitions(self):
+        from iceberg_compaction_spark.plans import pruning as pr
         from iceberg_compaction_spark.sources.catalog import FileCatalog
 
         cat = FileCatalog(warehouse=self._wh)
@@ -202,14 +588,54 @@ class _BatchReader(DataSourceReader):
             if self._snapshot
             else cat.load_table(self._table)
         )
-        return _partitions_for_manifest(m)
+        parts = _partitions_for_manifest(m)
+        if self._predicates:
+            preds = [
+                pr.ColumnPredicate(col=c, op=op, value=v)
+                for c, op, v in self._predicates
+            ]
+            alive = {
+                t.data_file_path
+                for t in pr.prune_tasks(m.data_files, preds)
+            }
+            parts = [p for p in parts if p.path in alive]
+            for p in parts:
+                p.predicates = self._predicates
+        if not parts:
+            # Spark requires >=1 partition; an empty one reads nothing
+            parts = [
+                _FilePartition(path="", predicates=self._predicates)
+            ]
+        return parts
 
     def read(self, partition):
+        if not partition.path:
+            return
         yield from _read_partition(partition, None)
 
 
 class _ChangesStreamReader(DataSourceStreamReader):
-    """Micro-batch source over the table's commit log."""
+    """Micro-batch source over the table's commit log.
+
+    Two modes:
+
+    - **append** (default): added files' rows emit; a ``replace``
+      snapshot (compaction / delete consolidation — provably
+      row-preserving, stamped by the commit paths) is skipped silently;
+      ANY other commit that removes files or changes existing rows
+      (overwrite, delete, upsert, or a legacy snapshot with no
+      operation marker) raises unless ``skip_overwrites=true`` —
+      mirroring Iceberg's ``streaming-skip-overwrite-snapshots``/
+      ``streaming-skip-delete-snapshots``.
+    - **cdc** (``change_mode=cdc``): every commit becomes row-level
+      changes with ``_change_type`` ('insert'/'delete') and
+      ``_commit_snapshot_id`` — Iceberg's changelog scan as a stream.
+      Updates appear as delete+insert pairs; ``replace`` snapshots
+      correctly emit nothing.  Each changed file is ONE executor
+      partition: the delete half of an upsert is computed per file from
+      the delta of its delete attachments (live-before AND dead-after),
+      so no snapshot-wide diff ever runs on the driver.
+    """
 
     def __init__(self, options):
         self._wh = options["warehouse"]
@@ -218,6 +644,7 @@ class _ChangesStreamReader(DataSourceStreamReader):
         self._skip_overwrites = (
             str(options.get("skip_overwrites", "false")).lower() == "true"
         )
+        self._cdc = options.get("change_mode", "append") == "cdc"
 
     def _catalog(self):
         from iceberg_compaction_spark.sources.catalog import FileCatalog
@@ -235,44 +662,107 @@ class _ChangesStreamReader(DataSourceStreamReader):
     def latestOffset(self):
         return {"snapshot": self._catalog().load_table(self._table).snapshot_id}
 
+    def _stamp(self, parts, change_type, sid):
+        for p in parts:
+            p.change_type = change_type
+            p.commit_snapshot_id = sid
+        return parts
+
     def partitions(self, start, end):
         from iceberg_compaction_spark.sources.changes import diff_files
 
         cat = self._catalog()
         lo, hi = start["snapshot"], end["snapshot"]
-        history = [s for s in cat.table_history(self._table) if lo <= s <= hi]
+        all_history = cat.table_history(self._table)
+        if lo and lo not in all_history:
+            # The checkpointed offset snapshot has been EXPIRED: the
+            # commits between it and the first retained snapshot are
+            # unrecoverable.  Fail loudly (mirroring changelog_between)
+            # instead of silently dropping them — a lagging consumer
+            # must know it lost data.
+            raise ValueError(
+                f"start offset snapshot {lo} of {self._table!r} has been "
+                f"expired (retained: {all_history}); the stream cannot "
+                "resume without losing commits — restart from a fresh "
+                "offset (e.g. starting_snapshot) if the gap is acceptable"
+            )
+        history = [s for s in all_history if lo <= s <= hi]
         parts: list[_FilePartition] = []
         prev = None
         for sid in history:
             m = cat.load_table_at(self._table, sid)
             if prev is not None and sid > lo:
-                d = diff_files(prev, m)
-                if d.is_noop:
-                    pass
-                elif d.is_append_only:
-                    added = set(d.added_data_files)
-                    parts.extend(
-                        p
-                        for p in _partitions_for_manifest(m)
-                        if p.path in added
-                    )
-                elif not d.removed_data_files and d.changed_delete_files:
-                    # rows changed in place (upsert/delete commit)
-                    if not self._skip_overwrites:
-                        raise ValueError(
-                            f"snapshot {sid} of {self._table!r} changes "
-                            "existing rows; set skip_overwrites=true to "
-                            "stream past it (added files still emit)"
-                        )
-                    added = set(d.added_data_files)
-                    parts.extend(
-                        p
-                        for p in _partitions_for_manifest(m)
-                        if p.path in added
-                    )
-                # else: rewrite/replace (file removals, identical live
-                # rows) — never replayed downstream
+                parts.extend(self._commit_partitions(prev, m, sid, diff_files))
             prev = m
+        return parts
+
+    def _commit_partitions(self, prev, m, sid, diff_files):
+        d = diff_files(prev, m)
+        if d.is_noop:
+            return []
+        ct_insert = "insert" if self._cdc else ""
+        if d.is_append_only:
+            added = set(d.added_data_files)
+            return self._stamp(
+                [p for p in _partitions_for_manifest(m) if p.path in added],
+                ct_insert,
+                sid,
+            )
+        if m.operation == "replace" and not self._cdc:
+            # provably row-preserving rewrite (stamped by the compaction
+            # / delete-consolidation commit paths) — never replayed
+            return []
+        if self._cdc:
+            return self._cdc_partitions(prev, m, sid, d)
+        if not self._skip_overwrites:
+            kind = (
+                "changes existing rows"
+                if not d.removed_data_files
+                else f"removes data files ({m.operation or 'unknown'} commit)"
+            )
+            raise ValueError(
+                f"snapshot {sid} of {self._table!r} {kind}; set "
+                "skip_overwrites=true to stream past it (added files "
+                "still emit), or use change_mode=cdc for row-level changes"
+            )
+        added = set(d.added_data_files)
+        return self._stamp(
+            [p for p in _partitions_for_manifest(m) if p.path in added],
+            ct_insert,
+            sid,
+        )
+
+    def _cdc_partitions(self, prev, m, sid, d):
+        """Row-level changelog partitions for one non-append commit."""
+        if m.operation == "replace":
+            return []  # row-preserving by contract: empty changelog
+        parts: list[_FilePartition] = []
+        by_new = {p.path: p for p in _partitions_for_manifest(m)}
+        by_old = {p.path: p for p in _partitions_for_manifest(prev)}
+        # added files: their live rows are inserts
+        for p in d.added_data_files:
+            parts.extend(self._stamp([by_new[p]], "insert", sid))
+        # removed files (true delete/overwrite): live-before rows die
+        for p in d.removed_data_files:
+            parts.extend(self._stamp([by_old[p]], "delete", sid))
+        # carried files with new delete attachments: rows live under
+        # the old set but dead under the new are this commit's deletes
+        for p in d.changed_delete_files:
+            old = by_old[p]
+            cur = by_new[p]
+            cur = _FilePartition(
+                path=cur.path,
+                sequence_number=cur.sequence_number,
+                pos_delete_paths=cur.pos_delete_paths,
+                dv_paths=cur.dv_paths,
+                eq_deletes=cur.eq_deletes,
+                change_type="delete_diff",
+                commit_snapshot_id=sid,
+                prev_pos_delete_paths=old.pos_delete_paths,
+                prev_dv_paths=old.dv_paths,
+                prev_eq_deletes=old.eq_deletes,
+            )
+            parts.append(cur)
         return parts
 
     def read(self, partition):
@@ -296,8 +786,10 @@ class IcebergTableDataSource(DataSource):
     def schema(self):
         from iceberg_compaction_spark.sources.catalog import FileCatalog
 
+        cdc = self.options.get("change_mode", "append") == "cdc"
+        suffix = ", _change_type string, _commit_snapshot_id long" if cdc else ""
         if "schema" in self.options:
-            return self.options["schema"]
+            return self.options["schema"] + suffix
         cat = FileCatalog(warehouse=self.options["warehouse"])
         m = cat.load_table(self.options["table"])
         if not m.data_files:
@@ -305,7 +797,7 @@ class IcebergTableDataSource(DataSource):
                 f"{self.options['table']!r} has no data files; pass an "
                 "explicit .option('schema', ddl)"
             )
-        return _ddl_from_file(m.data_files[0].data_file_path)
+        return _ddl_from_file(m.data_files[0].data_file_path) + suffix
 
     def reader(self, schema):
         return _BatchReader(self.options)
@@ -321,7 +813,18 @@ class IcebergTableDataSource(DataSource):
 
 
 def register(spark) -> None:
-    """Register the ``iceberg-table`` format on this session."""
+    """Register the ``iceberg-table`` format on this session.
+
+    Also enables ``spark.sql.python.filterPushdown.enabled`` (runtime
+    SQL conf, default false in Spark 4.1): the batch reader implements
+    ``pushFilters`` and Spark refuses to plan a pushdown-capable Python
+    source while the flag is off.  Safe to force on — the reader hands
+    every filter back for Spark's exact re-check and uses the pushed
+    conjuncts only to prune files/row groups."""
+    try:
+        spark.conf.set("spark.sql.python.filterPushdown.enabled", "true")
+    except Exception:
+        pass  # very old sessions without the conf: reader degrades below
     spark.dataSource.register(IcebergTableDataSource)
 
 
@@ -412,8 +915,10 @@ class _AppendWriter(DataSourceWriter):
             new.sequence_number = new_seq
             if self._overwrite:
                 new.data_files = added
+                new.operation = "overwrite"
             else:
                 new.data_files = list(new.data_files) + added
+                new.operation = "append"
             return cat.commit_table(self._table, cur.snapshot_id, new)
 
         mgr.commit_with_retry(attempt)
@@ -488,6 +993,7 @@ class _StreamAppendWriter(DataSourceStreamWriter):
             new.sequence_number = new_seq
             new.data_files = list(new.data_files) + added
             new.properties["streaming.last-batch-id"] = int(batchId)
+            new.operation = "append"
             return cat.commit_table(self._table, cur.snapshot_id, new)
 
         mgr.commit_with_retry(attempt)

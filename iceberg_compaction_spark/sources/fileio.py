@@ -1,0 +1,374 @@
+"""URI-aware FileIO seam: one place that maps a path/URI to bytes.
+
+The reference never touches raw paths from its operators — every read
+and write goes through an injected ``FileIO`` (iceberg-rust's FileIO is
+threaded through scan and commit alike, e.g.
+``core/src/executor/datafusion/iceberg_file_task_scan.rs:473-580``
+takes FileIO, not paths), which is what lets the same engine run over
+local disk, MinIO, or S3.  This module supplies that indirection for
+the Python engine, replacing the scattered ``file://`` prefix-stripping
+that used to live in ``datasource.py`` and ``iceberg_meta.py``:
+
+- :class:`LocalFileIO` — POSIX files; ``file:`` URIs and plain paths.
+- :class:`FsspecFileIO` — any scheme fsspec knows (``s3://``,
+  ``gs://``, ...), gated behind an import-try: the engine degrades
+  loudly (``UnsupportedScheme``) rather than mis-reading a URI as a
+  local path, which is how "works on my laptop" corrupts a warehouse.
+- :class:`MemoryFileIO` — an in-process filesystem (``mem://``) used by
+  the parameterized catalog/scan tests to prove nothing assumes POSIX:
+  the closest sandbox analog of the reference's MinIO integration tier
+  (``integration-tests/src/docker_compose.rs:28-120`` — no Docker
+  here).
+
+The contract is the small set of primitives the engine actually needs —
+including ``create_exclusive``, the compare-and-swap the catalog's
+atomic version publish is built on (HadoopTableOperations' O_EXCL
+rename-free commit).  Everything is executor-safe: resolving a FileIO
+is a pure function of the URI scheme, so pickled closures re-resolve on
+the worker instead of shipping handles.
+"""
+
+from __future__ import annotations
+
+import io
+import os
+import threading
+import time
+
+
+class UnsupportedScheme(ValueError):
+    """A URI whose scheme no registered FileIO claims."""
+
+
+class FileIO:
+    """Abstract byte-level filesystem contract (see module doc)."""
+
+    def open_input(self, path: str):
+        """Seekable binary reader for ``path``."""
+        raise NotImplementedError
+
+    def read_bytes(self, path: str) -> bytes:
+        with self.open_input(path) as f:
+            return f.read()
+
+    def write_bytes(self, path: str, data: bytes) -> None:
+        raise NotImplementedError
+
+    def create_exclusive(self, path: str, data: bytes) -> bool:
+        """Atomically create ``path`` with ``data``; False if it already
+        exists.  This is the catalog's CAS primitive."""
+        raise NotImplementedError
+
+    def exists(self, path: str) -> bool:
+        raise NotImplementedError
+
+    def is_dir(self, path: str) -> bool:
+        raise NotImplementedError
+
+    def listdir(self, path: str) -> list[str]:
+        """Names (not paths) of the direct children of a directory."""
+        raise NotImplementedError
+
+    def makedirs(self, path: str) -> None:
+        raise NotImplementedError
+
+    def remove(self, path: str) -> None:
+        raise NotImplementedError
+
+    def size(self, path: str) -> int:
+        raise NotImplementedError
+
+    def mtime(self, path: str) -> float:
+        raise NotImplementedError
+
+    def write_atomic(self, path: str, data: bytes) -> None:
+        """Readers see either the old or the new content, never a torn
+        write.  Object stores get this for free (PUT is atomic); the
+        local backend stages + renames."""
+        self.write_bytes(path, data)
+
+    def walk_files(self, root: str):
+        """Yield every file path under ``root``, recursively."""
+        raise NotImplementedError
+
+    def canonical(self, path: str) -> str:
+        """Canonical identity for reference-set membership (local:
+        realpath to fold symlinks; object stores: the key itself)."""
+        return path
+
+    def join(self, *parts: str) -> str:
+        head = parts[0].rstrip("/")
+        return "/".join([head, *[p.strip("/") for p in parts[1:]]])
+
+
+class LocalFileIO(FileIO):
+    """POSIX-backed FileIO; accepts plain paths and ``file:`` URIs."""
+
+    @staticmethod
+    def strip(p: str) -> str:
+        if p.startswith("file:"):
+            rest = p[len("file:"):]
+            while rest.startswith("//"):
+                rest = rest[1:]
+            return rest
+        return p
+
+    def open_input(self, path: str):
+        return open(self.strip(path), "rb")
+
+    def write_bytes(self, path: str, data: bytes) -> None:
+        with open(self.strip(path), "wb") as f:
+            f.write(data)
+
+    def create_exclusive(self, path: str, data: bytes) -> bool:
+        try:
+            fd = os.open(self.strip(path), os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+        except FileExistsError:
+            return False
+        with os.fdopen(fd, "wb") as f:
+            f.write(data)
+        return True
+
+    def exists(self, path: str) -> bool:
+        return os.path.exists(self.strip(path))
+
+    def is_dir(self, path: str) -> bool:
+        return os.path.isdir(self.strip(path))
+
+    def listdir(self, path: str) -> list[str]:
+        return sorted(os.listdir(self.strip(path)))
+
+    def makedirs(self, path: str) -> None:
+        os.makedirs(self.strip(path), exist_ok=True)
+
+    def remove(self, path: str) -> None:
+        os.unlink(self.strip(path))
+
+    def size(self, path: str) -> int:
+        return os.path.getsize(self.strip(path))
+
+    def mtime(self, path: str) -> float:
+        return os.path.getmtime(self.strip(path))
+
+    def write_atomic(self, path: str, data: bytes) -> None:
+        p = self.strip(path)
+        tmp = f"{p}.tmp.{os.getpid()}"
+        with open(tmp, "wb") as f:
+            f.write(data)
+        os.replace(tmp, p)
+
+    def walk_files(self, root: str):
+        for dirpath, _dirs, files in os.walk(self.strip(root)):
+            for fn in files:
+                yield os.path.join(dirpath, fn)
+
+    def canonical(self, path: str) -> str:
+        return os.path.realpath(self.strip(path))
+
+    def join(self, *parts: str) -> str:
+        return os.path.join(self.strip(parts[0]), *parts[1:])
+
+
+class MemoryFileIO(FileIO):
+    """In-process filesystem for ``mem://`` URIs.
+
+    Object-store semantics on purpose: a flat key -> bytes map, implicit
+    directories (a "directory" exists iff some key lives under it), and
+    ``create_exclusive`` as an atomic put-if-absent under a lock — the
+    same shape as S3 conditional PUT.  Shared process-wide so a catalog
+    and its tests see one store; ``local[k]`` executors share the
+    driver's process group only in tests that stay driver-side, which is
+    exactly where this backend is used.
+    """
+
+    _store: dict[str, bytes] = {}
+    _times: dict[str, float] = {}
+    _lock = threading.Lock()
+
+    @classmethod
+    def clear(cls) -> None:
+        with cls._lock:
+            cls._store.clear()
+            cls._times.clear()
+
+    @staticmethod
+    def _key(p: str) -> str:
+        if p.startswith("mem://"):
+            p = p[len("mem://"):]
+        return p.strip("/")
+
+    def open_input(self, path: str):
+        k = self._key(path)
+        with self._lock:
+            if k not in self._store:
+                raise FileNotFoundError(path)
+            return io.BytesIO(self._store[k])
+
+    def write_bytes(self, path: str, data: bytes) -> None:
+        k = self._key(path)
+        with self._lock:
+            self._store[k] = bytes(data)
+            self._times[k] = time.time()
+
+    def create_exclusive(self, path: str, data: bytes) -> bool:
+        k = self._key(path)
+        with self._lock:
+            if k in self._store:
+                return False
+            self._store[k] = bytes(data)
+            self._times[k] = time.time()
+            return True
+
+    def exists(self, path: str) -> bool:
+        k = self._key(path)
+        with self._lock:
+            return k in self._store or any(
+                s.startswith(k + "/") for s in self._store
+            )
+
+    def is_dir(self, path: str) -> bool:
+        k = self._key(path)
+        with self._lock:
+            return any(s.startswith(k + "/") for s in self._store)
+
+    def listdir(self, path: str) -> list[str]:
+        k = self._key(path)
+        prefix = k + "/" if k else ""
+        names = set()
+        with self._lock:
+            for s in self._store:
+                if s.startswith(prefix):
+                    names.add(s[len(prefix):].split("/", 1)[0])
+        return sorted(names)
+
+    def makedirs(self, path: str) -> None:
+        pass  # directories are implicit, as on an object store
+
+    def remove(self, path: str) -> None:
+        k = self._key(path)
+        with self._lock:
+            if k not in self._store:
+                raise FileNotFoundError(path)
+            del self._store[k]
+            self._times.pop(k, None)
+
+    def size(self, path: str) -> int:
+        k = self._key(path)
+        with self._lock:
+            if k not in self._store:
+                raise FileNotFoundError(path)
+            return len(self._store[k])
+
+    def mtime(self, path: str) -> float:
+        k = self._key(path)
+        with self._lock:
+            if k not in self._times:
+                raise FileNotFoundError(path)
+            return self._times[k]
+
+    def walk_files(self, root: str):
+        k = self._key(root)
+        prefix = k + "/" if k else ""
+        with self._lock:
+            keys = [s for s in self._store if s.startswith(prefix)]
+        for s in keys:
+            yield f"mem://{s}"
+
+    def canonical(self, path: str) -> str:
+        return f"mem://{self._key(path)}"
+
+
+class FsspecFileIO(FileIO):
+    """Object-store FileIO through fsspec (``s3://``, ``gs://``, ...).
+
+    Import-gated: constructing one without fsspec installed raises the
+    documented error instead of an ImportError deep in a task.
+    ``create_exclusive`` is best-effort on stores without conditional
+    writes — real S3 deployments should front the catalog with a REST
+    catalog (sources/rest_catalog.py), which serializes commits
+    server-side like the reference's integration tier.
+    """
+
+    def __init__(self, scheme: str):
+        try:
+            import fsspec
+        except ImportError as e:  # pragma: no cover - env without fsspec
+            raise UnsupportedScheme(
+                f"scheme {scheme!r} needs the optional fsspec dependency"
+            ) from e
+        self._fs = fsspec.filesystem(scheme)
+        self._scheme = scheme
+
+    def open_input(self, path: str):
+        return self._fs.open(path, "rb")
+
+    def write_bytes(self, path: str, data: bytes) -> None:
+        with self._fs.open(path, "wb") as f:
+            f.write(data)
+
+    def create_exclusive(self, path: str, data: bytes) -> bool:
+        if self._fs.exists(path):
+            return False
+        self.write_bytes(path, data)
+        return True
+
+    def exists(self, path: str) -> bool:
+        return self._fs.exists(path)
+
+    def is_dir(self, path: str) -> bool:
+        return self._fs.isdir(path)
+
+    def listdir(self, path: str) -> list[str]:
+        return sorted(p.rstrip("/").rsplit("/", 1)[-1] for p in self._fs.ls(path))
+
+    def makedirs(self, path: str) -> None:
+        self._fs.makedirs(path, exist_ok=True)
+
+    def remove(self, path: str) -> None:
+        self._fs.rm(path)
+
+    def size(self, path: str) -> int:
+        return self._fs.size(path)
+
+    def mtime(self, path: str) -> float:
+        t = self._fs.modified(path)
+        return t.timestamp()
+
+    def walk_files(self, root: str):
+        yield from self._fs.find(root)
+
+
+_LOCAL = LocalFileIO()
+_MEMORY = MemoryFileIO()
+_REGISTRY: dict[str, FileIO] = {"": _LOCAL, "file": _LOCAL, "mem": _MEMORY}
+
+
+def register_fileio(scheme: str, fio: FileIO) -> None:
+    _REGISTRY[scheme] = fio
+
+
+def scheme_of(path: str) -> str:
+    head, sep, _rest = path.partition("://")
+    if sep and "/" not in head:
+        return head
+    if path.startswith("file:"):
+        return "file"
+    return ""
+
+
+def fileio_for(path: str) -> FileIO:
+    """Resolve the FileIO owning ``path`` by URI scheme."""
+    scheme = scheme_of(path)
+    fio = _REGISTRY.get(scheme)
+    if fio is not None:
+        return fio
+    if scheme in ("s3", "s3a", "s3n", "gs", "gcs", "abfs", "az"):
+        fio = FsspecFileIO("s3" if scheme.startswith("s3") else scheme)
+        _REGISTRY[scheme] = fio
+        return fio
+    raise UnsupportedScheme(f"no FileIO registered for scheme {scheme!r}: {path}")
+
+
+def open_input(path: str):
+    """Module-level convenience: seekable binary reader for any URI."""
+    return fileio_for(path).open_input(path)

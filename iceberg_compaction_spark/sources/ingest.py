@@ -180,6 +180,8 @@ def upsert(
             ]
             + ([data_task] if data_task is not None else []),
             properties=dict(cur.properties),
+            # rows change in place: streaming raises unless skipped
+            operation="overwrite",
         )
         return catalog.commit_table(table_name, cur.snapshot_id, new)
 

@@ -147,6 +147,13 @@ class Manifest:
     format_version: int = 2  # Iceberg spec version (v3: reader-side DVs)
     data_files: list[FileScanTask] = field(default_factory=list)
     properties: dict[str, Any] = field(default_factory=dict)
+    # what THIS snapshot's commit did — Iceberg's snapshot summary
+    # "operation": append | overwrite | replace | delete.  "replace"
+    # marks row-preserving rewrites (compaction, delete consolidation):
+    # the streaming source skips exactly those, and raises on the rest.
+    # "" = unknown (legacy snapshot): treated conservatively as a
+    # possible overwrite.  Every commit path stamps it explicitly.
+    operation: str = ""
     # the table's CURRENT partition spec: list of {source, transform,
     # name} dicts (functions.transforms.PartitionField shape).  Empty =
     # unpartitioned.  default_spec_id bumps on every evolve_spec; data
@@ -232,6 +239,7 @@ class Manifest:
             # copy: callers round-trip through to_dict/from_dict (e.g. the
             # catalog register path) and must not alias the source's dict
             "properties": dict(self.properties),
+            **({"operation": self.operation} if self.operation else {}),
             **(
                 {
                     "partition_spec": [dict(f) for f in self.partition_spec],
@@ -321,6 +329,7 @@ class Manifest:
             properties=dict(d.get("properties", {})),
             partition_spec=[dict(f) for f in d.get("partition_spec", [])],
             default_spec_id=d.get("default_spec_id", 0),
+            operation=d.get("operation", ""),
         )
 
     # ---- spec evolution ----------------------------------------------------

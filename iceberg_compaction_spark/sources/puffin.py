@@ -202,12 +202,19 @@ def write_puffin_dvs(
     out.write(struct.pack("<I", len(payload)))
     out.write(struct.pack("<I", 0))  # flags: footer payload uncompressed
     out.write(PUFFIN_MAGIC)
-    with open(path, "wb") as f:
-        f.write(out.getvalue())
+    from iceberg_compaction_spark.sources.fileio import fileio_for
+
+    fileio_for(path).write_bytes(path, out.getvalue())
+
+
+def _open_puffin(path: str):
+    from iceberg_compaction_spark.sources.fileio import open_input
+
+    return open_input(path)
 
 
 def read_puffin_footer(path: str) -> dict:
-    with open(path, "rb") as f:
+    with _open_puffin(path) as f:
         f.seek(0, 2)
         size = f.tell()
         f.seek(size - 12)
@@ -228,7 +235,7 @@ def read_puffin_dvs(path: str) -> dict[str, list[int]]:
     data-file path (as written — URI normalization is the caller's)."""
     footer = read_puffin_footer(path)
     out: dict[str, list[int]] = {}
-    with open(path, "rb") as f:
+    with _open_puffin(path) as f:
         for blob in footer.get("blobs", []):
             if blob.get("type") != DV_BLOB_TYPE:
                 continue
@@ -251,7 +258,7 @@ def is_puffin_file(path: str) -> bool:
     if path.endswith(".puffin"):
         return True
     try:
-        with open(path, "rb") as f:
+        with _open_puffin(path) as f:
             return f.read(4) == PUFFIN_MAGIC
     except OSError:
         return False

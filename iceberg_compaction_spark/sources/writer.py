@@ -168,6 +168,75 @@ def list_written_files(out_dir: str, sequence_number: int = 0) -> list[FileScanT
     return tasks
 
 
+# the reference's well-sized band: files outside it are rewrite
+# candidates (core/src/file_selection/strategy.rs:335-343) — a writer
+# that EMITS files outside it schedules its own future work
+SIZE_BAND = (0.75, 1.8)
+
+
+def enforce_size_band(
+    spark,
+    out_dir: str,
+    tasks: list[FileScanTask],
+    config: WriterConfig,
+    sort_order: list[SortField] | None = None,
+    band: tuple[float, float] = SIZE_BAND,
+) -> list[FileScanTask]:
+    """Correct row-width estimation drift so output files land inside
+    the reference's 0.75x-1.8x target band.
+
+    Spark sizes files by rows, so pass 1 plans with an ESTIMATED width
+    (group bytes / group rows).  Consolidated output usually compresses
+    better than its fragmented inputs (dictionaries and footers
+    amortize), so pass-1 files can land below the band floor.  After
+    pass 1 the output width is EXACT — when any file is out of band,
+    one cheap narrow re-read of the output (no MOR joins, no deletes —
+    just the already-consolidated bytes) re-cuts it at the right file
+    count.  The reference never needs this because its writer rolls on
+    actual written bytes (executor/datafusion/mod.rs:163-223); this is
+    the Spark-first equivalent at one extra output-sized write, paid
+    only when the estimate actually drifted.
+
+    Partition-fan-out outputs are returned unchanged (the band applies
+    per partition there; callers compact partitions separately).
+    """
+    import shutil
+
+    from dataclasses import replace
+
+    target = config.target_file_size_bytes
+    if not tasks or target <= 0 or any(t.partition for t in tasks):
+        return tasks
+    total = sum(t.file_size_in_bytes for t in tasks)
+    rows = sum(t.record_count for t in tasks)
+    lo, hi = band
+    if all(lo * target <= t.file_size_in_bytes <= hi * target for t in tasks):
+        return tasks
+    n = max(1, round(total / target))
+    if n == 1 and len(tasks) == 1:
+        return tasks  # a table smaller than one target file: nothing to cut
+    # exact width from pass 1; 10% headroom on maxRecordsPerFile so
+    # round-robin imbalance can't shave off a tiny remainder file
+    width = max(1, total // max(rows, 1))
+    fixed_dir = out_dir.rstrip("/") + "-sized"
+    df = spark.read.parquet(*[t.data_file_path for t in tasks])
+    cfg2 = replace(
+        config,
+        estimated_row_size_bytes=max(1, int(width * 0.9)),
+        enforce_size_band=False,
+    )
+    fixed = write_sized_parquet(
+        df, fixed_dir, cfg2, output_parallelism=n, sort_order=sort_order
+    )
+    for t in tasks:
+        try:
+            os.remove(t.data_file_path)
+        except OSError:
+            pass
+    shutil.rmtree(out_dir, ignore_errors=True)
+    return fixed
+
+
 def write_bucketed_table(
     df: DataFrame,
     table_name: str,

@@ -1,0 +1,97 @@
+"""Throughput-linearity regression gate (VERDICT r5 #7).
+
+The round-5 perturbed-10x fixture (tools/scale_fixture.py) caught a
+real scale bug — the curation flagship's exact inverted-index Jaccard
+join went df-squared at 10x data.  This promotes that check into the
+suite as an opt-in slow marker: ``pytest -m scale`` builds the fixture
+once (cached under /tmp keyed by source + factor) and asserts every
+tracked query's wall ratio stays at-or-below linear in the data factor.
+
+Default source is sf0.01 (10x of it is sf0.1-sized — minutes, not
+hours, under the test session's local[4]); point
+``SPARK_GRAFT_SCALE_SRC`` at sf0.1 for the deep run documented in
+BASELINE.md.  Quadratic-by-design baselines (ann_topk,
+dedup_ngram_jaccard, ann_pq) are deliberately NOT tracked — their
+scale twins (ann_lsh/ann_ivf, dedup_minhash_lsh, ann_ivfpq) are.
+"""
+
+import os
+import time
+
+import pytest
+
+FACTOR = 10
+# multiplicative slack for host-steal variance (BASELINE.md documents
+# identical runs spreading 25-50 s) + additive grace for fixed overhead
+RATIO_SLACK = 1.4
+GRACE_S = 2.0
+
+TRACKED = [
+    "mor_full",
+    "dedup_exact",
+    "emb_quantize",
+    "dedup_embedding_lsh",
+    "ann_lsh",
+    "dedup_minhash_lsh",
+    "text_quality",
+    "pipeline_curation_full",
+]
+
+
+def _build_fixture(src: str, factor: int) -> str:
+    dst = f"/tmp/icspark-scale-x{factor}-{os.path.basename(src.rstrip('/'))}"
+    stamp = os.path.join(dst, "_BUILT")
+    if os.path.exists(stamp):
+        return dst
+    import subprocess
+    import sys
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    subprocess.run(
+        [
+            sys.executable,
+            os.path.join(repo, "tools", "scale_fixture.py"),
+            str(factor),
+            src,
+            dst,
+        ],
+        check=True,
+        cwd=repo,
+    )
+    with open(stamp, "w") as f:
+        f.write("ok")
+    return dst
+
+
+def _time(fn, spark, sf_dir: str, reps: int = 2) -> float:
+    best = float("inf")
+    for _ in range(reps):
+        t0 = time.perf_counter()
+        df = fn(spark, sf_dir)
+        df.write.format("noop").mode("overwrite").save()
+        best = min(best, time.perf_counter() - t0)
+    return best
+
+
+@pytest.mark.scale
+def test_tracked_queries_scale_linearly(spark):
+    import __spark_entry__ as entry
+
+    src = os.environ.get("SPARK_GRAFT_SCALE_SRC", "/root/testdata/sf0.01")
+    scaled = _build_fixture(src, FACTOR)
+    qs = entry.queries()
+    failures = []
+    for name in TRACKED:
+        fn = qs[name]
+        t_base = _time(fn, spark, src)
+        t_scaled = _time(fn, spark, scaled)
+        limit = FACTOR * t_base * RATIO_SLACK + GRACE_S
+        ok = t_scaled <= limit
+        print(
+            f"{name}: base {t_base:.2f}s scaled {t_scaled:.2f}s "
+            f"ratio {t_scaled / max(t_base, 1e-9):.1f}x "
+            f"(limit {limit:.2f}s) {'OK' if ok else 'FAIL'}"
+        )
+        if not ok:
+            failures.append((name, t_base, t_scaled, limit))
+    assert not failures, failures

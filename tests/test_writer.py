@@ -88,3 +88,57 @@ def test_max_records_per_file_rolls_output(spark, tmp_path):
     assert len(tasks) >= 4  # rolled into multiple files despite 1 writer task
     assert sum(t.record_count for t in tasks) == n
     assert all(t.record_count <= target_rows for t in tasks)
+
+
+# --- round 6: output-file size band (VERDICT r5 #6) --------------------------
+
+
+def test_compaction_output_lands_in_reference_size_band(spark, tmp_path):
+    """Every compacted output file must land inside the reference's
+    0.75x-1.8x target band (core/src/file_selection/strategy.rs:335-343)
+    at TWO target sizes, with row width re-estimated from the group
+    being rewritten — a writer emitting out-of-band files schedules its
+    own future compaction work."""
+    from dataclasses import replace
+
+    from iceberg_compaction_spark.compaction import Compaction
+    from iceberg_compaction_spark.config import CompactionConfig
+    from iceberg_compaction_spark.sources.manifest import Manifest
+    from iceberg_compaction_spark.sources.writer import SIZE_BAND
+
+    lineitem = spark.read.parquet("/root/testdata/sf0.01/lineitem.parquet")
+    lo, hi = SIZE_BAND
+    total = None
+
+    for idx in range(2):
+        frag = str(tmp_path / f"frag{idx}")
+        lineitem.repartition(12).write.parquet(frag)
+        m = Manifest.from_parquet_dir(frag)
+        total = total or sum(t.file_size_in_bytes for t in m.data_files)
+        target = total // (4 if idx == 0 else 7)
+        cfg = CompactionConfig.small_files()
+        cfg = replace(
+            cfg,
+            writer=replace(
+                cfg.writer,
+                target_file_size_bytes=target,
+                estimated_row_size_bytes=None,  # re-estimated per group
+                enforce_size_band=True,
+            ),
+        )
+        out = str(tmp_path / f"out-{target}")
+        new, stats = Compaction(spark=spark, config=cfg).compact(
+            m, out_root=out
+        )
+        outs = [
+            t
+            for t in new.data_files
+            if t.data_file_path.startswith(str(tmp_path)) and "out-" in t.data_file_path
+        ]
+        assert outs, "compaction produced no output files"
+        ratios = sorted(
+            t.file_size_in_bytes / target for t in outs
+        )
+        assert all(lo <= r <= hi for r in ratios), (target, ratios)
+        # rows preserved across the correction pass
+        assert sum(t.record_count for t in outs) == 60000
