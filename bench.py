@@ -47,6 +47,7 @@ BENCH_QUERIES = [
     "events_scd2",
     "ann_pq",
     "pipeline_pack_sequences",
+    "cdc_changelog",
 ]
 
 

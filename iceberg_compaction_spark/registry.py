@@ -2782,3 +2782,66 @@ def q_pipeline_pack_sequences(spark, sf_dir):
         capacity=PACK_CAPACITY,
         n_buckets=PACK_BUCKETS,
     )
+
+
+# ===========================================================================
+# CDC changelog (sources/changes.py row_changes) — round 6
+# ===========================================================================
+
+# A deterministic "upsert commit" derived purely from lineitem content
+# (same style as the MOR delete rules): the snapshot-A live set is the
+# position-surviving rows; the commit eq-deletes every l_orderkey % 17
+# row and re-inserts the linenumber-1 ones with +1000 quantity (an
+# UPDATE).  The changelog must therefore show those rows as
+# delete+insert pairs and the other %17 rows as pure deletes.
+
+_CDC_COLS = ", ".join(syn.LINEITEM_COLS)
+_CDC_UPD_COLS = ", ".join(
+    "l_quantity + 1000 AS l_quantity" if c == "l_quantity" else c
+    for c in syn.LINEITEM_COLS
+)
+
+_CDC_SQL = f"""
+    WITH old AS (
+        SELECT {_CDC_COLS}, CAST(l_shipdate AS DATE) AS l_shipdate
+        FROM lineitem WHERE NOT {syn.POS_RULE_SQL}
+    ),
+    new AS (
+        SELECT * FROM old WHERE NOT (l_orderkey % 17 = 0)
+        UNION ALL
+        SELECT {_CDC_UPD_COLS}, l_shipdate FROM old
+        WHERE l_orderkey % 17 = 0 AND l_linenumber = 1
+    )
+    SELECT *, 'insert' AS _change_type
+    FROM (SELECT * FROM new EXCEPT ALL SELECT * FROM old)
+    UNION ALL
+    SELECT *, 'delete' AS _change_type
+    FROM (SELECT * FROM old EXCEPT ALL SELECT * FROM new)
+"""
+
+
+@register("cdc_changelog", _CDC_SQL)
+def q_cdc_changelog(spark, sf_dir):
+    """Row-level changelog of an upsert commit (Iceberg changelog-scan
+    semantics: updates appear as delete+insert pairs) — the distributed
+    exceptAll core the manifest-level table_changes/changelog_between
+    delegate to (sources/changes.py:row_changes).
+
+    Scale shape: two hash-partitioned anti-diffs over only the AFFECTED
+    row sets (the manifest layer restricts to changed files before this
+    runs); no window, no driver materialization."""
+    from iceberg_compaction_spark.sources.changes import row_changes
+
+    old = syn.output_select(
+        spark.read.parquet(syn.lineitem_path(sf_dir)).where(
+            ~F.expr(syn.POS_RULE_SQL)
+        )
+    )
+    touched = F.col("l_orderkey") % 17 == 0
+    updated = (
+        old.where(touched & (F.col("l_linenumber") == 1))
+        .withColumn("l_quantity", F.col("l_quantity") + 1000)
+        .select(*old.columns)
+    )
+    new = old.where(~touched).unionByName(updated)
+    return row_changes(old, new)

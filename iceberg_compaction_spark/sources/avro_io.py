@@ -239,9 +239,11 @@ def _matches(datum, schema, names: dict) -> bool:
 
 
 def read_avro_file(path: str) -> tuple[dict, list]:
-    """Read an Avro OCF; returns (writer schema, records as dicts)."""
-    with open(path, "rb") as f:
-        raw = f.read()
+    """Read an Avro OCF; returns (writer schema, records as dicts).
+    Paths resolve through the FileIO seam (local / mem / object store)."""
+    from iceberg_compaction_spark.sources.fileio import fileio_for
+
+    raw = fileio_for(path).read_bytes(path)
     buf = io.BytesIO(raw)
     if buf.read(4) != MAGIC:
         raise ValueError(f"not an Avro object container file: {path}")
@@ -302,5 +304,6 @@ def write_avro_file(
     _write_long(out, len(records))
     _write_bytes(out, block)
     out.write(sync)
-    with open(path, "wb") as f:
-        f.write(out.getvalue())
+    from iceberg_compaction_spark.sources.fileio import fileio_for
+
+    fileio_for(path).write_bytes(path, out.getvalue())

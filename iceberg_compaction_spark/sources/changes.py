@@ -56,9 +56,31 @@ __all__ = [
     "FileDiff",
     "diff_files",
     "snapshot_rows",
+    "row_changes",
     "table_changes",
     "changelog_between",
 ]
+
+
+def row_changes(old_rows: DataFrame, new_rows: DataFrame) -> DataFrame:
+    """Row-level changelog between two live-row sets: the exact
+    symmetric multiset difference, tagged with ``_change_type``
+    ('insert' rows only in ``new_rows``, 'delete' rows only in
+    ``old_rows``); updates appear as delete+insert pairs.
+
+    Two hash-partitioned distributed ``exceptAll`` anti-diffs — no
+    driver materialization, shuffle on the full row hash only for the
+    AFFECTED row sets the caller passes in.  This is the computational
+    core of :func:`table_changes`; it is public because the same diff
+    semantics answer "what changed" for ANY pair of query results, not
+    just manifests."""
+    inserts = new_rows.exceptAll(old_rows).withColumn(
+        CHANGE_TYPE, F.lit("insert")
+    )
+    deletes = old_rows.exceptAll(new_rows).withColumn(
+        CHANGE_TYPE, F.lit("delete")
+    )
+    return inserts.unionByName(deletes)
 
 
 @dataclass
@@ -175,13 +197,7 @@ def table_changes(
         else new_schema_df.limit(0),
         columns,
     )
-    inserts = new_rows.exceptAll(old_rows).withColumn(
-        CHANGE_TYPE, F.lit("insert")
-    )
-    deletes = old_rows.exceptAll(new_rows).withColumn(
-        CHANGE_TYPE, F.lit("delete")
-    )
-    return inserts.unionByName(deletes)
+    return row_changes(old_rows, new_rows)
 
 
 def changelog_between(

@@ -51,10 +51,10 @@ from dataclasses import dataclass
 
 from pyspark.sql.datasource import (
     DataSource,
+    DataSourceArrowWriter,
     DataSourceReader,
+    DataSourceStreamArrowWriter,
     DataSourceStreamReader,
-    DataSourceStreamWriter,
-    DataSourceWriter,
     InputPartition,
     WriterCommitMessage,
 )
@@ -838,12 +838,14 @@ class _FileCommit(WriterCommitMessage):
     size: int = 0
 
 
-class _AppendWriter(DataSourceWriter):
-    """Executor-parallel append: each task writes one parquet file into
-    the table root with pyarrow; the DRIVER turns the commit messages
-    into new FileScanTasks and CAS-commits them against the catalog
-    head with the standard retry loop.  Files from aborted jobs are
-    never referenced and age out through remove_orphan_files — the same
+class _AppendWriter(DataSourceArrowWriter):
+    """Executor-parallel append: each task STREAMS its Arrow batches
+    straight into one parquet file (DataSourceArrowWriter — no Spark
+    Row materialization, no per-row Python; a task holds one batch at
+    a time); the DRIVER turns the commit messages into new
+    FileScanTasks and CAS-commits them against the catalog head with
+    the standard retry loop.  Files from aborted jobs are never
+    referenced and age out through remove_orphan_files — the same
     write-then-swap discipline as the compaction path, so a crashed
     write can never corrupt the table."""
 
@@ -862,23 +864,29 @@ class _AppendWriter(DataSourceWriter):
     def write(self, iterator):
         import uuid as _uuid
 
-        import pyarrow as pa
         import pyarrow.parquet as pq
 
-        rows = list(iterator)
-        if not rows:
-            return _FileCommit()
-        cols = rows[0].__fields__
-        table = pa.table(
-            {c: [r[c] for r in rows] for c in cols}
-        )
         path = os.path.join(
             self._root, f"append-{_uuid.uuid4().hex[:12]}.parquet"
         )
-        pq.write_table(table, path, compression="zstd")
-        return _FileCommit(
-            path=path, rows=table.num_rows, size=os.path.getsize(path)
-        )
+        writer = None
+        rows = 0
+        try:
+            for batch in iterator:
+                if batch.num_rows == 0:
+                    continue
+                if writer is None:
+                    writer = pq.ParquetWriter(
+                        path, batch.schema, compression="zstd"
+                    )
+                writer.write_batch(batch)
+                rows += batch.num_rows
+        finally:
+            if writer is not None:
+                writer.close()
+        if rows == 0:
+            return _FileCommit()
+        return _FileCommit(path=path, rows=rows, size=os.path.getsize(path))
 
     def commit(self, messages):
         from iceberg_compaction_spark.commit import CommitManager
@@ -933,7 +941,7 @@ class _AppendWriter(DataSourceWriter):
 
 
 
-class _StreamAppendWriter(DataSourceStreamWriter):
+class _StreamAppendWriter(DataSourceStreamArrowWriter):
     """Streaming append sink: each micro-batch commits one snapshot.
 
     Executors write the batch's partitions as parquet files (same

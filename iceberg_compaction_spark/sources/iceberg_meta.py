@@ -56,13 +56,18 @@ _ADDED, _EXISTING, _DELETED = 1, 0, 2  # manifest_entry.status
 
 def _local_path(p: str) -> str:
     """Iceberg metadata stores absolute URIs; the local engine wants
-    plain POSIX paths (same normalization as the scan layer)."""
-    if p.startswith("file:"):
-        rest = p[len("file:"):]
-        while rest.startswith("//"):
-            rest = rest[1:]
-        return rest
-    return p
+    plain POSIX paths (same normalization as the scan layer).  Non-file
+    schemes pass through untouched — byte access for those goes through
+    the FileIO seam (sources/fileio.py), never a raw ``open``."""
+    from iceberg_compaction_spark.sources.fileio import LocalFileIO
+
+    return LocalFileIO.strip(p)
+
+
+def _fio(p: str):
+    from iceberg_compaction_spark.sources.fileio import fileio_for
+
+    return fileio_for(p)
 
 
 def _latest_metadata_file(path: str) -> str:
@@ -70,21 +75,21 @@ def _latest_metadata_file(path: str) -> str:
     metadata JSON: explicit file > version-hint.text (Hadoop catalog) >
     highest-sorting ``*.metadata.json`` (both the Hadoop ``v<N>`` and the
     object-store ``<5-digit>-<uuid>`` conventions sort correctly)."""
-    if os.path.isfile(path):
+    io = _fio(path)
+    if io.exists(path) and not io.is_dir(path):
         return path
     mdir = path
-    if os.path.isdir(os.path.join(path, "metadata")):
-        mdir = os.path.join(path, "metadata")
-    hint = os.path.join(mdir, "version-hint.text")
-    if os.path.exists(hint):
-        with open(hint) as f:
-            v = f.read().strip()
+    if io.is_dir(io.join(path, "metadata")):
+        mdir = io.join(path, "metadata")
+    hint = io.join(mdir, "version-hint.text")
+    if io.exists(hint) and not io.is_dir(hint):
+        v = io.read_bytes(hint).decode().strip()
         for name in (f"v{v}.metadata.json", f"{v}.metadata.json"):
-            cand = os.path.join(mdir, name)
-            if os.path.exists(cand):
+            cand = io.join(mdir, name)
+            if io.exists(cand):
                 return cand
     metas = sorted(
-        n for n in os.listdir(mdir) if n.endswith(".metadata.json")
+        n for n in io.listdir(mdir) if n.endswith(".metadata.json")
     )
     if not metas:
         raise FileNotFoundError(f"no *.metadata.json under {mdir}")
@@ -93,7 +98,7 @@ def _latest_metadata_file(path: str) -> str:
         head = n.split(".", 1)[0].lstrip("v").split("-", 1)[0]
         return (int(head), n) if head.isdigit() else (-1, n)
 
-    return os.path.join(mdir, max(metas, key=_version_key))
+    return io.join(mdir, max(metas, key=_version_key))
 
 
 def _current_schema_fields(md: dict) -> list[dict]:
@@ -183,8 +188,7 @@ def load_iceberg_table(
     ``get_all_files_from_snapshot`` (core/src/compaction/mod.rs:734-761):
     manifest list -> manifests -> data/delete files."""
     meta_path = _latest_metadata_file(path)
-    with open(meta_path) as f:
-        md = json.load(f)
+    md = json.loads(_fio(meta_path).read_bytes(meta_path))
 
     snap_id = snapshot_id if snapshot_id is not None else md.get(
         "current-snapshot-id"
@@ -323,6 +327,9 @@ def load_iceberg_table(
         format_version=md.get("format-version", 2),
         data_files=tasks,
         properties=dict(md.get("properties", {})),
+        # Iceberg snapshot summary "operation" -> the engine's marker
+        # (streaming skips "replace", raises on overwrite/delete)
+        operation=snapshot.get("summary", {}).get("operation", ""),
     )
 
 
@@ -557,7 +564,7 @@ def _write_snapshot_avro(
         mf_entries.append(
             {
                 "manifest_path": _uri(mpath),
-                "manifest_length": os.path.getsize(mpath),
+                "manifest_length": _fio(mpath).size(mpath),
                 "partition_spec_id": 0,
                 "content": content,
                 "sequence_number": max(seqs),
@@ -728,19 +735,25 @@ class IcebergHadoopCatalog:
 
     # ---- layout --------------------------------------------------------
 
+    @property
+    def _io(self):
+        from iceberg_compaction_spark.sources.fileio import fileio_for
+
+        return fileio_for(self.warehouse)
+
     def _table_dir(self, name: str) -> str:
-        return os.path.join(self.warehouse, name)
+        return self._io.join(self.warehouse, name)
 
     def _mdir(self, name: str) -> str:
-        return os.path.join(self._table_dir(name), "metadata")
+        return self._io.join(self._table_dir(name), "metadata")
 
     def _vpath(self, name: str, version: int) -> str:
-        return os.path.join(self._mdir(name), f"v{version}.metadata.json")
+        return self._io.join(self._mdir(name), f"v{version}.metadata.json")
 
     # ---- catalog API ---------------------------------------------------
 
     def table_exists(self, name: str) -> bool:
-        return os.path.isdir(self._mdir(name))
+        return self._io.is_dir(self._mdir(name))
 
     def create_table(
         self,
@@ -763,10 +776,13 @@ class IcebergHadoopCatalog:
             schema_fields = infer_schema_fields(
                 manifest.data_files[0].data_file_path
             )
-        os.makedirs(self._mdir(name))
+        self._io.makedirs(self._mdir(name))
         registered = Manifest.from_dict(manifest.to_dict())
         registered.snapshot_id = 1
-        self._write_version(name, registered, schema_fields, exclusive=False)
+        try:
+            self._write_version(name, registered, schema_fields, exclusive=True)
+        except FileExistsError:
+            raise TableAlreadyExists(name) from None
         return self.load_table(name)
 
     def load_table(self, name: str) -> Manifest:
@@ -783,11 +799,11 @@ class IcebergHadoopCatalog:
         from iceberg_compaction_spark.sources.catalog import TableNotFound
 
         mdir = self._mdir(name)
-        if not os.path.isdir(mdir):
+        if not self._io.is_dir(mdir):
             raise TableNotFound(name)
         return sorted(
             int(n[1:].split(".", 1)[0])
-            for n in os.listdir(mdir)
+            for n in self._io.listdir(mdir)
             if n.startswith("v") and n.endswith(".metadata.json")
         )
 
@@ -795,7 +811,7 @@ class IcebergHadoopCatalog:
         from iceberg_compaction_spark.sources.catalog import TableNotFound
 
         path = self._vpath(name, snapshot_id)
-        if not os.path.exists(path):
+        if not self._io.exists(path):
             raise TableNotFound(f"{name}@{snapshot_id}")
         return load_iceberg_table(path)
 
@@ -821,8 +837,9 @@ class IcebergHadoopCatalog:
                 f"v{expected_snapshot_id}"
             )
         # carry the previous version's schema forward
-        with open(self._vpath(name, current)) as f:
-            prev_md = json.load(f)
+        prev_md = json.loads(
+            self._io.read_bytes(self._vpath(name, current))
+        )
         schema_fields = _current_schema_fields(prev_md)
         try:
             self._write_version(
@@ -840,7 +857,7 @@ class IcebergHadoopCatalog:
         expired = history[:-keep_last]
         for v in expired:
             try:
-                os.unlink(self._vpath(name, v))
+                self._io.remove(self._vpath(name, v))
             except FileNotFoundError:
                 pass
         return expired
@@ -866,7 +883,11 @@ class IcebergHadoopCatalog:
         md = {
             "format-version": manifest.format_version,
             "table-uuid": str(uuid.uuid4()),
-            "location": _uri(os.path.abspath(self._table_dir(name))),
+            "location": _uri(
+                self._table_dir(name)
+                if "://" in self.warehouse
+                else os.path.abspath(self._table_dir(name))
+            ),
             "last-sequence-number": manifest.sequence_number,
             "last-updated-ms": now_ms,
             "last-column-id": max(
@@ -895,7 +916,9 @@ class IcebergHadoopCatalog:
                     "snapshot-id": snap_id,
                     "sequence-number": manifest.sequence_number,
                     "timestamp-ms": now_ms,
-                    "summary": {"operation": "overwrite"},
+                    "summary": {
+                        "operation": manifest.operation or "overwrite"
+                    },
                     "manifest-list": _uri(list_path),
                     "schema-id": manifest.schema_id,
                 }
@@ -906,18 +929,16 @@ class IcebergHadoopCatalog:
             "metadata-log": [],
         }
         path = self._vpath(name, version)
-        payload = json.dumps(md, indent=1)
+        payload = json.dumps(md, indent=1).encode()
+        io = self._io
         if exclusive:
-            fd = os.open(path, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
-            with os.fdopen(fd, "w") as f:
-                f.write(payload)
+            if not io.create_exclusive(path, payload):
+                raise FileExistsError(path)
         else:
-            with open(path, "w") as f:
-                f.write(payload)
-        tmp = os.path.join(mdir, "version-hint.text.tmp")
-        with open(tmp, "w") as f:
-            f.write(str(version))
-        os.replace(tmp, os.path.join(mdir, "version-hint.text"))
+            io.write_bytes(path, payload)
+        io.write_atomic(
+            io.join(mdir, "version-hint.text"), str(version).encode()
+        )
 
 
 # Orphan cleanup is layout-independent: FileCatalog's implementation only

@@ -515,3 +515,73 @@ def test_hadoop_catalog_bounds_roundtrip_and_prune(tmp_path):
     preds = [pr.ColumnPredicate("l_orderkey", "lt", keys[1])]
     alive = pr.prune_tasks(loaded.data_files, preds)
     assert 1 <= len(alive) < 4
+
+
+# --- round 6: real-metadata catalog over a non-POSIX FileIO backend ----------
+
+
+def test_hadoop_catalog_over_memory_backend(tmp_path):
+    """The real-metadata catalog (JSON + Avro wire format) must run over
+    the object-store FileIO: create -> commit -> load -> expire with a
+    mem:// warehouse, data files staying local parquet (the mixed
+    layout of a metadata-on-object-store deployment)."""
+    from iceberg_compaction_spark.commit import CommitConflict
+    from iceberg_compaction_spark.plans.datamodel import FileScanTask
+    from iceberg_compaction_spark.sources.fileio import MemoryFileIO
+    from iceberg_compaction_spark.sources.iceberg_meta import (
+        IcebergHadoopCatalog,
+    )
+
+    MemoryFileIO.clear()
+    data = str(tmp_path / "base.parquet")
+    pq.write_table(
+        pa.table(
+            {
+                "id": pa.array(range(10), type=pa.int64()),
+                "val": [f"v{i}" for i in range(10)],
+            }
+        ),
+        data,
+    )
+    cat = IcebergHadoopCatalog(warehouse="mem://realwh")
+    m0 = Manifest(
+        table_root="mem://realwh/t",
+        sequence_number=1,
+        data_files=[
+            FileScanTask(
+                data_file_path=data,
+                length=os.path.getsize(data),
+                record_count=10,
+                sequence_number=1,
+            )
+        ],
+    )
+    cat.create_table("t", m0)
+    m = cat.load_table("t")
+    assert m.snapshot_id == 1
+    assert [t.data_file_path for t in m.data_files] == [data]
+    assert m.data_files[0].record_count == 10
+
+    # commit a new snapshot through the CAS, with the operation marker
+    # round-tripping through the REAL snapshot summary field
+    new = Manifest.from_dict(m.to_dict())
+    new.snapshot_id = 2
+    new.operation = "replace"
+    cat.commit_table("t", 1, new)
+    got = cat.load_table("t")
+    assert got.snapshot_id == 2
+    assert got.operation == "replace"
+
+    # stale CAS loses
+    stale = Manifest.from_dict(m.to_dict())
+    stale.snapshot_id = 2
+    try:
+        cat.commit_table("t", 1, stale)
+        raise AssertionError("expected CommitConflict")
+    except CommitConflict:
+        pass
+
+    assert cat.table_history("t") == [1, 2]
+    assert cat.expire_snapshots("t", keep_last=1) == [1]
+    assert cat.table_history("t") == [2]
+    MemoryFileIO.clear()
