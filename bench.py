@@ -48,6 +48,7 @@ BENCH_QUERIES = [
     "ann_pq",
     "pipeline_pack_sequences",
     "cdc_changelog",
+    "datasource_mor_read",
 ]
 
 

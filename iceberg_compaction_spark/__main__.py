@@ -1,0 +1,181 @@
+"""Command-line entry point: the operational surface a platform team
+actually runs.
+
+The reference positions compaction as a managed background service over
+streaming-ingested tables (README.md "Why Compaction"); this CLI is
+that service's front door for the Spark engine — point it at a
+warehouse and a table:
+
+    python -m iceberg_compaction_spark show      --warehouse WH --table T
+    python -m iceberg_compaction_spark history   --warehouse WH --table T
+    python -m iceberg_compaction_spark compact   --warehouse WH --table T
+    python -m iceberg_compaction_spark maintain  --warehouse WH --table T
+
+Every command prints ONE JSON object (machine-parseable; cron/airflow
+friendly).  ``compact`` runs plan -> rewrite -> CAS commit through the
+retry loop; ``maintain`` chains auto-compaction, delete consolidation,
+snapshot expiration, and orphan cleanup (service.py) — each idempotent,
+safe to re-run.  The warehouse may be any FileIO scheme the engine
+knows (local path, ``file://``, ``mem://``, fsspec object stores).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+from dataclasses import asdict, is_dataclass
+
+
+def _json_default(o):
+    if is_dataclass(o) and not isinstance(o, type):
+        return asdict(o)
+    return str(o)
+
+
+def _build_session(master: str):
+    from pyspark.sql import SparkSession
+
+    return (
+        SparkSession.builder.master(master)
+        .appName("iceberg-compaction-spark-cli")
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.ui.enabled", "false")
+        .getOrCreate()
+    )
+
+
+def _catalog(warehouse: str):
+    from iceberg_compaction_spark.sources.catalog import FileCatalog
+
+    return FileCatalog(warehouse=warehouse)
+
+
+def cmd_show(args, spark=None) -> dict:
+    m = _catalog(args.warehouse).load_table(args.table)
+    deletes = {t.data_file_path: len(t.deletes) for t in m.data_files}
+    return {
+        "table": args.table,
+        "snapshot_id": m.snapshot_id,
+        "sequence_number": m.sequence_number,
+        "operation": m.operation,
+        "format_version": m.format_version,
+        "data_files": len(m.data_files),
+        "total_bytes": sum(t.file_size_in_bytes for t in m.data_files),
+        "total_records": sum(t.record_count for t in m.data_files),
+        "files_with_deletes": sum(1 for n in deletes.values() if n),
+        "delete_attachments": sum(deletes.values()),
+    }
+
+
+def cmd_history(args, spark=None) -> dict:
+    cat = _catalog(args.warehouse)
+    return {
+        "table": args.table,
+        "snapshots": cat.table_history(args.table),
+        "refs": cat.list_refs(args.table),
+    }
+
+
+def cmd_compact(args, spark=None) -> dict:
+    from dataclasses import replace
+
+    from iceberg_compaction_spark.compaction import Compaction
+    from iceberg_compaction_spark.config import CompactionConfig
+
+    spark = spark or _build_session(args.master)
+    cfg = CompactionConfig.small_files()
+    cfg = replace(
+        cfg,
+        writer=replace(
+            cfg.writer,
+            target_file_size_bytes=args.target_file_size,
+            enforce_size_band=args.enforce_size_band,
+        ),
+    )
+    cat = _catalog(args.warehouse)
+    before = cat.load_table(args.table)
+    new, stats = Compaction(spark=spark, config=cfg).compact_catalog(
+        cat, args.table
+    )
+    return {
+        "table": args.table,
+        "snapshot_before": before.snapshot_id,
+        "snapshot_after": new.snapshot_id,
+        "stats": stats,
+    }
+
+
+def cmd_maintain(args, spark=None) -> dict:
+    from iceberg_compaction_spark.service import (
+        MaintenancePolicy,
+        maintain,
+    )
+
+    spark = spark or _build_session(args.master)
+    policy = MaintenancePolicy(
+        keep_snapshots=args.keep_snapshots,
+        convert_eq_deletes=args.convert_eq_deletes,
+        orphan_older_than_s=args.orphan_grace_s,
+    )
+    report = maintain(spark, _catalog(args.warehouse), args.table, policy)
+    return {
+        "table": report.table,
+        "snapshot_before": report.snapshot_before,
+        "snapshot_after": report.snapshot_after,
+        "compaction_groups": len(report.compaction.plans),
+        "stats": report.stats,
+        "expired_snapshots": report.expired_snapshots,
+        "orphans_removed": len(report.orphans_removed),
+        "delete_rewrite": report.delete_rewrite,
+        "eq_convert": report.eq_convert,
+    }
+
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(
+        prog="python -m iceberg_compaction_spark",
+        description=__doc__.splitlines()[0],
+    )
+    sub = p.add_subparsers(dest="command", required=True)
+
+    def common(sp):
+        sp.add_argument("--warehouse", required=True)
+        sp.add_argument("--table", required=True)
+        sp.add_argument("--master", default="local[*]")
+
+    common(sub.add_parser("show", help="snapshot + file summary"))
+    common(sub.add_parser("history", help="snapshot ids + refs"))
+    c = sub.add_parser("compact", help="plan -> rewrite -> CAS commit")
+    common(c)
+    c.add_argument(
+        "--target-file-size", type=int, default=1024 * 1024 * 1024
+    )
+    c.add_argument("--enforce-size-band", action="store_true")
+    m = sub.add_parser("maintain", help="full maintenance pass")
+    common(m)
+    m.add_argument("--keep-snapshots", type=int, default=3)
+    m.add_argument("--convert-eq-deletes", action="store_true")
+    m.add_argument(
+        "--orphan-grace-s", type=float, default=3 * 24 * 3600
+    )
+    return p
+
+
+COMMANDS = {
+    "show": cmd_show,
+    "history": cmd_history,
+    "compact": cmd_compact,
+    "maintain": cmd_maintain,
+}
+
+
+def main(argv: list[str] | None = None, spark=None) -> int:
+    args = build_parser().parse_args(argv)
+    out = COMMANDS[args.command](args, spark=spark)
+    print(json.dumps(out, default=_json_default))
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -165,3 +165,137 @@ def output_select(df: DataFrame) -> DataFrame:
 OUTPUT_COLS_SQL = (
     ", ".join(LINEITEM_COLS) + ", CAST(l_shipdate AS DATE) AS l_shipdate"
 )
+
+
+def datasource_warehouse(spark: SparkSession, sf_dir: str) -> str:
+    """One-time per sf_dir: a FileCatalog warehouse holding lineitem as
+    a REAL merge-on-read table, derived purely from the fixture by the
+    same deterministic rules the mor_* oracles use:
+
+    - data split into two files by the sequence rule (even orderkeys ->
+      seq 1, odd -> seq 9), because file-level sequence numbers are how
+      real Iceberg carries the per-row ``SEQ_RULE_SQL`` the oracle
+      computes;
+    - a (path, pos) position-delete file generated by ``POS_RULE_SQL``
+      against THOSE files' actual row positions;
+    - the equality-delete key file at ``EQ_DELETE_SEQ`` (applies only
+      to the seq-1 file under the strictly-lower rule — exactly the
+      oracle's ``d.seq < EQ_DELETE_SEQ``).
+
+    Any MOR reader pointed at this table must therefore reproduce
+    ``_MOR_FULL_SQL`` bit-for-bit — which is what lets the Spark Python
+    DataSource be ORACLE-checked end to end, not just pytest-checked.
+    Returns the warehouse path (table name: ``lineitem_mor``).
+    """
+    import glob
+    import hashlib
+    import os
+    import shutil
+    import tempfile
+    import uuid
+
+    from iceberg_compaction_spark.plans.datamodel import (
+        EQUALITY_DELETE,
+        POSITION_DELETE,
+        DeleteFile,
+        FileScanTask,
+    )
+    from iceberg_compaction_spark.sources.catalog import FileCatalog
+    from iceberg_compaction_spark.sources.manifest import Manifest
+
+    src = lineitem_path(sf_dir)
+    st = os.stat(src)
+    key = hashlib.md5(
+        f"dswh|{src}|{st.st_size}|{st.st_mtime_ns}".encode()
+    ).hexdigest()[:10]
+    root = os.path.join(tempfile.gettempdir(), f"icspark-dswh-{key}")
+    wh = os.path.join(root, "wh")
+    if os.path.isdir(os.path.join(wh, "lineitem_mor", "metadata")):
+        return wh
+
+    stage = os.path.join(
+        tempfile.gettempdir(), f"icspark-dswh-{key}.{uuid.uuid4().hex[:8]}.tmp"
+    )
+    data_root = os.path.join(stage, "data")
+    df = spark.read.parquet(src)
+    even = df.where(F.col("l_orderkey") % 2 == 0)
+    odd = df.where(F.col("l_orderkey") % 2 != 0)
+    even.coalesce(1).write.parquet(os.path.join(data_root, "seq1"))
+    odd.coalesce(1).write.parquet(os.path.join(data_root, "seq9"))
+
+    def one_file(d):
+        return glob.glob(os.path.join(d, "part-*.parquet"))[0]
+
+    a_path = one_file(os.path.join(data_root, "seq1"))
+    b_path = one_file(os.path.join(data_root, "seq9"))
+
+    # position deletes against the NEW files' actual row positions —
+    # with the STAGE prefix rewritten to the final published root, since
+    # the whole staging dir is renamed atomically below and the paths
+    # STORED INSIDE the delete file must match what readers see
+    pos_df = (
+        spark.read.parquet(a_path, b_path)
+        .withColumn(
+            HIDDEN_FILE_PATH,
+            F.replace(
+                F.regexp_replace(F.col("_metadata.file_path"), "^file:/*", "/"),
+                F.lit(stage),
+                F.lit(root),
+            ),
+        )
+        .withColumn(HIDDEN_POS, F.col("_metadata.row_index"))
+        .filter(_pos_rule())
+        .select(HIDDEN_FILE_PATH, HIDDEN_POS)
+    )
+    pos_df.coalesce(1).write.parquet(os.path.join(stage, "posdel"))
+    pos_path = one_file(os.path.join(stage, "posdel"))
+
+    eq_df = (
+        df.filter(F.col("l_orderkey") % 17 == 0)
+        .select("l_orderkey", "l_linenumber")
+        .dropDuplicates()
+    )
+    eq_df.coalesce(1).write.parquet(os.path.join(stage, "eqdel"))
+    eq_path = one_file(os.path.join(stage, "eqdel"))
+
+    def task(path, seq):
+        deletes = [
+            DeleteFile(
+                path=path_rel(pos_path),
+                content=POSITION_DELETE,
+                file_size_in_bytes=os.path.getsize(pos_path),
+                sequence_number=EQ_DELETE_SEQ,
+            ),
+            DeleteFile(
+                path=path_rel(eq_path),
+                content=EQUALITY_DELETE,
+                file_size_in_bytes=os.path.getsize(eq_path),
+                sequence_number=EQ_DELETE_SEQ,
+                equality_ids=("l_orderkey", "l_linenumber"),
+            ),
+        ]
+        return FileScanTask(
+            data_file_path=path_rel(path),
+            length=os.path.getsize(path),
+            record_count=0,
+            sequence_number=seq,
+            deletes=deletes,
+        )
+
+    def path_rel(p):
+        # staged paths are renamed into `root` atomically below
+        return p.replace(stage, root, 1)
+
+    m = Manifest(
+        table_root=os.path.join(root, "data"),
+        sequence_number=9,
+        data_files=[task(a_path, 1), task(b_path, 9)],
+    )
+    FileCatalog(warehouse=os.path.join(stage, "wh")).create_table(
+        "lineitem_mor", m
+    )
+    try:
+        os.rename(stage, root)  # atomic publish; race loser cleans up
+    except OSError:
+        shutil.rmtree(stage, ignore_errors=True)
+    return wh

@@ -2845,3 +2845,34 @@ def q_cdc_changelog(spark, sf_dir):
     )
     new = old.where(~touched).unionByName(updated)
     return row_changes(old, new)
+
+
+# ===========================================================================
+# DataSource end-to-end MOR read (sources/datasource.py) — round 6
+# ===========================================================================
+
+
+@register("datasource_mor_read", _MOR_FULL_SQL)
+def q_datasource_mor_read(spark, sf_dir):
+    """The full MOR semantics through Spark's Python DataSource surface:
+    ``spark.read.format("iceberg-table")`` over a real catalog table
+    (two data files carrying the seq rule as FILE sequence numbers, a
+    (path,pos) position-delete file, an equality-delete file at the
+    delete sequence) must equal the same ``_MOR_FULL_SQL`` oracle the
+    native mor_full path is checked against — the executor-side
+    vectorized pyarrow MOR (position masks + fused-key is_in) verified
+    end to end, not just unit-tested.
+
+    Scale shape: one partition per data file (embarrassingly parallel),
+    delete content parsed once per executor via the worker cache."""
+    from iceberg_compaction_spark.sources.datasource import register as _reg
+
+    wh = syn.datasource_warehouse(spark, sf_dir)
+    _reg(spark)
+    df = (
+        spark.read.format("iceberg-table")
+        .option("warehouse", wh)
+        .option("table", "lineitem_mor")
+        .load()
+    )
+    return syn.output_select(df)

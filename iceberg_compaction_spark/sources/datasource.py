@@ -322,6 +322,7 @@ def _spark_filters_to_predicates(filters):
         IsNull,
         LessThan,
         LessThanOrEqual,
+        StringStartsWith,
     )
 
     out = []
@@ -346,6 +347,11 @@ def _spark_filters_to_predicates(filters):
             out.append((col, "is_null", None))
         elif isinstance(f, IsNotNull):
             out.append((col, "not_null", None))
+        elif isinstance(f, StringStartsWith):
+            # prefix match implies value >= prefix: a valid may-match
+            # restriction for bounds/row-group pruning (Spark's exact
+            # startswith re-check runs above the source regardless)
+            out.append((col, "ge", f.value))
     return tuple(out)
 
 
@@ -525,6 +531,17 @@ def _read_partition(part: _FilePartition, columns: list[str] | None):
 def _partitions_for_manifest(manifest) -> list[_FilePartition]:
     from iceberg_compaction_spark.sources.puffin import is_puffin_file
 
+    # memoize the content probe per manifest walk: a delete file is
+    # attached to MANY data files, and is_puffin_file may open the file
+    # when the name lacks the .puffin suffix — one probe per path, not
+    # one per (delete, data-file) edge
+    probed: dict[str, bool] = {}
+
+    def _is_dv(p: str) -> bool:
+        if p not in probed:
+            probed[p] = is_puffin_file(p)
+        return probed[p]
+
     parts = []
     for t in manifest.data_files:
         pos, dvs, eq = [], [], []
@@ -532,7 +549,7 @@ def _partitions_for_manifest(manifest) -> list[_FilePartition]:
             if d.content == "position_delete":
                 # v3 deletion vectors ride the position-delete channel
                 # as puffin files; they decode executor-side
-                (dvs if is_puffin_file(d.path) else pos).append(d.path)
+                (dvs if _is_dv(d.path) else pos).append(d.path)
             else:
                 eq.append((d.path, d.sequence_number, tuple(d.equality_ids)))
         parts.append(

@@ -1,0 +1,103 @@
+"""CLI entry point (__main__.py): the cron-able operational surface.
+In-process (session fixture injected) — each command returns the JSON
+dict it prints."""
+
+import os
+
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+
+from iceberg_compaction_spark.__main__ import main, COMMANDS, build_parser
+from iceberg_compaction_spark.sources.catalog import FileCatalog
+from iceberg_compaction_spark.sources.manifest import Manifest
+
+
+@pytest.fixture()
+def wh(tmp_path, spark):
+    root = str(tmp_path / "t")
+    os.makedirs(root)
+    for i in range(4):
+        ids = list(range(i * 10, i * 10 + 10))
+        pq.write_table(
+            pa.table(
+                {
+                    "id": pa.array(ids, type=pa.int64()),
+                    "val": [f"v{j}" for j in ids],
+                }
+            ),
+            os.path.join(root, f"f{i}.parquet"),
+        )
+    cat = FileCatalog(warehouse=str(tmp_path / "wh"))
+    cat.create_table("t", Manifest.from_parquet_dir(root))
+    return cat.warehouse
+
+
+def _run(spark, argv):
+    args = build_parser().parse_args(argv)
+    return COMMANDS[args.command](args, spark=spark)
+
+
+def test_cli_show_and_history(spark, wh):
+    out = _run(spark, ["show", "--warehouse", wh, "--table", "t"])
+    assert out["snapshot_id"] == 1
+    assert out["data_files"] == 4
+    assert out["total_records"] == 40
+    hist = _run(spark, ["history", "--warehouse", wh, "--table", "t"])
+    assert hist["snapshots"] == [1]
+
+
+def test_cli_compact_then_maintain_idempotent(spark, wh):
+    out = _run(
+        spark,
+        ["compact", "--warehouse", wh, "--table", "t"],
+    )
+    assert out["snapshot_after"] == out["snapshot_before"] + 1
+    cat = FileCatalog(warehouse=wh)
+    m = cat.load_table("t")
+    assert len(m.data_files) < 4  # files merged
+    assert sum(t.record_count for t in m.data_files) == 40
+    assert m.operation == "replace"
+
+    rep = _run(
+        spark,
+        [
+            "maintain",
+            "--warehouse",
+            wh,
+            "--table",
+            "t",
+            "--keep-snapshots",
+            "1",
+            "--orphan-grace-s",
+            "0",
+        ],
+    )
+    # compaction already at fixed point: maintenance only expires
+    assert rep["compaction_groups"] == 0
+    assert rep["expired_snapshots"] == [1]
+    # second pass is a no-op
+    rep2 = _run(
+        spark,
+        [
+            "maintain",
+            "--warehouse",
+            wh,
+            "--table",
+            "t",
+            "--keep-snapshots",
+            "1",
+            "--orphan-grace-s",
+            "0",
+        ],
+    )
+    assert rep2["expired_snapshots"] == []
+    assert rep2["compaction_groups"] == 0
+
+
+def test_cli_main_prints_json(spark, wh, capsys):
+    import json
+
+    assert main(["show", "--warehouse", wh, "--table", "t"], spark=spark) == 0
+    out = json.loads(capsys.readouterr().out.strip())
+    assert out["data_files"] == 4

@@ -411,3 +411,16 @@ def test_argmin_uses_partial_aggregate_not_window(spark):
     s = plan_of(df)
     assert "Window" not in s
     assert "partial_min" in formatted(df)
+
+
+def test_cdc_changelog_no_cartesian_and_no_broadcast_of_big_sides(spark):
+    """The changelog diff is two hash-partitioned exceptAll anti-diffs:
+    no cartesian product, no sort-merge surprises on the data side —
+    the plan must stay a hash-aggregate/hash-join shape that scales by
+    adding reducers."""
+    from iceberg_compaction_spark import registry
+
+    df = registry.QUERIES["cdc_changelog"](spark, SF)
+    s = plan_of(df)
+    assert "CartesianProduct" not in s
+    assert "BroadcastNestedLoopJoin" not in s
