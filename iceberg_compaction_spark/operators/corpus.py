@@ -35,6 +35,7 @@ __all__ = [
     "mixture_sample",
     "pack_sequences",
     "scrub_pii",
+    "shuffle_order",
 ]
 
 
@@ -185,3 +186,48 @@ def scrub_pii(df: DataFrame, text_col: str = "text") -> DataFrame:
         out = out.withColumn(name, F.regexp_count(cur, F.lit(pat)).cast("int"))
         cur = F.regexp_replace(cur, pat, tag)
     return out.withColumn("text_scrubbed", cur)
+
+
+def shuffle_order(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    salt: str = "shuffle-epoch-0",
+    n_buckets: int = 32,
+) -> DataFrame:
+    """Deterministic distributed training order: assign every doc a
+    (bucket, rank-in-bucket) position in a salted pseudo-random
+    permutation of the corpus.
+
+    A data loader reads buckets round-robin, so position ``rank`` of
+    bucket ``b`` is global position ``rank * n_buckets + b`` of a
+    uniformly shuffled epoch — WITHOUT a total-order sort (a global
+    ORDER BY funnels 100 TB through one ranking pass; here each bucket
+    ranks its corpus/n_buckets share in parallel and no row crosses
+    buckets).  Re-salting gives an independent permutation per epoch;
+    determinism makes every epoch reproducible and resumable mid-epoch
+    (the standard pretraining data-order contract).
+
+    Bucket AND within-bucket order both derive from the same salted
+    md5, so the permutation quality is that of the hash; ties broken by
+    id for bit-stable output.
+    """
+    h = F.conv(
+        F.substring(
+            F.md5(F.concat(F.lit(salt), F.col(id_col).cast("string"))), 1, 8
+        ),
+        16,
+        10,
+    ).cast("long")
+    w = Window.partitionBy("shuffle_bucket").orderBy(
+        F.col("__h"), F.col(id_col)
+    )
+    return (
+        df.withColumn("__h", h)
+        .withColumn("shuffle_bucket", (F.col("__h") % n_buckets).cast("long"))
+        .withColumn("bucket_rank", (F.row_number().over(w) - 1).cast("long"))
+        .withColumn(
+            "global_pos",
+            F.col("bucket_rank") * n_buckets + F.col("shuffle_bucket"),
+        )
+        .select(F.col(id_col), "shuffle_bucket", "bucket_rank", "global_pos")
+    )

@@ -263,18 +263,20 @@ def minhash_signatures(
     return sets.select(F.col(id_col), *cols)
 
 
-def lsh_candidate_pairs(
+def band_table(
     signatures: DataFrame,
     id_col: str = "doc_id",
     num_hashes: int = DEFAULT_NUM_HASHES,
     band_size: int = DEFAULT_BAND_SIZE,
 ) -> DataFrame:
-    """Distinct (id_a, id_b) pairs sharing at least one LSH band bucket.
+    """(id, band_key) LSH bucket membership — one row per (doc, band).
 
     Band keys are produced with one explode over an inline array (a
     single pass over the signature table) rather than an n_bands-way
     union, which would re-evaluate the signature subtree per band.
-    """
+    At 100 TB this IS the persisted dedup index: store it once per
+    corpus snapshot and every new batch joins against it (see
+    :func:`minhash_lsh_incremental_pairs`)."""
     if num_hashes % band_size != 0:
         raise ValueError(
             f"num_hashes ({num_hashes}) must be divisible by band_size "
@@ -287,9 +289,19 @@ def lsh_candidate_pairs(
         keys.append(
             F.md5(F.concat_ws("_", F.lit(str(j)), *[F.col(c) for c in cols]))
         )
-    bands = signatures.select(
+    return signatures.select(
         F.col(id_col), F.explode(F.array(*keys)).alias("band_key")
     )
+
+
+def lsh_candidate_pairs(
+    signatures: DataFrame,
+    id_col: str = "doc_id",
+    num_hashes: int = DEFAULT_NUM_HASHES,
+    band_size: int = DEFAULT_BAND_SIZE,
+) -> DataFrame:
+    """Distinct (id_a, id_b) pairs sharing at least one LSH band bucket."""
+    bands = band_table(signatures, id_col, num_hashes, band_size)
     a = bands.select(F.col(id_col).alias("id_a"), "band_key")
     b = bands.select(F.col(id_col).alias("id_b"), "band_key")
     return (
@@ -367,6 +379,95 @@ def minhash_lsh_dedup_pairs(
         )
         .where(F.col("jaccard_ppm") >= threshold_ppm)
         .select("id_a", "id_b", "jaccard_ppm")
+    )
+
+
+def minhash_lsh_incremental_pairs(
+    df: DataFrame,
+    is_new,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    num_hashes: int = DEFAULT_NUM_HASHES,
+    band_size: int = DEFAULT_BAND_SIZE,
+    threshold_ppm: int = 100000,
+    broadcast_new: bool = True,
+    scope=None,
+) -> DataFrame:
+    """Delta-priced near-dup check: a NEW batch against the EXISTING
+    corpus — the daily-ingest shape of dedup at 100 TB, where re-running
+    all-pairs LSH over corpus+delta every day is unaffordable.
+
+    ``is_new`` is a Column predicate over ``df`` marking the new batch.
+    Candidates come from joining the new batch's band buckets against
+    the corpus band index ONLY (never corpus x corpus): cost scales
+    with |delta| x bucket-collision rate, not with the corpus.  With
+    ``broadcast_new`` (default) the delta's band table broadcasts —
+    right whenever delta << corpus; pass False for a huge backfill
+    batch and let AQE pick the join.  In production the corpus side of
+    this join is the PERSISTED band index (:func:`band_table` stored at
+    corpus-build time) plus shingle sets for verification; here both
+    derive from the same input frame, which keeps the operator
+    oracle-checkable.
+
+    Output: (new_id, old_id, jaccard_ppm) — exact Jaccard computed for
+    candidate pairs only, same verification as
+    :func:`minhash_lsh_dedup_pairs`.
+    """
+    _persist = scope.persist if scope is not None else (lambda d: d.persist())
+    sets = _persist(shingle_sets(df, id_col, text_col, n))
+    sh = sets.select(F.col(id_col), F.explode("shs").alias("shingle"))
+    sigs = _persist(
+        minhash_signatures(df, id_col, text_col, n, num_hashes, sets=sets)
+    )
+    flags = df.select(F.col(id_col), is_new.alias("__is_new"))
+    bands = band_table(sigs, id_col, num_hashes, band_size).join(
+        flags, id_col
+    )
+    new_b = bands.where(F.col("__is_new")).select(
+        F.col(id_col).alias("new_id"), "band_key"
+    )
+    old_b = bands.where(~F.col("__is_new")).select(
+        F.col(id_col).alias("old_id"), "band_key"
+    )
+    if broadcast_new:
+        new_b = F.broadcast(new_b)
+    cands = (
+        old_b.join(new_b, "band_key")
+        .select("new_id", "old_id")
+        .dropDuplicates()
+    )
+
+    sizes = sets.select(F.col(id_col), "sz")
+    sh_new = sh.select(F.col(id_col).alias("new_id"), "shingle")
+    sh_old = sh.select(
+        F.col(id_col).alias("__o_id"), F.col("shingle").alias("__o_shingle")
+    )
+    inter = (
+        cands.join(sh_new, on="new_id")
+        .join(
+            sh_old,
+            (F.col("old_id") == F.col("__o_id"))
+            & (F.col("shingle") == F.col("__o_shingle")),
+            "inner",
+        )
+        .groupBy("new_id", "old_id")
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    sz_n = sizes.select(F.col(id_col).alias("new_id"), F.col("sz").alias("sz_n"))
+    sz_o = sizes.select(F.col(id_col).alias("old_id"), F.col("sz").alias("sz_o"))
+    return (
+        inter.join(sz_n, "new_id")
+        .join(sz_o, "old_id")
+        .withColumn(
+            "jaccard_ppm",
+            F.floor(
+                F.col("inter") * 1000000.0
+                / (F.col("sz_n") + F.col("sz_o") - F.col("inter"))
+            ).cast("long"),
+        )
+        .where(F.col("jaccard_ppm") >= threshold_ppm)
+        .select("new_id", "old_id", "jaccard_ppm")
     )
 
 

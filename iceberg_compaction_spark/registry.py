@@ -2876,3 +2876,61 @@ def q_datasource_mor_read(spark, sf_dir):
         .load()
     )
     return syn.output_select(df)
+
+
+# ===========================================================================
+# Incremental dedup (operators/dedup.py minhash_lsh_incremental_pairs) — r6
+# ===========================================================================
+
+_INCR_NEW_RULE = "doc_id % 10 = 0"  # deterministic "today's batch"
+
+
+def _minhash_incremental_sql() -> str:
+    return f"""
+    {_minhash_ctes()}
+    SELECT CASE WHEN j.id_a % 10 = 0 THEN j.id_a ELSE j.id_b END AS new_id,
+           CASE WHEN j.id_a % 10 = 0 THEN j.id_b ELSE j.id_a END AS old_id,
+           j.jaccard_ppm
+    FROM jac j JOIN cands c ON c.id_a = j.id_a AND c.id_b = j.id_b
+    WHERE j.jaccard_ppm >= {JACCARD_THRESHOLD_PPM}
+      AND ((j.id_a % 10 = 0) <> (j.id_b % 10 = 0))
+    """
+
+
+@register("dedup_incremental", _minhash_incremental_sql())
+def q_dedup_incremental(spark, sf_dir):
+    """Delta-priced dedup of a new batch (doc_id % 10 = 0) against the
+    existing corpus: new-batch band buckets broadcast against the
+    corpus band index, exact-Jaccard verify on candidates only — never
+    corpus x corpus.  The daily-crawl shape at 100 TB: cost scales with
+    the delta, and the corpus side is a persisted band_table index in
+    production."""
+    return dd.minhash_lsh_incremental_pairs(
+        _docs(spark, sf_dir),
+        is_new=F.expr(_INCR_NEW_RULE),
+        threshold_ppm=JACCARD_THRESHOLD_PPM,
+    )
+
+
+@register(
+    "pipeline_shuffle_order",
+    """
+    WITH h AS (
+      SELECT doc_id,
+             ('0x' || substr(md5('shuffle-epoch-0' || CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT AS hh
+      FROM documents
+    ),
+    b AS (SELECT doc_id, hh, hh % 32 AS shuffle_bucket FROM h)
+    SELECT doc_id, shuffle_bucket,
+           CAST(row_number() OVER (PARTITION BY shuffle_bucket ORDER BY hh, doc_id) - 1 AS BIGINT) AS bucket_rank,
+           CAST((row_number() OVER (PARTITION BY shuffle_bucket ORDER BY hh, doc_id) - 1) * 32 + shuffle_bucket AS BIGINT) AS global_pos
+    FROM b
+    """,
+)
+def q_pipeline_shuffle_order(spark, sf_dir):
+    """Deterministic epoch shuffle for training order: salted-hash
+    bucket + parallel within-bucket rank — a reproducible uniform
+    permutation with NO total-order sort (each of n_buckets reducers
+    ranks corpus/n rows; round-robin bucket reads yield the global
+    order)."""
+    return cp.shuffle_order(_docs(spark, sf_dir))

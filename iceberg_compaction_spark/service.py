@@ -44,10 +44,22 @@ from iceberg_compaction_spark.plans.auto import (
 from iceberg_compaction_spark.sources.manifest import Manifest, scan_data_files
 
 
+def _maintenance_engine_config() -> CompactionConfig:
+    """Maintenance default: enforce the reference's output-size band.
+    The service's whole job is file hygiene — emitting out-of-band
+    files would schedule its own next pass; the correction re-cut costs
+    one extra output-sized write and only when the width estimate
+    actually drifted (sources/writer.py enforce_size_band)."""
+    from dataclasses import replace
+
+    cfg = CompactionConfig()
+    return replace(cfg, writer=replace(cfg.writer, enforce_size_band=True))
+
+
 @dataclass
 class MaintenancePolicy:
     auto: AutoCompactionConfig = field(default_factory=AutoCompactionConfig)
-    engine: CompactionConfig = field(default_factory=CompactionConfig)
+    engine: CompactionConfig = field(default_factory=_maintenance_engine_config)
     keep_snapshots: int = 3
     clean_orphans: bool = True
     # consolidate parquet position-delete files when more than this many

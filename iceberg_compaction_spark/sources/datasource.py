@@ -590,10 +590,13 @@ class _BatchReader(DataSourceReader):
         self._predicates: tuple = ()
 
     def pushFilters(self, filters):
+        # NOT a generator on purpose: the predicate capture must happen
+        # when Spark CALLS this, not when it drains the return value
+        filters = list(filters)
         self._predicates = _spark_filters_to_predicates(filters)
-        # yield everything back: Spark re-applies, so the pruning tiers
+        # return everything back: Spark re-applies, so the pruning tiers
         # below are pure optimization with zero correctness exposure
-        yield from filters
+        return filters
 
     def partitions(self):
         from iceberg_compaction_spark.plans import pruning as pr

@@ -154,3 +154,29 @@ def test_chunk_documents_window_invariants(spark, docs):
         assert cids[-1] * stride + chunk >= len(toks)
         # and no window starts past the end
         assert cids[-1] * stride < max(len(toks), 1)
+
+
+# --- round 6: epoch shuffle order -------------------------------------------
+
+
+def test_shuffle_order_is_deterministic_injective_permutation(spark):
+    from iceberg_compaction_spark.operators import corpus as cp
+
+    docs = spark.range(500).selectExpr("id as doc_id")
+    out = cp.shuffle_order(docs, n_buckets=8).collect()
+    assert len(out) == 500
+    pos = [r["global_pos"] for r in out]
+    assert len(set(pos)) == 500  # injective: a real ordering
+    by_bucket = {}
+    for r in out:
+        by_bucket.setdefault(r["shuffle_bucket"], []).append(r["bucket_rank"])
+    for b, ranks in by_bucket.items():
+        assert sorted(ranks) == list(range(len(ranks)))  # contiguous ranks
+
+    # deterministic across runs; different salt => different permutation
+    again = cp.shuffle_order(docs, n_buckets=8).collect()
+    assert sorted(map(tuple, out)) == sorted(map(tuple, again))
+    other = cp.shuffle_order(docs, salt="shuffle-epoch-1", n_buckets=8).collect()
+    order0 = [r["doc_id"] for r in sorted(out, key=lambda r: r["global_pos"])]
+    order1 = [r["doc_id"] for r in sorted(other, key=lambda r: r["global_pos"])]
+    assert order0 != order1

@@ -424,3 +424,16 @@ def test_cdc_changelog_no_cartesian_and_no_broadcast_of_big_sides(spark):
     s = plan_of(df)
     assert "CartesianProduct" not in s
     assert "BroadcastNestedLoopJoin" not in s
+
+
+def test_incremental_dedup_broadcasts_delta_no_cartesian(spark):
+    """Delta-vs-corpus candidates: the new batch's band table broadcasts
+    into the corpus band index; nothing goes cartesian and the corpus
+    never self-joins."""
+    from iceberg_compaction_spark import registry
+
+    df = registry.QUERIES["dedup_incremental"](spark, SF)
+    s = plan_of(df)
+    assert "CartesianProduct" not in s
+    assert "BroadcastNestedLoopJoin" not in s
+    assert "BroadcastHashJoin" in s
