@@ -142,6 +142,21 @@ _DELETE_CACHE_ORDER: list = []
 _DELETE_CACHE_MAX = 64
 
 
+def _content_stamp(path: str) -> tuple:
+    """(size, mtime) identity so a delete file REWRITTEN IN PLACE (an
+    external engine reusing the path) self-invalidates its cache entry
+    instead of serving stale parsed content for the worker's lifetime.
+    One stat per (partition, delete file) — cheap next to the parse it
+    saves; unstat-able paths fall back to path-only keying."""
+    try:
+        from iceberg_compaction_spark.sources.fileio import fileio_for
+
+        io = fileio_for(path)
+        return (io.size(path), io.mtime(path))
+    except Exception:
+        return (0, 0.0)
+
+
 def _cached_delete(key: tuple, loader):
     if key in _DELETE_CACHE:
         _DELETE_CACHE_ORDER.remove(key)
@@ -201,18 +216,33 @@ def _load_dv(path: str):
 
 
 _EQ_SEP = "\x1f"
-_EQ_NULL = "\x00\x00N"
+# a null key encodes as bare "N"; every non-null component is
+# length-prefixed ("<len>:<bytes>"), so no real value can collide
+_EQ_NULL = "N"
 
 
 def _fuse_key_columns(table, key_cols: list[str]):
     """Fuse the equality-key columns of an Arrow table into ONE string
     array so the anti-filter is a single vectorized ``is_in`` probe
-    instead of a per-row Python tuple check.  Nulls are folded to a
-    sentinel (Iceberg equality deletes match null keys by equality)."""
+    instead of a per-row Python tuple check.
+
+    Injective by construction: each component is LENGTH-PREFIXED
+    (``len:value``) before joining, so a separator byte INSIDE a string
+    key value cannot shift field boundaries — ('a', 'b\\x1fc') and
+    ('a\\x1fb', 'c') fuse to distinct strings.  Nulls fold to a bare
+    ``N`` (no length prefix — distinct from the value "N", which
+    encodes as ``1:N``); Iceberg equality deletes match null keys by
+    null-safe equality."""
     import pyarrow as pa
     import pyarrow.compute as pc
 
-    cols = [pc.cast(table.column(c), pa.string()) for c in key_cols]
+    cols = []
+    for c in key_cols:
+        s = pc.cast(table.column(c), pa.string())
+        prefixed = pc.binary_join_element_wise(
+            pc.cast(pc.binary_length(s), pa.string()), s, ":"
+        )
+        cols.append(prefixed)
     return pc.binary_join_element_wise(
         *cols,
         _EQ_SEP,
@@ -264,11 +294,11 @@ def _delete_sets(
 
     pos_arrays = []
     for dp in pos_paths:
-        hit = _cached_delete(("pos", dp), lambda dp=dp: _load_pos_delete(dp)).get(me)
+        hit = _cached_delete(("pos", dp, _content_stamp(dp)), lambda dp=dp: _load_pos_delete(dp)).get(me)
         if hit is not None and len(hit):
             pos_arrays.append(hit)
     for dp in dv_paths:
-        hit = _cached_delete(("dv", dp), lambda dp=dp: _load_dv(dp)).get(me)
+        hit = _cached_delete(("dv", dp, _content_stamp(dp)), lambda dp=dp: _load_dv(dp)).get(me)
         if hit is not None and len(hit):
             pos_arrays.append(hit)
     drop = np.unique(np.concatenate(pos_arrays)) if pos_arrays else None
@@ -279,7 +309,7 @@ def _delete_sets(
         if not dseq > seq:
             continue
         value_set = _cached_delete(
-            ("eq", dp, key_cols),
+            ("eq", dp, key_cols, _content_stamp(dp)),
             lambda dp=dp, kc=key_cols: _load_eq_delete(dp, kc),
         )
         if len(value_set):
@@ -357,44 +387,32 @@ def _spark_filters_to_predicates(filters):
 
 def _rg_might_match(md, rg: int, name_to_idx: dict, predicates) -> bool:
     """Row-group-level may-match check from parquet footer statistics —
-    the executor-side twin of the manifest-bounds file pruning (same
-    inclusive semantics: missing/odd stats keep the group)."""
+    delegates to the SAME inclusive evaluator the manifest-bounds file
+    pruning uses (plans/pruning.might_match), so the two pruning tiers
+    can never drift semantically; this shim only adapts parquet
+    row-group stats into its (bounds, null_counts) shape."""
+    from iceberg_compaction_spark.plans.pruning import (
+        ColumnPredicate,
+        might_match,
+    )
+
+    rg_meta = md.row_group(rg)
+    bounds: dict = {}
+    nulls: dict = {}
+    preds = []
     for col, op, value in predicates:
+        preds.append(ColumnPredicate(col=col, op=op, value=value))
         i = name_to_idx.get(col)
-        if i is None:
+        if i is None or col in bounds or col in nulls:
             continue
-        st = md.row_group(rg).column(i).statistics
+        st = rg_meta.column(i).statistics
         if st is None:
             continue
-        if op in ("is_null", "not_null"):
-            if not st.has_null_count:
-                continue
-            nulls = st.null_count
-            rows = md.row_group(rg).num_rows
-            if op == "is_null" and nulls == 0:
-                return False
-            if op == "not_null" and nulls == rows:
-                return False
-            continue
-        if not st.has_min_max:
-            continue
-        lo, hi = st.min, st.max
-        try:
-            if op == "eq" and (value < lo or value > hi):
-                return False
-            if op == "in" and all(v < lo or v > hi for v in value):
-                return False
-            if op == "lt" and lo >= value:
-                return False
-            if op == "le" and lo > value:
-                return False
-            if op == "gt" and hi <= value:
-                return False
-            if op == "ge" and hi < value:
-                return False
-        except TypeError:
-            continue  # incomparable types (logical-type mismatch): keep
-    return True
+        if st.has_null_count:
+            nulls[col] = st.null_count
+        if st.has_min_max:
+            bounds[col] = (st.min, st.max)
+    return might_match(bounds, nulls, rg_meta.num_rows, preds)
 
 
 def _predicate_mask(table, predicates):
@@ -502,30 +520,38 @@ def _read_partition(part: _FilePartition, columns: list[str] | None):
             table = pa.Table.from_batches([batch])
             keep = _keep_mask(table, offset, drop, eq_filters)
             if diff_mode:
+                # a changed delete set moves rows in BOTH directions:
+                # newly-dead rows are this commit's deletes, and rows
+                # REVIVED by removing a delete attachment (possible in
+                # any non-replace commit) are its inserts — emitting
+                # only the delete half would silently lose revivals
                 was_live = _keep_mask(table, offset, prev_drop, prev_eq)
-                table = table.filter(pc.and_(was_live, pc.invert(keep)))
+                outs = [
+                    (table.filter(pc.and_(was_live, pc.invert(keep))), "delete"),
+                    (table.filter(pc.and_(pc.invert(was_live), keep)), "insert"),
+                ]
             else:
-                table = table.filter(keep)
-            if part.predicates:
-                mask = _predicate_mask(table, part.predicates)
-                if mask is not None:
-                    table = table.filter(mask)
-            if columns:
-                table = table.select(columns)
-            if part.change_type:
-                ct = "delete" if diff_mode else part.change_type
-                table = table.append_column(
-                    "_change_type",
-                    pa.array([ct] * table.num_rows, type=pa.string()),
-                ).append_column(
-                    "_commit_snapshot_id",
-                    pa.array(
-                        [part.commit_snapshot_id] * table.num_rows,
-                        type=pa.int64(),
-                    ),
-                )
-            if table.num_rows:
-                yield from table.to_batches()
+                outs = [(table.filter(keep), part.change_type)]
+            for out, ct in outs:
+                if part.predicates:
+                    mask = _predicate_mask(out, part.predicates)
+                    if mask is not None:
+                        out = out.filter(mask)
+                if columns:
+                    out = out.select(columns)
+                if ct:
+                    out = out.append_column(
+                        "_change_type",
+                        pa.array([ct] * out.num_rows, type=pa.string()),
+                    ).append_column(
+                        "_commit_snapshot_id",
+                        pa.array(
+                            [part.commit_snapshot_id] * out.num_rows,
+                            type=pa.int64(),
+                        ),
+                    )
+                if out.num_rows:
+                    yield from out.to_batches()
 
 
 def _partitions_for_manifest(manifest) -> list[_FilePartition]:
@@ -820,6 +846,12 @@ class IcebergTableDataSource(DataSource):
         return _ddl_from_file(m.data_files[0].data_file_path) + suffix
 
     def reader(self, schema):
+        if self.options.get("change_mode", "append") == "cdc":
+            raise ValueError(
+                "change_mode=cdc is a STREAMING option (use "
+                "spark.readStream); for batch diffs use snapshot_id "
+                "time travel or sources/changes.py changelog_between"
+            )
         return _BatchReader(self.options)
 
     def streamReader(self, schema):

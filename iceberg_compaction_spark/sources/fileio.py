@@ -283,10 +283,14 @@ class FsspecFileIO(FileIO):
 
     Import-gated: constructing one without fsspec installed raises the
     documented error instead of an ImportError deep in a task.
-    ``create_exclusive`` is best-effort on stores without conditional
-    writes — real S3 deployments should front the catalog with a REST
-    catalog (sources/rest_catalog.py), which serializes commits
-    server-side like the reference's integration tier.
+    ``create_exclusive`` RAISES: a generic fsspec store has no
+    conditional PUT, so an exists-then-write would silently lose the
+    catalog's CAS atomicity (two committers could both "win" a version
+    file, permanently dropping one commit from history).  Real object-
+    store deployments front the catalog with a REST catalog
+    (sources/rest_catalog.py), which serializes commits server-side —
+    the reference's integration tier does exactly this.  All
+    non-atomic operations (reads, plain writes, listing) work.
     """
 
     def __init__(self, scheme: str):
@@ -307,10 +311,12 @@ class FsspecFileIO(FileIO):
             f.write(data)
 
     def create_exclusive(self, path: str, data: bytes) -> bool:
-        if self._fs.exists(path):
-            return False
-        self.write_bytes(path, data)
-        return True
+        raise UnsupportedScheme(
+            f"{self._scheme}:// has no atomic create-exclusive: an "
+            "exists-then-write CAS can silently lose commits under "
+            "contention. Use a REST catalog (sources/rest_catalog.py) "
+            "to serialize commits against this store."
+        )
 
     def exists(self, path: str) -> bool:
         return self._fs.exists(path)

@@ -527,13 +527,14 @@ def test_vectorized_mor_filter_perf_pin():
     expected = naive().column("id").to_pylist()
     assert vectorized().column("id").to_pylist() == expected
 
-    t0 = time.perf_counter()
-    for _ in range(3):
-        vectorized()
-    t_vec = (time.perf_counter() - t0) / 3
-    t0 = time.perf_counter()
-    naive()
-    t_naive = time.perf_counter() - t0
+    # best-of-3 on BOTH sides: a single noisy sample under host
+    # contention must not flake the default suite
+    t_vec = min(
+        __import__("timeit").timeit(vectorized, number=1) for _ in range(3)
+    )
+    t_naive = min(
+        __import__("timeit").timeit(naive, number=1) for _ in range(3)
+    )
     assert t_naive / t_vec >= 10, (t_naive, t_vec)
 
 
@@ -754,3 +755,120 @@ def test_pushdown_all_files_pruned_yields_empty_result(spark, tmp_path):
         .where("id > 1000")
     )
     assert df.collect() == []
+
+
+# --- round 6: code-review regression fixes -----------------------------------
+
+
+def test_fused_eq_keys_are_collision_free():
+    """Length-prefixed fusing: a separator byte INSIDE a string key must
+    not shift field boundaries (review finding: ('a','b\\x1fc') used to
+    collide with ('a\\x1fb','c') and silently delete live rows)."""
+    from iceberg_compaction_spark.sources import datasource as ds
+
+    deletes = pa.table(
+        {"k1": ["a"], "k2": ["b\x1fc"]}
+    )
+    data = pa.table(
+        {"k1": ["a\x1fb", "a"], "k2": ["c", "b\x1fc"]}
+    )
+    vset = ds._fuse_key_columns(deletes, ["k1", "k2"])
+    mask = ds._eq_delete_mask(data, ["k1", "k2"], vset)
+    # row 0 ('a\x1fb','c') must SURVIVE; row 1 ('a','b\x1fc') must drop
+    assert mask.to_pylist() == [True, False]
+    # single-key fast path: raw typed value set; a null delete key
+    # matches null rows (null-safe equality), never the string "N"
+    data_n = pa.table({"k": pa.array(["N", None], type=pa.string())})
+    vset_n = pa.chunked_array([pa.array([None], type=pa.string())])
+    mask_n = ds._eq_delete_mask(data_n, ["k"], vset_n)
+    assert mask_n.to_pylist() == [True, False]
+    # composite keys: null component folds to bare 'N', distinct from
+    # the length-prefixed value '1:N'
+    deletes_null = pa.table(
+        {"k1": pa.array([None], type=pa.string()), "k2": ["x"]}
+    )
+    data_c = pa.table(
+        {"k1": ["N", None], "k2": ["x", "x"]}
+    )
+    vset_c = ds._fuse_key_columns(deletes_null, ["k1", "k2"])
+    mask_c = ds._eq_delete_mask(data_c, ["k1", "k2"], vset_c)
+    assert mask_c.to_pylist() == [True, False]
+
+
+def test_batch_read_rejects_cdc_option(spark, cat):
+    with pytest.raises(Exception, match="STREAMING option"):
+        _batch(spark, cat, change_mode="cdc").collect()
+
+
+def test_stream_cdc_emits_inserts_for_revived_rows(spark, cat, tmp_path):
+    """A non-replace commit that REMOVES a delete attachment revives
+    rows: CDC must emit them as inserts (review finding: only the
+    delete half of a changed attachment was emitted)."""
+    delta = spark.createDataFrame([(3, "three")], ["id", "val"])
+    upsert(spark, cat, "t", delta, keys=["id"])
+    assert _stream_rows(spark, cat, tmp_path, change_mode="cdc") == []
+
+    # hand-commit: drop the equality-delete attachment (an un-delete)
+    cur = cat.load_table("t")
+    new = Manifest.from_dict(cur.to_dict())
+    new.snapshot_id = cur.snapshot_id + 1
+    new.operation = "overwrite"
+    for t in new.data_files:
+        t.deletes = []
+    cat.commit_table("t", cur.snapshot_id, new)
+
+    rows = _stream_rows(spark, cat, tmp_path, change_mode="cdc")
+    got = sorted((r["id"], r["val"], r["_change_type"]) for r in rows)
+    # id=3's ORIGINAL row (v3) was dead under the eq delete, revived now
+    assert got == [(3, "v3", "insert")]
+
+
+def test_delete_cache_invalidates_on_rewrite(tmp_path):
+    """Rewriting a delete file IN PLACE must not serve stale cached
+    content (review finding: cache was keyed by path only)."""
+    import time as _time
+
+    from iceberg_compaction_spark.sources import datasource as ds
+
+    root = str(tmp_path / "t")
+    os.makedirs(root)
+    dpath = os.path.join(root, "f.parquet")
+    pq.write_table(
+        pa.table(
+            {
+                "id": pa.array(range(10), type=pa.int64()),
+                "val": [f"v{i}" for i in range(10)],
+            }
+        ),
+        dpath,
+    )
+    epath = os.path.join(root, "eq.parquet")
+    pq.write_table(pa.table({"id": pa.array([1], type=pa.int64())}), epath)
+    part = ds._FilePartition(
+        path=dpath, sequence_number=1, eq_deletes=((epath, 2, ("id",)),)
+    )
+    _clear_delete_cache()
+    first = sorted(
+        x for b in ds._read_partition(part, None) for x in b.column("id").to_pylist()
+    )
+    assert 1 not in first
+    _time.sleep(0.01)
+    pq.write_table(pa.table({"id": pa.array([2], type=pa.int64())}), epath)
+    second = sorted(
+        x for b in ds._read_partition(part, None) for x in b.column("id").to_pylist()
+    )
+    assert 1 in second and 2 not in second  # fresh content, no stale hit
+
+
+def test_fsspec_cas_degrades_loudly():
+    from iceberg_compaction_spark.sources import fileio as fio
+
+    class _FakeFS:
+        def exists(self, p):
+            return False
+
+    f = fio.FsspecFileIO.__new__(fio.FsspecFileIO)
+    f._fs = _FakeFS()
+    f._scheme = "s3"
+    with pytest.raises(fio.UnsupportedScheme, match="atomic"):
+        f.create_exclusive("s3://b/k", b"x")
