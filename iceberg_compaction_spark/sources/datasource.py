@@ -885,26 +885,34 @@ def register(spark) -> None:
 
 @dataclass
 class _FileCommit(WriterCommitMessage):
-    path: str = ""
-    rows: int = 0
-    size: int = 0
+    # (path, rows, size) per produced file — a task may roll several
+    files: tuple = ()
 
 
 class _AppendWriter(DataSourceArrowWriter):
     """Executor-parallel append: each task STREAMS its Arrow batches
-    straight into one parquet file (DataSourceArrowWriter — no Spark
-    Row materialization, no per-row Python; a task holds one batch at
-    a time); the DRIVER turns the commit messages into new
-    FileScanTasks and CAS-commits them against the catalog head with
-    the standard retry loop.  Files from aborted jobs are never
+    straight into parquet (DataSourceArrowWriter — no Spark Row
+    materialization, no per-row Python; a task holds one batch at a
+    time), ROLLING to a new file when the flushed byte count crosses
+    ``target_file_size_bytes`` — the reference's byte-exact rolling
+    writer (core/src/executor/datafusion/mod.rs:163-223), measured on
+    ACTUAL compressed output via the sink's file position rather than
+    any estimated row width.  The DRIVER turns the commit messages into
+    new FileScanTasks and CAS-commits them against the catalog head
+    with the standard retry loop.  Files from aborted jobs are never
     referenced and age out through remove_orphan_files — the same
     write-then-swap discipline as the compaction path, so a crashed
     write can never corrupt the table."""
+
+    DEFAULT_TARGET_BYTES = 512 * 1024 * 1024
 
     def __init__(self, options, overwrite: bool):
         self._wh = options["warehouse"]
         self._table = options["table"]
         self._overwrite = overwrite
+        self._target = int(
+            options.get("target_file_size_bytes", self.DEFAULT_TARGET_BYTES)
+        )
         # resolve the target directory at plan time (driver); executors
         # must not need the catalog
         from iceberg_compaction_spark.sources.catalog import FileCatalog
@@ -914,31 +922,56 @@ class _AppendWriter(DataSourceArrowWriter):
         )
 
     def write(self, iterator):
+        import contextlib
         import uuid as _uuid
 
         import pyarrow.parquet as pq
 
-        path = os.path.join(
-            self._root, f"append-{_uuid.uuid4().hex[:12]}.parquet"
-        )
-        writer = None
+        done: list[tuple] = []
+        writer = sink = path = None
         rows = 0
+
+        def roll():
+            nonlocal writer, sink, path, rows
+            if writer is not None:
+                writer.close()
+                with contextlib.suppress(Exception):
+                    sink.close()
+                done.append((path, rows, os.path.getsize(path)))
+            writer = sink = path = None
+            rows = 0
+
         try:
             for batch in iterator:
                 if batch.num_rows == 0:
                     continue
                 if writer is None:
+                    path = os.path.join(
+                        self._root, f"append-{_uuid.uuid4().hex[:12]}.parquet"
+                    )
+                    sink = open(path, "wb")
                     writer = pq.ParquetWriter(
-                        path, batch.schema, compression="zstd"
+                        sink, batch.schema, compression="zstd"
                     )
                 writer.write_batch(batch)
                 rows += batch.num_rows
-        finally:
-            if writer is not None:
-                writer.close()
-        if rows == 0:
-            return _FileCommit()
-        return _FileCommit(path=path, rows=rows, size=os.path.getsize(path))
+                # tell() is the FLUSHED compressed size (write_batch
+                # closes a row group): roll on real bytes, no estimate
+                if sink.tell() >= self._target:
+                    roll()
+            roll()
+        except Exception:
+            # never leave a half-written file for the commit to adopt
+            with contextlib.suppress(Exception):
+                if writer is not None:
+                    writer.close()
+                if sink is not None:
+                    sink.close()
+            if path is not None:
+                with contextlib.suppress(OSError):
+                    os.remove(path)
+            raise
+        return _FileCommit(files=tuple(done))
 
     def commit(self, messages):
         from iceberg_compaction_spark.commit import CommitManager
@@ -946,7 +979,7 @@ class _AppendWriter(DataSourceArrowWriter):
         from iceberg_compaction_spark.plans import pruning as pr
         from iceberg_compaction_spark.sources.catalog import FileCatalog
 
-        files = [m for m in messages if m and m.path]
+        files = [t for m in messages if m for t in m.files]
         cat = FileCatalog(warehouse=self._wh)
         mgr = CommitManager()
 
@@ -954,14 +987,14 @@ class _AppendWriter(DataSourceArrowWriter):
             cur = cat.load_table(self._table)
             new_seq = cur.sequence_number + 1
             added = []
-            for m in files:
-                bounds, nulls = pr.collect_file_stats(m.path)
+            for fpath, frows, fsize in files:
+                bounds, nulls = pr.collect_file_stats(fpath)
                 added.append(
                     FileScanTask(
-                        data_file_path=m.path,
-                        length=m.size,
-                        file_size_in_bytes=m.size,
-                        record_count=m.rows,
+                        data_file_path=fpath,
+                        length=fsize,
+                        file_size_in_bytes=fsize,
+                        record_count=frows,
                         sequence_number=new_seq,
                         spec_id=cur.default_spec_id,
                         column_bounds=bounds,
@@ -985,9 +1018,9 @@ class _AppendWriter(DataSourceArrowWriter):
 
     def abort(self, messages):
         for m in messages:
-            if m and m.path:
+            for fpath, _rows, _size in (m.files if m else ()):
                 try:
-                    os.remove(m.path)
+                    os.remove(fpath)
                 except OSError:
                     pass
 
@@ -1023,7 +1056,7 @@ class _StreamAppendWriter(DataSourceStreamArrowWriter):
         from iceberg_compaction_spark.sources.catalog import FileCatalog
         from iceberg_compaction_spark.sources.manifest import Manifest
 
-        files = [m for m in messages if m and m.path]
+        files = [t for m in messages if m for t in m.files]
         cat = FileCatalog(warehouse=self._wh)
         mgr = CommitManager()
 
@@ -1034,14 +1067,14 @@ class _StreamAppendWriter(DataSourceStreamArrowWriter):
                 return cur  # replayed batch: already committed
             new_seq = cur.sequence_number + 1
             added = []
-            for m in files:
-                bounds, nulls = pr.collect_file_stats(m.path)
+            for fpath, frows, fsize in files:
+                bounds, nulls = pr.collect_file_stats(fpath)
                 added.append(
                     FileScanTask(
-                        data_file_path=m.path,
-                        length=m.size,
-                        file_size_in_bytes=m.size,
-                        record_count=m.rows,
+                        data_file_path=fpath,
+                        length=fsize,
+                        file_size_in_bytes=fsize,
+                        record_count=frows,
                         sequence_number=new_seq,
                         spec_id=cur.default_spec_id,
                         column_bounds=bounds,

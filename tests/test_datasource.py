@@ -872,3 +872,31 @@ def test_fsspec_cas_degrades_loudly():
     f._scheme = "s3"
     with pytest.raises(fio.UnsupportedScheme, match="atomic"):
         f.create_exclusive("s3://b/k", b"x")
+
+
+def test_write_rolls_files_at_target_bytes(spark, cat):
+    """The Arrow write path rolls on ACTUAL flushed bytes (the
+    reference's byte-exact rolling, mod.rs:163-223): a small target
+    must produce multiple files per task, all rows preserved, every
+    file near-or-under target plus one row-group of slack."""
+    # 25k rows -> several 10k-row Arrow batches (rolling granularity is
+    # the flushed row group, i.e. one batch); payloads vary so zstd
+    # cannot collapse them
+    n = 25000
+    rows = [(1000 + i, f"{i:07d}-payload-" * 8) for i in range(n)]
+    (
+        spark.createDataFrame(rows, "id long, val string")
+        .coalesce(1)  # one task: rolling must come from the writer
+        .write.format("iceberg-table")
+        .option("warehouse", cat.warehouse)
+        .option("table", "t")
+        .option("target_file_size_bytes", "100000")
+        .mode("append")
+        .save()
+    )
+    m = cat.load_table("t")
+    added = [t for t in m.data_files if "append-" in t.data_file_path]
+    assert len(added) >= 2  # rolled
+    assert sum(t.record_count for t in added) == n
+    got = {r["id"] for r in _batch(spark, cat).collect() if r["id"] >= 1000}
+    assert len(got) == n
