@@ -691,6 +691,14 @@ class _ChangesStreamReader(DataSourceStreamReader):
             str(options.get("skip_overwrites", "false")).lower() == "true"
         )
         self._cdc = options.get("change_mode", "append") == "cdc"
+        # admission control (Iceberg's streaming-max-files analog at
+        # snapshot granularity): cap how many commits one micro-batch
+        # may cover, so a lagging consumer catches up in bounded steps
+        # instead of one giant batch that overwhelms the sink; 0 = no cap
+        self._max_per_trigger = int(
+            options.get("max_snapshots_per_trigger", 0)
+        )
+        self._floor = None  # highest offset already handed out
 
     def _catalog(self):
         from iceberg_compaction_spark.sources.catalog import FileCatalog
@@ -699,14 +707,42 @@ class _ChangesStreamReader(DataSourceStreamReader):
 
     def initialOffset(self):
         if self._starting == "earliest":
-            return {"snapshot": 0}
-        if self._starting:
-            return {"snapshot": int(self._starting)}
-        # default: only NEW commits (Iceberg's streaming default)
-        return {"snapshot": self._catalog().load_table(self._table).snapshot_id}
+            off = {"snapshot": 0}
+        elif self._starting:
+            off = {"snapshot": int(self._starting)}
+        else:
+            # default: only NEW commits (Iceberg's streaming default)
+            off = {
+                "snapshot": self._catalog().load_table(self._table).snapshot_id
+            }
+        self._floor = off["snapshot"]
+        return off
 
     def latestOffset(self):
-        return {"snapshot": self._catalog().load_table(self._table).snapshot_id}
+        head = self._catalog().load_table(self._table).snapshot_id
+        if self._max_per_trigger <= 0 or self._floor is None:
+            # no cap — or a CHECKPOINT RESTART, where the engine knows
+            # the start offset but this reader does not yet (the Python
+            # API has no restart hook): capping blind could hand back an
+            # offset BEHIND the checkpoint.  The first post-restart
+            # batch runs uncapped; partitions()/commit() then seed the
+            # floor and subsequent triggers are capped again.
+            return {"snapshot": head}
+        # walk at most max_per_trigger RETAINED snapshots past the floor
+        # (snapshot ids need not be dense once expiration has run)
+        floor = self._floor
+        ahead = [
+            s
+            for s in self._catalog().table_history(self._table)
+            if s > floor
+        ]
+        capped = (
+            ahead[self._max_per_trigger - 1]
+            if len(ahead) >= self._max_per_trigger
+            else head
+        )
+        self._floor = max(floor, capped)
+        return {"snapshot": capped}
 
     def _stamp(self, parts, change_type, sid):
         for p in parts:
@@ -732,6 +768,9 @@ class _ChangesStreamReader(DataSourceStreamReader):
                 "resume without losing commits — restart from a fresh "
                 "offset (e.g. starting_snapshot) if the gap is acceptable"
             )
+        # seed/advance the admission-control floor (also covers the
+        # checkpoint-restart case where initialOffset never ran)
+        self._floor = max(self._floor or 0, hi)
         history = [s for s in all_history if lo <= s <= hi]
         parts: list[_FilePartition] = []
         prev = None

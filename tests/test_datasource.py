@@ -900,3 +900,35 @@ def test_write_rolls_files_at_target_bytes(spark, cat):
     assert sum(t.record_count for t in added) == n
     got = {r["id"] for r in _batch(spark, cat).collect() if r["id"] >= 1000}
     assert len(got) == n
+
+
+def test_stream_admission_control_caps_snapshots_per_trigger(
+    spark, cat, tmp_path
+):
+    """max_snapshots_per_trigger bounds each micro-batch: a 3-commit
+    backlog drains in 3 single-commit batches (offsets advance one
+    snapshot at a time), with nothing lost."""
+    import json
+
+    assert _stream_rows(spark, cat, tmp_path) == []  # offset -> head
+    for i in range(3):
+        _append_commit(cat, [600 + 10 * i])
+
+    # each availableNow run drains exactly ONE capped batch: the
+    # backlog takes three runs instead of one unbounded batch
+    for expect in ([600], [600, 610], [600, 610, 620]):
+        rows = _stream_rows(
+            spark, cat, tmp_path, max_snapshots_per_trigger="1"
+        )
+        assert sorted(r["id"] for r in rows) == expect
+    # the checkpoint's offset log advanced one snapshot per batch
+    odir = os.path.join(str(tmp_path), "ckpt", "offsets")
+    names = sorted(
+        (n for n in os.listdir(odir) if n.isdigit()), key=int
+    )
+    offsets = []
+    for name in names:
+        with open(os.path.join(odir, name)) as f:
+            snap = json.loads(f.readlines()[-1])
+        offsets.append(snap["snapshot"])
+    assert offsets[-3:] == [2, 3, 4]
