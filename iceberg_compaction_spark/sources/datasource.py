@@ -151,8 +151,7 @@ def _content_stamp(path: str) -> tuple:
     try:
         from iceberg_compaction_spark.sources.fileio import fileio_for
 
-        io = fileio_for(path)
-        return (io.size(path), io.mtime(path))
+        return fileio_for(path).stat(path)
     except Exception:
         return (0, 0.0)
 
@@ -719,7 +718,6 @@ class _ChangesStreamReader(DataSourceStreamReader):
         return off
 
     def latestOffset(self):
-        head = self._catalog().load_table(self._table).snapshot_id
         if self._max_per_trigger <= 0 or self._floor is None:
             # no cap — or a CHECKPOINT RESTART, where the engine knows
             # the start offset but this reader does not yet (the Python
@@ -727,15 +725,16 @@ class _ChangesStreamReader(DataSourceStreamReader):
             # offset BEHIND the checkpoint.  The first post-restart
             # batch runs uncapped; partitions()/commit() then seed the
             # floor and subsequent triggers are capped again.
-            return {"snapshot": head}
-        # walk at most max_per_trigger RETAINED snapshots past the floor
-        # (snapshot ids need not be dense once expiration has run)
+            return {
+                "snapshot": self._catalog().load_table(self._table).snapshot_id
+            }
+        # ONE metadata listing serves both the head and the walk (the
+        # head is always the highest retained version); snapshot ids
+        # need not be dense once expiration has run
         floor = self._floor
-        ahead = [
-            s
-            for s in self._catalog().table_history(self._table)
-            if s > floor
-        ]
+        history = self._catalog().table_history(self._table)
+        head = history[-1]
+        ahead = [s for s in history if s > floor]
         capped = (
             ahead[self._max_per_trigger - 1]
             if len(ahead) >= self._max_per_trigger
@@ -928,6 +927,30 @@ class _FileCommit(WriterCommitMessage):
     files: tuple = ()
 
 
+def _tasks_from_files(files, new_seq: int, spec_id: int):
+    """Commit messages -> FileScanTasks with footer stats (shared by
+    the batch and streaming sinks, so their manifests can never drift)."""
+    from iceberg_compaction_spark.plans import pruning as pr
+    from iceberg_compaction_spark.plans.datamodel import FileScanTask
+
+    added = []
+    for fpath, frows, fsize in files:
+        bounds, nulls = pr.collect_file_stats(fpath)
+        added.append(
+            FileScanTask(
+                data_file_path=fpath,
+                length=fsize,
+                file_size_in_bytes=fsize,
+                record_count=frows,
+                sequence_number=new_seq,
+                spec_id=spec_id,
+                column_bounds=bounds,
+                null_counts=nulls,
+            )
+        )
+    return added
+
+
 class _AppendWriter(DataSourceArrowWriter):
     """Executor-parallel append: each task STREAMS its Arrow batches
     straight into parquet (DataSourceArrowWriter — no Spark Row
@@ -973,9 +996,11 @@ class _AppendWriter(DataSourceArrowWriter):
         def roll():
             nonlocal writer, sink, path, rows
             if writer is not None:
+                # close failures MUST propagate: a swallowed flush error
+                # (ENOSPC) would record a truncated file as complete and
+                # hand it to commit()
                 writer.close()
-                with contextlib.suppress(Exception):
-                    sink.close()
+                sink.close()
                 done.append((path, rows, os.path.getsize(path)))
             writer = sink = path = None
             rows = 0
@@ -1000,11 +1025,14 @@ class _AppendWriter(DataSourceArrowWriter):
                     roll()
             roll()
         except Exception:
-            # never leave a half-written file for the commit to adopt
-            with contextlib.suppress(Exception):
-                if writer is not None:
+            # never leave a half-written file for the commit to adopt;
+            # separate suppress scopes so a failing writer.close() still
+            # lets the fd close and the partial file unlink
+            if writer is not None:
+                with contextlib.suppress(Exception):
                     writer.close()
-                if sink is not None:
+            if sink is not None:
+                with contextlib.suppress(Exception):
                     sink.close()
             if path is not None:
                 with contextlib.suppress(OSError):
@@ -1014,8 +1042,6 @@ class _AppendWriter(DataSourceArrowWriter):
 
     def commit(self, messages):
         from iceberg_compaction_spark.commit import CommitManager
-        from iceberg_compaction_spark.plans.datamodel import FileScanTask
-        from iceberg_compaction_spark.plans import pruning as pr
         from iceberg_compaction_spark.sources.catalog import FileCatalog
 
         files = [t for m in messages if m for t in m.files]
@@ -1025,21 +1051,7 @@ class _AppendWriter(DataSourceArrowWriter):
         def attempt():
             cur = cat.load_table(self._table)
             new_seq = cur.sequence_number + 1
-            added = []
-            for fpath, frows, fsize in files:
-                bounds, nulls = pr.collect_file_stats(fpath)
-                added.append(
-                    FileScanTask(
-                        data_file_path=fpath,
-                        length=fsize,
-                        file_size_in_bytes=fsize,
-                        record_count=frows,
-                        sequence_number=new_seq,
-                        spec_id=cur.default_spec_id,
-                        column_bounds=bounds,
-                        null_counts=nulls,
-                    )
-                )
+            added = _tasks_from_files(files, new_seq, cur.default_spec_id)
             from iceberg_compaction_spark.sources.manifest import Manifest
 
             new = Manifest.from_dict(cur.to_dict())
@@ -1090,8 +1102,6 @@ class _StreamAppendWriter(DataSourceStreamArrowWriter):
 
     def commit(self, messages, batchId):
         from iceberg_compaction_spark.commit import CommitManager
-        from iceberg_compaction_spark.plans import pruning as pr
-        from iceberg_compaction_spark.plans.datamodel import FileScanTask
         from iceberg_compaction_spark.sources.catalog import FileCatalog
         from iceberg_compaction_spark.sources.manifest import Manifest
 
@@ -1105,21 +1115,7 @@ class _StreamAppendWriter(DataSourceStreamArrowWriter):
             if last is not None and int(last) >= batchId:
                 return cur  # replayed batch: already committed
             new_seq = cur.sequence_number + 1
-            added = []
-            for fpath, frows, fsize in files:
-                bounds, nulls = pr.collect_file_stats(fpath)
-                added.append(
-                    FileScanTask(
-                        data_file_path=fpath,
-                        length=fsize,
-                        file_size_in_bytes=fsize,
-                        record_count=frows,
-                        sequence_number=new_seq,
-                        spec_id=cur.default_spec_id,
-                        column_bounds=bounds,
-                        null_counts=nulls,
-                    )
-                )
+            added = _tasks_from_files(files, new_seq, cur.default_spec_id)
             new = Manifest.from_dict(cur.to_dict())
             new.snapshot_id = cur.snapshot_id + 1
             new.sequence_number = new_seq

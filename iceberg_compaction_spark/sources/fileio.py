@@ -81,6 +81,11 @@ class FileIO:
     def mtime(self, path: str) -> float:
         raise NotImplementedError
 
+    def stat(self, path: str) -> tuple:
+        """(size, mtime) in one call — backends override to make it one
+        round-trip (an object-store HEAD returns both)."""
+        return (self.size(path), self.mtime(path))
+
     def write_atomic(self, path: str, data: bytes) -> None:
         """Readers see either the old or the new content, never a torn
         write.  Object stores get this for free (PUT is atomic); the
@@ -149,6 +154,10 @@ class LocalFileIO(FileIO):
 
     def mtime(self, path: str) -> float:
         return os.path.getmtime(self.strip(path))
+
+    def stat(self, path: str) -> tuple:
+        st = os.stat(self.strip(path))
+        return (st.st_size, st.st_mtime)
 
     def write_atomic(self, path: str, data: bytes) -> None:
         p = self.strip(path)
@@ -265,6 +274,13 @@ class MemoryFileIO(FileIO):
             if k not in self._times:
                 raise FileNotFoundError(path)
             return self._times[k]
+
+    def stat(self, path: str) -> tuple:
+        k = self._key(path)
+        with self._lock:
+            if k not in self._store:
+                raise FileNotFoundError(path)
+            return (len(self._store[k]), self._times.get(k, 0.0))
 
     def walk_files(self, root: str):
         k = self._key(root)
