@@ -35,6 +35,10 @@ TRACKED = [
     "dedup_minhash_lsh",
     "text_quality",
     "pipeline_curation_full",
+    # round 6: delta-vs-corpus dedup, changelog diff, DataSource MOR
+    "dedup_incremental",
+    "cdc_changelog",
+    "datasource_mor_read",
 ]
 
 
