@@ -941,3 +941,44 @@ def jaccard_pairs_prefix(
         .where(F.col("jaccard_ppm") >= threshold_ppm)
         .select("id_a", "id_b", "jaccard_ppm")
     )
+
+
+def canonical_exact_groups(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Quality-aware canonical selection for exact-dup groups: keep the
+    LONGEST variant of each normalized-content group (a trailing-space
+    or casing twin of a longer original loses), ties broken by lowest
+    id.  This is the curation policy real pipelines want — min-id keeps
+    whichever copy crawled first; longest keeps the most complete one.
+
+    Window-free: ``min(struct(-len, id))`` per fingerprint is ONE
+    groupBy with a map-side partial combine (structs compare
+    lexicographically), vs a rank-1 window that would shuffle and sort
+    every row — the same aggregate-instead-of-window shape as
+    argmin_cheapest_supplier, at corpus scale a single exchange keyed
+    on the fingerprint.
+
+    Output: (content_fp, canonical_id, canonical_len, n_docs).
+    """
+    from iceberg_compaction_spark.operators.text import normalize_text
+
+    g = df.select(
+        F.col(id_col),
+        F.md5(normalize_text(F.col(text_col))).alias("content_fp"),
+        F.length(F.col(text_col)).cast("long").alias("len"),
+    )
+    best = g.groupBy("content_fp").agg(
+        F.min(
+            F.struct(
+                (-F.col("len")).alias("nl"), F.col(id_col).alias("i")
+            )
+        ).alias("b"),
+        F.count(F.lit(1)).alias("n_docs"),
+    )
+    return best.select(
+        "content_fp",
+        F.col("b.i").cast("long").alias("canonical_id"),
+        (-F.col("b.nl")).cast("long").alias("canonical_len"),
+        F.col("n_docs").cast("long").alias("n_docs"),
+    )

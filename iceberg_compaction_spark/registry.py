@@ -2934,3 +2934,30 @@ def q_pipeline_shuffle_order(spark, sf_dir):
     ranks corpus/n rows; round-robin bucket reads yield the global
     order)."""
     return cp.shuffle_order(_docs(spark, sf_dir))
+
+
+@register(
+    "dedup_canonical",
+    f"""
+    SELECT content_fp,
+           CAST(canonical_id AS BIGINT) AS canonical_id,
+           CAST(canonical_len AS BIGINT) AS canonical_len,
+           CAST(n_docs AS BIGINT) AS n_docs
+    FROM (
+      SELECT md5({_NORM}) AS content_fp, doc_id AS canonical_id,
+             length(text) AS canonical_len,
+             count(*) OVER (PARTITION BY md5({_NORM})) AS n_docs,
+             row_number() OVER (
+               PARTITION BY md5({_NORM})
+               ORDER BY length(text) DESC, doc_id
+             ) AS rn
+      FROM documents
+    ) WHERE rn = 1
+    """,
+)
+def q_dedup_canonical(spark, sf_dir):
+    """Canonical-doc selection per exact-dup group (keep the LONGEST
+    variant, tie -> lowest id): min(struct(-len, id)) aggregate with a
+    map-side combine instead of a rank-1 window; the oracle keeps the
+    window formulation, proving the two agree."""
+    return dd.canonical_exact_groups(_docs(spark, sf_dir))
