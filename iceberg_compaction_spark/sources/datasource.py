@@ -698,6 +698,43 @@ class _ChangesStreamReader(DataSourceStreamReader):
             options.get("max_snapshots_per_trigger", 0)
         )
         self._floor = None  # highest offset already handed out
+        # Optional durable floor: the Python DataSource API has no
+        # restart hook, so without this the FIRST post-restart batch
+        # runs uncapped.  With a checkpoint_tag, partitions() persists
+        # the floor to a warehouse sidecar (written right after the
+        # engine's offset WAL, so it is always >= the last committed
+        # end) and latestOffset() reloads it on restart — every batch,
+        # including the first after resume, covers at most
+        # max_snapshots_per_trigger commits.
+        self._tag = options.get("checkpoint_tag")
+
+    def _floor_path(self):
+        from iceberg_compaction_spark.sources.fileio import fileio_for
+
+        io = fileio_for(self._wh)
+        return io, io.join(
+            self._wh, "_streaming_floor", f"{self._table}.{self._tag}.json"
+        )
+
+    def _save_floor(self, floor: int) -> None:
+        if not self._tag or self._max_per_trigger <= 0:
+            return
+        import json as _json
+
+        io, p = self._floor_path()
+        io.makedirs(io.join(self._wh, "_streaming_floor"))
+        io.write_atomic(p, _json.dumps({"floor": floor}).encode())
+
+    def _load_floor(self):
+        if not self._tag:
+            return None
+        import json as _json
+
+        io, p = self._floor_path()
+        try:
+            return int(_json.loads(io.read_bytes(p))["floor"])
+        except (FileNotFoundError, KeyError, ValueError):
+            return None
 
     def _catalog(self):
         from iceberg_compaction_spark.sources.catalog import FileCatalog
@@ -718,13 +755,20 @@ class _ChangesStreamReader(DataSourceStreamReader):
         return off
 
     def latestOffset(self):
+        if self._floor is None:
+            # CHECKPOINT RESTART (initialOffset never ran this process):
+            # try the durable sidecar first — it is written in
+            # partitions() right after the engine's offset WAL, so it is
+            # always >= the last committed end and capping from it can
+            # never hand back an offset behind the checkpoint.
+            self._floor = self._load_floor()
         if self._max_per_trigger <= 0 or self._floor is None:
-            # no cap — or a CHECKPOINT RESTART, where the engine knows
-            # the start offset but this reader does not yet (the Python
-            # API has no restart hook): capping blind could hand back an
-            # offset BEHIND the checkpoint.  The first post-restart
-            # batch runs uncapped; partitions()/commit() then seed the
-            # floor and subsequent triggers are capped again.
+            # no cap — or a restart WITHOUT a checkpoint_tag, where the
+            # engine knows the start offset but this reader does not
+            # (the Python API has no restart hook): capping blind could
+            # hand back an offset BEHIND the checkpoint.  The first
+            # post-restart batch runs uncapped; partitions() then seeds
+            # the floor and subsequent triggers are capped again.
             return {
                 "snapshot": self._catalog().load_table(self._table).snapshot_id
             }
@@ -768,14 +812,30 @@ class _ChangesStreamReader(DataSourceStreamReader):
                 "offset (e.g. starting_snapshot) if the gap is acceptable"
             )
         # seed/advance the admission-control floor (also covers the
-        # checkpoint-restart case where initialOffset never ran)
-        self._floor = max(self._floor or 0, hi)
+        # checkpoint-restart case where initialOffset never ran), and
+        # persist it so a restart caps its first batch too
+        self._floor = max(self._floor or 0, lo, hi)
+        self._save_floor(self._floor)
         history = [s for s in all_history if lo <= s <= hi]
         parts: list[_FilePartition] = []
         prev = None
         for sid in history:
             m = cat.load_table_at(self._table, sid)
-            if prev is not None and sid > lo:
+            if prev is None and lo == 0 and sid > lo:
+                # starting_snapshot=earliest: the first retained snapshot
+                # has no predecessor to diff against, but its contents ARE
+                # this stream's initial data — Iceberg's earliest
+                # semantics replay it as an append, so diff against an
+                # empty manifest instead of silently skipping it.
+                from iceberg_compaction_spark.sources.manifest import (
+                    Manifest as _M,
+                )
+
+                empty = _M(table_root=m.table_root)
+                parts.extend(
+                    self._commit_partitions(empty, m, sid, diff_files)
+                )
+            elif prev is not None and sid > lo:
                 parts.extend(self._commit_partitions(prev, m, sid, diff_files))
             prev = m
         return parts
@@ -967,6 +1027,11 @@ class _AppendWriter(DataSourceArrowWriter):
     write can never corrupt the table."""
 
     DEFAULT_TARGET_BYTES = 512 * 1024 * 1024
+    # Arrow in-memory bytes buffered before cutting a parquet row group.
+    # Spark hands ~10k-row batches; writing each as its own row group
+    # would give a 512MB file thousands of tiny groups, bloating the
+    # footer and gutting the reader's row-group-stats pruning tier.
+    DEFAULT_ROW_GROUP_BYTES = 128 * 1024 * 1024
 
     def __init__(self, options, overwrite: bool):
         self._wh = options["warehouse"]
@@ -975,13 +1040,38 @@ class _AppendWriter(DataSourceArrowWriter):
         self._target = int(
             options.get("target_file_size_bytes", self.DEFAULT_TARGET_BYTES)
         )
+        # rolling is only checked on flush boundaries, so a row group
+        # can never be allowed to exceed the file target (compressed <=
+        # arrow in-memory, so min() keeps small-target rolling exact)
+        self._row_group_bytes = min(
+            int(options.get("row_group_bytes", self.DEFAULT_ROW_GROUP_BYTES)),
+            int(
+                options.get("target_file_size_bytes", self.DEFAULT_TARGET_BYTES)
+            ),
+        )
         # resolve the target directory at plan time (driver); executors
         # must not need the catalog
         from iceberg_compaction_spark.sources.catalog import FileCatalog
+        from iceberg_compaction_spark.sources.fileio import (
+            UnsupportedScheme,
+            scheme_of,
+        )
 
         self._root = (
             FileCatalog(warehouse=self._wh).load_table(self._table).table_root
         )
+        # The executor-side write path below is POSIX (open/getsize/
+        # os.remove) — fail HERE at plan time with the documented error
+        # rather than an opaque FileNotFoundError deep in a task on a
+        # mem:// or object-store warehouse.
+        scheme = scheme_of(self._root)
+        if scheme not in ("", "file"):
+            raise UnsupportedScheme(
+                f"the {FORMAT_NAME} writer needs a local(file://) "
+                f"warehouse; table root {self._root!r} has scheme "
+                f"{scheme!r}. Write parquet via Spark's native writer "
+                "and register/commit through the catalog API instead."
+            )
 
     def write(self, iterator):
         import contextlib
@@ -989,9 +1079,23 @@ class _AppendWriter(DataSourceArrowWriter):
 
         import pyarrow.parquet as pq
 
+        import pyarrow as pa
+
         done: list[tuple] = []
         writer = sink = path = None
         rows = 0
+        buf: list = []  # pending batches -> ONE row group per flush
+        buf_bytes = 0
+
+        def flush():
+            # cut one parquet row group from the buffered Arrow batches
+            nonlocal buf, buf_bytes, rows
+            if buf:
+                tbl = pa.Table.from_batches(buf)
+                writer.write_table(tbl, row_group_size=tbl.num_rows)
+                rows += tbl.num_rows
+                buf = []
+                buf_bytes = 0
 
         def roll():
             nonlocal writer, sink, path, rows
@@ -999,6 +1103,7 @@ class _AppendWriter(DataSourceArrowWriter):
                 # close failures MUST propagate: a swallowed flush error
                 # (ENOSPC) would record a truncated file as complete and
                 # hand it to commit()
+                flush()
                 writer.close()
                 sink.close()
                 done.append((path, rows, os.path.getsize(path)))
@@ -1017,10 +1122,13 @@ class _AppendWriter(DataSourceArrowWriter):
                     writer = pq.ParquetWriter(
                         sink, batch.schema, compression="zstd"
                     )
-                writer.write_batch(batch)
-                rows += batch.num_rows
-                # tell() is the FLUSHED compressed size (write_batch
-                # closes a row group): roll on real bytes, no estimate
+                buf.append(batch)
+                buf_bytes += batch.nbytes
+                if buf_bytes < self._row_group_bytes:
+                    continue
+                flush()
+                # tell() is the FLUSHED compressed size (flush closes a
+                # row group): roll on real bytes, no estimate
                 if sink.tell() >= self._target:
                     roll()
             roll()

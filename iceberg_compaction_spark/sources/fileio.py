@@ -327,8 +327,26 @@ class FsspecFileIO(FileIO):
             f.write(data)
 
     def create_exclusive(self, path: str, data: bytes) -> bool:
+        # Conditional PUT (If-None-Match: *) where the backend exposes
+        # it — s3fs ≥2024 maps ``pipe_file(..., mode="create")`` to
+        # exactly that header, and S3/GCS/Azure all honor it server-side
+        # now, which is the same primitive the reference's catalog
+        # relies on for commit CAS (core/src/compaction/mod.rs:270,450).
+        # A backend without the capability still RAISES loudly: an
+        # exists-then-write emulation can silently lose commits under
+        # contention, which is worse than failing.
+        pipe = getattr(self._fs, "pipe_file", None)
+        if pipe is not None:
+            try:
+                pipe(path, data, mode="create")
+                return True
+            except FileExistsError:
+                return False
+            except (TypeError, ValueError, NotImplementedError):
+                pass  # backend has pipe_file but no conditional mode
         raise UnsupportedScheme(
-            f"{self._scheme}:// has no atomic create-exclusive: an "
+            f"{self._scheme}:// has no atomic create-exclusive "
+            "(backend lacks conditional-PUT support): an "
             "exists-then-write CAS can silently lose commits under "
             "contention. Use a REST catalog (sources/rest_catalog.py) "
             "to serialize commits against this store."
@@ -341,7 +359,12 @@ class FsspecFileIO(FileIO):
         return self._fs.isdir(path)
 
     def listdir(self, path: str) -> list[str]:
-        return sorted(p.rstrip("/").rsplit("/", 1)[-1] for p in self._fs.ls(path))
+        # detail=False explicitly: AbstractFileSystem.ls defaults vary by
+        # backend (some return info dicts), and a dict has no rstrip.
+        return sorted(
+            p.rstrip("/").rsplit("/", 1)[-1]
+            for p in self._fs.ls(path, detail=False)
+        )
 
     def makedirs(self, path: str) -> None:
         self._fs.makedirs(path, exist_ok=True)
@@ -357,7 +380,18 @@ class FsspecFileIO(FileIO):
         return t.timestamp()
 
     def walk_files(self, root: str):
-        yield from self._fs.find(root)
+        # fsspec backends return scheme-less keys ('bucket/key') from
+        # find(); manifests carry full URIs ('s3://bucket/key').  Without
+        # re-prefixing, delete_orphan_files' referenced-set membership
+        # never matches and every live file looks orphaned — so both
+        # walk_files and canonical() normalize to the same URI form.
+        for p in self._fs.find(root):
+            yield self.canonical(p)
+
+    def canonical(self, path: str) -> str:
+        head, sep, rest = path.partition("://")
+        key = rest if (sep and "/" not in head) else path
+        return f"{self._scheme}://{key.lstrip('/')}"
 
 
 _LOCAL = LocalFileIO()

@@ -128,10 +128,11 @@ def test_stream_emits_appends_only_from_start_offset(spark, cat, tmp_path):
 
 def test_stream_earliest_replays_initial_snapshot_appends(spark, cat, tmp_path):
     rows = _stream_rows(spark, cat, tmp_path, starting_snapshot="earliest")
-    # earliest starts BEFORE snapshot 1, but snapshot 1 has no
-    # predecessor diff inside the window, so nothing emits until the
-    # next commit — document the semantics: changes BETWEEN snapshots
-    assert rows == []
+    # earliest starts BEFORE snapshot 1; the first retained snapshot has
+    # no predecessor to diff against, so its contents replay as an
+    # append (diff against an empty manifest) — Iceberg's earliest
+    # streaming semantics: the initial table IS the stream's first data
+    assert sorted(r["id"] for r in rows) == list(range(20))
 
 
 def test_stream_overwrite_commit_raises_unless_skipped(spark, cat, tmp_path):
@@ -932,3 +933,89 @@ def test_stream_admission_control_caps_snapshots_per_trigger(
             snap = json.loads(f.readlines()[-1])
         offsets.append(snap["snapshot"])
     assert offsets[-3:] == [2, 3, 4]
+
+
+# --- round 7: restart admission cap, writer hardening ------------------------
+
+
+def test_stream_restart_caps_first_batch_with_checkpoint_tag(spark, cat):
+    """With a checkpoint_tag, the admission floor survives a reader
+    restart: the FIRST post-restart latestOffset is already capped
+    (VERDICT r6 #3).  Without the tag, the documented uncapped first
+    batch remains."""
+    from iceberg_compaction_spark.sources.datasource import (
+        _ChangesStreamReader,
+    )
+
+    opts = {
+        "warehouse": cat.warehouse,
+        "table": "t",
+        "max_snapshots_per_trigger": "1",
+        "checkpoint_tag": "ck1",
+    }
+    r1 = _ChangesStreamReader(opts)
+    start = r1.initialOffset()  # head = snapshot 1
+    for i in range(3):
+        _append_commit(cat, [700 + 10 * i])  # snapshots 2, 3, 4
+    end = r1.latestOffset()
+    assert end == {"snapshot": 2}  # capped to one commit
+    r1.partitions(start, end)  # persists the floor sidecar
+
+    # restart: a fresh reader never saw initialOffset/partitions
+    r2 = _ChangesStreamReader(opts)
+    assert r2.latestOffset() == {"snapshot": 3}  # capped IMMEDIATELY
+
+    # no tag -> no durable floor -> documented uncapped first batch
+    no_tag = {k: v for k, v in opts.items() if k != "checkpoint_tag"}
+    r3 = _ChangesStreamReader(no_tag)
+    assert r3.latestOffset() == {"snapshot": 4}
+
+
+def test_append_writer_buffers_row_groups(spark, cat):
+    """Spark hands ~10k-row Arrow batches; the writer must buffer them
+    into sized row groups instead of cutting one group per batch
+    (ADVICE r6) — 25k rows under the default target is ONE file with
+    ONE row group, not three."""
+    import pyarrow.parquet as _pq
+
+    n = 25000
+    rows = [(2000 + i, f"{i:07d}") for i in range(n)]
+    (
+        spark.createDataFrame(rows, "id long, val string")
+        .coalesce(1)
+        .write.format("iceberg-table")
+        .option("warehouse", cat.warehouse)
+        .option("table", "t")
+        .mode("append")
+        .save()
+    )
+    m = cat.load_table("t")
+    added = [t for t in m.data_files if "append-" in t.data_file_path]
+    assert len(added) == 1
+    md = _pq.read_metadata(added[0].data_file_path)
+    assert md.num_row_groups == 1
+    assert md.num_rows == n
+
+
+def test_append_writer_rejects_non_posix_warehouse_at_plan_time(spark):
+    """The Arrow write path is POSIX-only; a mem:// warehouse must fail
+    at PLAN time with the documented UnsupportedScheme, not a
+    FileNotFoundError deep in an executor task (ADVICE r6)."""
+    from iceberg_compaction_spark.sources.datasource import _AppendWriter
+    from iceberg_compaction_spark.sources.fileio import (
+        MemoryFileIO,
+        UnsupportedScheme,
+    )
+
+    MemoryFileIO.clear()
+    try:
+        mcat = FileCatalog(warehouse="mem://wh7")
+        mcat.create_table(
+            "t", Manifest(table_root="mem://wh7/t/data", sequence_number=1)
+        )
+        with pytest.raises(UnsupportedScheme, match="writer"):
+            _AppendWriter(
+                {"warehouse": "mem://wh7", "table": "t"}, overwrite=False
+            )
+    finally:
+        MemoryFileIO.clear()

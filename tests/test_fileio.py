@@ -155,3 +155,201 @@ def test_catalog_orphan_removal_over_mem():
     assert removed == [io.join(root, "orphan.parquet")]
     assert io.exists(io.join(root, "live.parquet"))
     MemoryFileIO.clear()
+
+
+# --- round 7: fsspec backend semantics (mocked; fsspec not installed) --------
+
+
+class _DictFS:
+    """Minimal fsspec-shaped object store: scheme-less keys (fsspec's
+    _strip_protocol behavior), ``ls`` returning info DICTS unless
+    detail=False, ``find`` returning bare keys, and a conditional
+    ``pipe_file(mode='create')`` like s3fs >= 2024."""
+
+    def __init__(self):
+        import threading as _t
+
+        self.store = {}
+        self.times = {}
+        self.lock = _t.Lock()
+
+    @staticmethod
+    def _k(p):
+        return p.split("://", 1)[-1].strip("/")
+
+    def open(self, path, mode="rb"):
+        import io as _io
+
+        k = self._k(path)
+        if "r" in mode:
+            if k not in self.store:
+                raise FileNotFoundError(path)
+            return _io.BytesIO(self.store[k])
+        fs = self
+
+        class _W(_io.BytesIO):
+            def close(s):
+                fs.pipe_file(k, s.getvalue())
+                super().close()
+
+        return _W()
+
+    def pipe_file(self, path, data, mode="overwrite"):
+        import time as _time
+
+        k = self._k(path)
+        with self.lock:
+            if mode == "create" and k in self.store:
+                raise FileExistsError(path)
+            self.store[k] = bytes(data)
+            self.times[k] = _time.time()
+
+    def exists(self, path):
+        k = self._k(path)
+        return k in self.store or any(
+            s.startswith(k + "/") for s in self.store
+        )
+
+    def isdir(self, path):
+        k = self._k(path)
+        return any(s.startswith(k + "/") for s in self.store)
+
+    def ls(self, path, detail=True):
+        k = self._k(path)
+        prefix = k + "/" if k else ""
+        kids = sorted(
+            {prefix + s[len(prefix):].split("/", 1)[0] for s in self.store
+             if s.startswith(prefix)}
+        )
+        if detail:
+            return [{"name": n, "type": "file", "size": 0} for n in kids]
+        return kids
+
+    def makedirs(self, path, exist_ok=False):
+        pass
+
+    def rm(self, path):
+        k = self._k(path)
+        if k not in self.store:
+            raise FileNotFoundError(path)
+        del self.store[k]
+        self.times.pop(k, None)
+
+    def size(self, path):
+        return len(self.store[self._k(path)])
+
+    def modified(self, path):
+        import datetime as _dt
+
+        return _dt.datetime.fromtimestamp(self.times[self._k(path)])
+
+    def find(self, root):
+        k = self._k(root)
+        prefix = k + "/" if k else ""
+        return sorted(s for s in self.store if s.startswith(prefix))
+
+
+def _fake_fsspec(scheme="fks3"):
+    from iceberg_compaction_spark.sources.fileio import FsspecFileIO
+
+    f = FsspecFileIO.__new__(FsspecFileIO)
+    f._fs = _DictFS()
+    f._scheme = scheme
+    return f
+
+
+def test_fsspec_walk_files_and_canonical_carry_scheme():
+    """fsspec find() returns scheme-less keys; walk_files must re-prefix
+    them and canonical() must fold either form to one identity —
+    otherwise delete_orphan_files' membership check never matches and
+    every LIVE file looks orphaned (ADVICE r6, medium)."""
+    f = _fake_fsspec()
+    f.write_bytes("fks3://bucket/t/a.parquet", b"x")
+    assert list(f.walk_files("fks3://bucket")) == ["fks3://bucket/t/a.parquet"]
+    assert f.canonical("bucket/t/a.parquet") == "fks3://bucket/t/a.parquet"
+    assert f.canonical("fks3://bucket/t/a.parquet") == (
+        "fks3://bucket/t/a.parquet"
+    )
+
+
+def test_fsspec_listdir_handles_detail_dict_backends():
+    f = _fake_fsspec()
+    f.write_bytes("fks3://b/d/one.bin", b"1")
+    f.write_bytes("fks3://b/d/two.bin", b"2")
+    assert f.listdir("fks3://b/d") == ["one.bin", "two.bin"]
+
+
+def test_fsspec_conditional_put_cas_single_winner():
+    """create_exclusive over a conditional-PUT backend (If-None-Match
+    via pipe_file mode='create'): exactly one of N racing writers wins
+    (VERDICT r6 #4)."""
+    f = _fake_fsspec()
+    wins = []
+
+    def race(i):
+        if f.create_exclusive("fks3://b/v2.json", f"w{i}".encode()):
+            wins.append(i)
+
+    ts = [threading.Thread(target=race, args=(i,)) for i in range(16)]
+    [t.start() for t in ts]
+    [t.join() for t in ts]
+    assert len(wins) == 1
+    assert f.read_bytes("fks3://b/v2.json") == f"w{wins[0]}".encode()
+
+
+def test_fsspec_cas_still_raises_without_conditional_support():
+    """A backend whose pipe_file has no 'mode' kwarg (or none at all)
+    must keep the LOUD failure — exists-then-write emulation can
+    silently lose commits."""
+    from iceberg_compaction_spark.sources.fileio import UnsupportedScheme
+
+    f = _fake_fsspec()
+
+    def _no_mode(path, data):  # signature without mode
+        raise TypeError("unexpected keyword argument 'mode'")
+
+    f._fs.pipe_file = _no_mode
+    with pytest.raises(UnsupportedScheme, match="conditional"):
+        f.create_exclusive("fks3://b/v.json", b"x")
+
+    class _NoPipe:  # backend without pipe_file at all
+        pass
+
+    f._fs = _NoPipe()
+    with pytest.raises(UnsupportedScheme, match="conditional"):
+        f.create_exclusive("fks3://b/v.json", b"x")
+
+
+def test_catalog_full_lifecycle_over_conditional_put_fsspec():
+    """The whole catalog lifecycle — create, CAS commits, orphan
+    removal — over a conditional-PUT fsspec warehouse: live files
+    survive orphan cleanup (the ADVICE r6 membership bug), orphans go."""
+    from iceberg_compaction_spark.sources.fileio import register_fileio
+
+    f = _fake_fsspec("fks3")
+    register_fileio("fks3", f)
+    try:
+        cat = FileCatalog(warehouse="fks3://wh")
+        root = "fks3://wh/t/data"
+        f.write_bytes(f.join(root, "live.parquet"), b"x")
+        m = _manifest(root)
+        from iceberg_compaction_spark.plans.datamodel import FileScanTask
+
+        m.data_files = [
+            FileScanTask(data_file_path=f.join(root, "live.parquet"), length=1)
+        ]
+        cat.create_table("t", m)
+        cur = cat.load_table("t")
+        new = Manifest.from_dict(cur.to_dict())
+        new.snapshot_id = cur.snapshot_id + 1
+        cat.commit_table("t", cur.snapshot_id, new)
+        assert cat.table_history("t") == [1, 2]
+
+        f.write_bytes(f.join(root, "orphan.parquet"), b"y")
+        removed = cat.remove_orphan_files("t", older_than_s=0)
+        assert removed == [f.join(root, "orphan.parquet")]
+        assert f.exists(f.join(root, "live.parquet"))
+    finally:
+        from iceberg_compaction_spark.sources import fileio as _fio
+
+        _fio._REGISTRY.pop("fks3", None)
