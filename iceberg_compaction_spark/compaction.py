@@ -76,6 +76,7 @@ class Compaction:
         groups = strategy.run(tasks)
         for g in groups:
             g.format_version = manifest.format_version
+            g.schema_fields = manifest.schema_fields or None
         cols = manifest.properties.get("schema.columns") or ()
         spec = tuple(
             (f["source"], f.get("transform", "identity"), f.get("name"))
@@ -445,6 +446,56 @@ class DeleteRewriteStats:
     dangling_positions_dropped: int = 0
 
 
+def _write_v3_dv_file(spark, merged, out_path: str):
+    """Write a merged ``(path, pos)`` frame as ONE puffin deletion-
+    vector file with one blob per referenced data file — the v3
+    representation of position deletes (spec: at most one DV per data
+    file; reference reader behavior datafusion_processor.rs:632-653).
+
+    Scale shape: the Roaring bitmap for each data file is serialized on
+    EXECUTORS (``applyInPandas`` grouped by file path — positions never
+    exist as a driver-side list); the driver collects only the compact
+    blobs (bounded by bitmap size, the same metadata scale a manifest
+    already is) and concatenates them into the container.
+
+    Returns ``(referenced_paths, total_positions)``.
+    """
+    import pandas as pd
+
+    from iceberg_compaction_spark.sources.puffin import (
+        write_puffin_from_blobs,
+    )
+    from iceberg_compaction_spark.sources.scan import (
+        HIDDEN_FILE_PATH,
+        HIDDEN_POS,
+    )
+
+    def _ser(pdf: "pd.DataFrame") -> "pd.DataFrame":
+        from iceberg_compaction_spark.sources.puffin import (
+            dv_blob_serialize,
+        )
+
+        positions = sorted({int(x) for x in pdf[HIDDEN_POS]})
+        return pd.DataFrame(
+            {
+                "ref": [str(pdf[HIDDEN_FILE_PATH].iloc[0])],
+                "blob": [dv_blob_serialize(positions)],
+                "card": [len(positions)],
+            }
+        )
+
+    rows = (
+        merged.groupBy(HIDDEN_FILE_PATH)
+        .applyInPandas(_ser, "ref string, blob binary, card long")
+        .collect()
+    )
+    blobs = sorted(
+        (r["ref"], bytes(r["blob"]), int(r["card"])) for r in rows
+    )
+    write_puffin_from_blobs(out_path, blobs)
+    return {b[0] for b in blobs}, sum(b[2] for b in blobs)
+
+
 def rewrite_position_deletes(
     spark: SparkSession,
     manifest: Manifest,
@@ -486,24 +537,46 @@ def rewrite_position_deletes(
         normalize_path_str,
     )
 
-    pos_files = {
-        d.path: d
-        for t in manifest.data_files
-        for d in t.deletes
-        if d.content == POSITION_DELETE and not is_puffin_file(d.path)
-    }
-    stats = DeleteRewriteStats(input_delete_files=len(pos_files))
-    if len(pos_files) <= 1:
+    v3 = manifest.format_version >= 3
+    pos_files = {}
+    puffin_files = {}
+    for t in manifest.data_files:
+        for d in t.deletes:
+            if d.content != POSITION_DELETE:
+                continue
+            (puffin_files if is_puffin_file(d.path) else pos_files)[
+                d.path
+            ] = d
+    consolidated = dict(pos_files)
+    if v3:
+        # v3 maintenance consolidates parquet position deletes AND the
+        # existing per-commit DV files into one new puffin (the spec
+        # allows at most ONE DV per data file — merging is the point)
+        consolidated.update(puffin_files)
+    stats = DeleteRewriteStats(input_delete_files=len(consolidated))
+    if len(consolidated) <= 1 and not (v3 and pos_files):
+        # nothing to merge — except a v3 table still holding parquet
+        # position deletes, which converts to the DV representation
         return Manifest.from_dict(manifest.to_dict()), stats
 
     live = {
         normalize_path_str(t.data_file_path): t.data_file_path
         for t in manifest.data_files
     }
-    raw = spark.read.parquet(*pos_files).select(
-        _normalize_path(F.col(HIDDEN_FILE_PATH)).alias(HIDDEN_FILE_PATH),
-        F.col(HIDDEN_POS),
-    )
+    raw = None
+    if pos_files:
+        raw = spark.read.parquet(*pos_files).select(
+            _normalize_path(F.col(HIDDEN_FILE_PATH)).alias(HIDDEN_FILE_PATH),
+            F.col(HIDDEN_POS),
+        )
+    if v3 and puffin_files:
+        from iceberg_compaction_spark.operators.mor import puffin_dv_frame
+
+        dvf = puffin_dv_frame(spark, sorted(puffin_files)).select(
+            F.col("__dv_path").alias(HIDDEN_FILE_PATH),
+            F.col("__dv_pos").alias(HIDDEN_POS),
+        )
+        raw = dvf if raw is None else raw.unionByName(dvf)
     distinct_total = raw.dropDuplicates([HIDDEN_FILE_PATH, HIDDEN_POS]).count()
     live_df = F.broadcast(
         spark.createDataFrame(
@@ -516,44 +589,64 @@ def rewrite_position_deletes(
         .repartitionByRange(1, HIDDEN_FILE_PATH, HIDDEN_POS)
         .sortWithinPartitions(HIDDEN_FILE_PATH, HIDDEN_POS)
     )
-    out_dir = out_dir or os.path.join(
-        manifest.table_root, f"pos-deletes-{uuid.uuid4().hex[:12]}"
-    )
-    merged.write.mode("overwrite").option("compression", "zstd").parquet(
-        out_dir
-    )
+    max_seq = max(d.sequence_number for d in consolidated.values())
 
-    import pyarrow.parquet as pq
+    if v3:
+        # v3 output representation: ONE puffin deletion-vector file,
+        # one Roaring blob per data file, serialized on executors
+        out_dir = out_dir or manifest.table_root
+        os.makedirs(out_dir, exist_ok=True)
+        dv_path = os.path.join(
+            out_dir, f"dv-{uuid.uuid4().hex[:12]}.puffin"
+        )
+        refs, kept_positions = _write_v3_dv_file(spark, merged, dv_path)
+        written = [dv_path] if refs else []
+        referenced = {dv_path: refs} if refs else {}
+        new_deletes = {
+            dv_path: DeleteFile(
+                path=dv_path,
+                content=POSITION_DELETE,
+                file_size_in_bytes=os.path.getsize(dv_path),
+                record_count=kept_positions,
+                sequence_number=max_seq,
+            )
+        }
+    else:
+        out_dir = out_dir or os.path.join(
+            manifest.table_root, f"pos-deletes-{uuid.uuid4().hex[:12]}"
+        )
+        merged.write.mode("overwrite").option("compression", "zstd").parquet(
+            out_dir
+        )
 
-    written = sorted(
-        os.path.join(out_dir, n)
-        for n in os.listdir(out_dir)
-        if n.endswith(".parquet") and not n.startswith("_")
-    )
-    # which data files each output references (manifest-scale collect:
-    # one row per distinct referenced path)
-    referenced: dict[str, set[str]] = {}
-    for w in written:
-        t = pq.read_table(w, columns=[HIDDEN_FILE_PATH])
-        referenced[w] = set(t.column(HIDDEN_FILE_PATH).to_pylist())
-    kept_positions = sum(
-        pq.read_metadata(w).num_rows for w in written
-    )
+        import pyarrow.parquet as pq
+
+        written = sorted(
+            os.path.join(out_dir, n)
+            for n in os.listdir(out_dir)
+            if n.endswith(".parquet") and not n.startswith("_")
+        )
+        # which data files each output references (manifest-scale
+        # collect: one row per distinct referenced path)
+        referenced = {}
+        for w in written:
+            t = pq.read_table(w, columns=[HIDDEN_FILE_PATH])
+            referenced[w] = set(t.column(HIDDEN_FILE_PATH).to_pylist())
+        kept_positions = sum(pq.read_metadata(w).num_rows for w in written)
+        new_deletes = {
+            w: DeleteFile(
+                path=w,
+                content=POSITION_DELETE,
+                file_size_in_bytes=os.path.getsize(w),
+                record_count=pq.read_metadata(w).num_rows,
+                sequence_number=max_seq,
+            )
+            for w in written
+        }
     stats.output_delete_files = len(written)
     stats.positions_kept = kept_positions
     # distinct positions that referenced no live data file
     stats.dangling_positions_dropped = distinct_total - kept_positions
-    max_seq = max(d.sequence_number for d in pos_files.values())
-    new_deletes = {
-        w: DeleteFile(
-            path=w,
-            content=POSITION_DELETE,
-            file_size_in_bytes=os.path.getsize(w),
-            record_count=pq.read_metadata(w).num_rows,
-            sequence_number=max_seq,
-        )
-        for w in written
-    }
 
     new = Manifest.from_dict(manifest.to_dict())
     new.operation = "replace"  # live rows unchanged: streams skip it
@@ -563,7 +656,8 @@ def rewrite_position_deletes(
             d
             for d in t.deletes
             if not (
-                d.content == POSITION_DELETE and not is_puffin_file(d.path)
+                d.content == POSITION_DELETE
+                and (d.path in consolidated)
             )
         ]
         for w, refs in referenced.items():
@@ -704,38 +798,62 @@ def convert_equality_deletes(
         .repartitionByRange(1, HIDDEN_FILE_PATH, HIDDEN_POS)
         .sortWithinPartitions(HIDDEN_FILE_PATH, HIDDEN_POS)
     )
-    out_dir = out_dir or os.path.join(
-        manifest.table_root, f"eq-convert-{uuid.uuid4().hex[:12]}"
-    )
-    merged.write.mode("overwrite").option("compression", "zstd").parquet(
-        out_dir
-    )
 
     import pyarrow.parquet as pq
 
     from iceberg_compaction_spark.sources.scan import normalize_path_str
 
-    written = sorted(
-        os.path.join(out_dir, n)
-        for n in os.listdir(out_dir)
-        if n.endswith(".parquet") and not n.startswith("_")
-    )
     max_seq = max(d.sequence_number for d in eq_files.values())
     new_deletes = {}
     referenced = {}
-    for w in written:
-        t = pq.read_table(w, columns=[HIDDEN_FILE_PATH])
-        refs = set(t.column(HIDDEN_FILE_PATH).to_pylist())
-        if not refs:
-            continue
-        referenced[w] = refs
-        new_deletes[w] = DeleteFile(
-            path=w,
-            content=POSITION_DELETE,
-            file_size_in_bytes=os.path.getsize(w),
-            record_count=pq.read_metadata(w).num_rows,
-            sequence_number=max_seq,
+    if manifest.format_version >= 3:
+        # v3 output representation: the converted positions become a
+        # puffin DELETION VECTOR (one Roaring blob per data file,
+        # executor-serialized) — a v3 table maintained by this engine
+        # emits DVs, not v2-style parquet position deletes (reference
+        # reader contract: datafusion_processor.rs:632-653).  Run
+        # rewrite_position_deletes afterwards to fold these into any
+        # pre-existing DVs (one DV per data file).
+        out_dir = out_dir or manifest.table_root
+        os.makedirs(out_dir, exist_ok=True)
+        dv_path = os.path.join(
+            out_dir, f"eq-convert-dv-{uuid.uuid4().hex[:12]}.puffin"
         )
+        refs, n_positions = _write_v3_dv_file(spark, merged, dv_path)
+        if refs:
+            referenced[dv_path] = refs
+            new_deletes[dv_path] = DeleteFile(
+                path=dv_path,
+                content=POSITION_DELETE,
+                file_size_in_bytes=os.path.getsize(dv_path),
+                record_count=n_positions,
+                sequence_number=max_seq,
+            )
+    else:
+        out_dir = out_dir or os.path.join(
+            manifest.table_root, f"eq-convert-{uuid.uuid4().hex[:12]}"
+        )
+        merged.write.mode("overwrite").option("compression", "zstd").parquet(
+            out_dir
+        )
+        written = sorted(
+            os.path.join(out_dir, n)
+            for n in os.listdir(out_dir)
+            if n.endswith(".parquet") and not n.startswith("_")
+        )
+        for w in written:
+            t = pq.read_table(w, columns=[HIDDEN_FILE_PATH])
+            refs = set(t.column(HIDDEN_FILE_PATH).to_pylist())
+            if not refs:
+                continue
+            referenced[w] = refs
+            new_deletes[w] = DeleteFile(
+                path=w,
+                content=POSITION_DELETE,
+                file_size_in_bytes=os.path.getsize(w),
+                record_count=pq.read_metadata(w).num_rows,
+                sequence_number=max_seq,
+            )
     stats.output_position_files = len(new_deletes)
     stats.positions_written = sum(
         d.record_count for d in new_deletes.values()

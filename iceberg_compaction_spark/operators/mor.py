@@ -311,6 +311,7 @@ def rewrite_file_group(
         position_vector_paths=position_vector_paths,
         position_vector_bytes=dv_bytes,
         position_vector_df=position_vector_df,
+        schema_fields=group.schema_fields,
     )
     if table_columns is None:
         table_columns = [

@@ -5,8 +5,8 @@ columns with typed metadata structs.  This module implements the
 Spark-side plumbing — schema, Arrow-batched ``mapInPandas`` decode
 stage, partitioning — for real.  ``decode_meta`` computes a
 deterministic fake decode from the payload bytes (oracle-checkable);
-``decode_pixels`` REALLY decodes: netpbm P6 natively (pure Python, no
-codec needed), compressed formats through an import-probed codec
+``decode_pixels`` REALLY decodes: netpbm P6 and uncompressed BMP
+natively (pure Python/numpy, no codec needed), compressed formats through an import-probed codec
 library (``PIXEL_CODEC``: Pillow, else OpenCV) — only a compressed
 payload with no codec installed raises, and the error names the probe.
 
@@ -141,12 +141,47 @@ def _decode_ppm(data: bytes) -> tuple[int, int, int, bytes]:
     return h, w, 3, body
 
 
+def _decode_bmp(data: bytes) -> tuple[int, int, int, bytes]:
+    """Decode uncompressed BI_RGB BMP (24/32-bit): pure numpy, no codec
+    library.  BMP stores rows bottom-up, pixels as BGR(A), rows padded
+    to 4 bytes — this normalizes to top-down row-major RGB uint8, the
+    same output contract as the P6 path.  Returns
+    (height, width, channels, raw_bytes)."""
+    import struct
+
+    import numpy as np
+
+    if not data.startswith(b"BM"):
+        raise ValueError("not a BMP payload")
+    (pix_off,) = struct.unpack_from("<I", data, 10)
+    w, h = struct.unpack_from("<ii", data, 18)
+    (bitcount,) = struct.unpack_from("<H", data, 28)
+    (compression,) = struct.unpack_from("<I", data, 30)
+    if compression != 0:
+        raise ValueError(f"only BI_RGB (uncompressed) supported, got {compression}")
+    if bitcount not in (24, 32):
+        raise ValueError(f"only 24/32-bit BMP supported, got {bitcount}")
+    bottom_up = h > 0
+    h = abs(h)
+    bpp = bitcount // 8
+    stride = ((bitcount * w + 31) // 32) * 4
+    body = data[pix_off : pix_off + stride * h]
+    if len(body) != stride * h:
+        raise ValueError("truncated BMP body")
+    rows = np.frombuffer(body, dtype=np.uint8).reshape(h, stride)
+    px = rows[:, : w * bpp].reshape(h, w, bpp)
+    if bottom_up:
+        px = px[::-1]
+    rgb = px[:, :, 2::-1]  # BGR(A) -> RGB, alpha dropped
+    return h, w, 3, np.ascontiguousarray(rgb).tobytes()
+
+
 def decode_pixels(binary_df: DataFrame) -> DataFrame:
     """Real pixel decode to (doc_id, height, width, channels, pixels).
 
     Arrow-batched ``mapInPandas``: per batch, each payload is decoded by
-    format — netpbm P6 natively (pure Python, works in this
-    environment), anything else through the probed codec library
+    format — netpbm P6 and uncompressed 24/32-bit BMP natively (pure
+    Python/numpy, works in this environment), anything else through the probed codec library
     (``PIXEL_CODEC``: Pillow, else OpenCV).  Without a codec, a
     non-netpbm payload raises ``NotImplementedError`` naming the probe
     result — the documented environment limitation, now scoped to the
@@ -165,6 +200,8 @@ def decode_pixels(binary_df: DataFrame) -> DataFrame:
                 data = bytes(payload)
                 if data.startswith(b"P6"):
                     h, w, c, px = _decode_ppm(data)
+                elif data.startswith(b"BM"):
+                    h, w, c, px = _decode_bmp(data)
                 elif codec == "pillow":
                     import io
 
@@ -184,8 +221,8 @@ def decode_pixels(binary_df: DataFrame) -> DataFrame:
                     px = arr.tobytes()
                 else:
                     raise NotImplementedError(
-                        "payload is not netpbm P6 and no image codec is "
-                        f"available (probe: pillow=no, cv2=no); install "
+                        "payload is not netpbm P6 / uncompressed BMP and no image "
+                        f"codec is available (probe: pillow=no, cv2=no); install "
                         "Pillow or OpenCV for compressed formats"
                     )
                 out["doc_id"].append(int(doc_id))

@@ -299,3 +299,134 @@ def datasource_warehouse(spark: SparkSession, sf_dir: str) -> str:
     except OSError:
         shutil.rmtree(stage, ignore_errors=True)
     return wh
+
+
+def evolution_table_dir(sf_dir: str) -> str:
+    """One-time per sf_dir: a REAL Iceberg-metadata table whose data
+    files straddle a schema evolution — file A written under schema v1
+    (``l_quantity`` physically named ``quantity``, no ``l_discount``),
+    file B under the CURRENT schema v2 (renamed + added column), both
+    carrying parquet field ids.  A field-id-correct reader
+    (sources/schema_evo.py; reference behavior
+    datafusion_processor.rs:741-774) must return the renamed column
+    from BOTH files and NULL ``l_discount`` for file A's rows — which
+    is exactly what the ``mor_after_rename`` oracle pins against
+    DuckDB.  Rows split deterministically by ``l_orderkey % 2``.
+    Returns the table directory (Hadoop-catalog layout).
+    """
+    import hashlib
+    import shutil
+    import tempfile
+    import uuid as _uuid
+
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    import pyarrow.parquet as pq
+
+    from iceberg_compaction_spark.plans.datamodel import FileScanTask
+    from iceberg_compaction_spark.sources.iceberg_meta import (
+        export_iceberg_metadata,
+    )
+    from iceberg_compaction_spark.sources.manifest import Manifest
+    from iceberg_compaction_spark.sources.schema_evo import (
+        arrow_schema_with_ids,
+    )
+
+    import os
+
+    src = lineitem_path(sf_dir)
+    st = os.stat(src)
+    key = hashlib.md5(
+        f"evo|{src}|{st.st_size}|{st.st_mtime_ns}".encode()
+    ).hexdigest()[:10]
+    root = os.path.join(tempfile.gettempdir(), f"icspark-evo-{key}")
+    # version-hint is written LAST by the export — its presence marks a
+    # fully-published table
+    if os.path.exists(os.path.join(root, "metadata", "version-hint.text")):
+        return root
+
+    v1 = [
+        {"id": 1, "name": "l_orderkey", "type": "long", "required": True},
+        {"id": 2, "name": "l_linenumber", "type": "int", "required": True},
+        {"id": 3, "name": "quantity", "type": "double", "required": False},
+    ]
+    v2 = [
+        {"id": 1, "name": "l_orderkey", "type": "long", "required": True},
+        {"id": 2, "name": "l_linenumber", "type": "int", "required": True},
+        {"id": 3, "name": "l_quantity", "type": "double", "required": False},
+        {"id": 4, "name": "l_discount", "type": "double", "required": False},
+    ]
+
+    stage = os.path.join(
+        tempfile.gettempdir(), f"icspark-evo-{key}.{_uuid.uuid4().hex[:8]}.tmp"
+    )
+    os.makedirs(stage, exist_ok=True)
+    t = pq.read_table(
+        src, columns=["l_orderkey", "l_linenumber", "l_quantity", "l_discount"]
+    )
+    even = t.filter(pc.equal(pc.bit_wise_and(t.column("l_orderkey"), 1), 0))
+    odd = t.filter(pc.equal(pc.bit_wise_and(t.column("l_orderkey"), 1), 1))
+
+    a_path = os.path.join(stage, "old-schema.parquet")
+    a_tbl = pa.table(
+        {
+            "l_orderkey": even.column("l_orderkey"),
+            "l_linenumber": even.column("l_linenumber"),
+            "quantity": even.column("l_quantity"),
+        }
+    )
+    pq.write_table(
+        a_tbl.cast(
+            arrow_schema_with_ids(
+                a_tbl.schema,
+                {"l_orderkey": 1, "l_linenumber": 2, "quantity": 3},
+            )
+        ),
+        a_path,
+    )
+    b_path = os.path.join(stage, "new-schema.parquet")
+    b_tbl = odd.select(
+        ["l_orderkey", "l_linenumber", "l_quantity", "l_discount"]
+    )
+    pq.write_table(
+        b_tbl.cast(
+            arrow_schema_with_ids(
+                b_tbl.schema,
+                {"l_orderkey": 1, "l_linenumber": 2, "l_quantity": 3,
+                 "l_discount": 4},
+            )
+        ),
+        b_path,
+    )
+
+    def task(p, rows):
+        final = p.replace(stage, root, 1)
+        return FileScanTask(
+            data_file_path=final,
+            length=os.path.getsize(p),
+            file_size_in_bytes=os.path.getsize(p),
+            record_count=rows,
+            sequence_number=1,
+        )
+
+    m = Manifest(
+        table_root=root,
+        snapshot_id=1,
+        sequence_number=1,
+        schema_fields=[dict(f) for f in v2],
+        data_files=[task(a_path, a_tbl.num_rows), task(b_path, b_tbl.num_rows)],
+    )
+    # publish DATA first (atomic dir rename), then export the metadata
+    # straight into the final root so every path embedded in the Avro
+    # manifests is final; version-hint.text lands last and is the
+    # "published" marker the cache check above keys on
+    try:
+        os.rename(stage, root)
+    except OSError:
+        shutil.rmtree(stage, ignore_errors=True)
+        if os.path.exists(
+            os.path.join(root, "metadata", "version-hint.text")
+        ):
+            return root  # a concurrent builder already published
+    export_iceberg_metadata(m, root, v2, prior_schemas=[v1])
+    return root

@@ -84,6 +84,10 @@ class FileGroup:
     # anti-join); v3 -> position deletes are deletion vectors applied
     # READER-side during the scan, only equality deletes become joins.
     format_version: int = 2
+    # the table's CURRENT Iceberg schema (field dicts with ids); when
+    # set, the group's scan resolves data-file columns by FIELD ID so
+    # files written under older schemas (pre-rename/add) read correctly
+    schema_fields: list[dict] | None = None
 
     @staticmethod
     def from_tasks(tasks: list[FileScanTask]) -> "FileGroup":

@@ -173,6 +173,35 @@ def q_validate_counts(spark, sf_dir):
     return input_rows.crossJoin(survivors)
 
 
+@register(
+    "mor_after_rename",
+    """
+    SELECT l_orderkey, l_linenumber, l_quantity,
+           CASE WHEN l_orderkey % 2 <> 0 THEN l_discount END AS l_discount
+    FROM lineitem
+    """,
+)
+def q_mor_after_rename(spark, sf_dir):
+    """Field-id schema evolution through the scan/MOR path (VERDICT r6
+    #1; reference: datafusion_processor.rs:741-774): a real
+    Iceberg-metadata table whose files straddle a column RENAME
+    (quantity -> l_quantity) and ADD (l_discount) — the pre-rename file
+    must resolve by FIELD ID (sources/schema_evo.py), yielding the
+    renamed column's values and NULL for the added column, matching the
+    oracle's reconstruction from the raw fixture.
+
+    Scale shape: resolution is Spark's native parquet field-id matching
+    (requested-schema metadata, JVM-side, whole-stage codegen intact) —
+    no Python in the row path, no shuffle added."""
+    from iceberg_compaction_spark.sources.iceberg_meta import (
+        load_iceberg_table,
+    )
+    from iceberg_compaction_spark.sources.ingest import read_table_mor
+
+    tdir = syn.evolution_table_dir(sf_dir)
+    return read_table_mor(spark, load_iceberg_table(tdir))
+
+
 # ===========================================================================
 # Text analysis (extensions)
 # ===========================================================================
@@ -2781,6 +2810,94 @@ def q_pipeline_pack_sequences(spark, sf_dir):
         tokens_col="ws_tokens",
         capacity=PACK_CAPACITY,
         n_buckets=PACK_BUCKETS,
+    )
+
+
+
+
+_PII_SQL = r"""
+    WITH aug AS (
+      SELECT doc_id, text
+        || CASE WHEN doc_id % 7 = 0
+           THEN ' reach me at user' || CAST(doc_id AS VARCHAR) || '@example.com'
+           ELSE '' END
+        || CASE WHEN doc_id % 11 = 0
+           THEN printf(' ssn %03d-%02d-%04d', doc_id % 1000, doc_id % 100, doc_id % 10000)
+           ELSE '' END
+        || CASE WHEN doc_id % 13 = 0
+           THEN printf(' call %03d-555-%04d', 100 + doc_id % 900, doc_id % 10000)
+           ELSE '' END
+        || CASE WHEN doc_id % 17 = 0
+           THEN printf(' from 10.%d.%d.%d', doc_id % 256, (doc_id * 7) % 256, (doc_id * 13) % 256)
+           ELSE '' END AS t
+      FROM documents
+    ),
+    s1 AS (SELECT doc_id, len(regexp_extract_all(t, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS n_email,
+                  regexp_replace(t, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g') AS t FROM aug),
+    s2 AS (SELECT doc_id, n_email, len(regexp_extract_all(t, '\b\d{3}-\d{2}-\d{4}\b')) AS n_ssn,
+                  regexp_replace(t, '\b\d{3}-\d{2}-\d{4}\b', '<SSN>', 'g') AS t FROM s1),
+    s3 AS (SELECT doc_id, n_email, n_ssn, len(regexp_extract_all(t, '(?:\+?1[-. ]?)?\(?\d{3}\)?[-. ]\d{3}[-. ]\d{4}\b')) AS n_phone,
+                  regexp_replace(t, '(?:\+?1[-. ]?)?\(?\d{3}\)?[-. ]\d{3}[-. ]\d{4}\b', '<PHONE>', 'g') AS t FROM s2),
+    s4 AS (SELECT doc_id, n_email, n_ssn, n_phone, len(regexp_extract_all(t, '\b(?:\d{1,3}\.){3}\d{1,3}\b')) AS n_ip,
+                  regexp_replace(t, '\b(?:\d{1,3}\.){3}\d{1,3}\b', '<IP>', 'g') AS t FROM s3)
+    SELECT doc_id, CAST(n_email AS INTEGER) AS n_email, CAST(n_ssn AS INTEGER) AS n_ssn,
+           CAST(n_phone AS INTEGER) AS n_phone, CAST(n_ip AS INTEGER) AS n_ip,
+           md5(t) AS scrub_fp
+    FROM s4
+"""
+
+
+@register("pipeline_scrub_pii", _PII_SQL)
+def q_pipeline_scrub_pii(spark, sf_dir):
+    """PII redaction (operators/corpus.py scrub_pii) hash-checked end to
+    end: the fixture corpus carries no PII strings, so deterministic
+    doc_id-derived PII (email/SSN/phone/IP) is appended to a subset of
+    docs IN the query, then scrubbed — per-class hit counts and the
+    md5 of the scrubbed text must match DuckDB running the identical
+    progressive redaction (VERDICT r6 #6).
+
+    Scale shape: all JVM-side regexp_replace/regexp_count in one narrow
+    projection — zero shuffle, whole-stage codegen, scan-speed at
+    100 TB."""
+    d = F.col("doc_id")
+    aug = _docs(spark, sf_dir).withColumn(
+        "text",
+        F.concat(
+            F.col("text"),
+            F.when(
+                d % 7 == 0,
+                F.format_string(" reach me at user%d@example.com", d),
+            ).otherwise(""),
+            F.when(
+                d % 11 == 0,
+                F.format_string(
+                    " ssn %03d-%02d-%04d", d % 1000, d % 100, d % 10000
+                ),
+            ).otherwise(""),
+            F.when(
+                d % 13 == 0,
+                F.format_string(
+                    " call %03d-555-%04d", d % 900 + 100, d % 10000
+                ),
+            ).otherwise(""),
+            F.when(
+                d % 17 == 0,
+                F.format_string(
+                    " from 10.%d.%d.%d",
+                    d % 256,
+                    (d * 7) % 256,
+                    (d * 13) % 256,
+                ),
+            ).otherwise(""),
+        ),
+    )
+    return cp.scrub_pii(aug).select(
+        "doc_id",
+        "n_email",
+        "n_ssn",
+        "n_phone",
+        "n_ip",
+        F.md5(F.col("text_scrubbed")).alias("scrub_fp"),
     )
 
 

@@ -127,9 +127,10 @@ def diff_files(old: Manifest, new: Manifest) -> FileDiff:
     return diff
 
 
-def _group(tasks, format_version: int) -> FileGroup:
+def _group(tasks, m: Manifest) -> FileGroup:
     g = FileGroup.from_tasks(list(tasks))
-    g.format_version = format_version
+    g.format_version = m.format_version
+    g.schema_fields = m.schema_fields or None
     return g
 
 
@@ -137,7 +138,7 @@ def snapshot_rows(spark: SparkSession, manifest: Manifest) -> DataFrame:
     """All live rows of a snapshot: the full-table MOR read (position +
     equality deletes applied, hidden columns projected away)."""
     return rewrite_file_group(
-        spark, _group(manifest.data_files, manifest.format_version)
+        spark, _group(manifest.data_files, manifest)
     )
 
 
@@ -168,7 +169,7 @@ def table_changes(
         if not tasks:
             return empty
         inserts = rewrite_file_group(
-            spark, _group(tasks, new.format_version)
+            spark, _group(tasks, new)
         )
         return _align(inserts, columns).withColumn(
             CHANGE_TYPE, F.lit("insert")
@@ -186,13 +187,13 @@ def table_changes(
     old_tasks = [t for t in old.data_files if t.data_file_path in affected]
     new_tasks = [t for t in new.data_files if t.data_file_path in affected]
     old_rows = _align(
-        rewrite_file_group(spark, _group(old_tasks, old.format_version))
+        rewrite_file_group(spark, _group(old_tasks, old))
         if old_tasks
         else snapshot_rows(spark, old).limit(0),
         columns,
     )
     new_rows = _align(
-        rewrite_file_group(spark, _group(new_tasks, new.format_version))
+        rewrite_file_group(spark, _group(new_tasks, new))
         if new_tasks
         else new_schema_df.limit(0),
         columns,

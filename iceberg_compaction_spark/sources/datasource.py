@@ -122,6 +122,12 @@ class _FilePartition(InputPartition):
     # filtering; Spark re-applies the same filters above the source, so
     # correctness never depends on this path
     predicates: tuple = ()
+    # the table's CURRENT Iceberg schema as (id, name, type, required)
+    # tuples (picklable form of Manifest.schema_fields).  When set, the
+    # executor resolves this file's columns by FIELD ID (schema_evo.py)
+    # so files written under older schemas (pre-rename/add) read
+    # correctly; empty = plain name-based read.
+    schema_fields: tuple = ()
 
 
 # --- executor-side delete-content cache --------------------------------------
@@ -489,12 +495,35 @@ def _read_partition(part: _FilePartition, columns: list[str] | None):
             part.prev_eq_deletes,
         )
 
+    evo_fields = [
+        {"id": i, "name": n, "type": t, "required": r}
+        for (i, n, t, r) in part.schema_fields
+    ]
+
     with open_input(part.path) as f:
         pf = pq.ParquetFile(f)
         md = pf.metadata
         name_to_idx = {
             md.schema.column(i).name: i for i in range(md.num_columns)
         }
+        name_map = None
+        preds = part.predicates
+        if evo_fields:
+            from iceberg_compaction_spark.sources.schema_evo import (
+                physical_name_map,
+            )
+
+            # current-name -> physical-name, resolved by field id ONCE
+            # per file; predicates translate to physical names for the
+            # row-group pruning tier (a predicate on a column this file
+            # predates can never prune — the remap projects NULLs — so
+            # it is dropped from pruning and left to the exact filter)
+            name_map = physical_name_map(pf.schema_arrow, evo_fields)
+            preds = tuple(
+                (name_map[c], op, v)
+                for (c, op, v) in part.predicates
+                if c in name_map
+            )
 
         def batches():
             """Row-group stream with row-group-level predicate pruning;
@@ -504,8 +533,8 @@ def _read_partition(part: _FilePartition, columns: list[str] | None):
             offset = 0
             for rg in range(md.num_row_groups):
                 n_rg = md.row_group(rg).num_rows
-                if part.predicates and not _rg_might_match(
-                    md, rg, name_to_idx, part.predicates
+                if preds and not _rg_might_match(
+                    md, rg, name_to_idx, preds
                 ):
                     offset += n_rg
                     continue
@@ -517,6 +546,15 @@ def _read_partition(part: _FilePartition, columns: list[str] | None):
 
         for batch, offset in batches():
             table = pa.Table.from_batches([batch])
+            if evo_fields:
+                from iceberg_compaction_spark.sources.schema_evo import (
+                    remap_batch_table,
+                )
+
+                # project onto the CURRENT schema before any delete /
+                # predicate logic: masks and equality keys speak
+                # current column names
+                table = remap_batch_table(table, name_map, evo_fields)
             keep = _keep_mask(table, offset, drop, eq_filters)
             if diff_mode:
                 # a changed delete set moves rows in BOTH directions:
@@ -567,6 +605,10 @@ def _partitions_for_manifest(manifest) -> list[_FilePartition]:
             probed[p] = is_puffin_file(p)
         return probed[p]
 
+    evo = tuple(
+        (int(f["id"]), f["name"], f.get("type"), bool(f.get("required")))
+        for f in (manifest.schema_fields or [])
+    )
     parts = []
     for t in manifest.data_files:
         pos, dvs, eq = [], [], []
@@ -584,6 +626,7 @@ def _partitions_for_manifest(manifest) -> list[_FilePartition]:
                 pos_delete_paths=tuple(pos),
                 dv_paths=tuple(dvs),
                 eq_deletes=tuple(eq),
+                schema_fields=evo,
             )
         )
     return parts
@@ -905,6 +948,7 @@ class _ChangesStreamReader(DataSourceStreamReader):
                 prev_pos_delete_paths=old.pos_delete_paths,
                 prev_dv_paths=old.dv_paths,
                 prev_eq_deletes=old.eq_deletes,
+                schema_fields=cur.schema_fields,
             )
             parts.append(cur)
         return parts
@@ -936,6 +980,21 @@ class IcebergTableDataSource(DataSource):
             return self.options["schema"] + suffix
         cat = FileCatalog(warehouse=self.options["warehouse"])
         m = cat.load_table(self.options["table"])
+        if m.schema_fields:
+            # the table's declared (current) schema wins over any one
+            # file's physical columns: after a rename/add the files
+            # disagree with each other, and the declared schema is what
+            # field-id resolution projects every file onto
+            from iceberg_compaction_spark.sources.schema_evo import (
+                struct_with_field_ids,
+            )
+
+            st = struct_with_field_ids(m.schema_fields)
+            if st is not None:
+                ddl = ", ".join(
+                    f"{f.name} {f.dataType.simpleString()}" for f in st.fields
+                )
+                return ddl + suffix
         if not m.data_files:
             raise ValueError(
                 f"{self.options['table']!r} has no data files; pass an "

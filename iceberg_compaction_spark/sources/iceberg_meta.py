@@ -330,6 +330,10 @@ def load_iceberg_table(
         # Iceberg snapshot summary "operation" -> the engine's marker
         # (streaming skips "replace", raises on overwrite/delete)
         operation=snapshot.get("summary", {}).get("operation", ""),
+        # the CURRENT schema with field ids: scans resolve data-file
+        # columns by id (schema_evo.py), so files written before a
+        # rename/add still read correctly through this schema
+        schema_fields=[dict(f) for f in _current_schema_fields(md)],
     )
 
 
@@ -595,14 +599,18 @@ def export_iceberg_metadata(
     table_dir: str,
     schema_fields: list[dict],
     snapshot_id: int | None = None,
+    prior_schemas: list[list[dict]] | None = None,
 ) -> str:
     """Write ``manifest`` as a real Iceberg v2 table-metadata layout
     under ``table_dir/metadata``: ``v1.metadata.json`` +
     ``version-hint.text`` + Avro manifest list + one data and (if any
-    deletes) one delete manifest.  ``schema_fields`` is the Iceberg
-    schema field list (``[{"id":1,"name":"id","type":"long",
+    deletes) one delete manifest.  ``schema_fields`` is the CURRENT
+    Iceberg schema field list (``[{"id":1,"name":"id","type":"long",
     "required":true}, ...]``); equality-delete column names are mapped
-    back to these field ids.  Returns the metadata JSON path.
+    back to these field ids.  ``prior_schemas`` (optional) are OLDER
+    schema field lists retained in the metadata's ``schemas`` array —
+    how a table that has been through renames/adds looks on disk (the
+    schema-evolution fixtures use this).  Returns the metadata path.
     """
     mdir = os.path.join(table_dir, "metadata")
     os.makedirs(mdir, exist_ok=True)
@@ -614,6 +622,13 @@ def export_iceberg_metadata(
         manifest, mdir, snap_id, name_to_id, name_to_type
     )
 
+    prior = prior_schemas or []
+    current_sid = len(prior)
+    schemas = [
+        {"type": "struct", "schema-id": i, "fields": fs}
+        for i, fs in enumerate([*prior, schema_fields])
+    ]
+    all_ids = [f["id"] for fs in [*prior, schema_fields] for f in fs]
     now_ms = int(time.time() * 1000)
     md = {
         "format-version": manifest.format_version,
@@ -621,15 +636,9 @@ def export_iceberg_metadata(
         "location": _uri(os.path.abspath(table_dir)),
         "last-sequence-number": seq,
         "last-updated-ms": now_ms,
-        "last-column-id": max((f["id"] for f in schema_fields), default=0),
-        "current-schema-id": 0,
-        "schemas": [
-            {
-                "type": "struct",
-                "schema-id": 0,
-                "fields": schema_fields,
-            }
-        ],
+        "last-column-id": max(all_ids, default=0),
+        "current-schema-id": current_sid,
+        "schemas": schemas,
         "default-spec-id": 0,
         "partition-specs": [{"spec-id": 0, "fields": []}],
         "last-partition-id": 999,
@@ -646,7 +655,7 @@ def export_iceberg_metadata(
                 "timestamp-ms": now_ms,
                 "summary": {"operation": "append"},
                 "manifest-list": _uri(list_path),
-                "schema-id": 0,
+                "schema-id": current_sid,
             }
         ],
         "snapshot-log": [

@@ -195,4 +195,5 @@ def read_table_mor(spark: SparkSession, manifest: Manifest) -> DataFrame:
     query-engine view of a MOR table (what compaction materializes)."""
     group = FileGroup.from_tasks(manifest.data_files)
     group.format_version = manifest.format_version
+    group.schema_fields = manifest.schema_fields or None
     return rewrite_file_group(spark, group)

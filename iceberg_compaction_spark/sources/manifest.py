@@ -161,6 +161,12 @@ class Manifest:
     # partition-spec evolution).
     partition_spec: list[dict] = field(default_factory=list)
     default_spec_id: int = 0
+    # the table's CURRENT Iceberg schema as field dicts ({"id", "name",
+    # "type", "required"}).  Empty = unknown (engine-native tables infer
+    # schema from parquet).  When present, scans resolve data-file
+    # columns by FIELD ID (sources/schema_evo.py) so files written
+    # before a rename/add/drop still read correctly.
+    schema_fields: list[dict] = field(default_factory=list)
 
     # ---- construction ------------------------------------------------------
 
@@ -248,6 +254,11 @@ class Manifest:
                 if self.partition_spec or self.default_spec_id
                 else {}
             ),
+            **(
+                {"schema_fields": [dict(f) for f in self.schema_fields]}
+                if self.schema_fields
+                else {}
+            ),
             "data_files": [
                 {
                     "path": t.data_file_path,
@@ -330,6 +341,7 @@ class Manifest:
             partition_spec=[dict(f) for f in d.get("partition_spec", [])],
             default_spec_id=d.get("default_spec_id", 0),
             operation=d.get("operation", ""),
+            schema_fields=[dict(f) for f in d.get("schema_fields", [])],
         )
 
     # ---- spec evolution ----------------------------------------------------

@@ -174,11 +174,35 @@ def write_puffin_dvs(
     path: str, dvs: dict[str, list[int]], properties: dict | None = None
 ) -> None:
     """Write one deletion-vector-v1 blob per referenced data file."""
+    write_puffin_from_blobs(
+        path,
+        [
+            (ref, dv_blob_serialize(dvs[ref]), len(set(dvs[ref])))
+            for ref in sorted(dvs)
+        ],
+        properties,
+    )
+
+
+def write_puffin_from_blobs(
+    path: str,
+    blobs: list[tuple],
+    properties: dict | None = None,
+) -> None:
+    """Assemble a puffin container from PRE-SERIALIZED deletion-vector
+    blobs: ``(referenced_data_file, blob_bytes, cardinality)`` triples.
+
+    This is the scale seam the v3 maintenance writers use: per-file
+    bitmap serialization runs DISTRIBUTED (an ``applyInPandas`` over the
+    merged positions grouped by data file — a 100 TB table's delete
+    positions never exist as a driver-side dict), and the driver only
+    concatenates the already-compact blobs into the single container
+    object, which is metadata-scale work.
+    """
     blobs_meta = []
     out = io.BytesIO()
     out.write(PUFFIN_MAGIC)
-    for ref_path in sorted(dvs):
-        blob = dv_blob_serialize(dvs[ref_path])
+    for ref_path, blob, card in blobs:
         blobs_meta.append(
             {
                 "type": DV_BLOB_TYPE,
@@ -189,7 +213,7 @@ def write_puffin_dvs(
                 "length": len(blob),
                 "properties": {
                     "referenced-data-file": ref_path,
-                    "cardinality": str(len(set(dvs[ref_path]))),
+                    "cardinality": str(card),
                 },
             }
         )

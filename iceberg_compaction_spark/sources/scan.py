@@ -116,8 +116,18 @@ def read_data_files(
     position_vector_paths: list[str] | None = None,
     position_vector_bytes: int | None = None,
     position_vector_df: DataFrame | None = None,
+    schema_fields: list[dict] | None = None,
 ) -> DataFrame:
     """Read parquet data files, appending the hidden MOR columns.
+
+    ``schema_fields`` (the table's CURRENT Iceberg schema, field dicts
+    with ids) activates field-id column resolution: the requested Spark
+    schema carries ``parquet.field.id`` metadata and the parquet reader
+    matches file columns BY ID (sources/schema_evo.py) — files written
+    before a rename/add/drop still scan correctly, exactly as the
+    reference resolves schemas through field ids
+    (datafusion_processor.rs:741-774).  Falls back to name-based reads
+    when the schema has nested types.
 
     Deletion vectors come in one of three forms (mutually exclusive):
     ``position_vectors`` is the small-DV driver-side dict (planner
@@ -138,7 +148,62 @@ def read_data_files(
     metadata (one entry per file), so it is inlined as a literal — the
     lookup never shuffles data.
     """
-    df = spark.read.parquet(*paths)
+    df = None
+    if schema_fields:
+        from iceberg_compaction_spark.sources.schema_evo import (
+            enable_field_id_reads,
+            file_field_ids,
+            struct_with_field_ids,
+        )
+
+        st = struct_with_field_ids(schema_fields)
+        if st is not None:
+            # Which files actually carry parquet field ids?  One footer
+            # metadata read per file at PLAN time — the same cost class
+            # as the stats collection the planner already performs per
+            # file, and only on the schema_fields (real-Iceberg) path.
+            import pyarrow.parquet as _pq
+
+            from iceberg_compaction_spark.sources.fileio import open_input
+
+            def _has_ids(p: str) -> bool:
+                with open_input(p) as fh:
+                    return bool(file_field_ids(_pq.read_schema(fh)))
+
+            with_ids = [p for p in paths if _has_ids(p)]
+            without = [p for p in paths if p not in set(with_ids)]
+            if with_ids and not without:
+                # the spec-compliant case: every data file carries ids
+                # — Spark's native field-id resolution, fully JVM-side
+                enable_field_id_reads(spark)
+                df = spark.read.schema(st).parquet(*paths)
+            elif without and not with_ids:
+                # pre-Iceberg import: no file has ids — name-mapping
+                # fallback in its default form (mapped name = field
+                # name); missing (added) columns project NULL
+                from pyspark.sql.types import StructField, StructType
+
+                plain = StructType(
+                    [
+                        StructField(f.name, f.dataType, f.nullable)
+                        for f in st.fields
+                    ]
+                )
+                df = spark.read.schema(plain).parquet(*paths)
+            else:
+                # mixed id/no-id groups need per-file resolution, which
+                # the single-scan hidden-column machinery below cannot
+                # express (a union hides _metadata) — fail loudly with
+                # the fix instead of silently misreading either side
+                raise ValueError(
+                    "file group mixes parquet files with and without "
+                    f"field ids ({len(with_ids)} with, {len(without)} "
+                    "without); rewrite the id-less imports (compaction "
+                    "does this) or scan them as separate groups: "
+                    + ", ".join(without[:5])
+                )
+    if df is None:
+        df = spark.read.parquet(*paths)
 
     if position_vectors:
         # Reader-side deletion-vector application (format v3,

@@ -1,0 +1,220 @@
+"""Field-id schema evolution: read data files written under OLDER
+schemas through the table's CURRENT schema.
+
+Iceberg column identity is the FIELD ID, never the name (spec §4
+"Schema Evolution"): a rename changes only metadata, an add allocates a
+fresh id, a drop retires one — data files are never rewritten.  The
+reference threads schemas by field id through its whole scan
+(core/src/executor/datafusion/datafusion_processor.rs:741-774), so a
+file written before a rename still resolves.  Without this, the first
+rename on a real table silently mis-reads every pre-rename file (the
+old column comes back NULL under name-based resolution).
+
+Spark-first mapping — two read paths, one identity rule:
+
+- **Engine path** (``spark.read.parquet``): Spark's native field-id
+  resolution (`spark.sql.parquet.fieldId.read.enabled`).  We build the
+  requested ``StructType`` from the table's current Iceberg schema with
+  ``parquet.field.id`` metadata on every field; the vectorized parquet
+  reader then matches file columns BY ID — renames resolve, added
+  columns read as NULL from old files, dropped columns are never
+  requested.  Zero Python in the hot path; whole-stage codegen intact.
+- **DataSource path** (executor-side pyarrow): the same resolution as
+  an Arrow-level projection built ONCE per file from the footer
+  (``PARQUET:field_id`` key metadata, the standard parquet <-> Arrow
+  carrier both pyarrow and Spark write), then applied per batch as
+  zero-copy column selection + rename.
+
+Files carrying NO field ids (pre-Iceberg imports) fall back to
+name-based resolution — Iceberg's ``schema.name-mapping.default``
+behavior in its default form (field name = mapped name).
+
+Nested types (struct/list/map) fall back to name-based reads: evolution
+inside nested fields is out of scope here and a partial remap would be
+worse than a loud one (callers get the documented fallback, tested).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import types as T
+
+# Arrow <-> parquet field-id carrier key (written by pyarrow and Spark)
+ARROW_FIELD_ID_KEY = b"PARQUET:field_id"
+# Spark StructField metadata key for its native field-id read path
+SPARK_FIELD_ID_KEY = "parquet.field.id"
+
+_PRIMITIVE_TO_SPARK = {
+    "boolean": T.BooleanType(),
+    "int": T.IntegerType(),
+    "long": T.LongType(),
+    "float": T.FloatType(),
+    "double": T.DoubleType(),
+    "date": T.DateType(),
+    "string": T.StringType(),
+    "uuid": T.StringType(),
+    "binary": T.BinaryType(),
+    # Iceberg time is micros-since-midnight; Spark (pre-TimeType) reads
+    # the physical int64
+    "time": T.LongType(),
+    "timestamp": T.TimestampNTZType(),
+    "timestamptz": T.TimestampType(),
+}
+
+
+def iceberg_type_to_spark(t):
+    """Spark DataType for an Iceberg PRIMITIVE type string; None for
+    nested/unknown types (callers fall back to name-based reads)."""
+    if not isinstance(t, str):
+        return None
+    if t in _PRIMITIVE_TO_SPARK:
+        return _PRIMITIVE_TO_SPARK[t]
+    if t.startswith("decimal(") and t.endswith(")"):
+        p, s = t[len("decimal("):-1].split(",")
+        return T.DecimalType(int(p), int(s))
+    if t.startswith("fixed[") and t.endswith("]"):
+        return T.BinaryType()
+    return None
+
+
+def struct_with_field_ids(fields: list[dict]) -> T.StructType | None:
+    """Spark StructType for an Iceberg schema field list, each field
+    carrying ``parquet.field.id`` metadata so Spark's parquet reader
+    resolves columns by id.  None when any field is nested/unknown
+    (caller falls back to plain name-based reads)."""
+    out = []
+    for f in fields:
+        dt = iceberg_type_to_spark(f.get("type"))
+        if dt is None:
+            return None
+        out.append(
+            T.StructField(
+                f["name"],
+                dt,
+                nullable=not f.get("required", False),
+                metadata={SPARK_FIELD_ID_KEY: int(f["id"])},
+            )
+        )
+    return T.StructType(out)
+
+
+def enable_field_id_reads(spark) -> None:
+    """Turn on Spark's parquet field-id resolution (runtime SQL conf,
+    default off).  Only activates for reads whose REQUESTED schema
+    carries ``parquet.field.id`` metadata, so it is safe session-wide —
+    every other read keeps name-based resolution."""
+    spark.conf.set("spark.sql.parquet.fieldId.read.enabled", "true")
+
+
+# ---------------------------------------------------------------------------
+# Arrow side (fixture writers + DataSource executors)
+# ---------------------------------------------------------------------------
+
+
+def iceberg_type_to_arrow(t):
+    import pyarrow as pa
+
+    m = {
+        "boolean": pa.bool_(),
+        "int": pa.int32(),
+        "long": pa.int64(),
+        "float": pa.float32(),
+        "double": pa.float64(),
+        "date": pa.date32(),
+        "string": pa.string(),
+        "uuid": pa.string(),
+        "binary": pa.binary(),
+        "time": pa.int64(),
+        "timestamp": pa.timestamp("us"),
+        "timestamptz": pa.timestamp("us", tz="UTC"),
+    }
+    if not isinstance(t, str):
+        return None
+    if t in m:
+        return m[t]
+    if t.startswith("decimal(") and t.endswith(")"):
+        p, s = t[len("decimal("):-1].split(",")
+        return pa.decimal128(int(p), int(s))
+    if t.startswith("fixed[") and t.endswith("]"):
+        return pa.binary()
+    return None
+
+
+def arrow_schema_with_ids(schema, ids_by_name: dict[str, int]):
+    """Attach ``PARQUET:field_id`` metadata to an existing Arrow schema
+    — how fixtures/writers produce spec-compliant files whose columns
+    stay resolvable across renames."""
+    import pyarrow as pa
+
+    return pa.schema(
+        [
+            f.with_metadata(
+                {ARROW_FIELD_ID_KEY: str(ids_by_name[f.name]).encode()}
+            )
+            if f.name in ids_by_name
+            else f
+            for f in schema
+        ],
+        metadata=schema.metadata,
+    )
+
+
+def file_field_ids(arrow_schema) -> dict[int, str]:
+    """field id -> physical column name from a file's Arrow schema;
+    empty when the file carries no ids (pre-Iceberg import)."""
+    out: dict[int, str] = {}
+    for f in arrow_schema:
+        meta = f.metadata or {}
+        fid = meta.get(ARROW_FIELD_ID_KEY)
+        if fid is not None:
+            try:
+                out[int(fid.decode())] = f.name
+            except ValueError:
+                pass
+    return out
+
+
+def physical_name_map(
+    arrow_schema, fields: list[dict]
+) -> dict[str, str]:
+    """current column name -> PHYSICAL name in this file.  Resolution:
+    by field id when the file carries ids, by name otherwise (the
+    name-mapping fallback).  Columns absent from the file (added after
+    it was written) are omitted — readers project NULL for them."""
+    by_id = file_field_ids(arrow_schema)
+    names = {f.name for f in arrow_schema}
+    out = {}
+    for f in fields:
+        if by_id:
+            phys = by_id.get(int(f["id"]))
+        else:
+            phys = f["name"] if f["name"] in names else None
+        if phys is not None:
+            out[f["name"]] = phys
+    return out
+
+
+def remap_batch_table(table, name_map: dict[str, str], fields: list[dict]):
+    """Project one Arrow table onto the CURRENT schema: physical columns
+    renamed per ``name_map`` (zero-copy), absent columns materialized as
+    typed nulls.  Applied per batch on executors — no driver involvement,
+    no shuffle; the projection is built once per file."""
+    import pyarrow as pa
+
+    cols, arrays = [], []
+    n = table.num_rows
+    for f in fields:
+        cur = f["name"]
+        phys = name_map.get(cur)
+        at = iceberg_type_to_arrow(f.get("type"))
+        if phys is not None and phys in table.column_names:
+            arr = table.column(phys)
+            # Iceberg type promotion (int->long, float->double, decimal
+            # widening): files written before the promotion carry the
+            # narrower physical type — widen to the current schema's
+            if at is not None and arr.type != at:
+                arr = arr.cast(at)
+            arrays.append(arr)
+        else:
+            arrays.append(pa.nulls(n, type=at or pa.null()))
+        cols.append(cur)
+    return pa.Table.from_arrays(arrays, names=cols)
