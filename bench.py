@@ -49,6 +49,10 @@ BENCH_QUERIES = [
     "pipeline_pack_sequences",
     "cdc_changelog",
     "datasource_mor_read",
+    # round 7
+    "mor_after_rename",
+    "pipeline_scrub_pii",
+    "dedup_span_coverage",
 ]
 
 
@@ -230,9 +234,17 @@ def main() -> None:
     import glob as _glob
 
     for p in _glob.glob(f"{sf_dir}/*.parquet"):
-        with open(p, "rb") as fh:
-            while fh.read(1 << 22):
-                pass
+        # a "table" is either one parquet file or a Spark-written
+        # directory of part files (the scaled fixtures) — warm both
+        parts = (
+            _glob.glob(os.path.join(p, "*.parquet"))
+            if os.path.isdir(p)
+            else [p]
+        )
+        for fp in parts:
+            with open(fp, "rb") as fh:
+                while fh.read(1 << 22):
+                    pass
     from iceberg_compaction_spark.operators import synthetic as syn
 
     syn.position_delete_table(spark, sf_dir).count()

@@ -219,6 +219,7 @@ class CommitManager:
             },
             partition_spec=[dict(f) for f in manifest.partition_spec],
             default_spec_id=manifest.default_spec_id,
+            schema_fields=[dict(f) for f in manifest.schema_fields],
             # row-preserving rewrite: streaming consumers skip it
             operation="replace",
         )
@@ -283,6 +284,7 @@ class CommitManager:
             },
             partition_spec=[dict(f) for f in manifest.partition_spec],
             default_spec_id=manifest.default_spec_id,
+            schema_fields=[dict(f) for f in manifest.schema_fields],
             operation="overwrite",
         )
 

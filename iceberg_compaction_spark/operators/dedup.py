@@ -982,3 +982,86 @@ def canonical_exact_groups(
         (-F.col("b.nl")).cast("long").alias("canonical_len"),
         F.col("n_docs").cast("long").alias("n_docs"),
     )
+
+
+def span_dup_coverage(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 8,
+) -> DataFrame:
+    """Exact shared-span coverage: for each document, how much of it is
+    k-token text that appears VERBATIM in at least one other document.
+
+    This is the span-level (suffix-array-style) dedup signal — the
+    measure behind substring-dedup pipelines: near-dup methods (minhash,
+    simhash) score whole documents, but boilerplate/licenses/quoted
+    passages duplicate at the SPAN level inside otherwise-unique
+    documents, and those spans are what a trained model memorizes.  The
+    distributed formulation replaces the suffix array with positional
+    k-shingle hashes: a shingle occurring in >= 2 distinct documents is
+    a duplicated span window.
+
+    Output: ``(doc_id, total_shingles, dup_shingles, dup_ppm)`` for
+    every document with at least ``k`` tokens; ``dup_ppm`` is the
+    integer-exact duplicated-shingle fraction (floor ppm).
+
+    Scale shape: one posexplode fan-out of the shingle stream (the
+    honest cost — a 100 TB corpus has ~100 TB of shingle hashes), one
+    hash-partitioned count per shingle with map-side partial
+    aggregation, and one shuffle join of the stream against the
+    cross-doc-duplicated hash set.  No window functions, no driver
+    materialization, no quadratic pair set; the per-shingle md5 is a
+    JVM-side codegen expression.
+    """
+    toks = F.split(F.trim(F.lower(F.col(text_col))), r"\s+")
+    n = F.size(toks)
+    # TOTAL expression (empty index array when n < k), not a row filter
+    # guard: Catalyst's infer-filters-from-generate duplicates the
+    # shingle expression into the filter, and codegen's common-
+    # subexpression elimination then evaluates it EAGERLY on every row —
+    # a partial expression (sequence(0, n-k) running descending, slice
+    # start 0) errors on short rows even though the filter would have
+    # dropped them
+    idx = F.when(n >= k, F.sequence(F.lit(0), n - k)).otherwise(
+        F.array().cast("array<int>")
+    )
+    shingles = F.transform(
+        idx,
+        lambda i: F.md5(F.array_join(F.slice(toks, i + 1, k), " ")),
+    )
+    sh = (
+        df.where(F.trim(F.col(text_col)) != "")
+        .where(n >= k)
+        .select(F.col(id_col), shingles.alias("__sh"))
+        .select(F.col(id_col), F.explode("__sh").alias("h"))
+    )
+    dup = (
+        sh.groupBy("h")
+        .agg(F.count_distinct(F.col(id_col)).alias("__docs"))
+        .where(F.col("__docs") >= 2)
+        .select("h")
+    )
+    tot = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("total_shingles"))
+    d = (
+        sh.join(dup, "h")
+        .groupBy(id_col)
+        .agg(F.count(F.lit(1)).alias("dup_shingles"))
+    )
+    return (
+        tot.join(d, id_col, "left")
+        .select(
+            F.col(id_col),
+            F.col("total_shingles").cast("long").alias("total_shingles"),
+            F.coalesce(F.col("dup_shingles"), F.lit(0))
+            .cast("long")
+            .alias("dup_shingles"),
+            F.floor(
+                1e6
+                * F.coalesce(F.col("dup_shingles"), F.lit(0))
+                / F.col("total_shingles")
+            )
+            .cast("long")
+            .alias("dup_ppm"),
+        )
+    )

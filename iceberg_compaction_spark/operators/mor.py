@@ -215,6 +215,45 @@ def puffin_dv_frame(spark: SparkSession, puffin_paths: list[str]) -> DataFrame:
     return meta_df.mapInPandas(_expand, "__dv_path string, __dv_pos long")
 
 
+def _read_eq_delete_file(
+    spark: SparkSession,
+    path: str,
+    key_names: tuple,
+    schema_fields: list[dict] | None,
+) -> DataFrame:
+    """Read one equality-delete parquet with the same field-id column
+    resolution the data scan uses (sources/schema_evo.py): a delete
+    file written BEFORE a key column's rename carries the old physical
+    name, and must still resolve to the current key names the
+    anti-join speaks.  Key columns with field ids match by id; the
+    baked ``sys_hidden_seq_num`` (engine-written, no field id) matches
+    by name — Spark resolves id-carrying and id-less requested fields
+    independently.  Falls back to the plain read when the table has no
+    schema, a key is unknown to it, or the file carries no ids."""
+    if schema_fields:
+        by_name = {f["name"]: f for f in schema_fields}
+        if all(k in by_name for k in key_names):
+            import pyarrow.parquet as _pq
+            from pyspark.sql.types import LongType, StructField
+
+            from iceberg_compaction_spark.sources.fileio import open_input
+            from iceberg_compaction_spark.sources.schema_evo import (
+                enable_field_id_reads,
+                file_field_ids,
+                struct_with_field_ids,
+            )
+
+            with open_input(path) as fh:
+                fsch = _pq.read_schema(fh)
+            st = struct_with_field_ids([by_name[k] for k in key_names])
+            if st is not None and file_field_ids(fsch):
+                if HIDDEN_SEQ in fsch.names:
+                    st = st.add(StructField(HIDDEN_SEQ, LongType(), True))
+                enable_field_id_reads(spark)
+                return spark.read.schema(st).parquet(path)
+    return spark.read.parquet(path)
+
+
 def rewrite_file_group(
     spark: SparkSession,
     group: FileGroup,
@@ -343,7 +382,9 @@ def rewrite_file_group(
             df = None
             size = 0
             for d in files:
-                part = spark.read.parquet(d.path)
+                part = _read_eq_delete_file(
+                    spark, d.path, ids, group.schema_fields
+                )
                 if HIDDEN_SEQ not in part.columns:
                     part = part.withColumn(
                         HIDDEN_SEQ, F.lit(d.sequence_number).cast("long")

@@ -57,7 +57,17 @@ def _spread(spark: SparkSession, df: DataFrame, path: str) -> DataFrame:
     cores = spark.sparkContext.defaultParallelism
     mpb = 128 * 1024 * 1024  # spark.sql.files.maxPartitionBytes default
     try:
-        est_splits = max(1, os.path.getsize(path) // mpb)
+        if os.path.isdir(path):
+            # Spark-written table directory (the scaled fixtures): the
+            # dir entry's own size says nothing — sum the part files
+            size = sum(
+                e.stat().st_size
+                for e in os.scandir(path)
+                if e.name.endswith(".parquet")
+            )
+        else:
+            size = os.path.getsize(path)
+        est_splits = max(1, size // mpb)
     except OSError:
         return df
     if est_splits < max(2, cores // 2):
@@ -2899,6 +2909,47 @@ def q_pipeline_scrub_pii(spark, sf_dir):
         "n_ip",
         F.md5(F.col("text_scrubbed")).alias("scrub_fp"),
     )
+
+
+
+
+_SPAN_K = 8
+
+_SPAN_SQL = rf"""
+    WITH toks AS (
+      SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS t
+      FROM documents WHERE trim(text) <> ''
+    ),
+    sh AS (
+      SELECT doc_id, md5(array_to_string(t[i:i+{_SPAN_K - 1}], ' ')) AS h
+      FROM toks, LATERAL unnest(generate_series(1, len(t) - {_SPAN_K - 1})) AS g(i)
+      WHERE len(t) >= {_SPAN_K}
+    ),
+    dup AS (SELECT h FROM sh GROUP BY h HAVING count(DISTINCT doc_id) >= 2),
+    tot AS (SELECT doc_id, count(*) AS total_shingles FROM sh GROUP BY doc_id),
+    d AS (SELECT s.doc_id, count(*) AS dup_shingles
+          FROM sh s JOIN dup USING (h) GROUP BY s.doc_id)
+    SELECT t.doc_id,
+           CAST(t.total_shingles AS BIGINT) AS total_shingles,
+           CAST(COALESCE(d.dup_shingles, 0) AS BIGINT) AS dup_shingles,
+           CAST(floor(1e6 * COALESCE(d.dup_shingles, 0) / t.total_shingles) AS BIGINT) AS dup_ppm
+    FROM tot t LEFT JOIN d ON t.doc_id = d.doc_id
+"""
+
+
+@register("dedup_span_coverage", _SPAN_SQL)
+def q_dedup_span_coverage(spark, sf_dir):
+    """Exact shared-span coverage (operators/dedup.py span_dup_coverage):
+    per-document fraction of {_SPAN_K}-token shingles appearing VERBATIM
+    in other documents — the suffix-array-style substring-dedup signal
+    that whole-document near-dup methods miss (boilerplate, licenses,
+    quoted passages inside otherwise-unique docs).
+
+    Scale shape: positional-shingle hash stream (one posexplode), one
+    hash-partitioned per-shingle count with map-side combine, one
+    shuffle join against the duplicated-hash set; no windows, no
+    cartesian, JVM-side md5."""
+    return dd.span_dup_coverage(_docs(spark, sf_dir), k=_SPAN_K)
 
 
 # ===========================================================================

@@ -256,17 +256,37 @@ def _fuse_key_columns(table, key_cols: list[str]):
     )
 
 
-def _load_eq_delete(path: str, key_cols: tuple):
+def _load_eq_delete(path: str, key_cols: tuple, key_ids: tuple = ()):
     """Parse one equality-delete parquet into the Arrow value set
     ``is_in`` consumes: the raw typed column for single-column keys
     (no cast at all — the common case), the fused string array for
-    composite keys."""
+    composite keys.
+
+    ``key_ids`` (field ids parallel to ``key_cols``, from the table's
+    current schema) resolves key columns BY ID when the file carries
+    parquet field ids — a delete file written before a key column's
+    rename still matches (schema_evo.py); id-less files match by name."""
     import pyarrow.parquet as pq
 
     from iceberg_compaction_spark.sources.fileio import open_input
 
     with open_input(path) as f:
-        dt = pq.read_table(f, columns=list(key_cols))
+        pf = pq.ParquetFile(f)
+        phys = list(key_cols)
+        if key_ids and any(i is not None for i in key_ids):
+            from iceberg_compaction_spark.sources.schema_evo import (
+                file_field_ids,
+            )
+
+            by_id = file_field_ids(pf.schema_arrow)
+            if by_id:
+                phys = [
+                    by_id.get(fid, cur) if fid is not None else cur
+                    for cur, fid in zip(key_cols, key_ids)
+                ]
+        dt = pf.read(columns=phys).select(phys)  # pin request order
+    if phys != list(key_cols):
+        dt = dt.rename_columns(list(key_cols))
     if len(key_cols) == 1:
         return dt.column(key_cols[0]).combine_chunks()
     return _fuse_key_columns(dt, list(key_cols))
@@ -290,11 +310,17 @@ def _eq_delete_mask(table, key_cols: list[str], value_set):
 
 
 def _delete_sets(
-    me: str, seq: int, pos_paths: tuple, dv_paths: tuple, eq_deletes: tuple
+    me: str,
+    seq: int,
+    pos_paths: tuple,
+    dv_paths: tuple,
+    eq_deletes: tuple,
+    schema_fields: tuple = (),
 ):
     """Resolve one delete attachment set (through the cache) into the
     (sorted position array | None, [(key_cols, value_set)]) pair the
-    batch loop consumes."""
+    batch loop consumes.  ``schema_fields`` supplies current-name ->
+    field-id mappings so eq-delete files written pre-rename resolve."""
     import numpy as np
 
     pos_arrays = []
@@ -308,14 +334,18 @@ def _delete_sets(
             pos_arrays.append(hit)
     drop = np.unique(np.concatenate(pos_arrays)) if pos_arrays else None
 
+    id_by_name = {n: i for (i, n, _t, _r) in schema_fields}
     eq_filters = []
     for dp, dseq, key_cols in eq_deletes:
         # equality deletes apply to strictly LOWER sequence numbers
         if not dseq > seq:
             continue
+        key_ids = tuple(id_by_name.get(k) for k in key_cols)
         value_set = _cached_delete(
-            ("eq", dp, key_cols, _content_stamp(dp)),
-            lambda dp=dp, kc=key_cols: _load_eq_delete(dp, kc),
+            ("eq", dp, key_cols, key_ids, _content_stamp(dp)),
+            lambda dp=dp, kc=key_cols, ki=key_ids: _load_eq_delete(
+                dp, kc, ki
+            ),
         )
         if len(value_set):
             eq_filters.append((list(key_cols), value_set))
@@ -484,6 +514,7 @@ def _read_partition(part: _FilePartition, columns: list[str] | None):
         part.pos_delete_paths,
         part.dv_paths,
         part.eq_deletes,
+        part.schema_fields,
     )
     diff_mode = part.change_type == "delete_diff"
     if diff_mode:
@@ -493,6 +524,7 @@ def _read_partition(part: _FilePartition, columns: list[str] | None):
             part.prev_pos_delete_paths,
             part.prev_dv_paths,
             part.prev_eq_deletes,
+            part.schema_fields,
         )
 
     evo_fields = [

@@ -845,14 +845,42 @@ class IcebergHadoopCatalog:
                 f"{name}: head at v{current}, commit expected "
                 f"v{expected_snapshot_id}"
             )
-        # carry the previous version's schema forward
+        # schema: the committed manifest's declared schema wins (this is
+        # how a rename/add/drop lands on disk); absent one, carry the
+        # previous version's forward.  A CHANGED schema must arrive with
+        # a bumped schema_id (Manifest.evolve_schema does both) — ids
+        # are how readers of old metadata versions resolve; the previous
+        # schemas are retained in the metadata's ``schemas`` array.
         prev_md = json.loads(
             self._io.read_bytes(self._vpath(name, current))
         )
-        schema_fields = _current_schema_fields(prev_md)
+        prev_fields = _current_schema_fields(prev_md)
+        prev_sid = prev_md.get("current-schema-id", 0)
+        schema_fields = (
+            [dict(f) for f in new_manifest.schema_fields]
+            if new_manifest.schema_fields
+            else prev_fields
+        )
+        prior_schemas = []
+        if schema_fields != prev_fields:
+            if new_manifest.schema_id == prev_sid:
+                raise ValueError(
+                    f"{name}: schema changed but schema_id still "
+                    f"{prev_sid} — evolve via Manifest.evolve_schema "
+                    "(bumps the id) so old metadata stays resolvable"
+                )
+            prior_schemas = [
+                s
+                for s in prev_md.get("schemas", [])
+                if s.get("schema-id") != new_manifest.schema_id
+            ]
         try:
             self._write_version(
-                name, new_manifest, schema_fields, exclusive=True
+                name,
+                new_manifest,
+                schema_fields,
+                exclusive=True,
+                prior_schemas=prior_schemas,
             )
         except FileExistsError:
             raise CommitConflict(
@@ -879,6 +907,7 @@ class IcebergHadoopCatalog:
         manifest: Manifest,
         schema_fields: list[dict],
         exclusive: bool,
+        prior_schemas: list[dict] | None = None,
     ) -> None:
         mdir = self._mdir(name)
         version = manifest.snapshot_id
@@ -888,6 +917,14 @@ class IcebergHadoopCatalog:
         list_path = _write_snapshot_avro(
             manifest, mdir, snap_id, name_to_id, name_to_type
         )
+        all_schemas = [
+            *(prior_schemas or []),
+            {
+                "type": "struct",
+                "schema-id": manifest.schema_id,
+                "fields": schema_fields,
+            },
+        ]
         now_ms = int(time.time() * 1000)
         md = {
             "format-version": manifest.format_version,
@@ -900,16 +937,15 @@ class IcebergHadoopCatalog:
             "last-sequence-number": manifest.sequence_number,
             "last-updated-ms": now_ms,
             "last-column-id": max(
-                (f["id"] for f in schema_fields), default=0
+                (
+                    f["id"]
+                    for s in all_schemas
+                    for f in s.get("fields", [])
+                ),
+                default=0,
             ),
             "current-schema-id": manifest.schema_id,
-            "schemas": [
-                {
-                    "type": "struct",
-                    "schema-id": manifest.schema_id,
-                    "fields": schema_fields,
-                }
-            ],
+            "schemas": all_schemas,
             "default-spec-id": 0,
             "partition-specs": [{"spec-id": 0, "fields": []}],
             "last-partition-id": 999,

@@ -180,6 +180,7 @@ def upsert(
             ]
             + ([data_task] if data_task is not None else []),
             properties=dict(cur.properties),
+            schema_fields=[dict(f) for f in cur.schema_fields],
             # rows change in place: streaming raises unless skipped
             operation="overwrite",
         )

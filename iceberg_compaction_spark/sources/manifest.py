@@ -378,6 +378,72 @@ class Manifest:
         self.default_spec_id += 1
         return self.default_spec_id
 
+    # widening-only primitive promotions the Iceberg spec allows
+    _PROMOTIONS = {("int", "long"), ("float", "double")}
+
+    def evolve_schema(self, fields: list[dict]) -> int:
+        """Adopt a new current schema (Iceberg schema evolution): bumps
+        ``schema_id`` and replaces ``schema_fields``.  EXISTING data
+        files are untouched — reads resolve their columns through the
+        new schema by FIELD ID (sources/schema_evo.py), which is what
+        makes rename/add/drop metadata-only operations.
+
+        Validates the spec's field-id discipline against the current
+        schema (no-op when the table has no declared schema yet):
+
+        - a KEPT id may change name freely (rename) but its type may
+          only WIDEN (int->long, float->double, decimal precision up at
+          equal scale) — narrowing would corrupt existing files;
+        - a NEW field must use an id never used by the current schema
+          (ids are never recycled: a recycled id would resurrect a
+          dropped column's old values);
+        - ids must be unique within the new schema.
+
+        Returns the new ``schema_id``.
+        """
+        new = [dict(f) for f in fields]
+        ids = [int(f["id"]) for f in new]
+        if len(ids) != len(set(ids)):
+            raise ValueError(f"duplicate field ids in new schema: {ids}")
+        old_by_id = {int(f["id"]): f for f in self.schema_fields}
+
+        def _widens(old_t, new_t) -> bool:
+            if old_t == new_t:
+                return True
+            if (old_t, new_t) in self._PROMOTIONS:
+                return True
+            if (
+                isinstance(old_t, str)
+                and isinstance(new_t, str)
+                and old_t.startswith("decimal(")
+                and new_t.startswith("decimal(")
+            ):
+                po, so = old_t[len("decimal("):-1].split(",")
+                pn, sn = new_t[len("decimal("):-1].split(",")
+                return int(sn) == int(so) and int(pn) >= int(po)
+            return False
+
+        max_old = max(old_by_id, default=0)
+        for f in new:
+            fid = int(f["id"])
+            old = old_by_id.get(fid)
+            if old is not None:
+                if not _widens(old["type"], f["type"]):
+                    raise ValueError(
+                        f"field id {fid} ({old['name']!r}): type "
+                        f"{old['type']!r} cannot narrow/change to "
+                        f"{f['type']!r} — only widening promotions are "
+                        "safe for existing files"
+                    )
+            elif self.schema_fields and fid <= max_old:
+                raise ValueError(
+                    f"new field {f['name']!r} recycles id {fid} (last "
+                    f"column id {max_old}); ids are never reused"
+                )
+        self.schema_fields = new
+        self.schema_id += 1
+        return self.schema_id
+
     def spec_fields(self) -> list:
         """The current spec as ``PartitionField`` objects ([] when
         unpartitioned)."""

@@ -374,10 +374,15 @@ def read_pruned(
     tasks = manifest.data_files
     alive = pr.prune_tasks(tasks, predicates)
     cond = pr.predicate_to_spark(predicates)
+    fields = getattr(manifest, "schema_fields", None) or None
     if not alive:
         if not tasks:
             raise ValueError("cannot infer schema of an empty table")
-        empty = spark.read.parquet(tasks[0].data_file_path).limit(0)
+        empty = read_data_files(
+            spark, [tasks[0].data_file_path], schema_fields=fields
+        ).limit(0)
         return empty if cond is None else empty.where(cond)
-    df = spark.read.parquet(*[t.data_file_path for t in alive])
+    df = read_data_files(
+        spark, [t.data_file_path for t in alive], schema_fields=fields
+    )
     return df if cond is None else df.where(cond)

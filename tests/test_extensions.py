@@ -639,3 +639,25 @@ def test_repetition_hand_values(spark):
     assert got[2] == (3, 0, 250000)
     assert got[3] == (0, 0, 1000000)
     assert got[4] == (0, 0, 0)
+
+
+def test_span_dup_coverage_exact(spark):
+    """Span-level dedup signal: shared 8-token spans across docs are
+    counted per document; unique docs score 0; short docs drop out."""
+    from iceberg_compaction_spark.operators import dedup as dd
+
+    boiler = "all rights reserved licensed under the apache license"  # 8 toks
+    rows = [
+        (1, boiler + " unique tail one two three"),
+        (2, boiler + " other ending entirely different here"),
+        (3, "completely unrelated text with eight unique tokens okay"),
+        (4, "too short"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r["doc_id"]: r for r in dd.span_dup_coverage(df, k=8).collect()}
+    assert 4 not in got  # < 8 tokens: no shingles
+    # docs 1 and 2 share exactly the one boilerplate shingle
+    assert got[1]["dup_shingles"] == 1 and got[2]["dup_shingles"] == 1
+    assert got[3]["dup_shingles"] == 0 and got[3]["dup_ppm"] == 0
+    assert got[1]["total_shingles"] == 6  # 13 tokens -> 6 windows
+    assert got[1]["dup_ppm"] == 166666

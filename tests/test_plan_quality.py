@@ -437,3 +437,39 @@ def test_incremental_dedup_broadcasts_delta_no_cartesian(spark):
     assert "CartesianProduct" not in s
     assert "BroadcastNestedLoopJoin" not in s
     assert "BroadcastHashJoin" in s
+
+
+def test_field_id_read_keeps_pushdown_and_codegen(spark, tmp_path):
+    """Field-id schema resolution (sources/schema_evo.py) must not cost
+    plan quality: a filter on the RENAMED column still reaches the
+    parquet scan as a pushed filter, the scan stays inside
+    WholeStageCodegen, and no exchange is introduced."""
+    import os
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq_
+
+    from iceberg_compaction_spark.sources import schema_evo as se
+    from iceberg_compaction_spark.sources.scan import read_data_files
+
+    p = str(tmp_path / "f.parquet")
+    tbl = pa.table(
+        {"id": pa.array(range(100), type=pa.int64()),
+         "old_name": [f"v{i}" for i in range(100)]}
+    )
+    pq_.write_table(
+        tbl.cast(se.arrow_schema_with_ids(tbl.schema, {"id": 1, "old_name": 2})),
+        p,
+    )
+    fields = [
+        {"id": 1, "name": "id", "type": "long"},
+        {"id": 2, "name": "new_name", "type": "string"},
+    ]
+    df = read_data_files(spark, [p], schema_fields=fields).where(
+        F.col("new_name") == "v7"
+    )
+    s = formatted(df)
+    assert "PushedFilters" in s and "EqualTo(new_name,v7)" in s
+    assert "codegen id" in s  # filter runs inside whole-stage codegen
+    assert "Exchange" not in s
+    assert [r["id"] for r in df.collect()] == [7]

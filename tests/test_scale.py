@@ -39,6 +39,8 @@ TRACKED = [
     "dedup_incremental",
     "cdc_changelog",
     "datasource_mor_read",
+    # round 7: span-level dedup (shingle-stream shuffle shape)
+    "dedup_span_coverage",
 ]
 
 

@@ -21,19 +21,20 @@ from iceberg_compaction_spark.sources import schema_evo as se
 from iceberg_compaction_spark.sources.ingest import read_table_mor
 from iceberg_compaction_spark.sources.manifest import Manifest
 
-# schema v1: id(1) long, old_name(2) string, small(4) int
+# schema v1: id(1) long, old_name(2) string, small(3) int
 V1 = [
     {"id": 1, "name": "id", "type": "long", "required": True},
     {"id": 2, "name": "old_name", "type": "string", "required": False},
-    {"id": 4, "name": "small", "type": "int", "required": False},
+    {"id": 3, "name": "small", "type": "int", "required": False},
 ]
-# schema v2: old_name RENAMED to new_name, extra(3) double ADDED,
-# small(4) PROMOTED int -> long
+# schema v2: old_name RENAMED to new_name, extra(4) double ADDED (next
+# never-used id, Iceberg's sequential allocation), small(3) PROMOTED
+# int -> long
 V2 = [
     {"id": 1, "name": "id", "type": "long", "required": True},
     {"id": 2, "name": "new_name", "type": "string", "required": False},
-    {"id": 3, "name": "extra", "type": "double", "required": False},
-    {"id": 4, "name": "small", "type": "long", "required": False},
+    {"id": 4, "name": "extra", "type": "double", "required": False},
+    {"id": 3, "name": "small", "type": "long", "required": False},
 ]
 
 
@@ -55,14 +56,14 @@ def evolved(tmp_path):
     _write(
         a,
         [("id", pa.int64(), 1), ("old_name", pa.string(), 2),
-         ("small", pa.int32(), 4)],
+         ("small", pa.int32(), 3)],
         {"id": [1, 2, 3], "old_name": ["x1", "x2", "x3"],
          "small": [10, 20, 30]},
     )
     _write(
         b,
         [("id", pa.int64(), 1), ("new_name", pa.string(), 2),
-         ("extra", pa.float64(), 3), ("small", pa.int64(), 4)],
+         ("extra", pa.float64(), 4), ("small", pa.int64(), 3)],
         {"id": [4, 5], "new_name": ["y4", "y5"], "extra": [0.4, 0.5],
          "small": [40, 50]},
     )
@@ -205,3 +206,177 @@ def test_manifest_schema_fields_roundtrip(evolved):
 def test_struct_with_field_ids_nested_falls_back():
     nested = [{"id": 1, "name": "s", "type": {"type": "struct"}}]
     assert se.struct_with_field_ids(nested) is None
+
+
+def test_eq_delete_file_written_pre_rename(spark, evolved, tmp_path):
+    """An equality-delete FILE written before the key column's rename
+    (physical column 'old_name', field id 2, baked seq) must still
+    resolve against the current key name on BOTH read paths — the
+    engine scan and the DataSource executors."""
+    dpath = str(tmp_path / "eqdel-old.parquet")
+    tbl = pa.table({"old_name": ["x1", "y4"]})
+    pq.write_table(
+        tbl.cast(se.arrow_schema_with_ids(tbl.schema, {"old_name": 2})),
+        dpath,
+    )
+    d = DeleteFile(
+        path=dpath, content=EQUALITY_DELETE, record_count=2,
+        sequence_number=3, equality_ids=("new_name",),
+        file_size_in_bytes=os.path.getsize(dpath),
+    )
+    for t in evolved.data_files:
+        t.deletes.append(d)
+
+    # engine path
+    rows = read_table_mor(spark, evolved).collect()
+    assert sorted(r["id"] for r in rows) == [2, 3, 5]
+
+    # DataSource path (executor-side pyarrow resolution)
+    from iceberg_compaction_spark.sources.catalog import FileCatalog
+    from iceberg_compaction_spark.sources.datasource import register
+
+    cat = FileCatalog(warehouse=str(tmp_path / "wh2"))
+    cat.create_table("evo2", evolved)
+    register(spark)
+    ds = (
+        spark.read.format("iceberg-table")
+        .option("warehouse", cat.warehouse)
+        .option("table", "evo2")
+        .load()
+    )
+    assert sorted(r["id"] for r in ds.collect()) == [2, 3, 5]
+
+
+def test_compaction_migrates_evolved_files_to_current_schema(
+    spark, evolved, tmp_path
+):
+    """Compacting a schema-evolved table is the migration path: output
+    files are written in the CURRENT schema WITH field ids (Spark's
+    fieldId.write picks them up from the scan's requested-schema
+    metadata), the new manifest keeps schema_fields, and post-compaction
+    reads are identical."""
+    from iceberg_compaction_spark.compaction import Compaction
+    from iceberg_compaction_spark.config import CompactionConfig
+    from iceberg_compaction_spark.sources.schema_evo import file_field_ids
+
+    out_root = str(tmp_path / "out")
+    comp = Compaction(spark=spark, config=CompactionConfig.full())
+    plans = comp.plan(evolved)
+    results = [comp.rewrite(p, out_dir=out_root) for p in plans]
+    new = comp.commit(evolved, results)
+
+    assert new.schema_fields == evolved.schema_fields  # carried through
+    _check(read_table_mor(spark, new).collect())
+
+    added = [
+        t for t in new.data_files
+        if t.data_file_path.startswith(out_root)
+    ]
+    assert added
+    for t in added:
+        sch = pq.read_schema(t.data_file_path)
+        assert sch.names == ["id", "new_name", "extra", "small"]
+        ids = file_field_ids(sch)
+        assert ids == {1: "id", 2: "new_name", 4: "extra", 3: "small"}
+
+
+def test_evolve_schema_validates_field_id_discipline():
+    m = Manifest(table_root="/x", schema_fields=[dict(f) for f in V1])
+    # valid evolution: rename id 2, add id 3, promote id 4 int->long
+    sid = m.evolve_schema(V2)
+    assert sid == 1 and [f["name"] for f in m.schema_fields] == [
+        "id", "new_name", "extra", "small",
+    ]
+    # narrowing a kept id is rejected
+    bad = [dict(f) for f in V2]
+    bad[3] = {"id": 3, "name": "small", "type": "int"}
+    with pytest.raises(ValueError, match="widening"):
+        m.evolve_schema(bad)
+    # recycling a retired id is rejected
+    with pytest.raises(ValueError, match="duplicate"):
+        m.evolve_schema([*V2, {"id": 3, "name": "dup", "type": "int"}])
+    # recycling a retired (dropped) id is rejected: drop small (id 3),
+    # then try to add a NEW column reusing id 3
+    m2 = Manifest(table_root="/x", schema_fields=[dict(f) for f in V2])
+    m2.evolve_schema([f for f in V2 if f["id"] != 3])  # drop small
+    with pytest.raises(ValueError, match="recycles"):
+        m2.evolve_schema([
+            *[f for f in V2 if f["id"] != 3],
+            {"id": 3, "name": "reborn", "type": "string"},
+        ])
+
+
+def test_hadoop_catalog_commit_carries_evolved_schema(spark, tmp_path):
+    """Renaming through the REAL-metadata catalog: evolve_schema + commit
+    writes the new schema (old retained in the schemas array), and the
+    next load resolves pre-rename files through it."""
+    from iceberg_compaction_spark.sources.iceberg_meta import (
+        IcebergHadoopCatalog,
+    )
+
+    root = str(tmp_path / "wh" / "t" / "data")
+    os.makedirs(root)
+    p = os.path.join(root, "f1.parquet")
+    tbl = pa.table({"id": pa.array([1, 2], type=pa.int64()),
+                    "old_name": ["a", "b"]})
+    pq.write_table(
+        tbl.cast(se.arrow_schema_with_ids(tbl.schema, {"id": 1, "old_name": 2})),
+        p,
+    )
+    cat = IcebergHadoopCatalog(warehouse=str(tmp_path / "wh"))
+    m0 = Manifest(
+        table_root=root, snapshot_id=1, sequence_number=1,
+        data_files=[FileScanTask(
+            data_file_path=p, length=os.path.getsize(p),
+            file_size_in_bytes=os.path.getsize(p), record_count=2,
+            sequence_number=1,
+        )],
+    )
+    cat.create_table(
+        "t", m0,
+        schema_fields=[
+            {"id": 1, "name": "id", "type": "long", "required": True},
+            {"id": 2, "name": "old_name", "type": "string"},
+        ],
+    )
+
+    cur = cat.load_table("t")
+    # a schema CHANGE without a schema_id bump is refused
+    stale = Manifest.from_dict(cur.to_dict())
+    stale.snapshot_id = cur.snapshot_id + 1
+    stale.schema_fields = [
+        {"id": 1, "name": "id", "type": "long", "required": True},
+        {"id": 2, "name": "renamed", "type": "string"},
+    ]
+    with pytest.raises(ValueError, match="evolve_schema"):
+        cat.commit_table("t", cur.snapshot_id, stale)
+
+    new = Manifest.from_dict(cur.to_dict())
+    new.snapshot_id = cur.snapshot_id + 1
+    new.evolve_schema([
+        {"id": 1, "name": "id", "type": "long", "required": True},
+        {"id": 2, "name": "renamed", "type": "string"},
+        {"id": 3, "name": "added", "type": "double"},
+    ])
+    cat.commit_table("t", cur.snapshot_id, new)
+
+    loaded = cat.load_table("t")
+    assert [f["name"] for f in loaded.schema_fields] == [
+        "id", "renamed", "added",
+    ]
+    rows = read_table_mor(spark, loaded).collect()
+    assert {(r["id"], r["renamed"], r["added"]) for r in rows} == {
+        (1, "a", None), (2, "b", None),
+    }
+    # prior schema retained in the metadata's schemas array
+    import json as _json
+
+    mdir = os.path.join(str(tmp_path / "wh"), "t", "metadata")
+    vpath = sorted(
+        os.path.join(mdir, n)
+        for n in os.listdir(mdir)
+        if n.endswith(".metadata.json")
+    )[-1]
+    md = _json.load(open(vpath))
+    assert len(md["schemas"]) == 2
+    assert md["current-schema-id"] == loaded.schema_id

@@ -97,6 +97,38 @@ def scale_lineitem(spark, src: str, dst: str, factor: int) -> None:
     out.write.mode("overwrite").parquet(f"{dst}/lineitem.parquet")
 
 
+def scale_orders(spark, src: str, dst: str, factor: int) -> None:
+    # o_orderkey shifts by the SAME stride as lineitem's l_orderkey so
+    # the order-revenue join keeps exactly one match per replica pair;
+    # o_custkey shifts too so customer-side joins stay per-replica
+    base = spark.read.parquet(f"{src}/orders.parquet")
+    reps = spark.range(factor).select(F.col("id").alias("rep"))
+    out = (
+        base.crossJoin(F.broadcast(reps))
+        .withColumn("o_orderkey", F.col("o_orderkey") + F.col("rep") * ID_STRIDE)
+        .withColumn("o_custkey", F.col("o_custkey") + F.col("rep") * ID_STRIDE)
+        .drop("rep")
+    )
+    out.write.mode("overwrite").parquet(f"{dst}/orders.parquet")
+
+
+def scale_events(spark, src: str, dst: str, factor: int) -> None:
+    # user/event ids shift per replica (each replica is a disjoint user
+    # population — sessionization/funnel state stays per-user-sized);
+    # timestamps keep their range so window/watermark shapes are
+    # unchanged, the event RATE per window grows by the factor — which
+    # is exactly how a bigger deployment looks
+    base = spark.read.parquet(f"{src}/events.parquet")
+    reps = spark.range(factor).select(F.col("id").alias("rep"))
+    out = (
+        base.crossJoin(F.broadcast(reps))
+        .withColumn("event_id", F.col("event_id") + F.col("rep") * ID_STRIDE)
+        .withColumn("user_id", F.col("user_id") + F.col("rep") * ID_STRIDE)
+        .drop("rep")
+    )
+    out.write.mode("overwrite").parquet(f"{dst}/events.parquet")
+
+
 def main() -> None:
     factor = int(sys.argv[1]) if len(sys.argv) > 1 else 10
     src = sys.argv[2] if len(sys.argv) > 2 else "/root/testdata/sf0.1"
@@ -116,9 +148,11 @@ def main() -> None:
     scale_documents(spark, src, dst, factor)
     scale_embeddings(spark, src, dst, factor)
     scale_lineitem(spark, src, dst, factor)
-    # small dims pass through unscaled (queries that join them key on the
-    # unshifted id ranges of replica 0 only if filtered; the heavy set
-    # below doesn't use them)
+    scale_orders(spark, src, dst, factor)
+    scale_events(spark, src, dst, factor)
+    # small dims pass through unscaled (genuine dimension tables: a 10x
+    # fact load does not imply 10x regions/nations; supplier/part/
+    # customer joins stay broadcast-sized exactly as they would at scale)
     import shutil
 
     for t in [
@@ -127,8 +161,6 @@ def main() -> None:
         "customer",
         "supplier",
         "part",
-        "orders",
-        "events",
     ]:
         s = f"{src}/{t}.parquet"
         d = f"{dst}/{t}.parquet"
