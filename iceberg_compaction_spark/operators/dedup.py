@@ -989,6 +989,7 @@ def span_dup_coverage(
     text_col: str = "text",
     id_col: str = "doc_id",
     k: int = 8,
+    max_df: int | None = None,
 ) -> DataFrame:
     """Exact shared-span coverage: for each document, how much of it is
     k-token text that appears VERBATIM in at least one other document.
@@ -1012,7 +1013,17 @@ def span_dup_coverage(
     aggregation, and one shuffle join of the stream against the
     cross-doc-duplicated hash set.  No window functions, no driver
     materialization, no quadratic pair set; the per-shingle md5 is a
-    JVM-side codegen expression.
+    JVM-side codegen expression.  The "appears in >= 2 distinct docs"
+    predicate is expressed as ``min(doc_id) != max(doc_id)`` — fully
+    map-side combinable, one exchange cheaper than a distinct-count.
+
+    ``max_df`` caps the document frequency of shingles that COUNT as
+    duplicated (stop-shingle treatment, mirroring ``jaccard_pairs``):
+    a boilerplate shingle present in millions of documents is dropped
+    from the dup set, bounding the fan-in of the stream-vs-dup-set
+    join without relying on AQE skew splitting.  Coverage is then
+    "share of spans duplicated in 2..max_df docs"; None keeps the
+    exact semantics.
     """
     toks = F.split(F.trim(F.lower(F.col(text_col))), r"\s+")
     n = F.size(toks)
@@ -1036,12 +1047,23 @@ def span_dup_coverage(
         .select(F.col(id_col), shingles.alias("__sh"))
         .select(F.col(id_col), F.explode("__sh").alias("h"))
     )
-    dup = (
-        sh.groupBy("h")
-        .agg(F.count_distinct(F.col(id_col)).alias("__docs"))
-        .where(F.col("__docs") >= 2)
-        .select("h")
-    )
+    if max_df is None:
+        # ">= 2 distinct docs" as min != max: partial min/max combine
+        # map-side, so the shingle stream shuffles once (no two-phase
+        # distinct rewrite, one fewer exchange than count_distinct).
+        dup = (
+            sh.groupBy("h")
+            .agg(F.min(id_col).alias("__lo"), F.max(id_col).alias("__hi"))
+            .where(F.col("__lo") != F.col("__hi"))
+            .select("h")
+        )
+    else:
+        dup = (
+            sh.groupBy("h")
+            .agg(F.count_distinct(F.col(id_col)).alias("__docs"))
+            .where((F.col("__docs") >= 2) & (F.col("__docs") <= max_df))
+            .select("h")
+        )
     tot = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("total_shingles"))
     d = (
         sh.join(dup, "h")

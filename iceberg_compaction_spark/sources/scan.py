@@ -171,7 +171,8 @@ def read_data_files(
                     return bool(file_field_ids(_pq.read_schema(fh)))
 
             with_ids = [p for p in paths if _has_ids(p)]
-            without = [p for p in paths if p not in set(with_ids)]
+            _ids = set(with_ids)
+            without = [p for p in paths if p not in _ids]
             if with_ids and not without:
                 # the spec-compliant case: every data file carries ids
                 # — Spark's native field-id resolution, fully JVM-side

@@ -661,3 +661,32 @@ def test_span_dup_coverage_exact(spark):
     assert got[3]["dup_shingles"] == 0 and got[3]["dup_ppm"] == 0
     assert got[1]["total_shingles"] == 6  # 13 tokens -> 6 windows
     assert got[1]["dup_ppm"] == 166666
+
+
+def test_span_dup_coverage_max_df_caps_stop_shingles(spark):
+    """max_df drops boilerplate shingles from the dup set: with the
+    shared shingle present in 3 docs, max_df=2 zeroes coverage while
+    max_df=3 (and the default) keep it."""
+    from iceberg_compaction_spark.operators import dedup as dd
+
+    boiler = "all rights reserved licensed under the apache license"
+    rows = [
+        (1, boiler + " unique tail one two three"),
+        (2, boiler + " other ending entirely different here"),
+        (3, boiler + " third carrier of the same boilerplate"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    capped = {
+        r["doc_id"]: r["dup_shingles"]
+        for r in dd.span_dup_coverage(df, k=8, max_df=2).collect()
+    }
+    assert capped == {1: 0, 2: 0, 3: 0}
+    kept = {
+        r["doc_id"]: r["dup_shingles"]
+        for r in dd.span_dup_coverage(df, k=8, max_df=3).collect()
+    }
+    default = {
+        r["doc_id"]: r["dup_shingles"]
+        for r in dd.span_dup_coverage(df, k=8).collect()
+    }
+    assert kept == default == {1: 1, 2: 1, 3: 1}

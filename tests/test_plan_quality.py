@@ -473,3 +473,27 @@ def test_field_id_read_keeps_pushdown_and_codegen(spark, tmp_path):
     assert "codegen id" in s  # filter runs inside whole-stage codegen
     assert "Exchange" not in s
     assert [r["id"] for r in df.collect()] == [7]
+
+
+def test_span_coverage_dup_set_is_min_max_not_distinct(spark):
+    """The duplicated-shingle set uses min(doc_id) != max(doc_id): fully
+    map-side combinable, so the shingle stream shuffles once per agg —
+    the two-phase distinct rewrite (one extra exchange) must only appear
+    when a max_df cap genuinely needs a document-frequency count."""
+    from iceberg_compaction_spark.operators import dedup as dd
+
+    df = spark.read.parquet(f"{SF}/documents.parquet")
+    p_default = plan_of(dd.span_dup_coverage(df, k=8))
+    p_capped = plan_of(dd.span_dup_coverage(df, k=8, max_df=50))
+    assert "distinct" not in p_default.lower()
+
+    def n_exchanges(p: str) -> int:
+        return sum(
+            1
+            for ln in p.splitlines()
+            if "Exchange" in ln
+            and "Reused" not in ln
+            and "BroadcastExchange" not in ln
+        )
+
+    assert n_exchanges(p_default) < n_exchanges(p_capped)
