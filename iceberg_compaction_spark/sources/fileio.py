@@ -40,6 +40,27 @@ class UnsupportedScheme(ValueError):
     """A URI whose scheme no registered FileIO claims."""
 
 
+def _fsspec_base_classes() -> tuple:
+    """The fsspec base classes whose inherited ``pipe_file`` must NOT be
+    trusted as a conditional PUT (their implementation is a non-atomic
+    exists-then-write).  Module-level so tests can monkeypatch the base
+    set without fsspec installed."""
+    bases = []
+    try:
+        from fsspec.spec import AbstractFileSystem
+
+        bases.append(AbstractFileSystem)
+    except ImportError:
+        pass
+    try:
+        from fsspec.asyn import AsyncFileSystem
+
+        bases.append(AsyncFileSystem)
+    except ImportError:
+        pass
+    return tuple(bases)
+
+
 class FileIO:
     """Abstract byte-level filesystem contract (see module doc)."""
 
@@ -326,17 +347,92 @@ class FsspecFileIO(FileIO):
         with self._fs.open(path, "wb") as f:
             f.write(data)
 
+    def _overrides_pipe_file(self) -> bool:
+        """True iff the backend class itself implements pipe_file.
+
+        fsspec's base ``AbstractFileSystem.pipe_file`` (2024.6+) ACCEPTS
+        ``mode='create'`` but implements it as a non-atomic
+        exists()-then-write and raises none of the exceptions the caller
+        traps — a backend that merely INHERITS it would silently turn
+        the catalog's commit CAS into a TOCTOU race (two committers can
+        both win a version file).  So the conditional-PUT path is
+        trusted only when ``pipe_file`` or ``_pipe_file`` (async
+        backends like s3fs put the If-None-Match header there) is
+        defined by the concrete class or an intermediate subclass, not
+        inherited from fsspec's bases.
+        """
+        bases = _fsspec_base_classes()
+        cls = type(self._fs)
+        for name in ("pipe_file", "_pipe_file"):
+            if getattr(cls, name, None) is None:
+                continue
+            for c in cls.__mro__:
+                if name in vars(c):
+                    if c not in bases:
+                        return True
+                    break
+        return False
+
+    # semantic-probe verdicts, cached per backend class (class attr so
+    # every FsspecFileIO over the same backend shares one probe)
+    _probe_cache: dict = {}
+
+    def _probe_create_mode(self, near_path: str) -> bool:
+        """One-time behavioral check that ``mode='create'`` is honored.
+
+        An override check alone cannot catch a backend whose pipe_file
+        ACCEPTS the kwarg but ignores it (silently overwriting — the
+        worst case: every racing committer 'wins').  Probe once per
+        backend class: create a sentinel next to the target, create it
+        AGAIN with mode='create', and require FileExistsError the
+        second time.  Cannot prove atomicity (a TOCTOU emulation also
+        raises here) — that is what ``_overrides_pipe_file`` screens.
+        """
+        cls = type(self._fs)
+        cached = FsspecFileIO._probe_cache.get(cls)
+        if cached is not None:
+            return cached
+        import uuid
+
+        parent = near_path.rsplit("/", 1)[0]
+        probe = f"{parent}/.cas-probe-{uuid.uuid4().hex}"
+        ok = False
+        try:
+            self._fs.pipe_file(probe, b"a", mode="create")
+            try:
+                self._fs.pipe_file(probe, b"b", mode="create")
+            except FileExistsError:
+                ok = True
+        except (TypeError, ValueError, NotImplementedError):
+            ok = False
+        finally:
+            try:
+                self._fs.rm(probe)
+            except Exception:
+                pass
+        FsspecFileIO._probe_cache[cls] = ok
+        return ok
+
     def create_exclusive(self, path: str, data: bytes) -> bool:
         # Conditional PUT (If-None-Match: *) where the backend exposes
         # it — s3fs ≥2024 maps ``pipe_file(..., mode="create")`` to
         # exactly that header, and S3/GCS/Azure all honor it server-side
         # now, which is the same primitive the reference's catalog
         # relies on for commit CAS (core/src/compaction/mod.rs:270,450).
-        # A backend without the capability still RAISES loudly: an
-        # exists-then-write emulation can silently lose commits under
-        # contention, which is worse than failing.
+        # Trusted only past two screens (ADVICE r7, high): the concrete
+        # class must OVERRIDE pipe_file (fsspec's inherited base impl is
+        # a non-atomic exists-then-write that raises nothing we trap),
+        # and a one-time probe must show mode='create' actually raises
+        # on an existing key (an accept-but-ignore backend would
+        # silently overwrite).  Anything else RAISES loudly: an
+        # emulated CAS can silently lose commits under contention,
+        # which is worse than failing.
         pipe = getattr(self._fs, "pipe_file", None)
-        if pipe is not None:
+        if (
+            pipe is not None
+            and self._overrides_pipe_file()
+            and self._probe_create_mode(path)
+        ):
             try:
                 pipe(path, data, mode="create")
                 return True

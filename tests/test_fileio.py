@@ -353,3 +353,91 @@ def test_catalog_full_lifecycle_over_conditional_put_fsspec():
         from iceberg_compaction_spark.sources import fileio as _fio
 
         _fio._REGISTRY.pop("fks3", None)
+
+
+def test_fsspec_cas_rejects_base_class_pipe_file(monkeypatch):
+    """A backend that merely INHERITS pipe_file from fsspec's
+    AbstractFileSystem must not be trusted: the base implementation is a
+    non-atomic exists()-then-write, so an inherited mode='create' is a
+    TOCTOU race, not a CAS (ADVICE r7, high).  fsspec is not installed
+    here, so the base set is monkeypatched to a stand-in."""
+    from iceberg_compaction_spark.sources import fileio as fio
+
+    class _FakeAbstractFS:
+        def pipe_file(self, path, data, mode="overwrite"):
+            # the hazard: honors mode='create' semantics but via
+            # exists-then-write — looks correct, races under contention
+            raise AssertionError("must never be called")
+
+    class _Inheriting(_FakeAbstractFS):
+        pass
+
+    monkeypatch.setattr(
+        fio, "_fsspec_base_classes", lambda: (_FakeAbstractFS,)
+    )
+    f = fio.FsspecFileIO.__new__(fio.FsspecFileIO)
+    f._fs = _Inheriting()
+    f._scheme = "fks3"
+    with pytest.raises(fio.UnsupportedScheme, match="conditional"):
+        f.create_exclusive("fks3://b/v.json", b"x")
+
+    # the same method DEFINED on the concrete class is trusted (screen 1)
+    class _Overriding(_FakeAbstractFS):
+        def pipe_file(self, path, data, mode="overwrite"):
+            raise TypeError("no mode")  # fails screen 2 instead
+
+    f._fs = _Overriding()
+    fio.FsspecFileIO._probe_cache.pop(_Overriding, None)
+    with pytest.raises(fio.UnsupportedScheme, match="conditional"):
+        f.create_exclusive("fks3://b/v.json", b"x")
+
+
+def test_fsspec_cas_rejects_mode_ignoring_backend():
+    """A backend whose pipe_file ACCEPTS mode but ignores it would let
+    every racing committer 'win' (silent overwrite — the worst failure).
+    The one-time behavioral probe must catch it and raise loudly, and
+    the existing version file must remain untouched (VERDICT r7 #7)."""
+    from iceberg_compaction_spark.sources import fileio as fio
+
+    class _IgnoresMode(_DictFS):
+        def pipe_file(self, path, data, mode="overwrite"):
+            return super().pipe_file(path, data)  # drops mode on the floor
+
+    f = fio.FsspecFileIO.__new__(fio.FsspecFileIO)
+    f._fs = _IgnoresMode()
+    f._scheme = "fks3"
+    fio.FsspecFileIO._probe_cache.pop(_IgnoresMode, None)
+    f.write_bytes("fks3://b/v7.json", b"committed")
+    with pytest.raises(fio.UnsupportedScheme, match="conditional"):
+        f.create_exclusive("fks3://b/v7.json", b"usurper")
+    assert f.read_bytes("fks3://b/v7.json") == b"committed"
+    # verdict is cached per backend class: second call fails fast too
+    with pytest.raises(fio.UnsupportedScheme):
+        f.create_exclusive("fks3://b/v8.json", b"x")
+    # and no probe droppings remain next to the version files
+    assert not [k for k in f._fs.store if ".cas-probe-" in k]
+
+
+def test_fsspec_cas_probe_runs_once_per_backend_class():
+    """The semantic probe is 3 object-store ops — cached per backend
+    class so N commits pay for one probe, and a healthy conditional-PUT
+    backend still has exactly one winner per version file."""
+    from iceberg_compaction_spark.sources import fileio as fio
+
+    class _Counting(_DictFS):
+        calls = 0
+
+        def pipe_file(self, path, data, mode="overwrite"):
+            _Counting.calls += 1
+            return super().pipe_file(path, data, mode=mode)
+
+    f = fio.FsspecFileIO.__new__(fio.FsspecFileIO)
+    f._fs = _Counting()
+    f._scheme = "fks3"
+    fio.FsspecFileIO._probe_cache.pop(_Counting, None)
+    assert f.create_exclusive("fks3://b/v1.json", b"a") is True
+    after_first = _Counting.calls  # probe (2) + the real create (1)
+    assert f.create_exclusive("fks3://b/v2.json", b"b") is True
+    assert f.create_exclusive("fks3://b/v2.json", b"c") is False
+    assert _Counting.calls == after_first + 2  # no re-probe
+    assert f.read_bytes("fks3://b/v2.json") == b"b"
