@@ -334,6 +334,9 @@ def load_iceberg_table(
         # columns by id (schema_evo.py), so files written before a
         # rename/add still read correctly through this schema
         schema_fields=[dict(f) for f in _current_schema_fields(md)],
+        # monotonic id high-water mark: evolutions on the loaded
+        # manifest must not recycle ids retired in EARLIER versions
+        last_column_id=int(md.get("last-column-id", 0)),
     )
 
 
@@ -861,19 +864,24 @@ class IcebergHadoopCatalog:
             if new_manifest.schema_fields
             else prev_fields
         )
-        prior_schemas = []
-        if schema_fields != prev_fields:
-            if new_manifest.schema_id == prev_sid:
-                raise ValueError(
-                    f"{name}: schema changed but schema_id still "
-                    f"{prev_sid} — evolve via Manifest.evolve_schema "
-                    "(bumps the id) so old metadata stays resolvable"
-                )
-            prior_schemas = [
-                s
-                for s in prev_md.get("schemas", [])
-                if s.get("schema-id") != new_manifest.schema_id
-            ]
+        if schema_fields != prev_fields and new_manifest.schema_id == prev_sid:
+            raise ValueError(
+                f"{name}: schema changed but schema_id still "
+                f"{prev_sid} — evolve via Manifest.evolve_schema "
+                "(bumps the id) so old metadata stays resolvable"
+            )
+        # ALWAYS carry the previous metadata's schemas array forward
+        # (deduped by schema-id), not only on the commit that changes
+        # the schema: an unchanged-schema commit that re-derived
+        # schemas=[current] would erase the history readers of older
+        # snapshots resolve against, and let last-column-id decrease
+        # below previously allocated ids — the spec requires it be
+        # monotonic (ADVICE r7, medium).
+        prior_schemas = [
+            s
+            for s in prev_md.get("schemas", [])
+            if s.get("schema-id") != new_manifest.schema_id
+        ]
         try:
             self._write_version(
                 name,
@@ -881,6 +889,7 @@ class IcebergHadoopCatalog:
                 schema_fields,
                 exclusive=True,
                 prior_schemas=prior_schemas,
+                prior_last_column_id=int(prev_md.get("last-column-id", 0)),
             )
         except FileExistsError:
             raise CommitConflict(
@@ -908,6 +917,7 @@ class IcebergHadoopCatalog:
         schema_fields: list[dict],
         exclusive: bool,
         prior_schemas: list[dict] | None = None,
+        prior_last_column_id: int = 0,
     ) -> None:
         mdir = self._mdir(name)
         version = manifest.snapshot_id
@@ -936,13 +946,19 @@ class IcebergHadoopCatalog:
             ),
             "last-sequence-number": manifest.sequence_number,
             "last-updated-ms": now_ms,
+            # monotonic per the spec: never below what any prior
+            # version allocated, even if those schemas are gone
             "last-column-id": max(
-                (
-                    f["id"]
-                    for s in all_schemas
-                    for f in s.get("fields", [])
+                prior_last_column_id,
+                manifest.last_column_id,
+                max(
+                    (
+                        f["id"]
+                        for s in all_schemas
+                        for f in s.get("fields", [])
+                    ),
+                    default=0,
                 ),
-                default=0,
             ),
             "current-schema-id": manifest.schema_id,
             "schemas": all_schemas,

@@ -167,6 +167,14 @@ class Manifest:
     # columns by FIELD ID (sources/schema_evo.py) so files written
     # before a rename/add/drop still read correctly.
     schema_fields: list[dict] = field(default_factory=list)
+    # highest field id EVER allocated (Iceberg's last-column-id,
+    # monotonic).  0 = derive from the current schema.  Tracked
+    # separately because the current schema's max id DROPS when the
+    # highest-id column is dropped — validating new ids against the
+    # current max alone would let the next evolution recycle the
+    # retired id and resurrect the dropped column's old values from
+    # pre-drop data files (ADVICE r7, medium).
+    last_column_id: int = 0
 
     # ---- construction ------------------------------------------------------
 
@@ -259,6 +267,11 @@ class Manifest:
                 if self.schema_fields
                 else {}
             ),
+            **(
+                {"last_column_id": self.last_column_id}
+                if self.last_column_id
+                else {}
+            ),
             "data_files": [
                 {
                     "path": t.data_file_path,
@@ -342,6 +355,7 @@ class Manifest:
             default_spec_id=d.get("default_spec_id", 0),
             operation=d.get("operation", ""),
             schema_fields=[dict(f) for f in d.get("schema_fields", [])],
+            last_column_id=int(d.get("last_column_id", 0)),
         )
 
     # ---- spec evolution ----------------------------------------------------
@@ -394,9 +408,14 @@ class Manifest:
         - a KEPT id may change name freely (rename) but its type may
           only WIDEN (int->long, float->double, decimal precision up at
           equal scale) — narrowing would corrupt existing files;
-        - a NEW field must use an id never used by the current schema
-          (ids are never recycled: a recycled id would resurrect a
-          dropped column's old values);
+        - a KEPT id may relax required->optional but never tighten
+          optional->required (old files may hold NULLs);
+        - a NEW field must use an id above ``last_column_id`` — the
+          highest id EVER allocated, not merely the current schema's
+          max (ids are never recycled even across a drop: a recycled
+          id would resurrect a dropped column's old values), and must
+          be optional (the spec forbids required new columns absent a
+          default value, which this model does not carry);
         - ids must be unique within the new schema.
 
         Returns the new ``schema_id``.
@@ -423,7 +442,7 @@ class Manifest:
                 return int(sn) == int(so) and int(pn) >= int(po)
             return False
 
-        max_old = max(old_by_id, default=0)
+        last = max(self.last_column_id, max(old_by_id, default=0))
         for f in new:
             fid = int(f["id"])
             old = old_by_id.get(fid)
@@ -435,13 +454,32 @@ class Manifest:
                         f"{f['type']!r} — only widening promotions are "
                         "safe for existing files"
                     )
-            elif self.schema_fields and fid <= max_old:
-                raise ValueError(
-                    f"new field {f['name']!r} recycles id {fid} (last "
-                    f"column id {max_old}); ids are never reused"
-                )
+                if bool(f.get("required")) and not bool(
+                    old.get("required")
+                ):
+                    raise ValueError(
+                        f"field id {fid} ({f['name']!r}): optional -> "
+                        "required is forbidden — existing files may "
+                        "hold NULLs in a column the schema would "
+                        "declare non-nullable"
+                    )
+            else:
+                if self.schema_fields and fid <= last:
+                    raise ValueError(
+                        f"new field {f['name']!r} recycles id {fid} "
+                        f"(last column id {last}); ids are never "
+                        "reused, even after a drop"
+                    )
+                if bool(f.get("required")):
+                    raise ValueError(
+                        f"new field {f['name']!r} (id {fid}) cannot be "
+                        "required: existing files project NULL for it "
+                        "(the spec requires new columns be optional "
+                        "absent a default value)"
+                    )
         self.schema_fields = new
         self.schema_id += 1
+        self.last_column_id = max(last, max(ids, default=0))
         return self.schema_id
 
     def spec_fields(self) -> list:

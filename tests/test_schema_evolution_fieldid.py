@@ -380,3 +380,114 @@ def test_hadoop_catalog_commit_carries_evolved_schema(spark, tmp_path):
     md = _json.load(open(vpath))
     assert len(md["schemas"]) == 2
     assert md["current-schema-id"] == loaded.schema_id
+
+
+def test_evolve_schema_never_recycles_ids_across_drop_of_highest():
+    """ADVICE r7 (medium): dropping the HIGHEST-id column must not let
+    the next evolution reuse that id — the current schema's max drops,
+    but last_column_id is the monotonic high-water mark, persisted
+    through to_dict/from_dict."""
+    m = Manifest(table_root="/x", schema_fields=[dict(f) for f in V2])
+    m.evolve_schema([f for f in V2 if f["id"] != 4])  # drop extra (max id)
+    assert m.last_column_id == 4
+    with pytest.raises(ValueError, match="recycles"):
+        m.evolve_schema([
+            *[f for f in V2 if f["id"] != 4],
+            {"id": 4, "name": "reborn", "type": "string"},
+        ])
+    # survives a manifest round-trip (save/load path)
+    m2 = Manifest.from_dict(m.to_dict())
+    assert m2.last_column_id == 4
+    with pytest.raises(ValueError, match="recycles"):
+        m2.evolve_schema([
+            *[f for f in V2 if f["id"] != 4],
+            {"id": 4, "name": "reborn", "type": "string"},
+        ])
+    # the NEXT fresh id is fine and advances the high-water mark
+    m2.evolve_schema([
+        *[f for f in V2 if f["id"] != 4],
+        {"id": 5, "name": "fresh", "type": "string"},
+    ])
+    assert m2.last_column_id == 5
+
+
+def test_evolve_schema_rejects_required_tightening():
+    """ADVICE r7 (low): new columns must be optional (old files project
+    NULL into them) and optional -> required never tightens (old files
+    may hold NULLs)."""
+    m = Manifest(table_root="/x", schema_fields=[dict(f) for f in V1])
+    with pytest.raises(ValueError, match="required"):
+        m.evolve_schema([
+            *V1, {"id": 4, "name": "strict", "type": "long",
+                  "required": True},
+        ])
+    tightened = [dict(f) for f in V1]
+    tightened[1]["required"] = True  # old_name optional -> required
+    with pytest.raises(ValueError, match="optional"):
+        m.evolve_schema(tightened)
+    # relaxing required -> optional is allowed
+    relaxed = [dict(f) for f in V1]
+    relaxed[0]["required"] = False
+    m.evolve_schema(relaxed)
+
+
+def test_hadoop_catalog_unchanged_schema_commit_keeps_history(tmp_path):
+    """ADVICE r7 (medium): an unchanged-schema commit after an evolution
+    must carry the full schemas array forward and keep last-column-id
+    monotonic — not re-derive both from the current schema alone."""
+    import json as _json
+
+    from iceberg_compaction_spark.sources.iceberg_meta import (
+        IcebergHadoopCatalog,
+    )
+
+    root = str(tmp_path / "wh" / "t" / "data")
+    os.makedirs(root)
+    p = os.path.join(root, "f1.parquet")
+    tbl = pa.table({"id": pa.array([1], type=pa.int64()),
+                    "old_name": ["a"], "small": pa.array([7], pa.int32())})
+    pq.write_table(
+        tbl.cast(se.arrow_schema_with_ids(
+            tbl.schema, {"id": 1, "old_name": 2, "small": 3})),
+        p,
+    )
+    cat = IcebergHadoopCatalog(warehouse=str(tmp_path / "wh"))
+    m0 = Manifest(
+        table_root=root, snapshot_id=1, sequence_number=1,
+        data_files=[FileScanTask(
+            data_file_path=p, length=os.path.getsize(p),
+            file_size_in_bytes=os.path.getsize(p), record_count=1,
+            sequence_number=1,
+        )],
+    )
+    cat.create_table("t", m0, schema_fields=[dict(f) for f in V1])
+
+    # v2: evolve (rename + add id 4 + promote), schema history = [v0, v1]
+    cur = cat.load_table("t")
+    ev = Manifest.from_dict(cur.to_dict())
+    ev.snapshot_id = cur.snapshot_id + 1
+    ev.evolve_schema([dict(f) for f in V2])
+    cat.commit_table("t", cur.snapshot_id, ev)
+
+    # v3: plain data commit, schema UNCHANGED
+    cur = cat.load_table("t")
+    assert cur.last_column_id == 4  # loaded from metadata
+    nxt = Manifest.from_dict(cur.to_dict())
+    nxt.snapshot_id = cur.snapshot_id + 1
+    cat.commit_table("t", cur.snapshot_id, nxt)
+
+    mdir = os.path.join(str(tmp_path / "wh"), "t", "metadata")
+    v3 = _json.loads(open(os.path.join(
+        mdir, f"v{nxt.snapshot_id}.metadata.json")).read())
+    assert sorted(s["schema-id"] for s in v3["schemas"]) == [0, 1]
+    assert v3["last-column-id"] == 4
+    # and a drop of the highest id in a later evolution cannot shrink it
+    cur = cat.load_table("t")
+    drop = Manifest.from_dict(cur.to_dict())
+    drop.snapshot_id = cur.snapshot_id + 1
+    drop.evolve_schema([f for f in V2 if f["id"] != 4])
+    cat.commit_table("t", cur.snapshot_id, drop)
+    v4 = _json.loads(open(os.path.join(
+        mdir, f"v{drop.snapshot_id}.metadata.json")).read())
+    assert v4["last-column-id"] == 4
+    assert cat.load_table("t").last_column_id == 4
