@@ -212,7 +212,10 @@ def bench_reference_workload(spark) -> tuple[float, dict]:
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
-    sf = sf_dir.rstrip("/").split("sf")[-1]
+    # the scaled fixtures live under names like .../icspark-scale-x10-sf0.1
+    # whose trailing "sf0.1" is the SOURCE scale, not the effective one —
+    # let the caller pin the label explicitly for those runs
+    sf = os.environ.get("SPARK_GRAFT_SF") or sf_dir.rstrip("/").split("sf")[-1]
 
     spark = build_spark(cpus)
     from iceberg_compaction_spark import registry

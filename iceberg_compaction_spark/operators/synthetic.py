@@ -430,3 +430,155 @@ def evolution_table_dir(sf_dir: str) -> str:
             return root  # a concurrent builder already published
     export_iceberg_metadata(m, root, v2, prior_schemas=[v1])
     return root
+
+
+def nested_evolution_warehouse(sf_dir: str) -> str:
+    """One-time per sf_dir: a FileCatalog warehouse whose table
+    ``docs_nested`` straddles a NESTED-struct schema evolution (round
+    8; the reference passes nested schemas opaquely —
+    datafusion_processor.rs:741-774 — so this exceeds parity):
+
+    - file A (even doc_id) under schema v1: ``meta``
+      struct<lang(3) string, score(4) int>, struct NULL when
+      ``doc_id % 7 == 0``;
+    - file B (odd doc_id) under the CURRENT schema v2: struct RENAMED
+      meta->info, child RENAMED lang->language, child score PROMOTED
+      int->long, child ``tokens(5) long`` ADDED (= char length of
+      text).
+
+    Values derive deterministically from the fixture so the
+    ``mor_nested_rename`` oracle can reconstruct them from raw
+    ``documents``: lang/language = ['en','fr','de'][doc_id % 3],
+    score = doc_id % 100.  Returns the warehouse path.
+    """
+    import hashlib
+    import os
+    import shutil
+    import tempfile
+    import uuid as _uuid
+
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    import pyarrow.parquet as pq
+
+    from iceberg_compaction_spark.plans.datamodel import FileScanTask
+    from iceberg_compaction_spark.sources.catalog import FileCatalog
+    from iceberg_compaction_spark.sources.manifest import Manifest
+    from iceberg_compaction_spark.sources.schema_evo import (
+        ARROW_FIELD_ID_KEY,
+    )
+
+    src = os.path.join(sf_dir, "documents.parquet")
+    st = os.stat(src)
+    key = hashlib.md5(
+        f"nevo|{src}|{st.st_size}|{st.st_mtime_ns}".encode()
+    ).hexdigest()[:10]
+    root = os.path.join(tempfile.gettempdir(), f"icspark-nevo-{key}")
+    wh = os.path.join(root, "wh")
+    if os.path.isdir(os.path.join(wh, "docs_nested", "metadata")):
+        return wh
+
+    stage = os.path.join(
+        tempfile.gettempdir(),
+        f"icspark-nevo-{key}.{_uuid.uuid4().hex[:8]}.tmp",
+    )
+    os.makedirs(os.path.join(stage, "data"), exist_ok=True)
+    t = pq.read_table(src, columns=["doc_id", "text"])
+    ids = t.column("doc_id").to_numpy()
+    tokens = pc.cast(pc.utf8_length(t.column("text")), pa.int64()).to_numpy(
+        zero_copy_only=False
+    )
+    langs = np.array(["en", "fr", "de"])[ids % 3]
+    score = ids % 100
+    even = (ids % 2) == 0
+
+    def _fid(i):
+        return {ARROW_FIELD_ID_KEY: str(i).encode()}
+
+    # file A: schema v1 (meta struct, int score, nullable struct rows)
+    a_struct = pa.StructArray.from_arrays(
+        [
+            pa.array(langs[even]),
+            pa.array(score[even].astype("int32"), type=pa.int32()),
+        ],
+        fields=[
+            pa.field("lang", pa.string(), metadata=_fid(3)),
+            pa.field("score", pa.int32(), metadata=_fid(4)),
+        ],
+        mask=pa.array((ids[even] % 7) == 0),
+    )
+    a_tbl = pa.Table.from_arrays(
+        [pa.array(ids[even]), a_struct],
+        schema=pa.schema(
+            [
+                pa.field("doc_id", pa.int64(), False, metadata=_fid(1)),
+                pa.field("meta", a_struct.type, metadata=_fid(2)),
+            ]
+        ),
+    )
+    a_path = os.path.join(stage, "data", "old-nested.parquet")
+    pq.write_table(a_tbl, a_path)
+
+    # file B: schema v2 (renamed struct + children, long score, tokens)
+    odd = ~even
+    b_struct = pa.StructArray.from_arrays(
+        [
+            pa.array(langs[odd]),
+            pa.array(score[odd], type=pa.int64()),
+            pa.array(tokens[odd], type=pa.int64()),
+        ],
+        fields=[
+            pa.field("language", pa.string(), metadata=_fid(3)),
+            pa.field("score", pa.int64(), metadata=_fid(4)),
+            pa.field("tokens", pa.int64(), metadata=_fid(5)),
+        ],
+    )
+    b_tbl = pa.Table.from_arrays(
+        [pa.array(ids[odd]), b_struct],
+        schema=pa.schema(
+            [
+                pa.field("doc_id", pa.int64(), False, metadata=_fid(1)),
+                pa.field("info", b_struct.type, metadata=_fid(2)),
+            ]
+        ),
+    )
+    b_path = os.path.join(stage, "data", "new-nested.parquet")
+    pq.write_table(b_tbl, b_path)
+
+    v2 = [
+        {"id": 1, "name": "doc_id", "type": "long", "required": True},
+        {"id": 2, "name": "info", "type": {"type": "struct", "fields": [
+            {"id": 3, "name": "language", "type": "string"},
+            {"id": 4, "name": "score", "type": "long"},
+            {"id": 5, "name": "tokens", "type": "long"},
+        ]}},
+    ]
+
+    def task(p, rows):
+        final = p.replace(stage, root, 1)
+        return FileScanTask(
+            data_file_path=final,
+            length=os.path.getsize(p),
+            file_size_in_bytes=os.path.getsize(p),
+            record_count=rows,
+            sequence_number=1,
+        )
+
+    m = Manifest(
+        table_root=os.path.join(root, "data"),
+        snapshot_id=1,
+        sequence_number=1,
+        schema_id=1,
+        schema_fields=v2,
+        last_column_id=5,
+        data_files=[task(a_path, a_tbl.num_rows), task(b_path, b_tbl.num_rows)],
+    )
+    FileCatalog(warehouse=os.path.join(stage, "wh")).create_table(
+        "docs_nested", m
+    )
+    try:
+        os.rename(stage, root)  # atomic publish; race loser cleans up
+    except OSError:
+        shutil.rmtree(stage, ignore_errors=True)
+    return wh

@@ -1021,7 +1021,10 @@ class IcebergTableDataSource(DataSource):
                 struct_with_field_ids,
             )
 
-            st = struct_with_field_ids(m.schema_fields)
+            # nested=True: THIS read path resolves nested struct
+            # children by id itself (schema_evo._remap_struct_array on
+            # executors), so struct-typed fields are declared here too
+            st = struct_with_field_ids(m.schema_fields, nested=True)
             if st is not None:
                 ddl = ", ".join(
                     f"{f.name} {f.dataType.simpleString()}" for f in st.fields

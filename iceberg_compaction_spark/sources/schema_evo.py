@@ -29,9 +29,14 @@ Files carrying NO field ids (pre-Iceberg imports) fall back to
 name-based resolution — Iceberg's ``schema.name-mapping.default``
 behavior in its default form (field name = mapped name).
 
-Nested types (struct/list/map) fall back to name-based reads: evolution
-inside nested fields is out of scope here and a partial remap would be
-worse than a loud one (callers get the documented fallback, tested).
+Nested STRUCT fields resolve by id on the DataSource/Arrow path
+(``remap_batch_table`` recurses into struct children, so a rename or
+add INSIDE a struct is metadata-only there too — the reference passes
+nested schemas opaquely, so this exceeds reference parity).  The engine
+path (``spark.read``) and list/map types keep the name-based fallback:
+Spark's native field-id matcher is only exercised here for top-level
+primitives, and a partial remap would be worse than a loud, documented
+fallback.
 """
 
 from __future__ import annotations
@@ -61,9 +66,32 @@ _PRIMITIVE_TO_SPARK = {
 }
 
 
-def iceberg_type_to_spark(t):
-    """Spark DataType for an Iceberg PRIMITIVE type string; None for
-    nested/unknown types (callers fall back to name-based reads)."""
+def _is_struct_type(t) -> bool:
+    """True for the Iceberg JSON struct type form
+    ``{"type": "struct", "fields": [...]}``."""
+    return isinstance(t, dict) and t.get("type") == "struct"
+
+
+def iceberg_type_to_spark(t, nested: bool = False):
+    """Spark DataType for an Iceberg type; None for unknown types
+    (callers fall back to name-based reads).  Struct types resolve only
+    with ``nested=True`` (the DataSource path, whose executor-side
+    Arrow remap does its own per-file id resolution); list/map always
+    return None (documented name-fallback)."""
+    if _is_struct_type(t):
+        if not nested:
+            return None
+        out = []
+        for f in t.get("fields", []):
+            dt = iceberg_type_to_spark(f.get("type"), nested=True)
+            if dt is None:
+                return None
+            out.append(
+                T.StructField(
+                    f["name"], dt, nullable=not f.get("required", False)
+                )
+            )
+        return T.StructType(out)
     if not isinstance(t, str):
         return None
     if t in _PRIMITIVE_TO_SPARK:
@@ -76,14 +104,19 @@ def iceberg_type_to_spark(t):
     return None
 
 
-def struct_with_field_ids(fields: list[dict]) -> T.StructType | None:
+def struct_with_field_ids(
+    fields: list[dict], nested: bool = False
+) -> T.StructType | None:
     """Spark StructType for an Iceberg schema field list, each field
     carrying ``parquet.field.id`` metadata so Spark's parquet reader
     resolves columns by id.  None when any field is nested/unknown
-    (caller falls back to plain name-based reads)."""
+    (caller falls back to plain name-based reads).  ``nested=True``
+    admits struct-typed fields — only correct for callers that resolve
+    nested columns themselves (the DataSource's Arrow remap); Spark's
+    native field-id path is left to top-level primitives."""
     out = []
     for f in fields:
-        dt = iceberg_type_to_spark(f.get("type"))
+        dt = iceberg_type_to_spark(f.get("type"), nested=nested)
         if dt is None:
             return None
         out.append(
@@ -113,6 +146,21 @@ def enable_field_id_reads(spark) -> None:
 def iceberg_type_to_arrow(t):
     import pyarrow as pa
 
+    if _is_struct_type(t):
+        children = []
+        for f in t.get("fields", []):
+            ct = iceberg_type_to_arrow(f.get("type"))
+            if ct is None:
+                return None
+            children.append(
+                pa.field(
+                    f["name"],
+                    ct,
+                    nullable=not f.get("required", False),
+                    metadata={ARROW_FIELD_ID_KEY: str(f["id"]).encode()},
+                )
+            )
+        return pa.struct(children)
     m = {
         "boolean": pa.bool_(),
         "int": pa.int32(),
@@ -193,11 +241,67 @@ def physical_name_map(
     return out
 
 
+def _struct_child_index(struct_type) -> dict[int, int]:
+    """field id -> child position for an Arrow struct type (from the
+    ``PARQUET:field_id`` metadata pyarrow round-trips on nested fields);
+    empty when the children carry no ids."""
+    out: dict[int, int] = {}
+    for i in range(struct_type.num_fields):
+        meta = struct_type.field(i).metadata or {}
+        fid = meta.get(ARROW_FIELD_ID_KEY)
+        if fid is not None:
+            try:
+                out[int(fid.decode())] = i
+            except ValueError:
+                pass
+    return out
+
+
+def _remap_struct_array(arr, fields: list[dict]):
+    """Recursively project one StructArray onto the current schema's
+    struct ``fields``: children resolve by field id (name fallback for
+    id-less files), renames are zero-copy, absent children become typed
+    nulls, narrower physical children widen.  Parent validity carries
+    through unchanged."""
+    import pyarrow as pa
+
+    st = arr.type
+    by_id = _struct_child_index(st)
+    by_name = {st.field(i).name: i for i in range(st.num_fields)}
+    n = len(arr)
+    children, names = [], []
+    for f in fields:
+        idx = (
+            by_id.get(int(f["id"]))
+            if by_id
+            else by_name.get(f["name"])
+        )
+        ft = f.get("type")
+        at = iceberg_type_to_arrow(ft)
+        if idx is not None:
+            child = arr.field(idx)
+            if _is_struct_type(ft) and pa.types.is_struct(child.type):
+                child = _remap_struct_array(child, ft["fields"])
+            elif at is not None and child.type != at:
+                child = child.cast(at)
+            children.append(child)
+        else:
+            children.append(pa.nulls(n, type=at or pa.null()))
+        names.append(f["name"])
+    return pa.StructArray.from_arrays(
+        children,
+        names=names,
+        mask=arr.is_null() if arr.null_count else None,
+    )
+
+
 def remap_batch_table(table, name_map: dict[str, str], fields: list[dict]):
     """Project one Arrow table onto the CURRENT schema: physical columns
     renamed per ``name_map`` (zero-copy), absent columns materialized as
-    typed nulls.  Applied per batch on executors — no driver involvement,
-    no shuffle; the projection is built once per file."""
+    typed nulls, struct columns recursively re-projected by CHILD field
+    id (rename/add/promote inside a struct).  Applied per batch on
+    executors — no driver involvement, no shuffle; the projection is
+    built once per file."""
     import pyarrow as pa
 
     cols, arrays = [], []
@@ -205,13 +309,21 @@ def remap_batch_table(table, name_map: dict[str, str], fields: list[dict]):
     for f in fields:
         cur = f["name"]
         phys = name_map.get(cur)
-        at = iceberg_type_to_arrow(f.get("type"))
+        ft = f.get("type")
+        at = iceberg_type_to_arrow(ft)
         if phys is not None and phys in table.column_names:
             arr = table.column(phys)
+            if _is_struct_type(ft) and pa.types.is_struct(arr.type):
+                arr = _remap_struct_array(
+                    arr.combine_chunks()
+                    if isinstance(arr, pa.ChunkedArray)
+                    else arr,
+                    ft["fields"],
+                )
             # Iceberg type promotion (int->long, float->double, decimal
             # widening): files written before the promotion carry the
             # narrower physical type — widen to the current schema's
-            if at is not None and arr.type != at:
+            elif at is not None and arr.type != at:
                 arr = arr.cast(at)
             arrays.append(arr)
         else:

@@ -41,6 +41,12 @@ TRACKED = [
     "datasource_mor_read",
     # round 7: span-level dedup (shingle-stream shuffle shape)
     "dedup_span_coverage",
+    # round 8: the scaled fixture now shifts orders/events ids per
+    # replica (tools/scale_fixture.py scale_orders/scale_events), so the
+    # fact-fact join and the per-user sessionization window are
+    # exercised at 10x too (VERDICT r7 #1)
+    "join_order_revenue",
+    "events_sessionize",
 ]
 
 
