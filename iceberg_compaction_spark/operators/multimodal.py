@@ -176,6 +176,45 @@ def _decode_bmp(data: bytes) -> tuple[int, int, int, bytes]:
     return h, w, 3, np.ascontiguousarray(rgb).tobytes()
 
 
+def decode_payload(
+    data: bytes, codec: str | None
+) -> tuple[int, int, int, bytes]:
+    """Decode ONE image payload to (height, width, channels, rgb_bytes).
+
+    Format dispatch: netpbm P6 and uncompressed BMP natively, anything
+    else through the probed codec library (Pillow, else OpenCV).
+    Module-level (not a closure) so the codec branches are unit-testable
+    without a real codec installed — the pytest injects a fake PIL into
+    ``sys.modules`` and checks the output contract; the import happens
+    HERE, executor-side, at decode time.
+    """
+    if data.startswith(b"P6"):
+        return _decode_ppm(data)
+    if data.startswith(b"BM"):
+        return _decode_bmp(data)
+    if codec == "pillow":
+        import io
+
+        from PIL import Image
+
+        img = Image.open(io.BytesIO(data)).convert("RGB")
+        return img.height, img.width, 3, img.tobytes()
+    if codec == "cv2":
+        import cv2
+        import numpy as np
+
+        arr = cv2.imdecode(
+            np.frombuffer(data, dtype=np.uint8), cv2.IMREAD_COLOR
+        )
+        h, w, c = arr.shape
+        return h, w, c, arr.tobytes()
+    raise NotImplementedError(
+        "payload is not netpbm P6 / uncompressed BMP and no image "
+        "codec is available (probe: pillow=no, cv2=no); install "
+        "Pillow or OpenCV for compressed formats"
+    )
+
+
 def decode_pixels(binary_df: DataFrame) -> DataFrame:
     """Real pixel decode to (doc_id, height, width, channels, pixels).
 
@@ -194,37 +233,14 @@ def decode_pixels(binary_df: DataFrame) -> DataFrame:
     codec = PIXEL_CODEC
 
     def _decode_batch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from iceberg_compaction_spark.operators.multimodal import (
+            decode_payload,
+        )
+
         for pdf in batches:
             out = {"doc_id": [], "height": [], "width": [], "channels": [], "pixels": []}
             for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
-                data = bytes(payload)
-                if data.startswith(b"P6"):
-                    h, w, c, px = _decode_ppm(data)
-                elif data.startswith(b"BM"):
-                    h, w, c, px = _decode_bmp(data)
-                elif codec == "pillow":
-                    import io
-
-                    from PIL import Image
-
-                    img = Image.open(io.BytesIO(data)).convert("RGB")
-                    w, h, c = img.width, img.height, 3
-                    px = img.tobytes()
-                elif codec == "cv2":
-                    import cv2
-                    import numpy as np
-
-                    arr = cv2.imdecode(
-                        np.frombuffer(data, dtype=np.uint8), cv2.IMREAD_COLOR
-                    )
-                    h, w, c = arr.shape
-                    px = arr.tobytes()
-                else:
-                    raise NotImplementedError(
-                        "payload is not netpbm P6 / uncompressed BMP and no image "
-                        f"codec is available (probe: pillow=no, cv2=no); install "
-                        "Pillow or OpenCV for compressed formats"
-                    )
+                h, w, c, px = decode_payload(bytes(payload), codec)
                 out["doc_id"].append(int(doc_id))
                 out["height"].append(h)
                 out["width"].append(w)
