@@ -128,6 +128,15 @@ class _FilePartition(InputPartition):
     # so files written under older schemas (pre-rename/add) read
     # correctly; empty = plain name-based read.
     schema_fields: tuple = ()
+    # row-group-range split (round 8, the reference's split planning on
+    # this path): this partition reads row groups [rg_start, rg_end);
+    # rg_end -1 = to end of file.  row_offset is the ABSOLUTE row index
+    # of rg_start so position-delete/DV masks (addressed by absolute
+    # row index) stay correct on every split.  A row group is the
+    # parquet decode unit, so splits never cut inside one.
+    rg_start: int = 0
+    rg_end: int = -1
+    row_offset: int = 0
 
 
 # --- executor-side delete-content cache --------------------------------------
@@ -561,9 +570,14 @@ def _read_partition(part: _FilePartition, columns: list[str] | None):
             """Row-group stream with row-group-level predicate pruning;
             yields (batch, absolute_offset).  Skipped groups advance the
             offset WITHOUT reading (position masks address absolute row
-            indices, so the offset must count pruned rows too)."""
-            offset = 0
-            for rg in range(md.num_row_groups):
+            indices, so the offset must count pruned rows too).  A split
+            partition covers only its [rg_start, rg_end) range, with the
+            offset seeded at the range's absolute first row."""
+            offset = part.row_offset
+            rg_end = (
+                md.num_row_groups if part.rg_end < 0 else part.rg_end
+            )
+            for rg in range(part.rg_start, rg_end):
                 n_rg = md.row_group(rg).num_rows
                 if preds and not _rg_might_match(
                     md, rg, name_to_idx, preds
@@ -664,6 +678,77 @@ def _partitions_for_manifest(manifest) -> list[_FilePartition]:
     return parts
 
 
+_DEFAULT_SPLIT_BYTES = 128 * 1024 * 1024
+
+
+def _split_partitions(
+    parts: list[_FilePartition], target_bytes: int
+) -> list[_FilePartition]:
+    """Row-group-range split planning (round 8): break oversized files
+    into partitions of ~``target_bytes`` COMPRESSED bytes at row-group
+    boundaries, so one huge file no longer serializes on a single task
+    — the reference's balanced split packing
+    (core/src/file_selection/mod.rs, S2/S3) applied to this read path.
+
+    One footer metadata read per OVERSIZED file at plan time (same cost
+    class as the stats the planner already collects); files at or under
+    the target — the overwhelming majority on a well-maintained table —
+    are passed through untouched with zero IO.  A single-row-group file
+    cannot split (the row group is parquet's decode unit); this
+    engine's own writer emits sized row groups precisely so its output
+    stays splittable.
+    """
+    import dataclasses
+
+    import pyarrow.parquet as pq
+
+    from iceberg_compaction_spark.sources.fileio import fileio_for, open_input
+
+    if target_bytes <= 0:
+        return parts
+    out: list[_FilePartition] = []
+    for p in parts:
+        if not p.path:
+            out.append(p)
+            continue
+        try:
+            fsize = fileio_for(p.path).size(p.path)
+        except Exception:
+            out.append(p)
+            continue
+        if fsize <= target_bytes:
+            out.append(p)
+            continue
+        with open_input(p.path) as f:
+            md = pq.ParquetFile(f).metadata
+        if md.num_row_groups <= 1:
+            out.append(p)
+            continue
+        # greedy pack of CONSECUTIVE row groups to the target, tracking
+        # the absolute first-row index of each run for the delete masks
+        runs: list[tuple[int, int, int]] = []  # (rg_start, rg_end, row_offset)
+        start, run_bytes, row_off, start_off = 0, 0, 0, 0
+        for i in range(md.num_row_groups):
+            rg = md.row_group(i)
+            rg_bytes = sum(
+                rg.column(j).total_compressed_size
+                for j in range(rg.num_columns)
+            )
+            if run_bytes and run_bytes + rg_bytes > target_bytes:
+                runs.append((start, i, start_off))
+                start, run_bytes, start_off = i, 0, row_off
+            run_bytes += rg_bytes
+            row_off += rg.num_rows
+        runs.append((start, md.num_row_groups, start_off))
+        for s, e, off in runs:
+            out.append(
+                dataclasses.replace(
+                    p, rg_start=s, rg_end=e, row_offset=off
+                )
+            )
+    return out
+
+
 class _BatchReader(DataSourceReader):
     """Batch MOR reader with best-effort predicate pushdown.
 
@@ -688,6 +773,10 @@ class _BatchReader(DataSourceReader):
         self._table = options["table"]
         self._snapshot = options.get("snapshot_id")
         self._predicates: tuple = ()
+        # Iceberg's read.split.target-size analog; 0 disables splitting
+        self._split_bytes = int(
+            options.get("target_split_size", _DEFAULT_SPLIT_BYTES)
+        )
 
     def pushFilters(self, filters):
         # NOT a generator on purpose: the predicate capture must happen
@@ -721,6 +810,7 @@ class _BatchReader(DataSourceReader):
             parts = [p for p in parts if p.path in alive]
             for p in parts:
                 p.predicates = self._predicates
+        parts = _split_partitions(parts, self._split_bytes)
         if not parts:
             # Spark requires >=1 partition; an empty one reads nothing
             parts = [

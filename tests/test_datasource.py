@@ -1059,3 +1059,105 @@ def test_append_writer_rejects_non_posix_warehouse_at_plan_time(spark):
             )
     finally:
         MemoryFileIO.clear()
+
+
+# --- round 8: row-group-range split planning ---------------------------------
+
+
+def _multi_rg_table(tmp_path, n=3000, rg=500):
+    """A table whose single data file has n/rg row groups, plus a
+    position-delete file whose positions span several groups."""
+    root = str(tmp_path / "rgtbl")
+    os.makedirs(root)
+    ids = list(range(n))
+    pq.write_table(
+        pa.table({
+            "id": pa.array(ids, type=pa.int64()),
+            "val": [f"v{i:05d}" for i in ids],
+        }),
+        os.path.join(root, "big.parquet"),
+        row_group_size=rg,
+    )
+    m = Manifest.from_parquet_dir(root, sequence_number=1)
+    dpath = os.path.join(root, "pd.parquet")
+    dead = [0, 499, 500, 1501, 2999]  # straddle group boundaries
+    pq.write_table(
+        pa.table({
+            "sys_hidden_file_path": [m.data_files[0].data_file_path] * len(dead),
+            "sys_hidden_pos": pa.array(dead, type=pa.int64()),
+        }),
+        dpath,
+    )
+    from iceberg_compaction_spark.plans.datamodel import (
+        POSITION_DELETE,
+        DeleteFile,
+    )
+
+    m.data_files[0].deletes = [DeleteFile(
+        path=dpath, content=POSITION_DELETE,
+        file_size_in_bytes=os.path.getsize(dpath),
+        record_count=len(dead), sequence_number=2,
+    )]
+    return m, set(ids) - set(dead)
+
+
+def test_split_partitions_cover_row_groups_exactly(tmp_path, spark):
+    """Plan-time splitter: oversized multi-row-group files break at
+    row-group boundaries with correct absolute row offsets; files at or
+    under the target pass through with no footer read."""
+    from iceberg_compaction_spark.sources.datasource import (
+        _BatchReader,
+        _split_partitions,
+    )
+
+    m, _ = _multi_rg_table(tmp_path)
+    cat2 = FileCatalog(warehouse=str(tmp_path / "wh2"))
+    cat2.create_table("rg", m)
+    opts = {"warehouse": cat2.warehouse, "table": "rg",
+            "target_split_size": "1"}  # force max splitting
+    parts = _BatchReader(opts).partitions()
+    assert len(parts) == 6  # 3000 rows / 500-row groups
+    assert [p.rg_start for p in parts] == [0, 1, 2, 3, 4, 5]
+    assert [p.row_offset for p in parts] == [0, 500, 1000, 1500, 2000, 2500]
+    # a huge target -> single untouched partition
+    one = _split_partitions(parts[:1].copy(), 1 << 40)
+    assert len(one) == 1
+
+    # single-row-group file: cannot split regardless of target
+    sp = str(tmp_path / "single.parquet")
+    pq.write_table(pa.table({"id": pa.array(range(100), type=pa.int64())}), sp)
+    from iceberg_compaction_spark.sources.datasource import _FilePartition
+
+    assert _split_partitions([_FilePartition(path=sp)], 1) == [
+        _FilePartition(path=sp)
+    ]
+
+
+def test_split_read_preserves_mor_semantics(tmp_path, spark):
+    """End to end: a split read returns exactly the unsplit rows — the
+    absolute row_offset keeps position-delete masks correct across
+    splits whose positions straddle row-group boundaries."""
+    m, expect = _multi_rg_table(tmp_path)
+    cat2 = FileCatalog(warehouse=str(tmp_path / "wh2"))
+    cat2.create_table("rg", m)
+    register(spark)
+
+    def _read(**extra):
+        r = (
+            spark.read.format("iceberg-table")
+            .option("warehouse", cat2.warehouse)
+            .option("table", "rg")
+        )
+        for k, v in extra.items():
+            r = r.option(k, v)
+        return r.load()
+
+    split = _read(target_split_size="1")
+    assert sorted(r["id"] for r in split.collect()) == sorted(expect)
+    unsplit = _read(target_split_size="0")
+    assert sorted(r["id"] for r in unsplit.collect()) == sorted(expect)
+    # pushed predicates still prune and re-check correctly on splits
+    hit = split.where("id >= 1490 AND id <= 1510").collect()
+    assert sorted(r["id"] for r in hit) == [
+        i for i in range(1490, 1511) if i != 1501
+    ]
