@@ -170,9 +170,20 @@ def read_data_files(
                 with open_input(p) as fh:
                     return bool(file_field_ids(_pq.read_schema(fh)))
 
-            with_ids = [p for p in paths if _has_ids(p)]
-            _ids = set(with_ids)
-            without = [p for p in paths if p not in _ids]
+            # footer reads are IO-bound metadata gets — probe them
+            # concurrently so plan time stays flat at large file counts
+            # (ADVICE r7: serial driver-side opens were the bottleneck)
+            from concurrent.futures import ThreadPoolExecutor
+
+            if len(paths) > 1:
+                with ThreadPoolExecutor(
+                    max_workers=min(16, len(paths))
+                ) as ex:
+                    flags = list(ex.map(_has_ids, paths))
+            else:
+                flags = [_has_ids(p) for p in paths]
+            with_ids = [p for p, f in zip(paths, flags) if f]
+            without = [p for p, f in zip(paths, flags) if not f]
             if with_ids and not without:
                 # the spec-compliant case: every data file carries ids
                 # — Spark's native field-id resolution, fully JVM-side
