@@ -231,3 +231,90 @@ def shuffle_order(
         )
         .select(F.col(id_col), "shuffle_bucket", "bucket_rank", "global_pos")
     )
+
+
+def source_curation(
+    df: DataFrame,
+    source_col: str = "source",
+    text_col: str = "text",
+    min_docs: int = 1,
+    min_mean_chars: int = 300,
+    max_dup_ppm: int = 100_000,
+    max_short_ppm: int = 500_000,
+    short_chars: int = 100,
+) -> DataFrame:
+    """Domain/source-level curation verdicts — the C4/Gopher-style stage
+    that drops WHOLE sources whose aggregate statistics look like spam,
+    boilerplate mirrors, or scrape failures (per-document filters miss
+    systematic source-level rot; real pipelines gate on the domain).
+
+    Output: one row per source — ``(source, n_docs, mean_chars,
+    short_ppm, dup_ppm, keep)``:
+
+    - ``mean_chars``: floor of the mean document length;
+    - ``short_ppm``: fraction of docs under ``short_chars`` (floor ppm);
+    - ``dup_ppm``: exact-duplicate fraction, 1 - distinct(fp)/n on the
+      normalized-text md5 (the same key as ``exact_dedup``);
+    - ``keep``: all gates pass.
+
+    Scale shape: one pre-aggregation keyed on ``(source, fp)`` (the
+    two-phase form of the distinct count — partials combine map-side),
+    then one aggregation keyed on ``source``; output cardinality is the
+    number of SOURCES, so the verdict broadcasts for the follow-up
+    document filter (:func:`filter_by_source`).  No windows, no joins
+    on the corpus side.
+    """
+    from iceberg_compaction_spark.operators.text import normalize_text
+
+    per_fp = (
+        df.select(
+            F.col(source_col).alias("source"),
+            F.length(F.col(text_col)).cast("long").alias("chars"),
+            F.md5(normalize_text(F.col(text_col))).alias("fp"),
+        )
+        .groupBy("source", "fp")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("chars").alias("chars"),
+            F.sum(
+                (F.col("chars") < short_chars).cast("long")
+            ).alias("short"),
+        )
+    )
+    stats = per_fp.groupBy("source").agg(
+        F.sum("n").cast("long").alias("n_docs"),
+        F.count(F.lit(1)).alias("n_unique"),
+        F.floor(F.sum("chars") / F.sum("n")).cast("long").alias("mean_chars"),
+        F.floor(1e6 * F.sum("short") / F.sum("n")).cast("long").alias(
+            "short_ppm"
+        ),
+    )
+    return stats.select(
+        "source",
+        "n_docs",
+        "mean_chars",
+        "short_ppm",
+        F.floor(
+            1e6 * (F.col("n_docs") - F.col("n_unique")) / F.col("n_docs")
+        )
+        .cast("long")
+        .alias("dup_ppm"),
+    ).withColumn(
+        "keep",
+        (F.col("n_docs") >= min_docs)
+        & (F.col("mean_chars") >= min_mean_chars)
+        & (F.col("dup_ppm") <= max_dup_ppm)
+        & (F.col("short_ppm") <= max_short_ppm),
+    )
+
+
+def filter_by_source(
+    df: DataFrame, verdicts: DataFrame, source_col: str = "source"
+) -> DataFrame:
+    """Keep only documents whose source passed :func:`source_curation`.
+    The verdict table is source-cardinality small — broadcast semi-join,
+    the corpus never shuffles."""
+    keep = verdicts.where(F.col("keep")).select(
+        F.col("source").alias(source_col)
+    )
+    return df.join(F.broadcast(keep), on=source_col, how="left_semi")

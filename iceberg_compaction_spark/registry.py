@@ -2827,6 +2827,54 @@ def q_pipeline_mixture(spark, sf_dir):
     ).select("doc_id", "source")
 
 
+@register(
+    "pipeline_source_filter",
+    f"""
+    WITH s AS (
+      SELECT source,
+        count(*) AS n_docs,
+        count(distinct md5({_NORM})) AS n_unique,
+        CAST(floor(sum(length(text))*1.0 / count(*)) AS BIGINT) AS mean_chars,
+        CAST(floor(1e6 * sum(CASE WHEN length(text) < 100 THEN 1 ELSE 0 END)
+             * 1.0 / count(*)) AS BIGINT) AS short_ppm
+      FROM documents GROUP BY source
+    )
+    SELECT source,
+      CAST(n_docs AS BIGINT) AS n_docs,
+      mean_chars,
+      short_ppm,
+      CAST(floor(1e6*(n_docs - n_unique)*1.0/n_docs) AS BIGINT) AS dup_ppm,
+      CAST(CASE WHEN n_docs >= 1 AND mean_chars >= 300
+        AND floor(1e6*(n_docs - n_unique)*1.0/n_docs) <= 100000
+        AND short_ppm <= 500000 THEN 1 ELSE 0 END AS BIGINT) AS keep_flag
+    FROM s
+    """,
+)
+def q_pipeline_source_filter(spark, sf_dir):
+    """Domain/source-level curation (operators/corpus.py
+    source_curation; round 8): the C4/Gopher-style stage that drops
+    WHOLE sources on aggregate stats — per-document filters miss
+    systematic source rot (spam domains, boilerplate mirrors, scrape
+    failures).  Verdict per source: doc count, mean length, short-doc
+    fraction, exact-dup fraction on the normalized-text md5, and the
+    keep gate; ``filter_by_source`` then broadcast-semi-joins the
+    verdict back onto the corpus.
+
+    Scale shape: (source, fp) pre-agg -> source agg, both with map-side
+    partials; output is source-cardinality small, so the follow-up doc
+    filter is a broadcast semi-join — the corpus shuffles once for the
+    distinct, never for the filter."""
+    v = cp.source_curation(_docs(spark, sf_dir))
+    return v.select(
+        "source",
+        "n_docs",
+        "mean_chars",
+        "short_ppm",
+        "dup_ppm",
+        F.col("keep").cast("long").alias("keep_flag"),
+    )
+
+
 PACK_CAPACITY = 2048
 PACK_BUCKETS = 32
 

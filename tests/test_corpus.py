@@ -180,3 +180,31 @@ def test_shuffle_order_is_deterministic_injective_permutation(spark):
     order0 = [r["doc_id"] for r in sorted(out, key=lambda r: r["global_pos"])]
     order1 = [r["doc_id"] for r in sorted(other, key=lambda r: r["global_pos"])]
     assert order0 != order1
+
+
+def test_source_curation_gates_and_filter(spark):
+    """Domain-level curation (round 8): a duplicate-ridden source and a
+    short-doc source fail their gates; filter_by_source drops every doc
+    of a failed source and keeps the rest untouched."""
+    long = "x" * 400
+    rows = (
+        [(i, "good", long + str(i)) for i in range(4)]
+        + [(10 + i, "dupmill", long) for i in range(4)]  # all identical
+        + [(20 + i, "shorty", "tiny") for i in range(4)]
+    )
+    df = spark.createDataFrame(rows, "doc_id long, source string, text string")
+    v = {r["source"]: r for r in cp.source_curation(
+        df, min_mean_chars=100, max_dup_ppm=100_000, max_short_ppm=500_000
+    ).collect()}
+    assert v["good"]["keep"] and v["good"]["dup_ppm"] == 0
+    assert not v["dupmill"]["keep"]
+    assert v["dupmill"]["dup_ppm"] == 750000  # 4 docs, 1 unique
+    assert not v["shorty"]["keep"] and v["shorty"]["short_ppm"] == 1000000
+    kept = cp.filter_by_source(
+        df,
+        cp.source_curation(
+            df, min_mean_chars=100, max_dup_ppm=100_000,
+            max_short_ppm=500_000,
+        ),
+    )
+    assert sorted(r["doc_id"] for r in kept.collect()) == [0, 1, 2, 3]
