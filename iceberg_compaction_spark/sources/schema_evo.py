@@ -32,11 +32,13 @@ behavior in its default form (field name = mapped name).
 Nested STRUCT fields resolve by id on the DataSource/Arrow path
 (``remap_batch_table`` recurses into struct children, so a rename or
 add INSIDE a struct is metadata-only there too — the reference passes
-nested schemas opaquely, so this exceeds reference parity).  The engine
-path (``spark.read``) and list/map types keep the name-based fallback:
-Spark's native field-id matcher is only exercised here for top-level
-primitives, and a partial remap would be worse than a loud, documented
-fallback.
+nested schemas opaquely, so this exceeds reference parity).  List/map
+OF PRIMITIVES also evolve on that path: column rename by top-level id,
+element widening via Arrow cast, typed-null projection for added
+columns.  The engine path (``spark.read``) and structs nested INSIDE
+list/map values keep the name-based fallback: Spark's native field-id
+matcher is only exercised here for top-level primitives, and a partial
+remap would be worse than a loud, documented fallback.
 """
 
 from __future__ import annotations
@@ -72,12 +74,23 @@ def _is_struct_type(t) -> bool:
     return isinstance(t, dict) and t.get("type") == "struct"
 
 
+def _is_list_type(t) -> bool:
+    """Iceberg JSON list form ``{"type": "list", "element": ...}``."""
+    return isinstance(t, dict) and t.get("type") == "list"
+
+
+def _is_map_type(t) -> bool:
+    """Iceberg JSON map form ``{"type": "map", "key": .., "value": ..}``."""
+    return isinstance(t, dict) and t.get("type") == "map"
+
+
 def iceberg_type_to_spark(t, nested: bool = False):
     """Spark DataType for an Iceberg type; None for unknown types
-    (callers fall back to name-based reads).  Struct types resolve only
-    with ``nested=True`` (the DataSource path, whose executor-side
-    Arrow remap does its own per-file id resolution); list/map always
-    return None (documented name-fallback)."""
+    (callers fall back to name-based reads).  Nested types (struct,
+    list/map of primitives) resolve only with ``nested=True`` (the
+    DataSource path, whose executor-side Arrow remap does its own
+    per-file resolution); structs NESTED INSIDE list/map values stay
+    the documented name-fallback."""
     if _is_struct_type(t):
         if not nested:
             return None
@@ -92,6 +105,29 @@ def iceberg_type_to_spark(t, nested: bool = False):
                 )
             )
         return T.StructType(out)
+    if _is_list_type(t):
+        if not nested or _is_struct_type(t.get("element")):
+            return None
+        et = iceberg_type_to_spark(t.get("element"), nested=True)
+        return (
+            T.ArrayType(et, not t.get("element-required", False))
+            if et is not None
+            else None
+        )
+    if _is_map_type(t):
+        if (
+            not nested
+            or _is_struct_type(t.get("key"))
+            or _is_struct_type(t.get("value"))
+        ):
+            return None
+        kt = iceberg_type_to_spark(t.get("key"), nested=True)
+        vt = iceberg_type_to_spark(t.get("value"), nested=True)
+        return (
+            T.MapType(kt, vt, not t.get("value-required", False))
+            if kt is not None and vt is not None
+            else None
+        )
     if not isinstance(t, str):
         return None
     if t in _PRIMITIVE_TO_SPARK:
@@ -161,6 +197,21 @@ def iceberg_type_to_arrow(t):
                 )
             )
         return pa.struct(children)
+    if _is_list_type(t):
+        # lists/maps OF PRIMITIVES evolve on the Arrow path through a
+        # plain cast (element widening) or typed-null projection;
+        # structs inside them would need an offset-aware child remap —
+        # that stays the documented name-fallback
+        if _is_struct_type(t.get("element")):
+            return None
+        et = iceberg_type_to_arrow(t.get("element"))
+        return pa.list_(et) if et is not None else None
+    if _is_map_type(t):
+        if _is_struct_type(t.get("key")) or _is_struct_type(t.get("value")):
+            return None
+        kt = iceberg_type_to_arrow(t.get("key"))
+        vt = iceberg_type_to_arrow(t.get("value"))
+        return pa.map_(kt, vt) if kt is not None and vt is not None else None
     m = {
         "boolean": pa.bool_(),
         "int": pa.int32(),
@@ -241,6 +292,25 @@ def physical_name_map(
     return out
 
 
+def _same_arrow_shape(a, b) -> bool:
+    """Structural type equality that ignores list/map CHILD FIELD NAMES
+    (parquet files say ``element``/``key_value``, constructed types say
+    ``item``) — casting on a name-only difference would rebuild every
+    batch for nothing.  Struct field names stay significant (they ARE
+    the projection)."""
+    import pyarrow.types as pat
+
+    if pat.is_list(a) and pat.is_list(b):
+        return _same_arrow_shape(a.value_type, b.value_type)
+    if pat.is_large_list(a) and pat.is_large_list(b):
+        return _same_arrow_shape(a.value_type, b.value_type)
+    if pat.is_map(a) and pat.is_map(b):
+        return _same_arrow_shape(a.key_type, b.key_type) and (
+            _same_arrow_shape(a.item_type, b.item_type)
+        )
+    return a.equals(b)
+
+
 def _struct_child_index(struct_type) -> dict[int, int]:
     """field id -> child position for an Arrow struct type (from the
     ``PARQUET:field_id`` metadata pyarrow round-trips on nested fields);
@@ -282,7 +352,7 @@ def _remap_struct_array(arr, fields: list[dict]):
             child = arr.field(idx)
             if _is_struct_type(ft) and pa.types.is_struct(child.type):
                 child = _remap_struct_array(child, ft["fields"])
-            elif at is not None and child.type != at:
+            elif at is not None and not _same_arrow_shape(child.type, at):
                 child = child.cast(at)
             children.append(child)
         else:
@@ -322,8 +392,10 @@ def remap_batch_table(table, name_map: dict[str, str], fields: list[dict]):
                 )
             # Iceberg type promotion (int->long, float->double, decimal
             # widening): files written before the promotion carry the
-            # narrower physical type — widen to the current schema's
-            elif at is not None and arr.type != at:
+            # narrower physical type — widen to the current schema's.
+            # Covers list/map of primitives too (element widening via
+            # Arrow cast; shape-equal types skip the cast entirely)
+            elif at is not None and not _same_arrow_shape(arr.type, at):
                 arr = arr.cast(at)
             arrays.append(arr)
         else:

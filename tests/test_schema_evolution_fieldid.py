@@ -616,3 +616,86 @@ def test_datasource_reads_across_nested_struct_rename(spark, nested_evolved, tmp
     assert got[1]["score"] == 3 and got[1]["tokens"] is None
     assert got[2] is None
     assert got[3] is not None and tuple(got[3]) == ("fr", 9, 42)
+
+
+# list v1: id(1), tags(2) list<string>, scores(3) list<int>
+LV1 = [
+    {"id": 1, "name": "id", "type": "long", "required": True},
+    {"id": 2, "name": "tags", "type": {"type": "list", "element": "string",
+                                       "element-id": 4}},
+    {"id": 3, "name": "scores", "type": {"type": "list", "element": "int",
+                                         "element-id": 5}},
+]
+# list v2: tags RENAMED to labels (same id), scores element PROMOTED
+# int->long, attrs(6) map<string,long> ADDED
+LV2 = [
+    {"id": 1, "name": "id", "type": "long", "required": True},
+    {"id": 2, "name": "labels", "type": {"type": "list", "element": "string",
+                                         "element-id": 4}},
+    {"id": 3, "name": "scores", "type": {"type": "list", "element": "long",
+                                         "element-id": 5}},
+    {"id": 6, "name": "attrs", "type": {"type": "map", "key": "string",
+                                        "value": "long", "key-id": 7,
+                                        "value-id": 8}},
+]
+
+
+def test_datasource_reads_list_columns_across_rename_and_promotion(
+    spark, tmp_path
+):
+    """Round 8: list/map of primitives on the DataSource Arrow path —
+    a renamed list column resolves by top-level id, a list<int> file
+    column widens to the schema's list<long>, and an added map column
+    projects typed NULL for old files."""
+    root = str(tmp_path / "ltbl")
+    os.makedirs(root)
+    p = os.path.join(root, "a-lv1.parquet")
+    schema = pa.schema([
+        pa.field("id", pa.int64(), False,
+                 metadata={se.ARROW_FIELD_ID_KEY: b"1"}),
+        pa.field("tags", pa.list_(pa.string()),
+                 metadata={se.ARROW_FIELD_ID_KEY: b"2"}),
+        pa.field("scores", pa.list_(pa.int32()),
+                 metadata={se.ARROW_FIELD_ID_KEY: b"3"}),
+    ])
+    pq.write_table(pa.Table.from_pylist([
+        {"id": 1, "tags": ["a", "b"], "scores": [1, 2]},
+        {"id": 2, "tags": [], "scores": None},
+    ], schema=schema), p)
+    m = Manifest(
+        table_root=root, snapshot_id=1, sequence_number=1, schema_id=1,
+        schema_fields=[dict(f) for f in LV2], last_column_id=8,
+        data_files=[FileScanTask(
+            data_file_path=p, length=os.path.getsize(p),
+            file_size_in_bytes=os.path.getsize(p), record_count=2,
+            sequence_number=1,
+        )],
+    )
+    from iceberg_compaction_spark.sources.catalog import FileCatalog
+    from iceberg_compaction_spark.sources.datasource import register
+
+    cat = FileCatalog(warehouse=str(tmp_path / "wh"))
+    cat.create_table("lev", m)
+    register(spark)
+    df = (
+        spark.read.format("iceberg-table")
+        .option("warehouse", cat.warehouse)
+        .option("table", "lev")
+        .load()
+    )
+    assert df.columns == ["id", "labels", "scores", "attrs"]
+    dt = dict(df.dtypes)
+    assert dt["labels"] == "array<string>"
+    assert dt["scores"] == "array<bigint>"  # element promoted
+    assert dt["attrs"] == "map<string,bigint>"
+    got = {r["id"]: r for r in df.collect()}
+    assert got[1]["labels"] == ["a", "b"] and got[1]["scores"] == [1, 2]
+    assert got[1]["attrs"] is None
+    assert got[2]["labels"] == [] and got[2]["scores"] is None
+
+
+def test_struct_inside_list_stays_name_fallback():
+    t = {"type": "list", "element": {"type": "struct", "fields": [
+        {"id": 9, "name": "x", "type": "int"}]}}
+    assert se.iceberg_type_to_arrow(t) is None
+    assert se.iceberg_type_to_spark(t, nested=True) is None
