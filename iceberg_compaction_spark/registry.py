@@ -2834,8 +2834,10 @@ def q_pipeline_mixture(spark, sf_dir):
       SELECT source,
         count(*) AS n_docs,
         count(distinct md5({_NORM})) AS n_unique,
-        CAST(floor(sum(length(text))*1.0 / count(*)) AS BIGINT) AS mean_chars,
-        CAST(floor(1e6 * sum(CASE WHEN length(text) < 100 THEN 1 ELSE 0 END)
+        CAST(floor(CAST(sum(length(text)) AS BIGINT)*1.0 / count(*))
+             AS BIGINT) AS mean_chars,
+        CAST(floor(1e6 * CAST(sum(CASE WHEN length(text) < 100
+             THEN 1 ELSE 0 END) AS BIGINT)
              * 1.0 / count(*)) AS BIGINT) AS short_ppm
       FROM documents GROUP BY source
     )
