@@ -582,3 +582,119 @@ def nested_evolution_warehouse(sf_dir: str) -> str:
     except OSError:
         shutil.rmtree(stage, ignore_errors=True)
     return wh
+
+
+def metadata_fixture_warehouse(sf_dir: str) -> str:
+    """One-time per sf_dir: a FileCatalog warehouse whose table
+    ``docs_meta`` has a two-snapshot, lang-partitioned layout with
+    fully deterministic FILE NAMES and record counts, so the metadata
+    tables (sources/metadata_tables.py; no reference equivalent —
+    SURVEY §2.9) are oracle-checkable against raw ``documents``:
+
+    - snapshot 1 (append, sequence 1): per lang, up to two files
+      ``{lang}-even.parquet`` / ``{lang}-odd.parquet`` split by
+      ``doc_id`` parity, partition ``(lang,)``;
+    - snapshot 2 (append, sequence 2): per lang holding any
+      ``doc_id % 10 == 0`` rows, one file ``{lang}-m10.parquet``.
+
+    Empty groups write no file, matching the oracle's UNION-ALL
+    reconstruction exactly.  Returns the warehouse path.
+    """
+    import hashlib
+    import os
+    import shutil
+    import tempfile
+    import uuid as _uuid
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from iceberg_compaction_spark.plans.datamodel import FileScanTask
+    from iceberg_compaction_spark.sources.catalog import FileCatalog
+    from iceberg_compaction_spark.sources.manifest import Manifest
+
+    src = os.path.join(sf_dir, "documents.parquet")
+    st = os.stat(src)
+    key = hashlib.md5(
+        f"metaf|{src}|{st.st_size}|{st.st_mtime_ns}".encode()
+    ).hexdigest()[:10]
+    root = os.path.join(tempfile.gettempdir(), f"icspark-metaf-{key}")
+    wh = os.path.join(root, "wh")
+    if os.path.isdir(os.path.join(wh, "docs_meta", "metadata")):
+        return wh
+
+    stage = os.path.join(
+        tempfile.gettempdir(),
+        f"icspark-metaf-{key}.{_uuid.uuid4().hex[:8]}.tmp",
+    )
+    os.makedirs(os.path.join(stage, "data"), exist_ok=True)
+    t = pq.read_table(src, columns=["doc_id", "lang"])
+    ids = t.column("doc_id").to_numpy()
+    langs = t.column("lang").to_pylist()
+
+    def _write(name: str, mask) -> tuple[str, int] | None:
+        n = int(mask.sum())
+        if n == 0:
+            return None
+        p = os.path.join(stage, "data", name)
+        pq.write_table(
+            pa.Table.from_arrays(
+                [pa.array(ids[mask]), pa.array([langs[i] for i in
+                                                mask.nonzero()[0]])],
+                names=["doc_id", "lang"],
+            ),
+            p,
+        )
+        return p, n
+
+    import numpy as np
+
+    lang_arr = np.asarray(langs)
+
+    def task(written, lang: str, seq: int) -> FileScanTask:
+        p, n = written
+        return FileScanTask(
+            data_file_path=p.replace(stage, root, 1),
+            length=os.path.getsize(p),
+            file_size_in_bytes=os.path.getsize(p),
+            record_count=n,
+            sequence_number=seq,
+            partition=(lang,),
+        )
+
+    v1_tasks = []
+    for lang in sorted(set(langs)):
+        in_lang = lang_arr == lang
+        for tag, pm in (("even", ids % 2 == 0), ("odd", ids % 2 == 1)):
+            w = _write(f"{lang}-{tag}.parquet", in_lang & pm)
+            if w:
+                v1_tasks.append(task(w, lang, 1))
+
+    m1 = Manifest(
+        table_root=os.path.join(root, "data"),
+        snapshot_id=1,
+        sequence_number=1,
+        operation="append",
+        partition_spec=[
+            {"source": "lang", "transform": "identity", "name": "lang"}
+        ],
+        data_files=v1_tasks,
+    )
+    cat = FileCatalog(warehouse=os.path.join(stage, "wh"))
+    cat.create_table("docs_meta", m1)
+
+    m2 = Manifest.from_dict(cat.load_table("docs_meta").to_dict())
+    m2.snapshot_id = 2
+    m2.sequence_number = 2
+    m2.operation = "append"
+    for lang in sorted(set(langs)):
+        w = _write(f"{lang}-m10.parquet", (lang_arr == lang) & (ids % 10 == 0))
+        if w:
+            m2.data_files.append(task(w, lang, 2))
+    cat.commit_table("docs_meta", 1, m2)
+
+    try:
+        os.rename(stage, root)  # atomic publish; race loser cleans up
+    except OSError:
+        shutil.rmtree(stage, ignore_errors=True)
+    return wh

@@ -3224,3 +3224,133 @@ def q_dedup_canonical(spark, sf_dir):
     map-side combine instead of a rank-1 window; the oracle keeps the
     window formulation, proving the two agree."""
     return dd.canonical_exact_groups(_docs(spark, sf_dir))
+
+
+# ===========================================================================
+# Metadata tables (sources/metadata_tables.py) — Iceberg's
+# files/partitions/snapshots relations; no reference equivalent
+# (SURVEY §2.9).  All three run over the deterministic two-snapshot,
+# lang-partitioned docs_meta fixture so DuckDB can reconstruct the
+# expected metadata from raw ``documents``.
+# ===========================================================================
+
+_META_FILE_UNION = """
+      SELECT lang,
+             lang || CASE WHEN doc_id % 2 = 0
+                          THEN '-even.parquet' ELSE '-odd.parquet'
+                     END AS file_name,
+             1 AS seq
+      FROM documents
+      UNION ALL
+      SELECT lang, lang || '-m10.parquet', 2
+      FROM documents WHERE doc_id % 10 = 0
+"""
+
+
+def _meta_catalog(sf_dir):
+    from iceberg_compaction_spark.sources.catalog import FileCatalog
+
+    return FileCatalog(warehouse=syn.metadata_fixture_warehouse(sf_dir))
+
+
+@register(
+    "meta_files",
+    f"""
+    SELECT file_name, lang,
+           CAST(count(*) AS BIGINT) AS record_count,
+           CAST(max(seq) AS BIGINT) AS sequence_number
+    FROM ({_META_FILE_UNION})
+    GROUP BY file_name, lang
+    """,
+)
+def q_meta_files(spark, sf_dir):
+    """``files`` metadata table (Iceberg's ``tbl$files``): one row per
+    data file of the current snapshot with partition values, record
+    count and data sequence number — the relation every table operator
+    queries to audit layout and pick compaction targets.
+
+    Scale shape: metadata rows scale with FILE COUNT (~10^5 at 100 TB),
+    built once on the driver from the manifest and distributed as a
+    normal DataFrame — the same stance as the planning layer."""
+    from iceberg_compaction_spark.sources.metadata_tables import files_df
+
+    cat = _meta_catalog(sf_dir)
+    df = files_df(spark, cat.load_table("docs_meta")).filter(
+        F.col("content") == 0
+    )
+    return df.select(
+        F.element_at(F.split("file_path", "/"), -1).alias("file_name"),
+        F.col("partition")["lang"].alias("lang"),
+        "record_count",
+        "sequence_number",
+    )
+
+
+@register(
+    "meta_partitions",
+    f"""
+    SELECT lang,
+           CAST(count(DISTINCT file_name) AS BIGINT) AS file_count,
+           CAST(count(*) AS BIGINT) AS record_count
+    FROM ({_META_FILE_UNION})
+    GROUP BY lang
+    """,
+)
+def q_meta_partitions(spark, sf_dir):
+    """``partitions`` metadata table, served through the DataSource's
+    ``option("metadata", ...)`` read path (the SQL-facing equivalent of
+    ``tbl$partitions``): per-partition file/record totals."""
+    from iceberg_compaction_spark.sources.datasource import (
+        register as _reg,
+    )
+
+    wh = syn.metadata_fixture_warehouse(sf_dir)
+    _reg(spark)
+    df = (
+        spark.read.format("iceberg-table")
+        .option("warehouse", wh)
+        .option("table", "docs_meta")
+        .option("metadata", "partitions")
+        .load()
+    )
+    return df.select(
+        F.col("partition")["lang"].alias("lang"),
+        "file_count",
+        "record_count",
+    )
+
+
+@register(
+    "meta_snapshots",
+    """
+    WITH v1 AS (
+      SELECT CAST(count(DISTINCT lang || CAST(doc_id % 2 AS VARCHAR))
+                  AS BIGINT) AS files,
+             CAST(count(*) AS BIGINT) AS records
+      FROM documents
+    ),
+    m10 AS (
+      SELECT CAST(count(DISTINCT lang) AS BIGINT) AS files,
+             CAST(count(*) AS BIGINT) AS records
+      FROM documents WHERE doc_id % 10 = 0
+    )
+    SELECT CAST(1 AS BIGINT) AS snapshot_id, 'append' AS operation,
+           v1.files AS data_file_count, v1.records AS total_records
+    FROM v1
+    UNION ALL
+    SELECT CAST(2 AS BIGINT), 'append',
+           v1.files + m10.files, v1.records + m10.records
+    FROM v1, m10
+    """,
+)
+def q_meta_snapshots(spark, sf_dir):
+    """``snapshots`` metadata table: one row per snapshot in the
+    table's history with its operation and cumulative file/record
+    totals — the time-travel audit surface (``tbl$snapshots``)."""
+    from iceberg_compaction_spark.sources.metadata_tables import (
+        snapshots_df,
+    )
+
+    return snapshots_df(spark, _meta_catalog(sf_dir), "docs_meta").select(
+        "snapshot_id", "operation", "data_file_count", "total_records"
+    )

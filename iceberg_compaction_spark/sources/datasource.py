@@ -749,6 +749,43 @@ def _split_partitions(
     return out
 
 
+class _MetadataPartition(InputPartition):
+    """Driver-materialized metadata rows (file/snapshot entries — tiny
+    even at 100 TB; see sources/metadata_tables.py scale stance)."""
+
+    def __init__(self, rows):
+        self.rows = rows
+
+
+class _MetadataReader(DataSourceReader):
+    """``option("metadata", "files"|...)``: serve an Iceberg-style
+    metadata table instead of the data.  Rows are built driver-side in
+    ``partitions()`` (metadata scales with FILE COUNT, not data size)
+    and shipped inside the single partition."""
+
+    def __init__(self, options):
+        self._options = options
+
+    def partitions(self):
+        from iceberg_compaction_spark.sources.catalog import FileCatalog
+        from iceberg_compaction_spark.sources.metadata_tables import (
+            metadata_rows,
+        )
+
+        cat = FileCatalog(warehouse=self._options["warehouse"])
+        snap = self._options.get("snapshot_id")
+        rows = metadata_rows(
+            cat,
+            self._options["table"],
+            self._options["metadata"],
+            snapshot_id=int(snap) if snap else None,
+        )
+        return [_MetadataPartition(rows)]
+
+    def read(self, partition):
+        yield from partition.rows
+
+
 class _BatchReader(DataSourceReader):
     """Batch MOR reader with best-effort predicate pushdown.
 
@@ -1122,6 +1159,12 @@ class IcebergTableDataSource(DataSource):
     def schema(self):
         from iceberg_compaction_spark.sources.catalog import FileCatalog
 
+        if "metadata" in self.options:
+            from iceberg_compaction_spark.sources.metadata_tables import (
+                metadata_schema,
+            )
+
+            return metadata_schema(self.options["metadata"])
         cdc = self.options.get("change_mode", "append") == "cdc"
         suffix = ", _change_type string, _commit_snapshot_id long" if cdc else ""
         if "schema" in self.options:
@@ -1154,6 +1197,8 @@ class IcebergTableDataSource(DataSource):
         return _ddl_from_file(m.data_files[0].data_file_path) + suffix
 
     def reader(self, schema):
+        if "metadata" in self.options:
+            return _MetadataReader(self.options)
         if self.options.get("change_mode", "append") == "cdc":
             raise ValueError(
                 "change_mode=cdc is a STREAMING option (use "
@@ -1163,9 +1208,15 @@ class IcebergTableDataSource(DataSource):
         return _BatchReader(self.options)
 
     def streamReader(self, schema):
+        if "metadata" in self.options:
+            raise ValueError(
+                "metadata tables are batch-only (use spark.read)"
+            )
         return _ChangesStreamReader(self.options)
 
     def writer(self, schema, overwrite):
+        if "metadata" in self.options:
+            raise ValueError("metadata tables are read-only")
         return _AppendWriter(self.options, overwrite)
 
     def streamWriter(self, schema, overwrite):

@@ -61,6 +61,15 @@ FILES_SCHEMA = T.StructType(
         # data files only (NULL on delete rows): number of delete files
         # attached to this file's scan task
         T.StructField("delete_file_count", T.IntegerType(), True),
+        T.StructField("position_delete_count", T.IntegerType(), True),
+        T.StructField("equality_delete_count", T.IntegerType(), True),
+        # data files only: manifest column bounds as JSON (the stats
+        # the pruning tiers evaluate) — inspectable, not relational
+        T.StructField("column_bounds", T.StringType(), True),
+        # delete rows only: equality key columns as JSON
+        T.StructField("equality_ids", T.StringType(), True),
+        # delete rows only: number of data files this delete attaches to
+        T.StructField("applies_to_files", T.IntegerType(), True),
     ]
 )
 
@@ -87,6 +96,7 @@ SNAPSHOTS_SCHEMA = T.StructType(
         T.StructField("delete_file_count", T.LongType(), False),
         T.StructField("total_records", T.LongType(), False),
         T.StructField("total_data_size_in_bytes", T.LongType(), False),
+        T.StructField("format_version", T.IntegerType(), False),
     ]
 )
 
@@ -94,7 +104,10 @@ HISTORY_SCHEMA = T.StructType(
     [
         T.StructField("snapshot_id", T.LongType(), False),
         T.StructField("parent_id", T.LongType(), True),
+        # in this linear catalog every retained snapshot is an ancestor
+        # of the current one; Iceberg's flag goes false after rollbacks
         T.StructField("is_current_ancestor", T.BooleanType(), False),
+        T.StructField("is_current", T.BooleanType(), False),
     ]
 )
 
@@ -139,10 +152,13 @@ def _part_map(task: FileScanTask, manifest: "Manifest") -> dict | None:
 def files_rows(manifest: "Manifest") -> list[tuple]:
     """One row per data file plus one per distinct attached delete file
     (delete files dedup by path across data files, mirroring L9)."""
+    import json
+
     rows: list[tuple] = []
-    deletes: dict[str, tuple] = {}
+    deletes: dict[str, list] = {}
     for t in manifest.data_files:
         pm = _part_map(t, manifest)
+        pos = sum(1 for d in t.deletes if d.content != EQUALITY_DELETE)
         rows.append(
             (
                 CONTENT_DATA,
@@ -154,6 +170,13 @@ def files_rows(manifest: "Manifest") -> list[tuple]:
                 int(t.file_size_in_bytes),
                 int(t.sequence_number),
                 len(t.deletes),
+                pos,
+                len(t.deletes) - pos,
+                json.dumps(t.column_bounds, default=str)
+                if t.column_bounds
+                else None,
+                None,
+                None,
             )
         )
         for d in t.deletes:
@@ -162,9 +185,9 @@ def files_rows(manifest: "Manifest") -> list[tuple]:
                 if d.content == EQUALITY_DELETE
                 else CONTENT_POSITION_DELETES
             )
-            deletes.setdefault(
+            row = deletes.setdefault(
                 d.path,
-                (
+                [
                     content,
                     d.path,
                     _file_format(d.path),
@@ -174,9 +197,17 @@ def files_rows(manifest: "Manifest") -> list[tuple]:
                     int(d.file_size_in_bytes),
                     int(d.sequence_number),
                     None,
-                ),
+                    None,
+                    None,
+                    None,
+                    json.dumps(list(d.equality_ids))
+                    if d.equality_ids
+                    else None,
+                    0,
+                ],
             )
-    rows.extend(deletes.values())
+            row[13] += 1  # data files this delete file attaches to
+    rows.extend(tuple(r) for r in deletes.values())
     return rows
 
 
@@ -213,6 +244,7 @@ def snapshots_rows(catalog, name: str) -> list[tuple]:
                 len(dels),
                 sum(int(t.record_count) for t in m.data_files),
                 sum(int(t.file_size_in_bytes) for t in m.data_files),
+                int(m.format_version),
             )
         )
     return rows
@@ -222,7 +254,12 @@ def history_rows(catalog, name: str) -> list[tuple]:
     hist = catalog.table_history(name)
     current = max(hist, default=0)
     return [
-        (int(sid), int(prev) if prev is not None else None, sid <= current)
+        (
+            int(sid),
+            int(prev) if prev is not None else None,
+            True,
+            sid == current,
+        )
         for prev, sid in zip([None, *hist[:-1]], hist)
     ]
 

@@ -37,7 +37,9 @@ def cat(tmp_path):
 
 
 def test_files_table(spark, cat):
-    df = mt.files_table(spark, cat.load_table("t"))
+    df = mt.files_df(spark, cat.load_table("t")).filter(
+        f"content = {mt.CONTENT_DATA}"
+    )
     rows = df.collect()
     assert len(rows) == 3
     assert {r["record_count"] for r in rows} == {10}
@@ -48,26 +50,28 @@ def test_files_table(spark, cat):
 def test_delete_files_table_after_upsert(spark, cat):
     delta = spark.createDataFrame([(1, "new")], ["id", "val"])
     upsert(spark, cat, "t", delta, keys=["id"])
-    df = mt.delete_files_table(spark, cat.load_table("t"))
-    rows = df.collect()
-    assert any(r["content"] == "equality" for r in rows)
-    eq = [r for r in rows if r["content"] == "equality"][0]
-    assert eq["applies_to_files"] == 3  # attaches to every lower-seq file
-    assert "id" in eq["equality_ids"]
+    rows = mt.files_df(spark, cat.load_table("t")).filter(
+        f"content != {mt.CONTENT_DATA}"
+    ).collect()
+    eqs = [r for r in rows if r["content"] == mt.CONTENT_EQUALITY_DELETES]
+    assert eqs
+    assert eqs[0]["applies_to_files"] == 3  # attaches to every lower-seq file
+    assert "id" in eqs[0]["equality_ids"]
 
 
 def test_partitions_and_snapshots_and_history(spark, cat):
     delta = spark.createDataFrame([(99, "x")], ["id", "val"])
     m2 = upsert(spark, cat, "t", delta, keys=["id"])
 
-    parts = mt.partitions_table(spark, cat.load_table("t")).collect()
+    parts = mt.partitions_df(spark, cat.load_table("t")).collect()
     assert sum(r["file_count"] for r in parts) == 4  # 3 base + 1 upsert
 
-    snaps = {r["snapshot_id"]: r for r in mt.snapshots_table(spark, cat, "t").collect()}
+    snaps = {r["snapshot_id"]: r for r in mt.snapshots_df(spark, cat, "t").collect()}
     assert set(snaps) == {1, m2.snapshot_id}
     assert snaps[m2.snapshot_id]["total_records"] > snaps[1]["total_records"]
+    assert snaps[1]["format_version"] == 2
 
-    hist = {r["snapshot_id"]: r["is_current_ancestor"] for r in mt.history_table(spark, cat, "t").collect()}
+    hist = {r["snapshot_id"]: r["is_current"] for r in mt.history_df(spark, cat, "t").collect()}
     assert hist == {1: False, m2.snapshot_id: True}
 
 

@@ -1,0 +1,190 @@
+"""Metadata tables (sources/metadata_tables.py): files / delete_files /
+partitions / snapshots / history / refs, plus the DataSource's
+``option("metadata", ...)`` read path.  The oracle gate covers the
+values (meta_files / meta_partitions / meta_snapshots); these tests pin
+the surfaces the oracles can't see: delete-file rows, spec-evolution
+partition naming, refs, and the read-only guards."""
+
+import os
+
+import pytest
+
+from iceberg_compaction_spark.plans.datamodel import (
+    EQUALITY_DELETE,
+    POSITION_DELETE,
+    DeleteFile,
+    FileScanTask,
+)
+from iceberg_compaction_spark.sources import metadata_tables as mt
+from iceberg_compaction_spark.sources.catalog import FileCatalog
+from iceberg_compaction_spark.sources.manifest import Manifest
+
+SF = os.environ.get("SPARK_GRAFT_TEST_SF", "/root/testdata/sf0.001")
+
+
+def _manifest_with_deletes(tmp_path):
+    dv = DeleteFile(
+        path=str(tmp_path / "dv.puffin"),
+        content=POSITION_DELETE,
+        file_size_in_bytes=64,
+        record_count=3,
+        sequence_number=4,
+    )
+    eq = DeleteFile(
+        path=str(tmp_path / "eq.parquet"),
+        content=EQUALITY_DELETE,
+        file_size_in_bytes=128,
+        record_count=2,
+        sequence_number=5,
+    )
+    tasks = [
+        FileScanTask(
+            data_file_path=str(tmp_path / "a.parquet"),
+            length=1000,
+            record_count=10,
+            sequence_number=1,
+            partition=("en",),
+            deletes=[dv, eq],
+        ),
+        FileScanTask(
+            data_file_path=str(tmp_path / "b.parquet"),
+            length=2000,
+            record_count=20,
+            sequence_number=2,
+            partition=("en",),
+            deletes=[eq],  # shared delete file: must dedup by path
+        ),
+        FileScanTask(
+            data_file_path=str(tmp_path / "c.parquet"),
+            length=3000,
+            record_count=30,
+            sequence_number=2,
+            partition=("fr",),
+        ),
+    ]
+    return Manifest(
+        table_root=str(tmp_path),
+        snapshot_id=1,
+        sequence_number=2,
+        operation="append",
+        partition_spec=[
+            {"source": "lang", "transform": "identity", "name": "lang"}
+        ],
+        data_files=tasks,
+    )
+
+
+def test_files_rows_data_and_deduped_deletes(tmp_path):
+    rows = mt.files_rows(_manifest_with_deletes(tmp_path))
+    data = [r for r in rows if r[0] == mt.CONTENT_DATA]
+    dels = [r for r in rows if r[0] != mt.CONTENT_DATA]
+    assert len(data) == 3 and len(dels) == 2  # eq shared -> one row
+    by_path = {r[1]: r for r in rows}
+    dv = by_path[str(tmp_path / "dv.puffin")]
+    assert dv[0] == mt.CONTENT_POSITION_DELETES and dv[2] == "PUFFIN"
+    eq = by_path[str(tmp_path / "eq.parquet")]
+    assert eq[0] == mt.CONTENT_EQUALITY_DELETES and eq[5] == 2
+    a = by_path[str(tmp_path / "a.parquet")]
+    assert a[4] == {"lang": "en"} and a[8] == 2  # delete_file_count
+    c = by_path[str(tmp_path / "c.parquet")]
+    assert c[8] == 0 and c[4] == {"lang": "fr"}
+
+
+def test_partitions_rows_aggregate(tmp_path):
+    rows = {tuple(sorted((r[0] or {}).items())): r
+            for r in mt.partitions_rows(_manifest_with_deletes(tmp_path))}
+    en = rows[(("lang", "en"),)]
+    # 2 files, 30 records, 3000 bytes, 2 DISTINCT delete files
+    assert en[2:] == (2, 30, 3000, 2)
+    fr = rows[(("lang", "fr"),)]
+    assert fr[2:] == (1, 30, 3000, 0)
+
+
+def test_old_spec_file_gets_positional_names(tmp_path):
+    m = _manifest_with_deletes(tmp_path)
+    # a file written under an older, two-field spec: arity mismatch
+    m.data_files.append(
+        FileScanTask(
+            data_file_path=str(tmp_path / "old.parquet"),
+            length=10,
+            record_count=1,
+            partition=("en", "2024"),
+            spec_id=0,
+        )
+    )
+    rows = {r[1]: r for r in mt.files_rows(m)}
+    assert rows[str(tmp_path / "old.parquet")][4] == {"p0": "en", "p1": "2024"}
+
+
+def _two_snapshot_catalog(tmp_path):
+    m = _manifest_with_deletes(tmp_path)
+    cat = FileCatalog(warehouse=str(tmp_path / "wh"))
+    cat.create_table("t", m)
+    m2 = Manifest.from_dict(cat.load_table("t").to_dict())
+    m2.snapshot_id = 2
+    m2.sequence_number = 3
+    m2.operation = "replace"
+    m2.data_files = m2.data_files[:1]
+    cat.commit_table("t", 1, m2)
+    return cat
+
+
+def test_snapshots_history_refs_rows(tmp_path):
+    cat = _two_snapshot_catalog(tmp_path)
+    snaps = {r[0]: r for r in mt.snapshots_rows(cat, "t")}
+    assert snaps[1][2] == "append" and snaps[1][4] == 3
+    assert snaps[1][5] == 2  # distinct delete files
+    assert snaps[2][2] == "replace" and snaps[2][4] == 1
+    assert snaps[1][6] == 60 and snaps[2][6] == 10  # total_records
+    hist = mt.history_rows(cat, "t")
+    assert hist == [(1, None, True, False), (2, 1, True, True)]
+    cat.create_tag("t", "audited", 1)
+    cat.create_branch("t", "main2")
+    refs = mt.refs_rows(cat, "t")
+    assert ("audited", "tag", 1) in refs
+    assert ("main2", "branch", 2) in refs
+
+
+def test_metadata_rows_snapshot_id_time_travel(tmp_path):
+    cat = _two_snapshot_catalog(tmp_path)
+    assert len(mt.metadata_rows(cat, "t", "files")) == 1
+    assert len(mt.metadata_rows(cat, "t", "files", snapshot_id=1)) == 3
+    assert len(mt.metadata_rows(cat, "t", "delete_files", snapshot_id=1)) == 2
+    with pytest.raises(ValueError, match="unknown metadata table"):
+        mt.metadata_rows(cat, "t", "nope")
+
+
+def test_dataframes_and_datasource_metadata_read(spark, tmp_path):
+    from iceberg_compaction_spark.sources.datasource import register
+
+    cat = _two_snapshot_catalog(tmp_path)
+    m1 = cat.load_table_at("t", 1)
+    assert mt.files_df(spark, m1).count() == 5
+    assert mt.partitions_df(spark, m1).count() == 2
+    assert mt.snapshots_df(spark, cat, "t").count() == 2
+    assert mt.history_df(spark, cat, "t").count() == 2
+    assert mt.refs_df(spark, cat, "t").count() == 0
+
+    register(spark)
+    base = (
+        spark.read.format("iceberg-table")
+        .option("warehouse", cat.warehouse)
+        .option("table", "t")
+    )
+    snaps = base.option("metadata", "snapshots").load()
+    got = {r["snapshot_id"]: r for r in snaps.collect()}
+    assert got[2]["operation"] == "replace" and got[2]["data_file_count"] == 1
+    files_v1 = (
+        base.option("metadata", "files").option("snapshot_id", "1").load()
+    )
+    assert files_v1.count() == 3
+    assert (
+        files_v1.filter("partition['lang'] = 'en'")
+        .agg({"record_count": "sum"})
+        .first()[0]
+        == 30
+    )
+    with pytest.raises(Exception, match="read-only"):
+        mt.files_df(spark, m1).write.format("iceberg-table").options(
+            warehouse=cat.warehouse, table="t", metadata="files"
+        ).mode("append").save()
