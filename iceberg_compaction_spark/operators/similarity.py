@@ -45,6 +45,25 @@ def cosine_ppm(a: Column, b: Column) -> Column:
     return F.floor(cosine(a, b) * 1000000).cast("long")
 
 
+def vec_norm(col: Column) -> Column:
+    """L2 norm — the same ``sqrt(dot(v, v))`` subexpression
+    :func:`cosine` evaluates per pair."""
+    return F.sqrt(dot(col, col))
+
+
+def cosine_ppm_prenorm(a: Column, b: Column, na: Column, nb: Column) -> Column:
+    """:func:`cosine_ppm` with the two vector norms HOISTED into
+    per-side projections before the join.  The expression tree is
+    identical (``floor(dot/(na*nb) * 1e6)`` with ``na = sqrt(dot(a,a))``
+    evaluated over the same array), so results are bit-identical — but
+    each norm is computed once per VECTOR instead of once per scored
+    PAIR: a bucket of m vectors evaluates 2m norm aggregates instead of
+    ~m², and the per-pair hot loop drops from three array passes to
+    one.  This is the constant factor that dominates every bucketed /
+    brute-force cosine stage at corpus scale."""
+    return F.floor(dot(a, b) / (na * nb) * 1000000).cast("long")
+
+
 def l2_normalize(
     df: DataFrame,
     id_col: str = "vec_id",
@@ -155,18 +174,20 @@ def brute_force_topk(
     q = F.broadcast(
         queries.select(
             F.col(id_col).alias("query_id"), as_double(F.col(vec_col)).alias("qv")
-        )
+        ).withColumn("qn", vec_norm(F.col("qv")))
     )
     c = corpus.select(
         F.col(id_col).alias("neighbor_id"), as_double(F.col(vec_col)).alias("cv")
-    )
+    ).withColumn("cn", vec_norm(F.col("cv")))
     scored = (
         q.crossJoin(c)
         .where(F.col("query_id") != F.col("neighbor_id"))
         .select(
             "query_id",
             "neighbor_id",
-            cosine_ppm(F.col("qv"), F.col("cv")).alias("cos_ppm"),
+            cosine_ppm_prenorm(
+                F.col("qv"), F.col("cv"), F.col("qn"), F.col("cn")
+            ).alias("cos_ppm"),
         )
     )
     w = Window.partitionBy("query_id").orderBy(
@@ -200,14 +221,18 @@ def assign_clusters(
     cent = F.broadcast(
         centroids.select(
             F.col("cluster_id"), as_double(F.col(vec_col)).alias("centv")
-        )
+        ).withColumn("centn", vec_norm(F.col("centv")))
     )
-    v = vectors.select(F.col(id_col), as_double(F.col(vec_col)).alias("v"))
+    v = vectors.select(
+        F.col(id_col), as_double(F.col(vec_col)).alias("v")
+    ).withColumn("vn", vec_norm(F.col("v")))
     scored = v.crossJoin(cent).select(
         id_col,
         "cluster_id",
         "v",
-        cosine_ppm(F.col("v"), F.col("centv")).alias("c_ppm"),
+        cosine_ppm_prenorm(
+            F.col("v"), F.col("centv"), F.col("vn"), F.col("centn")
+        ).alias("c_ppm"),
     )
     best = scored.groupBy(id_col).agg(
         F.max(
@@ -330,14 +355,18 @@ def probe_clusters(
     cent = F.broadcast(
         centroids.select(
             F.col("cluster_id"), as_double(F.col(vec_col)).alias("centv")
-        )
+        ).withColumn("centn", vec_norm(F.col("centv")))
     )
-    v = queries.select(F.col(id_col), as_double(F.col(vec_col)).alias("v"))
+    v = queries.select(
+        F.col(id_col), as_double(F.col(vec_col)).alias("v")
+    ).withColumn("vn", vec_norm(F.col("v")))
     scored = v.crossJoin(cent).select(
         id_col,
         "cluster_id",
         "v",
-        cosine_ppm(F.col("v"), F.col("centv")).alias("c_ppm"),
+        cosine_ppm_prenorm(
+            F.col("v"), F.col("centv"), F.col("vn"), F.col("centn")
+        ).alias("c_ppm"),
     )
     w = Window.partitionBy(id_col).orderBy(
         F.col("c_ppm").desc(), F.col("cluster_id").asc()
@@ -379,10 +408,10 @@ def ivf_topk(
 
     q = q_assign.select(
         F.col(id_col).alias("query_id"), F.col("cluster_id"), F.col("v").alias("qv")
-    )
+    ).withColumn("qn", vec_norm(F.col("qv")))
     c = c_assign.select(
         F.col(id_col).alias("neighbor_id"), F.col("cluster_id"), F.col("v").alias("cv")
-    )
+    ).withColumn("cn", vec_norm(F.col("cv")))
     scored = (
         F.broadcast(q)
         .join(c, on="cluster_id")  # co-partition by cluster: the IVF probe
@@ -390,7 +419,9 @@ def ivf_topk(
         .select(
             "query_id",
             "neighbor_id",
-            cosine_ppm(F.col("qv"), F.col("cv")).alias("cos_ppm"),
+            cosine_ppm_prenorm(
+                F.col("qv"), F.col("cv"), F.col("qn"), F.col("cn")
+            ).alias("cos_ppm"),
         )
     )
     w = Window.partitionBy("query_id").orderBy(
@@ -447,11 +478,15 @@ def lsh_topk(
     c = corpus.select(
         F.col(id_col).alias("neighbor_id"),
         as_double(F.col(vec_col)).alias("cv"),
-    ).withColumn("bucket", lsh_bucket(F.col("cv"), anchor_pairs))
+    ).withColumn("bucket", lsh_bucket(F.col("cv"), anchor_pairs)).withColumn(
+        "cn", vec_norm(F.col("cv"))
+    )
     q = queries.select(
         F.col(id_col).alias("query_id"),
         as_double(F.col(vec_col)).alias("qv"),
-    ).withColumn("bucket", lsh_bucket(F.col("qv"), anchor_pairs))
+    ).withColumn("bucket", lsh_bucket(F.col("qv"), anchor_pairs)).withColumn(
+        "qn", vec_norm(F.col("qv"))
+    )
 
     scored = (
         F.broadcast(q)
@@ -460,7 +495,9 @@ def lsh_topk(
         .select(
             "query_id",
             "neighbor_id",
-            cosine_ppm(F.col("qv"), F.col("cv")).alias("cos_ppm"),
+            cosine_ppm_prenorm(
+                F.col("qv"), F.col("cv"), F.col("qn"), F.col("cn")
+            ).alias("cos_ppm"),
         )
     )
     w = Window.partitionBy("query_id").orderBy(
@@ -521,23 +558,27 @@ def lsh_cosine_pairs_multi(
     each surviving pair is scored exactly once."""
     v = _with_table_buckets(
         vectors.select(F.col(id_col), as_double(F.col(vec_col)).alias("v")), tables
-    )
+    ).withColumn("n", vec_norm(F.col("v")))
     cands = None
     for t in range(len(tables)):
         a = v.select(
             F.col(id_col).alias("id_a"), F.col("v").alias("va"),
-            F.col(f"__bucket_{t}").alias("__bk"),
+            F.col("n").alias("na"), F.col(f"__bucket_{t}").alias("__bk"),
         )
         b = v.select(
             F.col(id_col).alias("id_b"), F.col("v").alias("vb"),
-            F.col(f"__bucket_{t}").alias("__bk"),
+            F.col("n").alias("nb"), F.col(f"__bucket_{t}").alias("__bk"),
         )
         c = a.join(b, on="__bk").where(F.col("id_a") < F.col("id_b")).drop("__bk")
         cands = c if cands is None else cands.unionByName(c)
     return (
         cands.dropDuplicates(["id_a", "id_b"])
         .select(
-            "id_a", "id_b", cosine_ppm(F.col("va"), F.col("vb")).alias("cos_ppm")
+            "id_a",
+            "id_b",
+            cosine_ppm_prenorm(
+                F.col("va"), F.col("vb"), F.col("na"), F.col("nb")
+            ).alias("cos_ppm"),
         )
         .where(F.col("cos_ppm") >= threshold_ppm)
     )
@@ -560,18 +601,22 @@ def lsh_topk_multi(
             F.col(id_col).alias("neighbor_id"), as_double(F.col(vec_col)).alias("v")
         ),
         tables,
-    ).withColumnRenamed("v", "cv")
+    ).withColumnRenamed("v", "cv").withColumn("cn", vec_norm(F.col("cv")))
     q = _with_table_buckets(
         queries.select(
             F.col(id_col).alias("query_id"), as_double(F.col(vec_col)).alias("v")
         ),
         tables,
-    ).withColumnRenamed("v", "qv")
+    ).withColumnRenamed("v", "qv").withColumn("qn", vec_norm(F.col("qv")))
 
     cands = None
     for t in range(len(tables)):
-        qt = q.select("query_id", "qv", F.col(f"__bucket_{t}").alias("__bk"))
-        ct = c.select("neighbor_id", "cv", F.col(f"__bucket_{t}").alias("__bk"))
+        qt = q.select(
+            "query_id", "qv", "qn", F.col(f"__bucket_{t}").alias("__bk")
+        )
+        ct = c.select(
+            "neighbor_id", "cv", "cn", F.col(f"__bucket_{t}").alias("__bk")
+        )
         x = (
             F.broadcast(qt)
             .join(ct, on="__bk")
@@ -583,7 +628,9 @@ def lsh_topk_multi(
     scored = cands.dropDuplicates(["query_id", "neighbor_id"]).select(
         "query_id",
         "neighbor_id",
-        cosine_ppm(F.col("qv"), F.col("cv")).alias("cos_ppm"),
+        cosine_ppm_prenorm(
+            F.col("qv"), F.col("cv"), F.col("qn"), F.col("cn")
+        ).alias("cos_ppm"),
     )
     w = Window.partitionBy("query_id").orderBy(
         F.col("cos_ppm").desc(), F.col("neighbor_id").asc()
@@ -613,20 +660,28 @@ def lsh_cosine_pairs(
     bucketing itself is a shuffle-free projection.  Approximate by
     design: cross-bucket pairs are unseen (recall rises with fewer
     hyperplane bits or multiple tables)."""
-    v = vectors.select(
-        F.col(id_col), as_double(F.col(vec_col)).alias("v")
-    ).withColumn("bucket", lsh_bucket(F.col("v"), anchor_pairs))
+    v = (
+        vectors.select(F.col(id_col), as_double(F.col(vec_col)).alias("v"))
+        .withColumn("bucket", lsh_bucket(F.col("v"), anchor_pairs))
+        .withColumn("n", vec_norm(F.col("v")))
+    )
     a = v.select(
-        F.col(id_col).alias("id_a"), F.col("v").alias("va"), "bucket"
+        F.col(id_col).alias("id_a"), F.col("v").alias("va"),
+        F.col("n").alias("na"), "bucket",
     )
     b = v.select(
-        F.col(id_col).alias("id_b"), F.col("v").alias("vb"), "bucket"
+        F.col(id_col).alias("id_b"), F.col("v").alias("vb"),
+        F.col("n").alias("nb"), "bucket",
     )
     return (
         a.join(b, on="bucket")
         .where(F.col("id_a") < F.col("id_b"))
         .select(
-            "id_a", "id_b", cosine_ppm(F.col("va"), F.col("vb")).alias("cos_ppm")
+            "id_a",
+            "id_b",
+            cosine_ppm_prenorm(
+                F.col("va"), F.col("vb"), F.col("na"), F.col("nb")
+            ).alias("cos_ppm"),
         )
         .where(F.col("cos_ppm") >= threshold_ppm)
     )
@@ -666,13 +721,21 @@ def cosine_pairs(
     metadata-cheap job and prevents an accidental 10^22-pair plan at
     corpus scale)."""
     _guard_all_pairs(vectors, max_rows, "cosine_pairs")
-    a = vectors.select(F.col(id_col).alias("id_a"), as_double(F.col(vec_col)).alias("va"))
-    b = vectors.select(F.col(id_col).alias("id_b"), as_double(F.col(vec_col)).alias("vb"))
+    a = vectors.select(
+        F.col(id_col).alias("id_a"), as_double(F.col(vec_col)).alias("va")
+    ).withColumn("na", vec_norm(F.col("va")))
+    b = vectors.select(
+        F.col(id_col).alias("id_b"), as_double(F.col(vec_col)).alias("vb")
+    ).withColumn("nb", vec_norm(F.col("vb")))
     return (
         a.crossJoin(b)
         .where(F.col("id_a") < F.col("id_b"))
         .select(
-            "id_a", "id_b", cosine_ppm(F.col("va"), F.col("vb")).alias("cos_ppm")
+            "id_a",
+            "id_b",
+            cosine_ppm_prenorm(
+                F.col("va"), F.col("vb"), F.col("na"), F.col("nb")
+            ).alias("cos_ppm"),
         )
         .where(F.col("cos_ppm") >= threshold_ppm)
     )
