@@ -53,6 +53,10 @@ BENCH_QUERIES = [
     "mor_after_rename",
     "pipeline_scrub_pii",
     "dedup_span_coverage",
+    # round 8
+    "mor_nested_rename",
+    "pipeline_source_filter",
+    "meta_files",
 ]
 
 

@@ -29,16 +29,17 @@ Files carrying NO field ids (pre-Iceberg imports) fall back to
 name-based resolution — Iceberg's ``schema.name-mapping.default``
 behavior in its default form (field name = mapped name).
 
-Nested STRUCT fields resolve by id on the DataSource/Arrow path
-(``remap_batch_table`` recurses into struct children, so a rename or
-add INSIDE a struct is metadata-only there too — the reference passes
-nested schemas opaquely, so this exceeds reference parity).  List/map
-OF PRIMITIVES also evolve on that path: column rename by top-level id,
-element widening via Arrow cast, typed-null projection for added
-columns.  The engine path (``spark.read``) and structs nested INSIDE
-list/map values keep the name-based fallback: Spark's native field-id
-matcher is only exercised here for top-level primitives, and a partial
-remap would be worse than a loud, documented fallback.
+Nested types resolve by id on the DataSource/Arrow path throughout
+(``remap_batch_table`` -> ``_remap_array`` recurses structs, lists and
+maps, so a rename/add/promotion INSIDE a struct — including a struct
+that lives inside ``list<...>`` or ``map<...>`` — is metadata-only
+there too; offsets and validity of the enclosing list/map carry
+through zero-copy while only the values buffer re-projects.  The
+reference passes nested schemas opaquely, so this exceeds reference
+parity).  The engine path (``spark.read``) keeps the name-based
+fallback for nested types: Spark's native field-id matcher is only
+exercised here for top-level primitives, and a partial remap would be
+worse than a loud, documented fallback.
 """
 
 from __future__ import annotations
@@ -106,7 +107,7 @@ def iceberg_type_to_spark(t, nested: bool = False):
             )
         return T.StructType(out)
     if _is_list_type(t):
-        if not nested or _is_struct_type(t.get("element")):
+        if not nested:
             return None
         et = iceberg_type_to_spark(t.get("element"), nested=True)
         return (
@@ -115,11 +116,7 @@ def iceberg_type_to_spark(t, nested: bool = False):
             else None
         )
     if _is_map_type(t):
-        if (
-            not nested
-            or _is_struct_type(t.get("key"))
-            or _is_struct_type(t.get("value"))
-        ):
+        if not nested:
             return None
         kt = iceberg_type_to_spark(t.get("key"), nested=True)
         vt = iceberg_type_to_spark(t.get("value"), nested=True)
@@ -198,17 +195,14 @@ def iceberg_type_to_arrow(t):
             )
         return pa.struct(children)
     if _is_list_type(t):
-        # lists/maps OF PRIMITIVES evolve on the Arrow path through a
-        # plain cast (element widening) or typed-null projection;
-        # structs inside them would need an offset-aware child remap —
-        # that stays the documented name-fallback
-        if _is_struct_type(t.get("element")):
-            return None
+        # lists/maps evolve on the Arrow path: primitive elements via a
+        # plain cast (widening) or typed-null projection, struct
+        # elements via the offset-preserving child remap in
+        # ``_remap_array`` (the values buffer is re-projected by field
+        # id; offsets and validity carry through unchanged)
         et = iceberg_type_to_arrow(t.get("element"))
         return pa.list_(et) if et is not None else None
     if _is_map_type(t):
-        if _is_struct_type(t.get("key")) or _is_struct_type(t.get("value")):
-            return None
         kt = iceberg_type_to_arrow(t.get("key"))
         vt = iceberg_type_to_arrow(t.get("value"))
         return pa.map_(kt, vt) if kt is not None and vt is not None else None
@@ -349,12 +343,7 @@ def _remap_struct_array(arr, fields: list[dict]):
         ft = f.get("type")
         at = iceberg_type_to_arrow(ft)
         if idx is not None:
-            child = arr.field(idx)
-            if _is_struct_type(ft) and pa.types.is_struct(child.type):
-                child = _remap_struct_array(child, ft["fields"])
-            elif at is not None and not _same_arrow_shape(child.type, at):
-                child = child.cast(at)
-            children.append(child)
+            children.append(_remap_array(arr.field(idx), ft))
         else:
             children.append(pa.nulls(n, type=at or pa.null()))
         names.append(f["name"])
@@ -363,6 +352,64 @@ def _remap_struct_array(arr, fields: list[dict]):
         names=names,
         mask=arr.is_null() if arr.null_count else None,
     )
+
+
+def _null_marked_offsets(arr):
+    """The array's list/map offsets with entries NULLED where the
+    parent entry is null — the encoding ``MapArray.from_arrays``
+    (which has no ``mask`` parameter) uses to carry entry validity."""
+    import numpy as np
+    import pyarrow as pa
+
+    offs = arr.offsets
+    if not arr.null_count:
+        return offs
+    ov = offs.to_numpy(zero_copy_only=False)
+    invalid = ~arr.is_valid().to_numpy(zero_copy_only=False)
+    return pa.array(
+        ov, type=offs.type, mask=np.append(invalid, False)
+    )
+
+
+def _remap_array(arr, ft):
+    """Project ONE Arrow array onto the Iceberg type ``ft``.
+
+    Structs re-project children by field id (``_remap_struct_array``);
+    lists/maps remap their VALUES buffer recursively and rebuild with
+    the original offsets + validity (zero-copy for the offsets — a
+    struct rename inside ``list<struct<...>>`` touches only child
+    metadata); anything else widens via Arrow cast when the physical
+    type is narrower, or passes through untouched."""
+    import pyarrow as pa
+
+    if isinstance(arr, pa.ChunkedArray):
+        arr = arr.combine_chunks()
+    if _is_struct_type(ft) and pa.types.is_struct(arr.type):
+        return _remap_struct_array(arr, ft["fields"])
+    if _is_list_type(ft) and (
+        pa.types.is_list(arr.type) or pa.types.is_large_list(arr.type)
+    ):
+        values = _remap_array(arr.values, ft.get("element"))
+        cls = (
+            pa.LargeListArray
+            if pa.types.is_large_list(arr.type)
+            else pa.ListArray
+        )
+        return cls.from_arrays(
+            arr.offsets,
+            values,
+            mask=arr.is_null() if arr.null_count else None,
+        )
+    if _is_map_type(ft) and pa.types.is_map(arr.type):
+        return pa.MapArray.from_arrays(
+            _null_marked_offsets(arr),
+            _remap_array(arr.keys, ft.get("key")),
+            _remap_array(arr.items, ft.get("value")),
+        )
+    at = iceberg_type_to_arrow(ft)
+    if at is not None and not _same_arrow_shape(arr.type, at):
+        return arr.cast(at)
+    return arr
 
 
 def remap_batch_table(table, name_map: dict[str, str], fields: list[dict]):
@@ -382,22 +429,12 @@ def remap_batch_table(table, name_map: dict[str, str], fields: list[dict]):
         ft = f.get("type")
         at = iceberg_type_to_arrow(ft)
         if phys is not None and phys in table.column_names:
-            arr = table.column(phys)
-            if _is_struct_type(ft) and pa.types.is_struct(arr.type):
-                arr = _remap_struct_array(
-                    arr.combine_chunks()
-                    if isinstance(arr, pa.ChunkedArray)
-                    else arr,
-                    ft["fields"],
-                )
-            # Iceberg type promotion (int->long, float->double, decimal
-            # widening): files written before the promotion carry the
-            # narrower physical type — widen to the current schema's.
-            # Covers list/map of primitives too (element widening via
-            # Arrow cast; shape-equal types skip the cast entirely)
-            elif at is not None and not _same_arrow_shape(arr.type, at):
-                arr = arr.cast(at)
-            arrays.append(arr)
+            # struct/list/map columns re-project recursively by child
+            # field id; primitives widen via Arrow cast when the file's
+            # physical type is narrower (Iceberg promotion: int->long,
+            # float->double, decimal widening); shape-equal types pass
+            # through zero-copy
+            arrays.append(_remap_array(table.column(phys), ft))
         else:
             arrays.append(pa.nulls(n, type=at or pa.null()))
         cols.append(cur)

@@ -694,8 +694,88 @@ def test_datasource_reads_list_columns_across_rename_and_promotion(
     assert got[2]["labels"] == [] and got[2]["scores"] is None
 
 
-def test_struct_inside_list_stays_name_fallback():
+def test_struct_inside_list_resolves_types():
     t = {"type": "list", "element": {"type": "struct", "fields": [
         {"id": 9, "name": "x", "type": "int"}]}}
-    assert se.iceberg_type_to_arrow(t) is None
-    assert se.iceberg_type_to_spark(t, nested=True) is None
+    at = se.iceberg_type_to_arrow(t)
+    assert pa.types.is_list(at) and pa.types.is_struct(at.value_type)
+    st = se.iceberg_type_to_spark(t, nested=True)
+    assert st.simpleString() == "array<struct<x:int>>"
+
+
+# list<struct> v1: id(1), anns(2) list<struct<lbl(4) string, sc(5) int>>
+LSV1 = [
+    {"id": 1, "name": "id", "type": "long", "required": True},
+    {"id": 2, "name": "anns", "type": {"type": "list", "element-id": 3,
+        "element": {"type": "struct", "fields": [
+            {"id": 4, "name": "lbl", "type": "string"},
+            {"id": 5, "name": "sc", "type": "int"},
+        ]}}},
+]
+# v2: column RENAMED anns->labels, child lbl RENAMED->tag, child sc
+# PROMOTED int->long, child conf(6) double ADDED
+LSV2 = [
+    {"id": 1, "name": "id", "type": "long", "required": True},
+    {"id": 2, "name": "labels", "type": {"type": "list", "element-id": 3,
+        "element": {"type": "struct", "fields": [
+            {"id": 4, "name": "tag", "type": "string"},
+            {"id": 5, "name": "sc", "type": "long"},
+            {"id": 6, "name": "conf", "type": "double"},
+        ]}}},
+]
+
+
+def test_datasource_reads_struct_inside_list_across_rename(spark, tmp_path):
+    """Round 8 follow-up: a struct INSIDE a list evolves by child field
+    id on the DataSource Arrow path — the list column renames by its
+    top-level id, the element struct's children rename/promote/add by
+    THEIR ids, and list offsets/validity carry through unchanged."""
+    root = str(tmp_path / "lstbl")
+    os.makedirs(root)
+    p = os.path.join(root, "a-lsv1.parquet")
+    elem = pa.struct([
+        pa.field("lbl", pa.string(), metadata={se.ARROW_FIELD_ID_KEY: b"4"}),
+        pa.field("sc", pa.int32(), metadata={se.ARROW_FIELD_ID_KEY: b"5"}),
+    ])
+    schema = pa.schema([
+        pa.field("id", pa.int64(), False,
+                 metadata={se.ARROW_FIELD_ID_KEY: b"1"}),
+        pa.field("anns", pa.list_(
+            pa.field("element", elem,
+                     metadata={se.ARROW_FIELD_ID_KEY: b"3"})),
+            metadata={se.ARROW_FIELD_ID_KEY: b"2"}),
+    ])
+    pq.write_table(pa.Table.from_pylist([
+        {"id": 1, "anns": [{"lbl": "cat", "sc": 3}, {"lbl": "dog", "sc": 7}]},
+        {"id": 2, "anns": []},
+        {"id": 3, "anns": None},
+    ], schema=schema), p)
+    m = Manifest(
+        table_root=root, snapshot_id=1, sequence_number=1, schema_id=1,
+        schema_fields=[dict(f) for f in LSV2], last_column_id=6,
+        data_files=[FileScanTask(
+            data_file_path=p, length=os.path.getsize(p),
+            file_size_in_bytes=os.path.getsize(p), record_count=3,
+            sequence_number=1,
+        )],
+    )
+    from iceberg_compaction_spark.sources.catalog import FileCatalog
+    from iceberg_compaction_spark.sources.datasource import register
+
+    cat = FileCatalog(warehouse=str(tmp_path / "wh"))
+    cat.create_table("lsev", m)
+    register(spark)
+    df = (
+        spark.read.format("iceberg-table")
+        .option("warehouse", cat.warehouse)
+        .option("table", "lsev")
+        .load()
+    )
+    assert dict(df.dtypes)["labels"] == (
+        "array<struct<tag:string,sc:bigint,conf:double>>"
+    )
+    got = {r["id"]: r["labels"] for r in df.collect()}
+    assert [tuple(x) for x in got[1]] == [
+        ("cat", 3, None), ("dog", 7, None)
+    ]
+    assert got[2] == [] and got[3] is None
