@@ -749,6 +749,21 @@ def _split_partitions(
     return out
 
 
+def _resolve_manifest(cat, table: str, snapshot_id=None, ref=None):
+    """One manifest-resolution rule for every batch surface: explicit
+    ``snapshot_id`` time travel, named ``ref`` (tag/branch — Iceberg's
+    ``VERSION AS OF 'name'``), or the current head."""
+    if snapshot_id and ref:
+        raise ValueError(
+            "options snapshot_id and ref are mutually exclusive"
+        )
+    if ref:
+        return cat.load_table_ref(table, ref)
+    if snapshot_id:
+        return cat.load_table_at(table, int(snapshot_id))
+    return cat.load_table(table)
+
+
 class _MetadataPartition(InputPartition):
     """Driver-materialized metadata rows (file/snapshot entries — tiny
     even at 100 TB; see sources/metadata_tables.py scale stance)."""
@@ -773,10 +788,20 @@ class _MetadataReader(DataSourceReader):
         )
 
         cat = FileCatalog(warehouse=self._options["warehouse"])
+        table = self._options["table"]
         snap = self._options.get("snapshot_id")
+        ref = self._options.get("ref")
+        if ref:
+            if snap:
+                raise ValueError(
+                    "options snapshot_id and ref are mutually exclusive"
+                )
+            # per-snapshot kinds resolve the ref; history-wide kinds
+            # (snapshots/history/refs) ignore it by construction
+            snap = cat.list_refs(table)[ref]["snapshot_id"]
         rows = metadata_rows(
             cat,
-            self._options["table"],
+            table,
             self._options["metadata"],
             snapshot_id=int(snap) if snap else None,
         )
@@ -809,6 +834,7 @@ class _BatchReader(DataSourceReader):
         self._wh = options["warehouse"]
         self._table = options["table"]
         self._snapshot = options.get("snapshot_id")
+        self._ref = options.get("ref")
         self._predicates: tuple = ()
         # Iceberg's read.split.target-size analog; 0 disables splitting
         self._split_bytes = int(
@@ -829,11 +855,7 @@ class _BatchReader(DataSourceReader):
         from iceberg_compaction_spark.sources.catalog import FileCatalog
 
         cat = FileCatalog(warehouse=self._wh)
-        m = (
-            cat.load_table_at(self._table, int(self._snapshot))
-            if self._snapshot
-            else cat.load_table(self._table)
-        )
+        m = _resolve_manifest(cat, self._table, self._snapshot, self._ref)
         parts = _partitions_for_manifest(m)
         if self._predicates:
             preds = [
@@ -1170,7 +1192,15 @@ class IcebergTableDataSource(DataSource):
         if "schema" in self.options:
             return self.options["schema"] + suffix
         cat = FileCatalog(warehouse=self.options["warehouse"])
-        m = cat.load_table(self.options["table"])
+        # time travel reads use THE SNAPSHOT'S schema (Iceberg: each
+        # snapshot pins a schema id), so a read before an evolution
+        # presents the pre-evolution columns
+        m = _resolve_manifest(
+            cat,
+            self.options["table"],
+            self.options.get("snapshot_id"),
+            self.options.get("ref"),
+        )
         if m.schema_fields:
             # the table's declared (current) schema wins over any one
             # file's physical columns: after a rename/add the files

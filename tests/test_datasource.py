@@ -71,6 +71,23 @@ def test_batch_time_travel_option(spark, cat):
     assert new.count() == 21
 
 
+def test_batch_read_by_ref(spark, cat):
+    """option('ref', name): read a tagged/branched snapshot by name —
+    Iceberg's VERSION AS OF 'tag' — through the same resolution rule as
+    snapshot_id time travel."""
+    cat.create_tag("t", "audited", snapshot_id=1)
+    delta = spark.createDataFrame([(99, "x")], ["id", "val"])
+    m2 = upsert(spark, cat, "t", delta, keys=["id"])
+    cat.create_branch("t", "prod", snapshot_id=m2.snapshot_id)
+    assert _batch(spark, cat, ref="audited").count() == 20
+    assert _batch(spark, cat, ref="prod").count() == 21
+    with pytest.raises(Exception, match="mutually exclusive"):
+        _batch(spark, cat, ref="audited", snapshot_id="1").count()
+    # metadata tables resolve refs too
+    files = _batch(spark, cat, metadata="files", ref="audited")
+    assert files.count() == 1  # the single pre-upsert base file
+
+
 def _stream_rows(spark, cat, base, **opts):
     base = str(base)
     reader = (
