@@ -82,6 +82,10 @@ class Compaction:
             (f["source"], f.get("transform", "identity"), f.get("name"))
             for f in manifest.partition_spec
         )
+        order = tuple(
+            (f["source"], f.get("direction", "asc"), f.get("null-order"))
+            for f in manifest.sort_order
+        )
         return [
             CompactionPlan(
                 file_group=g,
@@ -91,9 +95,33 @@ class Compaction:
                 schema_columns=tuple(cols),
                 partition_spec=spec,
                 spec_id=manifest.default_spec_id,
+                sort_order=order,
             )
             for g in groups
         ]
+
+    def _effective_sort(self, plan: CompactionPlan) -> list[SortField] | None:
+        """Explicit Compaction(sort_order=...) wins; otherwise the
+        table's DECLARED order from the plan; zorder config suppresses
+        both (mutually exclusive write clusterings)."""
+        if self.sort_order:
+            # explicit order passes through even beside zorder config so
+            # the writer's mutual-exclusion error still surfaces
+            return self.sort_order
+        if self.config.writer.zorder_by:
+            return None
+        if plan.sort_order:
+            return [
+                SortField(
+                    column=c,
+                    ascending=d != "desc",
+                    nulls_first={"nulls-first": True, "nulls-last": False}.get(
+                        no
+                    ),
+                )
+                for c, d, no in plan.sort_order
+            ]
+        return None
 
     def rewrite(self, plan: CompactionPlan, out_dir: str | None = None) -> RewriteResult:
         g = plan.file_group
@@ -124,12 +152,13 @@ class Compaction:
                 PartitionField(source=s, transform=tr, name=nm)
                 for s, tr, nm in plan.partition_spec
             ]
+        order = self._effective_sort(plan)
         added = write_sized_parquet(
             df,
             out_dir,
             wcfg,
             output_parallelism=g.output_parallelism,
-            sort_order=self.sort_order,
+            sort_order=order,
             partition_spec=spec_fields,
         )
         if wcfg.enforce_size_band and not spec_fields:
@@ -142,7 +171,7 @@ class Compaction:
                 out_dir,
                 added,
                 wcfg,
-                sort_order=self.sort_order if not wcfg.zorder_by else None,
+                sort_order=order if not wcfg.zorder_by else None,
             )
         for t in added:
             # outputs are written under the table's CURRENT spec — this
@@ -419,8 +448,13 @@ class AutoCompaction:
             snapshot_id=manifest.snapshot_id,
             starting_sequence_number=manifest.sequence_number,
         )
+        order = tuple(
+            (f["source"], f.get("direction", "asc"), f.get("null-order"))
+            for f in manifest.sort_order
+        )
         for p in report.plans:
             p.schema_id = manifest.schema_id
+            p.sort_order = order
         if not report.plans:
             return manifest, CompactionStats(), report
 

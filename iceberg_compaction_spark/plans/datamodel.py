@@ -159,6 +159,12 @@ class CompactionPlan:
     # rewrites are the migration mechanism)
     partition_spec: tuple[tuple[str, str, str | None], ...] = ()
     spec_id: int = 0
+    # the table's DECLARED sort order at plan time, as
+    # (column, direction, null-order) triples; a rewrite sorts its
+    # output by it unless an explicit Compaction(sort_order=...) or
+    # zorder config overrides — maintenance is how an Iceberg table
+    # converges to its declared order
+    sort_order: tuple[tuple[str, str, str | None], ...] = ()
 
 
 @dataclass

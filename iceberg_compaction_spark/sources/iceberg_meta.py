@@ -337,7 +337,71 @@ def load_iceberg_table(
         # monotonic id high-water mark: evolutions on the loaded
         # manifest must not recycle ids retired in EARLIER versions
         last_column_id=int(md.get("last-column-id", 0)),
+        sort_order=_sort_order_from_md(md),
     )
+
+
+def _sort_order_from_md(md: dict) -> list[dict]:
+    """The table's default Iceberg sort order translated to the
+    engine's name-keyed shape.  Fields are resolved source-id -> name
+    through the current schema; non-identity transforms (bucket/
+    truncate sort keys) are skipped — the reference sorts identity
+    transforms only (datafusion_processor.rs:250-255)."""
+    oid = md.get("default-sort-order-id", 0)
+    order = next(
+        (o for o in md.get("sort-orders", []) if o.get("order-id") == oid),
+        None,
+    )
+    if not order:
+        return []
+    names = {int(f["id"]): f["name"] for f in _current_schema_fields(md)}
+    out = []
+    for f in order.get("fields", []):
+        if f.get("transform", "identity") != "identity":
+            continue
+        name = names.get(int(f.get("source-id", -1)))
+        if name is None:
+            continue
+        out.append(
+            {
+                "source": name,
+                "direction": f.get("direction", "asc"),
+                "null-order": f.get("null-order"),
+            }
+        )
+    return out
+
+
+def _sort_orders_to_md(
+    manifest, schema_fields: list[dict] | None = None
+) -> tuple[int, list[dict]]:
+    """(default-sort-order-id, sort-orders) for a metadata write.
+    Name -> source-id via the schema fields (the writer's explicit
+    fields when given, else the manifest's); a sort order naming an
+    unknown column is dropped (order 0) rather than written with a
+    dangling id.  Spec defaults: asc sorts nulls-first, desc
+    nulls-last — the same defaults SortField.to_column applies."""
+    empty = [{"order-id": 0, "fields": []}]
+    fields_src = schema_fields or manifest.schema_fields
+    if not manifest.sort_order or not fields_src:
+        return 0, empty
+    ids = {f["name"]: int(f["id"]) for f in fields_src}
+    fields = []
+    for f in manifest.sort_order:
+        sid = ids.get(f.get("source"))
+        if sid is None:
+            return 0, empty
+        direction = f.get("direction", "asc")
+        fields.append(
+            {
+                "transform": "identity",
+                "source-id": sid,
+                "direction": direction,
+                "null-order": f.get("null-order")
+                or ("nulls-last" if direction == "desc" else "nulls-first"),
+            }
+        )
+    return 1, [*empty, {"order-id": 1, "fields": fields}]
 
 
 # ---------------------------------------------------------------------------
@@ -664,8 +728,8 @@ def export_iceberg_metadata(
         "default-spec-id": 0,
         "partition-specs": [{"spec-id": 0, "fields": []}],
         "last-partition-id": 999,
-        "default-sort-order-id": 0,
-        "sort-orders": [{"order-id": 0, "fields": []}],
+        "default-sort-order-id": _sort_orders_to_md(manifest, schema_fields)[0],
+        "sort-orders": _sort_orders_to_md(manifest, schema_fields)[1],
         "properties": {
             str(k): str(v) for k, v in manifest.properties.items()
         },
@@ -984,8 +1048,8 @@ class IcebergHadoopCatalog:
             "default-spec-id": 0,
             "partition-specs": [{"spec-id": 0, "fields": []}],
             "last-partition-id": 999,
-            "default-sort-order-id": 0,
-            "sort-orders": [{"order-id": 0, "fields": []}],
+            "default-sort-order-id": _sort_orders_to_md(manifest)[0],
+            "sort-orders": _sort_orders_to_md(manifest)[1],
             "properties": {
                 str(k): (v if isinstance(v, (list, dict)) else str(v))
                 for k, v in manifest.properties.items()

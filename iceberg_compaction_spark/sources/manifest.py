@@ -175,6 +175,15 @@ class Manifest:
     # retired id and resurrect the dropped column's old values from
     # pre-drop data files (ADVICE r7, medium).
     last_column_id: int = 0
+    # the table's DECLARED sort order (Iceberg sort-orders; identity
+    # transform only, matching the reference's sort support —
+    # datafusion_processor.rs:250-255): list of {"source": column_name,
+    # "direction": "asc"|"desc", "null-order": "nulls-first"|
+    # "nulls-last"} dicts.  Empty = unsorted.  Compaction rewrites
+    # apply it by default (an explicit Compaction(sort_order=...) or
+    # zorder config wins), which is how Iceberg tables converge to
+    # their declared order through maintenance.
+    sort_order: list[dict] = field(default_factory=list)
 
     # ---- construction ------------------------------------------------------
 
@@ -272,6 +281,11 @@ class Manifest:
                 if self.last_column_id
                 else {}
             ),
+            **(
+                {"sort_order": [dict(f) for f in self.sort_order]}
+                if self.sort_order
+                else {}
+            ),
             "data_files": [
                 {
                     "path": t.data_file_path,
@@ -356,6 +370,7 @@ class Manifest:
             operation=d.get("operation", ""),
             schema_fields=[dict(f) for f in d.get("schema_fields", [])],
             last_column_id=int(d.get("last_column_id", 0)),
+            sort_order=[dict(f) for f in d.get("sort_order", [])],
         )
 
     # ---- spec evolution ----------------------------------------------------
