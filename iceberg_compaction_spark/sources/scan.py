@@ -126,8 +126,10 @@ def read_data_files(
     matches file columns BY ID (sources/schema_evo.py) — files written
     before a rename/add/drop still scan correctly, exactly as the
     reference resolves schemas through field ids
-    (datafusion_processor.rs:741-774).  Falls back to name-based reads
-    when the schema has nested types.
+    (datafusion_processor.rs:741-774).  Nested types resolve too:
+    Spark's native reader matches ids at every nesting level, so a
+    rename INSIDE a struct (or of a list/map column) is metadata-only
+    on this path as well.
 
     Deletion vectors come in one of three forms (mutually exclusive):
     ``position_vectors`` is the small-DV driver-side dict (planner
@@ -156,7 +158,7 @@ def read_data_files(
             struct_with_field_ids,
         )
 
-        st = struct_with_field_ids(schema_fields)
+        st = struct_with_field_ids(schema_fields, nested=True)
         if st is not None:
             # Which files actually carry parquet field ids?  One footer
             # metadata read per file at PLAN time — the same cost class

@@ -102,7 +102,17 @@ def iceberg_type_to_spark(t, nested: bool = False):
                 return None
             out.append(
                 T.StructField(
-                    f["name"], dt, nullable=not f.get("required", False)
+                    f["name"],
+                    dt,
+                    nullable=not f.get("required", False),
+                    # nested StructFields carry their field id too:
+                    # Spark's native reader resolves ids at EVERY
+                    # nesting level when the requested schema declares
+                    # them (verified on 4.1: struct/child rename,
+                    # child promotion, child add, list rename)
+                    metadata={SPARK_FIELD_ID_KEY: int(f["id"])}
+                    if f.get("id") is not None
+                    else None,
                 )
             )
         return T.StructType(out)
@@ -142,11 +152,12 @@ def struct_with_field_ids(
 ) -> T.StructType | None:
     """Spark StructType for an Iceberg schema field list, each field
     carrying ``parquet.field.id`` metadata so Spark's parquet reader
-    resolves columns by id.  None when any field is nested/unknown
+    resolves columns by id.  None when any field's type is unknown
     (caller falls back to plain name-based reads).  ``nested=True``
-    admits struct-typed fields — only correct for callers that resolve
-    nested columns themselves (the DataSource's Arrow remap); Spark's
-    native field-id path is left to top-level primitives."""
+    admits nested types: struct children carry their own ids, which
+    BOTH consumers honor — Spark's native field-id reader resolves ids
+    at every nesting level (engine path), and the DataSource's Arrow
+    remap does its own per-file child resolution."""
     out = []
     for f in fields:
         dt = iceberg_type_to_spark(f.get("type"), nested=nested)

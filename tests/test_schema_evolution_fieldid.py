@@ -779,3 +779,19 @@ def test_datasource_reads_struct_inside_list_across_rename(spark, tmp_path):
         ("cat", 3, None), ("dog", 7, None)
     ]
     assert got[2] == [] and got[3] is None
+
+
+def test_engine_scan_resolves_nested_struct_rename(spark, nested_evolved):
+    """Late round 8: Spark's NATIVE field-id reader resolves ids at
+    every nesting level (verified on 4.1), so the ENGINE path now
+    declares nested types with per-child ``parquet.field.id`` metadata
+    instead of falling back to name-based reads — the same NV1/NV2
+    straddle the DataSource test covers, through spark.read."""
+    df = read_table_mor(spark, nested_evolved)
+    assert dict(df.dtypes)["info"] == (
+        "struct<language:string,score:bigint,tokens:bigint>"
+    )
+    got = {r["id"]: r["info"] for r in df.collect()}
+    assert tuple(got[1]) == ("en", 3, None)  # pre-rename file, by child id
+    assert got[2] is None
+    assert tuple(got[3]) == ("fr", 9, 42)
