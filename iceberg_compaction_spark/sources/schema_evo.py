@@ -29,17 +29,19 @@ Files carrying NO field ids (pre-Iceberg imports) fall back to
 name-based resolution — Iceberg's ``schema.name-mapping.default``
 behavior in its default form (field name = mapped name).
 
-Nested types resolve by id on the DataSource/Arrow path throughout
-(``remap_batch_table`` -> ``_remap_array`` recurses structs, lists and
-maps, so a rename/add/promotion INSIDE a struct — including a struct
-that lives inside ``list<...>`` or ``map<...>`` — is metadata-only
-there too; offsets and validity of the enclosing list/map carry
-through zero-copy while only the values buffer re-projects.  The
-reference passes nested schemas opaquely, so this exceeds reference
-parity).  The engine path (``spark.read``) keeps the name-based
-fallback for nested types: Spark's native field-id matcher is only
-exercised here for top-level primitives, and a partial remap would be
-worse than a loud, documented fallback.
+Nested types resolve by id on BOTH paths (the reference passes nested
+schemas opaquely, so this exceeds reference parity):
+
+- DataSource/Arrow: ``remap_batch_table`` -> ``_remap_array`` recurses
+  structs, lists and maps, so a rename/add/promotion INSIDE a struct —
+  including a struct that lives inside ``list<...>`` or ``map<...>`` —
+  is metadata-only there too; offsets and validity of the enclosing
+  list/map carry through zero-copy while only the values buffer
+  re-projects.
+- Engine (``spark.read``): Spark's native field-id matcher resolves
+  ids at every nesting level when the requested schema declares them,
+  so ``struct_with_field_ids`` stamps ``parquet.field.id`` on nested
+  StructFields as well — still zero Python in the row path.
 """
 
 from __future__ import annotations
@@ -87,11 +89,11 @@ def _is_map_type(t) -> bool:
 
 def iceberg_type_to_spark(t, nested: bool = False):
     """Spark DataType for an Iceberg type; None for unknown types
-    (callers fall back to name-based reads).  Nested types (struct,
-    list/map of primitives) resolve only with ``nested=True`` (the
-    DataSource path, whose executor-side Arrow remap does its own
-    per-file resolution); structs NESTED INSIDE list/map values stay
-    the documented name-fallback."""
+    (callers fall back to name-based reads).  Nested types resolve only
+    with ``nested=True``; struct children then carry their own
+    ``parquet.field.id`` metadata, which both the engine's native
+    field-id reader and the DataSource's Arrow remap honor at every
+    nesting level."""
     if _is_struct_type(t):
         if not nested:
             return None
