@@ -259,6 +259,7 @@ def rewrite_file_group(
     group: FileGroup,
     table_columns: list[str] | None = None,
     broadcast_threshold: int = DEFAULT_BROADCAST_DELETE_BYTES,
+    keep_file_pos: bool = False,
 ) -> DataFrame:
     """Build the MOR DataFrame for one FileGroup (the unit of a rewrite
     job, §3.1 step 3-4).
@@ -344,7 +345,10 @@ def rewrite_file_group(
         spark,
         [t.data_file_path for t in group.data_files],
         need_seq_num=has_eq,
-        need_file_path_and_pos=has_pos and not ge_v3,
+        # keep_file_pos: the caller wants surviving rows' ORIGINAL
+        # (file, position) identity — the row addresses a predicate
+        # DELETE turns into position deletes (ingest.delete_where)
+        need_file_path_and_pos=(has_pos and not ge_v3) or keep_file_pos,
         seq_by_path=seq_by_path,
         position_vectors=position_vectors,
         position_vector_paths=position_vector_paths,
@@ -353,11 +357,12 @@ def rewrite_file_group(
         schema_fields=group.schema_fields,
     )
     if table_columns is None:
-        table_columns = [
-            c
-            for c in data.columns
-            if c not in (HIDDEN_SEQ, HIDDEN_FILE_PATH, HIDDEN_POS)
-        ]
+        hidden = (
+            (HIDDEN_SEQ,)
+            if keep_file_pos
+            else (HIDDEN_SEQ, HIDDEN_FILE_PATH, HIDDEN_POS)
+        )
+        table_columns = [c for c in data.columns if c not in hidden]
 
     pos_df = None
     pos_bytes = None

@@ -698,3 +698,77 @@ def metadata_fixture_warehouse(sf_dir: str) -> str:
     except OSError:
         shutil.rmtree(stage, ignore_errors=True)
     return wh
+
+
+def delete_where_warehouse(spark: SparkSession, sf_dir: str) -> str:
+    """One-time per sf_dir: a FileCatalog warehouse whose table
+    ``docs_dml`` is ``documents`` split into two files by doc_id
+    parity, with one committed ``delete_where`` (predicate
+    ``doc_id % 7 = 3``) on top — so the ``dml_delete_where`` oracle
+    reads genuine position-delete MOR state produced by the engine's
+    own predicate-DELETE path (sources/ingest.py delete_where).
+    Returns the warehouse path."""
+    import hashlib
+    import os
+    import shutil
+    import tempfile
+    import uuid as _uuid
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from iceberg_compaction_spark.plans.datamodel import FileScanTask
+    from iceberg_compaction_spark.sources.catalog import FileCatalog
+    from iceberg_compaction_spark.sources.ingest import delete_where
+    from iceberg_compaction_spark.sources.manifest import Manifest
+
+    src = os.path.join(sf_dir, "documents.parquet")
+    st = os.stat(src)
+    key = hashlib.md5(
+        f"dml|{src}|{st.st_size}|{st.st_mtime_ns}".encode()
+    ).hexdigest()[:10]
+    root = os.path.join(tempfile.gettempdir(), f"icspark-dml-{key}")
+    wh = os.path.join(root, "wh")
+    if os.path.isfile(os.path.join(root, "_BUILT")):
+        return wh
+
+    stage = os.path.join(
+        tempfile.gettempdir(), f"icspark-dml-{key}.{_uuid.uuid4().hex[:8]}.tmp"
+    )
+    os.makedirs(os.path.join(stage, "data"), exist_ok=True)
+    t = pq.read_table(src, columns=["doc_id", "lang"])
+    ids = t.column("doc_id").to_numpy()
+    tasks = []
+    for tag, mask in (("even", ids % 2 == 0), ("odd", ids % 2 == 1)):
+        p = os.path.join(stage, "data", f"{tag}.parquet")
+        pq.write_table(t.filter(pa.array(mask)), p)
+        tasks.append(
+            FileScanTask(
+                data_file_path=p.replace(stage, root, 1),
+                length=os.path.getsize(p),
+                file_size_in_bytes=os.path.getsize(p),
+                record_count=int(mask.sum()),
+                sequence_number=1,
+            )
+        )
+    FileCatalog(warehouse=os.path.join(stage, "wh")).create_table(
+        "docs_dml",
+        Manifest(
+            table_root=os.path.join(root, "data"),
+            snapshot_id=1,
+            sequence_number=1,
+            operation="append",
+            data_files=tasks,
+        ),
+    )
+    try:
+        os.rename(stage, root)
+    except OSError:
+        shutil.rmtree(stage, ignore_errors=True)
+        return wh
+    # the committed predicate DELETE lives in the PUBLISHED warehouse
+    # (data paths inside the manifest point at the final root)
+    delete_where(spark, FileCatalog(warehouse=wh), "docs_dml", "doc_id % 7 = 3")
+    with open(os.path.join(root, "_BUILT"), "w") as f:
+        f.write("1")
+    return wh

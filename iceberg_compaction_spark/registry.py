@@ -3354,3 +3354,27 @@ def q_meta_snapshots(spark, sf_dir):
     return snapshots_df(spark, _meta_catalog(sf_dir), "docs_meta").select(
         "snapshot_id", "operation", "data_file_count", "total_records"
     )
+
+
+@register(
+    "dml_delete_where",
+    """
+    SELECT doc_id, lang FROM documents WHERE NOT (doc_id % 7 = 3)
+    """,
+)
+def q_dml_delete_where(spark, sf_dir):
+    """Predicate DELETE lifecycle (sources/ingest.py delete_where): the
+    fixture commits ``DELETE WHERE doc_id % 7 = 3`` against a catalog
+    table of ``documents`` as a real position-delete file; this query
+    MOR-reads the result, so the oracle checks the whole
+    scan -> predicate -> position-delete write -> anti-join loop.
+
+    Scale shape: the delete was computed as a distributed filter over
+    the hidden (file, pos) scan and written without positions ever
+    reaching the driver; the read is the standard J1 anti-join."""
+    from iceberg_compaction_spark.sources.catalog import FileCatalog
+    from iceberg_compaction_spark.sources.ingest import read_table_mor
+
+    wh = syn.delete_where_warehouse(spark, sf_dir)
+    m = FileCatalog(warehouse=wh).load_table("docs_dml")
+    return read_table_mor(spark, m).select("doc_id", "lang")

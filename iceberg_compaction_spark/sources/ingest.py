@@ -158,32 +158,115 @@ def upsert(
                 record_count=md.num_rows,
                 sequence_number=new_seq,
             )
-        new = Manifest(
-            table_root=cur.table_root,
-            snapshot_id=cur.next_snapshot(),
-            sequence_number=new_seq,
-            schema_id=cur.schema_id,
-            format_version=cur.format_version,
-            data_files=[
-                FileScanTask(
-                    data_file_path=t.data_file_path,
-                    length=t.length,
-                    file_size_in_bytes=t.file_size_in_bytes,
-                    record_count=t.record_count,
-                    sequence_number=t.sequence_number,
-                    partition=t.partition,
-                    # the new delete applies to every file with an older
-                    # sequence number — i.e. all current files
-                    deletes=list(t.deletes) + [eq_file],
-                )
-                for t in cur.data_files
-            ]
-            + ([data_task] if data_task is not None else []),
-            properties=dict(cur.properties),
-            schema_fields=[dict(f) for f in cur.schema_fields],
-            # rows change in place: streaming raises unless skipped
-            operation="overwrite",
+        # from_dict round-trip: a deep copy that preserves EVERY table
+        # property (partition spec, declared sort order, last-column-id,
+        # per-file spec ids and column bounds) — rebuilding the manifest
+        # field-by-field here silently dropped them (round-8 fix)
+        new = Manifest.from_dict(cur.to_dict())
+        new.snapshot_id = cur.next_snapshot()
+        new.sequence_number = new_seq
+        # rows change in place: streaming raises unless skipped
+        new.operation = "overwrite"
+        for t in new.data_files:
+            # the new delete applies to every file with an older
+            # sequence number — i.e. all current files
+            t.deletes.append(eq_file)
+        if data_task is not None:
+            new.data_files.append(data_task)
+        return catalog.commit_table(table_name, cur.snapshot_id, new)
+
+    from iceberg_compaction_spark.commit import CommitManager
+
+    return CommitManager().commit_with_retry(attempt)
+
+
+def delete_where(
+    spark: SparkSession,
+    catalog,
+    table_name: str,
+    predicate: str,
+) -> Manifest:
+    """Predicate DELETE producing merge-on-read state — the DML that
+    pairs with :func:`upsert`'s key-based path (``DELETE FROM t WHERE
+    ...`` in Iceberg engines writes position deletes, never rewrites
+    data files).
+
+    Scans the CURRENT snapshot with hidden ``(file, pos)`` identity,
+    evaluates ``predicate`` over already-MOR-merged rows (a row deleted
+    by an earlier commit can't match twice), and commits ONE
+    position-delete artifact covering the matches: a
+    ``(sys_hidden_file_path, sys_hidden_pos)`` parquet trail on v2
+    tables, a puffin deletion vector (one Roaring blob per referenced
+    data file, serialized on executors) on v3.  The delete attaches
+    only to the data files it references.  No matches -> no commit.
+
+    Retry semantics: losing the CAS race re-runs the WHOLE attempt
+    against the fresh head — positions are only valid for the exact
+    files they were computed from, and the predicate must also see
+    rows added by the race winner (the serializable-delete view).
+
+    Scale shape: the scan + filter is a distributed plan with the
+    predicate eligible for pushdown; positions never exist driver-side
+    (single-file parquet write, or executor-serialized DV blobs) —
+    only the REFERENCED FILE PATHS are collected, which is manifest
+    scale by definition.
+    """
+    from iceberg_compaction_spark.plans.datamodel import POSITION_DELETE
+    from iceberg_compaction_spark.sources.scan import (
+        HIDDEN_FILE_PATH,
+        HIDDEN_POS,
+        normalize_path_str,
+    )
+
+    suffix = uuid.uuid4().hex[:8]
+
+    def attempt() -> Manifest:
+        cur = catalog.load_table(table_name)
+        group = FileGroup.from_tasks(cur.data_files)
+        group.format_version = cur.format_version
+        group.schema_fields = cur.schema_fields or None
+        df = rewrite_file_group(spark, group, keep_file_pos=True)
+        matched = df.where(predicate).select(HIDDEN_FILE_PATH, HIDDEN_POS)
+
+        v3 = cur.format_version >= 3
+        path = os.path.join(
+            cur.table_root,
+            f"delete-{suffix}" + (".puffin" if v3 else "-pos.parquet"),
         )
+        if v3:
+            from iceberg_compaction_spark.compaction import (
+                _write_v3_dv_file,
+            )
+
+            refs, n = _write_v3_dv_file(spark, matched, path)
+        else:
+            _write_single_parquet(
+                matched.orderBy(HIDDEN_FILE_PATH, HIDDEN_POS), path
+            )
+            import pyarrow.parquet as pq
+
+            t = pq.read_table(path, columns=[HIDDEN_FILE_PATH])
+            n = t.num_rows
+            refs = set(t.column(HIDDEN_FILE_PATH).unique().to_pylist())
+        if n == 0:
+            os.remove(path)
+            return cur
+
+        new_seq = cur.sequence_number + 1
+        dfile = DeleteFile(
+            path=path,
+            content=POSITION_DELETE,
+            file_size_in_bytes=os.path.getsize(path),
+            record_count=n,
+            sequence_number=new_seq,
+        )
+        new = Manifest.from_dict(cur.to_dict())
+        new.snapshot_id = cur.next_snapshot()
+        new.sequence_number = new_seq
+        new.operation = "delete"
+        for t in new.data_files:
+            if normalize_path_str(t.data_file_path) in refs:
+                t.deletes.append(dfile)
         return catalog.commit_table(table_name, cur.snapshot_id, new)
 
     from iceberg_compaction_spark.commit import CommitManager

@@ -329,3 +329,96 @@ def test_upsert_random_sequences_match_dict_model(spark, tmp_path):
         for r in read_table_mor(spark, cat.load_table("m")).collect()
     }
     assert got == model
+
+
+# ---- predicate DELETE (delete_where) ---------------------------------------
+
+
+def test_delete_where_v2_writes_position_deletes(spark, table):
+    from iceberg_compaction_spark.plans.datamodel import POSITION_DELETE
+    from iceberg_compaction_spark.sources.ingest import delete_where
+
+    m = delete_where(spark, table, "t", "id % 3 = 0")
+    assert m.snapshot_id == 2 and m.operation == "delete"
+    dels = {d.path for t in m.data_files for d in t.deletes}
+    assert len(dels) == 1
+    d = next(d for t in m.data_files for d in t.deletes)
+    assert d.content == POSITION_DELETE and d.path.endswith("-pos.parquet")
+    assert d.record_count == 4  # ids 0,3,6,9
+    got = _rows(spark, table)
+    assert sorted(got) == [1, 2, 4, 5, 7, 8]
+
+
+def test_delete_where_no_match_no_commit(spark, table):
+    from iceberg_compaction_spark.sources.ingest import delete_where
+
+    m = delete_where(spark, table, "t", "id > 1000")
+    assert m.snapshot_id == 1  # unchanged head, no new snapshot
+    assert table.load_table("t").snapshot_id == 1
+
+
+def test_delete_where_v3_writes_puffin_dv(spark, table):
+    from iceberg_compaction_spark.sources.ingest import delete_where
+    from iceberg_compaction_spark.sources.puffin import read_puffin_dvs
+
+    cur = table.load_table("t")
+    m2 = Manifest.from_dict(cur.to_dict())
+    m2.snapshot_id = 2
+    m2.format_version = 3
+    m2.operation = "replace"
+    table.commit_table("t", 1, m2)
+
+    m = delete_where(spark, table, "t", "id IN (2, 7)")
+    d = next(d for t in m.data_files for d in t.deletes)
+    assert d.path.endswith(".puffin")
+    dvs = read_puffin_dvs(d.path)
+    assert sum(len(v) for v in dvs.values()) == 2
+    got = _rows(spark, table)
+    assert sorted(got) == [0, 1, 3, 4, 5, 6, 8, 9]
+
+
+def test_delete_where_composes_with_upsert_and_compaction(spark, table):
+    from iceberg_compaction_spark.sources.ingest import delete_where
+
+    upsert(
+        spark, table, "t",
+        spark.createDataFrame([(3, "v3-new"), (42, "v42")], ["id", "val"]),
+        keys=["id"],
+    )
+    delete_where(spark, table, "t", "val LIKE 'v4%'")  # kills 4 and 42
+    got = _rows(spark, table)
+    assert 4 not in got and 42 not in got and got[3] == "v3-new"
+    new_m, stats = Compaction(spark, CompactionConfig.small_files()).compact(
+        table.load_table("t")
+    )
+    assert stats.output_files_count >= 1
+    materialized = {
+        r["id"]: r["val"]
+        for r in read_table_mor(spark, new_m).collect()
+    }
+    assert materialized == got
+
+
+def test_upsert_preserves_table_metadata(spark, table):
+    """Round-8 fix: the upsert commit used to rebuild the manifest
+    field-by-field and silently drop partition spec, declared sort
+    order and last-column-id."""
+    cur = table.load_table("t")
+    m2 = Manifest.from_dict(cur.to_dict())
+    m2.snapshot_id = 2
+    m2.operation = "replace"
+    m2.sort_order = [{"source": "id", "direction": "asc"}]
+    m2.last_column_id = 7
+    m2.partition_spec = [
+        {"source": "id", "transform": "identity", "name": "id"}
+    ]
+    m2.default_spec_id = 1
+    table.commit_table("t", 1, m2)
+
+    m = upsert(
+        spark, table, "t",
+        spark.createDataFrame([(1, "x")], ["id", "val"]), keys=["id"],
+    )
+    assert m.sort_order == [{"source": "id", "direction": "asc"}]
+    assert m.last_column_id == 7
+    assert m.default_spec_id == 1 and m.partition_spec
