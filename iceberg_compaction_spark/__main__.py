@@ -132,6 +132,31 @@ def cmd_maintain(args, spark=None) -> dict:
     }
 
 
+def cmd_delete(args, spark=None) -> dict:
+    from iceberg_compaction_spark.sources.ingest import delete_where
+
+    spark = spark or _build_session(args.master)
+    cat = _catalog(args.warehouse)
+    before = cat.load_table(args.table)
+    new = delete_where(spark, cat, args.table, args.where)
+    d = {
+        x.path
+        for t in new.data_files
+        for x in t.deletes
+        if x.sequence_number == new.sequence_number
+    }
+    return {
+        "table": args.table,
+        "where": args.where,
+        "snapshot_before": before.snapshot_id,
+        "snapshot_after": new.snapshot_id,
+        "committed": new.snapshot_id != before.snapshot_id,
+        "delete_files_written": sorted(d)
+        if new.snapshot_id != before.snapshot_id
+        else [],
+    }
+
+
 def build_parser() -> argparse.ArgumentParser:
     p = argparse.ArgumentParser(
         prog="python -m iceberg_compaction_spark",
@@ -152,6 +177,11 @@ def build_parser() -> argparse.ArgumentParser:
         "--target-file-size", type=int, default=1024 * 1024 * 1024
     )
     c.add_argument("--enforce-size-band", action="store_true")
+    d = sub.add_parser(
+        "delete", help="predicate DELETE -> position-delete commit"
+    )
+    common(d)
+    d.add_argument("--where", required=True, help="SQL predicate")
     m = sub.add_parser("maintain", help="full maintenance pass")
     common(m)
     m.add_argument("--keep-snapshots", type=int, default=3)
@@ -166,6 +196,7 @@ COMMANDS = {
     "show": cmd_show,
     "history": cmd_history,
     "compact": cmd_compact,
+    "delete": cmd_delete,
     "maintain": cmd_maintain,
 }
 

@@ -101,3 +101,25 @@ def test_cli_main_prints_json(spark, wh, capsys):
     assert main(["show", "--warehouse", wh, "--table", "t"], spark=spark) == 0
     out = json.loads(capsys.readouterr().out.strip())
     assert out["data_files"] == 4
+
+
+def test_cli_delete_where(spark, wh):
+    out = _run(
+        spark,
+        ["delete", "--warehouse", wh, "--table", "t",
+         "--where", "id % 10 = 0"],
+    )
+    assert out["committed"] and out["snapshot_after"] == out["snapshot_before"] + 1
+    assert len(out["delete_files_written"]) == 1
+    from iceberg_compaction_spark.sources.ingest import read_table_mor
+
+    m = FileCatalog(warehouse=wh).load_table("t")
+    ids = [r["id"] for r in read_table_mor(spark, m).collect()]
+    assert all(i % 10 != 0 for i in ids) and len(ids) == 36
+
+    again = _run(
+        spark,
+        ["delete", "--warehouse", wh, "--table", "t",
+         "--where", "id % 10 = 0"],
+    )
+    assert not again["committed"]  # already-merged rows can't match twice
