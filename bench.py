@@ -57,6 +57,7 @@ BENCH_QUERIES = [
     "mor_nested_rename",
     "pipeline_source_filter",
     "meta_files",
+    "dml_delete_where",
 ]
 
 

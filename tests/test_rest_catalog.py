@@ -298,3 +298,28 @@ def test_refs_over_http(client, fragmented, spark):
     client.drop_ref("t", "audit-v1")
     with pytest.raises(TableNotFound):
         client.load_table_ref("t", "audit-v1")
+
+
+def test_metadata_tables_over_rest(spark, client, fragmented):
+    """metadata_tables is catalog-generic: the same snapshots / history
+    / refs / files builders run over the REST client (HTTP round-trips
+    for every load) exactly as over FileCatalog."""
+    from iceberg_compaction_spark.sources import metadata_tables as mt
+
+    client.create_table("t", fragmented)
+    m2 = Manifest.from_dict(client.load_table("t").to_dict())
+    m2.snapshot_id = 2
+    m2.operation = "replace"
+    m2.data_files = m2.data_files[:4]
+    client.commit_table("t", 1, m2)
+    client.create_tag("t", "audited", snapshot_id=1)
+
+    snaps = {r[0]: r for r in mt.snapshots_rows(client, "t")}
+    assert snaps[1][4] == 8 and snaps[2][4] == 4
+    assert mt.history_rows(client, "t") == [
+        (1, None, True, False),
+        (2, 1, True, True),
+    ]
+    assert mt.refs_rows(client, "t") == [("audited", "tag", 1)]
+    assert len(mt.metadata_rows(client, "t", "files", snapshot_id=1)) == 8
+    assert mt.snapshots_df(spark, client, "t").count() == 2
