@@ -530,6 +530,36 @@ def _write_v3_dv_file(spark, merged, out_path: str):
     return {b[0] for b in blobs}, sum(b[2] for b in blobs)
 
 
+def upgrade_format_version(catalog, table_name: str, to_version: int = 3):
+    """Iceberg's format-version upgrade: a metadata-only commit flipping
+    ``format_version`` (the spec allows upgrades, NEVER downgrades).
+
+    Existing parquet position-delete trails remain readable on v3 (the
+    planner still applies them); the next maintenance pass
+    (:func:`rewrite_position_deletes`) folds them into puffin deletion
+    vectors — the spec's one-DV-per-data-file representation — which is
+    the complete v2 -> v3 migration story.  Rows are untouched, so the
+    commit stamps the row-preserving ``replace`` operation (streaming
+    readers skip it silently)."""
+    from iceberg_compaction_spark.sources.manifest import Manifest
+
+    cur = catalog.load_table(table_name)
+    if to_version < cur.format_version:
+        raise ValueError(
+            f"format version can never downgrade "
+            f"(v{cur.format_version} -> v{to_version})"
+        )
+    if to_version not in (2, 3):
+        raise ValueError(f"unsupported format version {to_version}")
+    if to_version == cur.format_version:
+        return cur
+    new = Manifest.from_dict(cur.to_dict())
+    new.snapshot_id = cur.next_snapshot()
+    new.format_version = to_version
+    new.operation = "replace"
+    return catalog.commit_table(table_name, cur.snapshot_id, new)
+
+
 def rewrite_position_deletes(
     spark: SparkSession,
     manifest: Manifest,

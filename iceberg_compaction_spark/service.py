@@ -73,6 +73,10 @@ class MaintenancePolicy:
     # olderThan, default 3 days): protects files staged by in-flight
     # writers that have not yet CAS-committed
     orphan_older_than_s: float = 3 * 24 * 3600
+    # upgrade the table's Iceberg format version first (None = leave as
+    # is; 3 = v3: the same pass then folds parquet position-delete
+    # trails into puffin deletion vectors — the full v2->v3 migration)
+    upgrade_to_version: int | None = None
 
 
 @dataclass
@@ -100,8 +104,14 @@ def maintain(
     from dataclasses import replace
 
     policy = policy or MaintenancePolicy()
+    before = catalog.load_table(table_name).snapshot_id
+    if policy.upgrade_to_version is not None:
+        from iceberg_compaction_spark.compaction import (
+            upgrade_format_version,
+        )
+
+        upgrade_format_version(catalog, table_name, policy.upgrade_to_version)
     manifest = catalog.load_table(table_name)
-    before = manifest.snapshot_id
 
     report = AutoCompactionPlanner(policy.auto).plan_report(
         scan_data_files(manifest),
@@ -172,24 +182,32 @@ def maintain(
         # gate on driver-scale manifest metadata BEFORE the Spark job:
         # below the threshold the consolidation would only be abandoned
         # (its output files left orphaned) — never start it
+        cur_m = catalog.load_table(table_name)
         pos_live = {
             d.path
-            for t in catalog.load_table(table_name).data_files
+            for t in cur_m.data_files
             for d in t.deletes
             if d.content == POSITION_DELETE and not is_puffin_file(d.path)
         }
-        if len(pos_live) >= policy.rewrite_deletes_min_files:
+        # a v3 table converts parquet trails to deletion vectors even
+        # BELOW the consolidation threshold — one lingering trail after
+        # a format upgrade still needs the representation migration
+        if len(pos_live) >= policy.rewrite_deletes_min_files or (
+            cur_m.format_version >= 3 and pos_live
+        ):
             holder_d: list[DeleteRewriteStats] = []
 
             def attempt_drw() -> Manifest:
                 current = catalog.load_table(table_name)
                 new_m, stats_d = rewrite_position_deletes(spark, current)
                 holder_d.append(stats_d)
-                if not (
-                    stats_d.input_delete_files
-                    >= policy.rewrite_deletes_min_files
-                    and stats_d.output_delete_files
-                ):
+                worth = stats_d.input_delete_files >= (
+                    policy.rewrite_deletes_min_files
+                ) or (
+                    current.format_version >= 3
+                    and stats_d.input_delete_files
+                )
+                if not (worth and stats_d.output_delete_files):
                     return current  # raced below the threshold
                 new_m.snapshot_id = current.snapshot_id + 1
                 return catalog.commit_table(

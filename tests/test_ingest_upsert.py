@@ -422,3 +422,69 @@ def test_upsert_preserves_table_metadata(spark, table):
     assert m.sort_order == [{"source": "id", "direction": "asc"}]
     assert m.last_column_id == 7
     assert m.default_spec_id == 1 and m.partition_spec
+
+
+def test_v2_to_v3_upgrade_migrates_delete_representation(spark, table):
+    """The full format-migration story: predicate deletes on a v2 table
+    leave (path,pos) parquet trails; upgrade_format_version flips the
+    metadata; the next maintenance pass folds the trails into ONE
+    puffin deletion vector — with the visible rows invariant at every
+    step."""
+    from iceberg_compaction_spark.compaction import upgrade_format_version
+    from iceberg_compaction_spark.plans.datamodel import POSITION_DELETE
+    from iceberg_compaction_spark.service import MaintenancePolicy, maintain
+    from iceberg_compaction_spark.sources.ingest import delete_where
+    from iceberg_compaction_spark.sources.puffin import is_puffin_file
+
+    delete_where(spark, table, "t", "id = 1")
+    delete_where(spark, table, "t", "id = 8")
+    expected = _rows(spark, table)
+    assert sorted(expected) == [0, 2, 3, 4, 5, 6, 7, 9]
+
+    with pytest.raises(ValueError, match="downgrade"):
+        upgrade_format_version(table, "t", 1)
+    m = upgrade_format_version(table, "t", 3)
+    assert m.format_version == 3 and m.operation == "replace"
+    assert upgrade_format_version(table, "t", 3).snapshot_id == m.snapshot_id
+    assert _rows(spark, table) == expected  # trails still readable on v3
+
+    rep = maintain(
+        spark, table, "t",
+        MaintenancePolicy(upgrade_to_version=3, orphan_older_than_s=0),
+    )
+    assert rep.delete_rewrite.input_delete_files == 2
+    final = table.load_table("t")
+    pos = [
+        d
+        for t in final.data_files
+        for d in t.deletes
+        if d.content == POSITION_DELETE
+    ]
+    assert pos and all(is_puffin_file(d.path) for d in pos)
+    assert _rows(spark, table) == expected
+
+
+def test_maintain_upgrades_in_one_pass(spark, table):
+    """MaintenancePolicy(upgrade_to_version=3) on a v2 table with
+    trails: upgrade + representation migration in a single pass."""
+    from iceberg_compaction_spark.plans.datamodel import POSITION_DELETE
+    from iceberg_compaction_spark.service import MaintenancePolicy, maintain
+    from iceberg_compaction_spark.sources.ingest import delete_where
+    from iceberg_compaction_spark.sources.puffin import is_puffin_file
+
+    delete_where(spark, table, "t", "id >= 8")
+    expected = _rows(spark, table)
+    maintain(
+        spark, table, "t",
+        MaintenancePolicy(upgrade_to_version=3, orphan_older_than_s=0),
+    )
+    final = table.load_table("t")
+    assert final.format_version == 3
+    parquet_pos = [
+        d
+        for t in final.data_files
+        for d in t.deletes
+        if d.content == POSITION_DELETE and not is_puffin_file(d.path)
+    ]
+    assert not parquet_pos
+    assert _rows(spark, table) == expected
