@@ -372,6 +372,27 @@ def _sort_order_from_md(md: dict) -> list[dict]:
     return out
 
 
+def _snapshot_summary(manifest, operation: str) -> dict:
+    """Iceberg snapshot summary map: the required ``operation`` plus
+    the spec's total-count properties (string-valued per the spec) —
+    what real readers surface in their ``snapshots`` tables and UIs.
+    ``added-*`` deltas need the parent snapshot and are intentionally
+    omitted (totals are self-contained; a missing optional key is
+    spec-legal, a wrong delta is not)."""
+    dels = {d.path for t in manifest.data_files for d in t.deletes}
+    return {
+        "operation": operation,
+        "total-data-files": str(len(manifest.data_files)),
+        "total-delete-files": str(len(dels)),
+        "total-records": str(
+            sum(int(t.record_count) for t in manifest.data_files)
+        ),
+        "total-files-size": str(
+            sum(int(t.file_size_in_bytes) for t in manifest.data_files)
+        ),
+    }
+
+
 def _sort_orders_to_md(
     manifest, schema_fields: list[dict] | None = None
 ) -> tuple[int, list[dict]]:
@@ -739,7 +760,7 @@ def export_iceberg_metadata(
                 "snapshot-id": snap_id,
                 "sequence-number": seq,
                 "timestamp-ms": now_ms,
-                "summary": {"operation": "append"},
+                "summary": _snapshot_summary(manifest, "append"),
                 "manifest-list": _uri(list_path),
                 "schema-id": current_sid,
             }
@@ -1060,9 +1081,9 @@ class IcebergHadoopCatalog:
                     "snapshot-id": snap_id,
                     "sequence-number": manifest.sequence_number,
                     "timestamp-ms": now_ms,
-                    "summary": {
-                        "operation": manifest.operation or "overwrite"
-                    },
+                    "summary": _snapshot_summary(
+                        manifest, manifest.operation or "overwrite"
+                    ),
                     "manifest-list": _uri(list_path),
                     "schema-id": manifest.schema_id,
                 }

@@ -131,3 +131,28 @@ def test_zorder_suppresses_declared_order_but_not_explicit(spark, tmp_path):
     c = Compaction(spark, cfg, sort_order=[SortField(column="id")])
     with pytest.raises(ValueError, match="mutually exclusive"):
         c.compact(Manifest.from_dict(m.to_dict()))
+
+
+def test_exported_snapshot_carries_summary_totals(tmp_path):
+    """Exported snapshots carry the spec's summary totals (string-
+    valued), not just the operation — what real readers surface."""
+    from iceberg_compaction_spark.sources.iceberg_meta import (
+        export_iceberg_metadata,
+        infer_schema_fields,
+    )
+
+    m = _table(tmp_path)
+    meta_path = export_iceberg_metadata(
+        m, str(tmp_path / "tbl"),
+        infer_schema_fields(m.data_files[0].data_file_path),
+    )
+    snap = json.load(open(meta_path))["snapshots"][0]
+    assert snap["summary"] == {
+        "operation": "append",
+        "total-data-files": "4",
+        "total-delete-files": "0",
+        "total-records": "100",
+        "total-files-size": str(
+            sum(t.file_size_in_bytes for t in m.data_files)
+        ),
+    }
