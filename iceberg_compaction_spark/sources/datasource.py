@@ -128,6 +128,10 @@ class _FilePartition(InputPartition):
     # so files written under older schemas (pre-rename/add) read
     # correctly; empty = plain name-based read.
     schema_fields: tuple = ()
+    # parsed schema.name-mapping.default entries as (field_id,
+    # (candidate names...)) pairs — used only for files carrying NO
+    # parquet field ids (imports); empty = identity name fallback
+    name_mapping: tuple = ()
     # row-group-range split (round 8, the reference's split planning on
     # this path): this partition reads row groups [rg_start, rg_end);
     # rg_end -1 = to end of file.  row_offset is the ABSOLUTE row index
@@ -559,7 +563,11 @@ def _read_partition(part: _FilePartition, columns: list[str] | None):
             # row-group pruning tier (a predicate on a column this file
             # predates can never prune — the remap projects NULLs — so
             # it is dropped from pruning and left to the exact filter)
-            name_map = physical_name_map(pf.schema_arrow, evo_fields)
+            name_map = physical_name_map(
+                pf.schema_arrow,
+                evo_fields,
+                name_mapping=dict(part.name_mapping) or None,
+            )
             preds = tuple(
                 (name_map[c], op, v)
                 for (c, op, v) in part.predicates
@@ -655,6 +663,18 @@ def _partitions_for_manifest(manifest) -> list[_FilePartition]:
         (int(f["id"]), f["name"], f.get("type"), bool(f.get("required")))
         for f in (manifest.schema_fields or [])
     )
+    from iceberg_compaction_spark.sources.schema_evo import (
+        NAME_MAPPING_PROP,
+        parse_name_mapping,
+    )
+
+    nmap = tuple(
+        sorted(
+            parse_name_mapping(
+                (manifest.properties or {}).get(NAME_MAPPING_PROP)
+            ).items()
+        )
+    )
     parts = []
     for t in manifest.data_files:
         pos, dvs, eq = [], [], []
@@ -673,6 +693,7 @@ def _partitions_for_manifest(manifest) -> list[_FilePartition]:
                 dv_paths=tuple(dvs),
                 eq_deletes=tuple(eq),
                 schema_fields=evo,
+                name_mapping=nmap,
             )
         )
     return parts

@@ -279,13 +279,55 @@ def file_field_ids(arrow_schema) -> dict[int, str]:
     return out
 
 
+NAME_MAPPING_PROP = "schema.name-mapping.default"
+
+
+def parse_name_mapping(mapping_json: str | None) -> dict[int, tuple]:
+    """Iceberg's ``schema.name-mapping.default`` table property:
+    field id -> candidate PHYSICAL names, for files that carry NO
+    parquet field ids (Hive/Spark imports whose columns were later
+    renamed).  Spec shape: a JSON list of ``{"field-id": N, "names":
+    [..]}`` entries; nested ``fields`` are flattened in (child ids are
+    globally unique in an Iceberg schema, so one flat dict suffices).
+    Malformed input returns {} — the reader then keeps the default
+    mapping (current name = physical name) rather than failing the
+    scan over an optional property."""
+    import json
+
+    if not mapping_json:
+        return {}
+    try:
+        entries = json.loads(mapping_json)
+    except (ValueError, TypeError):
+        return {}
+    out: dict[int, tuple] = {}
+
+    def walk(items):
+        if not isinstance(items, list):
+            return
+        for e in items:
+            if not isinstance(e, dict):
+                continue
+            fid = e.get("field-id")
+            names = e.get("names")
+            if fid is not None and isinstance(names, list) and names:
+                out[int(fid)] = tuple(str(n) for n in names)
+            walk(e.get("fields"))
+
+    walk(entries)
+    return out
+
+
 def physical_name_map(
-    arrow_schema, fields: list[dict]
+    arrow_schema, fields: list[dict], name_mapping: dict[int, tuple] | None = None
 ) -> dict[str, str]:
     """current column name -> PHYSICAL name in this file.  Resolution:
-    by field id when the file carries ids, by name otherwise (the
-    name-mapping fallback).  Columns absent from the file (added after
-    it was written) are omitted — readers project NULL for them."""
+    by field id when the file carries ids; otherwise through the
+    table's name mapping (first candidate name present in the file),
+    falling back to the identity mapping (current name = physical
+    name — Iceberg's default form).  Columns absent from the file
+    (added after it was written) are omitted — readers project NULL
+    for them."""
     by_id = file_field_ids(arrow_schema)
     names = {f.name for f in arrow_schema}
     out = {}
@@ -294,6 +336,15 @@ def physical_name_map(
             phys = by_id.get(int(f["id"]))
         else:
             phys = f["name"] if f["name"] in names else None
+            if phys is None and name_mapping:
+                phys = next(
+                    (
+                        n
+                        for n in name_mapping.get(int(f["id"]), ())
+                        if n in names
+                    ),
+                    None,
+                )
         if phys is not None:
             out[f["name"]] = phys
     return out

@@ -795,3 +795,70 @@ def test_engine_scan_resolves_nested_struct_rename(spark, nested_evolved):
     assert tuple(got[1]) == ("en", 3, None)  # pre-rename file, by child id
     assert got[2] is None
     assert tuple(got[3]) == ("fr", 9, 42)
+
+
+def test_parse_name_mapping_shapes():
+    j = ('[{"field-id": 1, "names": ["id", "ID"]},'
+         ' {"field-id": 2, "names": ["colour"],'
+         '  "fields": [{"field-id": 5, "names": ["inner"]}]}]')
+    m = se.parse_name_mapping(j)
+    assert m == {1: ("id", "ID"), 2: ("colour",), 5: ("inner",)}
+    assert se.parse_name_mapping(None) == {}
+    assert se.parse_name_mapping("not json") == {}
+
+
+def test_name_mapping_resolves_idless_import(spark, tmp_path):
+    """schema.name-mapping.default (late r8): a file with NO parquet
+    field ids whose physical column names are the PRE-RENAME aliases
+    resolves through the table's name mapping on the DataSource path —
+    Iceberg's import story for Hive-written files."""
+    root = str(tmp_path / "nmtbl")
+    os.makedirs(root)
+    p = os.path.join(root, "import.parquet")
+    # physical names: old aliases, and NO field ids anywhere
+    pq.write_table(
+        pa.table({
+            "ident": pa.array([1, 2], type=pa.int64()),
+            "colour": ["red", "blue"],
+        }),
+        p,
+    )
+    m = Manifest(
+        table_root=root, snapshot_id=1, sequence_number=1, schema_id=1,
+        schema_fields=[
+            {"id": 1, "name": "id", "type": "long", "required": True},
+            {"id": 2, "name": "color", "type": "string"},
+            {"id": 3, "name": "added", "type": "double"},
+        ],
+        last_column_id=3,
+        properties={
+            se.NAME_MAPPING_PROP: (
+                '[{"field-id": 1, "names": ["ident"]},'
+                ' {"field-id": 2, "names": ["colour", "farbe"]},'
+                ' {"field-id": 3, "names": ["extra"]}]'
+            )
+        },
+        data_files=[FileScanTask(
+            data_file_path=p, length=os.path.getsize(p),
+            file_size_in_bytes=os.path.getsize(p), record_count=2,
+            sequence_number=1,
+        )],
+    )
+    from iceberg_compaction_spark.sources.catalog import FileCatalog
+    from iceberg_compaction_spark.sources.datasource import register
+
+    cat = FileCatalog(warehouse=str(tmp_path / "wh"))
+    cat.create_table("nm", m)
+    register(spark)
+    df = (
+        spark.read.format("iceberg-table")
+        .option("warehouse", cat.warehouse)
+        .option("table", "nm")
+        .load()
+    )
+    assert df.columns == ["id", "color", "added"]
+    got = {r["id"]: r for r in df.collect()}
+    assert got[1]["color"] == "red" and got[1]["added"] is None
+    assert got[2]["color"] == "blue"
+    # pushed filter on a MAPPED column still prunes/hits correctly
+    assert [r["id"] for r in df.where("color = 'blue'").collect()] == [2]
