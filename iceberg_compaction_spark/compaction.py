@@ -74,9 +74,21 @@ class Compaction:
         tasks = scan_data_files(manifest)
         strategy = PlanStrategy.from_config(self.config.planning)
         groups = strategy.run(tasks)
+        from iceberg_compaction_spark.sources.schema_evo import (
+            NAME_MAPPING_PROP,
+            parse_name_mapping,
+        )
+
+        nmap = (
+            parse_name_mapping(
+                (manifest.properties or {}).get(NAME_MAPPING_PROP)
+            )
+            or None
+        )
         for g in groups:
             g.format_version = manifest.format_version
             g.schema_fields = manifest.schema_fields or None
+            g.name_mapping = nmap
         cols = manifest.properties.get("schema.columns") or ()
         spec = tuple(
             (f["source"], f.get("transform", "identity"), f.get("name"))

@@ -355,6 +355,7 @@ def rewrite_file_group(
         position_vector_bytes=dv_bytes,
         position_vector_df=position_vector_df,
         schema_fields=group.schema_fields,
+        name_mapping=group.name_mapping,
     )
     if table_columns is None:
         hidden = (

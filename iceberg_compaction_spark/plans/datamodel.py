@@ -88,6 +88,9 @@ class FileGroup:
     # set, the group's scan resolves data-file columns by FIELD ID so
     # files written under older schemas (pre-rename/add) read correctly
     schema_fields: list[dict] | None = None
+    # parsed schema.name-mapping.default (field id -> alias names) for
+    # id-less import files; None = identity name fallback
+    name_mapping: dict | None = None
 
     @staticmethod
     def from_tasks(tasks: list[FileScanTask]) -> "FileGroup":

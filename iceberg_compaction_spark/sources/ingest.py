@@ -225,6 +225,7 @@ def delete_where(
         group = FileGroup.from_tasks(cur.data_files)
         group.format_version = cur.format_version
         group.schema_fields = cur.schema_fields or None
+        group.name_mapping = _manifest_name_mapping(cur)
         df = rewrite_file_group(spark, group, keep_file_pos=True)
         matched = df.where(predicate).select(HIDDEN_FILE_PATH, HIDDEN_POS)
 
@@ -280,4 +281,19 @@ def read_table_mor(spark: SparkSession, manifest: Manifest) -> DataFrame:
     group = FileGroup.from_tasks(manifest.data_files)
     group.format_version = manifest.format_version
     group.schema_fields = manifest.schema_fields or None
+    group.name_mapping = _manifest_name_mapping(manifest)
     return rewrite_file_group(spark, group)
+
+
+def _manifest_name_mapping(manifest: Manifest) -> dict | None:
+    from iceberg_compaction_spark.sources.schema_evo import (
+        NAME_MAPPING_PROP,
+        parse_name_mapping,
+    )
+
+    return (
+        parse_name_mapping(
+            (manifest.properties or {}).get(NAME_MAPPING_PROP)
+        )
+        or None
+    )

@@ -117,6 +117,7 @@ def read_data_files(
     position_vector_bytes: int | None = None,
     position_vector_df: DataFrame | None = None,
     schema_fields: list[dict] | None = None,
+    name_mapping: dict[int, tuple] | None = None,
 ) -> DataFrame:
     """Read parquet data files, appending the hidden MOR columns.
 
@@ -151,6 +152,7 @@ def read_data_files(
     lookup never shuffles data.
     """
     df = None
+    pending_rename = None
     if schema_fields:
         from iceberg_compaction_spark.sources.schema_evo import (
             enable_field_id_reads,
@@ -168,9 +170,10 @@ def read_data_files(
 
             from iceberg_compaction_spark.sources.fileio import open_input
 
-            def _has_ids(p: str) -> bool:
+            def _probe(p: str) -> tuple[bool, frozenset]:
                 with open_input(p) as fh:
-                    return bool(file_field_ids(_pq.read_schema(fh)))
+                    sch = _pq.read_schema(fh)
+                    return bool(file_field_ids(sch)), frozenset(sch.names)
 
             # footer reads are IO-bound metadata gets — probe them
             # concurrently so plan time stays flat at large file counts
@@ -181,29 +184,92 @@ def read_data_files(
                 with ThreadPoolExecutor(
                     max_workers=min(16, len(paths))
                 ) as ex:
-                    flags = list(ex.map(_has_ids, paths))
+                    probes = list(ex.map(_probe, paths))
             else:
-                flags = [_has_ids(p) for p in paths]
-            with_ids = [p for p, f in zip(paths, flags) if f]
-            without = [p for p, f in zip(paths, flags) if not f]
+                probes = [_probe(p) for p in paths]
+            with_ids = [p for p, (f, _) in zip(paths, probes) if f]
+            without = [p for p, (f, _) in zip(paths, probes) if not f]
+            without_names = [
+                n for (f, n) in probes if not f
+            ]
             if with_ids and not without:
                 # the spec-compliant case: every data file carries ids
                 # — Spark's native field-id resolution, fully JVM-side
                 enable_field_id_reads(spark)
                 df = spark.read.schema(st).parquet(*paths)
             elif without and not with_ids:
-                # pre-Iceberg import: no file has ids — name-mapping
-                # fallback in its default form (mapped name = field
-                # name); missing (added) columns project NULL
+                # pre-Iceberg import: no file has ids.  With an explicit
+                # schema.name-mapping.default, each field resolves
+                # through its alias candidates against the file's
+                # physical names; otherwise the default mapping applies
+                # (mapped name = field name).  Missing (added) columns
+                # project NULL.
                 from pyspark.sql.types import StructField, StructType
 
-                plain = StructType(
-                    [
-                        StructField(f.name, f.dataType, f.nullable)
+                resolved = None
+                if name_mapping:
+                    sigs: dict[tuple, list] = {}
+                    for p, names in zip(without, without_names):
+                        ren = {}
+                        for fld in schema_fields:
+                            cur = fld["name"]
+                            if cur in names:
+                                ren[cur] = cur
+                                continue
+                            alias = next(
+                                (
+                                    n
+                                    for n in name_mapping.get(
+                                        int(fld["id"]), ()
+                                    )
+                                    if n in names
+                                ),
+                                None,
+                            )
+                            if alias is not None:
+                                ren[cur] = alias
+                        sigs.setdefault(
+                            tuple(sorted(ren.items())), []
+                        ).append(p)
+                    if len(sigs) > 1:
+                        # files disagree on which alias carries a field:
+                        # ONE engine scan cannot express per-file
+                        # renames (a union would hide _metadata, see the
+                        # mixed branch below) — fail loudly with the fix
+                        raise ValueError(
+                            "name-mapped files resolve to different "
+                            f"physical column sets ({len(sigs)} "
+                            "signatures); read this table through the "
+                            "iceberg-table DataSource (per-file "
+                            "resolution) or rewrite the imports"
+                        )
+                    resolved = dict(next(iter(sigs)))
+                if resolved and any(k != v for k, v in resolved.items()):
+                    by_cur = {f.name: f for f in st.fields}
+                    phys = StructType(
+                        [
+                            StructField(
+                                resolved[c], by_cur[c].dataType, True
+                            )
+                            for c in resolved
+                        ]
+                    )
+                    df = spark.read.schema(phys).parquet(*paths)
+                    # renamed/missing columns project at the END of this
+                    # function (after the hidden _metadata-derived
+                    # columns attach — they need the raw scan schema)
+                    pending_rename = [
+                        (f.name, resolved.get(f.name), f.dataType)
                         for f in st.fields
                     ]
-                )
-                df = spark.read.schema(plain).parquet(*paths)
+                else:
+                    plain = StructType(
+                        [
+                            StructField(f.name, f.dataType, f.nullable)
+                            for f in st.fields
+                        ]
+                    )
+                    df = spark.read.schema(plain).parquet(*paths)
             else:
                 # mixed id/no-id groups need per-file resolution, which
                 # the single-scan hidden-column machinery below cannot
@@ -362,6 +428,21 @@ def read_data_files(
         else:
             df = df.withColumn(HIDDEN_SEQ, F.lit(default_seq).cast("long"))
 
+    if pending_rename:
+        hidden = [
+            c
+            for c in (HIDDEN_FILE_PATH, HIDDEN_POS, HIDDEN_SEQ)
+            if c in df.columns
+        ]
+        df = df.select(
+            *[
+                F.col(phys).alias(cur)
+                if phys is not None
+                else F.lit(None).cast(dt).alias(cur)
+                for cur, phys, dt in pending_rename
+            ],
+            *hidden,
+        )
     return df
 
 

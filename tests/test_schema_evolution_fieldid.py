@@ -862,3 +862,63 @@ def test_name_mapping_resolves_idless_import(spark, tmp_path):
     assert got[2]["color"] == "blue"
     # pushed filter on a MAPPED column still prunes/hits correctly
     assert [r["id"] for r in df.where("color = 'blue'").collect()] == [2]
+
+
+def test_engine_path_name_mapping_and_compaction_migration(spark, tmp_path):
+    """The engine path (spark.read, used by compaction) resolves the
+    SAME alias-mapped import — without this, compacting a mapped table
+    would silently rewrite NULLs for every renamed column.  Compaction
+    then materializes the current names with field ids: the migration
+    path for imports."""
+    from iceberg_compaction_spark.compaction import Compaction
+    from iceberg_compaction_spark.config import CompactionConfig
+
+    root = str(tmp_path / "nmtbl2")
+    os.makedirs(root)
+    for tag, lo in (("a", 0), ("b", 3)):
+        pq.write_table(
+            pa.table({
+                "ident": pa.array(range(lo, lo + 3), type=pa.int64()),
+                "colour": [f"c{i}" for i in range(lo, lo + 3)],
+            }),
+            os.path.join(root, f"{tag}.parquet"),
+        )
+    m = Manifest(
+        table_root=root, snapshot_id=1, sequence_number=1, schema_id=1,
+        schema_fields=[
+            {"id": 1, "name": "id", "type": "long", "required": True},
+            {"id": 2, "name": "color", "type": "string"},
+        ],
+        last_column_id=2,
+        properties={se.NAME_MAPPING_PROP: (
+            '[{"field-id": 1, "names": ["ident"]},'
+            ' {"field-id": 2, "names": ["colour"]}]'
+        )},
+        data_files=[
+            FileScanTask(
+                data_file_path=os.path.join(root, f"{tag}.parquet"),
+                length=os.path.getsize(os.path.join(root, f"{tag}.parquet")),
+                file_size_in_bytes=os.path.getsize(
+                    os.path.join(root, f"{tag}.parquet")
+                ),
+                record_count=3, sequence_number=1,
+            )
+            for tag in ("a", "b")
+        ],
+    )
+    df = read_table_mor(spark, m)
+    assert df.columns == ["id", "color"]
+    got = {r["id"]: r["color"] for r in df.collect()}
+    assert got == {i: f"c{i}" for i in range(6)}
+
+    new_m, stats = Compaction(spark, CompactionConfig.small_files()).compact(m)
+    assert stats.output_files_count >= 1
+    outs = [t for t in new_m.data_files if "compacted" in t.data_file_path]
+    assert outs
+    sch = pq.read_schema(outs[0].data_file_path)
+    assert set(sch.names) >= {"id", "color"}  # current names materialized
+    got2 = {
+        r["id"]: r["color"]
+        for r in read_table_mor(spark, new_m).collect()
+    }
+    assert got2 == got
