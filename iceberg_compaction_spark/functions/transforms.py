@@ -261,3 +261,54 @@ def transform_value(transform: str, value):
         us = int(value.timestamp() * 1_000_000)
         return us // 3_600_000_000
     raise ValueError(f"unknown transform: {transform}")
+
+
+def transform_array(transform: str, arr):
+    """Arrow-vectorized twin of :func:`transform_value` for the
+    DataSource write path (per-batch partition routing): one pyarrow
+    Array in, one partition-value Array out — no per-row Python for
+    identity / truncate / temporal / integer-bucket transforms.
+    String/binary buckets fall back to per-value murmur3 (hash input
+    length varies per row; these are rare as partition keys).  Nulls
+    stay null.  Pinned bit-identical to transform_value in tests."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    kind, arg = _parse(transform)
+    if kind == "identity":
+        return arr
+    if kind == "truncate":
+        if pa.types.is_string(arr.type) or pa.types.is_large_string(arr.type):
+            return pc.utf8_slice_codeunits(arr, 0, arg)
+        # v - (((v % W) + W) % W) via numpy (pyarrow lacks mod); numpy's
+        # % already returns the divisor's sign, so this is exact for
+        # negatives and matches transform_value / the SQL twin
+        mask = np.asarray(pc.is_null(arr))
+        v = pc.fill_null(arr, 0).cast(pa.int64()).to_numpy()
+        out = v - (((v % arg) + arg) % arg)
+        return pa.array(out, mask=mask).cast(arr.type)
+    if kind == "bucket":
+        if pa.types.is_integer(arr.type):
+            mask = np.asarray(pc.is_null(arr))
+            vals = pc.fill_null(arr, 0).cast(pa.int64()).to_numpy()
+            h = murmur3_32_long_vec(vals.astype(np.int64))
+            out = (h & 0x7FFFFFFF) % arg
+            return pa.array(out, type=pa.int32(), mask=mask)
+        return pa.array(
+            [
+                None if v is None else transform_value(transform, v)
+                for v in arr.to_pylist()
+            ],
+            type=pa.int32(),
+        )
+    if kind == "year":
+        return pc.subtract(pc.year(arr), 1970).cast(pa.int32())
+    if kind == "month":
+        y = pc.multiply(pc.subtract(pc.year(arr), 1970), 12)
+        return pc.add(y, pc.subtract(pc.month(arr), 1)).cast(pa.int32())
+    if kind == "day":
+        return arr.cast(pa.date32()).cast(pa.int32())
+    if kind == "hour":
+        us = arr.cast(pa.timestamp("us")).cast(pa.int64())
+        return pc.divide(us, 3_600_000_000).cast(pa.int32())
+    raise ValueError(f"unknown transform: {transform}")

@@ -1306,7 +1306,9 @@ def _tasks_from_files(files, new_seq: int, spec_id: int):
     from iceberg_compaction_spark.plans.datamodel import FileScanTask
 
     added = []
-    for fpath, frows, fsize in files:
+    for entry in files:
+        fpath, frows, fsize = entry[0], entry[1], entry[2]
+        part = tuple(entry[3]) if len(entry) > 3 else ()
         bounds, nulls = pr.collect_file_stats(fpath)
         added.append(
             FileScanTask(
@@ -1316,6 +1318,7 @@ def _tasks_from_files(files, new_seq: int, spec_id: int):
                 record_count=frows,
                 sequence_number=new_seq,
                 spec_id=spec_id,
+                partition=part,
                 column_bounds=bounds,
                 null_counts=nulls,
             )
@@ -1369,8 +1372,15 @@ class _AppendWriter(DataSourceArrowWriter):
             scheme_of,
         )
 
-        self._root = (
-            FileCatalog(warehouse=self._wh).load_table(self._table).table_root
+        _m = FileCatalog(warehouse=self._wh).load_table(self._table)
+        self._root = _m.table_root
+        # the table's CURRENT partition spec: writes fan out per
+        # partition value (hive-style dirs for readability; the values
+        # of record live in the manifest) — Iceberg's partitioned-write
+        # contract, evaluated per Arrow batch via transform_array
+        self._spec = tuple(
+            (f["source"], f.get("transform", "identity"), f.get("name"))
+            for f in (_m.partition_spec or [])
         )
         # The executor-side write path below is POSIX (open/getsize/
         # os.remove) — fail HERE at plan time with the documented error
@@ -1393,72 +1403,147 @@ class _AppendWriter(DataSourceArrowWriter):
 
         import pyarrow as pa
 
+        target, rg_bytes, root = self._target, self._row_group_bytes, self._root
         done: list[tuple] = []
-        writer = sink = path = None
-        rows = 0
-        buf: list = []  # pending batches -> ONE row group per flush
-        buf_bytes = 0
 
-        def flush():
-            # cut one parquet row group from the buffered Arrow batches
-            nonlocal buf, buf_bytes, rows
-            if buf:
-                tbl = pa.Table.from_batches(buf)
-                writer.write_table(tbl, row_group_size=tbl.num_rows)
-                rows += tbl.num_rows
-                buf = []
-                buf_bytes = 0
+        class _Stream:
+            """One partition's rolling parquet stream (the unpartitioned
+            table is the single ``()`` partition)."""
 
-        def roll():
-            nonlocal writer, sink, path, rows
-            if writer is not None:
-                # close failures MUST propagate: a swallowed flush error
-                # (ENOSPC) would record a truncated file as complete and
-                # hand it to commit()
-                flush()
-                writer.close()
-                sink.close()
-                done.append((path, rows, os.path.getsize(path)))
-            writer = sink = path = None
-            rows = 0
+            def __init__(self, part: tuple, subdir: str):
+                self.part = part
+                self.dir = os.path.join(root, subdir) if subdir else root
+                os.makedirs(self.dir, exist_ok=True)
+                self.writer = self.sink = self.path = None
+                self.rows = 0
+                self.buf: list = []  # pending batches -> ONE row group
+                self.buf_bytes = 0
 
+            def flush(self):
+                if self.buf:
+                    tbl = pa.Table.from_batches(self.buf)
+                    self.writer.write_table(tbl, row_group_size=tbl.num_rows)
+                    self.rows += tbl.num_rows
+                    self.buf = []
+                    self.buf_bytes = 0
+
+            def roll(self):
+                if self.writer is not None:
+                    # close failures MUST propagate: a swallowed flush
+                    # error (ENOSPC) would record a truncated file as
+                    # complete and hand it to commit()
+                    self.flush()
+                    self.writer.close()
+                    self.sink.close()
+                    done.append(
+                        (
+                            self.path,
+                            self.rows,
+                            os.path.getsize(self.path),
+                            self.part,
+                        )
+                    )
+                self.writer = self.sink = self.path = None
+                self.rows = 0
+
+            def add(self, batch):
+                if self.writer is None:
+                    self.path = os.path.join(
+                        self.dir,
+                        f"append-{_uuid.uuid4().hex[:12]}.parquet",
+                    )
+                    self.sink = open(self.path, "wb")
+                    self.writer = pq.ParquetWriter(
+                        self.sink, batch.schema, compression="zstd"
+                    )
+                self.buf.append(batch)
+                self.buf_bytes += batch.nbytes
+                if self.buf_bytes < rg_bytes:
+                    return
+                self.flush()
+                # tell() is the FLUSHED compressed size (flush closes a
+                # row group): roll on real bytes, no estimate
+                if self.sink.tell() >= target:
+                    self.roll()
+
+            def close_abort(self):
+                if self.writer is not None:
+                    with contextlib.suppress(Exception):
+                        self.writer.close()
+                if self.sink is not None:
+                    with contextlib.suppress(Exception):
+                        self.sink.close()
+                if self.path is not None:
+                    with contextlib.suppress(OSError):
+                        os.remove(self.path)
+
+        streams: dict[tuple, _Stream] = {}
         try:
             for batch in iterator:
                 if batch.num_rows == 0:
                     continue
-                if writer is None:
-                    path = os.path.join(
-                        self._root, f"append-{_uuid.uuid4().hex[:12]}.parquet"
-                    )
-                    sink = open(path, "wb")
-                    writer = pq.ParquetWriter(
-                        sink, batch.schema, compression="zstd"
-                    )
-                buf.append(batch)
-                buf_bytes += batch.nbytes
-                if buf_bytes < self._row_group_bytes:
-                    continue
-                flush()
-                # tell() is the FLUSHED compressed size (flush closes a
-                # row group): roll on real bytes, no estimate
-                if sink.tell() >= self._target:
-                    roll()
-            roll()
+                for key, sub in self._route(batch):
+                    st = streams.get(key)
+                    if st is None:
+                        st = streams[key] = _Stream(key, self._subdir(key))
+                    st.add(sub)
+            for st in streams.values():
+                st.roll()
         except Exception:
-            # never leave a half-written file for the commit to adopt;
-            # separate suppress scopes so a failing writer.close() still
-            # lets the fd close and the partial file unlink
-            if writer is not None:
-                with contextlib.suppress(Exception):
-                    writer.close()
-            if sink is not None:
-                with contextlib.suppress(Exception):
-                    sink.close()
-            if path is not None:
-                with contextlib.suppress(OSError):
-                    os.remove(path)
+            # never leave half-written files for the commit to adopt
+            for st in streams.values():
+                st.close_abort()
             raise
         return _FileCommit(files=tuple(done))
+
+    def _subdir(self, part: tuple) -> str:
+        """Hive-style path segment for one partition tuple (cosmetic —
+        the manifest's partition values are authoritative)."""
+        if not part:
+            return ""
+
+        def pname(src: str, tr: str, nm) -> str:
+            if nm:
+                return nm
+            base = tr.split("[")[0]
+            return src if base == "identity" else f"{src}_{base}"
+
+        return "/".join(
+            f"{pname(src, tr, nm)}={'null' if v is None else v}"
+            for (src, tr, nm), v in zip(self._spec, part)
+        )
+
+    def _route(self, batch):
+        """Split one Arrow batch by partition value: transform each
+        spec field vectorized (transform_array), group row indices with
+        pandas, take sub-batches.  Unpartitioned tables pass through as
+        the single () partition — zero extra work."""
+        if not self._spec:
+            return [((), batch)]
+        import numpy as np
+
+        from iceberg_compaction_spark.functions.transforms import (
+            transform_array,
+        )
+
+        cols = [
+            transform_array(tr, batch.column(src)).to_pylist()
+            for src, tr, _ in self._spec
+        ]
+        keys = list(zip(*cols))
+        if len(set(keys)) == 1:
+            # clustered input (sorted/repartitioned by partition): the
+            # whole batch routes as one take-free slice
+            return [(keys[0], batch)]
+        import pandas as pd
+
+        idx = pd.DataFrame({"k": pd.Series(keys, dtype=object)}).groupby(
+            "k", sort=False
+        ).indices
+        return [
+            (key, batch.take(np.asarray(rows)))
+            for key, rows in idx.items()
+        ]
 
     def commit(self, messages):
         from iceberg_compaction_spark.commit import CommitManager
@@ -1489,9 +1574,9 @@ class _AppendWriter(DataSourceArrowWriter):
 
     def abort(self, messages):
         for m in messages:
-            for fpath, _rows, _size in (m.files if m else ()):
+            for entry in (m.files if m else ()):
                 try:
-                    os.remove(fpath)
+                    os.remove(entry[0])
                 except OSError:
                     pass
 

@@ -1178,3 +1178,115 @@ def test_split_read_preserves_mor_semantics(tmp_path, spark):
     assert sorted(r["id"] for r in hit) == [
         i for i in range(1490, 1511) if i != 1501
     ]
+
+
+def test_partitioned_write_records_partition_values(spark, tmp_path):
+    """Late r8: writes through the DataSource fan out per the table's
+    partition spec — Arrow batches split vectorized (transform_array),
+    one rolling stream per partition, partition tuples recorded in the
+    manifest (hive-style dirs are cosmetic)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    root = str(tmp_path / "ptbl")
+    os.makedirs(root)
+    seed = os.path.join(root, "seed.parquet")
+    pq.write_table(
+        pa.table({
+            "id": pa.array([0], type=pa.int64()),
+            "lang": ["en"],
+        }),
+        seed,
+    )
+    m = Manifest.from_parquet_dir(root, sequence_number=1)
+    m.partition_spec = [
+        {"source": "lang", "transform": "identity", "name": "lang"}
+    ]
+    m.data_files[0].partition = ("en",)
+    cat = FileCatalog(warehouse=str(tmp_path / "wh"))
+    cat.create_table("p", m)
+    register(spark)
+
+    rows = [(i, ["en", "fr", "de"][i % 3]) for i in range(1, 31)]
+    (
+        spark.createDataFrame(rows, ["id", "lang"])
+        .coalesce(1)
+        .write.format("iceberg-table")
+        .option("warehouse", cat.warehouse)
+        .option("table", "p")
+        .mode("append")
+        .save()
+    )
+    cur = cat.load_table("p")
+    added = [t for t in cur.data_files if "append-" in t.data_file_path]
+    assert added and all(t.partition in {("en",), ("fr",), ("de",)}
+                         for t in added)
+    assert {t.partition for t in added} == {("en",), ("fr",), ("de",)}
+    for t in added:  # hive-style dir matches the manifest value
+        assert f"lang={t.partition[0]}" in t.data_file_path
+        got_langs = set(
+            pq.read_table(t.data_file_path, columns=["lang"])
+            .column("lang").to_pylist()
+        )
+        assert got_langs == {t.partition[0]}
+
+    df = (
+        spark.read.format("iceberg-table")
+        .option("warehouse", cat.warehouse)
+        .option("table", "p")
+        .load()
+    )
+    assert df.count() == 31
+    # partitions metadata table aggregates the recorded values
+    parts = (
+        spark.read.format("iceberg-table")
+        .option("warehouse", cat.warehouse)
+        .option("table", "p")
+        .option("metadata", "partitions")
+        .load()
+    )
+    got = {r["partition"]["lang"]: r["record_count"] for r in parts.collect()}
+    assert got == {"en": 11, "fr": 10, "de": 10}
+
+
+def test_partitioned_write_bucket_transform(spark, tmp_path):
+    """bucket[N] partition values from the write path match the
+    spec's Murmur3 (transform_value twin)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from iceberg_compaction_spark.functions.transforms import transform_value
+
+    root = str(tmp_path / "btbl")
+    os.makedirs(root)
+    pq.write_table(
+        pa.table({"id": pa.array([999], type=pa.int64()), "v": ["x"]}),
+        os.path.join(root, "seed.parquet"),
+    )
+    m = Manifest.from_parquet_dir(root, sequence_number=1)
+    m.partition_spec = [
+        {"source": "id", "transform": "bucket[4]", "name": "id_bucket"}
+    ]
+    m.data_files[0].partition = (transform_value("bucket[4]", 999),)
+    cat = FileCatalog(warehouse=str(tmp_path / "wh"))
+    cat.create_table("b", m)
+    register(spark)
+    (
+        spark.createDataFrame([(i, f"v{i}") for i in range(20)], ["id", "v"])
+        .coalesce(1)
+        .write.format("iceberg-table")
+        .option("warehouse", cat.warehouse)
+        .option("table", "b")
+        .mode("append")
+        .save()
+    )
+    cur = cat.load_table("b")
+    for t in cur.data_files:
+        if "append-" not in t.data_file_path:
+            continue
+        ids = pq.read_table(t.data_file_path, columns=["id"]).column(
+            "id"
+        ).to_pylist()
+        assert {transform_value("bucket[4]", i) for i in ids} == {
+            t.partition[0]
+        }
