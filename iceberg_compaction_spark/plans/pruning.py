@@ -231,3 +231,59 @@ def bound_from_json(x: list) -> Any:
     if tag == "ts":
         return _dt.datetime.fromisoformat(v)
     return v
+
+
+def prune_tasks_by_partition(
+    tasks, spec: list[dict], default_spec_id: int, predicates
+) -> list:
+    """Partition-transform file pruning (Iceberg's partition-spec
+    evaluator, the tier manifest COLUMN bounds cannot express): an
+    ``eq``/``in`` predicate on a partition SOURCE column pins the
+    partition cell through the transform — ``id = 42`` on a
+    ``bucket[16](id)`` table keeps only files whose recorded bucket is
+    ``transform_value('bucket[16]', 42)``.  Every spec transform is a
+    deterministic total function, so equality on the source implies
+    equality on the cell; range predicates are NOT mapped here (bucket
+    ranges are meaningless; identity ranges are already covered by the
+    column-bounds tier).
+
+    Safety rails: files written under a DIFFERENT spec id (partition
+    evolution — same arity can mean different cells) or with a
+    mismatched partition arity are never pruned; untransformable
+    values skip the conjunct.  At 100 TB this is the difference between
+    opening one bucket's files and all 16."""
+    from iceberg_compaction_spark.functions.transforms import (
+        transform_value,
+    )
+
+    if not spec or not predicates:
+        return list(tasks)
+    by_src = {
+        f["source"]: (i, f.get("transform", "identity"))
+        for i, f in enumerate(spec)
+    }
+    out = []
+    for t in tasks:
+        part = tuple(t.partition or ())
+        if len(part) != len(spec) or t.spec_id != default_spec_id:
+            out.append(t)
+            continue
+        keep = True
+        for col, op, v in predicates:
+            ent = by_src.get(col)
+            if ent is None or op not in ("eq", "in"):
+                continue
+            i, tr = ent
+            try:
+                if op == "eq":
+                    cells = {transform_value(tr, v)}
+                else:
+                    cells = {transform_value(tr, x) for x in v}
+            except (ValueError, TypeError, AttributeError):
+                continue  # value the transform can't take: no pruning
+            if part[i] not in cells:
+                keep = False
+                break
+        if keep:
+            out.append(t)
+    return out

@@ -883,10 +883,17 @@ class _BatchReader(DataSourceReader):
                 pr.ColumnPredicate(col=c, op=op, value=v)
                 for c, op, v in self._predicates
             ]
-            alive = {
-                t.data_file_path
-                for t in pr.prune_tasks(m.data_files, preds)
-            }
+            survivors = pr.prune_tasks(m.data_files, preds)
+            # second plan-time tier: partition-TRANSFORM pruning (an eq
+            # on a bucket/truncate/temporal partition source pins the
+            # recorded cell — the case column bounds can't express)
+            survivors = pr.prune_tasks_by_partition(
+                survivors,
+                m.partition_spec or [],
+                m.default_spec_id,
+                self._predicates,
+            )
+            alive = {t.data_file_path for t in survivors}
             parts = [p for p in parts if p.path in alive]
             for p in parts:
                 p.predicates = self._predicates

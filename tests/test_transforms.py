@@ -137,3 +137,41 @@ def test_bucket5_fanout_writer_30_inputs_5_outputs(spark, tmp_path):
     total = sum(t.record_count for t in tasks)
     assert total == li.count()
     assert "l_suppkey_bucket" not in spark.read.parquet(f3.data_file_path).columns
+
+
+def test_transform_array_matches_transform_value():
+    """The Arrow-vectorized write-path twin is bit-identical to the
+    scalar planner twin on every transform kind, nulls included."""
+    import datetime
+
+    import pyarrow as pa
+
+    from iceberg_compaction_spark.functions.transforms import (
+        transform_array,
+        transform_value,
+    )
+
+    cases = [
+        ("identity", pa.array([1, None, -3], type=pa.int64())),
+        ("truncate[10]", pa.array([-7, 13, None, 25], type=pa.int64())),
+        ("truncate[3]", pa.array(["hello", None, "ab"])),
+        ("bucket[16]", pa.array([1, 2, None, 99, -5], type=pa.int64())),
+        ("bucket[8]", pa.array(["a", "bc", None])),
+        ("year", pa.array([datetime.date(2024, 3, 1), None])),
+        ("month", pa.array([datetime.date(1969, 12, 31), None])),
+        ("day", pa.array([datetime.date(2024, 3, 1), None])),
+        (
+            "hour",
+            pa.array(
+                [datetime.datetime(2024, 3, 1, 7, 30), None],
+                type=pa.timestamp("us"),
+            ),
+        ),
+    ]
+    for tr, arr in cases:
+        got = transform_array(tr, arr).to_pylist()
+        want = [
+            None if v is None else transform_value(tr, v)
+            for v in arr.to_pylist()
+        ]
+        assert got == want, (tr, got, want)
