@@ -175,3 +175,57 @@ def test_transform_array_matches_transform_value():
             for v in arr.to_pylist()
         ]
         assert got == want, (tr, got, want)
+
+
+def test_transform_array_random_parity():
+    """Property: vectorized == scalar on random values for every
+    transform (the write path and the planner must never disagree on a
+    partition cell)."""
+    import pyarrow as pa
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from iceberg_compaction_spark.functions.transforms import (
+        transform_array,
+        transform_value,
+    )
+
+    @settings(max_examples=200, deadline=None)
+    @given(
+        st.lists(
+            st.one_of(st.none(), st.integers(-(2**62), 2**62)),
+            min_size=1,
+            max_size=30,
+        ),
+        st.sampled_from(
+            ["identity", "bucket[16]", "bucket[7]", "truncate[10]",
+             "truncate[3]"]
+        ),
+    )
+    def check_ints(vals, tr):
+        arr = pa.array(vals, type=pa.int64())
+        got = transform_array(tr, arr).to_pylist()
+        want = [
+            None if v is None else transform_value(tr, v) for v in vals
+        ]
+        assert got == want
+
+    @settings(max_examples=100, deadline=None)
+    @given(
+        st.lists(
+            st.one_of(st.none(), st.text(max_size=12)),
+            min_size=1,
+            max_size=20,
+        ),
+        st.sampled_from(["bucket[8]", "truncate[4]"]),
+    )
+    def check_strs(vals, tr):
+        arr = pa.array(vals, type=pa.string())
+        got = transform_array(tr, arr).to_pylist()
+        want = [
+            None if v is None else transform_value(tr, v) for v in vals
+        ]
+        assert got == want
+
+    check_ints()
+    check_strs()
