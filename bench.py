@@ -58,6 +58,7 @@ BENCH_QUERIES = [
     "pipeline_source_filter",
     "meta_files",
     "dml_delete_where",
+    "dml_partitioned_write",
 ]
 
 

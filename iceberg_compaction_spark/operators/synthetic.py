@@ -772,3 +772,63 @@ def delete_where_warehouse(spark: SparkSession, sf_dir: str) -> str:
     with open(os.path.join(root, "_BUILT"), "w") as f:
         f.write("1")
     return wh
+
+
+def partitioned_write_warehouse(spark: SparkSession, sf_dir: str) -> str:
+    """One-time per sf_dir: a lang-partitioned catalog table
+    ``docs_part`` populated by WRITING ``documents`` through the
+    DataSource's partitioned Arrow writer (per-partition rolling
+    streams, partition tuples in the manifest) — so the
+    ``dml_partitioned_write`` oracle checks the write->manifest->read
+    loop end to end.  Returns the warehouse path."""
+    import hashlib
+    import os
+    import tempfile
+
+    from iceberg_compaction_spark.sources.catalog import FileCatalog
+    from iceberg_compaction_spark.sources.datasource import (
+        register as _reg,
+    )
+    from iceberg_compaction_spark.sources.manifest import Manifest
+
+    src = os.path.join(sf_dir, "documents.parquet")
+    st = os.stat(src)
+    key = hashlib.md5(
+        f"pwrite|{src}|{st.st_size}|{st.st_mtime_ns}".encode()
+    ).hexdigest()[:10]
+    root = os.path.join(tempfile.gettempdir(), f"icspark-pwrite-{key}")
+    wh = os.path.join(root, "wh")
+    if os.path.isfile(os.path.join(root, "_BUILT")):
+        return wh
+
+    os.makedirs(os.path.join(root, "data"), exist_ok=True)
+    cat = FileCatalog(warehouse=wh)
+    m = Manifest(
+        table_root=os.path.join(root, "data"),
+        snapshot_id=1,
+        sequence_number=1,
+        operation="append",
+        partition_spec=[
+            {"source": "lang", "transform": "identity", "name": "lang"}
+        ],
+    )
+    try:
+        cat.create_table("docs_part", m)
+    except Exception:
+        pass  # concurrent builder won the create; fall through to write
+    cur = cat.load_table("docs_part")
+    if not cur.data_files:
+        _reg(spark)
+        (
+            spark.read.parquet(src)
+            .select("doc_id", "lang", "n_chars")
+            .write.format("iceberg-table")
+            .option("warehouse", wh)
+            .option("table", "docs_part")
+            .option("schema", "doc_id long, lang string, n_chars long")
+            .mode("append")
+            .save()
+        )
+    with open(os.path.join(root, "_BUILT"), "w") as f:
+        f.write("1")
+    return wh

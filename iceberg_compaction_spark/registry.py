@@ -3378,3 +3378,29 @@ def q_dml_delete_where(spark, sf_dir):
     wh = syn.delete_where_warehouse(spark, sf_dir)
     m = FileCatalog(warehouse=wh).load_table("docs_dml")
     return read_table_mor(spark, m).select("doc_id", "lang")
+
+
+@register(
+    "dml_partitioned_write",
+    """
+    SELECT doc_id, lang, n_chars FROM documents
+    """,
+)
+def q_dml_partitioned_write(spark, sf_dir):
+    """Partitioned-write round trip (late r8): ``documents`` written
+    ONCE through the DataSource's partitioned Arrow writer (vectorized
+    transform routing, per-partition rolling streams, partition tuples
+    committed in the manifest), read back through the MOR batch reader
+    — the oracle proves no row is lost, duplicated or mis-routed by
+    the fan-out.
+
+    Scale shape: routing is per-batch Arrow compute on executors; each
+    partition's stream rolls on real compressed bytes; the read prunes
+    by partition at plan time when predicates allow."""
+    wh = syn.partitioned_write_warehouse(spark, sf_dir)
+    return (
+        spark.read.format("iceberg-table")
+        .option("warehouse", wh)
+        .option("table", "docs_part")
+        .load()
+    )
