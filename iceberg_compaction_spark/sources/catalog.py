@@ -147,6 +147,30 @@ class FileCatalog:
                 f"{self.table_history(name) if self.table_exists(name) else []})"
             ) from None
 
+    def snapshot_timestamps(self, name: str) -> dict[int, int]:
+        """snapshot id -> committed-at wall-clock ms (0 for versions
+        written before timestamps were stamped)."""
+        out = {}
+        for sid in self.table_history(name):
+            raw = json.loads(
+                self._io.read_bytes(self._version_path(name, sid))
+            )
+            out[sid] = int(raw.get("committed-at-ms", 0))
+        return out
+
+    def load_table_as_of(self, name: str, timestamp_ms: int) -> Manifest:
+        """Timestamp time travel (Iceberg's ``FOR SYSTEM_TIME AS OF``):
+        the last snapshot committed AT or BEFORE ``timestamp_ms``; ties
+        within one millisecond resolve to the highest version."""
+        ts = self.snapshot_timestamps(name)
+        eligible = [sid for sid, t in ts.items() if t <= timestamp_ms]
+        if not eligible:
+            raise TableNotFound(
+                f"{name}: no snapshot committed at or before "
+                f"{timestamp_ms} (earliest: {min(ts.values(), default=0)})"
+            )
+        return self.load_table_at(name, max(eligible))
+
     def expire_snapshots(self, name: str, keep_last: int = 2) -> list[int]:
         """Iceberg's expire-snapshots maintenance: drop the oldest
         version files, always retaining the newest ``keep_last``
@@ -389,9 +413,17 @@ class FileCatalog:
     def _write_version(
         self, name: str, manifest: Manifest, exclusive: bool = False
     ) -> None:
+        import time
+
         io = self._io
         path = self._version_path(name, manifest.snapshot_id)
-        payload = json.dumps(manifest.to_dict(), indent=1).encode()
+        d = manifest.to_dict()
+        # commit wall-clock (Iceberg's snapshot timestamp-ms): stamped
+        # at WRITE time, read back via snapshot_timestamps — it is
+        # catalog bookkeeping, not manifest state, so Manifest
+        # round-trips ignore it
+        d["committed-at-ms"] = int(time.time() * 1000)
+        payload = json.dumps(d, indent=1).encode()
         if exclusive:
             # THE atomic CAS: exactly one writer creates this version
             if not io.create_exclusive(path, payload):

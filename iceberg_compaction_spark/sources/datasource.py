@@ -770,18 +770,25 @@ def _split_partitions(
     return out
 
 
-def _resolve_manifest(cat, table: str, snapshot_id=None, ref=None):
+def _resolve_manifest(
+    cat, table: str, snapshot_id=None, ref=None, as_of_ms=None
+):
     """One manifest-resolution rule for every batch surface: explicit
     ``snapshot_id`` time travel, named ``ref`` (tag/branch — Iceberg's
-    ``VERSION AS OF 'name'``), or the current head."""
-    if snapshot_id and ref:
+    ``VERSION AS OF 'name'``), ``as_of_timestamp_ms`` (``FOR
+    SYSTEM_TIME AS OF``), or the current head."""
+    given = [x for x in (snapshot_id, ref, as_of_ms) if x]
+    if len(given) > 1:
         raise ValueError(
-            "options snapshot_id and ref are mutually exclusive"
+            "options snapshot_id, ref and as_of_timestamp_ms are "
+            "mutually exclusive"
         )
     if ref:
         return cat.load_table_ref(table, ref)
     if snapshot_id:
         return cat.load_table_at(table, int(snapshot_id))
+    if as_of_ms:
+        return cat.load_table_as_of(table, int(as_of_ms))
     return cat.load_table(table)
 
 
@@ -856,6 +863,7 @@ class _BatchReader(DataSourceReader):
         self._table = options["table"]
         self._snapshot = options.get("snapshot_id")
         self._ref = options.get("ref")
+        self._as_of = options.get("as_of_timestamp_ms")
         self._predicates: tuple = ()
         # Iceberg's read.split.target-size analog; 0 disables splitting
         self._split_bytes = int(
@@ -876,7 +884,9 @@ class _BatchReader(DataSourceReader):
         from iceberg_compaction_spark.sources.catalog import FileCatalog
 
         cat = FileCatalog(warehouse=self._wh)
-        m = _resolve_manifest(cat, self._table, self._snapshot, self._ref)
+        m = _resolve_manifest(
+            cat, self._table, self._snapshot, self._ref, self._as_of
+        )
         parts = _partitions_for_manifest(m)
         if self._predicates:
             preds = [
@@ -1228,6 +1238,7 @@ class IcebergTableDataSource(DataSource):
             self.options["table"],
             self.options.get("snapshot_id"),
             self.options.get("ref"),
+            self.options.get("as_of_timestamp_ms"),
         )
         if m.schema_fields:
             # the table's declared (current) schema wins over any one

@@ -1386,3 +1386,36 @@ def test_partition_pruning_skips_old_spec_files(tmp_path):
     want_cur = transform_value("bucket[4]", 0) == 3
     assert ("b" in [t.data_file_path for t in kept])
     assert (("a" in [t.data_file_path for t in kept]) == want_cur)
+
+
+def test_timestamp_time_travel(spark, cat):
+    """as_of_timestamp_ms (FOR SYSTEM_TIME AS OF): commits are stamped
+    at write time; a timestamp between two commits reads the earlier
+    snapshot, and one before the table existed fails loudly."""
+    import time
+
+    from iceberg_compaction_spark.sources.catalog import TableNotFound
+
+    ts = cat.snapshot_timestamps("t")
+    assert set(ts) == {1} and ts[1] > 0
+    time.sleep(0.05)
+    between = int(time.time() * 1000)
+    time.sleep(0.05)
+    upsert(
+        spark, cat, "t",
+        spark.createDataFrame([(99, "x")], ["id", "val"]), keys=["id"],
+    )
+    assert cat.load_table_as_of("t", between).snapshot_id == 1
+    assert (
+        cat.load_table_as_of("t", int(time.time() * 1000) + 1000).snapshot_id
+        == cat.load_table("t").snapshot_id
+    )
+    with pytest.raises(TableNotFound):
+        cat.load_table_as_of("t", ts[1] - 10_000)
+
+    old = _batch(spark, cat, as_of_timestamp_ms=str(between))
+    assert old.count() == 20
+    with pytest.raises(Exception, match="mutually exclusive"):
+        _batch(
+            spark, cat, as_of_timestamp_ms=str(between), snapshot_id="1"
+        ).count()
