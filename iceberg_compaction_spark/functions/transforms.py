@@ -309,6 +309,17 @@ def transform_array(transform: str, arr):
     if kind == "day":
         return arr.cast(pa.date32()).cast(pa.int32())
     if kind == "hour":
-        us = arr.cast(pa.timestamp("us")).cast(pa.int64())
-        return pc.divide(us, 3_600_000_000).cast(pa.int32())
+        # floor division, NOT pc.divide (which truncates toward zero):
+        # pre-epoch timestamps (e.g. 1969-12-31 23:30) must land in hour
+        # -1 to match transform_value / the SQL column path, or the
+        # partition cell recorded at write time disagrees with the cell
+        # prune_tasks_by_partition computes and matching rows get pruned.
+        mask = np.asarray(pc.is_null(arr))
+        us = (
+            pc.fill_null(arr.cast(pa.timestamp("us")), 0)
+            .cast(pa.int64())
+            .to_numpy()
+        )
+        out = np.floor_divide(us, 3_600_000_000)
+        return pa.array(out, mask=mask).cast(pa.int32())
     raise ValueError(f"unknown transform: {transform}")

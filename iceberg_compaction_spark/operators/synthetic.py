@@ -765,6 +765,10 @@ def delete_where_warehouse(spark: SparkSession, sf_dir: str) -> str:
         os.rename(stage, root)
     except OSError:
         shutil.rmtree(stage, ignore_errors=True)
+        # rename loser: the WINNER still has to commit the delete and
+        # stamp _BUILT — returning now would hand the caller a
+        # half-built table (data files, no delete). Wait it out.
+        _wait_built(root)
         return wh
     # the committed predicate DELETE lives in the PUBLISHED warehouse
     # (data paths inside the manifest point at the final root)
@@ -772,6 +776,23 @@ def delete_where_warehouse(spark: SparkSession, sf_dir: str) -> str:
     with open(os.path.join(root, "_BUILT"), "w") as f:
         f.write("1")
     return wh
+
+
+def _wait_built(root: str, timeout: float = 120.0) -> None:
+    """Block until a concurrent fixture builder stamps ``_BUILT``.
+
+    Used by race losers (rename/O_EXCL) so a caller never observes a
+    published-but-unfinished warehouse. Raises on timeout rather than
+    returning a half-built table."""
+    import os
+    import time
+
+    deadline = time.monotonic() + timeout
+    p = os.path.join(root, "_BUILT")
+    while not os.path.isfile(p):
+        if time.monotonic() > deadline:
+            raise TimeoutError(f"fixture builder never stamped {p}")
+        time.sleep(0.1)
 
 
 def partitioned_write_warehouse(spark: SparkSession, sf_dir: str) -> str:
@@ -802,6 +823,19 @@ def partitioned_write_warehouse(spark: SparkSession, sf_dir: str) -> str:
         return wh
 
     os.makedirs(os.path.join(root, "data"), exist_ok=True)
+    # exclusive build sentinel: exactly ONE builder appends (two
+    # concurrent builders both seeing empty data_files would both
+    # append — CAS retry re-commits the loser's files, doubling rows
+    # under the dml_partitioned_write oracle). Losers wait for _BUILT.
+    try:
+        fd = os.open(
+            os.path.join(root, "_BUILDING"),
+            os.O_CREAT | os.O_EXCL | os.O_WRONLY,
+        )
+        os.close(fd)
+    except FileExistsError:
+        _wait_built(root)
+        return wh
     cat = FileCatalog(warehouse=wh)
     m = Manifest(
         table_root=os.path.join(root, "data"),
@@ -812,23 +846,18 @@ def partitioned_write_warehouse(spark: SparkSession, sf_dir: str) -> str:
             {"source": "lang", "transform": "identity", "name": "lang"}
         ],
     )
-    try:
-        cat.create_table("docs_part", m)
-    except Exception:
-        pass  # concurrent builder won the create; fall through to write
-    cur = cat.load_table("docs_part")
-    if not cur.data_files:
-        _reg(spark)
-        (
-            spark.read.parquet(src)
-            .select("doc_id", "lang", "n_chars")
-            .write.format("iceberg-table")
-            .option("warehouse", wh)
-            .option("table", "docs_part")
-            .option("schema", "doc_id long, lang string, n_chars long")
-            .mode("append")
-            .save()
-        )
+    cat.create_table("docs_part", m)
+    _reg(spark)
+    (
+        spark.read.parquet(src)
+        .select("doc_id", "lang", "n_chars")
+        .write.format("iceberg-table")
+        .option("warehouse", wh)
+        .option("table", "docs_part")
+        .option("schema", "doc_id long, lang string, n_chars long")
+        .mode("append")
+        .save()
+    )
     with open(os.path.join(root, "_BUILT"), "w") as f:
         f.write("1")
     return wh

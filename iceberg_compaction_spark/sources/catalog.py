@@ -421,8 +421,22 @@ class FileCatalog:
         # commit wall-clock (Iceberg's snapshot timestamp-ms): stamped
         # at WRITE time, read back via snapshot_timestamps — it is
         # catalog bookkeeping, not manifest state, so Manifest
-        # round-trips ignore it
-        d["committed-at-ms"] = int(time.time() * 1000)
+        # round-trips ignore it.  Clamped monotone over the previous
+        # version: clock skew between committers must never give a
+        # later version an earlier stamp, or load_table_as_of's
+        # eligible-set max skips an intermediate snapshot.
+        stamp = int(time.time() * 1000)
+        try:
+            prev = json.loads(
+                io.read_bytes(
+                    self._version_path(name, manifest.snapshot_id - 1)
+                )
+            ).get("committed-at-ms")
+            if prev is not None:
+                stamp = max(stamp, int(prev) + 1)
+        except (FileNotFoundError, ValueError, OSError):
+            pass
+        d["committed-at-ms"] = stamp
         payload = json.dumps(d, indent=1).encode()
         if exclusive:
             # THE atomic CAS: exactly one writer creates this version

@@ -826,7 +826,13 @@ class _MetadataReader(DataSourceReader):
                 )
             # per-snapshot kinds resolve the ref; history-wide kinds
             # (snapshots/history/refs) ignore it by construction
-            snap = cat.list_refs(table)[ref]["snapshot_id"]
+            refs = cat.list_refs(table)
+            if ref not in refs:
+                raise ValueError(
+                    f"unknown ref {ref!r} for table {table!r}; "
+                    f"available refs: {sorted(refs)}"
+                )
+            snap = refs[ref]["snapshot_id"]
         rows = metadata_rows(
             cat,
             table,

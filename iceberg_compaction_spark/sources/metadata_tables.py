@@ -207,6 +207,12 @@ def files_rows(manifest: "Manifest") -> list[tuple]:
                 ],
             )
             row[13] += 1  # data files this delete file attaches to
+            # A delete file shared across partitions has no single
+            # partition cell: null it (matches the applies_to_files
+            # aggregation stance) instead of reporting the first data
+            # file's partition as if it were the delete's own.
+            if row[13] > 1 and row[4] != pm:
+                row[4] = None
     rows.extend(tuple(r) for r in deletes.values())
     return rows
 

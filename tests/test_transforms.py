@@ -167,6 +167,21 @@ def test_transform_array_matches_transform_value():
                 type=pa.timestamp("us"),
             ),
         ),
+        (
+            # pre-epoch: hour must floor to -1, not truncate to 0, or
+            # the write path records a different partition cell than the
+            # planner's pruning computes (silent missing rows)
+            "hour",
+            pa.array(
+                [
+                    datetime.datetime(1969, 12, 31, 23, 30),
+                    datetime.datetime(1969, 12, 31, 0, 0),
+                    datetime.datetime(1970, 1, 1, 0, 0),
+                    None,
+                ],
+                type=pa.timestamp("us"),
+            ),
+        ),
     ]
     for tr, arr in cases:
         got = transform_array(tr, arr).to_pylist()
