@@ -484,6 +484,40 @@ class AutoCompaction:
         return new_manifest, stats, report
 
 
+def _write_parquet_dir(df, out_dir: str) -> list[str]:
+    """Write ``df`` as a directory of parquet files, FileIO-routed.
+
+    Spark-native schemes use the distributed writer (the scale path —
+    N output files, zstd, no driver materialization).  Other schemes
+    (``mem://`` tests, connector-less stores) write ONE file through
+    the FileIO seam from a driver-side Arrow collect — acceptable for
+    the position-delete artifacts this helper serves (positions, not
+    data).  Returns the sorted written file paths."""
+    from iceberg_compaction_spark.sources.fileio import fileio_for
+    from iceberg_compaction_spark.sources.scan import spark_native_paths
+
+    if spark_native_paths([out_dir]):
+        df.write.mode("overwrite").option("compression", "zstd").parquet(
+            out_dir
+        )
+        return sorted(
+            os.path.join(out_dir, n)
+            for n in os.listdir(out_dir)
+            if n.endswith(".parquet") and not n.startswith("_")
+        )
+    import io as _io
+
+    import pyarrow.parquet as pq
+
+    fio = fileio_for(out_dir)
+    fio.makedirs(out_dir)
+    path = f"{out_dir.rstrip('/')}/part-00000.parquet"
+    buf = _io.BytesIO()
+    pq.write_table(df.toArrow(), buf, compression="zstd")
+    fio.write_bytes(path, buf.getvalue())
+    return [path]
+
+
 @dataclass
 class DeleteRewriteStats:
     input_delete_files: int = 0
@@ -639,9 +673,11 @@ def rewrite_position_deletes(
         normalize_path_str(t.data_file_path): t.data_file_path
         for t in manifest.data_files
     }
+    from iceberg_compaction_spark.sources.scan import read_parquet_files
+
     raw = None
     if pos_files:
-        raw = spark.read.parquet(*pos_files).select(
+        raw = read_parquet_files(spark, sorted(pos_files)).select(
             _normalize_path(F.col(HIDDEN_FILE_PATH)).alias(HIDDEN_FILE_PATH),
             F.col(HIDDEN_POS),
         )
@@ -667,11 +703,13 @@ def rewrite_position_deletes(
     )
     max_seq = max(d.sequence_number for d in consolidated.values())
 
+    from iceberg_compaction_spark.sources.fileio import fileio_for
+
     if v3:
         # v3 output representation: ONE puffin deletion-vector file,
         # one Roaring blob per data file, serialized on executors
         out_dir = out_dir or manifest.table_root
-        os.makedirs(out_dir, exist_ok=True)
+        fileio_for(out_dir).makedirs(out_dir)
         dv_path = os.path.join(
             out_dir, f"dv-{uuid.uuid4().hex[:12]}.puffin"
         )
@@ -682,7 +720,7 @@ def rewrite_position_deletes(
             dv_path: DeleteFile(
                 path=dv_path,
                 content=POSITION_DELETE,
-                file_size_in_bytes=os.path.getsize(dv_path),
+                file_size_in_bytes=fileio_for(dv_path).size(dv_path),
                 record_count=kept_positions,
                 sequence_number=max_seq,
             )
@@ -691,34 +729,28 @@ def rewrite_position_deletes(
         out_dir = out_dir or os.path.join(
             manifest.table_root, f"pos-deletes-{uuid.uuid4().hex[:12]}"
         )
-        merged.write.mode("overwrite").option("compression", "zstd").parquet(
-            out_dir
-        )
+        written = _write_parquet_dir(merged, out_dir)
 
         import pyarrow.parquet as pq
 
-        written = sorted(
-            os.path.join(out_dir, n)
-            for n in os.listdir(out_dir)
-            if n.endswith(".parquet") and not n.startswith("_")
-        )
         # which data files each output references (manifest-scale
         # collect: one row per distinct referenced path)
         referenced = {}
+        kept_positions = 0
+        new_deletes = {}
         for w in written:
-            t = pq.read_table(w, columns=[HIDDEN_FILE_PATH])
+            fio = fileio_for(w)
+            with fio.open_input(w) as fh:
+                t = pq.read_table(fh, columns=[HIDDEN_FILE_PATH])
             referenced[w] = set(t.column(HIDDEN_FILE_PATH).to_pylist())
-        kept_positions = sum(pq.read_metadata(w).num_rows for w in written)
-        new_deletes = {
-            w: DeleteFile(
+            kept_positions += t.num_rows
+            new_deletes[w] = DeleteFile(
                 path=w,
                 content=POSITION_DELETE,
-                file_size_in_bytes=os.path.getsize(w),
-                record_count=pq.read_metadata(w).num_rows,
+                file_size_in_bytes=fio.size(w),
+                record_count=t.num_rows,
                 sequence_number=max_seq,
             )
-            for w in written
-        }
     stats.output_delete_files = len(written)
     stats.positions_kept = kept_positions
     # distinct positions that referenced no live data file
@@ -890,8 +922,10 @@ def convert_equality_deletes(
         # reader contract: datafusion_processor.rs:632-653).  Run
         # rewrite_position_deletes afterwards to fold these into any
         # pre-existing DVs (one DV per data file).
+        from iceberg_compaction_spark.sources.fileio import fileio_for
+
         out_dir = out_dir or manifest.table_root
-        os.makedirs(out_dir, exist_ok=True)
+        fileio_for(out_dir).makedirs(out_dir)
         dv_path = os.path.join(
             out_dir, f"eq-convert-dv-{uuid.uuid4().hex[:12]}.puffin"
         )
@@ -901,24 +935,21 @@ def convert_equality_deletes(
             new_deletes[dv_path] = DeleteFile(
                 path=dv_path,
                 content=POSITION_DELETE,
-                file_size_in_bytes=os.path.getsize(dv_path),
+                file_size_in_bytes=fileio_for(dv_path).size(dv_path),
                 record_count=n_positions,
                 sequence_number=max_seq,
             )
     else:
+        from iceberg_compaction_spark.sources.fileio import fileio_for
+
         out_dir = out_dir or os.path.join(
             manifest.table_root, f"eq-convert-{uuid.uuid4().hex[:12]}"
         )
-        merged.write.mode("overwrite").option("compression", "zstd").parquet(
-            out_dir
-        )
-        written = sorted(
-            os.path.join(out_dir, n)
-            for n in os.listdir(out_dir)
-            if n.endswith(".parquet") and not n.startswith("_")
-        )
+        written = _write_parquet_dir(merged, out_dir)
         for w in written:
-            t = pq.read_table(w, columns=[HIDDEN_FILE_PATH])
+            fio = fileio_for(w)
+            with fio.open_input(w) as fh:
+                t = pq.read_table(fh, columns=[HIDDEN_FILE_PATH])
             refs = set(t.column(HIDDEN_FILE_PATH).to_pylist())
             if not refs:
                 continue
@@ -926,8 +957,8 @@ def convert_equality_deletes(
             new_deletes[w] = DeleteFile(
                 path=w,
                 content=POSITION_DELETE,
-                file_size_in_bytes=os.path.getsize(w),
-                record_count=pq.read_metadata(w).num_rows,
+                file_size_in_bytes=fio.size(w),
+                record_count=t.num_rows,
                 sequence_number=max_seq,
             )
     stats.output_position_files = len(new_deletes)

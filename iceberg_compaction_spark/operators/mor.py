@@ -177,6 +177,24 @@ def puffin_dv_frame(spark: SparkSession, puffin_paths: list[str]) -> DataFrame:
     from iceberg_compaction_spark.sources.scan import (
         normalize_path_str as _local,
     )
+    from iceberg_compaction_spark.sources.fileio import fileio_for
+
+    if any(not fileio_for(p).executor_safe for p in puffin_paths):
+        # driver-process-only backends (mem:// tests) can't be opened
+        # from Python workers — decode driver-side; bounded because
+        # these backends only ever hold test-scale tables.  Object
+        # stores stay on the distributed decode below (executor-safe).
+        from iceberg_compaction_spark.sources.puffin import read_puffin_dvs
+
+        rows = [
+            (_local(ref), int(pos))
+            for pf in puffin_paths
+            for ref, positions in sorted(read_puffin_dvs(pf).items())
+            for pos in positions
+        ]
+        return spark.createDataFrame(
+            rows, "__dv_path string, __dv_pos long"
+        )
 
     metas = []
     for pf in puffin_paths:
@@ -200,11 +218,15 @@ def puffin_dv_frame(spark: SparkSession, puffin_paths: list[str]) -> DataFrame:
             dv_blob_deserialize,
         )
 
+        from iceberg_compaction_spark.sources.fileio import open_input
+
         for pdf in batches:
             for pf, off, ln, ref in zip(
                 pdf["__pf"], pdf["__off"], pdf["__len"], pdf["__ref"]
             ):
-                with open(pf, "rb") as f:
+                # FileIO-routed (executor-safe: resolved by URI scheme)
+                # so large puffin DVs on object stores decode in place
+                with open_input(pf) as f:
                     f.seek(int(off))
                     blob = f.read(int(ln))
                 positions = dv_blob_deserialize(blob)
@@ -230,7 +252,9 @@ def _read_eq_delete_file(
     by name — Spark resolves id-carrying and id-less requested fields
     independently.  Falls back to the plain read when the table has no
     schema, a key is unknown to it, or the file carries no ids."""
-    if schema_fields:
+    from iceberg_compaction_spark.sources.scan import spark_native_paths
+
+    if schema_fields and spark_native_paths([path]):
         by_name = {f["name"]: f for f in schema_fields}
         if all(k in by_name for k in key_names):
             import pyarrow.parquet as _pq
@@ -251,7 +275,9 @@ def _read_eq_delete_file(
                     st = st.add(StructField(HIDDEN_SEQ, LongType(), True))
                 enable_field_id_reads(spark)
                 return spark.read.schema(st).parquet(path)
-    return spark.read.parquet(path)
+    from iceberg_compaction_spark.sources.scan import read_parquet_files
+
+    return read_parquet_files(spark, [path])
 
 
 def rewrite_file_group(
@@ -314,11 +340,14 @@ def rewrite_file_group(
         if dv_bytes <= DV_DRIVER_MAX_BYTES:
             import pyarrow.parquet as pq
 
+            from iceberg_compaction_spark.sources.fileio import open_input
+
             position_vectors = {}
             for d in parquets:
-                t = pq.read_table(
-                    d.path, columns=[HIDDEN_FILE_PATH, HIDDEN_POS]
-                )
+                with open_input(d.path) as fh:
+                    t = pq.read_table(
+                        fh, columns=[HIDDEN_FILE_PATH, HIDDEN_POS]
+                    )
                 for p, pos in zip(
                     t.column(HIDDEN_FILE_PATH).to_pylist(),
                     t.column(HIDDEN_POS).to_pylist(),
@@ -368,8 +397,10 @@ def rewrite_file_group(
     pos_df = None
     pos_bytes = None
     if has_pos and not ge_v3:
-        pos_df = spark.read.parquet(
-            *[d.path for d in group.position_delete_files]
+        from iceberg_compaction_spark.sources.scan import read_parquet_files
+
+        pos_df = read_parquet_files(
+            spark, [d.path for d in group.position_delete_files]
         )
         pos_bytes = sum(d.file_size_in_bytes for d in group.position_delete_files)
 

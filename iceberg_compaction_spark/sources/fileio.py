@@ -64,6 +64,12 @@ def _fsspec_base_classes() -> tuple:
 class FileIO:
     """Abstract byte-level filesystem contract (see module doc)."""
 
+    # True when a Python worker process can resolve-and-open this
+    # backend's paths itself (local disk, object stores); False for
+    # driver-process-only stores (MemoryFileIO), whose bytes must never
+    # be read from inside mapInPandas/UDF closures
+    executor_safe = True
+
     def open_input(self, path: str):
         """Seekable binary reader for ``path``."""
         raise NotImplementedError
@@ -210,6 +216,8 @@ class MemoryFileIO(FileIO):
     driver's process group only in tests that stay driver-side, which is
     exactly where this backend is used.
     """
+
+    executor_safe = False  # process-local store: driver-side reads only
 
     _store: dict[str, bytes] = {}
     _times: dict[str, float] = {}

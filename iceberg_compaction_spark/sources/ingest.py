@@ -46,16 +46,41 @@ DELETE_OP = "D"
 
 
 def _write_single_parquet(df: DataFrame, path: str) -> None:
-    """Write a DataFrame as exactly one parquet FILE at ``path``."""
-    tmp = f"{path}.tmpdir-{uuid.uuid4().hex[:8]}"
-    df.coalesce(1).write.mode("overwrite").parquet(tmp)
-    part = next(
-        f for f in os.listdir(tmp) if f.endswith(".parquet")
-    )
-    os.replace(os.path.join(tmp, part), path)
-    import shutil
+    """Write a DataFrame as exactly one parquet FILE at ``path``,
+    routed through the FileIO seam.
 
-    shutil.rmtree(tmp, ignore_errors=True)
+    Local warehouses take the Spark write path (one executor task via
+    ``coalesce(1)`` — correct for the one-file-per-commit DML contract
+    and bounded by a single micro-batch / delete set, though a
+    pathological predicate matching ~all rows serializes its write
+    through that one task; the artifact is positions/keys, not data).
+    Non-Spark-native schemes (``mem://`` tests, connector-less object
+    stores) Arrow-collect the bounded artifact on the driver and put
+    the bytes through :func:`fileio_for` — the same seam the puffin
+    writer and catalog use."""
+    from iceberg_compaction_spark.sources.fileio import (
+        LocalFileIO,
+        fileio_for,
+    )
+
+    fio = fileio_for(path)
+    if isinstance(fio, LocalFileIO):
+        local = LocalFileIO.strip(path)
+        tmp = f"{local}.tmpdir-{uuid.uuid4().hex[:8]}"
+        df.coalesce(1).write.mode("overwrite").parquet(tmp)
+        part = next(f for f in os.listdir(tmp) if f.endswith(".parquet"))
+        os.replace(os.path.join(tmp, part), local)
+        import shutil
+
+        shutil.rmtree(tmp, ignore_errors=True)
+        return
+    import io as _io
+
+    import pyarrow.parquet as pq
+
+    buf = _io.BytesIO()
+    pq.write_table(df.toArrow(), buf)
+    fio.write_bytes(path, buf.getvalue())
 
 
 def upsert(
@@ -137,10 +162,12 @@ def upsert(
         new_seq = cur.sequence_number + 1
         if written_seq != [new_seq]:
             _stamp(new_seq)
+        from iceberg_compaction_spark.sources.fileio import fileio_for
+
         eq_file = DeleteFile(
             path=eq_path,
             content=EQUALITY_DELETE,
-            file_size_in_bytes=os.path.getsize(eq_path),
+            file_size_in_bytes=fileio_for(eq_path).size(eq_path),
             sequence_number=new_seq,
             equality_ids=tuple(keys),
         )
@@ -148,13 +175,16 @@ def upsert(
         if has_upserts:
             import pyarrow.parquet as pq
 
-            md = pq.read_metadata(data_path)
+            fio = fileio_for(data_path)
+            with fio.open_input(data_path) as fh:
+                md = pq.read_metadata(fh)
+            dsize = fio.size(data_path)
             # data parquet carries no seq column (seq is manifest
             # metadata, attached at scan time) — no rewrite needed
             data_task = FileScanTask(
                 data_file_path=data_path,
-                length=os.path.getsize(data_path),
-                file_size_in_bytes=os.path.getsize(data_path),
+                length=dsize,
+                file_size_in_bytes=dsize,
                 record_count=md.num_rows,
                 sequence_number=new_seq,
             )
@@ -211,64 +241,332 @@ def delete_where(
     only the REFERENCED FILE PATHS are collected, which is manifest
     scale by definition.
     """
-    from iceberg_compaction_spark.plans.datamodel import POSITION_DELETE
     from iceberg_compaction_spark.sources.scan import (
         HIDDEN_FILE_PATH,
         HIDDEN_POS,
-        normalize_path_str,
     )
 
     suffix = uuid.uuid4().hex[:8]
 
     def attempt() -> Manifest:
         cur = catalog.load_table(table_name)
-        group = FileGroup.from_tasks(cur.data_files)
-        group.format_version = cur.format_version
-        group.schema_fields = cur.schema_fields or None
-        group.name_mapping = _manifest_name_mapping(cur)
-        df = rewrite_file_group(spark, group, keep_file_pos=True)
-        matched = df.where(predicate).select(HIDDEN_FILE_PATH, HIDDEN_POS)
-
+        matched = (
+            _matched_scan(spark, cur)
+            .where(predicate)
+            .select(HIDDEN_FILE_PATH, HIDDEN_POS)
+        )
         v3 = cur.format_version >= 3
         path = os.path.join(
             cur.table_root,
             f"delete-{suffix}" + (".puffin" if v3 else "-pos.parquet"),
         )
-        if v3:
-            from iceberg_compaction_spark.compaction import (
-                _write_v3_dv_file,
-            )
-
-            refs, n = _write_v3_dv_file(spark, matched, path)
-        else:
-            _write_single_parquet(
-                matched.orderBy(HIDDEN_FILE_PATH, HIDDEN_POS), path
-            )
-            import pyarrow.parquet as pq
-
-            t = pq.read_table(path, columns=[HIDDEN_FILE_PATH])
-            n = t.num_rows
-            refs = set(t.column(HIDDEN_FILE_PATH).unique().to_pylist())
+        refs, n = _write_position_artifact(spark, cur, matched, path)
         if n == 0:
-            os.remove(path)
             return cur
+        return _commit_row_change(
+            catalog, table_name, cur, refs, n, path, None,
+            operation="delete",
+        )
 
-        new_seq = cur.sequence_number + 1
+    from iceberg_compaction_spark.commit import CommitManager
+
+    return CommitManager().commit_with_retry(attempt)
+
+
+def _matched_scan(spark, cur) -> DataFrame:
+    """CURRENT-snapshot MOR scan carrying hidden ``(file, pos)`` row
+    identity — the input every predicate DML statement shares."""
+    group = FileGroup.from_tasks(cur.data_files)
+    group.format_version = cur.format_version
+    group.schema_fields = cur.schema_fields or None
+    group.name_mapping = _manifest_name_mapping(cur)
+    return rewrite_file_group(spark, group, keep_file_pos=True)
+
+
+def _write_position_artifact(spark, cur, matched_pos, path):
+    """Write the position-delete artifact for ``matched_pos`` rows
+    (``(sys_hidden_file_path, sys_hidden_pos)``): a parquet trail on v2,
+    a puffin deletion vector on v3.  Returns ``(refs, n)`` — referenced
+    data-file paths and total positions; the artifact file is removed
+    when nothing matched."""
+    from iceberg_compaction_spark.sources.fileio import fileio_for, open_input
+
+    if cur.format_version >= 3:
+        from iceberg_compaction_spark.compaction import _write_v3_dv_file
+
+        refs, n = _write_v3_dv_file(spark, matched_pos, path)
+    else:
+        from iceberg_compaction_spark.sources.scan import (
+            HIDDEN_FILE_PATH,
+            HIDDEN_POS,
+        )
+
+        _write_single_parquet(
+            matched_pos.orderBy(HIDDEN_FILE_PATH, HIDDEN_POS), path
+        )
+        import pyarrow.parquet as pq
+
+        with open_input(path) as fh:
+            t = pq.read_table(fh, columns=[HIDDEN_FILE_PATH])
+        n = t.num_rows
+        refs = set(t.column(HIDDEN_FILE_PATH).unique().to_pylist())
+    if n == 0:
+        fileio_for(path).remove(path)
+    return refs, n
+
+
+def _commit_row_change(
+    catalog,
+    table_name: str,
+    cur: Manifest,
+    refs: set,
+    n_deleted: int,
+    delete_path: str,
+    new_data_path: str | None,
+    operation: str,
+) -> Manifest:
+    """One-snapshot commit of a predicate DML statement: the position
+    delete attaches to exactly the data files it references; the new
+    data file (updated/inserted rows), when present, joins the snapshot
+    at the SAME new sequence number — the delete does not apply to it
+    (it references only the old files)."""
+    from iceberg_compaction_spark.plans.datamodel import POSITION_DELETE
+    from iceberg_compaction_spark.sources.fileio import fileio_for, open_input
+    from iceberg_compaction_spark.sources.scan import normalize_path_str
+
+    new_seq = cur.sequence_number + 1
+    new = Manifest.from_dict(cur.to_dict())
+    new.snapshot_id = cur.next_snapshot()
+    new.sequence_number = new_seq
+    new.operation = operation
+    if n_deleted:
         dfile = DeleteFile(
-            path=path,
+            path=delete_path,
             content=POSITION_DELETE,
-            file_size_in_bytes=os.path.getsize(path),
-            record_count=n,
+            file_size_in_bytes=fileio_for(delete_path).size(delete_path),
+            record_count=n_deleted,
             sequence_number=new_seq,
         )
-        new = Manifest.from_dict(cur.to_dict())
-        new.snapshot_id = cur.next_snapshot()
-        new.sequence_number = new_seq
-        new.operation = "delete"
         for t in new.data_files:
             if normalize_path_str(t.data_file_path) in refs:
                 t.deletes.append(dfile)
-        return catalog.commit_table(table_name, cur.snapshot_id, new)
+    if new_data_path is not None:
+        import pyarrow.parquet as pq
+
+        fio = fileio_for(new_data_path)
+        with fio.open_input(new_data_path) as fh:
+            md = pq.read_metadata(fh)
+        dsize = fio.size(new_data_path)
+        new.data_files.append(
+            FileScanTask(
+                data_file_path=new_data_path,
+                length=dsize,
+                file_size_in_bytes=dsize,
+                record_count=md.num_rows,
+                sequence_number=new_seq,
+            )
+        )
+    return catalog.commit_table(table_name, cur.snapshot_id, new)
+
+
+def update_where(
+    spark: SparkSession,
+    catalog,
+    table_name: str,
+    predicate: str,
+    set_exprs: dict[str, str],
+) -> Manifest:
+    """Predicate UPDATE producing merge-on-read state: ``UPDATE t SET
+    col = expr, ... WHERE predicate`` as Iceberg engines execute it in
+    merge-on-read mode — ONE snapshot carrying (a) a position delete
+    covering every matched row and (b) a new data file holding those
+    rows with the SET expressions applied.  Readers before the commit
+    see the old rows, after it the new — never both, never neither.
+
+    ``set_exprs`` maps column name -> Spark SQL expression evaluated
+    over the matched row (``{"price": "price * 1.1"}``).  Unknown
+    columns raise.  No matches -> no commit (returns the current
+    manifest).
+
+    Retry semantics mirror :func:`delete_where`: a lost CAS race
+    re-runs the whole attempt against the fresh head, because positions
+    are only valid for the exact files they were computed from and the
+    predicate must see rows added by the race winner.
+
+    Scale shape: the matched scan is the same distributed
+    predicate-eligible plan ``delete_where`` uses; the updated-row
+    projection is JVM-side expressions; the two artifacts are one
+    bounded sidecar write each (positions + changed rows only — the
+    UNCHANGED rows are never rewritten, which is the entire point of
+    merge-on-read UPDATE at 100 TB).
+    """
+    from iceberg_compaction_spark.sources.scan import (
+        HIDDEN_FILE_PATH,
+        HIDDEN_POS,
+    )
+
+    suffix = uuid.uuid4().hex[:8]
+
+    def attempt() -> Manifest:
+        cur = catalog.load_table(table_name)
+        df = _matched_scan(spark, cur)
+        table_cols = [
+            c
+            for c in df.columns
+            if c not in (HIDDEN_FILE_PATH, HIDDEN_POS, HIDDEN_SEQ)
+        ]
+        unknown = set(set_exprs) - set(table_cols)
+        if unknown:
+            raise ValueError(
+                f"SET references unknown columns {sorted(unknown)}; "
+                f"table columns: {table_cols}"
+            )
+        matched = df.where(predicate)
+        v3 = cur.format_version >= 3
+        del_path = os.path.join(
+            cur.table_root,
+            f"update-{suffix}" + (".puffin" if v3 else "-pos.parquet"),
+        )
+        data_path = os.path.join(
+            cur.table_root, f"update-{suffix}-data.parquet"
+        )
+        refs, n = _write_position_artifact(
+            spark, cur, matched.select(HIDDEN_FILE_PATH, HIDDEN_POS), del_path
+        )
+        if n == 0:
+            return cur
+        updated = matched.select(
+            *[
+                F.expr(set_exprs[c]).alias(c) if c in set_exprs else F.col(c)
+                for c in table_cols
+            ]
+        )
+        _write_single_parquet(updated, data_path)
+        return _commit_row_change(
+            catalog, table_name, cur, refs, n, del_path, data_path,
+            operation="overwrite",
+        )
+
+    from iceberg_compaction_spark.commit import CommitManager
+
+    return CommitManager().commit_with_retry(attempt)
+
+
+def merge_into(
+    spark: SparkSession,
+    catalog,
+    table_name: str,
+    source: DataFrame,
+    keys: list[str],
+    matched_action: str = "update",
+    update_cols: list[str] | None = None,
+    insert_unmatched: bool = True,
+) -> Manifest:
+    """Minimal MERGE: ``MERGE INTO t USING source ON t.k = s.k WHEN
+    MATCHED THEN UPDATE SET ... / DELETE [WHEN NOT MATCHED THEN
+    INSERT *]`` in merge-on-read mode — one snapshot carrying a position
+    delete over the matched target rows plus one data file holding the
+    updated and inserted rows.
+
+    ``matched_action``: ``"update"`` replaces matched rows with the
+    source's values for ``update_cols`` (default: every non-key source
+    column present in the table), keeping target values for other
+    columns; ``"delete"`` removes matched rows.  ``insert_unmatched``
+    appends source rows with no target match (the source must then
+    carry every table column).
+
+    The source must be key-unique (asserted, like :func:`upsert` —
+    SQL MERGE raises on multiple matches too).  CAS-retried per
+    attempt against the fresh head.
+
+    Scale shape: one shuffle-join of target x source on the keys
+    (broadcast when the source is a micro-batch, AQE otherwise);
+    unchanged target rows never rewrite.
+    """
+    from iceberg_compaction_spark.sources.scan import (
+        HIDDEN_FILE_PATH,
+        HIDDEN_POS,
+    )
+
+    if matched_action not in ("update", "delete"):
+        raise ValueError("matched_action must be 'update' or 'delete'")
+    n_src = source.count()
+    n_keys = source.select(*keys).distinct().count()
+    if n_src != n_keys:
+        raise ValueError(
+            f"MERGE source has duplicate keys ({n_src} rows, "
+            f"{n_keys} distinct keys)"
+        )
+    suffix = uuid.uuid4().hex[:8]
+
+    def attempt() -> Manifest:
+        cur = catalog.load_table(table_name)
+        df = _matched_scan(spark, cur)
+        table_cols = [
+            c
+            for c in df.columns
+            if c not in (HIDDEN_FILE_PATH, HIDDEN_POS, HIDDEN_SEQ)
+        ]
+        src = source.select(
+            *[F.col(c).alias(f"__src_{c}") for c in source.columns]
+        )
+        cond = F.lit(True)
+        for k in keys:
+            cond = cond & (F.col(k) == F.col(f"__src_{k}"))
+        joined = df.join(src, on=cond, how="inner")
+
+        v3 = cur.format_version >= 3
+        del_path = os.path.join(
+            cur.table_root,
+            f"merge-{suffix}" + (".puffin" if v3 else "-pos.parquet"),
+        )
+        data_path = os.path.join(
+            cur.table_root, f"merge-{suffix}-data.parquet"
+        )
+        refs, n = _write_position_artifact(
+            spark, cur, joined.select(HIDDEN_FILE_PATH, HIDDEN_POS), del_path
+        )
+
+        out = None
+        if matched_action == "update" and n:
+            upd = update_cols or [
+                c for c in source.columns if c in table_cols and c not in keys
+            ]
+            missing = set(upd) - set(table_cols)
+            if missing:
+                raise ValueError(
+                    f"update_cols not in table: {sorted(missing)}"
+                )
+            out = joined.select(
+                *[
+                    F.col(f"__src_{c}").alias(c)
+                    if c in upd
+                    else F.col(c)
+                    for c in table_cols
+                ]
+            )
+        if insert_unmatched:
+            missing = set(table_cols) - set(source.columns)
+            if missing:
+                raise ValueError(
+                    "WHEN NOT MATCHED INSERT needs every table column in "
+                    f"the source; missing: {sorted(missing)}"
+                )
+            inserts = source.join(
+                df.select(*keys), on=keys, how="left_anti"
+            ).select(*table_cols)
+            out = inserts if out is None else out.unionByName(inserts)
+
+        has_rows = out is not None and out.limit(1).count() > 0
+        if not has_rows and n == 0:
+            return cur
+        if has_rows:
+            _write_single_parquet(out, data_path)
+        return _commit_row_change(
+            catalog, table_name, cur, refs, n, del_path,
+            data_path if has_rows else None,
+            operation="overwrite",
+        )
 
     from iceberg_compaction_spark.commit import CommitManager
 

@@ -105,6 +105,74 @@ def normalize_path_str(p: str) -> str:
     return re.sub(r"^file:/*", "/", p)
 
 
+# schemes Spark's JVM parquet source reads natively in this environment
+# (no hadoop-aws/gcs connectors baked in); everything else routes
+# through the FileIO seam
+SPARK_NATIVE_SCHEMES = frozenset({"", "file"})
+
+
+def spark_native_paths(paths) -> bool:
+    """True iff every path is readable by Spark's own file source."""
+    from iceberg_compaction_spark.sources.fileio import scheme_of
+
+    return all(scheme_of(p) in SPARK_NATIVE_SCHEMES for p in paths)
+
+
+def read_parquet_files(
+    spark: SparkSession, paths: list[str], with_metadata: bool = False
+) -> DataFrame:
+    """FileIO-aware parquet read.
+
+    Spark-native schemes go through ``spark.read.parquet`` (distributed,
+    vectorized, pushdown-eligible — the only path that matters at scale).
+    Any other scheme (``mem://`` in tests, an fsspec store without a
+    Spark connector) is loaded driver-side through :mod:`fileio` into
+    one Arrow table and handed to Spark — a deliberately BOUNDED seam:
+    the callers route only sidecar artifacts (position-delete trails,
+    equality-delete key files, DML micro-batches) through it, never the
+    table's data volume; big-data reads on object stores belong to the
+    ``iceberg-table`` DataSource (executor-side pyarrow through the same
+    FileIO) or a real Spark connector.
+
+    ``with_metadata=True`` synthesizes the two ``_metadata`` fields the
+    hidden-column machinery consumes (``file_path``, ``row_index``) so a
+    FileIO-backed scan feeds the identical MOR plan downstream.
+    """
+    if spark_native_paths(paths):
+        df = spark.read.parquet(*paths)
+        return df
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from iceberg_compaction_spark.sources.fileio import open_input
+
+    tables = []
+    for p in paths:
+        with open_input(p) as fh:
+            t = pq.read_table(fh)
+        if with_metadata:
+            t = t.append_column(
+                "__fio_file_path",
+                pa.array([p] * t.num_rows, type=pa.string()),
+            ).append_column(
+                "__fio_row_index",
+                pa.array(range(t.num_rows), type=pa.int64()),
+            )
+        tables.append(t)
+    df = spark.createDataFrame(
+        pa.concat_tables(tables, promote_options="default")
+    )
+    if with_metadata:
+        df = df.withColumn(
+            "_metadata",
+            F.struct(
+                F.col("__fio_file_path").alias("file_path"),
+                F.col("__fio_row_index").alias("row_index"),
+            ),
+        ).drop("__fio_file_path", "__fio_row_index")
+    return df
+
+
 def read_data_files(
     spark: SparkSession,
     paths: list[str],
@@ -153,7 +221,26 @@ def read_data_files(
     """
     df = None
     pending_rename = None
-    if schema_fields:
+    if not spark_native_paths(paths):
+        # FileIO-backed scheme (mem:// tests, connector-less stores):
+        # same hidden-column plan over a FileIO-loaded frame.  Field-id
+        # schema evolution needs Spark's native reader — tables that
+        # evolved their schema must be read through the iceberg-table
+        # DataSource on these backends (its executor-side pyarrow path
+        # resolves ids per file).
+        if schema_fields:
+            from iceberg_compaction_spark.sources.schema_evo import (
+                struct_with_field_ids,
+            )
+
+            if struct_with_field_ids(schema_fields, nested=True) is not None:
+                raise ValueError(
+                    "field-id schema resolution requires a Spark-native "
+                    "scheme; read this table through the iceberg-table "
+                    "DataSource instead: " + paths[0]
+                )
+        df = read_parquet_files(spark, paths, with_metadata=True)
+    elif schema_fields:
         from iceberg_compaction_spark.sources.schema_evo import (
             enable_field_id_reads,
             file_field_ids,
@@ -358,7 +445,7 @@ def read_data_files(
         # no dropDuplicates: anti-join drops a row on ANY match, so DV
         # duplicates are harmless — and deduping would shuffle the DV side
         if position_vector_paths:
-            dv_df = spark.read.parquet(*position_vector_paths).select(
+            dv_df = read_parquet_files(spark, position_vector_paths).select(
                 _normalize_path(F.col(HIDDEN_FILE_PATH)).alias("__dv_path"),
                 F.col(HIDDEN_POS).alias("__dv_pos"),
             )

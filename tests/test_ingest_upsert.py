@@ -533,3 +533,127 @@ def test_dml_over_real_iceberg_metadata(spark, tmp_path):
     assert got[3] == "new3" and 0 not in got and 77 not in got
     assert len(got) == 9
     assert cat.table_history("h") == [1, 2, 3]
+
+
+# --- round 9: predicate UPDATE and MERGE ------------------------------------
+
+
+def test_update_where_v2(spark, table):
+    """UPDATE ... WHERE in MOR mode: one snapshot = position delete over
+    matched rows + a new data file with the SET expressions applied."""
+    from iceberg_compaction_spark.plans.datamodel import POSITION_DELETE
+    from iceberg_compaction_spark.sources.ingest import update_where
+
+    m = update_where(
+        spark, table, "t", "id % 3 = 0", {"val": "upper(val)"}
+    )
+    assert m.snapshot_id == 2 and m.operation == "overwrite"
+    got = _rows(spark, table)
+    assert len(got) == 10
+    assert got[0] == "V0" and got[3] == "V3" and got[9] == "V9"
+    assert got[1] == "v1"  # untouched
+    dels = [d for t in m.data_files for d in t.deletes]
+    assert all(d.content == POSITION_DELETE for d in dels)
+    # exactly one new data file at the new sequence, delete-free
+    new_files = [t for t in m.data_files if t.sequence_number == 2]
+    assert len(new_files) == 1 and not new_files[0].deletes
+    assert new_files[0].record_count == 4
+
+
+def test_update_where_no_match_no_commit(spark, table):
+    from iceberg_compaction_spark.sources.ingest import update_where
+
+    m = update_where(spark, table, "t", "id > 1000", {"val": "'x'"})
+    assert m.snapshot_id == 1
+    assert table.load_table("t").snapshot_id == 1
+
+
+def test_update_where_rejects_unknown_column(spark, table):
+    from iceberg_compaction_spark.sources.ingest import update_where
+
+    with pytest.raises(ValueError, match="unknown columns"):
+        update_where(spark, table, "t", "id = 1", {"nope": "'x'"})
+
+
+def test_update_where_v3_emits_dv_and_composes_with_compaction(spark, table):
+    from iceberg_compaction_spark.sources.ingest import update_where
+    from iceberg_compaction_spark.sources.puffin import is_puffin_file
+
+    cur = table.load_table("t")
+    m2 = Manifest.from_dict(cur.to_dict())
+    m2.snapshot_id = 2
+    m2.format_version = 3
+    m2.operation = "replace"
+    table.commit_table("t", 1, m2)
+
+    m = update_where(spark, table, "t", "id IN (2, 7)", {"val": "'yes'"})
+    dels = [d for t in m.data_files for d in t.deletes]
+    assert dels and all(is_puffin_file(d.path) for d in dels)
+    got = _rows(spark, table)
+    assert got[2] == "yes" and got[7] == "yes" and got[5] == "v5"
+
+    final, _ = Compaction(spark, CompactionConfig.full()).compact_catalog(
+        table, "t"
+    )
+    assert all(not t.deletes for t in final.data_files)
+    materialized = {
+        r["id"]: r["val"] for r in read_table_mor(spark, final).collect()
+    }
+    assert materialized == got
+
+
+def test_update_where_serializes_against_racing_update(spark, table):
+    """Two updates on overlapping predicates: the loser's CAS retry
+    re-scans the fresh head, so both SETs land (the second sees the
+    first's rows)."""
+    from iceberg_compaction_spark.sources.ingest import update_where
+
+    update_where(spark, table, "t", "id < 5", {"val": "concat(val, '-a')"})
+    update_where(spark, table, "t", "id < 3", {"val": "concat(val, '-b')"})
+    got = _rows(spark, table)
+    assert got[1] == "v1-a-b" and got[4] == "v4-a" and got[6] == "v6"
+
+
+def test_merge_into_update_and_insert(spark, table):
+    from iceberg_compaction_spark.sources.ingest import merge_into
+
+    src = spark.createDataFrame(
+        [(2, "merged2"), (8, "merged8"), (55, "v55")], ["id", "val"]
+    )
+    m = merge_into(spark, table, "t", src, keys=["id"])
+    assert m.operation == "overwrite"
+    got = _rows(spark, table)
+    assert got[2] == "merged2" and got[8] == "merged8" and got[55] == "v55"
+    assert got[4] == "v4"
+    assert len(got) == 11
+
+
+def test_merge_into_matched_delete(spark, table):
+    from iceberg_compaction_spark.sources.ingest import merge_into
+
+    src = spark.createDataFrame([(1, "x"), (9, "x")], ["id", "val"])
+    merge_into(
+        spark, table, "t", src, keys=["id"],
+        matched_action="delete", insert_unmatched=False,
+    )
+    got = _rows(spark, table)
+    assert 1 not in got and 9 not in got and len(got) == 8
+
+
+def test_merge_into_insert_only_no_matches(spark, table):
+    from iceberg_compaction_spark.sources.ingest import merge_into
+
+    src = spark.createDataFrame([(70, "v70")], ["id", "val"])
+    m = merge_into(spark, table, "t", src, keys=["id"])
+    got = _rows(spark, table)
+    assert got[70] == "v70" and len(got) == 11
+    # no positions matched: no delete files in the snapshot
+    assert all(not t.deletes for t in m.data_files)
+
+
+def test_merge_into_rejects_duplicate_source_keys(spark, table):
+    from iceberg_compaction_spark.sources.ingest import merge_into
+
+    src = spark.createDataFrame([(1, "a"), (1, "b")], ["id", "val"])
+    with pytest.raises(ValueError, match="duplicate keys"):
+        merge_into(spark, table, "t", src, keys=["id"])
