@@ -59,6 +59,9 @@ BENCH_QUERIES = [
     "meta_files",
     "dml_delete_where",
     "dml_partitioned_write",
+    # round 9
+    "dml_update_where",
+    "dml_merge_into",
 ]
 
 

@@ -708,6 +708,150 @@ def delete_where_warehouse(spark: SparkSession, sf_dir: str) -> str:
     reads genuine position-delete MOR state produced by the engine's
     own predicate-DELETE path (sources/ingest.py delete_where).
     Returns the warehouse path."""
+    from iceberg_compaction_spark.sources.ingest import delete_where
+
+    return _dml_docs_warehouse(
+        spark,
+        sf_dir,
+        tag="dml",
+        table_name="docs_dml",
+        columns=["doc_id", "lang"],
+        mutate=lambda cat: delete_where(
+            spark, cat, "docs_dml", "doc_id % 7 = 3"
+        ),
+    )
+
+
+def update_where_warehouse(spark: SparkSession, sf_dir: str) -> str:
+    """One-time per sf_dir: ``docs_upd`` = ``documents`` (two files by
+    parity) with one committed ``update_where`` on top — the
+    ``dml_update_where`` oracle reads the MOR state the engine's own
+    predicate-UPDATE path produced (position delete + updated-row data
+    file in one snapshot, sources/ingest.py update_where)."""
+    from iceberg_compaction_spark.sources.ingest import update_where
+
+    return _dml_docs_warehouse(
+        spark,
+        sf_dir,
+        tag="upd",
+        table_name="docs_upd",
+        columns=["doc_id", "lang", "n_chars"],
+        mutate=lambda cat: update_where(
+            spark,
+            cat,
+            "docs_upd",
+            "doc_id % 7 = 3",
+            {"lang": "'xx'", "n_chars": "n_chars + 1000"},
+        ),
+    )
+
+
+def merge_warehouse(spark: SparkSession, sf_dir: str) -> str:
+    """One-time per sf_dir: ``docs_merge`` = ``documents`` (two files
+    by parity) with one committed MERGE on top — matched rows
+    (``doc_id % 10 = 0``) update ``lang`` to ``'zz'``, unmatched source
+    rows (``doc_id % 97 = 0`` offset by 1e6) insert — so the
+    ``dml_merge_into`` oracle checks the join -> position-delete ->
+    data-file commit loop (sources/ingest.py merge_into)."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from iceberg_compaction_spark.sources.ingest import merge_into
+
+    def _mutate(cat):
+        docs = spark.read.parquet(
+            os.path.join(sf_dir, "documents.parquet")
+        ).select("doc_id", "lang")
+        updates = docs.where("doc_id % 10 = 0").select(
+            "doc_id", F.lit("zz").alias("lang")
+        )
+        inserts = docs.where("doc_id % 97 = 0").select(
+            (F.col("doc_id") + 1000000).alias("doc_id"),
+            F.lit("new").alias("lang"),
+        )
+        merge_into(
+            spark,
+            cat,
+            "docs_merge",
+            updates.unionByName(inserts),
+            keys=["doc_id"],
+        )
+
+    return _dml_docs_warehouse(
+        spark,
+        sf_dir,
+        tag="mrg",
+        table_name="docs_merge",
+        columns=["doc_id", "lang"],
+        mutate=_mutate,
+    )
+
+
+def streaming_upsert_warehouse(spark: SparkSession, sf_dir: str) -> str:
+    """One-time per sf_dir: ``docs_sup`` = ``documents`` (two files by
+    parity) maintained by ONE availableNow micro-batch through the
+    DataSource's streaming UPSERT sink (``mode=upsert``): updates
+    ``doc_id % 10 = 0`` rows to lang ``'up'`` — so the
+    ``streaming_upsert_sink`` oracle checks the CDC-ingestion loop
+    (equality-delete + data-file pair per micro-batch, batch-id
+    idempotence) end to end."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from iceberg_compaction_spark.sources.datasource import register as _reg
+
+    def _mutate(cat):
+        root = os.path.dirname(cat.warehouse)
+        src_dir = os.path.join(root, "stream-src")
+        ckpt = os.path.join(root, "ckpt")
+        (
+            spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+            .where("doc_id % 10 = 0")
+            .select("doc_id", F.lit("up").alias("lang"))
+            .coalesce(1)
+            .write.mode("overwrite")
+            .parquet(src_dir)
+        )
+        _reg(spark)
+        q = (
+            spark.readStream.schema("doc_id long, lang string")
+            .parquet(src_dir)
+            .writeStream.format("iceberg-table")
+            .option("warehouse", cat.warehouse)
+            .option("table", "docs_sup")
+            .option("mode", "upsert")
+            .option("upsert_keys", "doc_id")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(300)
+
+    return _dml_docs_warehouse(
+        spark,
+        sf_dir,
+        tag="sup",
+        table_name="docs_sup",
+        columns=["doc_id", "lang"],
+        mutate=_mutate,
+    )
+
+
+def _dml_docs_warehouse(
+    spark: SparkSession,
+    sf_dir: str,
+    tag: str,
+    table_name: str,
+    columns: list,
+    mutate,
+) -> str:
+    """Shared one-time DML fixture builder: ``documents`` split into
+    two files by doc_id parity under a FileCatalog table, then
+    ``mutate(cat)`` commits the DML statement on top of the PUBLISHED
+    warehouse.  Staged atomic-rename publish; race losers wait for the
+    winner's ``_BUILT`` stamp so no caller sees a half-built table."""
     import hashlib
     import os
     import shutil
@@ -719,28 +863,28 @@ def delete_where_warehouse(spark: SparkSession, sf_dir: str) -> str:
 
     from iceberg_compaction_spark.plans.datamodel import FileScanTask
     from iceberg_compaction_spark.sources.catalog import FileCatalog
-    from iceberg_compaction_spark.sources.ingest import delete_where
     from iceberg_compaction_spark.sources.manifest import Manifest
 
     src = os.path.join(sf_dir, "documents.parquet")
     st = os.stat(src)
     key = hashlib.md5(
-        f"dml|{src}|{st.st_size}|{st.st_mtime_ns}".encode()
+        f"{tag}|{src}|{st.st_size}|{st.st_mtime_ns}".encode()
     ).hexdigest()[:10]
-    root = os.path.join(tempfile.gettempdir(), f"icspark-dml-{key}")
+    root = os.path.join(tempfile.gettempdir(), f"icspark-{tag}-{key}")
     wh = os.path.join(root, "wh")
     if os.path.isfile(os.path.join(root, "_BUILT")):
         return wh
 
     stage = os.path.join(
-        tempfile.gettempdir(), f"icspark-dml-{key}.{_uuid.uuid4().hex[:8]}.tmp"
+        tempfile.gettempdir(),
+        f"icspark-{tag}-{key}.{_uuid.uuid4().hex[:8]}.tmp",
     )
     os.makedirs(os.path.join(stage, "data"), exist_ok=True)
-    t = pq.read_table(src, columns=["doc_id", "lang"])
+    t = pq.read_table(src, columns=columns)
     ids = t.column("doc_id").to_numpy()
     tasks = []
-    for tag, mask in (("even", ids % 2 == 0), ("odd", ids % 2 == 1)):
-        p = os.path.join(stage, "data", f"{tag}.parquet")
+    for part, mask in (("even", ids % 2 == 0), ("odd", ids % 2 == 1)):
+        p = os.path.join(stage, "data", f"{part}.parquet")
         pq.write_table(t.filter(pa.array(mask)), p)
         tasks.append(
             FileScanTask(
@@ -752,7 +896,7 @@ def delete_where_warehouse(spark: SparkSession, sf_dir: str) -> str:
             )
         )
     FileCatalog(warehouse=os.path.join(stage, "wh")).create_table(
-        "docs_dml",
+        table_name,
         Manifest(
             table_root=os.path.join(root, "data"),
             snapshot_id=1,
@@ -765,16 +909,22 @@ def delete_where_warehouse(spark: SparkSession, sf_dir: str) -> str:
         os.rename(stage, root)
     except OSError:
         shutil.rmtree(stage, ignore_errors=True)
-        # rename loser: the WINNER still has to commit the delete and
+        # rename loser: the WINNER still has to commit the DML and
         # stamp _BUILT — returning now would hand the caller a
-        # half-built table (data files, no delete). Wait it out.
+        # half-built table (data files, no mutation). Wait it out.
         _wait_built(root)
         return wh
-    # the committed predicate DELETE lives in the PUBLISHED warehouse
-    # (data paths inside the manifest point at the final root)
-    delete_where(spark, FileCatalog(warehouse=wh), "docs_dml", "doc_id % 7 = 3")
-    with open(os.path.join(root, "_BUILT"), "w") as f:
-        f.write("1")
+    # the committed DML lives in the PUBLISHED warehouse (data paths
+    # inside the manifest point at the final root)
+    try:
+        mutate(FileCatalog(warehouse=wh))
+        with open(os.path.join(root, "_BUILT"), "w") as f:
+            f.write("1")
+    except BaseException:
+        # a failed build must not leave a published-but-unstamped root:
+        # that would deadlock every future builder in _wait_built
+        shutil.rmtree(root, ignore_errors=True)
+        raise
     return wh
 
 
@@ -836,28 +986,36 @@ def partitioned_write_warehouse(spark: SparkSession, sf_dir: str) -> str:
     except FileExistsError:
         _wait_built(root)
         return wh
-    cat = FileCatalog(warehouse=wh)
-    m = Manifest(
-        table_root=os.path.join(root, "data"),
-        snapshot_id=1,
-        sequence_number=1,
-        operation="append",
-        partition_spec=[
-            {"source": "lang", "transform": "identity", "name": "lang"}
-        ],
-    )
-    cat.create_table("docs_part", m)
-    _reg(spark)
-    (
-        spark.read.parquet(src)
-        .select("doc_id", "lang", "n_chars")
-        .write.format("iceberg-table")
-        .option("warehouse", wh)
-        .option("table", "docs_part")
-        .option("schema", "doc_id long, lang string, n_chars long")
-        .mode("append")
-        .save()
-    )
-    with open(os.path.join(root, "_BUILT"), "w") as f:
-        f.write("1")
+    try:
+        cat = FileCatalog(warehouse=wh)
+        m = Manifest(
+            table_root=os.path.join(root, "data"),
+            snapshot_id=1,
+            sequence_number=1,
+            operation="append",
+            partition_spec=[
+                {"source": "lang", "transform": "identity", "name": "lang"}
+            ],
+        )
+        cat.create_table("docs_part", m)
+        _reg(spark)
+        (
+            spark.read.parquet(src)
+            .select("doc_id", "lang", "n_chars")
+            .write.format("iceberg-table")
+            .option("warehouse", wh)
+            .option("table", "docs_part")
+            .option("schema", "doc_id long, lang string, n_chars long")
+            .mode("append")
+            .save()
+        )
+        with open(os.path.join(root, "_BUILT"), "w") as f:
+            f.write("1")
+    except BaseException:
+        # a failed build must not leave the _BUILDING sentinel behind:
+        # that would deadlock every future builder in _wait_built
+        import shutil
+
+        shutil.rmtree(root, ignore_errors=True)
+        raise
     return wh

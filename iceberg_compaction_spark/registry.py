@@ -3381,6 +3381,94 @@ def q_dml_delete_where(spark, sf_dir):
 
 
 @register(
+    "dml_update_where",
+    """
+    SELECT doc_id,
+           CASE WHEN doc_id % 7 = 3 THEN 'xx' ELSE lang END AS lang,
+           CASE WHEN doc_id % 7 = 3 THEN n_chars + 1000
+                ELSE n_chars END AS n_chars
+    FROM documents
+    """,
+)
+def q_dml_update_where(spark, sf_dir):
+    """Predicate UPDATE lifecycle (sources/ingest.py update_where):
+    the fixture commits ``UPDATE SET lang='xx', n_chars=n_chars+1000
+    WHERE doc_id % 7 = 3`` as ONE snapshot — a position delete over the
+    matched rows plus a data file carrying the updated rows — and this
+    query MOR-reads the result; the oracle's CASE projection is the
+    copy-on-write ground truth.
+
+    Scale shape: matched rows come from the same distributed
+    predicate-eligible scan DELETE uses; unchanged rows never rewrite
+    (the merge-on-read UPDATE contract at 100 TB)."""
+    from iceberg_compaction_spark.sources.catalog import FileCatalog
+    from iceberg_compaction_spark.sources.ingest import read_table_mor
+
+    wh = syn.update_where_warehouse(spark, sf_dir)
+    m = FileCatalog(warehouse=wh).load_table("docs_upd")
+    return read_table_mor(spark, m).select("doc_id", "lang", "n_chars")
+
+
+@register(
+    "dml_merge_into",
+    """
+    SELECT doc_id,
+           CASE WHEN doc_id % 10 = 0 THEN 'zz' ELSE lang END AS lang
+    FROM documents
+    UNION ALL
+    SELECT doc_id + 1000000 AS doc_id, 'new' AS lang
+    FROM documents WHERE doc_id % 97 = 0
+    """,
+)
+def q_dml_merge_into(spark, sf_dir):
+    """MERGE INTO lifecycle (sources/ingest.py merge_into): the fixture
+    merges a source of updates (``doc_id % 10 = 0`` -> lang 'zz') and
+    inserts (``doc_id % 97 = 0`` offset by 1e6 -> lang 'new') in one
+    snapshot; this query MOR-reads the result against the oracle's
+    CASE + UNION ground truth.
+
+    Scale shape: one target x source key join (broadcast for
+    micro-batch sources, AQE otherwise); matched rows become positions
+    in a single delete artifact; updated + inserted rows share one data
+    file."""
+    from iceberg_compaction_spark.sources.catalog import FileCatalog
+    from iceberg_compaction_spark.sources.ingest import read_table_mor
+
+    wh = syn.merge_warehouse(spark, sf_dir)
+    m = FileCatalog(warehouse=wh).load_table("docs_merge")
+    return read_table_mor(spark, m).select("doc_id", "lang")
+
+
+@register(
+    "streaming_upsert_sink",
+    """
+    SELECT doc_id,
+           CASE WHEN doc_id % 10 = 0 THEN 'up' ELSE lang END AS lang
+    FROM documents
+    """,
+)
+def q_streaming_upsert_sink(spark, sf_dir):
+    """Streaming UPSERT sink batch-twin (sources/datasource.py
+    _StreamUpsertWriter): the fixture drives one availableNow
+    micro-batch of updates (``doc_id % 10 = 0`` -> lang 'up') through
+    ``writeStream.format('iceberg-table').option('mode','upsert')``,
+    which commits the equality-delete + data-file pair a CDC producer
+    emits; this query MOR-reads the maintained table against the
+    oracle's CASE projection.
+
+    Scale shape: executors write the batch's rolling data files; only
+    the KEY COLUMNS of one micro-batch ever reach the driver (the same
+    bound as any foreachBatch upsert); replays dedup via the batch-id
+    snapshot property."""
+    from iceberg_compaction_spark.sources.catalog import FileCatalog
+    from iceberg_compaction_spark.sources.ingest import read_table_mor
+
+    wh = syn.streaming_upsert_warehouse(spark, sf_dir)
+    m = FileCatalog(warehouse=wh).load_table("docs_sup")
+    return read_table_mor(spark, m).select("doc_id", "lang")
+
+
+@register(
     "dml_partitioned_write",
     """
     SELECT doc_id, lang, n_chars FROM documents

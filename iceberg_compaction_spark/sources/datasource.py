@@ -1295,6 +1295,11 @@ class IcebergTableDataSource(DataSource):
         return _AppendWriter(self.options, overwrite)
 
     def streamWriter(self, schema, overwrite):
+        if (
+            self.options.get("mode") == "upsert"
+            or "upsert_keys" in self.options
+        ):
+            return _StreamUpsertWriter(self.options)
         return _StreamAppendWriter(self.options)
 
 
@@ -1654,6 +1659,136 @@ class _StreamAppendWriter(DataSourceStreamArrowWriter):
             return cat.commit_table(self._table, cur.snapshot_id, new)
 
         mgr.commit_with_retry(attempt)
+
+    def abort(self, messages, batchId):
+        self._inner.abort(messages)
+
+
+class _StreamUpsertWriter(DataSourceStreamArrowWriter):
+    """Streaming UPSERT sink (CDC ingestion): each micro-batch commits
+    the equality-delete + data-file pair a streaming upsert producer
+    emits (the shape the reference's docs assume RisingWave/Flink
+    produce, README.md "Why Compaction"; same artifact layout as
+    sources/ingest.py upsert) —
+
+    - executors write the batch's rows as rolling data files (the
+      append writer's mechanics, partition fan-out included);
+    - the driver collects the batch's KEY COLUMNS from those files
+      (micro-batch scale by definition — the same bound as any
+      foreachBatch upsert) and writes ONE equality-delete file with the
+      new sequence number baked into ``sys_hidden_seq_num``, attached
+      to every pre-existing data file;
+    - one CAS-retried catalog commit appends both; a retry that lost
+      the race re-stamps the delete file at the fresh sequence so it
+      still applies to the winner's files and not its own batch.
+
+    Idempotence matches the append sink: a replayed batch (restart
+    after commit, before checkpoint advance) is detected via the
+    ``streaming.last-batch-id`` snapshot property and skipped.  Batches
+    with duplicate keys FAIL the query loudly (ambiguous last-wins
+    order inside one batch), mirroring ``ingest.upsert``; pre-aggregate
+    upstream or route through foreachBatch + ``upsert(op_col=...)``
+    for delete markers.
+    """
+
+    def __init__(self, options):
+        self._inner = _AppendWriter(options, overwrite=False)
+        self._wh = options["warehouse"]
+        self._table = options["table"]
+        keys = options.get("upsert_keys", "")
+        self._keys = tuple(k.strip() for k in keys.split(",") if k.strip())
+        if not self._keys:
+            raise ValueError(
+                "mode=upsert needs option 'upsert_keys' "
+                "(comma-separated key column names)"
+            )
+
+    def write(self, iterator):
+        return self._inner.write(iterator)
+
+    def commit(self, messages, batchId):
+        import io as _io
+        import uuid as _uuid
+
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        from iceberg_compaction_spark.commit import CommitManager
+        from iceberg_compaction_spark.plans.datamodel import (
+            EQUALITY_DELETE,
+            DeleteFile,
+        )
+        from iceberg_compaction_spark.sources.catalog import FileCatalog
+        from iceberg_compaction_spark.sources.fileio import fileio_for
+        from iceberg_compaction_spark.sources.manifest import Manifest
+        from iceberg_compaction_spark.sources.scan import HIDDEN_SEQ
+
+        files = [t for m in messages if m for t in m.files]
+        if not files:
+            return  # empty batch: nothing to commit
+        key_tbls = []
+        for entry in files:
+            with fileio_for(entry[0]).open_input(entry[0]) as fh:
+                key_tbls.append(pq.read_table(fh, columns=list(self._keys)))
+        key_tbl = pa.concat_tables(key_tbls)
+        n_rows = key_tbl.num_rows
+        n_distinct = key_tbl.group_by(list(self._keys)).aggregate([]).num_rows
+        if n_rows != n_distinct:
+            raise ValueError(
+                f"upsert batch {batchId} has duplicate keys ({n_rows} "
+                f"rows, {n_distinct} distinct) — pre-aggregate the "
+                "stream (last-wins) before the sink"
+            )
+
+        cat = FileCatalog(warehouse=self._wh)
+        eq_path = None  # assigned on first attempt, stable across retries
+
+        def _stamp_eq(root: str, seq: int) -> str:
+            nonlocal eq_path
+            if eq_path is None:
+                eq_path = os.path.join(
+                    root,
+                    f"upsert-b{batchId}-{_uuid.uuid4().hex[:8]}"
+                    "-eqdel.parquet",
+                )
+            stamped = key_tbl.append_column(
+                HIDDEN_SEQ,
+                pa.array([seq] * key_tbl.num_rows, type=pa.int64()),
+            )
+            buf = _io.BytesIO()
+            pq.write_table(stamped, buf, compression="zstd")
+            fileio_for(eq_path).write_bytes(eq_path, buf.getvalue())
+            return eq_path
+
+        def attempt():
+            cur = cat.load_table(self._table)
+            last = cur.properties.get("streaming.last-batch-id")
+            if last is not None and int(last) >= batchId:
+                return cur  # replayed batch: already committed
+            new_seq = cur.sequence_number + 1
+            path = _stamp_eq(cur.table_root, new_seq)
+            eq_file = DeleteFile(
+                path=path,
+                content=EQUALITY_DELETE,
+                file_size_in_bytes=fileio_for(path).size(path),
+                record_count=n_rows,
+                sequence_number=new_seq,
+                equality_ids=self._keys,
+            )
+            added = _tasks_from_files(files, new_seq, cur.default_spec_id)
+            new = Manifest.from_dict(cur.to_dict())
+            new.snapshot_id = cur.snapshot_id + 1
+            new.sequence_number = new_seq
+            for t in new.data_files:
+                # applies to every file at a strictly lower sequence —
+                # all current files, never this batch's own
+                t.deletes.append(eq_file)
+            new.data_files = list(new.data_files) + added
+            new.properties["streaming.last-batch-id"] = int(batchId)
+            new.operation = "overwrite"  # rows change in place
+            return cat.commit_table(self._table, cur.snapshot_id, new)
+
+        CommitManager().commit_with_retry(attempt)
 
     def abort(self, messages, batchId):
         self._inner.abort(messages)

@@ -871,6 +871,34 @@ class IcebergHadoopCatalog:
     def table_exists(self, name: str) -> bool:
         return self._io.is_dir(self._mdir(name))
 
+    def list_tables(self) -> list[str]:
+        if not self._io.is_dir(self.warehouse):
+            return []
+        return sorted(
+            n
+            for n in self._io.listdir(self.warehouse)
+            if self._io.is_dir(self._io.join(self.warehouse, n, "metadata"))
+        )
+
+    def current_metadata(
+        self, name: str, version: int | None = None
+    ) -> tuple[str, dict]:
+        """(metadata-location, parsed TableMetadata dict) of the current
+        (or given) version — what a spec-conformant REST catalog serves
+        in its LoadTableResult (``metadata-location`` + ``metadata``).
+        Snapshot ids equal metadata versions in this catalog."""
+        from iceberg_compaction_spark.sources.catalog import TableNotFound
+
+        if version is None:
+            history = self.table_history(name)
+            if not history:
+                raise TableNotFound(name)
+            version = max(history)
+        path = self._vpath(name, version)
+        if not self._io.exists(path):
+            raise TableNotFound(f"{name}@{version}")
+        return path, json.loads(self._io.read_bytes(path))
+
     def create_table(
         self,
         name: str,

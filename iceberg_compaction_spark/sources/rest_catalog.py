@@ -23,12 +23,27 @@ THE point of a REST catalog is that the compare-and-swap happens
 server-side, so N engines on N machines serialize through one
 authority instead of a shared filesystem.
 
-The payload bodies carry our :class:`Manifest` as the snapshot content
-(key ``iceberg-compaction-spark.manifest`` inside the snapshot's
-``summary``, where the spec allows engine-specific fields).  A real
-Iceberg deployment would carry full TableMetadata; the protocol
-mechanics — paths, requirements, error codes, optimistic retry — are
-the spec's.
+Two fidelity tiers by backing store (round 9):
+
+- ``IcebergHadoopCatalog`` backing — FULL-FIDELITY: every version the
+  server stores is a genuine ``v<N>.metadata.json`` + Avro manifest
+  list + manifests, and the LoadTableResult carries the REAL parsed
+  TableMetadata with ``metadata-location`` pointing at the actual file,
+  so ANY conforming Iceberg client can load the table from this server
+  and read it straight from storage.  The client rebuilds its engine
+  manifest the same way (``load_iceberg_table`` at the served
+  location) — engines always read data/metadata files directly from
+  the object store; the REST catalog serializes commits and serves
+  pointers.
+- ``FileCatalog`` backing — engine-local: the payload embeds our
+  :class:`Manifest` (key ``iceberg-compaction-spark.manifest`` inside
+  ``metadata.properties``) for deployments without shared storage.
+
+Commit bodies carry the engine manifest inside ``add-snapshot``'s
+``summary`` on both tiers (the server re-exports it through the
+backing, which writes the spec wire format on the full-fidelity tier);
+the protocol mechanics — paths, requirements, error codes, optimistic
+retry — are the spec's either way.
 
 :class:`RestCatalog` is contract-compatible with
 :class:`~iceberg_compaction_spark.sources.catalog.FileCatalog`
@@ -362,8 +377,30 @@ class RestCatalog:
 
     @staticmethod
     def _manifest_from_load(out: dict) -> Manifest:
+        """Engine manifest from a LoadTableResult.
+
+        Full-fidelity servers return REAL TableMetadata: rebuild the
+        manifest the way any Iceberg engine would — read the manifest
+        list + manifests from storage at ``metadata-location`` (engines
+        always read data/metadata files directly from the object store;
+        the REST catalog only serializes commits and serves pointers).
+        The engine-local carrier (manifest embedded in properties)
+        remains supported for servers without shared storage."""
         md = out.get("metadata", {})
-        return Manifest.from_dict(md["properties"][_MANIFEST_KEY])
+        props = md.get("properties", {})
+        if _MANIFEST_KEY in props:
+            return Manifest.from_dict(props[_MANIFEST_KEY])
+        loc = out.get("metadata-location")
+        if loc and "format-version" in md:
+            from iceberg_compaction_spark.sources.iceberg_meta import (
+                load_iceberg_table,
+            )
+
+            return load_iceberg_table(loc)
+        raise ValueError(
+            "LoadTableResult carries neither an engine manifest nor a "
+            "readable metadata-location"
+        )
 
 
 # ---------------------------------------------------------------------------
@@ -412,8 +449,22 @@ class _Handler(BaseHTTPRequestHandler):
         n = int(self.headers.get("Content-Length", 0))
         return json.loads(self.rfile.read(n)) if n else {}
 
-    @staticmethod
-    def _load_payload(name: str, m: Manifest) -> dict:
+    def _load_payload(self, name: str, m: Manifest) -> dict:
+        """LoadTableResult body.
+
+        Full-fidelity when the backing stores real Iceberg metadata
+        (IcebergHadoopCatalog): ``metadata`` is the actual parsed
+        ``v<N>.metadata.json`` and ``metadata-location`` its real path —
+        any conforming Iceberg client can take this response and read
+        the table (manifest list -> manifests -> files) straight from
+        storage, exactly like the reference's REST-first integration
+        tier (integration_tests.rs:38-579).  The engine-local backing
+        (FileCatalog) keeps the documented manifest-in-properties
+        carrier."""
+        meta = getattr(self.catalog, "current_metadata", None)
+        if meta is not None:
+            loc, md = meta(name, m.snapshot_id)
+            return {"metadata-location": loc, "metadata": md}
         return {
             "metadata-location": f"catalog://{name}/v{m.snapshot_id}",
             "metadata": {
@@ -457,6 +508,10 @@ class _Handler(BaseHTTPRequestHandler):
                 )
             return self._send(200, {"snapshot-ids": ids})
         if len(r) == 6 and r[3] == "tables" and r[5] == "refs":
+            if not hasattr(self.catalog, "list_refs"):
+                return self._error(
+                    400, "BadRequestException", "backing has no ref support"
+                )
             try:
                 refs = self.catalog.list_refs(r[4])
             except TableNotFound:
@@ -465,6 +520,10 @@ class _Handler(BaseHTTPRequestHandler):
                 )
             return self._send(200, {"refs": refs})
         if len(r) == 7 and r[3] == "tables" and r[5] == "refs":
+            if not hasattr(self.catalog, "load_table_ref"):
+                return self._error(
+                    400, "BadRequestException", "backing has no ref support"
+                )
             try:
                 m = self.catalog.load_table_ref(r[4], r[6])
             except (TableNotFound, KeyError):
@@ -512,6 +571,10 @@ class _Handler(BaseHTTPRequestHandler):
         if len(r) == 5 and r[3] == "tables":  # commit
             return self._commit(r[4], self._body())
         if len(r) == 6 and r[3] == "tables" and r[5] == "refs":
+            if not hasattr(self.catalog, "create_tag"):
+                return self._error(
+                    400, "BadRequestException", "backing has no ref support"
+                )
             body = self._body()
             action, ref = body.get("action"), body.get("ref")
             sid = body.get("snapshot-id")
@@ -550,10 +613,18 @@ class _Handler(BaseHTTPRequestHandler):
                         )
                     return self._send(200, {"expired-snapshot-ids": expired})
                 if action == "remove-orphan-files":
+                    if not hasattr(self.catalog, "remove_orphan_files"):
+                        return self._error(
+                            400,
+                            "BadRequestException",
+                            "backing has no orphan-file support",
+                        )
                     grace = float(
                         body.get(
                             "older-than-s",
-                            self.catalog.DEFAULT_ORPHAN_GRACE_S,
+                            getattr(
+                                self.catalog, "DEFAULT_ORPHAN_GRACE_S", 0.0
+                            ),
                         )
                     )
                     with self.lock:
@@ -631,14 +702,19 @@ class RestCatalogServer:
 
 
 def serve_rest_catalog(
-    backing: FileCatalog,
+    backing,
     host: str = "127.0.0.1",
     port: int = 0,
     token: str | None = None,
 ) -> RestCatalogServer:
     """Start an Iceberg-REST-protocol server over ``backing`` on an
     ephemeral port; returns a handle whose ``uri`` a :class:`RestCatalog`
-    client (this process or another) can connect to."""
+    client (this process or another) can connect to.
+
+    ``backing`` is a :class:`FileCatalog` (engine-local payloads) or an
+    :class:`~iceberg_compaction_spark.sources.iceberg_meta.
+    IcebergHadoopCatalog` (full-fidelity: real TableMetadata served,
+    spec wire format on disk)."""
     handler = type(
         "_BoundHandler",
         (_Handler,),

@@ -323,3 +323,126 @@ def test_metadata_tables_over_rest(spark, client, fragmented):
     assert mt.refs_rows(client, "t") == [("audited", "tag", 1)]
     assert len(mt.metadata_rows(client, "t", "files", snapshot_id=1)) == 8
     assert mt.snapshots_df(spark, client, "t").count() == 2
+
+
+# --- round 9: full-fidelity payloads over the Hadoop-layout backing ----------
+
+
+def test_full_fidelity_rest_dml_interop(spark, tmp_path):
+    """REST server backed by IcebergHadoopCatalog: upsert + delete_where
+    through the HTTP client, LoadTableResult carrying REAL TableMetadata
+    (metadata-location = the actual v<N>.metadata.json), and an
+    independent spec-path read (load_iceberg_table) of what the server
+    stores agreeing row-for-row — the a5d51fc interop shape, REST-first
+    (reference: integration_tests.rs:38-579)."""
+    import json
+    import urllib.request
+
+    from iceberg_compaction_spark.sources.iceberg_meta import (
+        IcebergHadoopCatalog,
+        load_iceberg_table,
+    )
+    from iceberg_compaction_spark.sources.ingest import (
+        delete_where,
+        read_table_mor,
+        upsert,
+    )
+
+    root = str(tmp_path / "base")
+    os.makedirs(root)
+    pq.write_table(
+        pa.table(
+            {
+                "id": pa.array(range(10), type=pa.int64()),
+                "val": [f"v{i}" for i in range(10)],
+            }
+        ),
+        os.path.join(root, "base.parquet"),
+    )
+    backing = IcebergHadoopCatalog(warehouse=str(tmp_path / "wh"))
+    backing.create_table(
+        "h", Manifest.from_parquet_dir(root, sequence_number=1)
+    )
+    with serve_rest_catalog(backing) as srv:
+        client = RestCatalog(uri=srv.uri)
+        assert client.list_tables() == ["h"]
+
+        # DML over HTTP: each commit is a real metadata version
+        m2 = upsert(
+            spark, client, "h",
+            spark.createDataFrame([(3, "new3"), (77, "v77")], ["id", "val"]),
+            keys=["id"],
+        )
+        assert m2.snapshot_id == 2
+        m3 = delete_where(spark, client, "h", "id IN (0, 77)")
+        assert m3.snapshot_id == 3
+        assert client.table_history("h") == [1, 2, 3]
+
+        # the raw LoadTableResult is spec TableMetadata, not an
+        # engine-keyed carrier
+        raw = json.loads(
+            urllib.request.urlopen(
+                f"{srv.uri}/v1/namespaces/default/tables/h"
+            ).read()
+        )
+        assert raw["metadata-location"].endswith("v3.metadata.json")
+        md = raw["metadata"]
+        assert md["format-version"] >= 2
+        assert "iceberg-compaction-spark.manifest" not in json.dumps(md)
+        assert md["current-snapshot-id"] == 3
+
+        # client view (rebuilt via the spec read path from the served
+        # metadata-location)
+        via_client = {
+            r["id"]: r["val"]
+            for r in read_table_mor(spark, client.load_table("h")).collect()
+        }
+        assert via_client[3] == "new3"
+        assert 0 not in via_client and 77 not in via_client
+        assert len(via_client) == 9
+
+        # independent engine: read the server's STORAGE directly
+        direct = load_iceberg_table(str(tmp_path / "wh" / "h"))
+        via_storage = {
+            r["id"]: r["val"]
+            for r in read_table_mor(spark, direct).collect()
+        }
+        assert via_storage == via_client
+
+        # time travel through the REST surface still resolves real
+        # metadata versions
+        v1 = client.load_table_at("h", 1)
+        assert {
+            r["id"] for r in read_table_mor(spark, v1).collect()
+        } == set(range(10))
+
+
+def test_full_fidelity_rest_metadata_tables(spark, tmp_path):
+    """snapshots_df (metadata tables) works over the full-fidelity REST
+    client: history + per-snapshot loads resolve through HTTP."""
+    from iceberg_compaction_spark.sources.iceberg_meta import (
+        IcebergHadoopCatalog,
+    )
+    from iceberg_compaction_spark.sources.ingest import delete_where
+    from iceberg_compaction_spark.sources.metadata_tables import (
+        snapshots_df,
+    )
+
+    root = str(tmp_path / "base")
+    os.makedirs(root)
+    pq.write_table(
+        pa.table({"id": pa.array(range(8), type=pa.int64())}),
+        os.path.join(root, "b.parquet"),
+    )
+    backing = IcebergHadoopCatalog(warehouse=str(tmp_path / "wh"))
+    backing.create_table(
+        "t", Manifest.from_parquet_dir(root, sequence_number=1)
+    )
+    with serve_rest_catalog(backing) as srv:
+        client = RestCatalog(uri=srv.uri)
+        delete_where(spark, client, "t", "id >= 6")
+        rows = {
+            r["snapshot_id"]: r["operation"]
+            for r in snapshots_df(spark, client, "t").collect()
+        }
+        assert set(rows) == {1, 2} and rows[2] == "delete"

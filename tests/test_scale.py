@@ -47,6 +47,12 @@ TRACKED = [
     # exercised at 10x too (VERDICT r7 #1)
     "join_order_revenue",
     "events_sessionize",
+    # round 9: the DML surface — distributed predicate scan + one-file
+    # artifact write (delete_where) and the partition fan-out write
+    # path (partitioned_write), each rebuilt per sf_dir by its fixture
+    # (VERDICT r8 #7)
+    "dml_delete_where",
+    "dml_partitioned_write",
 ]
 
 
