@@ -157,6 +157,39 @@ def cmd_delete(args, spark=None) -> dict:
     }
 
 
+def cmd_update(args, spark=None) -> dict:
+    """``UPDATE t SET col=expr[, ...] WHERE pred`` in merge-on-read
+    mode — one snapshot: position delete over matched rows + a data
+    file with the SET expressions applied (ingest.update_where)."""
+    from iceberg_compaction_spark.sources.ingest import update_where
+
+    spark = spark or _build_session(args.master)
+    cat = _catalog(args.warehouse)
+    set_exprs = {}
+    for s in args.set:
+        col, _, expr = s.partition("=")
+        if not _ or not col.strip() or not expr.strip():
+            raise SystemExit(f"--set needs col=expr, got {s!r}")
+        set_exprs[col.strip()] = expr.strip()
+    before = cat.load_table(args.table)
+    new = update_where(spark, cat, args.table, args.where, set_exprs)
+    return {
+        "table": args.table,
+        "where": args.where,
+        "set": set_exprs,
+        "snapshot_before": before.snapshot_id,
+        "snapshot_after": new.snapshot_id,
+        "committed": new.snapshot_id != before.snapshot_id,
+        "rows_updated": sum(
+            t.record_count
+            for t in new.data_files
+            if t.sequence_number == new.sequence_number
+        )
+        if new.snapshot_id != before.snapshot_id
+        else 0,
+    }
+
+
 def build_parser() -> argparse.ArgumentParser:
     p = argparse.ArgumentParser(
         prog="python -m iceberg_compaction_spark",
@@ -182,6 +215,18 @@ def build_parser() -> argparse.ArgumentParser:
     )
     common(d)
     d.add_argument("--where", required=True, help="SQL predicate")
+    u = sub.add_parser(
+        "update",
+        help="predicate UPDATE -> position-delete + data-file commit",
+    )
+    common(u)
+    u.add_argument("--where", required=True, help="SQL predicate")
+    u.add_argument(
+        "--set",
+        required=True,
+        nargs="+",
+        help="col=expr assignments (Spark SQL expressions)",
+    )
     m = sub.add_parser("maintain", help="full maintenance pass")
     common(m)
     m.add_argument("--keep-snapshots", type=int, default=3)
@@ -197,6 +242,7 @@ COMMANDS = {
     "history": cmd_history,
     "compact": cmd_compact,
     "delete": cmd_delete,
+    "update": cmd_update,
     "maintain": cmd_maintain,
 }
 

@@ -123,3 +123,27 @@ def test_cli_delete_where(spark, wh):
          "--where", "id % 10 = 0"],
     )
     assert not again["committed"]  # already-merged rows can't match twice
+
+
+def test_cli_update_where(spark, wh):
+    out = _run(
+        spark,
+        ["update", "--warehouse", wh, "--table", "t",
+         "--where", "id % 10 = 1", "--set", "val=upper(val)"],
+    )
+    assert out["committed"]
+    assert out["snapshot_after"] == out["snapshot_before"] + 1
+    assert out["rows_updated"] > 0
+    from iceberg_compaction_spark.sources.ingest import read_table_mor
+
+    m = FileCatalog(warehouse=wh).load_table("t")
+    rows = {r["id"]: r["val"] for r in read_table_mor(spark, m).collect()}
+    assert rows[1] == rows[1].upper()
+    assert rows[2] == rows[2] and rows[2].islower()
+
+    none = _run(
+        spark,
+        ["update", "--warehouse", wh, "--table", "t",
+         "--where", "id > 100000", "--set", "val='x'"],
+    )
+    assert not none["committed"] and none["rows_updated"] == 0
