@@ -59,7 +59,10 @@ def collect_file_stats(path: str) -> tuple[dict[str, tuple], dict[str, int]]:
     """
     import pyarrow.parquet as pq
 
-    md = pq.read_metadata(path)
+    from iceberg_compaction_spark.sources.fileio import open_input
+
+    with open_input(path) as fh:
+        md = pq.read_metadata(fh)
     bounds: dict[str, list] = {}
     nulls: dict[str, int] = {}
     dead: set[str] = set()

@@ -1411,17 +1411,22 @@ class _AppendWriter(DataSourceArrowWriter):
             (f["source"], f.get("transform", "identity"), f.get("name"))
             for f in (_m.partition_spec or [])
         )
-        # The executor-side write path below is POSIX (open/getsize/
-        # os.remove) — fail HERE at plan time with the documented error
-        # rather than an opaque FileNotFoundError deep in a task on a
-        # mem:// or object-store warehouse.
-        scheme = scheme_of(self._root)
-        if scheme not in ("", "file"):
+        # The executor-side write path below streams through the FileIO
+        # seam (open_output/remove), so any backend a Python WORKER can
+        # resolve-and-open works — local disk and fsspec object stores.
+        # Driver-process-only backends (mem://) fail HERE at plan time
+        # with the documented error rather than an opaque
+        # FileNotFoundError deep in a task.
+        from iceberg_compaction_spark.sources.fileio import fileio_for
+
+        if not fileio_for(self._root).executor_safe:
             raise UnsupportedScheme(
-                f"the {FORMAT_NAME} writer needs a local(file://) "
-                f"warehouse; table root {self._root!r} has scheme "
-                f"{scheme!r}. Write parquet via Spark's native writer "
-                "and register/commit through the catalog API instead."
+                f"the {FORMAT_NAME} writer needs an executor-safe "
+                f"warehouse (local or object store); table root "
+                f"{self._root!r} ({scheme_of(self._root)!r}) is a "
+                "driver-process-only store. Write parquet via Spark's "
+                "native writer and register/commit through the catalog "
+                "API instead."
             )
 
     def write(self, iterator):
@@ -1432,17 +1437,22 @@ class _AppendWriter(DataSourceArrowWriter):
 
         import pyarrow as pa
 
+        from iceberg_compaction_spark.sources.fileio import fileio_for
+
         target, rg_bytes, root = self._target, self._row_group_bytes, self._root
         done: list[tuple] = []
 
         class _Stream:
             """One partition's rolling parquet stream (the unpartitioned
-            table is the single ``()`` partition)."""
+            table is the single ``()`` partition).  All IO goes through
+            the FileIO seam, resolved per path ON THE WORKER (a pure
+            function of the URI scheme) — the same stream rolls files on
+            local disk or an object store's multipart upload."""
 
             def __init__(self, part: tuple, subdir: str):
                 self.part = part
                 self.dir = os.path.join(root, subdir) if subdir else root
-                os.makedirs(self.dir, exist_ok=True)
+                fileio_for(self.dir).makedirs(self.dir)
                 self.writer = self.sink = self.path = None
                 self.rows = 0
                 self.buf: list = []  # pending batches -> ONE row group
@@ -1463,15 +1473,11 @@ class _AppendWriter(DataSourceArrowWriter):
                     # complete and hand it to commit()
                     self.flush()
                     self.writer.close()
+                    # final size off the sink's own position — no extra
+                    # stat round-trip (an object-store HEAD per file)
+                    size = self.sink.tell()
                     self.sink.close()
-                    done.append(
-                        (
-                            self.path,
-                            self.rows,
-                            os.path.getsize(self.path),
-                            self.part,
-                        )
-                    )
+                    done.append((self.path, self.rows, size, self.part))
                 self.writer = self.sink = self.path = None
                 self.rows = 0
 
@@ -1481,7 +1487,7 @@ class _AppendWriter(DataSourceArrowWriter):
                         self.dir,
                         f"append-{_uuid.uuid4().hex[:12]}.parquet",
                     )
-                    self.sink = open(self.path, "wb")
+                    self.sink = fileio_for(self.path).open_output(self.path)
                     self.writer = pq.ParquetWriter(
                         self.sink, batch.schema, compression="zstd"
                     )
@@ -1503,8 +1509,8 @@ class _AppendWriter(DataSourceArrowWriter):
                     with contextlib.suppress(Exception):
                         self.sink.close()
                 if self.path is not None:
-                    with contextlib.suppress(OSError):
-                        os.remove(self.path)
+                    with contextlib.suppress(Exception):
+                        fileio_for(self.path).remove(self.path)
 
         streams: dict[tuple, _Stream] = {}
         try:
@@ -1602,11 +1608,13 @@ class _AppendWriter(DataSourceArrowWriter):
         mgr.commit_with_retry(attempt)
 
     def abort(self, messages):
+        from iceberg_compaction_spark.sources.fileio import fileio_for
+
         for m in messages:
             for entry in (m.files if m else ()):
                 try:
-                    os.remove(entry[0])
-                except OSError:
+                    fileio_for(entry[0]).remove(entry[0])
+                except Exception:
                     pass
 
 

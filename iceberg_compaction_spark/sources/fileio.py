@@ -81,6 +81,22 @@ class FileIO:
     def write_bytes(self, path: str, data: bytes) -> None:
         raise NotImplementedError
 
+    def open_output(self, path: str):
+        """Sequential binary writer for ``path`` (supports ``write``,
+        ``tell``, ``close``) — the rolling parquet writer's sink.
+        Default: buffer in memory, publish via ``write_bytes`` on
+        close; local/fsspec backends override with true streams."""
+        fio = self
+
+        class _Buffered(io.BytesIO):
+            def close(self) -> None:  # publish-on-close
+                try:
+                    fio.write_bytes(path, self.getvalue())
+                finally:
+                    super().close()
+
+        return _Buffered()
+
     def create_exclusive(self, path: str, data: bytes) -> bool:
         """Atomically create ``path`` with ``data``; False if it already
         exists.  This is the catalog's CAS primitive."""
@@ -147,6 +163,9 @@ class LocalFileIO(FileIO):
 
     def open_input(self, path: str):
         return open(self.strip(path), "rb")
+
+    def open_output(self, path: str):
+        return open(self.strip(path), "wb")
 
     def write_bytes(self, path: str, data: bytes) -> None:
         with open(self.strip(path), "wb") as f:
@@ -350,6 +369,11 @@ class FsspecFileIO(FileIO):
 
     def open_input(self, path: str):
         return self._fs.open(path, "rb")
+
+    def open_output(self, path: str):
+        # fsspec write handles buffer into multipart uploads and track
+        # tell() — exactly what the rolling parquet writer needs
+        return self._fs.open(path, "wb")
 
     def write_bytes(self, path: str, data: bytes) -> None:
         with self._fs.open(path, "wb") as f:
