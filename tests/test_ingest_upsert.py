@@ -657,3 +657,133 @@ def test_merge_into_rejects_duplicate_source_keys(spark, table):
     src = spark.createDataFrame([(1, "a"), (1, "b")], ["id", "val"])
     with pytest.raises(ValueError, match="duplicate keys"):
         merge_into(spark, table, "t", src, keys=["id"])
+
+
+def test_mixed_dml_random_sequences_match_dict_model(spark, tmp_path):
+    """Model-based check over the FULL DML surface: random sequences of
+    upsert / delete_where / update_where / merge_into must leave the
+    table equal to a plain dict model, with a compaction dropped in
+    mid-sequence invisible to the final state."""
+    import random
+
+    from iceberg_compaction_spark.sources.ingest import (
+        delete_where,
+        merge_into,
+        update_where,
+    )
+
+    rng = random.Random(11)
+    root = str(tmp_path / "xtbl")
+    os.makedirs(root)
+    base = {i: f"v{i}" for i in range(10)}
+    pq.write_table(
+        pa.table(
+            {
+                "id": pa.array(sorted(base), type=pa.int64()),
+                "val": [base[i] for i in sorted(base)],
+            }
+        ),
+        os.path.join(root, "base.parquet"),
+    )
+    cat = FileCatalog(warehouse=str(tmp_path / "xwh"))
+    cat.create_table("x", Manifest.from_parquet_dir(root, sequence_number=1))
+    model = dict(base)
+
+    compact_at = rng.randrange(1, 7)
+    for step in range(8):
+        op = rng.choice(["upsert", "delete", "update", "merge"])
+        if op == "upsert":
+            keys = rng.sample(range(18), rng.randint(1, 3))
+            batch = [(k, f"u{step}-{k}") for k in keys]
+            for k, v in batch:
+                model[k] = v
+            upsert(
+                spark, cat, "x",
+                spark.createDataFrame(batch, "id long, val string"),
+                keys=["id"],
+            )
+        elif op == "delete":
+            mod = rng.randint(3, 6)
+            rem = rng.randrange(mod)
+            for k in [k for k in model if k % mod == rem]:
+                del model[k]
+            delete_where(spark, cat, "x", f"id % {mod} = {rem}")
+        elif op == "update":
+            mod = rng.randint(3, 6)
+            rem = rng.randrange(mod)
+            for k in list(model):
+                if k % mod == rem:
+                    model[k] = model[k] + f"+s{step}"
+            update_where(
+                spark, cat, "x",
+                f"id % {mod} = {rem}",
+                {"val": f"concat(val, '+s{step}')"},
+            )
+        else:
+            keys = rng.sample(range(18), rng.randint(1, 3))
+            batch = [(k, f"m{step}-{k}") for k in keys]
+            for k, v in batch:
+                model[k] = v
+            merge_into(
+                spark, cat, "x",
+                spark.createDataFrame(batch, "id long, val string"),
+                keys=["id"],
+            )
+        if step == compact_at:
+            Compaction(
+                spark=spark, config=CompactionConfig.full()
+            ).compact_catalog(cat, "x")
+
+    got = {
+        r["id"]: r["val"]
+        for r in read_table_mor(spark, cat.load_table("x")).collect()
+    }
+    assert got == model
+
+
+def test_update_and_merge_over_real_iceberg_metadata(spark, tmp_path):
+    """update_where + merge_into against the Hadoop-layout catalog:
+    the UPDATE/MERGE artifacts (position delete + data file in one
+    snapshot) round-trip through genuine v<N>.metadata.json + Avro
+    manifests and re-load via the spec wire format."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from iceberg_compaction_spark.sources.iceberg_meta import (
+        IcebergHadoopCatalog,
+    )
+    from iceberg_compaction_spark.sources.ingest import (
+        merge_into,
+        update_where,
+    )
+
+    root = str(tmp_path / "htbl")
+    os.makedirs(root)
+    pq.write_table(
+        pa.table({
+            "id": pa.array(range(10), type=pa.int64()),
+            "val": [f"v{i}" for i in range(10)],
+        }),
+        os.path.join(root, "base.parquet"),
+    )
+    cat = IcebergHadoopCatalog(warehouse=str(tmp_path / "wh"))
+    cat.create_table("h", Manifest.from_parquet_dir(root, sequence_number=1))
+
+    m2 = update_where(spark, cat, "h", "id < 3", {"val": "upper(val)"})
+    assert m2.snapshot_id == 2
+    m3 = merge_into(
+        spark, cat, "h",
+        spark.createDataFrame([(5, "merged5"), (50, "v50")], ["id", "val"]),
+        keys=["id"],
+    )
+    assert m3.snapshot_id == 3
+
+    fresh = cat.load_table("h")  # purely from the wire format
+    got = {
+        r["id"]: r["val"]
+        for r in read_table_mor(spark, fresh).collect()
+    }
+    assert got[0] == "V0" and got[2] == "V2" and got[3] == "v3"
+    assert got[5] == "merged5" and got[50] == "v50"
+    assert len(got) == 11
+    assert cat.table_history("h") == [1, 2, 3]
