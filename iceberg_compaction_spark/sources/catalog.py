@@ -288,70 +288,7 @@ class FileCatalog:
         scan_root: str | None = None,
         older_than_s: float = DEFAULT_ORPHAN_GRACE_S,
     ) -> list[str]:
-        """Iceberg's remove-orphan-files maintenance: delete parquet
-        files under the table's data root that no RETAINED snapshot
-        references (crashed writes, files superseded by expired
-        snapshots).  Returns the removed paths.
-
-        Safety mirrors Iceberg's on BOTH axes: only the table's own root
-        is scanned, only ``*.parquet`` is eligible, the referenced set is
-        the union over ALL retained snapshots, and — like the Spark
-        procedure's ``olderThan`` (default 3 days) — only files whose
-        mtime is older than ``older_than_s`` are eligible.  An in-flight
-        writer stages its data/delete parquet under the table root
-        BEFORE its CAS commit (``ingest.upsert``); without the grace
-        window a concurrent maintenance pass could unlink those files
-        and the writer's later commit would publish dangling paths.
-        As a second guard the head manifest is re-loaded AFTER the walk
-        and any path it references is excluded — this catches a commit
-        that landed while the walk was running.  Pass ``older_than_s=0``
-        only when no concurrent writers exist (tests, offline repair).
-        """
-        import time
-
-        io = self._io
-        referenced: set[str] = set()
-        root = scan_root
-        for v in self.table_history(name):
-            m = self.load_table_at(name, v)
-            referenced.update(io.canonical(p) for p in m.paths())
-            for t in m.data_files:
-                for d in t.deletes:
-                    referenced.add(io.canonical(d.path))
-            root = root or m.table_root
-        if not root or not io.is_dir(root):
-            return []
-        cutoff = time.time() - older_than_s
-        candidates = []
-        for p in io.walk_files(root):
-            if not p.endswith(".parquet"):
-                continue
-            if io.canonical(p) in referenced:
-                continue
-            try:
-                if io.mtime(p) > cutoff:
-                    continue  # inside the grace window: maybe in-flight
-            except OSError:
-                continue  # vanished mid-walk: someone else owns it
-            candidates.append(p)
-        # a commit may have landed during the walk — never unlink what
-        # the (possibly new) head now references
-        try:
-            head = self.load_table(name)
-            referenced.update(io.canonical(p) for p in head.paths())
-            for t in head.data_files:
-                for d in t.deletes:
-                    referenced.add(io.canonical(d.path))
-        except TableNotFound:
-            pass
-        removed = []
-        for p in candidates:
-            if io.canonical(p) in referenced:
-                continue
-            with contextlib.suppress(FileNotFoundError):
-                io.remove(p)
-            removed.append(p)
-        return sorted(removed)
+        return remove_orphan_files_for(self, name, scan_root, older_than_s)
 
     def commit_table(
         self, name: str, expected_snapshot_id: int, new_manifest: Manifest
@@ -446,3 +383,77 @@ class FileCatalog:
             io.write_bytes(path, payload)
         # hint update is advisory (readers rescan on staleness)
         io.write_atomic(self._hint_path(name), str(manifest.snapshot_id).encode())
+
+
+def remove_orphan_files_for(
+    catalog,
+    name: str,
+    scan_root: str | None = None,
+    older_than_s: float = FileCatalog.DEFAULT_ORPHAN_GRACE_S,
+) -> list[str]:
+    """Iceberg's remove-orphan-files maintenance: delete parquet files
+    under the table's data root that no RETAINED snapshot references
+    (crashed writes, files superseded by expired snapshots).  Returns
+    the removed paths.  Catalog-generic: works over any backend exposing
+    ``_io`` / ``table_history`` / ``load_table_at`` / ``load_table``
+    (FileCatalog and IcebergHadoopCatalog both qualify).
+
+    Safety mirrors Iceberg's on BOTH axes: only the table's own root
+    is scanned, only ``*.parquet`` is eligible, the referenced set is
+    the union over ALL retained snapshots, and — like the Spark
+    procedure's ``olderThan`` (default 3 days) — only files whose
+    mtime is older than ``older_than_s`` are eligible.  An in-flight
+    writer stages its data/delete parquet under the table root
+    BEFORE its CAS commit (``ingest.upsert``); without the grace
+    window a concurrent maintenance pass could unlink those files
+    and the writer's later commit would publish dangling paths.
+    As a second guard the head manifest is re-loaded AFTER the walk
+    and any path it references is excluded — this catches a commit
+    that landed while the walk was running.  Pass ``older_than_s=0``
+    only when no concurrent writers exist (tests, offline repair).
+    """
+    import time
+
+    io = catalog._io
+    referenced: set[str] = set()
+    root = scan_root
+    for v in catalog.table_history(name):
+        m = catalog.load_table_at(name, v)
+        referenced.update(io.canonical(p) for p in m.paths())
+        for t in m.data_files:
+            for d in t.deletes:
+                referenced.add(io.canonical(d.path))
+        root = root or m.table_root
+    if not root or not io.is_dir(root):
+        return []
+    cutoff = time.time() - older_than_s
+    candidates = []
+    for p in io.walk_files(root):
+        if not p.endswith(".parquet"):
+            continue
+        if io.canonical(p) in referenced:
+            continue
+        try:
+            if io.mtime(p) > cutoff:
+                continue  # inside the grace window: maybe in-flight
+        except OSError:
+            continue  # vanished mid-walk: someone else owns it
+        candidates.append(p)
+    # a commit may have landed during the walk — never unlink what
+    # the (possibly new) head now references
+    try:
+        head = catalog.load_table(name)
+        referenced.update(io.canonical(p) for p in head.paths())
+        for t in head.data_files:
+            for d in t.deletes:
+                referenced.add(io.canonical(d.path))
+    except TableNotFound:
+        pass
+    removed = []
+    for p in candidates:
+        if io.canonical(p) in referenced:
+            continue
+        with contextlib.suppress(FileNotFoundError):
+            io.remove(p)
+        removed.append(p)
+    return sorted(removed)

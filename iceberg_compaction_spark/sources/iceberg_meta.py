@@ -1040,6 +1040,25 @@ class IcebergHadoopCatalog:
                 pass
         return expired
 
+    DEFAULT_ORPHAN_GRACE_S = 3 * 24 * 3600
+
+    def remove_orphan_files(
+        self,
+        name: str,
+        scan_root: str | None = None,
+        older_than_s: float = DEFAULT_ORPHAN_GRACE_S,
+    ) -> list[str]:
+        """Remove-orphan-files over the real-metadata layout — the same
+        catalog-generic walk FileCatalog uses (retained-snapshot union,
+        mtime grace window, post-walk head re-check); only data/delete
+        ``*.parquet`` is eligible, so the Avro manifests and
+        ``v<N>.metadata.json`` under ``metadata/`` are never touched."""
+        from iceberg_compaction_spark.sources.catalog import (
+            remove_orphan_files_for,
+        )
+
+        return remove_orphan_files_for(self, name, scan_root, older_than_s)
+
     # ---- internals -----------------------------------------------------
 
     def _write_version(

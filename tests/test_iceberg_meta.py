@@ -690,3 +690,52 @@ def test_v3_dv_roundtrip_through_real_metadata(spark, tmp_path):
         .load()
     )
     assert sorted(r["id"] for r in ds.collect()) == expect
+
+
+def test_hadoop_catalog_remove_orphan_files(spark, hadoop_cat, tmp_path):
+    """Round 9: remove-orphan-files over the real-metadata layout —
+    unreferenced parquet under the table root goes, referenced data and
+    the metadata/ tree (Avro manifests, v<N>.metadata.json) stay."""
+    m = hadoop_cat.load_table("t")
+    root = m.table_root
+    orphan = os.path.join(root.replace("file://", ""), "orphan.parquet")
+    pq.write_table(
+        pa.table({"id": pa.array([1], type=pa.int64())}), orphan
+    )
+    removed = hadoop_cat.remove_orphan_files("t", older_than_s=0)
+    assert [os.path.basename(p) for p in removed] == ["orphan.parquet"]
+    # live data intact, metadata tree untouched, table still loads
+    after = hadoop_cat.load_table("t")
+    assert {t.data_file_path for t in after.data_files} == {
+        t.data_file_path for t in m.data_files
+    }
+    assert hadoop_cat.table_history("t") == [1]
+
+
+def test_hadoop_catalog_full_maintenance_service(spark, hadoop_cat):
+    """maintain() (the cron-able table service) runs end-to-end over the
+    real-metadata catalog: DML -> compaction -> expire -> orphan sweep,
+    with the final state reloading via the spec wire format."""
+    from iceberg_compaction_spark.service import MaintenancePolicy, maintain
+    from iceberg_compaction_spark.sources.ingest import (
+        read_table_mor,
+        upsert,
+    )
+
+    upsert(
+        spark, hadoop_cat, "t",
+        spark.createDataFrame([(3, "new3"), (42, "v42")], ["id", "val"]),
+        keys=["id"],
+    )
+    report = maintain(
+        spark,
+        hadoop_cat,
+        "t",
+        MaintenancePolicy(keep_snapshots=1, orphan_older_than_s=0),
+    )
+    assert report.expired_snapshots
+    final = hadoop_cat.load_table("t")
+    got = {
+        r["id"]: r["val"] for r in read_table_mor(spark, final).collect()
+    }
+    assert got[3] == "new3" and got[42] == "v42" and len(got) == 11
