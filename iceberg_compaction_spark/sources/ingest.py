@@ -460,7 +460,9 @@ def merge_into(
     keys: list[str],
     matched_action: str = "update",
     update_cols: list[str] | None = None,
+    update_exprs: dict[str, str] | None = None,
     insert_unmatched: bool = True,
+    delete_unmatched_target: bool = False,
 ) -> Manifest:
     """Minimal MERGE: ``MERGE INTO t USING source ON t.k = s.k WHEN
     MATCHED THEN UPDATE SET ... / DELETE [WHEN NOT MATCHED THEN
@@ -471,9 +473,15 @@ def merge_into(
     ``matched_action``: ``"update"`` replaces matched rows with the
     source's values for ``update_cols`` (default: every non-key source
     column present in the table), keeping target values for other
-    columns; ``"delete"`` removes matched rows.  ``insert_unmatched``
-    appends source rows with no target match (the source must then
-    carry every table column).
+    columns; ``"delete"`` removes matched rows.  ``update_exprs`` maps
+    column -> Spark SQL expression over the aliases ``t`` (target) and
+    ``s`` (source) — the general SET form (``{"cnt": "t.cnt + s.cnt"}``)
+    — taking precedence over ``update_cols`` for its columns.
+    ``insert_unmatched`` appends source rows with no target match (the
+    source must then carry every table column).
+    ``delete_unmatched_target`` is SQL MERGE's ``WHEN NOT MATCHED BY
+    SOURCE THEN DELETE``: target rows with no source match are removed
+    (full-sync loads).
 
     The source must be key-unique (asserted, like :func:`upsert` —
     SQL MERGE raises on multiple matches too).  CAS-retried per
@@ -507,13 +515,20 @@ def merge_into(
             for c in df.columns
             if c not in (HIDDEN_FILE_PATH, HIDDEN_POS, HIDDEN_SEQ)
         ]
-        src = source.select(
-            *[F.col(c).alias(f"__src_{c}") for c in source.columns]
-        )
+        t, s = df.alias("t"), source.alias("s")
         cond = F.lit(True)
         for k in keys:
-            cond = cond & (F.col(k) == F.col(f"__src_{k}"))
-        joined = df.join(src, on=cond, how="inner")
+            cond = cond & (F.col(f"t.{k}") == F.col(f"s.{k}"))
+        joined = t.join(s, on=cond, how="inner")
+        matched_pos = joined.select(
+            F.col(f"t.{HIDDEN_FILE_PATH}").alias(HIDDEN_FILE_PATH),
+            F.col(f"t.{HIDDEN_POS}").alias(HIDDEN_POS),
+        )
+        if delete_unmatched_target:
+            unmatched_pos = df.join(
+                source.select(*keys), on=keys, how="left_anti"
+            ).select(HIDDEN_FILE_PATH, HIDDEN_POS)
+            matched_pos = matched_pos.unionByName(unmatched_pos)
 
         v3 = cur.format_version >= 3
         del_path = os.path.join(
@@ -524,27 +539,30 @@ def merge_into(
             cur.table_root, f"merge-{suffix}-data.parquet"
         )
         refs, n = _write_position_artifact(
-            spark, cur, joined.select(HIDDEN_FILE_PATH, HIDDEN_POS), del_path
+            spark, cur, matched_pos, del_path
         )
 
         out = None
         if matched_action == "update" and n:
+            exprs = dict(update_exprs or {})
             upd = update_cols or [
                 c for c in source.columns if c in table_cols and c not in keys
             ]
-            missing = set(upd) - set(table_cols)
+            missing = (set(upd) | set(exprs)) - set(table_cols)
             if missing:
                 raise ValueError(
-                    f"update_cols not in table: {sorted(missing)}"
+                    f"update_cols/update_exprs not in table: "
+                    f"{sorted(missing)}"
                 )
-            out = joined.select(
-                *[
-                    F.col(f"__src_{c}").alias(c)
-                    if c in upd
-                    else F.col(c)
-                    for c in table_cols
-                ]
-            )
+
+            def _col(c):
+                if c in exprs:
+                    return F.expr(exprs[c]).alias(c)
+                if c in upd:
+                    return F.col(f"s.{c}").alias(c)
+                return F.col(f"t.{c}").alias(c)
+
+            out = joined.select(*[_col(c) for c in table_cols])
         if insert_unmatched:
             missing = set(table_cols) - set(source.columns)
             if missing:

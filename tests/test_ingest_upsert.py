@@ -787,3 +787,34 @@ def test_update_and_merge_over_real_iceberg_metadata(spark, tmp_path):
     assert got[5] == "merged5" and got[50] == "v50"
     assert len(got) == 11
     assert cat.table_history("h") == [1, 2, 3]
+
+
+def test_merge_into_update_expressions(spark, table):
+    """General SET form: expressions over t (target) and s (source)."""
+    from iceberg_compaction_spark.sources.ingest import merge_into
+
+    src = spark.createDataFrame([(2, "suffix"), (8, "tail")], ["id", "val"])
+    merge_into(
+        spark, table, "t", src, keys=["id"],
+        update_exprs={"val": "concat(t.val, '-', s.val)"},
+        insert_unmatched=False,
+    )
+    got = _rows(spark, table)
+    assert got[2] == "v2-suffix" and got[8] == "v8-tail"
+    assert got[5] == "v5" and len(got) == 10
+
+
+def test_merge_into_delete_unmatched_target(spark, table):
+    """WHEN NOT MATCHED BY SOURCE THEN DELETE: a full-sync MERGE leaves
+    exactly the source's key set."""
+    from iceberg_compaction_spark.sources.ingest import merge_into
+
+    src = spark.createDataFrame(
+        [(1, "one"), (4, "four"), (77, "new")], ["id", "val"]
+    )
+    merge_into(
+        spark, table, "t", src, keys=["id"],
+        delete_unmatched_target=True,
+    )
+    got = _rows(spark, table)
+    assert got == {1: "one", 4: "four", 77: "new"}
