@@ -3492,3 +3492,34 @@ def q_dml_partitioned_write(spark, sf_dir):
         .option("table", "docs_part")
         .load()
     )
+
+
+# ===========================================================================
+# Driver-window composition (round 9).  The driver's CORRECTNESS gate
+# checks the FIRST 50 queries() entries; pytest's test_oracle_tail.py
+# checks ALL of them identically.  Promote the round-9 DML/streaming
+# operators into the window in place of three twins whose operator
+# class stays window-covered (set-op and SQL anti-join are
+# Catalyst-native shapes — the engine's own anti-join forms J1/J2 stay
+# in-window via the mor_* entries; langid_confusion is the diagnostic
+# twin of the in-window text_langid) — same policy as the round-4 tail
+# demotions above.
+# ===========================================================================
+
+_WINDOW_PROMOTE = [
+    "dml_update_where",
+    "dml_merge_into",
+    "streaming_upsert_sink",
+]
+_WINDOW_DEMOTE = [
+    "setop_part_overlap",
+    "anti_customers_no_orders",
+    "text_langid_confusion",
+]
+_rest = [
+    n for n in QUERIES if n not in _WINDOW_PROMOTE + _WINDOW_DEMOTE
+]
+_order = _rest[:47] + _WINDOW_PROMOTE + _rest[47:] + _WINDOW_DEMOTE
+QUERIES = {n: QUERIES[n] for n in _order}
+ORACLES = {n: ORACLES[n] for n in _order if n in ORACLES}
+del _WINDOW_PROMOTE, _WINDOW_DEMOTE, _rest, _order
