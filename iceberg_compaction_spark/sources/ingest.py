@@ -421,27 +421,38 @@ def update_where(
                 f"SET references unknown columns {sorted(unknown)}; "
                 f"table columns: {table_cols}"
             )
-        matched = df.where(predicate)
-        v3 = cur.format_version >= 3
-        del_path = os.path.join(
-            cur.table_root,
-            f"update-{suffix}" + (".puffin" if v3 else "-pos.parquet"),
-        )
-        data_path = os.path.join(
-            cur.table_root, f"update-{suffix}-data.parquet"
-        )
-        refs, n = _write_position_artifact(
-            spark, cur, matched.select(HIDDEN_FILE_PATH, HIDDEN_POS), del_path
-        )
-        if n == 0:
-            return cur
-        updated = matched.select(
-            *[
-                F.expr(set_exprs[c]).alias(c) if c in set_exprs else F.col(c)
-                for c in table_cols
-            ]
-        )
-        _write_single_parquet(updated, data_path)
+        # matched feeds BOTH artifacts (positions + updated rows):
+        # persist so the table scans once, not twice — matched rows
+        # only, spill-safe (the memory-and-disk default)
+        matched = df.where(predicate).persist()
+        try:
+            v3 = cur.format_version >= 3
+            del_path = os.path.join(
+                cur.table_root,
+                f"update-{suffix}" + (".puffin" if v3 else "-pos.parquet"),
+            )
+            data_path = os.path.join(
+                cur.table_root, f"update-{suffix}-data.parquet"
+            )
+            refs, n = _write_position_artifact(
+                spark,
+                cur,
+                matched.select(HIDDEN_FILE_PATH, HIDDEN_POS),
+                del_path,
+            )
+            if n == 0:
+                return cur
+            updated = matched.select(
+                *[
+                    F.expr(set_exprs[c]).alias(c)
+                    if c in set_exprs
+                    else F.col(c)
+                    for c in table_cols
+                ]
+            )
+            _write_single_parquet(updated, data_path)
+        finally:
+            matched.unpersist()
         return _commit_row_change(
             catalog, table_name, cur, refs, n, del_path, data_path,
             operation="overwrite",
@@ -519,67 +530,75 @@ def merge_into(
         cond = F.lit(True)
         for k in keys:
             cond = cond & (F.col(f"t.{k}") == F.col(f"s.{k}"))
-        joined = t.join(s, on=cond, how="inner")
-        matched_pos = joined.select(
-            F.col(f"t.{HIDDEN_FILE_PATH}").alias(HIDDEN_FILE_PATH),
-            F.col(f"t.{HIDDEN_POS}").alias(HIDDEN_POS),
-        )
-        if delete_unmatched_target:
-            unmatched_pos = df.join(
-                source.select(*keys), on=keys, how="left_anti"
-            ).select(HIDDEN_FILE_PATH, HIDDEN_POS)
-            matched_pos = matched_pos.unionByName(unmatched_pos)
+        # joined feeds both the position artifact and the updated rows:
+        # persist so the target x source join runs once (matched rows
+        # only, spill-safe)
+        joined = t.join(s, on=cond, how="inner").persist()
+        try:
+            matched_pos = joined.select(
+                F.col(f"t.{HIDDEN_FILE_PATH}").alias(HIDDEN_FILE_PATH),
+                F.col(f"t.{HIDDEN_POS}").alias(HIDDEN_POS),
+            )
+            if delete_unmatched_target:
+                unmatched_pos = df.join(
+                    source.select(*keys), on=keys, how="left_anti"
+                ).select(HIDDEN_FILE_PATH, HIDDEN_POS)
+                matched_pos = matched_pos.unionByName(unmatched_pos)
 
-        v3 = cur.format_version >= 3
-        del_path = os.path.join(
-            cur.table_root,
-            f"merge-{suffix}" + (".puffin" if v3 else "-pos.parquet"),
-        )
-        data_path = os.path.join(
-            cur.table_root, f"merge-{suffix}-data.parquet"
-        )
-        refs, n = _write_position_artifact(
-            spark, cur, matched_pos, del_path
-        )
+            v3 = cur.format_version >= 3
+            del_path = os.path.join(
+                cur.table_root,
+                f"merge-{suffix}" + (".puffin" if v3 else "-pos.parquet"),
+            )
+            data_path = os.path.join(
+                cur.table_root, f"merge-{suffix}-data.parquet"
+            )
+            refs, n = _write_position_artifact(
+                spark, cur, matched_pos, del_path
+            )
 
-        out = None
-        if matched_action == "update" and n:
-            exprs = dict(update_exprs or {})
-            upd = update_cols or [
-                c for c in source.columns if c in table_cols and c not in keys
-            ]
-            missing = (set(upd) | set(exprs)) - set(table_cols)
-            if missing:
-                raise ValueError(
-                    f"update_cols/update_exprs not in table: "
-                    f"{sorted(missing)}"
-                )
+            out = None
+            if matched_action == "update" and n:
+                exprs = dict(update_exprs or {})
+                upd = update_cols or [
+                    c
+                    for c in source.columns
+                    if c in table_cols and c not in keys
+                ]
+                missing = (set(upd) | set(exprs)) - set(table_cols)
+                if missing:
+                    raise ValueError(
+                        f"update_cols/update_exprs not in table: "
+                        f"{sorted(missing)}"
+                    )
 
-            def _col(c):
-                if c in exprs:
-                    return F.expr(exprs[c]).alias(c)
-                if c in upd:
-                    return F.col(f"s.{c}").alias(c)
-                return F.col(f"t.{c}").alias(c)
+                def _col(c):
+                    if c in exprs:
+                        return F.expr(exprs[c]).alias(c)
+                    if c in upd:
+                        return F.col(f"s.{c}").alias(c)
+                    return F.col(f"t.{c}").alias(c)
 
-            out = joined.select(*[_col(c) for c in table_cols])
-        if insert_unmatched:
-            missing = set(table_cols) - set(source.columns)
-            if missing:
-                raise ValueError(
-                    "WHEN NOT MATCHED INSERT needs every table column in "
-                    f"the source; missing: {sorted(missing)}"
-                )
-            inserts = source.join(
-                df.select(*keys), on=keys, how="left_anti"
-            ).select(*table_cols)
-            out = inserts if out is None else out.unionByName(inserts)
+                out = joined.select(*[_col(c) for c in table_cols])
+            if insert_unmatched:
+                missing = set(table_cols) - set(source.columns)
+                if missing:
+                    raise ValueError(
+                        "WHEN NOT MATCHED INSERT needs every table "
+                        f"column in the source; missing: {sorted(missing)}"
+                    )
+                inserts = source.join(
+                    df.select(*keys), on=keys, how="left_anti"
+                ).select(*table_cols)
+                out = inserts if out is None else out.unionByName(inserts)
 
-        has_rows = out is not None and out.limit(1).count() > 0
-        if not has_rows and n == 0:
-            return cur
-        if has_rows:
-            _write_single_parquet(out, data_path)
+            has_rows = out is not None and out.limit(1).count() > 0
+            if not has_rows and n == 0:
+                return cur
+            if has_rows:
+                _write_single_parquet(out, data_path)
+        finally:
+            joined.unpersist()
         return _commit_row_change(
             catalog, table_name, cur, refs, n, del_path,
             data_path if has_rows else None,
