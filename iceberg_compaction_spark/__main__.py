@@ -190,6 +190,23 @@ def cmd_update(args, spark=None) -> dict:
     }
 
 
+def cmd_rollback(args, spark=None) -> dict:
+    """Roll the table back to an earlier snapshot as a NEW commit
+    (history stays append-only; catalog.rollback_table)."""
+    from iceberg_compaction_spark.sources.catalog import rollback_table
+
+    cat = _catalog(args.warehouse)
+    before = cat.load_table(args.table)
+    new = rollback_table(cat, args.table, args.snapshot)
+    return {
+        "table": args.table,
+        "rolled_back_to": args.snapshot,
+        "snapshot_before": before.snapshot_id,
+        "snapshot_after": new.snapshot_id,
+        "committed": new.snapshot_id != before.snapshot_id,
+    }
+
+
 def build_parser() -> argparse.ArgumentParser:
     p = argparse.ArgumentParser(
         prog="python -m iceberg_compaction_spark",
@@ -227,6 +244,11 @@ def build_parser() -> argparse.ArgumentParser:
         nargs="+",
         help="col=expr assignments (Spark SQL expressions)",
     )
+    rb = sub.add_parser(
+        "rollback", help="roll back to a snapshot (new append-only commit)"
+    )
+    common(rb)
+    rb.add_argument("--snapshot", type=int, required=True)
     m = sub.add_parser("maintain", help="full maintenance pass")
     common(m)
     m.add_argument("--keep-snapshots", type=int, default=3)
@@ -243,6 +265,7 @@ COMMANDS = {
     "compact": cmd_compact,
     "delete": cmd_delete,
     "update": cmd_update,
+    "rollback": cmd_rollback,
     "maintain": cmd_maintain,
 }
 

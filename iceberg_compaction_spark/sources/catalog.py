@@ -457,3 +457,36 @@ def remove_orphan_files_for(
             io.remove(p)
         removed.append(p)
     return sorted(removed)
+
+
+def rollback_table(catalog, name: str, snapshot_id: int) -> Manifest:
+    """Iceberg's rollback: make the table CURRENT state equal snapshot
+    ``snapshot_id`` again by committing a NEW snapshot carrying that
+    state — history is append-only (the bad commits stay queryable via
+    time travel; expiration is how they eventually age out), exactly
+    like the Spark procedure ``rollback_to_snapshot``.
+
+    Catalog-generic (FileCatalog / IcebergHadoopCatalog / RestCatalog —
+    anything with ``load_table`` / ``load_table_at`` / ``commit_table``)
+    and CAS-retried: losing a race re-reads the head and re-commits the
+    rollback on top, which is the only sane semantics (the rollback
+    wins over whatever landed in between — the operator ASKED for this
+    state).  Data files keep their original sequence numbers; the
+    commit stamps ``overwrite`` because visible rows change.
+    """
+    from iceberg_compaction_spark.commit import CommitManager
+
+    def attempt() -> Manifest:
+        cur = catalog.load_table(name)
+        if cur.snapshot_id == snapshot_id:
+            return cur  # already there: no empty commit
+        old = catalog.load_table_at(name, snapshot_id)
+        new = Manifest.from_dict(old.to_dict())
+        new.snapshot_id = cur.next_snapshot()
+        # monotonic over the head we are replacing, never backwards —
+        # a later equality delete must still apply above this snapshot
+        new.sequence_number = max(cur.sequence_number, old.sequence_number) + 1
+        new.operation = "overwrite"
+        return catalog.commit_table(name, cur.snapshot_id, new)
+
+    return CommitManager().commit_with_retry(attempt)

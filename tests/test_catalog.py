@@ -279,3 +279,65 @@ def test_partial_progress_failure_keeps_completed_batches(
     final, _ = c.compact_catalog_partial(warehouse, "t", groups_per_commit=1)
     assert spark.read.parquet(*final.paths()).count() == 60
     assert len(final.data_files) < 6
+
+
+def test_rollback_commits_new_snapshot_with_old_state(spark, tmp_path):
+    """rollback_table: current state equals the target snapshot again,
+    history stays append-only, and DML continues on top."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from iceberg_compaction_spark.sources.catalog import (
+        FileCatalog,
+        rollback_table,
+    )
+    from iceberg_compaction_spark.sources.ingest import (
+        delete_where,
+        read_table_mor,
+        upsert,
+    )
+    from iceberg_compaction_spark.sources.manifest import Manifest
+
+    root = str(tmp_path / "tbl")
+    os.makedirs(root)
+    pq.write_table(
+        pa.table({
+            "id": pa.array(range(10), type=pa.int64()),
+            "val": [f"v{i}" for i in range(10)],
+        }),
+        os.path.join(root, "base.parquet"),
+    )
+    cat = FileCatalog(warehouse=str(tmp_path / "wh"))
+    cat.create_table("t", Manifest.from_parquet_dir(root, sequence_number=1))
+
+    upsert(
+        spark, cat, "t",
+        spark.createDataFrame([(3, "bad3")], ["id", "val"]), keys=["id"],
+    )
+    delete_where(spark, cat, "t", "id >= 8")
+    assert cat.load_table("t").snapshot_id == 3
+
+    m = rollback_table(cat, "t", 1)
+    assert m.snapshot_id == 4  # append-only history
+    got = {
+        r["id"]: r["val"]
+        for r in read_table_mor(spark, cat.load_table("t")).collect()
+    }
+    assert got == {i: f"v{i}" for i in range(10)}  # original state
+    # the rolled-back-over commits remain time-travelable
+    assert cat.table_history("t") == [1, 2, 3, 4]
+    v3 = cat.load_table_at("t", 3)
+    ids3 = {r["id"] for r in read_table_mor(spark, v3).collect()}
+    assert 8 not in ids3 and v3.snapshot_id == 3
+
+    # DML continues on top of the rollback: the new delete's sequence is
+    # strictly above every rolled-back file's
+    delete_where(spark, cat, "t", "id = 0")
+    got = {
+        r["id"] for r in read_table_mor(spark, cat.load_table("t")).collect()
+    }
+    assert got == set(range(1, 10))
+
+    # rollback to the current head is a no-op (no empty commit)
+    assert rollback_table(cat, "t", 5).snapshot_id == 5
+    assert cat.load_table("t").snapshot_id == 5

@@ -147,3 +147,21 @@ def test_cli_update_where(spark, wh):
          "--where", "id > 100000", "--set", "val='x'"],
     )
     assert not none["committed"] and none["rows_updated"] == 0
+
+
+def test_cli_rollback(spark, wh):
+    out = _run(
+        spark,
+        ["delete", "--warehouse", wh, "--table", "t",
+         "--where", "id < 20"],
+    )
+    assert out["committed"]
+    rb = _run(
+        spark,
+        ["rollback", "--warehouse", wh, "--table", "t", "--snapshot", "1"],
+    )
+    assert rb["committed"] and rb["snapshot_after"] == 3
+    from iceberg_compaction_spark.sources.ingest import read_table_mor
+
+    m = FileCatalog(warehouse=wh).load_table("t")
+    assert len(read_table_mor(spark, m).collect()) == 40

@@ -1685,3 +1685,38 @@ def test_append_writer_streams_through_fileio(spark, tmp_path):
     msg2 = w.write(iter([batch]))
     w.abort([msg2])
     assert not os.path.exists(_XFileIO.strip(msg2.files[0][0]))
+
+
+def test_stream_cdc_over_update_and_merge_commits(spark, cat, tmp_path):
+    """Round-9 composition: a predicate UPDATE and a MERGE each commit
+    one snapshot; CDC streaming surfaces them as exact delete+insert
+    pairs (old value out, new value in, inserts for new keys)."""
+    from iceberg_compaction_spark.sources.ingest import (
+        merge_into,
+        update_where,
+    )
+
+    assert _stream_rows(spark, cat, tmp_path / "a", change_mode="cdc") == []
+    m2 = update_where(spark, cat, "t", "id = 4", {"val": "'four-upd'"})
+    rows = _stream_rows(spark, cat, tmp_path / "a", change_mode="cdc")
+    got = sorted((r["id"], r["val"], r["_change_type"]) for r in rows)
+    assert got == [(4, "four-upd", "insert"), (4, "v4", "delete")]
+    assert all(r["_commit_snapshot_id"] == m2.snapshot_id for r in rows)
+
+    merge_into(
+        spark, cat, "t",
+        spark.createDataFrame([(9, "nine-m"), (400, "v400")], ["id", "val"]),
+        keys=["id"],
+    )
+    # fresh stream windowed to just the merge commit
+    rows = _stream_rows(
+        spark, cat, tmp_path / "b",
+        change_mode="cdc",
+        starting_snapshot=str(m2.snapshot_id),
+    )
+    got = sorted((r["id"], r["val"], r["_change_type"]) for r in rows)
+    assert got == [
+        (9, "nine-m", "insert"),
+        (9, "v9", "delete"),
+        (400, "v400", "insert"),
+    ]
