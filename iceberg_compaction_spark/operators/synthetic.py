@@ -839,6 +839,29 @@ def streaming_upsert_warehouse(spark: SparkSession, sf_dir: str) -> str:
     )
 
 
+def rollback_warehouse(spark: SparkSession, sf_dir: str) -> str:
+    """One-time per sf_dir: ``docs_rb`` = ``documents`` with a
+    committed ``delete_where`` that is then ROLLED BACK
+    (catalog.rollback_table) — so the ``dml_rollback`` oracle proves
+    the rollback commit restores exactly the original state through a
+    real append-only history (v1 data, v2 delete, v3 rollback)."""
+    from iceberg_compaction_spark.sources.catalog import rollback_table
+    from iceberg_compaction_spark.sources.ingest import delete_where
+
+    def _mutate(cat):
+        delete_where(spark, cat, "docs_rb", "doc_id % 3 = 1")
+        rollback_table(cat, "docs_rb", 1)
+
+    return _dml_docs_warehouse(
+        spark,
+        sf_dir,
+        tag="rb",
+        table_name="docs_rb",
+        columns=["doc_id", "lang"],
+        mutate=_mutate,
+    )
+
+
 def _dml_docs_warehouse(
     spark: SparkSession,
     sf_dir: str,

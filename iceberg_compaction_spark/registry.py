@@ -3494,6 +3494,29 @@ def q_dml_partitioned_write(spark, sf_dir):
     )
 
 
+@register(
+    "dml_rollback",
+    """
+    SELECT doc_id, lang FROM documents
+    """,
+)
+def q_dml_rollback(spark, sf_dir):
+    """Snapshot rollback lifecycle (sources/catalog.py rollback_table):
+    the fixture commits a predicate DELETE then rolls the table back to
+    v1 as a NEW append-only commit (v3); this query MOR-reads the head,
+    and the oracle — the untouched ``documents`` — proves the rollback
+    restored the exact original state through real history.
+
+    Scale shape: rollback is a metadata-only commit (the old snapshot's
+    file list re-published at a fresh sequence); no data moves."""
+    from iceberg_compaction_spark.sources.catalog import FileCatalog
+    from iceberg_compaction_spark.sources.ingest import read_table_mor
+
+    wh = syn.rollback_warehouse(spark, sf_dir)
+    m = FileCatalog(warehouse=wh).load_table("docs_rb")
+    return read_table_mor(spark, m).select("doc_id", "lang")
+
+
 # ===========================================================================
 # Driver-window composition (round 9).  The driver's CORRECTNESS gate
 # checks the FIRST 50 queries() entries; pytest's test_oracle_tail.py

@@ -497,3 +497,45 @@ def test_span_coverage_dup_set_is_min_max_not_distinct(spark):
         )
 
     assert n_exchanges(p_default) < n_exchanges(p_capped)
+
+
+def test_dml_matched_scan_and_merge_join_shapes(spark, tmp_path):
+    """Round-9 DML plan gates: the matched-(file,pos) scan update/merge
+    share is the standard MOR plan (no cartesian, no nested loop), and
+    the MERGE target x source key join is a hash/broadcast join."""
+    import os
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from iceberg_compaction_spark.sources.catalog import FileCatalog
+    from iceberg_compaction_spark.sources.ingest import _matched_scan
+    from iceberg_compaction_spark.sources.manifest import Manifest
+    from iceberg_compaction_spark.sources.scan import (
+        HIDDEN_FILE_PATH,
+        HIDDEN_POS,
+    )
+
+    root = str(tmp_path / "tbl")
+    os.makedirs(root)
+    pq.write_table(
+        pa.table({
+            "id": pa.array(range(100), type=pa.int64()),
+            "val": [f"v{i}" for i in range(100)],
+        }),
+        os.path.join(root, "b.parquet"),
+    )
+    cat = FileCatalog(warehouse=str(tmp_path / "wh"))
+    cat.create_table("t", Manifest.from_parquet_dir(root, sequence_number=1))
+
+    df = _matched_scan(spark, cat.load_table("t"))
+    matched = df.where("id % 7 = 3").select(HIDDEN_FILE_PATH, HIDDEN_POS)
+    s = plan_of(matched)
+    assert "CartesianProduct" not in s and "NestedLoop" not in s, s
+
+    src = spark.createDataFrame([(3, "x")], "id long, val string")
+    t, srca = df.alias("t"), src.alias("s")
+    joined = t.join(srca, F.col("t.id") == F.col("s.id"), "inner")
+    s = plan_of(joined)
+    assert "CartesianProduct" not in s and "NestedLoop" not in s, s
+    assert "Join" in s
