@@ -315,6 +315,53 @@ def _write_position_artifact(spark, cur, matched_pos, path):
     return refs, n
 
 
+def _write_dml_data_files(
+    spark, cur: Manifest, df: DataFrame, base: str
+) -> list[FileScanTask]:
+    """Write a DML statement's new-rows frame under the table's CURRENT
+    partition spec: partitioned Spark-native tables fan out through the
+    transform-aware sized writer (partition tuples in the returned
+    tasks — Iceberg's partitioned-write contract); unpartitioned tables
+    and FileIO-only backends keep the single-file artifact (a bounded
+    changed-rows set by definition).  Sequence numbers are stamped by
+    the caller's commit."""
+    from iceberg_compaction_spark.sources.scan import spark_native_paths
+
+    spec = cur.spec_fields() if cur.partition_spec else None
+    if spec and spark_native_paths([cur.table_root]):
+        from iceberg_compaction_spark.config import WriterConfig
+        from iceberg_compaction_spark.sources.writer import (
+            write_sized_parquet,
+        )
+
+        out_dir = os.path.join(cur.table_root, f"{base}-data")
+        tasks = write_sized_parquet(
+            df, out_dir, WriterConfig(), partition_spec=spec
+        )
+        for t in tasks:
+            t.spec_id = cur.default_spec_id
+        return tasks
+    path = os.path.join(cur.table_root, f"{base}-data.parquet")
+    _write_single_parquet(df, path)
+    import pyarrow.parquet as pq
+
+    from iceberg_compaction_spark.sources.fileio import fileio_for
+
+    fio = fileio_for(path)
+    with fio.open_input(path) as fh:
+        md = pq.read_metadata(fh)
+    size = fio.size(path)
+    return [
+        FileScanTask(
+            data_file_path=path,
+            length=size,
+            file_size_in_bytes=size,
+            record_count=md.num_rows,
+            spec_id=cur.default_spec_id if not cur.partition_spec else 0,
+        )
+    ]
+
+
 def _commit_row_change(
     catalog,
     table_name: str,
@@ -322,7 +369,7 @@ def _commit_row_change(
     refs: set,
     n_deleted: int,
     delete_path: str,
-    new_data_path: str | None,
+    new_data_tasks: "list[FileScanTask] | None",
     operation: str,
 ) -> Manifest:
     """One-snapshot commit of a predicate DML statement: the position
@@ -350,22 +397,9 @@ def _commit_row_change(
         for t in new.data_files:
             if normalize_path_str(t.data_file_path) in refs:
                 t.deletes.append(dfile)
-    if new_data_path is not None:
-        import pyarrow.parquet as pq
-
-        fio = fileio_for(new_data_path)
-        with fio.open_input(new_data_path) as fh:
-            md = pq.read_metadata(fh)
-        dsize = fio.size(new_data_path)
-        new.data_files.append(
-            FileScanTask(
-                data_file_path=new_data_path,
-                length=dsize,
-                file_size_in_bytes=dsize,
-                record_count=md.num_rows,
-                sequence_number=new_seq,
-            )
-        )
+    for t in new_data_tasks or ():
+        t.sequence_number = new_seq
+        new.data_files.append(t)
     return catalog.commit_table(table_name, cur.snapshot_id, new)
 
 
@@ -431,9 +465,6 @@ def update_where(
                 cur.table_root,
                 f"update-{suffix}" + (".puffin" if v3 else "-pos.parquet"),
             )
-            data_path = os.path.join(
-                cur.table_root, f"update-{suffix}-data.parquet"
-            )
             refs, n = _write_position_artifact(
                 spark,
                 cur,
@@ -450,11 +481,13 @@ def update_where(
                     for c in table_cols
                 ]
             )
-            _write_single_parquet(updated, data_path)
+            data_tasks = _write_dml_data_files(
+                spark, cur, updated, f"update-{suffix}"
+            )
         finally:
             matched.unpersist()
         return _commit_row_change(
-            catalog, table_name, cur, refs, n, del_path, data_path,
+            catalog, table_name, cur, refs, n, del_path, data_tasks,
             operation="overwrite",
         )
 
@@ -550,9 +583,6 @@ def merge_into(
                 cur.table_root,
                 f"merge-{suffix}" + (".puffin" if v3 else "-pos.parquet"),
             )
-            data_path = os.path.join(
-                cur.table_root, f"merge-{suffix}-data.parquet"
-            )
             refs, n = _write_position_artifact(
                 spark, cur, matched_pos, del_path
             )
@@ -595,13 +625,15 @@ def merge_into(
             has_rows = out is not None and out.limit(1).count() > 0
             if not has_rows and n == 0:
                 return cur
-            if has_rows:
-                _write_single_parquet(out, data_path)
+            data_tasks = (
+                _write_dml_data_files(spark, cur, out, f"merge-{suffix}")
+                if has_rows
+                else None
+            )
         finally:
             joined.unpersist()
         return _commit_row_change(
-            catalog, table_name, cur, refs, n, del_path,
-            data_path if has_rows else None,
+            catalog, table_name, cur, refs, n, del_path, data_tasks,
             operation="overwrite",
         )
 

@@ -87,10 +87,25 @@ def write_sized_parquet(
     """
     if partition_spec:
         from iceberg_compaction_spark.functions.transforms import (
-            with_partition_columns,
+            transform_column,
         )
 
-        df, derived = with_partition_columns(df, partition_spec)
+        # Fan out on DERIVED columns only — never on a table column
+        # itself: Spark's partitionBy EXCLUDES the fan-out column from
+        # the data files, which for an identity-transform field would
+        # silently drop the SOURCE column from every rewritten file
+        # (Iceberg data files always carry identity source columns; the
+        # MOR readers scan files directly and cannot reconstitute the
+        # values from partition metadata).  A "__part_"-prefixed copy
+        # fans out and is stripped; the real column stays in the data.
+        derived = []
+        for f in partition_spec:
+            cname = f"__part_{f.column_name}"
+            if f.transform == "identity":
+                df = df.withColumn(cname, F.col(f.source))
+            else:
+                df = df.withColumn(cname, transform_column(f, df))
+            derived.append(cname)
         partition_by = [*(partition_by or []), *derived]
     zcode = None
     if config.zorder_by:

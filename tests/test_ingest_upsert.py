@@ -818,3 +818,45 @@ def test_merge_into_delete_unmatched_target(spark, table):
     )
     got = _rows(spark, table)
     assert got == {1: "one", 4: "four", 77: "new"}
+
+
+def test_update_where_fans_out_under_partition_spec(spark, tmp_path):
+    """A partitioned table's UPDATE writes its new rows through the
+    transform-aware fan-out: the updated-row files carry partition
+    tuples under the current spec (Iceberg's partitioned-write
+    contract), not a spec-less blob."""
+    from iceberg_compaction_spark.functions.transforms import (
+        transform_value,
+    )
+    from iceberg_compaction_spark.sources.ingest import update_where
+
+    root = str(tmp_path / "ptbl")
+    os.makedirs(root)
+    pq.write_table(
+        pa.table({
+            "id": pa.array(range(40), type=pa.int64()),
+            "grp": pa.array([i % 4 for i in range(40)], type=pa.int64()),
+            "val": [f"v{i}" for i in range(40)],
+        }),
+        os.path.join(root, "base.parquet"),
+    )
+    cat = FileCatalog(warehouse=str(tmp_path / "pwh"))
+    m = Manifest.from_parquet_dir(root, sequence_number=1)
+    m.partition_spec = [
+        {"source": "grp", "transform": "identity", "name": "grp"}
+    ]
+    m.default_spec_id = 1
+    cat.create_table("p", m)
+
+    new = update_where(spark, cat, "p", "id % 2 = 0", {"val": "'upd'"})
+    added = [t for t in new.data_files if t.sequence_number == 2]
+    assert added and all(t.spec_id == 1 for t in added)
+    assert all(len(t.partition) == 1 for t in added)
+    # rows landed in the right partitions
+    for t in added:
+        for r in spark.read.parquet(t.data_file_path).collect():
+            assert str(transform_value("identity", r["grp"])) == str(
+                t.partition[0]
+            )
+    got = {r["id"]: r["val"] for r in read_table_mor(spark, new).collect()}
+    assert got[0] == "upd" and got[1] == "v1" and len(got) == 40

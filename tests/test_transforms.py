@@ -124,8 +124,13 @@ def test_bucket5_fanout_writer_30_inputs_5_outputs(spark, tmp_path):
         output_parallelism=1,
         partition_spec=[PartitionField("l_suppkey", "bucket[5]")],
     )
-    # exactly the 5 bucket dirs
-    dirs = sorted(d for d in os.listdir(out) if d.startswith("l_suppkey_bucket="))
+    # exactly the 5 bucket dirs (fan-out runs on __part_-prefixed
+    # DERIVED copies so identity source columns survive in data files)
+    dirs = sorted(
+        d
+        for d in os.listdir(out)
+        if d.startswith("__part_l_suppkey_bucket=")
+    )
     assert len(dirs) == 5, dirs
     assert len(tasks) == 5
     assert {t.partition for t in tasks} == {(str(b),) for b in range(5)}

@@ -142,3 +142,47 @@ def test_compaction_output_lands_in_reference_size_band(spark, tmp_path):
         assert all(lo <= r <= hi for r in ratios), (target, ratios)
         # rows preserved across the correction pass
         assert sum(t.record_count for t in outs) == 60000
+
+
+def test_identity_partition_fanout_keeps_source_column(spark, tmp_path):
+    """Round-9 regression: identity-transform fan-out must NOT strip
+    the source column from the rewritten data files (Spark's
+    partitionBy excludes the fan-out column, so the writer fans out on
+    a __part_ copy) — before the fix, compacting an identity-partitioned
+    table silently lost the partition column from every output file."""
+    import os
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from iceberg_compaction_spark.compaction import Compaction
+    from iceberg_compaction_spark.config import CompactionConfig
+    from iceberg_compaction_spark.sources.ingest import read_table_mor
+    from iceberg_compaction_spark.sources.manifest import Manifest
+
+    root = str(tmp_path / "t")
+    os.makedirs(root)
+    for tag, lo in (("a", 0), ("b", 40)):
+        pq.write_table(
+            pa.table({
+                "id": pa.array(range(lo, lo + 40), type=pa.int64()),
+                "grp": pa.array(
+                    [i % 4 for i in range(lo, lo + 40)], type=pa.int64()
+                ),
+                "val": [f"v{i}" for i in range(lo, lo + 40)],
+            }),
+            os.path.join(root, f"{tag}.parquet"),
+        )
+    m = Manifest.from_parquet_dir(root, sequence_number=1)
+    m.partition_spec = [
+        {"source": "grp", "transform": "identity", "name": "grp"}
+    ]
+    m.default_spec_id = 1
+    new, _ = Compaction(spark=spark, config=CompactionConfig.full()).compact(m)
+    for t in new.data_files:
+        cols = spark.read.parquet(t.data_file_path).columns
+        assert cols == ["id", "grp", "val"], cols
+        assert len(t.partition) == 1 and t.spec_id == 1
+    rows = read_table_mor(spark, new).collect()
+    assert len(rows) == 80
+    assert all(r["grp"] == r["id"] % 4 for r in rows)
