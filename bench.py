@@ -62,6 +62,7 @@ BENCH_QUERIES = [
     # round 9
     "dml_update_where",
     "dml_merge_into",
+    "dedup_semantic",
 ]
 
 

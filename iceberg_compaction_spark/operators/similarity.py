@@ -249,6 +249,62 @@ def assign_clusters(
     )
 
 
+def semantic_dedup(
+    vectors: DataFrame,
+    centroids: DataFrame,
+    threshold_ppm: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """SemDeDup-style semantic deduplication (Abbas et al. 2023,
+    arXiv:2303.09540): cluster the embedding space, then remove
+    near-duplicates WITHIN each cluster — the clusters are what keep
+    the pairwise stage tractable at corpus scale (k clusters of ~n/k
+    vectors evaluate ~n²/k cosine pairs instead of n², and each
+    cluster's pairs stay inside one shuffle partition group).
+
+    Keep rule (deterministic, order-free): a vector is REMOVED iff a
+    LOWER-id vector in the same cluster scores cosine >= threshold —
+    the id-ordered greedy representative choice, decided by a single
+    anti-join rather than an iterative sweep.  Returns survivors as
+    ``(id, cluster_id)``.
+
+    Scale shape: centroid assignment is the broadcast argmax
+    :func:`assign_clusters` uses (map-side combine, no window); the
+    pair stage is a cluster-key equi-join with per-vector norms hoisted
+    (cosine_ppm_prenorm) — never a global cartesian.  Skewed clusters
+    bound the worst case; raise k (more, smaller clusters) to trade
+    recall for cost, exactly the paper's knob.
+    """
+    assigned = assign_clusters(vectors, centroids, id_col, vec_col)
+    a = assigned.select(
+        F.col("cluster_id"),
+        F.col(id_col).alias("id_a"),
+        F.col("v").alias("va"),
+    ).withColumn("na", vec_norm(F.col("va")))
+    b = assigned.select(
+        F.col("cluster_id"),
+        F.col(id_col).alias("id_b"),
+        F.col("v").alias("vb"),
+    ).withColumn("nb", vec_norm(F.col("vb")))
+    removed = (
+        a.join(b, on="cluster_id")
+        .where(F.col("id_a") < F.col("id_b"))
+        .where(
+            cosine_ppm_prenorm(
+                F.col("va"), F.col("vb"), F.col("na"), F.col("nb")
+            )
+            >= F.lit(int(threshold_ppm))
+        )
+        .select(F.col("id_b").alias("__removed_id"))
+    )
+    return assigned.join(
+        removed,
+        assigned[id_col] == removed["__removed_id"],
+        "left_anti",
+    ).select(id_col, "cluster_id")
+
+
 def kmeans_train(
     vectors: DataFrame,
     k: int,

@@ -3494,6 +3494,60 @@ def q_dml_partitioned_write(spark, sf_dir):
     )
 
 
+SEMDEDUP_THRESHOLD_PPM = 350000
+
+
+def _semantic_dedup_sql() -> str:
+    cent_case = " ".join(
+        f"WHEN {v} THEN {i}" for i, v in enumerate(IVF_CENTROID_IDS)
+    )
+    ids = ", ".join(str(v) for v in IVF_CENTROID_IDS)
+    return f"""
+    WITH cent AS (
+      SELECT CASE vec_id {cent_case} END AS cluster_id,
+             embedding::DOUBLE[] AS centv
+      FROM embeddings WHERE vec_id IN ({ids})
+    ),
+    v AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    assign AS (
+      SELECT vec_id, cluster_id, v FROM (
+        SELECT v.vec_id, cent.cluster_id, v.v,
+          row_number() OVER (PARTITION BY v.vec_id
+            ORDER BY {_COS.format(a="v.v", b="cent.centv")} DESC,
+                     cent.cluster_id) AS rn
+        FROM v, cent) WHERE rn = 1
+    ),
+    removed AS (
+      SELECT DISTINCT b.vec_id
+      FROM assign a JOIN assign b
+        ON a.cluster_id = b.cluster_id AND a.vec_id < b.vec_id
+      WHERE {_COS.format(a="a.v", b="b.v")} >= {SEMDEDUP_THRESHOLD_PPM}
+    )
+    SELECT a.vec_id, a.cluster_id
+    FROM assign a LEFT JOIN removed r ON a.vec_id = r.vec_id
+    WHERE r.vec_id IS NULL
+    """
+
+
+@register("dedup_semantic", _semantic_dedup_sql())
+def q_dedup_semantic(spark, sf_dir):
+    """SemDeDup semantic deduplication (similarity.semantic_dedup;
+    Abbas et al. 2023): kmeans-cluster the embeddings (fixed IVF
+    centroid init), then drop every vector whose cluster holds a
+    lower-id vector within the cosine threshold; survivors out.
+
+    Scale shape: the clusters ARE the scalability mechanism — k
+    clusters of ~n/k vectors cost ~n²/k within-cluster cosine pairs
+    instead of n², evaluated as a cluster-key equi-join with hoisted
+    norms (never a cartesian); assignment is a broadcast argmax with
+    map-side combine."""
+    return sim.semantic_dedup(
+        _emb(spark, sf_dir),
+        _centroids(spark, sf_dir),
+        SEMDEDUP_THRESHOLD_PPM,
+    )
+
+
 @register(
     "dml_rollback",
     """
