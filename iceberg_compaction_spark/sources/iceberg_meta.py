@@ -1029,6 +1029,81 @@ class IcebergHadoopCatalog:
             ) from None
         return new_manifest
 
+    def commit_snapshot(
+        self,
+        name: str,
+        expected_snapshot_id: int,
+        snapshot: dict,
+        set_properties: dict | None = None,
+    ) -> dict:
+        """Spec-wire commit: register a CLIENT-WRITTEN snapshot (the
+        Iceberg REST protocol's ``add-snapshot`` update — the client
+        already wrote the Avro manifest list + manifests to shared
+        storage and sends only the snapshot JSON with its
+        ``manifest-list`` pointer).  The server builds the next
+        ``v<N>.metadata.json`` by carrying the previous TableMetadata
+        forward (schemas, specs, sort orders, format version) and
+        appending the snapshot — it never needs the engine's manifest
+        representation.  ``set-properties`` updates merge into the
+        table properties.  CAS: exclusive create of the version file;
+        losers surface retryable CommitConflict.  Returns the new
+        TableMetadata dict."""
+        import time as _time
+
+        from iceberg_compaction_spark.commit import CommitConflict
+        from iceberg_compaction_spark.sources.catalog import TableNotFound
+
+        sid = int(snapshot["snapshot-id"])
+        if sid != expected_snapshot_id + 1:
+            raise ValueError(
+                f"snapshot-id {sid} != expected head "
+                f"{expected_snapshot_id} + 1"
+            )
+        if not snapshot.get("manifest-list"):
+            raise ValueError("add-snapshot needs a manifest-list path")
+        history = self.table_history(name)
+        if not history:
+            raise TableNotFound(name)
+        current = max(history)
+        if current != expected_snapshot_id:
+            raise CommitConflict(
+                f"{name}: head at v{current}, commit expected "
+                f"v{expected_snapshot_id}"
+            )
+        md = json.loads(self._io.read_bytes(self._vpath(name, current)))
+        now_ms = int(_time.time() * 1000)
+        md["last-updated-ms"] = now_ms
+        md["last-sequence-number"] = max(
+            int(md.get("last-sequence-number", 0)),
+            int(snapshot.get("sequence-number", 0)),
+        )
+        md["current-snapshot-id"] = sid
+        # one snapshot per version file (the engine's established
+        # convention: history = the retained version files)
+        md["snapshots"] = [snapshot]
+        md["snapshot-log"] = [
+            {"snapshot-id": sid, "timestamp-ms": now_ms}
+        ]
+        if set_properties:
+            props = dict(md.get("properties") or {})
+            props.update(
+                {
+                    str(k): (v if isinstance(v, (list, dict)) else str(v))
+                    for k, v in set_properties.items()
+                }
+            )
+            md["properties"] = props
+        path = self._vpath(name, sid)
+        if not self._io.create_exclusive(
+            path, json.dumps(md, indent=1).encode()
+        ):
+            raise CommitConflict(f"{name}: lost CAS race for v{sid}")
+        self._io.write_atomic(
+            self._io.join(self._mdir(name), "version-hint.text"),
+            str(sid).encode(),
+        )
+        return md
+
     def expire_snapshots(self, name: str, keep_last: int = 2) -> list[int]:
         keep_last = max(1, keep_last)
         history = self.table_history(name)
@@ -1153,11 +1228,6 @@ class IcebergHadoopCatalog:
         )
 
 
-# Orphan cleanup is layout-independent: FileCatalog's implementation only
-# uses the shared catalog API (table_history / load_table_at / load_table)
-# plus Manifest fields, so the Hadoop-layout backend reuses it verbatim —
-# including the in-flight-writer grace window.
-from iceberg_compaction_spark.sources.catalog import FileCatalog as _FC  # noqa: E402
-
-IcebergHadoopCatalog.DEFAULT_ORPHAN_GRACE_S = _FC.DEFAULT_ORPHAN_GRACE_S
-IcebergHadoopCatalog.remove_orphan_files = _FC.remove_orphan_files
+# Orphan cleanup is layout-independent: the shared catalog-generic walk
+# (sources/catalog.py remove_orphan_files_for) is bound as a method on
+# the class above — including the in-flight-writer grace window.

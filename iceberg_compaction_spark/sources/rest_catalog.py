@@ -94,6 +94,10 @@ class RestCatalog:
     timeout_s: float = 10.0
     # filled by fetch_config(); server-supplied property overrides
     config: dict = field(default_factory=dict)
+    # per-table full-fidelity tier info learned from load responses:
+    # {"mdir": metadata dir, "md": last-seen TableMetadata} — drives the
+    # spec commit wire (client-written Avro + pointer-only add-snapshot)
+    _tier: dict = field(default_factory=dict, repr=False)
 
     # ---- plumbing ------------------------------------------------------
 
@@ -169,13 +173,62 @@ class RestCatalog:
             self._url("namespaces", self.namespace, "tables"),
             {"name": name, "properties": {_MANIFEST_KEY: manifest.to_dict()}},
         )
+        self._note_tier(name, out)
         return self._manifest_from_load(out)
 
     def load_table(self, name: str) -> Manifest:
         out = self._request(
             "GET", self._url("namespaces", self.namespace, "tables", name)
         )
+        self._note_tier(name, out)
         return self._manifest_from_load(out)
+
+    def _note_tier(self, name: str, out: dict) -> None:
+        """Record whether the server is full-fidelity for this table
+        (LoadTableResult carries real TableMetadata at a real path) —
+        that unlocks the spec commit wire."""
+        md = out.get("metadata") or {}
+        loc = out.get("metadata-location") or ""
+        if "format-version" in md and loc.endswith(".metadata.json"):
+            import os as _os
+
+            self._tier[name] = {"mdir": _os.path.dirname(loc), "md": md}
+        else:
+            self._tier.pop(name, None)
+
+    def _spec_wire_eligible(self, name: str, m: Manifest) -> bool:
+        """True when this commit can go pointer-only: the server is
+        full-fidelity AND the commit changes no table STRUCTURE (the
+        server carries schemas / sort orders / format version forward
+        verbatim on the spec wire; structural changes take the
+        engine-manifest wire, whose server path recomputes the full
+        TableMetadata)."""
+        info = self._tier.get(name)
+        if info is None or not m.schema_fields:
+            return False
+        md = info["md"]
+        cur_schema = next(
+            (
+                s
+                for s in md.get("schemas", [])
+                if s.get("schema-id") == md.get("current-schema-id")
+            ),
+            None,
+        )
+        if cur_schema is None:
+            return False
+        from iceberg_compaction_spark.sources.iceberg_meta import (
+            _sort_orders_to_md,
+        )
+
+        return (
+            m.format_version == md.get("format-version")
+            and m.schema_id == md.get("current-schema-id")
+            and [dict(f) for f in m.schema_fields]
+            == list(cur_schema.get("fields", []))
+            and _sort_orders_to_md(m)
+            == (md.get("default-sort-order-id"), md.get("sort-orders"))
+        )
 
     def commit_table(
         self, name: str, expected_snapshot_id: int, new_manifest: Manifest
@@ -198,6 +251,82 @@ class RestCatalog:
         loop re-plans against the fresh head.
         """
         new_id = new_manifest.snapshot_id
+        updates = None
+        if self._spec_wire_eligible(name, new_manifest):
+            # SPEC WIRE (full-fidelity tier): write the Avro manifest
+            # list + manifests to shared storage OURSELVES — engines
+            # always write data and metadata files directly; the REST
+            # catalog's job is only to CAS the pointer — then send a
+            # pointer-only add-snapshot plus set-properties, exactly the
+            # protocol shape apache/iceberg's REST spec defines.  A lost
+            # race leaves the Avro files orphaned (metadata-dir noise,
+            # aged out with the versions); correctness is untouched.
+            import time as _time
+
+            from iceberg_compaction_spark.sources.iceberg_meta import (
+                _snapshot_summary,
+                _uri,
+                _write_snapshot_avro,
+            )
+
+            name_to_id = {
+                f["name"]: f["id"] for f in new_manifest.schema_fields
+            }
+            name_to_type = {
+                f["name"]: f["type"]
+                for f in new_manifest.schema_fields
+                if isinstance(f.get("type"), str)
+            }
+            list_path = _write_snapshot_avro(
+                new_manifest,
+                self._tier[name]["mdir"],
+                new_id,
+                name_to_id,
+                name_to_type,
+            )
+            updates = [
+                {
+                    "action": "add-snapshot",
+                    "snapshot": {
+                        "snapshot-id": new_id,
+                        "sequence-number": new_manifest.sequence_number,
+                        "timestamp-ms": int(_time.time() * 1000),
+                        "summary": _snapshot_summary(
+                            new_manifest,
+                            new_manifest.operation or "overwrite",
+                        ),
+                        "manifest-list": _uri(list_path),
+                        "schema-id": new_manifest.schema_id,
+                    },
+                },
+                {
+                    "action": "set-properties",
+                    "updates": {
+                        str(k): (
+                            v if isinstance(v, (list, dict)) else str(v)
+                        )
+                        for k, v in new_manifest.properties.items()
+                    },
+                },
+            ]
+        if updates is None:
+            updates = [
+                {
+                    "action": "add-snapshot",
+                    "snapshot": {
+                        "snapshot-id": new_id,
+                        "summary": {_MANIFEST_KEY: new_manifest.to_dict()},
+                    },
+                }
+            ]
+        updates.append(
+            {
+                "action": "set-snapshot-ref",
+                "ref-name": MAIN_REF,
+                "type": "branch",
+                "snapshot-id": new_id,
+            }
+        )
         body = {
             "requirements": [
                 {
@@ -206,21 +335,7 @@ class RestCatalog:
                     "snapshot-id": expected_snapshot_id,
                 }
             ],
-            "updates": [
-                {
-                    "action": "add-snapshot",
-                    "snapshot": {
-                        "snapshot-id": new_id,
-                        "summary": {_MANIFEST_KEY: new_manifest.to_dict()},
-                    },
-                },
-                {
-                    "action": "set-snapshot-ref",
-                    "ref-name": MAIN_REF,
-                    "type": "branch",
-                    "snapshot-id": new_id,
-                },
-            ],
+            "updates": updates,
         }
         try:
             out = self._request(
@@ -232,6 +347,7 @@ class RestCatalog:
             # non-HTTP transport failure (HTTP errors are mapped inside
             # _request); includes read timeouts
             return self._reconcile_unknown_commit(name, new_manifest, e)
+        self._note_tier(name, out)
         return self._manifest_from_load(out)
 
     def _reconcile_unknown_commit(
@@ -656,20 +772,47 @@ class _Handler(BaseHTTPRequestHandler):
                 400, "BadRequestException", "missing assert-ref-snapshot-id"
             )
         new_manifest = None
+        spec_snapshot = None
+        set_properties = None
         for upd in body.get("updates", []):
             if upd.get("action") == "add-snapshot":
-                new_manifest = Manifest.from_dict(
-                    upd["snapshot"]["summary"][_MANIFEST_KEY]
-                )
-        if new_manifest is None:
+                snap = upd["snapshot"]
+                if _MANIFEST_KEY in (snap.get("summary") or {}):
+                    new_manifest = Manifest.from_dict(
+                        snap["summary"][_MANIFEST_KEY]
+                    )
+                else:
+                    # spec wire: the client already wrote the Avro
+                    # manifests; this is a pointer-only snapshot
+                    spec_snapshot = snap
+            elif upd.get("action") == "set-properties":
+                set_properties = upd.get("updates") or {}
+        if new_manifest is None and spec_snapshot is None:
             return self._error(
                 400, "BadRequestException", "missing add-snapshot update"
             )
         with self.lock:
             try:
-                committed = self.catalog.commit_table(
-                    name, expected, new_manifest
-                )
+                if new_manifest is not None:
+                    committed = self.catalog.commit_table(
+                        name, expected, new_manifest
+                    )
+                else:
+                    commit_snap = getattr(
+                        self.catalog, "commit_snapshot", None
+                    )
+                    if commit_snap is None:
+                        return self._error(
+                            400,
+                            "BadRequestException",
+                            "this backing cannot accept pointer-only "
+                            "snapshots (no shared storage); embed the "
+                            "engine manifest in the snapshot summary",
+                        )
+                    commit_snap(
+                        name, expected, spec_snapshot, set_properties
+                    )
+                    committed = self.catalog.load_table(name)
             except TableNotFound:
                 return self._error(
                     404, "NoSuchTableException", f"table not found: {name}"

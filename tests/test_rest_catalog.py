@@ -446,3 +446,116 @@ def test_full_fidelity_rest_metadata_tables(spark, tmp_path):
             for r in snapshots_df(spark, client, "t").collect()
         }
         assert set(rows) == {1, 2} and rows[2] == "delete"
+
+
+def test_full_fidelity_commit_uses_spec_wire(spark, tmp_path, monkeypatch):
+    """Round 9: on the full-fidelity tier, a structure-preserving commit
+    goes POINTER-ONLY — the client writes the Avro manifest list itself
+    and the server never sees an engine manifest (commit_table is
+    poisoned to prove the path).  Structural changes (schema evolution)
+    still take the engine-manifest wire."""
+    from iceberg_compaction_spark.sources.iceberg_meta import (
+        IcebergHadoopCatalog,
+        load_iceberg_table,
+    )
+    from iceberg_compaction_spark.sources.ingest import (
+        read_table_mor,
+        upsert,
+    )
+
+    root = str(tmp_path / "base")
+    os.makedirs(root)
+    pq.write_table(
+        pa.table(
+            {
+                "id": pa.array(range(10), type=pa.int64()),
+                "val": [f"v{i}" for i in range(10)],
+            }
+        ),
+        os.path.join(root, "base.parquet"),
+    )
+    backing = IcebergHadoopCatalog(warehouse=str(tmp_path / "wh"))
+    backing.create_table(
+        "h", Manifest.from_parquet_dir(root, sequence_number=1)
+    )
+
+    def _poisoned(self, *a, **k):
+        raise AssertionError(
+            "engine-manifest wire used on the full-fidelity tier"
+        )
+
+    monkeypatch.setattr(IcebergHadoopCatalog, "commit_table", _poisoned)
+    with serve_rest_catalog(backing) as srv:
+        client = RestCatalog(uri=srv.uri)
+        m2 = upsert(
+            spark, client, "h",
+            spark.createDataFrame([(3, "new3"), (77, "v77")], ["id", "val"]),
+            keys=["id"],
+        )
+        assert m2.snapshot_id == 2
+        # properties ride the set-properties update; the snapshot's
+        # manifest-list is the CLIENT-written Avro, readable by the
+        # independent spec path
+        direct = load_iceberg_table(str(tmp_path / "wh" / "h"))
+        got = {
+            r["id"]: r["val"]
+            for r in read_table_mor(spark, direct).collect()
+        }
+        assert got[3] == "new3" and got[77] == "v77" and len(got) == 11
+
+        # CAS conflict surfaces as retryable through the spec wire too
+        stale = client.load_table("h")
+        good = Manifest.from_dict(stale.to_dict())
+        good.snapshot_id = stale.next_snapshot()
+        good.sequence_number = stale.sequence_number + 1
+        client.commit_table("h", stale.snapshot_id, good)
+        loser = Manifest.from_dict(stale.to_dict())
+        loser.snapshot_id = stale.next_snapshot()
+        with pytest.raises(CommitConflict):
+            client.commit_table("h", stale.snapshot_id, loser)
+
+
+def test_full_fidelity_schema_evolution_takes_manifest_wire(spark, tmp_path):
+    """A structural commit (rename) over the full-fidelity tier falls
+    back to the engine-manifest wire so the server recomputes the full
+    TableMetadata (schema history, last-column-id) — and the renamed
+    table still loads via the spec read path."""
+    from iceberg_compaction_spark.sources.iceberg_meta import (
+        IcebergHadoopCatalog,
+        load_iceberg_table,
+    )
+
+    root = str(tmp_path / "base")
+    os.makedirs(root)
+    pq.write_table(
+        pa.table(
+            {
+                "id": pa.array(range(6), type=pa.int64()),
+                "val": [f"v{i}" for i in range(6)],
+            }
+        ),
+        os.path.join(root, "b.parquet"),
+    )
+    backing = IcebergHadoopCatalog(warehouse=str(tmp_path / "wh"))
+    backing.create_table(
+        "h", Manifest.from_parquet_dir(root, sequence_number=1)
+    )
+    with serve_rest_catalog(backing) as srv:
+        client = RestCatalog(uri=srv.uri)
+        cur = client.load_table("h")
+        m2 = Manifest.from_dict(cur.to_dict())
+        m2.evolve_schema(
+            [
+                {**f, "name": "renamed_val"} if f["name"] == "val" else f
+                for f in m2.schema_fields
+            ]
+        )
+        m2.snapshot_id = cur.next_snapshot()
+        m2.operation = "replace"
+        client.commit_table("h", cur.snapshot_id, m2)
+        fresh = load_iceberg_table(str(tmp_path / "wh" / "h"))
+        assert [f["name"] for f in fresh.schema_fields] == [
+            "id",
+            "renamed_val",
+        ]
+        assert fresh.schema_id == m2.schema_id
