@@ -3495,13 +3495,19 @@ def q_dml_partitioned_write(spark, sf_dir):
 
 
 SEMDEDUP_THRESHOLD_PPM = 350000
+# SemDeDup's k is its scale knob (clusters bound the quadratic stage at
+# ~n²/k pairs): a LARGER fixed centroid set than the 4-way IVF init —
+# the paper raises k with corpus size; these ids exist at every sf
+SEMDEDUP_CENTROID_IDS = [
+    1, 2, 3, 5, 7, 11, 13, 17, 19, 23, 29, 31, 37, 41, 43, 47,
+]
 
 
 def _semantic_dedup_sql() -> str:
     cent_case = " ".join(
-        f"WHEN {v} THEN {i}" for i, v in enumerate(IVF_CENTROID_IDS)
+        f"WHEN {v} THEN {i}" for i, v in enumerate(SEMDEDUP_CENTROID_IDS)
     )
-    ids = ", ".join(str(v) for v in IVF_CENTROID_IDS)
+    ids = ", ".join(str(v) for v in SEMDEDUP_CENTROID_IDS)
     return f"""
     WITH cent AS (
       SELECT CASE vec_id {cent_case} END AS cluster_id,
@@ -3541,11 +3547,16 @@ def q_dedup_semantic(spark, sf_dir):
     instead of n², evaluated as a cluster-key equi-join with hoisted
     norms (never a cartesian); assignment is a broadcast argmax with
     map-side combine."""
-    return sim.semantic_dedup(
-        _emb(spark, sf_dir),
-        _centroids(spark, sf_dir),
-        SEMDEDUP_THRESHOLD_PPM,
+    emb = _emb(spark, sf_dir)
+    m = {v: i for i, v in enumerate(SEMDEDUP_CENTROID_IDS)}
+    mapping = F.create_map(*[F.lit(x) for kv in m.items() for x in kv])
+    cents = emb.where(F.col("vec_id").isin(SEMDEDUP_CENTROID_IDS)).select(
+        F.element_at(mapping, F.col("vec_id"))
+        .cast("int")
+        .alias("cluster_id"),
+        "embedding",
     )
+    return sim.semantic_dedup(emb, cents, SEMDEDUP_THRESHOLD_PPM)
 
 
 @register(

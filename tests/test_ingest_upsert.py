@@ -860,3 +860,36 @@ def test_update_where_fans_out_under_partition_spec(spark, tmp_path):
             )
     got = {r["id"]: r["val"] for r in read_table_mor(spark, new).collect()}
     assert got[0] == "upd" and got[1] == "v1" and len(got) == 40
+
+
+def test_update_where_racing_compaction_retries_on_fresh_positions(
+    spark, table, monkeypatch
+):
+    """An UPDATE whose CAS loses to a concurrent compaction must re-run
+    its WHOLE attempt against the fresh head: positions computed on the
+    pre-compaction files are invalid for the rewritten ones, so a blind
+    re-commit would delete the wrong rows.  Orchestrated by injecting a
+    compaction between the update's scan and its commit."""
+    from iceberg_compaction_spark.compaction import Compaction
+    from iceberg_compaction_spark.config import CompactionConfig
+    from iceberg_compaction_spark.sources import ingest as ing
+
+    fired = {"n": 0}
+    real_commit = type(table).commit_table
+
+    def racing_commit(self, name, expected, new_manifest):
+        if fired["n"] == 0:
+            fired["n"] = 1
+            # compaction sneaks in and wins the CAS (rewrites all files)
+            Compaction(
+                spark=spark, config=CompactionConfig.full()
+            ).compact_catalog(table, "t")
+        return real_commit(self, name, expected, new_manifest)
+
+    monkeypatch.setattr(type(table), "commit_table", racing_commit)
+    ing.update_where(spark, table, "t", "id % 3 = 0", {"val": "upper(val)"})
+    got = _rows(spark, table)
+    assert got[0] == "V0" and got[9] == "V9" and got[1] == "v1"
+    assert len(got) == 10
+    # the loser's first attempt really happened (retry path exercised)
+    assert fired["n"] == 1
