@@ -3485,7 +3485,10 @@ def q_dml_partitioned_write(spark, sf_dir):
     Scale shape: routing is per-batch Arrow compute on executors; each
     partition's stream rolls on real compressed bytes; the read prunes
     by partition at plan time when predicates allow."""
+    from iceberg_compaction_spark.sources.datasource import register as _reg
+
     wh = syn.partitioned_write_warehouse(spark, sf_dir)
+    _reg(spark)  # idempotent; the fixture may be cached from a prior session
     return (
         spark.read.format("iceberg-table")
         .option("warehouse", wh)

@@ -331,12 +331,27 @@ def _write_dml_data_files(
     if spec and spark_native_paths([cur.table_root]):
         from iceberg_compaction_spark.config import WriterConfig
         from iceberg_compaction_spark.sources.writer import (
+            SortField,
             write_sized_parquet,
         )
 
+        # the table's DECLARED sort order applies to every new data
+        # file (Iceberg writers sort on write; compaction converges the
+        # rest) — same default compaction._effective_sort uses
+        order = [
+            SortField(
+                column=f["source"],
+                ascending=f.get("direction") != "desc",
+                nulls_first={
+                    "nulls-first": True,
+                    "nulls-last": False,
+                }.get(f.get("null-order")),
+            )
+            for f in (cur.sort_order or [])
+        ] or None
         out_dir = os.path.join(cur.table_root, f"{base}-data")
         tasks = write_sized_parquet(
-            df, out_dir, WriterConfig(), partition_spec=spec
+            df, out_dir, WriterConfig(), sort_order=order, partition_spec=spec
         )
         for t in tasks:
             t.spec_id = cur.default_spec_id

@@ -131,7 +131,17 @@ def write_sized_parquet(
     elif zcode is not None:
         df = df.repartitionByRange(zcode)
     if sort_order:
-        df = df.sortWithinPartitions(*[s.to_column() for s in sort_order])
+        # partition columns FIRST: Spark's dynamic-partition write path
+        # requires rows ordered by the partition expressions and ADDS a
+        # (non-stable) sort when the child's ordering doesn't satisfy
+        # it — which would silently destroy the data sort inside each
+        # partition.  Leading with the fan-out columns satisfies the
+        # required ordering, so no extra sort is injected and each
+        # partition run keeps the declared order.
+        pre = [F.col(c) for c in (partition_by or [])]
+        df = df.sortWithinPartitions(
+            *pre, *[s.to_column() for s in sort_order]
+        )
     elif zcode is not None:
         df = df.sortWithinPartitions(zcode)
 

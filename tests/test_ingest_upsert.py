@@ -893,3 +893,38 @@ def test_update_where_racing_compaction_retries_on_fresh_positions(
     assert len(got) == 10
     # the loser's first attempt really happened (retry path exercised)
     assert fired["n"] == 1
+
+
+def test_update_where_applies_declared_sort_order(spark, tmp_path):
+    """New data files from a partitioned UPDATE honor the table's
+    DECLARED sort order (Iceberg writers sort on write)."""
+    from iceberg_compaction_spark.sources.ingest import update_where
+
+    root = str(tmp_path / "stbl")
+    os.makedirs(root)
+    ids = [9, 3, 7, 1, 5, 0, 8, 2, 6, 4] * 4
+    pq.write_table(
+        pa.table({
+            "id": pa.array(ids, type=pa.int64()),
+            "grp": pa.array([i % 2 for i in range(40)], type=pa.int64()),
+            "val": [f"v{i}" for i in range(40)],
+        }),
+        os.path.join(root, "base.parquet"),
+    )
+    cat = FileCatalog(warehouse=str(tmp_path / "swh"))
+    m = Manifest.from_parquet_dir(root, sequence_number=1)
+    m.partition_spec = [
+        {"source": "grp", "transform": "identity", "name": "grp"}
+    ]
+    m.default_spec_id = 1
+    m.sort_order = [
+        {"source": "id", "direction": "asc", "null-order": "nulls-last"}
+    ]
+    cat.create_table("s", m)
+
+    new = update_where(spark, cat, "s", "val LIKE 'v%'", {"val": "'u'"})
+    added = [t for t in new.data_files if t.sequence_number == 2]
+    assert added
+    for t in added:
+        got = [r["id"] for r in spark.read.parquet(t.data_file_path).collect()]
+        assert got == sorted(got), t.data_file_path

@@ -156,3 +156,46 @@ def test_exported_snapshot_carries_summary_totals(tmp_path):
             sum(t.file_size_in_bytes for t in m.data_files)
         ),
     }
+
+
+def test_partitioned_rewrite_preserves_declared_sort(spark, tmp_path):
+    """Round-9 regression: Spark's dynamic-partition write path injects
+    a NON-STABLE sort by partition key when the child's ordering doesn't
+    satisfy it — which used to destroy the declared data sort inside
+    each partition of a sorted, partitioned compaction rewrite.  The
+    writer now leads the task sort with the fan-out columns, so every
+    output file is internally sorted."""
+    import os
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from iceberg_compaction_spark.compaction import Compaction
+    from iceberg_compaction_spark.config import CompactionConfig
+    from iceberg_compaction_spark.sources.manifest import Manifest
+
+    root = str(tmp_path / "t")
+    os.makedirs(root)
+    ids = [9, 3, 7, 1, 5, 0, 8, 2, 6, 4] * 8
+    pq.write_table(
+        pa.table({
+            "id": pa.array(ids, type=pa.int64()),
+            "grp": pa.array([i % 2 for i in range(80)], type=pa.int64()),
+        }),
+        os.path.join(root, "base.parquet"),
+    )
+    m = Manifest.from_parquet_dir(root, sequence_number=1)
+    m.partition_spec = [
+        {"source": "grp", "transform": "identity", "name": "grp"}
+    ]
+    m.default_spec_id = 1
+    m.sort_order = [
+        {"source": "id", "direction": "asc", "null-order": "nulls-last"}
+    ]
+    new, _ = Compaction(spark=spark, config=CompactionConfig.full()).compact(m)
+    assert len(new.data_files) >= 2  # one per partition
+    for t in new.data_files:
+        got = [
+            r["id"] for r in spark.read.parquet(t.data_file_path).collect()
+        ]
+        assert got == sorted(got), t.data_file_path
