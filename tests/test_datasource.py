@@ -1720,3 +1720,69 @@ def test_stream_cdc_over_update_and_merge_commits(spark, cat, tmp_path):
         (9, "v9", "delete"),
         (400, "v400", "insert"),
     ]
+
+
+def test_stream_upsert_sink_fans_out_partitioned_table(spark, tmp_path):
+    """The upsert sink composes with partition fan-out: data files land
+    per partition with tuples in the manifest, and the batch's equality
+    delete still applies across all partitions."""
+    from iceberg_compaction_spark.plans.datamodel import EQUALITY_DELETE
+
+    root = str(tmp_path / "ptbl")
+    os.makedirs(root)
+    pq.write_table(
+        pa.table({
+            "id": pa.array(range(20), type=pa.int64()),
+            "grp": pa.array([i % 2 for i in range(20)], type=pa.int64()),
+            "val": [f"v{i}" for i in range(20)],
+        }),
+        os.path.join(root, "base.parquet"),
+    )
+    cat = FileCatalog(warehouse=str(tmp_path / "pwh"))
+    m = Manifest.from_parquet_dir(root, sequence_number=1)
+    m.partition_spec = [
+        {"source": "grp", "transform": "identity", "name": "grp"}
+    ]
+    m.default_spec_id = 1
+    cat.create_table("t", m)
+    register(spark)
+
+    src_dir = tmp_path / "src"
+    os.makedirs(src_dir)
+    pq.write_table(
+        pa.table({
+            "id": pa.array([2, 3, 100, 101], type=pa.int64()),
+            "grp": pa.array([0, 1, 0, 1], type=pa.int64()),
+            "val": ["two-u", "three-u", "h0", "h1"],
+        }),
+        os.path.join(str(src_dir), "in0.parquet"),
+    )
+    q = (
+        spark.readStream.schema("id long, grp long, val string")
+        .parquet(str(src_dir))
+        .writeStream.format("iceberg-table")
+        .option("warehouse", cat.warehouse)
+        .option("table", "t")
+        .option("mode", "upsert")
+        .option("upsert_keys", "id")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+
+    m2 = cat.load_table("t")
+    added = [t for t in m2.data_files if t.sequence_number == 2]
+    assert added and all(len(t.partition) == 1 for t in added)
+    assert {str(t.partition[0]) for t in added} == {"0", "1"}
+    eq = [
+        d
+        for t in m2.data_files
+        for d in t.deletes
+        if d.content == EQUALITY_DELETE
+    ]
+    assert eq  # applies to the pre-existing files across partitions
+    got = {r["id"]: r["val"] for r in _batch(spark, cat).collect()}
+    assert got[2] == "two-u" and got[3] == "three-u"
+    assert got[100] == "h0" and got[101] == "h1"
+    assert got[4] == "v4" and len(got) == 22
