@@ -284,7 +284,19 @@ def prune_tasks_by_partition(
                     cells = {transform_value(tr, x) for x in v}
             except (ValueError, TypeError, AttributeError):
                 continue  # value the transform can't take: no pruning
-            if part[i] not in cells:
+            # cells are NATIVE transform outputs, but recorded partition
+            # values arrive in two representations: native (Arrow write
+            # path) or hive-path STRINGS (sized fan-out writer) — a raw
+            # `not in` across those types wrongly pruned every
+            # compaction-written file (str "2" != int 2: silent missing
+            # rows).  Match on either representation; unparseable or
+            # null cells never prune.
+            pv = part[i]
+            if pv is None:
+                continue
+            if pv not in cells and str(pv) not in {
+                str(c) for c in cells
+            }:
                 keep = False
                 break
         if keep:

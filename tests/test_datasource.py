@@ -1786,3 +1786,48 @@ def test_stream_upsert_sink_fans_out_partitioned_table(spark, tmp_path):
     assert got[2] == "two-u" and got[3] == "three-u"
     assert got[100] == "h0" and got[101] == "h1"
     assert got[4] == "v4" and len(got) == 22
+
+
+def test_predicate_read_after_partitioned_compaction(spark, tmp_path):
+    """Round-9 regression (silent missing rows): compaction records
+    partition cells as hive-path STRINGS while the DataSource's Arrow
+    writer records natives; the partition-transform pruning tier used a
+    raw set-membership across those types, so an eq predicate on the
+    partition source pruned every compaction-written file.  The
+    comparison is now representation-tolerant."""
+    from iceberg_compaction_spark.compaction import Compaction
+    from iceberg_compaction_spark.config import CompactionConfig
+
+    root = str(tmp_path / "t")
+    os.makedirs(root)
+    for tag, lo in (("a", 0), ("b", 40)):
+        pq.write_table(
+            pa.table({
+                "id": pa.array(range(lo, lo + 40), type=pa.int64()),
+                "val": [f"v{i}" for i in range(lo, lo + 40)],
+            }),
+            os.path.join(root, f"{tag}.parquet"),
+        )
+    cat = FileCatalog(warehouse=str(tmp_path / "wh"))
+    m = Manifest.from_parquet_dir(root, sequence_number=1)
+    m.partition_spec = [
+        {"source": "id", "transform": "bucket[4]", "name": "id_bucket"}
+    ]
+    m.default_spec_id = 1
+    cat.create_table("t", m)
+    Compaction(spark=spark, config=CompactionConfig.full()).compact_catalog(
+        cat, "t"
+    )
+    # every data file is now compaction-written (string partition cells)
+    cur = cat.load_table("t")
+    assert all(isinstance(t.partition[0], str) for t in cur.data_files)
+    register(spark)
+    got = (
+        spark.read.format("iceberg-table")
+        .option("warehouse", cat.warehouse)
+        .option("table", "t")
+        .load()
+        .where("id = 42")
+        .collect()
+    )
+    assert [(r["id"], r["val"]) for r in got] == [(42, "v42")]
