@@ -205,6 +205,18 @@ def transform_column(field: PartitionField, df: DataFrame) -> Column:
     return out.alias(field.column_name)
 
 
+def json_safe_cell(v):
+    """Normalize one partition-cell value to a JSON-serializable form
+    for manifest storage: primitives pass through; temporal/binary
+    values stringify via ``str()`` — the SAME representation
+    ``prune_tasks_by_partition``'s tolerant comparison applies to the
+    planner's native ``transform_value`` output, so write-side cells
+    and prune-side cells always meet."""
+    if v is None or isinstance(v, (bool, int, float, str)):
+        return v
+    return str(v)
+
+
 def with_partition_columns(
     df: DataFrame, spec: list[PartitionField]
 ) -> tuple[DataFrame, list[str]]:

@@ -1558,11 +1558,15 @@ class _AppendWriter(DataSourceArrowWriter):
         import numpy as np
 
         from iceberg_compaction_spark.functions.transforms import (
+            json_safe_cell,
             transform_array,
         )
 
         cols = [
-            transform_array(tr, batch.column(src)).to_pylist()
+            [
+                json_safe_cell(v)
+                for v in transform_array(tr, batch.column(src)).to_pylist()
+            ]
             for src, tr, _ in self._spec
         ]
         keys = list(zip(*cols))

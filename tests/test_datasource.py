@@ -1831,3 +1831,51 @@ def test_predicate_read_after_partitioned_compaction(spark, tmp_path):
         .collect()
     )
     assert [(r["id"], r["val"]) for r in got] == [(42, "v42")]
+
+
+def test_write_identity_partition_on_date_column(spark, tmp_path):
+    """Round-9 regression: identity-partitioning on a DATE column used
+    to crash the write commit (datetime.date in the manifest's partition
+    tuple is not JSON serializable).  Cells now normalize to their str()
+    form, which the pruning tier's tolerant comparison still matches."""
+    root = str(tmp_path / "data")
+    cat = FileCatalog(warehouse=str(tmp_path / "wh"))
+    cat.create_table(
+        "t",
+        Manifest(
+            table_root=root,
+            snapshot_id=1,
+            sequence_number=1,
+            operation="append",
+            partition_spec=[
+                {"source": "d", "transform": "identity", "name": "d"}
+            ],
+        ),
+    )
+    register(spark)
+    (
+        spark.createDataFrame(
+            [("2024-03-01", 1), ("2024-03-02", 2)], "ds string, id long"
+        )
+        .selectExpr("to_date(ds) as d", "id")
+        .write.format("iceberg-table")
+        .option("warehouse", cat.warehouse)
+        .option("table", "t")
+        .option("schema", "d date, id long")
+        .mode("append")
+        .save()
+    )
+    m = cat.load_table("t")
+    assert {t.partition[0] for t in m.data_files} == {
+        "2024-03-01",
+        "2024-03-02",
+    }
+    df = (
+        spark.read.format("iceberg-table")
+        .option("warehouse", cat.warehouse)
+        .option("table", "t")
+        .load()
+    )
+    assert sorted(r["id"] for r in df.collect()) == [1, 2]
+    got = df.where("d = DATE'2024-03-02'").collect()
+    assert [(str(r["d"]), r["id"]) for r in got] == [("2024-03-02", 2)]
