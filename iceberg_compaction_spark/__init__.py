@@ -28,6 +28,7 @@ from iceberg_compaction_spark.plans.datamodel import (
     FileGroup,
     FileScanTask,
 )
+from iceberg_compaction_spark.sources.catalog import catalog_from_options
 
 __all__ = [
     "CompactionConfig",
@@ -37,6 +38,7 @@ __all__ = [
     "DeleteFile",
     "FileGroup",
     "FileScanTask",
+    "catalog_from_options",
 ]
 
 __version__ = "0.1.0"

@@ -110,12 +110,20 @@ class FileCatalog:
         return registered
 
     def load_table(self, name: str) -> Manifest:
-        """Current table state: the highest committed version (the hint
-        file is an optimization; the directory scan is authoritative,
-        matching HadoopTableOperations' fallback)."""
+        """Current table state.  When ``main`` is a pinned ref (any
+        branch-targeted commit pins it — see :meth:`commit_table`), the
+        pinned snapshot IS the table: branch commits allocate higher
+        storage versions without becoming visible here until a
+        fast-forward publishes them (write-audit-publish).  Otherwise
+        the highest committed version is current (the hint file is an
+        optimization; the directory scan is authoritative, matching
+        HadoopTableOperations' fallback)."""
         v = self._current_version(name)
         if v == 0:
             raise TableNotFound(name)
+        main = self.list_refs(name).get("main")
+        if main:
+            v = main["snapshot_id"]
         return Manifest.from_dict(
             json.loads(self._io.read_bytes(self._version_path(name, v)))
         )
@@ -189,46 +197,94 @@ class FileCatalog:
         return expired
 
     # ---- refs: tags and branches (Iceberg table refs) -------------------
+    #
+    # Refs live in VERSIONED files (``refs.v<K>.json``) created with
+    # O_CREAT|O_EXCL, so every ref mutation is an atomic
+    # read-modify-write: concurrent movers (two branch commits, a tag
+    # create racing a fast-forward) can never lose each other's update —
+    # the loser of the exclusive create re-reads and re-applies.  This
+    # is the same CAS primitive the version files use, applied to the
+    # ref map (real Iceberg keeps refs INSIDE TableMetadata so the
+    # metadata swap covers them; a separate CASed file gives the same
+    # guarantee without bumping the table version on ref-only changes).
 
     def _refs_path(self, name: str) -> str:
+        # legacy single-file location (pre-round-10 warehouses): read
+        # as version 0 when no versioned refs file exists yet
         return self._io.join(self._metadata_dir(name), "refs.json")
+
+    def _refs_vpath(self, name: str, k: int) -> str:
+        return self._io.join(self._metadata_dir(name), f"refs.v{k}.json")
+
+    def _refs_state(self, name: str) -> tuple[int, dict]:
+        """(refs version K, refs map) — highest ``refs.v<K>.json``,
+        falling back to the legacy ``refs.json`` (as K=0), else empty."""
+        io = self._io
+        mdir = self._metadata_dir(name)
+        if not io.is_dir(mdir):
+            raise TableNotFound(name)
+        ks = [
+            int(n[6:].split(".", 1)[0])
+            for n in io.listdir(mdir)
+            if n.startswith("refs.v") and n.endswith(".json")
+        ]
+        if ks:
+            k = max(ks)
+            return k, json.loads(io.read_bytes(self._refs_vpath(name, k)))
+        try:
+            return 0, json.loads(io.read_bytes(self._refs_path(name)))
+        except FileNotFoundError:
+            return 0, {}
 
     def list_refs(self, name: str) -> dict[str, dict]:
         """All named refs: ``{ref_name: {"type": "tag"|"branch",
         "snapshot_id": int}}``."""
-        if not self.table_exists(name):
-            raise TableNotFound(name)
-        try:
-            return json.loads(self._io.read_bytes(self._refs_path(name)))
-        except FileNotFoundError:
-            return {}
+        return self._refs_state(name)[1]
 
-    def _write_refs(self, name: str, refs: dict[str, dict]) -> None:
-        self._io.write_atomic(
-            self._refs_path(name), json.dumps(refs, indent=1).encode()
-        )
+    def _refs_cas(self, name: str, mutate) -> dict[str, dict]:
+        """Atomically apply ``mutate(refs) -> refs`` to the ref map.
+        ``mutate`` sees the freshest map on every attempt and may raise
+        to abort (its exception propagates un-retried — validation
+        failures are not contention)."""
+        from iceberg_compaction_spark.commit import CommitConflict
+
+        for _ in range(64):
+            k, refs = self._refs_state(name)
+            new_refs = mutate(dict(refs))
+            payload = json.dumps(new_refs, indent=1).encode()
+            if self._io.create_exclusive(
+                self._refs_vpath(name, k + 1), payload
+            ):
+                return new_refs
+        raise CommitConflict(f"{name}: refs CAS contention (64 attempts)")
 
     def _set_ref(
         self, name: str, ref: str, ref_type: str, snapshot_id: int | None
     ) -> dict:
-        sid = (
-            self._current_version(name) if snapshot_id is None else snapshot_id
-        )
-        if sid not in self.table_history(name):
-            raise TableNotFound(f"{name}@{sid}")
-        refs = self.list_refs(name)
-        existing = refs.get(ref)
-        if existing and existing["type"] == "tag":
-            raise ValueError(
-                f"ref {ref!r} is a tag (immutable); drop it to re-point"
-            )
-        if existing and existing["type"] != ref_type:
-            raise ValueError(
-                f"ref {ref!r} is a {existing['type']}, not a {ref_type}"
-            )
-        refs[ref] = {"type": ref_type, "snapshot_id": sid}
-        self._write_refs(name, refs)
-        return refs[ref]
+        history = self.table_history(name)
+
+        def mutate(refs: dict) -> dict:
+            sid = snapshot_id
+            if sid is None:
+                # "current head": the pinned main ref when present,
+                # else the highest committed version
+                main = refs.get("main")
+                sid = main["snapshot_id"] if main else max(history)
+            if sid not in history:
+                raise TableNotFound(f"{name}@{sid}")
+            existing = refs.get(ref)
+            if existing and existing["type"] == "tag":
+                raise ValueError(
+                    f"ref {ref!r} is a tag (immutable); drop it to re-point"
+                )
+            if existing and existing["type"] != ref_type:
+                raise ValueError(
+                    f"ref {ref!r} is a {existing['type']}, not a {ref_type}"
+                )
+            refs[ref] = {"type": ref_type, "snapshot_id": sid}
+            return refs
+
+        return self._refs_cas(name, mutate)[ref]
 
     def create_tag(
         self, name: str, tag: str, snapshot_id: int | None = None
@@ -251,11 +307,18 @@ class FileCatalog:
     def fast_forward(self, name: str, branch: str, snapshot_id: int) -> dict:
         """Move a branch forward to a newer snapshot — the publish step
         of write-audit-publish: stage commits, audit the branch, then
-        fast-forward the consumer branch to the audited snapshot."""
+        fast-forward the consumer branch to the audited snapshot.
+        ``fast_forward(name, "main", sid)`` publishes to readers even
+        when main was never explicitly created: it pins the implicit
+        main ref at the target."""
         refs = self.list_refs(name)
-        if branch not in refs:
+        if branch not in refs and branch != "main":
             raise KeyError(f"no such branch: {branch!r}")
-        cur = refs[branch]["snapshot_id"]
+        cur = (
+            refs[branch]["snapshot_id"]
+            if branch in refs
+            else self._current_version(name)
+        )
         if snapshot_id < cur:
             raise ValueError(
                 f"fast-forward must move forward: {branch!r} at {cur}, "
@@ -264,11 +327,13 @@ class FileCatalog:
         return self._set_ref(name, branch, "branch", snapshot_id)
 
     def drop_ref(self, name: str, ref: str) -> None:
-        refs = self.list_refs(name)
-        if ref not in refs:
-            raise KeyError(f"no such ref: {ref!r}")
-        del refs[ref]
-        self._write_refs(name, refs)
+        def mutate(refs: dict) -> dict:
+            if ref not in refs:
+                raise KeyError(f"no such ref: {ref!r}")
+            del refs[ref]
+            return refs
+
+        self._refs_cas(name, mutate)
 
     def load_table_ref(self, name: str, ref: str) -> Manifest:
         """Read the table as of a named ref — ``load_table_at`` with a
@@ -291,36 +356,148 @@ class FileCatalog:
         return remove_orphan_files_for(self, name, scan_root, older_than_s)
 
     def commit_table(
-        self, name: str, expected_snapshot_id: int, new_manifest: Manifest
+        self,
+        name: str,
+        expected_snapshot_id: int,
+        new_manifest: Manifest,
+        to_branch: str | None = None,
     ):
-        """CAS commit: publish ``new_manifest`` as the next version iff
-        the head is still ``expected_snapshot_id``.
+        """CAS commit: publish ``new_manifest`` as the next snapshot of
+        the target ref iff that ref is still at ``expected_snapshot_id``.
+
+        Three regimes, all built on the exclusive version-file create:
+
+        - **unpinned main** (no branch commit ever happened; ``main``
+          absent from refs, ``to_branch`` unset): exactly the classic
+          protocol — the exclusive create of ``v<expected+1>`` IS the
+          compare-and-swap; version == snapshot id.
+        - **``to_branch=B``** (the reference's branch-targeted commit,
+          ``core/src/compaction/mod.rs:97,1307-1336``): the snapshot is
+          stored as the next free version (exclusive create — storage
+          allocation, not the consistency check), then a refs-CAS moves
+          ``B`` from ``expected_snapshot_id`` to the new snapshot.  The
+          FIRST branch commit pins ``main`` at its pre-commit head in
+          the SAME refs write, so ``load_table`` provably never sees
+          branch snapshots until a fast-forward publishes them.  The
+          catalog owns the allocated snapshot id on this path (the
+          caller's ``new_manifest.snapshot_id`` is overwritten).
+        - **pinned main** (``main`` in refs, ``to_branch`` unset): same
+          allocate-then-move shape with ``main`` as the target ref.
 
         Raises ``commit.CommitConflict`` (retryable) when another writer
-        got there first — either the head moved past ``expected`` or the
-        exclusive create of the next version file loses the race.
+        got there first — the target ref moved past ``expected``, or the
+        classic path's exclusive create lost its race.  A snapshot
+        allocated for a commit that then loses the refs-CAS is unlinked
+        best-effort (and would age out as an orphan regardless).
+
+        Caveat (documented, not load-bearing for WAP): the transition
+        from unpinned to pinned main is not atomic against concurrent
+        UNPINNED main commits — create branches before opening the
+        table to concurrent writers, which is the write-audit-publish
+        pattern anyway.
         """
+        import contextlib as _ctx
+
         from iceberg_compaction_spark.commit import CommitConflict
 
-        new_version = expected_snapshot_id + 1
-        if new_manifest.snapshot_id != new_version:
-            raise ValueError(
-                f"new manifest snapshot {new_manifest.snapshot_id} != "
-                f"expected head {expected_snapshot_id} + 1"
-            )
-        current = self._current_version(name)
-        if current == 0:
-            raise TableNotFound(name)
-        if current != expected_snapshot_id:
+        refs = self.list_refs(name)
+        if to_branch == "main":
+            to_branch = None  # main targeting is the default path
+        if to_branch is not None:
+            ref = refs.get(to_branch)
+            if ref is None:
+                raise KeyError(
+                    f"no such branch: {to_branch!r} (create_branch first)"
+                )
+            if ref["type"] != "branch":
+                raise ValueError(
+                    f"ref {to_branch!r} is a {ref['type']}, not a branch"
+                )
+        pinned = to_branch is not None or "main" in refs
+        if not pinned:
+            # classic protocol: version == snapshot id == expected + 1
+            new_version = expected_snapshot_id + 1
+            if new_manifest.snapshot_id != new_version:
+                raise ValueError(
+                    f"new manifest snapshot {new_manifest.snapshot_id} != "
+                    f"expected head {expected_snapshot_id} + 1"
+                )
+            current = self._current_version(name)
+            if current == 0:
+                raise TableNotFound(name)
+            if current != expected_snapshot_id:
+                raise CommitConflict(
+                    f"{name}: head at v{current}, commit expected "
+                    f"v{expected_snapshot_id}"
+                )
+            try:
+                self._write_version(name, new_manifest, exclusive=True)
+            except FileExistsError:
+                raise CommitConflict(
+                    f"{name}: lost CAS race for v{new_version}"
+                ) from None
+            return new_manifest
+
+        # ref-targeted: check the TARGET REF's head, not the storage head
+        target = to_branch or "main"
+        cur_ref = refs.get(target)
+        cur_sid = (
+            cur_ref["snapshot_id"]
+            if cur_ref is not None
+            else self._current_version(name)
+        )
+        if cur_sid != expected_snapshot_id:
             raise CommitConflict(
-                f"{name}: head at v{current}, commit expected v{expected_snapshot_id}"
+                f"{name}: ref {target!r} at {cur_sid}, commit expected "
+                f"{expected_snapshot_id}"
             )
+        # pin main's pre-commit position before allocating, so the pin
+        # value can never include this commit
+        pre_main = (
+            refs["main"]["snapshot_id"]
+            if "main" in refs
+            else self._current_version(name)
+        )
+        # storage allocation: next free version, retried under contention
+        # (losing this create is NOT a consistency conflict — the target
+        # ref is re-checked in the refs-CAS below)
+        allocated = 0
+        for _ in range(64):
+            v = self._current_version(name) + 1
+            new_manifest.snapshot_id = v
+            try:
+                self._write_version(name, new_manifest, exclusive=True)
+                allocated = v
+                break
+            except FileExistsError:
+                continue
+        if not allocated:
+            raise CommitConflict(
+                f"{name}: version allocation contention (64 attempts)"
+            )
+
+        def mutate(r: dict) -> dict:
+            now = r.get(target, {}).get("snapshot_id")
+            if now is None and target == "main":
+                now = pre_main  # main still implicit: pin below
+            if now != expected_snapshot_id:
+                raise CommitConflict(
+                    f"{name}: ref {target!r} moved to {now} during "
+                    f"commit (expected {expected_snapshot_id})"
+                )
+            r[target] = {"type": "branch", "snapshot_id": allocated}
+            if "main" not in r:
+                # first branch commit: freeze main where it was
+                r["main"] = {"type": "branch", "snapshot_id": pre_main}
+            return r
+
         try:
-            self._write_version(name, new_manifest, exclusive=True)
-        except FileExistsError:
-            raise CommitConflict(
-                f"{name}: lost CAS race for v{new_version}"
-            ) from None
+            self._refs_cas(name, mutate)
+        except CommitConflict:
+            # the allocated snapshot never became referenced: unlink it
+            with _ctx.suppress(FileNotFoundError):
+                self._io.remove(self._version_path(name, allocated))
+            raise
         return new_manifest
 
     # ---- internals -----------------------------------------------------
@@ -383,6 +560,63 @@ class FileCatalog:
             io.write_bytes(path, payload)
         # hint update is advisory (readers rescan on staleness)
         io.write_atomic(self._hint_path(name), str(manifest.snapshot_id).encode())
+
+
+def catalog_from_options(options) -> object:
+    """ONE catalog-resolution rule for every options-driven surface —
+    the ``iceberg-table`` DataSource (all read/write/stream paths) and
+    any caller holding DataSource-style string options.  The reference
+    is REST-first end-to-end (its integration tier drives compaction
+    through a REST catalog + object store,
+    ``integration-tests/src/integration_tests.rs:38-579``); this factory
+    is what lets ``spark.read.format("iceberg-table")`` reach the same
+    backends the engine API already supports:
+
+    - ``catalog=file`` (default): the engine-native versioned-JSON
+      layout (:class:`FileCatalog`); needs ``warehouse``.
+    - ``catalog=hadoop``: the REAL Iceberg on-disk layout — genuine
+      ``v<N>.metadata.json`` + Avro manifests
+      (:class:`~.iceberg_meta.IcebergHadoopCatalog`); needs
+      ``warehouse``.  Note: named refs / timestamp time travel are not
+      implemented on this backend yet.
+    - ``catalog=rest``: an Iceberg-REST-protocol server
+      (:class:`~.rest_catalog.RestCatalog`); needs ``uri``; honors
+      ``namespace`` and ``token``.
+
+    Everything the factory consumes is a plain string, so holders can
+    keep the option dict and stay picklable (the DataSource reader
+    objects ship to executors; catalog construction itself only ever
+    happens driver-side).
+    """
+    kind = str(options.get("catalog", "file") or "file").lower()
+    if kind == "file":
+        if "warehouse" not in options:
+            raise ValueError("catalog=file needs option 'warehouse'")
+        return FileCatalog(warehouse=options["warehouse"])
+    if kind == "hadoop":
+        from iceberg_compaction_spark.sources.iceberg_meta import (
+            IcebergHadoopCatalog,
+        )
+
+        if "warehouse" not in options:
+            raise ValueError("catalog=hadoop needs option 'warehouse'")
+        return IcebergHadoopCatalog(warehouse=options["warehouse"])
+    if kind == "rest":
+        from iceberg_compaction_spark.sources.rest_catalog import RestCatalog
+
+        uri = options.get("uri")
+        if not uri:
+            raise ValueError(
+                "catalog=rest needs option 'uri' (server base URL)"
+            )
+        return RestCatalog(
+            uri=uri,
+            namespace=options.get("namespace", "default"),
+            token=options.get("token"),
+        )
+    raise ValueError(
+        f"unknown catalog kind {kind!r}; expected one of file|hadoop|rest"
+    )
 
 
 def remove_orphan_files_for(

@@ -95,6 +95,22 @@ def _ddl_from_file(path: str) -> str:
     return ", ".join(fields)
 
 
+#: option keys that pick and parameterize the catalog backend — kept as
+#: one tuple so every surface (batch read, metadata read, streaming
+#: read, all three writers) resolves through the SAME factory with the
+#: same option names (catalog_from_options in sources/catalog.py)
+_CATALOG_OPTION_KEYS = ("catalog", "warehouse", "uri", "namespace", "token")
+
+
+def _catalog_options(options) -> dict:
+    """Project the catalog-relevant options into a plain picklable dict
+    (Spark's option mapping is not guaranteed picklable, and readers
+    ship to executors)."""
+    return {
+        k: options[k] for k in _CATALOG_OPTION_KEYS if options.get(k)
+    }
+
+
 @dataclass
 class _FilePartition(InputPartition):
     """One data file + the delete content that applies to it.  Plain
@@ -810,12 +826,14 @@ class _MetadataReader(DataSourceReader):
         self._options = options
 
     def partitions(self):
-        from iceberg_compaction_spark.sources.catalog import FileCatalog
+        from iceberg_compaction_spark.sources.catalog import (
+            catalog_from_options,
+        )
         from iceberg_compaction_spark.sources.metadata_tables import (
             metadata_rows,
         )
 
-        cat = FileCatalog(warehouse=self._options["warehouse"])
+        cat = catalog_from_options(self._options)
         table = self._options["table"]
         snap = self._options.get("snapshot_id")
         ref = self._options.get("ref")
@@ -865,7 +883,10 @@ class _BatchReader(DataSourceReader):
     """
 
     def __init__(self, options):
-        self._wh = options["warehouse"]
+        # catalog-relevant options only, as a plain picklable dict (the
+        # reader object ships to executors; the catalog itself is only
+        # ever constructed driver-side in partitions())
+        self._copts = _catalog_options(options)
         self._table = options["table"]
         self._snapshot = options.get("snapshot_id")
         self._ref = options.get("ref")
@@ -887,9 +908,11 @@ class _BatchReader(DataSourceReader):
 
     def partitions(self):
         from iceberg_compaction_spark.plans import pruning as pr
-        from iceberg_compaction_spark.sources.catalog import FileCatalog
+        from iceberg_compaction_spark.sources.catalog import (
+            catalog_from_options,
+        )
 
-        cat = FileCatalog(warehouse=self._wh)
+        cat = catalog_from_options(self._copts)
         m = _resolve_manifest(
             cat, self._table, self._snapshot, self._ref, self._as_of
         )
@@ -951,7 +974,11 @@ class _ChangesStreamReader(DataSourceStreamReader):
     """
 
     def __init__(self, options):
-        self._wh = options["warehouse"]
+        self._copts = _catalog_options(options)
+        # floor-sidecar root: the warehouse when given; REST-catalog
+        # readers (no local warehouse option) fall back to the table's
+        # data root, resolved lazily in _floor_root()
+        self._wh = options.get("warehouse")
         self._table = options["table"]
         self._starting = options.get("starting_snapshot")
         self._skip_overwrites = (
@@ -995,12 +1022,24 @@ class _ChangesStreamReader(DataSourceStreamReader):
             tag = "auto-" + _hashlib.md5(basis.encode()).hexdigest()[:12]
         self._tag = tag
 
+    def _floor_root(self) -> str:
+        if self._wh:
+            return self._wh
+        # catalog=rest: no local warehouse option — the sidecar lives
+        # next to the data, under the table root the catalog serves
+        if getattr(self, "_floor_root_cache", None) is None:
+            self._floor_root_cache = self._catalog().load_table(
+                self._table
+            ).table_root
+        return self._floor_root_cache
+
     def _floor_path(self):
         from iceberg_compaction_spark.sources.fileio import fileio_for
 
-        io = fileio_for(self._wh)
+        root = self._floor_root()
+        io = fileio_for(root)
         return io, io.join(
-            self._wh, "_streaming_floor", f"{self._table}.{self._tag}.json"
+            root, "_streaming_floor", f"{self._table}.{self._tag}.json"
         )
 
     def _save_floor(self, floor: int) -> None:
@@ -1009,7 +1048,7 @@ class _ChangesStreamReader(DataSourceStreamReader):
         import json as _json
 
         io, p = self._floor_path()
-        io.makedirs(io.join(self._wh, "_streaming_floor"))
+        io.makedirs(io.join(self._floor_root(), "_streaming_floor"))
         # max-merge: the sidecar is monotonic even if a lagging reader
         # (shared derived tag — see __init__ caveat) writes after a
         # faster one
@@ -1030,9 +1069,11 @@ class _ChangesStreamReader(DataSourceStreamReader):
             return None
 
     def _catalog(self):
-        from iceberg_compaction_spark.sources.catalog import FileCatalog
+        from iceberg_compaction_spark.sources.catalog import (
+            catalog_from_options,
+        )
 
-        return FileCatalog(warehouse=self._wh)
+        return catalog_from_options(self._copts)
 
     def initialOffset(self):
         if self._starting == "earliest":
@@ -1223,7 +1264,9 @@ class IcebergTableDataSource(DataSource):
         return FORMAT_NAME
 
     def schema(self):
-        from iceberg_compaction_spark.sources.catalog import FileCatalog
+        from iceberg_compaction_spark.sources.catalog import (
+            catalog_from_options,
+        )
 
         if "metadata" in self.options:
             from iceberg_compaction_spark.sources.metadata_tables import (
@@ -1235,7 +1278,7 @@ class IcebergTableDataSource(DataSource):
         suffix = ", _change_type string, _commit_snapshot_id long" if cdc else ""
         if "schema" in self.options:
             return self.options["schema"] + suffix
-        cat = FileCatalog(warehouse=self.options["warehouse"])
+        cat = catalog_from_options(self.options)
         # time travel reads use THE SNAPSHOT'S schema (Iceberg: each
         # snapshot pins a schema id), so a read before an evolution
         # presents the pre-evolution columns
@@ -1378,7 +1421,7 @@ class _AppendWriter(DataSourceArrowWriter):
     DEFAULT_ROW_GROUP_BYTES = 128 * 1024 * 1024
 
     def __init__(self, options, overwrite: bool):
-        self._wh = options["warehouse"]
+        self._copts = _catalog_options(options)
         self._table = options["table"]
         self._overwrite = overwrite
         self._target = int(
@@ -1395,13 +1438,15 @@ class _AppendWriter(DataSourceArrowWriter):
         )
         # resolve the target directory at plan time (driver); executors
         # must not need the catalog
-        from iceberg_compaction_spark.sources.catalog import FileCatalog
+        from iceberg_compaction_spark.sources.catalog import (
+            catalog_from_options,
+        )
         from iceberg_compaction_spark.sources.fileio import (
             UnsupportedScheme,
             scheme_of,
         )
 
-        _m = FileCatalog(warehouse=self._wh).load_table(self._table)
+        _m = catalog_from_options(self._copts).load_table(self._table)
         self._root = _m.table_root
         # the table's CURRENT partition spec: writes fan out per
         # partition value (hive-style dirs for readability; the values
@@ -1586,10 +1631,12 @@ class _AppendWriter(DataSourceArrowWriter):
 
     def commit(self, messages):
         from iceberg_compaction_spark.commit import CommitManager
-        from iceberg_compaction_spark.sources.catalog import FileCatalog
+        from iceberg_compaction_spark.sources.catalog import (
+            catalog_from_options,
+        )
 
         files = [t for m in messages if m for t in m.files]
-        cat = FileCatalog(warehouse=self._wh)
+        cat = catalog_from_options(self._copts)
         mgr = CommitManager()
 
         def attempt():
@@ -1640,7 +1687,7 @@ class _StreamAppendWriter(DataSourceStreamArrowWriter):
 
     def __init__(self, options):
         self._inner = _AppendWriter(options, overwrite=False)
-        self._wh = options["warehouse"]
+        self._copts = _catalog_options(options)
         self._table = options["table"]
 
     def write(self, iterator):
@@ -1648,11 +1695,13 @@ class _StreamAppendWriter(DataSourceStreamArrowWriter):
 
     def commit(self, messages, batchId):
         from iceberg_compaction_spark.commit import CommitManager
-        from iceberg_compaction_spark.sources.catalog import FileCatalog
+        from iceberg_compaction_spark.sources.catalog import (
+            catalog_from_options,
+        )
         from iceberg_compaction_spark.sources.manifest import Manifest
 
         files = [t for m in messages if m for t in m.files]
-        cat = FileCatalog(warehouse=self._wh)
+        cat = catalog_from_options(self._copts)
         mgr = CommitManager()
 
         def attempt():
@@ -1705,7 +1754,7 @@ class _StreamUpsertWriter(DataSourceStreamArrowWriter):
 
     def __init__(self, options):
         self._inner = _AppendWriter(options, overwrite=False)
-        self._wh = options["warehouse"]
+        self._copts = _catalog_options(options)
         self._table = options["table"]
         keys = options.get("upsert_keys", "")
         self._keys = tuple(k.strip() for k in keys.split(",") if k.strip())
@@ -1730,7 +1779,9 @@ class _StreamUpsertWriter(DataSourceStreamArrowWriter):
             EQUALITY_DELETE,
             DeleteFile,
         )
-        from iceberg_compaction_spark.sources.catalog import FileCatalog
+        from iceberg_compaction_spark.sources.catalog import (
+            catalog_from_options,
+        )
         from iceberg_compaction_spark.sources.fileio import fileio_for
         from iceberg_compaction_spark.sources.manifest import Manifest
         from iceberg_compaction_spark.sources.scan import HIDDEN_SEQ
@@ -1752,7 +1803,7 @@ class _StreamUpsertWriter(DataSourceStreamArrowWriter):
                 "stream (last-wins) before the sink"
             )
 
-        cat = FileCatalog(warehouse=self._wh)
+        cat = catalog_from_options(self._copts)
         eq_path = None  # assigned on first attempt, stable across retries
 
         def _stamp_eq(root: str, seq: int) -> str:
