@@ -100,9 +100,14 @@ class RewriteResult:
     output_rows: int = 0
 
 
-def validate_consistency(results: list[RewriteResult]) -> None:
+def validate_consistency(
+    results: list[RewriteResult], branch: str | None = None
+) -> None:
     """T3: all plans in a commit must share branch + snapshot id
-    (core/src/compaction/mod.rs:55-76)."""
+    (core/src/compaction/mod.rs:55-76); when the commit's TARGET branch
+    is known, the plans must have been built for it (mod.rs:55-76 checks
+    the task branch against the commit branch) — a plan built against
+    main must never land on an audit branch or vice versa."""
     if not results:
         return
     branches = {r.plan.branch for r in results}
@@ -110,6 +115,11 @@ def validate_consistency(results: list[RewriteResult]) -> None:
     if len(branches) != 1 or len(snapshots) != 1:
         raise InconsistentPlansError(
             f"inconsistent commit: branches={branches} snapshots={snapshots}"
+        )
+    if branch is not None and branches != {branch}:
+        raise InconsistentPlansError(
+            f"plans built for branch {branches} but commit targets "
+            f"{branch!r}"
         )
 
 
@@ -122,14 +132,17 @@ class CommitManager:
         manifest: Manifest,
         results: list[RewriteResult],
         snapshot_properties: dict | None = None,
+        branch: str | None = None,
     ) -> Manifest:
         """T1: swap rewritten files for added ones, atomically.
 
         New files are pinned to each plan's ``starting_sequence_number``
         so equality deletes committed concurrently (with higher sequence
-        numbers) still apply to the rewritten rows.
+        numbers) still apply to the rewritten rows.  ``branch``, when
+        given, is the commit's target ref — T3 then also rejects plans
+        built for a different branch.
         """
-        validate_consistency(results)
+        validate_consistency(results, branch)
         # The starting snapshot must EXIST, but need not be current: the
         # reference only requires the table to still contain the starting
         # snapshot, the schema to match, and every rewritten file to still

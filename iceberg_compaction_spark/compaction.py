@@ -70,7 +70,13 @@ class Compaction:
 
     # --- entry point 2: plan-driven ----------------------------------------
 
-    def plan(self, manifest: Manifest) -> list[CompactionPlan]:
+    def plan(
+        self, manifest: Manifest, branch: str = "main"
+    ) -> list[CompactionPlan]:
+        """Plan against a manifest; ``branch`` stamps every plan with
+        the ref the rewrite targets (the reference plans per-branch,
+        ``core/src/compaction/mod.rs:97,1307-1336``) — T3 then rejects
+        any commit mixing plans built for different branches."""
         tasks = scan_data_files(manifest)
         strategy = PlanStrategy.from_config(self.config.planning)
         groups = strategy.run(tasks)
@@ -102,6 +108,7 @@ class Compaction:
             CompactionPlan(
                 file_group=g,
                 snapshot_id=manifest.snapshot_id,
+                branch=branch,
                 starting_sequence_number=manifest.sequence_number,
                 schema_id=manifest.schema_id,
                 schema_columns=tuple(cols),
@@ -341,23 +348,46 @@ class Compaction:
         return self.compact_plans(manifest, self.plan(manifest), out_root)
 
     def compact_catalog(
-        self, catalog, table_name: str, out_root: str | None = None
+        self,
+        catalog,
+        table_name: str,
+        out_root: str | None = None,
+        to_branch: str | None = None,
     ) -> tuple[Manifest, CompactionStats]:
         """Entry point 1 against a CATALOG table: load -> plan -> rewrite
         -> CAS commit with retry (the reference's managed flow,
         compaction/mod.rs:259-303, which loads the table from its
         catalog and commits through it).  Each retry reloads the table
         so non-overlapping concurrent commits land; the catalog's
-        exclusive version-file create supplies the atomicity."""
-        manifest = catalog.load_table(table_name)
-        plans = self.plan(manifest)
+        exclusive version-file create supplies the atomicity.
+
+        ``to_branch`` plans against and commits ONTO a named branch
+        (the reference's ``to_branch``, compaction/mod.rs:97,1307-1336):
+        the branch's snapshot is the planning base, the new snapshot
+        lands with the branch ref moved atomically, and main stays
+        untouched until a fast-forward publishes — write-audit-publish
+        with maintenance running on the audit branch."""
+
+        def _load() -> Manifest:
+            if to_branch:
+                return catalog.load_table_ref(table_name, to_branch)
+            return catalog.load_table(table_name)
+
+        manifest = _load()
+        plans = self.plan(manifest, branch=to_branch or "main")
         results, stats = self.execute_plans(manifest, plans, out_root)
         if not results:
             return manifest, stats
 
         def attempt() -> Manifest:
-            current = catalog.load_table(table_name)
-            new = self.commit_manager.rewrite_files(current, results)
+            current = _load()
+            new = self.commit_manager.rewrite_files(
+                current, results, branch=to_branch or "main"
+            )
+            if to_branch:
+                return catalog.commit_table(
+                    table_name, current.snapshot_id, new, to_branch=to_branch
+                )
             return catalog.commit_table(table_name, current.snapshot_id, new)
 
         t0 = time.monotonic()
@@ -377,6 +407,7 @@ class Compaction:
         table_name: str,
         out_root: str | None = None,
         groups_per_commit: int = 1,
+        to_branch: str | None = None,
     ) -> tuple[Manifest, CompactionStats]:
         """Partial-progress compaction: commit after every
         ``groups_per_commit`` file groups instead of once at the end —
@@ -398,8 +429,13 @@ class Compaction:
         grows by one snapshot per batch — exactly Iceberg's documented
         partial-progress behavior.
         """
-        manifest = catalog.load_table(table_name)
-        plans = self.plan(manifest)
+        def _load() -> Manifest:
+            if to_branch:
+                return catalog.load_table_ref(table_name, to_branch)
+            return catalog.load_table(table_name)
+
+        manifest = _load()
+        plans = self.plan(manifest, branch=to_branch or "main")
         stats = CompactionStats()
         committed = manifest
         if not plans:
@@ -416,8 +452,17 @@ class Compaction:
                 continue
 
             def attempt() -> Manifest:
-                current = catalog.load_table(table_name)
-                new = self.commit_manager.rewrite_files(current, results)
+                current = _load()
+                new = self.commit_manager.rewrite_files(
+                    current, results, branch=to_branch or "main"
+                )
+                if to_branch:
+                    return catalog.commit_table(
+                        table_name,
+                        current.snapshot_id,
+                        new,
+                        to_branch=to_branch,
+                    )
                 return catalog.commit_table(
                     table_name, current.snapshot_id, new
                 )

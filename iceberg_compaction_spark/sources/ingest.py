@@ -83,6 +83,96 @@ def _write_single_parquet(df: DataFrame, path: str) -> None:
     fio.write_bytes(path, buf.getvalue())
 
 
+#: upper bound on the distinct key values collected to scope an
+#: equality-delete's attachment — beyond this the driver-side set stops
+#: being "micro-batch bounded" and scoping is declined (attach-all)
+_SCOPE_VALUE_CAP = 10_000
+
+
+def _eq_delete_scope(cur, keys: list[str], key_vals_for):
+    """Partition scope for an upsert's equality delete, or None.
+
+    Applicable only when the CURRENT spec has an identity-transform
+    field whose source column is one of the upsert keys: identity
+    partitioning means every row in a file carries the file's recorded
+    partition value in that column, and the equality delete matches on
+    ALL keys — so a file whose recorded value is outside the batch's
+    value set provably contains no matching row and need not carry the
+    delete.  ``key_vals_for(col)`` returns ``(native_set, str_set)`` or
+    None to decline (value-count cap, unsafe type).
+
+    Returns ``(spec_len, field_index, native_set, str_set)`` for
+    :func:`_eq_attach_needed`, or None meaning attach everywhere.
+    """
+    spec = cur.partition_spec or []
+    for i, f in enumerate(spec):
+        if f.get("transform", "identity") == "identity" and f.get(
+            "source"
+        ) in keys:
+            vals = key_vals_for(f["source"])
+            if vals is None:
+                return None
+            return len(spec), i, vals[0], vals[1]
+    return None
+
+
+def _eq_attach_needed(t, default_spec_id, spec_len, idx, natives, strs):
+    """Whether a data file needs the scoped equality delete attached.
+    Every uncertain case attaches (files under an OLD spec id, arity
+    mismatch, null partition value, representation unknown) — scoping
+    may only ever SKIP files proven untouchable.  Recorded partition
+    values arrive native (Arrow write path) or as hive-path strings
+    (sized fan-out writer), so membership checks both representations —
+    the same dual matching plans/pruning.py:294-299 applies."""
+    part = tuple(t.partition or ())
+    if t.spec_id != default_spec_id or len(part) != spec_len:
+        return True
+    pv = part[idx]
+    if pv is None:
+        return True
+    return pv in natives or str(pv) in strs
+
+
+def _load_head(catalog, table_name: str, to_branch: str | None):
+    """The DML planning base: the named branch's snapshot when
+    ``to_branch`` is set (reference: branch-targeted commits,
+    core/src/compaction/mod.rs:97,1307-1336), else the table head."""
+    if to_branch:
+        return catalog.load_table_ref(table_name, to_branch)
+    return catalog.load_table(table_name)
+
+
+def _commit(catalog, table_name: str, cur, new, to_branch: str | None):
+    """CAS-commit ``new`` against the target ref — main by default, a
+    named branch under ``to_branch`` (main then provably stays put
+    until a fast-forward publishes the branch)."""
+    if to_branch:
+        return catalog.commit_table(
+            table_name, cur.snapshot_id, new, to_branch=to_branch
+        )
+    return catalog.commit_table(table_name, cur.snapshot_id, new)
+
+
+def _assert_unique_keys(df: DataFrame, keys: list[str], what: str) -> int:
+    """ONE aggregation job asserting batch key-uniqueness (total rows
+    and distinct keys used to be two separate jobs — every upsert/MERGE
+    paid a second pass over the batch).  Distinct keys are counted over
+    a struct so null-bearing keys group exactly like
+    ``distinct().count()`` did (countDistinct on bare columns DROPS
+    null-containing rows).  Returns the batch row count."""
+    row = df.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.countDistinct(F.struct(*[F.col(k) for k in keys])).alias("d"),
+    ).first()
+    if row["n"] != row["d"]:
+        raise ValueError(
+            f"{what} has duplicate keys ({row['n']} rows, "
+            f"{row['d']} distinct keys) — pre-deduplicate (last-wins "
+            "or otherwise) first"
+        )
+    return row["n"]
+
+
 def upsert(
     spark: SparkSession,
     catalog,
@@ -90,6 +180,7 @@ def upsert(
     changes: DataFrame,
     keys: list[str],
     op_col: str | None = None,
+    to_branch: str | None = None,
 ) -> Manifest:
     """Apply ``changes`` to a catalog table as one upsert commit.
 
@@ -115,18 +206,11 @@ def upsert(
     if op_col is not None:
         deletes = changes.where(F.col(op_col) == DELETE_OP).drop(op_col)
         upserts = changes.where(F.col(op_col) != DELETE_OP).drop(op_col)
-    n_changed = changes.count()
-    n_distinct = changes.select(*keys).distinct().count()
-    if n_changed != n_distinct:
-        raise ValueError(
-            f"changes batch has duplicate keys ({n_changed} rows, "
-            f"{n_distinct} distinct keys) — pre-deduplicate (last-wins "
-            "or otherwise) before upserting"
-        )
+    _assert_unique_keys(changes, keys, "changes batch")
 
     from iceberg_compaction_spark.commit import CommitConflict  # noqa: F401
 
-    current = catalog.load_table(table_name)
+    current = _load_head(catalog, table_name, to_branch)
     table_root = current.table_root
     suffix = uuid.uuid4().hex[:8]
     eq_path = os.path.join(table_root, f"upsert-{suffix}-eqdel.parquet")
@@ -154,8 +238,35 @@ def upsert(
         )
         written_seq[:] = [seq]
 
+    # Partition-scoped attachment (see _eq_delete_scope): the distinct
+    # key values are collected at most once per column and reused across
+    # CAS retries — the batch does not change between attempts.
+    _scope_vals: dict = {}
+
+    def _key_vals(col: str):
+        if col not in _scope_vals:
+            rows = (
+                key_df.select(col)
+                .distinct()
+                .limit(_SCOPE_VALUE_CAP + 1)
+                .collect()
+            )
+            vals = [r[0] for r in rows]
+            if len(vals) > _SCOPE_VALUE_CAP or not all(
+                isinstance(v, (int, str)) and not isinstance(v, bool)
+                for v in vals
+            ):
+                # too many values to scope cheaply, or a type (date/
+                # timestamp/float) whose manifest representation can
+                # diverge from str() — scoping MUST err toward
+                # attaching, so decline
+                _scope_vals[col] = None
+            else:
+                _scope_vals[col] = (set(vals), {str(v) for v in vals})
+        return _scope_vals[col]
+
     def attempt() -> Manifest:
-        cur = catalog.load_table(table_name)
+        cur = _load_head(catalog, table_name, to_branch)
         # sequence ABOVE the head we are committing against — recomputed
         # per attempt so a retry after losing the CAS race lands STRICTLY
         # above the winner (its delete must apply to the winner's files)
@@ -197,13 +308,24 @@ def upsert(
         new.sequence_number = new_seq
         # rows change in place: streaming raises unless skipped
         new.operation = "overwrite"
+        # The delete applies to every file with an older sequence
+        # number — i.e. all current files — but when the table is
+        # identity-partitioned on a key column, files in partitions the
+        # batch never touches provably hold no matching row, so the
+        # attachment (and every later scan's J2 eq-join against it)
+        # is scoped to the touched partitions.  At 10^5 files this is
+        # the difference between every scan paying the eq-join per
+        # commit until compaction and only the written partitions
+        # paying it.
+        scope = _eq_delete_scope(cur, keys, _key_vals)
         for t in new.data_files:
-            # the new delete applies to every file with an older
-            # sequence number — i.e. all current files
-            t.deletes.append(eq_file)
+            if scope is None or _eq_attach_needed(
+                t, cur.default_spec_id, *scope
+            ):
+                t.deletes.append(eq_file)
         if data_task is not None:
             new.data_files.append(data_task)
-        return catalog.commit_table(table_name, cur.snapshot_id, new)
+        return _commit(catalog, table_name, cur, new, to_branch)
 
     from iceberg_compaction_spark.commit import CommitManager
 
@@ -215,6 +337,7 @@ def delete_where(
     catalog,
     table_name: str,
     predicate: str,
+    to_branch: str | None = None,
 ) -> Manifest:
     """Predicate DELETE producing merge-on-read state — the DML that
     pairs with :func:`upsert`'s key-based path (``DELETE FROM t WHERE
@@ -249,7 +372,7 @@ def delete_where(
     suffix = uuid.uuid4().hex[:8]
 
     def attempt() -> Manifest:
-        cur = catalog.load_table(table_name)
+        cur = _load_head(catalog, table_name, to_branch)
         matched = (
             _matched_scan(spark, cur)
             .where(predicate)
@@ -265,7 +388,7 @@ def delete_where(
             return cur
         return _commit_row_change(
             catalog, table_name, cur, refs, n, path, None,
-            operation="delete",
+            operation="delete", to_branch=to_branch,
         )
 
     from iceberg_compaction_spark.commit import CommitManager
@@ -386,6 +509,7 @@ def _commit_row_change(
     delete_path: str,
     new_data_tasks: "list[FileScanTask] | None",
     operation: str,
+    to_branch: str | None = None,
 ) -> Manifest:
     """One-snapshot commit of a predicate DML statement: the position
     delete attaches to exactly the data files it references; the new
@@ -415,7 +539,7 @@ def _commit_row_change(
     for t in new_data_tasks or ():
         t.sequence_number = new_seq
         new.data_files.append(t)
-    return catalog.commit_table(table_name, cur.snapshot_id, new)
+    return _commit(catalog, table_name, cur, new, to_branch)
 
 
 def update_where(
@@ -424,6 +548,7 @@ def update_where(
     table_name: str,
     predicate: str,
     set_exprs: dict[str, str],
+    to_branch: str | None = None,
 ) -> Manifest:
     """Predicate UPDATE producing merge-on-read state: ``UPDATE t SET
     col = expr, ... WHERE predicate`` as Iceberg engines execute it in
@@ -457,7 +582,7 @@ def update_where(
     suffix = uuid.uuid4().hex[:8]
 
     def attempt() -> Manifest:
-        cur = catalog.load_table(table_name)
+        cur = _load_head(catalog, table_name, to_branch)
         df = _matched_scan(spark, cur)
         table_cols = [
             c
@@ -503,7 +628,7 @@ def update_where(
             matched.unpersist()
         return _commit_row_change(
             catalog, table_name, cur, refs, n, del_path, data_tasks,
-            operation="overwrite",
+            operation="overwrite", to_branch=to_branch,
         )
 
     from iceberg_compaction_spark.commit import CommitManager
@@ -522,6 +647,7 @@ def merge_into(
     update_exprs: dict[str, str] | None = None,
     insert_unmatched: bool = True,
     delete_unmatched_target: bool = False,
+    to_branch: str | None = None,
 ) -> Manifest:
     """Minimal MERGE: ``MERGE INTO t USING source ON t.k = s.k WHEN
     MATCHED THEN UPDATE SET ... / DELETE [WHEN NOT MATCHED THEN
@@ -557,18 +683,17 @@ def merge_into(
 
     if matched_action not in ("update", "delete"):
         raise ValueError("matched_action must be 'update' or 'delete'")
-    n_src = source.count()
-    n_keys = source.select(*keys).distinct().count()
-    if n_src != n_keys:
-        raise ValueError(
-            f"MERGE source has duplicate keys ({n_src} rows, "
-            f"{n_keys} distinct keys)"
-        )
+    _assert_unique_keys(source, keys, "MERGE source")
     suffix = uuid.uuid4().hex[:8]
 
     def attempt() -> Manifest:
-        cur = catalog.load_table(table_name)
+        cur = _load_head(catalog, table_name, to_branch)
         df = _matched_scan(spark, cur)
+        if delete_unmatched_target:
+            # the NOT MATCHED BY SOURCE anti-join reads the target scan
+            # a second time — persist it so the table is scanned once
+            # (matched rows feed the join below from the same cache)
+            df = df.persist()
         table_cols = [
             c
             for c in df.columns
@@ -647,9 +772,11 @@ def merge_into(
             )
         finally:
             joined.unpersist()
+            if delete_unmatched_target:
+                df.unpersist()
         return _commit_row_change(
             catalog, table_name, cur, refs, n, del_path, data_tasks,
-            operation="overwrite",
+            operation="overwrite", to_branch=to_branch,
         )
 
     from iceberg_compaction_spark.commit import CommitManager

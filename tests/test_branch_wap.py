@@ -1,0 +1,224 @@
+"""Branch-targeted commits (to_branch) + write-audit-publish lifecycle.
+
+The reference plans and commits against a named branch
+(``core/src/compaction/mod.rs:97,1307-1336``; consistency check
+``:55-76``).  Here: compaction and every DML statement accept
+``to_branch``; a branch commit allocates the snapshot, moves the branch
+ref atomically (refs CAS), and pins main at its pre-commit head — main
+provably never sees branch snapshots until ``fast_forward`` publishes.
+"""
+
+import os
+
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+
+from iceberg_compaction_spark.commit import (
+    CommitManager,
+    InconsistentPlansError,
+)
+from iceberg_compaction_spark.compaction import Compaction
+from iceberg_compaction_spark.config import CompactionConfig
+from iceberg_compaction_spark.sources.catalog import FileCatalog
+from iceberg_compaction_spark.sources.ingest import (
+    delete_where,
+    merge_into,
+    read_table_mor,
+    update_where,
+    upsert,
+)
+from iceberg_compaction_spark.sources.manifest import Manifest
+
+
+@pytest.fixture()
+def cat(tmp_path):
+    """A table fragmented into 6 small files (compactable)."""
+    root = str(tmp_path / "tbl")
+    os.makedirs(root)
+    for f in range(6):
+        ids = list(range(f * 10, f * 10 + 10))
+        pq.write_table(
+            pa.table(
+                {
+                    "id": pa.array(ids, type=pa.int64()),
+                    "val": [f"v{i}" for i in ids],
+                }
+            ),
+            os.path.join(root, f"part-{f}.parquet"),
+        )
+    cat = FileCatalog(warehouse=str(tmp_path / "wh"))
+    cat.create_table("t", Manifest.from_parquet_dir(root, sequence_number=1))
+    return cat
+
+
+def _rows(spark, cat, name="t", ref=None):
+    m = (
+        cat.load_table_ref(name, ref) if ref else cat.load_table(name)
+    )
+    return {
+        r["id"]: r["val"] for r in read_table_mor(spark, m).collect()
+    }
+
+
+def test_wap_lifecycle_upsert_and_compact_on_branch(spark, cat):
+    """The full write-audit-publish flow: stage an upsert AND a
+    compaction on the audit branch, audit via ref reads, publish with
+    fast_forward — main provably untouched until the publish."""
+    base_rows = _rows(spark, cat)
+    cat.create_branch("t", "audit")
+
+    # write ON the branch
+    m2 = upsert(
+        spark,
+        cat,
+        "t",
+        spark.createDataFrame([(3, "three"), (99, "v99")], ["id", "val"]),
+        keys=["id"],
+        to_branch="audit",
+    )
+    assert cat.list_refs("t")["audit"]["snapshot_id"] == m2.snapshot_id
+
+    # main untouched: pinned at the pre-commit head
+    assert cat.load_table("t").snapshot_id == 1
+    assert _rows(spark, cat) == base_rows
+    # audit sees the staged write
+    audit = _rows(spark, cat, ref="audit")
+    assert audit[3] == "three" and audit[99] == "v99" and len(audit) == 61
+
+    # compact ON the branch: fewer files, same rows, main still put
+    c = Compaction(spark, CompactionConfig.small_files())
+    m3, stats = c.compact_catalog(cat, "t", to_branch="audit")
+    assert stats.input_files_count >= 6
+    assert len(m3.data_files) < 7
+    assert cat.list_refs("t")["audit"]["snapshot_id"] == m3.snapshot_id
+    assert cat.load_table("t").snapshot_id == 1
+    assert _rows(spark, cat) == base_rows
+    assert _rows(spark, cat, ref="audit") == audit
+
+    # publish: fast-forward main to the audited snapshot
+    cat.fast_forward("t", "main", m3.snapshot_id)
+    assert _rows(spark, cat) == audit
+    assert cat.load_table("t").snapshot_id == m3.snapshot_id
+
+
+def test_branch_dml_full_surface_keeps_main_untouched(spark, cat):
+    """delete/update/merge all take to_branch; main never moves."""
+    base_rows = _rows(spark, cat)
+    cat.create_branch("t", "stage")
+    delete_where(spark, cat, "t", "id < 5", to_branch="stage")
+    update_where(
+        spark, cat, "t", "id >= 55", {"val": "upper(val)"},
+        to_branch="stage",
+    )
+    merge_into(
+        spark,
+        cat,
+        "t",
+        spark.createDataFrame([(10, "TEN"), (200, "v200")], ["id", "val"]),
+        keys=["id"],
+        to_branch="stage",
+    )
+    assert _rows(spark, cat) == base_rows
+    assert cat.load_table("t").snapshot_id == 1
+    staged = _rows(spark, cat, ref="stage")
+    assert 0 not in staged and 4 not in staged
+    assert staged[55] == "V55" and staged[59] == "V59"
+    assert staged[10] == "TEN" and staged[200] == "v200"
+    assert len(staged) == 60 - 5 + 1
+    # publish and confirm the exact staged state lands on main
+    cat.fast_forward(
+        "t", "main", cat.list_refs("t")["stage"]["snapshot_id"]
+    )
+    assert _rows(spark, cat) == staged
+
+
+def test_branch_commit_requires_existing_branch(spark, cat):
+    with pytest.raises(KeyError, match="no such"):
+        upsert(
+            spark,
+            cat,
+            "t",
+            spark.createDataFrame([(1, "x")], ["id", "val"]),
+            keys=["id"],
+            to_branch="nope",
+        )
+
+
+def test_branch_commit_rejects_tags(spark, cat):
+    cat.create_tag("t", "pin")
+    with pytest.raises(ValueError, match="is a tag"):
+        upsert(
+            spark,
+            cat,
+            "t",
+            spark.createDataFrame([(1, "x")], ["id", "val"]),
+            keys=["id"],
+            to_branch="pin",
+        )
+
+
+def test_t3_rejects_plans_built_for_another_branch(spark, cat):
+    """Extended T3 (mod.rs:55-76): plans stamped for main must not land
+    on an audit branch."""
+    c = Compaction(spark, CompactionConfig.small_files())
+    m = cat.load_table("t")
+    plans = c.plan(m)  # branch defaults to "main"
+    results = [c.rewrite(p) for p in plans]
+    with pytest.raises(InconsistentPlansError, match="commit targets"):
+        CommitManager().rewrite_files(m, results, branch="audit")
+
+
+def test_branch_snapshots_survive_expiration_and_main_stays(spark, cat):
+    """Pinned main and the branch head are both expiration-proof."""
+    cat.create_branch("t", "audit")
+    for i in range(3):
+        upsert(
+            spark,
+            cat,
+            "t",
+            spark.createDataFrame([(i, f"u{i}")], ["id", "val"]),
+            keys=["id"],
+            to_branch="audit",
+        )
+    head = cat.list_refs("t")["audit"]["snapshot_id"]
+    expired = cat.expire_snapshots("t", keep_last=1)
+    assert 1 not in expired  # main's pinned snapshot retained
+    assert head not in expired
+    assert cat.load_table("t").snapshot_id == 1
+    assert _rows(spark, cat, ref="audit")[2] == "u2"
+
+
+def test_two_branches_commit_independently(spark, cat):
+    """Ref CAS: sequential commits to two branches never lose each
+    other's ref move, and each branch sees only its own lineage."""
+    cat.create_branch("t", "a")
+    cat.create_branch("t", "b")
+    upsert(
+        spark, cat, "t",
+        spark.createDataFrame([(1, "a1")], ["id", "val"]),
+        keys=["id"], to_branch="a",
+    )
+    upsert(
+        spark, cat, "t",
+        spark.createDataFrame([(1, "b1")], ["id", "val"]),
+        keys=["id"], to_branch="b",
+    )
+    refs = cat.list_refs("t")
+    assert refs["a"]["snapshot_id"] != refs["b"]["snapshot_id"]
+    assert _rows(spark, cat, ref="a")[1] == "a1"
+    assert _rows(spark, cat, ref="b")[1] == "b1"
+    assert _rows(spark, cat)[1] == "v1"
+
+
+def test_unpinned_commit_protocol_unchanged(spark, cat):
+    """No branch commit ever happened: the classic version==snapshot
+    CAS is byte-for-byte the same protocol (no refs file appears)."""
+    upsert(
+        spark, cat, "t",
+        spark.createDataFrame([(1, "u1")], ["id", "val"]),
+        keys=["id"],
+    )
+    m = cat.load_table("t")
+    assert m.snapshot_id == 2
+    assert cat.list_refs("t") == {}
