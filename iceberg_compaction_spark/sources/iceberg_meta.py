@@ -826,6 +826,105 @@ def infer_schema_fields(parquet_path: str) -> list[dict]:
     return fields
 
 
+def _schema_max_field_id(schema: dict) -> int:
+    """Highest field id anywhere in a spec schema dict (nested structs,
+    list element ids, map key/value ids) — the floor for the metadata's
+    monotonic ``last-column-id``."""
+    mx = 0
+
+    def walk_type(t) -> None:
+        nonlocal mx
+        if not isinstance(t, dict):
+            return
+        for key in ("element-id", "key-id", "value-id"):
+            if key in t:
+                mx = max(mx, int(t[key]))
+        for sub in ("element", "key", "value"):
+            walk_type(t.get(sub))
+        for f in t.get("fields", []) or []:
+            mx = max(mx, int(f.get("id", 0)))
+            walk_type(f.get("type"))
+
+    walk_type(schema)
+    return mx
+
+
+def _apply_structural_updates(md: dict, updates: list[dict]) -> None:
+    """Apply the Iceberg REST spec's table-structure update types to a
+    TableMetadata dict in place — the server half of the spec commit
+    wire for schema evolution / format upgrades / sort-order changes.
+    Validation errors raise ValueError (the handler maps them to the
+    spec's 400 ValidationException)."""
+    last_schema_id = None
+    last_order_id = None
+    for upd in updates:
+        action = upd.get("action")
+        if action == "upgrade-format-version":
+            fv = int(upd["format-version"])
+            cur = int(md.get("format-version", 2))
+            if fv < cur:
+                raise ValueError(
+                    f"cannot downgrade format-version {cur} -> {fv}"
+                )
+            md["format-version"] = fv
+        elif action == "add-schema":
+            sch = dict(upd["schema"])
+            sid = sch.get("schema-id")
+            if sid is None:
+                raise ValueError("add-schema needs a schema-id")
+            md["schemas"] = [
+                s
+                for s in md.get("schemas", [])
+                if s.get("schema-id") != sid
+            ] + [sch]
+            # spec: last-column-id is monotonic over every id ever
+            # allocated, never decreasing
+            md["last-column-id"] = max(
+                int(md.get("last-column-id", 0)), _schema_max_field_id(sch)
+            )
+            last_schema_id = sid
+        elif action == "set-current-schema":
+            sid = int(upd["schema-id"])
+            if sid == -1:  # spec: -1 = the schema added in this commit
+                if last_schema_id is None:
+                    raise ValueError(
+                        "set-current-schema -1 without a prior add-schema"
+                    )
+                sid = last_schema_id
+            if sid not in {
+                s.get("schema-id") for s in md.get("schemas", [])
+            }:
+                raise ValueError(f"unknown schema-id {sid}")
+            md["current-schema-id"] = sid
+        elif action == "add-sort-order":
+            order = dict(upd["sort-order"])
+            oid = order.get("order-id")
+            if oid is None:
+                raise ValueError("add-sort-order needs an order-id")
+            md["sort-orders"] = [
+                o
+                for o in md.get("sort-orders", [])
+                if o.get("order-id") != oid
+            ] + [order]
+            last_order_id = oid
+        elif action == "set-default-sort-order":
+            oid = int(upd["sort-order-id"])
+            if oid == -1:
+                if last_order_id is None:
+                    raise ValueError(
+                        "set-default-sort-order -1 without a prior "
+                        "add-sort-order"
+                    )
+                oid = last_order_id
+            if oid not in {
+                o.get("order-id") for o in md.get("sort-orders", [])
+            }:
+                raise ValueError(f"unknown sort-order-id {oid}")
+            md["default-sort-order-id"] = oid
+        else:
+            raise ValueError(f"unsupported structural update: {action}")
+
+
 class IcebergHadoopCatalog:
     """Catalog over the REAL Iceberg on-disk layout — the same
     ``load_table`` / ``commit_table`` contract as :class:`FileCatalog`
@@ -1035,6 +1134,7 @@ class IcebergHadoopCatalog:
         expected_snapshot_id: int,
         snapshot: dict,
         set_properties: dict | None = None,
+        structural: "list[dict] | None" = None,
     ) -> dict:
         """Spec-wire commit: register a CLIENT-WRITTEN snapshot (the
         Iceberg REST protocol's ``add-snapshot`` update — the client
@@ -1045,9 +1145,14 @@ class IcebergHadoopCatalog:
         forward (schemas, specs, sort orders, format version) and
         appending the snapshot — it never needs the engine's manifest
         representation.  ``set-properties`` updates merge into the
-        table properties.  CAS: exclusive create of the version file;
-        losers surface retryable CommitConflict.  Returns the new
-        TableMetadata dict."""
+        table properties.  ``structural`` carries the spec's update
+        types for table-structure changes — ``upgrade-format-version``,
+        ``add-schema`` / ``set-current-schema``, ``add-sort-order`` /
+        ``set-default-sort-order`` — applied to the TableMetadata inside
+        the SAME atomic commit (round 10: schema evolution no longer
+        needs the engine-manifest carrier on this tier).  CAS: exclusive
+        create of the version file; losers surface retryable
+        CommitConflict.  Returns the new TableMetadata dict."""
         import time as _time
 
         from iceberg_compaction_spark.commit import CommitConflict
@@ -1071,6 +1176,8 @@ class IcebergHadoopCatalog:
                 f"v{expected_snapshot_id}"
             )
         md = json.loads(self._io.read_bytes(self._vpath(name, current)))
+        if structural:
+            _apply_structural_updates(md, structural)
         now_ms = int(_time.time() * 1000)
         md["last-updated-ms"] = now_ms
         md["last-sequence-number"] = max(

@@ -515,15 +515,24 @@ def test_full_fidelity_commit_uses_spec_wire(spark, tmp_path, monkeypatch):
             client.commit_table("h", stale.snapshot_id, loser)
 
 
-def test_full_fidelity_schema_evolution_takes_manifest_wire(spark, tmp_path):
-    """A structural commit (rename) over the full-fidelity tier falls
-    back to the engine-manifest wire so the server recomputes the full
-    TableMetadata (schema history, last-column-id) — and the renamed
-    table still loads via the spec read path."""
+def test_full_fidelity_schema_evolution_takes_spec_wire(
+    spark, tmp_path, monkeypatch
+):
+    """Round 10 (VERDICT r9 #3): a structural commit — rename, sort
+    order, format upgrade — over the full-fidelity tier rides the
+    spec's own update types (add-schema/set-current-schema/
+    add-sort-order/set-default-sort-order/upgrade-format-version) with
+    the pointer-only add-snapshot; the engine-manifest carrier is
+    POISONED to prove no fallback, and an independent spec-path read of
+    the server's storage sees every change."""
+    import json as _json
+    import urllib.request as _rq
+
     from iceberg_compaction_spark.sources.iceberg_meta import (
         IcebergHadoopCatalog,
         load_iceberg_table,
     )
+    from iceberg_compaction_spark.sources.ingest import read_table_mor
 
     root = str(tmp_path / "base")
     os.makedirs(root)
@@ -540,8 +549,17 @@ def test_full_fidelity_schema_evolution_takes_manifest_wire(spark, tmp_path):
     backing.create_table(
         "h", Manifest.from_parquet_dir(root, sequence_number=1)
     )
+
+    def _poisoned(self, *a, **k):
+        raise AssertionError(
+            "engine-manifest wire used for a structural commit"
+        )
+
+    monkeypatch.setattr(IcebergHadoopCatalog, "commit_table", _poisoned)
     with serve_rest_catalog(backing) as srv:
         client = RestCatalog(uri=srv.uri)
+
+        # 1) rename: add-schema + set-current-schema on the wire
         cur = client.load_table("h")
         m2 = Manifest.from_dict(cur.to_dict())
         m2.evolve_schema(
@@ -551,6 +569,7 @@ def test_full_fidelity_schema_evolution_takes_manifest_wire(spark, tmp_path):
             ]
         )
         m2.snapshot_id = cur.next_snapshot()
+        m2.sequence_number = cur.sequence_number + 1
         m2.operation = "replace"
         client.commit_table("h", cur.snapshot_id, m2)
         fresh = load_iceberg_table(str(tmp_path / "wh" / "h"))
@@ -559,3 +578,52 @@ def test_full_fidelity_schema_evolution_takes_manifest_wire(spark, tmp_path):
             "renamed_val",
         ]
         assert fresh.schema_id == m2.schema_id
+
+        # the raw TableMetadata keeps the schema HISTORY (both ids) and
+        # a monotonic last-column-id — and never carries the engine key
+        raw = _json.loads(
+            _rq.urlopen(
+                f"{srv.uri}/v1/namespaces/default/tables/h"
+            ).read()
+        )
+        md = raw["metadata"]
+        assert {s["schema-id"] for s in md["schemas"]} >= {
+            cur.schema_id,
+            m2.schema_id,
+        }
+        assert md["current-schema-id"] == m2.schema_id
+        assert int(md["last-column-id"]) >= 2
+        assert "iceberg-compaction-spark.manifest" not in _json.dumps(md)
+
+        # 2) declared sort order: add-sort-order + set-default-sort-order
+        cur = client.load_table("h")
+        m3 = Manifest.from_dict(cur.to_dict())
+        m3.sort_order = [{"source": "id", "direction": "desc"}]
+        m3.snapshot_id = cur.next_snapshot()
+        m3.sequence_number = cur.sequence_number + 1
+        m3.operation = "replace"
+        client.commit_table("h", cur.snapshot_id, m3)
+        after = load_iceberg_table(str(tmp_path / "wh" / "h"))
+        assert after.sort_order and after.sort_order[0]["source"] == "id"
+        assert after.sort_order[0]["direction"] == "desc"
+
+        # 3) format upgrade v2 -> v3 rides upgrade-format-version
+        cur = client.load_table("h")
+        assert cur.format_version == 2
+        m4 = Manifest.from_dict(cur.to_dict())
+        m4.format_version = 3
+        m4.snapshot_id = cur.next_snapshot()
+        m4.sequence_number = cur.sequence_number + 1
+        m4.operation = "replace"
+        client.commit_table("h", cur.snapshot_id, m4)
+        assert load_iceberg_table(
+            str(tmp_path / "wh" / "h")
+        ).format_version == 3
+        # rows unchanged through all three structural commits
+        got = {
+            r["id"]
+            for r in read_table_mor(
+                spark, client.load_table("h")
+            ).collect()
+        }
+        assert got == set(range(6))
