@@ -63,6 +63,9 @@ BENCH_QUERIES = [
     "dml_update_where",
     "dml_merge_into",
     "dedup_semantic",
+    # round 10
+    "dml_merge_conditional",
+    "dml_branch_wap",
 ]
 
 

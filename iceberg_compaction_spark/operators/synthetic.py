@@ -788,6 +788,113 @@ def merge_warehouse(spark: SparkSession, sf_dir: str) -> str:
     )
 
 
+def merge_conditional_warehouse(spark: SparkSession, sf_dir: str) -> str:
+    """One-time per sf_dir: ``docs_mergec`` = ``documents`` (two files
+    by parity) with one committed CONDITIONAL MERGE on top — source =
+    matched rows ``doc_id % 10 = 0`` carrying ``op`` = 'D' when
+    ``doc_id % 20 = 0`` else 'U'; clauses in order: [WHEN MATCHED AND
+    s.op='D' THEN DELETE], [WHEN MATCHED AND t.n_chars >= 300 THEN
+    UPDATE lang -> 'cc'].  First-match-wins is ORACLE-VISIBLE: the
+    ``%20=0`` rows with ``n_chars >= 300`` satisfy BOTH clauses, so a
+    wrong clause order would leave 'cc' rows the oracle deletes.
+    Matched rows below 300 chars satisfy NO clause and must stay
+    byte-identical."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from iceberg_compaction_spark.sources.ingest import merge_into
+
+    def _mutate(cat):
+        docs = spark.read.parquet(
+            os.path.join(sf_dir, "documents.parquet")
+        ).select("doc_id", "lang", "n_chars")
+        src = docs.where("doc_id % 10 = 0").select(
+            "doc_id",
+            F.lit("cc").alias("lang"),
+            "n_chars",
+            F.when(F.col("doc_id") % 20 == 0, F.lit("D"))
+            .otherwise(F.lit("U"))
+            .alias("op"),
+        )
+        merge_into(
+            spark,
+            cat,
+            "docs_mergec",
+            src,
+            keys=["doc_id"],
+            matched_clauses=[
+                {"condition": "s.op = 'D'", "action": "delete"},
+                {
+                    "condition": "t.n_chars >= 300",
+                    "action": "update",
+                    "update_cols": ["lang"],
+                },
+            ],
+            insert_unmatched=False,
+        )
+
+    return _dml_docs_warehouse(
+        spark,
+        sf_dir,
+        tag="mrgc",
+        table_name="docs_mergec",
+        columns=["doc_id", "lang", "n_chars"],
+        mutate=_mutate,
+    )
+
+
+def branch_wap_warehouse(spark: SparkSession, sf_dir: str) -> str:
+    """One-time per sf_dir: ``docs_wap`` = ``documents`` staged through
+    a FULL write-audit-publish cycle — create branch 'audit', upsert
+    (``doc_id % 10 = 0`` -> lang 'bb') ON the branch, compact ON the
+    branch, then ``fast_forward`` main to the audited snapshot.  The
+    fixture ASSERTS main stayed at v1 between the branch commits (the
+    to_branch isolation contract); the registry oracle checks the final
+    published state."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from iceberg_compaction_spark.compaction import Compaction
+    from iceberg_compaction_spark.config import CompactionConfig
+    from iceberg_compaction_spark.sources.ingest import upsert
+
+    def _mutate(cat):
+        docs = spark.read.parquet(
+            os.path.join(sf_dir, "documents.parquet")
+        ).select("doc_id", "lang")
+        cat.create_branch("docs_wap", "audit")
+        upsert(
+            spark,
+            cat,
+            "docs_wap",
+            docs.where("doc_id % 10 = 0").select(
+                "doc_id", F.lit("bb").alias("lang")
+            ),
+            keys=["doc_id"],
+            to_branch="audit",
+        )
+        assert cat.load_table("docs_wap").snapshot_id == 1, (
+            "branch upsert leaked onto main"
+        )
+        c = Compaction(spark, CompactionConfig.small_files())
+        m3, _ = c.compact_catalog(cat, "docs_wap", to_branch="audit")
+        assert cat.load_table("docs_wap").snapshot_id == 1, (
+            "branch compaction leaked onto main"
+        )
+        cat.fast_forward("docs_wap", "main", m3.snapshot_id)
+
+    return _dml_docs_warehouse(
+        spark,
+        sf_dir,
+        tag="wap",
+        table_name="docs_wap",
+        columns=["doc_id", "lang"],
+        mutate=_mutate,
+    )
+
+
 def streaming_upsert_warehouse(spark: SparkSession, sf_dir: str) -> str:
     """One-time per sf_dir: ``docs_sup`` = ``documents`` (two files by
     parity) maintained by ONE availableNow micro-batch through the

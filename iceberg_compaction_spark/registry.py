@@ -3585,6 +3585,70 @@ def q_dml_rollback(spark, sf_dir):
     return read_table_mor(spark, m).select("doc_id", "lang")
 
 
+@register(
+    "dml_merge_conditional",
+    """
+    SELECT doc_id,
+           CASE WHEN doc_id % 10 = 0 AND doc_id % 20 <> 0
+                     AND n_chars >= 300
+                THEN 'cc' ELSE lang END AS lang,
+           n_chars
+    FROM documents
+    WHERE doc_id % 20 <> 0
+    """,
+)
+def q_dml_merge_conditional(spark, sf_dir):
+    """Conditional MERGE (round 10, sources/ingest.py merge_into
+    ``matched_clauses``): the fixture commits ``WHEN MATCHED AND
+    s.op='D' THEN DELETE / WHEN MATCHED AND t.n_chars >= 300 THEN
+    UPDATE`` — first-match-wins, exactly SQL MERGE's clause order, and
+    the ``%20=0 AND n_chars>=300`` rows satisfy BOTH clauses so a wrong
+    order is a hash mismatch; matched rows satisfying NO clause must
+    stay byte-identical.  The oracle is the equivalent CASE + WHERE
+    ground truth.
+
+    Scale shape: the clause resolution is ONE JVM-side CASE expression
+    stamped in the same pass as the target x source key join; each
+    update clause projects only its own rows; unchanged rows never
+    rewrite."""
+    from iceberg_compaction_spark.sources.catalog import FileCatalog
+    from iceberg_compaction_spark.sources.ingest import read_table_mor
+
+    wh = syn.merge_conditional_warehouse(spark, sf_dir)
+    m = FileCatalog(warehouse=wh).load_table("docs_mergec")
+    return read_table_mor(spark, m).select("doc_id", "lang", "n_chars")
+
+
+@register(
+    "dml_branch_wap",
+    """
+    SELECT doc_id,
+           CASE WHEN doc_id % 10 = 0 THEN 'bb' ELSE lang END AS lang
+    FROM documents
+    """,
+)
+def q_dml_branch_wap(spark, sf_dir):
+    """Write-audit-publish via branch-targeted commits (round 10,
+    ``to_branch`` on upsert + compact_catalog; reference
+    core/src/compaction/mod.rs:97,1307-1336): the fixture upserts AND
+    compacts ON an audit branch — asserting main stayed at v1 between
+    the commits — then fast-forwards main to the audited snapshot.
+    This query MOR-reads the published head against the oracle's CASE
+    ground truth, so the whole stage-audit-publish loop is
+    driver-checked.
+
+    Scale shape: a branch commit is the same CAS-allocated snapshot
+    plus one refs-CAS pointer move — metadata-only overhead; the data
+    path (upsert artifacts, compaction rewrite) is identical to the
+    main-branch entries."""
+    from iceberg_compaction_spark.sources.catalog import FileCatalog
+    from iceberg_compaction_spark.sources.ingest import read_table_mor
+
+    wh = syn.branch_wap_warehouse(spark, sf_dir)
+    m = FileCatalog(warehouse=wh).load_table("docs_wap")
+    return read_table_mor(spark, m).select("doc_id", "lang")
+
+
 # ===========================================================================
 # Driver-window composition (round 9).  The driver's CORRECTNESS gate
 # checks the FIRST 50 queries() entries; pytest's test_oracle_tail.py
@@ -3614,3 +3678,22 @@ _order = _rest[:47] + _WINDOW_PROMOTE + _rest[47:] + _WINDOW_DEMOTE
 QUERIES = {n: QUERIES[n] for n in _order}
 ORACLES = {n: ORACLES[n] for n in _order if n in ORACLES}
 del _WINDOW_PROMOTE, _WINDOW_DEMOTE, _rest, _order
+
+# ===========================================================================
+# Round-10 window recomposition, same policy: promote the two NEW
+# operator surfaces (conditional MERGE, branch-targeted WAP) into the
+# driver window; demote two Catalyst-native twins whose operator class
+# stays window-covered (events_sliding — the windowed-agg family keeps
+# events_hourly/events_rollup/stream_hourly_rollup in-window; ann_lsh —
+# the ANN family keeps ann_topk/ann_ivf plus the LSH shape via
+# dedup_embedding_lsh and dedup_minhash_lsh).  All 100+ entries remain
+# oracle-checked by tests/test_oracle_tail.py regardless of position.
+# ===========================================================================
+
+_W10_PROMOTE = ["dml_merge_conditional", "dml_branch_wap"]
+_W10_DEMOTE = ["events_sliding", "ann_lsh"]
+_rest10 = [n for n in QUERIES if n not in _W10_PROMOTE + _W10_DEMOTE]
+_order10 = _rest10[:48] + _W10_PROMOTE + _rest10[48:] + _W10_DEMOTE
+QUERIES = {n: QUERIES[n] for n in _order10}
+ORACLES = {n: ORACLES[n] for n in _order10 if n in ORACLES}
+del _W10_PROMOTE, _W10_DEMOTE, _rest10, _order10

@@ -648,6 +648,7 @@ def merge_into(
     insert_unmatched: bool = True,
     delete_unmatched_target: bool = False,
     to_branch: str | None = None,
+    matched_clauses: "list[dict] | None" = None,
 ) -> Manifest:
     """Minimal MERGE: ``MERGE INTO t USING source ON t.k = s.k WHEN
     MATCHED THEN UPDATE SET ... / DELETE [WHEN NOT MATCHED THEN
@@ -668,6 +669,18 @@ def merge_into(
     SOURCE THEN DELETE``: target rows with no source match are removed
     (full-sync loads).
 
+    ``matched_clauses`` is the general conditional form — ``WHEN
+    MATCHED AND <cond> THEN UPDATE/DELETE`` with MULTIPLE clauses,
+    first-match-wins (SQL MERGE's clause order): a list of dicts
+    ``{"condition": "<SQL over aliases t and s>" | None,
+    "action": "update" | "delete", "update_cols": [...],
+    "update_exprs": {...}}``.  A matched row takes the FIRST clause
+    whose condition holds (``condition: None`` = always); a matched row
+    satisfying NO clause is left untouched — exactly SQL MERGE.  When
+    given, it supersedes ``matched_action``/``update_cols``/
+    ``update_exprs`` (which remain the single-unconditional-clause
+    shorthand).
+
     The source must be key-unique (asserted, like :func:`upsert` —
     SQL MERGE raises on multiple matches too).  CAS-retried per
     attempt against the fresh head.
@@ -681,8 +694,20 @@ def merge_into(
         HIDDEN_POS,
     )
 
-    if matched_action not in ("update", "delete"):
-        raise ValueError("matched_action must be 'update' or 'delete'")
+    clauses = matched_clauses or [
+        {
+            "condition": None,
+            "action": matched_action,
+            "update_cols": update_cols,
+            "update_exprs": update_exprs,
+        }
+    ]
+    for cl in clauses:
+        if cl.get("action") not in ("update", "delete"):
+            raise ValueError(
+                "each matched clause's action must be 'update' or "
+                f"'delete' (got {cl.get('action')!r})"
+            )
     _assert_unique_keys(source, keys, "MERGE source")
     suffix = uuid.uuid4().hex[:8]
 
@@ -703,12 +728,32 @@ def merge_into(
         cond = F.lit(True)
         for k in keys:
             cond = cond & (F.col(f"t.{k}") == F.col(f"s.{k}"))
+        # first-match-wins clause resolution: one CASE expression stamps
+        # each matched row with the index of the first clause whose
+        # condition holds (-1 = no clause applies: the row is untouched,
+        # per SQL MERGE) — evaluated once, JVM-side, in the same pass as
+        # the join
+        idx = None
+        for i, cl in enumerate(clauses):
+            c = (
+                F.expr(cl["condition"])
+                if cl.get("condition")
+                else F.lit(True)
+            )
+            idx = F.when(c, F.lit(i)) if idx is None else idx.when(
+                c, F.lit(i)
+            )
         # joined feeds both the position artifact and the updated rows:
         # persist so the target x source join runs once (matched rows
         # only, spill-safe)
-        joined = t.join(s, on=cond, how="inner").persist()
+        joined = (
+            t.join(s, on=cond, how="inner")
+            .withColumn("_merge_clause", idx.otherwise(F.lit(-1)))
+            .persist()
+        )
         try:
-            matched_pos = joined.select(
+            affected = joined.where(F.col("_merge_clause") >= 0)
+            matched_pos = affected.select(
                 F.col(f"t.{HIDDEN_FILE_PATH}").alias(HIDDEN_FILE_PATH),
                 F.col(f"t.{HIDDEN_POS}").alias(HIDDEN_POS),
             )
@@ -728,28 +773,34 @@ def merge_into(
             )
 
             out = None
-            if matched_action == "update" and n:
-                exprs = dict(update_exprs or {})
-                upd = update_cols or [
-                    c
-                    for c in source.columns
-                    if c in table_cols and c not in keys
-                ]
-                missing = (set(upd) | set(exprs)) - set(table_cols)
-                if missing:
-                    raise ValueError(
-                        f"update_cols/update_exprs not in table: "
-                        f"{sorted(missing)}"
-                    )
+            if n:
+                for i, cl in enumerate(clauses):
+                    if cl["action"] != "update":
+                        continue
+                    exprs = dict(cl.get("update_exprs") or {})
+                    upd = cl.get("update_cols") or [
+                        c
+                        for c in source.columns
+                        if c in table_cols and c not in keys
+                    ]
+                    missing = (set(upd) | set(exprs)) - set(table_cols)
+                    if missing:
+                        raise ValueError(
+                            f"update_cols/update_exprs not in table: "
+                            f"{sorted(missing)}"
+                        )
 
-                def _col(c):
-                    if c in exprs:
-                        return F.expr(exprs[c]).alias(c)
-                    if c in upd:
-                        return F.col(f"s.{c}").alias(c)
-                    return F.col(f"t.{c}").alias(c)
+                    def _col(c, exprs=exprs, upd=upd):
+                        if c in exprs:
+                            return F.expr(exprs[c]).alias(c)
+                        if c in upd:
+                            return F.col(f"s.{c}").alias(c)
+                        return F.col(f"t.{c}").alias(c)
 
-                out = joined.select(*[_col(c) for c in table_cols])
+                    part = joined.where(
+                        F.col("_merge_clause") == i
+                    ).select(*[_col(c) for c in table_cols])
+                    out = part if out is None else out.unionByName(part)
             if insert_unmatched:
                 missing = set(table_cols) - set(source.columns)
                 if missing:

@@ -726,3 +726,42 @@ def test_decode_payload_pillow_branch_contract(monkeypatch):
     # and with no codec the error still names the probe
     with pytest.raises(NotImplementedError, match="pillow=no"):
         mm.decode_payload(b"\x89PNG\r\n fake", codec=None)
+
+
+def test_semantic_dedup_k_knob_shrinks_pair_work(spark):
+    """SemDeDup's scale knob (VERDICT r9 #5): raising k (more, smaller
+    clusters) must SHRINK the within-cluster pair count — the exact
+    work the cluster-key equi-join performs (~n²/k).  Pair count is the
+    deterministic work metric at test scale (wall on a 400-row local
+    fixture is constant-overhead noise; the 10x wall assertion lives in
+    tests/test_scale.py::test_semantic_dedup_k_knob_wall).  Survivors
+    must stay a subset of the input ids and include the global minimum
+    id under both k values (no lower-id vector exists to remove it)."""
+    import random
+
+    rng = random.Random(11)
+    rows = [
+        (i, [rng.uniform(-1, 1) for _ in range(8)]) for i in range(400)
+    ]
+    emb = spark.createDataFrame(rows, ["vec_id", "embedding"])
+
+    def pair_work(k: int) -> int:
+        cents = sim.kmeans_train(emb, k=k, iters=3)
+        sizes = [
+            r["n"]
+            for r in sim.assign_clusters(emb, cents)
+            .groupBy("cluster_id")
+            .agg(F.count(F.lit(1)).alias("n"))
+            .collect()
+        ]
+        return sum(n * (n - 1) // 2 for n in sizes)
+
+    w4, w16 = pair_work(4), pair_work(16)
+    assert w16 < w4, (w4, w16)
+
+    cents16 = sim.kmeans_train(emb, k=16, iters=3)
+    survivors = {
+        r["vec_id"]
+        for r in sim.semantic_dedup(emb, cents16, 900000).collect()
+    }
+    assert survivors <= set(range(400)) and 0 in survivors

@@ -1096,3 +1096,113 @@ def test_upsert_duplicate_key_guard_single_job(spark, table):
         _assert_unique_keys(df, ["id"], "changes batch")
     ok = spark.createDataFrame([(None, "a"), (1, "c")], ["id", "val"])
     assert _assert_unique_keys(ok, ["id"], "changes batch") == 2
+
+
+# --- round 10: conditional MERGE clauses --------------------------------------
+
+
+def test_merge_conditional_clauses_first_match_wins(spark, table):
+    """WHEN MATCHED AND <cond> THEN UPDATE/DELETE with multiple clauses:
+    each matched row takes the FIRST clause whose condition holds; rows
+    matched by no clause stay untouched."""
+    from iceberg_compaction_spark.sources.ingest import merge_into
+
+    src = spark.createDataFrame(
+        [
+            (1, "one-upd", "U"),   # clause 2 updates
+            (2, "ignored", "D"),   # clause 1 deletes
+            (3, "skip", "X"),      # no clause: untouched
+            (50, "fifty", "U"),    # unmatched: inserted
+        ],
+        ["id", "val", "op"],
+    )
+    merge_into(
+        spark,
+        table,
+        "t",
+        src,
+        keys=["id"],
+        matched_clauses=[
+            {"condition": "s.op = 'D'", "action": "delete"},
+            {
+                "condition": "s.op = 'U'",
+                "action": "update",
+                "update_cols": ["val"],
+            },
+        ],
+        insert_unmatched=False,
+    )
+    got = _rows(spark, table)
+    assert got[1] == "one-upd"
+    assert 2 not in got
+    assert got[3] == "v3"  # matched, no clause applied: untouched
+    assert 50 not in got  # insert_unmatched off
+    assert len(got) == 9
+
+
+def test_merge_conditional_clause_order_matters(spark, table):
+    """Two clauses whose conditions both hold: the FIRST one wins
+    (swapping the order flips the outcome)."""
+    from iceberg_compaction_spark.sources.ingest import merge_into
+
+    src = spark.createDataFrame([(4, "x4")], ["id", "val"])
+    merge_into(
+        spark, table, "t", src, keys=["id"],
+        matched_clauses=[
+            {
+                "condition": "t.id >= 0",
+                "action": "update",
+                "update_exprs": {"val": "concat('first-', s.val)"},
+            },
+            {"condition": "s.val = 'x4'", "action": "delete"},
+        ],
+        insert_unmatched=False,
+    )
+    assert _rows(spark, table)[4] == "first-x4"
+
+    # swapped: the delete clause now shadows the update
+    src2 = spark.createDataFrame([(5, "x5")], ["id", "val"])
+    merge_into(
+        spark, table, "t", src2, keys=["id"],
+        matched_clauses=[
+            {"condition": "s.val = 'x5'", "action": "delete"},
+            {
+                "condition": "t.id >= 0",
+                "action": "update",
+                "update_exprs": {"val": "concat('first-', s.val)"},
+            },
+        ],
+        insert_unmatched=False,
+    )
+    got = _rows(spark, table)
+    assert 5 not in got and got[4] == "first-x4"
+
+
+def test_merge_conditional_mixed_updates_and_insert(spark, table):
+    """Conditional updates compose with WHEN NOT MATCHED INSERT and
+    per-clause expressions referencing both aliases."""
+    from iceberg_compaction_spark.sources.ingest import merge_into
+
+    src = spark.createDataFrame(
+        [(6, "six"), (7, "seven"), (300, "v300")], ["id", "val"]
+    )
+    merge_into(
+        spark, table, "t", src, keys=["id"],
+        matched_clauses=[
+            {
+                "condition": "t.id % 2 = 0",
+                "action": "update",
+                "update_exprs": {"val": "concat(t.val, '+', s.val)"},
+            },
+            {
+                "condition": None,
+                "action": "update",
+                "update_cols": ["val"],
+            },
+        ],
+    )
+    got = _rows(spark, table)
+    assert got[6] == "v6+six"    # even: expression clause
+    assert got[7] == "seven"     # odd: fallthrough plain update
+    assert got[300] == "v300"    # inserted
+    assert len(got) == 11

@@ -53,6 +53,10 @@ TRACKED = [
     # (VERDICT r8 #7)
     "dml_delete_where",
     "dml_partitioned_write",
+    # round 10: SemDeDup — cluster-restricted ~n^2/k pair generation;
+    # k is the paper's scale knob (tracked per VERDICT r9 #5; the
+    # k-knob contract itself is test_semantic_dedup_k_knob below)
+    "dedup_semantic",
 ]
 
 
@@ -113,3 +117,37 @@ def test_tracked_queries_scale_linearly(spark):
         if not ok:
             failures.append((name, t_base, t_scaled, limit))
     assert not failures, failures
+
+
+@pytest.mark.scale
+def test_semantic_dedup_k_knob_wall(spark):
+    """The k-knob contract at data scale: on the 10x fixture, k=16
+    must not be slower than k=4 beyond host-variance slack — more,
+    smaller clusters means ~4x fewer within-cluster cosine pairs, the
+    dominant stage once data is non-trivial (SemDeDup's own scaling
+    argument, arXiv:2303.09540)."""
+    from pyspark.sql import functions as F
+
+    from iceberg_compaction_spark.operators import similarity as sim
+
+    src = os.environ.get("SPARK_GRAFT_SCALE_SRC", "/root/testdata/sf0.01")
+    scaled = _build_fixture(src, FACTOR)
+    emb = (
+        spark.read.parquet(os.path.join(scaled, "embeddings.parquet"))
+        .select("vec_id", "embedding")
+    )
+
+    def wall(k: int) -> float:
+        cents = sim.kmeans_train(emb, k=k, iters=2)
+        best = float("inf")
+        for _ in range(2):
+            t0 = time.perf_counter()
+            sim.semantic_dedup(emb, cents, 350000).write.format(
+                "noop"
+            ).mode("overwrite").save()
+            best = min(best, time.perf_counter() - t0)
+        return best
+
+    w4, w16 = wall(4), wall(16)
+    print(f"semantic dedup wall: k=4 {w4:.2f}s k=16 {w16:.2f}s")
+    assert w16 <= w4 * RATIO_SLACK + GRACE_S, (w4, w16)
