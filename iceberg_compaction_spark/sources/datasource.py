@@ -1823,6 +1823,25 @@ class _StreamUpsertWriter(DataSourceStreamArrowWriter):
             fileio_for(eq_path).write_bytes(eq_path, buf.getvalue())
             return eq_path
 
+        # partition-scoped attachment, same contract as ingest.upsert:
+        # identity partition on a key column means files in untouched
+        # partitions provably hold no matching row (the key values are
+        # already driver-side in key_tbl — micro-batch scale)
+        from iceberg_compaction_spark.sources.ingest import (
+            _SCOPE_VALUE_CAP,
+            _eq_attach_needed,
+            _eq_delete_scope,
+        )
+
+        def _key_vals(col: str):
+            vals = key_tbl.column(col).unique().to_pylist()
+            if len(vals) > _SCOPE_VALUE_CAP or not all(
+                isinstance(v, (int, str)) and not isinstance(v, bool)
+                for v in vals
+            ):
+                return None
+            return set(vals), {str(v) for v in vals}
+
         def attempt():
             cur = cat.load_table(self._table)
             last = cur.properties.get("streaming.last-batch-id")
@@ -1842,10 +1861,15 @@ class _StreamUpsertWriter(DataSourceStreamArrowWriter):
             new = Manifest.from_dict(cur.to_dict())
             new.snapshot_id = cur.snapshot_id + 1
             new.sequence_number = new_seq
+            scope = _eq_delete_scope(cur, list(self._keys), _key_vals)
             for t in new.data_files:
                 # applies to every file at a strictly lower sequence —
-                # all current files, never this batch's own
-                t.deletes.append(eq_file)
+                # all current files, never this batch's own; scoped to
+                # touched partitions when provably safe
+                if scope is None or _eq_attach_needed(
+                    t, cur.default_spec_id, *scope
+                ):
+                    t.deletes.append(eq_file)
             new.data_files = list(new.data_files) + added
             new.properties["streaming.last-batch-id"] = int(batchId)
             new.operation = "overwrite"  # rows change in place

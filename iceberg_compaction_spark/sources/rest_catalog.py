@@ -278,12 +278,25 @@ class RestCatalog:
         return updates
 
     def commit_table(
-        self, name: str, expected_snapshot_id: int, new_manifest: Manifest
+        self,
+        name: str,
+        expected_snapshot_id: int,
+        new_manifest: Manifest,
+        to_branch: str | None = None,
     ) -> Manifest:
         """Spec-shaped commit: assert-ref-snapshot-id + add-snapshot +
         set-snapshot-ref.  The server validates the requirement and
         applies the updates atomically; 409 surfaces as CommitConflict
         for the caller's optimistic-retry loop (commit.py).
+
+        ``to_branch`` targets a named branch instead of main — the SAME
+        wire shapes with the branch name in the requirement's ``ref``
+        and the update's ``ref-name`` (this is exactly how the Iceberg
+        REST spec expresses branch writes); the server threads it to a
+        backing that supports branch commits (FileCatalog) and rejects
+        it with 400 on one that does not.  Branch commits always take
+        the engine-manifest wire (the full-fidelity spec-wire tier has
+        no ref store yet).
 
         Commit-status-unknown handling: a network failure on the commit
         POST leaves the outcome ambiguous (the classic distributed-
@@ -298,8 +311,13 @@ class RestCatalog:
         loop re-plans against the fresh head.
         """
         new_id = new_manifest.snapshot_id
+        target_ref = to_branch or MAIN_REF
         updates = None
-        structural = self._spec_wire_updates(name, new_manifest)
+        structural = (
+            self._spec_wire_updates(name, new_manifest)
+            if to_branch is None
+            else None
+        )
         if structural is not None:
             # SPEC WIRE (full-fidelity tier): write the Avro manifest
             # list + manifests to shared storage OURSELVES — engines
@@ -370,7 +388,7 @@ class RestCatalog:
         updates.append(
             {
                 "action": "set-snapshot-ref",
-                "ref-name": MAIN_REF,
+                "ref-name": target_ref,
                 "type": "branch",
                 "snapshot-id": new_id,
             }
@@ -379,7 +397,7 @@ class RestCatalog:
             "requirements": [
                 {
                     "type": "assert-ref-snapshot-id",
-                    "ref": MAIN_REF,
+                    "ref": target_ref,
                     "snapshot-id": expected_snapshot_id,
                 }
             ],
@@ -394,6 +412,25 @@ class RestCatalog:
         except (urllib.error.URLError, TimeoutError) as e:
             # non-HTTP transport failure (HTTP errors are mapped inside
             # _request); includes read timeouts
+            if to_branch is not None:
+                # branch commits: the snapshot id is allocated
+                # server-side, so reconcile by the branch head's
+                # file-path set alone (paths carry fresh uuids)
+                from iceberg_compaction_spark.commit import CommitConflict
+
+                try:
+                    head = self.load_table_ref(name, to_branch)
+                except Exception:
+                    raise CommitConflict(
+                        f"{name}@{to_branch}: commit status unknown and "
+                        f"reload failed: {e}"
+                    ) from e
+                if sorted(head.paths()) == sorted(new_manifest.paths()):
+                    return head
+                raise CommitConflict(
+                    f"{name}@{to_branch}: commit lost to network "
+                    f"failure: {e}"
+                ) from e
             return self._reconcile_unknown_commit(name, new_manifest, e)
         self._note_tier(name, out)
         return self._manifest_from_load(out)
@@ -809,12 +846,11 @@ class _Handler(BaseHTTPRequestHandler):
         from iceberg_compaction_spark.commit import CommitConflict
 
         expected = None
+        target_ref = MAIN_REF
         for req in body.get("requirements", []):
-            if (
-                req.get("type") == "assert-ref-snapshot-id"
-                and req.get("ref") == MAIN_REF
-            ):
+            if req.get("type") == "assert-ref-snapshot-id":
                 expected = req["snapshot-id"]
+                target_ref = req.get("ref") or MAIN_REF
         if expected is None:
             return self._error(
                 400, "BadRequestException", "missing assert-ref-snapshot-id"
@@ -851,12 +887,35 @@ class _Handler(BaseHTTPRequestHandler):
             return self._error(
                 400, "BadRequestException", "missing add-snapshot update"
             )
+        if target_ref != MAIN_REF and new_manifest is None:
+            return self._error(
+                400,
+                "ValidationException",
+                "branch-targeted commits need the engine-manifest "
+                "carrier (the spec-wire tier has no ref store)",
+            )
         with self.lock:
             try:
                 if new_manifest is not None:
-                    committed = self.catalog.commit_table(
-                        name, expected, new_manifest
-                    )
+                    if target_ref != MAIN_REF:
+                        try:
+                            committed = self.catalog.commit_table(
+                                name,
+                                expected,
+                                new_manifest,
+                                to_branch=target_ref,
+                            )
+                        except TypeError:
+                            return self._error(
+                                400,
+                                "ValidationException",
+                                "this backing does not support "
+                                "branch-targeted commits",
+                            )
+                    else:
+                        committed = self.catalog.commit_table(
+                            name, expected, new_manifest
+                        )
                 else:
                     commit_snap = getattr(
                         self.catalog, "commit_snapshot", None
@@ -881,6 +940,9 @@ class _Handler(BaseHTTPRequestHandler):
                 return self._error(
                     404, "NoSuchTableException", f"table not found: {name}"
                 )
+            except KeyError as e:
+                # commit to a non-existent branch
+                return self._error(404, "NoSuchTableException", str(e))
             except CommitConflict as e:
                 return self._error(409, "CommitFailedException", str(e))
             except ValueError as e:

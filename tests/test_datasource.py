@@ -2077,3 +2077,73 @@ def test_catalog_rest_requires_uri(spark, cat):
             .option("table", "t")
             .load()
         )
+
+
+def test_stream_upsert_sink_scopes_eq_delete_to_touched_partitions(
+    spark, tmp_path
+):
+    """Round 10: when the table is identity-partitioned on an upsert
+    key column, the sink's per-batch equality delete attaches only to
+    files in the touched partitions (same contract as ingest.upsert's
+    scoped attachment)."""
+    from iceberg_compaction_spark.plans.datamodel import EQUALITY_DELETE
+
+    root = str(tmp_path / "ptbl")
+    os.makedirs(root)
+    for g in (0, 1):
+        ids = list(range(g * 10, g * 10 + 10))
+        pq.write_table(
+            pa.table({
+                "grp": pa.array([g] * 10, type=pa.int64()),
+                "id": pa.array(ids, type=pa.int64()),
+                "val": [f"v{i}" for i in ids],
+            }),
+            os.path.join(root, f"g{g}.parquet"),
+        )
+    m = Manifest.from_parquet_dir(root, sequence_number=1)
+    m.partition_spec = [
+        {"source": "grp", "transform": "identity", "name": "grp"}
+    ]
+    for t in m.data_files:
+        g = int(os.path.basename(t.data_file_path)[1])
+        t.partition = (g,)
+    cat = FileCatalog(warehouse=str(tmp_path / "pwh"))
+    cat.create_table("t", m)
+    register(spark)
+
+    src_dir = tmp_path / "src"
+    os.makedirs(src_dir)
+    pq.write_table(
+        pa.table({
+            "grp": pa.array([0, 0], type=pa.int64()),
+            "id": pa.array([2, 100], type=pa.int64()),
+            "val": ["two-u", "h0"],
+        }),
+        os.path.join(str(src_dir), "in0.parquet"),
+    )
+    q = (
+        spark.readStream.schema("grp long, id long, val string")
+        .parquet(str(src_dir))
+        .writeStream.format("iceberg-table")
+        .option("warehouse", cat.warehouse)
+        .option("table", "t")
+        .option("mode", "upsert")
+        .option("upsert_keys", "grp,id")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+
+    m2 = cat.load_table("t")
+    attached = {
+        tuple(t.partition): len(
+            [d for d in t.deletes if d.content == EQUALITY_DELETE]
+        )
+        for t in m2.data_files
+        if t.sequence_number == 1
+    }
+    assert attached == {(0,): 1, (1,): 0}
+    got = {r["id"]: r["val"] for r in _batch(spark, cat).collect()}
+    assert got[2] == "two-u" and got[100] == "h0"
+    assert got[12] == "v12" and len(got) == 21

@@ -627,3 +627,64 @@ def test_full_fidelity_schema_evolution_takes_spec_wire(
             ).collect()
         }
         assert got == set(range(6))
+
+
+def test_branch_targeted_dml_over_rest(spark, tmp_path):
+    """Round 10: to_branch flows through the REST wire — the
+    requirement's ``ref`` and set-snapshot-ref's ``ref-name`` carry the
+    branch (the spec's own branch-write shape); the FileCatalog backing
+    allocates the snapshot and moves the branch ref, main provably
+    untouched until fast-forward."""
+    from iceberg_compaction_spark.sources.ingest import (
+        read_table_mor,
+        upsert,
+    )
+
+    root = str(tmp_path / "base")
+    os.makedirs(root)
+    pq.write_table(
+        pa.table(
+            {
+                "id": pa.array(range(10), type=pa.int64()),
+                "val": [f"v{i}" for i in range(10)],
+            }
+        ),
+        os.path.join(root, "b.parquet"),
+    )
+    backing = FileCatalog(warehouse=str(tmp_path / "wh"))
+    backing.create_table(
+        "t", Manifest.from_parquet_dir(root, sequence_number=1)
+    )
+    with serve_rest_catalog(backing) as srv:
+        client = RestCatalog(uri=srv.uri)
+        client.create_branch("t", "audit")
+        m2 = upsert(
+            spark, client, "t",
+            spark.createDataFrame([(3, "b3"), (77, "b77")], ["id", "val"]),
+            keys=["id"], to_branch="audit",
+        )
+        # main untouched through the HTTP surface
+        assert client.load_table("t").snapshot_id == 1
+        assert client.list_refs("t")["audit"]["snapshot_id"] == m2.snapshot_id
+        staged = {
+            r["id"]: r["val"]
+            for r in read_table_mor(
+                spark, client.load_table_ref("t", "audit")
+            ).collect()
+        }
+        assert staged[3] == "b3" and staged[77] == "b77" and len(staged) == 11
+        # publish over HTTP
+        client.fast_forward("t", "main", m2.snapshot_id)
+        got = {
+            r["id"]: r["val"]
+            for r in read_table_mor(spark, client.load_table("t")).collect()
+        }
+        assert got == staged
+
+        # a commit to a missing branch surfaces the catalog error
+        with pytest.raises(Exception, match="no such"):
+            upsert(
+                spark, client, "t",
+                spark.createDataFrame([(1, "x")], ["id", "val"]),
+                keys=["id"], to_branch="nope",
+            )
