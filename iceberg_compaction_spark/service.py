@@ -99,19 +99,48 @@ def maintain(
     catalog,
     table_name: str,
     policy: MaintenancePolicy | None = None,
+    to_branch: str | None = None,
 ) -> MaintenanceReport:
-    """Run one maintenance pass over a catalog table; see module doc."""
+    """Run one maintenance pass over a catalog table; see module doc.
+
+    ``to_branch`` runs the ROW-SET maintenance steps (auto-compaction,
+    equality-delete conversion, position-delete consolidation) against
+    and onto a named branch — the WAP pattern where the audit branch is
+    maintained before publish, main untouched.  The snapshot-HYGIENE
+    steps (format upgrade, expiration, orphan cleanup) operate on the
+    table as a whole, so ``upgrade_to_version`` is rejected with a
+    branch target (it would commit on main) and expiration/orphan
+    cleanup keep their global, ref-protecting semantics.
+    """
     from dataclasses import replace
 
     policy = policy or MaintenancePolicy()
-    before = catalog.load_table(table_name).snapshot_id
+
+    def _load() -> Manifest:
+        if to_branch:
+            return catalog.load_table_ref(table_name, to_branch)
+        return catalog.load_table(table_name)
+
+    def _commit(current: Manifest, new: Manifest) -> Manifest:
+        if to_branch:
+            return catalog.commit_table(
+                table_name, current.snapshot_id, new, to_branch=to_branch
+            )
+        return catalog.commit_table(table_name, current.snapshot_id, new)
+
+    before = _load().snapshot_id
     if policy.upgrade_to_version is not None:
+        if to_branch:
+            raise ValueError(
+                "upgrade_to_version is a whole-table structural change; "
+                "run it without to_branch"
+            )
         from iceberg_compaction_spark.compaction import (
             upgrade_format_version,
         )
 
         upgrade_format_version(catalog, table_name, policy.upgrade_to_version)
-    manifest = catalog.load_table(table_name)
+    manifest = _load()
 
     report = AutoCompactionPlanner(policy.auto).plan_report(
         scan_data_files(manifest),
@@ -120,6 +149,7 @@ def maintain(
     )
     for p in report.plans:
         p.schema_id = manifest.schema_id
+        p.branch = to_branch or "main"
     stats = CompactionStats()
     if report.plans:
         engine = Compaction(
@@ -133,11 +163,11 @@ def maintain(
         if results:
 
             def attempt() -> Manifest:
-                current = catalog.load_table(table_name)
-                new = engine.commit_manager.rewrite_files(current, results)
-                return catalog.commit_table(
-                    table_name, current.snapshot_id, new
+                current = _load()
+                new = engine.commit_manager.rewrite_files(
+                    current, results, branch=to_branch or "main"
                 )
+                return _commit(current, new)
 
             engine.commit_manager.commit_with_retry(attempt)
 
@@ -156,7 +186,7 @@ def maintain(
     if policy.convert_eq_deletes:
         eq_live = {
             d.path
-            for t in catalog.load_table(table_name).data_files
+            for t in _load().data_files
             for d in t.deletes
             if d.content != POSITION_DELETE
         }
@@ -164,15 +194,13 @@ def maintain(
             holder: list[EqConvertStats] = []
 
             def attempt_eq() -> Manifest:
-                current = catalog.load_table(table_name)
+                current = _load()
                 new_m, stats_eq = convert_equality_deletes(spark, current)
                 holder.append(stats_eq)
                 if not stats_eq.input_equality_files:
                     return current  # raced away: nothing left to convert
                 new_m.snapshot_id = current.snapshot_id + 1
-                return catalog.commit_table(
-                    table_name, current.snapshot_id, new_m
-                )
+                return _commit(current, new_m)
 
             mgr.commit_with_retry(attempt_eq)
             eqc = holder[-1]
@@ -182,7 +210,7 @@ def maintain(
         # gate on driver-scale manifest metadata BEFORE the Spark job:
         # below the threshold the consolidation would only be abandoned
         # (its output files left orphaned) — never start it
-        cur_m = catalog.load_table(table_name)
+        cur_m = _load()
         pos_live = {
             d.path
             for t in cur_m.data_files
@@ -198,7 +226,7 @@ def maintain(
             holder_d: list[DeleteRewriteStats] = []
 
             def attempt_drw() -> Manifest:
-                current = catalog.load_table(table_name)
+                current = _load()
                 new_m, stats_d = rewrite_position_deletes(spark, current)
                 holder_d.append(stats_d)
                 worth = stats_d.input_delete_files >= (
@@ -210,9 +238,7 @@ def maintain(
                 if not (worth and stats_d.output_delete_files):
                     return current  # raced below the threshold
                 new_m.snapshot_id = current.snapshot_id + 1
-                return catalog.commit_table(
-                    table_name, current.snapshot_id, new_m
-                )
+                return _commit(current, new_m)
 
             mgr.commit_with_retry(attempt_drw)
             drw = holder_d[-1]
@@ -225,7 +251,7 @@ def maintain(
         if policy.clean_orphans
         else []
     )
-    after = catalog.load_table(table_name).snapshot_id
+    after = _load().snapshot_id
     return MaintenanceReport(
         table=table_name,
         snapshot_before=before,

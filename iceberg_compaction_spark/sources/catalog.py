@@ -155,6 +155,57 @@ class FileCatalog:
                 f"{self.table_history(name) if self.table_exists(name) else []})"
             ) from None
 
+    def snapshot_parents(self, name: str) -> dict[int, "int | None"]:
+        """snapshot id -> parent snapshot id (None for roots or for
+        versions written before parent stamping; see snapshot_lineage's
+        legacy fallback)."""
+        out = {}
+        for sid in self.table_history(name):
+            raw = json.loads(
+                self._io.read_bytes(self._version_path(name, sid))
+            )
+            out[sid] = raw.get("parent-snapshot-id")
+        return out
+
+    def snapshot_lineage(
+        self, name: str, end: int, start: int = 0
+    ) -> list[int]:
+        """Snapshot ids on ``end``'s parent chain with id strictly above
+        ``start``, ascending — the commit log a MAIN (or branch) reader
+        must walk once branch commits interleave storage versions
+        (global version order is NOT lineage order on a WAP table).
+
+        Versions without a parent stamp (pre-round-10 commits, when no
+        branches could exist) fall back to the previous retained
+        version — exactly the legacy linear history.  A chain that
+        needs an EXPIRED snapshot above ``start`` raises (the walk
+        cannot silently skip commits)."""
+        history = self.table_history(name)
+        hset = set(history)
+        if end not in hset:
+            raise TableNotFound(f"{name}@{end}")
+        out = []
+        cur: "int | None" = end
+        _missing = object()
+        for _ in range(len(history) + 1):
+            if cur is None or cur <= start:
+                break
+            if cur not in hset:
+                raise ValueError(
+                    f"{name}: lineage snapshot {cur} above {start} has "
+                    f"been expired (retained: {history})"
+                )
+            out.append(cur)
+            raw = json.loads(
+                self._io.read_bytes(self._version_path(name, cur))
+            )
+            parent = raw.get("parent-snapshot-id", _missing)
+            if parent is _missing:
+                idx = history.index(cur)
+                parent = history[idx - 1] if idx > 0 else None
+            cur = parent
+        return sorted(out)
+
     def snapshot_timestamps(self, name: str) -> dict[int, int]:
         """snapshot id -> committed-at wall-clock ms (0 for versions
         written before timestamps were stamped)."""
@@ -169,8 +220,17 @@ class FileCatalog:
     def load_table_as_of(self, name: str, timestamp_ms: int) -> Manifest:
         """Timestamp time travel (Iceberg's ``FOR SYSTEM_TIME AS OF``):
         the last snapshot committed AT or BEFORE ``timestamp_ms``; ties
-        within one millisecond resolve to the highest version."""
+        within one millisecond resolve to the highest version.  When
+        main is pinned (a WAP table), only MAIN-lineage snapshots are
+        eligible — an unpublished audit-branch commit must never answer
+        a main time-travel read."""
         ts = self.snapshot_timestamps(name)
+        main = self.list_refs(name).get("main")
+        if main:
+            chain = set(
+                self.snapshot_lineage(name, main["snapshot_id"], 0)
+            )
+            ts = {sid: t for sid, t in ts.items() if sid in chain}
         eligible = [sid for sid, t in ts.items() if t <= timestamp_ms]
         if not eligible:
             raise TableNotFound(
@@ -259,16 +319,21 @@ class FileCatalog:
         raise CommitConflict(f"{name}: refs CAS contention (64 attempts)")
 
     def _set_ref(
-        self, name: str, ref: str, ref_type: str, snapshot_id: int | None
+        self,
+        name: str,
+        ref: str,
+        ref_type: str,
+        snapshot_id: int | None,
+        pin_main: bool = False,
     ) -> dict:
         history = self.table_history(name)
 
         def mutate(refs: dict) -> dict:
+            main = refs.get("main")
             sid = snapshot_id
             if sid is None:
                 # "current head": the pinned main ref when present,
                 # else the highest committed version
-                main = refs.get("main")
                 sid = main["snapshot_id"] if main else max(history)
             if sid not in history:
                 raise TableNotFound(f"{name}@{sid}")
@@ -282,6 +347,19 @@ class FileCatalog:
                     f"ref {ref!r} is a {existing['type']}, not a {ref_type}"
                 )
             refs[ref] = {"type": ref_type, "snapshot_id": sid}
+            if pin_main and ref != "main" and "main" not in refs:
+                # creating the FIRST branch pins main at the current
+                # head IN THE SAME atomic refs write — from here on,
+                # every branch commit finds main already pinned, so no
+                # commit can ever mis-pin it from a storage head that
+                # already contains another writer's branch allocation
+                # (the race a pre-pin commit-side fallback cannot
+                # close: no branch exists before this, so the storage
+                # head here IS main)
+                refs["main"] = {
+                    "type": "branch",
+                    "snapshot_id": max(history),
+                }
             return refs
 
         return self._refs_cas(name, mutate)[ref]
@@ -299,10 +377,13 @@ class FileCatalog:
         self, name: str, branch: str, snapshot_id: int | None = None
     ) -> dict:
         """Create a movable named pointer (defaults to the current
-        head).  Advance it with :meth:`fast_forward`."""
+        head).  Advance it with :meth:`fast_forward`.  Creating the
+        first branch also pins ``main`` at the current head (same
+        atomic refs write) — the WAP prerequisite that lets branch
+        commits leave main provably untouched."""
         if branch in self.list_refs(name):
             raise ValueError(f"ref {branch!r} already exists")
-        return self._set_ref(name, branch, "branch", snapshot_id)
+        return self._set_ref(name, branch, "branch", snapshot_id, pin_main=True)
 
     def fast_forward(self, name: str, branch: str, snapshot_id: int) -> dict:
         """Move a branch forward to a newer snapshot — the publish step
@@ -324,6 +405,17 @@ class FileCatalog:
                 f"fast-forward must move forward: {branch!r} at {cur}, "
                 f"target {snapshot_id}"
             )
+        if snapshot_id != cur and cur != 0:
+            # ancestry, like Iceberg's fast_forward: the target must
+            # DESCEND from the branch's current snapshot, or the move
+            # would silently discard the branch's own commits.  Walked
+            # via parent stamps; pre-stamp history degrades to linear
+            # (where numeric order IS ancestry).
+            if cur not in self.snapshot_lineage(name, snapshot_id, 0):
+                raise ValueError(
+                    f"not a fast-forward: {snapshot_id} does not descend "
+                    f"from {branch!r}'s current snapshot {cur}"
+                )
         return self._set_ref(name, branch, "branch", snapshot_id)
 
     def drop_ref(self, name: str, ref: str) -> None:
@@ -431,7 +523,12 @@ class FileCatalog:
                     f"v{expected_snapshot_id}"
                 )
             try:
-                self._write_version(name, new_manifest, exclusive=True)
+                self._write_version(
+                    name,
+                    new_manifest,
+                    exclusive=True,
+                    parent=expected_snapshot_id,
+                )
             except FileExistsError:
                 raise CommitConflict(
                     f"{name}: lost CAS race for v{new_version}"
@@ -466,7 +563,12 @@ class FileCatalog:
             v = self._current_version(name) + 1
             new_manifest.snapshot_id = v
             try:
-                self._write_version(name, new_manifest, exclusive=True)
+                self._write_version(
+                    name,
+                    new_manifest,
+                    exclusive=True,
+                    parent=expected_snapshot_id,
+                )
                 allocated = v
                 break
             except FileExistsError:
@@ -525,13 +627,23 @@ class FileCatalog:
         return max(versions, default=0)
 
     def _write_version(
-        self, name: str, manifest: Manifest, exclusive: bool = False
+        self,
+        name: str,
+        manifest: Manifest,
+        exclusive: bool = False,
+        parent: int | None = None,
     ) -> None:
         import time
 
         io = self._io
         path = self._version_path(name, manifest.snapshot_id)
         d = manifest.to_dict()
+        if parent is not None:
+            # Iceberg's parent-snapshot-id: which snapshot this commit
+            # was built on — catalog bookkeeping (Manifest round-trips
+            # ignore it) that makes lineage walkable once branch
+            # commits interleave version numbers (snapshot_lineage)
+            d["parent-snapshot-id"] = parent
         # commit wall-clock (Iceberg's snapshot timestamp-ms): stamped
         # at WRITE time, read back via snapshot_timestamps — it is
         # catalog bookkeeping, not manifest state, so Manifest

@@ -1107,13 +1107,22 @@ class _ChangesStreamReader(DataSourceStreamReader):
             return {
                 "snapshot": self._catalog().load_table(self._table).snapshot_id
             }
-        # ONE metadata listing serves both the head and the walk (the
-        # head is always the highest retained version); snapshot ids
-        # need not be dense once expiration has run
+        # The stream follows MAIN: on catalogs with lineage support the
+        # head is main's snapshot and the walk is its parent chain —
+        # global version order is NOT lineage order once branch commits
+        # (WAP) interleave storage versions, and an unpublished audit
+        # snapshot must never reach a consumer.  Legacy catalogs keep
+        # the version-ordered walk (no branches could exist there).
         floor = self._floor
-        history = self._catalog().table_history(self._table)
-        head = history[-1]
-        ahead = [s for s in history if s > floor]
+        cat = self._catalog()
+        lineage = getattr(cat, "snapshot_lineage", None)
+        if lineage is not None:
+            head = cat.load_table(self._table).snapshot_id
+            ahead = lineage(self._table, head, floor) if head > floor else []
+        else:
+            history = cat.table_history(self._table)
+            head = history[-1]
+            ahead = [s for s in history if s > floor]
         capped = (
             ahead[self._max_per_trigger - 1]
             if len(ahead) >= self._max_per_trigger
@@ -1151,9 +1160,21 @@ class _ChangesStreamReader(DataSourceStreamReader):
         # persist it so a restart caps its first batch too
         self._floor = max(self._floor or 0, lo, hi)
         self._save_floor(self._floor)
-        history = [s for s in all_history if lo <= s <= hi]
+        lineage = getattr(cat, "snapshot_lineage", None)
+        if lineage is not None and hi:
+            # MAIN-lineage walk (see latestOffset): branch snapshots
+            # interleaved in the version numbers are not this stream's
+            # commits and must not be emitted or diffed through
+            history = lineage(self._table, hi, max(lo - 1, 0))
+        else:
+            history = [s for s in all_history if lo <= s <= hi]
         parts: list[_FilePartition] = []
         prev = None
+        if lo and history and history[0] != lo:
+            # the published head does not pass through lo itself
+            # (non-linear publish): diff the first lineage commit
+            # against lo's actual state instead of skipping it
+            prev = cat.load_table_at(self._table, lo)
         for sid in history:
             m = cat.load_table_at(self._table, sid)
             if prev is None and lo == 0 and sid > lo:
@@ -1423,6 +1444,10 @@ class _AppendWriter(DataSourceArrowWriter):
     def __init__(self, options, overwrite: bool):
         self._copts = _catalog_options(options)
         self._table = options["table"]
+        # option("to_branch", name): plan against and commit onto a
+        # named branch (WAP staging through the DataSource) — requires
+        # a catalog with branch-commit support (file, rest)
+        self._branch = options.get("to_branch")
         self._overwrite = overwrite
         self._target = int(
             options.get("target_file_size_bytes", self.DEFAULT_TARGET_BYTES)
@@ -1446,7 +1471,12 @@ class _AppendWriter(DataSourceArrowWriter):
             scheme_of,
         )
 
-        _m = catalog_from_options(self._copts).load_table(self._table)
+        _cat = catalog_from_options(self._copts)
+        _m = (
+            _cat.load_table_ref(self._table, self._branch)
+            if self._branch
+            else _cat.load_table(self._table)
+        )
         self._root = _m.table_root
         # the table's CURRENT partition spec: writes fan out per
         # partition value (hive-style dirs for readability; the values
@@ -1640,7 +1670,11 @@ class _AppendWriter(DataSourceArrowWriter):
         mgr = CommitManager()
 
         def attempt():
-            cur = cat.load_table(self._table)
+            cur = (
+                cat.load_table_ref(self._table, self._branch)
+                if self._branch
+                else cat.load_table(self._table)
+            )
             new_seq = cur.sequence_number + 1
             added = _tasks_from_files(files, new_seq, cur.default_spec_id)
             from iceberg_compaction_spark.sources.manifest import Manifest
@@ -1654,6 +1688,13 @@ class _AppendWriter(DataSourceArrowWriter):
             else:
                 new.data_files = list(new.data_files) + added
                 new.operation = "append"
+            if self._branch:
+                return cat.commit_table(
+                    self._table,
+                    cur.snapshot_id,
+                    new,
+                    to_branch=self._branch,
+                )
             return cat.commit_table(self._table, cur.snapshot_id, new)
 
         mgr.commit_with_retry(attempt)
@@ -1689,9 +1730,22 @@ class _StreamAppendWriter(DataSourceStreamArrowWriter):
         self._inner = _AppendWriter(options, overwrite=False)
         self._copts = _catalog_options(options)
         self._table = options["table"]
+        self._branch = options.get("to_branch")
 
     def write(self, iterator):
         return self._inner.write(iterator)
+
+    def _load_head(self, cat):
+        if self._branch:
+            return cat.load_table_ref(self._table, self._branch)
+        return cat.load_table(self._table)
+
+    def _commit_head(self, cat, cur, new):
+        if self._branch:
+            return cat.commit_table(
+                self._table, cur.snapshot_id, new, to_branch=self._branch
+            )
+        return cat.commit_table(self._table, cur.snapshot_id, new)
 
     def commit(self, messages, batchId):
         from iceberg_compaction_spark.commit import CommitManager
@@ -1705,7 +1759,7 @@ class _StreamAppendWriter(DataSourceStreamArrowWriter):
         mgr = CommitManager()
 
         def attempt():
-            cur = cat.load_table(self._table)
+            cur = self._load_head(cat)
             last = cur.properties.get("streaming.last-batch-id")
             if last is not None and int(last) >= batchId:
                 return cur  # replayed batch: already committed
@@ -1717,7 +1771,7 @@ class _StreamAppendWriter(DataSourceStreamArrowWriter):
             new.data_files = list(new.data_files) + added
             new.properties["streaming.last-batch-id"] = int(batchId)
             new.operation = "append"
-            return cat.commit_table(self._table, cur.snapshot_id, new)
+            return self._commit_head(cat, cur, new)
 
         mgr.commit_with_retry(attempt)
 
@@ -1756,6 +1810,7 @@ class _StreamUpsertWriter(DataSourceStreamArrowWriter):
         self._inner = _AppendWriter(options, overwrite=False)
         self._copts = _catalog_options(options)
         self._table = options["table"]
+        self._branch = options.get("to_branch")
         keys = options.get("upsert_keys", "")
         self._keys = tuple(k.strip() for k in keys.split(",") if k.strip())
         if not self._keys:
@@ -1843,7 +1898,11 @@ class _StreamUpsertWriter(DataSourceStreamArrowWriter):
             return set(vals), {str(v) for v in vals}
 
         def attempt():
-            cur = cat.load_table(self._table)
+            cur = (
+                cat.load_table_ref(self._table, self._branch)
+                if self._branch
+                else cat.load_table(self._table)
+            )
             last = cur.properties.get("streaming.last-batch-id")
             if last is not None and int(last) >= batchId:
                 return cur  # replayed batch: already committed
@@ -1873,6 +1932,13 @@ class _StreamUpsertWriter(DataSourceStreamArrowWriter):
             new.data_files = list(new.data_files) + added
             new.properties["streaming.last-batch-id"] = int(batchId)
             new.operation = "overwrite"  # rows change in place
+            if self._branch:
+                return cat.commit_table(
+                    self._table,
+                    cur.snapshot_id,
+                    new,
+                    to_branch=self._branch,
+                )
             return cat.commit_table(self._table, cur.snapshot_id, new)
 
         CommitManager().commit_with_retry(attempt)

@@ -206,8 +206,19 @@ class LocalFileIO(FileIO):
         return (st.st_size, st.st_mtime)
 
     def write_atomic(self, path: str, data: bytes) -> None:
+        import threading
+        import uuid as _uuid
+
         p = self.strip(path)
-        tmp = f"{p}.tmp.{os.getpid()}"
+        # pid alone is NOT unique within a process: two THREADS staging
+        # the same target (e.g. concurrent branch committers updating
+        # the version hint) collided on one temp name — the loser's
+        # os.replace raised FileNotFoundError after the winner's rename
+        # consumed the file (round-10 race-test find)
+        tmp = (
+            f"{p}.tmp.{os.getpid()}.{threading.get_ident()}"
+            f".{_uuid.uuid4().hex[:6]}"
+        )
         with open(tmp, "wb") as f:
             f.write(data)
         os.replace(tmp, p)

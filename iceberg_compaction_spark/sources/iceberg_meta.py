@@ -755,6 +755,9 @@ def export_iceberg_metadata(
             str(k): str(v) for k, v in manifest.properties.items()
         },
         "current-snapshot-id": snap_id,
+        # the spec's refs map: main tracks the current snapshot (real
+        # readers resolve the default branch through it)
+        "refs": {"main": {"snapshot-id": snap_id, "type": "branch"}},
         "snapshots": [
             {
                 "snapshot-id": snap_id,
@@ -1185,6 +1188,10 @@ class IcebergHadoopCatalog:
             int(snapshot.get("sequence-number", 0)),
         )
         md["current-snapshot-id"] = sid
+        md["refs"] = {
+            **(md.get("refs") or {}),
+            "main": {"snapshot-id": sid, "type": "branch"},
+        }
         # one snapshot per version file (the engine's established
         # convention: history = the retained version files)
         md["snapshots"] = [snapshot]
@@ -1305,6 +1312,9 @@ class IcebergHadoopCatalog:
                 for k, v in manifest.properties.items()
             },
             "current-snapshot-id": snap_id,
+            "refs": {
+                "main": {"snapshot-id": snap_id, "type": "branch"}
+            },
             "snapshots": [
                 {
                     "snapshot-id": snap_id,

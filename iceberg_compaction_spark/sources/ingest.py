@@ -649,6 +649,7 @@ def merge_into(
     delete_unmatched_target: bool = False,
     to_branch: str | None = None,
     matched_clauses: "list[dict] | None" = None,
+    insert_condition: str | None = None,
 ) -> Manifest:
     """Minimal MERGE: ``MERGE INTO t USING source ON t.k = s.k WHEN
     MATCHED THEN UPDATE SET ... / DELETE [WHEN NOT MATCHED THEN
@@ -680,6 +681,11 @@ def merge_into(
     given, it supersedes ``matched_action``/``update_cols``/
     ``update_exprs`` (which remain the single-unconditional-clause
     shorthand).
+
+    ``insert_condition`` is ``WHEN NOT MATCHED AND <cond> THEN
+    INSERT``: a Spark SQL predicate over the SOURCE columns (plain
+    names — the unmatched rows are source-only by definition); unmatched
+    source rows failing it are simply not inserted.
 
     The source must be key-unique (asserted, like :func:`upsert` —
     SQL MERGE raises on multiple matches too).  CAS-retried per
@@ -810,7 +816,10 @@ def merge_into(
                     )
                 inserts = source.join(
                     df.select(*keys), on=keys, how="left_anti"
-                ).select(*table_cols)
+                )
+                if insert_condition:
+                    inserts = inserts.where(insert_condition)
+                inserts = inserts.select(*table_cols)
                 out = inserts if out is None else out.unionByName(inserts)
 
             has_rows = out is not None and out.limit(1).count() > 0

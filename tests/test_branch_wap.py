@@ -222,3 +222,176 @@ def test_unpinned_commit_protocol_unchanged(spark, cat):
     m = cat.load_table("t")
     assert m.snapshot_id == 2
     assert cat.list_refs("t") == {}
+
+
+def test_snapshot_lineage_and_parent_stamps(spark, cat):
+    """Parent stamps make lineage walkable: branch snapshots interleave
+    version numbers but never appear on main's chain; as-of time travel
+    on a WAP table answers from the MAIN lineage only."""
+    cat.create_branch("t", "audit")
+    upsert(
+        spark, cat, "t",
+        spark.createDataFrame([(1, "a1")], ["id", "val"]),
+        keys=["id"], to_branch="audit",
+    )  # v2 on audit, main pinned at 1
+    upsert(
+        spark, cat, "t",
+        spark.createDataFrame([(2, "m2")], ["id", "val"]),
+        keys=["id"],
+    )  # v3 on main
+    parents = cat.snapshot_parents("t")
+    assert parents[2] == 1 and parents[3] == 1
+    assert cat.snapshot_lineage("t", 3, 0) == [1, 3]
+    assert cat.snapshot_lineage("t", 2, 0) == [1, 2]
+    # as-of "now" resolves main's head, not the branch snapshot
+    import time as _t
+
+    m = cat.load_table_as_of("t", int(_t.time() * 1000) + 10_000)
+    assert m.snapshot_id == 3
+
+
+def test_fast_forward_rejects_non_ancestral_target(spark, cat):
+    """Iceberg's fast_forward requires ancestry: a branch must not be
+    force-moved onto a snapshot that does not descend from its head."""
+    cat.create_branch("t", "audit")
+    upsert(
+        spark, cat, "t",
+        spark.createDataFrame([(1, "a1")], ["id", "val"]),
+        keys=["id"], to_branch="audit",
+    )  # v2: audit lineage
+    upsert(
+        spark, cat, "t",
+        spark.createDataFrame([(2, "m2")], ["id", "val"]),
+        keys=["id"],
+    )  # v3: main lineage (parent 1, not 2)
+    with pytest.raises(ValueError, match="not a fast-forward"):
+        cat.fast_forward("t", "audit", 3)
+    # the true descendant is fine
+    cat.fast_forward("t", "main", 3)
+
+
+def test_maintain_on_branch_keeps_main_untouched(spark, cat):
+    """service.maintain(to_branch=...): the audit branch is compacted
+    and delete-maintained before publish; main never moves; the
+    hygiene steps keep their global ref-protecting semantics."""
+    from iceberg_compaction_spark.plans.auto import AutoCompactionConfig
+    from iceberg_compaction_spark.service import MaintenancePolicy, maintain
+
+    base_rows = _rows(spark, cat)
+    cat.create_branch("t", "audit")
+    upsert(
+        spark, cat, "t",
+        spark.createDataFrame([(3, "a3"), (99, "a99")], ["id", "val"]),
+        keys=["id"], to_branch="audit",
+    )
+    r = maintain(
+        spark,
+        cat,
+        "t",
+        MaintenancePolicy(
+            auto=AutoCompactionConfig(min_small_files_count=2),
+            keep_snapshots=10,
+            clean_orphans=False,
+        ),
+        to_branch="audit",
+    )
+    assert r.stats.input_files_count >= 6
+    assert cat.load_table("t").snapshot_id == 1
+    assert _rows(spark, cat) == base_rows
+    audited = _rows(spark, cat, ref="audit")
+    assert audited[3] == "a3" and audited[99] == "a99"
+    assert len(audited) == 61
+    head = cat.list_refs("t")["audit"]["snapshot_id"]
+    assert r.snapshot_after == head
+    cat.fast_forward("t", "main", head)
+    assert _rows(spark, cat) == audited
+
+    # with a branch target, a structural upgrade is rejected loudly
+    with pytest.raises(ValueError, match="whole-table"):
+        maintain(
+            spark, cat, "t",
+            MaintenancePolicy(upgrade_to_version=3),
+            to_branch="audit",
+        )
+
+
+def test_concurrent_branch_commits_exactly_one_winner(cat):
+    """Two writers racing the SAME branch head: exactly one commit
+    lands; the loser surfaces retryable CommitConflict, and the
+    allocated-version orphan of the loser is unlinked."""
+    import threading
+
+    from iceberg_compaction_spark.commit import CommitConflict
+    from iceberg_compaction_spark.sources.manifest import Manifest as _M
+
+    cat.create_branch("t", "audit")
+    base = cat.load_table_ref("t", "audit")
+
+    def make_next():
+        m = _M.from_dict(base.to_dict())
+        m.snapshot_id = base.snapshot_id + 1
+        m.sequence_number = base.sequence_number + 1
+        return m
+
+    outcomes = [None, None]
+    barrier = threading.Barrier(2)
+
+    def run(i):
+        try:
+            barrier.wait()
+            outcomes[i] = cat.commit_table(
+                "t", base.snapshot_id, make_next(), to_branch="audit"
+            )
+        except CommitConflict as e:
+            outcomes[i] = e
+
+    ts = [threading.Thread(target=run, args=(i,)) for i in range(2)]
+    for th in ts:
+        th.start()
+    for th in ts:
+        th.join()
+    wins = [o for o in outcomes if isinstance(o, _M)]
+    losses = [o for o in outcomes if isinstance(o, CommitConflict)]
+    assert len(wins) == 1 and len(losses) == 1, outcomes
+    refs = cat.list_refs("t")
+    assert refs["audit"]["snapshot_id"] == wins[0].snapshot_id
+    assert refs["main"]["snapshot_id"] == 1
+    assert cat.load_table("t").snapshot_id == 1
+
+
+def test_concurrent_commits_to_distinct_branches_both_land(cat):
+    """Two writers racing DIFFERENT branches: both succeed — the refs
+    CAS re-applies the loser of the exclusive-create race, so neither
+    ref move is lost."""
+    import threading
+
+    from iceberg_compaction_spark.sources.manifest import Manifest as _M
+
+    cat.create_branch("t", "a")
+    cat.create_branch("t", "b")
+    base = cat.load_table("t")
+    outcomes = [None, None]
+    barrier = threading.Barrier(2)
+
+    def run(i, branch):
+        m = _M.from_dict(base.to_dict())
+        m.snapshot_id = base.snapshot_id + 1
+        m.sequence_number = base.sequence_number + 1
+        barrier.wait()
+        outcomes[i] = cat.commit_table(
+            "t", base.snapshot_id, m, to_branch=branch
+        )
+
+    ts = [
+        threading.Thread(target=run, args=(0, "a")),
+        threading.Thread(target=run, args=(1, "b")),
+    ]
+    for th in ts:
+        th.start()
+    for th in ts:
+        th.join()
+    refs = cat.list_refs("t")
+    assert outcomes[0].snapshot_id != outcomes[1].snapshot_id
+    assert refs["a"]["snapshot_id"] == outcomes[0].snapshot_id
+    assert refs["b"]["snapshot_id"] == outcomes[1].snapshot_id
+    assert refs["main"]["snapshot_id"] == 1

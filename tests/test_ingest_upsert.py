@@ -1206,3 +1206,23 @@ def test_merge_conditional_mixed_updates_and_insert(spark, table):
     assert got[7] == "seven"     # odd: fallthrough plain update
     assert got[300] == "v300"    # inserted
     assert len(got) == 11
+
+
+def test_merge_conditional_insert(spark, table):
+    """WHEN NOT MATCHED AND <cond> THEN INSERT: unmatched source rows
+    failing the predicate are not inserted; matched handling is
+    unaffected."""
+    from iceberg_compaction_spark.sources.ingest import merge_into
+
+    src = spark.createDataFrame(
+        [(1, "one-upd"), (60, "keep"), (61, "drop-me")], ["id", "val"]
+    )
+    merge_into(
+        spark, table, "t", src, keys=["id"],
+        insert_condition="val != 'drop-me'",
+    )
+    got = _rows(spark, table)
+    assert got[1] == "one-upd"
+    assert got[60] == "keep"
+    assert 61 not in got
+    assert len(got) == 11
