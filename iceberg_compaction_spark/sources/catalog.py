@@ -39,8 +39,280 @@ class TableAlreadyExists(ValueError):
     pass
 
 
+class TableRefs:
+    """Tags / branches / fast-forward / WAP publish over CASed
+    ``refs.v<K>.json`` side files in the table's metadata directory —
+    shared by every versioned-metadata catalog backend (FileCatalog and
+    the real-metadata IcebergHadoopCatalog).
+
+    Host requirements: ``_io``, ``_refs_dir(name)``, ``table_history``,
+    ``load_table_at``, ``_current_version``, ``snapshot_lineage``.
+
+    Refs live in VERSIONED files created with O_CREAT|O_EXCL, so every
+    ref mutation is an atomic read-modify-write: concurrent movers (two
+    branch commits, a tag create racing a fast-forward) can never lose
+    each other's update — the loser of the exclusive create re-reads
+    and re-applies.  This is the same CAS primitive the version files
+    use, applied to the ref map (real Iceberg keeps refs INSIDE
+    TableMetadata so the metadata swap covers them; a separate CASed
+    file gives the same guarantee without bumping the table version on
+    ref-only changes).
+    """
+
+    # ---- refs: tags and branches (Iceberg table refs) -------------------
+    #
+    # Refs live in VERSIONED files (``refs.v<K>.json``) created with
+    # O_CREAT|O_EXCL, so every ref mutation is an atomic
+    # read-modify-write: concurrent movers (two branch commits, a tag
+    # create racing a fast-forward) can never lose each other's update —
+    # the loser of the exclusive create re-reads and re-applies.  This
+    # is the same CAS primitive the version files use, applied to the
+    # ref map (real Iceberg keeps refs INSIDE TableMetadata so the
+    # metadata swap covers them; a separate CASed file gives the same
+    # guarantee without bumping the table version on ref-only changes).
+
+    def _refs_path(self, name: str) -> str:
+        # legacy single-file location (pre-round-10 warehouses): read
+        # as version 0 when no versioned refs file exists yet
+        return self._io.join(self._refs_dir(name), "refs.json")
+
+    def _refs_vpath(self, name: str, k: int) -> str:
+        return self._io.join(self._refs_dir(name), f"refs.v{k}.json")
+
+    def _refs_state(self, name: str) -> tuple[int, dict]:
+        """(refs version K, refs map) — highest ``refs.v<K>.json``,
+        falling back to the legacy ``refs.json`` (as K=0), else empty."""
+        io = self._io
+        mdir = self._refs_dir(name)
+        if not io.is_dir(mdir):
+            raise TableNotFound(name)
+        ks = [
+            int(n[6:].split(".", 1)[0])
+            for n in io.listdir(mdir)
+            if n.startswith("refs.v") and n.endswith(".json")
+        ]
+        if ks:
+            k = max(ks)
+            return k, json.loads(io.read_bytes(self._refs_vpath(name, k)))
+        try:
+            return 0, json.loads(io.read_bytes(self._refs_path(name)))
+        except FileNotFoundError:
+            return 0, {}
+
+    def list_refs(self, name: str) -> dict[str, dict]:
+        """All named refs: ``{ref_name: {"type": "tag"|"branch",
+        "snapshot_id": int}}``."""
+        return self._refs_state(name)[1]
+
+    def _refs_cas(self, name: str, mutate) -> dict[str, dict]:
+        """Atomically apply ``mutate(refs) -> refs`` to the ref map.
+        ``mutate`` sees the freshest map on every attempt and may raise
+        to abort (its exception propagates un-retried — validation
+        failures are not contention)."""
+        from iceberg_compaction_spark.commit import CommitConflict
+
+        for _ in range(64):
+            k, refs = self._refs_state(name)
+            new_refs = mutate(dict(refs))
+            payload = json.dumps(new_refs, indent=1).encode()
+            if self._io.create_exclusive(
+                self._refs_vpath(name, k + 1), payload
+            ):
+                return new_refs
+        raise CommitConflict(f"{name}: refs CAS contention (64 attempts)")
+
+    def _set_ref(
+        self,
+        name: str,
+        ref: str,
+        ref_type: str,
+        snapshot_id: int | None,
+        pin_main: bool = False,
+    ) -> dict:
+        history = self.table_history(name)
+
+        def mutate(refs: dict) -> dict:
+            main = refs.get("main")
+            sid = snapshot_id
+            if sid is None:
+                # "current head": the pinned main ref when present,
+                # else the highest committed version
+                sid = main["snapshot_id"] if main else max(history)
+            if sid not in history:
+                raise TableNotFound(f"{name}@{sid}")
+            existing = refs.get(ref)
+            if existing and existing["type"] == "tag":
+                raise ValueError(
+                    f"ref {ref!r} is a tag (immutable); drop it to re-point"
+                )
+            if existing and existing["type"] != ref_type:
+                raise ValueError(
+                    f"ref {ref!r} is a {existing['type']}, not a {ref_type}"
+                )
+            refs[ref] = {"type": ref_type, "snapshot_id": sid}
+            if pin_main and ref != "main" and "main" not in refs:
+                # creating the FIRST branch pins main at the current
+                # head IN THE SAME atomic refs write — from here on,
+                # every branch commit finds main already pinned, so no
+                # commit can ever mis-pin it from a storage head that
+                # already contains another writer's branch allocation
+                # (the race a pre-pin commit-side fallback cannot
+                # close: no branch exists before this, so the storage
+                # head here IS main)
+                refs["main"] = {
+                    "type": "branch",
+                    "snapshot_id": max(history),
+                }
+            return refs
+
+        return self._refs_cas(name, mutate)[ref]
+
+    def create_tag(
+        self, name: str, tag: str, snapshot_id: int | None = None
+    ) -> dict:
+        """Pin a snapshot under an immutable name (audit marks, release
+        pins).  A tagged snapshot survives expire_snapshots."""
+        if tag in self.list_refs(name):
+            raise ValueError(f"ref {tag!r} already exists")
+        return self._set_ref(name, tag, "tag", snapshot_id)
+
+    def create_branch(
+        self, name: str, branch: str, snapshot_id: int | None = None
+    ) -> dict:
+        """Create a movable named pointer (defaults to the current
+        head).  Advance it with :meth:`fast_forward`.  Creating the
+        first branch also pins ``main`` at the current head (same
+        atomic refs write) — the WAP prerequisite that lets branch
+        commits leave main provably untouched."""
+        if branch in self.list_refs(name):
+            raise ValueError(f"ref {branch!r} already exists")
+        return self._set_ref(name, branch, "branch", snapshot_id, pin_main=True)
+
+    def fast_forward(self, name: str, branch: str, snapshot_id: int) -> dict:
+        """Move a branch forward to a newer snapshot — the publish step
+        of write-audit-publish: stage commits, audit the branch, then
+        fast-forward the consumer branch to the audited snapshot.
+        ``fast_forward(name, "main", sid)`` publishes to readers even
+        when main was never explicitly created: it pins the implicit
+        main ref at the target."""
+        refs = self.list_refs(name)
+        if branch not in refs and branch != "main":
+            raise KeyError(f"no such branch: {branch!r}")
+        cur = (
+            refs[branch]["snapshot_id"]
+            if branch in refs
+            else self._current_version(name)
+        )
+        if snapshot_id < cur:
+            raise ValueError(
+                f"fast-forward must move forward: {branch!r} at {cur}, "
+                f"target {snapshot_id}"
+            )
+        if snapshot_id != cur and cur != 0:
+            # ancestry, like Iceberg's fast_forward: the target must
+            # DESCEND from the branch's current snapshot, or the move
+            # would silently discard the branch's own commits.  Walked
+            # via parent stamps DOWN TO cur only (main's deeper ancestry
+            # may legitimately be expired); pre-stamp history degrades
+            # to linear (where numeric order IS ancestry).
+            if cur not in self.snapshot_lineage(name, snapshot_id, cur - 1):
+                raise ValueError(
+                    f"not a fast-forward: {snapshot_id} does not descend "
+                    f"from {branch!r}'s current snapshot {cur}"
+                )
+        return self._set_ref(name, branch, "branch", snapshot_id)
+
+    def drop_ref(self, name: str, ref: str) -> None:
+        def mutate(refs: dict) -> dict:
+            if ref not in refs:
+                raise KeyError(f"no such ref: {ref!r}")
+            del refs[ref]
+            return refs
+
+        self._refs_cas(name, mutate)
+
+    def load_table_ref(self, name: str, ref: str) -> Manifest:
+        """Read the table as of a named ref — ``load_table_at`` with a
+        name instead of a snapshot id."""
+        refs = self.list_refs(name)
+        if ref not in refs:
+            raise KeyError(f"no such ref: {ref!r}")
+        return self.load_table_at(name, refs[ref]["snapshot_id"])
+
+    def _protected_snapshots(self, name: str) -> set:
+        """Snapshot ids expiration must retain: every ref head, plus the
+        FULL lineage of every non-main ref — a staged branch's
+        intermediate commits must survive expiration or its later
+        fast-forward publish could not verify ancestry (Iceberg retains
+        branch ancestry under per-branch retention; main's ancestry
+        expires positionally like always).  Tolerant of pre-stamp
+        history (no parent info -> head-only pinning, the legacy
+        behavior)."""
+        refs = self.list_refs(name)
+        if not refs:
+            return set()
+        parents = self.snapshot_parents(name)
+        keep: set = set()
+        for ref, info in refs.items():
+            sid = info["snapshot_id"]
+            keep.add(sid)
+            if ref == "main":
+                continue
+            cur = sid
+            for _ in range(len(parents) + 1):
+                nxt = parents.get(cur)
+                if nxt is None or nxt not in parents:
+                    break
+                keep.add(nxt)
+                cur = nxt
+        return keep
+
+    def _ref_move_cas(
+        self,
+        name: str,
+        target: str,
+        expected: int,
+        allocated: int,
+        pre_main: int,
+    ) -> None:
+        """Atomically move ``target`` from ``expected`` to
+        ``allocated``, pinning main at ``pre_main`` if this is the
+        table's first ref-targeted commit — the publish half of a
+        branch commit (the allocation half is backend-specific)."""
+        from iceberg_compaction_spark.commit import CommitConflict
+
+        def mutate(r: dict) -> dict:
+            now = r.get(target, {}).get("snapshot_id")
+            if now is None and target == "main":
+                now = pre_main  # main still implicit: pin below
+            if now != expected:
+                raise CommitConflict(
+                    f"{name}: ref {target!r} moved to {now} during "
+                    f"commit (expected {expected})"
+                )
+            r[target] = {"type": "branch", "snapshot_id": allocated}
+            if "main" not in r:
+                # first ref-targeted commit on a legacy warehouse whose
+                # branch predates main-pinning: freeze main where it was
+                r["main"] = {"type": "branch", "snapshot_id": pre_main}
+            return r
+
+        self._refs_cas(name, mutate)
+
+    def _check_branch_target(self, refs: dict, to_branch: str) -> None:
+        ref = refs.get(to_branch)
+        if ref is None:
+            raise KeyError(
+                f"no such branch: {to_branch!r} (create_branch first)"
+            )
+        if ref["type"] != "branch":
+            raise ValueError(
+                f"ref {to_branch!r} is a {ref['type']}, not a branch"
+            )
+
+
 @dataclass
-class FileCatalog:
+class FileCatalog(TableRefs):
     """Minimal catalog: namespace = directory, table = versioned
     metadata files.  All mutations go through CAS commits.
 
@@ -67,6 +339,9 @@ class FileCatalog:
 
     def _metadata_dir(self, name: str) -> str:
         return self._io.join(self._table_dir(name), "metadata")
+
+    # TableRefs host hook: refs side files live with the metadata
+    _refs_dir = _metadata_dir
 
     def _version_path(self, name: str, version: int) -> str:
         return self._io.join(self._metadata_dir(name), f"v{version}.metadata.json")
@@ -249,191 +524,12 @@ class FileCatalog:
         Iceberg after expiration."""
         keep_last = max(1, keep_last)
         history = self.table_history(name)
-        pinned = {r["snapshot_id"] for r in self.list_refs(name).values()}
+        pinned = self._protected_snapshots(name)
         expired = [v for v in history[:-keep_last] if v not in pinned]
         for v in expired:
             with contextlib.suppress(FileNotFoundError):
                 self._io.remove(self._version_path(name, v))
         return expired
-
-    # ---- refs: tags and branches (Iceberg table refs) -------------------
-    #
-    # Refs live in VERSIONED files (``refs.v<K>.json``) created with
-    # O_CREAT|O_EXCL, so every ref mutation is an atomic
-    # read-modify-write: concurrent movers (two branch commits, a tag
-    # create racing a fast-forward) can never lose each other's update —
-    # the loser of the exclusive create re-reads and re-applies.  This
-    # is the same CAS primitive the version files use, applied to the
-    # ref map (real Iceberg keeps refs INSIDE TableMetadata so the
-    # metadata swap covers them; a separate CASed file gives the same
-    # guarantee without bumping the table version on ref-only changes).
-
-    def _refs_path(self, name: str) -> str:
-        # legacy single-file location (pre-round-10 warehouses): read
-        # as version 0 when no versioned refs file exists yet
-        return self._io.join(self._metadata_dir(name), "refs.json")
-
-    def _refs_vpath(self, name: str, k: int) -> str:
-        return self._io.join(self._metadata_dir(name), f"refs.v{k}.json")
-
-    def _refs_state(self, name: str) -> tuple[int, dict]:
-        """(refs version K, refs map) — highest ``refs.v<K>.json``,
-        falling back to the legacy ``refs.json`` (as K=0), else empty."""
-        io = self._io
-        mdir = self._metadata_dir(name)
-        if not io.is_dir(mdir):
-            raise TableNotFound(name)
-        ks = [
-            int(n[6:].split(".", 1)[0])
-            for n in io.listdir(mdir)
-            if n.startswith("refs.v") and n.endswith(".json")
-        ]
-        if ks:
-            k = max(ks)
-            return k, json.loads(io.read_bytes(self._refs_vpath(name, k)))
-        try:
-            return 0, json.loads(io.read_bytes(self._refs_path(name)))
-        except FileNotFoundError:
-            return 0, {}
-
-    def list_refs(self, name: str) -> dict[str, dict]:
-        """All named refs: ``{ref_name: {"type": "tag"|"branch",
-        "snapshot_id": int}}``."""
-        return self._refs_state(name)[1]
-
-    def _refs_cas(self, name: str, mutate) -> dict[str, dict]:
-        """Atomically apply ``mutate(refs) -> refs`` to the ref map.
-        ``mutate`` sees the freshest map on every attempt and may raise
-        to abort (its exception propagates un-retried — validation
-        failures are not contention)."""
-        from iceberg_compaction_spark.commit import CommitConflict
-
-        for _ in range(64):
-            k, refs = self._refs_state(name)
-            new_refs = mutate(dict(refs))
-            payload = json.dumps(new_refs, indent=1).encode()
-            if self._io.create_exclusive(
-                self._refs_vpath(name, k + 1), payload
-            ):
-                return new_refs
-        raise CommitConflict(f"{name}: refs CAS contention (64 attempts)")
-
-    def _set_ref(
-        self,
-        name: str,
-        ref: str,
-        ref_type: str,
-        snapshot_id: int | None,
-        pin_main: bool = False,
-    ) -> dict:
-        history = self.table_history(name)
-
-        def mutate(refs: dict) -> dict:
-            main = refs.get("main")
-            sid = snapshot_id
-            if sid is None:
-                # "current head": the pinned main ref when present,
-                # else the highest committed version
-                sid = main["snapshot_id"] if main else max(history)
-            if sid not in history:
-                raise TableNotFound(f"{name}@{sid}")
-            existing = refs.get(ref)
-            if existing and existing["type"] == "tag":
-                raise ValueError(
-                    f"ref {ref!r} is a tag (immutable); drop it to re-point"
-                )
-            if existing and existing["type"] != ref_type:
-                raise ValueError(
-                    f"ref {ref!r} is a {existing['type']}, not a {ref_type}"
-                )
-            refs[ref] = {"type": ref_type, "snapshot_id": sid}
-            if pin_main and ref != "main" and "main" not in refs:
-                # creating the FIRST branch pins main at the current
-                # head IN THE SAME atomic refs write — from here on,
-                # every branch commit finds main already pinned, so no
-                # commit can ever mis-pin it from a storage head that
-                # already contains another writer's branch allocation
-                # (the race a pre-pin commit-side fallback cannot
-                # close: no branch exists before this, so the storage
-                # head here IS main)
-                refs["main"] = {
-                    "type": "branch",
-                    "snapshot_id": max(history),
-                }
-            return refs
-
-        return self._refs_cas(name, mutate)[ref]
-
-    def create_tag(
-        self, name: str, tag: str, snapshot_id: int | None = None
-    ) -> dict:
-        """Pin a snapshot under an immutable name (audit marks, release
-        pins).  A tagged snapshot survives expire_snapshots."""
-        if tag in self.list_refs(name):
-            raise ValueError(f"ref {tag!r} already exists")
-        return self._set_ref(name, tag, "tag", snapshot_id)
-
-    def create_branch(
-        self, name: str, branch: str, snapshot_id: int | None = None
-    ) -> dict:
-        """Create a movable named pointer (defaults to the current
-        head).  Advance it with :meth:`fast_forward`.  Creating the
-        first branch also pins ``main`` at the current head (same
-        atomic refs write) — the WAP prerequisite that lets branch
-        commits leave main provably untouched."""
-        if branch in self.list_refs(name):
-            raise ValueError(f"ref {branch!r} already exists")
-        return self._set_ref(name, branch, "branch", snapshot_id, pin_main=True)
-
-    def fast_forward(self, name: str, branch: str, snapshot_id: int) -> dict:
-        """Move a branch forward to a newer snapshot — the publish step
-        of write-audit-publish: stage commits, audit the branch, then
-        fast-forward the consumer branch to the audited snapshot.
-        ``fast_forward(name, "main", sid)`` publishes to readers even
-        when main was never explicitly created: it pins the implicit
-        main ref at the target."""
-        refs = self.list_refs(name)
-        if branch not in refs and branch != "main":
-            raise KeyError(f"no such branch: {branch!r}")
-        cur = (
-            refs[branch]["snapshot_id"]
-            if branch in refs
-            else self._current_version(name)
-        )
-        if snapshot_id < cur:
-            raise ValueError(
-                f"fast-forward must move forward: {branch!r} at {cur}, "
-                f"target {snapshot_id}"
-            )
-        if snapshot_id != cur and cur != 0:
-            # ancestry, like Iceberg's fast_forward: the target must
-            # DESCEND from the branch's current snapshot, or the move
-            # would silently discard the branch's own commits.  Walked
-            # via parent stamps; pre-stamp history degrades to linear
-            # (where numeric order IS ancestry).
-            if cur not in self.snapshot_lineage(name, snapshot_id, 0):
-                raise ValueError(
-                    f"not a fast-forward: {snapshot_id} does not descend "
-                    f"from {branch!r}'s current snapshot {cur}"
-                )
-        return self._set_ref(name, branch, "branch", snapshot_id)
-
-    def drop_ref(self, name: str, ref: str) -> None:
-        def mutate(refs: dict) -> dict:
-            if ref not in refs:
-                raise KeyError(f"no such ref: {ref!r}")
-            del refs[ref]
-            return refs
-
-        self._refs_cas(name, mutate)
-
-    def load_table_ref(self, name: str, ref: str) -> Manifest:
-        """Read the table as of a named ref — ``load_table_at`` with a
-        name instead of a snapshot id."""
-        refs = self.list_refs(name)
-        if ref not in refs:
-            raise KeyError(f"no such ref: {ref!r}")
-        return self.load_table_at(name, refs[ref]["snapshot_id"])
 
     # Iceberg's remove_orphan_files default olderThan is 3 days — the
     # grace window that keeps in-flight writers' staged files safe.
@@ -496,15 +592,7 @@ class FileCatalog:
         if to_branch == "main":
             to_branch = None  # main targeting is the default path
         if to_branch is not None:
-            ref = refs.get(to_branch)
-            if ref is None:
-                raise KeyError(
-                    f"no such branch: {to_branch!r} (create_branch first)"
-                )
-            if ref["type"] != "branch":
-                raise ValueError(
-                    f"ref {to_branch!r} is a {ref['type']}, not a branch"
-                )
+            self._check_branch_target(refs, to_branch)
         pinned = to_branch is not None or "main" in refs
         if not pinned:
             # classic protocol: version == snapshot id == expected + 1
@@ -578,23 +666,10 @@ class FileCatalog:
                 f"{name}: version allocation contention (64 attempts)"
             )
 
-        def mutate(r: dict) -> dict:
-            now = r.get(target, {}).get("snapshot_id")
-            if now is None and target == "main":
-                now = pre_main  # main still implicit: pin below
-            if now != expected_snapshot_id:
-                raise CommitConflict(
-                    f"{name}: ref {target!r} moved to {now} during "
-                    f"commit (expected {expected_snapshot_id})"
-                )
-            r[target] = {"type": "branch", "snapshot_id": allocated}
-            if "main" not in r:
-                # first branch commit: freeze main where it was
-                r["main"] = {"type": "branch", "snapshot_id": pre_main}
-            return r
-
         try:
-            self._refs_cas(name, mutate)
+            self._ref_move_cas(
+                name, target, expected_snapshot_id, allocated, pre_main
+            )
         except CommitConflict:
             # the allocated snapshot never became referenced: unlink it
             with _ctx.suppress(FileNotFoundError):

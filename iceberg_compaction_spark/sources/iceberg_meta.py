@@ -928,12 +928,20 @@ def _apply_structural_updates(md: dict, updates: list[dict]) -> None:
             raise ValueError(f"unsupported structural update: {action}")
 
 
-class IcebergHadoopCatalog:
+from iceberg_compaction_spark.sources.catalog import TableRefs
+
+
+class IcebergHadoopCatalog(TableRefs):
     """Catalog over the REAL Iceberg on-disk layout — the same
     ``load_table`` / ``commit_table`` contract as :class:`FileCatalog`
     (sources/catalog.py), but every version is a genuine
     ``v<N>.metadata.json`` + Avro manifest list + manifests instead of
-    the engine's JSON wire format.
+    the engine's JSON wire format.  Round 10: the shared
+    :class:`~.catalog.TableRefs` mixin brings tags / branches /
+    fast-forward / branch-targeted commits (WAP) to this tier too —
+    refs live in the same CASed ``refs.v<K>.json`` side files, and each
+    version's TableMetadata embeds the spec ``refs`` map and
+    ``parent-snapshot-id`` so conforming readers see the lineage.
 
     The CAS is exactly HadoopTableOperations': commit N+1 creates
     ``v<N+1>.metadata.json`` with ``O_CREAT | O_EXCL`` — one writer wins,
@@ -968,6 +976,64 @@ class IcebergHadoopCatalog:
     def _vpath(self, name: str, version: int) -> str:
         return self._io.join(self._mdir(name), f"v{version}.metadata.json")
 
+    # TableRefs host hooks ------------------------------------------------
+
+    _refs_dir = _mdir
+
+    def _current_version(self, name: str) -> int:
+        try:
+            return max(self.table_history(name), default=0)
+        except Exception:
+            return 0
+
+    def snapshot_parents(self, name: str) -> dict:
+        """snapshot id -> parent snapshot id, from each version's spec
+        ``parent-snapshot-id`` (None for roots / pre-stamp versions)."""
+        out = {}
+        for sid in self.table_history(name):
+            md = json.loads(self._io.read_bytes(self._vpath(name, sid)))
+            snaps = md.get("snapshots") or [{}]
+            out[sid] = snaps[0].get("parent-snapshot-id")
+        return out
+
+    def snapshot_lineage(
+        self, name: str, end: int, start: int = 0
+    ) -> list[int]:
+        """Parent-chain walk over the real metadata — same contract as
+        FileCatalog.snapshot_lineage (legacy versions without the stamp
+        degrade to the previous retained version)."""
+        from iceberg_compaction_spark.sources.catalog import TableNotFound
+
+        history = self.table_history(name)
+        hset = set(history)
+        if end not in hset:
+            raise TableNotFound(f"{name}@{end}")
+        out = []
+        cur = end
+        _missing = object()
+        for _ in range(len(history) + 1):
+            if cur is None or cur <= start:
+                break
+            if cur not in hset:
+                raise ValueError(
+                    f"{name}: lineage snapshot {cur} above {start} has "
+                    f"been expired (retained: {history})"
+                )
+            out.append(cur)
+            md = json.loads(self._io.read_bytes(self._vpath(name, cur)))
+            snaps = md.get("snapshots") or [{}]
+            parent = snaps[0].get("parent-snapshot-id", _missing)
+            if parent is _missing or parent is None:
+                # pre-stamp metadata: linear history fallback (only when
+                # the key is truly absent; an explicit null is a root)
+                if "parent-snapshot-id" in snaps[0]:
+                    parent = None
+                else:
+                    idx = history.index(cur)
+                    parent = history[idx - 1] if idx > 0 else None
+            cur = parent
+        return sorted(out)
+
     # ---- catalog API ---------------------------------------------------
 
     def table_exists(self, name: str) -> bool:
@@ -992,10 +1058,14 @@ class IcebergHadoopCatalog:
         from iceberg_compaction_spark.sources.catalog import TableNotFound
 
         if version is None:
-            history = self.table_history(name)
-            if not history:
-                raise TableNotFound(name)
-            version = max(history)
+            main = self.list_refs(name).get("main")
+            if main:
+                version = main["snapshot_id"]  # WAP: serve pinned main
+            else:
+                history = self.table_history(name)
+                if not history:
+                    raise TableNotFound(name)
+                version = max(history)
         path = self._vpath(name, version)
         if not self._io.exists(path):
             raise TableNotFound(f"{name}@{version}")
@@ -1036,6 +1106,11 @@ class IcebergHadoopCatalog:
 
         if not self.table_exists(name):
             raise TableNotFound(name)
+        main = self.list_refs(name).get("main")
+        if main:
+            # WAP: main pinned — branch snapshots (higher versions)
+            # stay invisible here until a fast-forward publishes
+            return self.load_table_at(name, main["snapshot_id"])
         try:
             return load_iceberg_table(self._table_dir(name))
         except FileNotFoundError:
@@ -1061,35 +1136,21 @@ class IcebergHadoopCatalog:
             raise TableNotFound(f"{name}@{snapshot_id}")
         return load_iceberg_table(path)
 
-    def commit_table(
-        self, name: str, expected_snapshot_id: int, new_manifest: Manifest
-    ) -> Manifest:
-        from iceberg_compaction_spark.commit import CommitConflict
-        from iceberg_compaction_spark.sources.catalog import TableNotFound
-
-        new_version = expected_snapshot_id + 1
-        if new_manifest.snapshot_id != new_version:
-            raise ValueError(
-                f"new manifest snapshot {new_manifest.snapshot_id} != "
-                f"expected head {expected_snapshot_id} + 1"
-            )
-        history = self.table_history(name)
-        if not history:
-            raise TableNotFound(name)
-        current = max(history)
-        if current != expected_snapshot_id:
-            raise CommitConflict(
-                f"{name}: head at v{current}, commit expected "
-                f"v{expected_snapshot_id}"
-            )
-        # schema: the committed manifest's declared schema wins (this is
-        # how a rename/add/drop lands on disk); absent one, carry the
-        # previous version's forward.  A CHANGED schema must arrive with
-        # a bumped schema_id (Manifest.evolve_schema does both) — ids
-        # are how readers of old metadata versions resolve; the previous
-        # schemas are retained in the metadata's ``schemas`` array.
+    def _carry_schema(
+        self, name: str, base_version: int, new_manifest: Manifest
+    ) -> tuple:
+        """Schema carrying relative to the commit's BASE version: the
+        committed manifest's declared schema wins (this is how a
+        rename/add/drop lands on disk); absent one, the base version's
+        is carried forward.  A CHANGED schema must arrive with a bumped
+        schema_id (Manifest.evolve_schema does both) — ids are how
+        readers of old metadata versions resolve; the base metadata's
+        schemas array is ALWAYS carried forward (deduped by schema-id)
+        so history stays resolvable and last-column-id stays monotonic
+        (ADVICE r7, medium).  Returns
+        ``(schema_fields, prior_schemas, prior_last_column_id)``."""
         prev_md = json.loads(
-            self._io.read_bytes(self._vpath(name, current))
+            self._io.read_bytes(self._vpath(name, base_version))
         )
         prev_fields = _current_schema_fields(prev_md)
         prev_sid = prev_md.get("current-schema-id", 0)
@@ -1104,31 +1165,136 @@ class IcebergHadoopCatalog:
                 f"{prev_sid} — evolve via Manifest.evolve_schema "
                 "(bumps the id) so old metadata stays resolvable"
             )
-        # ALWAYS carry the previous metadata's schemas array forward
-        # (deduped by schema-id), not only on the commit that changes
-        # the schema: an unchanged-schema commit that re-derived
-        # schemas=[current] would erase the history readers of older
-        # snapshots resolve against, and let last-column-id decrease
-        # below previously allocated ids — the spec requires it be
-        # monotonic (ADVICE r7, medium).
         prior_schemas = [
             s
             for s in prev_md.get("schemas", [])
             if s.get("schema-id") != new_manifest.schema_id
         ]
-        try:
-            self._write_version(
-                name,
-                new_manifest,
-                schema_fields,
-                exclusive=True,
-                prior_schemas=prior_schemas,
-                prior_last_column_id=int(prev_md.get("last-column-id", 0)),
+        return (
+            schema_fields,
+            prior_schemas,
+            int(prev_md.get("last-column-id", 0)),
+        )
+
+    def commit_table(
+        self,
+        name: str,
+        expected_snapshot_id: int,
+        new_manifest: Manifest,
+        to_branch: str | None = None,
+    ) -> Manifest:
+        """CAS commit over the real metadata layout.  Same three
+        regimes as FileCatalog.commit_table: classic (unpinned main,
+        version == snapshot id), ``to_branch=B`` (allocate the next
+        free version, refs-CAS the branch pointer, pin main), pinned
+        main (allocate-then-move with main as the target).  Branch
+        versions embed spec ``refs`` reflecting the target branch and
+        the pinned main, plus ``parent-snapshot-id`` for lineage.
+
+        Caveat (inherent to modeling refs on a Hadoop layout): an
+        EXTERNAL spec reader that resolves "latest version file =
+        current" sees branch snapshots as they land — the engine's own
+        readers (and the REST tier serving this backing) follow the
+        pinned main.
+        """
+        import contextlib as _ctx
+
+        from iceberg_compaction_spark.commit import CommitConflict
+        from iceberg_compaction_spark.sources.catalog import TableNotFound
+
+        refs = self.list_refs(name)
+        if to_branch == "main":
+            to_branch = None
+        if to_branch is not None:
+            self._check_branch_target(refs, to_branch)
+        pinned = to_branch is not None or "main" in refs
+        history = self.table_history(name)
+        if not history:
+            raise TableNotFound(name)
+
+        if not pinned:
+            new_version = expected_snapshot_id + 1
+            if new_manifest.snapshot_id != new_version:
+                raise ValueError(
+                    f"new manifest snapshot {new_manifest.snapshot_id} != "
+                    f"expected head {expected_snapshot_id} + 1"
+                )
+            current = max(history)
+            if current != expected_snapshot_id:
+                raise CommitConflict(
+                    f"{name}: head at v{current}, commit expected "
+                    f"v{expected_snapshot_id}"
+                )
+            schema_fields, prior_schemas, prior_lcid = self._carry_schema(
+                name, current, new_manifest
             )
-        except FileExistsError:
+            try:
+                self._write_version(
+                    name,
+                    new_manifest,
+                    schema_fields,
+                    exclusive=True,
+                    prior_schemas=prior_schemas,
+                    prior_last_column_id=prior_lcid,
+                    parent=expected_snapshot_id,
+                )
+            except FileExistsError:
+                raise CommitConflict(
+                    f"{name}: lost CAS race for v{new_version}"
+                ) from None
+            return new_manifest
+
+        # ref-targeted: the TARGET REF's head is the consistency check;
+        # the version number is just storage allocation
+        target = to_branch or "main"
+        cur_ref = refs.get(target)
+        cur_sid = (
+            cur_ref["snapshot_id"] if cur_ref is not None else max(history)
+        )
+        if cur_sid != expected_snapshot_id:
             raise CommitConflict(
-                f"{name}: lost CAS race for v{new_version}"
-            ) from None
+                f"{name}: ref {target!r} at {cur_sid}, commit expected "
+                f"{expected_snapshot_id}"
+            )
+        schema_fields, prior_schemas, prior_lcid = self._carry_schema(
+            name, expected_snapshot_id, new_manifest
+        )
+        pre_main = (
+            refs["main"]["snapshot_id"] if "main" in refs else max(history)
+        )
+        allocated = 0
+        for _ in range(64):
+            v = self._current_version(name) + 1
+            new_manifest.snapshot_id = v
+            er = {"main": {"snapshot-id": pre_main, "type": "branch"}}
+            er[target] = {"snapshot-id": v, "type": "branch"}
+            try:
+                self._write_version(
+                    name,
+                    new_manifest,
+                    schema_fields,
+                    exclusive=True,
+                    prior_schemas=prior_schemas,
+                    prior_last_column_id=prior_lcid,
+                    parent=expected_snapshot_id,
+                    embedded_refs=er,
+                )
+                allocated = v
+                break
+            except FileExistsError:
+                continue
+        if not allocated:
+            raise CommitConflict(
+                f"{name}: version allocation contention (64 attempts)"
+            )
+        try:
+            self._ref_move_cas(
+                name, target, expected_snapshot_id, allocated, pre_main
+            )
+        except CommitConflict:
+            with _ctx.suppress(FileNotFoundError):
+                self._io.remove(self._vpath(name, allocated))
+            raise
         return new_manifest
 
     def commit_snapshot(
@@ -1221,7 +1387,10 @@ class IcebergHadoopCatalog:
     def expire_snapshots(self, name: str, keep_last: int = 2) -> list[int]:
         keep_last = max(1, keep_last)
         history = self.table_history(name)
-        expired = history[:-keep_last]
+        # Iceberg never expires referenced snapshots: ref heads AND the
+        # full lineage of every non-main ref survive (TableRefs)
+        pinned = self._protected_snapshots(name)
+        expired = [v for v in history[:-keep_last] if v not in pinned]
         for v in expired:
             try:
                 self._io.remove(self._vpath(name, v))
@@ -1258,6 +1427,8 @@ class IcebergHadoopCatalog:
         exclusive: bool,
         prior_schemas: list[dict] | None = None,
         prior_last_column_id: int = 0,
+        parent: int | None = None,
+        embedded_refs: dict | None = None,
     ) -> None:
         mdir = self._mdir(name)
         version = manifest.snapshot_id
@@ -1312,12 +1483,16 @@ class IcebergHadoopCatalog:
                 for k, v in manifest.properties.items()
             },
             "current-snapshot-id": snap_id,
-            "refs": {
-                "main": {"snapshot-id": snap_id, "type": "branch"}
-            },
+            "refs": embedded_refs
+            or {"main": {"snapshot-id": snap_id, "type": "branch"}},
             "snapshots": [
                 {
                     "snapshot-id": snap_id,
+                    **(
+                        {"parent-snapshot-id": parent}
+                        if parent is not None
+                        else {}
+                    ),
                     "sequence-number": manifest.sequence_number,
                     "timestamp-ms": now_ms,
                     "summary": _snapshot_summary(

@@ -355,6 +355,7 @@ class RestCatalog:
                     "action": "add-snapshot",
                     "snapshot": {
                         "snapshot-id": new_id,
+                        "parent-snapshot-id": expected_snapshot_id,
                         "sequence-number": new_manifest.sequence_number,
                         "timestamp-ms": int(_time.time() * 1000),
                         "summary": _snapshot_summary(

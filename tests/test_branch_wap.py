@@ -395,3 +395,87 @@ def test_concurrent_commits_to_distinct_branches_both_land(cat):
     assert refs["a"]["snapshot_id"] == outcomes[0].snapshot_id
     assert refs["b"]["snapshot_id"] == outcomes[1].snapshot_id
     assert refs["main"]["snapshot_id"] == 1
+
+
+def test_wap_on_real_metadata_hadoop_catalog(spark, tmp_path):
+    """Round 10: the full WAP cycle over the REAL Iceberg on-disk
+    layout (IcebergHadoopCatalog + TableRefs mixin) — upsert and
+    compact on the audit branch, main provably untouched, publish via
+    fast-forward; every branch version is genuine TableMetadata with
+    spec refs + parent-snapshot-id, and expiration never drops pinned
+    snapshots."""
+    import json as _json
+
+    from iceberg_compaction_spark.sources.iceberg_meta import (
+        IcebergHadoopCatalog,
+    )
+
+    root = str(tmp_path / "htbl")
+    os.makedirs(root)
+    for f in range(4):
+        ids = list(range(f * 10, f * 10 + 10))
+        pq.write_table(
+            pa.table(
+                {
+                    "id": pa.array(ids, type=pa.int64()),
+                    "val": [f"v{i}" for i in ids],
+                }
+            ),
+            os.path.join(root, f"part-{f}.parquet"),
+        )
+    hcat = IcebergHadoopCatalog(warehouse=str(tmp_path / "hwh"))
+    hcat.create_table("h", Manifest.from_parquet_dir(root, sequence_number=1))
+    base_rows = _rows(spark, hcat, name="h")
+
+    hcat.create_branch("h", "audit")
+    upsert(
+        spark, hcat, "h",
+        spark.createDataFrame([(3, "a3"), (99, "a99")], ["id", "val"]),
+        keys=["id"], to_branch="audit",
+    )
+    assert hcat.load_table("h").snapshot_id == 1
+    assert _rows(spark, hcat, name="h") == base_rows
+    audited = _rows(spark, hcat, name="h", ref="audit")
+    assert audited[3] == "a3" and audited[99] == "a99"
+    assert len(audited) == 41
+
+    # compact ON the branch, real metadata end-to-end
+    c = Compaction(spark, CompactionConfig.small_files())
+    m3, stats = c.compact_catalog(hcat, "h", to_branch="audit")
+    assert stats.input_files_count >= 4
+    assert hcat.load_table("h").snapshot_id == 1
+    assert _rows(spark, hcat, name="h", ref="audit") == audited
+
+    # the branch version file is genuine spec TableMetadata: refs map
+    # shows the branch AND the pinned main; parent stamps the lineage
+    raw = _json.loads(
+        open(
+            os.path.join(
+                str(tmp_path / "hwh"), "h", "metadata",
+                f"v{m3.snapshot_id}.metadata.json",
+            ), "rb"
+        ).read()
+    )
+    assert raw["refs"]["main"]["snapshot-id"] == 1
+    assert raw["refs"]["audit"]["snapshot-id"] == m3.snapshot_id
+    assert raw["snapshots"][0]["parent-snapshot-id"] == m3.snapshot_id - 1
+    assert hcat.snapshot_lineage("h", m3.snapshot_id, 0) == [
+        1, 2, m3.snapshot_id,
+    ]
+
+    # expiration keeps every pinned snapshot
+    expired = hcat.expire_snapshots("h", keep_last=1)
+    assert 1 not in expired and m3.snapshot_id not in expired
+
+    # publish
+    hcat.fast_forward("h", "main", m3.snapshot_id)
+    assert _rows(spark, hcat, name="h") == audited
+    # the REST server over this backing serves the published main
+    from iceberg_compaction_spark.sources.rest_catalog import (
+        RestCatalog,
+        serve_rest_catalog,
+    )
+
+    with serve_rest_catalog(hcat) as srv:
+        client = RestCatalog(uri=srv.uri)
+        assert client.load_table("h").snapshot_id == m3.snapshot_id
