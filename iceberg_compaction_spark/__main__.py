@@ -94,9 +94,12 @@ def cmd_compact(args, spark=None) -> dict:
         ),
     )
     cat = _catalog(args.warehouse)
-    before = cat.load_table(args.table)
+    br = getattr(args, "to_branch", None)
+    before = (
+        cat.load_table_ref(args.table, br) if br else cat.load_table(args.table)
+    )
     new, stats = Compaction(spark=spark, config=cfg).compact_catalog(
-        cat, args.table
+        cat, args.table, to_branch=br
     )
     return {
         "table": args.table,
@@ -118,7 +121,13 @@ def cmd_maintain(args, spark=None) -> dict:
         convert_eq_deletes=args.convert_eq_deletes,
         orphan_older_than_s=args.orphan_grace_s,
     )
-    report = maintain(spark, _catalog(args.warehouse), args.table, policy)
+    report = maintain(
+        spark,
+        _catalog(args.warehouse),
+        args.table,
+        policy,
+        to_branch=getattr(args, "to_branch", None),
+    )
     return {
         "table": report.table,
         "snapshot_before": report.snapshot_before,
@@ -137,8 +146,11 @@ def cmd_delete(args, spark=None) -> dict:
 
     spark = spark or _build_session(args.master)
     cat = _catalog(args.warehouse)
-    before = cat.load_table(args.table)
-    new = delete_where(spark, cat, args.table, args.where)
+    br = getattr(args, "to_branch", None)
+    before = (
+        cat.load_table_ref(args.table, br) if br else cat.load_table(args.table)
+    )
+    new = delete_where(spark, cat, args.table, args.where, to_branch=br)
     d = {
         x.path
         for t in new.data_files
@@ -171,8 +183,13 @@ def cmd_update(args, spark=None) -> dict:
         if not _ or not col.strip() or not expr.strip():
             raise SystemExit(f"--set needs col=expr, got {s!r}")
         set_exprs[col.strip()] = expr.strip()
-    before = cat.load_table(args.table)
-    new = update_where(spark, cat, args.table, args.where, set_exprs)
+    br = getattr(args, "to_branch", None)
+    before = (
+        cat.load_table_ref(args.table, br) if br else cat.load_table(args.table)
+    )
+    new = update_where(
+        spark, cat, args.table, args.where, set_exprs, to_branch=br
+    )
     return {
         "table": args.table,
         "where": args.where,
@@ -207,6 +224,29 @@ def cmd_rollback(args, spark=None) -> dict:
     }
 
 
+def cmd_branch(args, spark=None) -> dict:
+    """Branch administration for write-audit-publish: create an audit
+    branch, publish via fast-forward, or drop a finished ref — all
+    metadata-only CASed ref moves (sources/catalog.py TableRefs)."""
+    cat = _catalog(args.warehouse)
+    if args.create:
+        ref = cat.create_branch(args.table, args.create, args.snapshot)
+        return {"table": args.table, "created": args.create, "ref": ref}
+    if args.fast_forward:
+        if args.snapshot is None:
+            raise SystemExit("--fast-forward needs --snapshot")
+        ref = cat.fast_forward(args.table, args.fast_forward, args.snapshot)
+        return {
+            "table": args.table,
+            "fast_forwarded": args.fast_forward,
+            "ref": ref,
+        }
+    if args.drop:
+        cat.drop_ref(args.table, args.drop)
+        return {"table": args.table, "dropped": args.drop}
+    return {"table": args.table, "refs": cat.list_refs(args.table)}
+
+
 def build_parser() -> argparse.ArgumentParser:
     p = argparse.ArgumentParser(
         prog="python -m iceberg_compaction_spark",
@@ -227,11 +267,17 @@ def build_parser() -> argparse.ArgumentParser:
         "--target-file-size", type=int, default=1024 * 1024 * 1024
     )
     c.add_argument("--enforce-size-band", action="store_true")
+    c.add_argument(
+        "--to-branch",
+        default=None,
+        help="plan against and commit onto this branch (WAP)",
+    )
     d = sub.add_parser(
         "delete", help="predicate DELETE -> position-delete commit"
     )
     common(d)
     d.add_argument("--where", required=True, help="SQL predicate")
+    d.add_argument("--to-branch", default=None)
     u = sub.add_parser(
         "update",
         help="predicate UPDATE -> position-delete + data-file commit",
@@ -244,6 +290,7 @@ def build_parser() -> argparse.ArgumentParser:
         nargs="+",
         help="col=expr assignments (Spark SQL expressions)",
     )
+    u.add_argument("--to-branch", default=None)
     rb = sub.add_parser(
         "rollback", help="roll back to a snapshot (new append-only commit)"
     )
@@ -256,6 +303,22 @@ def build_parser() -> argparse.ArgumentParser:
     m.add_argument(
         "--orphan-grace-s", type=float, default=3 * 24 * 3600
     )
+    m.add_argument("--to-branch", default=None)
+    b = sub.add_parser(
+        "branch", help="create / fast-forward / drop / list table refs"
+    )
+    common(b)
+    b.add_argument("--create", default=None, help="create this branch")
+    b.add_argument(
+        "--fast-forward", default=None, help="move this branch forward"
+    )
+    b.add_argument("--drop", default=None, help="drop this ref")
+    b.add_argument(
+        "--snapshot",
+        type=int,
+        default=None,
+        help="target snapshot for --create/--fast-forward",
+    )
     return p
 
 
@@ -267,6 +330,7 @@ COMMANDS = {
     "update": cmd_update,
     "rollback": cmd_rollback,
     "maintain": cmd_maintain,
+    "branch": cmd_branch,
 }
 
 

@@ -165,3 +165,59 @@ def test_cli_rollback(spark, wh):
 
     m = FileCatalog(warehouse=wh).load_table("t")
     assert len(read_table_mor(spark, m).collect()) == 40
+
+
+def test_cli_wap_branch_lifecycle(spark, tmp_path):
+    """Round 10: the operational WAP loop end-to-end through the CLI —
+    branch create, compact --to-branch (main untouched), publish via
+    branch --fast-forward, audit with branch (list)."""
+    import json as _json
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from iceberg_compaction_spark.__main__ import main
+    from iceberg_compaction_spark.sources.catalog import FileCatalog
+    from iceberg_compaction_spark.sources.manifest import Manifest
+
+    root = str(tmp_path / "data")
+    os.makedirs(root)
+    for f in range(4):
+        pq.write_table(
+            pa.table({"id": pa.array(range(f * 5, f * 5 + 5), type=pa.int64())}),
+            os.path.join(root, f"p{f}.parquet"),
+        )
+    wh = str(tmp_path / "wh")
+    cat = FileCatalog(warehouse=wh)
+    cat.create_table("t", Manifest.from_parquet_dir(root, sequence_number=1))
+
+    def run(argv):
+        import io
+        from contextlib import redirect_stdout
+
+        buf = io.StringIO()
+        with redirect_stdout(buf):
+            assert main(argv, spark=spark) == 0
+        return _json.loads(buf.getvalue())
+
+    base = ["--warehouse", wh, "--table", "t"]
+    out = run(["branch", *base, "--create", "audit"])
+    assert out["created"] == "audit"
+
+    out = run(["compact", *base, "--to-branch", "audit"])
+    assert out["snapshot_after"] > out["snapshot_before"]
+    assert cat.load_table("t").snapshot_id == 1  # main untouched
+    staged = out["snapshot_after"]
+
+    out = run(["branch", *base])
+    assert out["refs"]["audit"]["snapshot_id"] == staged
+    assert out["refs"]["main"]["snapshot_id"] == 1
+
+    out = run(
+        ["branch", *base, "--fast-forward", "main", "--snapshot", str(staged)]
+    )
+    assert out["ref"]["snapshot_id"] == staged
+    assert cat.load_table("t").snapshot_id == staged
+
+    out = run(["delete", *base, "--where", "id < 3", "--to-branch", "audit"])
+    assert out["committed"] and cat.load_table("t").snapshot_id == staged

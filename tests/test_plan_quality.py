@@ -539,3 +539,49 @@ def test_dml_matched_scan_and_merge_join_shapes(spark, tmp_path):
     s = plan_of(joined)
     assert "CartesianProduct" not in s and "NestedLoop" not in s, s
     assert "Join" in s
+
+
+def test_conditional_merge_clause_resolution_stays_jvm(spark, tmp_path):
+    """Round-10 gate: conditional MERGE's first-match-wins clause
+    resolution is ONE CASE expression in the join's projection — no
+    Python row UDF, no cartesian, and the per-clause splits reuse the
+    same hash join (no second scan of the target)."""
+    import os
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from iceberg_compaction_spark.sources.catalog import FileCatalog
+    from iceberg_compaction_spark.sources.ingest import _matched_scan
+    from iceberg_compaction_spark.sources.manifest import Manifest
+
+    root = str(tmp_path / "tbl")
+    os.makedirs(root)
+    pq.write_table(
+        pa.table({
+            "id": pa.array(range(100), type=pa.int64()),
+            "val": [f"v{i}" for i in range(100)],
+        }),
+        os.path.join(root, "b.parquet"),
+    )
+    cat = FileCatalog(warehouse=str(tmp_path / "wh"))
+    cat.create_table("t", Manifest.from_parquet_dir(root, sequence_number=1))
+
+    df = _matched_scan(spark, cat.load_table("t"))
+    src = spark.createDataFrame(
+        [(3, "x", "U"), (6, "y", "D")], "id long, val string, op string"
+    )
+    t, s = df.alias("t"), src.alias("s")
+    idx = (
+        F.when(F.expr("s.op = 'D'"), F.lit(0))
+        .when(F.expr("t.id % 2 = 0"), F.lit(1))
+        .otherwise(F.lit(-1))
+    )
+    joined = t.join(s, F.col("t.id") == F.col("s.id"), "inner").withColumn(
+        "_merge_clause", idx
+    )
+    affected = joined.where(F.col("_merge_clause") >= 0)
+    p = plan_of(affected)
+    assert "CartesianProduct" not in p and "NestedLoop" not in p, p
+    assert "BatchEvalPython" not in p, p  # CASE stays in codegen
+    assert "CASE WHEN" in p, p
