@@ -241,13 +241,13 @@ class TableRefs:
 
     def _protected_snapshots(self, name: str) -> set:
         """Snapshot ids expiration must retain: every ref head, plus the
-        FULL lineage of every non-main ref — a staged branch's
+        FULL lineage of every non-main BRANCH — a staged branch's
         intermediate commits must survive expiration or its later
         fast-forward publish could not verify ancestry (Iceberg retains
-        branch ancestry under per-branch retention; main's ancestry
-        expires positionally like always).  Tolerant of pre-stamp
-        history (no parent info -> head-only pinning, the legacy
-        behavior)."""
+        branch ancestry under per-branch retention; a TAG pins exactly
+        one snapshot, and main's ancestry expires positionally like
+        always).  Tolerant of pre-stamp history (no parent info ->
+        head-only pinning, the legacy behavior)."""
         refs = self.list_refs(name)
         if not refs:
             return set()
@@ -256,7 +256,7 @@ class TableRefs:
         for ref, info in refs.items():
             sid = info["snapshot_id"]
             keep.add(sid)
-            if ref == "main":
+            if ref == "main" or info.get("type") == "tag":
                 continue
             cur = sid
             for _ in range(len(parents) + 1):

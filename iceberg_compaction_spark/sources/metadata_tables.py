@@ -104,8 +104,8 @@ HISTORY_SCHEMA = T.StructType(
     [
         T.StructField("snapshot_id", T.LongType(), False),
         T.StructField("parent_id", T.LongType(), True),
-        # in this linear catalog every retained snapshot is an ancestor
-        # of the current one; Iceberg's flag goes false after rollbacks
+        # Iceberg's is_current_ancestor: on-main-lineage — false for
+        # unpublished branch snapshots and rolled-past commits (r10)
         T.StructField("is_current_ancestor", T.BooleanType(), False),
         T.StructField("is_current", T.BooleanType(), False),
     ]
@@ -257,17 +257,43 @@ def snapshots_rows(catalog, name: str) -> list[tuple]:
 
 
 def history_rows(catalog, name: str) -> list[tuple]:
+    """Round 10: lineage-aware like Iceberg's history table — the
+    current head is the PINNED main when refs exist (WAP), ``parent_id``
+    comes from the commit's parent stamp (legacy versions degrade to the
+    previous retained version), and ``is_current_ancestor`` is real:
+    False for unpublished branch snapshots and for rolled-past commits
+    off the current chain."""
     hist = catalog.table_history(name)
-    current = max(hist, default=0)
-    return [
-        (
-            int(sid),
-            int(prev) if prev is not None else None,
-            True,
-            sid == current,
+    head = max(hist, default=0)
+    try:
+        main = catalog.list_refs(name).get("main")
+        if main:
+            head = main["snapshot_id"]
+    except (AttributeError, FileNotFoundError):
+        pass
+    parents = {}
+    sp = getattr(catalog, "snapshot_parents", None)
+    if sp is not None:
+        parents = sp(name)
+    lineage = set(hist)
+    sl = getattr(catalog, "snapshot_lineage", None)
+    if sl is not None and head:
+        try:
+            lineage = set(sl(name, head, 0))
+        except ValueError:
+            pass  # mid-chain expired: fall back to retained-set
+    rows = []
+    for prev, sid in zip([None, *hist[:-1]], hist):
+        parent = parents.get(sid) or prev  # stamp wins; legacy = linear
+        rows.append(
+            (
+                int(sid),
+                int(parent) if parent is not None else None,
+                sid in lineage,
+                sid == head,
+            )
         )
-        for prev, sid in zip([None, *hist[:-1]], hist)
-    ]
+    return rows
 
 
 def refs_rows(catalog, name: str) -> list[tuple]:

@@ -188,3 +188,44 @@ def test_dataframes_and_datasource_metadata_read(spark, tmp_path):
         mt.files_df(spark, m1).write.format("iceberg-table").options(
             warehouse=cat.warehouse, table="t", metadata="files"
         ).mode("append").save()
+
+
+def test_history_is_lineage_aware_on_wap_table(spark, tmp_path):
+    """Round 10: the history metadata table marks unpublished branch
+    snapshots is_current_ancestor=False and follows the pinned main as
+    current; after fast-forward the published lineage flips true."""
+    import os
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from iceberg_compaction_spark.sources.catalog import FileCatalog
+    from iceberg_compaction_spark.sources.ingest import upsert
+    from iceberg_compaction_spark.sources.manifest import Manifest
+
+    root = str(tmp_path / "tbl")
+    os.makedirs(root)
+    pq.write_table(
+        pa.table({
+            "id": pa.array(range(10), type=pa.int64()),
+            "val": [f"v{i}" for i in range(10)],
+        }),
+        os.path.join(root, "b.parquet"),
+    )
+    cat = FileCatalog(warehouse=str(tmp_path / "wh"))
+    cat.create_table("t", Manifest.from_parquet_dir(root, sequence_number=1))
+    cat.create_branch("t", "audit")
+    m2 = upsert(
+        spark, cat, "t",
+        spark.createDataFrame([(1, "a1")], ["id", "val"]),
+        keys=["id"], to_branch="audit",
+    )
+    rows = {r[0]: r for r in mt.history_rows(cat, "t")}
+    assert rows[1][2] is True and rows[1][3] is True  # main head
+    assert rows[m2.snapshot_id][2] is False  # unpublished branch snap
+    assert rows[m2.snapshot_id][1] == 1  # parent stamp
+
+    cat.fast_forward("t", "main", m2.snapshot_id)
+    rows = {r[0]: r for r in mt.history_rows(cat, "t")}
+    assert rows[m2.snapshot_id][2] is True and rows[m2.snapshot_id][3] is True
+    assert rows[1][2] is True and rows[1][3] is False
