@@ -488,6 +488,48 @@ class RestCatalog:
         )
         return list(out["snapshot-ids"])
 
+    def snapshot_parents(self, name: str) -> dict:
+        """snapshot id -> parent id, from the snapshots listing's
+        parent stamps (absent on servers whose backing predates
+        stamping: every parent None — lineage degrades to linear)."""
+        out = self._request(
+            "GET",
+            self._url("namespaces", self.namespace, "tables", name, "snapshots"),
+        )
+        raw = out.get("snapshot-parents") or {}
+        return {
+            int(sid): raw.get(str(sid)) for sid in out["snapshot-ids"]
+        }
+
+    def snapshot_lineage(
+        self, name: str, end: int, start: int = 0
+    ) -> list[int]:
+        """Parent-chain walk over ONE snapshots request — same contract
+        as FileCatalog.snapshot_lineage, so a REST streaming reader
+        follows main's lineage instead of raw version order."""
+        parents = self.snapshot_parents(name)
+        if end not in parents:
+            raise TableNotFound(f"{name}@{end}")
+        history = sorted(parents)
+        out: list = []
+        cur = end
+        for _ in range(len(history) + 1):
+            if cur is None or cur <= start:
+                break
+            if cur not in parents:
+                raise ValueError(
+                    f"{name}: lineage snapshot {cur} above {start} has "
+                    f"been expired (retained: {history})"
+                )
+            out.append(cur)
+            parent = parents[cur]
+            if parent is None:
+                # pre-stamp metadata: linear fallback
+                idx = history.index(cur)
+                parent = history[idx - 1] if idx > 0 else None
+            cur = parent
+        return sorted(out)
+
     def load_table_at(self, name: str, snapshot_id: int) -> Manifest:
         out = self._request(
             "GET",
@@ -708,7 +750,18 @@ class _Handler(BaseHTTPRequestHandler):
                 return self._error(
                     404, "NoSuchTableException", f"table not found: {r[4]}"
                 )
-            return self._send(200, {"snapshot-ids": ids})
+            out = {"snapshot-ids": ids}
+            # parent stamps, when the backing tracks them — lets a REST
+            # client walk lineage (streaming follows main's chain)
+            parents_fn = getattr(self.catalog, "snapshot_parents", None)
+            if parents_fn is not None:
+                try:
+                    out["snapshot-parents"] = {
+                        str(k): v for k, v in parents_fn(r[4]).items()
+                    }
+                except Exception:
+                    pass
+            return self._send(200, out)
         if len(r) == 6 and r[3] == "tables" and r[5] == "refs":
             if not hasattr(self.catalog, "list_refs"):
                 return self._error(

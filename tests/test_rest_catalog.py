@@ -688,3 +688,80 @@ def test_branch_targeted_dml_over_rest(spark, tmp_path):
                 spark.createDataFrame([(1, "x")], ["id", "val"]),
                 keys=["id"], to_branch="nope",
             )
+
+
+def test_rest_streaming_follows_main_lineage(spark, tmp_path):
+    """Round 10: lineage over HTTP — the snapshots listing carries
+    parent stamps, RestCatalog walks them, and a streaming reader with
+    catalog=rest never emits an unpublished branch snapshot."""
+    from iceberg_compaction_spark.sources.datasource import register
+
+    root = str(tmp_path / "tbl")
+    os.makedirs(root)
+    pq.write_table(
+        pa.table(
+            {
+                "id": pa.array(range(10), type=pa.int64()),
+                "val": [f"v{i}" for i in range(10)],
+            }
+        ),
+        os.path.join(root, "base.parquet"),
+    )
+    backing = FileCatalog(warehouse=str(tmp_path / "wh"))
+    backing.create_table(
+        "t", Manifest.from_parquet_dir(root, sequence_number=1)
+    )
+    register(spark)
+    with serve_rest_catalog(backing) as srv:
+        client = RestCatalog(uri=srv.uri)
+        client.create_branch("t", "audit")
+
+        def stream_rows(tag):
+            out = str(tmp_path / "sink")
+            q = (
+                spark.readStream.format("iceberg-table")
+                .option("catalog", "rest")
+                .option("uri", srv.uri)
+                .option("table", "t")
+                .load()
+                .writeStream.format("parquet")
+                .option("path", out)
+                .option("checkpointLocation", str(tmp_path / "ckpt"))
+                .trigger(availableNow=True)
+                .start()
+            )
+            q.awaitTermination(120)
+            files = (
+                [n for n in os.listdir(out) if n.endswith(".parquet")]
+                if os.path.isdir(out)
+                else []
+            )
+            return spark.read.parquet(out).collect() if files else []
+
+        assert stream_rows("a") == []
+
+        # branch append over HTTP: invisible to the main stream
+        ids = list(range(300, 305))
+        pq.write_table(
+            pa.table(
+                {
+                    "id": pa.array(ids, type=pa.int64()),
+                    "val": [f"v{i}" for i in ids],
+                }
+            ),
+            os.path.join(root, "staged.parquet"),
+        )
+        head = client.load_table_ref("t", "audit")
+        m2 = Manifest.from_parquet_dir(root, sequence_number=2)
+        m2.snapshot_id = head.snapshot_id + 1
+        m2.operation = "append"
+        m2 = client.commit_table(
+            "t", head.snapshot_id, m2, to_branch="audit"
+        )
+        assert client.snapshot_parents("t")[m2.snapshot_id] == 1
+        assert stream_rows("b") == []
+
+        # publish: the staged rows flow through the same checkpoint
+        client.fast_forward("t", "main", m2.snapshot_id)
+        rows = stream_rows("c")
+        assert sorted(r["id"] for r in rows) == ids
