@@ -980,6 +980,9 @@ class _ChangesStreamReader(DataSourceStreamReader):
         # data root, resolved lazily in _floor_root()
         self._wh = options.get("warehouse")
         self._table = options["table"]
+        # option("branch", name): follow a NAMED ref's lineage instead
+        # of main — an audit consumer streaming the staged branch
+        self._ref_branch = options.get("branch")
         self._starting = options.get("starting_snapshot")
         self._skip_overwrites = (
             str(options.get("skip_overwrites", "false")).lower() == "true"
@@ -1015,6 +1018,7 @@ class _ChangesStreamReader(DataSourceStreamReader):
             basis = "|".join(
                 [
                     str(self._table),
+                    str(self._ref_branch or ""),
                     str(self._starting or ""),
                     "cdc" if self._cdc else "append",
                 ]
@@ -1075,6 +1079,16 @@ class _ChangesStreamReader(DataSourceStreamReader):
 
         return catalog_from_options(self._copts)
 
+    def _head(self, cat) -> int:
+        """The followed ref's current snapshot: a named branch when
+        ``option("branch", ...)`` is set (audit consumers streaming the
+        staged lineage), else main."""
+        if self._ref_branch:
+            return cat.load_table_ref(
+                self._table, self._ref_branch
+            ).snapshot_id
+        return cat.load_table(self._table).snapshot_id
+
     def initialOffset(self):
         if self._starting == "earliest":
             off = {"snapshot": 0}
@@ -1082,9 +1096,7 @@ class _ChangesStreamReader(DataSourceStreamReader):
             off = {"snapshot": int(self._starting)}
         else:
             # default: only NEW commits (Iceberg's streaming default)
-            off = {
-                "snapshot": self._catalog().load_table(self._table).snapshot_id
-            }
+            off = {"snapshot": self._head(self._catalog())}
         self._floor = off["snapshot"]
         return off
 
@@ -1104,11 +1116,10 @@ class _ChangesStreamReader(DataSourceStreamReader):
             # BEHIND the checkpoint.  The first post-restart batch runs
             # uncapped; partitions() then seeds the floor and
             # subsequent triggers are capped again.
-            return {
-                "snapshot": self._catalog().load_table(self._table).snapshot_id
-            }
-        # The stream follows MAIN: on catalogs with lineage support the
-        # head is main's snapshot and the walk is its parent chain —
+            return {"snapshot": self._head(self._catalog())}
+        # The stream follows its REF (main by default): on catalogs with
+        # lineage support the head is the ref's snapshot and the walk is
+        # its parent chain —
         # global version order is NOT lineage order once branch commits
         # (WAP) interleave storage versions, and an unpublished audit
         # snapshot must never reach a consumer.  Legacy catalogs keep
@@ -1117,7 +1128,7 @@ class _ChangesStreamReader(DataSourceStreamReader):
         cat = self._catalog()
         lineage = getattr(cat, "snapshot_lineage", None)
         if lineage is not None:
-            head = cat.load_table(self._table).snapshot_id
+            head = self._head(cat)
             ahead = lineage(self._table, head, floor) if head > floor else []
         else:
             history = cat.table_history(self._table)

@@ -2251,3 +2251,44 @@ def test_write_and_upsert_sink_to_branch(spark, cat, tmp_path):
     )
     pub = {r["id"]: r["val"] for r in _batch(spark, cat).collect()}
     assert pub == got
+
+
+def test_stream_follows_named_branch(spark, cat, tmp_path):
+    """Round 10: option('branch') streams a NAMED ref's lineage — the
+    audit consumer sees staged branch commits while main stays put."""
+    cat.create_branch("t", "audit")
+    root = cat.load_table("t").table_root
+    ids = list(range(400, 404))
+    pq.write_table(
+        pa.table(
+            {
+                "id": pa.array(ids, type=pa.int64()),
+                "val": [f"v{i}" for i in ids],
+            }
+        ),
+        os.path.join(root, "staged.parquet"),
+    )
+    head = cat.load_table_ref("t", "audit")
+    m2 = Manifest.from_parquet_dir(root, sequence_number=2)
+    m2.snapshot_id = head.snapshot_id + 1
+    m2.operation = "append"
+    m2 = cat.commit_table("t", head.snapshot_id, m2, to_branch="audit")
+    assert cat.load_table("t").snapshot_id == 1
+
+    out = str(tmp_path / "sink")
+    q = (
+        spark.readStream.format("iceberg-table")
+        .option("warehouse", cat.warehouse)
+        .option("table", "t")
+        .option("branch", "audit")
+        .option("starting_snapshot", "1")
+        .load()
+        .writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    rows = spark.read.parquet(out).collect()
+    assert sorted(r["id"] for r in rows) == ids
