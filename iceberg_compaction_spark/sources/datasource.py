@@ -1901,12 +1901,8 @@ class _StreamUpsertWriter(DataSourceStreamArrowWriter):
 
         def _key_vals(col: str):
             vals = key_tbl.column(col).unique().to_pylist()
-            if len(vals) > _SCOPE_VALUE_CAP or not all(
-                isinstance(v, (int, str)) and not isinstance(v, bool)
-                for v in vals
-            ):
-                return None
-            return set(vals), {str(v) for v in vals}
+            # cap only; per-field type safety lives in _eq_delete_scope
+            return None if len(vals) > _SCOPE_VALUE_CAP else vals
 
         def attempt():
             cur = (

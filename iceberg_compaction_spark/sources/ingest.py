@@ -92,27 +92,56 @@ _SCOPE_VALUE_CAP = 10_000
 def _eq_delete_scope(cur, keys: list[str], key_vals_for):
     """Partition scope for an upsert's equality delete, or None.
 
-    Applicable only when the CURRENT spec has an identity-transform
-    field whose source column is one of the upsert keys: identity
-    partitioning means every row in a file carries the file's recorded
-    partition value in that column, and the equality delete matches on
-    ALL keys — so a file whose recorded value is outside the batch's
-    value set provably contains no matching row and need not carry the
-    delete.  ``key_vals_for(col)`` returns ``(native_set, str_set)`` or
-    None to decline (value-count cap, unsafe type).
+    Applicable when the CURRENT spec has a field whose SOURCE column is
+    one of the upsert keys: every deterministic transform maps equal
+    source values to equal cells (plans/pruning.py's partition-transform
+    tier rests on the same fact), so a file whose recorded cell is
+    outside the batch's transformed value set provably contains no
+    matching row and need not carry the delete.  Covers identity AND
+    bucket/truncate/year/month/day/hour via ``transform_value`` (round
+    10 — at 10^5 files a bucket[256]-partitioned key table skips ~255/
+    256 of every commit's J2 joins).
 
-    Returns ``(spec_len, field_index, native_set, str_set)`` for
+    ``key_vals_for(col)`` returns the batch's raw distinct values or
+    None to decline (value-count cap).  Identity cells are scoped only
+    for int/str values (a date/timestamp's ``str()`` can diverge from
+    the recorded hive form); transformed cells are ints or truncated
+    str/int, always safe for the dual native/string match.
+
+    Returns ``(spec_len, field_index, cell_set, str_set)`` for
     :func:`_eq_attach_needed`, or None meaning attach everywhere.
     """
+    from iceberg_compaction_spark.functions.transforms import (
+        transform_value,
+    )
+
     spec = cur.partition_spec or []
     for i, f in enumerate(spec):
-        if f.get("transform", "identity") == "identity" and f.get(
-            "source"
-        ) in keys:
-            vals = key_vals_for(f["source"])
-            if vals is None:
-                return None
-            return len(spec), i, vals[0], vals[1]
+        tr = f.get("transform", "identity")
+        if f.get("source") not in keys:
+            continue
+        vals = key_vals_for(f["source"])
+        if vals is None:
+            return None  # over the cap: scoping cannot stay bounded
+        if tr == "identity":
+            if not all(
+                isinstance(v, (int, str)) and not isinstance(v, bool)
+                for v in vals
+            ):
+                continue  # unsafe raw type: try another spec field
+            cells = set(vals)
+        else:
+            try:
+                cells = {transform_value(tr, v) for v in vals}
+            except (ValueError, TypeError, AttributeError):
+                continue  # value the transform can't take
+            if not all(
+                c is None
+                or (isinstance(c, (int, str)) and not isinstance(c, bool))
+                for c in cells
+            ):
+                continue
+        return len(spec), i, cells, {str(c) for c in cells}
     return None
 
 
@@ -252,17 +281,12 @@ def upsert(
                 .collect()
             )
             vals = [r[0] for r in rows]
-            if len(vals) > _SCOPE_VALUE_CAP or not all(
-                isinstance(v, (int, str)) and not isinstance(v, bool)
-                for v in vals
-            ):
-                # too many values to scope cheaply, or a type (date/
-                # timestamp/float) whose manifest representation can
-                # diverge from str() — scoping MUST err toward
-                # attaching, so decline
-                _scope_vals[col] = None
-            else:
-                _scope_vals[col] = (set(vals), {str(v) for v in vals})
+            # over the cap the driver-side set stops being
+            # "micro-batch bounded" — decline (attach everywhere);
+            # type safety is judged per spec field in _eq_delete_scope
+            _scope_vals[col] = (
+                None if len(vals) > _SCOPE_VALUE_CAP else vals
+            )
         return _scope_vals[col]
 
     def attempt() -> Manifest:

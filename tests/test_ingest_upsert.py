@@ -1226,3 +1226,61 @@ def test_merge_conditional_insert(spark, table):
     assert got[60] == "keep"
     assert 61 not in got
     assert len(got) == 11
+
+
+def test_upsert_eq_delete_scoped_on_bucket_transform(spark, tmp_path):
+    """Round 10: scoping extends beyond identity — a bucket[N] spec on
+    a key column attaches the eq-delete only to the touched buckets
+    (transform_value cells, dual native/string matching like the
+    pruning tier)."""
+    from iceberg_compaction_spark.functions.transforms import (
+        transform_value,
+    )
+
+    root = str(tmp_path / "btbl")
+    os.makedirs(root)
+    # four files, one per bucket[4] cell of their ids
+    by_bucket = {}
+    for i in range(40):
+        by_bucket.setdefault(transform_value("bucket[4]", i), []).append(i)
+    for cell, ids in sorted(by_bucket.items()):
+        pq.write_table(
+            pa.table(
+                {
+                    "id": pa.array(ids, type=pa.int64()),
+                    "val": [f"v{i}" for i in ids],
+                }
+            ),
+            os.path.join(root, f"b{cell}.parquet"),
+        )
+    m = Manifest.from_parquet_dir(root, sequence_number=1)
+    m.partition_spec = [
+        {"source": "id", "transform": "bucket[4]", "name": "id_bucket"}
+    ]
+    for t in m.data_files:
+        t.partition = (
+            int(os.path.basename(t.data_file_path)[1:].split(".")[0]),
+        )
+    cat = FileCatalog(warehouse=str(tmp_path / "wh"))
+    cat.create_table("b", m)
+
+    target_id = 7
+    cell = transform_value("bucket[4]", target_id)
+    upsert(
+        spark, cat, "b",
+        spark.createDataFrame([(target_id, "seven-u")], ["id", "val"]),
+        keys=["id"],
+    )
+    m2 = cat.load_table("b")
+    attached = {
+        t.partition[0]: len(t.deletes)
+        for t in m2.data_files
+        if "upsert-" not in t.data_file_path
+    }
+    assert attached[cell] == 1
+    assert all(n == 0 for c, n in attached.items() if c != cell)
+    got = {
+        r["id"]: r["val"]
+        for r in read_table_mor(spark, m2).collect()
+    }
+    assert got[target_id] == "seven-u" and len(got) == 40
