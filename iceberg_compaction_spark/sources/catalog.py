@@ -880,7 +880,9 @@ def remove_orphan_files_for(
     return sorted(removed)
 
 
-def rollback_table(catalog, name: str, snapshot_id: int) -> Manifest:
+def rollback_table(
+    catalog, name: str, snapshot_id: int, to_branch: str | None = None
+) -> Manifest:
     """Iceberg's rollback: make the table CURRENT state equal snapshot
     ``snapshot_id`` again by committing a NEW snapshot carrying that
     state — history is append-only (the bad commits stay queryable via
@@ -898,7 +900,11 @@ def rollback_table(catalog, name: str, snapshot_id: int) -> Manifest:
     from iceberg_compaction_spark.commit import CommitManager
 
     def attempt() -> Manifest:
-        cur = catalog.load_table(name)
+        cur = (
+            catalog.load_table_ref(name, to_branch)
+            if to_branch
+            else catalog.load_table(name)
+        )
         if cur.snapshot_id == snapshot_id:
             return cur  # already there: no empty commit
         old = catalog.load_table_at(name, snapshot_id)
@@ -908,6 +914,10 @@ def rollback_table(catalog, name: str, snapshot_id: int) -> Manifest:
         # a later equality delete must still apply above this snapshot
         new.sequence_number = max(cur.sequence_number, old.sequence_number) + 1
         new.operation = "overwrite"
+        if to_branch:
+            return catalog.commit_table(
+                name, cur.snapshot_id, new, to_branch=to_branch
+            )
         return catalog.commit_table(name, cur.snapshot_id, new)
 
     return CommitManager().commit_with_retry(attempt)

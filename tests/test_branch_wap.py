@@ -479,3 +479,27 @@ def test_wap_on_real_metadata_hadoop_catalog(spark, tmp_path):
     with serve_rest_catalog(hcat) as srv:
         client = RestCatalog(uri=srv.uri)
         assert client.load_table("h").snapshot_id == m3.snapshot_id
+
+
+def test_rollback_on_branch(spark, cat):
+    """rollback_table(to_branch=...) restores the BRANCH to an earlier
+    lineage state as a new branch commit; main never moves."""
+    from iceberg_compaction_spark.sources.catalog import rollback_table
+
+    cat.create_branch("t", "audit")
+    m2 = upsert(
+        spark, cat, "t",
+        spark.createDataFrame([(1, "a1")], ["id", "val"]),
+        keys=["id"], to_branch="audit",
+    )
+    upsert(
+        spark, cat, "t",
+        spark.createDataFrame([(2, "a2")], ["id", "val"]),
+        keys=["id"], to_branch="audit",
+    )
+    assert _rows(spark, cat, ref="audit")[2] == "a2"
+    m4 = rollback_table(cat, "t", m2.snapshot_id, to_branch="audit")
+    assert cat.list_refs("t")["audit"]["snapshot_id"] == m4.snapshot_id
+    rolled = _rows(spark, cat, ref="audit")
+    assert rolled[1] == "a1" and rolled[2] == "v2"
+    assert cat.load_table("t").snapshot_id == 1
