@@ -59,6 +59,7 @@ __all__ = [
     "row_changes",
     "table_changes",
     "changelog_between",
+    "changelog_for_ref",
 ]
 
 
@@ -201,21 +202,45 @@ def table_changes(
     return row_changes(old_rows, new_rows)
 
 
-def changelog_between(
-    spark: SparkSession,
-    catalog,
-    name: str,
-    from_snapshot: int,
-    to_snapshot: int,
-) -> DataFrame:
-    """Changelog across a table's history: the union of per-commit
-    changes for every snapshot in ``(from_snapshot, to_snapshot]``,
-    each row stamped with ``_commit_snapshot_id``.
+def _lineage_chain(
+    catalog, name: str, from_snapshot: int, to_snapshot: int
+) -> list[int]:
+    """Commit chain ``[from_snapshot, ..., to_snapshot]`` along
+    ``to_snapshot``'s PARENT lineage — not raw storage-version order.
 
-    The walk is a driver loop over snapshot METADATA (bounded by
-    history length); each step's row work is delegated to
-    :func:`table_changes`, so appends stay delta-priced.
-    """
+    On a write-audit-publish table, branch commits interleave storage
+    versions with main's: with main at v1, an audit upsert allocating
+    v2 and a main commit at v3, version order would yield a phantom
+    v1→v2 step exposing the UNPUBLISHED audit changes and a v2→v3 step
+    showing their reversal — row-level history that never happened on
+    the lineage being read.  Walking parent stamps (all three catalogs
+    expose ``snapshot_lineage``) restricts the changelog to commits
+    that are actual ancestors of ``to_snapshot``; catalogs without the
+    method degrade to the legacy linear history, where version order
+    IS lineage order.
+
+    Raises ``ValueError`` when ``from_snapshot`` is not an ancestor of
+    ``to_snapshot`` (e.g. the ends live on different branches): a
+    changelog between unrelated snapshots has no meaning."""
+    if from_snapshot > to_snapshot:
+        raise ValueError(
+            f"from_snapshot {from_snapshot} is after to_snapshot "
+            f"{to_snapshot} (parents always precede children)"
+        )
+    lineage = getattr(catalog, "snapshot_lineage", None)
+    if lineage is not None:
+        # ids strictly above from_snapshot-1 on the parent chain, i.e.
+        # the chain down to and INCLUDING from_snapshot iff it is a
+        # genuine ancestor (parent ids are always smaller than child
+        # ids: a parent commits — and allocates its version — first)
+        chain = lineage(name, to_snapshot, max(from_snapshot - 1, 0))
+        if from_snapshot not in chain:
+            raise ValueError(
+                f"snapshot {from_snapshot} is not an ancestor of "
+                f"{to_snapshot} in {name!r} (lineage above it: {chain}) — "
+                f"the endpoints are on different branches"
+            )
+        return chain
     history = [
         s
         for s in catalog.table_history(name)
@@ -225,6 +250,29 @@ def changelog_between(
         raise ValueError(
             f"snapshot {from_snapshot} not in history of {name!r}: {history}"
         )
+    return history
+
+
+def changelog_between(
+    spark: SparkSession,
+    catalog,
+    name: str,
+    from_snapshot: int,
+    to_snapshot: int,
+) -> DataFrame:
+    """Changelog across a table's history: the union of per-commit
+    changes for every snapshot on ``to_snapshot``'s parent lineage in
+    ``(from_snapshot, to_snapshot]``, each row stamped with
+    ``_commit_snapshot_id``.  Snapshots from OTHER branches that merely
+    interleave storage versions are excluded — an unpublished audit
+    snapshot can never reach a changelog consumer (see
+    :func:`_lineage_chain`).
+
+    The walk is a driver loop over snapshot METADATA (bounded by
+    history length); each step's row work is delegated to
+    :func:`table_changes`, so appends stay delta-priced.
+    """
+    history = _lineage_chain(catalog, name, from_snapshot, to_snapshot)
     out: DataFrame | None = None
     for prev, cur in zip(history, history[1:]):
         step = table_changes(
@@ -242,3 +290,29 @@ def changelog_between(
             .withColumn("_commit_snapshot_id", F.lit(0).cast("long"))
         )
     return out
+
+
+def changelog_for_ref(
+    spark: SparkSession,
+    catalog,
+    name: str,
+    ref: str,
+    from_snapshot: int | None = None,
+) -> DataFrame:
+    """Changelog along a NAMED ref's lineage — the audit-consumer view
+    of a write-audit-publish branch.  ``changelog_for_ref(name,
+    "audit", from_snapshot=fork_point)`` is exactly "what would publish
+    if this branch were fast-forwarded": the branch's staged commits
+    only.  Main commits made after the fork are not ancestors of the
+    branch head, so they can never appear; conversely a MAIN changelog
+    (`ref="main"`) can never show the branch's staged commits.
+
+    ``from_snapshot=None`` walks the full retained lineage from the
+    oldest retained ancestor of the ref head."""
+    refs = catalog.list_refs(name)
+    if ref not in refs:
+        raise KeyError(f"no such ref: {ref!r}")
+    head = refs[ref]["snapshot_id"]
+    if from_snapshot is None:
+        from_snapshot = catalog.snapshot_lineage(name, head, 0)[0]
+    return changelog_between(spark, catalog, name, from_snapshot, head)

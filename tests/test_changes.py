@@ -126,6 +126,112 @@ def test_changelog_between_walks_history(spark, cat):
     assert not [r for r in rows if r[0] == 1]
 
 
+def test_changelog_between_skips_unpublished_branch_snapshots(spark, cat):
+    """WAP interleave: main v1, audit-branch upsert allocates v2, main
+    upsert allocates v3.  A main-range changelog (1, 3) must contain NO
+    step from the unpublished branch snapshot — version order is not
+    lineage order on a WAP table."""
+    v1 = cat.table_history("t")[0]
+    cat.create_branch("t", "audit")
+    m_branch = upsert(
+        spark,
+        cat,
+        "t",
+        spark.createDataFrame([(7, "LEAKED")], ["id", "val"]),
+        keys=["id"],
+        to_branch="audit",
+    )
+    m_main = upsert(
+        spark,
+        cat,
+        "t",
+        spark.createDataFrame([(3, "v3-main")], ["id", "val"]),
+        keys=["id"],
+    )
+    assert m_branch.snapshot_id < m_main.snapshot_id  # interleaved
+
+    out = ch.changelog_between(spark, cat, "t", v1, m_main.snapshot_id)
+    rows = [
+        (r["id"], r[ch.CHANGE_TYPE], r["val"], r["_commit_snapshot_id"])
+        for r in out.collect()
+    ]
+    commit_ids = {r[3] for r in rows}
+    assert m_branch.snapshot_id not in commit_ids
+    assert commit_ids == {m_main.snapshot_id}
+    # no phantom delete/insert of the branch's row, no reversal step
+    assert sorted(rows) == [
+        (3, "delete", "v3", m_main.snapshot_id),
+        (3, "insert", "v3-main", m_main.snapshot_id),
+    ]
+
+
+def test_changelog_rejects_non_ancestor_endpoints(spark, cat):
+    """A changelog between snapshots on different branches is
+    meaningless and must raise, not emit phantom steps."""
+    cat.create_branch("t", "audit")
+    m_branch = upsert(
+        spark,
+        cat,
+        "t",
+        spark.createDataFrame([(7, "b")], ["id", "val"]),
+        keys=["id"],
+        to_branch="audit",
+    )
+    m_main = upsert(
+        spark,
+        cat,
+        "t",
+        spark.createDataFrame([(3, "m")], ["id", "val"]),
+        keys=["id"],
+    )
+    with pytest.raises(ValueError, match="not an ancestor"):
+        ch.changelog_between(
+            spark, cat, "t", m_branch.snapshot_id, m_main.snapshot_id
+        )
+    with pytest.raises(ValueError, match="after"):
+        ch.changelog_between(
+            spark, cat, "t", m_main.snapshot_id, m_branch.snapshot_id
+        )
+
+
+def test_changelog_for_ref_shows_staged_branch_commits(spark, cat):
+    """The audit-consumer view: a branch changelog from the fork point
+    contains exactly the staged commits, never main's concurrent
+    ones."""
+    fork = cat.table_history("t")[0]
+    cat.create_branch("t", "audit")
+    m_branch = upsert(
+        spark,
+        cat,
+        "t",
+        spark.createDataFrame([(7, "v7-staged")], ["id", "val"]),
+        keys=["id"],
+        to_branch="audit",
+    )
+    upsert(
+        spark,
+        cat,
+        "t",
+        spark.createDataFrame([(3, "v3-main")], ["id", "val"]),
+        keys=["id"],
+    )
+    out = ch.changelog_for_ref(spark, cat, "t", "audit", from_snapshot=fork)
+    rows = sorted(
+        (r["id"], r[ch.CHANGE_TYPE], r["val"], r["_commit_snapshot_id"])
+        for r in out.collect()
+    )
+    assert rows == [
+        (7, "delete", "v7", m_branch.snapshot_id),
+        (7, "insert", "v7-staged", m_branch.snapshot_id),
+    ]
+    # default from_snapshot walks the full retained lineage
+    full = ch.changelog_for_ref(spark, cat, "t", "audit")
+    ids = {r["_commit_snapshot_id"] for r in full.collect()}
+    assert ids == {m_branch.snapshot_id}
+    with pytest.raises(KeyError):
+        ch.changelog_for_ref(spark, cat, "t", "nope")
+
+
 def test_schema_evolution_aligns_on_new_columns(spark, cat):
     m1 = cat.load_table("t")
     root = m1.table_root
