@@ -46,7 +46,9 @@ class TableRefs:
     the real-metadata IcebergHadoopCatalog).
 
     Host requirements: ``_io``, ``_refs_dir(name)``, ``table_history``,
-    ``load_table_at``, ``_current_version``, ``snapshot_lineage``.
+    ``load_table_at``, ``_current_version``, ``snapshot_lineage``,
+    ``snapshot_parents``; ``snapshot_timestamps`` for
+    :meth:`load_table_as_of`.
 
     Refs live in VERSIONED files created with O_CREAT|O_EXCL, so every
     ref mutation is an atomic read-modify-write: concurrent movers (two
@@ -121,6 +123,13 @@ class TableRefs:
                 return new_refs
         raise CommitConflict(f"{name}: refs CAS contention (64 attempts)")
 
+    # Iceberg's per-ref retention fields (spec: snapshot references)
+    RETENTION_FIELDS = (
+        "max_snapshot_age_ms",   # branch: age out old lineage snapshots
+        "min_snapshots_to_keep", # branch: floor under the age rule
+        "max_ref_age_ms",        # branch/tag: the REF itself ages out
+    )
+
     def _set_ref(
         self,
         name: str,
@@ -128,8 +137,16 @@ class TableRefs:
         ref_type: str,
         snapshot_id: int | None,
         pin_main: bool = False,
+        retention: dict | None = None,
     ) -> dict:
         history = self.table_history(name)
+        if retention:
+            bad = set(retention) - set(self.RETENTION_FIELDS)
+            if bad:
+                raise ValueError(
+                    f"unknown retention fields {sorted(bad)}; expected "
+                    f"a subset of {list(self.RETENTION_FIELDS)}"
+                )
 
         def mutate(refs: dict) -> dict:
             main = refs.get("main")
@@ -149,7 +166,18 @@ class TableRefs:
                 raise ValueError(
                     f"ref {ref!r} is a {existing['type']}, not a {ref_type}"
                 )
-            refs[ref] = {"type": ref_type, "snapshot_id": sid}
+            # a MOVE preserves the ref's declared retention policy
+            # (fast-forward must not silently reset it)
+            carried = {
+                k: v
+                for k, v in (existing or {}).items()
+                if k in self.RETENTION_FIELDS
+            }
+            if retention:
+                carried.update(
+                    {k: int(v) for k, v in retention.items() if v is not None}
+                )
+            refs[ref] = {"type": ref_type, "snapshot_id": sid, **carried}
             if pin_main and ref != "main" and "main" not in refs:
                 # creating the FIRST branch pins main at the current
                 # head IN THE SAME atomic refs write — from here on,
@@ -168,25 +196,47 @@ class TableRefs:
         return self._refs_cas(name, mutate)[ref]
 
     def create_tag(
-        self, name: str, tag: str, snapshot_id: int | None = None
+        self,
+        name: str,
+        tag: str,
+        snapshot_id: int | None = None,
+        retention: dict | None = None,
     ) -> dict:
         """Pin a snapshot under an immutable name (audit marks, release
-        pins).  A tagged snapshot survives expire_snapshots."""
+        pins).  A tagged snapshot survives expire_snapshots.
+        ``retention={"max_ref_age_ms": N}`` ages the tag itself out of
+        existence during expiration (Iceberg's per-ref retention)."""
         if tag in self.list_refs(name):
             raise ValueError(f"ref {tag!r} already exists")
-        return self._set_ref(name, tag, "tag", snapshot_id)
+        return self._set_ref(name, tag, "tag", snapshot_id, retention=retention)
 
     def create_branch(
-        self, name: str, branch: str, snapshot_id: int | None = None
+        self,
+        name: str,
+        branch: str,
+        snapshot_id: int | None = None,
+        retention: dict | None = None,
     ) -> dict:
         """Create a movable named pointer (defaults to the current
         head).  Advance it with :meth:`fast_forward`.  Creating the
         first branch also pins ``main`` at the current head (same
         atomic refs write) — the WAP prerequisite that lets branch
-        commits leave main provably untouched."""
+        commits leave main provably untouched.
+
+        ``retention`` declares Iceberg's per-ref retention policy
+        (spec'd ref fields, enforced by :meth:`expire_snapshots`):
+        ``max_ref_age_ms`` drops the branch itself once its head is
+        older than this (stale audit branches stop pinning lineage
+        forever); ``max_snapshot_age_ms`` / ``min_snapshots_to_keep``
+        trim the branch's retained LINEAGE (without them, the full
+        lineage is pinned — the conservative default that keeps
+        fast-forward ancestry verifiable)."""
         if branch in self.list_refs(name):
             raise ValueError(f"ref {branch!r} already exists")
-        return self._set_ref(name, branch, "branch", snapshot_id, pin_main=True)
+        return self._set_ref(
+            name, branch, "branch", snapshot_id, pin_main=True,
+            retention=retention,
+        )
 
     def fast_forward(self, name: str, branch: str, snapshot_id: int) -> dict:
         """Move a branch forward to a newer snapshot — the publish step
@@ -223,9 +273,41 @@ class TableRefs:
         return self._set_ref(name, branch, "branch", snapshot_id)
 
     def drop_ref(self, name: str, ref: str) -> None:
+        """Remove a tag or branch.  Dropping ``main`` is refused while
+        any other branch exists: unpinning the table makes
+        ``load_table`` fall back to the highest STORAGE version — which
+        on a WAP table is whatever branch allocation landed last —
+        instantly publishing every unpublished audit snapshot to all
+        readers.  Publishing is ``fast_forward(name, "main", sid)``;
+        cleanup is dropping the BRANCH.  With no other branches left,
+        dropping main is allowed only when it already points at the
+        storage head (the drop is then provably a no-op for readers)."""
+
         def mutate(refs: dict) -> dict:
             if ref not in refs:
                 raise KeyError(f"no such ref: {ref!r}")
+            if ref == "main":
+                others = [
+                    r
+                    for r, info in refs.items()
+                    if r != "main" and info.get("type") == "branch"
+                ]
+                if others:
+                    raise ValueError(
+                        f"refusing to drop 'main' while branches exist "
+                        f"({sorted(others)}): that would publish their "
+                        f"unpublished snapshots to every reader — "
+                        f"fast_forward(name, 'main', sid) to publish, "
+                        f"drop_ref the branch to discard"
+                    )
+                head = self._current_version(name)
+                if refs["main"]["snapshot_id"] != head:
+                    raise ValueError(
+                        f"refusing to drop 'main' at "
+                        f"{refs['main']['snapshot_id']} below storage "
+                        f"head {head}: readers would jump to an "
+                        f"unpublished snapshot — fast_forward first"
+                    )
             del refs[ref]
             return refs
 
@@ -239,33 +321,130 @@ class TableRefs:
             raise KeyError(f"no such ref: {ref!r}")
         return self.load_table_at(name, refs[ref]["snapshot_id"])
 
+    def _retained_lineage(self, name: str, head: int) -> set:
+        """Parent chain from ``head`` down to the first EXPIRED ancestor
+        (exclusive) — the tolerant variant of ``snapshot_lineage`` for
+        surfaces that must keep working after routine maintenance:
+        ``expire_snapshots`` legitimately removes old main-lineage
+        ancestors, and that must not make time travel to the RETAINED
+        snapshots raise.  Unreachable branch allocations stay excluded
+        (the walk only follows parent stamps)."""
+        parents = self.snapshot_parents(name)
+        history = sorted(parents)
+        out: set = set()
+        cur: "int | None" = head
+        for _ in range(len(history) + 1):
+            if cur is None or cur not in parents:
+                break
+            out.add(cur)
+            parent = parents[cur]
+            if parent is None:
+                # root, or pre-stamp metadata: legacy linear fallback
+                idx = history.index(cur)
+                parent = history[idx - 1] if idx > 0 else None
+            cur = parent
+        return out
+
+    def load_table_as_of(self, name: str, timestamp_ms: int) -> "Manifest":
+        """Timestamp time travel (Iceberg's ``FOR SYSTEM_TIME AS OF``):
+        the last snapshot committed AT or BEFORE ``timestamp_ms``; ties
+        within one millisecond resolve to the highest version.  When
+        main is pinned (a WAP table), only MAIN-lineage snapshots are
+        eligible — an unpublished audit-branch commit must never answer
+        a main time-travel read.  An expired lineage TAIL is tolerated
+        (the eligible set is the retained chain)."""
+        ts = self.snapshot_timestamps(name)
+        main = self.list_refs(name).get("main")
+        if main:
+            chain = self._retained_lineage(name, main["snapshot_id"])
+            ts = {sid: t for sid, t in ts.items() if sid in chain}
+        eligible = [sid for sid, t in ts.items() if t <= timestamp_ms]
+        if not eligible:
+            raise TableNotFound(
+                f"{name}: no snapshot committed at or before "
+                f"{timestamp_ms} (earliest: {min(ts.values(), default=0)})"
+            )
+        return self.load_table_at(name, max(eligible))
+
     def _protected_snapshots(self, name: str) -> set:
-        """Snapshot ids expiration must retain: every ref head, plus the
-        FULL lineage of every non-main BRANCH — a staged branch's
-        intermediate commits must survive expiration or its later
-        fast-forward publish could not verify ancestry (Iceberg retains
-        branch ancestry under per-branch retention; a TAG pins exactly
-        one snapshot, and main's ancestry expires positionally like
-        always).  Tolerant of pre-stamp history (no parent info ->
-        head-only pinning, the legacy behavior)."""
+        """Snapshot ids expiration must retain: every ref head, plus
+        each non-main BRANCH's lineage under its retention policy.
+
+        Default (no retention fields on the ref): the FULL lineage — a
+        staged branch's intermediate commits must survive expiration or
+        its later fast-forward publish could not verify ancestry.  With
+        ``max_snapshot_age_ms`` / ``min_snapshots_to_keep`` declared on
+        the ref (Iceberg's per-ref retention), the lineage is trimmed:
+        keep the newest ``min_snapshots_to_keep`` (head included) plus
+        everything younger than the age cutoff.  A TAG pins exactly one
+        snapshot; main's ancestry expires positionally like always.
+        Tolerant of pre-stamp history (no parent info -> head-only
+        pinning, the legacy behavior)."""
+        import time as _time
+
         refs = self.list_refs(name)
         if not refs:
             return set()
         parents = self.snapshot_parents(name)
+        ts: dict | None = None
+        now_ms = int(_time.time() * 1000)
         keep: set = set()
         for ref, info in refs.items():
             sid = info["snapshot_id"]
             keep.add(sid)
             if ref == "main" or info.get("type") == "tag":
                 continue
+            chain = [sid]  # newest first
             cur = sid
             for _ in range(len(parents) + 1):
                 nxt = parents.get(cur)
                 if nxt is None or nxt not in parents:
                     break
-                keep.add(nxt)
+                chain.append(nxt)
                 cur = nxt
+            max_age = info.get("max_snapshot_age_ms")
+            min_keep = info.get("min_snapshots_to_keep")
+            if max_age is None and min_keep is None:
+                keep.update(chain)
+                continue
+            keep.update(chain[: max(1, int(min_keep or 1))])
+            if max_age is not None:
+                if ts is None:
+                    ts = self.snapshot_timestamps(name)
+                cutoff = now_ms - int(max_age)
+                keep.update(
+                    s for s in chain if ts.get(s, 0) >= cutoff
+                )
         return keep
+
+    def _expire_aged_refs(self, name: str) -> list[str]:
+        """Drop non-main refs whose ``max_ref_age_ms`` has elapsed —
+        measured from the commit timestamp of the snapshot the ref
+        points at (how Iceberg's RemoveSnapshots ages refs).  Run by
+        :meth:`expire_snapshots` BEFORE computing protection, so a
+        stale audit branch stops pinning its lineage forever (WAP
+        tables would otherwise accumulate pinned lineages)."""
+        import time as _time
+
+        refs = self.list_refs(name)
+        aged = []
+        ts: dict | None = None
+        now_ms = int(_time.time() * 1000)
+        for ref, info in refs.items():
+            if ref == "main":
+                continue
+            max_age = info.get("max_ref_age_ms")
+            if max_age is None:
+                continue
+            if ts is None:
+                ts = self.snapshot_timestamps(name)
+            head_ts = ts.get(info["snapshot_id"], 0)
+            if head_ts and now_ms - head_ts > int(max_age):
+                aged.append(ref)
+        for ref in aged:
+            with contextlib.suppress(KeyError):
+                self.drop_ref(name, ref)
+        return aged
 
     def _ref_move_cas(
         self,
@@ -290,7 +469,14 @@ class TableRefs:
                     f"{name}: ref {target!r} moved to {now} during "
                     f"commit (expected {expected})"
                 )
-            r[target] = {"type": "branch", "snapshot_id": allocated}
+            carried = {
+                k: v
+                for k, v in r.get(target, {}).items()
+                if k in self.RETENTION_FIELDS
+            }
+            r[target] = {
+                "type": "branch", "snapshot_id": allocated, **carried
+            }
             if "main" not in r:
                 # first ref-targeted commit on a legacy warehouse whose
                 # branch predates main-pinning: freeze main where it was
@@ -492,27 +678,9 @@ class FileCatalog(TableRefs):
             out[sid] = int(raw.get("committed-at-ms", 0))
         return out
 
-    def load_table_as_of(self, name: str, timestamp_ms: int) -> Manifest:
-        """Timestamp time travel (Iceberg's ``FOR SYSTEM_TIME AS OF``):
-        the last snapshot committed AT or BEFORE ``timestamp_ms``; ties
-        within one millisecond resolve to the highest version.  When
-        main is pinned (a WAP table), only MAIN-lineage snapshots are
-        eligible — an unpublished audit-branch commit must never answer
-        a main time-travel read."""
-        ts = self.snapshot_timestamps(name)
-        main = self.list_refs(name).get("main")
-        if main:
-            chain = set(
-                self.snapshot_lineage(name, main["snapshot_id"], 0)
-            )
-            ts = {sid: t for sid, t in ts.items() if sid in chain}
-        eligible = [sid for sid, t in ts.items() if t <= timestamp_ms]
-        if not eligible:
-            raise TableNotFound(
-                f"{name}: no snapshot committed at or before "
-                f"{timestamp_ms} (earliest: {min(ts.values(), default=0)})"
-            )
-        return self.load_table_at(name, max(eligible))
+    # load_table_as_of comes from TableRefs (shared with the hadoop
+    # backend); it consumes snapshot_timestamps above and tolerates an
+    # expired lineage tail via _retained_lineage.
 
     def expire_snapshots(self, name: str, keep_last: int = 2) -> list[int]:
         """Iceberg's expire-snapshots maintenance: drop the oldest
@@ -521,8 +689,15 @@ class FileCatalog(TableRefs):
         tag or branch points at (Iceberg never expires referenced
         snapshots).  Returns the expired snapshot ids.  Time-travel to
         an expired snapshot then raises TableNotFound, exactly like
-        Iceberg after expiration."""
+        Iceberg after expiration.
+
+        Per-ref retention (round 11): refs past their
+        ``max_ref_age_ms`` are dropped first, releasing their exclusive
+        lineage for expiration; surviving branches pin lineage under
+        their own ``max_snapshot_age_ms`` / ``min_snapshots_to_keep``
+        (full lineage when undeclared)."""
         keep_last = max(1, keep_last)
+        self._expire_aged_refs(name)
         history = self.table_history(name)
         pinned = self._protected_snapshots(name)
         expired = [v for v in history[:-keep_last] if v not in pinned]
@@ -764,8 +939,9 @@ def catalog_from_options(options) -> object:
     - ``catalog=hadoop``: the REAL Iceberg on-disk layout — genuine
       ``v<N>.metadata.json`` + Avro manifests
       (:class:`~.iceberg_meta.IcebergHadoopCatalog`); needs
-      ``warehouse``.  Note: named refs / timestamp time travel are not
-      implemented on this backend yet.
+      ``warehouse``.  Named refs / branches / WAP (the TableRefs
+      mixin) and timestamp time travel (per-snapshot ``timestamp-ms``)
+      work on this backend too.
     - ``catalog=rest``: an Iceberg-REST-protocol server
       (:class:`~.rest_catalog.RestCatalog`); needs ``uri``; honors
       ``namespace`` and ``token``.

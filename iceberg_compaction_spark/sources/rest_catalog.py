@@ -56,6 +56,7 @@ delegating storage + CAS to a ``FileCatalog``.
 
 from __future__ import annotations
 
+import inspect
 import json
 import threading
 import urllib.error
@@ -196,7 +197,40 @@ class RestCatalog:
         else:
             self._tier.pop(name, None)
 
-    def _spec_wire_updates(self, name: str, m: Manifest) -> "list | None":
+    def _spec_base_md(self, name: str, to_branch: "str | None") -> "dict | None":
+        """The TableMetadata the structural diff runs against: the
+        stored tier metadata for main commits; a fresh GET of the
+        BRANCH head for branch commits (a branch may have diverged
+        structurally from main, and ``_note_tier`` stores whichever
+        load happened last).  None off the full-fidelity tier."""
+        info = self._tier.get(name)
+        if info is None:
+            return None
+        if to_branch is None:
+            return info["md"]
+        try:
+            out = self._request(
+                "GET",
+                self._url(
+                    "namespaces",
+                    self.namespace,
+                    "tables",
+                    name,
+                    "refs",
+                    to_branch,
+                ),
+            )
+        except Exception:
+            return None
+        md = out.get("metadata") or {}
+        loc = out.get("metadata-location") or ""
+        if "format-version" in md and loc.endswith(".metadata.json"):
+            return md
+        return None
+
+    def _spec_wire_updates(
+        self, name: str, m: Manifest, md: dict
+    ) -> "list | None":
         """The STRUCTURAL spec update actions this commit needs before
         its pointer-only add-snapshot, or None when the spec wire cannot
         carry it (engine-manifest fallback).  ``[]`` = structure
@@ -206,11 +240,11 @@ class RestCatalog:
         ``set-default-sort-order`` — so a conforming external client
         watching the server sees schema evolution / format upgrades /
         sort-order changes the moment they commit (round 10; VERDICT r9
-        #3 closed the last engine-manifest-carrier dependency)."""
-        info = self._tier.get(name)
-        if info is None or not m.schema_fields:
+        #3 closed the last engine-manifest-carrier dependency).  ``md``
+        is the base metadata of the commit's TARGET REF head
+        (:meth:`_spec_base_md`)."""
+        if not m.schema_fields:
             return None
-        md = info["md"]
         cur_schema = next(
             (
                 s
@@ -293,10 +327,15 @@ class RestCatalog:
         wire shapes with the branch name in the requirement's ``ref``
         and the update's ``ref-name`` (this is exactly how the Iceberg
         REST spec expresses branch writes); the server threads it to a
-        backing that supports branch commits (FileCatalog) and rejects
-        it with 400 on one that does not.  Branch commits always take
-        the engine-manifest wire (the full-fidelity spec-wire tier has
-        no ref store yet).
+        backing that supports branch commits and rejects it with 400 on
+        one that does not.  On the full-fidelity tier branch commits
+        ride the SPEC WIRE too (round 11): pointer-only add-snapshot +
+        structural updates against the BRANCH head's metadata, so a
+        conforming external client watching the server can follow an
+        audit branch — exactly the consumer WAP exists for.  The server
+        owns snapshot-id allocation on branch/pinned-main commits
+        (storage versions interleave, the client cannot predict them);
+        the returned manifest carries the authoritative id.
 
         Commit-status-unknown handling: a network failure on the commit
         POST leaves the outcome ambiguous (the classic distributed-
@@ -313,9 +352,10 @@ class RestCatalog:
         new_id = new_manifest.snapshot_id
         target_ref = to_branch or MAIN_REF
         updates = None
+        base_md = self._spec_base_md(name, to_branch)
         structural = (
-            self._spec_wire_updates(name, new_manifest)
-            if to_branch is None
+            self._spec_wire_updates(name, new_manifest, base_md)
+            if base_md is not None
             else None
         )
         if structural is not None:
@@ -415,8 +455,15 @@ class RestCatalog:
             # _request); includes read timeouts
             if to_branch is not None:
                 # branch commits: the snapshot id is allocated
-                # server-side, so reconcile by the branch head's
-                # file-path set alone (paths carry fresh uuids)
+                # server-side, so reconcile by file-path sets (paths
+                # carry fresh uuids).  Check the branch head first; if
+                # another writer committed ON TOP of ours during the
+                # outage, ours is an intermediate lineage snapshot —
+                # walk the branch lineage above our expected base
+                # before declaring the commit lost, else the caller's
+                # retry re-commits and duplicates the data file
+                # (ADVICE r10, low; mirrors the main path's history
+                # probe).
                 from iceberg_compaction_spark.commit import CommitConflict
 
                 try:
@@ -426,8 +473,23 @@ class RestCatalog:
                         f"{name}@{to_branch}: commit status unknown and "
                         f"reload failed: {e}"
                     ) from e
-                if sorted(head.paths()) == sorted(new_manifest.paths()):
+                want = sorted(new_manifest.paths())
+                if sorted(head.paths()) == want:
                     return head
+                try:
+                    head_sid = self.list_refs(name)[to_branch][
+                        "snapshot_id"
+                    ]
+                    for sid in reversed(
+                        self.snapshot_lineage(
+                            name, head_sid, expected_snapshot_id
+                        )
+                    ):
+                        landed = self.load_table_at(name, sid)
+                        if sorted(landed.paths()) == want:
+                            return landed  # ours landed; others built on it
+                except Exception:
+                    pass  # lineage probe failed: fall through to conflict
                 raise CommitConflict(
                     f"{name}@{to_branch}: commit lost to network "
                     f"failure: {e}"
@@ -471,6 +533,24 @@ class RestCatalog:
                         return landed  # ours landed; others built on it
             except Exception:
                 pass  # history probe failed: fall through to conflict
+        # Pinned-main tables: the server owns snapshot-id allocation, so
+        # ours may have landed under a DIFFERENT id than the client
+        # proposed — walk main's lineage above our expected base by
+        # file-path set before declaring the commit lost.
+        try:
+            want = sorted(new_manifest.paths())
+            for sid in reversed(
+                self.snapshot_lineage(
+                    name,
+                    current.snapshot_id,
+                    new_manifest.snapshot_id - 1,
+                )
+            ):
+                landed = self.load_table_at(name, sid)
+                if sorted(landed.paths()) == want:
+                    return landed
+        except Exception:
+            pass  # lineage probe failed: fall through to conflict
         raise CommitConflict(
             f"{name}: commit lost to network failure (head at "
             f"v{current.snapshot_id}): {cause}"
@@ -617,6 +697,7 @@ class RestCatalog:
                 "namespaces", self.namespace, "tables", name, "refs", ref
             ),
         )
+        self._note_tier(name, out)
         return self._manifest_from_load(out)
 
     @staticmethod
@@ -941,55 +1022,73 @@ class _Handler(BaseHTTPRequestHandler):
             return self._error(
                 400, "BadRequestException", "missing add-snapshot update"
             )
-        if target_ref != MAIN_REF and new_manifest is None:
+        commit_snap = getattr(self.catalog, "commit_snapshot", None)
+        if new_manifest is None and commit_snap is None:
             return self._error(
                 400,
-                "ValidationException",
-                "branch-targeted commits need the engine-manifest "
-                "carrier (the spec-wire tier has no ref store)",
+                "BadRequestException",
+                "this backing cannot accept pointer-only snapshots (no "
+                "shared storage); embed the engine manifest in the "
+                "snapshot summary",
             )
+        if target_ref != MAIN_REF:
+            # Feature-detect branch support UP FRONT (signature
+            # inspection), so the 400 is reserved for genuinely
+            # branch-incapable backings — a TypeError raised INSIDE the
+            # commit path is a bug and must surface as a 500, not be
+            # misreported as a validation error (ADVICE r10, low).
+            fn = self.catalog.commit_table if new_manifest is not None else commit_snap
+            param = "to_branch" if new_manifest is not None else "ref"
+            try:
+                params = inspect.signature(fn).parameters
+                branch_capable = param in params or any(
+                    p.kind == inspect.Parameter.VAR_KEYWORD
+                    for p in params.values()
+                )
+            except (TypeError, ValueError):
+                branch_capable = False
+            if not branch_capable:
+                return self._error(
+                    400,
+                    "ValidationException",
+                    "this backing does not support branch-targeted "
+                    + (
+                        "commits"
+                        if new_manifest is not None
+                        else "pointer-only snapshots"
+                    ),
+                )
         with self.lock:
             try:
                 if new_manifest is not None:
                     if target_ref != MAIN_REF:
-                        try:
-                            committed = self.catalog.commit_table(
-                                name,
-                                expected,
-                                new_manifest,
-                                to_branch=target_ref,
-                            )
-                        except TypeError:
-                            return self._error(
-                                400,
-                                "ValidationException",
-                                "this backing does not support "
-                                "branch-targeted commits",
-                            )
+                        committed = self.catalog.commit_table(
+                            name,
+                            expected,
+                            new_manifest,
+                            to_branch=target_ref,
+                        )
                     else:
                         committed = self.catalog.commit_table(
                             name, expected, new_manifest
                         )
                 else:
-                    commit_snap = getattr(
-                        self.catalog, "commit_snapshot", None
+                    kwargs = (
+                        {"ref": target_ref} if target_ref != MAIN_REF else {}
                     )
-                    if commit_snap is None:
-                        return self._error(
-                            400,
-                            "BadRequestException",
-                            "this backing cannot accept pointer-only "
-                            "snapshots (no shared storage); embed the "
-                            "engine manifest in the snapshot summary",
-                        )
                     commit_snap(
                         name,
                         expected,
                         spec_snapshot,
                         set_properties,
                         structural=structural or None,
+                        **kwargs,
                     )
-                    committed = self.catalog.load_table(name)
+                    committed = (
+                        self.catalog.load_table_ref(name, target_ref)
+                        if target_ref != MAIN_REF
+                        else self.catalog.load_table(name)
+                    )
             except TableNotFound:
                 return self._error(
                     404, "NoSuchTableException", f"table not found: {name}"

@@ -503,3 +503,143 @@ def test_rollback_on_branch(spark, cat):
     rolled = _rows(spark, cat, ref="audit")
     assert rolled[1] == "a1" and rolled[2] == "v2"
     assert cat.load_table("t").snapshot_id == 1
+
+
+def test_as_of_time_travel_survives_expiration(spark, cat):
+    """ADVICE r10 (medium): timestamp time travel on a pinned-main
+    table must keep working after routine expire_snapshots removes old
+    main-lineage ancestors — the eligible set is the RETAINED chain,
+    not a full-lineage walk that raises on the expired tail."""
+    import time as _t
+
+    cat.create_branch("t", "keepout")
+    for i in range(4):
+        upsert(
+            spark,
+            cat,
+            "t",
+            spark.createDataFrame([(i, f"m{i}")], ["id", "val"]),
+            keys=["id"],
+        )
+    expired = cat.expire_snapshots("t", keep_last=1)
+    assert expired  # old main ancestors really went away
+    future = int(_t.time() * 1000) + 10_000
+    m = cat.load_table_as_of("t", future)
+    assert m.snapshot_id == cat.list_refs("t")["main"]["snapshot_id"]
+    # the unpublished branch head is still never eligible
+    assert m.snapshot_id != cat.list_refs("t")["keepout"]["snapshot_id"]
+
+
+def test_drop_main_refused_while_branches_exist(spark, cat):
+    """ADVICE r10 (low): dropping the pinned main would unpin the table
+    and instantly publish every unpublished branch snapshot — refuse it
+    while branches exist, direct the operator to fast_forward."""
+    cat.create_branch("t", "audit")
+    upsert(
+        spark,
+        cat,
+        "t",
+        spark.createDataFrame([(500, "staged")], ["id", "val"]),
+        keys=["id"],
+        to_branch="audit",
+    )
+    with pytest.raises(ValueError, match="fast_forward"):
+        cat.drop_ref("t", "main")
+    assert 500 not in _rows(spark, cat)  # isolation intact
+
+    # publish, drop the branch; main now at the storage head — the
+    # drop becomes provably a no-op for readers and is allowed
+    head = cat.list_refs("t")["audit"]["snapshot_id"]
+    cat.fast_forward("t", "main", head)
+    cat.drop_ref("t", "audit")
+    cat.drop_ref("t", "main")
+    assert "main" not in cat.list_refs("t")
+    assert _rows(spark, cat)[500] == "staged"
+
+
+def test_drop_main_refused_below_storage_head(spark, cat):
+    """Even with no branches left, dropping a main pinned BELOW the
+    storage head would jump readers to an unpublished snapshot."""
+    cat.create_branch("t", "audit")
+    upsert(
+        spark,
+        cat,
+        "t",
+        spark.createDataFrame([(600, "staged")], ["id", "val"]),
+        keys=["id"],
+        to_branch="audit",
+    )
+    cat.drop_ref("t", "audit")  # discard the branch, not publish it
+    with pytest.raises(ValueError, match="storage head"):
+        cat.drop_ref("t", "main")
+    assert 600 not in _rows(spark, cat)
+
+
+def test_per_ref_retention_ages_out_refs_and_lineage(spark, cat):
+    """VERDICT r10 #5: Iceberg's per-ref retention.  A branch past its
+    max_ref_age_ms is dropped by expire_snapshots and its EXCLUSIVE
+    lineage expires with it; a within-policy branch and a no-policy tag
+    survive; a tag with its own age expires; main is unchanged."""
+    import time as _t
+
+    # 'stale' ages out almost immediately; 'fresh' effectively never
+    cat.create_branch("t", "stale", retention={"max_ref_age_ms": 50})
+    cat.create_branch("t", "fresh", retention={"max_ref_age_ms": 10**12})
+    cat.create_tag("t", "oldtag", retention={"max_ref_age_ms": 50})
+    cat.create_tag("t", "keeptag")
+    # branch commit: allocates v2, exclusive to 'stale'
+    upsert(
+        spark, cat, "t",
+        spark.createDataFrame([(900, "staged")], ["id", "val"]),
+        keys=["id"], to_branch="stale",
+    )
+    assert cat.list_refs("t")["stale"]["snapshot_id"] == 2
+    # retention survives the ref MOVE of the branch commit
+    assert cat.list_refs("t")["stale"]["max_ref_age_ms"] == 50
+    # main commits push the positional window past the branch lineage
+    for i in range(3):
+        upsert(
+            spark, cat, "t",
+            spark.createDataFrame([(i, f"m{i}")], ["id", "val"]),
+            keys=["id"],
+        )
+    _t.sleep(0.12)  # let the 50 ms ref ages elapse
+    expired = cat.expire_snapshots("t", keep_last=2)
+    refs = cat.list_refs("t")
+    assert "stale" not in refs and "oldtag" not in refs  # aged out
+    assert "fresh" in refs and "keeptag" in refs         # within policy
+    assert 2 in expired  # the aged branch's exclusive lineage went too
+    assert refs["main"]["snapshot_id"] == 5              # main unchanged
+    assert 900 not in _rows(spark, cat)
+
+
+def test_branch_lineage_trimmed_by_snapshot_age_policy(spark, cat):
+    """max_snapshot_age_ms / min_snapshots_to_keep trim a branch's
+    retained LINEAGE: intermediate staged commits age out while the
+    branch head always survives (min floor)."""
+    import time as _t
+
+    cat.create_branch(
+        "t", "work",
+        retention={"min_snapshots_to_keep": 1, "max_snapshot_age_ms": 1},
+    )
+    for i, v in enumerate(["s1", "s2"]):
+        upsert(
+            spark, cat, "t",
+            spark.createDataFrame([(910 + i, v)], ["id", "val"]),
+            keys=["id"], to_branch="work",
+        )
+    head = cat.list_refs("t")["work"]["snapshot_id"]
+    assert head == 3  # v2, v3 staged on the branch
+    for i in range(2):
+        upsert(
+            spark, cat, "t",
+            spark.createDataFrame([(i, f"m{i}")], ["id", "val"]),
+            keys=["id"],
+        )
+    _t.sleep(0.05)
+    expired = cat.expire_snapshots("t", keep_last=2)
+    assert 2 in expired      # intermediate branch commit aged out
+    assert head not in expired
+    assert "work" in cat.list_refs("t")
+    assert _rows(spark, cat, ref="work")[911] == "s2"  # head readable

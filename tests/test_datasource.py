@@ -2292,3 +2292,79 @@ def test_stream_follows_named_branch(spark, cat, tmp_path):
     q.awaitTermination(120)
     rows = spark.read.parquet(out).collect()
     assert sorted(r["id"] for r in rows) == ids
+
+
+def test_timestamp_time_travel_through_hadoop_catalog(spark, tmp_path):
+    """VERDICT r10 #3: as-of timestamp time travel works on the
+    real-metadata Hadoop layout — snapshot_timestamps reads each
+    version's per-snapshot ``timestamp-ms``, and the shared TableRefs
+    load_table_as_of resolves through it (mirrors the FileCatalog test
+    above), including through the DataSource option."""
+    import time as _t
+
+    from iceberg_compaction_spark.sources.catalog import TableNotFound
+    from iceberg_compaction_spark.sources.iceberg_meta import (
+        IcebergHadoopCatalog,
+    )
+
+    root = str(tmp_path / "htbl")
+    os.makedirs(root)
+    pq.write_table(
+        pa.table(
+            {
+                "id": pa.array(range(20), type=pa.int64()),
+                "val": [f"v{i}" for i in range(20)],
+            }
+        ),
+        os.path.join(root, "base.parquet"),
+    )
+    hcat = IcebergHadoopCatalog(warehouse=str(tmp_path / "hwh"))
+    hcat.create_table("h", Manifest.from_parquet_dir(root, sequence_number=1))
+    ts = hcat.snapshot_timestamps("h")
+    assert set(ts) == {1} and ts[1] > 0
+    _t.sleep(0.05)
+    between = int(_t.time() * 1000)
+    _t.sleep(0.05)
+    upsert(
+        spark,
+        hcat,
+        "h",
+        spark.createDataFrame([(99, "x")], ["id", "val"]),
+        keys=["id"],
+    )
+    assert hcat.load_table_as_of("h", between).snapshot_id == 1
+    assert (
+        hcat.load_table_as_of("h", int(_t.time() * 1000) + 1000).snapshot_id
+        == hcat.load_table("h").snapshot_id
+    )
+    with pytest.raises(TableNotFound):
+        hcat.load_table_as_of("h", ts[1] - 10_000)
+
+    # WAP: with main pinned, an unpublished branch snapshot is never
+    # eligible, even though its timestamp qualifies
+    hcat.create_branch("h", "audit")
+    upsert(
+        spark,
+        hcat,
+        "h",
+        spark.createDataFrame([(70, "staged")], ["id", "val"]),
+        keys=["id"],
+        to_branch="audit",
+    )
+    future = int(_t.time() * 1000) + 10_000
+    assert (
+        hcat.load_table_as_of("h", future).snapshot_id
+        == hcat.list_refs("h")["main"]["snapshot_id"]
+    )
+
+    register(spark)
+    old = (
+        spark.read.format("iceberg-table")
+        .option("catalog", "hadoop")
+        .option("warehouse", hcat.warehouse)
+        .option("table", "h")
+        .option("as_of_timestamp_ms", str(between))
+        .load()
+    )
+    got = {r["id"]: r["val"] for r in old.collect()}
+    assert len(got) == 20 and 99 not in got

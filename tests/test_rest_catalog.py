@@ -765,3 +765,244 @@ def test_rest_streaming_follows_main_lineage(spark, tmp_path):
         client.fast_forward("t", "main", m2.snapshot_id)
         rows = stream_rows("c")
         assert sorted(r["id"] for r in rows) == ids
+
+
+def test_full_fidelity_branch_commit_takes_spec_wire(
+    spark, tmp_path, monkeypatch
+):
+    """Round 11 (VERDICT r10 #2): an audit-BRANCH commit over the
+    full-fidelity tier rides the SPEC WIRE — pointer-only add-snapshot
+    + structural updates + set-snapshot-ref with the branch's name —
+    so a conforming external client watching the server can follow the
+    branch, exactly the consumer WAP exists for.  The engine-manifest
+    carrier is POISONED to prove no fallback; an independent spec-path
+    read of the BRANCH's version file sees the data AND a structural
+    change, while main's metadata stays untouched."""
+    import json as _json
+
+    from iceberg_compaction_spark.sources.iceberg_meta import (
+        IcebergHadoopCatalog,
+        load_iceberg_table,
+    )
+    from iceberg_compaction_spark.sources.ingest import (
+        read_table_mor,
+        upsert,
+    )
+
+    root = str(tmp_path / "base")
+    os.makedirs(root)
+    pq.write_table(
+        pa.table(
+            {
+                "id": pa.array(range(6), type=pa.int64()),
+                "val": [f"v{i}" for i in range(6)],
+            }
+        ),
+        os.path.join(root, "b.parquet"),
+    )
+    backing = IcebergHadoopCatalog(warehouse=str(tmp_path / "wh"))
+    backing.create_table(
+        "h", Manifest.from_parquet_dir(root, sequence_number=1)
+    )
+
+    def _poisoned(self, *a, **k):
+        raise AssertionError(
+            "engine-manifest wire used for a branch commit on the "
+            "full-fidelity tier"
+        )
+
+    monkeypatch.setattr(IcebergHadoopCatalog, "commit_table", _poisoned)
+    with serve_rest_catalog(backing) as srv:
+        client = RestCatalog(uri=srv.uri)
+        client.create_branch("h", "audit")
+
+        # 1) DATA on the branch: upsert rides the pointer-only wire
+        m2 = upsert(
+            spark,
+            client,
+            "h",
+            spark.createDataFrame(
+                [(2, "staged2"), (66, "staged66")], ["id", "val"]
+            ),
+            keys=["id"],
+            to_branch="audit",
+        )
+        # main untouched; branch sees the staged rows
+        main_read = {
+            r["id"]: r["val"]
+            for r in read_table_mor(spark, client.load_table("h")).collect()
+        }
+        assert 66 not in main_read and main_read[2] == "v2"
+        branch_read = {
+            r["id"]: r["val"]
+            for r in read_table_mor(
+                spark, client.load_table_ref("h", "audit")
+            ).collect()
+        }
+        assert branch_read[2] == "staged2" and branch_read[66] == "staged66"
+
+        # independent spec-path read of the BRANCH version file straight
+        # from the server's storage (no engine manifest anywhere in it)
+        branch_sid = backing.list_refs("h")["audit"]["snapshot_id"]
+        assert branch_sid == m2.snapshot_id
+        vpath = os.path.join(
+            str(tmp_path / "wh" / "h"),
+            "metadata",
+            f"v{branch_sid}.metadata.json",
+        )
+        raw = _json.loads(open(vpath, "rb").read())
+        assert "iceberg-compaction-spark.manifest" not in _json.dumps(raw)
+        assert raw["refs"]["audit"]["snapshot-id"] == branch_sid
+        assert raw["refs"]["main"]["snapshot-id"] == 1
+        assert (
+            raw["snapshots"][0]["parent-snapshot-id"] == 1
+        )  # lineage stamped
+        direct = load_iceberg_table(vpath)
+        got = {
+            r["id"]: r["val"] for r in read_table_mor(spark, direct).collect()
+        }
+        assert got[2] == "staged2" and got[66] == "staged66" and len(got) == 7
+
+        # 2) STRUCTURAL change on the branch: rename rides
+        # add-schema/set-current-schema against the BRANCH base
+        cur = client.load_table_ref("h", "audit")
+        m3 = Manifest.from_dict(cur.to_dict())
+        m3.evolve_schema(
+            [
+                {**f, "name": "renamed_val"} if f["name"] == "val" else f
+                for f in m3.schema_fields
+            ]
+        )
+        m3.snapshot_id = cur.next_snapshot()
+        m3.sequence_number = cur.sequence_number + 1
+        m3.operation = "replace"
+        # the spec's mechanism for resolving files that carry no parquet
+        # field ids after a rename: schema.name-mapping.default, riding
+        # the same set-properties update
+        m3.properties["schema.name-mapping.default"] = _json.dumps(
+            [
+                {"field-id": 1, "names": ["id"]},
+                {"field-id": 2, "names": ["val"]},
+            ]
+        )
+        m3 = client.commit_table("h", cur.snapshot_id, m3, to_branch="audit")
+        new_sid = backing.list_refs("h")["audit"]["snapshot_id"]
+        branch_md = _json.loads(
+            open(
+                os.path.join(
+                    str(tmp_path / "wh" / "h"),
+                    "metadata",
+                    f"v{new_sid}.metadata.json",
+                ),
+                "rb",
+            ).read()
+        )
+        names = [
+            f["name"]
+            for s in branch_md["schemas"]
+            if s["schema-id"] == branch_md["current-schema-id"]
+            for f in s["fields"]
+        ]
+        assert names == ["id", "renamed_val"]
+        # main's metadata keeps the OLD schema
+        main_md = _json.loads(
+            open(
+                os.path.join(
+                    str(tmp_path / "wh" / "h"),
+                    "metadata",
+                    "v1.metadata.json",
+                ),
+                "rb",
+            ).read()
+        )
+        assert main_md["current-snapshot-id"] == 1
+
+        # 3) publish: fast-forward main to the audited branch head;
+        # readers now see staged data under the evolved schema
+        client.fast_forward("h", "main", new_sid)
+        pub = {
+            r["id"]: r["renamed_val"]
+            for r in read_table_mor(spark, client.load_table("h")).collect()
+        }
+        assert pub[66] == "staged66" and len(pub) == 7
+
+
+def test_spec_wire_main_commit_on_pinned_main_table(
+    spark, tmp_path, monkeypatch
+):
+    """ADVICE r10 (medium): commit_snapshot must mirror commit_table's
+    pinned-main regime.  Once a branch pins main on the hadoop tier —
+    and a branch commit has taken the next storage version — a
+    spec-wire MAIN commit must allocate the next free version and move
+    the main ref (previously it CAS-checked max(history) and either
+    409'd forever or landed an invisible version file)."""
+    from iceberg_compaction_spark.sources.iceberg_meta import (
+        IcebergHadoopCatalog,
+    )
+    from iceberg_compaction_spark.sources.ingest import (
+        read_table_mor,
+        upsert,
+    )
+
+    root = str(tmp_path / "base")
+    os.makedirs(root)
+    pq.write_table(
+        pa.table(
+            {
+                "id": pa.array(range(5), type=pa.int64()),
+                "val": [f"v{i}" for i in range(5)],
+            }
+        ),
+        os.path.join(root, "b.parquet"),
+    )
+    backing = IcebergHadoopCatalog(warehouse=str(tmp_path / "wh"))
+    backing.create_table(
+        "h", Manifest.from_parquet_dir(root, sequence_number=1)
+    )
+
+    def _poisoned(self, *a, **k):
+        raise AssertionError("engine-manifest wire used")
+
+    monkeypatch.setattr(IcebergHadoopCatalog, "commit_table", _poisoned)
+    with serve_rest_catalog(backing) as srv:
+        client = RestCatalog(uri=srv.uri)
+        client.create_branch("h", "audit")
+        # branch commit takes storage v2; main stays pinned at v1
+        upsert(
+            spark,
+            client,
+            "h",
+            spark.createDataFrame([(70, "staged")], ["id", "val"]),
+            keys=["id"],
+            to_branch="audit",
+        )
+        assert backing.list_refs("h")["audit"]["snapshot_id"] == 2
+        assert backing.list_refs("h")["main"]["snapshot_id"] == 1
+
+        # MAIN spec-wire commit on the now-pinned table: allocates v3,
+        # moves the main ref, leaves the branch untouched
+        m = upsert(
+            spark,
+            client,
+            "h",
+            spark.createDataFrame([(80, "published")], ["id", "val"]),
+            keys=["id"],
+        )
+        refs = backing.list_refs("h")
+        assert refs["main"]["snapshot_id"] == m.snapshot_id == 3
+        assert refs["audit"]["snapshot_id"] == 2
+        main_read = {
+            r["id"]: r["val"]
+            for r in read_table_mor(spark, client.load_table("h")).collect()
+        }
+        assert main_read[80] == "published" and 70 not in main_read
+        branch_read = {
+            r["id"]: r["val"]
+            for r in read_table_mor(
+                spark, client.load_table_ref("h", "audit")
+            ).collect()
+        }
+        assert branch_read[70] == "staged" and 80 not in branch_read
+        # the main commit's parent is main's previous head, not the
+        # interleaved branch allocation
+        assert backing.snapshot_parents("h")[3] == 1
