@@ -3357,6 +3357,97 @@ def q_meta_snapshots(spark, sf_dir):
 
 
 @register(
+    "meta_manifests",
+    """
+    SELECT CAST(1 AS BIGINT) AS added_snapshot_id,
+           CAST(count(DISTINCT lang || CAST(doc_id % 2 AS VARCHAR))
+                AS INT) AS added_files_count,
+           CAST(count(*) AS BIGINT) AS added_rows_count,
+           CAST(1 AS BIGINT) AS sequence_number,
+           min(lang) AS lower_lang, max(lang) AS upper_lang
+    FROM documents
+    UNION ALL
+    SELECT CAST(2 AS BIGINT), CAST(count(DISTINCT lang) AS INT),
+           CAST(count(*) AS BIGINT), CAST(2 AS BIGINT),
+           min(lang), max(lang)
+    FROM documents WHERE doc_id % 10 = 0
+    """,
+)
+def q_meta_manifests(spark, sf_dir):
+    """``manifests`` metadata table (Iceberg's ``tbl$manifests``,
+    round 11 — VERDICT r10 #7): the current snapshot's manifest
+    groupings with added-file/row counts, sequence range and per-field
+    partition summaries — what an operator reads to see which commit
+    produced which files before expiring or compacting.
+
+    Scale shape: rows scale with COMMIT COUNT x content kinds, built
+    driver-side from the lineage walk (O(history x files) metadata
+    reads, no data IO) and distributed as a normal DataFrame."""
+    from iceberg_compaction_spark.sources.metadata_tables import (
+        manifests_df,
+    )
+
+    df = manifests_df(spark, _meta_catalog(sf_dir), "docs_meta")
+    return df.select(
+        "added_snapshot_id",
+        "added_files_count",
+        "added_rows_count",
+        "sequence_number",
+        F.get_json_object("partition_summaries", "$[0].lower_bound").alias(
+            "lower_lang"
+        ),
+        F.get_json_object("partition_summaries", "$[0].upper_bound").alias(
+            "upper_lang"
+        ),
+    )
+
+
+@register(
+    "meta_entries",
+    """
+    SELECT CAST(0 AS INT) AS status, CAST(1 AS BIGINT) AS snapshot_id,
+           file_name, CAST(count(*) AS BIGINT) AS record_count
+    FROM (SELECT lang || CASE WHEN doc_id % 2 = 0
+                              THEN '-even.parquet'
+                              ELSE '-odd.parquet' END AS file_name
+          FROM documents)
+    GROUP BY file_name
+    UNION ALL
+    SELECT CAST(1 AS INT), CAST(2 AS BIGINT),
+           lang || '-m10.parquet', CAST(count(*) AS BIGINT)
+    FROM documents WHERE doc_id % 10 = 0
+    GROUP BY lang
+    """,
+)
+def q_meta_entries(spark, sf_dir):
+    """``entries`` metadata table (Iceberg's ``tbl$entries``, round 11
+    — VERDICT r10 #7), served through the DataSource's
+    ``option("metadata", "entries")`` read path: one row per file entry
+    of the head snapshot, status-tagged against the parent (ADDED=1 for
+    the second commit's m10 files, EXISTING=0 for carried files) with
+    the ADDING snapshot id — the commit-forensics relation."""
+    from iceberg_compaction_spark.sources.datasource import (
+        register as _reg,
+    )
+
+    wh = syn.metadata_fixture_warehouse(sf_dir)
+    _reg(spark)
+    df = (
+        spark.read.format("iceberg-table")
+        .option("warehouse", wh)
+        .option("table", "docs_meta")
+        .option("metadata", "entries")
+        .load()
+    )
+    return df.select(
+        "status",
+        "snapshot_id",
+        F.element_at(F.split("file_path", "/"), -1).alias("file_name"),
+        "record_count",
+    )
+
+
+@register(
     "dml_delete_where",
     """
     SELECT doc_id, lang FROM documents WHERE NOT (doc_id % 7 = 3)

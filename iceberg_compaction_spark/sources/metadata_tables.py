@@ -119,8 +119,51 @@ REFS_SCHEMA = T.StructType(
     ]
 )
 
+# Iceberg's ``tbl$manifests``: one row per manifest grouping of the
+# current snapshot.  The engine's JSON layer has no physical manifest
+# files (one version file carries the whole listing; the hadoop tier's
+# Avro paths are not carried through Manifest), so a "manifest" here is
+# the logical grouping real appends produce: the files a single commit
+# added, split data/deletes — which is what commit forensics reads the
+# relation for.  No ``path`` column for that reason (documented
+# deviation from tbl$manifests).
+MANIFESTS_SCHEMA = T.StructType(
+    [
+        # 0 = data manifest, 1 = deletes manifest (Iceberg ManifestContent)
+        T.StructField("content", T.IntegerType(), False),
+        T.StructField("partition_spec_id", T.IntegerType(), False),
+        T.StructField("added_snapshot_id", T.LongType(), False),
+        T.StructField("added_files_count", T.IntegerType(), False),
+        T.StructField("added_rows_count", T.LongType(), False),
+        T.StructField("min_sequence_number", T.LongType(), False),
+        T.StructField("sequence_number", T.LongType(), False),
+        # per-spec-field {contains_null, lower_bound, upper_bound} JSON
+        T.StructField("partition_summaries", T.StringType(), True),
+    ]
+)
+
+# Iceberg's ``tbl$entries``: one row per manifest entry of a snapshot,
+# status-tagged against the parent — the commit-forensics relation
+# ("what exactly did snapshot N add/carry/delete").
+ENTRIES_SCHEMA = T.StructType(
+    [
+        # Iceberg ManifestEntry status: 0 EXISTING, 1 ADDED, 2 DELETED
+        T.StructField("status", T.IntegerType(), False),
+        # the snapshot that ADDED the file (DELETED rows: the remover)
+        T.StructField("snapshot_id", T.LongType(), False),
+        T.StructField("sequence_number", T.LongType(), False),
+        T.StructField("content", T.IntegerType(), False),
+        T.StructField("file_path", T.StringType(), False),
+        T.StructField("record_count", T.LongType(), False),
+        T.StructField("file_size_in_bytes", T.LongType(), False),
+        T.StructField(
+            "partition", T.MapType(T.StringType(), T.StringType()), True
+        ),
+    ]
+)
+
 METADATA_TABLES = ("files", "delete_files", "partitions", "snapshots",
-                   "history", "refs")
+                   "history", "refs", "manifests", "entries")
 
 
 def _file_format(path: str) -> str:
@@ -296,6 +339,207 @@ def history_rows(catalog, name: str) -> list[tuple]:
     return rows
 
 
+def _lineage_to(catalog, name: str, sid: int) -> list[int]:
+    """Snapshot ids on ``sid``'s parent chain, ascending — tolerant of
+    an expired tail (same stance as history_rows); catalogs without
+    lineage degrade to the linear history up to ``sid``."""
+    sl = getattr(catalog, "snapshot_lineage", None)
+    if sl is not None:
+        try:
+            return sl(name, sid, 0)
+        except ValueError:
+            pass  # tail expired: fall through to best-effort linear
+    return [s for s in catalog.table_history(name) if s <= sid]
+
+
+def _first_appearance(catalog, name: str, sid: int) -> tuple[dict, dict]:
+    """(data_first, delete_first): file path -> the lineage snapshot
+    that first carried it, walking ``sid``'s ancestors ascending.  One
+    driver-side metadata pass, O(history x files) — the same cost class
+    as snapshots_rows (metadata scales with file count, not data)."""
+    data_first: dict = {}
+    delete_first: dict = {}
+    for s in _lineage_to(catalog, name, sid):
+        m = catalog.load_table_at(name, s)
+        for t in m.data_files:
+            data_first.setdefault(t.data_file_path, (s, t))
+            for d in t.deletes:
+                delete_first.setdefault(d.path, (s, d))
+    return data_first, delete_first
+
+
+def manifests_rows(
+    catalog, name: str, snapshot_id: int | None = None
+) -> list[tuple]:
+    """``tbl$manifests``: the current (or given) snapshot's manifest
+    groupings — files grouped by (adding snapshot, data/deletes), with
+    counts, sequence-number range and per-spec-field partition
+    summaries.  See MANIFESTS_SCHEMA's note on the path-less logical
+    grouping."""
+    import json
+
+    m = (
+        catalog.load_table_at(name, snapshot_id)
+        if snapshot_id is not None
+        else catalog.load_table(name)
+    )
+    sid = m.snapshot_id
+    data_first, delete_first = _first_appearance(catalog, name, sid)
+    spec = m.partition_spec or []
+    groups: dict = {}
+    for t in m.data_files:
+        add_sid = data_first.get(t.data_file_path, (sid, None))[0]
+        g = groups.setdefault((add_sid, 0), [])
+        g.append((t.sequence_number, t.record_count, tuple(t.partition or ())))
+    seen_del = set()
+    for t in m.data_files:
+        for d in t.deletes:
+            if d.path in seen_del:
+                continue
+            seen_del.add(d.path)
+            add_sid = delete_first.get(d.path, (sid, None))[0]
+            g = groups.setdefault((add_sid, 1), [])
+            g.append((d.sequence_number, d.record_count, ()))
+    rows = []
+    for (add_sid, content), entries in sorted(groups.items()):
+        seqs = [e[0] for e in entries]
+        summaries = None
+        parts = [e[2] for e in entries if e[2]]
+        if parts and spec:
+            arity = len(spec)
+            per_field = []
+            for i in range(arity):
+                vals = [p[i] for p in parts if len(p) == arity]
+                nn = [v for v in vals if v is not None]
+                per_field.append(
+                    {
+                        "contains_null": any(v is None for v in vals),
+                        "lower_bound": str(min(nn)) if nn else None,
+                        "upper_bound": str(max(nn)) if nn else None,
+                    }
+                )
+            summaries = json.dumps(per_field)
+        rows.append(
+            (
+                content,
+                int(m.default_spec_id or 0),
+                int(add_sid),
+                len(entries),
+                int(sum(e[1] for e in entries)),
+                int(min(seqs)),
+                int(max(seqs)),
+                summaries,
+            )
+        )
+    return rows
+
+
+def entries_rows(
+    catalog, name: str, snapshot_id: int | None = None
+) -> list[tuple]:
+    """``tbl$entries``: one row per file entry of the current (or
+    given) snapshot, status-tagged against its PARENT snapshot — ADDED
+    (1) for files this commit introduced, EXISTING (0) for carried
+    files, DELETED (2) for the parent's files this commit removed
+    (shown with the removing snapshot's id, like Iceberg's deleted
+    entries retained in the new manifest)."""
+    m = (
+        catalog.load_table_at(name, snapshot_id)
+        if snapshot_id is not None
+        else catalog.load_table(name)
+    )
+    sid = m.snapshot_id
+    lineage = _lineage_to(catalog, name, sid)
+    parent = None
+    if len(lineage) > 1:
+        try:
+            parent = catalog.load_table_at(name, lineage[-2])
+        except Exception:
+            parent = None
+    data_first, delete_first = _first_appearance(catalog, name, sid)
+    parent_data = (
+        {t.data_file_path for t in parent.data_files} if parent else set()
+    )
+    parent_dels = (
+        {d.path for t in parent.data_files for d in t.deletes}
+        if parent
+        else set()
+    )
+    rows = []
+    for t in m.data_files:
+        status = 0 if t.data_file_path in parent_data else 1
+        rows.append(
+            (
+                status,
+                int(data_first.get(t.data_file_path, (sid,))[0]),
+                int(t.sequence_number),
+                CONTENT_DATA,
+                t.data_file_path,
+                int(t.record_count),
+                int(t.file_size_in_bytes),
+                _part_map(t, m),
+            )
+        )
+    seen = set()
+    for t in m.data_files:
+        for d in t.deletes:
+            if d.path in seen:
+                continue
+            seen.add(d.path)
+            rows.append(
+                (
+                    0 if d.path in parent_dels else 1,
+                    int(delete_first.get(d.path, (sid,))[0]),
+                    int(d.sequence_number),
+                    CONTENT_EQUALITY_DELETES
+                    if d.content == EQUALITY_DELETE
+                    else CONTENT_POSITION_DELETES,
+                    d.path,
+                    int(d.record_count),
+                    int(d.file_size_in_bytes),
+                    None,
+                )
+            )
+    if parent is not None:
+        cur_data = {t.data_file_path for t in m.data_files}
+        for t in parent.data_files:
+            if t.data_file_path not in cur_data:
+                rows.append(
+                    (
+                        2,
+                        int(sid),  # the REMOVING snapshot
+                        int(t.sequence_number),
+                        CONTENT_DATA,
+                        t.data_file_path,
+                        int(t.record_count),
+                        int(t.file_size_in_bytes),
+                        _part_map(t, parent),
+                    )
+                )
+        cur_dels = seen
+        seen_p = set()
+        for t in parent.data_files:
+            for d in t.deletes:
+                if d.path in cur_dels or d.path in seen_p:
+                    continue
+                seen_p.add(d.path)
+                rows.append(
+                    (
+                        2,
+                        int(sid),
+                        int(d.sequence_number),
+                        CONTENT_EQUALITY_DELETES
+                        if d.content == EQUALITY_DELETE
+                        else CONTENT_POSITION_DELETES,
+                        d.path,
+                        int(d.record_count),
+                        int(d.file_size_in_bytes),
+                        None,
+                    )
+                )
+    return rows
+
+
 def refs_rows(catalog, name: str) -> list[tuple]:
     try:
         refs = catalog.list_refs(name)
@@ -314,6 +558,8 @@ _SCHEMAS = {
     "snapshots": SNAPSHOTS_SCHEMA,
     "history": HISTORY_SCHEMA,
     "refs": REFS_SCHEMA,
+    "manifests": MANIFESTS_SCHEMA,
+    "entries": ENTRIES_SCHEMA,
 }
 
 
@@ -335,6 +581,11 @@ def metadata_rows(catalog, name: str, kind: str,
             "history": history_rows,
             "refs": refs_rows,
         }[kind](catalog, name)
+    if kind in ("manifests", "entries"):
+        return {
+            "manifests": manifests_rows,
+            "entries": entries_rows,
+        }[kind](catalog, name, snapshot_id)
     m = (
         catalog.load_table_at(name, snapshot_id)
         if snapshot_id is not None
@@ -373,3 +624,19 @@ def history_df(spark: "SparkSession", catalog, name: str) -> "DataFrame":
 
 def refs_df(spark: "SparkSession", catalog, name: str) -> "DataFrame":
     return spark.createDataFrame(refs_rows(catalog, name), REFS_SCHEMA)
+
+
+def manifests_df(
+    spark: "SparkSession", catalog, name: str, snapshot_id: int | None = None
+) -> "DataFrame":
+    return spark.createDataFrame(
+        manifests_rows(catalog, name, snapshot_id), MANIFESTS_SCHEMA
+    )
+
+
+def entries_df(
+    spark: "SparkSession", catalog, name: str, snapshot_id: int | None = None
+) -> "DataFrame":
+    return spark.createDataFrame(
+        entries_rows(catalog, name, snapshot_id), ENTRIES_SCHEMA
+    )

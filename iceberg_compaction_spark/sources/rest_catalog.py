@@ -665,16 +665,26 @@ class RestCatalog:
             body,
         )
 
-    def create_tag(self, name, tag, snapshot_id=None) -> dict:
+    def create_tag(self, name, tag, snapshot_id=None, retention=None) -> dict:
         body = {"action": "create-tag", "ref": tag}
         if snapshot_id is not None:
             body["snapshot-id"] = snapshot_id
+        if retention:
+            body["retention"] = {
+                k.replace("_", "-"): v for k, v in retention.items()
+            }
         return self._ref_action(name, body)["ref"]
 
-    def create_branch(self, name, branch, snapshot_id=None) -> dict:
+    def create_branch(
+        self, name, branch, snapshot_id=None, retention=None
+    ) -> dict:
         body = {"action": "create-branch", "ref": branch}
         if snapshot_id is not None:
             body["snapshot-id"] = snapshot_id
+        if retention:
+            body["retention"] = {
+                k.replace("_", "-"): v for k, v in retention.items()
+            }
         return self._ref_action(name, body)["ref"]
 
     def fast_forward(self, name, branch, snapshot_id) -> dict:
@@ -914,12 +924,22 @@ class _Handler(BaseHTTPRequestHandler):
             body = self._body()
             action, ref = body.get("action"), body.get("ref")
             sid = body.get("snapshot-id")
+            # Iceberg's per-ref retention fields, wire-spelled like the
+            # spec (kebab) and stored engine-side (snake)
+            retention = {
+                k.replace("-", "_"): v
+                for k, v in (body.get("retention") or {}).items()
+            } or None
             try:
                 with self.lock:
                     if action == "create-tag":
-                        out = self.catalog.create_tag(r[4], ref, sid)
+                        out = self.catalog.create_tag(
+                            r[4], ref, sid, retention=retention
+                        )
                     elif action == "create-branch":
-                        out = self.catalog.create_branch(r[4], ref, sid)
+                        out = self.catalog.create_branch(
+                            r[4], ref, sid, retention=retention
+                        )
                     elif action == "fast-forward":
                         out = self.catalog.fast_forward(r[4], ref, int(sid))
                     elif action == "drop":

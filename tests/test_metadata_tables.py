@@ -229,3 +229,80 @@ def test_history_is_lineage_aware_on_wap_table(spark, tmp_path):
     rows = {r[0]: r for r in mt.history_rows(cat, "t")}
     assert rows[m2.snapshot_id][2] is True and rows[m2.snapshot_id][3] is True
     assert rows[1][2] is True and rows[1][3] is False
+
+
+def test_manifests_rows_group_by_commit_and_content(tmp_path):
+    """tbl$manifests (round 11): the head snapshot's files grouped by
+    (adding snapshot, data/deletes) with counts, sequence range and
+    partition summaries."""
+    import json
+
+    cat = _two_snapshot_catalog(tmp_path)
+    # snapshot 1: 3 data files + 2 distinct delete files, all added by 1
+    rows1 = mt.manifests_rows(cat, "t", snapshot_id=1)
+    by = {(r[0], r[2]): r for r in rows1}
+    assert set(by) == {(0, 1), (1, 1)}
+    data = by[(0, 1)]
+    assert data[3] == 3 and data[4] == 60  # files, rows
+    assert (data[5], data[6]) == (1, 2)    # seq range of the data files
+    summ = json.loads(data[7])
+    assert summ[0]["lower_bound"] == "en" and not summ[0]["contains_null"]
+    dels = by[(1, 1)]
+    assert dels[3] == 2 and dels[4] == 5   # dv(3) + eq(2) records
+
+    # head (snapshot 2, replace keeping one file): groups still credit
+    # the ADDING snapshot (1), not the current one
+    rows2 = mt.manifests_rows(cat, "t")
+    by2 = {(r[0], r[2]): r for r in rows2}
+    assert by2[(0, 1)][3] == 1 and by2[(0, 1)][4] == 10
+
+
+def test_entries_rows_status_against_parent(tmp_path):
+    """tbl$entries (round 11): ADDED/EXISTING/DELETED status against
+    the parent snapshot, with the ADDING snapshot id on live rows and
+    the REMOVING snapshot id on deleted rows."""
+    cat = _two_snapshot_catalog(tmp_path)
+    # snapshot 1 has no parent: everything ADDED at 1
+    e1 = mt.entries_rows(cat, "t", snapshot_id=1)
+    assert {r[0] for r in e1} == {1}
+    assert {r[1] for r in e1} == {1}
+    assert len(e1) == 5  # 3 data + 2 distinct delete files
+
+    # head: file a + its deletes EXISTING (added at 1); b, c DELETED by 2
+    e2 = mt.entries_rows(cat, "t")
+    by_path = {r[4]: r for r in e2}
+    a = by_path[str(tmp_path / "a.parquet")]
+    assert a[0] == 0 and a[1] == 1 and a[5] == 10
+    for gone in ("b.parquet", "c.parquet"):
+        r = by_path[str(tmp_path / gone)]
+        assert r[0] == 2 and r[1] == 2  # deleted BY snapshot 2
+    assert by_path[str(tmp_path / "eq.parquet")][0] == 0
+    dv = by_path[str(tmp_path / "dv.puffin")]
+    assert dv[0] == 0 and dv[3] == mt.CONTENT_POSITION_DELETES
+
+
+def test_manifests_entries_through_datasource_option(spark, tmp_path):
+    from iceberg_compaction_spark.sources.datasource import register
+
+    cat = _two_snapshot_catalog(tmp_path)
+    register(spark)
+
+    def read(kind, **opts):
+        r = (
+            spark.read.format("iceberg-table")
+            .option("warehouse", cat.warehouse)
+            .option("table", "t")
+            .option("metadata", kind)
+        )
+        for k, v in opts.items():
+            r = r.option(k, v)
+        return r.load()
+
+    mdf = read("manifests", snapshot_id="1")
+    assert mdf.count() == 2
+    assert set(mdf.columns) >= {"content", "added_snapshot_id",
+                                "added_rows_count"}
+    edf = read("entries")
+    got = {r["file_path"]: r["status"] for r in edf.collect()}
+    assert got[str(tmp_path / "b.parquet")] == 2
+    assert got[str(tmp_path / "a.parquet")] == 0

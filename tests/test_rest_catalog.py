@@ -1006,3 +1006,26 @@ def test_spec_wire_main_commit_on_pinned_main_table(
         # the main commit's parent is main's previous head, not the
         # interleaved branch allocation
         assert backing.snapshot_parents("h")[3] == 1
+
+
+def test_per_ref_retention_over_rest(spark, client, fragmented):
+    """Per-ref retention rides the REST ref actions (kebab-case wire
+    fields) and is enforced by maintenance through the client: an aged
+    branch is dropped by expire_snapshots, a within-policy one
+    survives."""
+    import time as _t
+
+    client.create_table("t", fragmented)
+    client.create_branch("t", "stale", retention={"max_ref_age_ms": 40})
+    client.create_branch("t", "fresh", retention={"max_ref_age_ms": 10**12})
+    assert client.list_refs("t")["stale"]["max_ref_age_ms"] == 40
+    # a couple of main commits so expiration has something to do
+    for i in range(2):
+        cur = client.load_table("t")
+        nxt = Manifest.from_dict(cur.to_dict())
+        nxt.snapshot_id = cur.next_snapshot()
+        client.commit_table("t", cur.snapshot_id, nxt)
+    _t.sleep(0.08)
+    client.expire_snapshots("t", keep_last=2)
+    refs = client.list_refs("t")
+    assert "stale" not in refs and "fresh" in refs
