@@ -1029,3 +1029,57 @@ def test_per_ref_retention_over_rest(spark, client, fragmented):
     client.expire_snapshots("t", keep_last=2)
     refs = client.list_refs("t")
     assert "stale" not in refs and "fresh" in refs
+
+
+def test_branch_commit_status_unknown_landed_then_buried(
+    client, fragmented, monkeypatch
+):
+    """ADVICE r10 (low): the BRANCH-commit unknown-status reconcile must
+    walk the branch lineage, not just compare the branch head — if our
+    commit landed and another writer committed on top of the branch
+    during the outage, declaring it lost would make the caller's retry
+    re-commit and duplicate the upsert's data file."""
+    import urllib.error
+
+    from iceberg_compaction_spark.plans.datamodel import FileScanTask
+
+    def with_extra(tag):
+        m = Manifest.from_dict(fragmented.to_dict())
+        m.data_files.append(
+            FileScanTask(
+                data_file_path=f"/fake/{tag}.parquet",
+                length=10,
+                record_count=1,
+                sequence_number=2,
+            )
+        )
+        return m
+
+    client.create_table("t", fragmented)
+    client.create_branch("t", "audit")
+    real_request = RestCatalog._request
+
+    def lossy_then_buried(self, method, url, body=None):
+        out = real_request(self, method, url, body)
+        if method == "POST" and url.endswith("/tables/t"):
+            # ours landed; another writer commits on the branch before
+            # we can reload
+            monkeypatch.setattr(RestCatalog, "_request", real_request)
+            c2 = RestCatalog(uri=client.uri)
+            head = c2.list_refs("t")["audit"]["snapshot_id"]
+            c2.commit_table("t", head, with_extra("other"),
+                            to_branch="audit")
+            raise urllib.error.URLError("connection reset by peer")
+        return out
+
+    ours = with_extra("ours")
+    ours.snapshot_id = 2
+    monkeypatch.setattr(RestCatalog, "_request", lossy_then_buried)
+    committed = client.commit_table("t", 1, ours, to_branch="audit")
+    assert "/fake/ours.parquet" in committed.paths()
+    assert "/fake/other.parquet" not in committed.paths()
+    # the branch head is the LATER writer's commit, built on ours
+    head = client.load_table_ref("t", "audit")
+    assert "/fake/other.parquet" in head.paths()
+    parents = client.snapshot_parents("t")
+    assert parents[head.snapshot_id] == committed.snapshot_id
