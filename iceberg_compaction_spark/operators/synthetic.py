@@ -895,6 +895,59 @@ def branch_wap_warehouse(spark: SparkSession, sf_dir: str) -> str:
     )
 
 
+def wap_changelog_warehouse(spark: SparkSession, sf_dir: str) -> str:
+    """One-time per sf_dir: ``docs_cfr`` = ``documents`` with an
+    UNPUBLISHED audit branch and an interleaved main commit — the WAP
+    shape whose batch CDC read the round-10 verdict flagged: storage
+    versions run v1 (base), v2 (branch upsert ``doc_id % 9 = 4`` ->
+    lang 'xx'), v3 (MAIN upsert ``doc_id % 11 = 5`` -> lang 'yy').  A
+    branch changelog must show exactly the v2 step; a main changelog
+    must never show it (changelog_between walks lineage, not version
+    order)."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from iceberg_compaction_spark.sources.ingest import upsert
+
+    def _mutate(cat):
+        docs = spark.read.parquet(
+            os.path.join(sf_dir, "documents.parquet")
+        ).select("doc_id", "lang")
+        cat.create_branch("docs_cfr", "audit")
+        upsert(
+            spark,
+            cat,
+            "docs_cfr",
+            docs.where("doc_id % 9 = 4").select(
+                "doc_id", F.lit("xx").alias("lang")
+            ),
+            keys=["doc_id"],
+            to_branch="audit",
+        )
+        upsert(
+            spark,
+            cat,
+            "docs_cfr",
+            docs.where("doc_id % 11 = 5").select(
+                "doc_id", F.lit("yy").alias("lang")
+            ),
+            keys=["doc_id"],
+        )
+        refs = cat.list_refs("docs_cfr")
+        assert refs["audit"]["snapshot_id"] == 2, refs
+        assert refs["main"]["snapshot_id"] == 3, refs
+
+    return _dml_docs_warehouse(
+        spark,
+        sf_dir,
+        tag="cfr",
+        table_name="docs_cfr",
+        columns=["doc_id", "lang"],
+        mutate=_mutate,
+    )
+
+
 def streaming_upsert_warehouse(spark: SparkSession, sf_dir: str) -> str:
     """One-time per sf_dir: ``docs_sup`` = ``documents`` (two files by
     parity) maintained by ONE availableNow micro-batch through the

@@ -3083,6 +3083,77 @@ _CDC_SQL = f"""
 """
 
 
+_CDC_PAIRED_SQL = f"""
+    WITH old AS (
+        SELECT {_CDC_COLS}, CAST(l_shipdate AS DATE) AS l_shipdate
+        FROM lineitem WHERE NOT {syn.POS_RULE_SQL}
+    ),
+    new AS (
+        SELECT * FROM old WHERE NOT (l_orderkey % 17 = 0)
+        UNION ALL
+        SELECT {_CDC_UPD_COLS}, l_shipdate FROM old
+        WHERE l_orderkey % 17 = 0 AND l_linenumber = 1
+    ),
+    chg AS (
+        SELECT *, 'insert' AS _change_type
+        FROM (SELECT * FROM new EXCEPT ALL SELECT * FROM old)
+        UNION ALL
+        SELECT *, 'delete' AS _change_type
+        FROM (SELECT * FROM old EXCEPT ALL SELECT * FROM new)
+    ),
+    flagged AS (
+        SELECT *,
+            MAX(CASE WHEN _change_type = 'insert' THEN 1 ELSE 0 END)
+                OVER (PARTITION BY l_orderkey, l_linenumber) AS has_i,
+            MAX(CASE WHEN _change_type = 'delete' THEN 1 ELSE 0 END)
+                OVER (PARTITION BY l_orderkey, l_linenumber) AS has_d
+        FROM chg
+    )
+    SELECT {_CDC_COLS}, l_shipdate,
+           CASE WHEN has_i = 1 AND has_d = 1 AND _change_type = 'insert'
+                THEN 'update_after'
+                WHEN has_i = 1 AND has_d = 1 AND _change_type = 'delete'
+                THEN 'update_before'
+                ELSE _change_type END AS _change_type
+    FROM flagged
+"""
+
+
+@register("cdc_update_images", _CDC_PAIRED_SQL)
+def q_cdc_update_images(spark, sf_dir):
+    """Changelog UPDATE-image pairing (round 11; Iceberg's
+    create_changelog_view with identifier columns): the same upsert
+    changelog as cdc_changelog, but delete+insert pairs sharing a key
+    are re-tagged update_before/update_after — unpaired deletes (the
+    touched rows the upsert did NOT re-insert) stay plain deletes.
+    Replication consumers need the distinction: updates keep the key
+    live, deletes tombstone it.
+
+    Scale shape: the exceptAll anti-diffs as before, plus two windowed
+    presence flags over ONE hash shuffle on the key — no self-join, no
+    driver work."""
+    from iceberg_compaction_spark.sources.changes import (
+        pair_update_images,
+        row_changes,
+    )
+
+    old = syn.output_select(
+        spark.read.parquet(syn.lineitem_path(sf_dir)).where(
+            ~F.expr(syn.POS_RULE_SQL)
+        )
+    )
+    touched = F.col("l_orderkey") % 17 == 0
+    updated = (
+        old.where(touched & (F.col("l_linenumber") == 1))
+        .withColumn("l_quantity", F.col("l_quantity") + 1000)
+        .select(*old.columns)
+    )
+    new = old.where(~touched).unionByName(updated)
+    return pair_update_images(
+        row_changes(old, new), keys=["l_orderkey", "l_linenumber"]
+    )
+
+
 @register("cdc_changelog", _CDC_SQL)
 def q_cdc_changelog(spark, sf_dir):
     """Row-level changelog of an upsert commit (Iceberg changelog-scan
@@ -3354,6 +3425,39 @@ def q_meta_snapshots(spark, sf_dir):
     return snapshots_df(spark, _meta_catalog(sf_dir), "docs_meta").select(
         "snapshot_id", "operation", "data_file_count", "total_records"
     )
+
+
+@register(
+    "cdc_changelog_branch",
+    """
+    SELECT doc_id, 'xx' AS lang, 'insert' AS _change_type,
+           CAST(2 AS BIGINT) AS _commit_snapshot_id
+    FROM documents WHERE doc_id % 9 = 4
+    UNION ALL
+    SELECT doc_id, lang, 'delete', CAST(2 AS BIGINT)
+    FROM documents WHERE doc_id % 9 = 4
+    """,
+)
+def q_cdc_changelog_branch(spark, sf_dir):
+    """Branch changelog on a WAP table (round 11 — the audit-consumer
+    view): ``changelog_for_ref('audit', from_snapshot=fork)`` returns
+    exactly the branch's staged commit as delete+insert pairs, stamped
+    with the BRANCH snapshot id.  The fixture interleaves a LATER main
+    commit (storage v3) after the branch's v2; lineage walking keeps it
+    out — under raw version order the main commit's rows would pollute
+    the changelog and flip the hash.
+
+    Scale shape: the changelog is delta-priced (only the upsert's
+    affected files are diffed, exceptAll on hash-partitioned row sets);
+    the lineage walk is O(history) driver-side metadata."""
+    from iceberg_compaction_spark.sources.catalog import FileCatalog
+    from iceberg_compaction_spark.sources.changes import changelog_for_ref
+
+    wh = syn.wap_changelog_warehouse(spark, sf_dir)
+    cat = FileCatalog(warehouse=wh)
+    return changelog_for_ref(
+        spark, cat, "docs_cfr", "audit", from_snapshot=1
+    ).select("doc_id", "lang", "_change_type", "_commit_snapshot_id")
 
 
 @register(
@@ -3788,3 +3892,22 @@ _order10 = _rest10[:48] + _W10_PROMOTE + _rest10[48:] + _W10_DEMOTE
 QUERIES = {n: QUERIES[n] for n in _order10}
 ORACLES = {n: ORACLES[n] for n in _order10 if n in ORACLES}
 del _W10_PROMOTE, _W10_DEMOTE, _rest10, _order10
+
+# Round-11 window recomposition, same policy as round 10 (the driver
+# oracle-checks the FIRST 50 queries; the tail gets the identical check
+# in tests/test_oracle_tail.py): promote the round's CDC additions —
+# `cdc_changelog_branch` (changelog_for_ref over a WAP fixture with an
+# interleaved later main commit: the lineage invariant, hash-proven) and
+# `cdc_update_images` (update-image pairing) — the window previously had
+# NO CDC coverage at all.  Demote two Catalyst-native twins whose
+# operator family stays window-covered: `events_range_join` (same
+# join family as `events_asof_join`, which stays) and
+# `agg_price_quantiles` (approx-quantile family; `events_median_value`
+# stays).  All 106 entries remain oracle-checked either way.
+_W11_PROMOTE = ["cdc_changelog_branch", "cdc_update_images"]
+_W11_DEMOTE = ["events_range_join", "agg_price_quantiles"]
+_rest11 = [n for n in QUERIES if n not in _W11_PROMOTE + _W11_DEMOTE]
+_order11 = _rest11[:48] + _W11_PROMOTE + _rest11[48:] + _W11_DEMOTE
+QUERIES = {n: QUERIES[n] for n in _order11}
+ORACLES = {n: ORACLES[n] for n in _order11 if n in ORACLES}
+del _W11_PROMOTE, _W11_DEMOTE, _rest11, _order11

@@ -60,7 +60,46 @@ __all__ = [
     "table_changes",
     "changelog_between",
     "changelog_for_ref",
+    "pair_update_images",
 ]
+
+
+def pair_update_images(
+    changes: DataFrame, keys: list[str]
+) -> DataFrame:
+    """Iceberg's changelog UPDATE-image pairing (the
+    ``create_changelog_view`` procedure with identifier columns): a
+    delete+insert pair sharing the same key within one commit is one
+    logical UPDATE — re-tag the delete as ``update_before`` and the
+    insert as ``update_after``; unpaired rows keep ``insert`` /
+    ``delete``.  Consumers that replicate into a keyed store need the
+    distinction: an update keeps the key live, a delete tombstones it.
+
+    Spark-first: two windowed presence flags partitioned by
+    (commit, key) — one hash shuffle on the key, no self-join, no
+    driver work; whole-stage codegen intact.  When the frame carries
+    ``_commit_snapshot_id`` (changelog_between output) pairing is
+    per-commit, so a row deleted in commit N and re-inserted in commit
+    M is NOT misread as an update."""
+    from pyspark.sql import Window
+
+    part = [k for k in keys]
+    if "_commit_snapshot_id" in changes.columns:
+        part = ["_commit_snapshot_id", *part]
+    w = Window.partitionBy(*part)
+    is_ins = F.when(F.col(CHANGE_TYPE) == "insert", 1).otherwise(0)
+    is_del = F.when(F.col(CHANGE_TYPE) == "delete", 1).otherwise(0)
+    paired = (F.max(is_ins).over(w) == 1) & (F.max(is_del).over(w) == 1)
+    return changes.withColumn(
+        CHANGE_TYPE,
+        F.when(
+            paired & (F.col(CHANGE_TYPE) == "insert"), "update_after"
+        )
+        .when(
+            paired & (F.col(CHANGE_TYPE) == "delete"), "update_before"
+        )
+        .otherwise(F.col(CHANGE_TYPE)),
+    )
 
 
 def row_changes(old_rows: DataFrame, new_rows: DataFrame) -> DataFrame:

@@ -274,3 +274,49 @@ def test_general_path_skips_carried_unchanged_files(spark, cat):
     assert got == {(i, "delete"): f"v{i}" for i in range(300, 303)}
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert not [ln for ln in plan.splitlines() if "base.parquet" in ln]
+
+
+def test_pair_update_images_tags_within_commit_only(spark):
+    """pair_update_images (round 11): a delete+insert pair sharing a
+    key WITHIN one commit becomes update_before/update_after; the same
+    key deleted in commit N and re-inserted in commit M stays two
+    independent events (per-commit pairing), and unpaired rows keep
+    their original tags."""
+    rows = [
+        # commit 10: key 1 updated (pair), key 2 purely deleted,
+        # key 3 purely inserted
+        (1, "old", "delete", 10),
+        (1, "new", "insert", 10),
+        (2, "gone", "delete", 10),
+        (3, "born", "insert", 10),
+        # key 4: deleted in commit 10, re-inserted in commit 11 —
+        # NOT an update
+        (4, "v1", "delete", 10),
+        (4, "v2", "insert", 11),
+    ]
+    df = spark.createDataFrame(
+        rows, ["id", "val", ch.CHANGE_TYPE, "_commit_snapshot_id"]
+    )
+    out = {
+        (r["id"], r["_commit_snapshot_id"]): r[ch.CHANGE_TYPE]
+        for r in ch.pair_update_images(df, keys=["id"]).collect()
+    }
+    assert out[(1, 10)] in ("update_before", "update_after")
+    got1 = {
+        r[ch.CHANGE_TYPE]
+        for r in ch.pair_update_images(df, keys=["id"]).collect()
+        if r["id"] == 1
+    }
+    assert got1 == {"update_before", "update_after"}
+    assert out[(2, 10)] == "delete"
+    assert out[(3, 10)] == "insert"
+    assert out[(4, 10)] == "delete" and out[(4, 11)] == "insert"
+
+    # without the commit column, pairing is frame-wide
+    nf = df.drop("_commit_snapshot_id")
+    out2 = {
+        (r["id"], r["val"]): r[ch.CHANGE_TYPE]
+        for r in ch.pair_update_images(nf, keys=["id"]).collect()
+    }
+    assert out2[(4, "v1")] == "update_before"
+    assert out2[(4, "v2")] == "update_after"
