@@ -31,6 +31,14 @@ from dataclasses import dataclass
 from iceberg_compaction_spark.sources.manifest import Manifest
 
 
+# process-wide memo of each version file's (parent, committed-at) —
+# safe because version files are immutable once their exclusive create
+# wins (see FileCatalog._version_stamp)
+_VERSION_STAMP_CACHE: dict = {}
+_VERSION_STAMP_CAP = 65536
+_STAMP_MISSING = object()
+
+
 class TableNotFound(KeyError):
     pass
 
@@ -616,16 +624,37 @@ class FileCatalog(TableRefs):
                 f"{self.table_history(name) if self.table_exists(name) else []})"
             ) from None
 
+    def _version_stamp(self, name: str, sid: int) -> tuple:
+        """(parent-or-_MISSING, committed-at-ms) of one version,
+        memoized process-wide: version files are IMMUTABLE once their
+        exclusive create wins (the CAS protocol), so the two lineage
+        fields can be cached by path forever — without this, every
+        lineage/timestamp walk re-parses the FULL file listing of every
+        version (O(history x files) driver JSON at 10^5-file scale, per
+        call).  Existence is still governed by table_history's listing,
+        so expiration is never masked."""
+        path = self._version_path(name, sid)
+        hit = _VERSION_STAMP_CACHE.get(path)
+        if hit is not None:
+            return hit
+        raw = json.loads(self._io.read_bytes(path))
+        out = (
+            raw.get("parent-snapshot-id", _STAMP_MISSING),
+            int(raw.get("committed-at-ms", 0)),
+        )
+        if len(_VERSION_STAMP_CACHE) >= _VERSION_STAMP_CAP:
+            _VERSION_STAMP_CACHE.clear()  # tiny entries; crude is fine
+        _VERSION_STAMP_CACHE[path] = out
+        return out
+
     def snapshot_parents(self, name: str) -> dict[int, "int | None"]:
         """snapshot id -> parent snapshot id (None for roots or for
         versions written before parent stamping; see snapshot_lineage's
         legacy fallback)."""
         out = {}
         for sid in self.table_history(name):
-            raw = json.loads(
-                self._io.read_bytes(self._version_path(name, sid))
-            )
-            out[sid] = raw.get("parent-snapshot-id")
+            parent = self._version_stamp(name, sid)[0]
+            out[sid] = None if parent is _STAMP_MISSING else parent
         return out
 
     def snapshot_lineage(
@@ -647,7 +676,6 @@ class FileCatalog(TableRefs):
             raise TableNotFound(f"{name}@{end}")
         out = []
         cur: "int | None" = end
-        _missing = object()
         for _ in range(len(history) + 1):
             if cur is None or cur <= start:
                 break
@@ -657,11 +685,8 @@ class FileCatalog(TableRefs):
                     f"been expired (retained: {history})"
                 )
             out.append(cur)
-            raw = json.loads(
-                self._io.read_bytes(self._version_path(name, cur))
-            )
-            parent = raw.get("parent-snapshot-id", _missing)
-            if parent is _missing:
+            parent = self._version_stamp(name, cur)[0]
+            if parent is _STAMP_MISSING:
                 idx = history.index(cur)
                 parent = history[idx - 1] if idx > 0 else None
             cur = parent
@@ -670,13 +695,10 @@ class FileCatalog(TableRefs):
     def snapshot_timestamps(self, name: str) -> dict[int, int]:
         """snapshot id -> committed-at wall-clock ms (0 for versions
         written before timestamps were stamped)."""
-        out = {}
-        for sid in self.table_history(name):
-            raw = json.loads(
-                self._io.read_bytes(self._version_path(name, sid))
-            )
-            out[sid] = int(raw.get("committed-at-ms", 0))
-        return out
+        return {
+            sid: self._version_stamp(name, sid)[1]
+            for sid in self.table_history(name)
+        }
 
     # load_table_as_of comes from TableRefs (shared with the hadoop
     # backend); it consumes snapshot_timestamps above and tolerates an

@@ -986,14 +986,42 @@ class IcebergHadoopCatalog(TableRefs):
         except Exception:
             return 0
 
+    def _version_stamp(self, name: str, sid: int) -> tuple:
+        """(parent-or-_STAMP_MISSING, timestamp-ms) of one version,
+        memoized process-wide — version files are immutable once their
+        exclusive create wins, and re-parsing every version's FULL
+        TableMetadata per lineage/timestamp walk is O(history x files)
+        driver JSON (same cache as FileCatalog._version_stamp)."""
+        from iceberg_compaction_spark.sources.catalog import (
+            _STAMP_MISSING,
+            _VERSION_STAMP_CACHE,
+            _VERSION_STAMP_CAP,
+        )
+
+        path = self._vpath(name, sid)
+        hit = _VERSION_STAMP_CACHE.get(path)
+        if hit is not None:
+            return hit
+        md = json.loads(self._io.read_bytes(path))
+        snaps = md.get("snapshots") or [{}]
+        out = (
+            snaps[0].get("parent-snapshot-id", _STAMP_MISSING),
+            int(snaps[0].get("timestamp-ms", 0)),
+        )
+        if len(_VERSION_STAMP_CACHE) >= _VERSION_STAMP_CAP:
+            _VERSION_STAMP_CACHE.clear()
+        _VERSION_STAMP_CACHE[path] = out
+        return out
+
     def snapshot_parents(self, name: str) -> dict:
         """snapshot id -> parent snapshot id, from each version's spec
         ``parent-snapshot-id`` (None for roots / pre-stamp versions)."""
+        from iceberg_compaction_spark.sources.catalog import _STAMP_MISSING
+
         out = {}
         for sid in self.table_history(name):
-            md = json.loads(self._io.read_bytes(self._vpath(name, sid)))
-            snaps = md.get("snapshots") or [{}]
-            out[sid] = snaps[0].get("parent-snapshot-id")
+            parent = self._version_stamp(name, sid)[0]
+            out[sid] = None if parent is _STAMP_MISSING else parent
         return out
 
     def snapshot_timestamps(self, name: str) -> dict:
@@ -1002,12 +1030,10 @@ class IcebergHadoopCatalog(TableRefs):
         snapshot; 0 only for hand-built metadata that omitted it) —
         this is what makes :meth:`load_table_as_of` (the TableRefs
         mixin) work on this backend (VERDICT r10 #3)."""
-        out = {}
-        for sid in self.table_history(name):
-            md = json.loads(self._io.read_bytes(self._vpath(name, sid)))
-            snaps = md.get("snapshots") or [{}]
-            out[sid] = int(snaps[0].get("timestamp-ms", 0))
-        return out
+        return {
+            sid: self._version_stamp(name, sid)[1]
+            for sid in self.table_history(name)
+        }
 
     def snapshot_lineage(
         self, name: str, end: int, start: int = 0
@@ -1015,7 +1041,10 @@ class IcebergHadoopCatalog(TableRefs):
         """Parent-chain walk over the real metadata — same contract as
         FileCatalog.snapshot_lineage (legacy versions without the stamp
         degrade to the previous retained version)."""
-        from iceberg_compaction_spark.sources.catalog import TableNotFound
+        from iceberg_compaction_spark.sources.catalog import (
+            _STAMP_MISSING,
+            TableNotFound,
+        )
 
         history = self.table_history(name)
         hset = set(history)
@@ -1023,7 +1052,6 @@ class IcebergHadoopCatalog(TableRefs):
             raise TableNotFound(f"{name}@{end}")
         out = []
         cur = end
-        _missing = object()
         for _ in range(len(history) + 1):
             if cur is None or cur <= start:
                 break
@@ -1033,17 +1061,12 @@ class IcebergHadoopCatalog(TableRefs):
                     f"been expired (retained: {history})"
                 )
             out.append(cur)
-            md = json.loads(self._io.read_bytes(self._vpath(name, cur)))
-            snaps = md.get("snapshots") or [{}]
-            parent = snaps[0].get("parent-snapshot-id", _missing)
-            if parent is _missing or parent is None:
+            parent = self._version_stamp(name, cur)[0]
+            if parent is _STAMP_MISSING:
                 # pre-stamp metadata: linear history fallback (only when
                 # the key is truly absent; an explicit null is a root)
-                if "parent-snapshot-id" in snaps[0]:
-                    parent = None
-                else:
-                    idx = history.index(cur)
-                    parent = history[idx - 1] if idx > 0 else None
+                idx = history.index(cur)
+                parent = history[idx - 1] if idx > 0 else None
             cur = parent
         return sorted(out)
 
