@@ -895,6 +895,46 @@ def branch_wap_warehouse(spark: SparkSession, sf_dir: str) -> str:
     )
 
 
+def add_files_warehouse(spark: SparkSession, sf_dir: str) -> str:
+    """One-time per sf_dir: ``docs_add`` = ``documents`` (two files by
+    parity) plus an ``add_files`` metadata-only import of a side
+    directory holding the ``doc_id % 13 = 1`` rows — the registered
+    files are APPENDED without rewriting or moving data, so the MOR
+    read shows those rows twice (once from the base split, once from
+    the import)."""
+    import os
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from iceberg_compaction_spark.sources.ingest import add_files
+
+    def _mutate(cat):
+        root = os.path.dirname(cat.warehouse)
+        extra = os.path.join(root, "extra")
+        os.makedirs(extra, exist_ok=True)
+        t = pq.read_table(
+            os.path.join(sf_dir, "documents.parquet"),
+            columns=["doc_id", "lang"],
+        )
+        ids = t.column("doc_id").to_numpy()
+        pq.write_table(
+            t.filter(pa.array(ids % 13 == 1)),
+            os.path.join(extra, "import-0.parquet"),
+        )
+        m = add_files(cat, "docs_add", extra)
+        assert m.operation == "append" and m.snapshot_id == 2
+
+    return _dml_docs_warehouse(
+        spark,
+        sf_dir,
+        tag="addf",
+        table_name="docs_add",
+        columns=["doc_id", "lang"],
+        mutate=_mutate,
+    )
+
+
 def wap_changelog_warehouse(spark: SparkSession, sf_dir: str) -> str:
     """One-time per sf_dir: ``docs_cfr`` = ``documents`` with an
     UNPUBLISHED audit branch and an interleaved main commit — the WAP

@@ -3552,6 +3552,68 @@ def q_meta_entries(spark, sf_dir):
 
 
 @register(
+    "dml_add_files",
+    """
+    SELECT doc_id, lang FROM documents
+    UNION ALL
+    SELECT doc_id, lang FROM documents WHERE doc_id % 13 = 1
+    """,
+)
+def q_dml_add_files(spark, sf_dir):
+    """add_files metadata-only import (round 11; Iceberg's add_files
+    procedure): existing parquet files registered as a new append
+    snapshot — footers read for counts/stats, data bytes never move,
+    one CAS commit.  The oracle is the base rows UNION ALL the imported
+    subset (append semantics: no dedup).
+
+    Scale shape: THE bulk-import path at 100 TB — cost is per-file
+    footer metadata + one commit, independent of data volume."""
+    from iceberg_compaction_spark.sources.catalog import FileCatalog
+    from iceberg_compaction_spark.sources.ingest import read_table_mor
+
+    wh = syn.add_files_warehouse(spark, sf_dir)
+    m = FileCatalog(warehouse=wh).load_table("docs_add")
+    return read_table_mor(spark, m).select("doc_id", "lang")
+
+
+@register(
+    "meta_position_deletes",
+    """
+    SELECT CASE WHEN doc_id % 2 = 0 THEN 'even.parquet'
+                ELSE 'odd.parquet' END AS file_name,
+           CAST(rn - 1 AS BIGINT) AS pos
+    FROM (SELECT doc_id,
+                 row_number() OVER (PARTITION BY doc_id % 2
+                                    ORDER BY doc_id) AS rn
+          FROM documents)
+    WHERE doc_id % 7 = 3
+    """,
+)
+def q_meta_position_deletes(spark, sf_dir):
+    """``position_deletes`` metadata table (round 11; Iceberg's
+    ``tbl$position_deletes``): the actual delete ROWS a snapshot
+    carries — (data file, 0-based position) per recorded delete,
+    reconstructed by the oracle from the fixture's deterministic file
+    split and the delete_where predicate.
+
+    Scale shape: delete content is DATA-sized (billions of positions on
+    a delete-heavy table), so this is a genuine distributed read —
+    parquet delete files through spark.read.parquet, puffin DVs decoded
+    executor-side — never a driver materialization."""
+    from iceberg_compaction_spark.sources.catalog import FileCatalog
+    from iceberg_compaction_spark.sources.metadata_tables import (
+        position_deletes_df,
+    )
+
+    wh = syn.delete_where_warehouse(spark, sf_dir)
+    m = FileCatalog(warehouse=wh).load_table("docs_dml")
+    return position_deletes_df(spark, m).select(
+        F.element_at(F.split("file_path", "/"), -1).alias("file_name"),
+        "pos",
+    )
+
+
+@register(
     "dml_delete_where",
     """
     SELECT doc_id, lang FROM documents WHERE NOT (doc_id % 7 = 3)

@@ -425,6 +425,45 @@ class TableRefs:
                 )
         return keep
 
+    def _expirable_snapshots(self, name: str, keep_last: int) -> list:
+        """The snapshot ids expire_snapshots may remove — one shared
+        policy for every versioned-metadata backend:
+
+        - aged refs are dropped first (per-ref ``max_ref_age_ms``),
+          releasing their exclusive lineage;
+        - the newest ``keep_last`` snapshots always survive, raised by
+          the table property ``history.expire.min-snapshots-to-keep``
+          when the table declares it (Iceberg's property-driven
+          retention);
+        - with ``history.expire.max-snapshot-age-ms`` declared, only
+          snapshots OLDER than the age cutoff are eligible (both gates
+          must agree — properties only ever make expiration more
+          conservative here, since the engine API's keep_last is the
+          operator's explicit ask);
+        - ref-protected snapshots (heads + per-ref retained lineage)
+          never expire."""
+        import time as _time
+
+        keep_last = max(1, keep_last)
+        self._expire_aged_refs(name)
+        props = {}
+        try:
+            props = self.load_table(name).properties or {}
+        except Exception:
+            pass
+        min_keep = props.get("history.expire.min-snapshots-to-keep")
+        if min_keep is not None:
+            keep_last = max(keep_last, int(min_keep))
+        history = self.table_history(name)
+        pinned = self._protected_snapshots(name)
+        eligible = [v for v in history[:-keep_last] if v not in pinned]
+        max_age = props.get("history.expire.max-snapshot-age-ms")
+        if max_age is not None:
+            cutoff = int(_time.time() * 1000) - int(max_age)
+            ts = self.snapshot_timestamps(name)
+            eligible = [v for v in eligible if ts.get(v, 0) < cutoff]
+        return eligible
+
     def _expire_aged_refs(self, name: str) -> list[str]:
         """Drop non-main refs whose ``max_ref_age_ms`` has elapsed —
         measured from the commit timestamp of the snapshot the ref
@@ -717,12 +756,11 @@ class FileCatalog(TableRefs):
         ``max_ref_age_ms`` are dropped first, releasing their exclusive
         lineage for expiration; surviving branches pin lineage under
         their own ``max_snapshot_age_ms`` / ``min_snapshots_to_keep``
-        (full lineage when undeclared)."""
-        keep_last = max(1, keep_last)
-        self._expire_aged_refs(name)
-        history = self.table_history(name)
-        pinned = self._protected_snapshots(name)
-        expired = [v for v in history[:-keep_last] if v not in pinned]
+        (full lineage when undeclared); the TABLE properties
+        ``history.expire.max-snapshot-age-ms`` /
+        ``history.expire.min-snapshots-to-keep`` tighten the policy
+        further (see TableRefs._expirable_snapshots)."""
+        expired = self._expirable_snapshots(name, keep_last)
         for v in expired:
             with contextlib.suppress(FileNotFoundError):
                 self._io.remove(self._version_path(name, v))

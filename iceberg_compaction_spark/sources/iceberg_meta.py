@@ -1522,15 +1522,10 @@ class IcebergHadoopCatalog(TableRefs):
         return md
 
     def expire_snapshots(self, name: str, keep_last: int = 2) -> list[int]:
-        keep_last = max(1, keep_last)
-        # per-ref retention first: aged refs release their lineage
-        self._expire_aged_refs(name)
-        history = self.table_history(name)
-        # Iceberg never expires referenced snapshots: ref heads AND
-        # each non-main ref's RETAINED lineage survive (TableRefs,
-        # per-ref retention policy honored)
-        pinned = self._protected_snapshots(name)
-        expired = [v for v in history[:-keep_last] if v not in pinned]
+        # one shared retention policy (TableRefs._expirable_snapshots):
+        # aged refs dropped first, ref-protected lineage pinned,
+        # per-ref AND table-property retention honored
+        expired = self._expirable_snapshots(name, keep_last)
         for v in expired:
             try:
                 self._io.remove(self._vpath(name, v))

@@ -883,6 +883,96 @@ def merge_into(
     return CommitManager().commit_with_retry(attempt)
 
 
+def add_files(
+    catalog,
+    table_name: str,
+    src_dir: str,
+    to_branch: str | None = None,
+    check_schema: bool = True,
+) -> Manifest:
+    """Iceberg's ``add_files`` procedure: register EXISTING parquet
+    files as a new append snapshot — metadata only, no data movement
+    or rewrite.  At 100 TB this is THE import path: footers are read
+    for record counts and pruning stats (cheap, metadata-only), the
+    data bytes never move, and the commit is one CAS.
+
+    Guards:
+    - schema check (``check_schema``): the imported files' column
+      names must match the table's declared schema by name (the files
+      carry no Iceberg field ids; name mapping is how they resolve,
+      so a name mismatch would read as nulls — fail loudly instead);
+    - duplicate-path check: a file already tracked by the target ref's
+      snapshot cannot be added twice (double-counted rows);
+    - partitioned tables are rejected: imported files carry no
+      partition tuples, and inventing them from paths would silently
+      mis-prune (import into a partitioned table goes through the
+      DataSource's partitioned writer, which fans out real tuples).
+
+    CAS-retried like every DML statement; ``to_branch`` stages the
+    import on a branch (the WAP pattern for bulk backfills: import,
+    audit the branch, fast-forward).
+    """
+    from iceberg_compaction_spark.commit import CommitManager
+
+    staged = Manifest.from_parquet_dir(src_dir)
+    if not staged.data_files:
+        raise ValueError(f"no parquet files under {src_dir!r}")
+
+    def attempt() -> Manifest:
+        cur = _load_head(catalog, table_name, to_branch)
+        if cur.partition_spec:
+            raise ValueError(
+                f"{table_name} is partitioned; add_files cannot invent "
+                "partition tuples — write through the partitioned "
+                "DataSource writer instead"
+            )
+        if check_schema:
+            from iceberg_compaction_spark.sources.iceberg_meta import (
+                infer_schema_fields,
+            )
+
+            want_fields = cur.schema_fields or (
+                infer_schema_fields(cur.data_files[0].data_file_path)
+                if cur.data_files
+                else None
+            )
+            have = [
+                f["name"]
+                for f in infer_schema_fields(
+                    staged.data_files[0].data_file_path
+                )
+            ]
+            want = [f["name"] for f in (want_fields or [])]
+            if want and sorted(have) != sorted(want):
+                raise ValueError(
+                    f"imported files' columns {sorted(have)} do not "
+                    f"match table schema {sorted(want)} — imported "
+                    "parquet carries no field ids, so a name mismatch "
+                    "would silently read as nulls"
+                )
+        existing = set(cur.paths())
+        dups = [
+            t.data_file_path
+            for t in staged.data_files
+            if t.data_file_path in existing
+        ]
+        if dups:
+            raise ValueError(
+                f"{len(dups)} file(s) already tracked by "
+                f"{table_name}: {dups[:3]}"
+            )
+        new = Manifest.from_dict(cur.to_dict())
+        new.snapshot_id = cur.next_snapshot()
+        new.sequence_number = cur.sequence_number + 1
+        new.operation = "append"
+        for t in staged.data_files:
+            t.sequence_number = new.sequence_number
+            new.data_files.append(t)
+        return _commit(catalog, table_name, cur, new, to_branch)
+
+    return CommitManager().commit_with_retry(attempt)
+
+
 def read_table_mor(spark: SparkSession, manifest: Manifest) -> DataFrame:
     """Read a manifest table with all its delete files applied — the
     query-engine view of a MOR table (what compaction materializes)."""

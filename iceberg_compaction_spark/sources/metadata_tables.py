@@ -163,7 +163,18 @@ ENTRIES_SCHEMA = T.StructType(
 )
 
 METADATA_TABLES = ("files", "delete_files", "partitions", "snapshots",
-                   "history", "refs", "manifests", "entries")
+                   "history", "refs", "manifests", "entries",
+                   "all_files", "all_entries", "all_manifests")
+
+
+def _with_ref_snapshot(schema: T.StructType) -> T.StructType:
+    """History-wide variant of a per-snapshot schema: every row is
+    stamped with the snapshot whose listing produced it — Iceberg's
+    ``reference_snapshot_id`` column on the ``all_*`` relations."""
+    return T.StructType(
+        [T.StructField("reference_snapshot_id", T.LongType(), False)]
+        + list(schema.fields)
+    )
 
 
 def _file_format(path: str) -> str:
@@ -352,15 +363,21 @@ def _lineage_to(catalog, name: str, sid: int) -> list[int]:
     return [s for s in catalog.table_history(name) if s <= sid]
 
 
-def _first_appearance(catalog, name: str, sid: int) -> tuple[dict, dict]:
+def _first_appearance(
+    catalog, name: str, sid: int, loader=None
+) -> tuple[dict, dict]:
     """(data_first, delete_first): file path -> the lineage snapshot
     that first carried it, walking ``sid``'s ancestors ascending.  One
     driver-side metadata pass, O(history x files) — the same cost class
-    as snapshots_rows (metadata scales with file count, not data)."""
+    as snapshots_rows (metadata scales with file count, not data).
+    ``loader`` memoizes snapshot loads for callers that walk many
+    snapshots (the ``all_*`` relations would otherwise re-parse each
+    version file O(history) times)."""
+    load = loader or (lambda s: catalog.load_table_at(name, s))
     data_first: dict = {}
     delete_first: dict = {}
     for s in _lineage_to(catalog, name, sid):
-        m = catalog.load_table_at(name, s)
+        m = load(s)
         for t in m.data_files:
             data_first.setdefault(t.data_file_path, (s, t))
             for d in t.deletes:
@@ -369,7 +386,7 @@ def _first_appearance(catalog, name: str, sid: int) -> tuple[dict, dict]:
 
 
 def manifests_rows(
-    catalog, name: str, snapshot_id: int | None = None
+    catalog, name: str, snapshot_id: int | None = None, _loader=None
 ) -> list[tuple]:
     """``tbl$manifests``: the current (or given) snapshot's manifest
     groupings — files grouped by (adding snapshot, data/deletes), with
@@ -379,12 +396,14 @@ def manifests_rows(
     import json
 
     m = (
-        catalog.load_table_at(name, snapshot_id)
+        (_loader or (lambda v: catalog.load_table_at(name, v)))(snapshot_id)
         if snapshot_id is not None
         else catalog.load_table(name)
     )
     sid = m.snapshot_id
-    data_first, delete_first = _first_appearance(catalog, name, sid)
+    data_first, delete_first = _first_appearance(
+        catalog, name, sid, loader=_loader
+    )
     spec = m.partition_spec or []
     groups: dict = {}
     for t in m.data_files:
@@ -435,7 +454,7 @@ def manifests_rows(
 
 
 def entries_rows(
-    catalog, name: str, snapshot_id: int | None = None
+    catalog, name: str, snapshot_id: int | None = None, _loader=None
 ) -> list[tuple]:
     """``tbl$entries``: one row per file entry of the current (or
     given) snapshot, status-tagged against its PARENT snapshot — ADDED
@@ -443,8 +462,9 @@ def entries_rows(
     files, DELETED (2) for the parent's files this commit removed
     (shown with the removing snapshot's id, like Iceberg's deleted
     entries retained in the new manifest)."""
+    load = _loader or (lambda v: catalog.load_table_at(name, v))
     m = (
-        catalog.load_table_at(name, snapshot_id)
+        load(snapshot_id)
         if snapshot_id is not None
         else catalog.load_table(name)
     )
@@ -453,10 +473,12 @@ def entries_rows(
     parent = None
     if len(lineage) > 1:
         try:
-            parent = catalog.load_table_at(name, lineage[-2])
+            parent = load(lineage[-2])
         except Exception:
             parent = None
-    data_first, delete_first = _first_appearance(catalog, name, sid)
+    data_first, delete_first = _first_appearance(
+        catalog, name, sid, loader=_loader
+    )
     parent_data = (
         {t.data_file_path for t in parent.data_files} if parent else set()
     )
@@ -540,6 +562,40 @@ def entries_rows(
     return rows
 
 
+def all_rows(catalog, name: str, kind: str) -> list[tuple]:
+    """Iceberg's history-wide ``all_*`` relations (``tbl$all_files``,
+    ``$all_entries``, ``$all_manifests``): the per-snapshot relation
+    unioned over every RETAINED snapshot, each row stamped with
+    ``reference_snapshot_id`` — what commit forensics reads to trace a
+    file across history ("which snapshots carried this file", "when did
+    this delete first attach").  O(history x per-snapshot cost),
+    driver-side metadata only; histories are tens-to-hundreds of
+    snapshots under normal expiration."""
+    memo: dict = {}
+
+    def _load(sid):
+        if sid not in memo:
+            memo[sid] = catalog.load_table_at(name, sid)
+        return memo[sid]
+
+    base = {
+        "all_files": lambda sid: files_rows(_load(sid)),
+        "all_entries": lambda sid: entries_rows(
+            catalog, name, sid, _loader=_load
+        ),
+        "all_manifests": lambda sid: manifests_rows(
+            catalog, name, sid, _loader=_load
+        ),
+    }
+    if kind not in base:
+        raise ValueError(f"unknown all_* relation {kind!r}")
+    fn = base[kind]
+    rows: list[tuple] = []
+    for sid in catalog.table_history(name):
+        rows.extend((int(sid), *r) for r in fn(sid))
+    return rows
+
+
 def refs_rows(catalog, name: str) -> list[tuple]:
     try:
         refs = catalog.list_refs(name)
@@ -560,6 +616,9 @@ _SCHEMAS = {
     "refs": REFS_SCHEMA,
     "manifests": MANIFESTS_SCHEMA,
     "entries": ENTRIES_SCHEMA,
+    "all_files": _with_ref_snapshot(FILES_SCHEMA),
+    "all_entries": _with_ref_snapshot(ENTRIES_SCHEMA),
+    "all_manifests": _with_ref_snapshot(MANIFESTS_SCHEMA),
 }
 
 
@@ -586,6 +645,8 @@ def metadata_rows(catalog, name: str, kind: str,
             "manifests": manifests_rows,
             "entries": entries_rows,
         }[kind](catalog, name, snapshot_id)
+    if kind.startswith("all_"):
+        return all_rows(catalog, name, kind)
     m = (
         catalog.load_table_at(name, snapshot_id)
         if snapshot_id is not None
@@ -624,6 +685,79 @@ def history_df(spark: "SparkSession", catalog, name: str) -> "DataFrame":
 
 def refs_df(spark: "SparkSession", catalog, name: str) -> "DataFrame":
     return spark.createDataFrame(refs_rows(catalog, name), REFS_SCHEMA)
+
+
+def position_deletes_df(spark: "SparkSession", manifest: "Manifest") -> "DataFrame":
+    """Iceberg's ``tbl$position_deletes`` metadata table: the actual
+    position-delete ROWS of a snapshot — ``(file_path, pos)`` per
+    recorded delete, stamped with the delete file that recorded it and
+    its data sequence number.
+
+    Unlike the other metadata tables this is DATA-sized (a delete-heavy
+    snapshot can hold billions of positions), so it is a real
+    distributed read, never driver-built: parquet delete files go
+    through ``spark.read.parquet`` (grouped by sequence number so the
+    stamp is a literal), puffin deletion vectors decode executor-side
+    via :func:`~.operators.mor.puffin_dv_frame` (footers driver-read,
+    Roaring bitmaps expanded in an Arrow-batched mapInPandas).  Engine
+    hidden column names and the spec's ``file_path``/``pos`` are both
+    accepted, so externally-written delete files list too."""
+    import pyspark.sql.functions as F
+
+    from iceberg_compaction_spark.sources.puffin import is_puffin_file
+
+    dels: dict = {}
+    for t in manifest.data_files:
+        for d in t.deletes:
+            if d.content != EQUALITY_DELETE:
+                dels[d.path] = d
+    frames = []
+    by_seq: dict = {}
+    for p, d in sorted(dels.items()):
+        if not is_puffin_file(p):
+            by_seq.setdefault(int(d.sequence_number), []).append(p)
+    for seq, paths in sorted(by_seq.items()):
+        df = spark.read.parquet(*paths)
+        cols = set(df.columns)
+        fp = (
+            "sys_hidden_file_path"
+            if "sys_hidden_file_path" in cols
+            else "file_path"
+        )
+        po = "sys_hidden_pos" if "sys_hidden_pos" in cols else "pos"
+        frames.append(
+            df.select(
+                F.col(fp).alias("file_path"),
+                F.col(po).cast("long").alias("pos"),
+                F.input_file_name().alias("delete_file_path"),
+                F.lit(seq).cast("long").alias("sequence_number"),
+            )
+        )
+    for p, d in sorted(dels.items()):
+        if not is_puffin_file(p):
+            continue
+        from iceberg_compaction_spark.operators.mor import puffin_dv_frame
+
+        frames.append(
+            puffin_dv_frame(spark, [p]).select(
+                F.col("__dv_path").alias("file_path"),
+                F.col("__dv_pos").cast("long").alias("pos"),
+                F.lit(p).alias("delete_file_path"),
+                F.lit(int(d.sequence_number))
+                .cast("long")
+                .alias("sequence_number"),
+            )
+        )
+    if not frames:
+        return spark.createDataFrame(
+            [],
+            "file_path string, pos long, delete_file_path string, "
+            "sequence_number long",
+        )
+    out = frames[0]
+    for f in frames[1:]:
+        out = out.unionByName(f)
+    return out
 
 
 def manifests_df(

@@ -1359,3 +1359,110 @@ def test_upsert_eq_delete_scope_intersects_multiple_spec_fields(
     assert got[target] == "patched" and len(got) == 40
     untouched = next(i for i in range(40) if i != target)
     assert got[untouched] == f"v{untouched}"
+
+
+def test_add_files_metadata_only_import(spark, tmp_path):
+    """add_files (round 11; Iceberg's add_files procedure): existing
+    parquet registered as an append snapshot — no data movement, stats
+    from footers, guards on duplicates / schema mismatch / partitioned
+    tables, branch staging supported."""
+    from iceberg_compaction_spark.sources.ingest import add_files
+
+    root = str(tmp_path / "tbl")
+    os.makedirs(root)
+    pq.write_table(
+        pa.table(
+            {
+                "id": pa.array(range(10), type=pa.int64()),
+                "val": [f"v{i}" for i in range(10)],
+            }
+        ),
+        os.path.join(root, "base.parquet"),
+    )
+    cat = FileCatalog(warehouse=str(tmp_path / "wh"))
+    cat.create_table("t", Manifest.from_parquet_dir(root, sequence_number=1))
+
+    extra = str(tmp_path / "extra")
+    os.makedirs(extra)
+    pq.write_table(
+        pa.table(
+            {
+                "id": pa.array([100, 101], type=pa.int64()),
+                "val": ["x100", "x101"],
+            }
+        ),
+        os.path.join(extra, "imp.parquet"),
+    )
+    before_mtime = os.path.getmtime(os.path.join(extra, "imp.parquet"))
+    m2 = add_files(cat, "t", extra)
+    assert m2.operation == "append" and m2.snapshot_id == 2
+    # data bytes never moved
+    assert os.path.getmtime(
+        os.path.join(extra, "imp.parquet")
+    ) == before_mtime
+    got = {r["id"]: r["val"] for r in read_table_mor(spark, m2).collect()}
+    assert got[100] == "x100" and len(got) == 12
+    # stats came from footers: the imported task prunes like any other
+    imp = next(
+        t for t in m2.data_files if "imp.parquet" in t.data_file_path
+    )
+    assert imp.record_count == 2 and imp.column_bounds
+
+    # duplicate-path guard
+    with pytest.raises(ValueError, match="already tracked"):
+        add_files(cat, "t", extra)
+
+    # schema-mismatch guard
+    bad = str(tmp_path / "bad")
+    os.makedirs(bad)
+    pq.write_table(
+        pa.table({"other": pa.array([1], type=pa.int64())}),
+        os.path.join(bad, "b.parquet"),
+    )
+    with pytest.raises(ValueError, match="do not match table schema"):
+        add_files(cat, "t", bad)
+
+    # branch staging: import lands on the branch, main untouched
+    cat.create_branch("t", "backfill")
+    extra2 = str(tmp_path / "extra2")
+    os.makedirs(extra2)
+    pq.write_table(
+        pa.table(
+            {
+                "id": pa.array([200], type=pa.int64()),
+                "val": ["x200"],
+            }
+        ),
+        os.path.join(extra2, "imp2.parquet"),
+    )
+    m3 = add_files(cat, "t", extra2, to_branch="backfill")
+    assert 200 not in {
+        r["id"]
+        for r in read_table_mor(spark, cat.load_table("t")).collect()
+    }
+    assert 200 in {
+        r["id"]
+        for r in read_table_mor(
+            spark, cat.load_table_ref("t", "backfill")
+        ).collect()
+    }
+    assert m3.snapshot_id == cat.list_refs("t")["backfill"]["snapshot_id"]
+
+
+def test_add_files_rejects_partitioned_table(tmp_path):
+    from iceberg_compaction_spark.sources.ingest import add_files
+
+    root = str(tmp_path / "tbl")
+    os.makedirs(root)
+    pq.write_table(
+        pa.table({"id": pa.array([1], type=pa.int64()), "lang": ["en"]}),
+        os.path.join(root, "a.parquet"),
+    )
+    m = Manifest.from_parquet_dir(root, sequence_number=1)
+    m.partition_spec = [
+        {"source": "lang", "transform": "identity", "name": "lang"}
+    ]
+    cat = FileCatalog(warehouse=str(tmp_path / "wh"))
+    cat.create_table("p", m)
+    with pytest.raises(ValueError, match="partitioned"):
+        add_files(cat, "p", root)

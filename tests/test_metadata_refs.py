@@ -122,3 +122,64 @@ def test_drop_ref_and_missing_refs(cat):
         cat.load_table_ref("t", "nope")
     with pytest.raises(TableNotFound):
         cat.create_tag("t", "y", snapshot_id=77)
+
+
+def _commit_noop(cat, name="t", props=None):
+    cur = cat.load_table(name)
+    nxt = Manifest.from_dict(cur.to_dict())
+    nxt.snapshot_id = cur.next_snapshot()
+    if props:
+        nxt.properties.update(props)
+    return cat.commit_table(name, cur.snapshot_id, nxt)
+
+
+def test_expire_honors_table_retention_properties(cat):
+    """Iceberg's property-driven retention (round 11):
+    history.expire.min-snapshots-to-keep raises the keep floor above an
+    operator's keep_last; history.expire.max-snapshot-age-ms gates
+    eligibility by age (both gates must agree — properties only ever
+    make expiration more conservative than the explicit keep_last)."""
+    import time as _t
+
+    _commit_noop(
+        cat, props={"history.expire.min-snapshots-to-keep": "3"}
+    )
+    for _ in range(3):
+        _commit_noop(cat)
+    # keep_last=1 would normally leave only v5; the property keeps 3
+    expired = cat.expire_snapshots("t", keep_last=1)
+    assert expired == [1, 2]
+    assert cat.table_history("t") == [3, 4, 5]
+
+    # an age gate far in the future: nothing is old enough to expire
+    _commit_noop(
+        cat, props={"history.expire.max-snapshot-age-ms": str(10**12)}
+    )
+    assert cat.expire_snapshots("t", keep_last=1) == []
+    # age gate of ~0: age no longer protects, min-keep still does
+    _t.sleep(0.01)
+    _commit_noop(
+        cat, props={"history.expire.max-snapshot-age-ms": "1"}
+    )
+    _t.sleep(0.01)
+    expired2 = cat.expire_snapshots("t", keep_last=1)
+    assert cat.table_history("t")[-3:] == [5, 6, 7]
+    assert len(cat.table_history("t")) == 3 and expired2 == [3, 4]
+
+
+def test_all_relations_union_history(tmp_path, cat):
+    """all_files / all_entries / all_manifests (round 11): the
+    per-snapshot relation unioned over every retained snapshot, each
+    row stamped with reference_snapshot_id."""
+    _commit_noop(cat)
+    af = mt.metadata_rows(cat, "t", "all_files")
+    assert {r[0] for r in af} == {1, 2}
+    assert len(af) == 6  # 3 files x 2 snapshots
+    ae = mt.metadata_rows(cat, "t", "all_entries")
+    # snapshot 1: all ADDED; snapshot 2 (same file set): all EXISTING
+    assert {(r[0], r[1]) for r in ae} == {(1, 1), (2, 0)}
+    am = mt.metadata_rows(cat, "t", "all_manifests")
+    assert {r[0] for r in am} == {1, 2}
+    assert mt.metadata_schema("all_files").fieldNames()[0] == (
+        "reference_snapshot_id"
+    )

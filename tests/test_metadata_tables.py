@@ -306,3 +306,107 @@ def test_manifests_entries_through_datasource_option(spark, tmp_path):
     got = {r["file_path"]: r["status"] for r in edf.collect()}
     assert got[str(tmp_path / "b.parquet")] == 2
     assert got[str(tmp_path / "a.parquet")] == 0
+
+
+def test_position_deletes_df_parquet_and_puffin(spark, tmp_path):
+    """position_deletes metadata table (round 11): the actual delete
+    rows, distributed — parquet delete files AND executor-decoded
+    puffin deletion vectors list together, stamped with their delete
+    file and sequence number."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from iceberg_compaction_spark.sources import puffin as pf
+
+    data = str(tmp_path / "d.parquet")
+    pq.write_table(pa.table({"id": list(range(10))}), data)
+    pdel = str(tmp_path / "del.parquet")
+    pq.write_table(
+        pa.table(
+            {
+                "sys_hidden_file_path": [data, data],
+                "sys_hidden_pos": pa.array([1, 3], type=pa.int64()),
+            }
+        ),
+        pdel,
+    )
+    puf = str(tmp_path / "dv.puffin")
+    pf.write_puffin_dvs(puf, {data: [5, 7]})
+    task = FileScanTask(
+        data_file_path=data,
+        length=100,
+        record_count=10,
+        sequence_number=1,
+        deletes=[
+            DeleteFile(
+                path=pdel,
+                content=POSITION_DELETE,
+                file_size_in_bytes=100,
+                record_count=2,
+                sequence_number=2,
+            ),
+            DeleteFile(
+                path=puf,
+                content=POSITION_DELETE,
+                file_size_in_bytes=100,
+                record_count=2,
+                sequence_number=3,
+            ),
+        ],
+    )
+    m = Manifest(
+        table_root=str(tmp_path),
+        snapshot_id=1,
+        sequence_number=3,
+        data_files=[task],
+    )
+    df = mt.position_deletes_df(spark, m)
+    rows = {(r["pos"], r["sequence_number"]) for r in df.collect()}
+    assert rows == {(1, 2), (3, 2), (5, 3), (7, 3)}
+    by_src = {
+        r["pos"]: r["delete_file_path"].split("/")[-1]
+        for r in df.collect()
+    }
+    assert by_src[1] == "del.parquet" and by_src[5] == "dv.puffin"
+    assert {r["file_path"].split("/")[-1] for r in df.collect()} == {
+        "d.parquet"
+    }
+
+    # empty: a snapshot with no position deletes yields an empty frame
+    empty = mt.position_deletes_df(
+        spark,
+        Manifest(
+            table_root=str(tmp_path),
+            snapshot_id=1,
+            sequence_number=1,
+            data_files=[
+                FileScanTask(
+                    data_file_path=data,
+                    length=100,
+                    record_count=10,
+                    sequence_number=1,
+                )
+            ],
+        ),
+    )
+    assert empty.count() == 0 and "pos" in empty.columns
+
+
+def test_all_relations_through_datasource_option(spark, tmp_path):
+    from iceberg_compaction_spark.sources.datasource import register
+
+    cat = _two_snapshot_catalog(tmp_path)
+    register(spark)
+    df = (
+        spark.read.format("iceberg-table")
+        .option("warehouse", cat.warehouse)
+        .option("table", "t")
+        .option("metadata", "all_files")
+        .load()
+    )
+    assert df.columns[0] == "reference_snapshot_id"
+    per_snap = {
+        r["reference_snapshot_id"]
+        for r in df.select("reference_snapshot_id").distinct().collect()
+    }
+    assert per_snap == {1, 2}

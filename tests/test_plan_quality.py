@@ -585,3 +585,88 @@ def test_conditional_merge_clause_resolution_stays_jvm(spark, tmp_path):
     assert "CartesianProduct" not in p and "NestedLoop" not in p, p
     assert "BatchEvalPython" not in p, p  # CASE stays in codegen
     assert "CASE WHEN" in p, p
+
+
+def test_update_image_pairing_single_window_no_join(spark):
+    """Round-11 gate: pair_update_images plans ONE Window over one hash
+    exchange on the key — no self-join, no cartesian, no Python UDF in
+    the row path."""
+    from iceberg_compaction_spark.sources.changes import (
+        pair_update_images,
+    )
+
+    df = spark.createDataFrame(
+        [(1, "a", "insert", 10), (1, "b", "delete", 10)],
+        ["id", "val", "_change_type", "_commit_snapshot_id"],
+    )
+    plan = (
+        pair_update_images(df, keys=["id"])
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert plan.count("Window") >= 1
+    assert "CartesianProduct" not in plan and "SortMergeJoin" not in plan
+    assert "BroadcastHashJoin" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_position_deletes_df_is_distributed_scan(spark, tmp_path):
+    """Round-11 gate: the position_deletes relation is a real file scan
+    union (delete content is data-sized) — no LocalTableScan of
+    driver-collected positions for the parquet side."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from iceberg_compaction_spark.plans.datamodel import (
+        POSITION_DELETE,
+        DeleteFile,
+        FileScanTask,
+    )
+    from iceberg_compaction_spark.sources.manifest import Manifest
+    from iceberg_compaction_spark.sources.metadata_tables import (
+        position_deletes_df,
+    )
+
+    data = str(tmp_path / "d.parquet")
+    pq.write_table(pa.table({"id": [1, 2, 3]}), data)
+    pdel = str(tmp_path / "del.parquet")
+    pq.write_table(
+        pa.table(
+            {
+                "sys_hidden_file_path": [data],
+                "sys_hidden_pos": pa.array([1], type=pa.int64()),
+            }
+        ),
+        pdel,
+    )
+    m = Manifest(
+        table_root=str(tmp_path),
+        snapshot_id=1,
+        sequence_number=2,
+        data_files=[
+            FileScanTask(
+                data_file_path=data,
+                length=10,
+                record_count=3,
+                sequence_number=1,
+                deletes=[
+                    DeleteFile(
+                        path=pdel,
+                        content=POSITION_DELETE,
+                        file_size_in_bytes=10,
+                        record_count=1,
+                        sequence_number=2,
+                    )
+                ],
+            )
+        ],
+    )
+    plan = (
+        position_deletes_df(spark, m)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "FileScan parquet" in plan or "Scan parquet" in plan
+    assert "LocalTableScan" not in plan
