@@ -2368,3 +2368,56 @@ def test_timestamp_time_travel_through_hadoop_catalog(spark, tmp_path):
     )
     got = {r["id"]: r["val"] for r in old.collect()}
     assert len(got) == 20 and 99 not in got
+
+
+def test_stream_cdc_pairing_via_foreach_batch(spark, cat, tmp_path):
+    """Round 11: update-image pairing composes with the CDC stream —
+    pair_update_images inside foreachBatch (each micro-batch is a
+    static frame, so the windowed pairing applies; _commit_snapshot_id
+    keeps pairing per-commit within multi-snapshot batches).  An upsert
+    that REPLACES a row streams as update_before/update_after; the
+    brand-new key stays a plain insert."""
+    from iceberg_compaction_spark.sources.changes import (
+        pair_update_images,
+    )
+
+    out = str(tmp_path / "paired")
+
+    def _pair(batch, _bid):
+        pair_update_images(batch, keys=["id"]).write.mode(
+            "append"
+        ).parquet(out)
+
+    def _run():
+        q = (
+            spark.readStream.format("iceberg-table")
+            .option("warehouse", cat.warehouse)
+            .option("table", "t")
+            .option("change_mode", "cdc")
+            .load()
+            .writeStream.foreachBatch(_pair)
+            .option("checkpointLocation", str(tmp_path / "ckpt"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    _run()  # pin the checkpoint at the pre-commit offset
+    if os.path.isdir(out):  # foreachBatch may write an empty frame
+        assert spark.read.parquet(out).count() == 0
+    delta = spark.createDataFrame(
+        [(3, "three"), (99, "ninetynine")], ["id", "val"]
+    )
+    m2 = upsert(spark, cat, "t", delta, keys=["id"])
+    _run()
+    got = sorted(
+        (r["id"], r["val"], r["_change_type"])
+        for r in spark.read.parquet(out).collect()
+    )
+    assert got == [
+        (3, "three", "update_after"),
+        (3, "v3", "update_before"),
+        (99, "ninetynine", "insert"),
+    ]
+    assert {r["_commit_snapshot_id"]
+            for r in spark.read.parquet(out).collect()} == {m2.snapshot_id}
