@@ -150,6 +150,66 @@ def with_fingerprints(
     )
 
 
+def unigram_logprob(
+    df: DataFrame,
+    text_col: str = "text",
+    id_cols: list[str] | None = None,
+    freqs: DataFrame | None = None,
+) -> DataFrame:
+    """CCNet-style unigram language-model quality score: per document,
+    the mean negative log2 probability of its word tokens under a
+    unigram LM — low values read like the reference corpus, high values
+    flag gibberish/boilerplate (the classic Wikipedia-LM perplexity
+    filter, here with a unigram model so the whole computation stays
+    JVM-side and oracle-reproducible).
+
+    ``freqs`` is the reference model: a ``(token, p)`` DataFrame.  When
+    omitted, the model is fit on the INPUT corpus itself (token
+    relative frequencies) — self-scoring, which ranks documents by how
+    typical their vocabulary is for this corpus.
+
+    Tokenization is deterministic and engine-portable: lowercase,
+    split on non-letters, drop empties — the same rule the DuckDB
+    oracle applies.
+
+    Scale shape: one explode over the corpus tokens, one map-side-
+    combinable aggregation to fit the model, one shuffle join token ->
+    p (the model is corpus-vocabulary-sized; Spark picks broadcast when
+    it fits), one groupBy(doc).  No Python in the row path, no window.
+    Returns ``id_cols + [n_tokens, logprob]`` (documents with zero
+    tokens are dropped — they have no LM score).
+    """
+    if id_cols is None:
+        id_cols = ["doc_id"]
+    toks = df.select(
+        *id_cols,
+        F.explode(
+            F.filter(
+                F.split(F.lower(F.col(text_col)), "[^a-z]+"),
+                lambda t: t != "",
+            )
+        ).alias("token"),
+    )
+    if freqs is None:
+        total = toks.count()
+        freqs = (
+            toks.groupBy("token")
+            .agg((F.count(F.lit(1)) / F.lit(total)).alias("p"))
+        )
+    scored = toks.join(freqs, "token", "left").withColumn(
+        # OOV under an external model: floor probability so one unseen
+        # token cannot produce an infinite score (CCNet clamps too)
+        "p", F.coalesce(F.col("p"), F.lit(1e-9))
+    )
+    return (
+        scored.groupBy(*id_cols)
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            (-F.avg(F.log2("p"))).alias("logprob"),
+        )
+    )
+
+
 def tfidf_top_terms(
     df: DataFrame,
     id_col: str = "doc_id",

@@ -3552,6 +3552,55 @@ def q_meta_entries(spark, sf_dir):
 
 
 @register(
+    "text_unigram_logprob",
+    """
+    WITH toks AS (
+      SELECT doc_id, t AS token
+      FROM (SELECT doc_id,
+                   unnest(string_split_regex(lower(text), '[^a-z]+')) AS t
+            FROM documents)
+      WHERE t <> ''
+    ),
+    model AS (
+      SELECT token,
+             count(*) * 1.0 / (SELECT count(*) FROM toks) AS p
+      FROM toks GROUP BY token
+    )
+    SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+           CAST(FLOOR(10000 * (-avg(log2(model.p)))) AS BIGINT)
+               AS logprob_e4
+    FROM toks JOIN model USING (token)
+    GROUP BY doc_id
+    """,
+)
+def q_text_unigram_logprob(spark, sf_dir):
+    """CCNet-style unigram LM quality scoring (round 11): per document,
+    the mean negative log2 probability of its tokens under a unigram
+    model fit on the corpus itself — the classic perplexity-filter
+    shape with the LM simplified to unigrams so the whole computation
+    stays JVM-side and the oracle can refit the identical model.
+    Score surfaces as a e4-floored integer (established ppm practice:
+    float avg accumulation order differs across engines).
+
+    Scale shape: one explode, one map-side-combinable model fit, one
+    token->p join (broadcast when the vocabulary fits), one
+    groupBy(doc).  No Python in the row path, no window."""
+    from iceberg_compaction_spark.operators.text import unigram_logprob
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", "text"
+    )
+    out = unigram_logprob(docs, "text", id_cols=["doc_id"])
+    return out.select(
+        "doc_id",
+        "n_tokens",
+        F.floor(F.lit(10000) * F.col("logprob"))
+        .cast("long")
+        .alias("logprob_e4"),
+    )
+
+
+@register(
     "dml_add_files",
     """
     SELECT doc_id, lang FROM documents

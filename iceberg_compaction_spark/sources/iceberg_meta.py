@@ -1521,16 +1521,57 @@ class IcebergHadoopCatalog(TableRefs):
         )
         return md
 
+    def _avro_refs(self, name: str, version: int) -> set:
+        """The Avro files (manifest list + manifests) a version's
+        metadata references — local-path normalized for set math."""
+        try:
+            md = json.loads(self._io.read_bytes(self._vpath(name, version)))
+        except FileNotFoundError:
+            return set()
+        out: set = set()
+        for snap in md.get("snapshots") or []:
+            ml = snap.get("manifest-list")
+            if not ml:
+                continue
+            ml = _local_path(ml)
+            out.add(ml)
+            try:
+                _, mfs = read_avro_file(ml)
+            except Exception:
+                continue
+            out.update(_local_path(mf["manifest_path"]) for mf in mfs)
+        return out
+
     def expire_snapshots(self, name: str, keep_last: int = 2) -> list[int]:
         # one shared retention policy (TableRefs._expirable_snapshots):
         # aged refs dropped first, ref-protected lineage pinned,
         # per-ref AND table-property retention honored
         expired = self._expirable_snapshots(name, keep_last)
+        if not expired:
+            return expired
+        # Reference-counted Avro cleanup: an expired version's manifest
+        # list + manifests are physical files under metadata/ that
+        # remove_orphan_files never touches (it only walks data
+        # *.parquet) — without this they accumulate forever on a table
+        # with routine expiration.  A manifest still referenced by ANY
+        # retained version (externally-written tables share manifests
+        # across snapshots) survives.
+        doomed: set = set()
+        for v in expired:
+            doomed |= self._avro_refs(name, v)
+        retained = set(self.table_history(name)) - set(expired)
+        for v in retained:
+            doomed -= self._avro_refs(name, v)
         for v in expired:
             try:
                 self._io.remove(self._vpath(name, v))
             except FileNotFoundError:
                 pass
+        import contextlib as _ctx
+
+        for p in doomed:
+            with _ctx.suppress(FileNotFoundError, OSError):
+                self._io.remove(p)
         return expired
 
     DEFAULT_ORPHAN_GRACE_S = 3 * 24 * 3600

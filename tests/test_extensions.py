@@ -765,3 +765,47 @@ def test_semantic_dedup_k_knob_shrinks_pair_work(spark):
         for r in sim.semantic_dedup(emb, cents16, 900000).collect()
     }
     assert survivors <= set(range(400)) and 0 in survivors
+
+
+def test_unigram_logprob_self_and_reference_model(spark):
+    """unigram_logprob (round 11): self-fit model ranks typical
+    vocabulary below rare vocabulary; an external reference model
+    scores OOV tokens at the floor instead of blowing up; zero-token
+    docs drop."""
+    import math
+
+    from iceberg_compaction_spark.operators.text import unigram_logprob
+
+    docs = spark.createDataFrame(
+        [
+            (1, "the cat sat on the mat"),
+            (2, "the cat sat"),
+            (3, "zyx qwv"),        # rare tokens -> high logprob
+            (4, "123 456 !!!"),    # no letter tokens at all
+        ],
+        ["doc_id", "text"],
+    )
+    out = {
+        r["doc_id"]: (r["n_tokens"], r["logprob"])
+        for r in unigram_logprob(docs, "text", ["doc_id"]).collect()
+    }
+    assert 4 not in out            # zero tokens -> no LM score
+    assert out[1][0] == 6 and out[3][0] == 2
+    # corpus-typical docs score lower than the rare-vocabulary doc
+    assert out[1][1] < out[3][1] and out[2][1] < out[3][1]
+    # hand-check doc 3: each token appears once in 11 total tokens
+    assert abs(out[3][1] - (-math.log2(1 / 11))) < 1e-9
+
+    # external reference model: OOV tokens hit the 1e-9 floor
+    ref = spark.createDataFrame(
+        [("the", 0.5), ("cat", 0.25), ("sat", 0.25)], ["token", "p"]
+    )
+    ref_out = {
+        r["doc_id"]: r["logprob"]
+        for r in unigram_logprob(docs, "text", ["doc_id"], freqs=ref)
+        .collect()
+    }
+    assert abs(
+        ref_out[2] - (-(math.log2(0.5) + 2 * math.log2(0.25)) / 3)
+    ) < 1e-9
+    assert ref_out[3] == -math.log2(1e-9)  # pure OOV, floored

@@ -739,3 +739,61 @@ def test_hadoop_catalog_full_maintenance_service(spark, hadoop_cat):
         r["id"]: r["val"] for r in read_table_mor(spark, final).collect()
     }
     assert got[3] == "new3" and got[42] == "v42" and len(got) == 11
+
+
+def test_expire_snapshots_cleans_orphaned_avro(spark, tmp_path):
+    """Round 11: expiring a version on the hadoop layout also removes
+    its manifest list + manifest Avro files when no retained version
+    references them — metadata/ would otherwise grow forever under
+    routine expiration (remove_orphan_files only walks data parquet).
+    Retained versions' Avro stays and the table still reads."""
+    import glob
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from iceberg_compaction_spark.sources.iceberg_meta import (
+        IcebergHadoopCatalog,
+    )
+    from iceberg_compaction_spark.sources.ingest import (
+        read_table_mor,
+        upsert,
+    )
+
+    root = str(tmp_path / "base")
+    os.makedirs(root)
+    pq.write_table(
+        pa.table(
+            {
+                "id": pa.array(range(6), type=pa.int64()),
+                "val": [f"v{i}" for i in range(6)],
+            }
+        ),
+        os.path.join(root, "b.parquet"),
+    )
+    cat = IcebergHadoopCatalog(warehouse=str(tmp_path / "wh"))
+    cat.create_table("h", Manifest.from_parquet_dir(root, sequence_number=1))
+    for i in range(2):
+        upsert(
+            spark,
+            cat,
+            "h",
+            spark.createDataFrame([(i, f"u{i}")], ["id", "val"]),
+            keys=["id"],
+        )
+    mdir = os.path.join(str(tmp_path / "wh"), "h", "metadata")
+    before = set(glob.glob(os.path.join(mdir, "*.avro")))
+    assert len(before) >= 3  # one list + manifests per version
+    expired = cat.expire_snapshots("h", keep_last=1)
+    assert expired == [1, 2]
+    after = set(glob.glob(os.path.join(mdir, "*.avro")))
+    assert after < before  # expired versions' Avro went away
+    # the retained head still resolves through its manifest list
+    got = {
+        r["id"]: r["val"]
+        for r in read_table_mor(spark, cat.load_table("h")).collect()
+    }
+    assert got[0] == "u0" and got[1] == "u1" and len(got) == 6
+    head_refs = cat._avro_refs("h", 3)
+    assert head_refs and all(os.path.exists(p) for p in head_refs)
+    assert after == {os.path.abspath(p) for p in head_refs} or after == head_refs
