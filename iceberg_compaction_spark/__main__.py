@@ -230,7 +230,15 @@ def cmd_branch(args, spark=None) -> dict:
     metadata-only CASed ref moves (sources/catalog.py TableRefs)."""
     cat = _catalog(args.warehouse)
     if args.create:
-        ref = cat.create_branch(args.table, args.create, args.snapshot)
+        retention = None
+        if getattr(args, "retention", None):
+            retention = {}
+            for kv in args.retention:
+                k, _, v = kv.partition("=")
+                retention[k.replace("-", "_")] = int(v)
+        ref = cat.create_branch(
+            args.table, args.create, args.snapshot, retention=retention
+        )
         return {"table": args.table, "created": args.create, "ref": ref}
     if args.fast_forward:
         if args.snapshot is None:
@@ -245,6 +253,64 @@ def cmd_branch(args, spark=None) -> dict:
         cat.drop_ref(args.table, args.drop)
         return {"table": args.table, "dropped": args.drop}
     return {"table": args.table, "refs": cat.list_refs(args.table)}
+
+
+def cmd_metadata(args, spark=None) -> dict:
+    """Print a metadata relation (files/snapshots/entries/manifests/
+    all_* ...) as JSON rows — commit forensics from a shell, no Spark
+    session needed (the row builders are pure driver-side functions)."""
+    from iceberg_compaction_spark.sources.metadata_tables import (
+        metadata_rows,
+        metadata_schema,
+    )
+
+    rows = metadata_rows(
+        _catalog(args.warehouse),
+        args.table,
+        args.kind,
+        snapshot_id=args.snapshot,
+    )
+    return {
+        "table": args.table,
+        "kind": args.kind,
+        "columns": metadata_schema(args.kind).fieldNames(),
+        "rows": [list(r) for r in rows],
+    }
+
+
+def cmd_add_files(args, spark=None) -> dict:
+    """Metadata-only import of existing parquet (Iceberg's add_files
+    procedure): register, never rewrite."""
+    from iceberg_compaction_spark.sources.ingest import add_files
+
+    m = add_files(
+        _catalog(args.warehouse),
+        args.table,
+        args.src_dir,
+        to_branch=args.to_branch,
+    )
+    return {
+        "table": args.table,
+        "snapshot_id": m.snapshot_id,
+        "imported_dir": args.src_dir,
+        "to_branch": args.to_branch,
+    }
+
+
+def cmd_orphans(args, spark=None) -> dict:
+    """Orphan-file cleanup, DRY-RUN by default: report what would be
+    removed; pass --apply to actually unlink (the audit-then-apply
+    workflow operators expect from destructive maintenance)."""
+    removed = _catalog(args.warehouse).remove_orphan_files(
+        args.table,
+        older_than_s=args.older_than_s,
+        dry_run=not args.apply,
+    )
+    return {
+        "table": args.table,
+        "dry_run": not args.apply,
+        ("removed" if args.apply else "would_remove"): removed,
+    }
 
 
 def build_parser() -> argparse.ArgumentParser:
@@ -319,6 +385,36 @@ def build_parser() -> argparse.ArgumentParser:
         default=None,
         help="target snapshot for --create/--fast-forward",
     )
+    b.add_argument(
+        "--retention",
+        nargs="+",
+        default=None,
+        help="per-ref retention for --create, k=v pairs "
+        "(max-ref-age-ms / max-snapshot-age-ms / min-snapshots-to-keep)",
+    )
+    md = sub.add_parser(
+        "metadata", help="print a metadata relation as JSON rows"
+    )
+    common(md)
+    md.add_argument(
+        "--kind",
+        required=True,
+        help="files|delete_files|partitions|snapshots|history|refs|"
+        "manifests|entries|all_files|all_entries|all_manifests",
+    )
+    md.add_argument("--snapshot", type=int, default=None)
+    af = sub.add_parser(
+        "add-files", help="metadata-only import of existing parquet"
+    )
+    common(af)
+    af.add_argument("--src-dir", required=True)
+    af.add_argument("--to-branch", default=None)
+    o = sub.add_parser(
+        "orphans", help="orphan-file report (dry-run) / cleanup (--apply)"
+    )
+    common(o)
+    o.add_argument("--older-than-s", type=float, default=3 * 24 * 3600)
+    o.add_argument("--apply", action="store_true")
     return p
 
 
@@ -331,6 +427,9 @@ COMMANDS = {
     "rollback": cmd_rollback,
     "maintain": cmd_maintain,
     "branch": cmd_branch,
+    "metadata": cmd_metadata,
+    "add-files": cmd_add_files,
+    "orphans": cmd_orphans,
 }
 
 

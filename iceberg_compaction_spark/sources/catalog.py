@@ -775,8 +775,11 @@ class FileCatalog(TableRefs):
         name: str,
         scan_root: str | None = None,
         older_than_s: float = DEFAULT_ORPHAN_GRACE_S,
+        dry_run: bool = False,
     ) -> list[str]:
-        return remove_orphan_files_for(self, name, scan_root, older_than_s)
+        return remove_orphan_files_for(
+            self, name, scan_root, older_than_s, dry_run
+        )
 
     def commit_table(
         self,
@@ -1047,6 +1050,7 @@ def remove_orphan_files_for(
     name: str,
     scan_root: str | None = None,
     older_than_s: float = FileCatalog.DEFAULT_ORPHAN_GRACE_S,
+    dry_run: bool = False,
 ) -> list[str]:
     """Iceberg's remove-orphan-files maintenance: delete parquet files
     under the table's data root that no RETAINED snapshot references
@@ -1110,8 +1114,11 @@ def remove_orphan_files_for(
     for p in candidates:
         if io.canonical(p) in referenced:
             continue
-        with contextlib.suppress(FileNotFoundError):
-            io.remove(p)
+        if not dry_run:
+            # dry_run=True reports what WOULD be removed (the audit
+            # step operators run before the first destructive pass)
+            with contextlib.suppress(FileNotFoundError):
+                io.remove(p)
         removed.append(p)
     return sorted(removed)
 

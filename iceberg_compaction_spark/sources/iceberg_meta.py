@@ -1581,6 +1581,7 @@ class IcebergHadoopCatalog(TableRefs):
         name: str,
         scan_root: str | None = None,
         older_than_s: float = DEFAULT_ORPHAN_GRACE_S,
+        dry_run: bool = False,
     ) -> list[str]:
         """Remove-orphan-files over the real-metadata layout — the same
         catalog-generic walk FileCatalog uses (retained-snapshot union,
@@ -1591,7 +1592,9 @@ class IcebergHadoopCatalog(TableRefs):
             remove_orphan_files_for,
         )
 
-        return remove_orphan_files_for(self, name, scan_root, older_than_s)
+        return remove_orphan_files_for(
+            self, name, scan_root, older_than_s, dry_run
+        )
 
     # ---- internals -----------------------------------------------------
 

@@ -221,3 +221,53 @@ def test_cli_wap_branch_lifecycle(spark, tmp_path):
 
     out = run(["delete", *base, "--where", "id < 3", "--to-branch", "audit"])
     assert out["committed"] and cat.load_table("t").snapshot_id == staged
+
+
+def test_cli_metadata_addfiles_orphans(spark, wh, tmp_path):
+    """Round-11 commands: metadata relations from a shell, metadata-only
+    imports, and dry-run-by-default orphan cleanup."""
+    base = ["--warehouse", wh, "--table", "t"]
+
+    out = _run(spark, ["metadata", *base, "--kind", "files"])
+    assert out["columns"][0] == "content" and len(out["rows"]) == 4
+
+    out = _run(spark, ["metadata", *base, "--kind", "entries"])
+    assert {r[0] for r in out["rows"]} == {1}  # all ADDED at snapshot 1
+
+    # add-files: metadata-only import
+    extra = str(tmp_path / "extra")
+    os.makedirs(extra)
+    pq.write_table(
+        pa.table(
+            {
+                "id": pa.array([500], type=pa.int64()),
+                "val": ["x500"],
+            }
+        ),
+        os.path.join(extra, "imp.parquet"),
+    )
+    out = _run(spark, ["add-files", *base, "--src-dir", extra])
+    assert out["snapshot_id"] == 2
+
+    out = _run(spark, ["metadata", *base, "--kind", "all_manifests"])
+    assert {r[0] for r in out["rows"]} == {1, 2}
+
+    # orphan cleanup: dry-run reports, --apply removes
+    orphan = os.path.join(os.path.dirname(wh), "t", "stray.parquet")
+    pq.write_table(pa.table({"id": pa.array([1], type=pa.int64())}), orphan)
+    os.utime(orphan, (1, 1))  # far older than any grace window
+    out = _run(spark, ["orphans", *base])
+    assert out["dry_run"] and out["would_remove"] == [orphan]
+    assert os.path.exists(orphan)  # dry run touched nothing
+    out = _run(spark, ["orphans", *base, "--apply"])
+    assert out["removed"] == [orphan] and not os.path.exists(orphan)
+
+    # branch create with per-ref retention via the CLI
+    out = _run(
+        spark,
+        [
+            "branch", *base, "--create", "audit",
+            "--retention", "max-ref-age-ms=1000",
+        ],
+    )
+    assert out["ref"]["max_ref_age_ms"] == 1000
