@@ -883,6 +883,38 @@ def merge_into(
     return CommitManager().commit_with_retry(attempt)
 
 
+def _stamp_hive_partitions(
+    staged: Manifest, spec: list, table_name: str, spec_id: int = 0
+) -> None:
+    """Partition tuples for imported files from HIVE-STYLE path
+    segments (``<field>=<value>`` directories) — how Iceberg's own
+    add_files infers partitions.  Every spec field must be named by
+    some path segment on EVERY file, else the import is rejected
+    (an invented tuple would silently mis-prune).  Values stay the
+    raw path strings: the engine's partition matching is dual
+    native/string everywhere (plans/pruning.py), and hive paths ARE
+    the string representation."""
+    import urllib.parse
+
+    names = [f.get("name") for f in spec]
+    for t in staged.data_files:
+        segs = {}
+        for seg in t.data_file_path.split(os.sep):
+            if "=" in seg and not seg.endswith(".parquet"):
+                k, _, v = seg.partition("=")
+                segs[k] = urllib.parse.unquote(v)
+        missing = [n for n in names if n not in segs]
+        if missing:
+            raise ValueError(
+                f"{table_name} is partitioned by {names}; imported file "
+                f"{t.data_file_path!r} has no hive-style "
+                f"'<field>=<value>' path segment for {missing} — "
+                f"add_files infers partitions from paths only"
+            )
+        t.partition = tuple(segs[n] for n in names)
+        t.spec_id = spec_id  # written under the CURRENT spec
+
+
 def add_files(
     catalog,
     table_name: str,
@@ -903,10 +935,11 @@ def add_files(
       so a name mismatch would read as nulls — fail loudly instead);
     - duplicate-path check: a file already tracked by the target ref's
       snapshot cannot be added twice (double-counted rows);
-    - partitioned tables are rejected: imported files carry no
-      partition tuples, and inventing them from paths would silently
-      mis-prune (import into a partitioned table goes through the
-      DataSource's partitioned writer, which fans out real tuples).
+    - partitioned tables need HIVE-STYLE paths: each file must sit
+      under ``<field>=<value>`` directories covering every spec field
+      by name (how Iceberg's own add_files infers partition tuples);
+      anything else is rejected — inventing tuples would silently
+      mis-prune.
 
     CAS-retried like every DML statement; ``to_branch`` stages the
     import on a branch (the WAP pattern for bulk backfills: import,
@@ -914,17 +947,18 @@ def add_files(
     """
     from iceberg_compaction_spark.commit import CommitManager
 
-    staged = Manifest.from_parquet_dir(src_dir)
+    staged = Manifest.from_parquet_dir(src_dir, recursive=True)
     if not staged.data_files:
         raise ValueError(f"no parquet files under {src_dir!r}")
 
     def attempt() -> Manifest:
         cur = _load_head(catalog, table_name, to_branch)
         if cur.partition_spec:
-            raise ValueError(
-                f"{table_name} is partitioned; add_files cannot invent "
-                "partition tuples — write through the partitioned "
-                "DataSource writer instead"
+            _stamp_hive_partitions(
+                staged,
+                cur.partition_spec,
+                table_name,
+                spec_id=cur.default_spec_id,
             )
         if check_schema:
             from iceberg_compaction_spark.sources.iceberg_meta import (

@@ -193,6 +193,7 @@ class Manifest:
         pattern_suffix: str = ".parquet",
         sequence_number: int = 1,
         collect_stats: bool = True,
+        recursive: bool = False,
     ) -> "Manifest":
         """Bootstrap a manifest from a directory of parquet files.
 
@@ -200,13 +201,22 @@ class Manifest:
         commit); record counts — and, with ``collect_stats``, per-column
         bounds + null counts for plan-time file pruning — come from
         parquet footers (cheap: metadata only, no data IO).
-        """
+        ``recursive`` descends subdirectories (hive-style layouts for
+        add_files partition inference)."""
         import pyarrow.parquet as pq
 
         from iceberg_compaction_spark.plans import pruning as pr
 
+        if recursive:
+            names = sorted(
+                os.path.relpath(os.path.join(d, f), root)
+                for d, _, files in os.walk(root)
+                for f in files
+            )
+        else:
+            names = sorted(os.listdir(root))
         tasks: list[FileScanTask] = []
-        for name in sorted(os.listdir(root)):
+        for name in names:
             if not name.endswith(pattern_suffix):
                 continue
             path = os.path.join(root, name)

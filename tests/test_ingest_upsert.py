@@ -1449,20 +1449,72 @@ def test_add_files_metadata_only_import(spark, tmp_path):
     assert m3.snapshot_id == cat.list_refs("t")["backfill"]["snapshot_id"]
 
 
-def test_add_files_rejects_partitioned_table(tmp_path):
+def test_add_files_partitioned_hive_inference(spark, tmp_path):
+    """add_files on a partitioned table infers partition tuples from
+    hive-style '<field>=<value>' path segments (Iceberg's own add_files
+    behavior); a file without the segment is rejected — tuples are
+    never invented."""
     from iceberg_compaction_spark.sources.ingest import add_files
 
     root = str(tmp_path / "tbl")
     os.makedirs(root)
     pq.write_table(
-        pa.table({"id": pa.array([1], type=pa.int64()), "lang": ["en"]}),
+        pa.table(
+            {
+                "id": pa.array([1, 2], type=pa.int64()),
+                "lang": ["en", "en"],
+            }
+        ),
         os.path.join(root, "a.parquet"),
     )
     m = Manifest.from_parquet_dir(root, sequence_number=1)
     m.partition_spec = [
         {"source": "lang", "transform": "identity", "name": "lang"}
     ]
+    for t in m.data_files:
+        t.partition = ("en",)
     cat = FileCatalog(warehouse=str(tmp_path / "wh"))
     cat.create_table("p", m)
-    with pytest.raises(ValueError, match="partitioned"):
-        add_files(cat, "p", root)
+
+    src = str(tmp_path / "imp")
+    os.makedirs(os.path.join(src, "lang=fr"))
+    pq.write_table(
+        pa.table(
+            {
+                "id": pa.array([10, 11], type=pa.int64()),
+                "lang": ["fr", "fr"],
+            }
+        ),
+        os.path.join(src, "lang=fr", "part-0.parquet"),
+    )
+    m2 = add_files(cat, "p", src)
+    imp = next(
+        t for t in m2.data_files if "lang=fr" in t.data_file_path
+    )
+    assert imp.partition == ("fr",)
+    # the inferred tuple PRUNES like a written one: upsert keyed on
+    # lang scopes its eq-delete away from the imported partition
+    upsert(
+        spark,
+        cat,
+        "p",
+        spark.createDataFrame([("en", 1, None)],
+                              "lang string, id long, extra string")
+        .select("lang", "id"),
+        keys=["lang", "id"],
+    )
+    cur = cat.load_table("p")
+    fr = next(t for t in cur.data_files if "lang=fr" in t.data_file_path)
+    assert fr.deletes == []  # untouched partition skipped the delete
+
+    # a flat (no hive segment) file into a partitioned table: rejected
+    flat = str(tmp_path / "flat")
+    os.makedirs(flat)
+    pq.write_table(
+        pa.table(
+            {"id": pa.array([3], type=pa.int64()), "lang": ["de"]}
+        ),
+        os.path.join(flat, "f.parquet"),
+    )
+    with pytest.raises(ValueError, match="hive-style"):
+        add_files(cat, "p", flat)
