@@ -1164,3 +1164,86 @@ def rollback_table(
         return catalog.commit_table(name, cur.snapshot_id, new)
 
     return CommitManager().commit_with_retry(attempt)
+
+
+def cherry_pick(
+    catalog, name: str, snapshot_id: int, to_branch: str | None = None
+) -> Manifest:
+    """Iceberg's ``cherrypick_snapshot``: apply a staged snapshot's
+    changes onto the CURRENT target head as a new commit — the WAP
+    publish path when ``fast_forward`` refuses because main has
+    advanced past the branch's fork point.
+
+    Like Iceberg, only APPEND snapshots are cherry-pickable: the staged
+    snapshot's diff against ITS OWN parent must add data files and
+    nothing else (no removals, no delete-set changes) — replaying a
+    rewrite or an upsert onto a moved head could resurrect deleted rows
+    or double-apply deletes, so those are rejected loudly.  The added
+    files enter the target at the NEW commit's sequence number: they
+    are new data as of this commit, so existing equality deletes
+    (strictly lower sequence) correctly do not apply to them.
+
+    Catalog-generic and CAS-retried like :func:`rollback_table`.
+    """
+    from iceberg_compaction_spark.commit import CommitManager
+    from iceberg_compaction_spark.sources.changes import diff_files
+
+    def attempt() -> Manifest:
+        staged = catalog.load_table_at(name, snapshot_id)
+        parents = catalog.snapshot_parents(name)
+        parent_id = parents.get(snapshot_id)
+        if parent_id is None:
+            raise ValueError(
+                f"{name}@{snapshot_id} has no parent stamp — cherry-pick "
+                "needs the staged commit's base to compute its changes"
+            )
+        parent = catalog.load_table_at(name, parent_id)
+        diff = diff_files(parent, staged)
+        if diff.removed_data_files or diff.changed_delete_files:
+            raise ValueError(
+                f"cherry-pick supports append-only snapshots; "
+                f"{name}@{snapshot_id} removes "
+                f"{len(diff.removed_data_files)} file(s) and changes "
+                f"deletes on {len(diff.changed_delete_files)} — publish "
+                "via fast_forward (exact lineage) or re-apply the DML "
+                "against the current head"
+            )
+        cur = (
+            catalog.load_table_ref(name, to_branch)
+            if to_branch
+            else catalog.load_table(name)
+        )
+        have = set(cur.paths())
+        added = [
+            t
+            for t in staged.data_files
+            if t.data_file_path in set(diff.added_data_files)
+        ]
+        dups = [t.data_file_path for t in added if t.data_file_path in have]
+        if dups:
+            raise ValueError(
+                f"cherry-pick target already contains "
+                f"{len(dups)} of the staged files (already published?): "
+                f"{dups[:3]}"
+            )
+        if not added:
+            return cur  # empty append: nothing to publish
+        new = Manifest.from_dict(cur.to_dict())
+        new.snapshot_id = cur.next_snapshot()
+        new.sequence_number = cur.sequence_number + 1
+        new.operation = "append"
+        import dataclasses
+
+        for t in added:
+            new.data_files.append(
+                dataclasses.replace(
+                    t, sequence_number=new.sequence_number, deletes=[]
+                )
+            )
+        if to_branch:
+            return catalog.commit_table(
+                name, cur.snapshot_id, new, to_branch=to_branch
+            )
+        return catalog.commit_table(name, cur.snapshot_id, new)
+
+    return CommitManager().commit_with_retry(attempt)

@@ -643,3 +643,59 @@ def test_branch_lineage_trimmed_by_snapshot_age_policy(spark, cat):
     assert head not in expired
     assert "work" in cat.list_refs("t")
     assert _rows(spark, cat, ref="work")[911] == "s2"  # head readable
+
+
+def test_cherry_pick_publishes_append_after_main_moved(spark, cat, tmp_path):
+    """cherry_pick (round 11; Iceberg's cherrypick_snapshot): when main
+    advanced past the branch's fork, fast_forward refuses — cherry-pick
+    replays the branch's APPEND onto the current head as a new commit;
+    non-append staged commits are rejected."""
+    import os
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from iceberg_compaction_spark.sources.catalog import cherry_pick
+    from iceberg_compaction_spark.sources.ingest import add_files
+
+    cat.create_branch("t", "backfill")
+    # append-only branch commit via add_files (storage v2)
+    extra = str(tmp_path / "extra")
+    os.makedirs(extra)
+    pq.write_table(
+        pa.table(
+            {
+                "id": pa.array([700, 701], type=pa.int64()),
+                "val": ["b700", "b701"],
+            }
+        ),
+        os.path.join(extra, "imp.parquet"),
+    )
+    staged = add_files(cat, "t", extra, to_branch="backfill")
+    # main moves past the fork (v3)
+    upsert(
+        spark, cat, "t",
+        spark.createDataFrame([(5, "moved")], ["id", "val"]),
+        keys=["id"],
+    )
+    with pytest.raises(ValueError, match="fast-forward"):
+        cat.fast_forward("t", "main", staged.snapshot_id)
+
+    published = cherry_pick(cat, "t", staged.snapshot_id)
+    rows = _rows(spark, cat)
+    assert rows[700] == "b700" and rows[701] == "b701"
+    assert rows[5] == "moved"  # main's own commit survives
+    assert published.snapshot_id == cat.list_refs("t")["main"]["snapshot_id"]
+    # re-picking the same snapshot: duplicate-file guard
+    with pytest.raises(ValueError, match="already contains"):
+        cherry_pick(cat, "t", staged.snapshot_id)
+
+    # a NON-append staged commit (upsert writes an eq-delete) refuses
+    cat.create_branch("t", "audit2")
+    m = upsert(
+        spark, cat, "t",
+        spark.createDataFrame([(1, "staged1")], ["id", "val"]),
+        keys=["id"], to_branch="audit2",
+    )
+    with pytest.raises(ValueError, match="append-only"):
+        cherry_pick(cat, "t", m.snapshot_id)
