@@ -1460,18 +1460,6 @@ class _AppendWriter(DataSourceArrowWriter):
         # a catalog with branch-commit support (file, rest)
         self._branch = options.get("to_branch")
         self._overwrite = overwrite
-        self._target = int(
-            options.get("target_file_size_bytes", self.DEFAULT_TARGET_BYTES)
-        )
-        # rolling is only checked on flush boundaries, so a row group
-        # can never be allowed to exceed the file target (compressed <=
-        # arrow in-memory, so min() keeps small-target rolling exact)
-        self._row_group_bytes = min(
-            int(options.get("row_group_bytes", self.DEFAULT_ROW_GROUP_BYTES)),
-            int(
-                options.get("target_file_size_bytes", self.DEFAULT_TARGET_BYTES)
-            ),
-        )
         # resolve the target directory at plan time (driver); executors
         # must not need the catalog
         from iceberg_compaction_spark.sources.catalog import (
@@ -1489,6 +1477,28 @@ class _AppendWriter(DataSourceArrowWriter):
             else _cat.load_table(self._table)
         )
         self._root = _m.table_root
+        # file-size target resolution, Iceberg's order: writer option >
+        # the table's own write.target-file-size-bytes property >
+        # engine default — a table declaring its target sizes every
+        # engine's output without per-job plumbing
+        prop_target = (_m.properties or {}).get(
+            "write.target-file-size-bytes"
+        )
+        self._target = int(
+            options.get(
+                "target_file_size_bytes",
+                prop_target
+                if prop_target is not None
+                else self.DEFAULT_TARGET_BYTES,
+            )
+        )
+        # rolling is only checked on flush boundaries, so a row group
+        # can never be allowed to exceed the file target (compressed <=
+        # arrow in-memory, so min() keeps small-target rolling exact)
+        self._row_group_bytes = min(
+            int(options.get("row_group_bytes", self.DEFAULT_ROW_GROUP_BYTES)),
+            self._target,
+        )
         # the table's CURRENT partition spec: writes fan out per
         # partition value (hive-style dirs for readability; the values
         # of record live in the manifest) — Iceberg's partitioned-write

@@ -2421,3 +2421,31 @@ def test_stream_cdc_pairing_via_foreach_batch(spark, cat, tmp_path):
     ]
     assert {r["_commit_snapshot_id"]
             for r in spark.read.parquet(out).collect()} == {m2.snapshot_id}
+
+
+def test_write_honors_table_target_size_property(spark, cat):
+    """Round 11: Iceberg's write.target-file-size-bytes TABLE property
+    sizes the writer's rolling when no writer option overrides it
+    (resolution: option > property > default) — a table declares its
+    target once and every engine's output follows."""
+    cur = cat.load_table("t")
+    nxt = Manifest.from_dict(cur.to_dict())
+    nxt.snapshot_id = cur.next_snapshot()
+    nxt.properties["write.target-file-size-bytes"] = 100000
+    cat.commit_table("t", cur.snapshot_id, nxt)
+
+    n = 25000
+    rows = [(1000 + i, f"{i:07d}-payload-" * 8) for i in range(n)]
+    (
+        spark.createDataFrame(rows, "id long, val string")
+        .coalesce(1)
+        .write.format("iceberg-table")
+        .option("warehouse", cat.warehouse)
+        .option("table", "t")
+        .mode("append")  # NO size option: the property drives rolling
+        .save()
+    )
+    m = cat.load_table("t")
+    added = [t for t in m.data_files if "append-" in t.data_file_path]
+    assert len(added) >= 2  # rolled at the property's target
+    assert sum(t.record_count for t in added) == n

@@ -57,6 +57,10 @@ TRACKED = [
     # k is the paper's scale knob (tracked per VERDICT r9 #5; the
     # k-knob contract itself is test_semantic_dedup_k_knob below)
     "dedup_semantic",
+    # round 11: unigram-LM scoring — corpus explode + model fit + a
+    # token->p join whose build side (the vocabulary) grows sublinearly
+    # with the corpus; tracked to pin that the join stays linear-ish
+    "text_unigram_logprob",
 ]
 
 
