@@ -206,3 +206,108 @@ def test_manifest_dict_roundtrip_exact(m):
     # properties must be a COPY, not an alias
     r.properties["__mut"] = "x"
     assert "__mut" not in m.properties
+
+
+# ---- round 11: multi-field eq-delete scope intersection ----------------------
+
+
+@settings(max_examples=300, deadline=None)
+@given(
+    st.lists(  # spec: (source is a key?, transform)
+        st.tuples(st.booleans(), st.sampled_from(
+            ["identity", "bucket[4]", "truncate[2]"]
+        )),
+        min_size=1,
+        max_size=4,
+    ),
+    st.lists(st.integers(0, 50), min_size=1, max_size=20),  # batch values
+    st.data(),
+)
+def test_eq_scope_never_skips_a_matching_file(spec_shape, batch, data):
+    """Soundness of the scope INTERSECTION: any file that could hold a
+    batch key's row (its recorded cell equals the transformed key value
+    on EVERY keyed field) must get the delete attached — brute-force
+    check against randomly generated file partition tuples."""
+    from iceberg_compaction_spark.functions.transforms import (
+        transform_value,
+    )
+    from iceberg_compaction_spark.sources.ingest import (
+        _eq_attach_needed,
+        _eq_delete_scope,
+    )
+
+    class Cur:
+        partition_spec = [
+            {
+                "source": "k" if is_key else f"other{i}",
+                "transform": tr,
+                "name": f"f{i}",
+            }
+            for i, (is_key, tr) in enumerate(spec_shape)
+        ]
+
+    scope = _eq_delete_scope(Cur(), ["k"], lambda col: list(batch))
+    n = len(spec_shape)
+
+    class T:
+        spec_id = 0
+
+        def __init__(self, part):
+            self.partition = part
+
+    # files whose cells COME FROM a batch value on keyed fields must
+    # attach; cells from a non-batch value may be skipped
+    for v in batch + [99, 77]:  # 99/77 are outside the 0..50 batch range
+        cells = []
+        for is_key, tr in spec_shape:
+            src = v if is_key else data.draw(st.integers(0, 5))
+            cells.append(transform_value(tr, src) if tr != "identity" else src)
+        t = T(tuple(cells))
+        needed = scope is None or _eq_attach_needed(t, 0, *scope)
+        if v in batch:
+            assert needed, (spec_shape, batch, v, cells, scope)
+        # (v not in batch may still attach — conservative is allowed)
+
+
+@settings(max_examples=25, deadline=None)
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(1, 5),              # key
+            st.sampled_from(["insert", "delete"]),
+            st.integers(10, 12),            # commit
+        ),
+        max_size=25,
+    )
+)
+def test_pair_update_images_invariants(spark, rows):
+    """Pairing is a pure RE-TAGGING: row count and per-key multiset of
+    payloads are preserved; a (commit, key) gets update_* iff it has
+    BOTH an insert and a delete; tags never mix within one side.
+    (The session-scoped spark fixture composes with @given.)"""
+    from iceberg_compaction_spark.sources import changes as ch
+
+    df = spark.createDataFrame(
+        [(k, t, c) for (k, t, c) in rows] or [(0, "insert", 0)],
+        ["id", ch.CHANGE_TYPE, "_commit_snapshot_id"],
+    )
+    out = ch.pair_update_images(df, keys=["id"]).collect()
+    src = df.collect()
+    assert len(out) == len(src)
+    both = {
+        (r["_commit_snapshot_id"], r["id"])
+        for r in src
+    }
+    def kinds(rs, cid, k):
+        return {
+            r[ch.CHANGE_TYPE]
+            for r in rs
+            if r["_commit_snapshot_id"] == cid and r["id"] == k
+        }
+    for (cid, k) in both:
+        before = kinds(src, cid, k)
+        after = kinds(out, cid, k)
+        if before == {"insert", "delete"}:
+            assert after == {"update_after", "update_before"}
+        else:
+            assert after == before  # unpaired rows keep their tags
