@@ -172,12 +172,15 @@ def unigram_logprob(
     split on non-letters, drop empties — the same rule the DuckDB
     oracle applies.
 
-    Scale shape: one explode over the corpus tokens, one map-side-
-    combinable aggregation to fit the model, one shuffle join token ->
-    p (the model is corpus-vocabulary-sized; Spark picks broadcast when
-    it fits), one groupBy(doc).  No Python in the row path, no window.
-    Returns ``id_cols + [n_tokens, logprob]`` (documents with zero
-    tokens are dropped — they have no LM score).
+    Scale shape (self-fit): the token stream is computed twice — once
+    to FIT the model (map-side-combinable token counts; the total comes
+    from summing the vocabulary-sized counts via a broadcast scalar,
+    never a driver action) and once as the probe side of the token->p
+    join (the model is vocabulary-sized; Spark picks broadcast when it
+    fits) — then one groupBy(doc).  No Python in the row path, no
+    window, no ``.count()`` job.  With an external ``freqs`` model the
+    corpus is scanned once.  Returns ``id_cols + [n_tokens, logprob]``
+    (documents with zero tokens are dropped — they have no LM score).
     """
     if id_cols is None:
         id_cols = ["doc_id"]
@@ -191,10 +194,12 @@ def unigram_logprob(
         ).alias("token"),
     )
     if freqs is None:
-        total = toks.count()
-        freqs = (
-            toks.groupBy("token")
-            .agg((F.count(F.lit(1)) / F.lit(total)).alias("p"))
+        counts = toks.groupBy("token").agg(
+            F.count(F.lit(1)).alias("__n")
+        )
+        total = counts.agg(F.sum("__n").alias("__t"))
+        freqs = counts.crossJoin(F.broadcast(total)).select(
+            "token", (F.col("__n") / F.col("__t")).alias("p")
         )
     scored = toks.join(freqs, "token", "left").withColumn(
         # OOV under an external model: floor probability so one unseen

@@ -39,6 +39,16 @@ _VERSION_STAMP_CAP = 65536
 _STAMP_MISSING = object()
 
 
+def _stamp_cache_invalidate(path: str) -> None:
+    """Drop one path's memoized stamp.  Version files are immutable
+    WHILE THEY EXIST, but a ref-targeted commit that loses its refs-CAS
+    REMOVES its allocated version file — a retry can then re-create the
+    same path with a different parent/timestamp, so every removal site
+    must invalidate or the memo would serve the dead commit's lineage
+    forever (round-11 review finding)."""
+    _VERSION_STAMP_CACHE.pop(path, None)
+
+
 class TableNotFound(KeyError):
     pass
 
@@ -532,6 +542,30 @@ class TableRefs:
 
         self._refs_cas(name, mutate)
 
+    def _embedded_refs_map(
+        self, refs: dict, target: str, allocated: int, pre_main: int
+    ) -> dict:
+        """The spec-spelled ``refs`` map a ref-targeted commit embeds in
+        its TableMetadata: EVERY existing ref carried through (a table
+        with a second branch or tags must not have them erased from the
+        metadata's refs view — round-11 review finding), main pinned at
+        its pre-commit head, the target moved to the allocation.  The
+        CASed refs side file stays authoritative; this map is what
+        external conforming readers see."""
+        er = {
+            r: {
+                "snapshot-id": info["snapshot_id"],
+                "type": info.get("type", "branch"),
+            }
+            for r, info in refs.items()
+        }
+        er["main"] = {
+            "snapshot-id": allocated if target == "main" else pre_main,
+            "type": "branch",
+        }
+        er[target] = {"snapshot-id": allocated, "type": "branch"}
+        return er
+
     def _check_branch_target(self, refs: dict, to_branch: str) -> None:
         ref = refs.get(to_branch)
         if ref is None:
@@ -764,6 +798,7 @@ class FileCatalog(TableRefs):
         for v in expired:
             with contextlib.suppress(FileNotFoundError):
                 self._io.remove(self._version_path(name, v))
+            _stamp_cache_invalidate(self._version_path(name, v))
         return expired
 
     # Iceberg's remove_orphan_files default olderThan is 3 days — the
@@ -910,9 +945,20 @@ class FileCatalog(TableRefs):
             )
         except CommitConflict:
             # the allocated snapshot never became referenced: unlink it
+            # (and drop its memoized stamp — a retry may re-create the
+            # same path with different lineage)
             with _ctx.suppress(FileNotFoundError):
                 self._io.remove(self._version_path(name, allocated))
+            _stamp_cache_invalidate(self._version_path(name, allocated))
             raise
+        if target != "main":
+            # repoint the advisory hint at the PUBLISHED main head so
+            # hint-following readers never land on the unpublished
+            # branch allocation (engine readers are refs-aware; this is
+            # for anything resolving the layout directly)
+            self._io.write_atomic(
+                self._hint_path(name), str(pre_main).encode()
+            )
         return new_manifest
 
     # ---- internals -----------------------------------------------------
@@ -1214,10 +1260,9 @@ def cherry_pick(
             else catalog.load_table(name)
         )
         have = set(cur.paths())
+        added_set = set(diff.added_data_files)
         added = [
-            t
-            for t in staged.data_files
-            if t.data_file_path in set(diff.added_data_files)
+            t for t in staged.data_files if t.data_file_path in added_set
         ]
         dups = [t.data_file_path for t in added if t.data_file_path in have]
         if dups:

@@ -347,11 +347,27 @@ def changelog_for_ref(
     (`ref="main"`) can never show the branch's staged commits.
 
     ``from_snapshot=None`` walks the full retained lineage from the
-    oldest retained ancestor of the ref head."""
+    oldest RETAINED ancestor of the ref head — an expired lineage tail
+    (routine expire_snapshots) is tolerated via the same
+    ``_retained_lineage`` walk time travel uses, not an error."""
     refs = catalog.list_refs(name)
     if ref not in refs:
-        raise KeyError(f"no such ref: {ref!r}")
-    head = refs[ref]["snapshot_id"]
+        if ref == "main":
+            # implicit main (no branch ever pinned it): the head
+            head = max(catalog.table_history(name))
+        else:
+            raise KeyError(f"no such ref: {ref!r}")
+    else:
+        head = refs[ref]["snapshot_id"]
     if from_snapshot is None:
-        from_snapshot = catalog.snapshot_lineage(name, head, 0)[0]
+        try:
+            from_snapshot = catalog.snapshot_lineage(name, head, 0)[0]
+        except ValueError:
+            retained = getattr(catalog, "_retained_lineage", None)
+            if retained is not None:
+                from_snapshot = min(retained(name, head))
+            else:
+                from_snapshot = min(
+                    s for s in catalog.table_history(name) if s <= head
+                )
     return changelog_between(spark, catalog, name, from_snapshot, head)

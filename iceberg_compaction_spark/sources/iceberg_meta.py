@@ -1302,8 +1302,7 @@ class IcebergHadoopCatalog(TableRefs):
         for _ in range(64):
             v = self._current_version(name) + 1
             new_manifest.snapshot_id = v
-            er = {"main": {"snapshot-id": pre_main, "type": "branch"}}
-            er[target] = {"snapshot-id": v, "type": "branch"}
+            er = self._embedded_refs_map(refs, target, v, pre_main)
             try:
                 self._write_version(
                     name,
@@ -1328,9 +1327,22 @@ class IcebergHadoopCatalog(TableRefs):
                 name, target, expected_snapshot_id, allocated, pre_main
             )
         except CommitConflict:
+            from iceberg_compaction_spark.sources.catalog import (
+                _stamp_cache_invalidate,
+            )
+
             with _ctx.suppress(FileNotFoundError):
                 self._io.remove(self._vpath(name, allocated))
+            _stamp_cache_invalidate(self._vpath(name, allocated))
             raise
+        if target != "main":
+            # _write_version pointed the hint at the branch allocation;
+            # repoint it at the PUBLISHED main so hint-following
+            # external readers never resolve the unpublished snapshot
+            self._io.write_atomic(
+                self._io.join(self._mdir(name), "version-hint.text"),
+                str(pre_main).encode(),
+            )
         return new_manifest
 
     def _spec_snapshot_md(
@@ -1488,8 +1500,7 @@ class IcebergHadoopCatalog(TableRefs):
             snap = dict(snapshot)
             snap["snapshot-id"] = v
             snap["parent-snapshot-id"] = expected_snapshot_id
-            er = {"main": {"snapshot-id": pre_main, "type": "branch"}}
-            er[target] = {"snapshot-id": v, "type": "branch"}
+            er = self._embedded_refs_map(refs, target, v, pre_main)
             md = self._spec_snapshot_md(
                 name,
                 expected_snapshot_id,
@@ -1512,12 +1523,24 @@ class IcebergHadoopCatalog(TableRefs):
                 name, target, expected_snapshot_id, allocated, pre_main
             )
         except CommitConflict:
+            from iceberg_compaction_spark.sources.catalog import (
+                _stamp_cache_invalidate,
+            )
+
             with _ctx.suppress(FileNotFoundError):
                 self._io.remove(self._vpath(name, allocated))
+            _stamp_cache_invalidate(self._vpath(name, allocated))
             raise
+        # version-hint follows the PUBLISHED main: a branch commit must
+        # not point hint-following external readers (the spec's
+        # _latest_metadata_file resolution) at the unpublished audit
+        # snapshot — the WAP leak the round-11 review flagged.  Readers
+        # without a hint still resolve highest-version (inherent to the
+        # Hadoop layout; documented caveat).
+        hint = allocated if target == "main" else pre_main
         self._io.write_atomic(
             self._io.join(self._mdir(name), "version-hint.text"),
-            str(allocated).encode(),
+            str(hint).encode(),
         )
         return md
 
@@ -1562,11 +1585,16 @@ class IcebergHadoopCatalog(TableRefs):
         retained = set(self.table_history(name)) - set(expired)
         for v in retained:
             doomed -= self._avro_refs(name, v)
+        from iceberg_compaction_spark.sources.catalog import (
+            _stamp_cache_invalidate,
+        )
+
         for v in expired:
             try:
                 self._io.remove(self._vpath(name, v))
             except FileNotFoundError:
                 pass
+            _stamp_cache_invalidate(self._vpath(name, v))
         import contextlib as _ctx
 
         for p in doomed:

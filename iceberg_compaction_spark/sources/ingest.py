@@ -970,20 +970,26 @@ def add_files(
                 if cur.data_files
                 else None
             )
-            have = [
-                f["name"]
-                for f in infer_schema_fields(
-                    staged.data_files[0].data_file_path
-                )
-            ]
-            want = [f["name"] for f in (want_fields or [])]
-            if want and sorted(have) != sorted(want):
-                raise ValueError(
-                    f"imported files' columns {sorted(have)} do not "
-                    f"match table schema {sorted(want)} — imported "
-                    "parquet carries no field ids, so a name mismatch "
-                    "would silently read as nulls"
-                )
+            want = sorted(f["name"] for f in (want_fields or []))
+            if want:
+                # EVERY file, not just the first — one mismatched file
+                # in the directory would otherwise import silently and
+                # read as nulls (round-11 review finding); the footer is
+                # already being read for stats, so this is the same
+                # metadata cost class
+                for t in staged.data_files:
+                    have = sorted(
+                        f["name"]
+                        for f in infer_schema_fields(t.data_file_path)
+                    )
+                    if have != want:
+                        raise ValueError(
+                            f"imported file {t.data_file_path!r} columns "
+                            f"{have} do not match table schema {want} — "
+                            "imported parquet carries no field ids, so "
+                            "a name mismatch would silently read as "
+                            "nulls"
+                        )
         existing = set(cur.paths())
         dups = [
             t.data_file_path

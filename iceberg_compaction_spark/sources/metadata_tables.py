@@ -646,6 +646,12 @@ def metadata_rows(catalog, name: str, kind: str,
             "entries": entries_rows,
         }[kind](catalog, name, snapshot_id)
     if kind.startswith("all_"):
+        if snapshot_id is not None:
+            raise ValueError(
+                f"metadata kind {kind!r} is history-wide; snapshot_id/"
+                "ref scoping does not apply — filter the "
+                "reference_snapshot_id column instead"
+            )
         return all_rows(catalog, name, kind)
     m = (
         catalog.load_table_at(name, snapshot_id)

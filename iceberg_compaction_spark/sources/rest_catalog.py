@@ -184,17 +184,25 @@ class RestCatalog:
         self._note_tier(name, out)
         return self._manifest_from_load(out)
 
-    def _note_tier(self, name: str, out: dict) -> None:
+    def _note_tier(self, name: str, out: dict, ref: bool = False) -> None:
         """Record whether the server is full-fidelity for this table
         (LoadTableResult carries real TableMetadata at a real path) —
-        that unlocks the spec commit wire."""
+        that unlocks the spec commit wire.  ``ref=True`` marks metadata
+        that came from a REF load: it unlocks the wire (mdir) but must
+        never serve as MAIN's structural-diff base (a structurally
+        diverged branch would poison main commits — round-11 review
+        finding); _spec_base_md refreshes main's metadata instead."""
         md = out.get("metadata") or {}
         loc = out.get("metadata-location") or ""
         if "format-version" in md and loc.endswith(".metadata.json"):
             import os as _os
 
-            self._tier[name] = {"mdir": _os.path.dirname(loc), "md": md}
-        else:
+            self._tier[name] = {
+                "mdir": _os.path.dirname(loc),
+                "md": md,
+                "ref_md": ref,
+            }
+        elif not ref:
             self._tier.pop(name, None)
 
     def _spec_base_md(self, name: str, to_branch: "str | None") -> "dict | None":
@@ -207,7 +215,22 @@ class RestCatalog:
         if info is None:
             return None
         if to_branch is None:
-            return info["md"]
+            if not info.get("ref_md"):
+                return info["md"]
+            # the stored metadata came from a REF load: refresh MAIN's
+            # before diffing structural updates against it
+            try:
+                out = self._request(
+                    "GET",
+                    self._url(
+                        "namespaces", self.namespace, "tables", name
+                    ),
+                )
+            except Exception:
+                return None
+            self._note_tier(name, out)
+            info = self._tier.get(name)
+            return info["md"] if info else None
         try:
             out = self._request(
                 "GET",
@@ -707,7 +730,7 @@ class RestCatalog:
                 "namespaces", self.namespace, "tables", name, "refs", ref
             ),
         )
-        self._note_tier(name, out)
+        self._note_tier(name, out, ref=True)
         return self._manifest_from_load(out)
 
     @staticmethod

@@ -320,3 +320,23 @@ def test_pair_update_images_tags_within_commit_only(spark):
     }
     assert out2[(4, "v1")] == "update_before"
     assert out2[(4, "v2")] == "update_after"
+
+
+def test_changelog_for_ref_tolerates_expired_tail(spark, cat):
+    """Round-11 review: changelog_for_ref(from_snapshot=None) must walk
+    from the oldest RETAINED ancestor after routine expiration, not
+    raise on the expired tail."""
+    for i in range(4):
+        upsert(
+            spark, cat, "t",
+            spark.createDataFrame([(900 + i, f"m{i}")], ["id", "val"]),
+            keys=["id"],
+        )
+    expired = cat.expire_snapshots("t", keep_last=3)
+    assert expired  # the tail really went away
+    out = ch.changelog_for_ref(spark, cat, "t", "main")
+    commits = {
+        r["_commit_snapshot_id"] for r in out.collect()
+    }
+    retained = cat.table_history("t")
+    assert commits == set(retained[1:])  # steps between retained snaps

@@ -797,3 +797,76 @@ def test_expire_snapshots_cleans_orphaned_avro(spark, tmp_path):
     head_refs = cat._avro_refs("h", 3)
     assert head_refs and all(os.path.exists(p) for p in head_refs)
     assert after == {os.path.abspath(p) for p in head_refs} or after == head_refs
+
+
+def test_branch_commit_hint_points_external_readers_at_main(spark, tmp_path):
+    """Round-11 review: a branch commit must leave version-hint.text on
+    the PUBLISHED main — a conforming external reader resolving the
+    Hadoop layout's hint must never land on the unpublished audit
+    snapshot; and the branch version's embedded refs map carries EVERY
+    ref (tags included), not just {main, target}."""
+    import json as _json
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from iceberg_compaction_spark.sources.iceberg_meta import (
+        IcebergHadoopCatalog,
+        load_iceberg_table,
+    )
+    from iceberg_compaction_spark.sources.ingest import (
+        read_table_mor,
+        upsert,
+    )
+
+    root = str(tmp_path / "base")
+    os.makedirs(root)
+    pq.write_table(
+        pa.table(
+            {
+                "id": pa.array(range(5), type=pa.int64()),
+                "val": [f"v{i}" for i in range(5)],
+            }
+        ),
+        os.path.join(root, "b.parquet"),
+    )
+    cat = IcebergHadoopCatalog(warehouse=str(tmp_path / "wh"))
+    cat.create_table("h", Manifest.from_parquet_dir(root, sequence_number=1))
+    cat.create_tag("h", "rel-1")
+    cat.create_branch("h", "audit")
+    upsert(
+        spark,
+        cat,
+        "h",
+        spark.createDataFrame([(70, "staged")], ["id", "val"]),
+        keys=["id"],
+        to_branch="audit",
+    )
+    tdir = str(tmp_path / "wh" / "h")
+    hint = open(os.path.join(tdir, "metadata", "version-hint.text")).read()
+    assert hint.strip() == "1"  # published main, not the v2 allocation
+    # the external hint-following read resolves MAIN's state
+    ext = load_iceberg_table(tdir)
+    got = {r["id"] for r in read_table_mor(spark, ext).collect()}
+    assert 70 not in got and len(got) == 5
+    # branch version file: every ref present in the embedded map
+    md = _json.loads(
+        open(os.path.join(tdir, "metadata", "v2.metadata.json")).read()
+    )
+    assert set(md["refs"]) == {"main", "audit", "rel-1"}
+    assert md["refs"]["rel-1"]["type"] == "tag"
+    assert md["refs"]["main"]["snapshot-id"] == 1
+    assert md["refs"]["audit"]["snapshot-id"] == 2
+
+    # pinned-main commit moves the hint to the new main
+    upsert(
+        spark,
+        cat,
+        "h",
+        spark.createDataFrame([(80, "pub")], ["id", "val"]),
+        keys=["id"],
+    )
+    hint2 = open(
+        os.path.join(tdir, "metadata", "version-hint.text")
+    ).read()
+    assert hint2.strip() == "3"

@@ -1518,3 +1518,38 @@ def test_add_files_partitioned_hive_inference(spark, tmp_path):
     )
     with pytest.raises(ValueError, match="hive-style"):
         add_files(cat, "p", flat)
+
+
+def test_add_files_checks_every_file_not_just_first(tmp_path):
+    """Round-11 review: the schema guard runs per FILE — one mismatched
+    parquet among good ones is rejected instead of importing silently
+    and reading as nulls."""
+    from iceberg_compaction_spark.sources.ingest import add_files
+
+    root = str(tmp_path / "tbl")
+    os.makedirs(root)
+    pq.write_table(
+        pa.table(
+            {
+                "id": pa.array([1], type=pa.int64()),
+                "val": ["a"],
+            }
+        ),
+        os.path.join(root, "base.parquet"),
+    )
+    cat = FileCatalog(warehouse=str(tmp_path / "wh"))
+    cat.create_table("t", Manifest.from_parquet_dir(root, sequence_number=1))
+    src = str(tmp_path / "src")
+    os.makedirs(src)
+    pq.write_table(
+        pa.table({"id": pa.array([2], type=pa.int64()), "val": ["b"]}),
+        os.path.join(src, "a-good.parquet"),
+    )
+    pq.write_table(
+        pa.table({"id": pa.array([3], type=pa.int64()), "value": ["c"]}),
+        os.path.join(src, "b-bad.parquet"),
+    )
+    with pytest.raises(ValueError, match="b-bad"):
+        add_files(cat, "t", src)
+    # nothing committed
+    assert cat.load_table("t").snapshot_id == 1

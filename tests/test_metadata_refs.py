@@ -183,3 +183,10 @@ def test_all_relations_union_history(tmp_path, cat):
     assert mt.metadata_schema("all_files").fieldNames()[0] == (
         "reference_snapshot_id"
     )
+
+
+def test_all_relations_reject_snapshot_scoping(cat):
+    """Round-11 review: all_* kinds are history-wide — a snapshot_id/ref
+    scope must be rejected loudly, not silently ignored."""
+    with pytest.raises(ValueError, match="history-wide"):
+        mt.metadata_rows(cat, "t", "all_files", snapshot_id=1)
