@@ -66,6 +66,11 @@ BENCH_QUERIES = [
     # round 10
     "dml_merge_conditional",
     "dml_branch_wap",
+    # round 11
+    "cdc_changelog_branch",
+    "meta_position_deletes",
+    "dml_add_files",
+    "text_unigram_logprob",
 ]
 
 
