@@ -116,6 +116,10 @@ REFS_SCHEMA = T.StructType(
         T.StructField("name", T.StringType(), False),
         T.StructField("type", T.StringType(), False),
         T.StructField("snapshot_id", T.LongType(), False),
+        # Iceberg's per-ref retention fields (r11; null = undeclared)
+        T.StructField("max_ref_age_ms", T.LongType(), True),
+        T.StructField("max_snapshot_age_ms", T.LongType(), True),
+        T.StructField("min_snapshots_to_keep", T.LongType(), True),
     ]
 )
 
@@ -601,8 +605,19 @@ def refs_rows(catalog, name: str) -> list[tuple]:
         refs = catalog.list_refs(name)
     except (AttributeError, FileNotFoundError):
         return []
+    def _opt(r, k):
+        v = r.get(k)
+        return int(v) if v is not None else None
+
     return [
-        (rname, str(r.get("type", "branch")), int(r.get("snapshot_id", 0)))
+        (
+            rname,
+            str(r.get("type", "branch")),
+            int(r.get("snapshot_id", 0)),
+            _opt(r, "max_ref_age_ms"),
+            _opt(r, "max_snapshot_age_ms"),
+            _opt(r, "min_snapshots_to_keep"),
+        )
         for rname, r in sorted(refs.items())
     ]
 

@@ -141,8 +141,8 @@ def test_snapshots_history_refs_rows(tmp_path):
     cat.create_tag("t", "audited", 1)
     cat.create_branch("t", "main2")
     refs = mt.refs_rows(cat, "t")
-    assert ("audited", "tag", 1) in refs
-    assert ("main2", "branch", 2) in refs
+    assert ("audited", "tag", 1, None, None, None) in refs
+    assert ("main2", "branch", 2, None, None, None) in refs
 
 
 def test_metadata_rows_snapshot_id_time_travel(tmp_path):
