@@ -211,7 +211,15 @@ class TableRefs:
                 }
             return refs
 
-        return self._refs_cas(name, mutate)[ref]
+        out = self._refs_cas(name, mutate)[ref]
+        if ref == "main":
+            # publishing main (fast_forward / explicit re-pin) moves the
+            # advisory hint so hint-following external readers resolve
+            # the newly published state (best-effort; readers rescan)
+            hint = getattr(self, "_write_version_hint", None)
+            if hint is not None:
+                hint(name, out["snapshot_id"])
+        return out
 
     def create_tag(
         self,
@@ -552,18 +560,26 @@ class TableRefs:
         its pre-commit head, the target moved to the allocation.  The
         CASed refs side file stays authoritative; this map is what
         external conforming readers see."""
+        def entry(info: dict, sid: int, rtype: str) -> dict:
+            out = {"snapshot-id": sid, "type": rtype}
+            # the spec's SnapshotRef retention fields ride along
+            # (kebab-spelled) so external readers see the policy too
+            for k in self.RETENTION_FIELDS:
+                v = info.get(k)
+                if v is not None:
+                    out[k.replace("_", "-")] = int(v)
+            return out
+
         er = {
-            r: {
-                "snapshot-id": info["snapshot_id"],
-                "type": info.get("type", "branch"),
-            }
+            r: entry(info, info["snapshot_id"], info.get("type", "branch"))
             for r, info in refs.items()
         }
-        er["main"] = {
-            "snapshot-id": allocated if target == "main" else pre_main,
-            "type": "branch",
-        }
-        er[target] = {"snapshot-id": allocated, "type": "branch"}
+        er["main"] = entry(
+            refs.get("main", {}),
+            allocated if target == "main" else pre_main,
+            "branch",
+        )
+        er[target] = entry(refs.get(target, {}), allocated, "branch")
         return er
 
     def _check_branch_target(self, refs: dict, to_branch: str) -> None:
@@ -924,11 +940,16 @@ class FileCatalog(TableRefs):
             v = self._current_version(name) + 1
             new_manifest.snapshot_id = v
             try:
+                # update_hint=False: the hint must only ever point at
+                # PUBLISHED-main states — bump-then-repoint would leave
+                # an exposure window (and a crash between the two would
+                # leave it permanently on an unpublished snapshot)
                 self._write_version(
                     name,
                     new_manifest,
                     exclusive=True,
                     parent=expected_snapshot_id,
+                    update_hint=False,
                 )
                 allocated = v
                 break
@@ -951,14 +972,8 @@ class FileCatalog(TableRefs):
                 self._io.remove(self._version_path(name, allocated))
             _stamp_cache_invalidate(self._version_path(name, allocated))
             raise
-        if target != "main":
-            # repoint the advisory hint at the PUBLISHED main head so
-            # hint-following readers never land on the unpublished
-            # branch allocation (engine readers are refs-aware; this is
-            # for anything resolving the layout directly)
-            self._io.write_atomic(
-                self._hint_path(name), str(pre_main).encode()
-            )
+        if target == "main":
+            self._write_version_hint(name, allocated)
         return new_manifest
 
     # ---- internals -----------------------------------------------------
@@ -985,12 +1000,19 @@ class FileCatalog(TableRefs):
         ]
         return max(versions, default=0)
 
+    def _write_version_hint(self, name: str, sid: int) -> None:
+        """Advisory hint update — the published-main pointer external
+        hint-following readers resolve.  Best-effort (readers rescan on
+        staleness)."""
+        self._io.write_atomic(self._hint_path(name), str(sid).encode())
+
     def _write_version(
         self,
         name: str,
         manifest: Manifest,
         exclusive: bool = False,
         parent: int | None = None,
+        update_hint: bool = True,
     ) -> None:
         import time
 
@@ -1029,8 +1051,11 @@ class FileCatalog(TableRefs):
                 raise FileExistsError(path)
         else:
             io.write_bytes(path, payload)
-        # hint update is advisory (readers rescan on staleness)
-        io.write_atomic(self._hint_path(name), str(manifest.snapshot_id).encode())
+        if update_hint:
+            # hint update is advisory (readers rescan on staleness);
+            # BRANCH allocations suppress it — the hint must only ever
+            # point at published-main states, with no exposure window
+            self._write_version_hint(name, manifest.snapshot_id)
 
 
 def catalog_from_options(options) -> object:

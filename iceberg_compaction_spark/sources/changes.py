@@ -363,11 +363,21 @@ def changelog_for_ref(
         try:
             from_snapshot = catalog.snapshot_lineage(name, head, 0)[0]
         except ValueError:
+            # expired tail: walk parent stamps from the head down to
+            # the first expired ancestor.  A raw min(history) would be
+            # wrong on a WAP table — the lowest retained version can be
+            # a branch allocation that is no ancestor of the head at
+            # all (and changelog_between would then reject it).
             retained = getattr(catalog, "_retained_lineage", None)
             if retained is not None:
                 from_snapshot = min(retained(name, head))
             else:
-                from_snapshot = min(
-                    s for s in catalog.table_history(name) if s <= head
-                )
+                parents = catalog.snapshot_parents(name)
+                cur = head
+                for _ in range(len(parents) + 1):
+                    nxt = parents.get(cur)
+                    if nxt is None or nxt not in parents:
+                        break
+                    cur = nxt
+                from_snapshot = cur
     return changelog_between(spark, catalog, name, from_snapshot, head)

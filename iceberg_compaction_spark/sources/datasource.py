@@ -835,6 +835,7 @@ class _MetadataReader(DataSourceReader):
 
         cat = catalog_from_options(self._options)
         table = self._options["table"]
+        kind = self._options["metadata"]
         snap = self._options.get("snapshot_id")
         ref = self._options.get("ref")
         if ref:
@@ -843,7 +844,8 @@ class _MetadataReader(DataSourceReader):
                     "options snapshot_id and ref are mutually exclusive"
                 )
             # per-snapshot kinds resolve the ref; history-wide kinds
-            # (snapshots/history/refs) ignore it by construction
+            # (snapshots/history/refs and the all_* unions) ignore it
+            # by construction
             refs = cat.list_refs(table)
             if ref not in refs:
                 raise ValueError(
@@ -851,6 +853,16 @@ class _MetadataReader(DataSourceReader):
                     f"available refs: {sorted(refs)}"
                 )
             snap = refs[ref]["snapshot_id"]
+        if kind.startswith("all_") or kind in (
+            "snapshots",
+            "history",
+            "refs",
+        ):
+            # history-wide relations: the scope is meaningless — strip
+            # it here (the library-level metadata_rows raises on an
+            # explicit snapshot_id, which a DataSource ref option is
+            # not: it was just resolved above)
+            snap = None
         rows = metadata_rows(
             cat,
             table,

@@ -1304,6 +1304,8 @@ class IcebergHadoopCatalog(TableRefs):
             new_manifest.snapshot_id = v
             er = self._embedded_refs_map(refs, target, v, pre_main)
             try:
+                # update_hint=False: branch allocations must never be
+                # exposed via the hint, not even transiently
                 self._write_version(
                     name,
                     new_manifest,
@@ -1313,6 +1315,7 @@ class IcebergHadoopCatalog(TableRefs):
                     prior_last_column_id=prior_lcid,
                     parent=expected_snapshot_id,
                     embedded_refs=er,
+                    update_hint=False,
                 )
                 allocated = v
                 break
@@ -1335,14 +1338,8 @@ class IcebergHadoopCatalog(TableRefs):
                 self._io.remove(self._vpath(name, allocated))
             _stamp_cache_invalidate(self._vpath(name, allocated))
             raise
-        if target != "main":
-            # _write_version pointed the hint at the branch allocation;
-            # repoint it at the PUBLISHED main so hint-following
-            # external readers never resolve the unpublished snapshot
-            self._io.write_atomic(
-                self._io.join(self._mdir(name), "version-hint.text"),
-                str(pre_main).encode(),
-            )
+        if target == "main":
+            self._write_version_hint(name, allocated)
         return new_manifest
 
     def _spec_snapshot_md(
@@ -1531,17 +1528,13 @@ class IcebergHadoopCatalog(TableRefs):
                 self._io.remove(self._vpath(name, allocated))
             _stamp_cache_invalidate(self._vpath(name, allocated))
             raise
-        # version-hint follows the PUBLISHED main: a branch commit must
-        # not point hint-following external readers (the spec's
-        # _latest_metadata_file resolution) at the unpublished audit
-        # snapshot — the WAP leak the round-11 review flagged.  Readers
-        # without a hint still resolve highest-version (inherent to the
-        # Hadoop layout; documented caveat).
-        hint = allocated if target == "main" else pre_main
-        self._io.write_atomic(
-            self._io.join(self._mdir(name), "version-hint.text"),
-            str(hint).encode(),
-        )
+        # version-hint follows the PUBLISHED main only: a branch commit
+        # never touches it (no bump-then-repoint exposure window, and a
+        # racing pinned-main commit's fresher hint is never regressed);
+        # readers without a hint still resolve highest-version —
+        # inherent to the Hadoop layout, documented caveat.
+        if target == "main":
+            self._write_version_hint(name, allocated)
         return md
 
     def _avro_refs(self, name: str, version: int) -> set:
@@ -1626,6 +1619,15 @@ class IcebergHadoopCatalog(TableRefs):
 
     # ---- internals -----------------------------------------------------
 
+    def _write_version_hint(self, name: str, sid: int) -> None:
+        """Advisory published-main pointer (what _latest_metadata_file
+        resolves first) — must only ever point at published-main
+        states."""
+        self._io.write_atomic(
+            self._io.join(self._mdir(name), "version-hint.text"),
+            str(sid).encode(),
+        )
+
     def _write_version(
         self,
         name: str,
@@ -1636,6 +1638,7 @@ class IcebergHadoopCatalog(TableRefs):
         prior_last_column_id: int = 0,
         parent: int | None = None,
         embedded_refs: dict | None = None,
+        update_hint: bool = True,
     ) -> None:
         mdir = self._mdir(name)
         version = manifest.snapshot_id
@@ -1722,9 +1725,8 @@ class IcebergHadoopCatalog(TableRefs):
                 raise FileExistsError(path)
         else:
             io.write_bytes(path, payload)
-        io.write_atomic(
-            io.join(mdir, "version-hint.text"), str(version).encode()
-        )
+        if update_hint:
+            self._write_version_hint(name, version)
 
 
 # Orphan cleanup is layout-independent: the shared catalog-generic walk

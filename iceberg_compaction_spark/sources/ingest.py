@@ -950,6 +950,21 @@ def add_files(
     staged = Manifest.from_parquet_dir(src_dir, recursive=True)
     if not staged.data_files:
         raise ValueError(f"no parquet files under {src_dir!r}")
+    staged_names: dict = {}
+    if check_schema:
+        # ONE footer pass, outside the CAS retry loop (a conflict retry
+        # must not re-read 10^5 footers); the comparison against the
+        # (possibly refreshed) table schema stays inside attempt()
+        from iceberg_compaction_spark.sources.iceberg_meta import (
+            infer_schema_fields,
+        )
+
+        staged_names = {
+            t.data_file_path: sorted(
+                f["name"] for f in infer_schema_fields(t.data_file_path)
+            )
+            for t in staged.data_files
+        }
 
     def attempt() -> Manifest:
         cur = _load_head(catalog, table_name, to_branch)
@@ -974,17 +989,12 @@ def add_files(
             if want:
                 # EVERY file, not just the first — one mismatched file
                 # in the directory would otherwise import silently and
-                # read as nulls (round-11 review finding); the footer is
-                # already being read for stats, so this is the same
-                # metadata cost class
-                for t in staged.data_files:
-                    have = sorted(
-                        f["name"]
-                        for f in infer_schema_fields(t.data_file_path)
-                    )
+                # read as nulls (round-11 review finding); the names
+                # were collected in ONE pre-loop footer pass
+                for path, have in staged_names.items():
                     if have != want:
                         raise ValueError(
-                            f"imported file {t.data_file_path!r} columns "
+                            f"imported file {path!r} columns "
                             f"{have} do not match table schema {want} — "
                             "imported parquet carries no field ids, so "
                             "a name mismatch would silently read as "

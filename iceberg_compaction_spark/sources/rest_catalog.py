@@ -518,7 +518,7 @@ class RestCatalog:
                     f"failure: {e}"
                 ) from e
             return self._reconcile_unknown_commit(name, new_manifest, e)
-        self._note_tier(name, out)
+        self._note_tier(name, out, ref=to_branch is not None)
         return self._manifest_from_load(out)
 
     def _reconcile_unknown_commit(

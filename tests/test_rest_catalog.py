@@ -320,7 +320,9 @@ def test_metadata_tables_over_rest(spark, client, fragmented):
         (1, None, True, False),
         (2, 1, True, True),
     ]
-    assert mt.refs_rows(client, "t") == [("audited", "tag", 1)]
+    assert mt.refs_rows(client, "t") == [
+            ("audited", "tag", 1, None, None, None)
+        ]
     assert len(mt.metadata_rows(client, "t", "files", snapshot_id=1)) == 8
     assert mt.snapshots_df(spark, client, "t").count() == 2
 
