@@ -229,6 +229,11 @@ def cmd_branch(args, spark=None) -> dict:
     branch, publish via fast-forward, or drop a finished ref — all
     metadata-only CASed ref moves (sources/catalog.py TableRefs)."""
     cat = _catalog(args.warehouse)
+    if getattr(args, "retention", None) and not args.create:
+        raise SystemExit(
+            "--retention applies to --create only (a ref's policy is "
+            "declared at creation; moves preserve it)"
+        )
     if args.create:
         retention = None
         if getattr(args, "retention", None):

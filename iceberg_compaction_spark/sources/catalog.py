@@ -31,9 +31,11 @@ from dataclasses import dataclass
 from iceberg_compaction_spark.sources.manifest import Manifest
 
 
-# process-wide memo of each version file's (parent, committed-at) —
-# safe because version files are immutable once their exclusive create
-# wins (see FileCatalog._version_stamp)
+# process-wide memo of each version file's (parent, committed-at).
+# Version files are immutable WHILE THEY EXIST, but removal + re-create
+# (a lost refs-CAS retry) can change a path's content — so entries carry
+# the file mtime and every hit re-validates with one stat
+# (_stamp_cache_get); in-process removal sites also invalidate eagerly.
 _VERSION_STAMP_CACHE: dict = {}
 _VERSION_STAMP_CAP = 65536
 _STAMP_MISSING = object()
@@ -44,9 +46,40 @@ def _stamp_cache_invalidate(path: str) -> None:
     WHILE THEY EXIST, but a ref-targeted commit that loses its refs-CAS
     REMOVES its allocated version file — a retry can then re-create the
     same path with a different parent/timestamp, so every removal site
-    must invalidate or the memo would serve the dead commit's lineage
-    forever (round-11 review finding)."""
+    must invalidate.  Cross-PROCESS writers cannot call this, which is
+    why cache hits are additionally mtime-validated (see
+    _stamp_cache_get) — this in-process hook just saves the stat."""
     _VERSION_STAMP_CACHE.pop(path, None)
+
+
+def _stamp_cache_get(io, path: str):
+    """Memoized stamp for ``path`` IF the file is provably the same one
+    that was cached: entries carry the file's mtime and a hit
+    re-validates it with one stat (a re-created path — another
+    process's lost-CAS retry — gets a different mtime and misses).
+    Returns None on miss; a backend without mtime support disables
+    caching entirely (fail-safe: fresh parse)."""
+    hit = _VERSION_STAMP_CACHE.get(path)
+    if hit is None:
+        return None
+    stamp, mt = hit
+    try:
+        if io.mtime(path) == mt:
+            return stamp
+    except (OSError, AttributeError, NotImplementedError):
+        pass
+    _VERSION_STAMP_CACHE.pop(path, None)
+    return None
+
+
+def _stamp_cache_put(io, path: str, stamp) -> None:
+    try:
+        mt = io.mtime(path)
+    except (OSError, AttributeError, NotImplementedError):
+        return  # no validity signal: do not cache
+    if len(_VERSION_STAMP_CACHE) >= _VERSION_STAMP_CAP:
+        _VERSION_STAMP_CACHE.clear()  # tiny entries; crude is fine
+    _VERSION_STAMP_CACHE[path] = (stamp, mt)
 
 
 class TableNotFound(KeyError):
@@ -438,8 +471,14 @@ class TableRefs:
                 if ts is None:
                     ts = self.snapshot_timestamps(name)
                 cutoff = now_ms - int(max_age)
+                # unknown commit time (pre-stamp versions, ts=0) is NOT
+                # "infinitely old": age-based trimming keeps what it
+                # cannot date (same conservative stance as
+                # _expire_aged_refs' head_ts guard)
                 keep.update(
-                    s for s in chain if ts.get(s, 0) >= cutoff
+                    s
+                    for s in chain
+                    if not ts.get(s, 0) or ts[s] >= cutoff
                 )
         return keep
 
@@ -723,7 +762,7 @@ class FileCatalog(TableRefs):
         call).  Existence is still governed by table_history's listing,
         so expiration is never masked."""
         path = self._version_path(name, sid)
-        hit = _VERSION_STAMP_CACHE.get(path)
+        hit = _stamp_cache_get(self._io, path)
         if hit is not None:
             return hit
         raw = json.loads(self._io.read_bytes(path))
@@ -731,9 +770,7 @@ class FileCatalog(TableRefs):
             raw.get("parent-snapshot-id", _STAMP_MISSING),
             int(raw.get("committed-at-ms", 0)),
         )
-        if len(_VERSION_STAMP_CACHE) >= _VERSION_STAMP_CAP:
-            _VERSION_STAMP_CACHE.clear()  # tiny entries; crude is fine
-        _VERSION_STAMP_CACHE[path] = out
+        _stamp_cache_put(self._io, path, out)
         return out
 
     def snapshot_parents(self, name: str) -> dict[int, "int | None"]:
@@ -979,20 +1016,19 @@ class FileCatalog(TableRefs):
     # ---- internals -----------------------------------------------------
 
     def _current_version(self, name: str) -> int:
+        """Highest version ON DISK — always a directory scan, never the
+        hint.  The hint is a published-main pointer for external
+        readers; since branch allocations stopped bumping it (round-11
+        hint discipline) it can legitimately sit BELOW the storage head
+        with gaps above it (a removed branch allocation), and the old
+        probe-hint+1 shortcut would then return a stale head — the next
+        commit would REUSE an expired snapshot id below the real head
+        (review finding).  Allocation and safety checks must see the
+        true head; the listing is one listdir at metadata scale."""
         io = self._io
         mdir = self._metadata_dir(name)
         if not io.is_dir(mdir):
             return 0
-        # hint is best-effort; trust it only if the version file exists
-        hint = 0
-        try:
-            hint = int(io.read_bytes(self._hint_path(name)).decode().strip())
-        except (FileNotFoundError, ValueError):
-            hint = 0
-        if hint and io.exists(self._version_path(name, hint + 1)):
-            hint = 0  # stale hint: fall through to the scan
-        if hint and io.exists(self._version_path(name, hint)):
-            return hint
         versions = [
             int(n[1:].split(".", 1)[0])
             for n in io.listdir(mdir)

@@ -853,15 +853,15 @@ class _MetadataReader(DataSourceReader):
                     f"available refs: {sorted(refs)}"
                 )
             snap = refs[ref]["snapshot_id"]
-        if kind.startswith("all_") or kind in (
-            "snapshots",
-            "history",
-            "refs",
+        if ref and (
+            kind.startswith("all_")
+            or kind in ("snapshots", "history", "refs")
         ):
-            # history-wide relations: the scope is meaningless — strip
-            # it here (the library-level metadata_rows raises on an
-            # explicit snapshot_id, which a DataSource ref option is
-            # not: it was just resolved above)
+            # history-wide relations ignore a REF by construction —
+            # strip only the snap the ref resolution above produced.
+            # An EXPLICIT snapshot_id option is NOT stripped: the
+            # library layer rejects it loudly for all_* kinds (a user
+            # who believes the union is snapshot-scoped must hear so).
             snap = None
         rows = metadata_rows(
             cat,

@@ -994,12 +994,12 @@ class IcebergHadoopCatalog(TableRefs):
         driver JSON (same cache as FileCatalog._version_stamp)."""
         from iceberg_compaction_spark.sources.catalog import (
             _STAMP_MISSING,
-            _VERSION_STAMP_CACHE,
-            _VERSION_STAMP_CAP,
+            _stamp_cache_get,
+            _stamp_cache_put,
         )
 
         path = self._vpath(name, sid)
-        hit = _VERSION_STAMP_CACHE.get(path)
+        hit = _stamp_cache_get(self._io, path)
         if hit is not None:
             return hit
         md = json.loads(self._io.read_bytes(path))
@@ -1008,9 +1008,7 @@ class IcebergHadoopCatalog(TableRefs):
             snaps[0].get("parent-snapshot-id", _STAMP_MISSING),
             int(snaps[0].get("timestamp-ms", 0)),
         )
-        if len(_VERSION_STAMP_CACHE) >= _VERSION_STAMP_CAP:
-            _VERSION_STAMP_CACHE.clear()
-        _VERSION_STAMP_CACHE[path] = out
+        _stamp_cache_put(self._io, path, out)
         return out
 
     def snapshot_parents(self, name: str) -> dict:
@@ -1537,14 +1535,20 @@ class IcebergHadoopCatalog(TableRefs):
             self._write_version_hint(name, allocated)
         return md
 
-    def _avro_refs(self, name: str, version: int) -> set:
-        """The Avro files (manifest list + manifests) a version's
-        metadata references — local-path normalized for set math."""
+    def _avro_refs(self, name: str, version: int) -> tuple[set, bool]:
+        """(Avro files a version's metadata references, complete?) —
+        manifest list + child manifests, local-path normalized.
+        ``complete=False`` means some reference could not be enumerated
+        (unreadable manifest list): destructive cleanup must then FAIL
+        CLOSED for that version (review finding — deleting based on a
+        partial reference set could unlink manifests a retained
+        snapshot still needs)."""
         try:
             md = json.loads(self._io.read_bytes(self._vpath(name, version)))
         except FileNotFoundError:
-            return set()
+            return set(), True  # version gone: it references nothing
         out: set = set()
+        complete = True
         for snap in md.get("snapshots") or []:
             ml = snap.get("manifest-list")
             if not ml:
@@ -1554,9 +1558,10 @@ class IcebergHadoopCatalog(TableRefs):
             try:
                 _, mfs = read_avro_file(ml)
             except Exception:
+                complete = False
                 continue
             out.update(_local_path(mf["manifest_path"]) for mf in mfs)
-        return out
+        return out, complete
 
     def expire_snapshots(self, name: str, keep_last: int = 2) -> list[int]:
         # one shared retention policy (TableRefs._expirable_snapshots):
@@ -1574,10 +1579,17 @@ class IcebergHadoopCatalog(TableRefs):
         # across snapshots) survives.
         doomed: set = set()
         for v in expired:
-            doomed |= self._avro_refs(name, v)
+            doomed |= self._avro_refs(name, v)[0]
         retained = set(self.table_history(name)) - set(expired)
         for v in retained:
-            doomed -= self._avro_refs(name, v)
+            refs_v, complete = self._avro_refs(name, v)
+            doomed -= refs_v
+            if not complete:
+                # a retained version's references could not be fully
+                # enumerated: fail CLOSED — expire the version files
+                # but touch no Avro this pass
+                doomed = set()
+                break
         from iceberg_compaction_spark.sources.catalog import (
             _stamp_cache_invalidate,
         )

@@ -434,11 +434,22 @@ def manifests_rows(
             for i in range(arity):
                 vals = [p[i] for p in parts if len(p) == arity]
                 nn = [v for v in vals if v is not None]
+                # Recorded cells arrive native OR as hive-path strings
+                # (dual representation, plans/pruning.py) — when every
+                # cell coerces to int, compare NUMERICALLY so '15' is
+                # not "below" '9'; mixed int/str groups never TypeError
+                try:
+                    key = int if nn and all(
+                        str(v).lstrip("-").isdigit() for v in nn
+                    ) else str
+                except Exception:
+                    key = str
+                nk = [key(v) for v in nn]
                 per_field.append(
                     {
                         "contains_null": any(v is None for v in vals),
-                        "lower_bound": str(min(nn)) if nn else None,
-                        "upper_bound": str(max(nn)) if nn else None,
+                        "lower_bound": str(min(nk)) if nk else None,
+                        "upper_bound": str(max(nk)) if nk else None,
                     }
                 )
             summaries = json.dumps(per_field)

@@ -794,7 +794,7 @@ def test_expire_snapshots_cleans_orphaned_avro(spark, tmp_path):
         for r in read_table_mor(spark, cat.load_table("h")).collect()
     }
     assert got[0] == "u0" and got[1] == "u1" and len(got) == 6
-    head_refs = cat._avro_refs("h", 3)
+    head_refs = cat._avro_refs("h", 3)[0]
     assert head_refs and all(os.path.exists(p) for p in head_refs)
     assert after == {os.path.abspath(p) for p in head_refs} or after == head_refs
 
