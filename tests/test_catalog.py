@@ -341,3 +341,48 @@ def test_rollback_commits_new_snapshot_with_old_state(spark, tmp_path):
     # rollback to the current head is a no-op (no empty commit)
     assert rollback_table(cat, "t", 5).snapshot_id == 5
     assert cat.load_table("t").snapshot_id == 5
+
+
+def test_version_stamp_cache_revalidates_by_mtime(tmp_path):
+    """Round-11 review: the lineage-stamp memo must not survive a path
+    being re-created with different content (a cross-process lost-CAS
+    retry) — every hit re-validates the file's mtime."""
+    import json
+    import os
+
+    from iceberg_compaction_spark.sources.catalog import FileCatalog
+    from iceberg_compaction_spark.sources.manifest import Manifest
+    from iceberg_compaction_spark.plans.datamodel import FileScanTask
+
+    cat = FileCatalog(warehouse=str(tmp_path / "wh"))
+    cat.create_table(
+        "t",
+        Manifest(
+            table_root=str(tmp_path),
+            snapshot_id=1,
+            sequence_number=1,
+            data_files=[
+                FileScanTask(
+                    data_file_path=str(tmp_path / "a.parquet"),
+                    length=1,
+                    record_count=1,
+                    sequence_number=1,
+                )
+            ],
+        ),
+    )
+    m2 = Manifest.from_dict(cat.load_table("t").to_dict())
+    m2.snapshot_id = 2
+    cat.commit_table("t", 1, m2)
+    assert cat.snapshot_parents("t")[2] == 1  # cached now
+
+    # simulate another PROCESS re-creating v2 with different lineage
+    # (no in-process invalidation hook runs)
+    vpath = cat._version_path("t", 2)
+    raw = json.loads(open(vpath).read())
+    raw["parent-snapshot-id"] = None
+    os.remove(vpath)
+    with open(vpath, "w") as f:
+        json.dump(raw, f)
+    os.utime(vpath, (1234567890, 1234567890))  # definitely new mtime
+    assert cat.snapshot_parents("t")[2] is None  # re-read, not stale

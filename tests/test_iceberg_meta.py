@@ -870,3 +870,55 @@ def test_branch_commit_hint_points_external_readers_at_main(spark, tmp_path):
         os.path.join(tdir, "metadata", "version-hint.text")
     ).read()
     assert hint2.strip() == "3"
+
+
+def test_avro_cleanup_fails_closed_on_unreadable_retained_refs(
+    spark, tmp_path
+):
+    """Round-11 review: if a RETAINED version's manifest list cannot be
+    enumerated, expiration must remove NO Avro that pass — a partial
+    reference set must never drive deletion."""
+    import glob
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from iceberg_compaction_spark.sources.iceberg_meta import (
+        IcebergHadoopCatalog,
+    )
+    from iceberg_compaction_spark.sources.ingest import upsert
+
+    root = str(tmp_path / "base")
+    os.makedirs(root)
+    pq.write_table(
+        pa.table(
+            {
+                "id": pa.array(range(4), type=pa.int64()),
+                "val": [f"v{i}" for i in range(4)],
+            }
+        ),
+        os.path.join(root, "b.parquet"),
+    )
+    cat = IcebergHadoopCatalog(warehouse=str(tmp_path / "wh"))
+    cat.create_table("h", Manifest.from_parquet_dir(root, sequence_number=1))
+    for i in range(2):
+        upsert(
+            spark,
+            cat,
+            "h",
+            spark.createDataFrame([(i, f"u{i}")], ["id", "val"]),
+            keys=["id"],
+        )
+    mdir = os.path.join(str(tmp_path / "wh"), "h", "metadata")
+    # corrupt the HEAD (retained) version's manifest list
+    head_ml = [
+        p for p in glob.glob(os.path.join(mdir, "snap-3-*.avro"))
+    ]
+    assert head_ml
+    with open(head_ml[0], "wb") as f:
+        f.write(b"not avro")
+    before = set(glob.glob(os.path.join(mdir, "*.avro")))
+    expired = cat.expire_snapshots("h", keep_last=1)
+    assert expired == [1, 2]  # version files still expire
+    after = set(glob.glob(os.path.join(mdir, "*.avro")))
+    assert after == before  # but NO Avro was removed (fail closed)
