@@ -52,34 +52,47 @@ def _stamp_cache_invalidate(path: str) -> None:
     _VERSION_STAMP_CACHE.pop(path, None)
 
 
+def _stamp_token(io, path: str):
+    """(mtime, size) identity token for a version file, or None when
+    the backend cannot provide one (then caching is disabled — fresh
+    parse every time).  Size joins mtime because mtime granularity can
+    be coarse (S3 LastModified is one second; an immediate lost-CAS
+    re-create could land in the same quantum) — a content change that
+    also preserves byte length within one quantum remains a residual
+    window, accepted and documented."""
+    try:
+        return (io.mtime(path), io.size(path))
+    except (OSError, AttributeError, NotImplementedError):
+        return None
+
+
 def _stamp_cache_get(io, path: str):
     """Memoized stamp for ``path`` IF the file is provably the same one
-    that was cached: entries carry the file's mtime and a hit
-    re-validates it with one stat (a re-created path — another
-    process's lost-CAS retry — gets a different mtime and misses).
-    Returns None on miss; a backend without mtime support disables
-    caching entirely (fail-safe: fresh parse)."""
+    that was cached: entries carry the (mtime, size) token CAPTURED
+    BEFORE the cached bytes were read, and a hit re-validates it with
+    one stat (a re-created path — another process's lost-CAS retry —
+    gets a different token and misses)."""
     hit = _VERSION_STAMP_CACHE.get(path)
     if hit is None:
         return None
-    stamp, mt = hit
-    try:
-        if io.mtime(path) == mt:
-            return stamp
-    except (OSError, AttributeError, NotImplementedError):
-        pass
+    stamp, token = hit
+    if token is not None and _stamp_token(io, path) == token:
+        return stamp
     _VERSION_STAMP_CACHE.pop(path, None)
     return None
 
 
-def _stamp_cache_put(io, path: str, stamp) -> None:
-    try:
-        mt = io.mtime(path)
-    except (OSError, AttributeError, NotImplementedError):
+def _stamp_cache_put(path: str, stamp, token) -> None:
+    """Store a stamp under the identity token captured BEFORE the read:
+    if the file was swapped between the stat and the read, the stored
+    token is already stale and the next get misses — stat-after-read
+    would instead bind the OLD bytes to the NEW token and serve them
+    forever (review finding)."""
+    if token is None:
         return  # no validity signal: do not cache
     if len(_VERSION_STAMP_CACHE) >= _VERSION_STAMP_CAP:
         _VERSION_STAMP_CACHE.clear()  # tiny entries; crude is fine
-    _VERSION_STAMP_CACHE[path] = (stamp, mt)
+    _VERSION_STAMP_CACHE[path] = (stamp, token)
 
 
 class TableNotFound(KeyError):
@@ -518,7 +531,11 @@ class TableRefs:
         if max_age is not None:
             cutoff = int(_time.time() * 1000) - int(max_age)
             ts = self.snapshot_timestamps(name)
-            eligible = [v for v in eligible if ts.get(v, 0) < cutoff]
+            # undated snapshots (pre-stamp, ts=0) are NOT infinitely
+            # old — same conservative stance as the per-ref trim
+            eligible = [
+                v for v in eligible if ts.get(v, 0) and ts[v] < cutoff
+            ]
         return eligible
 
     def _expire_aged_refs(self, name: str) -> list[str]:
@@ -765,12 +782,13 @@ class FileCatalog(TableRefs):
         hit = _stamp_cache_get(self._io, path)
         if hit is not None:
             return hit
+        token = _stamp_token(self._io, path)  # BEFORE the read
         raw = json.loads(self._io.read_bytes(path))
         out = (
             raw.get("parent-snapshot-id", _STAMP_MISSING),
             int(raw.get("committed-at-ms", 0)),
         )
-        _stamp_cache_put(self._io, path, out)
+        _stamp_cache_put(path, out, token)
         return out
 
     def snapshot_parents(self, name: str) -> dict[int, "int | None"]:

@@ -996,19 +996,21 @@ class IcebergHadoopCatalog(TableRefs):
             _STAMP_MISSING,
             _stamp_cache_get,
             _stamp_cache_put,
+            _stamp_token,
         )
 
         path = self._vpath(name, sid)
         hit = _stamp_cache_get(self._io, path)
         if hit is not None:
             return hit
+        token = _stamp_token(self._io, path)  # BEFORE the read
         md = json.loads(self._io.read_bytes(path))
         snaps = md.get("snapshots") or [{}]
         out = (
             snaps[0].get("parent-snapshot-id", _STAMP_MISSING),
             int(snaps[0].get("timestamp-ms", 0)),
         )
-        _stamp_cache_put(self._io, path, out)
+        _stamp_cache_put(path, out, token)
         return out
 
     def snapshot_parents(self, name: str) -> dict:
@@ -1585,11 +1587,13 @@ class IcebergHadoopCatalog(TableRefs):
             refs_v, complete = self._avro_refs(name, v)
             doomed -= refs_v
             if not complete:
-                # a retained version's references could not be fully
-                # enumerated: fail CLOSED — expire the version files
-                # but touch no Avro this pass
-                doomed = set()
-                break
+                # A retained version's references could not be fully
+                # enumerated: fail CLOSED — expire NOTHING this pass.
+                # Removing the version files anyway would destroy the
+                # only reference map for their Avro, making the orphan
+                # permanent (review finding); a later pass, after the
+                # IO issue clears, does the whole job.
+                return []
         from iceberg_compaction_spark.sources.catalog import (
             _stamp_cache_invalidate,
         )

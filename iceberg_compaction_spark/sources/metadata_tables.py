@@ -435,21 +435,26 @@ def manifests_rows(
                 vals = [p[i] for p in parts if len(p) == arity]
                 nn = [v for v in vals if v is not None]
                 # Recorded cells arrive native OR as hive-path strings
-                # (dual representation, plans/pruning.py) — when every
-                # cell coerces to int, compare NUMERICALLY so '15' is
-                # not "below" '9'; mixed int/str groups never TypeError
-                try:
-                    key = int if nn and all(
-                        str(v).lstrip("-").isdigit() for v in nn
-                    ) else str
-                except Exception:
-                    key = str
-                nk = [key(v) for v in nn]
+                # (dual representation, plans/pruning.py): when every
+                # cell parses as a NUMBER (int or float, either
+                # representation), compare numerically so '15' is not
+                # "below" '9' and 10.25 not below 9.5; otherwise fall
+                # back to lexicographic on str() — never a TypeError,
+                # never an unguarded int() crash on exotic digits
+                lo = hi = None
+                if nn:
+                    try:
+                        keyed = [(float(str(v)), str(v)) for v in nn]
+                        lo = min(keyed)[1]
+                        hi = max(keyed)[1]
+                    except (ValueError, TypeError):
+                        svals = [str(v) for v in nn]
+                        lo, hi = min(svals), max(svals)
                 per_field.append(
                     {
                         "contains_null": any(v is None for v in vals),
-                        "lower_bound": str(min(nk)) if nk else None,
-                        "upper_bound": str(max(nk)) if nk else None,
+                        "lower_bound": lo,
+                        "upper_bound": hi,
                     }
                 )
             summaries = json.dumps(per_field)

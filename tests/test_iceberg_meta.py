@@ -919,6 +919,9 @@ def test_avro_cleanup_fails_closed_on_unreadable_retained_refs(
         f.write(b"not avro")
     before = set(glob.glob(os.path.join(mdir, "*.avro")))
     expired = cat.expire_snapshots("h", keep_last=1)
-    assert expired == [1, 2]  # version files still expire
+    # fail CLOSED entirely: removing the version files anyway would
+    # destroy the only reference map for their Avro (permanent orphan)
+    assert expired == []
+    assert cat.table_history("h") == [1, 2, 3]
     after = set(glob.glob(os.path.join(mdir, "*.avro")))
-    assert after == before  # but NO Avro was removed (fail closed)
+    assert after == before  # NO Avro removed either
