@@ -4014,7 +4014,9 @@ del _W10_PROMOTE, _W10_DEMOTE, _rest10, _order10
 # operator family stays window-covered: `events_range_join` (same
 # join family as `events_asof_join`, which stays) and
 # `agg_price_quantiles` (approx-quantile family; `events_median_value`
-# stays).  All 106 entries remain oracle-checked either way.
+# stays).  Every entry remains oracle-checked either way — the exact
+# registry/oracle counts are asserted self-countingly below (a literal
+# count here drifted twice; see the assertion at the end of this file).
 _W11_PROMOTE = ["cdc_changelog_branch", "cdc_update_images"]
 _W11_DEMOTE = ["events_range_join", "agg_price_quantiles"]
 _rest11 = [n for n in QUERIES if n not in _W11_PROMOTE + _W11_DEMOTE]
@@ -4022,3 +4024,15 @@ _order11 = _rest11[:48] + _W11_PROMOTE + _rest11[48:] + _W11_DEMOTE
 QUERIES = {n: QUERIES[n] for n in _order11}
 ORACLES = {n: ORACLES[n] for n in _order11 if n in ORACLES}
 del _W11_PROMOTE, _W11_DEMOTE, _rest11, _order11
+
+# Self-counting window invariants — these replace the literal counts
+# that drifted in past rounds' comments.  The policy they pin:
+# every registry entry has an oracle EXCEPT the documented
+# approximate-sketch entries (rows-only driver check), and every
+# window recomposition above must be a pure permutation (no entry
+# gained or lost).
+_ROWS_ONLY = {"events_hourly_users_approx"}
+assert set(QUERIES) - set(ORACLES) == _ROWS_ONLY, (
+    "registry/oracle drift: entries without oracles = "
+    f"{sorted(set(QUERIES) - set(ORACLES))}, expected {sorted(_ROWS_ONLY)}"
+)

@@ -476,23 +476,29 @@ class TableRefs:
                 cur = nxt
             max_age = info.get("max_snapshot_age_ms")
             min_keep = info.get("min_snapshots_to_keep")
-            if max_age is None and min_keep is None:
+            if max_age is None:
+                # Iceberg semantics: min-snapshots-to-keep is a FLOOR
+                # under the age rule and never reduces retention by
+                # itself.  Without an age cutoff nothing trims, so the
+                # floor is trivially satisfied by the full lineage —
+                # trimming to exactly N here would let arbitrarily
+                # young ancestors expire and could break a later
+                # fast_forward ancestry walk.
                 keep.update(chain)
                 continue
             keep.update(chain[: max(1, int(min_keep or 1))])
-            if max_age is not None:
-                if ts is None:
-                    ts = self.snapshot_timestamps(name)
-                cutoff = now_ms - int(max_age)
-                # unknown commit time (pre-stamp versions, ts=0) is NOT
-                # "infinitely old": age-based trimming keeps what it
-                # cannot date (same conservative stance as
-                # _expire_aged_refs' head_ts guard)
-                keep.update(
-                    s
-                    for s in chain
-                    if not ts.get(s, 0) or ts[s] >= cutoff
-                )
+            if ts is None:
+                ts = self.snapshot_timestamps(name)
+            cutoff = now_ms - int(max_age)
+            # unknown commit time (pre-stamp versions, ts=0) is NOT
+            # "infinitely old": age-based trimming keeps what it
+            # cannot date (same conservative stance as
+            # _expire_aged_refs' head_ts guard)
+            keep.update(
+                s
+                for s in chain
+                if not ts.get(s, 0) or ts[s] >= cutoff
+            )
         return keep
 
     def _expirable_snapshots(self, name: str, keep_last: int) -> list:

@@ -1581,7 +1581,22 @@ class IcebergHadoopCatalog(TableRefs):
         # across snapshots) survives.
         doomed: set = set()
         for v in expired:
-            doomed |= self._avro_refs(name, v)[0]
+            refs_v, complete = self._avro_refs(name, v)
+            if not complete:
+                # An EXPIRED version whose manifest list is unreadable
+                # fails CLOSED too (review finding): removing its
+                # version file + manifest list would orphan its
+                # unenumerable child manifests permanently (the
+                # retained-side completeness check below doesn't cover
+                # it, and remove_orphan_files only walks *.parquet).
+                # And because externally-written tables share manifests
+                # across snapshots, its unknown refs can't be
+                # subtracted from the doomed set — so no OTHER
+                # version's Avro may be deleted either.  Expire nothing
+                # this pass; a later pass, after the IO issue clears,
+                # does the whole job.
+                return []
+            doomed |= refs_v
         retained = set(self.table_history(name)) - set(expired)
         for v in retained:
             refs_v, complete = self._avro_refs(name, v)

@@ -884,7 +884,11 @@ def merge_into(
 
 
 def _stamp_hive_partitions(
-    staged: Manifest, spec: list, table_name: str, spec_id: int = 0
+    staged: Manifest,
+    spec: list,
+    table_name: str,
+    spec_id: int = 0,
+    src_dir: str | None = None,
 ) -> None:
     """Partition tuples for imported files from HIVE-STYLE path
     segments (``<field>=<value>`` directories) — how Iceberg's own
@@ -893,13 +897,23 @@ def _stamp_hive_partitions(
     (an invented tuple would silently mis-prune).  Values stay the
     raw path strings: the engine's partition matching is dual
     native/string everywhere (plans/pruning.py), and hive paths ARE
-    the string representation."""
+    the string representation.
+
+    Only segments BELOW ``src_dir`` are considered: an unrelated
+    outer directory that happens to match a spec field name (e.g. a
+    user's ``/data/region=eu/staging/...`` prefix) must not satisfy
+    the missing-segment guard or stamp a wrong tuple."""
     import urllib.parse
 
     names = [f.get("name") for f in spec]
     for t in staged.data_files:
+        rel = (
+            os.path.relpath(t.data_file_path, src_dir)
+            if src_dir
+            else t.data_file_path
+        )
         segs = {}
-        for seg in t.data_file_path.split(os.sep):
+        for seg in rel.split(os.sep):
             if "=" in seg and not seg.endswith(".parquet"):
                 k, _, v = seg.partition("=")
                 segs[k] = urllib.parse.unquote(v)
@@ -974,6 +988,7 @@ def add_files(
                 cur.partition_spec,
                 table_name,
                 spec_id=cur.default_spec_id,
+                src_dir=src_dir,
             )
         if check_schema:
             from iceberg_compaction_spark.sources.iceberg_meta import (

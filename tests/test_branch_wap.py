@@ -645,6 +645,33 @@ def test_branch_lineage_trimmed_by_snapshot_age_policy(spark, cat):
     assert _rows(spark, cat, ref="work")[911] == "s2"  # head readable
 
 
+def test_min_snapshots_floor_alone_never_trims_lineage(spark, cat):
+    """ADVICE r11: min_snapshots_to_keep WITHOUT max_snapshot_age_ms is
+    a floor, not a trimmer (Iceberg semantics) — declaring only the
+    floor must keep the branch's FULL lineage, or a later fast_forward
+    ancestry walk could lose young ancestors."""
+    cat.create_branch("t", "work", retention={"min_snapshots_to_keep": 1})
+    for i, v in enumerate(["s1", "s2"]):
+        upsert(
+            spark, cat, "t",
+            spark.createDataFrame([(920 + i, v)], ["id", "val"]),
+            keys=["id"], to_branch="work",
+        )
+    for i in range(3):  # push the positional window past the lineage
+        upsert(
+            spark, cat, "t",
+            spark.createDataFrame([(i, f"m{i}")], ["id", "val"]),
+            keys=["id"],
+        )
+    expired = cat.expire_snapshots("t", keep_last=2)
+    # v2 (the intermediate branch commit) would have been trimmed under
+    # the pre-fix exactly-N semantics; the floor alone must pin it
+    assert 2 not in expired and 3 not in expired
+    # the full staged lineage remains loadable (ancestry intact)
+    assert cat.load_table_at("t", 2) is not None
+    assert _rows(spark, cat, ref="work")[921] == "s2"
+
+
 def test_cherry_pick_publishes_append_after_main_moved(spark, cat, tmp_path):
     """cherry_pick (round 11; Iceberg's cherrypick_snapshot): when main
     advanced past the branch's fork, fast_forward refuses — cherry-pick

@@ -925,3 +925,57 @@ def test_avro_cleanup_fails_closed_on_unreadable_retained_refs(
     assert cat.table_history("h") == [1, 2, 3]
     after = set(glob.glob(os.path.join(mdir, "*.avro")))
     assert after == before  # NO Avro removed either
+
+
+def test_avro_cleanup_fails_closed_on_unreadable_expired_refs(
+    spark, tmp_path
+):
+    """ADVICE r11: an EXPIRED version with an unreadable manifest list
+    also fails closed — pre-fix its version file + manifest list were
+    removed while its unenumerable child manifests leaked permanently
+    (and, since manifests can be shared, other versions' Avro deletion
+    could have unlinked files it still referenced)."""
+    import glob
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from iceberg_compaction_spark.sources.iceberg_meta import (
+        IcebergHadoopCatalog,
+    )
+    from iceberg_compaction_spark.sources.ingest import upsert
+
+    root = str(tmp_path / "base")
+    os.makedirs(root)
+    pq.write_table(
+        pa.table(
+            {
+                "id": pa.array(range(4), type=pa.int64()),
+                "val": [f"v{i}" for i in range(4)],
+            }
+        ),
+        os.path.join(root, "b.parquet"),
+    )
+    cat = IcebergHadoopCatalog(warehouse=str(tmp_path / "wh"))
+    cat.create_table("h", Manifest.from_parquet_dir(root, sequence_number=1))
+    for i in range(2):
+        upsert(
+            spark,
+            cat,
+            "h",
+            spark.createDataFrame([(i, f"u{i}")], ["id", "val"]),
+            keys=["id"],
+        )
+    mdir = os.path.join(str(tmp_path / "wh"), "h", "metadata")
+    # corrupt an EXPIRED-to-be version's manifest list (v1, with
+    # keep_last=1 both v1 and v2 are eligible)
+    v1_ml = glob.glob(os.path.join(mdir, "snap-1-*.avro"))
+    assert v1_ml
+    with open(v1_ml[0], "wb") as f:
+        f.write(b"not avro")
+    before = set(glob.glob(os.path.join(mdir, "*.avro")))
+    expired = cat.expire_snapshots("h", keep_last=1)
+    assert expired == []
+    assert cat.table_history("h") == [1, 2, 3]
+    after = set(glob.glob(os.path.join(mdir, "*.avro")))
+    assert after == before  # nothing removed, nothing leaked

@@ -1519,6 +1519,21 @@ def test_add_files_partitioned_hive_inference(spark, tmp_path):
     with pytest.raises(ValueError, match="hive-style"):
         add_files(cat, "p", flat)
 
+    # ADVICE r11: an OUTER directory above src_dir that matches a spec
+    # field name ('lang=zz' here) must NOT satisfy the guard or stamp a
+    # tuple — only segments below src_dir count, so this flat file is
+    # still rejected.
+    outer = str(tmp_path / "lang=zz" / "stage")
+    os.makedirs(outer)
+    pq.write_table(
+        pa.table(
+            {"id": pa.array([4], type=pa.int64()), "lang": ["zz"]}
+        ),
+        os.path.join(outer, "f.parquet"),
+    )
+    with pytest.raises(ValueError, match="hive-style"):
+        add_files(cat, "p", outer)
+
 
 def test_add_files_checks_every_file_not_just_first(tmp_path):
     """Round-11 review: the schema guard runs per FILE — one mismatched
