@@ -11,8 +11,13 @@ deployments schedule alongside):
    (plans/auto.py); commits through the catalog CAS seam, so it
    coexists with live writers (racing upserts keep their sequence
    semantics, commit.py).
-2. **expire snapshots** — bound time-travel history.
-3. **remove orphan files** — reclaim storage unreachable from any
+2. **rewrite manifests** — the same small-file thesis applied to the
+   table's OWN metadata: merge the head snapshot's undersized Avro
+   manifests so scan planning stops opening O(commits) files
+   (Iceberg's ``rewrite_manifests`` procedure; full-fidelity tier
+   only — engine-tier versions are already one consolidated manifest).
+3. **expire snapshots** — bound time-travel history.
+4. **remove orphan files** — reclaim storage unreachable from any
    retained snapshot (includes files superseded by the expiration in
    step 2).
 
@@ -42,6 +47,10 @@ from iceberg_compaction_spark.plans.auto import (
     AutoPlanReport,
 )
 from iceberg_compaction_spark.sources.manifest import Manifest, scan_data_files
+from iceberg_compaction_spark.sources.manifest_rewrite import (
+    ManifestRewriteStats,
+    rewrite_manifests,
+)
 
 
 def _maintenance_engine_config() -> CompactionConfig:
@@ -69,6 +78,12 @@ class MaintenancePolicy:
     # (pays the key anti-join once; every later read is a scan mask).
     # Off by default: full compaction subsumes it when it runs anyway.
     convert_eq_deletes: bool = False
+    # merge the head snapshot's undersized Avro manifests when a
+    # (content, spec) group holds at least this many below target size
+    # (Iceberg's rewrite_manifests procedure); 0 disables.  Only acts
+    # on catalogs with a physical manifest tier — the engine tier's
+    # version files are already one consolidated manifest each.
+    rewrite_manifests_min_count: int = 8
     # grace window before an unreferenced file is deletable (Iceberg's
     # olderThan, default 3 days): protects files staged by in-flight
     # writers that have not yet CAS-committed
@@ -92,6 +107,9 @@ class MaintenanceReport:
         default_factory=DeleteRewriteStats
     )
     eq_convert: EqConvertStats = field(default_factory=EqConvertStats)
+    manifest_rewrite: "ManifestRewriteStats" = field(
+        default_factory=lambda: ManifestRewriteStats()
+    )
 
 
 def maintain(
@@ -243,6 +261,23 @@ def maintain(
             mgr.commit_with_retry(attempt_drw)
             drw = holder_d[-1]
 
+    # manifest-metadata hygiene BEFORE expiration: the rewrite's replace
+    # snapshot supersedes the fragmented one, and the expire pass that
+    # follows reference-counts the now-unreferenced small Avro away
+    # under the same retention policy as everything else.  Driver-only
+    # metadata work (no Spark job); fixed-point no-op when the head
+    # list is already consolidated.
+    mrw = ManifestRewriteStats()
+    if policy.rewrite_manifests_min_count and hasattr(
+        catalog, "commit_snapshot"
+    ):
+        mrw = rewrite_manifests(
+            catalog,
+            table_name,
+            min_count_to_merge=policy.rewrite_manifests_min_count,
+            to_branch=to_branch,
+        )
+
     expired = catalog.expire_snapshots(table_name, policy.keep_snapshots)
     orphans = (
         catalog.remove_orphan_files(
@@ -262,4 +297,5 @@ def maintain(
         orphans_removed=orphans,
         delete_rewrite=drw,
         eq_convert=eqc,
+        manifest_rewrite=mrw,
     )

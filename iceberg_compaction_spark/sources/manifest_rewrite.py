@@ -1,0 +1,362 @@
+"""``rewrite_manifests`` — small-file compaction for the table's OWN
+metadata (Iceberg's ``rewrite_manifests`` maintenance procedure).
+
+Why it exists: every real-Iceberg append commits ONE new manifest and
+carries the prior ones forward in the next manifest list, so after
+O(10^4) commits the CURRENT snapshot's manifest list points at O(10^4)
+small Avro manifests — scan planning then opens O(commits) files before
+it reads a single row.  That is exactly the small-files problem the
+reference engine solves for data (``core/src/compaction/mod.rs`` —
+bin-packed rewrite of undersized files), applied here to the metadata
+tier: merge undersized manifests into size-targeted ones, re-point ONE
+new manifest list, and commit a metadata-only ``replace`` snapshot.
+
+Scope per catalog tier:
+
+- **Full-fidelity tier** (``IcebergHadoopCatalog`` and the REST server
+  behind it): the real operation.  Manifest entries are copied at the
+  AVRO level with the SOURCE manifest's writer schema — partition
+  structs, bounds, and stats written by other engines round-trip
+  byte-faithfully (the engine's own entry schema carries an empty
+  partition record, so a Manifest round-trip would drop them).
+- **Engine tier** (``FileCatalog``): each version file IS one
+  self-contained JSON manifest — the current snapshot is always
+  already consolidated, so the operation reports the fixed point and
+  commits nothing (the version TRAIL is retention's job:
+  ``expire_snapshots``).
+
+Safety: the commit rides the same spec-wire CAS as every other commit
+(``commit_snapshot``); losers retry from a fresh head and unlink their
+orphaned Avro.  Old manifests stay on disk referenced by RETAINED prior
+versions — ``expire_snapshots``' reference-counted Avro cleanup removes
+them only when no retained version still points at them, and
+``remove_orphan_files`` never touches Avro at all.
+
+Iceberg semantics preserved (spec "Manifests" + RewriteManifests):
+- merged entries become status=EXISTING with their ORIGINAL
+  ``snapshot_id`` kept — file attribution survives the rewrite;
+- v2 sequence-number inheritance is made EXPLICIT at copy time (a null
+  entry seq inherits the source manifest-list entry's), because
+  inheritance is only defined for ADDED entries and the copies are
+  EXISTING;
+- manifests are only merged WITHIN a (content, partition-spec-id)
+  group — data and delete manifests never mix, nor do specs;
+- a manifest at-or-above the target size is kept verbatim (its list
+  entry is carried over unchanged), so the rewrite converges: a second
+  run finds nothing below target and is a no-op.
+"""
+
+from __future__ import annotations
+
+import os
+import uuid
+from dataclasses import dataclass, field
+
+from iceberg_compaction_spark.sources.avro_io import (
+    read_avro_file,
+    write_avro_file,
+)
+
+_EXISTING, _DELETED = 0, 2  # manifest_entry.status (spec table)
+
+DEFAULT_TARGET_MANIFEST_SIZE = 8 * 1024 * 1024  # Iceberg's
+# commit.manifest.target-size-bytes default
+TARGET_SIZE_PROP = "commit.manifest.target-size-bytes"
+
+
+@dataclass
+class ManifestRewriteStats:
+    """What one rewrite pass did (mirrors the shape of
+    CompactionStats/DeleteRewriteStats for MaintenanceReport)."""
+
+    input_manifests: int = 0       # manifests in the head snapshot's list
+    rewritten_manifests: int = 0   # of those, merged away
+    kept_manifests: int = 0        # carried over verbatim (>= target size
+    #                                or a group too small to merge)
+    output_manifests: int = 0      # new size-targeted manifests written
+    rewritten_entries: int = 0     # live entries copied (EXISTING)
+    committed: bool = False        # False = fixed point, nothing to do
+    snapshot_id: int | None = None  # the replace snapshot, when committed
+
+
+def _group_key(mf: dict) -> tuple:
+    return (int(mf.get("content", 0)), int(mf.get("partition_spec_id", 0)))
+
+
+def _plan_groups(
+    mf_entries: list[dict], target: int, min_count: int
+) -> tuple[list[dict], dict]:
+    """Split the manifest list into (kept entries, groups to merge).
+    A group merges only when >= ``min_count`` of its manifests sit
+    BELOW the target size — one small manifest has nothing to merge
+    with, and at-target manifests are already right-sized."""
+    groups: dict = {}
+    for mf in mf_entries:
+        groups.setdefault(_group_key(mf), []).append(mf)
+    kept: list[dict] = []
+    to_merge: dict = {}
+    for key, mfs in groups.items():
+        small = [m for m in mfs if int(m["manifest_length"]) < target]
+        if len(small) < max(2, min_count):
+            kept.extend(mfs)
+            continue
+        kept.extend(m for m in mfs if int(m["manifest_length"]) >= target)
+        to_merge[key] = small
+    return kept, to_merge
+
+
+def _copy_live_entries(mfs: list[dict]) -> tuple[dict, list[dict], int]:
+    """(writer schema, live entries as EXISTING with explicit seqs,
+    total source bytes).  DELETED tombstones are dropped — they exist
+    to subtract files from OLDER manifests, and a merged manifest set
+    built from the live state needs no subtraction."""
+    schema: dict | None = None
+    out: list[dict] = []
+    src_bytes = 0
+    for mf in mfs:
+        src_bytes += int(mf["manifest_length"])
+        mschema, entries = read_avro_file(_strip_uri(mf["manifest_path"]))
+        if schema is None:
+            schema = mschema
+        inherit_seq = int(mf.get("sequence_number", 0) or 0)
+        inherit_sid = mf.get("added_snapshot_id")
+        for e in entries:
+            if int(e.get("status", 0)) == _DELETED:
+                continue
+            e = dict(e)
+            e["status"] = _EXISTING
+            if e.get("sequence_number") is None:
+                e["sequence_number"] = inherit_seq
+            if e.get("file_sequence_number") is None:
+                e["file_sequence_number"] = inherit_seq
+            if e.get("snapshot_id") is None:
+                e["snapshot_id"] = inherit_sid
+            out.append(e)
+    return schema or {}, out, src_bytes
+
+
+def _strip_uri(p: str) -> str:
+    return p[len("file://"):] if p.startswith("file://") else p
+
+
+def _uri(p: str) -> str:
+    return p if "://" in p else f"file://{os.path.abspath(p)}"
+
+
+def _write_merged(
+    mdir: str,
+    io,
+    key: tuple,
+    schema: dict,
+    entries: list[dict],
+    src_bytes: int,
+    target: int,
+    snap_id: int,
+) -> list[dict]:
+    """Bin the copied entries into size-targeted manifests; returns the
+    new manifest-list entries.  Sizing uses the measured source
+    bytes-per-entry (the honest estimator at metadata scale — the
+    entries being re-binned ARE the sample), re-checked nowhere: a
+    drifting estimate yields an off-target manifest that the NEXT pass
+    keeps (>= target) or re-merges (< target), so the fixed point
+    still holds."""
+    content, spec_id = key
+    bpe = max(1.0, src_bytes / max(1, len(entries)))
+    per = max(1, int(target / bpe))
+    out: list[dict] = []
+    for i in range(0, len(entries), per):
+        chunk = entries[i: i + per]
+        mpath = io.join(mdir, f"{uuid.uuid4().hex}-rw-m{len(out)}.avro")
+        write_avro_file(
+            mpath,
+            schema,
+            chunk,
+            metadata={
+                "format-version": "2",
+                # spec manifest key: "data" or "deletes" by content
+                "content": "data" if content == 0 else "deletes",
+            },
+        )
+        seqs = [int(e["sequence_number"]) for e in chunk]
+        out.append(
+            {
+                "manifest_path": _uri(mpath),
+                "manifest_length": io.size(mpath),
+                "partition_spec_id": spec_id,
+                "content": content,
+                "sequence_number": max(seqs),
+                "min_sequence_number": min(seqs),
+                # the snapshot performing the rewrite "adds" the new
+                # manifest (spec); entry-level snapshot_id keeps the
+                # files' ORIGINAL attribution
+                "added_snapshot_id": snap_id,
+                "added_files_count": 0,
+                "existing_files_count": len(chunk),
+                "deleted_files_count": 0,
+                "added_rows_count": 0,
+                "existing_rows_count": sum(
+                    int(e["data_file"]["record_count"]) for e in chunk
+                ),
+                "deleted_rows_count": 0,
+            }
+        )
+    return out
+
+
+def rewrite_manifests(
+    catalog,
+    name: str,
+    target_manifest_size_bytes: int | None = None,
+    min_count_to_merge: int = 2,
+    to_branch: str | None = None,
+) -> ManifestRewriteStats:
+    """One rewrite pass over ``name``'s head snapshot (of ``to_branch``
+    when given).  See module doc; returns what happened.  On catalogs
+    whose versions are self-contained JSON manifests (the engine tier)
+    this reports the fixed point without committing."""
+    import json as _json
+
+    from iceberg_compaction_spark.commit import CommitManager
+
+    if not hasattr(catalog, "commit_snapshot"):
+        # engine tier: one JSON == one consolidated manifest, always
+        return ManifestRewriteStats(input_manifests=1, kept_manifests=1)
+
+    io = catalog._io
+    mdir = catalog._mdir(name)
+
+    def attempt() -> ManifestRewriteStats:
+        refs = catalog.list_refs(name)
+        target_ref = to_branch or "main"
+        if to_branch is not None and to_branch not in refs:
+            raise KeyError(f"no such branch: {to_branch!r}")
+        head = (
+            refs[target_ref]["snapshot_id"]
+            if target_ref in refs
+            else catalog._current_version(name)
+        )
+        md = _json.loads(io.read_bytes(catalog._vpath(name, head)))
+        snap = next(
+            (
+                s
+                for s in md.get("snapshots") or []
+                if s["snapshot-id"] == md.get("current-snapshot-id", head)
+            ),
+            None,
+        )
+        if snap is None or not snap.get("manifest-list"):
+            return ManifestRewriteStats()  # nothing to plan over
+        target = target_manifest_size_bytes or int(
+            (md.get("properties") or {}).get(
+                TARGET_SIZE_PROP, DEFAULT_TARGET_MANIFEST_SIZE
+            )
+        )
+        _, mf_entries = read_avro_file(_strip_uri(snap["manifest-list"]))
+        kept, to_merge = _plan_groups(
+            mf_entries, target, min_count_to_merge
+        )
+        stats = ManifestRewriteStats(
+            input_manifests=len(mf_entries), kept_manifests=len(kept)
+        )
+        if not to_merge:
+            return stats  # fixed point: nothing below target to merge
+
+        proposed = head + 1
+        written: list[str] = []
+        new_entries: list[dict] = []
+        try:
+            for key in sorted(to_merge):
+                schema, entries, src_bytes = _copy_live_entries(
+                    to_merge[key]
+                )
+                if not entries:
+                    # all-tombstone manifests merge to nothing: dropping
+                    # them from the list IS the rewrite
+                    stats.rewritten_manifests += len(to_merge[key])
+                    continue
+                merged = _write_merged(
+                    mdir, io, key, schema, entries, src_bytes, target,
+                    proposed,
+                )
+                if len(merged) >= len(to_merge[key]):
+                    # no-progress guard: a merge that does not REDUCE
+                    # the group's manifest count would churn forever
+                    # (sub-target outputs re-merged every pass) — keep
+                    # the originals and unlink the attempt
+                    import contextlib as _ctx
+
+                    for m in merged:
+                        with _ctx.suppress(FileNotFoundError, OSError):
+                            io.remove(_strip_uri(m["manifest_path"]))
+                    kept.extend(to_merge[key])
+                    stats.kept_manifests += len(to_merge[key])
+                    continue
+                stats.rewritten_manifests += len(to_merge[key])
+                stats.rewritten_entries += len(entries)
+                written.extend(_strip_uri(m["manifest_path"]) for m in merged)
+                new_entries.extend(merged)
+            if not (new_entries or stats.rewritten_manifests):
+                return stats  # every group hit the no-progress guard
+            list_entries = kept + new_entries
+            list_path = io.join(
+                mdir, f"snap-{proposed}-1-{uuid.uuid4().hex}.avro"
+            )
+            write_avro_file(
+                list_path,
+                _manifest_file_schema(),
+                list_entries,
+                metadata={"format-version": "2"},
+            )
+            written.append(list_path)
+            new_snap = {
+                "snapshot-id": proposed,
+                "parent-snapshot-id": head,
+                # metadata-only: the row set is unchanged, so the
+                # sequence number does not advance (delete-applies
+                # comparisons stay identical)
+                "sequence-number": int(md.get("last-sequence-number", 0)),
+                "timestamp-ms": _now_ms(),
+                "manifest-list": _uri(list_path),
+                "summary": {
+                    "operation": "replace",
+                    "manifests-replaced": str(stats.rewritten_manifests),
+                    "manifests-created": str(len(new_entries)),
+                    "manifests-kept": str(len(kept)),
+                },
+            }
+            out = catalog.commit_snapshot(
+                name,
+                expected_snapshot_id=head,
+                snapshot=new_snap,
+                ref=to_branch,
+            )
+        except BaseException:
+            # a lost CAS (or any failure) leaves this attempt's Avro
+            # unreferenced forever — nothing else cleans metadata/, so
+            # unlink before the retry re-plans from the fresh head
+            import contextlib as _ctx
+
+            for p in written:
+                with _ctx.suppress(FileNotFoundError, OSError):
+                    io.remove(p)
+            raise
+        stats.output_manifests = len(new_entries)
+        stats.committed = True
+        stats.snapshot_id = int(out["current-snapshot-id"])
+        return stats
+
+    return CommitManager().commit_with_retry(attempt)
+
+
+def _manifest_file_schema() -> dict:
+    from iceberg_compaction_spark.sources.iceberg_meta import (
+        _MANIFEST_FILE_SCHEMA,
+    )
+
+    return _MANIFEST_FILE_SCHEMA
+
+
+def _now_ms() -> int:
+    import time as _time
+
+    return int(_time.time() * 1000)
