@@ -1069,6 +1069,7 @@ def _dml_docs_warehouse(
     table_name: str,
     columns: list,
     mutate,
+    partition_col: "str | None" = None,
 ) -> str:
     """Shared one-time DML fixture builder: ``documents`` split into
     two files by doc_id parity under a FileCatalog table, then
@@ -1104,20 +1105,44 @@ def _dml_docs_warehouse(
     )
     os.makedirs(os.path.join(stage, "data"), exist_ok=True)
     t = pq.read_table(src, columns=columns)
-    ids = t.column("doc_id").to_numpy()
     tasks = []
-    for part, mask in (("even", ids % 2 == 0), ("odd", ids % 2 == 1)):
-        p = os.path.join(stage, "data", f"{part}.parquet")
-        pq.write_table(t.filter(pa.array(mask)), p)
-        tasks.append(
-            FileScanTask(
-                data_file_path=p.replace(stage, root, 1),
-                length=os.path.getsize(p),
-                file_size_in_bytes=os.path.getsize(p),
-                record_count=int(mask.sum()),
-                sequence_number=1,
+    if partition_col:
+        # one file per partition value, partition tuple stamped —
+        # a genuine identity-partitioned table
+        vals = sorted(set(t.column(partition_col).to_pylist()))
+        col = t.column(partition_col)
+        for v in vals:
+            mask = pa.compute.equal(col, v)
+            p = os.path.join(
+                stage, "data", f"{partition_col}={v}", "part-0.parquet"
             )
-        )
+            os.makedirs(os.path.dirname(p), exist_ok=True)
+            sub = t.filter(mask)
+            pq.write_table(sub, p)
+            tasks.append(
+                FileScanTask(
+                    data_file_path=p.replace(stage, root, 1),
+                    length=os.path.getsize(p),
+                    file_size_in_bytes=os.path.getsize(p),
+                    record_count=sub.num_rows,
+                    sequence_number=1,
+                    partition=(str(v),),
+                )
+            )
+    else:
+        ids = t.column("doc_id").to_numpy()
+        for part, mask in (("even", ids % 2 == 0), ("odd", ids % 2 == 1)):
+            p = os.path.join(stage, "data", f"{part}.parquet")
+            pq.write_table(t.filter(pa.array(mask)), p)
+            tasks.append(
+                FileScanTask(
+                    data_file_path=p.replace(stage, root, 1),
+                    length=os.path.getsize(p),
+                    file_size_in_bytes=os.path.getsize(p),
+                    record_count=int(mask.sum()),
+                    sequence_number=1,
+                )
+            )
     FileCatalog(warehouse=os.path.join(stage, "wh")).create_table(
         table_name,
         Manifest(
@@ -1126,6 +1151,17 @@ def _dml_docs_warehouse(
             sequence_number=1,
             operation="append",
             data_files=tasks,
+            partition_spec=(
+                [
+                    {
+                        "source": partition_col,
+                        "transform": "identity",
+                        "name": partition_col,
+                    }
+                ]
+                if partition_col
+                else []
+            ),
         ),
     )
     try:
@@ -1242,3 +1278,39 @@ def partitioned_write_warehouse(spark: SparkSession, sf_dir: str) -> str:
         shutil.rmtree(root, ignore_errors=True)
         raise
     return wh
+
+
+def overwrite_partitions_warehouse(spark: SparkSession, sf_dir: str) -> str:
+    """One-time per sf_dir: ``docs_ow`` = ``documents`` as a genuine
+    lang-identity-partitioned table (one file + partition tuple per
+    lang), with one committed ``overwrite_partitions`` on top replacing
+    the WHOLE ``lang='fr'`` cell with negated-``n_chars`` rows — the
+    ``dml_overwrite_partitions`` oracle checks Iceberg's
+    replace-partitions semantics end to end: the written cell is
+    replaced, every other cell keeps its files untouched."""
+    import os
+
+    from iceberg_compaction_spark.sources.ingest import (
+        overwrite_partitions,
+    )
+
+    def _mutate(cat):
+        src = os.path.join(sf_dir, "documents.parquet")
+        repl = (
+            spark.read.parquet(src)
+            .where(F.col("lang") == "fr")
+            .select(
+                "doc_id", "lang", (-F.col("n_chars")).alias("n_chars")
+            )
+        )
+        overwrite_partitions(spark, cat, "docs_ow", repl)
+
+    return _dml_docs_warehouse(
+        spark,
+        sf_dir,
+        tag="ow",
+        table_name="docs_ow",
+        columns=["doc_id", "lang", "n_chars"],
+        mutate=_mutate,
+        partition_col="lang",
+    )

@@ -3626,6 +3626,36 @@ def q_dml_add_files(spark, sf_dir):
 
 
 @register(
+    "dml_overwrite_partitions",
+    """
+    SELECT doc_id, lang, n_chars FROM documents WHERE lang <> 'fr'
+    UNION ALL
+    SELECT doc_id, lang, -n_chars AS n_chars FROM documents
+    WHERE lang = 'fr'
+    """,
+)
+def q_dml_overwrite_partitions(spark, sf_dir):
+    """Dynamic partition overwrite (round 12; Iceberg's
+    replace-partitions / Spark's INSERT OVERWRITE dynamic mode,
+    sources/ingest.py overwrite_partitions): the fixture replaces the
+    WHOLE ``lang='fr'`` cell of a lang-partitioned table with
+    negated-n_chars rows; every other cell keeps its files untouched.
+    This is also the producer of the staged-overwrite snapshots
+    cherry_pick can replay past a moved main (catalog.py
+    _cherry_pick_overwrite).
+
+    Scale shape: one distributed fan-out write into the replaced
+    cells; the replaced-set computation and manifest edit are
+    metadata-sized — untouched partitions are never read or written."""
+    from iceberg_compaction_spark.sources.catalog import FileCatalog
+    from iceberg_compaction_spark.sources.ingest import read_table_mor
+
+    wh = syn.overwrite_partitions_warehouse(spark, sf_dir)
+    m = FileCatalog(warehouse=wh).load_table("docs_ow")
+    return read_table_mor(spark, m).select("doc_id", "lang", "n_chars")
+
+
+@register(
     "meta_position_deletes",
     """
     SELECT CASE WHEN doc_id % 2 = 0 THEN 'even.parquet'

@@ -1305,14 +1305,27 @@ def cherry_pick(
     publish path when ``fast_forward`` refuses because main has
     advanced past the branch's fork point.
 
-    Like Iceberg, only APPEND snapshots are cherry-pickable: the staged
-    snapshot's diff against ITS OWN parent must add data files and
-    nothing else (no removals, no delete-set changes) — replaying a
-    rewrite or an upsert onto a moved head could resurrect deleted rows
-    or double-apply deletes, so those are rejected loudly.  The added
-    files enter the target at the NEW commit's sequence number: they
-    are new data as of this commit, so existing equality deletes
-    (strictly lower sequence) correctly do not apply to them.
+    Like Iceberg's ``cherrypick_snapshot``, two snapshot shapes are
+    replayable:
+
+    - **appends** — the staged snapshot's diff against ITS OWN parent
+      adds data files and nothing else.  The added files enter the
+      target at the NEW commit's sequence number: they are new data as
+      of this commit, so existing equality deletes (strictly lower
+      sequence) correctly do not apply to them.
+    - **dynamic overwrites** (replace-partitions, round 12 —
+      :func:`~iceberg_compaction_spark.sources.ingest.overwrite_partitions`)
+      — the staged snapshot removes and adds files confined to a set
+      of partition CELLS, with no delete-set changes on surviving
+      files.  Replay is allowed only when every replaced cell is
+      UNTOUCHED on the target head since the fork (identical file set
+      and delete attachments there); a cell the head has since
+      modified is a genuine conflict and rejects loudly — replaying
+      over it would silently drop the head's writes.
+
+    Anything else (rewrites with delete-set changes, upserts) is
+    rejected: replaying could resurrect deleted rows or double-apply
+    deletes.
 
     Catalog-generic and CAS-retried like :func:`rollback_table`.
     """
@@ -1331,13 +1344,21 @@ def cherry_pick(
         parent = catalog.load_table_at(name, parent_id)
         diff = diff_files(parent, staged)
         if diff.removed_data_files or diff.changed_delete_files:
+            if (
+                staged.operation == "overwrite"
+                and not diff.changed_delete_files
+            ):
+                return _cherry_pick_overwrite(
+                    catalog, name, snapshot_id, staged, parent, diff,
+                    to_branch,
+                )
             raise ValueError(
-                f"cherry-pick supports append-only snapshots; "
-                f"{name}@{snapshot_id} removes "
-                f"{len(diff.removed_data_files)} file(s) and changes "
-                f"deletes on {len(diff.changed_delete_files)} — publish "
-                "via fast_forward (exact lineage) or re-apply the DML "
-                "against the current head"
+                f"cherry-pick supports append-only and "
+                f"replace-partitions snapshots; {name}@{snapshot_id} "
+                f"removes {len(diff.removed_data_files)} file(s) and "
+                f"changes deletes on {len(diff.changed_delete_files)} — "
+                "publish via fast_forward (exact lineage) or re-apply "
+                "the DML against the current head"
             )
         cur = (
             catalog.load_table_ref(name, to_branch)
@@ -1377,3 +1398,110 @@ def cherry_pick(
         return catalog.commit_table(name, cur.snapshot_id, new)
 
     return CommitManager().commit_with_retry(attempt)
+
+
+def _cell_state(manifest: Manifest, cells: set) -> dict:
+    """cell -> frozenset of (data path, sorted delete paths) within the
+    given partition cells — the untouched-since-fork comparison key for
+    replace-partitions cherry-pick (a new/removed file OR a new delete
+    attachment in the cell both count as 'touched')."""
+    from iceberg_compaction_spark.sources.ingest import partition_cell
+
+    state: dict = {c: set() for c in cells}
+    for t in manifest.data_files:
+        c = partition_cell(t.partition)
+        if c in state:
+            state[c].add(
+                (
+                    t.data_file_path,
+                    tuple(sorted(d.path for d in t.deletes)),
+                )
+            )
+    return {c: frozenset(v) for c, v in state.items()}
+
+
+def _cherry_pick_overwrite(
+    catalog,
+    name: str,
+    snapshot_id: int,
+    staged: Manifest,
+    parent: Manifest,
+    diff,
+    to_branch: "str | None",
+) -> Manifest:
+    """Replay a staged replace-partitions (dynamic overwrite) snapshot
+    onto the moved target head — Iceberg ``cherrypick_snapshot``
+    parity for WAP flows that stage a partition overwrite.  Called
+    from inside :func:`cherry_pick`'s retry attempt; see its docstring
+    for the conflict contract."""
+    import dataclasses
+
+    from iceberg_compaction_spark.sources.ingest import partition_cell
+
+    removed_set = set(diff.removed_data_files)
+    added_set = set(diff.added_data_files)
+    removed = [
+        t for t in parent.data_files if t.data_file_path in removed_set
+    ]
+    added = [
+        t for t in staged.data_files if t.data_file_path in added_set
+    ]
+    # the replaced cells: everything the overwrite removed from or
+    # wrote into (a written-but-previously-empty cell is replaced too —
+    # head files that appeared there since the fork are a conflict)
+    cells = {partition_cell(t.partition) for t in removed} | {
+        partition_cell(t.partition) for t in added
+    }
+    spec_arity = len(parent.partition_spec or [])
+    if spec_arity and any(len(c) != spec_arity for c in cells):
+        raise ValueError(
+            f"cherry-pick of {name}@{snapshot_id}: the staged overwrite "
+            "touches files without a full partition tuple — replaying "
+            "it cannot be scoped to partition cells; re-apply the DML "
+            "against the current head"
+        )
+    cur = (
+        catalog.load_table_ref(name, to_branch)
+        if to_branch
+        else catalog.load_table(name)
+    )
+    # untouched-since-fork validation, cell by cell
+    fork_state = _cell_state(parent, cells)
+    head_state = _cell_state(cur, cells)
+    dirty = sorted(
+        str(c) for c in cells if fork_state[c] != head_state[c]
+    )
+    if dirty:
+        raise ValueError(
+            f"cherry-pick of {name}@{snapshot_id}: partition cell(s) "
+            f"{dirty[:3]} changed on the target since the staged "
+            "overwrite's fork — replaying would drop those writes; "
+            "re-apply the DML against the current head"
+        )
+    dups = {t.data_file_path for t in cur.data_files} & added_set
+    if dups:
+        raise ValueError(
+            f"cherry-pick target already contains "
+            f"{len(dups)} of the staged files (already published?): "
+            f"{sorted(dups)[:3]}"
+        )
+    new = Manifest.from_dict(cur.to_dict())
+    new.snapshot_id = cur.next_snapshot()
+    new.sequence_number = cur.sequence_number + 1
+    new.operation = "overwrite"
+    new.data_files = [
+        t
+        for t in new.data_files
+        if partition_cell(t.partition) not in cells
+    ]
+    for t in added:
+        new.data_files.append(
+            dataclasses.replace(
+                t, sequence_number=new.sequence_number, deletes=[]
+            )
+        )
+    if to_branch:
+        return catalog.commit_table(
+            name, cur.snapshot_id, new, to_branch=to_branch
+        )
+    return catalog.commit_table(name, cur.snapshot_id, new)

@@ -1038,6 +1038,79 @@ def add_files(
     return CommitManager().commit_with_retry(attempt)
 
 
+def partition_cell(part) -> tuple:
+    """Canonical form of a recorded partition tuple for CELL EQUALITY:
+    values arrive native (Arrow write path) or as hive-path strings
+    (sized fan-out writer) — same dual representation
+    plans/pruning.py matches on — so cells compare on ``str()`` with
+    nulls preserved."""
+    return tuple(
+        None if c is None else str(c) for c in (part or ())
+    )
+
+
+def overwrite_partitions(
+    spark: SparkSession,
+    catalog,
+    table_name: str,
+    df: DataFrame,
+    to_branch: str | None = None,
+) -> Manifest:
+    """Dynamic partition overwrite — Iceberg's replace-partitions
+    operation, Spark's ``INSERT OVERWRITE`` under dynamic partition
+    overwrite mode: every partition CELL the batch writes to is
+    replaced whole (its previous data files leave the manifest;
+    physical parquet ages out via expire + orphan cleanup), and
+    partitions the batch never touches keep their files AND delete
+    state byte-identically.  On an unpartitioned table this is a
+    full-table INSERT OVERWRITE.
+
+    This is the producer of the staged-overwrite snapshots
+    :func:`~iceberg_compaction_spark.sources.catalog.cherry_pick`
+    can replay past a moved main (operation ``overwrite``, removals
+    confined to the written cells).
+
+    Scale shape: ONE distributed transform-aware fan-out write
+    (writer.py's sized rolling writer); the replaced-cell set and the
+    manifest edit are metadata-sized.  CAS-retried like every DML —
+    the data files are written once and only re-sequenced on retry
+    (parquet carries no sequence column).
+    """
+    from iceberg_compaction_spark.commit import CommitManager
+
+    current = _load_head(catalog, table_name, to_branch)
+    suffix = uuid.uuid4().hex[:8]
+    new_tasks = _write_dml_data_files(
+        spark, current, df, f"overwrite-{suffix}"
+    )
+    if not new_tasks or not any(t.record_count for t in new_tasks):
+        return current  # empty batch: dynamic overwrite replaces nothing
+    written_cells = {partition_cell(t.partition) for t in new_tasks}
+
+    def attempt() -> Manifest:
+        cur = _load_head(catalog, table_name, to_branch)
+        new = Manifest.from_dict(cur.to_dict())
+        new.snapshot_id = cur.next_snapshot()
+        new.sequence_number = cur.sequence_number + 1
+        new.operation = "overwrite"
+        new.data_files = [
+            t
+            for t in new.data_files
+            if partition_cell(t.partition) not in written_cells
+        ]
+        import dataclasses
+
+        for t in new_tasks:
+            new.data_files.append(
+                dataclasses.replace(
+                    t, sequence_number=new.sequence_number, deletes=[]
+                )
+            )
+        return _commit(catalog, table_name, cur, new, to_branch)
+
+    return CommitManager().commit_with_retry(attempt)
+
+
 def read_table_mor(spark: SparkSession, manifest: Manifest) -> DataFrame:
     """Read a manifest table with all its delete files applied — the
     query-engine view of a MOR table (what compaction materializes)."""

@@ -726,3 +726,201 @@ def test_cherry_pick_publishes_append_after_main_moved(spark, cat, tmp_path):
     )
     with pytest.raises(ValueError, match="append-only"):
         cherry_pick(cat, "t", m.snapshot_id)
+
+
+def _mk_partitioned(tmp_path, spark):
+    """FileCatalog table 'p' identity-partitioned on lang with two
+    cells (en, fr)."""
+    from iceberg_compaction_spark.sources.ingest import (
+        overwrite_partitions,
+    )
+
+    root = str(tmp_path / "ptbl")
+    os.makedirs(root)
+    pq.write_table(
+        pa.table(
+            {
+                "lang": ["seed"],
+                "id": pa.array([0], type=pa.int64()),
+                "val": ["seed"],
+            }
+        ),
+        os.path.join(root, "seed.parquet"),
+    )
+    m = Manifest.from_parquet_dir(root, sequence_number=1)
+    m.partition_spec = [
+        {"source": "lang", "transform": "identity", "name": "lang"}
+    ]
+    for t in m.data_files:
+        t.partition = ("seed",)
+    cat = FileCatalog(warehouse=str(tmp_path / "pwh"))
+    cat.create_table("p", m)
+    # populate en + fr through the DML itself (fan-out writer)
+    overwrite_partitions(
+        spark, cat, "p",
+        spark.createDataFrame(
+            [("en", 1, "e1"), ("en", 2, "e2"), ("fr", 1, "f1")],
+            ["lang", "id", "val"],
+        ),
+    )
+    return cat
+
+
+def _prows(spark, cat, ref=None):
+    m = cat.load_table_ref("p", ref) if ref else cat.load_table("p")
+    return {
+        (r["lang"], r["id"]): r["val"]
+        for r in read_table_mor(spark, m).collect()
+    }
+
+
+def test_overwrite_partitions_replaces_only_written_cells(spark, tmp_path):
+    from iceberg_compaction_spark.sources.ingest import (
+        overwrite_partitions,
+    )
+
+    cat = _mk_partitioned(tmp_path, spark)
+    assert _prows(spark, cat) == {
+        ("seed", 0): "seed",
+        ("en", 1): "e1",
+        ("en", 2): "e2",
+        ("fr", 1): "f1",
+    }
+    before = cat.load_table("p")
+    en_files = {
+        t.data_file_path
+        for t in before.data_files
+        if tuple(t.partition) in {("en",), ("seed",)}
+        or str(t.partition[0]) in ("en", "seed")
+    }
+    overwrite_partitions(
+        spark, cat, "p",
+        spark.createDataFrame(
+            [("fr", 7, "f7"), ("fr", 8, "f8")], ["lang", "id", "val"]
+        ),
+    )
+    got = _prows(spark, cat)
+    # fr replaced WHOLE; en and seed byte-identical (same file paths)
+    assert got == {
+        ("seed", 0): "seed",
+        ("en", 1): "e1",
+        ("en", 2): "e2",
+        ("fr", 7): "f7",
+        ("fr", 8): "f8",
+    }
+    after = cat.load_table("p")
+    assert after.operation == "overwrite"
+    kept = {
+        t.data_file_path
+        for t in after.data_files
+        if str(t.partition[0]) in ("en", "seed")
+    }
+    assert kept == en_files
+    # empty batch: dynamic overwrite replaces nothing, no commit
+    head = cat.load_table("p").snapshot_id
+    overwrite_partitions(
+        spark, cat, "p",
+        spark.createDataFrame([], "lang string, id long, val string"),
+    )
+    assert cat.load_table("p").snapshot_id == head
+
+
+def test_cherry_pick_replays_staged_overwrite_past_moved_main(
+    spark, tmp_path
+):
+    """VERDICT r11 #3: a WAP flow stages a partition overwrite on a
+    branch; main then moves in an UNRELATED partition — fast_forward
+    refuses (fork passed), but cherry-pick replays the replace-
+    partitions snapshot: both writes land."""
+    from iceberg_compaction_spark.sources.catalog import cherry_pick
+    from iceberg_compaction_spark.sources.ingest import (
+        overwrite_partitions,
+    )
+
+    cat = _mk_partitioned(tmp_path, spark)
+    cat.create_branch("p", "audit")
+    staged = overwrite_partitions(
+        spark, cat, "p",
+        spark.createDataFrame(
+            [("fr", 7, "f7"), ("fr", 8, "f8")], ["lang", "id", "val"]
+        ),
+        to_branch="audit",
+    )
+    # main moves in lang=en (unrelated cell)
+    overwrite_partitions(
+        spark, cat, "p",
+        spark.createDataFrame([("en", 9, "e9")], ["lang", "id", "val"]),
+    )
+    with pytest.raises(ValueError):
+        cat.fast_forward("p", "main", staged.snapshot_id)
+    published = cherry_pick(cat, "p", staged.snapshot_id)
+    assert published.operation == "overwrite"
+    assert _prows(spark, cat) == {
+        ("seed", 0): "seed",
+        ("en", 9): "e9",       # main's move preserved
+        ("fr", 7): "f7",       # staged overwrite replayed
+        ("fr", 8): "f8",
+    }
+
+
+def test_cherry_pick_overwrite_rejects_conflicting_cell(spark, tmp_path):
+    """Main moved in the SAME partition the staged overwrite replaces:
+    a genuine conflict — replaying would drop main's write — rejected
+    loudly; the head stays put."""
+    from iceberg_compaction_spark.sources.catalog import cherry_pick
+    from iceberg_compaction_spark.sources.ingest import (
+        overwrite_partitions,
+    )
+
+    cat = _mk_partitioned(tmp_path, spark)
+    cat.create_branch("p", "audit")
+    staged = overwrite_partitions(
+        spark, cat, "p",
+        spark.createDataFrame(
+            [("fr", 7, "f7")], ["lang", "id", "val"]
+        ),
+        to_branch="audit",
+    )
+    overwrite_partitions(
+        spark, cat, "p",
+        spark.createDataFrame([("fr", 5, "f5")], ["lang", "id", "val"]),
+    )
+    head = cat.load_table("p").snapshot_id
+    with pytest.raises(ValueError, match="changed on the target"):
+        cherry_pick(cat, "p", staged.snapshot_id)
+    assert cat.load_table("p").snapshot_id == head
+    assert _prows(spark, cat)[("fr", 5)] == "f5"
+
+
+def test_cherry_pick_overwrite_into_previously_empty_cell(spark, tmp_path):
+    """A staged overwrite that WRITES a new cell (empty at the fork):
+    replayable only while the cell is still empty on the head; a head
+    write into it since the fork conflicts."""
+    from iceberg_compaction_spark.sources.catalog import cherry_pick
+    from iceberg_compaction_spark.sources.ingest import (
+        overwrite_partitions,
+    )
+
+    cat = _mk_partitioned(tmp_path, spark)
+    cat.create_branch("p", "audit")
+    staged = overwrite_partitions(
+        spark, cat, "p",
+        spark.createDataFrame([("de", 1, "d1")], ["lang", "id", "val"]),
+        to_branch="audit",
+    )
+    # clean replay while de is untouched on main
+    cherry_pick(cat, "p", staged.snapshot_id)
+    assert _prows(spark, cat)[("de", 1)] == "d1"
+
+    # second staged overwrite of de; main then writes de too -> conflict
+    staged2 = overwrite_partitions(
+        spark, cat, "p",
+        spark.createDataFrame([("de", 2, "d2")], ["lang", "id", "val"]),
+        to_branch="audit",
+    )
+    overwrite_partitions(
+        spark, cat, "p",
+        spark.createDataFrame([("de", 3, "d3")], ["lang", "id", "val"]),
+    )
+    with pytest.raises(ValueError, match="changed on the target"):
+        cherry_pick(cat, "p", staged2.snapshot_id)
