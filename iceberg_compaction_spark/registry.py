@@ -3693,6 +3693,44 @@ def q_meta_position_deletes(spark, sf_dir):
 
 
 @register(
+    "meta_metadata_log",
+    """
+    SELECT * FROM (VALUES
+        ('v1.metadata.json', CAST(1 AS BIGINT), 0, CAST(1 AS BIGINT)),
+        ('v2.metadata.json', CAST(2 AS BIGINT), 0, CAST(2 AS BIGINT))
+    ) AS t(file_name, latest_snapshot_id, latest_schema_id,
+           latest_sequence_number)
+    """,
+)
+def q_meta_metadata_log(spark, sf_dir):
+    """``metadata_log_entries`` metadata table (round 12; Iceberg's
+    ``tbl$metadata_log_entries``): the metadata VERSION FILE trail —
+    which physical file was current when and what head it declared,
+    the forensics relation for commit archaeology.  The fixture's two
+    deterministic versions (create + delete_where) pin the contract;
+    the wall-clock timestamp column is projected out for the oracle
+    (stable columns only, like the other meta_* entries).
+
+    Scale shape: one row per RETAINED version — metadata-sized by
+    definition, bounded by retention like Iceberg's own."""
+    from iceberg_compaction_spark.sources.catalog import FileCatalog
+    from iceberg_compaction_spark.sources.metadata_tables import (
+        metadata_log_entries_df,
+    )
+
+    wh = syn.delete_where_warehouse(spark, sf_dir)
+    df = metadata_log_entries_df(
+        spark, FileCatalog(warehouse=wh), "docs_dml"
+    )
+    return df.select(
+        F.element_at(F.split("file", "/"), -1).alias("file_name"),
+        "latest_snapshot_id",
+        "latest_schema_id",
+        "latest_sequence_number",
+    )
+
+
+@register(
     "dml_delete_where",
     """
     SELECT doc_id, lang FROM documents WHERE NOT (doc_id % 7 = 3)

@@ -168,7 +168,22 @@ ENTRIES_SCHEMA = T.StructType(
 
 METADATA_TABLES = ("files", "delete_files", "partitions", "snapshots",
                    "history", "refs", "manifests", "entries",
+                   "metadata_log_entries",
                    "all_files", "all_entries", "all_manifests")
+
+# Iceberg's ``tbl$metadata_log_entries``: one row per retained METADATA
+# VERSION FILE (the forensics relation — which physical metadata file
+# was current when, and what head it declared).  ``timestamp_ms`` is 0
+# for pre-stamp versions (unknown commit time is not invented).
+METADATA_LOG_SCHEMA = T.StructType(
+    [
+        T.StructField("timestamp_ms", T.LongType(), False),
+        T.StructField("file", T.StringType(), False),
+        T.StructField("latest_snapshot_id", T.LongType(), True),
+        T.StructField("latest_schema_id", T.IntegerType(), True),
+        T.StructField("latest_sequence_number", T.LongType(), True),
+    ]
+)
 
 
 def _with_ref_snapshot(schema: T.StructType) -> T.StructType:
@@ -638,6 +653,45 @@ def refs_rows(catalog, name: str) -> list[tuple]:
     ]
 
 
+def metadata_log_rows(catalog, name: str) -> list[tuple]:
+    """``tbl$metadata_log_entries``: the retained metadata VERSION FILE
+    trail — (commit timestamp, physical file, declared head snapshot /
+    schema / sequence number).  All three catalog tiers keep one
+    version file per commit (``v<N>.metadata.json``), so the log is
+    the retained history itself; rows for expired versions disappear
+    with their files, like Iceberg's after expiration.
+
+    Scale shape: metadata-sized by definition (one row per retained
+    version; retention bounds it) — a driver build like snapshots/
+    history/refs."""
+    ts: dict = {}
+    tsfn = getattr(catalog, "snapshot_timestamps", None)
+    if tsfn is not None:
+        try:
+            ts = tsfn(name)
+        except (FileNotFoundError, KeyError):
+            ts = {}
+    pathfn = getattr(catalog, "_vpath", None) or getattr(
+        catalog, "_version_path", None
+    )
+    rows = []
+    for sid in catalog.table_history(name):
+        m = catalog.load_table_at(name, sid)
+        fpath = (
+            pathfn(name, sid) if pathfn else f"v{sid}.metadata.json"
+        )
+        rows.append(
+            (
+                int(ts.get(sid, 0) or 0),
+                str(fpath),
+                int(m.snapshot_id),
+                int(m.schema_id),
+                int(m.sequence_number),
+            )
+        )
+    return rows
+
+
 _SCHEMAS = {
     "files": FILES_SCHEMA,
     "delete_files": FILES_SCHEMA,
@@ -647,6 +701,7 @@ _SCHEMAS = {
     "refs": REFS_SCHEMA,
     "manifests": MANIFESTS_SCHEMA,
     "entries": ENTRIES_SCHEMA,
+    "metadata_log_entries": METADATA_LOG_SCHEMA,
     "all_files": _with_ref_snapshot(FILES_SCHEMA),
     "all_entries": _with_ref_snapshot(ENTRIES_SCHEMA),
     "all_manifests": _with_ref_snapshot(MANIFESTS_SCHEMA),
@@ -665,11 +720,12 @@ def metadata_rows(catalog, name: str, kind: str,
                   snapshot_id: int | None = None) -> list[tuple]:
     """Shared row source for the helpers below AND the DataSource's
     ``option("metadata", kind)`` read path."""
-    if kind in ("snapshots", "history", "refs"):
+    if kind in ("snapshots", "history", "refs", "metadata_log_entries"):
         return {
             "snapshots": snapshots_rows,
             "history": history_rows,
             "refs": refs_rows,
+            "metadata_log_entries": metadata_log_rows,
         }[kind](catalog, name)
     if kind in ("manifests", "entries"):
         return {
@@ -722,6 +778,14 @@ def history_df(spark: "SparkSession", catalog, name: str) -> "DataFrame":
 
 def refs_df(spark: "SparkSession", catalog, name: str) -> "DataFrame":
     return spark.createDataFrame(refs_rows(catalog, name), REFS_SCHEMA)
+
+
+def metadata_log_entries_df(
+    spark: "SparkSession", catalog, name: str
+) -> "DataFrame":
+    return spark.createDataFrame(
+        metadata_log_rows(catalog, name), METADATA_LOG_SCHEMA
+    )
 
 
 def position_deletes_df(spark: "SparkSession", manifest: "Manifest") -> "DataFrame":

@@ -410,3 +410,72 @@ def test_all_relations_through_datasource_option(spark, tmp_path):
         for r in df.select("reference_snapshot_id").distinct().collect()
     }
     assert per_snap == {1, 2}
+
+
+def test_metadata_log_entries_rows_and_datasource(spark, tmp_path):
+    """``metadata_log_entries`` (round 12; Iceberg's
+    ``tbl$metadata_log_entries``): one row per retained version file —
+    physical path, declared head/schema/sequence — served both as rows
+    and through the DataSource option; rows disappear with expiration
+    like Iceberg's."""
+    from iceberg_compaction_spark.sources.datasource import register
+
+    cat = _two_snapshot_catalog(tmp_path)
+    rows = mt.metadata_log_rows(cat, "t")
+    assert [r[2] for r in rows] == [1, 2]          # latest_snapshot_id
+    assert [r[4] for r in rows] == [2, 3]          # latest_sequence_number
+    assert all(r[1].endswith(f"v{r[2]}.metadata.json") for r in rows)
+    assert all(os.path.exists(r[1]) for r in rows)  # genuine files
+    assert rows[0][0] > 0 and rows[1][0] >= rows[0][0]  # stamped times
+
+    register(spark)
+    df = (
+        spark.read.format("iceberg-table")
+        .option("warehouse", cat.warehouse)
+        .option("table", "t")
+        .option("metadata", "metadata_log_entries")
+        .load()
+    )
+    assert df.count() == 2
+    assert df.schema["latest_sequence_number"].dataType.typeName() == "long"
+
+    # expiration drops the expired version's log row (file gone)
+    cat.expire_snapshots("t", keep_last=1)
+    after = mt.metadata_log_rows(cat, "t")
+    assert [r[2] for r in after] == [2]
+
+
+def test_metadata_log_entries_on_hadoop_tier(spark, tmp_path):
+    """The full-fidelity tier serves the same relation over its real
+    v<N>.metadata.json trail with per-snapshot commit timestamps."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from iceberg_compaction_spark.sources.iceberg_meta import (
+        IcebergHadoopCatalog,
+    )
+    from iceberg_compaction_spark.sources.ingest import upsert
+
+    root = str(tmp_path / "base")
+    os.makedirs(root)
+    pq.write_table(
+        pa.table(
+            {
+                "id": pa.array(range(4), type=pa.int64()),
+                "val": [f"v{i}" for i in range(4)],
+            }
+        ),
+        os.path.join(root, "b.parquet"),
+    )
+    cat = IcebergHadoopCatalog(warehouse=str(tmp_path / "wh"))
+    cat.create_table("h", Manifest.from_parquet_dir(root, sequence_number=1))
+    upsert(
+        spark, cat, "h",
+        spark.createDataFrame([(0, "u0")], ["id", "val"]),
+        keys=["id"],
+    )
+    rows = mt.metadata_log_rows(cat, "h")
+    assert [r[2] for r in rows] == [1, 2]
+    assert all(r[1].endswith(f"v{r[2]}.metadata.json") for r in rows)
+    assert all(os.path.exists(r[1]) for r in rows)
+    assert all(r[0] > 0 for r in rows)  # real timestamp-ms per version
