@@ -2449,3 +2449,62 @@ def test_write_honors_table_target_size_property(spark, cat):
     added = [t for t in m.data_files if "append-" in t.data_file_path]
     assert len(added) >= 2  # rolled at the property's target
     assert sum(t.record_count for t in added) == n
+
+
+def test_stream_cdc_update_image_pairing(spark, cat, tmp_path):
+    """Streaming update-image pairing (round 12): the cdc stream's raw
+    delete+insert pairs re-tag as update_before/update_after per
+    micro-batch through pair_update_images_stream — and the result
+    hash-equals the BATCH pairing over the same changelog."""
+    from iceberg_compaction_spark.sources.changes import (
+        changelog_between,
+        pair_update_images,
+        pair_update_images_stream,
+    )
+
+    base = cat.load_table("t").snapshot_id
+    delta = spark.createDataFrame(
+        [(3, "three"), (99, "ninetynine")], ["id", "val"]
+    )
+    m2 = upsert(spark, cat, "t", delta, keys=["id"])
+
+    reader = (
+        spark.readStream.format("iceberg-table")
+        .option("warehouse", cat.warehouse)
+        .option("table", "t")
+        .option("change_mode", "cdc")
+        .option("starting_snapshot", str(base))
+    )
+    paired = pair_update_images_stream(reader.load(), keys=["id"])
+    out = os.path.join(str(tmp_path), "paired-sink")
+    q = (
+        paired.writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", os.path.join(str(tmp_path), "pck"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    rows = spark.read.parquet(out).collect()
+    got = sorted(
+        (r["id"], r["val"], r["_change_type"], r["_commit_snapshot_id"])
+        for r in rows
+    )
+    sid = m2.snapshot_id
+    assert got == [
+        (3, "three", "update_after", sid),     # paired
+        (3, "v3", "update_before", sid),       # paired
+        (99, "ninetynine", "insert", sid),     # unpaired stays insert
+    ]
+
+    # batch-twin equality: identical multiset from the batch surface
+    batch = pair_update_images(
+        changelog_between(spark, cat, "t", base, sid), keys=["id"]
+    )
+    bt = sorted(
+        (r["id"], r["val"], r["_change_type"], r["_commit_snapshot_id"])
+        for r in batch.select(
+            "id", "val", "_change_type", "_commit_snapshot_id"
+        ).collect()
+    )
+    assert bt == got
