@@ -61,6 +61,13 @@ TRACKED = [
     # token->p join whose build side (the vocabulary) grows sublinearly
     # with the corpus; tracked to pin that the join stays linear-ish
     "text_unigram_logprob",
+    # round 12 (VERDICT r11 #5): the two new data-sized surfaces —
+    # position_deletes is a genuinely DISTRIBUTED delete-row read
+    # (delete content scales with the data on a delete-heavy table),
+    # and the branch changelog pays a lineage walk + delta diff whose
+    # data side must stay linear while the walk stays metadata-priced
+    "meta_position_deletes",
+    "cdc_changelog_branch",
 ]
 
 
