@@ -71,6 +71,9 @@ BENCH_QUERIES = [
     "meta_position_deletes",
     "dml_add_files",
     "text_unigram_logprob",
+    # round 12
+    "dml_overwrite_partitions",
+    "meta_metadata_log",
 ]
 
 

@@ -4093,6 +4093,26 @@ QUERIES = {n: QUERIES[n] for n in _order11}
 ORACLES = {n: ORACLES[n] for n in _order11 if n in ORACLES}
 del _W11_PROMOTE, _W11_DEMOTE, _rest11, _order11
 
+# Round-12 window recomposition, same policy as rounds 10-11 (the
+# driver oracle-checks the FIRST 50 queries; the tail gets the identical
+# check in tests/test_oracle_tail.py): promote the round's flagships —
+# `dml_overwrite_partitions` (dynamic partition overwrite, a NEW DML
+# class: replace-partitions semantics + the cherry-pick replay shape)
+# and `meta_metadata_log` (the version-file forensics relation; the
+# window previously had no metadata-relation representative at all).
+# Demote two Catalyst-native twins whose operator family stays
+# window-covered: `events_top_users` (plain groupBy/top-N; the events
+# agg family keeps hourly/rollup/median/retention/funnel in-window) and
+# `emb_normalize` (zero-shuffle HOF projection; `emb_quantize` — the
+# same family's wider scan — stays).
+_W12_PROMOTE = ["dml_overwrite_partitions", "meta_metadata_log"]
+_W12_DEMOTE = ["events_top_users", "emb_normalize"]
+_rest12 = [n for n in QUERIES if n not in _W12_PROMOTE + _W12_DEMOTE]
+_order12 = _rest12[:48] + _W12_PROMOTE + _rest12[48:] + _W12_DEMOTE
+QUERIES = {n: QUERIES[n] for n in _order12}
+ORACLES = {n: ORACLES[n] for n in _order12 if n in ORACLES}
+del _W12_PROMOTE, _W12_DEMOTE, _rest12, _order12
+
 # Self-counting window invariants — these replace the literal counts
 # that drifted in past rounds' comments.  The policy they pin:
 # every registry entry has an oracle EXCEPT the documented
