@@ -19,17 +19,26 @@ Scope per catalog tier:
   structs, bounds, and stats written by other engines round-trip
   byte-faithfully (the engine's own entry schema carries an empty
   partition record, so a Manifest round-trip would drop them).
+- **REST client** (``RestCatalog`` against a full-fidelity server):
+  the same operation over the spec wire — the client writes the merged
+  Avro to shared storage itself (engines always write data AND
+  metadata files directly; the REST catalog's job is only to CAS the
+  pointer) and commits pointer-only ``add-snapshot`` +
+  ``set-snapshot-ref`` with an ``assert-ref-snapshot-id`` requirement.
+  Against an engine-manifest-tier server (no physical Avro) it reports
+  the fixed point.
 - **Engine tier** (``FileCatalog``): each version file IS one
   self-contained JSON manifest — the current snapshot is always
   already consolidated, so the operation reports the fixed point and
   commits nothing (the version TRAIL is retention's job:
   ``expire_snapshots``).
 
-Safety: the commit rides the same spec-wire CAS as every other commit
-(``commit_snapshot``); losers retry from a fresh head and unlink their
-orphaned Avro.  Old manifests stay on disk referenced by RETAINED prior
-versions — ``expire_snapshots``' reference-counted Avro cleanup removes
-them only when no retained version still points at them, and
+Safety: the commit rides the same CAS as every other commit
+(``commit_snapshot`` locally, the spec requirement over the wire);
+losers retry from a fresh head and unlink their orphaned Avro.  Old
+manifests stay on disk referenced by RETAINED prior versions —
+``expire_snapshots``' reference-counted Avro cleanup removes them only
+when no retained version still points at them, and
 ``remove_orphan_files`` never touches Avro at all.
 
 Iceberg semantics preserved (spec "Manifests" + RewriteManifests):
@@ -42,15 +51,16 @@ Iceberg semantics preserved (spec "Manifests" + RewriteManifests):
 - manifests are only merged WITHIN a (content, partition-spec-id)
   group — data and delete manifests never mix, nor do specs;
 - a manifest at-or-above the target size is kept verbatim (its list
-  entry is carried over unchanged), so the rewrite converges: a second
-  run finds nothing below target and is a no-op.
+  entry is carried over unchanged), and a merge that would not REDUCE
+  a group's manifest count keeps the originals (no-progress guard) —
+  so repeated runs strictly converge to a fixed point.
 """
 
 from __future__ import annotations
 
 import os
 import uuid
-from dataclasses import dataclass, field
+from dataclasses import dataclass
 
 from iceberg_compaction_spark.sources.avro_io import (
     read_avro_file,
@@ -203,6 +213,111 @@ def _write_merged(
     return out
 
 
+def _plan_rewrite(
+    io,
+    mdir: str,
+    md: dict,
+    head: int,
+    target_override: int | None,
+    min_count: int,
+) -> tuple[ManifestRewriteStats, dict | None, list[str]]:
+    """The tier-independent core: plan + write the merged manifests and
+    the new manifest list for ``md``'s current snapshot.  Returns
+    (stats, proposed add-snapshot dict or None at the fixed point,
+    written paths).  The COMMIT is the caller's (catalog-local CAS or
+    the REST wire); on any commit failure the caller must unlink the
+    written paths before retrying."""
+    snap = next(
+        (
+            s
+            for s in md.get("snapshots") or []
+            if s["snapshot-id"] == md.get("current-snapshot-id", head)
+        ),
+        None,
+    )
+    if snap is None or not snap.get("manifest-list"):
+        return ManifestRewriteStats(), None, []
+    target = target_override or int(
+        (md.get("properties") or {}).get(
+            TARGET_SIZE_PROP, DEFAULT_TARGET_MANIFEST_SIZE
+        )
+    )
+    _, mf_entries = read_avro_file(_strip_uri(snap["manifest-list"]))
+    kept, to_merge = _plan_groups(mf_entries, target, min_count)
+    stats = ManifestRewriteStats(
+        input_manifests=len(mf_entries), kept_manifests=len(kept)
+    )
+    if not to_merge:
+        return stats, None, []  # fixed point: nothing below target
+
+    proposed = head + 1
+    written: list[str] = []
+    new_entries: list[dict] = []
+    import contextlib as _ctx
+
+    for key in sorted(to_merge):
+        schema, entries, src_bytes = _copy_live_entries(to_merge[key])
+        if not entries:
+            # all-tombstone manifests merge to nothing: dropping
+            # them from the list IS the rewrite
+            stats.rewritten_manifests += len(to_merge[key])
+            continue
+        merged = _write_merged(
+            mdir, io, key, schema, entries, src_bytes, target, proposed
+        )
+        if len(merged) >= len(to_merge[key]):
+            # no-progress guard: a merge that does not REDUCE the
+            # group's manifest count would churn forever (sub-target
+            # outputs re-merged every pass) — keep the originals and
+            # unlink the attempt
+            for m in merged:
+                with _ctx.suppress(FileNotFoundError, OSError):
+                    io.remove(_strip_uri(m["manifest_path"]))
+            kept.extend(to_merge[key])
+            stats.kept_manifests += len(to_merge[key])
+            continue
+        stats.rewritten_manifests += len(to_merge[key])
+        stats.rewritten_entries += len(entries)
+        written.extend(_strip_uri(m["manifest_path"]) for m in merged)
+        new_entries.extend(merged)
+    if not (new_entries or stats.rewritten_manifests):
+        return stats, None, []  # every group hit the no-progress guard
+    list_path = io.join(mdir, f"snap-{proposed}-1-{uuid.uuid4().hex}.avro")
+    write_avro_file(
+        list_path,
+        _manifest_file_schema(),
+        kept + new_entries,
+        metadata={"format-version": "2"},
+    )
+    written.append(list_path)
+    stats.output_manifests = len(new_entries)
+    new_snap = {
+        "snapshot-id": proposed,
+        "parent-snapshot-id": head,
+        # metadata-only: the row set is unchanged, so the sequence
+        # number does not advance (delete-applies comparisons stay
+        # identical)
+        "sequence-number": int(md.get("last-sequence-number", 0)),
+        "timestamp-ms": _now_ms(),
+        "manifest-list": _uri(list_path),
+        "summary": {
+            "operation": "replace",
+            "manifests-replaced": str(stats.rewritten_manifests),
+            "manifests-created": str(len(new_entries)),
+            "manifests-kept": str(len(kept)),
+        },
+    }
+    return stats, new_snap, written
+
+
+def _unlink_all(io, paths: list[str]) -> None:
+    import contextlib as _ctx
+
+    for p in paths:
+        with _ctx.suppress(FileNotFoundError, OSError):
+            io.remove(p)
+
+
 def rewrite_manifests(
     catalog,
     name: str,
@@ -212,12 +327,23 @@ def rewrite_manifests(
 ) -> ManifestRewriteStats:
     """One rewrite pass over ``name``'s head snapshot (of ``to_branch``
     when given).  See module doc; returns what happened.  On catalogs
-    whose versions are self-contained JSON manifests (the engine tier)
-    this reports the fixed point without committing."""
+    whose versions are self-contained JSON manifests (the engine tier,
+    or a REST client against an engine-manifest server) this reports
+    the fixed point without committing."""
     import json as _json
 
     from iceberg_compaction_spark.commit import CommitManager
 
+    if hasattr(catalog, "_spec_base_md"):  # RestCatalog client
+        return CommitManager().commit_with_retry(
+            lambda: _rest_attempt(
+                catalog,
+                name,
+                target_manifest_size_bytes,
+                min_count_to_merge,
+                to_branch,
+            )
+        )
     if not hasattr(catalog, "commit_snapshot"):
         # engine tier: one JSON == one consolidated manifest, always
         return ManifestRewriteStats(input_manifests=1, kept_manifests=1)
@@ -236,94 +362,13 @@ def rewrite_manifests(
             else catalog._current_version(name)
         )
         md = _json.loads(io.read_bytes(catalog._vpath(name, head)))
-        snap = next(
-            (
-                s
-                for s in md.get("snapshots") or []
-                if s["snapshot-id"] == md.get("current-snapshot-id", head)
-            ),
-            None,
+        stats, new_snap, written = _plan_rewrite(
+            io, mdir, md, head, target_manifest_size_bytes,
+            min_count_to_merge,
         )
-        if snap is None or not snap.get("manifest-list"):
-            return ManifestRewriteStats()  # nothing to plan over
-        target = target_manifest_size_bytes or int(
-            (md.get("properties") or {}).get(
-                TARGET_SIZE_PROP, DEFAULT_TARGET_MANIFEST_SIZE
-            )
-        )
-        _, mf_entries = read_avro_file(_strip_uri(snap["manifest-list"]))
-        kept, to_merge = _plan_groups(
-            mf_entries, target, min_count_to_merge
-        )
-        stats = ManifestRewriteStats(
-            input_manifests=len(mf_entries), kept_manifests=len(kept)
-        )
-        if not to_merge:
-            return stats  # fixed point: nothing below target to merge
-
-        proposed = head + 1
-        written: list[str] = []
-        new_entries: list[dict] = []
+        if new_snap is None:
+            return stats
         try:
-            for key in sorted(to_merge):
-                schema, entries, src_bytes = _copy_live_entries(
-                    to_merge[key]
-                )
-                if not entries:
-                    # all-tombstone manifests merge to nothing: dropping
-                    # them from the list IS the rewrite
-                    stats.rewritten_manifests += len(to_merge[key])
-                    continue
-                merged = _write_merged(
-                    mdir, io, key, schema, entries, src_bytes, target,
-                    proposed,
-                )
-                if len(merged) >= len(to_merge[key]):
-                    # no-progress guard: a merge that does not REDUCE
-                    # the group's manifest count would churn forever
-                    # (sub-target outputs re-merged every pass) — keep
-                    # the originals and unlink the attempt
-                    import contextlib as _ctx
-
-                    for m in merged:
-                        with _ctx.suppress(FileNotFoundError, OSError):
-                            io.remove(_strip_uri(m["manifest_path"]))
-                    kept.extend(to_merge[key])
-                    stats.kept_manifests += len(to_merge[key])
-                    continue
-                stats.rewritten_manifests += len(to_merge[key])
-                stats.rewritten_entries += len(entries)
-                written.extend(_strip_uri(m["manifest_path"]) for m in merged)
-                new_entries.extend(merged)
-            if not (new_entries or stats.rewritten_manifests):
-                return stats  # every group hit the no-progress guard
-            list_entries = kept + new_entries
-            list_path = io.join(
-                mdir, f"snap-{proposed}-1-{uuid.uuid4().hex}.avro"
-            )
-            write_avro_file(
-                list_path,
-                _manifest_file_schema(),
-                list_entries,
-                metadata={"format-version": "2"},
-            )
-            written.append(list_path)
-            new_snap = {
-                "snapshot-id": proposed,
-                "parent-snapshot-id": head,
-                # metadata-only: the row set is unchanged, so the
-                # sequence number does not advance (delete-applies
-                # comparisons stay identical)
-                "sequence-number": int(md.get("last-sequence-number", 0)),
-                "timestamp-ms": _now_ms(),
-                "manifest-list": _uri(list_path),
-                "summary": {
-                    "operation": "replace",
-                    "manifests-replaced": str(stats.rewritten_manifests),
-                    "manifests-created": str(len(new_entries)),
-                    "manifests-kept": str(len(kept)),
-                },
-            }
             out = catalog.commit_snapshot(
                 name,
                 expected_snapshot_id=head,
@@ -334,18 +379,89 @@ def rewrite_manifests(
             # a lost CAS (or any failure) leaves this attempt's Avro
             # unreferenced forever — nothing else cleans metadata/, so
             # unlink before the retry re-plans from the fresh head
-            import contextlib as _ctx
-
-            for p in written:
-                with _ctx.suppress(FileNotFoundError, OSError):
-                    io.remove(p)
+            _unlink_all(io, written)
             raise
-        stats.output_manifests = len(new_entries)
         stats.committed = True
         stats.snapshot_id = int(out["current-snapshot-id"])
         return stats
 
     return CommitManager().commit_with_retry(attempt)
+
+
+def _rest_attempt(
+    client,
+    name: str,
+    target_override: int | None,
+    min_count: int,
+    to_branch: str | None,
+) -> ManifestRewriteStats:
+    """One spec-wire rewrite attempt through a RestCatalog client: the
+    merged Avro is written to the server's shared metadata dir (learned
+    from LoadTableResult's metadata-location) and the commit is a
+    pointer-only ``add-snapshot`` + ``set-snapshot-ref`` under an
+    ``assert-ref-snapshot-id`` requirement — the exact shape Spark's
+    own rewrite_manifests produces against a REST catalog.  409 maps to
+    CommitConflict, so the shared retry loop re-plans from the fresh
+    head."""
+    from iceberg_compaction_spark.sources.fileio import fileio_for
+
+    # a load populates the tier info (mdir) and raises the documented
+    # errors for a missing table/branch
+    if to_branch is not None:
+        client.load_table_ref(name, to_branch)
+    else:
+        client.load_table(name)
+    if client._tier.get(name) is None:
+        # engine-manifest server: no physical Avro reachable client-side
+        return ManifestRewriteStats(input_manifests=1, kept_manifests=1)
+    md = client._spec_base_md(name, to_branch)
+    if md is None:
+        return ManifestRewriteStats(input_manifests=1, kept_manifests=1)
+    head = int(md["current-snapshot-id"])
+    mdir = client._tier[name]["mdir"]
+    mdir_local = _strip_uri(mdir)
+    io = fileio_for(mdir_local)
+    stats, new_snap, written = _plan_rewrite(
+        io, mdir_local, md, head, target_override, min_count
+    )
+    if new_snap is None:
+        return stats
+    target_ref = to_branch or "main"
+    body = {
+        "requirements": [
+            {
+                "type": "assert-ref-snapshot-id",
+                "ref": target_ref,
+                "snapshot-id": head,
+            }
+        ],
+        "updates": [
+            {"action": "add-snapshot", "snapshot": new_snap},
+            {
+                "action": "set-snapshot-ref",
+                "ref-name": target_ref,
+                "type": "branch",
+                "snapshot-id": new_snap["snapshot-id"],
+            },
+        ],
+    }
+    try:
+        out = client._request(
+            "POST",
+            client._url("namespaces", client.namespace, "tables", name),
+            body,
+        )
+    except BaseException:
+        _unlink_all(io, written)
+        raise
+    client._note_tier(name, out, ref=to_branch is not None)
+    stats.committed = True
+    stats.snapshot_id = int(
+        (out.get("metadata") or {}).get(
+            "current-snapshot-id", new_snap["snapshot-id"]
+        )
+    )
+    return stats
 
 
 def _manifest_file_schema() -> dict:

@@ -477,3 +477,67 @@ def test_maintain_runs_manifest_rewrite_then_expire_cleans(spark, grown):
     live = cat._avro_refs("h", max(cat.table_history("h")))[0]
     on_disk = set(glob.glob(os.path.join(mdir, "*.avro")))
     assert on_disk == {os.path.abspath(p) for p in live} or on_disk == live
+
+
+def test_rewrite_over_rest_client_spec_wire(spark, grown):
+    """rewrite_manifests through a RestCatalog client: the merged Avro
+    is written to shared storage by the CLIENT and the commit is a
+    pointer-only add-snapshot + set-snapshot-ref under an
+    assert-ref-snapshot-id requirement — the shape Spark's own
+    rewrite_manifests sends a REST catalog."""
+    from iceberg_compaction_spark.sources.rest_catalog import (
+        RestCatalog,
+        serve_rest_catalog,
+    )
+
+    cat, expect = grown
+    with serve_rest_catalog(cat) as srv:
+        client = RestCatalog(uri=srv.uri)
+        before, _ = _head_list_entries(cat, "h")
+        assert len(before) == 6
+        stats = rewrite_manifests(client, "h")
+        assert stats.committed and stats.output_manifests == 1
+        after, snap = _head_list_entries(cat, "h")
+        assert len(after) == 1
+        assert snap["summary"]["operation"] == "replace"
+        # reads through BOTH surfaces are row-identical
+        assert _rows(spark, cat) == expect
+        got = {
+            r["id"]: r["val"]
+            for r in read_table_mor(
+                spark, client.load_table("h")
+            ).collect()
+        }
+        assert got == expect
+        # second run over the wire: fixed point, no new snapshot
+        head = max(cat.table_history("h"))
+        s2 = rewrite_manifests(client, "h")
+        assert not s2.committed
+        assert max(cat.table_history("h")) == head
+
+
+def test_rewrite_rest_client_engine_tier_fixed_point(tmp_path):
+    """Against an engine-manifest server (FileCatalog backing) the
+    client has no physical Avro to rewrite: fixed point, no commit."""
+    from iceberg_compaction_spark.sources.catalog import FileCatalog
+    from iceberg_compaction_spark.sources.rest_catalog import (
+        RestCatalog,
+        serve_rest_catalog,
+    )
+
+    root = str(tmp_path / "d")
+    os.makedirs(root)
+    pq.write_table(
+        pa.table({"id": pa.array([1], type=pa.int64()), "val": ["a"]}),
+        os.path.join(root, "a.parquet"),
+    )
+    backing = FileCatalog(warehouse=str(tmp_path / "wh"))
+    backing.create_table(
+        "t", Manifest.from_parquet_dir(root, sequence_number=1)
+    )
+    with serve_rest_catalog(backing) as srv:
+        client = RestCatalog(uri=srv.uri)
+        before = backing.table_history("t")
+        stats = rewrite_manifests(client, "t")
+        assert not stats.committed
+        assert backing.table_history("t") == before
