@@ -1472,6 +1472,16 @@ class _AppendWriter(DataSourceArrowWriter):
         # a catalog with branch-commit support (file, rest)
         self._branch = options.get("to_branch")
         self._overwrite = overwrite
+        # option("partitionOverwriteMode", "dynamic"): Spark's dynamic
+        # partition overwrite — mode("overwrite") replaces only the
+        # partition cells the batch writes into, instead of the whole
+        # table (Iceberg's replace-partitions; same semantics as
+        # ingest.overwrite_partitions).  "static" (default) keeps the
+        # full-table replace.
+        self._dynamic = (
+            str(options.get("partitionOverwriteMode", "static")).lower()
+            == "dynamic"
+        )
         # resolve the target directory at plan time (driver); executors
         # must not need the catalog
         from iceberg_compaction_spark.sources.catalog import (
@@ -1716,7 +1726,22 @@ class _AppendWriter(DataSourceArrowWriter):
             new.snapshot_id = cur.snapshot_id + 1
             new.sequence_number = new_seq
             if self._overwrite:
-                new.data_files = added
+                if self._dynamic and cur.partition_spec:
+                    # dynamic partition overwrite: only the written
+                    # cells are replaced; untouched partitions keep
+                    # their files and delete state byte-identically
+                    from iceberg_compaction_spark.sources.ingest import (
+                        partition_cell,
+                    )
+
+                    cells = {partition_cell(t.partition) for t in added}
+                    new.data_files = [
+                        t
+                        for t in new.data_files
+                        if partition_cell(t.partition) not in cells
+                    ] + added
+                else:
+                    new.data_files = added
                 new.operation = "overwrite"
             else:
                 new.data_files = list(new.data_files) + added

@@ -2508,3 +2508,90 @@ def test_stream_cdc_update_image_pairing(spark, cat, tmp_path):
         ).collect()
     )
     assert bt == got
+
+
+def test_write_dynamic_partition_overwrite_mode(spark, tmp_path):
+    """option('partitionOverwriteMode', 'dynamic') + mode('overwrite'):
+    only the partition cells the batch writes are replaced (Iceberg's
+    replace-partitions; same semantics as ingest.overwrite_partitions);
+    untouched partitions keep their exact files.  Static overwrite
+    (the default) still replaces the whole table."""
+    from iceberg_compaction_spark.sources.catalog import FileCatalog
+    from iceberg_compaction_spark.sources.datasource import register
+    from iceberg_compaction_spark.sources.manifest import Manifest
+
+    register(spark)
+    root = str(tmp_path / "ptbl")
+    os.makedirs(root)
+    pq.write_table(
+        pa.table(
+            {
+                "lang": ["seed"],
+                "id": pa.array([0], type=pa.int64()),
+            }
+        ),
+        os.path.join(root, "seed.parquet"),
+    )
+    m = Manifest.from_parquet_dir(root, sequence_number=1)
+    m.partition_spec = [
+        {"source": "lang", "transform": "identity", "name": "lang"}
+    ]
+    pcat = FileCatalog(warehouse=str(tmp_path / "pwh"))
+    for t in m.data_files:
+        t.partition = ("seed",)
+    pcat.create_table("p", m)
+    from iceberg_compaction_spark.sources.ingest import (
+        overwrite_partitions,
+        read_table_mor,
+    )
+
+    overwrite_partitions(
+        spark, pcat, "p",
+        spark.createDataFrame(
+            [("en", 1), ("en", 2), ("fr", 3)], ["lang", "id"]
+        ),
+    )
+    en_files = {
+        t.data_file_path
+        for t in pcat.load_table("p").data_files
+        if str(t.partition[0]) == "en"
+    }
+
+    # dynamic overwrite of fr only, through the WRITER API
+    (
+        spark.createDataFrame([("fr", 30), ("fr", 31)], ["lang", "id"])
+        .write.format("iceberg-table")
+        .option("warehouse", pcat.warehouse)
+        .option("table", "p")
+        .option("partitionOverwriteMode", "dynamic")
+        .mode("overwrite")
+        .save()
+    )
+    cur = pcat.load_table("p")
+    assert cur.operation == "overwrite"
+    got = {
+        (r["lang"], r["id"])
+        for r in read_table_mor(spark, cur).collect()
+    }
+    assert got == {("seed", 0), ("en", 1), ("en", 2), ("fr", 30), ("fr", 31)}
+    kept = {
+        t.data_file_path
+        for t in cur.data_files
+        if str(t.partition[0]) == "en"
+    }
+    assert kept == en_files  # untouched cell: identical files
+
+    # static overwrite (default) still replaces the WHOLE table
+    (
+        spark.createDataFrame([("de", 9)], ["lang", "id"])
+        .write.format("iceberg-table")
+        .option("warehouse", pcat.warehouse)
+        .option("table", "p")
+        .mode("overwrite")
+        .save()
+    )
+    got = {
+        (r["lang"], r["id"])
+        for r in read_table_mor(spark, pcat.load_table("p")).collect()
+    }
+    assert got == {("de", 9)}
