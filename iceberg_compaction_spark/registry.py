@@ -3731,6 +3731,57 @@ def q_meta_metadata_log(spark, sf_dir):
 
 
 @register(
+    "stats_column_profile",
+    """
+    SELECT 'doc_id' AS col_name, COUNT(*) AS n_rows,
+           CAST(SUM(CASE WHEN doc_id IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_nulls,
+           COUNT(DISTINCT doc_id) AS ndv,
+           CAST(MIN(doc_id) AS VARCHAR) AS min_value,
+           CAST(MAX(doc_id) AS VARCHAR) AS max_value
+    FROM documents
+    UNION ALL
+    SELECT 'lang', COUNT(*),
+           CAST(SUM(CASE WHEN lang IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+           COUNT(DISTINCT lang),
+           CAST(MIN(lang) AS VARCHAR), CAST(MAX(lang) AS VARCHAR)
+    FROM documents
+    UNION ALL
+    SELECT 'source', COUNT(*),
+           CAST(SUM(CASE WHEN source IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+           COUNT(DISTINCT source),
+           CAST(MIN(source) AS VARCHAR), CAST(MAX(source) AS VARCHAR)
+    FROM documents
+    UNION ALL
+    SELECT 'n_chars', COUNT(*),
+           CAST(SUM(CASE WHEN n_chars IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+           COUNT(DISTINCT n_chars),
+           CAST(MIN(n_chars) AS VARCHAR), CAST(MAX(n_chars) AS VARCHAR)
+    FROM documents
+    """,
+)
+def q_stats_column_profile(spark, sf_dir):
+    """ANALYZE surface (round 12; Iceberg's compute_table_stats /
+    ANALYZE TABLE ... FOR COLUMNS): per-column n_rows / nulls / NDV /
+    min / max in ONE distributed aggregation, reshaped long-format
+    JVM-side (stack) — the exact form here (oracle-checkable);
+    analyze_table's default is the HLL single-pass twin (mergeable
+    sketches, the 100 TB path) and commits the scalars into table
+    properties stamped with the analyzed snapshot id.
+
+    Scale shape: the stats never leave the JVM until a one-row-per-
+    column collect; approx mode avoids the multi-distinct expand."""
+    from iceberg_compaction_spark.operators.stats import column_stats
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", "lang", "source", "n_chars"
+    )
+    return column_stats(docs, approx=False).withColumnRenamed(
+        "column", "col_name"
+    )
+
+
+@register(
     "dml_delete_where",
     """
     SELECT doc_id, lang FROM documents WHERE NOT (doc_id % 7 = 3)
