@@ -501,7 +501,9 @@ class TableRefs:
             )
         return keep
 
-    def _expirable_snapshots(self, name: str, keep_last: int) -> list:
+    def _expirable_snapshots(
+        self, name: str, keep_last: int, older_than_ms: "int | None" = None
+    ) -> list:
         """The snapshot ids expire_snapshots may remove — one shared
         policy for every versioned-metadata backend:
 
@@ -516,6 +518,10 @@ class TableRefs:
           must agree — properties only ever make expiration more
           conservative here, since the engine API's keep_last is the
           operator's explicit ask);
+        - an explicit ``older_than_ms`` (Iceberg's ``olderThan``
+          TIMESTAMP argument) keeps everything committed at-or-after
+          it — another conjunctive gate, and undated pre-stamp
+          snapshots are again never treated as infinitely old;
         - ref-protected snapshots (heads + per-ref retained lineage)
           never expire."""
         import time as _time
@@ -541,6 +547,13 @@ class TableRefs:
             # old — same conservative stance as the per-ref trim
             eligible = [
                 v for v in eligible if ts.get(v, 0) and ts[v] < cutoff
+            ]
+        if older_than_ms is not None:
+            ts = self.snapshot_timestamps(name)
+            eligible = [
+                v
+                for v in eligible
+                if ts.get(v, 0) and ts[v] < int(older_than_ms)
             ]
         return eligible
 
@@ -854,7 +867,12 @@ class FileCatalog(TableRefs):
     # backend); it consumes snapshot_timestamps above and tolerates an
     # expired lineage tail via _retained_lineage.
 
-    def expire_snapshots(self, name: str, keep_last: int = 2) -> list[int]:
+    def expire_snapshots(
+        self,
+        name: str,
+        keep_last: int = 2,
+        older_than_ms: "int | None" = None,
+    ) -> list[int]:
         """Iceberg's expire-snapshots maintenance: drop the oldest
         version files, always retaining the newest ``keep_last``
         (minimum 1 — the head is never expirable) and every snapshot a
@@ -870,8 +888,10 @@ class FileCatalog(TableRefs):
         (full lineage when undeclared); the TABLE properties
         ``history.expire.max-snapshot-age-ms`` /
         ``history.expire.min-snapshots-to-keep`` tighten the policy
-        further (see TableRefs._expirable_snapshots)."""
-        expired = self._expirable_snapshots(name, keep_last)
+        further (see TableRefs._expirable_snapshots).  ``older_than_ms``
+        is Iceberg's ``olderThan`` timestamp: with it set, snapshots
+        committed at-or-after that instant additionally survive."""
+        expired = self._expirable_snapshots(name, keep_last, older_than_ms)
         for v in expired:
             with contextlib.suppress(FileNotFoundError):
                 self._io.remove(self._version_path(name, v))

@@ -1565,11 +1565,17 @@ class IcebergHadoopCatalog(TableRefs):
             out.update(_local_path(mf["manifest_path"]) for mf in mfs)
         return out, complete
 
-    def expire_snapshots(self, name: str, keep_last: int = 2) -> list[int]:
+    def expire_snapshots(
+        self,
+        name: str,
+        keep_last: int = 2,
+        older_than_ms: "int | None" = None,
+    ) -> list[int]:
         # one shared retention policy (TableRefs._expirable_snapshots):
         # aged refs dropped first, ref-protected lineage pinned,
-        # per-ref AND table-property retention honored
-        expired = self._expirable_snapshots(name, keep_last)
+        # per-ref AND table-property retention honored; older_than_ms
+        # is Iceberg's olderThan timestamp gate
+        expired = self._expirable_snapshots(name, keep_last, older_than_ms)
         if not expired:
             return expired
         # Reference-counted Avro cleanup: an expired version's manifest

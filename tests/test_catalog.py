@@ -386,3 +386,44 @@ def test_version_stamp_cache_revalidates_by_mtime(tmp_path):
         json.dump(raw, f)
     os.utime(vpath, (1234567890, 1234567890))  # definitely new mtime
     assert cat.snapshot_parents("t")[2] is None  # re-read, not stale
+
+
+def test_expire_snapshots_older_than_timestamp(tmp_path):
+    """Iceberg's expireSnapshots(olderThan): snapshots committed
+    at-or-after the timestamp survive even below the positional window;
+    the gate is conjunctive with keep_last."""
+    import os
+    import time
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from iceberg_compaction_spark.sources.catalog import FileCatalog
+    from iceberg_compaction_spark.sources.manifest import Manifest
+
+    root = str(tmp_path / "d")
+    os.makedirs(root)
+    pq.write_table(
+        pa.table({"id": pa.array([1], type=pa.int64())}),
+        os.path.join(root, "a.parquet"),
+    )
+    cat = FileCatalog(warehouse=str(tmp_path / "wh"))
+    cat.create_table("t", Manifest.from_parquet_dir(root, sequence_number=1))
+    for i in range(2, 5):  # v2..v4
+        m = Manifest.from_dict(cat.load_table("t").to_dict())
+        m.snapshot_id = i
+        m.sequence_number = i
+        cat.commit_table("t", i - 1, m)
+    # a cutoff BEFORE any commit: nothing expires despite keep_last=1
+    ts = cat.snapshot_timestamps("t")
+    assert cat.expire_snapshots("t", keep_last=1, older_than_ms=1) == []
+    assert cat.table_history("t") == [1, 2, 3, 4]
+    # a cutoff between v2 and v3: only v1/v2 expire
+    cut = (ts[2] + ts[3]) // 2 + 1 if ts[3] > ts[2] else ts[3]
+    expired = cat.expire_snapshots("t", keep_last=1, older_than_ms=cut)
+    assert set(expired) <= {1, 2}
+    assert 3 in cat.table_history("t") and 4 in cat.table_history("t")
+    # no cutoff: positional window applies as before
+    time.sleep(0.01)
+    cat.expire_snapshots("t", keep_last=1)
+    assert cat.table_history("t") == [4]
