@@ -74,6 +74,9 @@ BENCH_QUERIES = [
     # round 12
     "dml_overwrite_partitions",
     "meta_metadata_log",
+    "text_bpe_pairs",
+    "dedup_corpus_lines",
+    "stats_column_profile",
 ]
 
 

@@ -1087,3 +1087,77 @@ def span_dup_coverage(
             .alias("dup_ppm"),
         )
     )
+
+
+def dedup_lines_across_corpus(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_line_chars: int = 30,
+) -> DataFrame:
+    """C4-style cross-document LINE deduplication (round 12; Raffel et
+    al., arXiv:1910.10683 §2.2: "we discarded all but one of any
+    three-sentence span occurring more than once", applied here at
+    line granularity like most open reproductions): every line of
+    ``min_line_chars`` or more that occurs in MULTIPLE places in the
+    corpus is kept only at its FIRST occurrence (lowest (doc, position)
+    — deterministic) and removed everywhere else; short lines are never
+    deduped (boilerplate-length fragments like blank lines would
+    otherwise cross-link every document).  Documents are reassembled
+    with their surviving lines in original order; a document whose
+    every line was removed still emits with empty text (corpus
+    bookkeeping: downstream filters drop empties explicitly).
+
+    Returns ``(id_col, text, n_lines, n_removed)``.
+
+    Spark-first shape: one posexplode (corpus -> lines), ONE window
+    over the line key to rank occurrences (hash shuffle on the line —
+    the same key a groupBy would shuffle on, but rank-in-place avoids
+    the join back), then a groupBy(doc) reassembly with
+    ``array_sort(collect_list(struct(pos, line)))`` so order never
+    depends on shuffle arrival.  No Python in the row path; the line
+    key could be swapped for a hash at 100 TB to shrink shuffle bytes
+    (md5 keeps the oracle cross-engine)."""
+    from pyspark.sql import Window
+
+    lines = df.select(
+        F.col(id_col),
+        F.posexplode(F.split(F.col(text_col), "\n")).alias("pos", "line"),
+    )
+    dedupable = F.length("line") >= int(min_line_chars)
+    w = Window.partitionBy("line").orderBy(F.asc(id_col), F.asc("pos"))
+    ranked = lines.withColumn(
+        "rk",
+        F.when(dedupable, F.row_number().over(w)).otherwise(F.lit(1)),
+    )
+    return (
+        ranked.groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_lines"),
+            F.sum(F.when(F.col("rk") > 1, 1).otherwise(0))
+            .cast("long")
+            .alias("n_removed"),
+            F.concat_ws(
+                "\n",
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(
+                            F.when(
+                                F.col("rk") == 1,
+                                F.struct(
+                                    F.col("pos"), F.col("line")
+                                ),
+                            )
+                        )
+                    ),
+                    lambda s: s.getField("line"),
+                ),
+            ).alias(text_col),
+        )
+        .select(
+            id_col,
+            text_col,
+            F.col("n_lines").cast("long").alias("n_lines"),
+            "n_removed",
+        )
+    )

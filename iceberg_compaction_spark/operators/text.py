@@ -380,3 +380,54 @@ def chunk_documents(
         F.array_join("chunk_toks", " ").alias("chunk_text"),
         F.size("chunk_toks").cast("int").alias("n_tokens"),
     )
+
+
+def bpe_pair_stats(
+    df: DataFrame,
+    text_col: str = "text",
+    top_k: int = 50,
+    min_word_chars: int = 2,
+) -> DataFrame:
+    """The distributed counting step of BPE training (round 12): global
+    frequencies of ADJACENT CHARACTER PAIRS inside words — exactly the
+    statistic the first BPE merge iteration maximizes (Sennrich et al.,
+    arXiv:1508.07909).  Returns the ``top_k`` pairs as
+    ``(pair, n_pairs)``, deterministically ordered and row_number-cut
+    on (count desc, pair asc) so boundary ties can't flap between
+    engines.
+
+    Tokenization matches :func:`unigram_logprob`'s engine-portable
+    rule (lowercase, split on non-letters); words shorter than
+    ``min_word_chars`` have no interior pair and drop out naturally.
+
+    Scale shape: two explodes (corpus -> words -> positions) feeding
+    ONE map-side-combinable groupBy; the result is vocabulary-sized
+    (<= alphabet^2 for char pairs), so the final top-k window runs on
+    a tiny frame.  No Python in the row path.  A full BPE trainer
+    loops this stage with a driver-side merge-table update — the heavy
+    lifting is this count, which is why it's the operator."""
+    from pyspark.sql import Window
+
+    words = (
+        df.select(
+            F.explode(
+                F.split(F.lower(F.col(text_col)), "[^a-z]+")
+            ).alias("w")
+        )
+        .where(F.length("w") >= max(2, int(min_word_chars)))
+    )
+    pairs = words.select(
+        F.explode(
+            F.expr("transform(sequence(1, length(w) - 1), "
+                   "i -> substring(w, i, 2))")
+        ).alias("pair")
+    )
+    counts = pairs.groupBy("pair").agg(
+        F.count(F.lit(1)).alias("n_pairs")
+    )
+    w = Window.orderBy(F.desc("n_pairs"), F.asc("pair"))
+    return (
+        counts.withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") <= int(top_k))
+        .select("pair", "n_pairs")
+    )

@@ -3731,6 +3731,93 @@ def q_meta_metadata_log(spark, sf_dir):
 
 
 @register(
+    "text_bpe_pairs",
+    """
+    WITH words AS (
+      SELECT w FROM (
+        SELECT unnest(string_split_regex(lower(text), '[^a-z]+')) AS w
+        FROM documents
+      ) WHERE length(w) >= 2
+    ),
+    pairs AS (
+      SELECT substr(w, CAST(i AS INTEGER), 2) AS pair
+      FROM (SELECT w, unnest(range(1, length(w))) AS i FROM words)
+    )
+    SELECT pair, COUNT(*) AS n_pairs FROM pairs GROUP BY pair
+    QUALIFY row_number() OVER (ORDER BY COUNT(*) DESC, pair ASC) <= 50
+    """,
+)
+def q_text_bpe_pairs(spark, sf_dir):
+    """BPE merge-pair statistics (round 12; Sennrich et al.,
+    arXiv:1508.07909): global adjacent-character-pair frequencies
+    inside words — the statistic each BPE training iteration maximizes
+    — top-50 with a deterministic (count desc, pair asc) cut.
+
+    Scale shape: two explodes feeding one map-side-combinable groupBy;
+    the aggregate is vocabulary-sized so the final ranking window runs
+    on a tiny frame.  The full trainer loops this stage with a
+    driver-side merge-table update; the distributed count IS the cost."""
+    from iceberg_compaction_spark.operators.text import bpe_pair_stats
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select("text")
+    return bpe_pair_stats(docs, top_k=50)
+
+
+@register(
+    "dedup_corpus_lines",
+    """
+    WITH ls AS (
+      SELECT doc_id, string_split(text, chr(10)) AS arr FROM documents
+    ),
+    lines AS (
+      SELECT doc_id, CAST(i - 1 AS BIGINT) AS pos,
+             arr[CAST(i AS INTEGER)] AS line
+      FROM (SELECT doc_id, arr, unnest(range(1, len(arr) + 1)) AS i
+            FROM ls)
+    ),
+    ranked AS (
+      SELECT doc_id, pos, line,
+             row_number() OVER (PARTITION BY line
+                                ORDER BY doc_id, pos) AS rn,
+             length(line) >= 30 AS dedupable
+      FROM lines
+    ),
+    final AS (
+      SELECT doc_id, pos, line,
+             CASE WHEN dedupable THEN rn ELSE 1 END AS rk
+      FROM ranked
+    )
+    SELECT doc_id,
+           COALESCE(string_agg(CASE WHEN rk = 1 THEN line END,
+                               chr(10) ORDER BY pos), '') AS text,
+           COUNT(*) AS n_lines,
+           CAST(SUM(CASE WHEN rk > 1 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_removed
+    FROM final GROUP BY doc_id
+    """,
+)
+def q_dedup_corpus_lines(spark, sf_dir):
+    """C4-style cross-document line dedup (round 12; arXiv:1910.10683
+    §2.2): a >=30-char line occurring anywhere else in the corpus
+    survives only at its first (doc, position); documents reassemble
+    with surviving lines in original order.  The classic web-corpus
+    boilerplate killer.
+
+    Scale shape: posexplode -> ONE window rank on the line key (the
+    same shuffle a groupBy would pay, no join-back) -> groupBy(doc)
+    reassembly via array_sort(collect_list(struct)) so order never
+    depends on shuffle arrival.  No Python in the row path."""
+    from iceberg_compaction_spark.operators.dedup import (
+        dedup_lines_across_corpus,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", "text"
+    )
+    return dedup_lines_across_corpus(docs)
+
+
+@register(
     "stats_column_profile",
     """
     SELECT 'doc_id' AS col_name, COUNT(*) AS n_rows,
