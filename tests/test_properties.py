@@ -311,3 +311,137 @@ def test_pair_update_images_invariants(spark, rows):
             assert after == {"update_after", "update_before"}
         else:
             assert after == before  # unpaired rows keep their tags
+
+
+@settings(max_examples=40, deadline=None)
+@given(st.data())
+def test_manifest_rewrite_copy_conserves_live_entries(data):
+    """rewrite_manifests' copy/merge core (round 12): for ANY mix of
+    small manifests — random entry counts, ADDED/EXISTING/DELETED
+    statuses, null-or-explicit sequence numbers — the merged output
+    conserves exactly the live entries (path, seq, snapshot, rows),
+    makes every copy EXISTING with EXPLICIT sequence numbers (v2
+    inheritance resolved), and the new list entries' counts add up."""
+    import os
+    import shutil
+    import tempfile
+
+    from iceberg_compaction_spark.sources.avro_io import (
+        read_avro_file,
+        write_avro_file,
+    )
+    from iceberg_compaction_spark.sources.fileio import fileio_for
+    from iceberg_compaction_spark.sources.iceberg_meta import (
+        _MANIFEST_ENTRY_SCHEMA,
+    )
+    from iceberg_compaction_spark.sources.manifest_rewrite import (
+        _copy_live_entries,
+        _write_merged,
+    )
+
+    tmp = tempfile.mkdtemp(prefix="mrw-prop-")
+    try:
+        n_manifests = data.draw(st.integers(2, 5), label="n_manifests")
+        mfs = []
+        expected_live = []
+        fcounter = 0
+        for mi in range(n_manifests):
+            mf_seq = data.draw(st.integers(1, 50), label=f"mfseq{mi}")
+            mf_sid = data.draw(st.integers(1, 99), label=f"mfsid{mi}")
+            entries = []
+            for _ in range(data.draw(st.integers(1, 5))):
+                fcounter += 1
+                status = data.draw(
+                    st.sampled_from([0, 1, 1, 2])  # DELETED sometimes
+                )
+                seq = data.draw(
+                    st.one_of(st.none(), st.integers(1, 50))
+                )
+                sid = data.draw(
+                    st.one_of(st.none(), st.integers(1, 99))
+                )
+                rows = data.draw(st.integers(0, 1000))
+                entries.append(
+                    {
+                        "status": status,
+                        "snapshot_id": sid,
+                        "sequence_number": seq,
+                        "file_sequence_number": None,
+                        "data_file": {
+                            "content": 0,
+                            "file_path": f"file:///d{fcounter}.parquet",
+                            "file_format": "PARQUET",
+                            "partition": {},
+                            "record_count": rows,
+                            "file_size_in_bytes": 10,
+                            "null_value_counts": None,
+                            "lower_bounds": None,
+                            "upper_bounds": None,
+                            "equality_ids": None,
+                        },
+                    }
+                )
+                if status != 2:
+                    expected_live.append(
+                        (
+                            f"file:///d{fcounter}.parquet",
+                            seq if seq is not None else mf_seq,
+                            sid if sid is not None else mf_sid,
+                            rows,
+                        )
+                    )
+            p = os.path.join(tmp, f"m{mi}.avro")
+            write_avro_file(
+                p, _MANIFEST_ENTRY_SCHEMA, entries,
+                metadata={"format-version": "2", "content": "data"},
+            )
+            mfs.append(
+                {
+                    "manifest_path": p,
+                    "manifest_length": os.path.getsize(p),
+                    "partition_spec_id": 0,
+                    "content": 0,
+                    "sequence_number": mf_seq,
+                    "added_snapshot_id": mf_sid,
+                }
+            )
+        schema, live, src = _copy_live_entries(mfs)
+        got = sorted(
+            (
+                e["data_file"]["file_path"],
+                e["sequence_number"],
+                e["snapshot_id"],
+                e["data_file"]["record_count"],
+            )
+            for e in live
+        )
+        assert got == sorted(expected_live)
+        assert all(e["status"] == 0 for e in live)  # EXISTING
+        assert all(e["sequence_number"] is not None for e in live)
+        if not live:
+            return
+        target = data.draw(st.integers(1, 4 * max(1, src)))
+        merged = _write_merged(
+            tmp, fileio_for(tmp), (0, 0), schema, live, src, target, 7
+        )
+        rt = []
+        for m in merged:
+            path = m["manifest_path"].replace("file://", "")
+            _, es = read_avro_file(path)
+            rt.extend(
+                (
+                    e["data_file"]["file_path"],
+                    e["sequence_number"],
+                    e["snapshot_id"],
+                    e["data_file"]["record_count"],
+                )
+                for e in es
+            )
+            assert m["existing_files_count"] == len(es)
+            assert m["added_files_count"] == 0
+            seqs = [e["sequence_number"] for e in es]
+            assert m["min_sequence_number"] == min(seqs)
+            assert m["sequence_number"] == max(seqs)
+        assert sorted(rt) == sorted(expected_live)  # exact conservation
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
