@@ -302,6 +302,53 @@ def cmd_add_files(args, spark=None) -> dict:
     }
 
 
+def cmd_rewrite_manifests(args, spark=None) -> dict:
+    """Manifest-metadata compaction (Iceberg's rewrite_manifests): merge
+    the head snapshot's undersized Avro manifests and commit ONE new
+    manifest list as a metadata-only replace — pure driver-side
+    metadata work, no Spark session needed."""
+    from dataclasses import asdict
+
+    from iceberg_compaction_spark.sources.manifest_rewrite import (
+        rewrite_manifests,
+    )
+
+    stats = rewrite_manifests(
+        _catalog(args.warehouse),
+        args.table,
+        target_manifest_size_bytes=args.target_size or None,
+        min_count_to_merge=args.min_count,
+        to_branch=args.to_branch,
+    )
+    return {"table": args.table, **asdict(stats)}
+
+
+def cmd_analyze(args, spark=None) -> dict:
+    """ANALYZE: one-pass per-column NDV/null/min-max over the current
+    snapshot, committed into table properties stamped with the
+    analyzed snapshot id (operators/stats.py)."""
+    from iceberg_compaction_spark.operators.stats import analyze_table
+
+    spark = spark or _build_session(args.master)
+    m = analyze_table(
+        spark,
+        _catalog(args.warehouse),
+        args.table,
+        columns=args.columns,
+        approx=not args.exact,
+        to_branch=args.to_branch,
+    )
+    return {
+        "table": args.table,
+        "snapshot_id": m.snapshot_id,
+        "stats": {
+            k: v
+            for k, v in (m.properties or {}).items()
+            if k.startswith("stats.")
+        },
+    }
+
+
 def cmd_orphans(args, spark=None) -> dict:
     """Orphan-file cleanup, DRY-RUN by default: report what would be
     removed; pass --apply to actually unlink (the audit-then-apply
@@ -420,6 +467,27 @@ def build_parser() -> argparse.ArgumentParser:
     common(o)
     o.add_argument("--older-than-s", type=float, default=3 * 24 * 3600)
     o.add_argument("--apply", action="store_true")
+    rm = sub.add_parser(
+        "rewrite-manifests",
+        help="merge undersized Avro manifests (metadata compaction)",
+    )
+    common(rm)
+    rm.add_argument(
+        "--target-size", type=int, default=0,
+        help="target manifest bytes (0 = table property / 8MB default)",
+    )
+    rm.add_argument("--min-count", type=int, default=2)
+    rm.add_argument("--to-branch", default=None)
+    an = sub.add_parser(
+        "analyze", help="compute + commit per-column table statistics"
+    )
+    common(an)
+    an.add_argument("--columns", nargs="+", default=None)
+    an.add_argument(
+        "--exact", action="store_true",
+        help="exact count-distinct instead of HLL approx",
+    )
+    an.add_argument("--to-branch", default=None)
     return p
 
 
@@ -435,6 +503,8 @@ COMMANDS = {
     "metadata": cmd_metadata,
     "add-files": cmd_add_files,
     "orphans": cmd_orphans,
+    "rewrite-manifests": cmd_rewrite_manifests,
+    "analyze": cmd_analyze,
 }
 
 

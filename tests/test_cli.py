@@ -271,3 +271,25 @@ def test_cli_metadata_addfiles_orphans(spark, wh, tmp_path):
         ],
     )
     assert out["ref"]["max_ref_age_ms"] == 1000
+
+
+def test_cli_rewrite_manifests_and_analyze(spark, wh, tmp_path):
+    """Round-12 commands: metadata compaction + ANALYZE from a shell."""
+    base = ["--warehouse", wh, "--table", "t"]
+
+    # engine-tier table: rewrite reports the consolidated fixed point
+    out = _run(spark, ["rewrite-manifests", *base])
+    assert out["committed"] is False and out["kept_manifests"] == 1
+
+    # analyze commits per-column stats properties
+    out = _run(spark, ["analyze", *base, "--exact"])
+    assert out["stats"]["stats.n-rows"] == "40"
+    assert out["stats"]["stats.id.ndv"] == "40"
+    assert out["stats"]["stats.snapshot-id"] == "1"
+    assert out["snapshot_id"] == 2
+
+    # metadata_log_entries rides the metadata command too
+    out = _run(
+        spark, ["metadata", *base, "--kind", "metadata_log_entries"]
+    )
+    assert [r[2] for r in out["rows"]] == [1, 2]
