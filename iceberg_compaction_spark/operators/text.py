@@ -425,9 +425,9 @@ def bpe_pair_stats(
     counts = pairs.groupBy("pair").agg(
         F.count(F.lit(1)).alias("n_pairs")
     )
-    w = Window.orderBy(F.desc("n_pairs"), F.asc("pair"))
-    return (
-        counts.withColumn("rk", F.row_number().over(w))
-        .where(F.col("rk") <= int(top_k))
-        .select("pair", "n_pairs")
+    # total order (count desc, pair asc) makes the limit deterministic;
+    # orderBy+limit compiles to TakeOrderedAndProject — a per-partition
+    # top-k merged on the driver, never a global single-partition window
+    return counts.orderBy(F.desc("n_pairs"), F.asc("pair")).limit(
+        int(top_k)
     )

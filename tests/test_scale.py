@@ -68,6 +68,11 @@ TRACKED = [
     # data side must stay linear while the walk stays metadata-priced
     "meta_position_deletes",
     "cdc_changelog_branch",
+    # round 12: the two new corpus-sized text operators — the line-key
+    # window shuffle (cross-document line dedup) and the double-explode
+    # pair count (BPE statistics) must both stay linear in the corpus
+    "dedup_corpus_lines",
+    "text_bpe_pairs",
 ]
 
 
