@@ -402,12 +402,11 @@ def bpe_pair_stats(
 
     Scale shape: two explodes (corpus -> words -> positions) feeding
     ONE map-side-combinable groupBy; the result is vocabulary-sized
-    (<= alphabet^2 for char pairs), so the final top-k window runs on
-    a tiny frame.  No Python in the row path.  A full BPE trainer
-    loops this stage with a driver-side merge-table update — the heavy
-    lifting is this count, which is why it's the operator."""
-    from pyspark.sql import Window
-
+    (<= alphabet^2 for char pairs), so the final top-k cut is a
+    TakeOrderedAndProject over a tiny frame.  No Python in the row
+    path.  A full BPE trainer loops this stage with a driver-side
+    merge-table update — the heavy lifting is this count, which is why
+    it's the operator."""
     words = (
         df.select(
             F.explode(
