@@ -115,19 +115,32 @@ def _plan_groups(
     return kept, to_merge
 
 
-def _copy_live_entries(mfs: list[dict]) -> tuple[dict, list[dict], int]:
-    """(writer schema, live entries as EXISTING with explicit seqs,
-    total source bytes).  DELETED tombstones are dropped — they exist
-    to subtract files from OLDER manifests, and a merged manifest set
-    built from the live state needs no subtraction."""
-    schema: dict | None = None
-    out: list[dict] = []
-    src_bytes = 0
+def _schema_sig(schema: dict) -> str:
+    """Canonical fingerprint of a writer schema — sub-grouping key so
+    manifests written under DIFFERENT schemas (schema evolution between
+    commits: extra stats fields, a different partition struct) are
+    never merged into one file; copying entry A with entry B's schema
+    would drop or invent fields."""
+    import json as _json
+
+    return _json.dumps(schema, sort_keys=True)
+
+
+def _copy_live_entries(mfs: list[dict]) -> list[tuple[dict, list, int, list]]:
+    """Per writer-schema sub-group: (schema, live entries as EXISTING
+    with explicit seqs, source bytes, the source manifest-list entries).
+    DELETED tombstones are dropped — they exist to subtract files from
+    OLDER manifests, and a merged manifest set built from the live
+    state needs no subtraction."""
+    groups: dict = {}
     for mf in mfs:
-        src_bytes += int(mf["manifest_length"])
         mschema, entries = read_avro_file(_strip_uri(mf["manifest_path"]))
-        if schema is None:
-            schema = mschema
+        sig = _schema_sig(mschema)
+        if sig not in groups:
+            groups[sig] = [mschema, [], 0, []]
+        g = groups[sig]
+        g[2] += int(mf["manifest_length"])
+        g[3].append(mf)
         inherit_seq = int(mf.get("sequence_number", 0) or 0)
         inherit_sid = mf.get("added_snapshot_id")
         for e in entries:
@@ -141,8 +154,8 @@ def _copy_live_entries(mfs: list[dict]) -> tuple[dict, list[dict], int]:
                 e["file_sequence_number"] = inherit_seq
             if e.get("snapshot_id") is None:
                 e["snapshot_id"] = inherit_sid
-            out.append(e)
-    return schema or {}, out, src_bytes
+            g[1].append(e)
+    return [tuple(g) for g in groups.values()]
 
 
 def _strip_uri(p: str) -> str:
@@ -242,7 +255,9 @@ def _plan_rewrite(
             TARGET_SIZE_PROP, DEFAULT_TARGET_MANIFEST_SIZE
         )
     )
-    _, mf_entries = read_avro_file(_strip_uri(snap["manifest-list"]))
+    list_schema, mf_entries = read_avro_file(
+        _strip_uri(snap["manifest-list"])
+    )
     kept, to_merge = _plan_groups(mf_entries, target, min_count)
     stats = ManifestRewriteStats(
         input_manifests=len(mf_entries), kept_manifests=len(kept)
@@ -256,36 +271,45 @@ def _plan_rewrite(
     import contextlib as _ctx
 
     for key in sorted(to_merge):
-        schema, entries, src_bytes = _copy_live_entries(to_merge[key])
-        if not entries:
-            # all-tombstone manifests merge to nothing: dropping
-            # them from the list IS the rewrite
-            stats.rewritten_manifests += len(to_merge[key])
-            continue
-        merged = _write_merged(
-            mdir, io, key, schema, entries, src_bytes, target, proposed
-        )
-        if len(merged) >= len(to_merge[key]):
-            # no-progress guard: a merge that does not REDUCE the
-            # group's manifest count would churn forever (sub-target
-            # outputs re-merged every pass) — keep the originals and
-            # unlink the attempt
-            for m in merged:
-                with _ctx.suppress(FileNotFoundError, OSError):
-                    io.remove(_strip_uri(m["manifest_path"]))
-            kept.extend(to_merge[key])
-            stats.kept_manifests += len(to_merge[key])
-            continue
-        stats.rewritten_manifests += len(to_merge[key])
-        stats.rewritten_entries += len(entries)
-        written.extend(_strip_uri(m["manifest_path"]) for m in merged)
-        new_entries.extend(merged)
+        # sub-group by WRITER SCHEMA: manifests written under different
+        # schemas (schema evolution between commits) never merge into
+        # one file — copying entry A through entry B's schema would
+        # drop or invent fields
+        for schema, entries, src_bytes, src_mfs in _copy_live_entries(
+            to_merge[key]
+        ):
+            if not entries:
+                # all-tombstone manifests merge to nothing: dropping
+                # them from the list IS the rewrite
+                stats.rewritten_manifests += len(src_mfs)
+                continue
+            merged = _write_merged(
+                mdir, io, key, schema, entries, src_bytes, target,
+                proposed,
+            )
+            if len(merged) >= len(src_mfs):
+                # no-progress guard: a merge that does not REDUCE the
+                # sub-group's manifest count would churn forever
+                # (sub-target outputs re-merged every pass) — keep the
+                # originals and unlink the attempt
+                for m in merged:
+                    with _ctx.suppress(FileNotFoundError, OSError):
+                        io.remove(_strip_uri(m["manifest_path"]))
+                kept.extend(src_mfs)
+                stats.kept_manifests += len(src_mfs)
+                continue
+            stats.rewritten_manifests += len(src_mfs)
+            stats.rewritten_entries += len(entries)
+            written.extend(
+                _strip_uri(m["manifest_path"]) for m in merged
+            )
+            new_entries.extend(merged)
     if not (new_entries or stats.rewritten_manifests):
         return stats, None, []  # every group hit the no-progress guard
     list_path = io.join(mdir, f"snap-{proposed}-1-{uuid.uuid4().hex}.avro")
     write_avro_file(
         list_path,
-        _manifest_file_schema(),
+        _list_out_schema(list_schema, new_entries),
         kept + new_entries,
         metadata={"format-version": "2"},
     )
@@ -462,6 +486,47 @@ def _rest_attempt(
         )
     )
     return stats
+
+
+def _list_out_schema(list_schema: dict, new_entries: list[dict]) -> dict:
+    """Writer schema for the REWRITTEN manifest list: the SOURCE list's
+    schema when possible, so KEPT entries written by other engines
+    round-trip with every field they carried (partition summaries —
+    field-id 507, the manifest-level pruning tier — key_metadata, v1
+    extras); the engine's schema is a field SUBSET of real Iceberg's,
+    so writing with it would silently strip those.
+
+    The source schema is usable iff (a) the NEW merged entries can
+    satisfy every non-nullable source field (fields the engine doesn't
+    produce must be nullable — e.g. ``partitions`` is optional in the
+    spec) and (b) every field the engine's own reader relies on exists
+    in it (a v1 list without ``content`` could not represent a merged
+    DELETE manifest).  Otherwise fall back to the engine schema —
+    correct, just narrower (current behavior, documented)."""
+    engine = _manifest_file_schema()
+    fields = (
+        list_schema.get("fields")
+        if isinstance(list_schema, dict)
+        else None
+    )
+    if not fields:
+        return engine
+    src_names = {f["name"] for f in fields}
+    need = {f["name"] for f in engine["fields"]}
+    if not need <= src_names:
+        return engine  # source list can't carry the engine's fields
+    sample = new_entries[0] if new_entries else {}
+
+    def _nullable(t) -> bool:
+        return isinstance(t, list) and "null" in t
+
+    for f in fields:
+        if f["name"] not in need and not _nullable(f["type"]):
+            # a required source field the engine doesn't produce: the
+            # new entries couldn't be written under this schema
+            if sample.get(f["name"]) is None:
+                return engine
+    return list_schema
 
 
 def _manifest_file_schema() -> dict:

@@ -362,8 +362,10 @@ def test_copy_preserves_foreign_partition_schema(tmp_path):
         }
         for i, p in enumerate(paths)
     ]
-    got_schema, entries, src = _copy_live_entries(mfs)
-    assert len(entries) == 2 and src > 0
+    subgroups = _copy_live_entries(mfs)
+    assert len(subgroups) == 1  # same writer schema -> one sub-group
+    got_schema, entries, src, src_mfs = subgroups[0]
+    assert len(entries) == 2 and src > 0 and len(src_mfs) == 2
     # inheritance made explicit, attribution preserved
     assert [e["sequence_number"] for e in entries] == [1, 2]
     assert [e["snapshot_id"] for e in entries] == [1, 2]
@@ -541,3 +543,177 @@ def test_rewrite_rest_client_engine_tier_fixed_point(tmp_path):
         stats = rewrite_manifests(client, "t")
         assert not stats.committed
         assert backing.table_history("t") == before
+
+
+def test_rewrite_preserves_foreign_list_schema_fields(tmp_path):
+    """An external writer's manifest LIST carries fields the engine's
+    schema lacks (the spec's per-field `partitions` summaries drive
+    manifest-level pruning).  The rewritten list is written with the
+    SOURCE schema when the engine's entries can ride it, so KEPT
+    entries round-trip those fields; merged entries carry null there.
+    A source schema MISSING an engine-relied field (a v1 list without
+    `content`) falls back to the engine schema instead."""
+    import copy
+
+    from iceberg_compaction_spark.sources.manifest_rewrite import (
+        _list_out_schema,
+        _manifest_file_schema,
+    )
+
+    ext_schema = copy.deepcopy(_MANIFEST_FILE_SCHEMA)
+    ext_schema["fields"].append(
+        {
+            "name": "partitions_json",
+            "type": ["null", "string"],
+            "default": None,
+            "field-id": 507,
+        }
+    )
+    kept = {
+        "manifest_path": "file:///kept.avro",
+        "manifest_length": 10000,
+        "partition_spec_id": 0,
+        "content": 0,
+        "sequence_number": 5,
+        "min_sequence_number": 1,
+        "added_snapshot_id": 3,
+        "added_files_count": 9,
+        "existing_files_count": 0,
+        "deleted_files_count": 0,
+        "added_rows_count": 90,
+        "existing_rows_count": 0,
+        "deleted_rows_count": 0,
+        "partitions_json": "summary-kept",
+    }
+    merged = {k: v for k, v in kept.items() if k != "partitions_json"}
+    merged["manifest_path"] = "file:///merged.avro"
+
+    out = _list_out_schema(ext_schema, [merged])
+    assert out is ext_schema  # extra field is nullable: source wins
+    lp = str(tmp_path / "list.avro")
+    write_avro_file(lp, out, [kept, merged],
+                    metadata={"format-version": "2"})
+    _, back = read_avro_file(lp)
+    by_path = {e["manifest_path"]: e for e in back}
+    assert by_path["file:///kept.avro"]["partitions_json"] == "summary-kept"
+    assert by_path["file:///merged.avro"]["partitions_json"] is None
+
+    # a REQUIRED foreign field the engine can't produce: fall back
+    req_schema = copy.deepcopy(ext_schema)
+    req_schema["fields"][-1]["type"] = "string"
+    assert _list_out_schema(req_schema, [merged]) == _manifest_file_schema()
+
+    # a v1-style list lacking `content`: fall back (a merged DELETE
+    # manifest could not be represented)
+    v1_schema = copy.deepcopy(_MANIFEST_FILE_SCHEMA)
+    v1_schema["fields"] = [
+        f for f in v1_schema["fields"] if f["name"] != "content"
+    ]
+    assert _list_out_schema(v1_schema, [merged]) == _manifest_file_schema()
+
+
+def test_rewrite_never_merges_across_entry_schemas(spark, grown, tmp_path):
+    """Manifests written under DIFFERENT entry schemas (schema
+    evolution between commits) never merge into one file — a
+    different-schema straggler is kept verbatim while the same-schema
+    crowd merges."""
+    import copy
+
+    cat, expect = grown
+    tdir = os.path.join(os.path.dirname(cat._mdir("h")), "")
+    mdir = cat._mdir("h")
+    # one more append whose MANIFEST uses an extended entry schema
+    ext_entry = copy.deepcopy(_MANIFEST_ENTRY_SCHEMA)
+    ext_entry["fields"].append(
+        {
+            "name": "custom_flag",
+            "type": ["null", "long"],
+            "default": None,
+            "field-id": 9999,
+        }
+    )
+    dpath = os.path.join(os.path.dirname(mdir), "data-ext.parquet")
+    pq.write_table(
+        pa.table({"id": pa.array([900], type=pa.int64()), "val": ["x"]}),
+        dpath,
+    )
+    mpath = os.path.join(mdir, f"{uuid.uuid4().hex}-ext-m0.avro")
+    write_avro_file(
+        mpath,
+        ext_entry,
+        [
+            {
+                "status": 1,
+                "snapshot_id": None,
+                "sequence_number": 7,
+                "file_sequence_number": 7,
+                "custom_flag": 42,
+                "data_file": {
+                    "content": 0,
+                    "file_path": _uri(dpath),
+                    "file_format": "PARQUET",
+                    "partition": {},
+                    "record_count": 1,
+                    "file_size_in_bytes": os.path.getsize(dpath),
+                    "null_value_counts": None,
+                    "lower_bounds": None,
+                    "upper_bounds": None,
+                    "equality_ids": None,
+                },
+            }
+        ],
+        metadata={"format-version": "2", "content": "data"},
+    )
+    prior, _ = _head_list_entries(cat, "h")
+    new_mf = {
+        "manifest_path": _uri(mpath),
+        "manifest_length": os.path.getsize(mpath),
+        "partition_spec_id": 0,
+        "content": 0,
+        "sequence_number": 7,
+        "min_sequence_number": 7,
+        "added_snapshot_id": 7,
+        "added_files_count": 1,
+        "existing_files_count": 0,
+        "deleted_files_count": 0,
+        "added_rows_count": 1,
+        "existing_rows_count": 0,
+        "deleted_rows_count": 0,
+    }
+    list_path = os.path.join(mdir, f"snap-7-1-{uuid.uuid4().hex}.avro")
+    write_avro_file(
+        list_path,
+        _MANIFEST_FILE_SCHEMA,
+        list(prior) + [new_mf],
+        metadata={"format-version": "2"},
+    )
+    head = max(cat.table_history("h"))
+    cat.commit_snapshot(
+        "h",
+        expected_snapshot_id=head,
+        snapshot={
+            "snapshot-id": head + 1,
+            "parent-snapshot-id": head,
+            "sequence-number": 7,
+            "timestamp-ms": 1,
+            "manifest-list": _uri(list_path),
+            "summary": {"operation": "append"},
+        },
+    )
+    expect = dict(expect)
+    expect[900] = "x"
+    stats = rewrite_manifests(cat, "h")
+    assert stats.committed
+    # the 6 same-schema manifests merged; the extended-schema one was
+    # its own sub-group of 1 -> no-progress guard kept it verbatim
+    assert stats.output_manifests == 1
+    assert stats.kept_manifests == 1
+    after, _snap = _head_list_entries(cat, "h")
+    assert len(after) == 2
+    # the kept straggler's entry still carries its custom field
+    kept_mf = next(
+        e for e in after if e["manifest_path"] == _uri(mpath)
+    )
+    _, es = read_avro_file(kept_mf["manifest_path"].replace("file://", ""))
+    assert es[0]["custom_flag"] == 42
+    assert _rows(spark, cat) == expect

@@ -405,7 +405,10 @@ def test_manifest_rewrite_copy_conserves_live_entries(data):
                     "added_snapshot_id": mf_sid,
                 }
             )
-        schema, live, src = _copy_live_entries(mfs)
+        subgroups = _copy_live_entries(mfs)
+        assert len(subgroups) == 1  # one writer schema -> one sub-group
+        schema, live, src, src_mfs = subgroups[0]
+        assert len(src_mfs) == n_manifests
         got = sorted(
             (
                 e["data_file"]["file_path"],
