@@ -138,6 +138,7 @@ def cmd_maintain(args, spark=None) -> dict:
         "orphans_removed": len(report.orphans_removed),
         "delete_rewrite": report.delete_rewrite,
         "eq_convert": report.eq_convert,
+        "manifest_rewrite": report.manifest_rewrite,
     }
 
 
