@@ -354,11 +354,18 @@ def cmd_orphans(args, spark=None) -> dict:
     """Orphan-file cleanup, DRY-RUN by default: report what would be
     removed; pass --apply to actually unlink (the audit-then-apply
     workflow operators expect from destructive maintenance)."""
-    removed = _catalog(args.warehouse).remove_orphan_files(
+    cat = _catalog(args.warehouse)
+    removed = cat.remove_orphan_files(
         args.table,
         older_than_s=args.older_than_s,
         dry_run=not args.apply,
     )
+    if hasattr(cat, "remove_orphan_metadata"):
+        removed = removed + cat.remove_orphan_metadata(
+            args.table,
+            older_than_s=args.older_than_s,
+            dry_run=not args.apply,
+        )
     return {
         "table": args.table,
         "dry_run": not args.apply,

@@ -286,6 +286,13 @@ def maintain(
         if policy.clean_orphans
         else []
     )
+    if policy.clean_orphans and hasattr(catalog, "remove_orphan_metadata"):
+        # the metadata-tier counterpart: Avro no retained version
+        # references (crash leftovers from spec-wire writers / manifest
+        # rewrites), swept under the same grace window
+        orphans = orphans + catalog.remove_orphan_metadata(
+            table_name, older_than_s=policy.orphan_older_than_s
+        )
     after = _load().snapshot_id
     return MaintenanceReport(
         table=table_name,

@@ -1654,6 +1654,79 @@ class IcebergHadoopCatalog(TableRefs):
             self, name, scan_root, older_than_s, dry_run
         )
 
+    def remove_orphan_metadata(
+        self,
+        name: str,
+        older_than_s: float = DEFAULT_ORPHAN_GRACE_S,
+        dry_run: bool = False,
+    ) -> list[str]:
+        """The metadata-tier counterpart of remove_orphan_files (round
+        12): unlink Avro under ``metadata/`` that NO retained version
+        references.  Such files exist only as crash leftovers — a
+        spec-wire writer or a manifest rewrite that died between
+        writing its Avro and winning (or cleanly losing) its CAS; a
+        clean loser unlinks its own files, a crashed one cannot, and
+        nothing else ever enumerates them (expire's reference-counted
+        cleanup walks only EXPIRED versions' refs; remove_orphan_files
+        walks only data parquet).
+
+        Safety mirrors the data-tier sweep: the live set is the union
+        of EVERY retained version's manifest list + manifests; the
+        mtime grace window (``older_than_s``, default 3 days) protects
+        an in-flight writer's staged Avro awaiting its CAS; and if ANY
+        retained version's references cannot be fully enumerated the
+        sweep removes NOTHING (fail closed — an unreadable manifest
+        list hides references that may include the candidates).
+        Version files and refs side files are never candidates (only
+        ``*.avro``)."""
+        import time as _time
+
+        def _norm(p: str) -> str:
+            # scheme'd paths (mem://, s3://) compare verbatim; local
+            # paths compare absolute (refs arrive file://-stripped)
+            return p if "://" in p else os.path.abspath(p)
+
+        io = self._io
+        mdir = self._mdir(name)
+        live: set = set()
+        for v in self.table_history(name):
+            refs_v, complete = self._avro_refs(name, v)
+            if not complete:
+                return []  # fail closed: cannot prove anything orphaned
+            live |= {_norm(p) for p in refs_v}
+        now = _time.time()
+        doomed = []
+        for n in io.listdir(mdir):
+            if not n.endswith(".avro"):
+                continue
+            p = io.join(mdir, n)
+            if _norm(p) in live:
+                continue
+            try:
+                if now - io.mtime(p) < older_than_s:
+                    continue  # possibly an in-flight writer's staging
+            except (OSError, NotImplementedError):
+                continue  # cannot date it: never delete blind
+            doomed.append(p)
+        # post-walk re-check: a commit that landed DURING the walk may
+        # reference a candidate (same guard as the data-tier sweep)
+        if doomed:
+            head_refs, complete = self._avro_refs(
+                name, max(self.table_history(name))
+            )
+            if not complete:
+                return []
+            head_live = {_norm(p) for p in head_refs}
+            doomed = [p for p in doomed if _norm(p) not in head_live]
+        if dry_run:
+            return doomed
+        import contextlib as _ctx
+
+        for p in doomed:
+            with _ctx.suppress(FileNotFoundError, OSError):
+                io.remove(p)
+        return doomed
+
     # ---- internals -----------------------------------------------------
 
     def _write_version_hint(self, name: str, sid: int) -> None:

@@ -717,3 +717,75 @@ def test_rewrite_never_merges_across_entry_schemas(spark, grown, tmp_path):
     _, es = read_avro_file(kept_mf["manifest_path"].replace("file://", ""))
     assert es[0]["custom_flag"] == 42
     assert _rows(spark, cat) == expect
+
+
+def test_remove_orphan_metadata_sweeps_crash_leftovers(spark, grown):
+    """remove_orphan_metadata (round 12): Avro no retained version
+    references — crash leftovers a clean CAS loser would have unlinked
+    itself — is swept under the grace window; live refs survive; an
+    unreadable retained manifest list fails the whole sweep closed."""
+    import time
+
+    cat, expect = grown
+    mdir = cat._mdir("h")
+    # plant "crashed rewrite" leftovers: one old, one fresh
+    old_p = os.path.join(mdir, "deadbeef-rw-m0.avro")
+    new_p = os.path.join(mdir, "cafebabe-rw-m0.avro")
+    for p in (old_p, new_p):
+        with open(p, "wb") as f:
+            f.write(b"Obj\x01junk")
+    os.utime(old_p, (1, 1))  # ancient
+
+    got = cat.remove_orphan_metadata("h", dry_run=True)
+    assert got == [old_p]
+    assert os.path.exists(old_p)  # dry run touched nothing
+
+    got = cat.remove_orphan_metadata("h")
+    assert got == [old_p]
+    assert not os.path.exists(old_p)
+    assert os.path.exists(new_p)  # grace window protected
+    # every live reference survived; the table still reads
+    live, complete = cat._avro_refs("h", max(cat.table_history("h")))
+    assert complete and all(os.path.exists(p) for p in live)
+    assert _rows(spark, cat) == expect
+
+    # fail closed: corrupt a RETAINED version's manifest list
+    os.utime(new_p, (1, 1))  # now old enough to be eligible
+    _, snap = _head_list_entries(cat, "h")
+    ml = snap["manifest-list"].replace("file://", "")
+    backup = open(ml, "rb").read()
+    with open(ml, "wb") as f:
+        f.write(b"not avro")
+    assert cat.remove_orphan_metadata("h") == []
+    assert os.path.exists(new_p)  # nothing removed
+    with open(ml, "wb") as f:
+        f.write(backup)
+
+
+def test_maintain_sweeps_metadata_orphans(spark, grown):
+    """service.maintain's orphan step covers the metadata tier too."""
+    from iceberg_compaction_spark.plans.auto import AutoCompactionConfig
+    from iceberg_compaction_spark.service import (
+        MaintenancePolicy,
+        maintain,
+    )
+
+    cat, expect = grown
+    mdir = cat._mdir("h")
+    stray = os.path.join(mdir, "deadc0de-rw-m0.avro")
+    with open(stray, "wb") as f:
+        f.write(b"Obj\x01junk")
+    os.utime(stray, (1, 1))
+    pol = MaintenancePolicy(
+        auto=AutoCompactionConfig(
+            small_file_threshold_bytes=1,
+            min_delete_file_count_threshold=0,
+        ),
+        rewrite_manifests_min_count=2,
+        keep_snapshots=1,
+        orphan_older_than_s=0,
+    )
+    report = maintain(spark, cat, "h", policy=pol)
+    assert stray in report.orphans_removed
+    assert not os.path.exists(stray)
+    assert _rows(spark, cat) == expect
