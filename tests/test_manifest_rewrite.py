@@ -789,3 +789,33 @@ def test_maintain_sweeps_metadata_orphans(spark, grown):
     assert stray in report.orphans_removed
     assert not os.path.exists(stray)
     assert _rows(spark, cat) == expect
+
+
+def test_rewrite_over_rest_client_on_branch(spark, grown):
+    """Branch-targeted REST rewrite: the spec-wire commit rides
+    assert-ref-snapshot-id on the BRANCH; main stays pinned and
+    untouched while the audit branch's metadata consolidates."""
+    from iceberg_compaction_spark.sources.rest_catalog import (
+        RestCatalog,
+        serve_rest_catalog,
+    )
+
+    cat, expect = grown
+    cat.create_branch("h", "audit")
+    main_head = cat.list_refs("h")["main"]["snapshot_id"]
+    with serve_rest_catalog(cat) as srv:
+        client = RestCatalog(uri=srv.uri)
+        stats = rewrite_manifests(client, "h", to_branch="audit")
+        assert stats.committed and stats.output_manifests == 1
+        refs = cat.list_refs("h")
+        assert refs["main"]["snapshot_id"] == main_head  # untouched
+        assert refs["audit"]["snapshot_id"] != main_head
+        # both the pinned main and the branch read row-identically
+        assert _rows(spark, cat) == expect
+        got = {
+            r["id"]: r["val"]
+            for r in read_table_mor(
+                spark, cat.load_table_ref("h", "audit")
+            ).collect()
+        }
+        assert got == expect
