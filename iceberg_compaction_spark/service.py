@@ -268,8 +268,9 @@ def maintain(
     # metadata work (no Spark job); fixed-point no-op when the head
     # list is already consolidated.
     mrw = ManifestRewriteStats()
-    if policy.rewrite_manifests_min_count and hasattr(
-        catalog, "commit_snapshot"
+    if policy.rewrite_manifests_min_count and (
+        hasattr(catalog, "commit_snapshot")      # full-fidelity local
+        or hasattr(catalog, "_spec_base_md")     # REST client spec wire
     ):
         mrw = rewrite_manifests(
             catalog,
