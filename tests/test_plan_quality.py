@@ -670,3 +670,45 @@ def test_position_deletes_df_is_distributed_scan(spark, tmp_path):
     )
     assert "FileScan parquet" in plan or "Scan parquet" in plan
     assert "LocalTableScan" not in plan
+
+
+def test_bpe_pairs_plan_is_take_ordered_partial_agg(spark):
+    """BPE pair counting (round 12) must plan as a partial-then-final
+    aggregate (map-side combine on the pair key) with the top-k cut as
+    TakeOrderedAndProject — never a global single-partition window —
+    and no Python in the row path."""
+    from iceberg_compaction_spark import registry
+
+    s = plan_of(registry.QUERIES["text_bpe_pairs"](spark, SF))
+    assert "TakeOrderedAndProject" in s
+    assert "Window" not in s
+    assert s.count("HashAggregate") >= 2  # partial + final
+    assert "BatchEvalPython" not in s and "ArrowEvalPython" not in s
+
+
+def test_corpus_line_dedup_single_line_shuffle(spark):
+    """Cross-document line dedup (round 12): ONE window rank on the
+    line key plus the per-doc reassembly aggregate — no join-back, no
+    Python row processing."""
+    from iceberg_compaction_spark import registry
+
+    s = plan_of(registry.QUERIES["dedup_corpus_lines"](spark, SF))
+    assert "Window" in s  # the rank over the line key
+    assert "SortMergeJoin" not in s and "BroadcastHashJoin" not in s
+    assert "BatchEvalPython" not in s and "ArrowEvalPython" not in s
+
+
+def test_column_stats_single_pass_no_expand_when_approx(spark):
+    """ANALYZE (round 12): the HLL form is ONE aggregation pass with no
+    multi-distinct Expand operator; the exact form pays Expand by
+    design (documented oracle-scale path)."""
+    from iceberg_compaction_spark.operators.stats import column_stats
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet").select(
+        "doc_id", "lang", "n_chars"
+    )
+    s_approx = plan_of(column_stats(docs, approx=True))
+    assert "Expand" not in s_approx
+    assert "BatchEvalPython" not in s_approx
+    s_exact = plan_of(column_stats(docs, approx=False))
+    assert "Expand" in s_exact  # the multi-distinct plan, by design
