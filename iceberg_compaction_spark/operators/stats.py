@@ -10,10 +10,13 @@ feed a cost-based optimizer or a maintenance planner reads without
 scanning data.
 
 Iceberg stores NDV as apache-datasketches theta blobs in a puffin
-StatisticsFile; that codec is not available in this container, so the
-property channel carries the scalar values instead (documented
-divergence — the COMPUTATION is the same, and the puffin writer seam
-exists in sources/puffin.py if the codec lands).
+StatisticsFile registered in table metadata; :func:`compute_table_stats`
+is that procedure — a DataSketches-compatible theta sketch per column
+(sources/theta.py, interop-proven against the datasketches-java the
+Spark distribution bundles), written as ``apache-datasketches-theta-v1``
+puffin blobs and committed into the table's ``statistics`` list.
+:func:`analyze_table` remains the scalar property channel (fast
+human-readable stats); the puffin channel is the spec-parity one.
 
 Scale shape: ``approx=True`` (the default for :func:`analyze_table`)
 uses HyperLogLog++ (``approx_count_distinct``) — one pass, mergeable
@@ -124,3 +127,264 @@ def analyze_table(
         return _commit(catalog, name, cur, new, to_branch)
 
     return CommitManager().commit_with_retry(attempt)
+
+
+# ---------------------------------------------------------------------------
+# Theta-sketch NDV statistics (Iceberg compute_table_stats parity):
+# DataSketches-compatible sketches built DISTRIBUTED, shipped as
+# apache-datasketches-theta-v1 blobs in a puffin StatisticsFile, and
+# registered in the table's statistics list.
+# ---------------------------------------------------------------------------
+
+THETA_BLOB_TYPE = "apache-datasketches-theta-v1"
+
+_SPARK_TO_ICEBERG = {
+    "integer": "int",
+    "long": "long",
+    "string": "string",
+    "double": "double",
+    "float": "float",
+    "boolean": "boolean",
+    "date": "date",
+    "timestamp": "timestamp",
+    "timestamp_ntz": "timestamp",
+    "binary": "binary",
+}
+
+
+def theta_sketch_columns(
+    df: DataFrame, columns: list[str], lg_k: int | None = None
+) -> dict:
+    """Build one DataSketches-compatible theta sketch per column over
+    ``df`` in ONE distributed pass.  Returns ``{column: ThetaSketch}``.
+
+    Scale shape: a ``mapInPandas`` hashes every value executor-side
+    (numpy-vectorized murmur for 8-/4-byte fixed-width types, a tight
+    loop for strings) and emits only each Arrow batch's k+1 smallest
+    DISTINCT hashes per column — the map-side combine.  A per-column
+    window top-(k+1) then reduces the candidate stream (batches × cols
+    × (k+1) rows, metadata-sized) and the driver folds the survivors
+    into the final sketches.  Rows never leave the JVM except as
+    already-trimmed candidate hashes; nothing corpus-sized is
+    collected."""
+    import pandas as pd
+    from pyspark.sql import functions as F
+    from pyspark.sql import Window
+
+    from iceberg_compaction_spark.sources import theta as th
+
+    lg_k = th.DEFAULT_LG_K if lg_k is None else lg_k
+    k = 1 << lg_k
+    types = {}
+    for f_ in df.schema.fields:
+        if f_.name in columns:
+            t = _SPARK_TO_ICEBERG.get(f_.dataType.typeName())
+            if t is None:
+                raise ValueError(
+                    f"theta NDV unsupported for column {f_.name!r} of "
+                    f"type {f_.dataType.simpleString()}"
+                )
+            types[f_.name] = t
+    missing = [c for c in columns if c not in types]
+    if missing:
+        raise ValueError(f"columns not in table schema: {missing}")
+
+    def _hash_batch(series: "pd.Series", ice_type: str):
+        import numpy as np
+
+        s = series.dropna()
+        if s.empty:
+            return np.empty(0, dtype=np.uint64)
+        if ice_type in ("long", "timestamp"):
+            if ice_type == "timestamp":
+                dt = pd.DatetimeIndex(pd.to_datetime(s))
+                if dt.tz is not None:
+                    dt = dt.tz_convert("UTC").tz_localize(None)
+                vals = dt.asi8 // 1000  # ns -> micros (single-value ser)
+            else:
+                vals = s.to_numpy(dtype=np.int64)
+            return th.hash_longs_vec(np.unique(vals))
+        if ice_type in ("int", "date"):
+            if ice_type == "date":
+                days = pd.DatetimeIndex(pd.to_datetime(s)).asi8
+                vals = (days // 86_400_000_000_000).astype(np.int32)
+            else:
+                vals = s.to_numpy(dtype=np.int32)
+            return th.hash_ints_vec(np.unique(vals))
+        # variable-width / float types: scalar loop over DISTINCT values
+        hs = {
+            th.hash_update(th.single_value_bytes(v, ice_type))
+            for v in set(s.tolist())
+        }
+        return np.fromiter(hs, dtype=np.uint64, count=len(hs))
+
+    cols = list(types)
+
+    def build(batches):
+        import numpy as np
+
+        for pdf in batches:
+            out_c, out_h = [], []
+            for c in cols:
+                hs = _hash_batch(pdf[c], types[c])
+                hs = hs[hs != 0]
+                if hs.size > k + 1:  # map-side combine: k+1 smallest
+                    hs = np.partition(hs, k)[: k + 1]
+                out_c.extend([c] * hs.size)
+                out_h.extend(hs.astype(np.int64).tolist())
+            yield pd.DataFrame({"c": out_c, "h": out_h})
+
+    cand = df.select(*cols).mapInPandas(build, schema="c string, h long")
+    # the same hash arrives once per batch that saw the value: dedupe
+    # (a shuffle over the already-trimmed candidate stream, not the
+    # corpus), then per-column top-(k+1) smallest
+    w = Window.partitionBy("c").orderBy("h")
+    top = (
+        cand.dropDuplicates(["c", "h"])
+        .withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= k + 1)
+        .select("c", "h")
+        .collect()
+    )
+    by_col: dict[str, list[int]] = {c: [] for c in cols}
+    for r in top:
+        by_col[r["c"]].append(r["h"])
+    return {
+        c: th.ThetaSketch(lg_k=lg_k).update_hashes(by_col[c]) for c in cols
+    }
+
+
+def compute_table_stats(
+    spark: SparkSession,
+    catalog,
+    name: str,
+    columns: list[str] | None = None,
+    lg_k: int | None = None,
+    to_branch: str | None = None,
+):
+    """Iceberg's ``compute_table_stats`` procedure: build a theta NDV
+    sketch per column over the table's current snapshot, write them as
+    ``apache-datasketches-theta-v1`` blobs in ONE puffin StatisticsFile
+    under the table's metadata directory, and commit the file into the
+    table's ``statistics`` list (replacing any prior entry for the same
+    snapshot).  Returns ``(manifest, {column: ndv_estimate})``.
+
+    The registered file is owned by its snapshot: expire_snapshots
+    drops the registration (and file) with the snapshot, and the
+    orphan sweeps treat REGISTERED statistics files as referenced."""
+    import os
+    import uuid as _uuid
+
+    from iceberg_compaction_spark.commit import CommitManager
+    from iceberg_compaction_spark.sources.fileio import fileio_for
+    from iceberg_compaction_spark.sources.ingest import (
+        _commit,
+        _load_head,
+        read_table_mor,
+    )
+    from iceberg_compaction_spark.sources.manifest import Manifest
+    from iceberg_compaction_spark.sources.puffin import write_puffin
+
+    current = _load_head(catalog, table_name=name, to_branch=to_branch)
+    analyzed_sid = current.snapshot_id
+    df = read_table_mor(spark, current)
+    if columns is None:
+        columns = [
+            f_.name
+            for f_ in df.schema.fields
+            if f_.dataType.typeName() in _SPARK_TO_ICEBERG
+        ]
+    sketches = theta_sketch_columns(df, columns, lg_k=lg_k)
+    field_ids = {
+        f["name"]: f["id"] for f in (current.schema_fields or [])
+    }
+    stats_dir = os.path.join(current.table_root, "metadata")
+    io = fileio_for(stats_dir)
+    if not io.is_dir(stats_dir):
+        io.makedirs(stats_dir)
+    path = os.path.join(
+        stats_dir, f"{analyzed_sid}-{_uuid.uuid4().hex[:12]}.stats.puffin"
+    )
+    blobs = []
+    ndv = {}
+    for i, c in enumerate(columns):
+        sk = sketches[c]
+        ndv[c] = int(round(sk.estimate()))
+        blobs.append(
+            {
+                "type": THETA_BLOB_TYPE,
+                "fields": [field_ids.get(c, i + 1)],
+                "snapshot-id": analyzed_sid,
+                "sequence-number": current.sequence_number,
+                # "ndv" is the property the Iceberg puffin spec names;
+                # "column" is ours — engine-native tables have no
+                # field-id schema, so the reader resolves names by it
+                "properties": {"ndv": str(ndv[c]), "column": c},
+                "data": sk.serialize(),
+            }
+        )
+    footer_size = write_puffin(
+        path, blobs, {"created-by": "iceberg-compaction-spark theta"}
+    )
+    entry = {
+        "snapshot-id": analyzed_sid,
+        "statistics-path": path,
+        "file-size-in-bytes": io.size(path),
+        "file-footer-size-in-bytes": footer_size,
+        "blob-metadata": [
+            {k: v for k, v in b.items() if k != "data"} for b in blobs
+        ],
+    }
+
+    def attempt() -> Manifest:
+        cur = _load_head(catalog, table_name=name, to_branch=to_branch)
+        new = Manifest.from_dict(cur.to_dict())
+        new.snapshot_id = cur.next_snapshot()
+        new.sequence_number = cur.sequence_number  # rows unchanged
+        new.operation = "replace"
+        # replace any prior registration for the analyzed snapshot, and
+        # prune registrations whose snapshot has been EXPIRED — their
+        # files then age out through the orphan sweep (Iceberg's
+        # expireSnapshots drops expired snapshots' statistics the same
+        # way; here the next stats run is the tidy point)
+        try:
+            alive = set(catalog.table_history(name))
+        except Exception:
+            alive = None
+        new.statistics_files = [
+            s
+            for s in (cur.statistics_files or [])
+            if s.get("snapshot-id") != analyzed_sid
+            and (alive is None or s.get("snapshot-id") in alive)
+        ] + [entry]
+        props = dict(new.properties or {})
+        props[STATS_SNAPSHOT_PROP] = str(analyzed_sid)
+        new.properties = props
+        return _commit(catalog, name, cur, new, to_branch)
+
+    return CommitManager().commit_with_retry(attempt), ndv
+
+
+def read_table_ndv(manifest) -> dict[str, float]:
+    """Read the NDV estimates back from a table's registered theta
+    StatisticsFiles (latest registration per column wins).  Returns
+    ``{column_name_or_field_id: estimate}`` — names resolved through
+    the manifest's schema when field ids match."""
+    from iceberg_compaction_spark.sources.puffin import read_puffin_blobs
+    from iceberg_compaction_spark.sources.theta import ThetaSketch
+
+    id_to_name = {
+        f["id"]: f["name"] for f in (manifest.schema_fields or [])
+    }
+    out: dict = {}
+    for entry in manifest.statistics_files or []:
+        for meta, data in read_puffin_blobs(
+            entry["statistics-path"], THETA_BLOB_TYPE
+        ):
+            sk = ThetaSketch.deserialize(data)
+            fid = (meta.get("fields") or [None])[0]
+            name_ = id_to_name.get(
+                fid, meta.get("properties", {}).get("column", fid)
+            )
+            out[name_] = sk.estimate()
+    return out

@@ -1211,8 +1211,10 @@ def remove_orphan_files_for(
     (FileCatalog and IcebergHadoopCatalog both qualify).
 
     Safety mirrors Iceberg's on BOTH axes: only the table's own root
-    is scanned, only ``*.parquet`` is eligible, the referenced set is
-    the union over ALL retained snapshots, and — like the Spark
+    is scanned, only ``*.parquet`` and ``*.stats.puffin`` (theta NDV
+    statistics files) are eligible, the referenced set is the union
+    over ALL retained snapshots — data paths, delete paths, AND
+    registered statistics paths — and — like the Spark
     procedure's ``olderThan`` (default 3 days) — only files whose
     mtime is older than ``older_than_s`` are eligible.  An in-flight
     writer stages its data/delete parquet under the table root
@@ -1235,13 +1237,18 @@ def remove_orphan_files_for(
         for t in m.data_files:
             for d in t.deletes:
                 referenced.add(io.canonical(d.path))
+        for s in m.statistics_files:
+            referenced.add(io.canonical(s["statistics-path"]))
         root = root or m.table_root
     if not root or not io.is_dir(root):
         return []
     cutoff = time.time() - older_than_s
     candidates = []
     for p in io.walk_files(root):
-        if not p.endswith(".parquet"):
+        # eligible kinds: data/delete parquet, and theta-NDV statistics
+        # puffin (compute_table_stats output — unregistered ones are
+        # crash leftovers or superseded-registration files)
+        if not (p.endswith(".parquet") or p.endswith(".stats.puffin")):
             continue
         if io.canonical(p) in referenced:
             continue
@@ -1259,6 +1266,8 @@ def remove_orphan_files_for(
         for t in head.data_files:
             for d in t.deletes:
                 referenced.add(io.canonical(d.path))
+        for s in head.statistics_files:
+            referenced.add(io.canonical(s["statistics-path"]))
     except TableNotFound:
         pass
     removed = []

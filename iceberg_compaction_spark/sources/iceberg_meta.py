@@ -338,6 +338,9 @@ def load_iceberg_table(
         # manifest must not recycle ids retired in EARLIER versions
         last_column_id=int(md.get("last-column-id", 0)),
         sort_order=_sort_order_from_md(md),
+        # registered StatisticsFiles (spec "statistics": theta NDV
+        # puffin files) round-trip so maintenance keeps them referenced
+        statistics_files=[dict(s) for s in md.get("statistics", [])],
     )
 
 
@@ -1826,6 +1829,18 @@ class IcebergHadoopCatalog(TableRefs):
                 {"snapshot-id": snap_id, "timestamp-ms": now_ms}
             ],
             "metadata-log": [],
+            # registered StatisticsFiles (spec "statistics" list):
+            # compute_table_stats' theta NDV puffin files, carried so
+            # readers and the orphan sweeps see them as referenced
+            **(
+                {
+                    "statistics": [
+                        dict(s) for s in manifest.statistics_files
+                    ]
+                }
+                if manifest.statistics_files
+                else {}
+            ),
         }
         path = self._vpath(name, version)
         payload = json.dumps(md, indent=1).encode()

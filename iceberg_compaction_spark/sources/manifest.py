@@ -184,6 +184,14 @@ class Manifest:
     # zorder config wins), which is how Iceberg tables converge to
     # their declared order through maintenance.
     sort_order: list[dict] = field(default_factory=list)
+    # registered StatisticsFiles (Iceberg table-metadata ``statistics``):
+    # list of {"snapshot-id", "statistics-path", "file-size-in-bytes",
+    # "file-footer-size-in-bytes", "blob-metadata": [...]} dicts, written
+    # by operators/stats.py compute_table_stats (theta NDV puffin files).
+    # Each entry is owned by the snapshot it describes: expire drops the
+    # registration with the snapshot, orphan sweeps keep registered
+    # paths.
+    statistics_files: list[dict] = field(default_factory=list)
 
     # ---- construction ------------------------------------------------------
 
@@ -296,6 +304,15 @@ class Manifest:
                 if self.sort_order
                 else {}
             ),
+            **(
+                {
+                    "statistics_files": [
+                        dict(s) for s in self.statistics_files
+                    ]
+                }
+                if self.statistics_files
+                else {}
+            ),
             "data_files": [
                 {
                     "path": t.data_file_path,
@@ -381,6 +398,9 @@ class Manifest:
             schema_fields=[dict(f) for f in d.get("schema_fields", [])],
             last_column_id=int(d.get("last_column_id", 0)),
             sort_order=[dict(f) for f in d.get("sort_order", [])],
+            statistics_files=[
+                dict(s) for s in d.get("statistics_files", [])
+            ],
         )
 
     # ---- spec evolution ----------------------------------------------------

@@ -199,25 +199,63 @@ def write_puffin_from_blobs(
     concatenates the already-compact blobs into the single container
     object, which is metadata-scale work.
     """
-    blobs_meta = []
-    out = io.BytesIO()
-    out.write(PUFFIN_MAGIC)
-    for ref_path, blob, card in blobs:
-        blobs_meta.append(
+    write_puffin(
+        path,
+        [
             {
                 "type": DV_BLOB_TYPE,
                 "fields": [],
                 "snapshot-id": -1,
                 "sequence-number": -1,
-                "offset": out.tell(),
-                "length": len(blob),
                 "properties": {
                     "referenced-data-file": ref_path,
                     "cardinality": str(card),
                 },
+                "data": blob,
+            }
+            for ref_path, blob, card in blobs
+        ],
+        properties,
+    )
+
+
+def write_puffin(
+    path: str,
+    blobs: list[dict],
+    properties: dict | None = None,
+) -> int:
+    """Write a puffin container with arbitrary TYPED blobs (puffin spec
+    FileMetadata/BlobMetadata shape).  Each ``blobs`` entry carries its
+    BlobMetadata fields — ``type``, ``fields`` (source field ids),
+    ``snapshot-id``, ``sequence-number``, optional ``properties`` — plus
+    the pre-serialized payload under ``data``.  Offsets/lengths are
+    assigned here.  Used for deletion-vector files (via
+    :func:`write_puffin_from_blobs`) and for
+    ``apache-datasketches-theta-v1`` NDV statistics files
+    (operators/stats.py compute_table_stats).  Returns the footer
+    payload size in bytes (the StatisticsFile's
+    file-footer-size-in-bytes)."""
+    blobs_meta = []
+    out = io.BytesIO()
+    out.write(PUFFIN_MAGIC)
+    for b in blobs:
+        data = b["data"]
+        blobs_meta.append(
+            {
+                "type": b["type"],
+                "fields": list(b.get("fields", [])),
+                "snapshot-id": b.get("snapshot-id", -1),
+                "sequence-number": b.get("sequence-number", -1),
+                "offset": out.tell(),
+                "length": len(data),
+                **(
+                    {"properties": dict(b["properties"])}
+                    if b.get("properties")
+                    else {"properties": {}}
+                ),
             }
         )
-        out.write(blob)
+        out.write(data)
     payload = json.dumps(
         {"blobs": blobs_meta, "properties": properties or {}}
     ).encode("utf-8")
@@ -229,6 +267,25 @@ def write_puffin_from_blobs(
     from iceberg_compaction_spark.sources.fileio import fileio_for
 
     fileio_for(path).write_bytes(path, out.getvalue())
+    return len(payload)
+
+
+def read_puffin_blobs(path: str, blob_type: str | None = None) -> list[tuple]:
+    """All (blob_metadata, payload_bytes) pairs in a puffin file,
+    optionally filtered to one blob type."""
+    footer = read_puffin_footer(path)
+    out = []
+    with _open_puffin(path) as f:
+        for blob in footer.get("blobs", []):
+            if blob_type is not None and blob.get("type") != blob_type:
+                continue
+            if blob.get("compression-codec"):
+                raise ValueError(
+                    f"unsupported blob compression: {blob['compression-codec']}"
+                )
+            f.seek(blob["offset"])
+            out.append((blob, f.read(blob["length"])))
+    return out
 
 
 def _open_puffin(path: str):
