@@ -77,6 +77,7 @@ BENCH_QUERIES = [
     "text_bpe_pairs",
     "dedup_corpus_lines",
     "stats_column_profile",
+    "stats_theta_ndv",
 ]
 
 

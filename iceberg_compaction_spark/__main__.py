@@ -350,6 +350,33 @@ def cmd_analyze(args, spark=None) -> dict:
     }
 
 
+def cmd_compute_stats(args, spark=None) -> dict:
+    """compute_table_stats: theta-sketch NDV per column written as an
+    apache-datasketches-theta-v1 puffin StatisticsFile and registered
+    in the table's statistics list (operators/stats.py)."""
+    from iceberg_compaction_spark.operators.stats import (
+        compute_table_stats,
+    )
+
+    spark = spark or _build_session(args.master)
+    m, ndv = compute_table_stats(
+        spark,
+        _catalog(args.warehouse),
+        args.table,
+        columns=args.columns,
+        lg_k=args.lg_k,
+        to_branch=args.to_branch,
+    )
+    return {
+        "table": args.table,
+        "snapshot_id": m.snapshot_id,
+        "ndv": ndv,
+        "statistics_files": [
+            s["statistics-path"] for s in m.statistics_files
+        ],
+    }
+
+
 def cmd_orphans(args, spark=None) -> dict:
     """Orphan-file cleanup, DRY-RUN by default: report what would be
     removed; pass --apply to actually unlink (the audit-then-apply
@@ -496,6 +523,17 @@ def build_parser() -> argparse.ArgumentParser:
         help="exact count-distinct instead of HLL approx",
     )
     an.add_argument("--to-branch", default=None)
+    cs = sub.add_parser(
+        "compute-stats",
+        help="theta-sketch NDV -> puffin StatisticsFile + registration",
+    )
+    common(cs)
+    cs.add_argument("--columns", nargs="+", default=None)
+    cs.add_argument(
+        "--lg-k", type=int, default=None,
+        help="log2 nominal sketch entries (default 12 = 4096)",
+    )
+    cs.add_argument("--to-branch", default=None)
     return p
 
 
@@ -513,6 +551,7 @@ COMMANDS = {
     "orphans": cmd_orphans,
     "rewrite-manifests": cmd_rewrite_manifests,
     "analyze": cmd_analyze,
+    "compute-stats": cmd_compute_stats,
 }
 
 

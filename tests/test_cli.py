@@ -293,3 +293,16 @@ def test_cli_rewrite_manifests_and_analyze(spark, wh, tmp_path):
         spark, ["metadata", *base, "--kind", "metadata_log_entries"]
     )
     assert [r[2] for r in out["rows"]] == [1, 2]
+
+
+def test_cli_compute_stats(spark, wh):
+    """compute-stats writes + registers the theta StatisticsFile."""
+    base = ["--warehouse", wh, "--table", "t"]
+    out = _run(spark, ["compute-stats", *base, "--columns", "id", "val"])
+    assert out["ndv"] == {"id": 40, "val": 40}
+    [path] = out["statistics_files"]
+    assert os.path.exists(path) and path.endswith(".stats.puffin")
+    # the registration is on the committed head
+    cat = FileCatalog(warehouse=wh)
+    head = cat.load_table("t")
+    assert head.statistics_files[0]["statistics-path"] == path
