@@ -78,6 +78,7 @@ BENCH_QUERIES = [
     "dedup_corpus_lines",
     "stats_column_profile",
     "stats_theta_ndv",
+    "dml_snapshot_fork",
 ]
 
 

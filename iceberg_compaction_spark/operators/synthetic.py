@@ -895,6 +895,62 @@ def branch_wap_warehouse(spark: SparkSession, sf_dir: str) -> str:
     )
 
 
+def snapshot_fork_warehouse(spark: SparkSession, sf_dir: str) -> str:
+    """One-time per sf_dir: ``docs_snapsrc`` = ``documents``, then
+    ``snapshot_table`` forks it to ``docs_fork`` (zero-copy: the fork's
+    first snapshot references the SOURCE's files) and an upsert
+    (``doc_id % 9 = 4`` -> lang 'zz') lands ON THE FORK ONLY.  The
+    fixture asserts the isolation contract: the source stays at
+    snapshot 1 with its rows intact, the fork's new file lives under
+    the fork's own root, and gc-maintenance on the fork refuses
+    (``gc.enabled=false``)."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from iceberg_compaction_spark.sources.catalog import snapshot_table
+    from iceberg_compaction_spark.sources.ingest import upsert
+
+    def _mutate(cat):
+        docs = spark.read.parquet(
+            os.path.join(sf_dir, "documents.parquet")
+        ).select("doc_id", "lang")
+        fork = snapshot_table(cat, "docs_snapsrc", "docs_fork")
+        assert fork.properties["gc.enabled"] == "false"
+        upsert(
+            spark,
+            cat,
+            "docs_fork",
+            docs.where("doc_id % 9 = 4").select(
+                "doc_id", F.lit("zz").alias("lang")
+            ),
+            keys=["doc_id"],
+        )
+        assert cat.load_table("docs_snapsrc").snapshot_id == 1, (
+            "fork upsert leaked onto the source table"
+        )
+        froot = cat.load_table("docs_fork").table_root
+        assert any(
+            t.data_file_path.startswith(froot)
+            for t in cat.load_table("docs_fork").data_files
+        ), "fork's new file did not land under the fork's own root"
+        try:
+            cat.expire_snapshots("docs_fork", keep_last=1)
+        except ValueError:
+            pass
+        else:  # pragma: no cover - contract violation
+            raise AssertionError("gc guard did not fire on the fork")
+
+    return _dml_docs_warehouse(
+        spark,
+        sf_dir,
+        tag="snapfork",
+        table_name="docs_snapsrc",
+        columns=["doc_id", "lang"],
+        mutate=_mutate,
+    )
+
+
 def add_files_warehouse(spark: SparkSession, sf_dir: str) -> str:
     """One-time per sf_dir: ``docs_add`` = ``documents`` (two files by
     parity) plus an ``add_files`` metadata-only import of a side

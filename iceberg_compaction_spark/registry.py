@@ -4162,6 +4162,35 @@ def q_dml_branch_wap(spark, sf_dir):
 
 
 @register(
+    "dml_snapshot_fork",
+    """
+    SELECT doc_id,
+           CASE WHEN doc_id % 9 = 4 THEN 'zz' ELSE lang END AS lang
+    FROM documents
+    """,
+)
+def q_dml_snapshot_fork(spark, sf_dir):
+    """snapshot_table zero-copy fork (round 12; Iceberg's
+    ``snapshot_table`` procedure — sources/catalog.py snapshot_table):
+    the fixture forks ``documents`` without copying a byte (the fork's
+    first snapshot references the source's files), upserts ON THE FORK,
+    and asserts the source stayed untouched, the new file landed under
+    the fork's own root, and ``gc.enabled=false`` makes the fork's
+    expire refuse.  This query MOR-reads the fork against the CASE
+    ground truth, so the fork-isolation contract is driver-checked.
+
+    Scale shape: the fork is a metadata-only commit — THE way to stage
+    a dev/test fork of a 100 TB production table; subsequent DML prices
+    identically to any table (shared files are read-only)."""
+    from iceberg_compaction_spark.sources.catalog import FileCatalog
+    from iceberg_compaction_spark.sources.ingest import read_table_mor
+
+    wh = syn.snapshot_fork_warehouse(spark, sf_dir)
+    m = FileCatalog(warehouse=wh).load_table("docs_fork")
+    return read_table_mor(spark, m).select("doc_id", "lang")
+
+
+@register(
     "stats_theta_ndv",
     """
     SELECT 'doc_id' AS col_name, COUNT(DISTINCT doc_id) AS ndv

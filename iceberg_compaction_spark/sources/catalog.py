@@ -527,12 +527,17 @@ class TableRefs:
         import time as _time
 
         keep_last = max(1, keep_last)
-        self._expire_aged_refs(name)
         props = {}
         try:
             props = self.load_table(name).properties or {}
         except Exception:
             pass
+        # Iceberg's gc.enabled=false: snapshot/registered tables share
+        # files with their source — expiring THIS table's snapshots
+        # could unlink files the source (or this fork) still reads.
+        # Refuse before touching anything (refs included).
+        _check_gc_enabled(props, "expire snapshots")
+        self._expire_aged_refs(name)
         min_keep = props.get("history.expire.min-snapshots-to-keep")
         if min_keep is not None:
             keep_last = max(keep_last, int(min_keep))
@@ -1229,6 +1234,12 @@ def remove_orphan_files_for(
     import time
 
     io = catalog._io
+    try:
+        _check_gc_enabled(
+            catalog.load_table(name).properties, "remove orphan files"
+        )
+    except TableNotFound:
+        pass
     referenced: set[str] = set()
     root = scan_root
     for v in catalog.table_history(name):
@@ -1534,3 +1545,104 @@ def _cherry_pick_overwrite(
             name, cur.snapshot_id, new, to_branch=to_branch
         )
     return catalog.commit_table(name, cur.snapshot_id, new)
+
+
+def _check_gc_enabled(properties: dict, what: str) -> None:
+    """Iceberg's ``gc.enabled`` table property: ``false`` marks a table
+    whose files are SHARED with another table (a snapshot_table fork,
+    or a register_table adoption of metadata it does not own), so
+    garbage-collecting maintenance must refuse — Spark-Iceberg's
+    procedures throw the same way.  Non-destructive maintenance
+    (compaction rewrites, manifest rewrite, stats) stays allowed: those
+    only ADD files."""
+    if str((properties or {}).get("gc.enabled", "true")).lower() == "false":
+        raise ValueError(
+            f"cannot {what}: gc.enabled=false on this table — its files "
+            "may be shared with the table it was snapshotted/registered "
+            "from; run maintenance on the owning table instead"
+        )
+
+
+def snapshot_table(
+    catalog,
+    source: str,
+    dest: str,
+    table_root: str | None = None,
+    properties: dict | None = None,
+) -> Manifest:
+    """Iceberg's ``snapshot_table`` procedure: create a NEW independent
+    table ``dest`` whose first snapshot references the SOURCE table's
+    current data/delete files — a zero-copy fork (metadata only, no
+    data IO; THE way to stage a test/dev fork of a 100 TB production
+    table).  New writes to the fork land under the fork's own
+    ``table_root``; the source never sees them.
+
+    Like Iceberg, the fork is stamped ``gc.enabled=false`` plus
+    ``snapshot.source-table`` / ``snapshot.source-snapshot-id``:
+    expire_snapshots and the orphan sweeps REFUSE on the fork, because
+    its initial files belong to the source (a fork GC walking shared
+    paths could unlink data the source still reads).  The fork ages
+    out of usefulness when the SOURCE's maintenance rewrites/expires
+    the shared files — same documented lifecycle as Iceberg's.
+
+    Catalog-generic: any backend with ``load_table``/``create_table``.
+    """
+    src = catalog.load_table(source)
+    snap = Manifest.from_dict(src.to_dict())
+    if table_root is None:
+        table_root = (
+            catalog._table_dir(dest)
+            if hasattr(catalog, "_table_dir")
+            else src.table_root
+        )
+    snap.table_root = table_root
+    io = getattr(catalog, "_io", None)  # REST clients have no local io
+    if io is not None and not io.is_dir(table_root):
+        io.makedirs(table_root)
+    snap.operation = "append"
+    props = dict(snap.properties or {})
+    props["gc.enabled"] = "false"
+    props["snapshot.source-table"] = source
+    props["snapshot.source-snapshot-id"] = str(src.snapshot_id)
+    props.update(properties or {})
+    snap.properties = props
+    snap.statistics_files = []  # stats belong to the source's snapshots
+    return catalog.create_table(dest, snap)
+
+
+def register_table(catalog, name: str, metadata_file: str) -> Manifest:
+    """Iceberg's ``register_table`` procedure: adopt an EXISTING table
+    by its metadata file — no data IO, no manifest rewrite; the catalog
+    entry's first version is a copy of the loaded state and the data
+    files stay exactly where they are.
+
+    ``metadata_file`` may be a real-Iceberg ``v<N>.metadata.json`` (or
+    a table directory containing ``metadata/``, resolved through the
+    same loader the hadoop tier uses — Avro manifest lists, v2
+    sequence-number inheritance, puffin DVs) or an engine-native
+    manifest JSON.  The adopted table keeps gc ENABLED only when its
+    metadata is self-owned; since a registration typically SHARES files
+    with the original location, the entry is stamped
+    ``gc.enabled=false`` — drop the property explicitly after
+    physically taking ownership of the files."""
+    import json as _json
+
+    raw = None
+    try:
+        raw = _json.loads(catalog._io.read_bytes(metadata_file))
+    except (IsADirectoryError, PermissionError, OSError):
+        pass  # a directory: the real-metadata loader resolves it below
+    if raw is not None and "data_files" in raw and "table_root" in raw:
+        m = Manifest.from_dict(raw)  # engine-native manifest JSON
+    else:
+        from iceberg_compaction_spark.sources.iceberg_meta import (
+            load_iceberg_table,
+        )
+
+        m = load_iceberg_table(metadata_file)
+    adopted = Manifest.from_dict(m.to_dict())
+    props = dict(adopted.properties or {})
+    props.setdefault("gc.enabled", "false")
+    props["register.source-metadata"] = metadata_file
+    adopted.properties = props
+    return catalog.create_table(name, adopted)

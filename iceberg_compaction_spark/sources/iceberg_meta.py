@@ -1684,6 +1684,18 @@ class IcebergHadoopCatalog(TableRefs):
         ``*.avro``)."""
         import time as _time
 
+        from iceberg_compaction_spark.sources.catalog import (
+            _check_gc_enabled,
+        )
+
+        # read the property straight from the metadata JSON — the guard
+        # must fire (or pass) even when the head's AVRO is unreadable,
+        # which the sweep below already fails closed on
+        _check_gc_enabled(
+            self.current_metadata(name)[1].get("properties", {}),
+            "remove orphan metadata",
+        )
+
         def _norm(p: str) -> str:
             # scheme'd paths (mem://, s3://) compare verbatim; local
             # paths compare absolute (refs arrive file://-stripped)
