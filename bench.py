@@ -79,6 +79,7 @@ BENCH_QUERIES = [
     "stats_column_profile",
     "stats_theta_ndv",
     "dml_snapshot_fork",
+    "text_classifier_score",
 ]
 
 

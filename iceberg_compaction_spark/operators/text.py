@@ -430,3 +430,78 @@ def bpe_pair_stats(
     return counts.orderBy(F.desc("n_pairs"), F.asc("pair")).limit(
         int(top_k)
     )
+
+
+def classifier_vocabulary(
+    docs: DataFrame,
+    text_col: str = "text",
+    vocab_size: int = 256,
+) -> DataFrame:
+    """The self-fit half of the fastText-style scorer: the corpus's
+    ``vocab_size`` most frequent whitespace tokens with an integer
+    milli-weight derived from frequency rank (``1000 - 3*rank``).
+    Stands in for a TRAINED model's weight table — load real weights
+    as any ``(tok, w_milli)`` DataFrame and skip this builder; the
+    scoring plan is identical.
+
+    Scale shape: one token-count aggregation (map-side combined) then
+    ``orderBy(count desc, tok).limit(V)`` — TakeOrdered, a distributed
+    per-partition top-k, never a single-partition global window.  The
+    rank is assigned over the V survivors only (metadata-sized)."""
+    from pyspark.sql import Window
+
+    toks = docs.where(F.trim(F.col(text_col)) != "").select(
+        F.explode(_tokens(F.col(text_col))).alias("tok")
+    )
+    top = (
+        toks.groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .orderBy(F.desc("cnt"), F.asc("tok"))
+        .limit(int(vocab_size))
+    )
+    w = Window.orderBy(F.desc("cnt"), F.asc("tok"))
+    return top.withColumn("rank", F.row_number().over(w)).select(
+        "tok", (F.lit(1000) - F.lit(3) * F.col("rank")).alias("w_milli")
+    )
+
+
+def with_classifier_score(
+    docs: DataFrame,
+    weights: DataFrame | None = None,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    vocab_size: int = 256,
+    oov_milli: int = -100,
+) -> DataFrame:
+    """fastText-style linear text classifier over a hashed/looked-up
+    bag of words (Joulin et al. 2016, "Bag of Tricks for Efficient
+    Text Classification"): each document's logit is the mean token
+    weight, ``floor(sum(w_milli) / n_tokens)`` in integer milli-units
+    (the engine-portable fixed-point convention the other text ops
+    use; apply a sigmoid downstream for a probability).  Out-of-
+    vocabulary tokens score ``oov_milli``.
+
+    ``weights``: any ``(tok, w_milli)`` table — a real trained model's
+    weights, or the self-fit :func:`classifier_vocabulary` default.
+
+    Scale shape: explode -> BROADCAST weight join (the vocabulary is
+    bounded) -> one groupBy(doc) sum — one shuffle on the doc key, all
+    JVM-side expressions, no Python in the row path.  This is the same
+    plan shape the unigram-LM scorer uses; the two differ only in the
+    weight semantics (log-probabilities vs linear weights)."""
+    if weights is None:
+        weights = classifier_vocabulary(docs, text_col, vocab_size)
+    toks = docs.where(F.trim(F.col(text_col)) != "").select(
+        id_col, F.explode(_tokens(F.col(text_col))).alias("tok")
+    )
+    scored = toks.join(F.broadcast(weights), "tok", "left").groupBy(
+        id_col
+    ).agg(
+        F.floor(
+            F.sum(F.coalesce(F.col("w_milli"), F.lit(int(oov_milli))))
+            / F.count(F.lit(1))
+        )
+        .cast("long")
+        .alias("logit_milli")
+    )
+    return scored

@@ -4191,6 +4191,55 @@ def q_dml_snapshot_fork(spark, sf_dir):
 
 
 @register(
+    "text_classifier_score",
+    """
+    WITH toks AS (
+      SELECT doc_id,
+             unnest(regexp_split_to_array(trim(lower(text)), '\\s+'))
+                 AS tok
+      FROM documents WHERE trim(text) <> ''
+    ),
+    top AS (
+      SELECT tok, COUNT(*) AS cnt FROM toks GROUP BY tok
+      ORDER BY cnt DESC, tok ASC LIMIT 256
+    ),
+    w AS (
+      SELECT tok,
+             1000 - 3 * CAST(
+                 row_number() OVER (ORDER BY cnt DESC, tok ASC) AS BIGINT
+             ) AS w_milli
+      FROM top
+    )
+    SELECT t.doc_id,
+           CAST(FLOOR(SUM(COALESCE(w.w_milli, -100)) * 1.0 / COUNT(*))
+                AS BIGINT) AS logit_milli
+    FROM toks t LEFT JOIN w USING (tok)
+    GROUP BY t.doc_id
+    """,
+)
+def q_text_classifier_score(spark, sf_dir):
+    """fastText-style linear quality classifier (round 12;
+    operators/text.py with_classifier_score — Joulin et al. 2016 "Bag
+    of Tricks"): per-document logit = mean token weight over a bounded
+    vocabulary (self-fit rank weights here; a trained model's
+    ``(tok, w_milli)`` table drops in unchanged), OOV floor, integer
+    milli fixed-point so the oracle hash is engine-exact.
+
+    Scale shape: vocabulary via one map-side-combined count + a
+    TakeOrdered top-V (never a global window over the whole vocab);
+    scoring is explode -> broadcast vocab join -> one doc-key groupBy —
+    the identical plan family as text_unigram_logprob, all JVM-side."""
+    from iceberg_compaction_spark.operators.text import (
+        with_classifier_score,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", "text"
+    )
+    return with_classifier_score(docs)
+
+
+@register(
     "stats_theta_ndv",
     """
     SELECT 'doc_id' AS col_name, COUNT(DISTINCT doc_id) AS ndv

@@ -809,3 +809,43 @@ def test_unigram_logprob_self_and_reference_model(spark):
         ref_out[2] - (-(math.log2(0.5) + 2 * math.log2(0.25)) / 3)
     ) < 1e-9
     assert ref_out[3] == -math.log2(1e-9)  # pure OOV, floored
+
+
+def test_classifier_score_self_fit_and_external(spark):
+    """with_classifier_score (round 12): mean-token-weight logit in
+    integer milli-units, OOV floored; an EXTERNAL weight table drops in
+    for the self-fit vocabulary unchanged."""
+    from iceberg_compaction_spark.operators.text import (
+        classifier_vocabulary,
+        with_classifier_score,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (1, "good good good"),
+            (2, "good bad"),
+            (3, "zzz qqq"),   # fully OOV under the external model
+            (4, "   "),       # blank: excluded (no tokens)
+        ],
+        ["doc_id", "text"],
+    )
+    # external trained weights: good=+500, bad=-500 (milli)
+    w = spark.createDataFrame(
+        [("good", 500), ("bad", -500)], ["tok", "w_milli"]
+    )
+    out = {
+        r["doc_id"]: r["logit_milli"]
+        for r in with_classifier_score(docs, weights=w).collect()
+    }
+    assert out[1] == 500                  # 3*500/3
+    assert out[2] == 0                    # (500-500)/2
+    assert out[3] == -100                 # OOV floor both tokens
+    assert 4 not in out                   # blank doc excluded
+
+    # self-fit vocabulary: rank weights 1000-3r, most frequent first
+    vocab = {
+        r["tok"]: r["w_milli"]
+        for r in classifier_vocabulary(docs, vocab_size=2).collect()
+    }
+    assert vocab["good"] == 997           # rank 1 (4 occurrences)
+    assert len(vocab) == 2 and min(vocab.values()) == 994

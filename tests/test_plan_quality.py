@@ -712,3 +712,18 @@ def test_column_stats_single_pass_no_expand_when_approx(spark):
     assert "BatchEvalPython" not in s_approx
     s_exact = plan_of(column_stats(docs, approx=False))
     assert "Expand" in s_exact  # the multi-distinct plan, by design
+
+
+def test_classifier_score_broadcast_vocab_one_doc_shuffle(spark):
+    """fastText-style scorer (round 12): the vocabulary join must be a
+    BROADCAST hash join (the weight table is bounded), the only
+    corpus-keyed exchange is the doc-key aggregate, the top-V
+    vocabulary cut is TakeOrdered (never a global window over the full
+    vocabulary), and no Python touches the row path."""
+    from iceberg_compaction_spark import registry
+
+    s = plan_of(registry.QUERIES["text_classifier_score"](spark, SF))
+    assert "BroadcastHashJoin" in s
+    assert "SortMergeJoin" not in s
+    assert "TakeOrderedAndProject" in s
+    assert "BatchEvalPython" not in s and "ArrowEvalPython" not in s
