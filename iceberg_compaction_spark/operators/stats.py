@@ -388,3 +388,187 @@ def read_table_ndv(manifest) -> dict[str, float]:
             )
             out[name_] = sk.estimate()
     return out
+
+# ---------------------------------------------------------------------------
+# Partition statistics files (Iceberg "Partition Statistics" spec
+# section — one sorted stats file per snapshot, registered in table
+# metadata under "partition-statistics").
+# ---------------------------------------------------------------------------
+
+
+def partition_stats_rows(manifest) -> list[dict]:
+    """Per-partition statistics over one snapshot — the spec's
+    partition statistics file content: data/delete record and file
+    counts plus byte sizes, keyed by the spec-named partition tuple.
+    Shared delete files (one delete file attached to many data files in
+    the partition) are counted ONCE.  ``total_record_count`` is the
+    post-delete count when it is EXACT — no equality deletes in the
+    partition, so data records minus position-delete records — and
+    None otherwise (equality-delete matches can't be counted without
+    data IO; readers treat None as "unavailable", never as 0).
+
+    Driver-side on purpose: the input is the manifest's file-entry
+    list (metadata-sized, already in memory — the same source the
+    ``.partitions`` relation aggregates); no row data is touched."""
+    from iceberg_compaction_spark.sources.metadata_tables import _part_map
+
+    agg: dict[tuple, dict] = {}
+    pos_by_part: dict[tuple, dict] = {}
+    eq_by_part: dict[tuple, dict] = {}
+    for t in manifest.data_files:
+        pm = _part_map(t, manifest) or {}
+        key = tuple(sorted(pm.items()))
+        a = agg.setdefault(
+            key,
+            {
+                "partition": pm,
+                "spec_id": int(t.spec_id),
+                "data_record_count": 0,
+                "data_file_count": 0,
+                "total_data_file_size_in_bytes": 0,
+            },
+        )
+        a["data_record_count"] += int(t.record_count)
+        a["data_file_count"] += 1
+        a["total_data_file_size_in_bytes"] += int(t.file_size_in_bytes)
+        for d in t.deletes:
+            bucket = pos_by_part if d.content == 1 else eq_by_part
+            bucket.setdefault(key, {})[d.path] = int(d.record_count)
+    rows = []
+    for key in sorted(agg):
+        a = agg[key]
+        pos = pos_by_part.get(key, {})
+        eq = eq_by_part.get(key, {})
+        a["position_delete_record_count"] = sum(pos.values())
+        a["position_delete_file_count"] = len(pos)
+        a["equality_delete_record_count"] = sum(eq.values())
+        a["equality_delete_file_count"] = len(eq)
+        a["total_record_count"] = (
+            a["data_record_count"] - a["position_delete_record_count"]
+            if not eq
+            else None
+        )
+        a["last_updated_snapshot_id"] = int(manifest.snapshot_id)
+        rows.append(a)
+    return rows
+
+
+def compute_partition_stats(catalog, name: str, to_branch: str | None = None):
+    """Iceberg's partition-statistics maintenance: write the current
+    snapshot's per-partition stats as ONE sorted parquet file under the
+    table's metadata directory and register it in the table metadata's
+    ``partition-statistics`` list (one entry per snapshot, replaced on
+    recompute).  Returns ``(manifest, rows)``.
+
+    The registered file is snapshot-owned like the NDV StatisticsFile:
+    the orphan sweep keeps registered ``*.pstats.parquet`` and collects
+    unregistered ones; recompute prunes registrations whose snapshot
+    has been expired."""
+    import os
+    import uuid as _uuid
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from iceberg_compaction_spark.commit import CommitManager
+    from iceberg_compaction_spark.sources.fileio import fileio_for
+    from iceberg_compaction_spark.sources.ingest import _commit, _load_head
+    from iceberg_compaction_spark.sources.manifest import Manifest
+
+    current = _load_head(catalog, table_name=name, to_branch=to_branch)
+    analyzed_sid = current.snapshot_id
+    rows = partition_stats_rows(current)
+    stats_dir = os.path.join(current.table_root, "metadata")
+    io = fileio_for(stats_dir)
+    if not io.is_dir(stats_dir):
+        io.makedirs(stats_dir)
+    path = os.path.join(
+        stats_dir,
+        f"partition-stats-{analyzed_sid}-{_uuid.uuid4().hex[:12]}"
+        ".pstats.parquet",
+    )
+    cols = {
+        "partition": [
+            [f"{k}={v}" for k, v in sorted(r["partition"].items())]
+            for r in rows
+        ],
+        "spec_id": pa.array(
+            [r["spec_id"] for r in rows], type=pa.int32()
+        ),
+        "data_record_count": pa.array(
+            [r["data_record_count"] for r in rows], type=pa.int64()
+        ),
+        "data_file_count": pa.array(
+            [r["data_file_count"] for r in rows], type=pa.int32()
+        ),
+        "total_data_file_size_in_bytes": pa.array(
+            [r["total_data_file_size_in_bytes"] for r in rows],
+            type=pa.int64(),
+        ),
+        "position_delete_record_count": pa.array(
+            [r["position_delete_record_count"] for r in rows],
+            type=pa.int64(),
+        ),
+        "position_delete_file_count": pa.array(
+            [r["position_delete_file_count"] for r in rows],
+            type=pa.int32(),
+        ),
+        "equality_delete_record_count": pa.array(
+            [r["equality_delete_record_count"] for r in rows],
+            type=pa.int64(),
+        ),
+        "equality_delete_file_count": pa.array(
+            [r["equality_delete_file_count"] for r in rows],
+            type=pa.int32(),
+        ),
+        "total_record_count": pa.array(
+            [r["total_record_count"] for r in rows], type=pa.int64()
+        ),
+        "last_updated_snapshot_id": pa.array(
+            [r["last_updated_snapshot_id"] for r in rows],
+            type=pa.int64(),
+        ),
+    }
+    buf = pa.BufferOutputStream()
+    pq.write_table(pa.table(cols), buf)
+    io.write_bytes(path, buf.getvalue().to_pybytes())
+    entry = {
+        "snapshot-id": analyzed_sid,
+        "statistics-path": path,
+        "file-size-in-bytes": io.size(path),
+    }
+
+    def attempt() -> Manifest:
+        cur = _load_head(catalog, table_name=name, to_branch=to_branch)
+        new = Manifest.from_dict(cur.to_dict())
+        new.snapshot_id = cur.next_snapshot()
+        new.sequence_number = cur.sequence_number  # rows unchanged
+        new.operation = "replace"
+        try:
+            alive = set(catalog.table_history(name))
+        except Exception:
+            alive = None
+        new.partition_statistics_files = [
+            s
+            for s in (cur.partition_statistics_files or [])
+            if s.get("snapshot-id") != analyzed_sid
+            and (alive is None or s.get("snapshot-id") in alive)
+        ] + [entry]
+        return _commit(catalog, name, cur, new, to_branch)
+
+    return CommitManager().commit_with_retry(attempt), rows
+
+
+def read_partition_stats(manifest) -> list[dict]:
+    """Read back the registered partition-statistics file for the
+    NEWEST registered snapshot; [] when none is registered."""
+    import pyarrow.parquet as pq
+
+    from iceberg_compaction_spark.sources.fileio import open_input
+
+    entries = manifest.partition_statistics_files or []
+    if not entries:
+        return []
+    latest = max(entries, key=lambda e: e.get("snapshot-id", 0))
+    with open_input(latest["statistics-path"]) as f:
+        return pq.read_table(f).to_pylist()

@@ -1248,7 +1248,7 @@ def remove_orphan_files_for(
         for t in m.data_files:
             for d in t.deletes:
                 referenced.add(io.canonical(d.path))
-        for s in m.statistics_files:
+        for s in m.statistics_files + m.partition_statistics_files:
             referenced.add(io.canonical(s["statistics-path"]))
         root = root or m.table_root
     if not root or not io.is_dir(root):
@@ -1277,7 +1277,7 @@ def remove_orphan_files_for(
         for t in head.data_files:
             for d in t.deletes:
                 referenced.add(io.canonical(d.path))
-        for s in head.statistics_files:
+        for s in head.statistics_files + head.partition_statistics_files:
             referenced.add(io.canonical(s["statistics-path"]))
     except TableNotFound:
         pass
@@ -1606,7 +1606,9 @@ def snapshot_table(
     props["snapshot.source-snapshot-id"] = str(src.snapshot_id)
     props.update(properties or {})
     snap.properties = props
-    snap.statistics_files = []  # stats belong to the source's snapshots
+    # stats belong to the source's snapshots, not the fork's
+    snap.statistics_files = []
+    snap.partition_statistics_files = []
     return catalog.create_table(dest, snap)
 
 

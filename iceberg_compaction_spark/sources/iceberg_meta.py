@@ -341,6 +341,9 @@ def load_iceberg_table(
         # registered StatisticsFiles (spec "statistics": theta NDV
         # puffin files) round-trip so maintenance keeps them referenced
         statistics_files=[dict(s) for s in md.get("statistics", [])],
+        partition_statistics_files=[
+            dict(s) for s in md.get("partition-statistics", [])
+        ],
     )
 
 
@@ -1851,6 +1854,16 @@ class IcebergHadoopCatalog(TableRefs):
                     ]
                 }
                 if manifest.statistics_files
+                else {}
+            ),
+            **(
+                {
+                    "partition-statistics": [
+                        dict(s)
+                        for s in manifest.partition_statistics_files
+                    ]
+                }
+                if manifest.partition_statistics_files
                 else {}
             ),
         }

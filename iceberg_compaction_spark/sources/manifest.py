@@ -192,6 +192,12 @@ class Manifest:
     # registration with the snapshot, orphan sweeps keep registered
     # paths.
     statistics_files: list[dict] = field(default_factory=list)
+    # registered partition-statistics files (Iceberg table-metadata
+    # ``partition-statistics``): {"snapshot-id", "statistics-path",
+    # "file-size-in-bytes"} dicts, written by operators/stats.py
+    # compute_partition_stats.  Same ownership rules as
+    # ``statistics_files``.
+    partition_statistics_files: list[dict] = field(default_factory=list)
 
     # ---- construction ------------------------------------------------------
 
@@ -313,6 +319,15 @@ class Manifest:
                 if self.statistics_files
                 else {}
             ),
+            **(
+                {
+                    "partition_statistics_files": [
+                        dict(s) for s in self.partition_statistics_files
+                    ]
+                }
+                if self.partition_statistics_files
+                else {}
+            ),
             "data_files": [
                 {
                     "path": t.data_file_path,
@@ -400,6 +415,10 @@ class Manifest:
             sort_order=[dict(f) for f in d.get("sort_order", [])],
             statistics_files=[
                 dict(s) for s in d.get("statistics_files", [])
+            ],
+            partition_statistics_files=[
+                dict(s)
+                for s in d.get("partition_statistics_files", [])
             ],
         )
 

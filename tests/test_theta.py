@@ -407,3 +407,152 @@ def test_stats_on_hadoop_tier_roundtrip(spark, tmp_path):
     cat.remove_orphan_files("t", older_than_s=0)
     assert os.path.exists(entry["statistics-path"])
     assert read_table_ndv(cat.load_table("t"))["id"] == 500.0
+
+
+# ---------------------------------------------------------------------------
+# partition statistics files (Iceberg "Partition Statistics")
+# ---------------------------------------------------------------------------
+
+
+def _partitioned_table(tmp_path, spark):
+    """Two-partition table with one shared eq-delete in partition a=1."""
+    from iceberg_compaction_spark.plans.datamodel import (
+        DeleteFile,
+        FileScanTask,
+    )
+
+    root = str(tmp_path / "pdata")
+    os.makedirs(root)
+    tasks = []
+    for part in (1, 2):
+        p = os.path.join(root, f"a{part}.parquet")
+        pq.write_table(
+            pa.table(
+                {
+                    "id": pa.array(
+                        range(part * 100, part * 100 + 50),
+                        type=pa.int64(),
+                    ),
+                    "a": pa.array([part] * 50, type=pa.int64()),
+                }
+            ),
+            p,
+        )
+        tasks.append(
+            FileScanTask(
+                data_file_path=p,
+                length=os.path.getsize(p),
+                file_size_in_bytes=os.path.getsize(p),
+                record_count=50,
+                sequence_number=1,
+                partition=(part,),
+            )
+        )
+    # position-delete file attached to partition 1's data file
+    dpath = os.path.join(root, "pd.parquet")
+    pq.write_table(
+        pa.table(
+            {
+                "file_path": pa.array([tasks[0].data_file_path]),
+                "pos": pa.array([0], type=pa.int64()),
+            }
+        ),
+        dpath,
+    )
+    tasks[0].deletes.append(
+        DeleteFile(
+            path=dpath,
+            content=1,
+            file_size_in_bytes=os.path.getsize(dpath),
+            record_count=1,
+            sequence_number=2,
+        )
+    )
+    m = Manifest(
+        table_root=root,
+        snapshot_id=0,
+        sequence_number=2,
+        data_files=tasks,
+        partition_spec=[
+            {"source": "a", "transform": "identity", "name": "a"}
+        ],
+    )
+    cat = FileCatalog(warehouse=str(tmp_path / "pwh"))
+    cat.create_table("pt", m)
+    return cat
+
+
+def test_partition_stats_rows_and_roundtrip(spark, tmp_path):
+    from iceberg_compaction_spark.operators.stats import (
+        compute_partition_stats,
+        read_partition_stats,
+    )
+
+    cat = _partitioned_table(tmp_path, spark)
+    manifest, rows = compute_partition_stats(cat, "pt")
+    by_part = {tuple(sorted(r["partition"].items())): r for r in rows}
+    p1 = by_part[(("a", "1"),)]
+    p2 = by_part[(("a", "2"),)]
+    assert p1["data_record_count"] == 50 and p1["data_file_count"] == 1
+    assert p1["position_delete_record_count"] == 1
+    assert p1["position_delete_file_count"] == 1
+    assert p1["total_record_count"] == 49  # exact: no eq deletes
+    assert p2["position_delete_file_count"] == 0
+    assert p2["total_record_count"] == 50
+    # registration + parquet read-back
+    head = cat.load_table("pt")
+    [entry] = head.partition_statistics_files
+    assert entry["snapshot-id"] == 1
+    back = read_partition_stats(head)
+    assert len(back) == 2
+    assert {tuple(r["partition"]) for r in back} == {
+        ("a=1",),
+        ("a=2",),
+    }
+    assert sorted(r["total_record_count"] for r in back) == [49, 50]
+
+
+def test_partition_stats_survive_orphan_sweep(spark, tmp_path):
+    """The stats file ends in .parquet — the sweep must keep the
+    REGISTERED one (referenced) and collect a planted stray."""
+    from iceberg_compaction_spark.operators.stats import (
+        compute_partition_stats,
+    )
+
+    cat = _partitioned_table(tmp_path, spark)
+    compute_partition_stats(cat, "pt")
+    [entry] = cat.load_table("pt").partition_statistics_files
+    registered = entry["statistics-path"]
+    stray = os.path.join(
+        os.path.dirname(registered), "dead.pstats.parquet"
+    )
+    with open(stray, "wb") as f:
+        f.write(b"junk")
+    removed = cat.remove_orphan_files("pt", older_than_s=0)
+    assert stray in removed
+    assert os.path.exists(registered)
+
+
+def test_partition_stats_hadoop_metadata_roundtrip(spark, tmp_path):
+    from iceberg_compaction_spark.operators.stats import (
+        compute_partition_stats,
+        read_partition_stats,
+    )
+    from iceberg_compaction_spark.sources.iceberg_meta import (
+        IcebergHadoopCatalog,
+    )
+
+    root = str(tmp_path / "hd")
+    os.makedirs(root)
+    pq.write_table(
+        pa.table({"id": pa.array(range(30), type=pa.int64())}),
+        os.path.join(root, "f0.parquet"),
+    )
+    cat = IcebergHadoopCatalog(warehouse=str(tmp_path / "hwh2"))
+    cat.create_table("t", Manifest.from_parquet_dir(root))
+    compute_partition_stats(cat, "t")
+    _, md = cat.current_metadata("t")
+    assert md["partition-statistics"][0]["snapshot-id"] == 1
+    back = read_partition_stats(cat.load_table("t"))
+    # unpartitioned: one row, empty partition tuple
+    assert len(back) == 1 and back[0]["data_record_count"] == 30
