@@ -92,6 +92,12 @@ class MaintenancePolicy:
     # is; 3 = v3: the same pass then folds parquet position-delete
     # trails into puffin deletion vectors — the full v2->v3 migration)
     upgrade_to_version: int | None = None
+    # refresh statistics AFTER the row-set maintenance (so they describe
+    # the maintained head): theta-NDV puffin StatisticsFile
+    # (compute_table_stats) and/or the partition-statistics parquet.
+    # Off by default — stats refresh is an explicit operator ask.
+    refresh_column_stats: bool = False
+    refresh_partition_stats: bool = False
 
 
 @dataclass
@@ -110,6 +116,9 @@ class MaintenanceReport:
     manifest_rewrite: "ManifestRewriteStats" = field(
         default_factory=lambda: ManifestRewriteStats()
     )
+    # refreshed statistics (empty when the policy leaves them off)
+    column_ndv: dict = field(default_factory=dict)
+    partition_stats_partitions: int = 0
 
 
 def maintain(
@@ -279,15 +288,56 @@ def maintain(
             to_branch=to_branch,
         )
 
-    expired = catalog.expire_snapshots(table_name, policy.keep_snapshots)
+    # statistics refresh rides AFTER the row-set maintenance so the
+    # registered files describe the maintained head
+    column_ndv: dict = {}
+    n_part_stats = 0
+    if policy.refresh_column_stats:
+        from iceberg_compaction_spark.operators.stats import (
+            compute_table_stats,
+        )
+
+        _, column_ndv = compute_table_stats(
+            spark, catalog, table_name, to_branch=to_branch
+        )
+    if policy.refresh_partition_stats:
+        from iceberg_compaction_spark.operators.stats import (
+            compute_partition_stats,
+        )
+
+        _, prows = compute_partition_stats(
+            catalog, table_name, to_branch=to_branch
+        )
+        n_part_stats = len(prows)
+
+    # snapshot-hygiene steps: skipped entirely on gc-disabled tables
+    # (snapshot_table forks / register_table adoptions share files with
+    # their source — expiring or sweeping here could unlink data the
+    # owning table still reads; Iceberg's procedures refuse the same
+    # way, and maintain treats that as "nothing to do", not a failure)
+    gc_off = (
+        str(
+            (_load().properties or {}).get("gc.enabled", "true")
+        ).lower()
+        == "false"
+    )
+    expired = (
+        []
+        if gc_off
+        else catalog.expire_snapshots(table_name, policy.keep_snapshots)
+    )
     orphans = (
         catalog.remove_orphan_files(
             table_name, older_than_s=policy.orphan_older_than_s
         )
-        if policy.clean_orphans
+        if policy.clean_orphans and not gc_off
         else []
     )
-    if policy.clean_orphans and hasattr(catalog, "remove_orphan_metadata"):
+    if (
+        policy.clean_orphans
+        and not gc_off
+        and hasattr(catalog, "remove_orphan_metadata")
+    ):
         # the metadata-tier counterpart: Avro no retained version
         # references (crash leftovers from spec-wire writers / manifest
         # rewrites), swept under the same grace window
@@ -306,4 +356,6 @@ def maintain(
         delete_rewrite=drw,
         eq_convert=eqc,
         manifest_rewrite=mrw,
+        column_ndv=column_ndv,
+        partition_stats_partitions=n_part_stats,
     )

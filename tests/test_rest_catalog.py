@@ -1085,3 +1085,32 @@ def test_branch_commit_status_unknown_landed_then_buried(
     assert "/fake/other.parquet" in head.paths()
     parents = client.snapshot_parents("t")
     assert parents[head.snapshot_id] == committed.snapshot_id
+
+
+def test_statistics_roundtrip_over_rest(spark, client, fragmented):
+    """compute_table_stats / compute_partition_stats commit their
+    registrations over the REST wire; the manifest carrier round-trips
+    both statistics lists and read-back works through the client."""
+    from iceberg_compaction_spark.operators.stats import (
+        compute_partition_stats,
+        compute_table_stats,
+        read_partition_stats,
+        read_table_ndv,
+    )
+
+    client.create_table("t", fragmented)
+    _, ndv = compute_table_stats(spark, client, "t", columns=["id"])
+    assert ndv == {"id": 128}
+    head = client.load_table("t")
+    [entry] = head.statistics_files
+    assert os.path.exists(entry["statistics-path"])
+    assert read_table_ndv(head) == {"id": 128.0}
+    _, rows = compute_partition_stats(client, "t")
+    head = client.load_table("t")
+    assert head.partition_statistics_files[0]["snapshot-id"] == (
+        head.snapshot_id - 1
+    )
+    back = read_partition_stats(head)
+    assert len(back) == 1 and back[0]["data_record_count"] == 128
+    # both stats commits were row-preserving replace snapshots
+    assert head.operation == "replace"

@@ -190,3 +190,81 @@ def test_maintain_converts_equality_deletes_when_enabled(spark, tmp_path):
         r2["id"]: r2["val"] for r2 in read_table_mor(spark, live).collect()
     }
     assert after == before
+
+
+def test_maintain_refreshes_statistics(spark, tmp_path):
+    """Policy-gated stats refresh rides the maintenance pass AFTER the
+    row-set steps; the registered files describe the maintained head."""
+    import os
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from iceberg_compaction_spark.operators.stats import read_table_ndv
+    from iceberg_compaction_spark.service import (
+        MaintenancePolicy,
+        maintain,
+    )
+    from iceberg_compaction_spark.sources.catalog import FileCatalog
+    from iceberg_compaction_spark.sources.manifest import Manifest
+
+    root = str(tmp_path / "d")
+    os.makedirs(root)
+    for i in range(4):
+        pq.write_table(
+            pa.table(
+                {"id": pa.array(range(i * 10, i * 10 + 10), type=pa.int64())}
+            ),
+            os.path.join(root, f"f{i}.parquet"),
+        )
+    cat = FileCatalog(warehouse=str(tmp_path / "wh"))
+    cat.create_table("t", Manifest.from_parquet_dir(root))
+    rep = maintain(
+        spark,
+        cat,
+        "t",
+        MaintenancePolicy(
+            refresh_column_stats=True, refresh_partition_stats=True
+        ),
+    )
+    assert rep.column_ndv == {"id": 40}
+    assert rep.partition_stats_partitions == 1
+    head = cat.load_table("t")
+    assert head.statistics_files and head.partition_statistics_files
+    assert read_table_ndv(head) == {"id": 40.0}
+
+
+def test_maintain_skips_gc_on_disabled_table(spark, tmp_path):
+    """maintain on a gc-disabled fork runs the row-set steps but skips
+    expiration/orphan cleanup instead of crashing."""
+    import os
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from iceberg_compaction_spark.service import (
+        MaintenancePolicy,
+        maintain,
+    )
+    from iceberg_compaction_spark.sources.catalog import (
+        FileCatalog,
+        snapshot_table,
+    )
+    from iceberg_compaction_spark.sources.manifest import Manifest
+
+    root = str(tmp_path / "d")
+    os.makedirs(root)
+    for i in range(4):
+        pq.write_table(
+            pa.table(
+                {"id": pa.array(range(i * 10, i * 10 + 10), type=pa.int64())}
+            ),
+            os.path.join(root, f"f{i}.parquet"),
+        )
+    cat = FileCatalog(warehouse=str(tmp_path / "wh"))
+    cat.create_table("src", Manifest.from_parquet_dir(root))
+    snapshot_table(cat, "src", "fork")
+    rep = maintain(spark, cat, "fork", MaintenancePolicy())
+    # the pass completed (no gc ValueError) and gc steps did nothing
+    assert rep.expired_snapshots == [] and rep.orphans_removed == []
+    assert cat.load_table("fork").properties["gc.enabled"] == "false"
