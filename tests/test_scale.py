@@ -73,6 +73,12 @@ TRACKED = [
     # pair count (BPE statistics) must both stay linear in the corpus
     "dedup_corpus_lines",
     "text_bpe_pairs",
+    # round 12: the two new corpus-sized statistics/scoring operators —
+    # the theta-NDV build (per-batch hash + map-side k-smallest combine
+    # must keep the candidate stream bounded while the SCAN scales) and
+    # the classifier's explode + broadcast-vocab join + doc aggregate
+    "stats_theta_ndv",
+    "text_classifier_score",
 ]
 
 
