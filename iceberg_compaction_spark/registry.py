@@ -4374,6 +4374,27 @@ QUERIES = {n: QUERIES[n] for n in _order12}
 ORACLES = {n: ORACLES[n] for n in _order12 if n in ORACLES}
 del _W12_PROMOTE, _W12_DEMOTE, _rest12, _order12
 
+# Round-12 second recomposition (late-round flagships), same policy:
+# promote `stats_theta_ndv` — the statistics tier's flagship (the
+# interop-proven theta pipeline: executor hashing, map-side k-smallest
+# combine, top-k reduce; the window previously had NO statistics
+# representative) — and `dml_snapshot_fork` (the snapshot_table
+# zero-copy fork's isolation contract, a NEW catalog-procedure class).
+# Demote two Catalyst-native twins whose operator family stays
+# window-covered: `events_json_extract` (a get_json_object projection;
+# the events family keeps hourly/sessionize/asof/rollup/median/
+# retention/funnel in-window) and `sample_docs_hash` (a hash-mod
+# filter; deterministic-hash shapes stay in-window via the dedup/
+# fingerprint entries, and the stratified twin holds the sampling
+# family in the identically-checked tail).
+_W12B_PROMOTE = ["stats_theta_ndv", "dml_snapshot_fork"]
+_W12B_DEMOTE = ["events_json_extract", "sample_docs_hash"]
+_rest12b = [n for n in QUERIES if n not in _W12B_PROMOTE + _W12B_DEMOTE]
+_order12b = _rest12b[:48] + _W12B_PROMOTE + _rest12b[48:] + _W12B_DEMOTE
+QUERIES = {n: QUERIES[n] for n in _order12b}
+ORACLES = {n: ORACLES[n] for n in _order12b if n in ORACLES}
+del _W12B_PROMOTE, _W12B_DEMOTE, _rest12b, _order12b
+
 # Self-counting window invariants — these replace the literal counts
 # that drifted in past rounds' comments.  The policy they pin:
 # every registry entry has an oracle EXCEPT the documented
