@@ -80,6 +80,7 @@ BENCH_QUERIES = [
     "stats_theta_ndv",
     "dml_snapshot_fork",
     "text_classifier_score",
+    "v3_row_lineage",
 ]
 
 

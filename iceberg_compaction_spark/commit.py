@@ -233,6 +233,18 @@ class CommitManager:
             partition_spec=[dict(f) for f in manifest.partition_spec],
             default_spec_id=manifest.default_spec_id,
             schema_fields=[dict(f) for f in manifest.schema_fields],
+            # carried table-level state a rewrite must never lose:
+            # declared sort order, the monotonic column-id high-water
+            # mark, registered statistics files (dropping them would
+            # turn the registered puffin/parquet into sweepable
+            # orphans), and the v3 row-id high-water mark
+            sort_order=[dict(f) for f in manifest.sort_order],
+            last_column_id=manifest.last_column_id,
+            statistics_files=[dict(s) for s in manifest.statistics_files],
+            partition_statistics_files=[
+                dict(s) for s in manifest.partition_statistics_files
+            ],
+            next_row_id=manifest.next_row_id,
             # row-preserving rewrite: streaming consumers skip it
             operation="replace",
         )

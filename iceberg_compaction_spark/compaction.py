@@ -28,7 +28,11 @@ from pyspark.sql import SparkSession
 from iceberg_compaction_spark.commit import CommitManager, RewriteResult
 from iceberg_compaction_spark.config import CompactionConfig
 from iceberg_compaction_spark.metrics import CompactionMetrics
-from iceberg_compaction_spark.operators.mor import rewrite_file_group
+from iceberg_compaction_spark.operators.mor import (
+    group_has_lineage,
+    rewrite_file_group,
+    rewrite_file_group_with_lineage,
+)
 from iceberg_compaction_spark.operators.validator import validate_row_counts
 from iceberg_compaction_spark.plans.datamodel import CompactionPlan
 from iceberg_compaction_spark.plans.strategy import PlanStrategy
@@ -150,7 +154,18 @@ class Compaction:
         out_dir = out_dir or os.path.join(
             "/tmp", f"icspark-rewrite-{uuid.uuid4().hex[:12]}"
         )
-        df = rewrite_file_group(self.spark, g)
+        # v3 row lineage: when every input file carries lineage, the
+        # rewrite MATERIALIZES _row_id / _last_updated_sequence_number
+        # into its output (spec: positions change under a rewrite, so
+        # writers must carry the ids as columns) — compaction preserves
+        # row identity across the file swap.  Tables without lineage
+        # (v2, or pre-assignment v3) take the plain path unchanged.
+        lineage = g.format_version >= 3 and group_has_lineage(g)
+        df = (
+            rewrite_file_group_with_lineage(self.spark, g)
+            if lineage
+            else rewrite_file_group(self.spark, g)
+        )
 
         wcfg = self.config.writer
         if wcfg.estimated_row_size_bytes is None:
@@ -197,6 +212,10 @@ class Compaction:
             # rewrite IS the spec-evolution migration path for any
             # old-spec input files in the group
             t.spec_id = plan.spec_id
+            if lineage:
+                # ids live in the materialized columns now (the spec's
+                # "null first-row-id" state; -1 is this engine's marker)
+                t.first_row_id = -1
         # rewritten files stay in their group's partition (a group never
         # spans partitions in PARTITION scope); when a spec drove the
         # write, the fan-out writer already parsed the real partition
@@ -648,6 +667,11 @@ def upgrade_format_version(catalog, table_name: str, to_version: int = 3):
     new.snapshot_id = cur.next_snapshot()
     new.format_version = to_version
     new.operation = "replace"
+    if to_version >= 3:
+        # v3 row lineage: the upgrade commit assigns first_row_id to
+        # every pre-existing data file (spec: existing rows get ids on
+        # upgrade), so _row_id is readable immediately afterwards
+        new.assign_row_ids()
     return catalog.commit_table(table_name, cur.snapshot_id, new)
 
 

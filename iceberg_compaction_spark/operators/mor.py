@@ -52,6 +52,15 @@ from iceberg_compaction_spark.sources.scan import (
 # broadcast blow-ups on wide delete rows.
 DEFAULT_BROADCAST_DELETE_BYTES = 64 * 1024 * 1024
 
+# Iceberg v3 reserved row-lineage column names (spec: _row_id field id
+# 2147483540, _last_updated_sequence_number 2147483539).  When a
+# lineage-preserving rewrite materialized them into parquet they are
+# table METADATA: default scans strip them; the lineage read
+# (sources/ingest.py read_table_mor_with_lineage) surfaces them.
+RESERVED_ROW_ID = "_row_id"
+RESERVED_LAST_UPDATED = "_last_updated_sequence_number"
+RESERVED_LINEAGE_COLS = (RESERVED_ROW_ID, RESERVED_LAST_UPDATED)
+
 
 @dataclass
 class EqualityDeleteTable:
@@ -286,6 +295,7 @@ def rewrite_file_group(
     table_columns: list[str] | None = None,
     broadcast_threshold: int = DEFAULT_BROADCAST_DELETE_BYTES,
     keep_file_pos: bool = False,
+    keep_lineage: bool = False,
 ) -> DataFrame:
     """Build the MOR DataFrame for one FileGroup (the unit of a rewrite
     job, §3.1 step 3-4).
@@ -392,7 +402,16 @@ def rewrite_file_group(
             if keep_file_pos
             else (HIDDEN_SEQ, HIDDEN_FILE_PATH, HIDDEN_POS)
         )
-        table_columns = [c for c in data.columns if c not in hidden]
+        # reserved v3 row-lineage columns a lineage-preserving rewrite
+        # materialized into the parquet are METADATA, not table data —
+        # the default projection strips them (``keep_lineage`` is how
+        # ingest's lineage read surfaces them)
+        table_columns = [
+            c
+            for c in data.columns
+            if c not in hidden
+            and (keep_lineage or c not in RESERVED_LINEAGE_COLS)
+        ]
 
     pos_df = None
     pos_bytes = None
@@ -441,4 +460,102 @@ def rewrite_file_group(
         equality_deletes=eq_tables,
         pos_delete_size_bytes=pos_bytes,
         broadcast_threshold=broadcast_threshold,
+    )
+
+
+def rewrite_file_group_with_lineage(
+    spark: SparkSession, group: FileGroup
+) -> DataFrame:
+    """The MOR scan of a v3 group WITH Iceberg row lineage: every
+    surviving row carries ``_row_id`` and
+    ``_last_updated_sequence_number``.
+
+    Per the v3 spec, files whose manifest entry assigned a
+    ``first_row_id`` synthesize ``_row_id = first_row_id + position``;
+    files a lineage-preserving rewrite wrote carry the ids as
+    MATERIALIZED columns (``first_row_id == -1`` marks those).  The two
+    classes are scanned as two homogeneous sub-groups — each keeps its
+    own attached deletes through ``FileGroup.from_tasks`` — and unioned
+    by name, so no schema merge across heterogeneous parquet is needed.
+
+    Scale shape: synthesis is the hidden-pos scan plus one inlined
+    literal-map lookup per row (manifest metadata — never shuffled,
+    mirroring the seq-number stamping); the materialized class reads
+    its columns straight off parquet.  Positions are the ORIGINAL file
+    positions, so applying deletes never perturbs survivors' ids."""
+    from iceberg_compaction_spark.sources.scan import normalize_path_str
+
+    def _sub(tasks) -> FileGroup:
+        g = FileGroup.from_tasks(tasks)
+        g.format_version = group.format_version
+        g.schema_fields = group.schema_fields
+        g.name_mapping = group.name_mapping
+        return g
+
+    synth = [
+        t
+        for t in group.data_files
+        if t.first_row_id is not None and t.first_row_id >= 0
+    ]
+    mat = [t for t in group.data_files if t.first_row_id == -1]
+    missing = len(group.data_files) - len(synth) - len(mat)
+    if missing:
+        raise ValueError(
+            f"{missing} data files in the group have no row lineage "
+            "(first_row_id unset) — assign ids before a lineage scan"
+        )
+    parts = []
+    if synth:
+        df = rewrite_file_group(spark, _sub(synth), keep_file_pos=True)
+        frid_map = F.create_map(
+            *[
+                F.lit(x)
+                for t in synth
+                for x in (
+                    normalize_path_str(t.data_file_path),
+                    t.first_row_id,
+                )
+            ]
+        )
+        seq_map = F.create_map(
+            *[
+                F.lit(x)
+                for t in synth
+                for x in (
+                    normalize_path_str(t.data_file_path),
+                    t.sequence_number,
+                )
+            ]
+        )
+        path_col = F.col(HIDDEN_FILE_PATH)
+        parts.append(
+            df.withColumn(
+                RESERVED_ROW_ID,
+                (
+                    F.element_at(frid_map, path_col) + F.col(HIDDEN_POS)
+                ).cast("long"),
+            )
+            .withColumn(
+                RESERVED_LAST_UPDATED,
+                F.element_at(seq_map, path_col).cast("long"),
+            )
+            .drop(HIDDEN_FILE_PATH, HIDDEN_POS)
+        )
+    if mat:
+        parts.append(
+            rewrite_file_group(spark, _sub(mat), keep_lineage=True)
+        )
+    if not parts:
+        raise ValueError("row-lineage scan of an empty group")
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
+
+
+def group_has_lineage(group: FileGroup) -> bool:
+    """True when every data file in the group carries row lineage —
+    the gate for a lineage-PRESERVING compaction rewrite."""
+    return bool(group.data_files) and all(
+        t.first_row_id is not None for t in group.data_files
     )

@@ -951,6 +951,41 @@ def snapshot_fork_warehouse(spark: SparkSession, sf_dir: str) -> str:
     )
 
 
+def row_lineage_warehouse(spark: SparkSession, sf_dir: str) -> str:
+    """One-time per sf_dir: ``docs_lineage`` = ``documents`` as a v3
+    table split into two files by doc_id parity (each file ascending by
+    doc_id, so every row's synthesized ``_row_id`` has a closed-form
+    ground truth), then COMPACTED — the rewrite must MATERIALIZE the
+    row ids into its single output (spec: positions change under a
+    rewrite).  The registry oracle hash-checks the post-compaction
+    (doc_id -> _row_id) mapping against the pre-compaction closed form,
+    which driver-proves lineage preservation end to end."""
+    from iceberg_compaction_spark.compaction import Compaction
+    from iceberg_compaction_spark.config import CompactionConfig
+
+    def _mutate(cat):
+        m = cat.load_table("docs_lineage")
+        assert m.format_version == 3 and m.next_row_id > 0, (
+            "fixture expected a lineage-assigned v3 table"
+        )
+        c = Compaction(spark, CompactionConfig.small_files())
+        m2, _ = c.compact_catalog(cat, "docs_lineage")
+        assert len(m2.data_files) == 1, "compaction did not consolidate"
+        assert m2.data_files[0].first_row_id == -1, (
+            "rewrite did not materialize row ids"
+        )
+
+    return _dml_docs_warehouse(
+        spark,
+        sf_dir,
+        tag="rowlin",
+        table_name="docs_lineage",
+        columns=["doc_id", "lang"],
+        mutate=_mutate,
+        format_version=3,
+    )
+
+
 def add_files_warehouse(spark: SparkSession, sf_dir: str) -> str:
     """One-time per sf_dir: ``docs_add`` = ``documents`` (two files by
     parity) plus an ``add_files`` metadata-only import of a side
@@ -1126,6 +1161,7 @@ def _dml_docs_warehouse(
     columns: list,
     mutate,
     partition_col: "str | None" = None,
+    format_version: int = 2,
 ) -> str:
     """Shared one-time DML fixture builder: ``documents`` split into
     two files by doc_id parity under a FileCatalog table, then
@@ -1206,6 +1242,7 @@ def _dml_docs_warehouse(
             snapshot_id=1,
             sequence_number=1,
             operation="append",
+            format_version=format_version,
             data_files=tasks,
             partition_spec=(
                 [

@@ -58,6 +58,14 @@ class FileScanTask:
     # null_value_counts) — consumed by plans/pruning.py; empty = unknown
     column_bounds: dict[str, tuple] = field(default_factory=dict)
     null_counts: dict[str, int] = field(default_factory=dict)
+    # Iceberg v3 row lineage (spec: data file first-row-id, field 142):
+    # None  = no lineage assigned (v2 tables, or pre-assignment v3);
+    # >= 0  = synthesize _row_id as first_row_id + file position;
+    # -1    = the file MATERIALIZES _row_id / _last_updated_sequence_
+    #         number as real columns (a lineage-preserving rewrite
+    #         wrote them because positions changed — spec: "writers
+    #         must materialize row ids when rewriting").
+    first_row_id: "int | None" = None
 
     def __post_init__(self) -> None:
         if self.file_size_in_bytes == 0:

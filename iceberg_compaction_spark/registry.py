@@ -4191,6 +4191,44 @@ def q_dml_snapshot_fork(spark, sf_dir):
 
 
 @register(
+    "v3_row_lineage",
+    """
+    SELECT doc_id,
+           CASE WHEN doc_id % 2 = 0 THEN doc_id // 2
+                ELSE (SELECT COUNT(*) FROM documents
+                      WHERE doc_id % 2 = 0) + (doc_id - 1) // 2
+           END AS row_id
+    FROM documents
+    """,
+)
+def q_v3_row_lineage(spark, sf_dir):
+    """Iceberg v3 row lineage THROUGH a compaction (round 12;
+    sources/ingest.py read_table_mor_with_lineage, the materializing
+    rewrite in compaction.py): the fixture builds a v3 table as two
+    parity files (row ids assigned at create: evens get
+    ``first_row_id=0``, odds continue after), COMPACTS it to one file —
+    the rewrite must materialize ``_row_id`` because positions change —
+    and this query reads the post-compaction lineage.  The oracle is
+    the closed-form pre-compaction assignment, so a hash match proves
+    the ids SURVIVED the file swap byte-for-byte.
+
+    Scale shape: synthesis is the hidden-pos scan plus one inlined
+    literal-map lookup (manifest metadata, never shuffled); the
+    materialized class reads its columns straight off parquet — no
+    joins, no Python."""
+    from iceberg_compaction_spark.sources.catalog import FileCatalog
+    from iceberg_compaction_spark.sources.ingest import (
+        read_table_mor_with_lineage,
+    )
+
+    wh = syn.row_lineage_warehouse(spark, sf_dir)
+    m = FileCatalog(warehouse=wh).load_table("docs_lineage")
+    return read_table_mor_with_lineage(spark, m).select(
+        "doc_id", F.col("_row_id").alias("row_id")
+    )
+
+
+@register(
     "text_classifier_score",
     """
     WITH toks AS (

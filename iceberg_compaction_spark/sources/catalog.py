@@ -741,6 +741,7 @@ class FileCatalog(TableRefs):
         self._io.makedirs(self._metadata_dir(name))
         registered = Manifest.from_dict(manifest.to_dict())
         registered.snapshot_id = 1
+        registered.assign_row_ids()  # v3 row lineage (no-op on v2)
         try:
             self._write_version(name, registered, exclusive=True)
         except FileExistsError:

@@ -266,6 +266,9 @@ def load_iceberg_table(
                         partition=part,
                         column_bounds=bounds,
                         null_counts=nulls,
+                        # v3 row lineage (field 142); foreign manifests
+                        # without the field read as None (no lineage)
+                        first_row_id=df.get("first_row_id"),
                     )
                 )
             elif content == _CONTENT_POS_DELETES:
@@ -344,6 +347,7 @@ def load_iceberg_table(
         partition_statistics_files=[
             dict(s) for s in md.get("partition-statistics", [])
         ],
+        next_row_id=int(md.get("next-row-id", 0)),
     )
 
 
@@ -489,6 +493,19 @@ _DATA_FILE_SCHEMA = {
             "default": None,
             "field-id": 135,
         },
+        # v3 row lineage (spec data_file field 142): the file's first
+        # assigned row id.  null = lineage never assigned; -1 = the
+        # file MATERIALIZES _row_id itself (a lineage-preserving
+        # rewrite wrote the column; engine marker — the spec encodes
+        # that state as null-after-inheritance, which this tier cannot
+        # distinguish from "never assigned", so the sentinel is kept
+        # explicit on the wire)
+        {
+            "name": "first_row_id",
+            "type": ["null", "long"],
+            "default": None,
+            "field-id": 142,
+        },
     ],
 }
 
@@ -624,6 +641,7 @@ def _write_snapshot_avro(
                 "file_size_in_bytes": t.file_size_in_bytes,
                 **_stats_fields(t),
                 "equality_ids": None,
+                "first_row_id": t.first_row_id,
             },
         )
         for t in manifest.data_files
@@ -1137,6 +1155,7 @@ class IcebergHadoopCatalog(TableRefs):
         self._io.makedirs(self._mdir(name))
         registered = Manifest.from_dict(manifest.to_dict())
         registered.snapshot_id = 1
+        registered.assign_row_ids()  # v3 row lineage (no-op on v2)
         try:
             self._write_version(name, registered, schema_fields, exclusive=True)
         except FileExistsError:
@@ -1864,6 +1883,12 @@ class IcebergHadoopCatalog(TableRefs):
                     ]
                 }
                 if manifest.partition_statistics_files
+                else {}
+            ),
+            # v3 row lineage high-water mark (spec "next-row-id")
+            **(
+                {"next-row-id": manifest.next_row_id}
+                if manifest.next_row_id
                 else {}
             ),
         }

@@ -189,7 +189,12 @@ def _load_head(catalog, table_name: str, to_branch: str | None):
 def _commit(catalog, table_name: str, cur, new, to_branch: str | None):
     """CAS-commit ``new`` against the target ref — main by default, a
     named branch under ``to_branch`` (main then provably stays put
-    until a fast-forward publishes the branch)."""
+    until a fast-forward publishes the branch).
+
+    v3 row lineage: every DML commit routes through here, so this is
+    where newly added data files get their ``first_row_id`` assigned
+    (spec: the commit assigns row ids from the table's next-row-id)."""
+    new.assign_row_ids()
     if to_branch:
         return catalog.commit_table(
             table_name, cur.snapshot_id, new, to_branch=to_branch
@@ -1119,6 +1124,55 @@ def read_table_mor(spark: SparkSession, manifest: Manifest) -> DataFrame:
     group.schema_fields = manifest.schema_fields or None
     group.name_mapping = _manifest_name_mapping(manifest)
     return rewrite_file_group(spark, group)
+
+
+def read_table_mor_with_lineage(
+    spark: SparkSession, manifest: Manifest
+) -> DataFrame:
+    """MOR read of a v3 table WITH Iceberg row lineage: every row
+    carries ``_row_id`` (stable across compactions) and
+    ``_last_updated_sequence_number``.
+
+    Per the v3 spec, a row's id is ``first_row_id + position`` for
+    files whose manifest entry assigned a ``first_row_id``, and the
+    MATERIALIZED ``_row_id`` column for files a lineage-preserving
+    rewrite wrote (positions changed, so the ids had to be carried as
+    data — ``first_row_id == -1`` marks those here).  The two file
+    classes are scanned as two homogeneous groups (each keeps its own
+    attached deletes) and unioned by name — no mergeSchema dependence.
+
+    Scale shape: synthesis is the hidden-pos scan plus one inlined
+    literal map lookup per row (manifest metadata, never shuffled);
+    the materialized class reads the columns straight off parquet."""
+    from iceberg_compaction_spark.operators.mor import (
+        rewrite_file_group_with_lineage,
+    )
+
+    if manifest.format_version < 3:
+        raise ValueError(
+            "row lineage is an Iceberg v3 feature — upgrade the table "
+            "(upgrade_format_version) first"
+        )
+    unassigned = [
+        t.data_file_path
+        for t in manifest.data_files
+        if t.first_row_id is None
+    ]
+    if unassigned:
+        raise ValueError(
+            f"{len(unassigned)} data files have no row lineage; commit "
+            "through the catalog (v3 commits assign ids) or call "
+            "Manifest.assign_row_ids() first: " + unassigned[0]
+        )
+    if not manifest.data_files:
+        raise ValueError(
+            "row-lineage read of an empty table (no data files)"
+        )
+    group = FileGroup.from_tasks(manifest.data_files)
+    group.format_version = manifest.format_version
+    group.schema_fields = manifest.schema_fields or None
+    group.name_mapping = _manifest_name_mapping(manifest)
+    return rewrite_file_group_with_lineage(spark, group)
 
 
 def _manifest_name_mapping(manifest: Manifest) -> dict | None:

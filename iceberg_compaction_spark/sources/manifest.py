@@ -198,6 +198,12 @@ class Manifest:
     # compute_partition_stats.  Same ownership rules as
     # ``statistics_files``.
     partition_statistics_files: list[dict] = field(default_factory=list)
+    # Iceberg v3 row lineage: the next row id to assign (table-metadata
+    # ``next-row-id``).  Monotonic; every v3 commit that adds files
+    # assigns each new file ``first_row_id`` from here and bumps it by
+    # the file's record count (see :meth:`assign_row_ids`).  0 on v2
+    # tables and on v3 tables that have not assigned lineage yet.
+    next_row_id: int = 0
 
     # ---- construction ------------------------------------------------------
 
@@ -328,6 +334,11 @@ class Manifest:
                 if self.partition_statistics_files
                 else {}
             ),
+            **(
+                {"next_row_id": self.next_row_id}
+                if self.next_row_id
+                else {}
+            ),
             "data_files": [
                 {
                     "path": t.data_file_path,
@@ -337,6 +348,11 @@ class Manifest:
                     "sequence_number": t.sequence_number,
                     "partition": list(t.partition),
                     **({"spec_id": t.spec_id} if t.spec_id else {}),
+                    **(
+                        {"first_row_id": t.first_row_id}
+                        if t.first_row_id is not None
+                        else {}
+                    ),
                     **(
                         {
                             "column_bounds": {
@@ -388,6 +404,7 @@ class Manifest:
                     sequence_number=t.get("sequence_number", 0),
                     partition=tuple(t.get("partition", ())),
                     spec_id=t.get("spec_id", 0),
+                    first_row_id=t.get("first_row_id"),
                     deletes=deletes,
                     column_bounds={
                         c: (
@@ -420,7 +437,31 @@ class Manifest:
                 dict(s)
                 for s in d.get("partition_statistics_files", [])
             ],
+            next_row_id=int(d.get("next_row_id", 0)),
         )
+
+    # ---- v3 row lineage ----------------------------------------------------
+
+    def assign_row_ids(self) -> int:
+        """Iceberg v3 row lineage assignment: give every data file that
+        has no lineage yet (``first_row_id is None``) a fresh
+        ``first_row_id`` from ``next_row_id`` and advance the counter by
+        the file's record count.  Files already assigned (carried
+        forward from earlier snapshots) and files that MATERIALIZE row
+        ids (``first_row_id == -1``, written by a lineage-preserving
+        rewrite) are untouched — assignment is append-only and
+        monotonic, which is what keeps ``_row_id`` stable across the
+        table's whole history.  No-op on v2 tables.  Returns the number
+        of files assigned."""
+        if self.format_version < 3:
+            return 0
+        n = 0
+        for t in self.data_files:
+            if t.first_row_id is None:
+                t.first_row_id = self.next_row_id
+                self.next_row_id += int(t.record_count)
+                n += 1
+        return n
 
     # ---- spec evolution ----------------------------------------------------
 
