@@ -4249,7 +4249,8 @@ def q_v3_row_lineage(spark, sf_dir):
       FROM top
     )
     SELECT t.doc_id,
-           CAST(FLOOR(SUM(COALESCE(w.w_milli, -100)) * 1.0 / COUNT(*))
+           CAST(FLOOR(CAST(SUM(COALESCE(w.w_milli, -100)) AS BIGINT)
+                      * 1.0 / COUNT(*))
                 AS BIGINT) AS logit_milli
     FROM toks t LEFT JOIN w USING (tok)
     GROUP BY t.doc_id
