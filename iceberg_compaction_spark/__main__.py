@@ -377,6 +377,37 @@ def cmd_compute_stats(args, spark=None) -> dict:
     }
 
 
+def cmd_snapshot_table(args, spark=None) -> dict:
+    """snapshot_table: zero-copy fork of a table (gc disabled on the
+    fork; new writes land under the fork's own root)."""
+    from iceberg_compaction_spark.sources.catalog import snapshot_table
+
+    m = snapshot_table(_catalog(args.warehouse), args.table, args.dest)
+    return {
+        "source": args.table,
+        "dest": args.dest,
+        "snapshot_id": m.snapshot_id,
+        "files": len(m.data_files),
+        "gc_enabled": m.properties.get("gc.enabled"),
+    }
+
+
+def cmd_register_table(args, spark=None) -> dict:
+    """register_table: adopt an existing table by its metadata file
+    (real metadata.json or engine manifest JSON)."""
+    from iceberg_compaction_spark.sources.catalog import register_table
+
+    m = register_table(
+        _catalog(args.warehouse), args.table, args.metadata_file
+    )
+    return {
+        "table": args.table,
+        "snapshot_id": m.snapshot_id,
+        "files": len(m.data_files),
+        "rows": sum(t.record_count for t in m.data_files),
+    }
+
+
 def cmd_orphans(args, spark=None) -> dict:
     """Orphan-file cleanup, DRY-RUN by default: report what would be
     removed; pass --apply to actually unlink (the audit-then-apply
@@ -534,6 +565,16 @@ def build_parser() -> argparse.ArgumentParser:
         help="log2 nominal sketch entries (default 12 = 4096)",
     )
     cs.add_argument("--to-branch", default=None)
+    sn = sub.add_parser(
+        "snapshot-table", help="zero-copy fork (gc disabled on the fork)"
+    )
+    common(sn)
+    sn.add_argument("--dest", required=True)
+    rg = sub.add_parser(
+        "register-table", help="adopt an existing table by metadata file"
+    )
+    common(rg)
+    rg.add_argument("--metadata-file", required=True)
     return p
 
 
@@ -552,6 +593,8 @@ COMMANDS = {
     "rewrite-manifests": cmd_rewrite_manifests,
     "analyze": cmd_analyze,
     "compute-stats": cmd_compute_stats,
+    "snapshot-table": cmd_snapshot_table,
+    "register-table": cmd_register_table,
 }
 
 

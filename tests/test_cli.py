@@ -306,3 +306,21 @@ def test_cli_compute_stats(spark, wh):
     cat = FileCatalog(warehouse=wh)
     head = cat.load_table("t")
     assert head.statistics_files[0]["statistics-path"] == path
+
+
+def test_cli_snapshot_and_register(spark, wh, tmp_path):
+    base = ["--warehouse", wh, "--table", "t"]
+    out = _run(spark, ["snapshot-table", *base, "--dest", "t2"])
+    assert out["dest"] == "t2" and out["gc_enabled"] == "false"
+    assert out["files"] == 4
+    meta = os.path.join(wh, "t", "metadata", "v1.metadata.json")
+    out = _run(
+        spark,
+        [
+            "register-table",
+            "--warehouse", str(tmp_path / "wh2"),
+            "--table", "t3",
+            "--metadata-file", meta,
+        ],
+    )
+    assert out["rows"] == 40 and out["files"] == 4
