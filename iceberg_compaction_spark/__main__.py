@@ -99,7 +99,7 @@ def cmd_compact(args, spark=None) -> dict:
         cat.load_table_ref(args.table, br) if br else cat.load_table(args.table)
     )
     new, stats = Compaction(spark=spark, config=cfg).compact_catalog(
-        cat, args.table, to_branch=br
+        cat, args.table, to_branch=br, where=getattr(args, "where", None)
     )
     return {
         "table": args.table,
@@ -455,6 +455,12 @@ def build_parser() -> argparse.ArgumentParser:
         "--to-branch",
         default=None,
         help="plan against and commit onto this branch (WAP)",
+    )
+    c.add_argument(
+        "--where",
+        default=None,
+        help="scope the rewrite to files whose stats may match "
+        "(col OP value [AND ...]; Iceberg rewrite_data_files where)",
     )
     d = sub.add_parser(
         "delete", help="predicate DELETE -> position-delete commit"

@@ -75,13 +75,32 @@ class Compaction:
     # --- entry point 2: plan-driven ----------------------------------------
 
     def plan(
-        self, manifest: Manifest, branch: str = "main"
+        self,
+        manifest: Manifest,
+        branch: str = "main",
+        where=None,
     ) -> list[CompactionPlan]:
         """Plan against a manifest; ``branch`` stamps every plan with
         the ref the rewrite targets (the reference plans per-branch,
         ``core/src/compaction/mod.rs:97,1307-1336``) — T3 then rejects
-        any commit mixing plans built for different branches."""
+        any commit mixing plans built for different branches.
+
+        ``where`` (an iterable of ``plans.pruning.ColumnPredicate``
+        conjuncts, or a simple SQL-ish string ``col op value [AND …]``)
+        scopes the rewrite the way Iceberg's ``rewrite_data_files
+        (where => …)`` does: only files whose footer bounds MIGHT
+        contain matching rows are candidates (files without bounds stay
+        in — scoping prunes, never guesses), evaluated against the
+        manifest's per-file stats at plan time, no data IO."""
         tasks = scan_data_files(manifest)
+        if where:
+            from iceberg_compaction_spark.plans.pruning import (
+                parse_where,
+                prune_tasks,
+            )
+
+            preds = parse_where(where) if isinstance(where, str) else where
+            tasks = prune_tasks(tasks, preds)
         strategy = PlanStrategy.from_config(self.config.planning)
         groups = strategy.run(tasks)
         from iceberg_compaction_spark.sources.schema_evo import (
@@ -363,8 +382,15 @@ class Compaction:
         new_manifest = self.commit(manifest, results)
         return new_manifest, stats
 
-    def compact(self, manifest: Manifest, out_root: str | None = None) -> tuple[Manifest, CompactionStats]:
-        return self.compact_plans(manifest, self.plan(manifest), out_root)
+    def compact(
+        self,
+        manifest: Manifest,
+        out_root: str | None = None,
+        where=None,
+    ) -> tuple[Manifest, CompactionStats]:
+        return self.compact_plans(
+            manifest, self.plan(manifest, where=where), out_root
+        )
 
     def compact_catalog(
         self,
@@ -372,6 +398,7 @@ class Compaction:
         table_name: str,
         out_root: str | None = None,
         to_branch: str | None = None,
+        where=None,
     ) -> tuple[Manifest, CompactionStats]:
         """Entry point 1 against a CATALOG table: load -> plan -> rewrite
         -> CAS commit with retry (the reference's managed flow,
@@ -393,7 +420,7 @@ class Compaction:
             return catalog.load_table(table_name)
 
         manifest = _load()
-        plans = self.plan(manifest, branch=to_branch or "main")
+        plans = self.plan(manifest, branch=to_branch or "main", where=where)
         results, stats = self.execute_plans(manifest, plans, out_root)
         if not results:
             return manifest, stats

@@ -302,3 +302,73 @@ def prune_tasks_by_partition(
         if keep:
             out.append(t)
     return out
+
+
+def parse_where(where: str) -> list[ColumnPredicate]:
+    """Parse a simple conjunctive filter string into
+    :class:`ColumnPredicate` conjuncts — the CLI/convenience surface of
+    predicate-scoped compaction (Iceberg's ``rewrite_data_files(where
+    => …)``).  Grammar: ``col OP value [AND col OP value …]`` with OP
+    in ``= != < <= > >=``, values as int/float/'quoted string', plus
+    ``col IS NULL`` / ``col IS NOT NULL``.  Anything richer (OR,
+    nesting, functions) is rejected loudly — pass ColumnPredicate
+    objects for full control."""
+    import re
+
+    ops = {
+        "=": "eq",
+        "!=": "ne",
+        "<>": "ne",
+        "<": "lt",
+        "<=": "le",
+        ">": "gt",
+        ">=": "ge",
+    }
+    if re.search(r"\bOR\b|\(|\)", where, flags=re.IGNORECASE):
+        raise ValueError(
+            f"unsupported where clause {where!r}: only AND-joined "
+            "conjuncts are parseable — pass ColumnPredicate objects "
+            "for anything richer"
+        )
+    preds: list[ColumnPredicate] = []
+    for raw in re.split(r"\bAND\b", where, flags=re.IGNORECASE):
+        term = raw.strip()
+        if not term:
+            raise ValueError(f"empty conjunct in where clause: {where!r}")
+        m = re.fullmatch(
+            r"(\w+)\s+IS\s+(NOT\s+)?NULL", term, flags=re.IGNORECASE
+        )
+        if m:
+            preds.append(
+                ColumnPredicate(
+                    col=m.group(1),
+                    op="not_null" if m.group(2) else "is_null",
+                )
+            )
+            continue
+        m = re.fullmatch(
+            r"(\w+)\s*(<=|>=|!=|<>|=|<|>)\s*(.+)", term
+        )
+        if not m:
+            raise ValueError(
+                f"unsupported where conjunct {term!r} (grammar: "
+                "col OP value, col IS [NOT] NULL, joined by AND)"
+            )
+        col, op, val = m.group(1), m.group(2), m.group(3).strip()
+        if (val.startswith("'") and val.endswith("'")) or (
+            val.startswith('"') and val.endswith('"')
+        ):
+            value: Any = val[1:-1]
+        else:
+            try:
+                value = int(val)
+            except ValueError:
+                try:
+                    value = float(val)
+                except ValueError:
+                    raise ValueError(
+                        f"unquoted non-numeric value in {term!r} — "
+                        "quote strings"
+                    ) from None
+        preds.append(ColumnPredicate(col=col, op=ops[op], value=value))
+    return preds

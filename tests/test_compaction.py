@@ -337,3 +337,63 @@ def test_v3_table_compaction_end_to_end(spark, table):
         r["id"] for r in spark.read.parquet(*new_manifest.paths()).collect()
     )
     assert ids == sorted(set(range(100)) - {0, 30, 31})
+
+
+def test_where_scoped_compaction(spark, tmp_path):
+    """Iceberg rewrite_data_files(where => ...): only files whose
+    footer stats may match the predicate are rewritten; out-of-scope
+    files stay byte-identical (VERDICT-style plan scoping, round 12)."""
+    import os
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from iceberg_compaction_spark.plans.pruning import (
+        ColumnPredicate,
+        parse_where,
+    )
+    from iceberg_compaction_spark.sources.catalog import FileCatalog
+    from iceberg_compaction_spark.sources.manifest import Manifest
+
+    root = str(tmp_path / "d")
+    os.makedirs(root)
+    # 6 small files: ids 0..59, two per id-range band
+    for i in range(6):
+        pq.write_table(
+            pa.table(
+                {"id": pa.array(range(i * 10, i * 10 + 10), type=pa.int64())}
+            ),
+            os.path.join(root, f"f{i}.parquet"),
+        )
+    cat = FileCatalog(warehouse=str(tmp_path / "wh"))
+    cat.create_table("t", Manifest.from_parquet_dir(root))
+    c = Compaction(spark, CompactionConfig.small_files())
+
+    # scope: only the first half (ids < 30 = files f0,f1,f2 by bounds)
+    m2, stats = c.compact_catalog(cat, "t", where="id < 30")
+    assert stats.input_files_count == 3
+    paths = [t.data_file_path for t in m2.data_files]
+    # the three out-of-scope originals survive untouched
+    kept = [p for p in paths if os.path.basename(p).startswith("f")]
+    assert sorted(os.path.basename(p) for p in kept) == [
+        "f3.parquet",
+        "f4.parquet",
+        "f5.parquet",
+    ]
+    assert len(paths) == 4  # 3 kept + 1 rewritten
+    from iceberg_compaction_spark.sources.ingest import read_table_mor
+
+    assert read_table_mor(spark, m2).count() == 60
+
+    # ColumnPredicate objects work identically; no-match scope = no-op
+    m3, stats3 = c.compact_catalog(
+        cat, "t", where=[ColumnPredicate(col="id", op="gt", value=10_000)]
+    )
+    assert stats3.input_files_count == 0
+    assert m3.snapshot_id == m2.snapshot_id  # nothing committed
+
+    # parser surface
+    preds = parse_where("id <= 5 AND id IS NOT NULL")
+    assert [(p.op) for p in preds] == ["le", "not_null"]
+    with pytest.raises(ValueError, match="unsupported"):
+        parse_where("id < 5 OR id > 7")
