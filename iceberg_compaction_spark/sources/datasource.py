@@ -82,6 +82,10 @@ def _ddl_from_file(path: str) -> str:
 
     fields = []
     for f in pq.read_schema(path):
+        if f.name in ("_row_id", "_last_updated_sequence_number"):
+            # reserved v3 lineage columns a rewrite materialized are
+            # metadata, not table schema (row_lineage=true adds them)
+            continue
         t = str(f.type)
         if t.startswith("timestamp"):
             ddl = "timestamp"
@@ -157,6 +161,13 @@ class _FilePartition(InputPartition):
     rg_start: int = 0
     rg_end: int = -1
     row_offset: int = 0
+    # v3 row lineage (round 12): with ``lineage`` set the read emits
+    # _row_id / _last_updated_sequence_number — synthesized as
+    # first_row_id + absolute position when first_row_id >= 0, read as
+    # MATERIALIZED columns when -1 (a lineage-preserving rewrite wrote
+    # them).  None = file has no lineage (the reader raises).
+    first_row_id: "int | None" = None
+    lineage: bool = False
 
 
 # --- executor-side delete-content cache --------------------------------------
@@ -614,8 +625,21 @@ def _read_partition(part: _FilePartition, columns: list[str] | None):
                     produced += batch.num_rows
                 offset += n_rg
 
+        _RID = "_row_id"
+        _LUS = "_last_updated_sequence_number"
         for batch, offset in batches():
             table = pa.Table.from_batches([batch])
+            # v3 row-lineage columns a rewrite materialized are table
+            # METADATA: hold them aside through the schema remap (the
+            # declared schema never lists them) and re-attach only when
+            # the read asked for lineage
+            held_lineage = {
+                c: table.column(c)
+                for c in (_RID, _LUS)
+                if c in table.column_names
+            }
+            if held_lineage:
+                table = table.drop_columns(list(held_lineage))
             if evo_fields:
                 from iceberg_compaction_spark.sources.schema_evo import (
                     remap_batch_table,
@@ -625,6 +649,42 @@ def _read_partition(part: _FilePartition, columns: list[str] | None):
                 # predicate logic: masks and equality keys speak
                 # current column names
                 table = remap_batch_table(table, name_map, evo_fields)
+            if part.lineage:
+                if part.first_row_id is None:
+                    raise ValueError(
+                        "row_lineage read of a file without lineage "
+                        f"(assign row ids first): {part.path}"
+                    )
+                if part.first_row_id >= 0:
+                    import numpy as np
+
+                    rid = pa.array(
+                        part.first_row_id
+                        + offset
+                        + np.arange(table.num_rows, dtype=np.int64),
+                        type=pa.int64(),
+                    )
+                    lus = pa.array(
+                        [part.sequence_number] * table.num_rows,
+                        type=pa.int64(),
+                    )
+                else:
+                    if _RID not in held_lineage:
+                        raise ValueError(
+                            "file marked lineage-materialized but has "
+                            f"no {_RID} column: {part.path}"
+                        )
+                    rid = held_lineage[_RID]
+                    lus = held_lineage.get(
+                        _LUS,
+                        pa.array(
+                            [part.sequence_number] * table.num_rows,
+                            type=pa.int64(),
+                        ),
+                    )
+                table = table.append_column(_RID, rid).append_column(
+                    _LUS, lus
+                )
             keep = _keep_mask(table, offset, drop, eq_filters)
             if diff_mode:
                 # a changed delete set moves rows in BOTH directions:
@@ -710,6 +770,7 @@ def _partitions_for_manifest(manifest) -> list[_FilePartition]:
                 eq_deletes=tuple(eq),
                 schema_fields=evo,
                 name_mapping=nmap,
+                first_row_id=t.first_row_id,
             )
         )
     return parts
@@ -908,6 +969,10 @@ class _BatchReader(DataSourceReader):
         self._split_bytes = int(
             options.get("target_split_size", _DEFAULT_SPLIT_BYTES)
         )
+        # v3 row lineage: emit _row_id / _last_updated_sequence_number
+        self._lineage = (
+            str(options.get("row_lineage", "false")).lower() == "true"
+        )
 
     def pushFilters(self, filters):
         # NOT a generator on purpose: the predicate capture must happen
@@ -948,6 +1013,13 @@ class _BatchReader(DataSourceReader):
             parts = [p for p in parts if p.path in alive]
             for p in parts:
                 p.predicates = self._predicates
+        if self._lineage:
+            if m.format_version < 3:
+                raise ValueError(
+                    "row_lineage requires an Iceberg v3 table"
+                )
+            for p in parts:
+                p.lineage = True
         parts = _split_partitions(parts, self._split_bytes)
         if not parts:
             # Spark requires >=1 partition; an empty one reads nothing
@@ -1319,7 +1391,18 @@ class IcebergTableDataSource(DataSource):
 
             return metadata_schema(self.options["metadata"])
         cdc = self.options.get("change_mode", "append") == "cdc"
+        lineage = (
+            str(self.options.get("row_lineage", "false")).lower()
+            == "true"
+        )
+        if cdc and lineage:
+            raise ValueError(
+                "row_lineage and change_mode=cdc are mutually "
+                "exclusive read modes"
+            )
         suffix = ", _change_type string, _commit_snapshot_id long" if cdc else ""
+        if lineage:
+            suffix += ", _row_id long, _last_updated_sequence_number long"
         if "schema" in self.options:
             return self.options["schema"] + suffix
         cat = catalog_from_options(self.options)

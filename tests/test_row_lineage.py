@@ -205,3 +205,59 @@ def test_lineage_roundtrips_hadoop_avro(spark, tmp_path):
     assert md["next-row-id"] == 20
     df = read_table_mor_with_lineage(spark, loaded)
     assert df.select("_row_id").distinct().count() == 20
+
+
+def test_datasource_row_lineage_option(spark, tmp_path):
+    """The iceberg-table DataSource's row_lineage=true read: synthesized
+    ids before compaction, materialized ids after — same mapping."""
+    from iceberg_compaction_spark.sources.datasource import register
+
+    register(spark)
+    cat = _make_table(tmp_path)
+
+    def read_lineage():
+        return {
+            r["id"]: r["_row_id"]
+            for r in (
+                spark.read.format("iceberg-table")
+                .option("warehouse", cat.warehouse)
+                .option("table", "t")
+                .option("row_lineage", "true")
+                .load()
+                .select("id", "_row_id")
+                .collect()
+            )
+        }
+
+    before = read_lineage()
+    assert set(before.values()) == set(range(60))
+    c = Compaction(spark, CompactionConfig.small_files())
+    c.compact_catalog(cat, "t")
+    after = read_lineage()
+    assert after == before
+    # default read: reserved columns absent even though the compacted
+    # parquet materializes them
+    plain = (
+        spark.read.format("iceberg-table")
+        .option("warehouse", cat.warehouse)
+        .option("table", "t")
+        .load()
+    )
+    assert "_row_id" not in plain.columns
+    assert plain.count() == 60
+
+
+def test_datasource_row_lineage_rejects_v2(spark, tmp_path):
+    from iceberg_compaction_spark.sources.datasource import register
+
+    register(spark)
+    cat = _make_table(tmp_path, fv=2)
+    with pytest.raises(Exception, match="v3"):
+        (
+            spark.read.format("iceberg-table")
+            .option("warehouse", cat.warehouse)
+            .option("table", "t")
+            .option("row_lineage", "true")
+            .load()
+            .collect()
+        )
