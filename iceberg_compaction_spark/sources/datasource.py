@@ -374,7 +374,7 @@ def _delete_sets(
             pos_arrays.append(hit)
     drop = np.unique(np.concatenate(pos_arrays)) if pos_arrays else None
 
-    id_by_name = {n: i for (i, n, _t, _r) in schema_fields}
+    id_by_name = {f[1]: f[0] for f in schema_fields}
     eq_filters = []
     for dp, dseq, key_cols in eq_deletes:
         # equality deletes apply to strictly LOWER sequence numbers
@@ -568,8 +568,20 @@ def _read_partition(part: _FilePartition, columns: list[str] | None):
         )
 
     evo_fields = [
-        {"id": i, "name": n, "type": t, "required": r}
-        for (i, n, t, r) in part.schema_fields
+        {
+            "id": f[0],
+            "name": f[1],
+            "type": f[2],
+            "required": f[3],
+            # v3 default values ride as an optional 5th element (older
+            # 4-tuples deserialize with no default)
+            **(
+                {"initial-default": f[4]}
+                if len(f) > 4 and f[4] is not None
+                else {}
+            ),
+        }
+        for f in part.schema_fields
     ]
 
     with open_input(part.path) as f:
@@ -736,7 +748,13 @@ def _partitions_for_manifest(manifest) -> list[_FilePartition]:
         return probed[p]
 
     evo = tuple(
-        (int(f["id"]), f["name"], f.get("type"), bool(f.get("required")))
+        (
+            int(f["id"]),
+            f["name"],
+            f.get("type"),
+            bool(f.get("required")),
+            f.get("initial-default"),
+        )
         for f in (manifest.schema_fields or [])
     )
     from iceberg_compaction_spark.sources.schema_evo import (

@@ -575,12 +575,14 @@ class Manifest:
                         f"(last column id {last}); ids are never "
                         "reused, even after a drop"
                     )
-                if bool(f.get("required")):
+                if bool(f.get("required")) and (
+                    f.get("initial-default") is None
+                ):
                     raise ValueError(
                         f"new field {f['name']!r} (id {fid}) cannot be "
-                        "required: existing files project NULL for it "
-                        "(the spec requires new columns be optional "
-                        "absent a default value)"
+                        "required without an initial-default: existing "
+                        "files would project NULL for it (v3 default "
+                        "values lift this — declare 'initial-default')"
                     )
         self.schema_fields = new
         self.schema_id += 1

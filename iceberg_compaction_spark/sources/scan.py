@@ -279,6 +279,28 @@ def read_data_files(
             without_names = [
                 n for (f, n) in probes if not f
             ]
+            # v3 default values: Spark's native reader fills ABSENT
+            # columns with NULL, which silently ignores a declared
+            # initial-default.  A default-bearing field can only be
+            # absent from files written BEFORE it was added (its name
+            # is current in every post-add file), so name presence is
+            # the exact test.  Fail loudly toward the path that applies
+            # defaults per file (the DataSource's executor remap).
+            dflt = [
+                f["name"]
+                for f in schema_fields
+                if f.get("initial-default") is not None
+            ]
+            if dflt:
+                for p, (_, names) in zip(paths, probes):
+                    missing = [c for c in dflt if c not in names]
+                    if missing:
+                        raise ValueError(
+                            f"file {p} predates default-bearing "
+                            f"column(s) {missing}; this scan path "
+                            "cannot apply initial-default — read the "
+                            "table through the iceberg-table DataSource"
+                        )
             if with_ids and not without:
                 # the spec-compliant case: every data file carries ids
                 # — Spark's native field-id resolution, fully JVM-side

@@ -499,6 +499,14 @@ def remap_batch_table(table, name_map: dict[str, str], fields: list[dict]):
             # float->double, decimal widening); shape-equal types pass
             # through zero-copy
             arrays.append(_remap_array(table.column(phys), ft))
+        elif f.get("initial-default") is not None:
+            # v3 default values: a column ABSENT from the file was
+            # added after the file was written, so its rows take the
+            # field's initial-default — exactly and only the absent
+            # case (post-add files with explicit NULLs keep them)
+            arrays.append(
+                pa.array([f["initial-default"]] * n, type=at)
+            )
         else:
             arrays.append(pa.nulls(n, type=at or pa.null()))
         cols.append(cur)

@@ -922,3 +922,123 @@ def test_engine_path_name_mapping_and_compaction_migration(spark, tmp_path):
         for r in read_table_mor(spark, new_m).collect()
     }
     assert got2 == got
+
+
+# ---------------------------------------------------------------------------
+# v3 default values (initial-default) — round 12
+# ---------------------------------------------------------------------------
+
+
+def _defaults_table(spark, tmp_path):
+    """One pre-add file (no 'score'), evolve to add score with
+    initial-default 7 (required), then one post-add file holding a real
+    value AND an explicit NULL."""
+    from iceberg_compaction_spark.sources.catalog import FileCatalog
+    from iceberg_compaction_spark.sources.manifest import Manifest
+    from iceberg_compaction_spark.plans.datamodel import FileScanTask
+
+    root = str(tmp_path / "d")
+    os.makedirs(root)
+    p0 = os.path.join(root, "old.parquet")
+    pq.write_table(
+        pa.table({"id": pa.array([1, 2], type=pa.int64())}), p0
+    )
+    m = Manifest.from_parquet_dir(root)
+    m.schema_fields = [
+        {"id": 1, "name": "id", "type": "long", "required": True}
+    ]
+    m.last_column_id = 1
+    m.evolve_schema(
+        [
+            {"id": 1, "name": "id", "type": "long", "required": True},
+            {
+                "id": 2,
+                "name": "score",
+                "type": "long",
+                "required": False,
+                "initial-default": 7,
+            },
+        ]
+    )
+    p1 = os.path.join(root, "new.parquet")
+    pq.write_table(
+        pa.table(
+            {
+                "id": pa.array([3, 4], type=pa.int64()),
+                "score": pa.array([30, None], type=pa.int64()),
+            }
+        ),
+        p1,
+    )
+    m.data_files.append(
+        FileScanTask(
+            data_file_path=p1,
+            length=os.path.getsize(p1),
+            file_size_in_bytes=os.path.getsize(p1),
+            record_count=2,
+            sequence_number=2,
+        )
+    )
+    cat = FileCatalog(warehouse=str(tmp_path / "wh"))
+    cat.create_table("t", m)
+    return cat
+
+
+def test_initial_default_fills_pre_add_files_only(spark, tmp_path):
+    """DataSource read: rows from the pre-add file take the default;
+    a post-add explicit NULL stays NULL (defaults are per-FILE, not
+    per-null — the spec's initial-default semantics)."""
+    from iceberg_compaction_spark.sources.datasource import register
+
+    register(spark)
+    cat = _defaults_table(spark, tmp_path)
+    rows = {
+        r["id"]: r["score"]
+        for r in (
+            spark.read.format("iceberg-table")
+            .option("warehouse", cat.warehouse)
+            .option("table", "t")
+            .load()
+            .collect()
+        )
+    }
+    assert rows == {1: 7, 2: 7, 3: 30, 4: None}
+
+
+def test_initial_default_native_scan_fails_loudly(spark, tmp_path):
+    """The Spark-native field-id scan would silently NULL-fill the
+    pre-add file; it must raise toward the DataSource instead."""
+    cat = _defaults_table(spark, tmp_path)
+    with pytest.raises(ValueError, match="initial-default"):
+        read_table_mor(spark, cat.load_table("t")).collect()
+
+
+def test_required_new_field_needs_default():
+    from iceberg_compaction_spark.sources.manifest import Manifest
+
+    m = Manifest(table_root="/x")
+    m.schema_fields = [
+        {"id": 1, "name": "id", "type": "long", "required": True}
+    ]
+    m.last_column_id = 1
+    with pytest.raises(ValueError, match="initial-default"):
+        m.evolve_schema(
+            [
+                {"id": 1, "name": "id", "type": "long", "required": True},
+                {"id": 2, "name": "x", "type": "long", "required": True},
+            ]
+        )
+    # with a default the required add is legal (v3 default values)
+    sid = m.evolve_schema(
+        [
+            {"id": 1, "name": "id", "type": "long", "required": True},
+            {
+                "id": 2,
+                "name": "x",
+                "type": "long",
+                "required": True,
+                "initial-default": 0,
+            },
+        ]
+    )
+    assert sid == m.schema_id
