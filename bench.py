@@ -81,6 +81,7 @@ BENCH_QUERIES = [
     "dml_snapshot_fork",
     "text_classifier_score",
     "v3_row_lineage",
+    "pipeline_mixture_temperature",
 ]
 
 

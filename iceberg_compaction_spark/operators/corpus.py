@@ -318,3 +318,61 @@ def filter_by_source(
         F.col("source").alias(source_col)
     )
     return df.join(F.broadcast(keep), on=source_col, how="left_semi")
+
+
+def temperature_mixture_sample(
+    df: DataFrame,
+    target_fraction_ppm: int = 500_000,
+    id_col: str = "doc_id",
+    source_col: str = "source",
+    salt: str = "tmix_",
+) -> DataFrame:
+    """Temperature-based source mixture (the multilingual-corpus
+    rebalancing of mT5/XLM-R: sample source s with probability
+    proportional to ``n_s^alpha``), at the exact-arithmetic temperature
+    ``alpha = 0.5`` — source weight ``floor(sqrt(n_s))`` — so the
+    whole rate computation stays in 64-bit INTEGER math and an external
+    oracle reproduces it bit-for-bit (IEEE sqrt is correctly rounded in
+    every engine; arbitrary alpha would ride exp/ln and drift).
+
+    Per-source acceptance rate (ppm, capped at 100%):
+    ``min(1e6 * w_s * N_target // (sum_w * n_s), 1e6)`` with
+    ``N_target = n_total * target_fraction_ppm // 1e6`` — small sources
+    are upweighted toward equal share, large sources downsampled, total
+    ~= the target fraction.  Acceptance is the salted deterministic
+    hash filter the other sampling operators use (independent of split
+    and mixture membership).
+
+    Scale shape: one map-side-combined source count (the number of
+    sources is tiny), scalar totals broadcast via a 1-row cross join,
+    the per-source rate table broadcast back, and the corpus itself is
+    ONE scan-side filter — nothing corpus-sized shuffles."""
+    counts = df.groupBy(source_col).agg(F.count(F.lit(1)).alias("__n"))
+    counts = counts.withColumn(
+        "__w", F.floor(F.sqrt(F.col("__n"))).cast("long")
+    )
+    totals = counts.agg(
+        F.sum("__w").cast("long").alias("__sumw"),
+        F.sum("__n").cast("long").alias("__ntot"),
+    )
+    rates = (
+        counts.crossJoin(F.broadcast(totals))
+        .withColumn(
+            "__target",
+            F.expr(f"(__ntot * {int(target_fraction_ppm)}L) DIV 1000000L"),
+        )
+        .withColumn(
+            "__rate_ppm",
+            F.least(
+                F.expr("(1000000L * __w * __target) DIV (__sumw * __n)"),
+                F.lit(1_000_000).cast("long"),
+            ),
+        )
+        .select(source_col, "__rate_ppm")
+    )
+    b = hash_bucket(F.col(id_col), salt, 1_000_000)
+    return (
+        df.join(F.broadcast(rates), source_col)
+        .where(b < F.col("__rate_ppm"))
+        .drop("__rate_ppm")
+    )

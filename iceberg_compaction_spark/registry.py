@@ -4191,6 +4191,57 @@ def q_dml_snapshot_fork(spark, sf_dir):
 
 
 @register(
+    "pipeline_mixture_temperature",
+    """
+    WITH c AS (
+      SELECT source, COUNT(*) AS n FROM documents GROUP BY source
+    ),
+    w AS (
+      SELECT source, CAST(n AS BIGINT) AS n,
+             CAST(FLOOR(SQRT(n)) AS BIGINT) AS w
+      FROM c
+    ),
+    t AS (
+      SELECT CAST(SUM(w) AS BIGINT) AS sumw,
+             CAST(SUM(n) AS BIGINT) AS ntot
+      FROM w
+    ),
+    r AS (
+      SELECT source,
+             LEAST((1000000 * w * ((ntot * 500000) // 1000000))
+                   // (sumw * n),
+                   1000000) AS rate_ppm
+      FROM w, t
+    )
+    SELECT d.doc_id, d.source
+    FROM documents d JOIN r USING (source)
+    WHERE ('0x' || substr(md5('tmix_' || CAST(d.doc_id AS VARCHAR)),
+                          1, 8))::BIGINT % 1000000 < r.rate_ppm
+    """,
+)
+def q_pipeline_mixture_temperature(spark, sf_dir):
+    """Temperature-based source mixture (round 12; mT5/XLM-R corpus
+    rebalancing, alpha = 0.5 — operators/corpus.py
+    temperature_mixture_sample): per-source acceptance proportional to
+    sqrt(n_s), computed entirely in 64-bit integer math (weights =
+    floor(sqrt(n)), rates via integer DIV) so the oracle reproduces the
+    exact sample — small sources upweighted toward equal share, the
+    crawl downsampled, total pinned near the target fraction.
+
+    Scale shape: one tiny source-count aggregate, scalar totals via a
+    broadcast 1-row cross join, the rate table broadcast back, and ONE
+    scan-side hash filter over the corpus — no corpus-sized shuffle."""
+    from iceberg_compaction_spark.operators.corpus import (
+        temperature_mixture_sample,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", "source"
+    )
+    return temperature_mixture_sample(docs).select("doc_id", "source")
+
+
+@register(
     "v3_row_lineage",
     """
     SELECT doc_id,
