@@ -1160,3 +1160,39 @@ def ivfpq_topk(
             F.col("rank").cast("int").alias("rank"),
         )
     )
+
+
+def matryoshka_truncate(
+    df: DataFrame,
+    dims: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Matryoshka representation truncation (Kusupati et al. 2022,
+    "Matryoshka Representation Learning"): keep the embedding's first
+    ``dims`` components and re-L2-normalize — the standard way to trade
+    recall for index size/speed with MRL-trained models (a 1536-dim
+    corpus becomes a 256-dim ANN index with a metadata-only change to
+    this knob).
+
+    Output mirrors :func:`l2_normalize`: ``(id, norm_micro,
+    unit_micro: array<bigint>)`` in integer micro-units for
+    engine-stable hashing; the norm is the TRUNCATED prefix's.  Same
+    staged-norm O(d) discipline, pure scan-projection HOFs, zero
+    shuffle."""
+    staged = df.select(
+        F.col(id_col),
+        F.slice(as_double(F.col(vec_col)), 1, int(dims)).alias("__v"),
+    ).select(
+        F.col(id_col),
+        F.col("__v"),
+        F.sqrt(dot(F.col("__v"), F.col("__v"))).alias("__norm"),
+    )
+    norm = F.col("__norm")
+    return staged.select(
+        F.col(id_col),
+        F.floor(norm * 1000000).cast("long").alias("norm_micro"),
+        F.transform(
+            F.col("__v"), lambda x: F.floor(x / norm * 1000000).cast("long")
+        ).alias("unit_micro"),
+    )

@@ -4191,6 +4191,37 @@ def q_dml_snapshot_fork(spark, sf_dir):
 
 
 @register(
+    "emb_matryoshka",
+    """
+    WITH n AS (
+      SELECT vec_id, (embedding::DOUBLE[])[1:16] AS v FROM embeddings
+    ),
+    m AS (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm FROM n)
+    SELECT vec_id,
+           CAST(FLOOR(nrm * 1000000) AS BIGINT) AS norm_micro,
+           CAST(g.i - 1 AS INTEGER) AS pos,
+           CAST(FLOOR(v[g.i] / nrm * 1000000) AS BIGINT) AS u_micro
+    FROM m, LATERAL (SELECT unnest(generate_series(1, len(v))) AS i) g
+    """,
+)
+def q_emb_matryoshka(spark, sf_dir):
+    """Matryoshka truncation (round 12; Kusupati et al. 2022 —
+    operators/similarity.py matryoshka_truncate): keep the first 16
+    embedding dims and re-L2-normalize, integer micro-units.  The MRL
+    index-shrinking knob: at 100 TB this turns a 1536-dim ANN corpus
+    into a 16x smaller index with a one-line change, and the truncated
+    unit vectors feed the same IVF/LSH/PQ operators unchanged.
+
+    Scale shape: identical to emb_normalize — staged-norm O(d)
+    higher-order projections in the scan, zero shuffle, no Python."""
+    return sim.matryoshka_truncate(_emb(spark, sf_dir), dims=16).select(
+        "vec_id",
+        "norm_micro",
+        F.posexplode("unit_micro").alias("pos", "u_micro"),
+    )
+
+
+@register(
     "pipeline_mixture_temperature",
     """
     WITH c AS (
