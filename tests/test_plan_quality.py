@@ -727,3 +727,26 @@ def test_classifier_score_broadcast_vocab_one_doc_shuffle(spark):
     assert "SortMergeJoin" not in s
     assert "TakeOrderedAndProject" in s
     assert "BatchEvalPython" not in s and "ArrowEvalPython" not in s
+
+
+def test_temperature_mixture_no_corpus_shuffle(spark):
+    """Temperature mixture (round 12): the rate table joins BROADCAST,
+    the only aggregate is the tiny source count, and the corpus itself
+    never exchanges — one scan-side filter."""
+    from iceberg_compaction_spark import registry
+
+    s = plan_of(registry.QUERIES["pipeline_mixture_temperature"](spark, SF))
+    assert "BroadcastHashJoin" in s or "BroadcastNestedLoopJoin" in s
+    assert "SortMergeJoin" not in s
+    assert "BatchEvalPython" not in s and "ArrowEvalPython" not in s
+
+
+def test_matryoshka_zero_shuffle_projection(spark):
+    """Matryoshka truncation (round 12): pure scan-projection HOFs —
+    no exchange, no join, no Python."""
+    from iceberg_compaction_spark import registry
+
+    s = plan_of(registry.QUERIES["emb_matryoshka"](spark, SF))
+    assert "Exchange" not in s
+    assert "Join" not in s
+    assert "BatchEvalPython" not in s and "ArrowEvalPython" not in s
