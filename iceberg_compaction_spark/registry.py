@@ -4516,6 +4516,24 @@ QUERIES = {n: QUERIES[n] for n in _order12b}
 ORACLES = {n: ORACLES[n] for n in _order12b if n in ORACLES}
 del _W12B_PROMOTE, _W12B_DEMOTE, _rest12b, _order12b
 
+# Round-12 third recomposition (the round's late flagships), same
+# policy: promote `v3_row_lineage` — row identity surviving a
+# compaction, hash-proven; the round's headline v3 feature — and
+# `pipeline_mixture_temperature` (temperature-based sampling: restores
+# a SAMPLING-family representative to the window after
+# sample_docs_hash moved to the tail above, with the stronger
+# integer-exact rate computation).  Demote two in-window text twins —
+# `text_fingerprint` and `text_top_ngrams` — whose family keeps THREE
+# representatives in-window (token_count, quality, langid) plus the
+# classifier/unigram scorers in the identically-checked tail.
+_W12C_PROMOTE = ["v3_row_lineage", "pipeline_mixture_temperature"]
+_W12C_DEMOTE = ["text_fingerprint", "text_top_ngrams"]
+_rest12c = [n for n in QUERIES if n not in _W12C_PROMOTE + _W12C_DEMOTE]
+_order12c = _rest12c[:48] + _W12C_PROMOTE + _rest12c[48:] + _W12C_DEMOTE
+QUERIES = {n: QUERIES[n] for n in _order12c}
+ORACLES = {n: ORACLES[n] for n in _order12c if n in ORACLES}
+del _W12C_PROMOTE, _W12C_DEMOTE, _rest12c, _order12c
+
 # Self-counting window invariants — these replace the literal counts
 # that drifted in past rounds' comments.  The policy they pin:
 # every registry entry has an oracle EXCEPT the documented
