@@ -408,6 +408,26 @@ def cmd_register_table(args, spark=None) -> dict:
     }
 
 
+def cmd_migrate_table(args, spark=None) -> dict:
+    """migrate_table: in-place adoption of a plain parquet directory
+    (footer-only bootstrap; gc stays enabled — the table owns its
+    files, so compact-the-backlog maintenance applies immediately)."""
+    from iceberg_compaction_spark.sources.catalog import migrate_table
+
+    m = migrate_table(
+        _catalog(args.warehouse),
+        args.table,
+        args.parquet_dir,
+        recursive=args.recursive,
+    )
+    return {
+        "table": args.table,
+        "files": len(m.data_files),
+        "rows": sum(t.record_count for t in m.data_files),
+        "snapshot_id": m.snapshot_id,
+    }
+
+
 def cmd_orphans(args, spark=None) -> dict:
     """Orphan-file cleanup, DRY-RUN by default: report what would be
     removed; pass --apply to actually unlink (the audit-then-apply
@@ -581,6 +601,13 @@ def build_parser() -> argparse.ArgumentParser:
     )
     common(rg)
     rg.add_argument("--metadata-file", required=True)
+    mg = sub.add_parser(
+        "migrate-table",
+        help="adopt a plain parquet dir in place (gc stays enabled)",
+    )
+    common(mg)
+    mg.add_argument("--parquet-dir", required=True)
+    mg.add_argument("--recursive", action="store_true")
     return p
 
 
@@ -601,6 +628,7 @@ COMMANDS = {
     "compute-stats": cmd_compute_stats,
     "snapshot-table": cmd_snapshot_table,
     "register-table": cmd_register_table,
+    "migrate-table": cmd_migrate_table,
 }
 
 

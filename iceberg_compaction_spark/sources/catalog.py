@@ -1570,6 +1570,7 @@ def snapshot_table(
     dest: str,
     table_root: str | None = None,
     properties: dict | None = None,
+    dest_catalog=None,
 ) -> Manifest:
     """Iceberg's ``snapshot_table`` procedure: create a NEW independent
     table ``dest`` whose first snapshot references the SOURCE table's
@@ -1586,18 +1587,23 @@ def snapshot_table(
     out of usefulness when the SOURCE's maintenance rewrites/expires
     the shared files — same documented lifecycle as Iceberg's.
 
+    ``dest_catalog`` forks ACROSS catalogs (stage a production table
+    into a dev warehouse): the fork registers there, under that
+    warehouse's directory for ``dest``, still zero-copy.
+
     Catalog-generic: any backend with ``load_table``/``create_table``.
     """
+    target = dest_catalog if dest_catalog is not None else catalog
     src = catalog.load_table(source)
     snap = Manifest.from_dict(src.to_dict())
     if table_root is None:
         table_root = (
-            catalog._table_dir(dest)
-            if hasattr(catalog, "_table_dir")
+            target._table_dir(dest)
+            if hasattr(target, "_table_dir")
             else src.table_root
         )
     snap.table_root = table_root
-    io = getattr(catalog, "_io", None)  # REST clients have no local io
+    io = getattr(target, "_io", None)  # REST clients have no local io
     if io is not None and not io.is_dir(table_root):
         io.makedirs(table_root)
     snap.operation = "append"
@@ -1610,7 +1616,7 @@ def snapshot_table(
     # stats belong to the source's snapshots, not the fork's
     snap.statistics_files = []
     snap.partition_statistics_files = []
-    return catalog.create_table(dest, snap)
+    return target.create_table(dest, snap)
 
 
 def register_table(catalog, name: str, metadata_file: str) -> Manifest:
@@ -1649,3 +1655,34 @@ def register_table(catalog, name: str, metadata_file: str) -> Manifest:
     props["register.source-metadata"] = metadata_file
     adopted.properties = props
     return catalog.create_table(name, adopted)
+
+
+def migrate_table(
+    catalog,
+    name: str,
+    parquet_dir: str,
+    recursive: bool = False,
+    properties: dict | None = None,
+) -> Manifest:
+    """Iceberg's ``migrate_table`` procedure: turn an existing plain
+    parquet directory (a Hive-style table) into a catalog table
+    IN PLACE — footer-only metadata bootstrap (record counts + column
+    bounds per file, the same stats ``add_files`` collects), no data
+    copied or moved.  ``recursive`` descends hive-style partition
+    layouts.  Unlike :func:`register_table`/:func:`snapshot_table` the
+    migrated table OWNS its files (nothing else references them), so gc
+    stays ENABLED and the full maintenance tier applies immediately —
+    which is the point: migrate, then compact the historical
+    small-file mess.
+
+    This is THE 100 TB onboarding path: one footer read per file at
+    plan time, one catalog commit, and the entire engine surface
+    (compaction, DML, stats, lineage once upgraded to v3) lights up
+    over data that never moved."""
+    m = Manifest.from_parquet_dir(
+        parquet_dir, sequence_number=1, recursive=recursive
+    )
+    if properties:
+        m.properties = {**m.properties, **properties}
+    m.properties.setdefault("migrate.source-dir", parquet_dir)
+    return catalog.create_table(name, m)

@@ -1847,6 +1847,7 @@ class _AppendWriter(DataSourceArrowWriter):
             else:
                 new.data_files = list(new.data_files) + added
                 new.operation = "append"
+            new.assign_row_ids()  # v3 row lineage (no-op on v2)
             if self._branch:
                 return cat.commit_table(
                     self._table,
@@ -1930,6 +1931,7 @@ class _StreamAppendWriter(DataSourceStreamArrowWriter):
             new.data_files = list(new.data_files) + added
             new.properties["streaming.last-batch-id"] = int(batchId)
             new.operation = "append"
+            new.assign_row_ids()  # v3 row lineage (no-op on v2)
             return self._commit_head(cat, cur, new)
 
         mgr.commit_with_retry(attempt)
@@ -2087,6 +2089,7 @@ class _StreamUpsertWriter(DataSourceStreamArrowWriter):
             new.data_files = list(new.data_files) + added
             new.properties["streaming.last-batch-id"] = int(batchId)
             new.operation = "overwrite"  # rows change in place
+            new.assign_row_ids()  # v3 row lineage (no-op on v2)
             if self._branch:
                 return cat.commit_table(
                     self._table,

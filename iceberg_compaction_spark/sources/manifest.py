@@ -452,7 +452,17 @@ class Manifest:
         rewrite) are untouched — assignment is append-only and
         monotonic, which is what keeps ``_row_id`` stable across the
         table's whole history.  No-op on v2 tables.  Returns the number
-        of files assigned."""
+        of files assigned.
+
+        Branch caveat: ids are allocated from THIS lineage's
+        ``next_row_id``, so commits on two concurrently-advancing
+        branches allocate from diverged counters and may overlap.
+        Within the WAP discipline this cannot bite (main is pinned
+        while the audit branch advances; fast-forward publishes the
+        branch lineage wholesale), but ids from branches that never
+        merge are only unique per branch — same stance as the spec's
+        commit-time assignment, which resolves ids at the snapshot
+        that finally lands on the published lineage."""
         if self.format_version < 3:
             return 0
         n = 0

@@ -324,3 +324,23 @@ def test_cli_snapshot_and_register(spark, wh, tmp_path):
         ],
     )
     assert out["rows"] == 40 and out["files"] == 4
+
+
+def test_cli_migrate_table(spark, tmp_path):
+    root = str(tmp_path / "legacy")
+    os.makedirs(root)
+    for i in range(3):
+        pq.write_table(
+            pa.table({"id": pa.array(range(i * 5, i * 5 + 5))}),
+            os.path.join(root, f"p{i}.parquet"),
+        )
+    out = _run(
+        spark,
+        [
+            "migrate-table",
+            "--warehouse", str(tmp_path / "wh"),
+            "--table", "legacy",
+            "--parquet-dir", root,
+        ],
+    )
+    assert out["files"] == 3 and out["rows"] == 15

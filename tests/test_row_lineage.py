@@ -261,3 +261,39 @@ def test_datasource_row_lineage_rejects_v2(spark, tmp_path):
             .load()
             .collect()
         )
+
+
+def test_streaming_upsert_sink_assigns_lineage(spark, tmp_path):
+    """The DataSource streaming UPSERT sink assigns row ids to each v3
+    micro-batch's new file (same contract as the batch DML commits)."""
+    from iceberg_compaction_spark.sources.datasource import register
+
+    register(spark)
+    cat = _make_table(tmp_path, files=1, rows_per=10)
+    assert cat.load_table("t").next_row_id == 10
+    src = str(tmp_path / "stream-src")
+    spark.createDataFrame(
+        [(100, "s1"), (101, "s2")], "id long, val string"
+    ).coalesce(1).write.parquet(src)
+    q = (
+        spark.readStream.schema("id long, val string")
+        .parquet(src)
+        .writeStream.format("iceberg-table")
+        .option("warehouse", cat.warehouse)
+        .option("table", "t")
+        .option("mode", "upsert")
+        .option("upsert_keys", "id")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    m = cat.load_table("t")
+    assert m.next_row_id >= 12
+    lin = {
+        r["id"]: r["_row_id"]
+        for r in read_table_mor_with_lineage(spark, m)
+        .select("id", "_row_id")
+        .collect()
+    }
+    assert len(lin) == 12 and lin[100] >= 10 and lin[101] >= 10

@@ -157,3 +157,49 @@ def test_gc_disabled_blocks_hadoop_metadata_sweep(tmp_path):
         hcat.remove_orphan_metadata("t", older_than_s=0)
     with pytest.raises(ValueError, match="gc.enabled"):
         hcat.expire_snapshots("t", keep_last=1)
+
+
+def test_snapshot_table_cross_catalog(spark, cat, tmp_path):
+    from iceberg_compaction_spark.sources.catalog import snapshot_table
+
+    dev = FileCatalog(warehouse=str(tmp_path / "devwh"))
+    fork = snapshot_table(cat, "src", "devfork", dest_catalog=dev)
+    assert dev.load_table("devfork").snapshot_id == 1
+    assert read_table_mor(spark, fork).count() == 100
+    # source catalog does NOT gain the fork; source table untouched
+    import pytest as _pytest
+
+    from iceberg_compaction_spark.sources.catalog import TableNotFound
+
+    with _pytest.raises(TableNotFound):
+        cat.load_table("devfork")
+    assert cat.load_table("src").snapshot_id == 1
+    # fork's own root lives under the DEV warehouse
+    assert str(tmp_path / "devwh") in fork.table_root
+
+
+def test_migrate_table_owns_files_gc_enabled(spark, cat, tmp_path):
+    """migrate_table: in-place adoption with gc ENABLED — maintenance
+    applies immediately (the compact-the-backlog onboarding story)."""
+    from iceberg_compaction_spark.compaction import Compaction
+    from iceberg_compaction_spark.config import CompactionConfig
+    from iceberg_compaction_spark.sources.catalog import migrate_table
+
+    root = str(tmp_path / "legacy")
+    os.makedirs(root)
+    for i in range(4):
+        pq.write_table(
+            pa.table(
+                {"id": pa.array(range(i * 10, i * 10 + 10), type=pa.int64())}
+            ),
+            os.path.join(root, f"part-{i}.parquet"),
+        )
+    m = migrate_table(cat, "legacy", root)
+    assert len(m.data_files) == 4
+    assert m.properties.get("gc.enabled") is None  # gc stays enabled
+    assert read_table_mor(spark, m).count() == 40
+    # the full maintenance tier applies: compact + expire work
+    c = Compaction(spark, CompactionConfig.small_files())
+    m2, _ = c.compact_catalog(cat, "legacy")
+    assert len(m2.data_files) == 1
+    assert cat.expire_snapshots("legacy", keep_last=1) == [1]
