@@ -310,6 +310,17 @@ class CommitManager:
             partition_spec=[dict(f) for f in manifest.partition_spec],
             default_spec_id=manifest.default_spec_id,
             schema_fields=[dict(f) for f in manifest.schema_fields],
+            # same carried state as rewrite_files: dropping these here
+            # would reset the v3 row-id counter (duplicate _row_id on
+            # the next assignment), orphan registered statistics files,
+            # and lose the declared order / column-id high-water mark
+            sort_order=[dict(f) for f in manifest.sort_order],
+            last_column_id=manifest.last_column_id,
+            statistics_files=[dict(s) for s in manifest.statistics_files],
+            partition_statistics_files=[
+                dict(s) for s in manifest.partition_statistics_files
+            ],
+            next_row_id=manifest.next_row_id,
             operation="overwrite",
         )
 

@@ -335,13 +335,17 @@ def temperature_mixture_sample(
     oracle reproduces it bit-for-bit (IEEE sqrt is correctly rounded in
     every engine; arbitrary alpha would ride exp/ln and drift).
 
-    Per-source acceptance rate (ppm, capped at 100%):
-    ``min(1e6 * w_s * N_target // (sum_w * n_s), 1e6)`` with
-    ``N_target = n_total * target_fraction_ppm // 1e6`` — small sources
-    are upweighted toward equal share, large sources downsampled, total
-    ~= the target fraction.  Acceptance is the salted deterministic
-    hash filter the other sampling operators use (independent of split
-    and mixture membership).
+    Per-source acceptance rate (ppm, capped at 100%), staged so every
+    intermediate stays under 2^63 at ANY corpus size (the naive
+    ``1e6 * w * target`` numerator overflows int64 near 7e8 rows):
+    ``q = 1e6 * N_target // sum_w`` (≤ 1e6 * n_total since w ≥ 1),
+    then ``rate = min(q * w_s // n_s, 1e6)`` (``q * w ≤ 1e6 * n_total``
+    since ``w ≤ sum_w``) with ``N_target = n_total *
+    target_fraction_ppm // 1e6`` — exact to ~9e12 total rows.  Small
+    sources are upweighted toward equal share, large sources
+    downsampled, total ~= the target fraction.  Acceptance is the
+    salted deterministic hash filter the other sampling operators use
+    (independent of split and mixture membership).
 
     Scale shape: one map-side-combined source count (the number of
     sources is tiny), scalar totals broadcast via a 1-row cross join,
@@ -361,10 +365,11 @@ def temperature_mixture_sample(
             "__target",
             F.expr(f"(__ntot * {int(target_fraction_ppm)}L) DIV 1000000L"),
         )
+        .withColumn("__q", F.expr("(1000000L * __target) DIV __sumw"))
         .withColumn(
             "__rate_ppm",
             F.least(
-                F.expr("(1000000L * __w * __target) DIV (__sumw * __n)"),
+                F.expr("(__q * __w) DIV __n"),
                 F.lit(1_000_000).cast("long"),
             ),
         )

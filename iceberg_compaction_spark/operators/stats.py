@@ -307,13 +307,19 @@ def compute_table_stats(
     )
     blobs = []
     ndv = {}
-    for i, c in enumerate(columns):
+    for c in columns:
         sk = sketches[c]
         ndv[c] = int(round(sk.estimate()))
         blobs.append(
             {
                 "type": THETA_BLOB_TYPE,
-                "fields": [field_ids.get(c, i + 1)],
+                # no field-id schema on engine-native tables -> empty
+                # fields (a FAKE ordinal id could later collide with a
+                # real schema's ids and misattribute NDV on read-back;
+                # the "column" property is the name channel instead)
+                "fields": (
+                    [field_ids[c]] if c in field_ids else []
+                ),
                 "snapshot-id": analyzed_sid,
                 "sequence-number": current.sequence_number,
                 # "ndv" is the property the Iceberg puffin spec names;
@@ -403,9 +409,12 @@ def partition_stats_rows(manifest) -> list[dict]:
     Shared delete files (one delete file attached to many data files in
     the partition) are counted ONCE.  ``total_record_count`` is the
     post-delete count when it is EXACT — no equality deletes in the
-    partition, so data records minus position-delete records — and
-    None otherwise (equality-delete matches can't be counted without
-    data IO; readers treat None as "unavailable", never as 0).
+    partition AND no position-delete file shared ACROSS partitions
+    (a global predicate delete's per-partition record split is unknown
+    without reading it) — and None otherwise; readers treat None as
+    "unavailable", never as 0.  Cross-partition delete files count
+    toward ``position_delete_file_count`` everywhere they apply but
+    contribute no per-partition record count.
 
     Driver-side on purpose: the input is the manifest's file-entry
     list (metadata-sized, already in memory — the same source the
@@ -415,6 +424,7 @@ def partition_stats_rows(manifest) -> list[dict]:
     agg: dict[tuple, dict] = {}
     pos_by_part: dict[tuple, dict] = {}
     eq_by_part: dict[tuple, dict] = {}
+    parts_by_delete: dict[str, set] = {}
     for t in manifest.data_files:
         pm = _part_map(t, manifest) or {}
         key = tuple(sorted(pm.items()))
@@ -434,18 +444,32 @@ def partition_stats_rows(manifest) -> list[dict]:
         for d in t.deletes:
             bucket = pos_by_part if d.content == 1 else eq_by_part
             bucket.setdefault(key, {})[d.path] = int(d.record_count)
+            parts_by_delete.setdefault(d.path, set()).add(key)
     rows = []
     for key in sorted(agg):
         a = agg[key]
         pos = pos_by_part.get(key, {})
         eq = eq_by_part.get(key, {})
-        a["position_delete_record_count"] = sum(pos.values())
+        # a delete file attached in MULTIPLE partitions (a global
+        # predicate delete) has an unknown per-partition record split —
+        # attributing its full count to every partition would
+        # over-count (and can push total_record_count negative).  Count
+        # the FILE everywhere it applies, but record counts only for
+        # single-partition files; partitions touched by a shared file
+        # get total_record_count = None (unavailable, like the
+        # equality-delete case).
+        shared = {
+            p for p in pos if len(parts_by_delete[p]) > 1
+        }
+        a["position_delete_record_count"] = sum(
+            n for p, n in pos.items() if p not in shared
+        )
         a["position_delete_file_count"] = len(pos)
         a["equality_delete_record_count"] = sum(eq.values())
         a["equality_delete_file_count"] = len(eq)
         a["total_record_count"] = (
             a["data_record_count"] - a["position_delete_record_count"]
-            if not eq
+            if not eq and not shared
             else None
         )
         a["last_updated_snapshot_id"] = int(manifest.snapshot_id)

@@ -324,14 +324,53 @@ def parse_where(where: str) -> list[ColumnPredicate]:
         ">": "gt",
         ">=": "ge",
     }
-    if re.search(r"\bOR\b|\(|\)", where, flags=re.IGNORECASE):
+    def _split_outside_quotes(s: str, word: str) -> list[str]:
+        # split on the keyword only OUTSIDE quoted string values, so
+        # name = 'rock AND roll' stays one conjunct
+        out, buf, i, q = [], [], 0, None
+        up = s.upper()
+        wlen = len(word)
+        while i < len(s):
+            ch = s[i]
+            if q:
+                buf.append(ch)
+                if ch == q:
+                    q = None
+                i += 1
+                continue
+            if ch in ("'", '"'):
+                q = ch
+                buf.append(ch)
+                i += 1
+                continue
+            if (
+                up.startswith(word, i)
+                and (i == 0 or not (s[i - 1].isalnum() or s[i - 1] == "_"))
+                and (
+                    i + wlen == len(s)
+                    or not (s[i + wlen].isalnum() or s[i + wlen] == "_")
+                )
+            ):
+                out.append("".join(buf))
+                buf = []
+                i += wlen
+                continue
+            buf.append(ch)
+            i += 1
+        out.append("".join(buf))
+        return out
+
+    if any(
+        len(_split_outside_quotes(part, "OR")) > 1 or "(" in part
+        for part in [where]
+    ):
         raise ValueError(
             f"unsupported where clause {where!r}: only AND-joined "
             "conjuncts are parseable — pass ColumnPredicate objects "
             "for anything richer"
         )
     preds: list[ColumnPredicate] = []
-    for raw in re.split(r"\bAND\b", where, flags=re.IGNORECASE):
+    for raw in _split_outside_quotes(where, "AND"):
         term = raw.strip()
         if not term:
             raise ValueError(f"empty conjunct in where clause: {where!r}")

@@ -4239,8 +4239,8 @@ def q_emb_matryoshka(spark, sf_dir):
     ),
     r AS (
       SELECT source,
-             LEAST((1000000 * w * ((ntot * 500000) // 1000000))
-                   // (sumw * n),
+             LEAST((((1000000 * ((ntot * 500000) // 1000000)) // sumw)
+                    * w) // n,
                    1000000) AS rate_ppm
       FROM w, t
     )

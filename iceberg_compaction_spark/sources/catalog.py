@@ -1597,11 +1597,17 @@ def snapshot_table(
     src = catalog.load_table(source)
     snap = Manifest.from_dict(src.to_dict())
     if table_root is None:
-        table_root = (
-            target._table_dir(dest)
-            if hasattr(target, "_table_dir")
-            else src.table_root
-        )
+        if not hasattr(target, "_table_dir"):
+            # falling back to the SOURCE's root would put the fork's
+            # future writes inside the source directory, where the
+            # source's (gc-enabled) orphan sweep could unlink them —
+            # refuse instead of silently breaking the isolation contract
+            raise ValueError(
+                "this catalog backend cannot derive a fork directory; "
+                "pass table_root= explicitly (the fork's own location "
+                "for new writes)"
+            )
+        table_root = target._table_dir(dest)
     snap.table_root = table_root
     io = getattr(target, "_io", None)  # REST clients have no local io
     if io is not None and not io.is_dir(table_root):
@@ -1651,7 +1657,11 @@ def register_table(catalog, name: str, metadata_file: str) -> Manifest:
         m = load_iceberg_table(metadata_file)
     adopted = Manifest.from_dict(m.to_dict())
     props = dict(adopted.properties or {})
-    props.setdefault("gc.enabled", "false")
+    # force, don't setdefault: source metadata carrying an explicit
+    # gc.enabled=true must not leave GC armed on an adoption that
+    # shares files with the original location (the docstring's
+    # "drop the property after physically taking ownership" applies)
+    props["gc.enabled"] = "false"
     props["register.source-metadata"] = metadata_file
     adopted.properties = props
     return catalog.create_table(name, adopted)

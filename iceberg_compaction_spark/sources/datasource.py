@@ -1475,6 +1475,13 @@ class IcebergTableDataSource(DataSource):
             raise ValueError(
                 "metadata tables are batch-only (use spark.read)"
             )
+        if str(self.options.get("row_lineage", "false")).lower() == "true":
+            # schema() would declare the lineage columns but the stream
+            # reader never emits them — reject cleanly instead of
+            # failing with an Arrow schema mismatch at the first batch
+            raise ValueError(
+                "row_lineage is a batch-read option (use spark.read)"
+            )
         return _ChangesStreamReader(self.options)
 
     def writer(self, schema, overwrite):

@@ -297,3 +297,55 @@ def test_streaming_upsert_sink_assigns_lineage(spark, tmp_path):
         .collect()
     }
     assert len(lin) == 12 and lin[100] >= 10 and lin[101] >= 10
+
+
+def test_overwrite_files_carries_lineage_counter(tmp_path):
+    """overwrite_files must carry next_row_id (and the other table
+    state) like rewrite_files — a reset counter would re-issue
+    duplicate _row_id ranges on the next assignment (review finding)."""
+    from iceberg_compaction_spark.commit import CommitManager
+
+    cat = _make_table(tmp_path)
+    m = cat.load_table("t")
+    assert m.next_row_id == 60
+    m.statistics_files = [
+        {"snapshot-id": 1, "statistics-path": "/x", "file-size-in-bytes": 1}
+    ]
+    new = CommitManager().overwrite_files(
+        m, added_files=[], rewritten_files=[]
+    )
+    assert new.next_row_id == 60
+    assert new.statistics_files == m.statistics_files
+    assert new.last_column_id == m.last_column_id
+    # a fresh assignment continues, never restarts at 0
+    from iceberg_compaction_spark.plans.datamodel import FileScanTask
+
+    new.data_files.append(
+        FileScanTask(
+            data_file_path="/tmp/x.parquet", length=1, record_count=5,
+            sequence_number=2,
+        )
+    )
+    new.assign_row_ids()
+    added = [t for t in new.data_files if t.data_file_path == "/tmp/x.parquet"]
+    assert added[0].first_row_id == 60 and new.next_row_id == 65
+
+
+def test_stream_read_rejects_row_lineage(spark, tmp_path):
+    """streamReader refuses row_lineage cleanly (review finding: the
+    declared schema would gain columns the stream never emits)."""
+    from iceberg_compaction_spark.sources.datasource import (
+        IcebergTableDataSource,
+        register,
+    )
+
+    register(spark)
+    cat = _make_table(tmp_path)
+    opts = {
+        "warehouse": cat.warehouse,
+        "table": "t",
+        "row_lineage": "true",
+    }
+    ds = IcebergTableDataSource(options=opts)
+    with pytest.raises(ValueError, match="batch-read"):
+        ds.streamReader(None)

@@ -203,3 +203,38 @@ def test_migrate_table_owns_files_gc_enabled(spark, cat, tmp_path):
     m2, _ = c.compact_catalog(cat, "legacy")
     assert len(m2.data_files) == 1
     assert cat.expire_snapshots("legacy", keep_last=1) == [1]
+
+
+def test_register_table_forces_gc_off_despite_source_true(spark, cat, tmp_path):
+    """Source metadata carrying explicit gc.enabled=true must still
+    adopt with GC disabled (review finding: setdefault left GC armed
+    on a shared-file adoption)."""
+    import json
+
+    meta = os.path.join(
+        cat.warehouse, "src", "metadata", "v1.metadata.json"
+    )
+    d = json.loads(open(meta).read())
+    d.setdefault("properties", {})["gc.enabled"] = "true"
+    poisoned = str(tmp_path / "poisoned.metadata.json")
+    with open(poisoned, "w") as f:
+        json.dump(d, f)
+    cat2 = FileCatalog(warehouse=str(tmp_path / "wh3"))
+    adopted = register_table(cat2, "adopted2", poisoned)
+    assert adopted.properties["gc.enabled"] == "false"
+
+
+def test_snapshot_table_refuses_unrooted_backend(cat):
+    """A backend that cannot derive a fork directory must refuse
+    rather than share the source's root (review finding)."""
+    from iceberg_compaction_spark.sources.catalog import snapshot_table
+
+    class Rootless:
+        def load_table(self, name):
+            return cat.load_table(name)
+
+        def create_table(self, name, m):  # pragma: no cover
+            raise AssertionError("must refuse before creating")
+
+    with pytest.raises(ValueError, match="table_root"):
+        snapshot_table(cat, "src", "f2", dest_catalog=Rootless())

@@ -556,3 +556,56 @@ def test_partition_stats_hadoop_metadata_roundtrip(spark, tmp_path):
     back = read_partition_stats(cat.load_table("t"))
     # unpartitioned: one row, empty partition tuple
     assert len(back) == 1 and back[0]["data_record_count"] == 30
+
+
+def test_partition_stats_cross_partition_delete_file(spark, tmp_path):
+    """A position-delete file shared ACROSS partitions (a global
+    predicate delete) has an unknown per-partition record split: it
+    counts as a file everywhere it applies, contributes no record
+    counts, and marks the touched partitions' total_record_count
+    unavailable (review finding: the old attribution over-counted and
+    could go negative)."""
+    from iceberg_compaction_spark.operators.stats import (
+        partition_stats_rows,
+    )
+    from iceberg_compaction_spark.plans.datamodel import DeleteFile
+
+    cat = _partitioned_table(tmp_path, spark)
+    m = cat.load_table("pt")
+    dpath = os.path.join(m.table_root, "global-pd.parquet")
+    pq.write_table(
+        pa.table(
+            {
+                "file_path": pa.array(
+                    [t.data_file_path for t in m.data_files]
+                ),
+                "pos": pa.array([1, 1], type=pa.int64()),
+            }
+        ),
+        dpath,
+    )
+    shared = DeleteFile(
+        path=dpath,
+        content=1,
+        file_size_in_bytes=os.path.getsize(dpath),
+        record_count=2,
+        sequence_number=3,
+    )
+    for t in m.data_files:
+        t.deletes.append(shared)
+    rows = {tuple(sorted(r["partition"].items())): r
+            for r in partition_stats_rows(m)}
+    p1 = rows[(("a", "1"),)]
+    p2 = rows[(("a", "2"),)]
+    # single-partition file (p1's own) still counts; the shared one
+    # counts as a FILE in both but no records anywhere
+    assert p1["position_delete_file_count"] == 2
+    assert p1["position_delete_record_count"] == 1  # own file only
+    assert p1["total_record_count"] is None
+    assert p2["position_delete_file_count"] == 1
+    assert p2["position_delete_record_count"] == 0
+    assert p2["total_record_count"] is None
+    # never negative
+    assert all(
+        r["position_delete_record_count"] >= 0 for r in rows.values()
+    )
