@@ -82,6 +82,7 @@ BENCH_QUERIES = [
     "text_classifier_score",
     "v3_row_lineage",
     "pipeline_mixture_temperature",
+    "emb_matryoshka",
 ]
 
 
