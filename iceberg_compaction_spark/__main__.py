@@ -120,6 +120,10 @@ def cmd_maintain(args, spark=None) -> dict:
         keep_snapshots=args.keep_snapshots,
         convert_eq_deletes=args.convert_eq_deletes,
         orphan_older_than_s=args.orphan_grace_s,
+        refresh_column_stats=getattr(args, "refresh_stats", False),
+        refresh_partition_stats=getattr(
+            args, "refresh_partition_stats", False
+        ),
     )
     report = maintain(
         spark,
@@ -139,6 +143,16 @@ def cmd_maintain(args, spark=None) -> dict:
         "delete_rewrite": report.delete_rewrite,
         "eq_convert": report.eq_convert,
         "manifest_rewrite": report.manifest_rewrite,
+        **(
+            {"column_ndv": report.column_ndv}
+            if report.column_ndv
+            else {}
+        ),
+        **(
+            {"partition_stats_partitions": report.partition_stats_partitions}
+            if report.partition_stats_partitions
+            else {}
+        ),
     }
 
 
@@ -514,6 +528,14 @@ def build_parser() -> argparse.ArgumentParser:
         "--orphan-grace-s", type=float, default=3 * 24 * 3600
     )
     m.add_argument("--to-branch", default=None)
+    m.add_argument(
+        "--refresh-stats", action="store_true",
+        help="recompute the theta-NDV StatisticsFile after maintenance",
+    )
+    m.add_argument(
+        "--refresh-partition-stats", action="store_true",
+        help="recompute the partition-statistics file after maintenance",
+    )
     b = sub.add_parser(
         "branch", help="create / fast-forward / drop / list table refs"
     )

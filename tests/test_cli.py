@@ -344,3 +344,18 @@ def test_cli_migrate_table(spark, tmp_path):
         ],
     )
     assert out["files"] == 3 and out["rows"] == 15
+
+
+def test_cli_maintain_refresh_stats(spark, wh):
+    out = _run(
+        spark,
+        [
+            "maintain", "--warehouse", wh, "--table", "t",
+            "--refresh-stats", "--refresh-partition-stats",
+        ],
+    )
+    assert out["column_ndv"] == {"id": 40, "val": 40}
+    assert out["partition_stats_partitions"] == 1
+    cat = FileCatalog(warehouse=wh)
+    head = cat.load_table("t")
+    assert head.statistics_files and head.partition_statistics_files
