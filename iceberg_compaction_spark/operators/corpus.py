@@ -381,3 +381,30 @@ def temperature_mixture_sample(
         .where(b < F.col("__rate_ppm"))
         .drop("__rate_ppm")
     )
+
+
+def sample_exact_k(
+    df: DataFrame,
+    k: int,
+    id_col: str = "doc_id",
+    salt: str = "topk_",
+) -> DataFrame:
+    """Deterministic exactly-k sample without replacement: order rows
+    by a salted hash of the key and keep the k smallest — the
+    fixed-BUDGET companion to the rate-based samplers (rates give a
+    binomial-sized sample; an eval set or a human-review batch needs
+    exactly k rows, reproducibly, regardless of corpus growth).  Ties
+    are impossible for distinct keys (the full md5 hex is the sort
+    key) and the hash makes the pick uniform and independent of the
+    other samplers' salts.
+
+    Scale shape: ``orderBy(hash).limit(k)`` compiles to
+    TakeOrderedAndProject — a per-partition top-k merged on the driver,
+    never a global sort; the corpus is scanned once."""
+    h = F.md5(F.concat(F.lit(salt), F.col(id_col).cast("string")))
+    return (
+        df.withColumn("__h", h)
+        .orderBy("__h", id_col)
+        .limit(int(k))
+        .drop("__h")
+    )

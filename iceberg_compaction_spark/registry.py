@@ -4191,6 +4191,38 @@ def q_dml_snapshot_fork(spark, sf_dir):
 
 
 @register(
+    "sample_exact_k",
+    """
+    SELECT doc_id, source FROM (
+      SELECT doc_id, source,
+             md5('topk_' || CAST(doc_id AS VARCHAR)) AS h
+      FROM documents
+      ORDER BY h, doc_id
+      LIMIT 100
+    ) ORDER BY doc_id
+    """,
+)
+def q_sample_exact_k(spark, sf_dir):
+    """Deterministic exactly-k sampling (round 12; operators/corpus.py
+    sample_exact_k): the k smallest salted hashes — a fixed-budget,
+    reproducible uniform sample (eval sets, human-review batches) that
+    completes the sampling family next to the rate-based and stratified
+    samplers.  Membership is stable under corpus growth only in
+    expectation (new rows can displace old ones — that's what exact-k
+    means); the rate-based sampler is the growth-stable form.
+
+    Scale shape: orderBy(hash).limit(k) compiles to
+    TakeOrderedAndProject — per-partition top-k merged on the driver,
+    never a global sort; one corpus scan."""
+    from iceberg_compaction_spark.operators.corpus import sample_exact_k
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", "source"
+    )
+    return sample_exact_k(docs, k=100)
+
+
+@register(
     "emb_matryoshka",
     """
     WITH n AS (
