@@ -83,6 +83,7 @@ BENCH_QUERIES = [
     "v3_row_lineage",
     "pipeline_mixture_temperature",
     "emb_matryoshka",
+    "sample_exact_k",
 ]
 
 
