@@ -555,7 +555,7 @@ def compute_partition_stats(catalog, name: str, to_branch: str | None = None):
     }
     buf = pa.BufferOutputStream()
     pq.write_table(pa.table(cols), buf)
-    io.write_bytes(path, buf.getvalue().to_pybytes())
+    io.write_atomic(path, buf.getvalue().to_pybytes())
     entry = {
         "snapshot-id": analyzed_sid,
         "statistics-path": path,

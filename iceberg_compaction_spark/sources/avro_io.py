@@ -306,4 +306,6 @@ def write_avro_file(
     out.write(sync)
     from iceberg_compaction_spark.sources.fileio import fileio_for
 
-    fileio_for(path).write_bytes(path, out.getvalue())
+    # write_atomic (stage+rename on POSIX): a crashed writer can never
+    # leave a torn .avro at its final name (round-13 concurrency sweep)
+    fileio_for(path).write_atomic(path, out.getvalue())

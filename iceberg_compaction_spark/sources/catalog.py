@@ -26,6 +26,7 @@ from __future__ import annotations
 
 import contextlib
 import json
+import time
 from dataclasses import dataclass
 
 from iceberg_compaction_spark.sources.manifest import Manifest
@@ -157,9 +158,21 @@ class TableRefs:
             for n in io.listdir(mdir)
             if n.startswith("refs.v") and n.endswith(".json")
         ]
-        if ks:
-            k = max(ks)
-            return k, json.loads(io.read_bytes(self._refs_vpath(name, k)))
+        for k in sorted(ks, reverse=True):
+            # Tolerate a torn/empty NEWEST file as transient (retry
+            # once, then fall back to the previous version): the CAS
+            # primitive now links payloads atomically, but a warehouse
+            # written by an older engine — or a non-POSIX backend — may
+            # still hold a crashed writer's empty orphan, and a reader
+            # must never be bricked by it.  Older versions are immutable
+            # once written, so falling back is always consistent.
+            for _attempt in range(2):
+                try:
+                    return k, json.loads(
+                        io.read_bytes(self._refs_vpath(name, k))
+                    )
+                except (json.JSONDecodeError, FileNotFoundError):
+                    time.sleep(0.01)
         try:
             return 0, json.loads(io.read_bytes(self._refs_path(name)))
         except FileNotFoundError:

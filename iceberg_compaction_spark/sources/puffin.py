@@ -266,7 +266,7 @@ def write_puffin(
     out.write(PUFFIN_MAGIC)
     from iceberg_compaction_spark.sources.fileio import fileio_for
 
-    fileio_for(path).write_bytes(path, out.getvalue())
+    fileio_for(path).write_atomic(path, out.getvalue())
     return len(payload)
 
 
