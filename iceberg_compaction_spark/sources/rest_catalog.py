@@ -8,11 +8,17 @@ the public Iceberg REST catalog protocol (OpenAPI spec shipped with
 apache/iceberg, ``open-api/rest-catalog-open-api.yaml``) —
 
     GET  /v1/config
+    GET    /v1/namespaces                        (list namespaces)
+    POST   /v1/namespaces                        (create namespace)
+    GET    /v1/namespaces/{ns}                   (load namespace)
+    HEAD   /v1/namespaces/{ns}                   (namespace exists)
+    DELETE /v1/namespaces/{ns}                   (drop namespace)
     GET  /v1/namespaces/{ns}/tables              (list)
     POST /v1/namespaces/{ns}/tables              (create)
     GET  /v1/namespaces/{ns}/tables/{table}      (load)
     HEAD /v1/namespaces/{ns}/tables/{table}      (exists)
     POST /v1/namespaces/{ns}/tables/{table}      (commit)
+    POST /v1/transactions/commit                 (multi-table commit)
 
 with the spec's commit shape: a ``requirements`` list the server MUST
 validate atomically (we send ``assert-ref-snapshot-id`` on ``main``)
@@ -134,6 +140,8 @@ class RestCatalog:
             return TableNotFound(msg)
         if e.code == 409 and etype == "AlreadyExistsException":
             return TableAlreadyExists(msg)
+        if e.code == 409 and etype == "NamespaceNotEmptyException":
+            return ValueError(msg)
         if e.code == 409:  # CommitFailedException: CAS lost, retryable
             return CommitConflict(msg)
         if e.code == 400 and etype == "ValidationException":
@@ -146,6 +154,102 @@ class RestCatalog:
         """GET /v1/config — server capability/property handshake."""
         self.config = self._request("GET", self._url("config"))
         return self.config
+
+    # ---- namespace CRUD (spec: ListNamespaces / CreateNamespace /
+    # LoadNamespaceMetadata / DropNamespace) ------------------------------
+
+    def list_namespaces(self) -> list[str]:
+        out = self._request("GET", self._url("namespaces"))
+        return sorted(".".join(ns) for ns in out.get("namespaces", []))
+
+    def create_namespace(
+        self, ns: str | None = None, properties: dict | None = None
+    ) -> dict:
+        out = self._request(
+            "POST",
+            self._url("namespaces"),
+            {
+                "namespace": [ns or self.namespace],
+                "properties": properties or {},
+            },
+        )
+        return out.get("properties", {})
+
+    def load_namespace(self, ns: str | None = None) -> dict:
+        """Namespace properties; raises TableNotFound if absent."""
+        out = self._request(
+            "GET", self._url("namespaces", ns or self.namespace)
+        )
+        return out.get("properties", {})
+
+    def namespace_exists(self, ns: str | None = None) -> bool:
+        req = urllib.request.Request(
+            self._url("namespaces", ns or self.namespace), method="HEAD"
+        )
+        if self.token:
+            req.add_header("Authorization", f"Bearer {self.token}")
+        try:
+            with urllib.request.urlopen(req, timeout=self.timeout_s):
+                return True
+        except urllib.error.HTTPError as e:
+            if e.code == 404:
+                return False
+            raise self._to_error(e) from None
+
+    def drop_namespace(self, ns: str | None = None) -> None:
+        """DELETE the namespace; the server rejects a non-empty one
+        (spec NamespaceNotEmptyException -> ValueError here)."""
+        req = urllib.request.Request(
+            self._url("namespaces", ns or self.namespace), method="DELETE"
+        )
+        if self.token:
+            req.add_header("Authorization", f"Bearer {self.token}")
+        try:
+            with urllib.request.urlopen(req, timeout=self.timeout_s):
+                return
+        except urllib.error.HTTPError as e:
+            raise self._to_error(e) from None
+
+    # ---- multi-table transaction (spec: POST /v1/transactions/commit) --
+
+    def commit_transaction(
+        self, changes: "list[tuple[str, int, Manifest]]"
+    ) -> None:
+        """Atomically commit several tables in ONE server-side
+        transaction: every ``(name, expected_snapshot_id, manifest)``
+        either lands or none does.  The server validates every
+        requirement under one lock before applying any update — the
+        spec's CommitTransactionRequest semantics; a stale expectation
+        on ANY table raises retryable CommitConflict with NO table
+        changed."""
+        body = {
+            "table-changes": [
+                {
+                    "identifier": {
+                        "namespace": [self.namespace],
+                        "name": name,
+                    },
+                    "requirements": [
+                        {
+                            "type": "assert-ref-snapshot-id",
+                            "ref": MAIN_REF,
+                            "snapshot-id": expected,
+                        }
+                    ],
+                    "updates": [
+                        {
+                            "action": "add-snapshot",
+                            "snapshot": {
+                                "snapshot-id": m.snapshot_id,
+                                "summary": {_MANIFEST_KEY: m.to_dict()},
+                            },
+                        }
+                    ],
+                }
+                for (name, expected, m) in changes
+            ]
+        }
+        self._request("POST", self._url("transactions", "commit"), body)
 
     def list_tables(self) -> list[str]:
         out = self._request(
@@ -777,6 +881,9 @@ class _Handler(BaseHTTPRequestHandler):
     catalog: FileCatalog  # set by serve_rest_catalog
     lock: threading.Lock
     token: str | None
+    # namespace registry fallback for backings without a warehouse/_io
+    # (persisted registries live at <warehouse>/_rest_namespaces.json)
+    namespaces_mem: dict = {}
 
     # silence per-request stderr logging
     def log_message(self, *a):  # noqa: D102
@@ -835,6 +942,63 @@ class _Handler(BaseHTTPRequestHandler):
     def _route(self) -> tuple[str, ...]:
         return tuple(p for p in self.path.split("?")[0].split("/") if p)
 
+    # ---- namespaces ------------------------------------------------------
+    #
+    # The backing catalogs are flat (a warehouse of table directories),
+    # so the server owns the namespace layer: a registry persisted at
+    # ``<warehouse>/_rest_namespaces.json`` through the backing's FileIO
+    # (in-memory when the backing exposes no warehouse), and tables in a
+    # non-default namespace stored under the qualified name ``ns.table``.
+    # ``default`` always exists implicitly — existing single-namespace
+    # deployments keep their bare table names.  All namespace mutations
+    # run under the server lock (the same serialization the commit path
+    # gets), so no CAS is needed on the registry file itself.
+
+    DEFAULT_NS = "default"
+
+    def _ns_store(self):
+        wh = getattr(self.catalog, "warehouse", None)
+        io = getattr(self.catalog, "_io", None)
+        if wh is None or io is None:
+            return None, None
+        return io, io.join(wh, "_rest_namespaces.json")
+
+    def _namespaces(self) -> dict:
+        """{namespace: properties} — NOT including implicit 'default'."""
+        io, path = self._ns_store()
+        if io is None:
+            return dict(type(self).namespaces_mem)
+        try:
+            return json.loads(io.read_bytes(path))
+        except FileNotFoundError:
+            return {}
+
+    def _save_namespaces(self, d: dict) -> None:
+        io, path = self._ns_store()
+        if io is None:
+            type(self).namespaces_mem = dict(d)
+            return
+        io.makedirs(getattr(self.catalog, "warehouse"))
+        io.write_atomic(path, json.dumps(d, indent=1).encode())
+
+    def _ns_exists(self, ns: str) -> bool:
+        return ns == self.DEFAULT_NS or ns in self._namespaces()
+
+    def _qual(self, ns: str, table: str) -> str:
+        """Backing-catalog key for a table in a namespace."""
+        return table if ns == self.DEFAULT_NS else f"{ns}.{table}"
+
+    def _ns_tables(self, ns: str) -> list[str]:
+        """Table names (unqualified) living in ``ns``."""
+        all_tables = self.catalog.list_tables()
+        if ns != self.DEFAULT_NS:
+            pre = ns + "."
+            return sorted(
+                t[len(pre):] for t in all_tables if t.startswith(pre)
+            )
+        prefixes = tuple(n + "." for n in self._namespaces())
+        return sorted(t for t in all_tables if not t.startswith(prefixes))
+
     # ---- methods -------------------------------------------------------
 
     def do_GET(self):  # noqa: N802
@@ -843,23 +1007,40 @@ class _Handler(BaseHTTPRequestHandler):
         r = self._route()
         if r == ("v1", "config"):
             return self._send(200, {"defaults": {}, "overrides": {}})
+        if r == ("v1", "namespaces"):
+            names = [self.DEFAULT_NS, *sorted(self._namespaces())]
+            return self._send(200, {"namespaces": [[n] for n in names]})
+        if len(r) == 3 and r[:2] == ("v1", "namespaces"):
+            if not self._ns_exists(r[2]):
+                return self._error(
+                    404, "NoSuchNamespaceException", f"no namespace: {r[2]}"
+                )
+            props = self._namespaces().get(r[2], {})
+            return self._send(
+                200, {"namespace": [r[2]], "properties": props}
+            )
         if len(r) == 4 and r[:2] == ("v1", "namespaces") and r[3] == "tables":
+            if not self._ns_exists(r[2]):
+                return self._error(
+                    404, "NoSuchNamespaceException", f"no namespace: {r[2]}"
+                )
             ids = [
-                {"namespace": [r[2]], "name": t}
-                for t in self.catalog.list_tables()
+                {"namespace": [r[2]], "name": t} for t in self._ns_tables(r[2])
             ]
             return self._send(200, {"identifiers": ids})
         if len(r) == 5 and r[3] == "tables":
+            key = self._qual(r[2], r[4])
             try:
-                m = self.catalog.load_table(r[4])
+                m = self.catalog.load_table(key)
             except TableNotFound:
                 return self._error(
                     404, "NoSuchTableException", f"table not found: {r[4]}"
                 )
-            return self._send(200, self._load_payload(r[4], m))
+            return self._send(200, self._load_payload(key, m))
         if len(r) == 6 and r[3] == "tables" and r[5] == "snapshots":
+            key = self._qual(r[2], r[4])
             try:
-                ids = self.catalog.table_history(r[4])
+                ids = self.catalog.table_history(key)
             except TableNotFound:
                 return self._error(
                     404, "NoSuchTableException", f"table not found: {r[4]}"
@@ -871,7 +1052,7 @@ class _Handler(BaseHTTPRequestHandler):
             if parents_fn is not None:
                 try:
                     out["snapshot-parents"] = {
-                        str(k): v for k, v in parents_fn(r[4]).items()
+                        str(k): v for k, v in parents_fn(key).items()
                     }
                 except Exception:
                     pass
@@ -882,7 +1063,7 @@ class _Handler(BaseHTTPRequestHandler):
                     400, "BadRequestException", "backing has no ref support"
                 )
             try:
-                refs = self.catalog.list_refs(r[4])
+                refs = self.catalog.list_refs(self._qual(r[2], r[4]))
             except TableNotFound:
                 return self._error(
                     404, "NoSuchTableException", f"table not found: {r[4]}"
@@ -893,31 +1074,35 @@ class _Handler(BaseHTTPRequestHandler):
                 return self._error(
                     400, "BadRequestException", "backing has no ref support"
                 )
+            key = self._qual(r[2], r[4])
             try:
-                m = self.catalog.load_table_ref(r[4], r[6])
+                m = self.catalog.load_table_ref(key, r[6])
             except (TableNotFound, KeyError):
                 return self._error(
                     404, "NoSuchTableException", f"no such ref: {r[6]}"
                 )
-            return self._send(200, self._load_payload(r[4], m))
+            return self._send(200, self._load_payload(key, m))
         if len(r) == 7 and r[3] == "tables" and r[5] == "snapshots":
+            key = self._qual(r[2], r[4])
             try:
-                m = self.catalog.load_table_at(r[4], int(r[6]))
+                m = self.catalog.load_table_at(key, int(r[6]))
             except (TableNotFound, ValueError):
                 return self._error(
                     404,
                     "NoSuchTableException",
                     f"snapshot not found: {r[4]}@{r[6]}",
                 )
-            return self._send(200, self._load_payload(r[4], m))
+            return self._send(200, self._load_payload(key, m))
         return self._error(404, "NotFoundException", f"no route: {self.path}")
 
     def do_HEAD(self):  # noqa: N802
         if not self._authorized():
             return self._error(401, "NotAuthorizedException", "bad token")
         r = self._route()
+        if len(r) == 3 and r[:2] == ("v1", "namespaces"):
+            return self._send(204 if self._ns_exists(r[2]) else 404)
         if len(r) == 5 and r[3] == "tables":
-            if self.catalog.table_exists(r[4]):
+            if self.catalog.table_exists(self._qual(r[2], r[4])):
                 return self._send(204)
             return self._send(404)
         return self._send(404)
@@ -926,9 +1111,36 @@ class _Handler(BaseHTTPRequestHandler):
         if not self._authorized():
             return self._error(401, "NotAuthorizedException", "bad token")
         r = self._route()
+        if r == ("v1", "namespaces"):  # create namespace
+            body = self._body()
+            parts = body.get("namespace") or []
+            ns = ".".join(parts)
+            if not ns:
+                return self._error(
+                    400, "BadRequestException", "missing namespace"
+                )
+            with self.lock:
+                if self._ns_exists(ns):
+                    return self._error(
+                        409,
+                        "AlreadyExistsException",
+                        f"namespace exists: {ns}",
+                    )
+                d = self._namespaces()
+                d[ns] = body.get("properties") or {}
+                self._save_namespaces(d)
+            return self._send(
+                200, {"namespace": parts, "properties": d[ns]}
+            )
+        if r == ("v1", "transactions", "commit"):
+            return self._txn_commit(self._body())
         if len(r) == 4 and r[3] == "tables":  # create
             body = self._body()
-            name = body["name"]
+            if not self._ns_exists(r[2]):
+                return self._error(
+                    404, "NoSuchNamespaceException", f"no namespace: {r[2]}"
+                )
+            name = self._qual(r[2], body["name"])
             manifest = Manifest.from_dict(body["properties"][_MANIFEST_KEY])
             try:
                 created = self.catalog.create_table(name, manifest)
@@ -938,7 +1150,7 @@ class _Handler(BaseHTTPRequestHandler):
                 )
             return self._send(200, self._load_payload(name, created))
         if len(r) == 5 and r[3] == "tables":  # commit
-            return self._commit(r[4], self._body())
+            return self._commit(self._qual(r[2], r[4]), self._body())
         if len(r) == 6 and r[3] == "tables" and r[5] == "refs":
             if not hasattr(self.catalog, "create_tag"):
                 return self._error(
@@ -955,18 +1167,19 @@ class _Handler(BaseHTTPRequestHandler):
             } or None
             try:
                 with self.lock:
+                    key = self._qual(r[2], r[4])
                     if action == "create-tag":
                         out = self.catalog.create_tag(
-                            r[4], ref, sid, retention=retention
+                            key, ref, sid, retention=retention
                         )
                     elif action == "create-branch":
                         out = self.catalog.create_branch(
-                            r[4], ref, sid, retention=retention
+                            key, ref, sid, retention=retention
                         )
                     elif action == "fast-forward":
-                        out = self.catalog.fast_forward(r[4], ref, int(sid))
+                        out = self.catalog.fast_forward(key, ref, int(sid))
                     elif action == "drop":
-                        self.catalog.drop_ref(r[4], ref)
+                        self.catalog.drop_ref(key, ref)
                         out = None
                     else:
                         return self._error(
@@ -988,7 +1201,8 @@ class _Handler(BaseHTTPRequestHandler):
                 if action == "expire-snapshots":
                     with self.lock:
                         expired = self.catalog.expire_snapshots(
-                            r[4], int(body.get("keep-last", 2))
+                            self._qual(r[2], r[4]),
+                            int(body.get("keep-last", 2)),
                         )
                     return self._send(200, {"expired-snapshot-ids": expired})
                 if action == "remove-orphan-files":
@@ -1008,7 +1222,7 @@ class _Handler(BaseHTTPRequestHandler):
                     )
                     with self.lock:
                         removed = self.catalog.remove_orphan_files(
-                            r[4], older_than_s=grace
+                            self._qual(r[2], r[4]), older_than_s=grace
                         )
                     return self._send(200, {"removed": removed})
             except TableNotFound:
@@ -1019,6 +1233,153 @@ class _Handler(BaseHTTPRequestHandler):
                 400, "BadRequestException", f"unknown action: {action}"
             )
         return self._error(404, "NotFoundException", f"no route: {self.path}")
+
+    def do_DELETE(self):  # noqa: N802
+        if not self._authorized():
+            return self._error(401, "NotAuthorizedException", "bad token")
+        r = self._route()
+        if len(r) == 3 and r[:2] == ("v1", "namespaces"):
+            ns = r[2]
+            if ns == self.DEFAULT_NS:
+                return self._error(
+                    400,
+                    "ValidationException",
+                    "the default namespace cannot be dropped",
+                )
+            with self.lock:
+                if not self._ns_exists(ns):
+                    return self._error(
+                        404, "NoSuchNamespaceException", f"no namespace: {ns}"
+                    )
+                if self._ns_tables(ns):
+                    return self._error(
+                        409,
+                        "NamespaceNotEmptyException",
+                        f"namespace {ns} still holds tables",
+                    )
+                d = self._namespaces()
+                d.pop(ns, None)
+                self._save_namespaces(d)
+            return self._send(204)
+        return self._error(404, "NotFoundException", f"no route: {self.path}")
+
+    def _txn_commit(self, body: dict) -> None:
+        """POST /v1/transactions/commit — the spec's multi-table
+        transaction: validate EVERY table's requirement under one lock,
+        then apply every update; a stale expectation on any table fails
+        the whole transaction with nothing applied (409).
+
+        Atomicity argument: the server lock serializes all mutations
+        flowing through this server, so between phase-1 validation and
+        phase-2 application no competing server-side commit can land.
+        A phase-2 failure can therefore only come from an out-of-band
+        writer mutating the backing directly; the handler then unwinds
+        the versions it already applied (best-effort compensation) and
+        reports 500 CommitStateUnknownException per the spec."""
+        from iceberg_compaction_spark.commit import CommitConflict
+
+        changes = body.get("table-changes") or []
+        if not changes:
+            return self._error(
+                400, "BadRequestException", "empty table-changes"
+            )
+        parsed = []
+        seen: set = set()
+        for ch in changes:
+            ident = ch.get("identifier") or {}
+            ns = ".".join(ident.get("namespace") or [self.DEFAULT_NS])
+            name = self._qual(ns, ident.get("name", ""))
+            if not ident.get("name"):
+                return self._error(
+                    400, "BadRequestException", "change without identifier"
+                )
+            if name in seen:
+                return self._error(
+                    400,
+                    "ValidationException",
+                    f"duplicate table in transaction: {name}",
+                )
+            seen.add(name)
+            expected, target = None, MAIN_REF
+            for req in ch.get("requirements", []):
+                if req.get("type") == "assert-ref-snapshot-id":
+                    expected = req["snapshot-id"]
+                    target = req.get("ref") or MAIN_REF
+            manifest = None
+            for upd in ch.get("updates", []):
+                snap = (
+                    upd.get("snapshot")
+                    if upd.get("action") == "add-snapshot"
+                    else None
+                )
+                if snap and _MANIFEST_KEY in (snap.get("summary") or {}):
+                    manifest = Manifest.from_dict(
+                        snap["summary"][_MANIFEST_KEY]
+                    )
+            if expected is None or manifest is None:
+                return self._error(
+                    400,
+                    "BadRequestException",
+                    "each change needs assert-ref-snapshot-id + an "
+                    "add-snapshot carrying the engine manifest",
+                )
+            parsed.append((name, expected, manifest, target))
+        with self.lock:
+            # phase 1: validate every requirement; apply NOTHING yet
+            for name, expected, _m, target in parsed:
+                try:
+                    cur = (
+                        self.catalog.load_table_ref(name, target)
+                        if target != MAIN_REF
+                        else self.catalog.load_table(name)
+                    ).snapshot_id
+                except (TableNotFound, KeyError):
+                    return self._error(
+                        404,
+                        "NoSuchTableException",
+                        f"table not found: {name}",
+                    )
+                if cur != expected:
+                    return self._error(
+                        409,
+                        "CommitFailedException",
+                        f"{name}: ref {target!r} at {cur}, transaction "
+                        f"expected {expected} — no table changed",
+                    )
+            # phase 2: apply all (serialized by the lock)
+            applied: list = []
+            try:
+                for name, expected, m, target in parsed:
+                    kw = {"to_branch": target} if target != MAIN_REF else {}
+                    committed = self.catalog.commit_table(
+                        name, expected, m, **kw
+                    )
+                    applied.append((name, committed.snapshot_id))
+            except Exception as e:
+                self._txn_unwind(applied)
+                return self._error(
+                    500,
+                    "CommitStateUnknownException",
+                    f"transaction interrupted mid-apply ({e!r}); "
+                    f"applied versions unwound best-effort",
+                )
+        return self._send(204)
+
+    def _txn_unwind(self, applied: list) -> None:
+        """Best-effort compensation for a mid-apply transaction failure:
+        remove the version files the transaction already created (the
+        catalog head falls back to the prior version)."""
+        vpath = getattr(self.catalog, "_version_path", None) or getattr(
+            self.catalog, "_vpath", None
+        )
+        io = getattr(self.catalog, "_io", None)
+        if vpath is None or io is None:
+            return
+        for name, sid in reversed(applied):
+            try:
+                io.remove(vpath(name, sid))
+            except Exception:
+                pass
 
     def _commit(self, name: str, body: dict) -> None:
         from iceberg_compaction_spark.commit import CommitConflict
@@ -1183,7 +1544,12 @@ def serve_rest_catalog(
     handler = type(
         "_BoundHandler",
         (_Handler,),
-        {"catalog": backing, "lock": threading.Lock(), "token": token},
+        {
+            "catalog": backing,
+            "lock": threading.Lock(),
+            "token": token,
+            "namespaces_mem": {},
+        },
     )
     httpd = ThreadingHTTPServer((host, port), handler)
     thread = threading.Thread(target=httpd.serve_forever, daemon=True)

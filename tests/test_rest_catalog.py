@@ -1114,3 +1114,131 @@ def test_statistics_roundtrip_over_rest(spark, client, fragmented):
     assert len(back) == 1 and back[0]["data_record_count"] == 128
     # both stats commits were row-preserving replace snapshots
     assert head.operation == "replace"
+
+
+# ---------------------------------------------------------------------------
+# round 13: namespace CRUD + multi-table transactions (verdict task #4)
+# ---------------------------------------------------------------------------
+
+
+def test_namespace_lifecycle_over_http(client, fragmented):
+    """Create / list / load / exists / drop namespaces over the wire;
+    tables in distinct namespaces are isolated; a non-empty namespace
+    refuses to drop (spec NamespaceNotEmptyException)."""
+    assert client.list_namespaces() == ["default"]
+    client.create_namespace("analytics", properties={"owner": "data-eng"})
+    assert client.list_namespaces() == ["analytics", "default"]
+    assert client.namespace_exists("analytics")
+    assert not client.namespace_exists("nope")
+    assert client.load_namespace("analytics") == {"owner": "data-eng"}
+    with pytest.raises(TableAlreadyExists):
+        client.create_namespace("analytics")
+
+    # a table in the new namespace is invisible from default (and vice
+    # versa); same unqualified name can exist in both
+    ns_client = RestCatalog(uri=client.uri, namespace="analytics")
+    ns_client.create_table("t", fragmented)
+    client.create_table("t", fragmented)
+    assert ns_client.list_tables() == ["t"]
+    assert client.list_tables() == ["t"]
+    m2 = _bump_rest(ns_client.load_table("t"))
+    ns_client.commit_table("t", 1, m2)
+    assert ns_client.load_table("t").snapshot_id == 2
+    assert client.load_table("t").snapshot_id == 1  # default untouched
+
+    # non-empty -> 409 NamespaceNotEmptyException -> ValueError
+    with pytest.raises(ValueError):
+        client.drop_namespace("analytics")
+    # creating a table in a namespace that doesn't exist -> 404
+    ghost = RestCatalog(uri=client.uri, namespace="ghost")
+    with pytest.raises(TableNotFound):
+        ghost.create_table("t", fragmented)
+    # the default namespace cannot be dropped
+    with pytest.raises(ValueError):
+        client.drop_namespace("default")
+
+
+def test_drop_empty_namespace(client):
+    client.create_namespace("tmp")
+    assert client.namespace_exists("tmp")
+    client.drop_namespace("tmp")
+    assert not client.namespace_exists("tmp")
+    assert client.list_namespaces() == ["default"]
+
+
+def _bump_rest(base):
+    m = Manifest.from_dict(base.to_dict())
+    m.snapshot_id = base.snapshot_id + 1
+    m.sequence_number = base.sequence_number + 1
+    return m
+
+
+def test_transaction_commits_two_tables_atomically(client, fragmented):
+    """Both tables move in ONE transaction."""
+    client.create_table("a", fragmented)
+    client.create_table("b", fragmented)
+    client.commit_transaction(
+        [
+            ("a", 1, _bump_rest(client.load_table("a"))),
+            ("b", 1, _bump_rest(client.load_table("b"))),
+        ]
+    )
+    assert client.load_table("a").snapshot_id == 2
+    assert client.load_table("b").snapshot_id == 2
+
+
+def test_transaction_stale_requirement_changes_nothing(client, fragmented):
+    """A stale expectation on the SECOND table fails the whole
+    transaction with retryable CommitConflict and the FIRST table's
+    head unmoved — the 'both move or neither' guarantee."""
+    client.create_table("a", fragmented)
+    client.create_table("b", fragmented)
+    # advance b out from under the transaction's expectation
+    client.commit_table("b", 1, _bump_rest(client.load_table("b")))
+    with pytest.raises(CommitConflict):
+        client.commit_transaction(
+            [
+                ("a", 1, _bump_rest(client.load_table("a"))),
+                ("b", 1, _bump_rest(client.load_table("b"))),  # stale: b@2
+            ]
+        )
+    assert client.load_table("a").snapshot_id == 1  # nothing applied
+    assert client.load_table("b").snapshot_id == 2
+
+
+def test_transaction_over_hadoop_backing(tmp_path, fragmented):
+    """The multi-table transaction rides the full-fidelity tier too."""
+    from iceberg_compaction_spark.sources.iceberg_meta import (
+        IcebergHadoopCatalog,
+    )
+
+    backing = IcebergHadoopCatalog(warehouse=str(tmp_path / "wh"))
+    with serve_rest_catalog(backing) as srv:
+        c = RestCatalog(uri=srv.uri)
+        c.create_table("x", fragmented)
+        c.create_table("y", fragmented)
+        c.commit_transaction(
+            [
+                ("x", 1, _bump_rest(c.load_table("x"))),
+                ("y", 1, _bump_rest(c.load_table("y"))),
+            ]
+        )
+        assert c.load_table("x").snapshot_id == 2
+        assert c.load_table("y").snapshot_id == 2
+        # and a stale txn still changes nothing
+        with pytest.raises(CommitConflict):
+            c.commit_transaction(
+                [
+                    ("x", 2, _bump_rest(c.load_table("x"))),
+                    ("y", 1, _bump_rest(c.load_table("y"))),
+                ]
+            )
+        assert c.load_table("x").snapshot_id == 2
+        assert c.load_table("y").snapshot_id == 2
+
+
+def test_transaction_duplicate_table_rejected(client, fragmented):
+    client.create_table("a", fragmented)
+    m = _bump_rest(client.load_table("a"))
+    with pytest.raises(ValueError):
+        client.commit_transaction([("a", 1, m), ("a", 2, m)])
