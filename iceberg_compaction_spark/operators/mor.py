@@ -395,6 +395,15 @@ def rewrite_file_group(
         position_vector_df=position_vector_df,
         schema_fields=group.schema_fields,
         name_mapping=group.name_mapping,
+        # materialized v3 lineage columns live OUTSIDE the declared
+        # Iceberg schema; a declared-schema projection would silently
+        # drop them, so a lineage-keeping read requests them explicitly
+        # (name-matched; see read_data_files.extra_name_columns)
+        extra_name_columns=(
+            [(c, "long") for c in RESERVED_LINEAGE_COLS]
+            if keep_lineage and group.schema_fields
+            else None
+        ),
     )
     if table_columns is None:
         hidden = (

@@ -176,6 +176,7 @@ def theta_sketch_columns(
     lg_k = th.DEFAULT_LG_K if lg_k is None else lg_k
     k = 1 << lg_k
     types = {}
+    tz_sensitive = {}
     for f_ in df.schema.fields:
         if f_.name in columns:
             t = _SPARK_TO_ICEBERG.get(f_.dataType.typeName())
@@ -185,11 +186,22 @@ def theta_sketch_columns(
                     f"type {f_.dataType.simpleString()}"
                 )
             types[f_.name] = t
+            # Spark's TimestampType (instant semantics) arrives in
+            # mapInPandas as tz-NAIVE values rendered in the SESSION
+            # timezone — hashing their micros directly would shift every
+            # instant by the session offset relative to Iceberg's UTC
+            # single-value serialization (ADVICE r12).  timestamp_ntz is
+            # wall-clock and must NOT be shifted.
+            tz_sensitive[f_.name] = f_.dataType.typeName() == "timestamp"
     missing = [c for c in columns if c not in types]
     if missing:
         raise ValueError(f"columns not in table schema: {missing}")
+    session_tz = (
+        df.sparkSession.conf.get("spark.sql.session.timeZone", "UTC")
+        or "UTC"
+    )
 
-    def _hash_batch(series: "pd.Series", ice_type: str):
+    def _hash_batch(series: "pd.Series", ice_type: str, localize: bool):
         import numpy as np
 
         s = series.dropna()
@@ -200,6 +212,20 @@ def theta_sketch_columns(
                 dt = pd.DatetimeIndex(pd.to_datetime(s))
                 if dt.tz is not None:
                     dt = dt.tz_convert("UTC").tz_localize(None)
+                elif localize:
+                    # naive instant values are in the session tz:
+                    # interpret there, take UTC micros.  DST-ambiguous /
+                    # nonexistent wall times lost their offset in the
+                    # naive rendering — drop them (NaT) rather than
+                    # crash the stats job or hash a guessed instant.
+                    dt = (
+                        dt.tz_localize(
+                            session_tz, ambiguous="NaT", nonexistent="NaT"
+                        )
+                        .tz_convert("UTC")
+                        .tz_localize(None)
+                    )
+                    dt = dt[~dt.isna()]
                 vals = dt.asi8 // 1000  # ns -> micros (single-value ser)
             else:
                 vals = s.to_numpy(dtype=np.int64)
@@ -226,7 +252,7 @@ def theta_sketch_columns(
         for pdf in batches:
             out_c, out_h = [], []
             for c in cols:
-                hs = _hash_batch(pdf[c], types[c])
+                hs = _hash_batch(pdf[c], types[c], tz_sensitive[c])
                 hs = hs[hs != 0]
                 if hs.size > k + 1:  # map-side combine: k+1 smallest
                     hs = np.partition(hs, k)[: k + 1]
@@ -325,7 +351,16 @@ def compute_table_stats(
                 # "ndv" is the property the Iceberg puffin spec names;
                 # "column" is ours — engine-native tables have no
                 # field-id schema, so the reader resolves names by it
-                "properties": {"ndv": str(ndv[c]), "column": c},
+                # "lg-k" carries the sketch's true nominal size
+                # OUTSIDE the blob: serialize() stays byte-identical to
+                # datasketches-java (which writes lgNomLongs=0 in
+                # compact images), and read-back recovers the right k
+                # for later unions (ADVICE r12)
+                "properties": {
+                    "ndv": str(ndv[c]),
+                    "column": c,
+                    "lg-k": str(sk.lg_k),
+                },
                 "data": sk.serialize(),
             }
         )
@@ -333,6 +368,16 @@ def compute_table_stats(
         path, blobs, {"created-by": "iceberg-compaction-spark theta"}
     )
     entry = {
+        # stamped with the COMMITTED snapshot's id inside attempt():
+        # spec readers (Spark/Trino CBO) select statistics whose
+        # snapshot-id equals the CURRENT snapshot, and this engine's
+        # registration commit itself creates a snapshot — stamping the
+        # analyzed id would leave the entry permanently one behind the
+        # head (ADVICE r12).  The registration is a row-preserving
+        # "replace" (data identical between analyzed and committed
+        # snapshots), so the NDV is exactly as valid for the committed
+        # one; the analyzed id stays readable in STATS_SNAPSHOT_PROP
+        # and each blob's own snapshot-id.
         "snapshot-id": analyzed_sid,
         "statistics-path": path,
         "file-size-in-bytes": io.size(path),
@@ -348,11 +393,14 @@ def compute_table_stats(
         new.snapshot_id = cur.next_snapshot()
         new.sequence_number = cur.sequence_number  # rows unchanged
         new.operation = "replace"
-        # replace any prior registration for the analyzed snapshot, and
-        # prune registrations whose snapshot has been EXPIRED — their
-        # files then age out through the orphan sweep (Iceberg's
-        # expireSnapshots drops expired snapshots' statistics the same
-        # way; here the next stats run is the tidy point)
+        entry["snapshot-id"] = new.snapshot_id
+        # retention: prune registrations whose snapshot has been
+        # EXPIRED — their files then age out through the orphan sweep
+        # (Iceberg's expireSnapshots drops expired snapshots'
+        # statistics the same way; here the next stats run is the tidy
+        # point).  Entries otherwise accumulate one per registration
+        # snapshot, exactly like Iceberg's one-StatisticsFile-per-
+        # snapshot model; read_table_ndv merges them latest-wins.
         try:
             alive = set(catalog.table_history(name))
         except Exception:
@@ -360,8 +408,7 @@ def compute_table_stats(
         new.statistics_files = [
             s
             for s in (cur.statistics_files or [])
-            if s.get("snapshot-id") != analyzed_sid
-            and (alive is None or s.get("snapshot-id") in alive)
+            if alive is None or s.get("snapshot-id") in alive
         ] + [entry]
         props = dict(new.properties or {})
         props[STATS_SNAPSHOT_PROP] = str(analyzed_sid)
@@ -379,6 +426,11 @@ def read_table_ndv(manifest) -> dict[str, float]:
     from iceberg_compaction_spark.sources.puffin import read_puffin_blobs
     from iceberg_compaction_spark.sources.theta import ThetaSketch
 
+    def th_default_lg_k() -> int:
+        from iceberg_compaction_spark.sources.theta import DEFAULT_LG_K
+
+        return DEFAULT_LG_K
+
     id_to_name = {
         f["id"]: f["name"] for f in (manifest.schema_fields or [])
     }
@@ -387,7 +439,11 @@ def read_table_ndv(manifest) -> dict[str, float]:
         for meta, data in read_puffin_blobs(
             entry["statistics-path"], THETA_BLOB_TYPE
         ):
-            sk = ThetaSketch.deserialize(data)
+            props_ = meta.get("properties", {})
+            sk = ThetaSketch.deserialize(
+                data,
+                lg_k=int(props_.get("lg-k") or th_default_lg_k()),
+            )
             fid = (meta.get("fields") or [None])[0]
             name_ = id_to_name.get(
                 fid, meta.get("properties", {}).get("column", fid)

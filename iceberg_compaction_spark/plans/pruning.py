@@ -360,9 +360,24 @@ def parse_where(where: str) -> list[ColumnPredicate]:
         out.append("".join(buf))
         return out
 
-    if any(
-        len(_split_outside_quotes(part, "OR")) > 1 or "(" in part
-        for part in [where]
+    def _has_paren_outside_quotes(s: str) -> bool:
+        # same quote tracking as the AND/OR splitter: a '(' INSIDE a
+        # quoted value (name = 'foo (bar)') is data, not grouping
+        # (ADVICE r12)
+        q = None
+        for ch in s:
+            if q:
+                if ch == q:
+                    q = None
+            elif ch in ("'", '"'):
+                q = ch
+            elif ch == "(":
+                return True
+        return False
+
+    if (
+        len(_split_outside_quotes(where, "OR")) > 1
+        or _has_paren_outside_quotes(where)
     ):
         raise ValueError(
             f"unsupported where clause {where!r}: only AND-joined "

@@ -180,6 +180,38 @@ def sv_decode(b: bytes, ice_type: str):
     return None
 
 
+# footer-probe memo for _has_materialized_row_id: Iceberg data files
+# are immutable once written, so a path's verdict never changes
+_ROW_ID_COL_CACHE: dict[str, bool] = {}
+
+
+def _has_materialized_row_id(path: str) -> bool:
+    """Does this parquet file carry a materialized ``_row_id`` column?
+
+    Used to recover the engine's lineage state from spec-valid wire
+    metadata: a lineage-preserving rewrite writes ``first_row_id`` as
+    NULL in the Avro entry (the spec's encoding — the materialized
+    column takes read precedence), and this probe tells the loader the
+    file's ids live in the column (engine marker -1) rather than being
+    synthesizable.  Footer-only read (~KB), memoized by path, and only
+    ever called for null-first-row-id files in v3 lineage tables — at
+    100 TB that's exactly the compacted files of a lineage table, once
+    per driver process."""
+    hit = _ROW_ID_COL_CACHE.get(path)
+    if hit is None:
+        import pyarrow.parquet as _pq
+
+        from iceberg_compaction_spark.sources.fileio import fileio_for
+
+        try:
+            with fileio_for(path).open_input(path) as f:
+                hit = "_row_id" in _pq.read_schema(f).names
+        except Exception:
+            hit = False
+        _ROW_ID_COL_CACHE[path] = hit
+    return hit
+
+
 def load_iceberg_table(
     path: str, snapshot_id: int | None = None
 ) -> Manifest:
@@ -236,6 +268,11 @@ def load_iceberg_table(
     pos_deletes: list[tuple[DeleteFile, tuple]] = []
     eq_deletes: list[tuple[DeleteFile, tuple]] = []
 
+    lineage_active = (
+        int(md.get("format-version", 2)) >= 3
+        and int(md.get("next-row-id", 0)) > 0
+    )
+
     _schema, mf_entries = read_avro_file(
         _local_path(snapshot["manifest-list"])
     )
@@ -256,6 +293,17 @@ def load_iceberg_table(
             path_local = _local_path(df["file_path"])
             if content == _CONTENT_DATA:
                 bounds, nulls = _decode_stats(df)
+                # v3 row lineage (field 142); foreign manifests without
+                # the field read as None (no lineage).  A NULL in an
+                # active-lineage v3 table is either a materialized-
+                # column file (this engine's rewrites — recover the -1
+                # marker via footer probe) or genuine spec inheritance
+                # (unimplemented here; reads as no-lineage, same as
+                # before).
+                frid = df.get("first_row_id")
+                if frid is None and lineage_active:
+                    if _has_materialized_row_id(path_local):
+                        frid = -1
                 tasks.append(
                     FileScanTask(
                         data_file_path=path_local,
@@ -266,9 +314,7 @@ def load_iceberg_table(
                         partition=part,
                         column_bounds=bounds,
                         null_counts=nulls,
-                        # v3 row lineage (field 142); foreign manifests
-                        # without the field read as None (no lineage)
-                        first_row_id=df.get("first_row_id"),
+                        first_row_id=frid,
                     )
                 )
             elif content == _CONTENT_POS_DELETES:
@@ -641,7 +687,17 @@ def _write_snapshot_avro(
                 "file_size_in_bytes": t.file_size_in_bytes,
                 **_stats_fields(t),
                 "equality_ids": None,
-                "first_row_id": t.first_row_id,
+                # The engine's materialized-lineage marker (-1) is not a
+                # spec-valid row id: write NULL on the wire.  Spec
+                # readers stay correct either way — these files carry a
+                # fully-populated materialized ``_row_id`` column, which
+                # per the v3 spec takes precedence over
+                # first_row_id + position synthesis (ADVICE r12,
+                # medium).  Our own loader recovers the marker with a
+                # footer probe (see ``_has_materialized_row_id``).
+                "first_row_id": (
+                    None if t.first_row_id == -1 else t.first_row_id
+                ),
             },
         )
         for t in manifest.data_files

@@ -186,6 +186,7 @@ def read_data_files(
     position_vector_df: DataFrame | None = None,
     schema_fields: list[dict] | None = None,
     name_mapping: dict[int, tuple] | None = None,
+    extra_name_columns: list[tuple] | None = None,
 ) -> DataFrame:
     """Read parquet data files, appending the hidden MOR columns.
 
@@ -248,6 +249,22 @@ def read_data_files(
         )
 
         st = struct_with_field_ids(schema_fields, nested=True)
+        if st is not None and extra_name_columns:
+            # Engine-written auxiliary columns OUTSIDE the declared
+            # Iceberg schema (e.g. materialized v3 lineage columns):
+            # appended WITHOUT field-id metadata, so Spark's reader
+            # matches them by NAME while the declared fields keep id
+            # resolution — mixed matching is per-field (verified
+            # empirically; fields lacking parquet.field.id metadata
+            # fall back to name lookup).
+            from pyspark.sql.types import StructField as _SF
+            from pyspark.sql.types import StructType as _ST
+            from pyspark.sql.types import _parse_datatype_string as _pds
+
+            st = _ST(
+                [*st.fields]
+                + [_SF(n, _pds(t), nullable=True) for n, t in extra_name_columns]
+            )
         if st is not None:
             # Which files actually carry parquet field ids?  One footer
             # metadata read per file at PLAN time — the same cost class

@@ -257,15 +257,25 @@ class ThetaSketch:
         return self._trim(s, theta)
 
     def union(self, other: "ThetaSketch") -> "ThetaSketch":
-        """Theta union: min(theta), keep survivors, re-trim to k."""
-        if other.seed != self.seed or other.lg_k != self.lg_k:
-            raise ValueError("union of incompatible sketches")
+        """Theta union: min(theta), keep survivors, re-trim to k.
+
+        Mixed-k unions are valid theta algebra (DataSketches unions
+        accept any k and trim to the union gadget's k): the result uses
+        min(k), which keeps the estimate unbiased — only seeds must
+        match (different seeds hash the same value differently, so
+        their hash sets are incomparable)."""
+        if other.seed != self.seed:
+            raise ValueError("union of incompatible sketches (seed)")
         theta = min(self.theta, other.theta)
         s = {h for h in self.hashes if h < theta}
         s.update(h for h in other.hashes if h < theta)
-        return self._trim(s, theta)
+        out = ThetaSketch(
+            lg_k=min(self.lg_k, other.lg_k), seed=self.seed, theta=theta
+        )
+        return out._trim(s, theta)
 
     def _trim(self, s: set, theta: int) -> "ThetaSketch":
+        """Re-trim a survivor set to THIS sketch's k."""
         if len(s) > self.k:
             ordered = sorted(s)
             theta = min(theta, ordered[self.k])
@@ -321,9 +331,25 @@ class ThetaSketch:
     ) -> "ThetaSketch":
         if len(blob) < 8:
             raise ValueError("theta blob too short")
-        pre_longs, ser_ver, family, _, _, flags, seed_hash = struct.unpack_from(
-            "<BBBBBBH", blob, 0
-        )
+        (
+            pre_longs,
+            ser_ver,
+            family,
+            lg_nom,
+            _,
+            flags,
+            seed_hash,
+        ) = struct.unpack_from("<BBBBBBH", blob, 0)
+        # Recover the true k when the image carries it: this engine's
+        # serialize() stays byte-identical to datasketches-java (byte 3
+        # = 0, proven in test_theta.py), so lg_k rides OUTSIDE the blob
+        # as a puffin/statistics property — but sketches from writers
+        # that do stamp lgNomLongs (datasketches-C++ update images)
+        # round-trip their own k; 0 falls back to the caller's lg_k
+        # (ADVICE r12 — a non-default-k sketch used to round-trip with
+        # the wrong k and then fail or mis-trim in union()).
+        if lg_nom:
+            lg_k = lg_nom
         if ser_ver != _SER_VER or family != _FAMILY_COMPACT:
             raise ValueError(
                 f"not a compact theta sketch (serVer={ser_ver}, "

@@ -349,3 +349,74 @@ def test_stream_read_rejects_row_lineage(spark, tmp_path):
     ds = IcebergTableDataSource(options=opts)
     with pytest.raises(ValueError, match="batch-read"):
         ds.streamReader(None)
+
+
+def test_materialized_lineage_spec_wire_null_and_recovery(spark, tmp_path):
+    """ADVICE r12 (medium): a lineage-preserving rewrite must NOT write
+    the engine's -1 marker into Avro field 142 — the v3 spec encodes
+    that state as null (the materialized ``_row_id`` column takes read
+    precedence).  The wire carries null; our loader recovers the -1
+    marker via the footer probe; the (key -> _row_id) mapping survives
+    the full hadoop round trip."""
+    from iceberg_compaction_spark.sources.avro_io import read_avro_file
+    from iceberg_compaction_spark.sources.iceberg_meta import (
+        IcebergHadoopCatalog,
+    )
+
+    root = str(tmp_path / "hd")
+    os.makedirs(root)
+    for i in range(3):
+        ids = list(range(i * 10, i * 10 + 10))
+        pq.write_table(
+            pa.table(
+                {
+                    "id": pa.array(ids, type=pa.int64()),
+                    "val": pa.array([f"v{j}" for j in ids]),
+                }
+            ),
+            os.path.join(root, f"f{i}.parquet"),
+        )
+    m = Manifest.from_parquet_dir(root)
+    m.format_version = 3
+    cat = IcebergHadoopCatalog(warehouse=str(tmp_path / "hwh"))
+    cat.create_table("t", m)
+    before = {
+        r["id"]: r["_row_id"]
+        for r in read_table_mor_with_lineage(spark, cat.load_table("t"))
+        .select("id", "_row_id")
+        .collect()
+    }
+    c = Compaction(spark, CompactionConfig.small_files())
+    m2, _stats = c.compact_catalog(cat, "t")
+    assert m2.data_files[0].first_row_id == -1
+
+    # the WIRE value is spec-valid null, not -1
+    _loc, md = cat.current_metadata("t")
+    snap = next(
+        s
+        for s in md["snapshots"]
+        if s["snapshot-id"] == md["current-snapshot-id"]
+    )
+    _s, mf_entries = read_avro_file(snap["manifest-list"])
+    wire_frids = []
+    for mf in mf_entries:
+        _s2, entries = read_avro_file(mf["manifest_path"])
+        for e in entries:
+            if e["data_file"].get("content", 0) == 0:
+                wire_frids.append(e["data_file"].get("first_row_id"))
+    assert wire_frids == [None]
+
+    # a FRESH load (new process state: clear the probe memo) recovers
+    # the marker from the parquet footer and the mapping is intact
+    from iceberg_compaction_spark.sources import iceberg_meta as im
+
+    im._ROW_ID_COL_CACHE.clear()
+    loaded = cat.load_table("t")
+    assert loaded.data_files[0].first_row_id == -1
+    after = {
+        r["id"]: r["_row_id"]
+        for r in read_table_mor_with_lineage(spark, loaded)
+        .select("id", "_row_id")
+        .collect()
+    }
+    assert after == before

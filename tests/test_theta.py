@@ -287,9 +287,13 @@ def test_compute_table_stats_end_to_end(spark, tmp_path):
     assert head.operation == "replace"
     assert read_table_mor(spark, head).count() == before
     [entry] = head.statistics_files
-    assert entry["snapshot-id"] == manifest.snapshot_id - 1 or entry[
-        "snapshot-id"
-    ] < manifest.snapshot_id
+    # spec readers select statistics by CURRENT snapshot-id, so the
+    # entry is stamped with the registration commit's own snapshot
+    # (ADVICE r12); the analyzed id stays in STATS_SNAPSHOT_PROP
+    assert entry["snapshot-id"] == head.snapshot_id
+    assert head.properties["stats.snapshot-id"] == str(
+        manifest.snapshot_id - 1
+    )
     path = entry["statistics-path"]
     assert os.path.exists(path)
     assert entry["file-size-in-bytes"] == os.path.getsize(path)
@@ -609,3 +613,72 @@ def test_partition_stats_cross_partition_delete_file(spark, tmp_path):
     assert all(
         r["position_delete_record_count"] >= 0 for r in rows.values()
     )
+
+
+def test_timestamp_sketch_is_session_tz_invariant_and_utc_exact(spark):
+    """ADVICE r12: TimestampType values arrive in mapInPandas tz-naive
+    in the SESSION timezone; hashing their micros unshifted diverges
+    from Iceberg's UTC single-value serialization under any non-UTC
+    session tz.  Fixed instants must produce the identical sketch under
+    any session tz, and that sketch must equal a driver build over the
+    true UTC micros (the datasketches/Iceberg wire contract)."""
+    import datetime as _dt
+
+    instants = [
+        _dt.datetime(2024, 6, 1, 12, 0, i, tzinfo=_dt.timezone.utc)
+        for i in range(50)
+    ]
+    utc_micros = np.array(
+        [int(t.timestamp() * 1_000_000) for t in instants], dtype=np.int64
+    )
+    expected = ThetaSketch(lg_k=10).update_hashes(
+        hash_longs_vec(utc_micros)
+    )
+    old_tz = spark.conf.get("spark.sql.session.timeZone")
+    try:
+        sketches = {}
+        for tz in ("UTC", "America/New_York", "Asia/Tokyo"):
+            spark.conf.set("spark.sql.session.timeZone", tz)
+            df = spark.createDataFrame(
+                [(t,) for t in instants], "ts timestamp"
+            )
+            sketches[tz] = theta_sketch_columns(df, ["ts"], lg_k=10)["ts"]
+    finally:
+        spark.conf.set("spark.sql.session.timeZone", old_tz)
+    for tz, sk in sketches.items():
+        assert sk.serialize() == expected.serialize(), tz
+
+
+def test_nondefault_lg_k_roundtrips_through_statistics_file(spark, tmp_path):
+    """ADVICE r12: a sketch built with non-default k used to round-trip
+    with the wrong k (the blob stays byte-identical to java, so lg-k
+    rides as a blob property) — read back and union with another
+    sketch of the same k without error or mis-trim."""
+    cat = _table(tmp_path)
+    compute_table_stats(spark, cat, "t", columns=["id"], lg_k=10)
+    head = cat.load_table("t")
+    [entry] = head.statistics_files
+    [bm] = entry["blob-metadata"]
+    assert bm["properties"]["lg-k"] == "10"
+    from iceberg_compaction_spark.sources.puffin import read_puffin_blobs
+    from iceberg_compaction_spark.operators.stats import THETA_BLOB_TYPE
+
+    [(meta, data)] = list(
+        read_puffin_blobs(entry["statistics-path"], THETA_BLOB_TYPE)
+    )
+    sk = ThetaSketch.deserialize(
+        data, lg_k=int(meta["properties"]["lg-k"])
+    )
+    assert sk.lg_k == 10
+    other = ThetaSketch(lg_k=10).update_hashes(
+        hash_longs_vec(np.arange(5000, dtype=np.int64))
+    )
+    merged = sk.union(other)
+    assert merged.lg_k == 10
+    assert len(merged.hashes) <= merged.k
+    # mixed-k union is valid theta algebra: trims to min(k)
+    small = ThetaSketch(lg_k=8).update_hashes(
+        hash_longs_vec(np.arange(3000, dtype=np.int64))
+    )
+    mixed = merged.union(small)
+    assert mixed.lg_k == 8 and len(mixed.hashes) <= mixed.k
