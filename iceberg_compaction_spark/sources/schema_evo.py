@@ -139,6 +139,18 @@ def iceberg_type_to_spark(t, nested: bool = False):
         )
     if not isinstance(t, str):
         return None
+    if t == "variant":
+        # v3 variant: the spec's physical group — two binary fields in
+        # the open variant binary encoding (operators/variant_ops.py).
+        # Children are NOT field-id addressed (the spec gives the
+        # variant ONE id); name-matched within the struct.
+        if not nested:
+            return None
+        from iceberg_compaction_spark.operators.variant_ops import (
+            VARIANT_SPARK_TYPE,
+        )
+
+        return VARIANT_SPARK_TYPE
     if t in _PRIMITIVE_TO_SPARK:
         return _PRIMITIVE_TO_SPARK[t]
     if t.startswith("decimal(") and t.endswith(")"):
@@ -219,6 +231,14 @@ def iceberg_type_to_arrow(t):
         kt = iceberg_type_to_arrow(t.get("key"))
         vt = iceberg_type_to_arrow(t.get("value"))
         return pa.map_(kt, vt) if kt is not None and vt is not None else None
+    if t == "variant":
+        # v3 variant physical group (see iceberg_type_to_spark)
+        return pa.struct(
+            [
+                pa.field("metadata", pa.binary(), nullable=True),
+                pa.field("value", pa.binary(), nullable=True),
+            ]
+        )
     m = {
         "boolean": pa.bool_(),
         "int": pa.int32(),

@@ -79,6 +79,14 @@ TRACKED = [
     # the classifier's explode + broadcast-vocab join + doc aggregate
     "stats_theta_ndv",
     "text_classifier_score",
+    # round 13 (VERDICT r12 #7): the v3 lineage read — scan-shaped
+    # (hidden-pos scan + inlined literal-map id synthesis; the fixture
+    # compacts once per sf_dir so the timed read covers BOTH the
+    # materialized-column and synthesized classes) — and the snapshot
+    # fork's MOR read, which must stay priced by the FORK's data, not
+    # the source table's history
+    "v3_row_lineage",
+    "dml_snapshot_fork",
 ]
 
 

@@ -1,0 +1,277 @@
+"""Iceberg v3 VARIANT columns (operators/variant_ops.py).
+
+Interop is the point: the engine's variant payloads use pyspark's
+PUBLIC pure-Python codec for the open variant binary encoding, and the
+tests here prove byte-compatibility against Spark's JVM-side
+``parse_json`` / ``variant_get`` / ``to_json(variant)`` — the same
+encoding Iceberg v3 specifies for variant columns.  The physical
+layout is the spec's ``struct<metadata: binary, value: binary>`` group
+(annotation-less so pyarrow footer probes keep working; see the module
+doc), and the field-id evolution test proves a variant column renames
+metadata-only like any other field.
+"""
+
+import os
+
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+from pyspark.sql import functions as F
+
+from iceberg_compaction_spark.operators.variant_ops import (
+    VARIANT_SPARK_TYPE,
+    json_to_variant,
+    variant_get_path,
+    variant_to_json,
+)
+
+JS = [
+    '{"a": 1, "b": {"c": [10, 20], "d": "x"}, "e": true, "f": 2.5}',
+    '{"a": -7, "b": {"c": [], "d": "y (z)"}, "e": false}',
+    '{"a": 0, "g": null}',
+    "[1, 2, 3]",
+    '"bare string"',
+    "42",
+    None,
+]
+
+
+@pytest.fixture()
+def vdf(spark):
+    df = spark.createDataFrame([(j,) for j in JS], "j string")
+    return json_to_variant(df, "j", "v")
+
+
+def test_encoding_is_byte_compatible_with_jvm_parse_json(spark, vdf):
+    """Our (metadata, value) pairs must equal what the JVM's parse_json
+    produces for the same JSON — the encoding is one spec."""
+    ours = {
+        r["j"]: (
+            bytes(r["v"]["metadata"]) if r["v"]["metadata"] else None,
+            bytes(r["v"]["value"]) if r["v"]["value"] else None,
+        )
+        for r in vdf.collect()
+    }
+    jvm = {
+        r["j"]: r["pv"]
+        for r in spark.createDataFrame([(j,) for j in JS if j], "j string")
+        .select("j", F.parse_json("j").alias("pv"))
+        .collect()
+    }
+    for j, v in jvm.items():
+        assert ours[j] == (bytes(v.metadata), bytes(v.value)), j
+    assert ours[None] == (None, None)
+
+
+def test_variant_to_json_matches_jvm_rendering(spark, vdf):
+    got = {r["j"]: r["json"] for r in variant_to_json(vdf, "v").collect()}
+    want = {
+        r["j"]: r["js"]
+        for r in spark.createDataFrame([(j,) for j in JS if j], "j string")
+        .select("j", F.to_json(F.parse_json("j")).alias("js"))
+        .collect()
+    }
+    for j, js in want.items():
+        assert got[j] == js, j
+    assert got[None] is None
+
+
+def test_variant_get_path_matches_native_variant_get(spark, vdf):
+    """Path extraction semantics == Spark's native variant_get over
+    the same variants (try semantics: missing path -> NULL)."""
+    cases = [
+        ("$.a", "long"),
+        ("$.b.c[1]", "long"),
+        ("$.b.d", "string"),
+        ("$.e", "boolean"),
+        ("$.f", "double"),
+        ("$.missing.deep", "string"),
+        ("$[0]", "long"),
+    ]
+    native = spark.createDataFrame(
+        [(j,) for j in JS if j], "j string"
+    ).select("j", F.parse_json("j").alias("pv"))
+    for path, t in cases:
+        ours = {
+            r["j"]: r["out"]
+            for r in variant_get_path(vdf, "v", path, t, "out").collect()
+        }
+        want = {
+            r["j"]: r["out"]
+            for r in native.select(
+                "j", F.try_variant_get("pv", path, t).alias("out")
+            ).collect()
+        }
+        for j, val in want.items():
+            assert ours[j] == val, (path, t, j)
+        assert ours[None] is None, (path, t)
+
+
+def test_invalid_json_encodes_null(spark):
+    df = spark.createDataFrame([("not json",), ("{broken",)], "j string")
+    rows = json_to_variant(df, "j", "v").collect()
+    assert all(r["v"]["metadata"] is None for r in rows)
+
+
+def test_variant_path_grammar():
+    from iceberg_compaction_spark.operators.variant_ops import _parse_path
+
+    assert _parse_path("$.a.b[2].c") == ["a", "b", 2, "c"]
+    assert _parse_path("$[0][1]") == [0, 1]
+    with pytest.raises(ValueError):
+        _parse_path("a.b")
+    with pytest.raises(ValueError):
+        _parse_path("$.a[b]")
+
+
+def test_variant_column_field_id_rename_roundtrip(spark, tmp_path):
+    """A variant column in the declared Iceberg schema: stored as the
+    spec's binary group, readable after a field-id RENAME (metadata-only
+    evolution), payload intact through MOR."""
+    from iceberg_compaction_spark.plans.datamodel import FileScanTask
+    from iceberg_compaction_spark.sources import schema_evo as se
+    from iceberg_compaction_spark.sources.ingest import read_table_mor
+    from iceberg_compaction_spark.sources.manifest import Manifest
+
+    # the spark->parquet write of our struct carries top-level ids
+    root = str(tmp_path / "vt")
+    os.makedirs(root)
+    df = spark.createDataFrame(
+        [(i, JS[i % 3]) for i in range(6)], "id long, j string"
+    )
+    v = json_to_variant(df, "j", "payload").select("id", "payload")
+    pdf = v.toPandas()
+    arrow_schema = se.arrow_schema_with_ids(
+        pa.schema(
+            [
+                pa.field("id", pa.int64()),
+                pa.field(
+                    "payload",
+                    pa.struct(
+                        [
+                            pa.field("metadata", pa.binary()),
+                            pa.field("value", pa.binary()),
+                        ]
+                    ),
+                ),
+            ]
+        ),
+        {"id": 1, "payload": 2},
+    )
+    path = os.path.join(root, "a.parquet")
+    pq.write_table(
+        pa.Table.from_pandas(pdf, schema=arrow_schema), path
+    )
+
+    fields_v1 = [
+        {"id": 1, "name": "id", "type": "long", "required": True},
+        {"id": 2, "name": "payload", "type": "variant", "required": False},
+    ]
+    m = Manifest(
+        table_root=root,
+        snapshot_id=1,
+        sequence_number=1,
+        schema_fields=fields_v1,
+        data_files=[
+            FileScanTask(
+                data_file_path=path,
+                length=os.path.getsize(path),
+                file_size_in_bytes=os.path.getsize(path),
+                record_count=6,
+                sequence_number=1,
+            )
+        ],
+    )
+    out = read_table_mor(spark, m)
+    assert out.schema["payload"].dataType == VARIANT_SPARK_TYPE
+    a = variant_get_path(out, "payload", "$.a", "long", "a")
+    assert {r["id"]: r["a"] for r in a.collect()} == {
+        i: (1, -7, 0)[i % 3] for i in range(6)
+    }
+
+    # rename by field id: the file still carries "payload"; the table
+    # schema now names it "doc" — id resolution makes it metadata-only
+    m.evolve_schema(
+        [
+            {"id": 1, "name": "id", "type": "long", "required": True},
+            {"id": 2, "name": "doc", "type": "variant", "required": False},
+        ]
+    )
+    out2 = read_table_mor(spark, m)
+    assert "doc" in out2.columns and "payload" not in out2.columns
+    a2 = variant_get_path(out2, "doc", "$.a", "long", "a")
+    assert {r["id"]: r["a"] for r in a2.collect()} == {
+        i: (1, -7, 0)[i % 3] for i in range(6)
+    }
+
+
+def test_datasource_reads_variant_column(spark, tmp_path):
+    """The iceberg-table DataSource (executor-side pyarrow reader)
+    surfaces a variant column as the physical binary group; extraction
+    over the DataSource read matches the engine-scan read."""
+    from iceberg_compaction_spark.plans.datamodel import FileScanTask
+    from iceberg_compaction_spark.sources import schema_evo as se
+    from iceberg_compaction_spark.sources.catalog import FileCatalog
+    from iceberg_compaction_spark.sources.datasource import register
+    from iceberg_compaction_spark.sources.manifest import Manifest
+
+    root = str(tmp_path / "vt")
+    os.makedirs(root)
+    df = spark.createDataFrame(
+        [(i, JS[i % 3]) for i in range(6)], "id long, j string"
+    )
+    v = json_to_variant(df, "j", "payload").select("id", "payload")
+    arrow_schema = se.arrow_schema_with_ids(
+        pa.schema(
+            [
+                pa.field("id", pa.int64()),
+                pa.field(
+                    "payload",
+                    pa.struct(
+                        [
+                            pa.field("metadata", pa.binary()),
+                            pa.field("value", pa.binary()),
+                        ]
+                    ),
+                ),
+            ]
+        ),
+        {"id": 1, "payload": 2},
+    )
+    path = os.path.join(root, "a.parquet")
+    pq.write_table(
+        pa.Table.from_pandas(v.toPandas(), schema=arrow_schema), path
+    )
+    m = Manifest(
+        table_root=root,
+        snapshot_id=1,
+        sequence_number=1,
+        schema_fields=[
+            {"id": 1, "name": "id", "type": "long", "required": True},
+            {"id": 2, "name": "payload", "type": "variant",
+             "required": False},
+        ],
+        data_files=[
+            FileScanTask(
+                data_file_path=path,
+                length=os.path.getsize(path),
+                file_size_in_bytes=os.path.getsize(path),
+                record_count=6,
+                sequence_number=1,
+            )
+        ],
+    )
+    cat = FileCatalog(warehouse=str(tmp_path / "wh"))
+    cat.create_table("vtab", m)
+    register(spark)
+    out = (
+        spark.read.format("iceberg-table")
+        .option("warehouse", cat.warehouse)
+        .option("table", "vtab")
+        .load()
+    )
+    assert out.schema["payload"].dataType == VARIANT_SPARK_TYPE
+    a = variant_get_path(out, "payload", "$.a", "long", "a")
+    assert {r["id"]: r["a"] for r in a.collect()} == {
+        i: (1, -7, 0)[i % 3] for i in range(6)
+    }
