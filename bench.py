@@ -84,6 +84,10 @@ BENCH_QUERIES = [
     "pipeline_mixture_temperature",
     "emb_matryoshka",
     "sample_exact_k",
+    # round 13 (stream_update_images is oracle-checked in the window
+    # but NOT benched, same as every stream_* entry: availableNow
+    # start/stop overhead is trigger cost, not query cost)
+    "variant_extract",
 ]
 
 

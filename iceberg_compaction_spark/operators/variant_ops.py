@@ -51,6 +51,8 @@ __all__ = [
     "json_to_variant",
     "variant_to_json",
     "variant_get_path",
+    "shred_variant",
+    "shredded_column_name",
 ]
 
 # the v3 physical group: field names fixed by the spec
@@ -124,6 +126,104 @@ def variant_to_json(
     return df.withColumn(out_col, _decode(F.col(variant_col)))
 
 
+# ---------------------------------------------------------------------------
+# Shredding (the v3 spec's "variant shredding": frequently-extracted
+# paths materialize as TYPED sibling columns at write time, so reads
+# get plain-column speed — predicate pushdown, column pruning, zero
+# decode).  The engine's shredded column for path ``$.a.b`` on variant
+# column ``v`` is ``v__a_b`` (deterministic, collision-checked); the
+# shredded-path registry travels as a table property
+# ``variant.shred.<col> = $.a.b:long,...`` so any reader can discover
+# which paths are shredded without probing files.
+# ---------------------------------------------------------------------------
+
+SHRED_PROP_PREFIX = "variant.shred."
+
+
+def shredded_column_name(variant_col: str, path: str) -> str:
+    """Deterministic shredded-column name for ``(column, path)``:
+    ``$.a.b[0]`` on ``v`` -> ``v__a_b_0``."""
+    steps = _parse_path(path)
+    return variant_col + "__" + "_".join(str(s) for s in steps)
+
+
+def shred_variant(
+    df: DataFrame, variant_col: str, paths: dict
+) -> DataFrame:
+    """Materialize typed sibling columns for the given
+    ``{path: target_type}`` map (one Arrow-batched decode pass TOTAL —
+    all paths extract from a single per-row decode, not one UDF per
+    path).  Run at WRITE time; readers then take the zero-Python fast
+    path in :func:`variant_get_path`."""
+    from pyspark.sql.functions import pandas_udf
+
+    items = sorted(paths.items())
+    for p, t in items:
+        if t not in _CAST:
+            raise ValueError(f"unsupported shred type {t!r} for {p!r}")
+    parsed = [(_parse_path(p), p) for p, _ in items]
+    out_names = [shredded_column_name(variant_col, p) for p, _ in items]
+    clash = set(out_names) & set(df.columns)
+    if clash:
+        raise ValueError(f"shredded column name collision: {sorted(clash)}")
+    out_schema = T.StructType(
+        [
+            T.StructField(n, T.StringType(), True)
+            for n in out_names
+        ]
+    )
+
+    @pandas_udf(out_schema)
+    def _shred(pdf):
+        import pandas as pd
+        from pyspark.sql.variant_utils import VariantUtils
+
+        cols: dict = {n: [] for n in out_names}
+        for m, v in zip(pdf["metadata"], pdf["value"]):
+            py = None
+            if m is not None and v is not None:
+                try:
+                    py = VariantUtils.to_python(bytes(v), bytes(m))
+                except Exception:
+                    py = None
+            for (steps, _p), n in zip(parsed, out_names):
+                cur = py
+                for s in steps:
+                    if isinstance(s, str) and isinstance(cur, dict):
+                        cur = cur.get(s)
+                    elif isinstance(s, int) and isinstance(cur, list):
+                        cur = cur[s] if 0 <= s < len(cur) else None
+                    else:
+                        cur = None
+                    if cur is None:
+                        break
+                if cur is None:
+                    cols[n].append(None)
+                elif isinstance(cur, bool):
+                    cols[n].append("true" if cur else "false")
+                elif isinstance(cur, (dict, list)):
+                    import json as _json
+
+                    cols[n].append(_json.dumps(cur, separators=(",", ":")))
+                else:
+                    cols[n].append(str(cur))
+        return pd.DataFrame(cols)
+
+    packed = _shred(F.col(variant_col)).alias("__shred")
+    out = df.withColumn("__shred", packed)
+    for (p, t), n in zip(items, out_names):
+        out = out.withColumn(n, F.col(f"__shred.{n}").cast(_CAST[t]))
+    return out.drop("__shred")
+
+
+def shred_properties(variant_col: str, paths: dict) -> dict:
+    """The table-property entry advertising shredded paths — set it on
+    the manifest at write/commit time so readers discover the fast
+    path without probing files."""
+    spec = ",".join(f"{p}:{t}" for p, t in sorted(paths.items()))
+    return {SHRED_PROP_PREFIX + variant_col: spec}
+
+
 _PATH_RE = re.compile(r"\.([A-Za-z_][A-Za-z0-9_]*)|\[(\d+)\]")
 
 
@@ -165,6 +265,16 @@ def variant_get_path(
         )
     steps = _parse_path(path)
     out_col = out_col or "value"
+    # SHREDDED fast path: when the path was materialized as a typed
+    # sibling column at write time (shred_variant), extraction is a
+    # plain column reference — JVM-side, prunable, pushdown-eligible,
+    # zero Python.  This is the 100 TB shape for hot paths; the decode
+    # below is the cold-path fallback for ad-hoc extraction.
+    shred_col = shredded_column_name(variant_col, path)
+    if shred_col in df.columns:
+        return df.withColumn(
+            out_col, F.col(shred_col).cast(_CAST[target_type])
+        )
     from pyspark.sql.functions import pandas_udf
 
     @pandas_udf(T.StringType())

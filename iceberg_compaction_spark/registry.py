@@ -4656,6 +4656,25 @@ QUERIES = {n: QUERIES[n] for n in _order12c}
 ORACLES = {n: ORACLES[n] for n in _order12c if n in ORACLES}
 del _W12C_PROMOTE, _W12C_DEMOTE, _rest12c, _order12c
 
+# Round-13 window recomposition, same policy: promote the round's
+# flagships — `variant_extract` (the v3 VARIANT type tier: spec binary
+# encoding proven byte-compatible with the JVM codec; a NEW type class
+# the window never had) and `stream_update_images` (streaming CDC
+# update-image pairing — the window's CDC family gains its streaming
+# member; the stateless applyInPandasWithState shape).  Demote two
+# Catalyst-native twins whose operator family stays window-covered:
+# `events_retention` (LEFT-JOIN rollup; the events family keeps
+# hourly/sessionize/asof/rollup/median/funnel in-window) and
+# `join_order_revenue` (plain join-agg; the TPC-H family keeps
+# agg_pricing_summary and supplier_part_region in-window).
+_W13_PROMOTE = ["variant_extract", "stream_update_images"]
+_W13_DEMOTE = ["events_retention", "join_order_revenue"]
+_rest13 = [n for n in QUERIES if n not in _W13_PROMOTE + _W13_DEMOTE]
+_order13 = _rest13[:48] + _W13_PROMOTE + _rest13[48:] + _W13_DEMOTE
+QUERIES = {n: QUERIES[n] for n in _order13}
+ORACLES = {n: ORACLES[n] for n in _order13 if n in ORACLES}
+del _W13_PROMOTE, _W13_DEMOTE, _rest13, _order13
+
 # Self-counting window invariants — these replace the literal counts
 # that drifted in past rounds' comments.  The policy they pin:
 # every registry entry has an oracle EXCEPT the documented

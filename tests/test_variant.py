@@ -275,3 +275,61 @@ def test_datasource_reads_variant_column(spark, tmp_path):
     assert {r["id"]: r["a"] for r in a.collect()} == {
         i: (1, -7, 0)[i % 3] for i in range(6)
     }
+
+
+def test_shred_variant_and_fast_path(spark):
+    """Shredding (v3 spec's typed sibling columns): one decode pass
+    materializes all requested paths; variant_get_path over a shredded
+    frame takes the zero-Python fast path and matches the decode path;
+    the plan for the fast path contains NO Python eval node."""
+    from iceberg_compaction_spark.operators.variant_ops import (
+        shred_properties,
+        shred_variant,
+        shredded_column_name,
+    )
+
+    df = spark.createDataFrame([(j,) for j in JS], "j string")
+    v = json_to_variant(df, "j", "v")
+    shredded = shred_variant(
+        v, "v", {"$.a": "long", "$.b.d": "string", "$.f": "double"}
+    )
+    assert shredded_column_name("v", "$.a") == "v__a"
+    assert shredded_column_name("v", "$.b.c[0]") == "v__b_c_0"
+
+    # fast path == cold path, value for value
+    for path, t in [("$.a", "long"), ("$.b.d", "string"), ("$.f", "double")]:
+        fast = [
+            r["out"]
+            for r in variant_get_path(shredded, "v", path, t, "out")
+            .select("out")
+            .collect()
+        ]
+        cold = [
+            r["out"]
+            for r in variant_get_path(v, "v", path, t, "out")
+            .select("out")
+            .collect()
+        ]
+        assert fast == cold, path
+
+    # the fast path's plan is Python-free over a STORED shredded table
+    # (the write-time decode already paid for every future read)
+    import tempfile
+
+    d = tempfile.mkdtemp()
+    shredded.write.mode("overwrite").parquet(d)
+    stored = spark.read.parquet(d)
+    out = variant_get_path(stored, "v", "$.a", "long", "out").select("out")
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
+    # and column pruning reaches the scan: only the shredded column read
+    assert "v__a" in plan
+
+    # property advertisement for readers
+    assert shred_properties("v", {"$.a": "long"}) == {
+        "variant.shred.v": "$.a:long"
+    }
+
+    # name collision is loud
+    with pytest.raises(ValueError, match="collision"):
+        shred_variant(shredded, "v", {"$.a": "long"})
