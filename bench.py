@@ -88,6 +88,7 @@ BENCH_QUERIES = [
     # but NOT benched, same as every stream_* entry: availableNow
     # start/stop overhead is trigger cost, not query cost)
     "variant_extract",
+    "pipeline_dsir_weights",
 ]
 
 

@@ -36,6 +36,7 @@ __all__ = [
     "pack_sequences",
     "scrub_pii",
     "shuffle_order",
+    "dsir_importance_weights",
 ]
 
 
@@ -407,4 +408,65 @@ def sample_exact_k(
         .orderBy("__h", id_col)
         .limit(int(k))
         .drop("__h")
+    )
+
+
+def dsir_importance_weights(
+    df: DataFrame,
+    is_target: Column,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n_buckets: int = 4096,
+    scale: int = 1_000_000,
+) -> DataFrame:
+    """Hashed n-gram importance weights for data selection (the DSIR
+    shape: "Data Selection via Importance Resampling", Xie et al.
+    2023): score every document by how target-like its token
+    distribution is, where the target is a designated subset of the
+    corpus itself (``is_target`` — e.g. a trusted domain, a
+    high-quality source, a language).  Tokens hash into ``n_buckets``
+    features; each bucket's importance ratio is
+    ``target_count * scale // corpus_count`` (integer-exact — the
+    linear-ratio variant of the paper's log-ratio, chosen so no float
+    accumulation or libm ulp can flip a value between engines); a
+    document's weight is the sum of its tokens' bucket ratios.
+    Returns ``(id_col, n_tokens, weight_scaled)`` — resample by weight
+    (e.g. ``sample_exact_k`` over a weight-ordered prefix, or
+    threshold) to build the selected corpus.
+
+    Scale shape: ONE explode over the corpus; ONE map-side-combinable
+    groupBy(bucket) computing target and corpus counts together (a
+    conditional aggregate, not two passes); the bucket table is
+    n_buckets rows — broadcast into the token->ratio join; ONE
+    groupBy(doc) sum.  No window, no Python, no driver state beyond
+    the broadcast feature table — the same shape at 10^11 documents
+    with executors only ever holding token batches and a 4096-row
+    map."""
+    toks = (
+        df.select(
+            F.col(id_col),
+            is_target.cast("boolean").alias("__t"),
+            F.explode(
+                F.split(F.lower(F.col(text_col)), "[^a-z]+")
+            ).alias("__tok"),
+        )
+        .where(F.col("__tok") != "")
+        .withColumn("__b", hash_bucket(F.col("__tok"), "dsir_", n_buckets))
+        .drop("__tok")
+    )
+    buckets = toks.groupBy("__b").agg(
+        F.sum(F.when(F.col("__t"), 1).otherwise(0)).alias("__tb"),
+        F.count(F.lit(1)).alias("__rb"),
+    )
+    ratio = buckets.select(
+        "__b",
+        F.expr(f"__tb * {int(scale)} div __rb").alias("__ratio"),
+    )
+    return (
+        toks.join(F.broadcast(ratio), "__b")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_tokens"),
+            F.sum("__ratio").cast("long").alias("weight_scaled"),
+        )
     )

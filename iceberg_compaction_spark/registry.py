@@ -4254,6 +4254,59 @@ def q_emb_matryoshka(spark, sf_dir):
 
 
 @register(
+    "pipeline_dsir_weights",
+    """
+    WITH toks AS (
+      SELECT doc_id,
+             ('0x' || substr(md5('dsir_' || t), 1, 8))::BIGINT % 4096 AS b
+      FROM (SELECT doc_id,
+                   unnest(string_split_regex(lower(text), '[^a-z]+')) AS t
+            FROM documents)
+      WHERE t <> ''
+    ),
+    flags AS (SELECT doc_id, lang = 'en' AS is_t FROM documents),
+    tb AS (
+      SELECT b,
+             SUM(CASE WHEN f.is_t THEN 1 ELSE 0 END) AS t_b,
+             COUNT(*) AS r_b
+      FROM toks JOIN flags f USING (doc_id)
+      GROUP BY b
+    )
+    SELECT toks.doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_tokens,
+           CAST(SUM((t_b * 1000000) // r_b) AS BIGINT) AS weight_scaled
+    FROM toks JOIN tb USING (b)
+    GROUP BY toks.doc_id
+    """,
+)
+def q_pipeline_dsir_weights(spark, sf_dir):
+    """DSIR-style importance weights (round 13; "Data Selection via
+    Importance Resampling", Xie et al. 2023 — operators/corpus.py
+    dsir_importance_weights): hashed-token features (md5 buckets, the
+    engine's cross-engine-deterministic hash), per-bucket importance
+    ratio target/corpus as integer parts-per-million (linear-ratio
+    variant: integer-exact, no libm ulp can flip a value), per-doc
+    weight = sum of its tokens' ratios.  Target set: lang='en' — score
+    every document by how English-like its token distribution is; the
+    resampling step is any of the deterministic samplers over the
+    weight column.
+
+    Scale shape: ONE corpus explode, ONE conditional groupBy(bucket)
+    (target + corpus counts in the same pass, map-side combinable), a
+    BROADCAST of the 4096-row feature table into the token join, ONE
+    groupBy(doc) sum — no window, no Python, no driver state beyond
+    the broadcast map."""
+    from iceberg_compaction_spark.operators.corpus import (
+        dsir_importance_weights,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", "lang", "text"
+    )
+    return dsir_importance_weights(docs, F.col("lang") == "en")
+
+
+@register(
     "pipeline_mixture_temperature",
     """
     WITH c AS (

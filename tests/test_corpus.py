@@ -208,3 +208,37 @@ def test_source_curation_gates_and_filter(spark):
         ),
     )
     assert sorted(r["doc_id"] for r in kept.collect()) == [0, 1, 2, 3]
+
+
+def test_dsir_weights_rank_target_like_docs_higher(spark):
+    """DSIR importance weights: documents from the TARGET distribution
+    must score higher on average than off-target documents (that is
+    the operator's whole contract), weights are deterministic across
+    partitionings, and every doc gets a row."""
+    import pyspark.sql.functions as F
+
+    from iceberg_compaction_spark.operators.corpus import (
+        dsir_importance_weights,
+    )
+
+    docs = spark.read.parquet(
+        "/root/testdata/sf0.001/documents.parquet"
+    ).select("doc_id", "lang", "text")
+    w = dsir_importance_weights(docs, F.col("lang") == "en")
+    assert w.count() == docs.count()
+    joined = w.join(docs.select("doc_id", "lang"), "doc_id")
+    avg_w = {
+        r["is_t"]: r["aw"]
+        for r in joined.groupBy((F.col("lang") == "en").alias("is_t"))
+        .agg(F.avg(F.col("weight_scaled") / F.col("n_tokens")).alias("aw"))
+        .collect()
+    }
+    assert avg_w[True] > avg_w[False]
+
+    # partitioning invariance (integer arithmetic end to end)
+    w2 = dsir_importance_weights(
+        docs.repartition(13), F.col("lang") == "en"
+    )
+    a = {(r["doc_id"], r["weight_scaled"]) for r in w.collect()}
+    b = {(r["doc_id"], r["weight_scaled"]) for r in w2.collect()}
+    assert a == b

@@ -750,3 +750,16 @@ def test_matryoshka_zero_shuffle_projection(spark):
     assert "Exchange" not in s
     assert "Join" not in s
     assert "BatchEvalPython" not in s and "ArrowEvalPython" not in s
+
+
+def test_dsir_weights_broadcast_features_no_python(spark):
+    """DSIR importance weights (round 13): the 4096-row feature table
+    joins BROADCAST into the token stream (never a sort-merge over the
+    corpus), the corpus-keyed exchanges are the two aggregates (bucket
+    counts, doc sum), and no Python touches the row path."""
+    from iceberg_compaction_spark import registry
+
+    s = plan_of(registry.QUERIES["pipeline_dsir_weights"](spark, SF))
+    assert "BroadcastHashJoin" in s
+    assert "SortMergeJoin" not in s
+    assert "BatchEvalPython" not in s and "ArrowEvalPython" not in s

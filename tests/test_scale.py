@@ -87,6 +87,9 @@ TRACKED = [
     # the source table's history
     "v3_row_lineage",
     "dml_snapshot_fork",
+    # round 13: DSIR importance weights — corpus explode + conditional
+    # bucket agg + broadcast feature join + doc sum must stay linear
+    "pipeline_dsir_weights",
 ]
 
 
