@@ -85,19 +85,30 @@ def json_to_variant(
         import pandas as pd
         from pyspark.sql.types import VariantVal
 
+        # memoize per batch: real event/props streams repeat values
+        # heavily (bounded enums, templated payloads), so encoding each
+        # DISTINCT string once turns a per-row codec loop into a
+        # per-distinct one — for low-cardinality columns this is the
+        # difference between O(rows) and O(values) Python work; for
+        # high-cardinality ones the extra hash pass is noise
+        memo: dict = {}
+
+        def enc(j):
+            hit = memo.get(j)
+            if hit is None:
+                try:
+                    v = VariantVal.parseJson(j)
+                    hit = (bytes(v.metadata), bytes(v.value))
+                except Exception:
+                    hit = (None, None)
+                memo[j] = hit
+            return hit
+
         metas, vals = [], []
         for j in s:
-            if j is None:
-                metas.append(None)
-                vals.append(None)
-                continue
-            try:
-                v = VariantVal.parseJson(j)
-                metas.append(bytes(v.metadata))
-                vals.append(bytes(v.value))
-            except Exception:
-                metas.append(None)
-                vals.append(None)
+            m, v = (None, None) if j is None else enc(j)
+            metas.append(m)
+            vals.append(v)
         return pd.DataFrame({"metadata": metas, "value": vals})
 
     return df.withColumn(out_col, _encode(F.col(json_col)))
@@ -115,12 +126,18 @@ def variant_to_json(
         import pandas as pd
         from pyspark.sql.variant_utils import VariantUtils
 
+        memo: dict = {}
         out = []
         for m, v in zip(pdf["metadata"], pdf["value"]):
             if m is None or v is None:
                 out.append(None)
-            else:
-                out.append(VariantUtils.to_json(bytes(v), bytes(m)))
+                continue
+            k = (bytes(m), bytes(v))
+            hit = memo.get(k)
+            if hit is None:
+                hit = VariantUtils.to_json(k[1], k[0])
+                memo[k] = hit
+            out.append(hit)
         return pd.Series(out)
 
     return df.withColumn(out_col, _decode(F.col(variant_col)))
@@ -178,15 +195,15 @@ def shred_variant(
         import pandas as pd
         from pyspark.sql.variant_utils import VariantUtils
 
-        cols: dict = {n: [] for n in out_names}
-        for m, v in zip(pdf["metadata"], pdf["value"]):
+        def row_values(m, v):
             py = None
             if m is not None and v is not None:
                 try:
-                    py = VariantUtils.to_python(bytes(v), bytes(m))
+                    py = VariantUtils.to_python(v, m)
                 except Exception:
                     py = None
-            for (steps, _p), n in zip(parsed, out_names):
+            vals = []
+            for steps, _p in parsed:
                 cur = py
                 for s in steps:
                     if isinstance(s, str) and isinstance(cur, dict):
@@ -198,15 +215,29 @@ def shred_variant(
                     if cur is None:
                         break
                 if cur is None:
-                    cols[n].append(None)
+                    vals.append(None)
                 elif isinstance(cur, bool):
-                    cols[n].append("true" if cur else "false")
+                    vals.append("true" if cur else "false")
                 elif isinstance(cur, (dict, list)):
                     import json as _json
 
-                    cols[n].append(_json.dumps(cur, separators=(",", ":")))
+                    vals.append(_json.dumps(cur, separators=(",", ":")))
                 else:
-                    cols[n].append(str(cur))
+                    vals.append(str(cur))
+            return tuple(vals)
+
+        memo: dict = {}  # per-batch distinct-value memo (see _encode)
+        cols: dict = {n: [] for n in out_names}
+        for m, v in zip(pdf["metadata"], pdf["value"]):
+            k = (
+                (bytes(m), bytes(v))
+                if m is not None and v is not None
+                else (None, None)
+            )
+            if k not in memo:
+                memo[k] = row_values(k[0], k[1])
+            for n, val in zip(out_names, memo[k]):
+                cols[n].append(val)
         return pd.DataFrame(cols)
 
     packed = _shred(F.col(variant_col)).alias("__shred")
@@ -282,16 +313,11 @@ def variant_get_path(
         import pandas as pd
         from pyspark.sql.variant_utils import VariantUtils
 
-        out = []
-        for m, v in zip(pdf["metadata"], pdf["value"]):
-            if m is None or v is None:
-                out.append(None)
-                continue
+        def walk(m, v):
             try:
-                cur = VariantUtils.to_python(bytes(v), bytes(m))
+                cur = VariantUtils.to_python(v, m)
             except Exception:
-                out.append(None)
-                continue
+                return None
             for s in steps:
                 if isinstance(s, str) and isinstance(cur, dict):
                     cur = cur.get(s)
@@ -300,17 +326,25 @@ def variant_get_path(
                 else:
                     cur = None
                 if cur is None:
-                    break
-            if cur is None:
-                out.append(None)
-            elif isinstance(cur, bool):
-                out.append("true" if cur else "false")
-            elif isinstance(cur, (dict, list)):
+                    return None
+            if isinstance(cur, bool):
+                return "true" if cur else "false"
+            if isinstance(cur, (dict, list)):
                 import json as _json
 
-                out.append(_json.dumps(cur, separators=(",", ":")))
-            else:
-                out.append(str(cur))
+                return _json.dumps(cur, separators=(",", ":"))
+            return str(cur)
+
+        memo: dict = {}  # per-batch distinct-value memo (see _encode)
+        out = []
+        for m, v in zip(pdf["metadata"], pdf["value"]):
+            if m is None or v is None:
+                out.append(None)
+                continue
+            k = (bytes(m), bytes(v))
+            if k not in memo:
+                memo[k] = walk(k[0], k[1])
+            out.append(memo[k])
         return pd.Series(out)
 
     extracted = _extract(F.col(variant_col))
