@@ -89,6 +89,7 @@ BENCH_QUERIES = [
     # start/stop overhead is trigger cost, not query cost)
     "variant_extract",
     "pipeline_dsir_weights",
+    "geo_bbox_filter",
 ]
 
 

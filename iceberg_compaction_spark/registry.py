@@ -4254,6 +4254,53 @@ def q_emb_matryoshka(spark, sf_dir):
 
 
 @register(
+    "geo_bbox_filter",
+    """
+    SELECT event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_in_bbox,
+           CAST(SUM(CAST(FLOOR(value * 100) AS BIGINT)) AS BIGINT)
+               AS sum_cents
+    FROM events
+    WHERE value >= 50 AND value <= 150
+      AND user_id >= 10 AND user_id <= 40
+    GROUP BY event_type
+    """,
+)
+def q_geo_bbox_filter(spark, sf_dir):
+    """Iceberg v3 GEOMETRY tier (round 13; operators/geo.py): events
+    coordinates encoded as standard WKB POINT binary (the v3 storage
+    form, decodable by shapely/JTS/PostGIS), then a bounding-box
+    containment filter and rollup — the spatial-prune primitive,
+    proven value-exact against the oracle's raw-column filter (i.e.
+    the WKB round trip loses nothing).
+
+    Scale shape: encode + coordinate decode are ONE numpy
+    frombuffer/tobytes per Arrow batch (structured dtype — no per-row
+    Python); the bbox predicate is an ordinary boolean column Catalyst
+    can place before joins/aggregates."""
+    from iceberg_compaction_spark.operators.geo import (
+        st_point,
+        st_within_bbox,
+    )
+
+    e = ev.read_events(spark, sf_dir).select(
+        "event_type",
+        "value",
+        F.col("user_id").cast("double").alias("uy"),
+    )
+    g = st_point(e, "value", "uy")
+    hits = st_within_bbox(g, "geom", 50, 10, 150, 40).where("in_bbox")
+    return hits.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n_in_bbox"),
+        # per-row integer cents BEFORE the sum: float accumulation
+        # order can differ between engines; integer sums cannot
+        F.sum(F.floor(F.col("value") * 100).cast("long"))
+        .cast("long")
+        .alias("sum_cents"),
+    )
+
+
+@register(
     "pipeline_dsir_weights",
     """
     WITH toks AS (
@@ -4267,7 +4314,7 @@ def q_emb_matryoshka(spark, sf_dir):
     flags AS (SELECT doc_id, lang = 'en' AS is_t FROM documents),
     tb AS (
       SELECT b,
-             SUM(CASE WHEN f.is_t THEN 1 ELSE 0 END) AS t_b,
+             CAST(SUM(CASE WHEN f.is_t THEN 1 ELSE 0 END) AS BIGINT) AS t_b,
              COUNT(*) AS r_b
       FROM toks JOIN flags f USING (doc_id)
       GROUP BY b

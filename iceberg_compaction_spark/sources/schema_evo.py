@@ -139,6 +139,14 @@ def iceberg_type_to_spark(t, nested: bool = False):
         )
     if not isinstance(t, str):
         return None
+    if t in ("geometry", "geography") or (
+        isinstance(t, str)
+        and (t.startswith("geometry(") or t.startswith("geography("))
+    ):
+        # v3 geometry/geography: WKB in a binary column (the optional
+        # CRS parameter affects interpretation, not storage); codec +
+        # predicates in operators/geo.py
+        return T.BinaryType()
     if t == "variant":
         # v3 variant: the spec's physical group — two binary fields in
         # the open variant binary encoding (operators/variant_ops.py).
@@ -231,6 +239,11 @@ def iceberg_type_to_arrow(t):
         kt = iceberg_type_to_arrow(t.get("key"))
         vt = iceberg_type_to_arrow(t.get("value"))
         return pa.map_(kt, vt) if kt is not None and vt is not None else None
+    if t in ("geometry", "geography") or (
+        isinstance(t, str)
+        and (t.startswith("geometry(") or t.startswith("geography("))
+    ):
+        return pa.binary()
     if t == "variant":
         # v3 variant physical group (see iceberg_type_to_spark)
         return pa.struct(
