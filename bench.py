@@ -90,6 +90,7 @@ BENCH_QUERIES = [
     "variant_extract",
     "pipeline_dsir_weights",
     "geo_bbox_filter",
+    "meta_refs",
 ]
 
 

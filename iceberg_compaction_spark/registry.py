@@ -4254,6 +4254,39 @@ def q_emb_matryoshka(spark, sf_dir):
 
 
 @register(
+    "meta_refs",
+    """
+    SELECT 'audit' AS name, 'branch' AS type, CAST(2 AS BIGINT)
+               AS snapshot_id,
+           CAST(NULL AS BIGINT) AS max_ref_age_ms,
+           CAST(NULL AS BIGINT) AS max_snapshot_age_ms,
+           CAST(NULL AS BIGINT) AS min_snapshots_to_keep
+    WHERE (SELECT COUNT(*) FROM documents) > 0
+    UNION ALL
+    SELECT 'main', 'branch', CAST(3 AS BIGINT),
+           CAST(NULL AS BIGINT), CAST(NULL AS BIGINT),
+           CAST(NULL AS BIGINT)
+    WHERE (SELECT COUNT(*) FROM documents) > 0
+    """,
+)
+def q_meta_refs(spark, sf_dir):
+    """``refs`` metadata table (Iceberg's ``tbl$refs``, round 13): the
+    named-ref listing — name, type, pinned snapshot, per-ref retention
+    fields — over the WAP fixture whose audit branch sits at v2 while
+    main moved to v3.  The oracle spells the fixture's exact ref
+    state, so the entry hash-pins both the refs CAS lifecycle outcome
+    and the relation's schema (including NULL retention columns).
+
+    Scale shape: metadata-sized by definition (one row per ref); the
+    read is one refs-state load, no data touched."""
+    from iceberg_compaction_spark.sources.catalog import FileCatalog
+    from iceberg_compaction_spark.sources.metadata_tables import refs_df
+
+    wh = syn.wap_changelog_warehouse(spark, sf_dir)
+    return refs_df(spark, FileCatalog(warehouse=wh), "docs_cfr")
+
+
+@register(
     "geo_bbox_filter",
     """
     SELECT event_type,
