@@ -35,6 +35,7 @@ __all__ = [
     "st_x",
     "st_y",
     "st_within_bbox",
+    "st_haversine_m",
 ]
 
 # WKB little-endian POINT layout: byteOrder(1)=1, type(4)=1, x(8), y(8).
@@ -145,3 +146,29 @@ def st_within_bbox(
     return out.withColumn(
         out_col, F.coalesce(pred, F.lit(False))
     ).drop("__bx", "__by")
+
+
+def st_haversine_m(
+    df: DataFrame,
+    lon1: str,
+    lat1: str,
+    lon2: str,
+    lat2: str,
+    out_col: str = "dist_m",
+) -> DataFrame:
+    """Great-circle distance in metres between two (lon, lat) degree
+    pairs (haversine over the IUGG mean Earth radius) — entirely
+    JVM-side trig expressions, no UDF, so it composes with codegen and
+    runs at scan speed.  This is the geography-tier distance; for
+    oracle-exact cross-engine comparisons use planar/integer forms
+    (libm trig differs by ulps across engines, which is measurement
+    noise, not error — ~centimetres at Earth scale)."""
+    r2 = F.lit(2.0 * 6371008.8)
+    rl1, rl2 = F.radians(F.col(lat1)), F.radians(F.col(lat2))
+    dlat = F.radians(F.col(lat2) - F.col(lat1)) / 2.0
+    dlon = F.radians(F.col(lon2) - F.col(lon1)) / 2.0
+    a = (
+        F.sin(dlat) * F.sin(dlat)
+        + F.cos(rl1) * F.cos(rl2) * F.sin(dlon) * F.sin(dlon)
+    )
+    return df.withColumn(out_col, r2 * F.asin(F.sqrt(a)))

@@ -106,3 +106,85 @@ def test_geometry_schema_field_reads_as_binary(spark, tmp_path):
     assert dict(out.dtypes)["geom"] == "binary"
     xs = {r["id"]: r["x2"] for r in st_x(out, "geom", "x2").collect()}
     assert xs == {i: float(i) for i in range(5)}
+
+
+def test_shredded_coordinates_drive_file_pruning(spark, tmp_path):
+    """The spatial-prune claim, concretely: geometry coordinates
+    shredded into plain double columns at write time participate in
+    the planner's min/max file pruning — a bbox predicate on the
+    shredded x column eliminates files whose coordinate range cannot
+    match, before any data is read."""
+    from iceberg_compaction_spark.plans.pruning import (
+        ColumnPredicate,
+        prune_tasks,
+    )
+    from iceberg_compaction_spark.sources.manifest import Manifest
+
+    root = str(tmp_path / "tiles")
+    os.makedirs(root)
+    # three "tiles": x in [0,10), [100,110), [200,210)
+    for i, base in enumerate((0.0, 100.0, 200.0)):
+        df = spark.createDataFrame(
+            [(j, base + j, 1.0) for j in range(10)],
+            "id long, x double, y double",
+        )
+        g = st_point(df, "x", "y").select("id", "geom", "x", "y")
+        g.coalesce(1).write.mode("overwrite").parquet(
+            os.path.join(root, f"stage{i}")
+        )
+        import glob
+        import shutil
+
+        [part] = glob.glob(os.path.join(root, f"stage{i}", "*.parquet"))
+        shutil.move(part, os.path.join(root, f"tile{i}.parquet"))
+        shutil.rmtree(os.path.join(root, f"stage{i}"))
+
+    m = Manifest.from_parquet_dir(root, sequence_number=1)
+    assert len(m.data_files) == 3
+    # bbox xmin=100 xmax=150 -> only the middle tile can match
+    kept = prune_tasks(
+        m.data_files,
+        [
+            ColumnPredicate(col="x", op="ge", value=100.0),
+            ColumnPredicate(col="x", op="le", value=150.0),
+        ],
+    )
+    assert [os.path.basename(t.data_file_path) for t in kept] == [
+        "tile1.parquet"
+    ]
+
+
+def test_haversine_matches_reference_and_stays_jvm(spark):
+    """st_haversine_m against a pure-Python reference (<1e-6 relative)
+    on known city pairs, and the plan carries no Python eval node."""
+    import math
+
+    def ref(lon1, lat1, lon2, lat2):
+        rl1, rl2 = math.radians(lat1), math.radians(lat2)
+        dlat = math.radians(lat2 - lat1) / 2
+        dlon = math.radians(lon2 - lon1) / 2
+        a = (
+            math.sin(dlat) ** 2
+            + math.cos(rl1) * math.cos(rl2) * math.sin(dlon) ** 2
+        )
+        return 2 * 6371008.8 * math.asin(math.sqrt(a))
+
+    pairs = [
+        # (lon1, lat1, lon2, lat2): Paris->Berlin, equator span, poles
+        (2.35, 48.86, 13.40, 52.52),
+        (0.0, 0.0, 90.0, 0.0),
+        (0.0, 90.0, 0.0, -90.0),
+        (5.0, 5.0, 5.0, 5.0),
+    ]
+    from iceberg_compaction_spark.operators.geo import st_haversine_m
+
+    df = spark.createDataFrame(
+        pairs, "lon1 double, lat1 double, lon2 double, lat2 double"
+    )
+    out = st_haversine_m(df, "lon1", "lat1", "lon2", "lat2")
+    got = [r["dist_m"] for r in out.collect()]
+    for g, p in zip(got, pairs):
+        want = ref(*p)
+        assert abs(g - want) <= max(1e-6 * want, 1e-6), (p, g, want)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "Python" not in plan
