@@ -45,6 +45,48 @@ from iceberg_compaction_spark.sources.scan import HIDDEN_SEQ
 DELETE_OP = "D"
 
 
+def _stamp_field_ids_like_table(df: DataFrame, cur: Manifest) -> DataFrame:
+    """Attach ``parquet.field.id`` metadata to the frame's columns when
+    (and only when) the table's EXISTING data files carry field ids —
+    so a DML write never creates a mixed id-ful/id-less file group.
+
+    The asymmetry is deliberate: compaction outputs inherit ids through
+    the MOR scan's requested schema (Spark's parquet writer propagates
+    requested-schema metadata), but a user's delta frame arrives bare.
+    On an id-carrying table (schema-evolved, compacted, or Arrow-
+    imported) a bare write used to brick the NEXT read with the
+    mixed-group error; on an id-less table, stamping would create the
+    same mix in the other direction — hence the one-footer probe
+    (driver-side, first data file only, same cost class as the
+    planner's stats reads).  Empty tables stamp whenever the declared
+    schema has ids (the spec-correct fresh start)."""
+    fields = {
+        f["name"]: int(f["id"])
+        for f in (cur.schema_fields or [])
+        if f.get("id") is not None
+    }
+    if not fields:
+        return df
+    if cur.data_files:
+        import pyarrow.parquet as _pq
+
+        from iceberg_compaction_spark.sources.fileio import open_input
+        from iceberg_compaction_spark.sources.schema_evo import (
+            file_field_ids,
+        )
+
+        try:
+            with open_input(cur.data_files[0].data_file_path) as fh:
+                if not file_field_ids(_pq.read_schema(fh)):
+                    return df  # id-less table: stay id-less
+        except Exception:
+            return df
+    for name, fid in fields.items():
+        if name in df.columns:
+            df = df.withMetadata(name, {"parquet.field.id": fid})
+    return df
+
+
 def _write_single_parquet(df: DataFrame, path: str) -> None:
     """Write a DataFrame as exactly one parquet FILE at ``path``,
     routed through the FileIO seam.
@@ -274,7 +316,9 @@ def upsert(
     )
     has_upserts = upserts.limit(1).count() > 0
     if has_upserts:
-        _write_single_parquet(upserts, data_path)
+        _write_single_parquet(
+            _stamp_field_ids_like_table(upserts, current), data_path
+        )
 
     written_seq: list[int] = []  # seq the eq parquet currently carries
 
@@ -494,6 +538,7 @@ def _write_dml_data_files(
     the caller's commit."""
     from iceberg_compaction_spark.sources.scan import spark_native_paths
 
+    df = _stamp_field_ids_like_table(df, cur)
     spec = cur.spec_fields() if cur.partition_spec else None
     if spec and spark_native_paths([cur.table_root]):
         from iceberg_compaction_spark.config import WriterConfig

@@ -1042,3 +1042,32 @@ def test_required_new_field_needs_default():
         ]
     )
     assert sid == m.schema_id
+
+
+def test_upsert_on_id_carrying_table_stays_readable(spark, evolved, tmp_path):
+    """Round-13 DML fix: a delta written by upsert onto a table whose
+    data files carry parquet field ids must itself carry them — the
+    bare write used to create a MIXED id-ful/id-less group that
+    bricked the next MOR read.  And the rename keeps resolving over
+    the post-upsert state (the new file carries the CURRENT name +
+    id)."""
+    from iceberg_compaction_spark.sources.catalog import FileCatalog
+    from iceberg_compaction_spark.sources.ingest import (
+        read_table_mor,
+        upsert,
+    )
+
+    cat = FileCatalog(warehouse=str(tmp_path / "whu"))
+    cat.create_table("evo", evolved)
+    delta = spark.createDataFrame(
+        [(1, "updated", 0.1, 111), (100, "fresh", 0.2, 222)],
+        "id long, new_name string, extra double, small long",
+    )
+    upsert(spark, cat, "evo", delta, keys=["id"])
+    out = read_table_mor(spark, cat.load_table("evo"))
+    got = {r["id"]: (r["new_name"], r["small"]) for r in out.collect()}
+    assert got[1] == ("updated", 111)
+    assert got[100] == ("fresh", 222)
+    assert got[4] == ("y4", 40)  # v2-written file still resolves
+    assert got[2] == ("x2", 20)  # v1 file resolves through the rename
+    assert len(got) == 6

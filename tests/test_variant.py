@@ -333,3 +333,86 @@ def test_shred_variant_and_fast_path(spark):
     # name collision is loud
     with pytest.raises(ValueError, match="collision"):
         shred_variant(shredded, "v", {"$.a": "long"})
+
+
+def test_variant_column_through_upsert_lifecycle(spark, tmp_path):
+    """A variant column rides the full DML lifecycle: catalog table
+    with a declared ``variant`` field, UPSERT (equality-delete + data
+    file commit), MOR read-back — payloads intact, updated row carries
+    the new variant value."""
+    from iceberg_compaction_spark.plans.datamodel import FileScanTask
+    from iceberg_compaction_spark.sources import schema_evo as se
+    from iceberg_compaction_spark.sources.catalog import FileCatalog
+    from iceberg_compaction_spark.sources.ingest import (
+        read_table_mor,
+        upsert,
+    )
+    from iceberg_compaction_spark.sources.manifest import Manifest
+
+    root = str(tmp_path / "vt")
+    os.makedirs(root)
+    base = spark.createDataFrame(
+        [(i, '{"v": %d}' % i) for i in range(6)], "id long, j string"
+    )
+    v = json_to_variant(base, "j", "payload").select("id", "payload")
+    schema = se.arrow_schema_with_ids(
+        pa.schema(
+            [
+                pa.field("id", pa.int64()),
+                pa.field(
+                    "payload",
+                    pa.struct(
+                        [
+                            pa.field("metadata", pa.binary()),
+                            pa.field("value", pa.binary()),
+                        ]
+                    ),
+                ),
+            ]
+        ),
+        {"id": 1, "payload": 2},
+    )
+    path = os.path.join(root, "a.parquet")
+    pq.write_table(pa.Table.from_pandas(v.toPandas(), schema=schema), path)
+    m = Manifest(
+        table_root=root,
+        snapshot_id=1,
+        sequence_number=1,
+        schema_fields=[
+            {"id": 1, "name": "id", "type": "long", "required": True},
+            {"id": 2, "name": "payload", "type": "variant",
+             "required": False},
+        ],
+        data_files=[
+            FileScanTask(
+                data_file_path=path,
+                length=os.path.getsize(path),
+                file_size_in_bytes=os.path.getsize(path),
+                record_count=6,
+                sequence_number=1,
+            )
+        ],
+    )
+    cat = FileCatalog(warehouse=str(tmp_path / "wh"))
+    cat.create_table("vt", m)
+
+    # upsert: replace id=3's variant, insert id=99
+    delta_src = spark.createDataFrame(
+        [(3, '{"v": 333, "tag": "new"}'), (99, '{"v": 99}')],
+        "id long, j string",
+    )
+    delta = json_to_variant(delta_src, "j", "payload").select(
+        "id", "payload"
+    )
+    upsert(spark, cat, "vt", delta, keys=["id"])
+
+    out = read_table_mor(spark, cat.load_table("vt"))
+    assert out.count() == 7
+    got = {
+        r["id"]: r["json"]
+        for r in variant_to_json(out, "payload").select("id", "json")
+        .collect()
+    }
+    assert got[3] == '{"tag":"new","v":333}'  # canonical key order
+    assert got[99] == '{"v":99}'
+    assert got[0] == '{"v":0}'
