@@ -1637,6 +1637,15 @@ class _AppendWriter(DataSourceArrowWriter):
             (f["source"], f.get("transform", "identity"), f.get("name"))
             for f in (_m.partition_spec or [])
         )
+        # field-id stamping decision (driver-side, one footer probe):
+        # a data file landing on an id-carrying table must itself carry
+        # ids, or the NEXT read sees a mixed group (round 13; same rule
+        # as ingest's DML writes — schema_evo.dml_field_id_stamp)
+        from iceberg_compaction_spark.sources.schema_evo import (
+            dml_field_id_stamp,
+        )
+
+        self._field_ids = dml_field_id_stamp(_m)
         # The executor-side write path below streams through the FileIO
         # seam (open_output/remove), so any backend a Python WORKER can
         # resolve-and-open works — local disk and fsspec object stores.
@@ -1667,6 +1676,28 @@ class _AppendWriter(DataSourceArrowWriter):
 
         target, rg_bytes, root = self._target, self._row_group_bytes, self._root
         done: list[tuple] = []
+
+        if self._field_ids:
+            ids = self._field_ids
+
+            def _stamp(batches):
+                # metadata-only schema swap per batch (zero copy): the
+                # parquet writer then records PARQUET:field_id per
+                # column, matching what the engine's MOR scan wrote
+                for b in batches:
+                    fields = [
+                        f.with_metadata(
+                            {b"PARQUET:field_id": str(ids[f.name]).encode()}
+                        )
+                        if f.name in ids
+                        else f
+                        for f in b.schema
+                    ]
+                    yield pa.RecordBatch.from_arrays(
+                        b.columns, schema=pa.schema(fields)
+                    )
+
+            iterator = _stamp(iterator)
 
         class _Stream:
             """One partition's rolling parquet stream (the unpartitioned

@@ -60,28 +60,11 @@ def _stamp_field_ids_like_table(df: DataFrame, cur: Manifest) -> DataFrame:
     (driver-side, first data file only, same cost class as the
     planner's stats reads).  Empty tables stamp whenever the declared
     schema has ids (the spec-correct fresh start)."""
-    fields = {
-        f["name"]: int(f["id"])
-        for f in (cur.schema_fields or [])
-        if f.get("id") is not None
-    }
-    if not fields:
-        return df
-    if cur.data_files:
-        import pyarrow.parquet as _pq
+    from iceberg_compaction_spark.sources.schema_evo import (
+        dml_field_id_stamp,
+    )
 
-        from iceberg_compaction_spark.sources.fileio import open_input
-        from iceberg_compaction_spark.sources.schema_evo import (
-            file_field_ids,
-        )
-
-        try:
-            with open_input(cur.data_files[0].data_file_path) as fh:
-                if not file_field_ids(_pq.read_schema(fh)):
-                    return df  # id-less table: stay id-less
-        except Exception:
-            return df
-    for name, fid in fields.items():
+    for name, fid in dml_field_id_stamp(cur).items():
         if name in df.columns:
             df = df.withMetadata(name, {"parquet.field.id": fid})
     return df

@@ -196,6 +196,37 @@ def struct_with_field_ids(
     return T.StructType(out)
 
 
+def dml_field_id_stamp(manifest) -> dict:
+    """``{column_name: field_id}`` when a DML/writer data file landing
+    on this table should carry parquet field ids — empty dict
+    otherwise.  The rule (round 13): stamp iff the table's EXISTING
+    data files carry ids (one driver-side footer probe on the first
+    file), or the table is empty and its declared schema has ids.
+    Writing the opposite class would create a mixed id-ful/id-less
+    file group, which the engine scan rejects loudly."""
+    fields = {
+        f["name"]: int(f["id"])
+        for f in (manifest.schema_fields or [])
+        if f.get("id") is not None
+    }
+    if not fields:
+        return {}
+    if manifest.data_files:
+        import pyarrow.parquet as _pq
+
+        from iceberg_compaction_spark.sources.fileio import open_input
+
+        try:
+            with open_input(
+                manifest.data_files[0].data_file_path
+            ) as fh:
+                if not file_field_ids(_pq.read_schema(fh)):
+                    return {}  # id-less table: stay id-less
+        except Exception:
+            return {}
+    return fields
+
+
 def enable_field_id_reads(spark) -> None:
     """Turn on Spark's parquet field-id resolution (runtime SQL conf,
     default off).  Only activates for reads whose REQUESTED schema

@@ -1071,3 +1071,43 @@ def test_upsert_on_id_carrying_table_stays_readable(spark, evolved, tmp_path):
     assert got[4] == ("y4", 40)  # v2-written file still resolves
     assert got[2] == ("x2", 20)  # v1 file resolves through the rename
     assert len(got) == 6
+
+
+def test_datasource_append_on_id_carrying_table_stays_readable(
+    spark, evolved, tmp_path
+):
+    """The DataSource's Arrow writer obeys the same stamping rule: an
+    append onto an id-carrying table writes PARQUET:field_id metadata,
+    so the engine's next MOR read never sees a mixed group."""
+    import pyarrow.parquet as pqt
+
+    from iceberg_compaction_spark.sources.catalog import FileCatalog
+    from iceberg_compaction_spark.sources.datasource import register
+    from iceberg_compaction_spark.sources.ingest import read_table_mor
+    from iceberg_compaction_spark.sources.schema_evo import file_field_ids
+
+    cat = FileCatalog(warehouse=str(tmp_path / "whd"))
+    cat.create_table("evo", evolved)
+    register(spark)
+    (
+        spark.createDataFrame(
+            [(200, "appended", 0.9, 42)],
+            "id long, new_name string, extra double, small long",
+        )
+        .coalesce(1)
+        .write.format("iceberg-table")
+        .option("warehouse", cat.warehouse)
+        .option("table", "evo")
+        .mode("append")
+        .save()
+    )
+    m = cat.load_table("evo")
+    [new_file] = [
+        t.data_file_path
+        for t in m.data_files
+        if "append-" in t.data_file_path
+    ]
+    assert file_field_ids(pqt.read_schema(new_file))  # ids present
+    out = read_table_mor(spark, m)
+    got = {r["id"]: r["new_name"] for r in out.collect()}
+    assert got[200] == "appended" and got[2] == "x2" and len(got) == 6
