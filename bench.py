@@ -91,6 +91,7 @@ BENCH_QUERIES = [
     "pipeline_dsir_weights",
     "geo_bbox_filter",
     "meta_refs",
+    "geo_tile_rollup",
 ]
 
 

@@ -36,6 +36,8 @@ __all__ = [
     "st_y",
     "st_within_bbox",
     "st_haversine_m",
+    "tile_id_expr",
+    "st_tile_id",
 ]
 
 # WKB little-endian POINT layout: byteOrder(1)=1, type(4)=1, x(8), y(8).
@@ -172,3 +174,60 @@ def st_haversine_m(
         + F.cos(rl1) * F.cos(rl2) * F.sin(dlon) * F.sin(dlon)
     )
     return df.withColumn(out_col, r2 * F.asin(F.sqrt(a)))
+
+
+def tile_id_expr(
+    x_expr: str,
+    y_expr: str,
+    x_range: tuple,
+    y_range: tuple,
+    bits: int = 6,
+    idiv: str = "div",
+) -> str:
+    """SQL expression for a fixed-bounds Morton TILE id of an (x, y)
+    pair: each coordinate quantizes into ``2^bits`` cells over its
+    declared range (clamped at the edges), and the cells interleave
+    into one integer — the geohash-style spatial bucketing key under
+    distributed spatial joins and tile rollups.  Identical string
+    semantics in Spark SQL (``idiv='div'``) and DuckDB (``'//'``);
+    quantization is FLOOR over one multiply and one divide, so both
+    engines compute bit-identical cells (no reassociation, no libm).
+
+    Fixed bounds (vs zorder_code's data-driven min/max) are the
+    spatial case: geographic ranges are known constants, so the tile
+    of a point never depends on what else is in the batch — the
+    property an incremental pipeline needs for tiles to be stable
+    across ingests."""
+    from iceberg_compaction_spark.operators.zorder import zorder_code_expr
+
+    top = (1 << bits) - 1
+    cells = []
+    for expr, (lo, hi) in ((x_expr, x_range), (y_expr, y_range)):
+        span = float(hi) - float(lo)
+        if span <= 0:
+            raise ValueError(f"empty coordinate range ({lo}, {hi})")
+        q = (
+            f"CAST(FLOOR((({expr}) - {float(lo)}) * {top} / {span}) "
+            f"AS BIGINT)"
+        )
+        cells.append(f"LEAST(GREATEST({q}, 0), {top})")
+    return zorder_code_expr(cells, bits)
+
+
+def st_tile_id(
+    df: DataFrame,
+    x_col: str,
+    y_col: str,
+    x_range: tuple,
+    y_range: tuple,
+    bits: int = 6,
+    out_col: str = "tile_id",
+) -> DataFrame:
+    """Attach the fixed-bounds Morton tile id of ``(x_col, y_col)`` —
+    pure JVM integer expressions, whole-stage codegen, no UDF."""
+    return df.withColumn(
+        out_col,
+        F.expr(
+            tile_id_expr(x_col, y_col, x_range, y_range, bits, idiv="div")
+        ).cast("long"),
+    )

@@ -4253,6 +4253,46 @@ def q_emb_matryoshka(spark, sf_dir):
     )
 
 
+def _geo_tile_sql(bits: int = 6) -> str:
+    from iceberg_compaction_spark.operators.geo import tile_id_expr
+
+    z = tile_id_expr(
+        "value", "CAST(user_id AS DOUBLE)", (0.0, 200.0), (0.0, 50.0), bits
+    )
+    return f"""
+    SELECT CAST({z} AS BIGINT) AS tile_id,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(COUNT(DISTINCT user_id) AS BIGINT) AS nd_users
+    FROM events GROUP BY 1
+    """
+
+
+@register("geo_tile_rollup", _geo_tile_sql())
+def q_geo_tile_rollup(spark, sf_dir):
+    """Spatial tile rollup (round 13; operators/geo.py st_tile_id):
+    events quantized into a fixed-bounds Morton tile grid (the
+    geohash-style bucketing key under distributed spatial joins — a
+    point's tile never depends on the batch, so tiles are stable
+    across incremental ingests), then a per-tile count + distinct
+    users.  The tile expression is ONE generated string evaluated by
+    both engines (the zorder entry's dialect-parity pattern), so the
+    oracle hash-pins the quantization and the interleave bit-exactly.
+
+    Scale shape: pure JVM integer expressions inside whole-stage
+    codegen; the rollup is a map-side-combinable groupBy on a bounded
+    key space (4^bits tiles)."""
+    from iceberg_compaction_spark.operators.geo import st_tile_id
+
+    e = ev.read_events(spark, sf_dir).select(
+        "user_id", "value", F.col("user_id").cast("double").alias("uy")
+    )
+    t = st_tile_id(e, "value", "uy", (0.0, 200.0), (0.0, 50.0), bits=6)
+    return t.groupBy("tile_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.countDistinct("user_id").cast("long").alias("nd_users"),
+    )
+
+
 @register(
     "meta_refs",
     """

@@ -188,3 +188,43 @@ def test_haversine_matches_reference_and_stays_jvm(spark):
         assert abs(g - want) <= max(1e-6 * want, 1e-6), (p, g, want)
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "Python" not in plan
+
+
+def test_tile_id_fixed_bounds_and_stability(spark):
+    """Tile ids are stable (fixed bounds: a point's tile never depends
+    on the batch), clamp at the range edges, and interleave correctly
+    on a hand-checked case."""
+    from iceberg_compaction_spark.operators.geo import st_tile_id
+
+    df = spark.createDataFrame(
+        [
+            (1, 0.0, 0.0),       # corner -> cell (0,0) -> tile 0
+            (2, 200.0, 50.0),    # far corner -> (63,63) -> all bits set
+            (3, -5.0, 60.0),     # out of range: clamps to (0, 63)
+            (4, 100.0, 25.0),    # centre-ish, stable value
+        ],
+        "id long, x double, y double",
+    )
+    got = {
+        r["id"]: r["tile_id"]
+        for r in st_tile_id(
+            df, "x", "y", (0.0, 200.0), (0.0, 50.0), bits=6
+        ).collect()
+    }
+    assert got[1] == 0
+    assert got[2] == (1 << 12) - 1  # 12 interleaved bits all set
+    # clamped x=0 cell, y=63 cell -> odd (y) bits of 63 set
+    assert got[3] == sum(1 << (2 * j + 1) for j in range(6))
+    # stability: a singleton batch yields the same tile
+    solo = st_tile_id(
+        spark.createDataFrame([(100.0, 25.0)], "x double, y double"),
+        "x", "y", (0.0, 200.0), (0.0, 50.0), bits=6,
+    ).collect()[0]["tile_id"]
+    assert solo == got[4]
+    # degenerate range is loud
+    import pytest as _pytest
+
+    from iceberg_compaction_spark.operators.geo import tile_id_expr
+
+    with _pytest.raises(ValueError):
+        tile_id_expr("x", "y", (1.0, 1.0), (0.0, 1.0))
