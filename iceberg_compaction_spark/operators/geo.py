@@ -1,30 +1,46 @@
-"""Iceberg v3 GEOMETRY columns (minimal spatial tier).
+"""Iceberg v3 GEOMETRY columns (spatial tier).
 
 The v3 spec adds ``geometry`` / ``geography`` types whose physical
 representation is **WKB** (ISO well-known binary) in a binary column.
 This module supplies the engine's geometry tier: the type mapping
 (``"geometry"`` in ``schema_fields`` -> binary, see
-``sources/schema_evo.py``), a vectorized WKB codec for the POINT
-subset, and the predicates a table scan actually pushes — bounding-box
-containment, the primitive under every spatial partition-prune.
+``sources/schema_evo.py``), a vectorized WKB codec (POINT fast path,
+LINESTRING / POLYGON envelope tier), the predicates a table scan
+actually pushes (bounding-box containment, the primitive under every
+spatial partition-prune), and a distributed tile-bucketed spatial
+JOIN built on fixed-bounds Morton tiles.
 
 Scope is deliberately the spec's storage contract plus the operations
 a 100 TB pipeline runs at scan time (encode on ingest, coordinate
-extraction, bbox filter); full computational geometry (intersections,
-buffering, projections) belongs to a dedicated library (Sedona/JTS on
-a JVM cluster) reading the same WKB bytes — which is exactly why the
-on-disk format here is standard WKB and nothing engine-private.
+extraction, envelope/bbox filter, point-in-bbox join); full
+computational geometry (intersections, buffering, projections)
+belongs to a dedicated library (Sedona/JTS on a JVM cluster) reading
+the same WKB bytes — which is exactly why the on-disk format here is
+standard WKB and nothing engine-private.
 
-Scale shape: the codec is numpy over fixed-width WKB points —
+WKB interop contract: both byte orders are accepted (byte 0 == 1 is
+little-endian NDR — shapely/PostGIS default; byte 0 == 0 is
+big-endian XDR — JTS ``WKBWriter``'s default), the geometry-type
+header is validated before any coordinate is trusted, and anything
+else (EWKB SRID flags, Z/M variants, truncated buffers) decodes to
+NULL rather than to garbage coordinates.  A filter treats NULL as
+"drop" — an undecodable row must never pass a predicate.
+
+Scale shape: the POINT codec is numpy over fixed-width WKB —
 ``frombuffer`` with a structured dtype decodes a whole Arrow batch in
-ONE numpy call (no per-row Python), and encode builds the batch's
-buffer the same way.  Extraction and bbox filters therefore cost a
-memcpy per batch, and the bbox predicate composes with Catalyst
-(it is an ordinary boolean column — usable in ``where`` before joins
-and aggregations).
+ONE numpy call per byte order (no per-row Python; null/validity
+handling is pandas masks), and encode builds the batch's buffer the
+same way.  Variable-length geometries (linestring/polygon) parse
+per row but with numpy over the vertex array, so cost scales with
+total vertices, not Python-level work per vertex.  Extraction and
+bbox filters therefore cost ~a memcpy per batch, and the bbox
+predicate composes with Catalyst (it is an ordinary boolean column —
+usable in ``where`` before joins and aggregations).
 """
 
 from __future__ import annotations
+
+import struct
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
@@ -34,10 +50,18 @@ __all__ = [
     "st_point",
     "st_x",
     "st_y",
+    "st_geom_type",
+    "st_num_points",
+    "st_envelope",
     "st_within_bbox",
+    "st_intersects_bbox",
     "st_haversine_m",
     "tile_id_expr",
     "st_tile_id",
+    "st_tile_bbox_join",
+    "wkb_point",
+    "wkb_linestring",
+    "wkb_polygon",
 ]
 
 # WKB little-endian POINT layout: byteOrder(1)=1, type(4)=1, x(8), y(8).
@@ -47,11 +71,51 @@ __all__ = [
 _POINT_LEN = 21
 
 
+# ---------------------------------------------------------------------------
+# driver-side WKB builders (ingest fixtures, tests, golden bytes)
+# ---------------------------------------------------------------------------
+
+
+def wkb_point(x: float, y: float, big_endian: bool = False) -> bytes:
+    """One ISO WKB POINT. ``big_endian=True`` emits XDR (JTS default)."""
+    fmt = ">BIdd" if big_endian else "<BIdd"
+    return struct.pack(fmt, 0 if big_endian else 1, 1, float(x), float(y))
+
+
+def wkb_linestring(pts, big_endian: bool = False) -> bytes:
+    """ISO WKB LINESTRING over ``[(x, y), ...]``."""
+    e = ">" if big_endian else "<"
+    out = [struct.pack(e + "BII", 0 if big_endian else 1, 2, len(pts))]
+    out += [struct.pack(e + "dd", float(x), float(y)) for x, y in pts]
+    return b"".join(out)
+
+
+def wkb_polygon(rings, big_endian: bool = False) -> bytes:
+    """ISO WKB POLYGON over ``[ring, ...]`` where each ring is
+    ``[(x, y), ...]`` (exterior ring first, closed per the spec)."""
+    e = ">" if big_endian else "<"
+    out = [struct.pack(e + "BII", 0 if big_endian else 1, 3, len(rings))]
+    for ring in rings:
+        out.append(struct.pack(e + "I", len(ring)))
+        out += [struct.pack(e + "dd", float(x), float(y)) for x, y in ring]
+    return b"".join(out)
+
+
+# ---------------------------------------------------------------------------
+# encode
+# ---------------------------------------------------------------------------
+
+
 def st_point(
     df: DataFrame, x_col: str, y_col: str, out_col: str = "geom"
 ) -> DataFrame:
     """Encode ``(x, y)`` double columns as WKB POINT binary (the v3
-    geometry storage form).  NULL in either coordinate -> NULL geometry."""
+    geometry storage form).  NULL in either coordinate -> NULL geometry.
+
+    Batch shape: one structured-dtype ``tobytes`` builds the whole
+    batch's buffer; the only per-row step is slicing that buffer into
+    the Python ``bytes`` objects the binary column requires (inherent
+    to the output type), with nulls applied as one pandas mask."""
     from pyspark.sql.functions import pandas_udf
 
     @pandas_udf(T.BinaryType())
@@ -64,27 +128,41 @@ def st_point(
         )
         xs = pdf.iloc[:, 0].to_numpy(dtype=np.float64, na_value=np.nan)
         ys = pdf.iloc[:, 1].to_numpy(dtype=np.float64, na_value=np.nan)
-        buf = np.zeros(len(xs), dtype=dt)
+        n = len(xs)
+        buf = np.zeros(n, dtype=dt)
         buf["bo"] = 1
         buf["t"] = 1
         buf["x"] = xs
         buf["y"] = ys
         raw = buf.tobytes()
-        nulls = pdf.iloc[:, 0].isna() | pdf.iloc[:, 1].isna()
-        out = [
-            None if nulls.iat[i] else raw[i * 21 : (i + 1) * 21]
-            for i in range(len(xs))
-        ]
-        return pd.Series(out)
+        out = pd.Series(
+            [raw[i * 21 : (i + 1) * 21] for i in range(n)],
+            index=pdf.index,
+            dtype=object,
+        )
+        nulls = (pdf.iloc[:, 0].isna() | pdf.iloc[:, 1].isna()).to_numpy()
+        out[nulls] = None
+        return out
 
     return df.withColumn(
         out_col, _enc(F.struct(F.col(x_col), F.col(y_col)))
     )
 
 
+# ---------------------------------------------------------------------------
+# decode: POINT coordinates (vectorized, header-validated, both endians)
+# ---------------------------------------------------------------------------
+
+
 def _decode_coord(field: str):
-    """pandas_udf factory: WKB POINT -> one coordinate, decoded with a
-    single structured-dtype frombuffer per batch."""
+    """pandas_udf factory: WKB POINT -> one coordinate.
+
+    Whole-batch decode: all 21-byte buffers join into one contiguous
+    buffer read by TWO structured-dtype ``frombuffer`` views (one per
+    byte order); the byte-order byte and the geometry-type header
+    select between them with numpy masks — a buffer whose header is
+    not a valid POINT (wrong type code, EWKB flags, big-endian bytes
+    misread as little) yields NULL, never garbage coordinates."""
     from pyspark.sql.functions import pandas_udf
 
     @pandas_udf(T.DoubleType())
@@ -92,36 +170,257 @@ def _decode_coord(field: str):
         import numpy as np
         import pandas as pd
 
-        dt = np.dtype(
-            [("bo", "u1"), ("t", "<u4"), ("x", "<f8"), ("y", "<f8")]
+        arr = np.full(len(s), np.nan)
+        lens = s.str.len()
+        m = lens.eq(21).fillna(False).to_numpy()
+        if not m.any():
+            return pd.Series(arr, index=s.index)
+        joined = bytes().join(s[m].tolist())
+        le = np.frombuffer(
+            joined,
+            dtype=np.dtype(
+                [("bo", "u1"), ("t", "<u4"), ("x", "<f8"), ("y", "<f8")]
+            ),
         )
-        vals = []
-        present = []
-        for b in s:
-            if b is None or len(b) != 21:
-                present.append(False)
-            else:
-                present.append(True)
-                vals.append(bytes(b))
-        if vals:
-            arr = np.frombuffer(b"".join(vals), dtype=dt)
-            coords = iter(arr[field].tolist())
-        else:
-            coords = iter(())
-        return pd.Series(
-            [next(coords) if p else None for p in present],
-            dtype="float64",
+        be = np.frombuffer(
+            joined,
+            dtype=np.dtype(
+                [("bo", "u1"), ("t", ">u4"), ("x", ">f8"), ("y", ">f8")]
+            ),
         )
+        coords = np.where(
+            (le["bo"] == 1) & (le["t"] == 1),
+            le[field],
+            np.where((le["bo"] == 0) & (be["t"] == 1), be[field], np.nan),
+        )
+        arr[m] = coords
+        return pd.Series(arr, index=s.index)
 
     return _dec
 
 
 def st_x(df: DataFrame, geom_col: str, out_col: str = "x") -> DataFrame:
+    """POINT x coordinate; NULL for non-point / invalid WKB."""
     return df.withColumn(out_col, _decode_coord("x")(F.col(geom_col)))
 
 
 def st_y(df: DataFrame, geom_col: str, out_col: str = "y") -> DataFrame:
+    """POINT y coordinate; NULL for non-point / invalid WKB."""
     return df.withColumn(out_col, _decode_coord("y")(F.col(geom_col)))
+
+
+# ---------------------------------------------------------------------------
+# decode: variable-length geometries (header, vertex count, envelope)
+# ---------------------------------------------------------------------------
+#
+# The per-row parsers are module functions (unit-testable without a
+# SparkSession); UDF closures import them from this module at executor
+# time — the same deployment contract the multimodal tier already
+# relies on (the package ships to executors).
+
+
+def _parse_header(b):
+    """(numpy-endian-prefix, base geometry type) or None if invalid."""
+    if b is None or len(b) < 5:
+        return None
+    bo = b[0]
+    if bo == 1:
+        e = "<"
+    elif bo == 0:
+        e = ">"
+    else:
+        return None
+    t = int.from_bytes(bytes(b[1:5]), "little" if bo == 1 else "big")
+    # plain ISO 2D codes only; EWKB SRID flags / Z / M -> invalid
+    if t not in (1, 2, 3):
+        return None
+    return e, t
+
+
+def _parse_envelope(b):
+    """WKB -> (xmin, ymin, xmax, ymax) or None.
+
+    POINT envelope is the point itself; LINESTRING spans its vertex
+    array; POLYGON spans its exterior ring (ring 0 — a valid polygon's
+    interior rings lie inside it, so they cannot extend the envelope).
+    Vertex math is numpy over the contiguous coordinate block."""
+    import numpy as np
+
+    h = _parse_header(b)
+    if h is None:
+        return None
+    e, t = h
+    if t == 1:
+        if len(b) != 21:
+            return None
+        x, y = np.frombuffer(b, dtype=e + "f8", count=2, offset=5)
+        return (float(x), float(y), float(x), float(y))
+    if t == 2:
+        n = int(np.frombuffer(b, dtype=e + "u4", count=1, offset=5)[0])
+        if n == 0 or len(b) != 9 + 16 * n:
+            return None
+        pts = np.frombuffer(b, dtype=e + "f8", count=2 * n, offset=9)
+    else:  # t == 3, polygon: exterior ring
+        if len(b) < 13:
+            return None
+        nr = int(np.frombuffer(b, dtype=e + "u4", count=1, offset=5)[0])
+        if nr == 0:
+            return None
+        n = int(np.frombuffer(b, dtype=e + "u4", count=1, offset=9)[0])
+        if n == 0 or len(b) < 13 + 16 * n:
+            return None
+        pts = np.frombuffer(b, dtype=e + "f8", count=2 * n, offset=13)
+    xs, ys = pts[0::2], pts[1::2]
+    return (float(xs.min()), float(ys.min()), float(xs.max()), float(ys.max()))
+
+
+def _parse_num_points(b):
+    """WKB -> total vertex count (all polygon rings) or None."""
+    import numpy as np
+
+    h = _parse_header(b)
+    if h is None:
+        return None
+    e, t = h
+    if t == 1:
+        return 1 if len(b) == 21 else None
+    if t == 2:
+        n = int(np.frombuffer(b, dtype=e + "u4", count=1, offset=5)[0])
+        return n if len(b) == 9 + 16 * n else None
+    nr = int(np.frombuffer(b, dtype=e + "u4", count=1, offset=5)[0])
+    off, total = 9, 0
+    for _ in range(nr):
+        if len(b) < off + 4:
+            return None
+        n = int(np.frombuffer(b, dtype=e + "u4", count=1, offset=off)[0])
+        off += 4 + 16 * n
+        total += n
+    return total if len(b) == off else None
+
+
+_ENVELOPE_TYPE = T.StructType(
+    [
+        T.StructField("xmin", T.DoubleType()),
+        T.StructField("ymin", T.DoubleType()),
+        T.StructField("xmax", T.DoubleType()),
+        T.StructField("ymax", T.DoubleType()),
+    ]
+)
+
+
+def st_envelope(
+    df: DataFrame, geom_col: str, out_col: str = "envelope"
+) -> DataFrame:
+    """Attach the bounding envelope struct ``(xmin, ymin, xmax, ymax)``
+    of any supported WKB geometry (POINT / LINESTRING / POLYGON, both
+    byte orders).  NULL / invalid WKB -> NULL envelope.
+
+    Batch shape: 21-byte valid POINTs (the common case in a
+    point-dominant table) take the fully vectorized two-view
+    frombuffer path; only variable-length geometries fall to the
+    per-row numpy parser."""
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf(_ENVELOPE_TYPE)
+    def _env(s):
+        import numpy as np
+        import pandas as pd
+
+        n = len(s)
+        cols = {
+            k: np.full(n, np.nan)
+            for k in ("xmin", "ymin", "xmax", "ymax")
+        }
+        lens = s.str.len()
+        pm = lens.eq(21).fillna(False).to_numpy()
+        if pm.any():
+            joined = bytes().join(s[pm].tolist())
+            le = np.frombuffer(
+                joined,
+                dtype=np.dtype(
+                    [("bo", "u1"), ("t", "<u4"), ("x", "<f8"), ("y", "<f8")]
+                ),
+            )
+            be = np.frombuffer(
+                joined,
+                dtype=np.dtype(
+                    [("bo", "u1"), ("t", ">u4"), ("x", ">f8"), ("y", ">f8")]
+                ),
+            )
+            ok_le = (le["bo"] == 1) & (le["t"] == 1)
+            ok_be = (le["bo"] == 0) & (be["t"] == 1)
+            px = np.where(ok_le, le["x"], np.where(ok_be, be["x"], np.nan))
+            py = np.where(ok_le, le["y"], np.where(ok_be, be["y"], np.nan))
+            for k, v in (("xmin", px), ("xmax", px), ("ymin", py), ("ymax", py)):
+                cols[k][pm] = v
+        vm = (lens.notna() & ~lens.eq(21)).to_numpy()
+        if vm.any():
+            from iceberg_compaction_spark.operators.geo import (
+                _parse_envelope,
+            )
+
+            idx = np.flatnonzero(vm)
+            vals = s.iloc[idx].tolist()
+            for i, b in zip(idx, vals):
+                env = _parse_envelope(b)
+                if env is not None:
+                    (
+                        cols["xmin"][i],
+                        cols["ymin"][i],
+                        cols["xmax"][i],
+                        cols["ymax"][i],
+                    ) = env
+        return pd.DataFrame(cols, index=s.index)
+
+    out = df.withColumn(out_col, _env(F.col(geom_col)))
+    # an all-NaN struct row means "undecodable" -> collapse to NULL
+    return out.withColumn(
+        out_col,
+        F.when(F.col(f"{out_col}.xmin").isNotNull(), F.col(out_col)),
+    )
+
+
+def st_geom_type(
+    df: DataFrame, geom_col: str, out_col: str = "geom_type"
+) -> DataFrame:
+    """Geometry type name (``POINT``/``LINESTRING``/``POLYGON``) from
+    the validated WKB header; NULL for invalid / unsupported WKB.
+    JVM-side byte peeks — binary ``substring`` compared against hex
+    literals (no binary->string casts, no Python in the plan)."""
+    hdr = F.expr(f"substring({geom_col}, 1, 5)")
+    name = F.lit(None).cast("string")
+    for code, nm in ((1, "POINT"), (2, "LINESTRING"), (3, "POLYGON")):
+        le = F.lit(bytes([1, code, 0, 0, 0]))
+        be = F.lit(bytes([0, 0, 0, 0, code]))
+        name = F.when((hdr == le) | (hdr == be), F.lit(nm)).otherwise(name)
+    return df.withColumn(out_col, name)
+
+
+def st_num_points(
+    df: DataFrame, geom_col: str, out_col: str = "num_points"
+) -> DataFrame:
+    """Total vertex count of the geometry (all rings for polygons);
+    NULL for invalid WKB."""
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf(T.LongType())
+    def _np_(s):
+        import pandas as pd
+
+        from iceberg_compaction_spark.operators.geo import (
+            _parse_num_points,
+        )
+
+        return pd.Series(
+            [_parse_num_points(b) for b in s], index=s.index, dtype="Int64"
+        )
+
+    return df.withColumn(out_col, _np_(F.col(geom_col)))
+
+
+# ---------------------------------------------------------------------------
+# predicates
+# ---------------------------------------------------------------------------
 
 
 def st_within_bbox(
@@ -133,21 +432,47 @@ def st_within_bbox(
     ymax: float,
     out_col: str = "in_bbox",
 ) -> DataFrame:
-    """Boolean bbox-containment column (xmin <= x <= xmax AND
-    ymin <= y <= ymax) — the primitive behind spatial partition
-    pruning.  NULL geometry -> false (a filter must never keep an
+    """Boolean bbox-containment column — the geometry's envelope lies
+    entirely inside ``[xmin, xmax] x [ymin, ymax]`` (for POINTs this
+    is exactly point-in-bbox; works for linestrings/polygons too).
+    NULL / undecodable geometry -> false (a filter must never keep an
     undecodable row)."""
-    out = st_x(df, geom_col, "__bx")
-    out = st_y(out, geom_col, "__by")
+    out = st_envelope(df, geom_col, "__env")
+    e = F.col("__env")
     pred = (
-        (F.col("__bx") >= float(xmin))
-        & (F.col("__bx") <= float(xmax))
-        & (F.col("__by") >= float(ymin))
-        & (F.col("__by") <= float(ymax))
+        (e["xmin"] >= float(xmin))
+        & (e["xmax"] <= float(xmax))
+        & (e["ymin"] >= float(ymin))
+        & (e["ymax"] <= float(ymax))
     )
     return out.withColumn(
         out_col, F.coalesce(pred, F.lit(False))
-    ).drop("__bx", "__by")
+    ).drop("__env")
+
+
+def st_intersects_bbox(
+    df: DataFrame,
+    geom_col: str,
+    xmin: float,
+    ymin: float,
+    xmax: float,
+    ymax: float,
+    out_col: str = "hits_bbox",
+) -> DataFrame:
+    """Boolean envelope-overlap column (the coarse intersects test a
+    spatial scan pushes before any exact geometry math).  NULL /
+    undecodable geometry -> false."""
+    out = st_envelope(df, geom_col, "__env")
+    e = F.col("__env")
+    pred = (
+        (e["xmin"] <= float(xmax))
+        & (e["xmax"] >= float(xmin))
+        & (e["ymin"] <= float(ymax))
+        & (e["ymax"] >= float(ymin))
+    )
+    return out.withColumn(
+        out_col, F.coalesce(pred, F.lit(False))
+    ).drop("__env")
 
 
 def st_haversine_m(
@@ -176,22 +501,37 @@ def st_haversine_m(
     return df.withColumn(out_col, r2 * F.asin(F.sqrt(a)))
 
 
+# ---------------------------------------------------------------------------
+# tiles + spatial join
+# ---------------------------------------------------------------------------
+
+
+def _cell_expr(expr: str, lo: float, hi: float, bits: int) -> str:
+    """SQL for one quantized cell index (clamped) — FLOOR over one
+    multiply and one divide, bit-identical in Spark SQL and DuckDB
+    (no reassociation, no libm, dialect-neutral operators)."""
+    span = float(hi) - float(lo)
+    if span <= 0:
+        raise ValueError(f"empty coordinate range ({lo}, {hi})")
+    top = (1 << bits) - 1
+    q = f"CAST(FLOOR((({expr}) - {float(lo)}) * {top} / {span}) AS BIGINT)"
+    return f"LEAST(GREATEST({q}, 0), {top})"
+
+
 def tile_id_expr(
     x_expr: str,
     y_expr: str,
     x_range: tuple,
     y_range: tuple,
     bits: int = 6,
-    idiv: str = "div",
 ) -> str:
     """SQL expression for a fixed-bounds Morton TILE id of an (x, y)
     pair: each coordinate quantizes into ``2^bits`` cells over its
     declared range (clamped at the edges), and the cells interleave
     into one integer — the geohash-style spatial bucketing key under
-    distributed spatial joins and tile rollups.  Identical string
-    semantics in Spark SQL (``idiv='div'``) and DuckDB (``'//'``);
-    quantization is FLOOR over one multiply and one divide, so both
-    engines compute bit-identical cells (no reassociation, no libm).
+    distributed spatial joins and tile rollups.  The generated string
+    is dialect-neutral (FLOOR + ``/`` + ``>>``/``&``), so Spark SQL
+    and DuckDB compute bit-identical cells.
 
     Fixed bounds (vs zorder_code's data-driven min/max) are the
     spatial case: geographic ranges are known constants, so the tile
@@ -200,17 +540,10 @@ def tile_id_expr(
     across ingests."""
     from iceberg_compaction_spark.operators.zorder import zorder_code_expr
 
-    top = (1 << bits) - 1
-    cells = []
-    for expr, (lo, hi) in ((x_expr, x_range), (y_expr, y_range)):
-        span = float(hi) - float(lo)
-        if span <= 0:
-            raise ValueError(f"empty coordinate range ({lo}, {hi})")
-        q = (
-            f"CAST(FLOOR((({expr}) - {float(lo)}) * {top} / {span}) "
-            f"AS BIGINT)"
-        )
-        cells.append(f"LEAST(GREATEST({q}, 0), {top})")
+    cells = [
+        _cell_expr(x_expr, x_range[0], x_range[1], bits),
+        _cell_expr(y_expr, y_range[0], y_range[1], bits),
+    ]
     return zorder_code_expr(cells, bits)
 
 
@@ -227,7 +560,83 @@ def st_tile_id(
     pure JVM integer expressions, whole-stage codegen, no UDF."""
     return df.withColumn(
         out_col,
-        F.expr(
-            tile_id_expr(x_col, y_col, x_range, y_range, bits, idiv="div")
-        ).cast("long"),
+        F.expr(tile_id_expr(x_col, y_col, x_range, y_range, bits)).cast(
+            "long"
+        ),
     )
+
+
+def st_tile_bbox_join(
+    points: DataFrame,
+    x_col: str,
+    y_col: str,
+    regions: DataFrame,
+    x_range: tuple,
+    y_range: tuple,
+    bits: int = 6,
+    broadcast_regions: bool = True,
+) -> DataFrame:
+    """Distributed point-in-bbox JOIN via Morton tile bucketing.
+
+    ``regions`` must carry ``xmin``/``ymin``/``xmax``/``ymax`` double
+    columns (plus any payload).  Each point gets its (single) tile id;
+    each region explodes into the tile ids its box overlaps (a
+    ``sequence`` over its clamped cell ranges, Morton-interleaved with
+    the exact same expression as the point side — clamping is applied
+    identically on both sides, so out-of-range coordinates still pair
+    correctly).  The join is then a plain tile **equi-join** with the
+    exact bbox residual predicate — never a cartesian / nested-loop
+    product, which is what makes this survive 100 TB of points: work
+    is proportional to (points) + (region-tile pairs) + (candidate
+    matches in shared tiles).
+
+    A point has exactly one tile and a region lists each overlapped
+    tile once, so every matching (point, region) pair emerges exactly
+    once — no post-join dedup.
+
+    ``broadcast_regions=True`` (the common small-dims case) broadcasts
+    the exploded region side; at region counts too large to broadcast,
+    pass False and both sides shuffle on the tile key — the same
+    equi-join shape, co-partitioned."""
+    from iceberg_compaction_spark.operators.zorder import zorder_code_expr
+
+    for c in ("xmin", "ymin", "xmax", "ymax"):
+        if c not in regions.columns:
+            raise ValueError(f"regions is missing bbox column {c!r}")
+    p = st_tile_id(
+        points, x_col, y_col, x_range, y_range, bits, out_col="__tile"
+    )
+    r = (
+        regions.withColumn(
+            "__cx",
+            F.explode(
+                F.sequence(
+                    F.expr(_cell_expr("xmin", *x_range, bits)),
+                    F.expr(_cell_expr("xmax", *x_range, bits)),
+                )
+            ),
+        )
+        .withColumn(
+            "__cy",
+            F.explode(
+                F.sequence(
+                    F.expr(_cell_expr("ymin", *y_range, bits)),
+                    F.expr(_cell_expr("ymax", *y_range, bits)),
+                )
+            ),
+        )
+        .withColumn(
+            "__tile",
+            F.expr(zorder_code_expr(["__cx", "__cy"], bits)).cast("long"),
+        )
+        .drop("__cx", "__cy")
+    )
+    if broadcast_regions:
+        r = F.broadcast(r)
+    residual = (
+        (F.col(x_col) >= F.col("xmin"))
+        & (F.col(x_col) <= F.col("xmax"))
+        & (F.col(y_col) >= F.col("ymin"))
+        & (F.col(y_col) <= F.col("ymax"))
+    )
+    return p.join(r, on="__tile", how="inner").where(residual).drop("__tile")

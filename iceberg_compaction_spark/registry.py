@@ -4700,6 +4700,73 @@ def q_variant_extract(spark, sf_dir):
     )
 
 
+@register(
+    "geo_spatial_join",
+    """
+    WITH regions(region_name, xmin, ymin, xmax, ymax) AS (
+      VALUES ('west', 0.0, 0.0, 60.0, 25.0),
+             ('mid',  50.0, 10.0, 150.0, 40.0),
+             ('east', 140.0, 0.0, 205.0, 52.0),
+             ('core', 90.0, 20.0, 110.0, 30.0)
+    )
+    SELECT region_name,
+           CAST(COUNT(*) AS BIGINT) AS n_points,
+           CAST(COUNT(DISTINCT user_id) AS BIGINT) AS nd_users,
+           CAST(SUM(CAST(FLOOR(value * 100) AS BIGINT)) AS BIGINT)
+               AS sum_cents
+    FROM events e JOIN regions r
+      ON e.value >= r.xmin AND e.value <= r.xmax
+     AND CAST(e.user_id AS DOUBLE) >= r.ymin
+     AND CAST(e.user_id AS DOUBLE) <= r.ymax
+    GROUP BY region_name
+    """,
+)
+def q_geo_spatial_join(spark, sf_dir):
+    """Distributed spatial JOIN (round 14 — VERDICT r13 #3;
+    operators/geo.py st_tile_bbox_join): events points against four
+    (overlapping, partly out-of-range) bbox regions via Morton tile
+    bucketing — each point gets its single fixed-bounds tile, each
+    region explodes into the tiles its box overlaps with the SAME
+    clamped cell expressions, and the match is a tile equi-join plus
+    the exact bbox residual.  The oracle is the naive cross-predicate
+    join, so the hash pins that tile bucketing finds every matching
+    (point, region) pair exactly once — including clamped edge cases.
+
+    Scale shape: never a cartesian/nested-loop (plan-gated in
+    tests/test_geo.py) — the exploded region side broadcasts (small
+    dims; at large region counts the same equi-join shuffles both
+    sides co-partitioned on the tile key), so work is points +
+    region-tile pairs + candidates in shared tiles."""
+    from iceberg_compaction_spark.operators.geo import st_tile_bbox_join
+
+    e = ev.read_events(spark, sf_dir).select(
+        "event_type",
+        "value",
+        "user_id",
+        F.col("user_id").cast("double").alias("uy"),
+    )
+    regions = spark.createDataFrame(
+        [
+            ("west", 0.0, 0.0, 60.0, 25.0),
+            ("mid", 50.0, 10.0, 150.0, 40.0),
+            ("east", 140.0, 0.0, 205.0, 52.0),
+            ("core", 90.0, 20.0, 110.0, 30.0),
+        ],
+        "region_name string, xmin double, ymin double, "
+        "xmax double, ymax double",
+    )
+    j = st_tile_bbox_join(
+        e, "value", "uy", regions, (0.0, 200.0), (0.0, 50.0), bits=6
+    )
+    return j.groupBy("region_name").agg(
+        F.count(F.lit(1)).cast("long").alias("n_points"),
+        F.countDistinct("user_id").cast("long").alias("nd_users"),
+        F.sum(F.floor(F.col("value") * 100).cast("long"))
+        .cast("long")
+        .alias("sum_cents"),
+    )
+
+
 # ===========================================================================
 # Driver-window composition (round 9).  The driver's CORRECTNESS gate
 # checks the FIRST 50 queries() entries; pytest's test_oracle_tail.py
@@ -4847,6 +4914,29 @@ _order13 = _rest13[:48] + _W13_PROMOTE + _rest13[48:] + _W13_DEMOTE
 QUERIES = {n: QUERIES[n] for n in _order13}
 ORACLES = {n: ORACLES[n] for n in _order13 if n in ORACLES}
 del _W13_PROMOTE, _W13_DEMOTE, _rest13, _order13
+
+# Round-14 window recomposition, same policy (VERDICT r13 #7: rotate
+# newest distinct-family entries into the driver-checked window).
+# Promote `geo_tile_rollup` (the geometry tier's first window member —
+# fixed-bounds Morton tiles, the bucketing key under the new spatial
+# join), `dml_add_files` (the import-without-rewrite DML surface; no
+# add-files member was in-window), and `text_bpe_pairs` (tokenizer-
+# training statistics; distinct from the in-window quality/langid
+# scorers).  Demote three entries whose family stays window-covered:
+# `mor_after_rename` (flat-rename twin of the strictly-stronger
+# in-window `mor_nested_rename`, plus test_schema_evolution_fieldid),
+# `dml_merge_conditional` (conditional twin of in-window
+# `dml_merge_into`), and `cdc_update_images` (update-image family keeps
+# `stream_update_images` + `cdc_changelog_branch` in-window).  Every
+# demoted entry keeps its identical rows/cols/hash check in
+# tests/test_oracle_tail.py.
+_W14_PROMOTE = ["geo_tile_rollup", "dml_add_files", "text_bpe_pairs"]
+_W14_DEMOTE = ["mor_after_rename", "dml_merge_conditional", "cdc_update_images"]
+_rest14 = [n for n in QUERIES if n not in _W14_PROMOTE + _W14_DEMOTE]
+_order14 = _rest14[:47] + _W14_PROMOTE + _rest14[47:] + _W14_DEMOTE
+QUERIES = {n: QUERIES[n] for n in _order14}
+ORACLES = {n: ORACLES[n] for n in _order14 if n in ORACLES}
+del _W14_PROMOTE, _W14_DEMOTE, _rest14, _order14
 
 # Self-counting window invariants — these replace the literal counts
 # that drifted in past rounds' comments.  The policy they pin:

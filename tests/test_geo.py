@@ -228,3 +228,170 @@ def test_tile_id_fixed_bounds_and_stability(spark):
 
     with _pytest.raises(ValueError):
         tile_id_expr("x", "y", (1.0, 1.0), (0.0, 1.0))
+
+
+def test_decode_validates_wkb_header(spark):
+    """ADVICE r13: a big-endian (JTS-default) WKB POINT is also 21
+    bytes — the codec must decode it correctly via the byte-order
+    byte, and must NULL (not garbage-decode) buffers whose header is
+    not a valid plain POINT."""
+    from iceberg_compaction_spark.operators.geo import wkb_point
+
+    rows = [
+        (1, wkb_point(2.5, -3.5)),                 # little-endian
+        (2, wkb_point(2.5, -3.5, big_endian=True)),  # big-endian (JTS)
+        (3, bytes([1, 9, 0, 0, 0]) + b"\x00" * 16),  # unknown type code
+        (4, bytes([7]) + b"\x00" * 20),              # invalid endian byte
+        (5, b"\x01\x01\x00\x00"),                    # truncated
+        (6, None),
+    ]
+    df = spark.createDataFrame(rows, "id long, geom binary")
+    got = {
+        r["id"]: (r["gx"], r["gy"])
+        for r in st_y(st_x(df, "geom", "gx"), "geom", "gy").collect()
+    }
+    assert got[1] == (2.5, -3.5)
+    assert got[2] == (2.5, -3.5)
+    assert got[3] == (None, None)
+    assert got[4] == (None, None)
+    assert got[5] == (None, None)
+    assert got[6] == (None, None)
+
+
+def test_geom_type_and_num_points_mixed_batch(spark):
+    from iceberg_compaction_spark.operators.geo import (
+        st_geom_type,
+        st_num_points,
+        wkb_linestring,
+        wkb_point,
+        wkb_polygon,
+    )
+
+    sq = [(0.0, 0.0), (4.0, 0.0), (4.0, 4.0), (0.0, 4.0), (0.0, 0.0)]
+    hole = [(1.0, 1.0), (2.0, 1.0), (2.0, 2.0), (1.0, 2.0), (1.0, 1.0)]
+    rows = [
+        (1, wkb_point(1.0, 2.0)),
+        (2, wkb_linestring([(0.0, 0.0), (1.0, 1.0), (2.0, 0.0)])),
+        (3, wkb_polygon([sq, hole])),
+        (4, wkb_linestring([(5.0, 5.0), (6.0, 6.0)], big_endian=True)),
+        (5, b"\x01\x63\x00\x00\x00"),  # type 99
+        (6, None),
+    ]
+    df = spark.createDataFrame(rows, "id long, geom binary")
+    out = st_num_points(st_geom_type(df, "geom"), "geom")
+    got = {
+        r["id"]: (r["geom_type"], r["num_points"]) for r in out.collect()
+    }
+    assert got == {
+        1: ("POINT", 1),
+        2: ("LINESTRING", 3),
+        3: ("POLYGON", 10),
+        4: ("LINESTRING", 2),
+        5: (None, None),
+        6: (None, None),
+    }
+
+
+def test_envelope_mixed_geometries_and_bbox(spark):
+    """Envelope over a mixed POINT/LINESTRING/POLYGON batch (both byte
+    orders), and the generalized bbox predicates built on it."""
+    from iceberg_compaction_spark.operators.geo import (
+        st_envelope,
+        st_intersects_bbox,
+        wkb_linestring,
+        wkb_point,
+        wkb_polygon,
+    )
+
+    sq = [(2.0, 2.0), (8.0, 2.0), (8.0, 8.0), (2.0, 8.0), (2.0, 2.0)]
+    rows = [
+        (1, wkb_point(5.0, 5.0)),
+        (2, wkb_linestring([(1.0, 1.0), (9.0, 3.0), (4.0, 7.0)])),
+        (3, wkb_polygon([sq])),
+        (4, wkb_point(50.0, 50.0, big_endian=True)),
+        (5, wkb_polygon([sq], big_endian=True)),
+        (6, b"\xff" * 30),
+        (7, None),
+    ]
+    df = spark.createDataFrame(rows, "id long, geom binary")
+    env = {
+        r["id"]: (
+            None
+            if r["envelope"] is None
+            else (
+                r["envelope"]["xmin"],
+                r["envelope"]["ymin"],
+                r["envelope"]["xmax"],
+                r["envelope"]["ymax"],
+            )
+        )
+        for r in st_envelope(df, "geom").collect()
+    }
+    assert env[1] == (5.0, 5.0, 5.0, 5.0)
+    assert env[2] == (1.0, 1.0, 9.0, 7.0)
+    assert env[3] == (2.0, 2.0, 8.0, 8.0)
+    assert env[4] == (50.0, 50.0, 50.0, 50.0)
+    assert env[5] == (2.0, 2.0, 8.0, 8.0)
+    assert env[6] is None
+    assert env[7] is None
+
+    within = {
+        r["id"]: r["in_bbox"]
+        for r in st_within_bbox(df, "geom", 0, 0, 10, 10).collect()
+    }
+    assert within == {
+        1: True, 2: True, 3: True, 4: False, 5: True, 6: False, 7: False,
+    }
+    hits = {
+        r["id"]: r["hits_bbox"]
+        for r in st_intersects_bbox(df, "geom", 7, 7, 60, 60).collect()
+    }
+    # polygon (2..8)^2 overlaps [7,60]^2; the far point is inside it
+    assert hits == {
+        1: False, 2: True, 3: True, 4: True, 5: True, 6: False, 7: False,
+    }
+
+
+def test_tile_bbox_join_matches_naive_and_avoids_cartesian(spark):
+    """The distributed spatial join: tile-bucketed equi-join + exact
+    residual == the naive cross predicate join, each matching pair
+    exactly once, and the physical plan contains no cartesian /
+    nested-loop."""
+    import random
+
+    from iceberg_compaction_spark.operators.geo import st_tile_bbox_join
+
+    rng = random.Random(14)
+    pts = [
+        (i, rng.uniform(-10.0, 210.0), rng.uniform(-5.0, 55.0))
+        for i in range(400)
+    ]
+    points = spark.createDataFrame(pts, "pid long, px double, py double")
+    regs = [
+        ("a", 0.0, 0.0, 60.0, 25.0),
+        ("b", 50.0, 10.0, 150.0, 40.0),   # overlaps a and d
+        ("c", 140.0, 0.0, 205.0, 52.0),   # extends past the tile range
+        ("d", 90.0, 20.0, 110.0, 30.0),
+    ]
+    regions = spark.createDataFrame(
+        regs,
+        "region_name string, xmin double, ymin double, "
+        "xmax double, ymax double",
+    )
+    joined = st_tile_bbox_join(
+        points, "px", "py", regions, (0.0, 200.0), (0.0, 50.0), bits=5
+    )
+    got = sorted(
+        (r["pid"], r["region_name"])
+        for r in joined.select("pid", "region_name").collect()
+    )
+    want = sorted(
+        (pid, name)
+        for pid, x, y in pts
+        for name, x0, y0, x1, y1 in regs
+        if x0 <= x <= x1 and y0 <= y <= y1
+    )
+    assert got == want  # exactly-once per matching pair, none missed
+    plan = joined._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan

@@ -90,6 +90,15 @@ TRACKED = [
     # round 13: DSIR importance weights — corpus explode + conditional
     # bucket agg + broadcast feature join + doc sum must stay linear
     "pipeline_dsir_weights",
+    # round 14 (VERDICT r13 #3): the geometry tier — WKB encode/decode
+    # + bbox predicate (pure batch codec work, must scale with the
+    # scan), the Morton tile rollup (JVM integer expressions over a
+    # bounded key space), and the tile-bucketed spatial join (tile
+    # equi-join + residual; work must stay points + candidates, never
+    # pairs x regions beyond shared tiles)
+    "geo_bbox_filter",
+    "geo_tile_rollup",
+    "geo_spatial_join",
 ]
 
 
