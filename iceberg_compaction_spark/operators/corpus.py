@@ -432,7 +432,12 @@ def dsir_importance_weights(
     document's weight is the sum of its tokens' bucket ratios.
     Returns ``(id_col, n_tokens, weight_scaled)`` — resample by weight
     (e.g. ``sample_exact_k`` over a weight-ordered prefix, or
-    threshold) to build the selected corpus.
+    threshold) to build the selected corpus.  EVERY input document
+    gets a row: documents that yield zero tokens (empty text, or text
+    with no ``[a-z]`` characters — e.g. entirely non-Latin docs) come
+    back with ``n_tokens = 0`` and ``weight_scaled = 0`` rather than
+    silently vanishing, so a resampler driven by this frame sees the
+    whole corpus (ADVICE r13).
 
     Scale shape: ONE explode over the corpus; ONE map-side-combinable
     groupBy(bucket) computing target and corpus counts together (a
@@ -462,11 +467,20 @@ def dsir_importance_weights(
         "__b",
         F.expr(f"__tb * {int(scale)} div __rb").alias("__ratio"),
     )
-    return (
+    agg = (
         toks.join(F.broadcast(ratio), "__b")
         .groupBy(id_col)
         .agg(
             F.count(F.lit(1)).cast("long").alias("n_tokens"),
             F.sum("__ratio").cast("long").alias("weight_scaled"),
         )
+    )
+    # zero-token docs still get a (0, 0) row — one extra equi-join on
+    # the id key against the (already distinct) input ids
+    return df.select(id_col).distinct().join(agg, id_col, "left").select(
+        id_col,
+        F.coalesce("n_tokens", F.lit(0)).cast("long").alias("n_tokens"),
+        F.coalesce("weight_scaled", F.lit(0))
+        .cast("long")
+        .alias("weight_scaled"),
     )

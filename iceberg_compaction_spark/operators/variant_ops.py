@@ -288,14 +288,29 @@ def variant_get_path(
 
     Per-row decode walks the encoded value along the path; Python-side
     (Arrow-batched) by necessity here — on Spark clusters reading the
-    reconstructed VariantType this is natively ``F.variant_get``."""
+    reconstructed VariantType this is natively ``F.variant_get``.
+
+    When ``out_col`` is omitted the output name derives from the
+    variant column and the path (``<variant_col>_<path-slug>``) —
+    NEVER a bare ``value``, which is a common real column name the
+    default would silently clobber (ADVICE r13); an explicit
+    ``out_col`` may still intentionally replace an existing column."""
     if target_type not in _CAST:
         raise ValueError(
             f"unsupported target_type {target_type!r}; "
             f"one of {sorted(_CAST)}"
         )
     steps = _parse_path(path)
-    out_col = out_col or "value"
+    if out_col is None:
+        import re as _re
+
+        slug = _re.sub(r"[^A-Za-z0-9]+", "_", path).strip("_") or "root"
+        out_col = f"{variant_col}_{slug}"
+        if out_col in df.columns:
+            raise ValueError(
+                f"derived output column {out_col!r} already exists; "
+                "pass out_col explicitly to overwrite or rename"
+            )
     # SHREDDED fast path: when the path was materialized as a typed
     # sibling column at write time (shred_variant), extraction is a
     # plain column reference — JVM-side, prunable, pushdown-eligible,

@@ -4391,12 +4391,19 @@ def q_geo_bbox_filter(spark, sf_dir):
              COUNT(*) AS r_b
       FROM toks JOIN flags f USING (doc_id)
       GROUP BY b
+    ),
+    agg AS (
+      SELECT toks.doc_id,
+             CAST(COUNT(*) AS BIGINT) AS n_tokens,
+             CAST(SUM((t_b * 1000000) // r_b) AS BIGINT) AS weight_scaled
+      FROM toks JOIN tb USING (b)
+      GROUP BY toks.doc_id
     )
-    SELECT toks.doc_id,
-           CAST(COUNT(*) AS BIGINT) AS n_tokens,
-           CAST(SUM((t_b * 1000000) // r_b) AS BIGINT) AS weight_scaled
-    FROM toks JOIN tb USING (b)
-    GROUP BY toks.doc_id
+    SELECT d.doc_id,
+           CAST(COALESCE(a.n_tokens, 0) AS BIGINT) AS n_tokens,
+           CAST(COALESCE(a.weight_scaled, 0) AS BIGINT) AS weight_scaled
+    FROM (SELECT DISTINCT doc_id FROM documents) d
+    LEFT JOIN agg a USING (doc_id)
     """,
 )
 def q_pipeline_dsir_weights(spark, sf_dir):

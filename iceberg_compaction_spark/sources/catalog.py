@@ -146,18 +146,23 @@ class TableRefs:
     def _refs_vpath(self, name: str, k: int) -> str:
         return self._io.join(self._refs_dir(name), f"refs.v{k}.json")
 
-    def _refs_state(self, name: str) -> tuple[int, dict]:
-        """(refs version K, refs map) — highest ``refs.v<K>.json``,
-        falling back to the legacy ``refs.json`` (as K=0), else empty."""
+    def _refs_versions(self, name: str) -> list[int]:
+        """All LISTED refs file versions (readable or not)."""
         io = self._io
         mdir = self._refs_dir(name)
         if not io.is_dir(mdir):
             raise TableNotFound(name)
-        ks = [
+        return [
             int(n[6:].split(".", 1)[0])
             for n in io.listdir(mdir)
             if n.startswith("refs.v") and n.endswith(".json")
         ]
+
+    def _refs_state(self, name: str) -> tuple[int, dict]:
+        """(refs version K, refs map) — highest ``refs.v<K>.json``,
+        falling back to the legacy ``refs.json`` (as K=0), else empty."""
+        io = self._io
+        ks = self._refs_versions(name)
         for k in sorted(ks, reverse=True):
             # Tolerate a torn/empty NEWEST file as transient (retry
             # once, then fall back to the previous version): the CAS
@@ -192,10 +197,21 @@ class TableRefs:
 
         for _ in range(64):
             k, refs = self._refs_state(name)
+            # Next version comes from the highest LISTED version, not
+            # the highest READABLE one: _refs_state's torn-file
+            # fallback may return k < max(listed) when the newest file
+            # is a permanently unreadable old-engine orphan, and a
+            # writer must skip past that occupied path instead of
+            # burning all 64 attempts on a guaranteed-lost CAS
+            # (ADVICE r13).  The orphan's content was never durably
+            # committed, so building k_next from the readable state is
+            # consistent.
+            listed = self._refs_versions(name)
+            k_next = max([k, *listed]) + 1
             new_refs = mutate(dict(refs))
             payload = json.dumps(new_refs, indent=1).encode()
             if self._io.create_exclusive(
-                self._refs_vpath(name, k + 1), payload
+                self._refs_vpath(name, k_next), payload
             ):
                 return new_refs
         raise CommitConflict(f"{name}: refs CAS contention (64 attempts)")

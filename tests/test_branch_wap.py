@@ -924,3 +924,27 @@ def test_cherry_pick_overwrite_into_previously_empty_cell(spark, tmp_path):
     )
     with pytest.raises(ValueError, match="changed on the target"):
         cherry_pick(cat, "p", staged2.snapshot_id)
+
+
+def test_torn_refs_orphan_does_not_brick_writers(cat):
+    """ADVICE r13 (catalog.py _refs_cas): a permanently unreadable
+    NEWEST refs.v<K>.json (an old-engine crash orphan) must not wedge
+    ref writers — the CAS derives its next version from the highest
+    LISTED version, skipping past the occupied path, while readers
+    keep falling back to the last readable state."""
+    cat.create_branch("t", "audit")
+    k, refs = cat._refs_state("t")
+    assert "audit" in refs
+    # plant an empty (torn) orphan ABOVE the current version
+    orphan = cat._refs_vpath("t", k + 1)
+    with open(orphan, "wb"):
+        pass
+    # reader: falls back to the readable state, never raises
+    k2, refs2 = cat._refs_state("t")
+    assert (k2, refs2) == (k, refs)
+    # writer: must succeed promptly, landing PAST the orphan
+    cat.create_tag("t", "pin")
+    k3, refs3 = cat._refs_state("t")
+    assert k3 >= k + 2 and "pin" in refs3 and "audit" in refs3
+    # the orphan stays on disk (immutable history) but is never read
+    assert os.path.getsize(orphan) == 0

@@ -242,3 +242,33 @@ def test_dsir_weights_rank_target_like_docs_higher(spark):
     a = {(r["doc_id"], r["weight_scaled"]) for r in w.collect()}
     b = {(r["doc_id"], r["weight_scaled"]) for r in w2.collect()}
     assert a == b
+
+
+def test_dsir_weights_keep_zero_token_docs(spark):
+    """ADVICE r13: documents yielding zero tokens (empty text, or no
+    [a-z] characters at all) must come back with (0, 0), not vanish —
+    a resampler driven by the frame has to see the whole corpus."""
+    from pyspark.sql import functions as F
+
+    from iceberg_compaction_spark.operators.corpus import (
+        dsir_importance_weights,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (1, "the quick brown fox", "en"),
+            (2, "", "en"),                  # empty
+            (3, "1234 5678 !!!", "de"),     # no [a-z] tokens
+            (4, "中文文档", "zh"),  # non-Latin
+            (5, "another english document", "en"),
+        ],
+        "doc_id long, text string, lang string",
+    )
+    w = dsir_importance_weights(docs, F.col("lang") == "en")
+    got = {
+        r["doc_id"]: (r["n_tokens"], r["weight_scaled"])
+        for r in w.collect()
+    }
+    assert set(got) == {1, 2, 3, 4, 5}
+    assert got[2] == (0, 0) and got[3] == (0, 0) and got[4] == (0, 0)
+    assert got[1][0] == 4 and got[1][1] > 0

@@ -416,3 +416,28 @@ def test_variant_column_through_upsert_lifecycle(spark, tmp_path):
     assert got[3] == '{"tag":"new","v":333}'  # canonical key order
     assert got[99] == '{"v":99}'
     assert got[0] == '{"v":0}'
+
+
+def test_variant_get_default_out_col_never_clobbers(spark):
+    """ADVICE r13: the derived default output name must not silently
+    replace an existing column (the old default 'value' collided with
+    the events fixture's real column)."""
+    import pytest as _pytest
+
+    from iceberg_compaction_spark.operators.variant_ops import (
+        json_to_variant,
+        variant_get_path,
+    )
+
+    df = spark.createDataFrame(
+        [(1, 10.0, '{"k": 7}')], "id long, value double, props string"
+    )
+    v = json_to_variant(df, "props", "pv")
+    out = variant_get_path(v, "pv", "$.k", "long")
+    assert "pv_k" in out.columns and "value" in out.columns
+    [r] = out.collect()
+    assert r["pv_k"] == 7 and r["value"] == 10.0  # untouched
+    # a colliding derived name is loud, not silent
+    v2 = v.withColumn("pv_k", F.lit(0))
+    with _pytest.raises(ValueError, match="already exists"):
+        variant_get_path(v2, "pv", "$.k", "long")
