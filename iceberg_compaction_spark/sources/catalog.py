@@ -161,8 +161,16 @@ class TableRefs:
     def _refs_state(self, name: str) -> tuple[int, dict]:
         """(refs version K, refs map) — highest ``refs.v<K>.json``,
         falling back to the legacy ``refs.json`` (as K=0), else empty."""
+        return self._refs_state_from(name, self._refs_versions(name))
+
+    def _refs_state_from(
+        self, name: str, ks: list[int]
+    ) -> tuple[int, dict]:
+        """Refs state restricted to an ALREADY-TAKEN listing ``ks`` —
+        the CAS path must read state and derive its target version
+        from ONE listing, otherwise a commit landing between the two
+        snapshots gets silently overwritten (two-winner race)."""
         io = self._io
-        ks = self._refs_versions(name)
         for k in sorted(ks, reverse=True):
             # Tolerate a torn/empty NEWEST file as transient (retry
             # once, then fall back to the previous version): the CAS
@@ -196,17 +204,19 @@ class TableRefs:
         from iceberg_compaction_spark.commit import CommitConflict
 
         for _ in range(64):
-            k, refs = self._refs_state(name)
-            # Next version comes from the highest LISTED version, not
-            # the highest READABLE one: _refs_state's torn-file
-            # fallback may return k < max(listed) when the newest file
-            # is a permanently unreadable old-engine orphan, and a
-            # writer must skip past that occupied path instead of
-            # burning all 64 attempts on a guaranteed-lost CAS
-            # (ADVICE r13).  The orphan's content was never durably
-            # committed, so building k_next from the readable state is
-            # consistent.
+            # ONE listing drives both the state read and the target
+            # version.  Target = max(LISTED)+1, not max(readable)+1:
+            # _refs_state's torn-file fallback may read k < max(listed)
+            # when the newest file is a permanently unreadable
+            # old-engine orphan, and a writer must skip past that
+            # occupied path instead of burning all 64 attempts on a
+            # guaranteed-lost CAS (ADVICE r13).  The orphan's content
+            # was never durably committed, so building on the readable
+            # state is consistent.  Listing AFTER reading would be a
+            # two-winner race: a commit landing in between would be
+            # skipped over AND its state ignored.
             listed = self._refs_versions(name)
+            k, refs = self._refs_state_from(name, listed)
             k_next = max([k, *listed]) + 1
             new_refs = mutate(dict(refs))
             payload = json.dumps(new_refs, indent=1).encode()

@@ -8,12 +8,13 @@ the public Iceberg REST catalog protocol (OpenAPI spec shipped with
 apache/iceberg, ``open-api/rest-catalog-open-api.yaml``) —
 
     GET  /v1/config
-    GET    /v1/namespaces                        (list namespaces)
+    POST /v1/oauth/tokens                        (client-credentials token)
+    GET    /v1/namespaces                        (list namespaces, paginated)
     POST   /v1/namespaces                        (create namespace)
     GET    /v1/namespaces/{ns}                   (load namespace)
     HEAD   /v1/namespaces/{ns}                   (namespace exists)
     DELETE /v1/namespaces/{ns}                   (drop namespace)
-    GET  /v1/namespaces/{ns}/tables              (list)
+    GET  /v1/namespaces/{ns}/tables              (list, paginated)
     POST /v1/namespaces/{ns}/tables              (create)
     GET  /v1/namespaces/{ns}/tables/{table}      (load)
     HEAD /v1/namespaces/{ns}/tables/{table}      (exists)
@@ -66,6 +67,7 @@ import inspect
 import json
 import threading
 import urllib.error
+import urllib.parse
 import urllib.request
 from dataclasses import dataclass, field
 from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
@@ -93,11 +95,28 @@ class RestCatalog:
     ``uri`` is the server base (e.g. ``http://127.0.0.1:8181``);
     ``namespace`` maps to the REST path segment.  ``token``, when given,
     is sent as the spec's ``Authorization: Bearer`` header.
+
+    ``credential`` (``"client_id:client_secret"``) enables the spec's
+    OAuth2 client-credentials flow instead of a static token: the
+    client POSTs ``/v1/oauth/tokens`` (form-encoded, per the REST spec
+    carried over from OAuth2 RFC 6749 §4.4) to obtain its bearer
+    token lazily, and re-authenticates ONCE on a 401 (token expiry /
+    server restart) before failing — so long-lived engines survive
+    token rotation without operator action.
+
+    ``page_size``, when set, is sent as the spec's ``pageSize`` on the
+    listing endpoints and the client follows ``next-page-token`` until
+    the listing is exhausted — against a platform catalog fronting
+    thousands of tables, listings stream in bounded pages instead of
+    one unbounded response (the reply the server is WILLING to send is
+    capped server-side regardless).
     """
 
     uri: str
     namespace: str = "default"
     token: str | None = None
+    credential: str | None = None
+    page_size: int | None = None
     timeout_s: float = 10.0
     # filled by fetch_config(); server-supplied property overrides
     config: dict = field(default_factory=dict)
@@ -113,17 +132,82 @@ class RestCatalog:
         return "/".join([base, "v1", *segments])
 
     def _request(self, method: str, url: str, body: dict | None = None) -> dict:
+        self._ensure_token()
+        try:
+            return self._request_raw(method, url, body)
+        except urllib.error.HTTPError as e:
+            # one re-auth on 401 when we hold a credential: issued
+            # tokens expire / servers restart; a fresh token-grant is
+            # the spec'd recovery, not an error
+            if e.code == 401 and self.credential:
+                self.token = None
+                self._ensure_token()
+                try:
+                    return self._request_raw(method, url, body)
+                except urllib.error.HTTPError as e2:
+                    raise self._to_error(e2) from None
+            raise self._to_error(e) from None
+
+    def _request_raw(
+        self, method: str, url: str, body: dict | None = None
+    ) -> dict:
         data = json.dumps(body).encode() if body is not None else None
         req = urllib.request.Request(url, data=data, method=method)
         req.add_header("Content-Type", "application/json")
         if self.token:
             req.add_header("Authorization", f"Bearer {self.token}")
+        with urllib.request.urlopen(req, timeout=self.timeout_s) as resp:
+            raw = resp.read()
+            return json.loads(raw) if raw else {}
+
+    def _ensure_token(self) -> None:
+        """Obtain a bearer token via the OAuth2 client-credentials
+        grant (spec: POST /v1/oauth/tokens, form-encoded) when a
+        ``credential`` is configured and no token is held."""
+        if self.token is not None or not self.credential:
+            return
+        cid, _, secret = self.credential.partition(":")
+        form = urllib.parse.urlencode(
+            {
+                "grant_type": "client_credentials",
+                "client_id": cid,
+                "client_secret": secret,
+                "scope": "catalog",
+            }
+        ).encode()
+        req = urllib.request.Request(
+            self._url("oauth", "tokens"), data=form, method="POST"
+        )
+        req.add_header("Content-Type", "application/x-www-form-urlencoded")
         try:
             with urllib.request.urlopen(req, timeout=self.timeout_s) as resp:
-                raw = resp.read()
-                return json.loads(raw) if raw else {}
+                out = json.loads(resp.read())
         except urllib.error.HTTPError as e:
             raise self._to_error(e) from None
+        self.token = out["access_token"]
+
+    def _paged(self, url: str, key: str) -> list:
+        """Follow the spec's ``pageToken``/``next-page-token`` loop on
+        a listing endpoint, accumulating ``key`` across pages.  With no
+        ``page_size`` the first request carries no pagination params (a
+        spec server still replies with one full page; one that caps its
+        page size replies with ``next-page-token`` and we follow)."""
+        items: list = []
+        token: str | None = None
+        while True:
+            params = {}
+            if self.page_size is not None:
+                params["pageSize"] = str(self.page_size)
+            if token:
+                params["pageToken"] = token
+            page_url = (
+                f"{url}?{urllib.parse.urlencode(params)}" if params else url
+            )
+            out = self._request("GET", page_url)
+            items.extend(out.get(key, []))
+            token = out.get("next-page-token")
+            if not token:
+                return items
 
     @staticmethod
     def _to_error(e: urllib.error.HTTPError) -> Exception:
@@ -134,6 +218,10 @@ class RestCatalog:
             err = json.loads(e.read()).get("error", {})
         except Exception:
             err = {}
+        if not isinstance(err, dict):
+            # RFC 6749 token-endpoint errors carry a STRING error code
+            # ("invalid_client", ...) instead of the catalog envelope
+            err = {"message": str(err), "type": str(err)}
         msg = err.get("message", str(e))
         etype = err.get("type", "")
         if e.code == 404:
@@ -159,8 +247,8 @@ class RestCatalog:
     # LoadNamespaceMetadata / DropNamespace) ------------------------------
 
     def list_namespaces(self) -> list[str]:
-        out = self._request("GET", self._url("namespaces"))
-        return sorted(".".join(ns) for ns in out.get("namespaces", []))
+        pages = self._paged(self._url("namespaces"), "namespaces")
+        return sorted(".".join(ns) for ns in pages)
 
     def create_namespace(
         self, ns: str | None = None, properties: dict | None = None
@@ -183,6 +271,7 @@ class RestCatalog:
         return out.get("properties", {})
 
     def namespace_exists(self, ns: str | None = None) -> bool:
+        self._ensure_token()
         req = urllib.request.Request(
             self._url("namespaces", ns or self.namespace), method="HEAD"
         )
@@ -252,12 +341,13 @@ class RestCatalog:
         self._request("POST", self._url("transactions", "commit"), body)
 
     def list_tables(self) -> list[str]:
-        out = self._request(
-            "GET", self._url("namespaces", self.namespace, "tables")
+        ids = self._paged(
+            self._url("namespaces", self.namespace, "tables"), "identifiers"
         )
-        return sorted(i["name"] for i in out.get("identifiers", []))
+        return sorted(i["name"] for i in ids)
 
     def table_exists(self, name: str) -> bool:
+        self._ensure_token()
         req = urllib.request.Request(
             self._url("namespaces", self.namespace, "tables", name),
             method="HEAD",
@@ -881,6 +971,13 @@ class _Handler(BaseHTTPRequestHandler):
     catalog: FileCatalog  # set by serve_rest_catalog
     lock: threading.Lock
     token: str | None
+    # OAuth client-credentials pair ("client_id:client_secret") the
+    # token endpoint accepts; tokens it issues land in issued_tokens
+    oauth_credential: str | None = None
+    issued_tokens: set = set()
+    # server-side ceiling on one listing page; a client pageSize above
+    # it is clamped (the spec lets the server return FEWER than asked)
+    max_page_size: int = 1000
     # namespace registry fallback for backings without a warehouse/_io
     # (persisted registries live at <warehouse>/_rest_namespaces.json)
     namespaces_mem: dict = {}
@@ -906,9 +1003,15 @@ class _Handler(BaseHTTPRequestHandler):
         )
 
     def _authorized(self) -> bool:
-        if self.token is None:
+        if self.token is None and self.oauth_credential is None:
             return True
-        return self.headers.get("Authorization") == f"Bearer {self.token}"
+        got = self.headers.get("Authorization", "")
+        if self.token is not None and got == f"Bearer {self.token}":
+            return True
+        return (
+            got.startswith("Bearer ")
+            and got[len("Bearer "):] in type(self).issued_tokens
+        )
 
     def _body(self) -> dict:
         n = int(self.headers.get("Content-Length", 0))
@@ -941,6 +1044,47 @@ class _Handler(BaseHTTPRequestHandler):
 
     def _route(self) -> tuple[str, ...]:
         return tuple(p for p in self.path.split("?")[0].split("/") if p)
+
+    def _query(self) -> dict:
+        """Single-valued query params of the request URL."""
+        q = urllib.parse.urlparse(self.path).query
+        return {k: v[0] for k, v in urllib.parse.parse_qs(q).items()}
+
+    def _paginate(self, names: list[str]) -> tuple[list[str], str | None]:
+        """Apply the spec's ``pageToken``/``pageSize`` to a SORTED name
+        list; returns (page, next-page-token).
+
+        The token is opaque to clients but is simply the last name of
+        the previous page (base64url) — resume-strictly-after
+        semantics, so pagination stays consistent under concurrent
+        creates/drops (an entry is never returned twice; entries
+        created behind the cursor are picked up by the next full
+        listing, the same contract real catalogs give).  No pagination
+        params -> one page, capped at max_page_size with a
+        continuation token when the listing is larger."""
+        import base64
+
+        q = self._query()
+        after = None
+        if "pageToken" in q:
+            try:
+                after = base64.urlsafe_b64decode(
+                    q["pageToken"].encode()
+                ).decode()
+            except Exception:
+                after = None
+        try:
+            size = int(q.get("pageSize", self.max_page_size))
+        except ValueError:
+            size = self.max_page_size
+        size = max(1, min(size, self.max_page_size))
+        if after is not None:
+            names = [n for n in names if n > after]
+        page, rest = names[:size], names[size:]
+        nxt = None
+        if rest and page:
+            nxt = base64.urlsafe_b64encode(page[-1].encode()).decode()
+        return page, nxt
 
     # ---- namespaces ------------------------------------------------------
     #
@@ -999,6 +1143,57 @@ class _Handler(BaseHTTPRequestHandler):
         prefixes = tuple(n + "." for n in self._namespaces())
         return sorted(t for t in all_tables if not t.startswith(prefixes))
 
+    # ---- oauth -----------------------------------------------------------
+
+    def _oauth_tokens(self) -> None:
+        """POST /v1/oauth/tokens — the spec's OAuth2 client-credentials
+        grant (form-encoded per RFC 6749 §4.4).  Validates the
+        configured credential and issues a fresh opaque bearer token;
+        issued tokens are accepted by ``_authorized`` alongside the
+        static token until server restart (clients re-grant on 401)."""
+        import secrets
+
+        if self.oauth_credential is None:
+            return self._error(
+                400,
+                "BadRequestException",
+                "server has no OAuth credentials configured",
+            )
+        n = int(self.headers.get("Content-Length", 0))
+        form = urllib.parse.parse_qs(self.rfile.read(n).decode())
+        grant = form.get("grant_type", [""])[0]
+        if grant != "client_credentials":
+            # RFC 6749 §5.2 error body shape
+            return self._send(
+                400,
+                {
+                    "error": "unsupported_grant_type",
+                    "error_description": f"unsupported grant: {grant!r}",
+                },
+            )
+        cid = form.get("client_id", [""])[0]
+        secret = form.get("client_secret", [""])[0]
+        if f"{cid}:{secret}" != self.oauth_credential:
+            return self._send(
+                401,
+                {
+                    "error": "invalid_client",
+                    "error_description": "bad client credentials",
+                },
+            )
+        tok = secrets.token_urlsafe(24)
+        with self.lock:
+            type(self).issued_tokens.add(tok)
+        return self._send(
+            200,
+            {
+                "access_token": tok,
+                "token_type": "bearer",
+                "expires_in": 3600,
+                "scope": form.get("scope", ["catalog"])[0],
+            },
+        )
+
     # ---- methods -------------------------------------------------------
 
     def do_GET(self):  # noqa: N802
@@ -1008,8 +1203,12 @@ class _Handler(BaseHTTPRequestHandler):
         if r == ("v1", "config"):
             return self._send(200, {"defaults": {}, "overrides": {}})
         if r == ("v1", "namespaces"):
-            names = [self.DEFAULT_NS, *sorted(self._namespaces())]
-            return self._send(200, {"namespaces": [[n] for n in names]})
+            names = sorted([self.DEFAULT_NS, *self._namespaces()])
+            page, nxt = self._paginate(names)
+            body = {"namespaces": [[n] for n in page]}
+            if nxt:
+                body["next-page-token"] = nxt
+            return self._send(200, body)
         if len(r) == 3 and r[:2] == ("v1", "namespaces"):
             if not self._ns_exists(r[2]):
                 return self._error(
@@ -1024,10 +1223,15 @@ class _Handler(BaseHTTPRequestHandler):
                 return self._error(
                     404, "NoSuchNamespaceException", f"no namespace: {r[2]}"
                 )
-            ids = [
-                {"namespace": [r[2]], "name": t} for t in self._ns_tables(r[2])
-            ]
-            return self._send(200, {"identifiers": ids})
+            page, nxt = self._paginate(self._ns_tables(r[2]))
+            body = {
+                "identifiers": [
+                    {"namespace": [r[2]], "name": t} for t in page
+                ]
+            }
+            if nxt:
+                body["next-page-token"] = nxt
+            return self._send(200, body)
         if len(r) == 5 and r[3] == "tables":
             key = self._qual(r[2], r[4])
             try:
@@ -1108,9 +1312,12 @@ class _Handler(BaseHTTPRequestHandler):
         return self._send(404)
 
     def do_POST(self):  # noqa: N802
+        r = self._route()
+        # the token endpoint is pre-auth by definition (it IS auth)
+        if r == ("v1", "oauth", "tokens"):
+            return self._oauth_tokens()
         if not self._authorized():
             return self._error(401, "NotAuthorizedException", "bad token")
-        r = self._route()
         if r == ("v1", "namespaces"):  # create namespace
             body = self._body()
             parts = body.get("namespace") or []
@@ -1532,6 +1739,8 @@ def serve_rest_catalog(
     host: str = "127.0.0.1",
     port: int = 0,
     token: str | None = None,
+    credential: str | None = None,
+    max_page_size: int = 1000,
 ) -> RestCatalogServer:
     """Start an Iceberg-REST-protocol server over ``backing`` on an
     ephemeral port; returns a handle whose ``uri`` a :class:`RestCatalog`
@@ -1548,6 +1757,9 @@ def serve_rest_catalog(
             "catalog": backing,
             "lock": threading.Lock(),
             "token": token,
+            "oauth_credential": credential,
+            "issued_tokens": set(),
+            "max_page_size": max_page_size,
             "namespaces_mem": {},
         },
     )

@@ -1242,3 +1242,94 @@ def test_transaction_duplicate_table_rejected(client, fragmented):
     m = _bump_rest(client.load_table("a"))
     with pytest.raises(ValueError):
         client.commit_transaction([("a", 1, m), ("a", 2, m)])
+
+
+# ---------------------------------------------------------------------------
+# round 14 (VERDICT r13 #2): list pagination + OAuth token endpoint
+# ---------------------------------------------------------------------------
+
+
+def test_paginated_table_listing_over_http(tmp_path, fragmented):
+    """>1 page over real HTTP: a small server-side page cap forces the
+    client through the pageToken loop; the assembled listing is
+    complete, duplicate-free, and raw pages carry next-page-token."""
+    import json
+    import urllib.request
+
+    backing = FileCatalog(warehouse=str(tmp_path / "whp"))
+    with serve_rest_catalog(backing, max_page_size=3) as srv:
+        cli = RestCatalog(uri=srv.uri)
+        names = [f"t{i:02d}" for i in range(8)]
+        for n in names:
+            cli.create_table(n, fragmented)
+        # raw first page: capped at 3 with a continuation token
+        with urllib.request.urlopen(
+            f"{srv.uri}/v1/namespaces/default/tables?pageSize=3"
+        ) as resp:
+            page1 = json.loads(resp.read())
+        assert len(page1["identifiers"]) == 3
+        assert page1.get("next-page-token")
+        # client with an explicit pageSize walks every page
+        cli_paged = RestCatalog(uri=srv.uri, page_size=3)
+        assert cli_paged.list_tables() == names
+        # client with NO pageSize still sees everything (server caps
+        # each reply and hands back a token; the client follows it)
+        assert cli.list_tables() == names
+
+
+def test_paginated_namespace_listing_over_http(tmp_path):
+    backing = FileCatalog(warehouse=str(tmp_path / "whn"))
+    with serve_rest_catalog(backing, max_page_size=2) as srv:
+        cli = RestCatalog(uri=srv.uri, page_size=2)
+        for ns in ("alpha", "beta", "gamma", "delta"):
+            cli.create_namespace(ns)
+        assert cli.list_namespaces() == [
+            "alpha", "beta", "default", "delta", "gamma",
+        ]
+
+
+def test_oauth_client_credentials_flow(tmp_path, fragmented):
+    """The spec's POST /v1/oauth/tokens: a client configured with only
+    a credential pair obtains its bearer token lazily, uses it for
+    real calls, re-grants once on 401 (token revocation / server
+    restart), and bad credentials are refused."""
+    backing = FileCatalog(warehouse=str(tmp_path / "who"))
+    with serve_rest_catalog(backing, credential="svc:hunter2") as srv:
+        cli = RestCatalog(uri=srv.uri, credential="svc:hunter2")
+        assert cli.token is None
+        cli.create_table("t", fragmented)  # first call triggers grant
+        assert cli.token is not None
+        assert cli.table_exists("t")
+        # bad credential: loud 401 at grant time
+        bad = RestCatalog(uri=srv.uri, credential="svc:wrong")
+        with pytest.raises(RuntimeError, match="401"):
+            bad.list_tables()
+        # no token at all: requests are refused
+        anon = RestCatalog(uri=srv.uri)
+        with pytest.raises(RuntimeError, match="401"):
+            anon.list_tables()
+        # revoke every issued token (simulates expiry/restart): the
+        # client transparently re-grants ONCE and succeeds
+        old = cli.token
+        srv._httpd.RequestHandlerClass.issued_tokens.clear()
+        assert cli.load_table("t").snapshot_id >= 1
+        assert cli.token != old
+
+
+def test_oauth_rejects_unsupported_grant(tmp_path):
+    import urllib.error
+    import urllib.request
+
+    backing = FileCatalog(warehouse=str(tmp_path / "whg"))
+    with serve_rest_catalog(backing, credential="a:b") as srv:
+        req = urllib.request.Request(
+            f"{srv.uri}/v1/oauth/tokens",
+            data=b"grant_type=password&username=u&password=p",
+            method="POST",
+        )
+        req.add_header(
+            "Content-Type", "application/x-www-form-urlencoded"
+        )
+        with pytest.raises(urllib.error.HTTPError) as ei:
+            urllib.request.urlopen(req)
+        assert ei.value.code == 400
