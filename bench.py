@@ -92,6 +92,9 @@ BENCH_QUERIES = [
     "geo_bbox_filter",
     "meta_refs",
     "geo_tile_rollup",
+    # round 14
+    "geo_spatial_join",
+    "variant_shredded_read",
 ]
 
 

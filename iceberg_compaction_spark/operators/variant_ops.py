@@ -53,6 +53,9 @@ __all__ = [
     "variant_get_path",
     "shred_variant",
     "shredded_column_name",
+    "shred_variant_spec",
+    "unshred_variant_spec",
+    "variant_spec_shredded_fields",
 ]
 
 # the v3 physical group: field names fixed by the spec
@@ -247,6 +250,269 @@ def shred_variant(
     return out.drop("__shred")
 
 
+# ---------------------------------------------------------------------------
+# Spec-shape shredding (round 14 — VERDICT r13 #4).  The Parquet/
+# Iceberg-v3 variant-shredding spec nests the shredded fields INSIDE
+# the variant group itself:
+#
+#     group v {            # the variant column
+#       binary metadata
+#       binary value       # residual (null when fully shredded)
+#       group typed_value {           # one group per shredded field
+#         group k { binary value      # per-field residual (unused here)
+#                   <type> typed_value }
+#       }
+#     }
+#
+# so an EXTERNAL v3 reader discovers the shredded fields from the file
+# footer alone — unlike the engine-named sibling columns above, which
+# need the ``variant.shred.*`` table property.  Both tiers coexist:
+# sibling columns feed this engine's pruning fast path; the spec group
+# is the interchange shape.
+#
+# Writer policy (spec-legal "best effort" shredding): a row shreds
+# only when its value is an object and every requested field either is
+# absent or fits its declared type; any other row stores its COMPLETE
+# original encoding in the top-level ``value`` with ``typed_value``
+# null — the spec's designated fallback for values that do not match
+# the shredding schema.  For shredded rows the top-level ``value``
+# holds the re-encoded residual object (the non-shredded fields), or
+# null when none remain; shredded field names are carried by the
+# parquet schema, so the row's ``metadata`` dictionary only needs to
+# cover the residual — which is exactly what re-encoding produces.
+# ---------------------------------------------------------------------------
+
+
+def variant_spec_shred_type(paths: dict) -> T.StructType:
+    """Spark type of a spec-shredded variant column for ``paths``
+    (``{"$.k": "long", ...}`` — top-level object fields only)."""
+    field_groups = []
+    for p, t in sorted(paths.items()):
+        steps = _parse_path(p)
+        if len(steps) != 1 or not isinstance(steps[0], str):
+            raise ValueError(
+                f"spec shredding covers top-level object fields only; "
+                f"got {p!r} (use the sibling-column shred_variant for "
+                f"deeper paths)"
+            )
+        if t not in _CAST:
+            raise ValueError(f"unsupported shred type {t!r} for {p!r}")
+        field_groups.append(
+            T.StructField(
+                steps[0],
+                T.StructType(
+                    [
+                        T.StructField("value", T.BinaryType(), True),
+                        T.StructField("typed_value", _CAST[t], True),
+                    ]
+                ),
+                True,
+            )
+        )
+    return T.StructType(
+        [
+            T.StructField("metadata", T.BinaryType(), True),
+            T.StructField("value", T.BinaryType(), True),
+            T.StructField("typed_value", T.StructType(field_groups), True),
+        ]
+    )
+
+
+def _fits(py, t: str):
+    """Typed value for the shredding target, or None when it doesn't
+    fit (bool is NOT an int here — the variant encoding keeps them
+    distinct types; the codec decodes JSON doubles as Decimal)."""
+    from decimal import Decimal
+
+    if t == "long" or t == "int":
+        return py if isinstance(py, int) and not isinstance(py, bool) else None
+    if t == "double":
+        if isinstance(py, bool):
+            return None
+        return (
+            float(py) if isinstance(py, (int, float, Decimal)) else None
+        )
+    if t == "string":
+        return py if isinstance(py, str) else None
+    if t == "boolean":
+        return py if isinstance(py, bool) else None
+    return None
+
+
+def _json_default(o):
+    """json.dumps hook for the codec's non-JSON Python types (Decimal
+    from variant doubles/decimals)."""
+    from decimal import Decimal
+
+    if isinstance(o, Decimal):
+        return float(o)
+    raise TypeError(f"not JSON-encodable: {type(o).__name__}")
+
+
+def shred_variant_spec(
+    df: DataFrame, variant_col: str, paths: dict
+) -> DataFrame:
+    """Rewrite ``variant_col`` into the v3 spec's shredded group shape
+    (see the block comment above) — run at WRITE time, one
+    Arrow-batched decode pass.  The resulting column writes to parquet
+    as the spec's footer-visible nested group; reads of a shredded
+    path take a plain nested-column reference (zero Python)."""
+    out_type = variant_spec_shred_type(paths)
+    items = sorted((_parse_path(p)[0], t) for p, t in paths.items())
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf(out_type)
+    def _spec_shred(pdf):
+        import json as _json
+
+        import pandas as pd
+        from pyspark.sql.types import VariantVal
+        from pyspark.sql.variant_utils import VariantUtils
+
+        from iceberg_compaction_spark.operators.variant_ops import _fits
+
+        metas, residuals, typed_rows = [], [], []
+        memo: dict = {}
+        for m, v in zip(pdf["metadata"], pdf["value"]):
+            if m is None or v is None:
+                metas.append(None)
+                residuals.append(None)
+                typed_rows.append(None)
+                continue
+            k = (bytes(m), bytes(v))
+            hit = memo.get(k)
+            if hit is None:
+                hit = _shred_one(
+                    k, items, _json, VariantVal, VariantUtils, _fits
+                )
+                memo[k] = hit
+            metas.append(hit[0])
+            residuals.append(hit[1])
+            typed_rows.append(hit[2])
+        return pd.DataFrame(
+            {"metadata": metas, "value": residuals, "typed_value": typed_rows}
+        )
+
+    return df.withColumn(variant_col, _spec_shred(F.col(variant_col)))
+
+
+def _shred_one(k, items, _json, VariantVal, VariantUtils, fits):
+    """(metadata, residual_value, typed_value_dict) for one distinct
+    variant cell — module-level so the memoized UDF body stays flat."""
+    meta, val = k
+    try:
+        py = VariantUtils.to_python(val, meta)
+    except Exception:
+        py = None
+    unshredded = (meta, val, None)
+    if not isinstance(py, dict):
+        return unshredded
+    typed = {}
+    for name, t in items:
+        if name not in py:
+            typed[name] = {"value": None, "typed_value": None}
+            continue
+        tv = fits(py[name], t)
+        if tv is None:
+            return unshredded  # writer policy: whole-row fallback
+        typed[name] = {"value": None, "typed_value": tv}
+    residual = {n: v for n, v in py.items() if n not in typed}
+    if not residual:
+        return (meta, None, typed)
+    try:
+        rv = VariantVal.parseJson(
+            _json.dumps(
+                residual, separators=(",", ":"), default=_json_default
+            )
+        )
+        return (bytes(rv.metadata), bytes(rv.value), typed)
+    except Exception:
+        return unshredded
+
+
+def variant_spec_shredded_fields(df: DataFrame, variant_col: str) -> dict:
+    """``{field: spark_type_name}`` discovered from the column's
+    ``typed_value`` group — how a reader finds the fast paths from the
+    SCHEMA alone (footer-visible, no table property needed)."""
+    dt = df.schema[variant_col].dataType
+    if not isinstance(dt, T.StructType) or "typed_value" not in dt.names:
+        return {}
+    tv = dt["typed_value"].dataType
+    if not isinstance(tv, T.StructType):
+        return {}
+    out = {}
+    for f in tv.fields:
+        if isinstance(f.dataType, T.StructType) and "typed_value" in (
+            f.dataType.names
+        ):
+            out[f.name] = f.dataType["typed_value"].dataType.simpleString()
+    return out
+
+
+def unshred_variant_spec(
+    df: DataFrame, variant_col: str, out_col: str | None = None
+) -> DataFrame:
+    """Reconstruct the plain ``(metadata, value)`` variant from a
+    spec-shredded group (residual + typed fields merged) — the
+    full-fidelity read path; Arrow-batched Python by necessity, used
+    when a consumer needs the COMPLETE value rather than a shredded
+    fast path."""
+    out_col = out_col or variant_col
+    fields = sorted(variant_spec_shredded_fields(df, variant_col))
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf(VARIANT_SPARK_TYPE)
+    def _unshred(pdf):
+        import json as _json
+
+        import pandas as pd
+        from pyspark.sql.types import VariantVal
+        from pyspark.sql.variant_utils import VariantUtils
+
+        metas, vals = [], []
+        for m, v, tv in zip(
+            pdf["metadata"], pdf["value"], pdf["typed_value"]
+        ):
+            if m is None:
+                metas.append(None)
+                vals.append(None)
+                continue
+            if tv is None:  # unshredded row: value IS the whole variant
+                metas.append(bytes(m))
+                vals.append(bytes(v) if v is not None else None)
+                continue
+            merged = {}
+            if v is not None:
+                try:
+                    res = VariantUtils.to_python(bytes(v), bytes(m))
+                    if isinstance(res, dict):
+                        merged.update(res)
+                except Exception:
+                    pass
+            for name in fields:
+                g = tv.get(name) if isinstance(tv, dict) else None
+                if g is not None and g.get("typed_value") is not None:
+                    merged[name] = g["typed_value"]
+            try:
+                from iceberg_compaction_spark.operators.variant_ops import (
+                    _json_default,
+                )
+
+                rv = VariantVal.parseJson(
+                    _json.dumps(
+                        merged, separators=(",", ":"), default=_json_default
+                    )
+                )
+                metas.append(bytes(rv.metadata))
+                vals.append(bytes(rv.value))
+            except Exception:
+                metas.append(None)
+                vals.append(None)
+        return pd.DataFrame({"metadata": metas, "value": vals})
+
+    return df.withColumn(out_col, _unshred(F.col(variant_col)))
+
+
 def shred_properties(variant_col: str, paths: dict) -> dict:
     """The table-property entry advertising shredded paths — set it on
     the manifest at write/commit time so readers discover the fast
@@ -311,10 +577,27 @@ def variant_get_path(
                 f"derived output column {out_col!r} already exists; "
                 "pass out_col explicitly to overwrite or rename"
             )
-    # SHREDDED fast path: when the path was materialized as a typed
-    # sibling column at write time (shred_variant), extraction is a
-    # plain column reference — JVM-side, prunable, pushdown-eligible,
-    # zero Python.  This is the 100 TB shape for hot paths; the decode
+    # SPEC-SHREDDED fast path: a top-level field materialized in the
+    # column's own ``typed_value`` group (shred_variant_spec) reads as
+    # a plain nested-column reference — JVM-side, zero Python,
+    # discovered from the schema alone.  Rows the writer left
+    # unshredded (spec fallback: whole value in the residual) read
+    # NULL here, exactly like any strict shredded reader; use
+    # unshred_variant_spec when full fidelity over heterogeneous rows
+    # is required.
+    if len(steps) == 1 and isinstance(steps[0], str):
+        spec_fields = variant_spec_shredded_fields(df, variant_col)
+        if steps[0] in spec_fields:
+            return df.withColumn(
+                out_col,
+                F.col(
+                    f"{variant_col}.typed_value.{steps[0]}.typed_value"
+                ).cast(_CAST[target_type]),
+            )
+    # SIBLING-COLUMN fast path: the path was materialized as a typed
+    # engine-named sibling column at write time (shred_variant) —
+    # plain column reference, prunable, pushdown-eligible, zero
+    # Python.  This is the 100 TB shape for hot paths; the decode
     # below is the cold-path fallback for ad-hoc extraction.
     shred_col = shredded_column_name(variant_col, path)
     if shred_col in df.columns:

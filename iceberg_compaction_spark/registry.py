@@ -4774,6 +4774,47 @@ def q_geo_spatial_join(spark, sf_dir):
     )
 
 
+@register(
+    "variant_shredded_read",
+    """
+    SELECT event_type,
+           COUNT(*) AS n,
+           CAST(SUM(CAST(props->>'k' AS BIGINT)) AS BIGINT) AS sum_k,
+           CAST(MAX(CAST(props->>'k' AS BIGINT)) AS BIGINT) AS max_k
+    FROM events GROUP BY event_type
+    """,
+)
+def q_variant_shredded_read(spark, sf_dir):
+    """Spec-shape variant shredding (round 14 — VERDICT r13 #4;
+    operators/variant_ops.py shred_variant_spec): the events ``props``
+    encoded as variants, shredded into the v3 spec's footer-visible
+    ``typed_value`` group, then ``$.k`` read back through the
+    zero-Python nested-column fast path — the same rollup as
+    ``variant_extract``, so the oracle hash pins that write-time
+    shredding loses nothing vs per-row decode.
+
+    Scale shape: the decode cost moves entirely to WRITE time (one
+    Arrow-batched pass); every subsequent read of a shredded path is a
+    plain nested-column reference inside whole-stage codegen —
+    prunable, pushdown-eligible, zero Python (plan-gated in
+    tests/test_variant.py)."""
+    from iceberg_compaction_spark.operators.variant_ops import (
+        json_to_variant,
+        shred_variant_spec,
+        variant_get_path,
+    )
+
+    e = ev.read_events(spark, sf_dir).select("event_type", "props")
+    v = json_to_variant(e, "props", "pv")
+    s = shred_variant_spec(v, "pv", {"$.k": "long"})
+    k = variant_get_path(s, "pv", "$.k", "long", "k")
+    return k.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("k").alias("sum_k"),
+        F.max("k").alias("max_k"),
+    )
+
+
 # ===========================================================================
 # Driver-window composition (round 9).  The driver's CORRECTNESS gate
 # checks the FIRST 50 queries() entries; pytest's test_oracle_tail.py

@@ -441,3 +441,199 @@ def test_variant_get_default_out_col_never_clobbers(spark):
     v2 = v.withColumn("pv_k", F.lit(0))
     with _pytest.raises(ValueError, match="already exists"):
         variant_get_path(v2, "pv", "$.k", "long")
+
+
+# ---------------------------------------------------------------------------
+# round 14 (VERDICT r13 #4): spec-shape shredding — the typed_value
+# group INSIDE the variant group, footer-visible to external readers
+# ---------------------------------------------------------------------------
+
+
+def _spec_shredded(spark):
+    from iceberg_compaction_spark.operators.variant_ops import (
+        shred_variant_spec,
+    )
+
+    df = spark.createDataFrame(
+        [(i, JS[i % len(JS)]) for i in range(len(JS))], "id long, j string"
+    )
+    v = json_to_variant(df, "j", "v").select("id", "v")
+    return shred_variant_spec(v, "v", {"$.a": "long", "$.f": "double"})
+
+
+def test_spec_shred_group_shape_and_values(spark):
+    """The shredded column carries the spec's nested group — metadata,
+    residual value, typed_value.<field>.{value,typed_value} — with
+    object rows shredded, non-object / non-fitting rows falling back
+    to the whole-value residual (the spec's designated fallback)."""
+    from iceberg_compaction_spark.operators.variant_ops import (
+        variant_spec_shredded_fields,
+    )
+
+    s = _spec_shredded(spark)
+    assert variant_spec_shredded_fields(s, "v") == {
+        "a": "bigint",
+        "f": "double",
+    }
+    rows = {r["id"]: r["v"] for r in s.collect()}
+    # row 0: full object -> a=1 typed, f=2.5 typed, residual holds b/e
+    assert rows[0]["typed_value"]["a"]["typed_value"] == 1
+    assert rows[0]["typed_value"]["f"]["typed_value"] == 2.5
+    assert rows[0]["value"] is not None  # residual: b, e
+    # row 2: {"a": 0, "g": null} -> a typed, f missing (both null)
+    assert rows[2]["typed_value"]["a"]["typed_value"] == 0
+    assert rows[2]["typed_value"]["f"]["typed_value"] is None
+    # rows 3-5: array / bare string / int -> unshredded fallback
+    for i in (3, 4, 5):
+        assert rows[i]["typed_value"] is None
+        assert rows[i]["value"] is not None
+    assert rows[6] is None or rows[6]["metadata"] is None  # null json
+
+
+def test_spec_shred_footer_visible_and_zero_python_read(spark, tmp_path):
+    """Write the spec-shredded frame to parquet: the FOOTER carries
+    the typed_value group (an external v3 reader discovers the
+    shredded fields with no table property), and a shredded-path read
+    back through spark.read is a plain nested-column reference — no
+    Python eval node in the plan."""
+    import pyarrow.parquet as pq_
+
+    d = str(tmp_path / "specshred")
+    s = _spec_shredded(spark)
+    s.write.mode("overwrite").parquet(d)
+
+    # footer: variant group contains metadata/value/typed_value.a.typed_value
+    import glob
+
+    [f] = glob.glob(d + "/*.parquet")[:1]
+    sch = pq_.read_schema(f)
+    v_type = sch.field("v").type
+    names = {v_type.field(i).name for i in range(v_type.num_fields)}
+    assert names == {"metadata", "value", "typed_value"}
+    tv = v_type.field("typed_value").type
+    tv_names = {tv.field(i).name for i in range(tv.num_fields)}
+    assert tv_names == {"a", "f"}
+    a_grp = tv.field("a").type
+    a_names = {a_grp.field(i).name for i in range(a_grp.num_fields)}
+    assert a_names == {"value", "typed_value"}
+
+    stored = spark.read.parquet(d)
+    got = variant_get_path(stored, "v", "$.a", "long", "out")
+    plan = got._jdf.queryExecution().executedPlan().toString()
+    assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
+    vals = {r["id"]: r["out"] for r in got.select("id", "out").collect()}
+    assert vals[0] == 1 and vals[1] == -7 and vals[2] == 0
+
+
+def test_spec_shred_unshred_roundtrip(spark):
+    """Reconstruction (residual + typed fields merged) round-trips the
+    original JSON for shredded rows and passes unshredded rows
+    through untouched."""
+    import json as _json
+
+    from iceberg_compaction_spark.operators.variant_ops import (
+        unshred_variant_spec,
+        variant_to_json,
+    )
+
+    s = _spec_shredded(spark)
+    back = variant_to_json(unshred_variant_spec(s, "v"), "v", "js")
+    got = {r["id"]: r["js"] for r in back.select("id", "js").collect()}
+    for i, j in enumerate(JS):
+        if j is None:
+            assert got[i] is None
+        else:
+            assert _json.loads(got[i]) == _json.loads(j), i
+
+
+def test_spec_shred_reads_through_datasource_zero_python(spark, tmp_path):
+    """The full interchange story: a spec-shredded table read back
+    through spark.read.format('iceberg-table') — the declared schema
+    carries the typed_value group, the shredded-path extraction is a
+    plain nested-column reference, and the plan has no Python EVAL
+    node (the scan itself is the engine's Python DataSource; the point
+    is that no per-row decode runs on top of it)."""
+    import glob as _glob
+
+    from iceberg_compaction_spark.plans.datamodel import FileScanTask
+    from iceberg_compaction_spark.sources.catalog import FileCatalog
+    from iceberg_compaction_spark.sources.datasource import register
+    from iceberg_compaction_spark.sources.manifest import Manifest
+
+    root = str(tmp_path / "specds")
+    s = _spec_shredded(spark)
+    s.coalesce(1).write.mode("overwrite").parquet(root + "/stage")
+    [part] = _glob.glob(root + "/stage/*.parquet")
+    os.makedirs(root + "/tbl")
+    dst = os.path.join(root, "tbl", "a.parquet")
+    os.rename(part, dst)
+
+    def grp(fid, name, typ):
+        return {"id": fid, "name": name, "type": typ, "required": False}
+
+    field_group = lambda base, t: {  # noqa: E731
+        "type": "struct",
+        "fields": [
+            grp(base, "value", "binary"),
+            grp(base + 1, "typed_value", t),
+        ],
+    }
+    v_type = {
+        "type": "struct",
+        "fields": [
+            grp(10, "metadata", "binary"),
+            grp(11, "value", "binary"),
+            grp(
+                12,
+                "typed_value",
+                {
+                    "type": "struct",
+                    "fields": [
+                        grp(13, "a", field_group(14, "long")),
+                        grp(16, "f", field_group(17, "double")),
+                    ],
+                },
+            ),
+        ],
+    }
+    m = Manifest(
+        table_root=root + "/tbl",
+        snapshot_id=1,
+        sequence_number=1,
+        schema_fields=[
+            {"id": 1, "name": "id", "type": "long", "required": True},
+            {"id": 2, "name": "v", "type": v_type, "required": False},
+        ],
+        data_files=[
+            FileScanTask(
+                data_file_path=dst,
+                length=os.path.getsize(dst),
+                file_size_in_bytes=os.path.getsize(dst),
+                record_count=7,
+                sequence_number=1,
+            )
+        ],
+    )
+    cat = FileCatalog(warehouse=str(tmp_path / "whs"))
+    cat.create_table("shredded", m)
+    register(spark)
+    out = (
+        spark.read.format("iceberg-table")
+        .option("warehouse", cat.warehouse)
+        .option("table", "shredded")
+        .load()
+    )
+    from iceberg_compaction_spark.operators.variant_ops import (
+        variant_spec_shredded_fields,
+    )
+
+    assert variant_spec_shredded_fields(out, "v") == {
+        "a": "bigint",
+        "f": "double",
+    }
+    got = variant_get_path(out, "v", "$.a", "long", "out")
+    plan = got._jdf.queryExecution().executedPlan().toString()
+    assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
+    vals = {r["id"]: r["out"] for r in got.select("id", "out").collect()}
+    assert vals[0] == 1 and vals[1] == -7 and vals[2] == 0
+    assert vals[3] is None and vals[4] is None  # unshredded fallback rows
