@@ -94,6 +94,7 @@ BENCH_QUERIES = [
     "geo_tile_rollup",
     # round 14
     "geo_spatial_join",
+    "geo_knn_join",
     "variant_shredded_read",
 ]
 

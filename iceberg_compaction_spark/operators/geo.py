@@ -59,6 +59,7 @@ __all__ = [
     "tile_id_expr",
     "st_tile_id",
     "st_tile_bbox_join",
+    "st_tile_knn_join",
     "wkb_point",
     "wkb_linestring",
     "wkb_polygon",
@@ -640,3 +641,76 @@ def st_tile_bbox_join(
         & (F.col(y_col) <= F.col("ymax"))
     )
     return p.join(r, on="__tile", how="inner").where(residual).drop("__tile")
+
+
+def st_tile_knn_join(
+    points: DataFrame,
+    x_col: str,
+    y_col: str,
+    queries: DataFrame,
+    query_id_col: str,
+    qx_col: str,
+    qy_col: str,
+    k: int,
+    radius: float,
+    x_range: tuple,
+    y_range: tuple,
+    bits: int = 6,
+    tiebreak_cols: tuple = (),
+    dist_col: str = "dist2",
+    broadcast_queries: bool = True,
+) -> DataFrame:
+    """Radius-bounded k-nearest-neighbor JOIN on the tile tier: for
+    each query point, the ``k`` nearest points within ``radius``
+    (planar squared distance), found WITHOUT a cartesian product.
+
+    Exactness: each query's search disk is covered by the bbox
+    ``[qx ± radius] x [qy ± radius]``, which explodes into exactly the
+    tiles it overlaps (``st_tile_bbox_join`` machinery — any radius,
+    no tile-size precondition); the residual keeps true bbox hits and
+    the circle filter then bounds by distance, so no qualifying
+    neighbor can be missed.  Ties on distance order by
+    ``tiebreak_cols`` — pass enough columns to make ranks
+    deterministic when you need cross-run/engine-stable output.
+
+    Scale shape: points side scans once and equi-joins on its single
+    tile key; the query side (id, x, y -> exploded tile rows)
+    broadcasts when small, or co-shuffles on the tile key when not;
+    the top-k window partitions by QUERY id over radius-bounded
+    candidate sets — per-query work is candidates-in-disk, never
+    points x queries.  Tune radius (and bits) so a disk holds a
+    bounded candidate count at your density; that knob, not the data
+    size, prices each query."""
+    r = float(radius)
+    if r <= 0:
+        raise ValueError(f"radius must be positive, got {radius!r}")
+    from pyspark.sql import Window
+
+    q = (
+        queries.withColumn("xmin", F.col(qx_col) - r)
+        .withColumn("xmax", F.col(qx_col) + r)
+        .withColumn("ymin", F.col(qy_col) - r)
+        .withColumn("ymax", F.col(qy_col) + r)
+    )
+    cand = st_tile_bbox_join(
+        points,
+        x_col,
+        y_col,
+        q,
+        x_range,
+        y_range,
+        bits,
+        broadcast_regions=broadcast_queries,
+    ).drop("xmin", "xmax", "ymin", "ymax")
+    dx = F.col(x_col) - F.col(qx_col)
+    dy = F.col(y_col) - F.col(qy_col)
+    cand = cand.withColumn(dist_col, dx * dx + dy * dy).where(
+        F.col(dist_col) <= F.lit(r * r)
+    )
+    order = [F.col(dist_col), *(F.col(c) for c in tiebreak_cols)]
+    w = Window.partitionBy(query_id_col).orderBy(*order)
+    return (
+        cand.withColumn("__rn", F.row_number().over(w))
+        .where(F.col("__rn") <= int(k))
+        .withColumnRenamed("__rn", "knn_rank")
+    )

@@ -4775,6 +4775,81 @@ def q_geo_spatial_join(spark, sf_dir):
 
 
 @register(
+    "geo_knn_join",
+    """
+    WITH q(qid, qx, qy) AS (
+      VALUES (1, 20.0, 10.0), (2, 100.0, 25.0), (3, 180.0, 45.0)
+    ),
+    cand AS (
+      SELECT qid, user_id, value,
+             (value - qx) * (value - qx)
+             + (CAST(user_id AS DOUBLE) - qy)
+               * (CAST(user_id AS DOUBLE) - qy) AS d2
+      FROM events, q
+    ),
+    ranked AS (
+      SELECT qid, user_id, value, d2,
+             ROW_NUMBER() OVER (
+               PARTITION BY qid ORDER BY d2, user_id, value
+             ) AS rn
+      FROM cand WHERE d2 <= 225.0
+    )
+    SELECT CAST(qid AS BIGINT) AS qid,
+           CAST(rn AS BIGINT) AS knn_rank,
+           user_id,
+           CAST(FLOOR(value * 100) AS BIGINT) AS value_cents,
+           CAST(FLOOR(d2 * 1000000) AS BIGINT) AS d2_micro
+    FROM ranked WHERE rn <= 5
+    """,
+)
+def q_geo_knn_join(spark, sf_dir):
+    """Radius-bounded k-nearest-neighbor spatial JOIN (round 14;
+    operators/geo.py st_tile_knn_join): for each of three query
+    points, the 5 nearest events within radius 15 — the oracle is the
+    naive cross-product formulation, so the hash pins that the tile
+    path finds the identical neighbor sets, ranks, and distances
+    (squared planar distance is the same IEEE expression both sides;
+    ties fully ordered by (d2, user_id, value)).
+
+    Scale shape: each query's search disk explodes into exactly the
+    tiles it overlaps and joins by tile equality (never points x
+    queries); the top-k window partitions per query over
+    radius-bounded candidates.  No cartesian in the plan (gated in
+    tests/test_geo.py on the operator)."""
+    from iceberg_compaction_spark.operators.geo import st_tile_knn_join
+
+    e = ev.read_events(spark, sf_dir).select(
+        "user_id", "value", F.col("user_id").cast("double").alias("uy")
+    )
+    queries = spark.createDataFrame(
+        [(1, 20.0, 10.0), (2, 100.0, 25.0), (3, 180.0, 45.0)],
+        "qid long, qx double, qy double",
+    )
+    j = st_tile_knn_join(
+        e,
+        "value",
+        "uy",
+        queries,
+        "qid",
+        "qx",
+        "qy",
+        k=5,
+        radius=15.0,
+        x_range=(0.0, 200.0),
+        y_range=(0.0, 50.0),
+        bits=6,
+        tiebreak_cols=("user_id", "value"),
+    )
+    return j.select(
+        "qid",
+        F.col("knn_rank").cast("long").alias("knn_rank"),
+        "user_id",
+        F.floor(F.col("value") * 100).cast("long").alias("value_cents"),
+        F.floor(F.col("dist2") * 1_000_000).cast("long").alias("d2_micro"),
+    )
+
+
+@register(
     "variant_shredded_read",
     """
     SELECT event_type,

@@ -395,3 +395,56 @@ def test_tile_bbox_join_matches_naive_and_avoids_cartesian(spark):
     plan = joined._jdf.queryExecution().executedPlan().toString()
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_tile_knn_join_matches_naive_and_avoids_cartesian(spark):
+    """Radius-bounded kNN on the tile tier == the naive cross-product
+    formulation (any radius, including radius spanning many tiles and
+    radius smaller than one tile), with no cartesian in the plan."""
+    import random
+
+    from iceberg_compaction_spark.operators.geo import st_tile_knn_join
+
+    rng = random.Random(41)
+    pts = [
+        (i, rng.uniform(0.0, 200.0), rng.uniform(0.0, 50.0))
+        for i in range(500)
+    ]
+    points = spark.createDataFrame(pts, "pid long, px double, py double")
+    qs = [(1, 20.0, 10.0), (2, 100.0, 25.0), (3, 195.0, 48.0)]
+    queries = spark.createDataFrame(qs, "qid long, qx double, qy double")
+
+    for radius, k in ((8.0, 5), (60.0, 3)):
+        j = st_tile_knn_join(
+            points, "px", "py", queries, "qid", "qx", "qy",
+            k=k, radius=radius, x_range=(0.0, 200.0),
+            y_range=(0.0, 50.0), bits=5, tiebreak_cols=("pid",),
+        )
+        got = sorted(
+            (r["qid"], r["knn_rank"], r["pid"])
+            for r in j.select("qid", "knn_rank", "pid").collect()
+        )
+        want = []
+        for qid, qx, qy in qs:
+            cand = sorted(
+                ((px - qx) ** 2 + (py - qy) ** 2, pid)
+                for pid, px, py in pts
+                if (px - qx) ** 2 + (py - qy) ** 2 <= radius * radius
+            )
+            want += [
+                (qid, rank + 1, pid)
+                for rank, (_, pid) in enumerate(cand[:k])
+            ]
+        assert got == sorted(want), (radius, k)
+        plan = j._jdf.queryExecution().executedPlan().toString()
+        assert "CartesianProduct" not in plan
+        assert "BroadcastNestedLoopJoin" not in plan
+
+    # degenerate radius is loud
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        st_tile_knn_join(
+            points, "px", "py", queries, "qid", "qx", "qy",
+            k=1, radius=0, x_range=(0.0, 200.0), y_range=(0.0, 50.0),
+        )

@@ -99,6 +99,10 @@ TRACKED = [
     "geo_bbox_filter",
     "geo_tile_rollup",
     "geo_spatial_join",
+    "geo_knn_join",
+    # round 14: spec-shape shredding — write-time Arrow-batched decode
+    # must stay linear in the scan
+    "variant_shredded_read",
 ]
 
 
