@@ -95,6 +95,7 @@ BENCH_QUERIES = [
     # round 14
     "geo_spatial_join",
     "geo_knn_join",
+    "geo_envelope_join",
     "variant_shredded_read",
 ]
 

@@ -60,6 +60,7 @@ __all__ = [
     "st_tile_id",
     "st_tile_bbox_join",
     "st_tile_knn_join",
+    "st_tile_envelope_join",
     "wkb_point",
     "wkb_linestring",
     "wkb_polygon",
@@ -713,4 +714,110 @@ def st_tile_knn_join(
         cand.withColumn("__rn", F.row_number().over(w))
         .where(F.col("__rn") <= int(k))
         .withColumnRenamed("__rn", "knn_rank")
+    )
+
+
+def _explode_tiles(
+    df: DataFrame,
+    bbox: tuple,
+    x_range: tuple,
+    y_range: tuple,
+    bits: int,
+    tile_col: str,
+) -> DataFrame:
+    """Explode each row into the Morton tiles its bbox
+    ``(xmin, ymin, xmax, ymax)`` columns overlap — the shared
+    expansion under every tile join (cell sequences over the clamped
+    ranges, interleaved with the same expression as point tiles)."""
+    from iceberg_compaction_spark.operators.zorder import zorder_code_expr
+
+    xmin, ymin, xmax, ymax = bbox
+    return (
+        df.withColumn(
+            "__cx",
+            F.explode(
+                F.sequence(
+                    F.expr(_cell_expr(xmin, *x_range, bits)),
+                    F.expr(_cell_expr(xmax, *x_range, bits)),
+                )
+            ),
+        )
+        .withColumn(
+            "__cy",
+            F.explode(
+                F.sequence(
+                    F.expr(_cell_expr(ymin, *y_range, bits)),
+                    F.expr(_cell_expr(ymax, *y_range, bits)),
+                )
+            ),
+        )
+        .withColumn(
+            tile_col,
+            F.expr(zorder_code_expr(["__cx", "__cy"], bits)).cast("long"),
+        )
+        .drop("__cx", "__cy")
+    )
+
+
+def st_tile_envelope_join(
+    left: DataFrame,
+    left_bbox: tuple,
+    right: DataFrame,
+    right_bbox: tuple,
+    x_range: tuple,
+    y_range: tuple,
+    bits: int = 6,
+    broadcast_right: bool = True,
+) -> DataFrame:
+    """Distributed envelope-overlap JOIN (rectangle x rectangle — the
+    general spatial join over EXTENDED geometries: polygons,
+    linestrings, raster footprints... anything reduced to its
+    envelope by :func:`st_envelope` or plain bbox columns).
+
+    ``left_bbox`` / ``right_bbox`` name each side's
+    ``(xmin, ymin, xmax, ymax)`` columns (names must not collide
+    across sides).  Both sides explode into the Morton tiles their
+    box overlaps; the tile equi-join carries the exact 2-D
+    interval-overlap residual.
+
+    Exactly-once WITHOUT a dedup shuffle: because BOTH sides span
+    multiple tiles, a matching pair shares every tile their
+    intersection covers — the classic duplication problem.  The
+    reference-point rule (Patel & DeWitt's PBSM) keeps one copy for
+    free: the pair is emitted only by the tile containing the
+    intersection's min corner ``(max(xmins), max(ymins))``, computed
+    with the SAME clamped tile expression — one JVM comparison per
+    candidate instead of a distinct over the join output (which at
+    100 TB would be a second full shuffle of the result).
+
+    Scale shape: work is (rows x tiles-covered) per side + candidates
+    in shared tiles; pick ``bits`` so a typical envelope covers ~1-4
+    tiles at your extent distribution."""
+    names = [*left_bbox, *right_bbox]
+    if len(set(names)) != len(names):
+        raise ValueError(
+            f"left/right bbox column names must be distinct, got {names}"
+        )
+    lt = _explode_tiles(left, left_bbox, x_range, y_range, bits, "__tile")
+    rt = _explode_tiles(right, right_bbox, x_range, y_range, bits, "__tile")
+    if broadcast_right:
+        rt = F.broadcast(rt)
+    lx0, ly0, lx1, ly1 = (F.col(c) for c in left_bbox)
+    rx0, ry0, rx1, ry1 = (F.col(c) for c in right_bbox)
+    overlap = (
+        (lx0 <= rx1) & (lx1 >= rx0) & (ly0 <= ry1) & (ly1 >= ry0)
+    )
+    ref_tile = F.expr(
+        tile_id_expr(
+            f"GREATEST({left_bbox[0]}, {right_bbox[0]})",
+            f"GREATEST({left_bbox[1]}, {right_bbox[1]})",
+            x_range,
+            y_range,
+            bits,
+        )
+    ).cast("long")
+    return (
+        lt.join(rt, on="__tile", how="inner")
+        .where(overlap & (ref_tile == F.col("__tile")))
+        .drop("__tile")
     )

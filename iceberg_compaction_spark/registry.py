@@ -4775,6 +4775,99 @@ def q_geo_spatial_join(spark, sf_dir):
 
 
 @register(
+    "geo_envelope_join",
+    """
+    WITH rects AS (
+      SELECT user_id, value,
+             value - (0.5 + (event_id % 5) * 0.4) AS lxmin,
+             CAST(user_id AS DOUBLE)
+               - (0.25 + (event_id % 3) * 0.3) AS lymin,
+             value + (0.5 + (event_id % 5) * 0.4) AS lxmax,
+             CAST(user_id AS DOUBLE)
+               + (0.25 + (event_id % 3) * 0.3) AS lymax
+      FROM events
+    ),
+    regions(region_name, rxmin, rymin, rxmax, rymax) AS (
+      VALUES ('west', 0.0, 0.0, 60.0, 25.0),
+             ('mid',  50.0, 10.0, 150.0, 40.0),
+             ('east', 140.0, 0.0, 205.0, 52.0),
+             ('core', 90.0, 20.0, 110.0, 30.0)
+    )
+    SELECT region_name,
+           CAST(COUNT(*) AS BIGINT) AS n_pairs,
+           CAST(COUNT(DISTINCT user_id) AS BIGINT) AS nd_users,
+           CAST(SUM(CAST(FLOOR(value * 100) AS BIGINT)) AS BIGINT)
+               AS sum_cents
+    FROM rects l JOIN regions r
+      ON l.lxmin <= r.rxmax AND l.lxmax >= r.rxmin
+     AND l.lymin <= r.rymax AND l.lymax >= r.rymin
+    GROUP BY region_name
+    """,
+)
+def q_geo_envelope_join(spark, sf_dir):
+    """Envelope-overlap spatial JOIN over EXTENDED geometries
+    (round 14; operators/geo.py st_tile_envelope_join): event-derived
+    rectangles (deterministic integer-modulo extents, identical in
+    both engines) against four bbox regions — rectangle x rectangle
+    interval overlap, the join shape for polygons/linestrings/raster
+    footprints reduced to envelopes.  The oracle is the naive
+    cross-predicate join, so the hash pins BOTH completeness and the
+    exactly-once property of the PBSM reference-point dedup (a
+    duplicated pair would flip every count).
+
+    Scale shape: both sides explode into the tiles their box covers
+    and equi-join on the tile key; the reference-point rule keeps one
+    copy of each multi-tile pair with one JVM comparison — no distinct
+    over the join output, which at 100 TB would be a second full
+    shuffle of the result."""
+    from iceberg_compaction_spark.operators.geo import (
+        st_tile_envelope_join,
+    )
+
+    e = ev.read_events(spark, sf_dir).select(
+        "user_id",
+        "value",
+        (F.lit(0.5) + (F.col("event_id") % 5) * 0.4).alias("__w"),
+        (F.lit(0.25) + (F.col("event_id") % 3) * 0.3).alias("__h"),
+        F.col("user_id").cast("double").alias("__uy"),
+    )
+    rects = e.select(
+        "user_id",
+        "value",
+        (F.col("value") - F.col("__w")).alias("lxmin"),
+        (F.col("__uy") - F.col("__h")).alias("lymin"),
+        (F.col("value") + F.col("__w")).alias("lxmax"),
+        (F.col("__uy") + F.col("__h")).alias("lymax"),
+    )
+    regions = spark.createDataFrame(
+        [
+            ("west", 0.0, 0.0, 60.0, 25.0),
+            ("mid", 50.0, 10.0, 150.0, 40.0),
+            ("east", 140.0, 0.0, 205.0, 52.0),
+            ("core", 90.0, 20.0, 110.0, 30.0),
+        ],
+        "region_name string, rxmin double, rymin double, "
+        "rxmax double, rymax double",
+    )
+    j = st_tile_envelope_join(
+        rects,
+        ("lxmin", "lymin", "lxmax", "lymax"),
+        regions,
+        ("rxmin", "rymin", "rxmax", "rymax"),
+        (0.0, 200.0),
+        (0.0, 50.0),
+        bits=6,
+    )
+    return j.groupBy("region_name").agg(
+        F.count(F.lit(1)).cast("long").alias("n_pairs"),
+        F.countDistinct("user_id").cast("long").alias("nd_users"),
+        F.sum(F.floor(F.col("value") * 100).cast("long"))
+        .cast("long")
+        .alias("sum_cents"),
+    )
+
+
+@register(
     "geo_knn_join",
     """
     WITH q(qid, qx, qy) AS (

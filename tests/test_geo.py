@@ -448,3 +448,66 @@ def test_tile_knn_join_matches_naive_and_avoids_cartesian(spark):
             points, "px", "py", queries, "qid", "qx", "qy",
             k=1, radius=0, x_range=(0.0, 200.0), y_range=(0.0, 50.0),
         )
+
+
+def test_tile_envelope_join_matches_naive_exactly_once(spark):
+    """Rectangle x rectangle join: tile expansion + interval-overlap
+    residual + PBSM reference-point dedup == the naive cross join,
+    each overlapping pair EXACTLY once (both sides span multiple
+    tiles — without the reference-point rule pairs would duplicate),
+    and no cartesian in the plan."""
+    import random
+
+    from iceberg_compaction_spark.operators.geo import (
+        st_tile_envelope_join,
+    )
+
+    rng = random.Random(7)
+    lrows = []
+    for i in range(300):
+        cx, cy = rng.uniform(0, 200), rng.uniform(0, 50)
+        w, h = rng.uniform(0.1, 25), rng.uniform(0.1, 12)
+        lrows.append((i, cx - w, cy - h, cx + w, cy + h))
+    rrows = []
+    for i in range(12):
+        cx, cy = rng.uniform(-10, 210), rng.uniform(-5, 55)
+        w, h = rng.uniform(1, 40), rng.uniform(1, 15)
+        rrows.append((i, cx - w, cy - h, cx + w, cy + h))
+    left = spark.createDataFrame(
+        lrows, "lid long, lxmin double, lymin double, lxmax double, lymax double"
+    )
+    right = spark.createDataFrame(
+        rrows, "rid long, rxmin double, rymin double, rxmax double, rymax double"
+    )
+    j = st_tile_envelope_join(
+        left,
+        ("lxmin", "lymin", "lxmax", "lymax"),
+        right,
+        ("rxmin", "rymin", "rxmax", "rymax"),
+        (0.0, 200.0),
+        (0.0, 50.0),
+        bits=4,
+    )
+    got = sorted(
+        (r["lid"], r["rid"]) for r in j.select("lid", "rid").collect()
+    )
+    want = sorted(
+        (li, ri)
+        for li, lx0, ly0, lx1, ly1 in lrows
+        for ri, rx0, ry0, rx1, ry1 in rrows
+        if lx0 <= rx1 and lx1 >= rx0 and ly0 <= ry1 and ly1 >= ry0
+    )
+    assert got == want  # complete AND duplicate-free
+    plan = j._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    # colliding bbox names are loud
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        st_tile_envelope_join(
+            left, ("lxmin", "lymin", "lxmax", "lymax"),
+            right.withColumnRenamed("rxmin", "lxmin"),
+            ("lxmin", "rymin", "rxmax", "rymax"),
+            (0.0, 200.0), (0.0, 50.0),
+        )

@@ -100,6 +100,7 @@ TRACKED = [
     "geo_tile_rollup",
     "geo_spatial_join",
     "geo_knn_join",
+    "geo_envelope_join",
     # round 14: spec-shape shredding — write-time Arrow-batched decode
     # must stay linear in the scan
     "variant_shredded_read",
