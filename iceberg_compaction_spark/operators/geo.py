@@ -53,6 +53,8 @@ __all__ = [
     "st_geom_type",
     "st_num_points",
     "st_envelope",
+    "st_area",
+    "st_length",
     "st_within_bbox",
     "st_intersects_bbox",
     "st_haversine_m",
@@ -298,6 +300,115 @@ def _parse_num_points(b):
         off += 4 + 16 * n
         total += n
     return total if len(b) == off else None
+
+
+def _rings(b):
+    """Coordinate arrays of every ring/part of the WKB geometry:
+    [] for a point (no extent), one array for a linestring, one per
+    ring for a polygon; None when invalid."""
+    import numpy as np
+
+    h = _parse_header(b)
+    if h is None:
+        return None
+    e, t = h
+    if t == 1:
+        return [] if len(b) == 21 else None
+    if t == 2:
+        n = int(np.frombuffer(b, dtype=e + "u4", count=1, offset=5)[0])
+        if n == 0 or len(b) != 9 + 16 * n:
+            return None
+        return [np.frombuffer(b, dtype=e + "f8", count=2 * n, offset=9)]
+    nr = int(np.frombuffer(b, dtype=e + "u4", count=1, offset=5)[0])
+    off, out = 9, []
+    for _ in range(nr):
+        if len(b) < off + 4:
+            return None
+        n = int(np.frombuffer(b, dtype=e + "u4", count=1, offset=off)[0])
+        if n == 0 or len(b) < off + 4 + 16 * n:
+            return None
+        out.append(
+            np.frombuffer(b, dtype=e + "f8", count=2 * n, offset=off + 4)
+        )
+        off += 4 + 16 * n
+    return out if len(b) == off else None
+
+
+def _parse_area(b):
+    """Planar polygon area (shoelace; exterior minus interior rings),
+    0.0 for points/linestrings, None for invalid WKB."""
+    import numpy as np
+
+    rings = _rings(b)
+    if rings is None:
+        return None
+    h = _parse_header(b)
+    if h[1] != 3:
+        return 0.0
+    total = 0.0
+    for i, r in enumerate(rings):
+        xs, ys = r[0::2], r[1::2]
+        a = 0.5 * abs(
+            float(np.dot(xs, np.roll(ys, -1)) - np.dot(ys, np.roll(xs, -1)))
+        )
+        total += a if i == 0 else -a
+    return total
+
+
+def _parse_length(b):
+    """Planar path length: linestring arc length, polygon ring
+    perimeters (all rings), 0.0 for points, None for invalid WKB."""
+    import numpy as np
+
+    rings = _rings(b)
+    if rings is None:
+        return None
+    total = 0.0
+    for r in rings:
+        xs, ys = r[0::2], r[1::2]
+        total += float(
+            np.sqrt(np.diff(xs) ** 2 + np.diff(ys) ** 2).sum()
+        )
+    return total
+
+
+def _scalar_geom_udf(parse_fn_name: str):
+    """pandas_udf factory over a per-row WKB scalar parser (numpy over
+    each geometry's contiguous vertex block)."""
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf(T.DoubleType())
+    def _f(s):
+        import pandas as pd
+
+        from iceberg_compaction_spark.operators import geo as _geo
+
+        fn = getattr(_geo, parse_fn_name)
+        return pd.Series(
+            [None if b is None else fn(b) for b in s],
+            index=s.index,
+            dtype="float64",
+        )
+
+    return _f
+
+
+def st_area(df: DataFrame, geom_col: str, out_col: str = "area") -> DataFrame:
+    """Planar area (shoelace) of a WKB POLYGON — exterior ring minus
+    interior rings; 0.0 for points/linestrings, NULL for invalid WKB.
+    Planar (coordinate units squared): geodesic area belongs to a
+    spatial library reading the same WKB."""
+    return df.withColumn(out_col, _scalar_geom_udf("_parse_area")(F.col(geom_col)))
+
+
+def st_length(
+    df: DataFrame, geom_col: str, out_col: str = "length"
+) -> DataFrame:
+    """Planar length: LINESTRING arc length, POLYGON perimeter (all
+    rings), 0.0 for points, NULL for invalid WKB."""
+    return df.withColumn(
+        out_col, _scalar_geom_udf("_parse_length")(F.col(geom_col))
+    )
 
 
 _ENVELOPE_TYPE = T.StructType(

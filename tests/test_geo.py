@@ -511,3 +511,37 @@ def test_tile_envelope_join_matches_naive_exactly_once(spark):
             ("lxmin", "rymin", "rxmax", "rymax"),
             (0.0, 200.0), (0.0, 50.0),
         )
+
+
+def test_area_and_length_mixed_geometries(spark):
+    """Shoelace area (exterior minus holes) and path length against
+    hand-computed values, both byte orders, invalid -> NULL."""
+    from iceberg_compaction_spark.operators.geo import (
+        st_area,
+        st_length,
+        wkb_linestring,
+        wkb_point,
+        wkb_polygon,
+    )
+
+    sq = [(0.0, 0.0), (4.0, 0.0), (4.0, 4.0), (0.0, 4.0), (0.0, 0.0)]
+    hole = [(1.0, 1.0), (2.0, 1.0), (2.0, 2.0), (1.0, 2.0), (1.0, 1.0)]
+    rows = [
+        (1, wkb_polygon([sq])),            # area 16, perimeter 16
+        (2, wkb_polygon([sq, hole])),      # area 15, perimeter 20
+        (3, wkb_linestring([(0.0, 0.0), (3.0, 4.0), (3.0, 0.0)])),  # len 9
+        (4, wkb_point(5.0, 5.0)),          # 0 / 0
+        (5, wkb_polygon([sq], big_endian=True)),
+        (6, b"\xff" * 25),                 # invalid
+        (7, None),
+    ]
+    df = spark.createDataFrame(rows, "id long, geom binary")
+    out = st_length(st_area(df, "geom"), "geom")
+    got = {r["id"]: (r["area"], r["length"]) for r in out.collect()}
+    assert got[1] == (16.0, 16.0)
+    assert got[2] == (15.0, 20.0)
+    assert got[3] == (0.0, 9.0)
+    assert got[4] == (0.0, 0.0)
+    assert got[5] == (16.0, 16.0)
+    assert got[6] == (None, None)
+    assert got[7] == (None, None)
