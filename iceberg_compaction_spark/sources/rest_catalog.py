@@ -117,6 +117,11 @@ class RestCatalog:
     token: str | None = None
     credential: str | None = None
     page_size: int | None = None
+    # spec path prefix (a multi-tenant server's per-catalog route
+    # segment): set explicitly, or learned from fetch_config()'s
+    # overrides — call fetch_config() first against prefixed servers,
+    # which is the spec's prescribed client handshake anyway
+    prefix: str | None = None
     timeout_s: float = 10.0
     # filled by fetch_config(); server-supplied property overrides
     config: dict = field(default_factory=dict)
@@ -129,7 +134,15 @@ class RestCatalog:
 
     def _url(self, *segments: str) -> str:
         base = self.uri.rstrip("/")
-        return "/".join([base, "v1", *segments])
+        pre = []
+        # config and the token endpoint are UNPREFIXED by spec — the
+        # prefix is itself discovered via config
+        if self.prefix and segments and segments[0] not in (
+            "config",
+            "oauth",
+        ):
+            pre = [self.prefix]
+        return "/".join([base, "v1", *pre, *segments])
 
     def _request(self, method: str, url: str, body: dict | None = None) -> dict:
         self._ensure_token()
@@ -239,8 +252,13 @@ class RestCatalog:
     # ---- catalog API (FileCatalog contract) ----------------------------
 
     def fetch_config(self) -> dict:
-        """GET /v1/config — server capability/property handshake."""
+        """GET /v1/config — server capability/property handshake.
+        Adopts a server-mandated route ``prefix`` from the overrides
+        (the spec's contract: overrides MUST be applied)."""
         self.config = self._request("GET", self._url("config"))
+        pre = self.config.get("overrides", {}).get("prefix")
+        if pre:
+            self.prefix = pre
         return self.config
 
     # ---- namespace CRUD (spec: ListNamespaces / CreateNamespace /
@@ -971,6 +989,8 @@ class _Handler(BaseHTTPRequestHandler):
     catalog: FileCatalog  # set by serve_rest_catalog
     lock: threading.Lock
     token: str | None
+    # spec route prefix this server mandates (advertised via config)
+    prefix: str | None = None
     # OAuth client-credentials pair ("client_id:client_secret") the
     # token endpoint accepts; tokens it issues land in issued_tokens
     oauth_credential: str | None = None
@@ -1043,7 +1063,20 @@ class _Handler(BaseHTTPRequestHandler):
         }
 
     def _route(self) -> tuple[str, ...]:
-        return tuple(p for p in self.path.split("?")[0].split("/") if p)
+        parts = tuple(p for p in self.path.split("?")[0].split("/") if p)
+        if (
+            self.prefix
+            and len(parts) >= 2
+            and parts[0] == "v1"
+            and parts[1] not in ("config", "oauth")
+        ):
+            # prefixed server: catalog routes MUST carry the prefix
+            # segment (config/oauth stay unprefixed — the prefix is
+            # discovered via config); anything else falls to 404
+            if parts[1] != self.prefix:
+                return ("__bad_prefix__",)
+            return ("v1", *parts[2:])
+        return parts
 
     def _query(self) -> dict:
         """Single-valued query params of the request URL."""
@@ -1201,7 +1234,8 @@ class _Handler(BaseHTTPRequestHandler):
             return self._error(401, "NotAuthorizedException", "bad token")
         r = self._route()
         if r == ("v1", "config"):
-            return self._send(200, {"defaults": {}, "overrides": {}})
+            over = {"prefix": self.prefix} if self.prefix else {}
+            return self._send(200, {"defaults": {}, "overrides": over})
         if r == ("v1", "namespaces"):
             names = sorted([self.DEFAULT_NS, *self._namespaces()])
             page, nxt = self._paginate(names)
@@ -1741,6 +1775,7 @@ def serve_rest_catalog(
     token: str | None = None,
     credential: str | None = None,
     max_page_size: int = 1000,
+    prefix: str | None = None,
 ) -> RestCatalogServer:
     """Start an Iceberg-REST-protocol server over ``backing`` on an
     ephemeral port; returns a handle whose ``uri`` a :class:`RestCatalog`
@@ -1760,6 +1795,7 @@ def serve_rest_catalog(
             "oauth_credential": credential,
             "issued_tokens": set(),
             "max_page_size": max_page_size,
+            "prefix": prefix,
             "namespaces_mem": {},
         },
     )

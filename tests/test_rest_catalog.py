@@ -1333,3 +1333,43 @@ def test_oauth_rejects_unsupported_grant(tmp_path):
         with pytest.raises(urllib.error.HTTPError) as ei:
             urllib.request.urlopen(req)
         assert ei.value.code == 400
+
+
+def test_config_prefix_route_handshake(tmp_path, fragmented):
+    """The spec's route prefix: a prefixed server advertises it via
+    /v1/config overrides (which clients MUST apply); a client that
+    does the config handshake works end-to-end through the prefixed
+    routes, while unprefixed or wrong-prefixed catalog paths 404."""
+    import json
+    import urllib.error
+    import urllib.request
+
+    backing = FileCatalog(warehouse=str(tmp_path / "whpfx"))
+    with serve_rest_catalog(backing, prefix="tenant1") as srv:
+        cli = RestCatalog(uri=srv.uri)
+        cfg = cli.fetch_config()  # unprefixed by spec
+        assert cfg["overrides"]["prefix"] == "tenant1"
+        assert cli.prefix == "tenant1"
+        cli.create_table("t", fragmented)
+        assert cli.list_tables() == ["t"]
+        assert cli.load_table("t").snapshot_id == 1
+        # raw prefixed route works
+        with urllib.request.urlopen(
+            f"{srv.uri}/v1/tenant1/namespaces/default/tables"
+        ) as resp:
+            assert [
+                i["name"] for i in json.loads(resp.read())["identifiers"]
+            ] == ["t"]
+        # unprefixed and wrong-prefixed catalog routes are 404
+        for path in (
+            "/v1/namespaces/default/tables",
+            "/v1/tenant2/namespaces/default/tables",
+        ):
+            with pytest.raises(urllib.error.HTTPError) as ei:
+                urllib.request.urlopen(f"{srv.uri}{path}")
+            assert ei.value.code == 404, path
+        # a client that skips the handshake gets the 404 (loud, not
+        # silently wrong-tenant)
+        naive = RestCatalog(uri=srv.uri)
+        with pytest.raises(Exception):
+            naive.load_table("t")
