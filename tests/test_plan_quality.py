@@ -763,3 +763,29 @@ def test_dsir_weights_broadcast_features_no_python(spark):
     assert "BroadcastHashJoin" in s
     assert "SortMergeJoin" not in s
     assert "BatchEvalPython" not in s and "ArrowEvalPython" not in s
+
+
+def test_geo_spatial_joins_broadcast_tiles_no_cartesian(spark):
+    """The round-14 spatial joins: every one is a tile EQUI-join with
+    the small exploded side broadcast — never a cartesian or
+    nested-loop product, which is what makes them survive 100 TB of
+    points (work = points + region-tile pairs + candidates in shared
+    tiles)."""
+    from iceberg_compaction_spark import registry
+
+    for name in ("geo_spatial_join", "geo_envelope_join", "geo_knn_join"):
+        s = plan_of(registry.QUERIES[name](spark, SF))
+        assert "CartesianProduct" not in s, name
+        assert "BroadcastNestedLoopJoin" not in s, name
+        assert "BroadcastHashJoin" in s, name
+
+
+def test_variant_shredded_read_single_decode_pass(spark):
+    """Spec-shape shredding (round 14): the write-time shred is ONE
+    Arrow-batched pass and the shredded-path read adds NO second
+    Python eval — exactly two Python evals total in the end-to-end
+    entry (encode + shred), zero on the read side."""
+    from iceberg_compaction_spark import registry
+
+    s = plan_of(registry.QUERIES["variant_shredded_read"](spark, SF))
+    assert s.count("ArrowEvalPython") <= 2
