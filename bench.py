@@ -97,6 +97,7 @@ BENCH_QUERIES = [
     "geo_knn_join",
     "geo_envelope_join",
     "variant_shredded_read",
+    "events_ohlc",
 ]
 
 

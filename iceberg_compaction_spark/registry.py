@@ -4775,6 +4775,53 @@ def q_geo_spatial_join(spark, sf_dir):
 
 
 @register(
+    "events_ohlc",
+    """
+    WITH e AS (
+      SELECT epoch_ns(ts) // 3600000000000 AS hour_bucket,
+             event_type,
+             epoch_ns(ts) AS tsn,
+             event_id,
+             CAST(FLOOR(value * 1000000) AS BIGINT) AS vmicro
+      FROM events
+    ),
+    w AS (
+      SELECT *,
+             FIRST_VALUE(vmicro) OVER (
+               PARTITION BY hour_bucket, event_type
+               ORDER BY tsn, event_id
+             ) AS o_micro,
+             FIRST_VALUE(vmicro) OVER (
+               PARTITION BY hour_bucket, event_type
+               ORDER BY tsn DESC, event_id DESC
+             ) AS c_micro
+      FROM e
+    )
+    SELECT hour_bucket, event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(MIN(o_micro) AS BIGINT) AS open_micro,
+           CAST(MAX(vmicro) AS BIGINT) AS high_micro,
+           CAST(MIN(vmicro) AS BIGINT) AS low_micro,
+           CAST(MIN(c_micro) AS BIGINT) AS close_micro
+    FROM w GROUP BY hour_bucket, event_type
+    """,
+)
+def q_events_ohlc(spark, sf_dir):
+    """OHLC candle resampling (round 14; streaming/events.py
+    ohlc_rollup): per (hour, event_type) the open/high/low/close in
+    integer micro-units — open/close are argmin/argmax by STRUCT
+    aggregate (min/max of (ts, event_id, value)), so the whole candle
+    is ONE map-side-combinable exchange with deterministic ts-tie
+    handling.  The oracle formulates open/close with rank windows —
+    agreeing hashes prove the struct-aggregate shortcut exact.
+
+    Scale shape: one partial-agg groupBy on a bounded key space; no
+    window over the event stream (the oracle's window formulation
+    would shuffle the full stream a second time)."""
+    return ev.ohlc_rollup(ev.read_events(spark, sf_dir))
+
+
+@register(
     "geo_envelope_join",
     """
     WITH rects AS (

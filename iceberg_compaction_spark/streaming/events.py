@@ -102,6 +102,40 @@ def hourly_rollup(events: DataFrame) -> DataFrame:
     )
 
 
+def ohlc_rollup(events: DataFrame) -> DataFrame:
+    """OHLC candles: per (hour, event_type) the Open (value at the
+    earliest event), High, Low, and Close (value at the latest event)
+    — the time-series resampling shape under monitoring/market
+    pipelines.
+
+    Open/Close are argmin/argmax BY STRUCT AGGREGATE:
+    ``min(struct(ts, event_id, vmicro))`` picks the lexicographically
+    least (ts, event_id) pair and carries its value along — fully
+    map-side combinable, ONE exchange total, no rank window (a window
+    formulation would shuffle the whole stream a second time just to
+    rank rows whose max/min is all we need).  Ties on ts break by
+    event_id, so the result is deterministic and engine-independent.
+
+    Output: (hour_bucket, event_type, n_events, open_micro, high_micro,
+    low_micro, close_micro) — integer micro-units throughout.
+    """
+    e = events.select(
+        F.expr(f"ts div {NS_PER_HOUR}").cast("long").alias("hour_bucket"),
+        "event_type",
+        F.col("ts").alias("__ts"),
+        "event_id",
+        _value_micro().alias("vmicro"),
+    )
+    o = F.struct("__ts", "event_id", "vmicro")
+    return e.groupBy("hour_bucket", "event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n_events"),
+        F.min(o)["vmicro"].cast("long").alias("open_micro"),
+        F.max("vmicro").cast("long").alias("high_micro"),
+        F.min("vmicro").cast("long").alias("low_micro"),
+        F.max(o)["vmicro"].cast("long").alias("close_micro"),
+    )
+
+
 def sliding_rollup(events: DataFrame) -> DataFrame:
     """Sliding window (1 h window, 30 min slide) per event_type.
 

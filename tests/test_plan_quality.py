@@ -789,3 +789,15 @@ def test_variant_shredded_read_single_decode_pass(spark):
 
     s = plan_of(registry.QUERIES["variant_shredded_read"](spark, SF))
     assert s.count("ArrowEvalPython") <= 2
+
+
+def test_events_ohlc_struct_argminmax_no_window(spark):
+    """OHLC candles (round 14): open/close resolve by struct
+    min/max inside the ONE rollup aggregate — no rank window over the
+    event stream, no join, no Python."""
+    from iceberg_compaction_spark import registry
+
+    s = plan_of(registry.QUERIES["events_ohlc"](spark, SF))
+    assert "Window" not in s
+    assert "Join" not in s
+    assert "BatchEvalPython" not in s and "ArrowEvalPython" not in s
