@@ -98,6 +98,7 @@ BENCH_QUERIES = [
     "geo_envelope_join",
     "variant_shredded_read",
     "events_ohlc",
+    "geo_tile_pyramid",
 ]
 
 

@@ -4774,6 +4774,56 @@ def q_geo_spatial_join(spark, sf_dir):
     )
 
 
+def _geo_pyramid_sql(table: str) -> str:
+    """One GROUPING-SETS statement shared verbatim by both engines:
+    counts at two independent tile resolutions in ONE pass (the expand
+    feeds a single exchange — no second scan for the coarse level)."""
+    from iceberg_compaction_spark.operators.geo import tile_id_expr
+
+    t6 = tile_id_expr(
+        "value", "CAST(user_id AS DOUBLE)", (0.0, 200.0), (0.0, 50.0), 6
+    )
+    t4 = tile_id_expr(
+        "value", "CAST(user_id AS DOUBLE)", (0.0, 200.0), (0.0, 50.0), 4
+    )
+    return f"""
+    WITH t AS (
+      SELECT CAST({t6} AS BIGINT) AS tile6,
+             CAST({t4} AS BIGINT) AS tile4,
+             CAST(FLOOR(value * 100) AS BIGINT) AS cents
+      FROM {table}
+    )
+    SELECT CASE WHEN GROUPING(tile6) = 0
+                THEN CAST(6 AS BIGINT) ELSE CAST(4 AS BIGINT)
+           END AS level,
+           COALESCE(tile6, tile4) AS tile_id,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(cents) AS BIGINT) AS sum_cents
+    FROM t GROUP BY GROUPING SETS ((tile6), (tile4))
+    """
+
+
+@register("geo_tile_pyramid", _geo_pyramid_sql("events"))
+def q_geo_tile_pyramid(spark, sf_dir):
+    """Multi-resolution tile pyramid (round 14; operators/geo.py
+    tile_id_expr): per-tile counts + integer value sums at bits=6 AND
+    bits=4 in ONE statement via GROUPING SETS — the map-pyramid /
+    drill-down rollup, each level quantized independently (the
+    fixed-bounds quantizer is not power-of-two nested, so levels are
+    computed, never bit-shifted).  The SAME SQL string runs on both
+    engines (tile expressions are dialect-neutral), so the oracle
+    hash pins quantization, interleave, and the grouping-sets
+    semantics together.
+
+    Scale shape: one scan, one expand (x2 rows), one
+    map-side-combinable exchange over a bounded key space (4^6 + 4^4
+    tiles); no self-union, no second scan for the coarse level."""
+    ev.read_events(spark, sf_dir).createOrReplaceTempView(
+        "__geo_pyramid_events"
+    )
+    return spark.sql(_geo_pyramid_sql("__geo_pyramid_events"))
+
+
 @register(
     "events_ohlc",
     """
