@@ -69,9 +69,11 @@ __all__ = [
 ]
 
 # WKB little-endian POINT layout: byteOrder(1)=1, type(4)=1, x(8), y(8).
-# The layout constants are INLINED inside each UDF body (not referenced
-# from this module) so the pickled closures are self-contained — an
-# executor must not need this package importable to run them.
+# The POINT codec's layout constants are INLINED inside its UDF bodies
+# (not referenced from this module) so those closures pickle
+# self-contained; the variable-length decoders instead import this
+# module's parsers executor-side — the same deployment contract the
+# multimodal tier uses (the package ships to executors).
 _POINT_LEN = 21
 
 
