@@ -261,6 +261,8 @@ def _parse_envelope(b):
             return None
         x, y = np.frombuffer(b, dtype=e + "f8", count=2, offset=5)
         return (float(x), float(y), float(x), float(y))
+    if len(b) < 9:
+        return None
     if t == 2:
         n = int(np.frombuffer(b, dtype=e + "u4", count=1, offset=5)[0])
         if n == 0 or len(b) != 9 + 16 * n:
@@ -290,6 +292,8 @@ def _parse_num_points(b):
     e, t = h
     if t == 1:
         return 1 if len(b) == 21 else None
+    if len(b) < 9:
+        return None
     if t == 2:
         n = int(np.frombuffer(b, dtype=e + "u4", count=1, offset=5)[0])
         return n if len(b) == 9 + 16 * n else None
@@ -316,6 +320,8 @@ def _rings(b):
     e, t = h
     if t == 1:
         return [] if len(b) == 21 else None
+    if len(b) < 9:
+        return None
     if t == 2:
         n = int(np.frombuffer(b, dtype=e + "u4", count=1, offset=5)[0])
         if n == 0 or len(b) != 9 + 16 * n:

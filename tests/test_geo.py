@@ -545,3 +545,62 @@ def test_area_and_length_mixed_geometries(spark):
     assert got[5] == (16.0, 16.0)
     assert got[6] == (None, None)
     assert got[7] == (None, None)
+
+
+def test_wkb_parser_properties():
+    """Property test (no Spark): for random linestrings/polygons in
+    either byte order, the parser's envelope equals the true
+    coordinate min/max, the vertex count is exact, and area/length
+    match pure-Python references."""
+    import math
+
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from iceberg_compaction_spark.operators.geo import (
+        _parse_envelope,
+        _parse_length,
+        _parse_num_points,
+        wkb_linestring,
+        wkb_polygon,
+    )
+
+    coord = st.floats(
+        min_value=-1e6, max_value=1e6, allow_nan=False, allow_infinity=False
+    )
+    pt = st.tuples(coord, coord)
+
+    @settings(max_examples=200, deadline=None)
+    @given(
+        pts=st.lists(pt, min_size=1, max_size=40),
+        big=st.booleans(),
+        as_polygon=st.booleans(),
+    )
+    def check(pts, big, as_polygon):
+        if as_polygon:
+            ring = pts + [pts[0]]  # closed per spec
+            b = wkb_polygon([ring], big_endian=big)
+            n_expected = len(ring)
+        else:
+            b = wkb_linestring(pts, big_endian=big)
+            ring = pts
+            n_expected = len(pts)
+        assert _parse_num_points(b) == n_expected
+        xs = [p[0] for p in ring]
+        ys = [p[1] for p in ring]
+        env = _parse_envelope(b)
+        assert env == (min(xs), min(ys), max(xs), max(ys))
+        want_len = sum(
+            math.dist(a, c) for a, c in zip(ring, ring[1:])
+        )
+        got_len = _parse_length(b)
+        assert abs(got_len - want_len) <= 1e-9 * max(1.0, want_len)
+
+    check()
+
+    # truncation fuzz: every prefix of a valid buffer is NULL, never
+    # garbage or an exception
+    b = wkb_polygon([[(0.0, 0.0), (3.0, 0.0), (3.0, 3.0), (0.0, 0.0)]])
+    for cut in range(len(b)):
+        assert _parse_envelope(b[:cut]) is None
+        assert _parse_num_points(b[:cut]) is None
