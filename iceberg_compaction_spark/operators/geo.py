@@ -249,7 +249,11 @@ def _parse_envelope(b):
     POINT envelope is the point itself; LINESTRING spans its vertex
     array; POLYGON spans its exterior ring (ring 0 — a valid polygon's
     interior rings lie inside it, so they cannot extend the envelope).
-    Vertex math is numpy over the contiguous coordinate block."""
+    Validity is the FULL structure (every ring parsed, exact total
+    length) via _rings — a truncated interior ring must invalidate the
+    envelope too, or the same cell would read valid here and NULL in
+    every other accessor (and a bbox filter would pass an undecodable
+    row).  Vertex math is numpy over the contiguous coordinate block."""
     import numpy as np
 
     h = _parse_header(b)
@@ -261,23 +265,10 @@ def _parse_envelope(b):
             return None
         x, y = np.frombuffer(b, dtype=e + "f8", count=2, offset=5)
         return (float(x), float(y), float(x), float(y))
-    if len(b) < 9:
+    rings = _rings(b)
+    if not rings:
         return None
-    if t == 2:
-        n = int(np.frombuffer(b, dtype=e + "u4", count=1, offset=5)[0])
-        if n == 0 or len(b) != 9 + 16 * n:
-            return None
-        pts = np.frombuffer(b, dtype=e + "f8", count=2 * n, offset=9)
-    else:  # t == 3, polygon: exterior ring
-        if len(b) < 13:
-            return None
-        nr = int(np.frombuffer(b, dtype=e + "u4", count=1, offset=5)[0])
-        if nr == 0:
-            return None
-        n = int(np.frombuffer(b, dtype=e + "u4", count=1, offset=9)[0])
-        if n == 0 or len(b) < 13 + 16 * n:
-            return None
-        pts = np.frombuffer(b, dtype=e + "f8", count=2 * n, offset=13)
+    pts = rings[0]
     xs, ys = pts[0::2], pts[1::2]
     return (float(xs.min()), float(ys.min()), float(xs.max()), float(ys.max()))
 
@@ -296,13 +287,19 @@ def _parse_num_points(b):
         return None
     if t == 2:
         n = int(np.frombuffer(b, dtype=e + "u4", count=1, offset=5)[0])
-        return n if len(b) == 9 + 16 * n else None
+        # n == 0 is invalid, matching _rings/_parse_envelope — the same
+        # cell must not read valid here and NULL everywhere else
+        return n if n > 0 and len(b) == 9 + 16 * n else None
     nr = int(np.frombuffer(b, dtype=e + "u4", count=1, offset=5)[0])
+    if nr == 0:
+        return None
     off, total = 9, 0
     for _ in range(nr):
         if len(b) < off + 4:
             return None
         n = int(np.frombuffer(b, dtype=e + "u4", count=1, offset=off)[0])
+        if n == 0:
+            return None
         off += 4 + 16 * n
         total += n
     return total if len(b) == off else None
@@ -328,6 +325,8 @@ def _rings(b):
             return None
         return [np.frombuffer(b, dtype=e + "f8", count=2 * n, offset=9)]
     nr = int(np.frombuffer(b, dtype=e + "u4", count=1, offset=5)[0])
+    if nr == 0:
+        return None
     off, out = 9, []
     for _ in range(nr):
         if len(b) < off + 4:
@@ -505,15 +504,28 @@ def st_geom_type(
     df: DataFrame, geom_col: str, out_col: str = "geom_type"
 ) -> DataFrame:
     """Geometry type name (``POINT``/``LINESTRING``/``POLYGON``) from
-    the validated WKB header; NULL for invalid / unsupported WKB.
-    JVM-side byte peeks — binary ``substring`` compared against hex
-    literals (no binary->string casts, no Python in the plan)."""
+    the validated WKB header plus a minimum-length check (a POINT must
+    be exactly 21 bytes; variable geometries at least header + count +
+    one vertex); NULL for invalid / unsupported WKB.  This is a
+    header-tier check — it cannot see a truncated ring deep in a
+    polygon body (pair with st_num_points / st_envelope, which parse
+    the full structure, when that matters).  JVM-side byte peeks —
+    binary ``substring`` compared against hex literals (no
+    binary->string casts, no Python in the plan)."""
     hdr = F.expr(f"substring({geom_col}, 1, 5)")
+    ln = F.length(F.col(geom_col))
     name = F.lit(None).cast("string")
-    for code, nm in ((1, "POINT"), (2, "LINESTRING"), (3, "POLYGON")):
+    for code, nm, min_len, exact in (
+        (1, "POINT", 21, True),
+        (2, "LINESTRING", 9 + 16, False),
+        (3, "POLYGON", 9 + 4 + 16, False),
+    ):
         le = F.lit(bytes([1, code, 0, 0, 0]))
         be = F.lit(bytes([0, 0, 0, 0, code]))
-        name = F.when((hdr == le) | (hdr == be), F.lit(nm)).otherwise(name)
+        size_ok = (ln == min_len) if exact else (ln >= min_len)
+        name = F.when(
+            ((hdr == le) | (hdr == be)) & size_ok, F.lit(nm)
+        ).otherwise(name)
     return df.withColumn(out_col, name)
 
 
@@ -719,38 +731,15 @@ def st_tile_bbox_join(
     the exploded region side; at region counts too large to broadcast,
     pass False and both sides shuffle on the tile key — the same
     equi-join shape, co-partitioned."""
-    from iceberg_compaction_spark.operators.zorder import zorder_code_expr
-
     for c in ("xmin", "ymin", "xmax", "ymax"):
         if c not in regions.columns:
             raise ValueError(f"regions is missing bbox column {c!r}")
     p = st_tile_id(
         points, x_col, y_col, x_range, y_range, bits, out_col="__tile"
     )
-    r = (
-        regions.withColumn(
-            "__cx",
-            F.explode(
-                F.sequence(
-                    F.expr(_cell_expr("xmin", *x_range, bits)),
-                    F.expr(_cell_expr("xmax", *x_range, bits)),
-                )
-            ),
-        )
-        .withColumn(
-            "__cy",
-            F.explode(
-                F.sequence(
-                    F.expr(_cell_expr("ymin", *y_range, bits)),
-                    F.expr(_cell_expr("ymax", *y_range, bits)),
-                )
-            ),
-        )
-        .withColumn(
-            "__tile",
-            F.expr(zorder_code_expr(["__cx", "__cy"], bits)).cast("long"),
-        )
-        .drop("__cx", "__cy")
+    r = _explode_tiles(
+        regions, ("xmin", "ymin", "xmax", "ymax"), x_range, y_range,
+        bits, "__tile",
     )
     if broadcast_regions:
         r = F.broadcast(r)
@@ -804,6 +793,13 @@ def st_tile_knn_join(
     r = float(radius)
     if r <= 0:
         raise ValueError(f"radius must be positive, got {radius!r}")
+    clash = {"xmin", "ymin", "xmax", "ymax"} & set(queries.columns)
+    if clash:
+        raise ValueError(
+            f"queries DataFrame already carries bbox columns "
+            f"{sorted(clash)} — rename them; the join derives its own "
+            f"disk bbox under those names"
+        )
     from pyspark.sql import Window
 
     q = (

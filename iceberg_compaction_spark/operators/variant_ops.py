@@ -321,11 +321,19 @@ def variant_spec_shred_type(paths: dict) -> T.StructType:
 def _fits(py, t: str):
     """Typed value for the shredding target, or None when it doesn't
     fit (bool is NOT an int here — the variant encoding keeps them
-    distinct types; the codec decodes JSON doubles as Decimal)."""
+    distinct types; the codec decodes JSON doubles as Decimal).
+    Integer targets are RANGE-checked: an out-of-range value must take
+    the documented whole-row unshredded fallback, not crash the write
+    when Arrow refuses the cast."""
     from decimal import Decimal
 
     if t == "long" or t == "int":
-        return py if isinstance(py, int) and not isinstance(py, bool) else None
+        if not isinstance(py, int) or isinstance(py, bool):
+            return None
+        lo, hi = (
+            (-(2**31), 2**31 - 1) if t == "int" else (-(2**63), 2**63 - 1)
+        )
+        return py if lo <= py <= hi else None
     if t == "double":
         if isinstance(py, bool):
             return None
@@ -339,14 +347,39 @@ def _fits(py, t: str):
     return None
 
 
-def _json_default(o):
-    """json.dumps hook for the codec's non-JSON Python types (Decimal
-    from variant doubles/decimals)."""
+def _json_exact(obj) -> str:
+    """JSON text preserving Decimal values digit-for-digit (emitted as
+    plain JSON numbers via str(Decimal), which parseJson reads back as
+    decimals) — json.dumps' ``default`` hook cannot do this (it would
+    round through float, silently altering stored values on the
+    shred/unshred write path)."""
+    import json as _json
     from decimal import Decimal
 
-    if isinstance(o, Decimal):
-        return float(o)
-    raise TypeError(f"not JSON-encodable: {type(o).__name__}")
+    if obj is None:
+        return "null"
+    if obj is True:
+        return "true"
+    if obj is False:
+        return "false"
+    if isinstance(obj, Decimal):
+        return format(obj, "f")
+    if isinstance(obj, (int, float)):
+        return _json.dumps(obj)
+    if isinstance(obj, str):
+        return _json.dumps(obj)
+    if isinstance(obj, dict):
+        return (
+            "{"
+            + ",".join(
+                f"{_json.dumps(str(k))}:{_json_exact(v)}"
+                for k, v in obj.items()
+            )
+            + "}"
+        )
+    if isinstance(obj, (list, tuple)):
+        return "[" + ",".join(_json_exact(v) for v in obj) + "]"
+    raise TypeError(f"not JSON-encodable: {type(obj).__name__}")
 
 
 def shred_variant_spec(
@@ -363,8 +396,6 @@ def shred_variant_spec(
 
     @pandas_udf(out_type)
     def _spec_shred(pdf):
-        import json as _json
-
         import pandas as pd
         from pyspark.sql.types import VariantVal
         from pyspark.sql.variant_utils import VariantUtils
@@ -382,9 +413,7 @@ def shred_variant_spec(
             k = (bytes(m), bytes(v))
             hit = memo.get(k)
             if hit is None:
-                hit = _shred_one(
-                    k, items, _json, VariantVal, VariantUtils, _fits
-                )
+                hit = _shred_one(k, items, VariantVal, VariantUtils, _fits)
                 memo[k] = hit
             metas.append(hit[0])
             residuals.append(hit[1])
@@ -396,7 +425,7 @@ def shred_variant_spec(
     return df.withColumn(variant_col, _spec_shred(F.col(variant_col)))
 
 
-def _shred_one(k, items, _json, VariantVal, VariantUtils, fits):
+def _shred_one(k, items, VariantVal, VariantUtils, fits):
     """(metadata, residual_value, typed_value_dict) for one distinct
     variant cell — module-level so the memoized UDF body stays flat."""
     meta, val = k
@@ -420,11 +449,11 @@ def _shred_one(k, items, _json, VariantVal, VariantUtils, fits):
     if not residual:
         return (meta, None, typed)
     try:
-        rv = VariantVal.parseJson(
-            _json.dumps(
-                residual, separators=(",", ":"), default=_json_default
-            )
+        from iceberg_compaction_spark.operators.variant_ops import (
+            _json_exact,
         )
+
+        rv = VariantVal.parseJson(_json_exact(residual))
         return (bytes(rv.metadata), bytes(rv.value), typed)
     except Exception:
         return unshredded
@@ -463,8 +492,6 @@ def unshred_variant_spec(
 
     @pandas_udf(VARIANT_SPARK_TYPE)
     def _unshred(pdf):
-        import json as _json
-
         import pandas as pd
         from pyspark.sql.types import VariantVal
         from pyspark.sql.variant_utils import VariantUtils
@@ -495,14 +522,10 @@ def unshred_variant_spec(
                     merged[name] = g["typed_value"]
             try:
                 from iceberg_compaction_spark.operators.variant_ops import (
-                    _json_default,
+                    _json_exact,
                 )
 
-                rv = VariantVal.parseJson(
-                    _json.dumps(
-                        merged, separators=(",", ":"), default=_json_default
-                    )
-                )
+                rv = VariantVal.parseJson(_json_exact(merged))
                 metas.append(bytes(rv.metadata))
                 vals.append(bytes(rv.value))
             except Exception:

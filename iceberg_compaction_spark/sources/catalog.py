@@ -203,7 +203,7 @@ class TableRefs:
         failures are not contention)."""
         from iceberg_compaction_spark.commit import CommitConflict
 
-        for _ in range(64):
+        for attempt in range(64):
             # ONE listing drives both the state read and the target
             # version.  Target = max(LISTED)+1, not max(readable)+1:
             # _refs_state's torn-file fallback may read k < max(listed)
@@ -215,9 +215,21 @@ class TableRefs:
             # state is consistent.  Listing AFTER reading would be a
             # two-winner race: a commit landing in between would be
             # skipped over AND its state ignored.
+            #
+            # STAGED skip: the first attempts target k+1 (contend on
+            # the occupied slot, old behavior) so a newest file that is
+            # listed but only TRANSIENTLY unreadable — read-after-write
+            # lag on a non-POSIX backend — gets time to become
+            # readable; only after eight losses does the writer treat
+            # it as a permanent orphan and jump past it.  Skipping
+            # immediately would silently erase a committed-but-lagging
+            # ref mutation (lost update).
             listed = self._refs_versions(name)
             k, refs = self._refs_state_from(name, listed)
-            k_next = max([k, *listed]) + 1
+            if attempt < 8:
+                k_next = k + 1
+            else:
+                k_next = max([k, *listed]) + 1
             new_refs = mutate(dict(refs))
             payload = json.dumps(new_refs, indent=1).encode()
             if self._io.create_exclusive(

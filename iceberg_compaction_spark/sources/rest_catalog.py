@@ -289,19 +289,7 @@ class RestCatalog:
         return out.get("properties", {})
 
     def namespace_exists(self, ns: str | None = None) -> bool:
-        self._ensure_token()
-        req = urllib.request.Request(
-            self._url("namespaces", ns or self.namespace), method="HEAD"
-        )
-        if self.token:
-            req.add_header("Authorization", f"Bearer {self.token}")
-        try:
-            with urllib.request.urlopen(req, timeout=self.timeout_s):
-                return True
-        except urllib.error.HTTPError as e:
-            if e.code == 404:
-                return False
-            raise self._to_error(e) from None
+        return self._head_exists(self._url("namespaces", ns or self.namespace))
 
     def drop_namespace(self, ns: str | None = None) -> None:
         """DELETE the namespace; the server rejects a non-empty one
@@ -364,21 +352,32 @@ class RestCatalog:
         )
         return sorted(i["name"] for i in ids)
 
-    def table_exists(self, name: str) -> bool:
+    def _head_exists(self, url: str) -> bool:
+        """HEAD existence probe with the same one-shot 401 re-grant as
+        _request — the token-rotation recovery must cover EVERY
+        endpoint, not just the JSON ones."""
         self._ensure_token()
-        req = urllib.request.Request(
-            self._url("namespaces", self.namespace, "tables", name),
-            method="HEAD",
+        for attempt in (0, 1):
+            req = urllib.request.Request(url, method="HEAD")
+            if self.token:
+                req.add_header("Authorization", f"Bearer {self.token}")
+            try:
+                with urllib.request.urlopen(req, timeout=self.timeout_s):
+                    return True
+            except urllib.error.HTTPError as e:
+                if e.code == 404:
+                    return False
+                if e.code == 401 and self.credential and attempt == 0:
+                    self.token = None
+                    self._ensure_token()
+                    continue
+                raise self._to_error(e) from None
+        raise AssertionError("unreachable")
+
+    def table_exists(self, name: str) -> bool:
+        return self._head_exists(
+            self._url("namespaces", self.namespace, "tables", name)
         )
-        if self.token:
-            req.add_header("Authorization", f"Bearer {self.token}")
-        try:
-            with urllib.request.urlopen(req, timeout=self.timeout_s):
-                return True
-        except urllib.error.HTTPError as e:
-            if e.code == 404:
-                return False
-            raise self._to_error(e) from None
 
     def create_table(self, name: str, manifest: Manifest) -> Manifest:
         out = self._request(

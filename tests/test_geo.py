@@ -604,3 +604,63 @@ def test_wkb_parser_properties():
     for cut in range(len(b)):
         assert _parse_envelope(b[:cut]) is None
         assert _parse_num_points(b[:cut]) is None
+
+
+def test_truncated_multiring_polygon_reads_null_everywhere(spark):
+    """Code-review r14: a polygon whose INTERIOR ring is truncated
+    must be invalid in EVERY accessor — the envelope used to validate
+    only the exterior ring, so the same cell read valid in
+    st_within_bbox and NULL in st_area."""
+    from iceberg_compaction_spark.operators.geo import (
+        _parse_envelope,
+        _parse_num_points,
+        _rings,
+        st_geom_type,
+        st_num_points,
+        wkb_polygon,
+    )
+
+    sq = [(0.0, 0.0), (4.0, 0.0), (4.0, 4.0), (0.0, 4.0), (0.0, 0.0)]
+    hole = [(1.0, 1.0), (2.0, 1.0), (2.0, 2.0), (1.0, 2.0), (1.0, 1.0)]
+    full = wkb_polygon([sq, hole])
+    cut = full[:100]  # exterior intact, hole truncated
+    assert _parse_envelope(cut) is None
+    assert _parse_num_points(cut) is None
+    assert _rings(cut) is None
+    # zero-vertex geometries are invalid consistently too
+    import struct as _struct
+
+    empty_ls = _struct.pack("<BII", 1, 2, 0)
+    assert _parse_num_points(empty_ls) is None
+    assert _parse_envelope(empty_ls) is None
+    # geom_type length guard: a bare 5-byte POINT header is not a POINT
+    rows = [(1, bytes([1, 1, 0, 0, 0])), (2, cut), (3, empty_ls)]
+    df = spark.createDataFrame(rows, "id long, geom binary")
+    got = {
+        r["id"]: (r["geom_type"], r["num_points"])
+        for r in st_num_points(st_geom_type(df, "geom"), "geom").collect()
+    }
+    assert got[1] == (None, None)
+    # header-tier check CAN still name the truncated polygon (documented;
+    # the structural accessors are the full validation)
+    assert got[2][1] is None and got[3] == (None, None)
+
+
+def test_knn_join_rejects_bbox_column_collision(spark):
+    """Code-review r14: a queries frame already carrying xmin/... must
+    be rejected loudly instead of silently clobbered and dropped."""
+    import pytest as _pytest
+
+    from iceberg_compaction_spark.operators.geo import st_tile_knn_join
+
+    points = spark.createDataFrame(
+        [(1, 1.0, 1.0)], "pid long, px double, py double"
+    )
+    queries = spark.createDataFrame(
+        [(1, 1.0, 1.0, 99.0)], "qid long, qx double, qy double, xmin double"
+    )
+    with _pytest.raises(ValueError, match="xmin"):
+        st_tile_knn_join(
+            points, "px", "py", queries, "qid", "qx", "qy",
+            k=1, radius=1.0, x_range=(0.0, 10.0), y_range=(0.0, 10.0),
+        )

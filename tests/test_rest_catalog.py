@@ -1373,3 +1373,20 @@ def test_config_prefix_route_handshake(tmp_path, fragmented):
         naive = RestCatalog(uri=srv.uri)
         with pytest.raises(Exception):
             naive.load_table("t")
+
+
+def test_head_endpoints_re_grant_on_401(tmp_path, fragmented):
+    """Code-review r14: the token-rotation recovery must cover the
+    HEAD probes too — table_exists/namespace_exists re-grant once on
+    401 like every JSON endpoint."""
+    backing = FileCatalog(warehouse=str(tmp_path / "whh"))
+    with serve_rest_catalog(backing, credential="svc:pw") as srv:
+        cli = RestCatalog(uri=srv.uri, credential="svc:pw")
+        cli.create_table("t", fragmented)
+        # revoke all issued tokens (rotation/restart)
+        srv._httpd.RequestHandlerClass.issued_tokens.clear()
+        assert cli.table_exists("t") is True  # transparent re-grant
+        srv._httpd.RequestHandlerClass.issued_tokens.clear()
+        assert cli.namespace_exists("default") is True
+        srv._httpd.RequestHandlerClass.issued_tokens.clear()
+        assert cli.table_exists("nope") is False

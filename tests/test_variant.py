@@ -637,3 +637,52 @@ def test_spec_shred_reads_through_datasource_zero_python(spark, tmp_path):
     vals = {r["id"]: r["out"] for r in got.select("id", "out").collect()}
     assert vals[0] == 1 and vals[1] == -7 and vals[2] == 0
     assert vals[3] is None and vals[4] is None  # unshredded fallback rows
+
+
+def test_spec_shred_out_of_range_int_falls_back(spark):
+    """Code-review r14: an integer too wide for the declared 'int'
+    target must take the documented whole-row unshredded fallback —
+    never crash the write on Arrow's int32 cast."""
+    from iceberg_compaction_spark.operators.variant_ops import (
+        shred_variant_spec,
+        variant_get_path,
+    )
+
+    df = spark.createDataFrame(
+        [(1, '{"a": 5}'), (2, '{"a": 4294967296}')], "id long, j string"
+    )
+    v = json_to_variant(df, "j", "v").select("id", "v")
+    s = shred_variant_spec(v, "v", {"$.a": "int"})
+    rows = {r["id"]: r["v"] for r in s.collect()}
+    assert rows[1]["typed_value"]["a"]["typed_value"] == 5
+    assert rows[2]["typed_value"] is None  # fallback, value intact
+    # full fidelity still readable through the cold path
+    a = variant_get_path(v, "v", "$.a", "long", "out")
+    assert {r["id"]: r["out"] for r in a.collect()} == {
+        1: 5, 2: 4294967296,
+    }
+
+
+def test_spec_shred_preserves_decimal_precision(spark):
+    """Code-review r14: residual re-encoding must keep high-precision
+    decimals digit-for-digit (no float round-trip on the write path)."""
+    import json as _json
+
+    from iceberg_compaction_spark.operators.variant_ops import (
+        shred_variant_spec,
+        unshred_variant_spec,
+        variant_to_json,
+    )
+
+    precise = "0.1234567890123456789012345"  # 25 digits: fits decimal128
+    df = spark.createDataFrame(
+        [(1, f'{{"a": 1, "p": {precise}}}')], "id long, j string"
+    )
+    v = json_to_variant(df, "j", "v").select("id", "v")
+    s = shred_variant_spec(v, "v", {"$.a": "long"})
+    back = variant_to_json(unshred_variant_spec(s, "v"), "v", "js")
+    [r] = back.select("js").collect()
+    from decimal import Decimal
+
+    got = _json.loads(r["js"], parse_float=Decimal)
+    assert got["p"] == Decimal(precise)
