@@ -104,6 +104,11 @@ TRACKED = [
     # round 14: spec-shape shredding — write-time Arrow-batched decode
     # must stay linear in the scan
     "variant_shredded_read",
+    # round 14: the two bounded-key rollups — OHLC's struct-argminmax
+    # aggregate and the grouping-sets pyramid expand must both stay
+    # scan-priced (key spaces are fixed; only the stream grows)
+    "events_ohlc",
+    "geo_tile_pyramid",
 ]
 
 
