@@ -20,9 +20,10 @@ standard WKB and nothing engine-private.
 
 WKB interop contract: both byte orders are accepted (byte 0 == 1 is
 little-endian NDR — shapely/PostGIS default; byte 0 == 0 is
-big-endian XDR — JTS ``WKBWriter``'s default), the geometry-type
+big-endian XDR — JTS ``WKBWriter``'s default), PostGIS EWKB with the
+SRID flag decodes too (the SRID word is skipped), the geometry-type
 header is validated before any coordinate is trusted, and anything
-else (EWKB SRID flags, Z/M variants, truncated buffers) decodes to
+else (Z/M variants, other flag bits, truncated buffers) decodes to
 NULL rather than to garbage coordinates.  A filter treats NULL as
 "drop" — an undecodable row must never pass a predicate.
 
@@ -82,25 +83,44 @@ _POINT_LEN = 21
 # ---------------------------------------------------------------------------
 
 
-def wkb_point(x: float, y: float, big_endian: bool = False) -> bytes:
-    """One ISO WKB POINT. ``big_endian=True`` emits XDR (JTS default)."""
-    fmt = ">BIdd" if big_endian else "<BIdd"
-    return struct.pack(fmt, 0 if big_endian else 1, 1, float(x), float(y))
+def _wkb_hdr(e: str, bo: int, code: int, srid) -> bytes:
+    """Type header, plain ISO or (with ``srid``) PostGIS EWKB."""
+    if srid is None:
+        return struct.pack(e + "BI", bo, code)
+    return struct.pack(e + "BII", bo, code | 0x20000000, int(srid))
 
 
-def wkb_linestring(pts, big_endian: bool = False) -> bytes:
-    """ISO WKB LINESTRING over ``[(x, y), ...]``."""
+def wkb_point(
+    x: float, y: float, big_endian: bool = False, srid=None
+) -> bytes:
+    """One WKB POINT — ISO, or PostGIS EWKB when ``srid`` is given.
+    ``big_endian=True`` emits XDR (JTS default)."""
     e = ">" if big_endian else "<"
-    out = [struct.pack(e + "BII", 0 if big_endian else 1, 2, len(pts))]
+    return _wkb_hdr(e, 0 if big_endian else 1, 1, srid) + struct.pack(
+        e + "dd", float(x), float(y)
+    )
+
+
+def wkb_linestring(pts, big_endian: bool = False, srid=None) -> bytes:
+    """WKB LINESTRING over ``[(x, y), ...]`` (ISO, or EWKB w/ srid)."""
+    e = ">" if big_endian else "<"
+    out = [
+        _wkb_hdr(e, 0 if big_endian else 1, 2, srid),
+        struct.pack(e + "I", len(pts)),
+    ]
     out += [struct.pack(e + "dd", float(x), float(y)) for x, y in pts]
     return b"".join(out)
 
 
-def wkb_polygon(rings, big_endian: bool = False) -> bytes:
-    """ISO WKB POLYGON over ``[ring, ...]`` where each ring is
-    ``[(x, y), ...]`` (exterior ring first, closed per the spec)."""
+def wkb_polygon(rings, big_endian: bool = False, srid=None) -> bytes:
+    """WKB POLYGON over ``[ring, ...]`` where each ring is
+    ``[(x, y), ...]`` (exterior ring first, closed per the spec);
+    ISO, or EWKB when ``srid`` is given."""
     e = ">" if big_endian else "<"
-    out = [struct.pack(e + "BII", 0 if big_endian else 1, 3, len(rings))]
+    out = [
+        _wkb_hdr(e, 0 if big_endian else 1, 3, srid),
+        struct.pack(e + "I", len(rings)),
+    ]
     for ring in rings:
         out.append(struct.pack(e + "I", len(ring)))
         out += [struct.pack(e + "dd", float(x), float(y)) for x, y in ring]
@@ -178,28 +198,40 @@ def _decode_coord(field: str):
 
         arr = np.full(len(s), np.nan)
         lens = s.str.len()
-        m = lens.eq(21).fillna(False).to_numpy()
-        if not m.any():
-            return pd.Series(arr, index=s.index)
-        joined = bytes().join(s[m].tolist())
-        le = np.frombuffer(
-            joined,
-            dtype=np.dtype(
-                [("bo", "u1"), ("t", "<u4"), ("x", "<f8"), ("y", "<f8")]
-            ),
+
+        def group(size, dt_le, dt_be, want_t):
+            m = lens.eq(size).fillna(False).to_numpy()
+            if not m.any():
+                return
+            joined = bytes().join(s[m].tolist())
+            le = np.frombuffer(joined, dtype=np.dtype(dt_le))
+            be = np.frombuffer(joined, dtype=np.dtype(dt_be))
+            arr[m] = np.where(
+                (le["bo"] == 1) & (le["t"] == want_t),
+                le[field],
+                np.where(
+                    (le["bo"] == 0) & (be["t"] == want_t),
+                    be[field],
+                    np.nan,
+                ),
+            )
+
+        # plain ISO point (21 B) and PostGIS EWKB+SRID point (25 B) —
+        # each group decodes with ONE frombuffer per byte order
+        group(
+            21,
+            [("bo", "u1"), ("t", "<u4"), ("x", "<f8"), ("y", "<f8")],
+            [("bo", "u1"), ("t", ">u4"), ("x", ">f8"), ("y", ">f8")],
+            1,
         )
-        be = np.frombuffer(
-            joined,
-            dtype=np.dtype(
-                [("bo", "u1"), ("t", ">u4"), ("x", ">f8"), ("y", ">f8")]
-            ),
+        group(
+            25,
+            [("bo", "u1"), ("t", "<u4"), ("srid", "<u4"),
+             ("x", "<f8"), ("y", "<f8")],
+            [("bo", "u1"), ("t", ">u4"), ("srid", ">u4"),
+             ("x", ">f8"), ("y", ">f8")],
+            0x20000001,
         )
-        coords = np.where(
-            (le["bo"] == 1) & (le["t"] == 1),
-            le[field],
-            np.where((le["bo"] == 0) & (be["t"] == 1), be[field], np.nan),
-        )
-        arr[m] = coords
         return pd.Series(arr, index=s.index)
 
     return _dec
@@ -225,8 +257,17 @@ def st_y(df: DataFrame, geom_col: str, out_col: str = "y") -> DataFrame:
 # relies on (the package ships to executors).
 
 
+_EWKB_SRID = 0x20000000  # PostGIS EWKB: 4-byte SRID follows the type
+
+
 def _parse_header(b):
-    """(numpy-endian-prefix, base geometry type) or None if invalid."""
+    """(numpy-endian-prefix, base geometry type, body offset) or None.
+
+    Accepts plain ISO WKB 2D codes AND PostGIS EWKB with the SRID flag
+    (shapely's ``wkb(include_srid=True)`` / PostGIS ``ST_AsEWKB``
+    default) — the SRID word is skipped, shifting the body by 4.
+    Z / M variants (different vertex width) and any other flag bits
+    stay invalid -> NULL, never garbage."""
     if b is None or len(b) < 5:
         return None
     bo = b[0]
@@ -237,10 +278,15 @@ def _parse_header(b):
     else:
         return None
     t = int.from_bytes(bytes(b[1:5]), "little" if bo == 1 else "big")
-    # plain ISO 2D codes only; EWKB SRID flags / Z / M -> invalid
+    off = 5
+    if t & _EWKB_SRID:
+        t &= ~_EWKB_SRID
+        off = 9
+        if len(b) < off:
+            return None
     if t not in (1, 2, 3):
         return None
-    return e, t
+    return e, t, off
 
 
 def _parse_envelope(b):
@@ -259,11 +305,11 @@ def _parse_envelope(b):
     h = _parse_header(b)
     if h is None:
         return None
-    e, t = h
+    e, t, off = h
     if t == 1:
-        if len(b) != 21:
+        if len(b) != off + 16:
             return None
-        x, y = np.frombuffer(b, dtype=e + "f8", count=2, offset=5)
+        x, y = np.frombuffer(b, dtype=e + "f8", count=2, offset=off)
         return (float(x), float(y), float(x), float(y))
     rings = _rings(b)
     if not rings:
@@ -280,20 +326,20 @@ def _parse_num_points(b):
     h = _parse_header(b)
     if h is None:
         return None
-    e, t = h
+    e, t, off = h
     if t == 1:
-        return 1 if len(b) == 21 else None
-    if len(b) < 9:
+        return 1 if len(b) == off + 16 else None
+    if len(b) < off + 4:
         return None
     if t == 2:
-        n = int(np.frombuffer(b, dtype=e + "u4", count=1, offset=5)[0])
+        n = int(np.frombuffer(b, dtype=e + "u4", count=1, offset=off)[0])
         # n == 0 is invalid, matching _rings/_parse_envelope — the same
         # cell must not read valid here and NULL everywhere else
-        return n if n > 0 and len(b) == 9 + 16 * n else None
-    nr = int(np.frombuffer(b, dtype=e + "u4", count=1, offset=5)[0])
+        return n if n > 0 and len(b) == off + 4 + 16 * n else None
+    nr = int(np.frombuffer(b, dtype=e + "u4", count=1, offset=off)[0])
     if nr == 0:
         return None
-    off, total = 9, 0
+    off, total = off + 4, 0
     for _ in range(nr):
         if len(b) < off + 4:
             return None
@@ -314,20 +360,22 @@ def _rings(b):
     h = _parse_header(b)
     if h is None:
         return None
-    e, t = h
+    e, t, off = h
     if t == 1:
-        return [] if len(b) == 21 else None
-    if len(b) < 9:
+        return [] if len(b) == off + 16 else None
+    if len(b) < off + 4:
         return None
     if t == 2:
-        n = int(np.frombuffer(b, dtype=e + "u4", count=1, offset=5)[0])
-        if n == 0 or len(b) != 9 + 16 * n:
+        n = int(np.frombuffer(b, dtype=e + "u4", count=1, offset=off)[0])
+        if n == 0 or len(b) != off + 4 + 16 * n:
             return None
-        return [np.frombuffer(b, dtype=e + "f8", count=2 * n, offset=9)]
-    nr = int(np.frombuffer(b, dtype=e + "u4", count=1, offset=5)[0])
+        return [
+            np.frombuffer(b, dtype=e + "f8", count=2 * n, offset=off + 4)
+        ]
+    nr = int(np.frombuffer(b, dtype=e + "u4", count=1, offset=off)[0])
     if nr == 0:
         return None
-    off, out = 9, []
+    off, out = off + 4, []
     for _ in range(nr):
         if len(b) < off + 4:
             return None
@@ -520,12 +568,19 @@ def st_geom_type(
         (2, "LINESTRING", 9 + 16, False),
         (3, "POLYGON", 9 + 4 + 16, False),
     ):
+        # plain ISO headers and PostGIS EWKB+SRID headers (flag byte
+        # 0x20 in the type word; the body shifts by the 4-byte SRID)
         le = F.lit(bytes([1, code, 0, 0, 0]))
         be = F.lit(bytes([0, 0, 0, 0, code]))
-        size_ok = (ln == min_len) if exact else (ln >= min_len)
-        name = F.when(
-            ((hdr == le) | (hdr == be)) & size_ok, F.lit(nm)
-        ).otherwise(name)
+        le_s = F.lit(bytes([1, code, 0, 0, 0x20]))
+        be_s = F.lit(bytes([0, 0x20, 0, 0, code]))
+        plain_ok = (ln == min_len) if exact else (ln >= min_len)
+        srid_ok = (ln == min_len + 4) if exact else (ln >= min_len + 4)
+        name = (
+            F.when(((hdr == le) | (hdr == be)) & plain_ok, F.lit(nm))
+            .when(((hdr == le_s) | (hdr == be_s)) & srid_ok, F.lit(nm))
+            .otherwise(name)
+        )
     return df.withColumn(out_col, name)
 
 

@@ -575,14 +575,15 @@ def test_wkb_parser_properties():
         pts=st.lists(pt, min_size=1, max_size=40),
         big=st.booleans(),
         as_polygon=st.booleans(),
+        srid=st.one_of(st.none(), st.integers(0, 10**6)),
     )
-    def check(pts, big, as_polygon):
+    def check(pts, big, as_polygon, srid):
         if as_polygon:
             ring = pts + [pts[0]]  # closed per spec
-            b = wkb_polygon([ring], big_endian=big)
+            b = wkb_polygon([ring], big_endian=big, srid=srid)
             n_expected = len(ring)
         else:
-            b = wkb_linestring(pts, big_endian=big)
+            b = wkb_linestring(pts, big_endian=big, srid=srid)
             ring = pts
             n_expected = len(pts)
         assert _parse_num_points(b) == n_expected
@@ -664,3 +665,53 @@ def test_knn_join_rejects_bbox_column_collision(spark):
             points, "px", "py", queries, "qid", "qx", "qy",
             k=1, radius=1.0, x_range=(0.0, 10.0), y_range=(0.0, 10.0),
         )
+
+
+def test_ewkb_srid_interop(spark):
+    """PostGIS EWKB (SRID flag set, 4-byte SRID in the header) decodes
+    in every accessor, both byte orders; Z/M flag bits stay NULL."""
+    import struct as _struct
+
+    from iceberg_compaction_spark.operators.geo import (
+        _parse_envelope,
+        _parse_num_points,
+        st_geom_type,
+        st_num_points,
+        wkb_linestring,
+        wkb_point,
+        wkb_polygon,
+    )
+
+    sq = [(0.0, 0.0), (4.0, 0.0), (4.0, 4.0), (0.0, 4.0), (0.0, 0.0)]
+    rows = [
+        (1, wkb_point(2.5, -3.5, srid=4326)),
+        (2, wkb_point(2.5, -3.5, big_endian=True, srid=4326)),
+        (3, wkb_linestring([(0.0, 0.0), (3.0, 4.0)], srid=3857)),
+        (4, wkb_polygon([sq], srid=4326)),
+        # Z flag (0x80000000): different vertex width -> invalid
+        (5, _struct.pack("<BIdd", 1, 0x80000001, 1.0, 2.0)),
+    ]
+    df = spark.createDataFrame(rows, "id long, geom binary")
+    xy = {
+        r["id"]: (r["gx"], r["gy"])
+        for r in st_y(st_x(df, "geom", "gx"), "geom", "gy").collect()
+    }
+    assert xy[1] == (2.5, -3.5) and xy[2] == (2.5, -3.5)
+    assert xy[5] == (None, None)
+    out = st_num_points(st_geom_type(df, "geom"), "geom")
+    got = {
+        r["id"]: (r["geom_type"], r["num_points"]) for r in out.collect()
+    }
+    assert got[1] == ("POINT", 1) and got[2] == ("POINT", 1)
+    assert got[3] == ("LINESTRING", 2)
+    assert got[4] == ("POLYGON", 5)
+    assert got[5] == (None, None)
+    env = _parse_envelope(wkb_polygon([sq], srid=4326, big_endian=True))
+    assert env == (0.0, 0.0, 4.0, 4.0)
+    assert _parse_num_points(wkb_point(1.0, 1.0, srid=1)) == 1
+    # bbox predicate over EWKB points
+    hit = {
+        r["id"]: r["in_bbox"]
+        for r in st_within_bbox(df, "geom", 0, -10, 10, 10).collect()
+    }
+    assert hit[1] is True and hit[2] is True and hit[5] is False
