@@ -268,52 +268,108 @@ def shred_variant(
 # footer alone — unlike the engine-named sibling columns above, which
 # need the ``variant.shred.*`` table property.  Both tiers coexist:
 # sibling columns feed this engine's pruning fast path; the spec group
-# is the interchange shape.
+# is the interchange shape.  Shred targets may be scalars
+# (``"$.k": "long"``), nested object fields at any depth
+# (``"$.a.b": "string"`` — the spec's recursive object shredding,
+# field groups nesting inside field groups), and arrays of scalars
+# (``"$.xs": "array<long>"`` — the spec's repeated ``typed_value``
+# group, one ``(value, typed_value)`` element group per item).
 #
 # Writer policy (spec-legal "best effort" shredding): a row shreds
-# only when its value is an object and every requested field either is
-# absent or fits its declared type; any other row stores its COMPLETE
-# original encoding in the top-level ``value`` with ``typed_value``
-# null — the spec's designated fallback for values that do not match
-# the shredding schema.  For shredded rows the top-level ``value``
-# holds the re-encoded residual object (the non-shredded fields), or
-# null when none remain; shredded field names are carried by the
-# parquet schema, so the row's ``metadata`` dictionary only needs to
-# cover the residual — which is exactly what re-encoding produces.
+# only when its value is an object and every requested path either is
+# absent or fits its declared shape (object steps are objects, array
+# targets are arrays whose EVERY element fits the element type); any
+# other row stores its COMPLETE original encoding in the top-level
+# ``value`` with ``typed_value`` null — the spec's designated fallback
+# for values that do not match the shredding schema.  All-or-nothing
+# per ROW, deliberately: the spec also allows per-field and
+# per-element local fallbacks (partial residuals inside inner
+# ``value`` slots), but those inner residuals must share the top-level
+# metadata dictionary, which the public codec cannot re-encode
+# against; the row-level fallback is always spec-correct and keeps the
+# reader algorithm a single ``typed_value IS NULL`` dispatch.  For
+# shredded rows the top-level ``value`` holds the re-encoded residual
+# object (the non-shredded fields; a partially-shredded nested
+# object's remaining fields ride there under their original key — the
+# inner group ``value`` slots stay null), or null when none remain;
+# shredded field names are carried by the parquet schema, so the
+# row's ``metadata`` dictionary only needs to cover the residual —
+# which is exactly what re-encoding produces.
 # ---------------------------------------------------------------------------
 
 
-def variant_spec_shred_type(paths: dict) -> T.StructType:
-    """Spark type of a spec-shredded variant column for ``paths``
-    (``{"$.k": "long", ...}`` — top-level object fields only)."""
-    field_groups = []
+def _spec_tree(paths: dict) -> dict:
+    """Parse ``{"$.a.b": "long", "$.xs": "array<long>", ...}`` into a
+    field tree ``{name: ("leaf", t) | ("array", t) | ("node", sub)}``.
+    Paths must address object fields (array ELEMENTS are not shred
+    targets — declare the whole array); a path may not be both a leaf
+    and a prefix of another."""
+    tree: dict = {}
     for p, t in sorted(paths.items()):
         steps = _parse_path(p)
-        if len(steps) != 1 or not isinstance(steps[0], str):
+        if not steps or not all(isinstance(s, str) for s in steps):
             raise ValueError(
-                f"spec shredding covers top-level object fields only; "
-                f"got {p!r} (use the sibling-column shred_variant for "
-                f"deeper paths)"
+                f"spec shredding addresses object fields (got {p!r}); "
+                f"array elements shred via an array<...> target on the "
+                f"array field itself"
             )
-        if t not in _CAST:
+        if isinstance(t, str) and t.startswith("array<") and t.endswith(">"):
+            kind, leaf_t = "array", t[len("array<"):-1]
+        else:
+            kind, leaf_t = "leaf", t
+        if leaf_t not in _CAST:
             raise ValueError(f"unsupported shred type {t!r} for {p!r}")
-        field_groups.append(
-            T.StructField(
-                steps[0],
-                T.StructType(
-                    [
-                        T.StructField("value", T.BinaryType(), True),
-                        T.StructField("typed_value", _CAST[t], True),
-                    ]
-                ),
-                True,
-            )
-        )
+        cur = tree
+        for s in steps[:-1]:
+            node = cur.get(s)
+            if node is None:
+                node = ("node", {})
+                cur[s] = node
+            elif node[0] != "node":
+                raise ValueError(
+                    f"shred path conflict at {s!r} in {p!r}: already a "
+                    f"{node[0]} target"
+                )
+            cur = node[1]
+        if steps[-1] in cur:
+            raise ValueError(f"shred path conflict: {p!r}")
+        cur[steps[-1]] = (kind, leaf_t)
+    return tree
+
+
+def _element_group_type(t: T.DataType) -> T.StructType:
+    return T.StructType(
+        [
+            T.StructField("value", T.BinaryType(), True),
+            T.StructField("typed_value", t, True),
+        ]
+    )
+
+
+def _tree_type(tree: dict) -> T.StructType:
+    fields = []
+    for name in sorted(tree):
+        kind, sub = tree[name]
+        if kind == "leaf":
+            tv: T.DataType = _CAST[sub]
+        elif kind == "array":
+            tv = T.ArrayType(_element_group_type(_CAST[sub]), True)
+        else:
+            tv = _tree_type(sub)
+        fields.append(T.StructField(name, _element_group_type(tv), True))
+    return T.StructType(fields)
+
+
+def variant_spec_shred_type(paths: dict) -> T.StructType:
+    """Spark type of a spec-shredded variant column for ``paths`` —
+    ``{"$.k": "long", "$.a.b": "string", "$.xs": "array<long>"}``:
+    scalars, nested object fields (recursive groups), and arrays of
+    scalars (repeated element groups)."""
     return T.StructType(
         [
             T.StructField("metadata", T.BinaryType(), True),
             T.StructField("value", T.BinaryType(), True),
-            T.StructField("typed_value", T.StructType(field_groups), True),
+            T.StructField("typed_value", _tree_type(_spec_tree(paths)), True),
         ]
     )
 
@@ -337,9 +393,22 @@ def _fits(py, t: str):
     if t == "double":
         if isinstance(py, bool):
             return None
-        return (
-            float(py) if isinstance(py, (int, float, Decimal)) else None
-        )
+        if isinstance(py, float):
+            return py
+        if not isinstance(py, (int, Decimal)):
+            return None
+        # Decimal (how the codec decodes JSON numbers) and wide ints
+        # only shred to double when the float round-trip preserves the
+        # stored digits exactly — _json_exact was added specifically so
+        # the residual path keeps values digit-for-digit, and the typed
+        # path must not be quietly lossier than the fallback it
+        # replaces (ADVICE r14).  1.10 (format 'f' != repr(1.1)) and
+        # 2**63-1 (beyond float53 mantissa) both take the documented
+        # whole-row unshredded fallback instead.
+        f = float(py)
+        if isinstance(py, int):
+            return f if int(f) == py else None
+        return f if format(Decimal(repr(f)), "f") == format(py, "f") else None
     if t == "string":
         return py if isinstance(py, str) else None
     if t == "boolean":
@@ -391,7 +460,7 @@ def shred_variant_spec(
     as the spec's footer-visible nested group; reads of a shredded
     path take a plain nested-column reference (zero Python)."""
     out_type = variant_spec_shred_type(paths)
-    items = sorted((_parse_path(p)[0], t) for p, t in paths.items())
+    tree = _spec_tree(paths)
     from pyspark.sql.functions import pandas_udf
 
     @pandas_udf(out_type)
@@ -413,7 +482,7 @@ def shred_variant_spec(
             k = (bytes(m), bytes(v))
             hit = memo.get(k)
             if hit is None:
-                hit = _shred_one(k, items, VariantVal, VariantUtils, _fits)
+                hit = _shred_one(k, tree, VariantVal, VariantUtils, _fits)
                 memo[k] = hit
             metas.append(hit[0])
             residuals.append(hit[1])
@@ -425,7 +494,51 @@ def shred_variant_spec(
     return df.withColumn(variant_col, _spec_shred(F.col(variant_col)))
 
 
-def _shred_one(k, items, VariantVal, VariantUtils, fits):
+class _ShredFallback(Exception):
+    """Raised when a value does not match the shredding schema — the
+    row takes the spec's whole-value unshredded fallback."""
+
+
+def _shred_tree(py: dict, tree: dict, fits):
+    """Recursively shred object ``py`` against the field tree ->
+    ``(typed_dict, residual_dict)``; raises :class:`_ShredFallback`
+    when any requested path is present but does not fit."""
+    typed: dict = {}
+    residual: dict = {}
+    for name, (kind, sub) in tree.items():
+        if name not in py:
+            typed[name] = {"value": None, "typed_value": None}
+            continue
+        val = py[name]
+        if kind == "leaf":
+            tv = fits(val, sub)
+            if tv is None:
+                raise _ShredFallback
+            typed[name] = {"value": None, "typed_value": tv}
+        elif kind == "array":
+            if not isinstance(val, list):
+                raise _ShredFallback
+            elems = []
+            for e in val:
+                tv = fits(e, sub)
+                if tv is None:
+                    raise _ShredFallback
+                elems.append({"value": None, "typed_value": tv})
+            typed[name] = {"value": None, "typed_value": elems}
+        else:  # nested object
+            if not isinstance(val, dict):
+                raise _ShredFallback
+            sub_typed, sub_res = _shred_tree(val, sub, fits)
+            typed[name] = {"value": None, "typed_value": sub_typed}
+            if sub_res:
+                residual[name] = sub_res
+    for k, v in py.items():
+        if k not in tree:
+            residual[k] = v
+    return typed, residual
+
+
+def _shred_one(k, tree, VariantVal, VariantUtils, fits):
     """(metadata, residual_value, typed_value_dict) for one distinct
     variant cell — module-level so the memoized UDF body stays flat."""
     meta, val = k
@@ -436,16 +549,10 @@ def _shred_one(k, items, VariantVal, VariantUtils, fits):
     unshredded = (meta, val, None)
     if not isinstance(py, dict):
         return unshredded
-    typed = {}
-    for name, t in items:
-        if name not in py:
-            typed[name] = {"value": None, "typed_value": None}
-            continue
-        tv = fits(py[name], t)
-        if tv is None:
-            return unshredded  # writer policy: whole-row fallback
-        typed[name] = {"value": None, "typed_value": tv}
-    residual = {n: v for n, v in py.items() if n not in typed}
+    try:
+        typed, residual = _shred_tree(py, tree, fits)
+    except _ShredFallback:
+        return unshredded  # writer policy: whole-row fallback
     if not residual:
         return (meta, None, typed)
     try:
@@ -459,35 +566,108 @@ def _shred_one(k, items, VariantVal, VariantUtils, fits):
         return unshredded
 
 
+def _is_field_group(dt) -> bool:
+    return (
+        isinstance(dt, T.StructType)
+        and len(dt.fields) == 2
+        and set(dt.names) == {"value", "typed_value"}
+        and isinstance(dt["value"].dataType, T.BinaryType)
+    )
+
+
 def variant_spec_shredded_fields(df: DataFrame, variant_col: str) -> dict:
-    """``{field: spark_type_name}`` discovered from the column's
-    ``typed_value`` group — how a reader finds the fast paths from the
-    SCHEMA alone (footer-visible, no table property needed)."""
+    """``{dotted.path: spark_type_name}`` of every shredded LEAF
+    discovered from the column's ``typed_value`` group — how a reader
+    finds the fast paths from the SCHEMA alone (footer-visible, no
+    table property needed).  Nested object fields appear as dotted
+    paths (``a.b``); array targets as ``array<elem_type>``."""
     dt = df.schema[variant_col].dataType
     if not isinstance(dt, T.StructType) or "typed_value" not in dt.names:
         return {}
     tv = dt["typed_value"].dataType
     if not isinstance(tv, T.StructType):
         return {}
-    out = {}
-    for f in tv.fields:
-        if isinstance(f.dataType, T.StructType) and "typed_value" in (
-            f.dataType.names
-        ):
-            out[f.name] = f.dataType["typed_value"].dataType.simpleString()
+
+    out: dict = {}
+
+    def walk(group: T.StructType, prefix: str) -> None:
+        for f in group.fields:
+            if not _is_field_group(f.dataType):
+                continue
+            inner = f.dataType["typed_value"].dataType
+            path = prefix + f.name
+            if isinstance(inner, T.StructType) and inner.fields and all(
+                _is_field_group(c.dataType) for c in inner.fields
+            ):
+                walk(inner, path + ".")
+            elif isinstance(inner, T.ArrayType) and _is_field_group(
+                inner.elementType
+            ):
+                elem = inner.elementType["typed_value"].dataType
+                out[path] = f"array<{elem.simpleString()}>"
+            else:
+                out[path] = inner.simpleString()
+
+    walk(tv, "")
     return out
+
+
+def _tree_from_fields(fields: dict) -> dict:
+    """Rebuild the shred field tree from the dotted-path dict
+    :func:`variant_spec_shredded_fields` returns."""
+    tree: dict = {}
+    for path in sorted(fields):
+        t = fields[path]
+        steps = path.split(".")
+        cur = tree
+        for s in steps[:-1]:
+            node = cur.get(s)
+            if node is None:
+                node = ("node", {})
+                cur[s] = node
+            cur = node[1]
+        kind = "array" if t.startswith("array<") else "leaf"
+        cur[steps[-1]] = (kind, t)
+    return tree
+
+
+def _overlay_typed(tv, tree: dict, merged: dict) -> None:
+    """Overlay a row's typed_value groups onto the decoded residual
+    object — the spec reader's merge, recursing through nested object
+    groups and expanding array element groups."""
+    if not isinstance(tv, dict):
+        return
+    for name, (kind, sub) in tree.items():
+        g = tv.get(name)
+        gtv = g.get("typed_value") if isinstance(g, dict) else None
+        if gtv is None:
+            continue  # field absent from this row (writer left both null)
+        if kind == "leaf":
+            merged[name] = gtv
+        elif kind == "array":
+            merged[name] = [
+                e.get("typed_value") if isinstance(e, dict) else None
+                for e in gtv
+            ]
+        else:
+            inner = merged.get(name)
+            if not isinstance(inner, dict):
+                inner = {}
+                merged[name] = inner
+            _overlay_typed(gtv, sub, inner)
 
 
 def unshred_variant_spec(
     df: DataFrame, variant_col: str, out_col: str | None = None
 ) -> DataFrame:
     """Reconstruct the plain ``(metadata, value)`` variant from a
-    spec-shredded group (residual + typed fields merged) — the
+    spec-shredded group (residual + typed fields merged, recursing
+    through nested object groups and array element groups) — the
     full-fidelity read path; Arrow-batched Python by necessity, used
     when a consumer needs the COMPLETE value rather than a shredded
     fast path."""
     out_col = out_col or variant_col
-    fields = sorted(variant_spec_shredded_fields(df, variant_col))
+    tree = _tree_from_fields(variant_spec_shredded_fields(df, variant_col))
     from pyspark.sql.functions import pandas_udf
 
     @pandas_udf(VARIANT_SPARK_TYPE)
@@ -495,6 +675,10 @@ def unshred_variant_spec(
         import pandas as pd
         from pyspark.sql.types import VariantVal
         from pyspark.sql.variant_utils import VariantUtils
+
+        from iceberg_compaction_spark.operators.variant_ops import (
+            _overlay_typed,
+        )
 
         metas, vals = [], []
         for m, v, tv in zip(
@@ -508,7 +692,7 @@ def unshred_variant_spec(
                 metas.append(bytes(m))
                 vals.append(bytes(v) if v is not None else None)
                 continue
-            merged = {}
+            merged: dict = {}
             if v is not None:
                 try:
                     res = VariantUtils.to_python(bytes(v), bytes(m))
@@ -516,10 +700,7 @@ def unshred_variant_spec(
                         merged.update(res)
                 except Exception:
                     pass
-            for name in fields:
-                g = tv.get(name) if isinstance(tv, dict) else None
-                if g is not None and g.get("typed_value") is not None:
-                    merged[name] = g["typed_value"]
+            _overlay_typed(tv, tree, merged)
             try:
                 from iceberg_compaction_spark.operators.variant_ops import (
                     _json_exact,
@@ -563,70 +744,10 @@ def _parse_path(path: str) -> list:
     return steps
 
 
-def variant_get_path(
-    df: DataFrame,
-    variant_col: str,
-    path: str,
-    target_type: str = "string",
-    out_col: str | None = None,
-) -> DataFrame:
-    """``variant_get``: extract ``path`` (``$.a.b[0]`` grammar) from a
-    variant struct column and cast to ``target_type``.  Missing paths
-    and NULL variants yield NULL (the ``try_variant_get`` contract —
-    extraction over heterogeneous rows must not fail the job).
-
-    Per-row decode walks the encoded value along the path; Python-side
-    (Arrow-batched) by necessity here — on Spark clusters reading the
-    reconstructed VariantType this is natively ``F.variant_get``.
-
-    When ``out_col`` is omitted the output name derives from the
-    variant column and the path (``<variant_col>_<path-slug>``) —
-    NEVER a bare ``value``, which is a common real column name the
-    default would silently clobber (ADVICE r13); an explicit
-    ``out_col`` may still intentionally replace an existing column."""
-    if target_type not in _CAST:
-        raise ValueError(
-            f"unsupported target_type {target_type!r}; "
-            f"one of {sorted(_CAST)}"
-        )
-    steps = _parse_path(path)
-    if out_col is None:
-        import re as _re
-
-        slug = _re.sub(r"[^A-Za-z0-9]+", "_", path).strip("_") or "root"
-        out_col = f"{variant_col}_{slug}"
-        if out_col in df.columns:
-            raise ValueError(
-                f"derived output column {out_col!r} already exists; "
-                "pass out_col explicitly to overwrite or rename"
-            )
-    # SPEC-SHREDDED fast path: a top-level field materialized in the
-    # column's own ``typed_value`` group (shred_variant_spec) reads as
-    # a plain nested-column reference — JVM-side, zero Python,
-    # discovered from the schema alone.  Rows the writer left
-    # unshredded (spec fallback: whole value in the residual) read
-    # NULL here, exactly like any strict shredded reader; use
-    # unshred_variant_spec when full fidelity over heterogeneous rows
-    # is required.
-    if len(steps) == 1 and isinstance(steps[0], str):
-        spec_fields = variant_spec_shredded_fields(df, variant_col)
-        if steps[0] in spec_fields:
-            return df.withColumn(
-                out_col,
-                F.col(
-                    f"{variant_col}.typed_value.{steps[0]}.typed_value"
-                ).cast(_CAST[target_type]),
-            )
-    # SIBLING-COLUMN fast path: the path was materialized as a typed
-    # engine-named sibling column at write time (shred_variant) —
-    # plain column reference, prunable, pushdown-eligible, zero
-    # Python.  This is the 100 TB shape for hot paths; the decode
-    # below is the cold-path fallback for ad-hoc extraction.
-    shred_col = shredded_column_name(variant_col, path)
-    if shred_col in df.columns:
-        return df.withColumn(
-            out_col, F.col(shred_col).cast(_CAST[target_type])
-        )
+def _extract_udf(steps: list):
+    """pandas_udf factory: per-row decode of ``(metadata, value)``
+    along ``steps`` -> string (the cold extraction path, shared by the
+    ad-hoc decode and the shredded read's residual fallback)."""
     from pyspark.sql.functions import pandas_udf
 
     @pandas_udf(T.StringType())
@@ -668,5 +789,143 @@ def variant_get_path(
             out.append(memo[k])
         return pd.Series(out)
 
-    extracted = _extract(F.col(variant_col))
-    return df.withColumn(out_col, extracted.cast(_CAST[target_type]))
+    return _extract
+
+
+def _spec_typed_ref(variant_col: str, steps: list, spec_fields: dict):
+    """Column expr reading ``steps`` through the spec ``typed_value``
+    groups, or None when the path is not fully shredded.  Handles
+    nested object groups (``$.a.b``) and array element access on an
+    array target (``$.xs[1]`` — try_element_at, out-of-range -> NULL,
+    matching the try contract under ANSI mode)."""
+    if all(isinstance(s, str) for s in steps):
+        key = ".".join(steps)
+        if key in spec_fields and not spec_fields[key].startswith("array<"):
+            return F.col(
+                variant_col
+                + "".join(f".typed_value.{s}" for s in steps)
+                + ".typed_value"
+            )
+        return None
+    if (
+        len(steps) >= 2
+        and isinstance(steps[-1], int)
+        and all(isinstance(s, str) for s in steps[:-1])
+    ):
+        key = ".".join(steps[:-1])
+        if spec_fields.get(key, "").startswith("array<"):
+            arr = F.col(
+                variant_col
+                + "".join(f".typed_value.{s}" for s in steps[:-1])
+                + ".typed_value"
+            )
+            return F.try_element_at(arr, F.lit(steps[-1] + 1))["typed_value"]
+    return None
+
+
+def variant_get_path(
+    df: DataFrame,
+    variant_col: str,
+    path: str,
+    target_type: str = "string",
+    out_col: str | None = None,
+    assume_shredded: bool = False,
+) -> DataFrame:
+    """``variant_get``: extract ``path`` (``$.a.b[0]`` grammar) from a
+    variant struct column and cast to ``target_type``.  Missing paths
+    and NULL variants yield NULL (the ``try_variant_get`` contract —
+    extraction over heterogeneous rows must not fail the job).
+
+    Per-row decode walks the encoded value along the path; Python-side
+    (Arrow-batched) by necessity here — on Spark clusters reading the
+    reconstructed VariantType this is natively ``F.variant_get``.
+
+    When ``out_col`` is omitted the output name derives from the
+    variant column and the path (``<variant_col>_<path-slug>``) —
+    NEVER a bare ``value``, which is a common real column name the
+    default would silently clobber (ADVICE r13); an explicit
+    ``out_col`` may still intentionally replace an existing column."""
+    if target_type not in _CAST:
+        raise ValueError(
+            f"unsupported target_type {target_type!r}; "
+            f"one of {sorted(_CAST)}"
+        )
+    steps = _parse_path(path)
+    if out_col is None:
+        import re as _re
+
+        slug = _re.sub(r"[^A-Za-z0-9]+", "_", path).strip("_") or "root"
+        out_col = f"{variant_col}_{slug}"
+        if out_col in df.columns:
+            raise ValueError(
+                f"derived output column {out_col!r} already exists; "
+                "pass out_col explicitly to overwrite or rename"
+            )
+    # SPEC-SHREDDED fast path: a path materialized in the column's own
+    # ``typed_value`` group (shred_variant_spec) reads as a plain
+    # nested-column reference — JVM-side, discovered from the schema
+    # alone.  The spec's reader algorithm REQUIRES falling back to the
+    # ``value`` residual for rows the writer left unshredded (ADVICE
+    # r14), so by default the typed reference dispatches on the
+    # row-level ``typed_value IS NULL`` marker and fallback rows decode
+    # their residual in an Arrow pass whose input is NULL-masked for
+    # every shredded row (near-free when no fallback rows exist, but
+    # still a Python eval node in the plan).  ``assume_shredded=True``
+    # drops the fallback for the strictly zero-Python plan — correct
+    # only under a writer-guaranteed all-rows-shredded contract (e.g.
+    # a pipeline that validates conformance at ingest).
+    spec_fields = variant_spec_shredded_fields(df, variant_col)
+    if spec_fields:
+        typed = _spec_typed_ref(variant_col, steps, spec_fields)
+        if typed is not None:
+            typed = typed.cast(_CAST[target_type])
+            if assume_shredded:
+                return df.withColumn(out_col, typed)
+            shred_marker = F.col(f"{variant_col}.typed_value")
+            masked = F.when(
+                shred_marker.isNull(),
+                F.struct(
+                    F.col(f"{variant_col}.metadata").alias("metadata"),
+                    F.col(f"{variant_col}.value").alias("value"),
+                ),
+            )
+            fb = _extract_udf(steps)(masked).try_cast(
+                _CAST[target_type]
+            )
+            return df.withColumn(
+                out_col,
+                F.when(shred_marker.isNotNull(), typed).otherwise(fb),
+            )
+        # path OVERLAPS the shred tree without being fully shredded
+        # (an intermediate object node like ``$.a`` when ``$.a.b`` is
+        # shredded, or a whole-array read of an array target): the
+        # residual alone is missing the typed fields, so extract over
+        # the full reconstruction — correctness over speed on this
+        # genuinely mixed shape.
+        head = steps[0] if steps and isinstance(steps[0], str) else None
+        if head is not None and any(
+            k == head or k.startswith(head + ".") for k in spec_fields
+        ):
+            rec_col = "__vg_rec"
+            while rec_col in df.columns:
+                rec_col += "_"
+            rec = unshred_variant_spec(df, variant_col, rec_col)
+            return variant_get_path(
+                rec, rec_col, path, target_type, out_col
+            ).drop(rec_col)
+    # SIBLING-COLUMN fast path: the path was materialized as a typed
+    # engine-named sibling column at write time (shred_variant) —
+    # plain column reference, prunable, pushdown-eligible, zero
+    # Python.  This is the 100 TB shape for hot paths; the decode
+    # below is the cold-path fallback for ad-hoc extraction.
+    shred_col = shredded_column_name(variant_col, path)
+    if shred_col in df.columns:
+        return df.withColumn(
+            out_col, F.col(shred_col).cast(_CAST[target_type])
+        )
+    extracted = _extract_udf(steps)(F.col(variant_col))
+    # try semantics end-to-end: a value of the WRONG type reads NULL
+    # (try_variant_get contract), never an ANSI cast failure
+    return df.withColumn(
+        out_col, extracted.try_cast(_CAST[target_type])
+    )

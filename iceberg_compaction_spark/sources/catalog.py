@@ -224,10 +224,22 @@ class TableRefs:
             # it as a permanent orphan and jump past it.  Skipping
             # immediately would silently erase a committed-but-lagging
             # ref mutation (lost update).
+            #
+            # The grace those eight attempts buy must comfortably
+            # exceed realistic visibility lag, so when the newest
+            # LISTED version is the one that is unreadable (the only
+            # case skipping could lose an update) each staged attempt
+            # sleeps with exponential backoff — ~2.5 s total before
+            # escalation, vs the ~160 ms the bare read retries gave
+            # (ADVICE r14).  Ordinary CAS contention (newest version
+            # readable, create_exclusive lost the race) never sleeps:
+            # there the fresh re-read IS the recovery.
             listed = self._refs_versions(name)
             k, refs = self._refs_state_from(name, listed)
             if attempt < 8:
                 k_next = k + 1
+                if listed and k < max(listed):
+                    time.sleep(min(0.02 * (2 ** attempt), 0.64))
             else:
                 k_next = max([k, *listed]) + 1
             new_refs = mutate(dict(refs))

@@ -992,8 +992,14 @@ class _Handler(BaseHTTPRequestHandler):
     prefix: str | None = None
     # OAuth client-credentials pair ("client_id:client_secret") the
     # token endpoint accepts; tokens it issues land in issued_tokens
+    # as {token: monotonic issue time} and expire server-side after
+    # token_expires_in seconds (the same figure advertised in the
+    # grant response), so a long-lived client genuinely exercises its
+    # 401 re-grant path and stale tokens cannot accumulate unboundedly
+    # (ADVICE r14)
     oauth_credential: str | None = None
-    issued_tokens: set = set()
+    issued_tokens: dict = {}
+    token_expires_in: int = 3600
     # server-side ceiling on one listing page; a client pageSize above
     # it is clamped (the spec lets the server return FEWER than asked)
     max_page_size: int = 1000
@@ -1027,10 +1033,21 @@ class _Handler(BaseHTTPRequestHandler):
         got = self.headers.get("Authorization", "")
         if self.token is not None and got == f"Bearer {self.token}":
             return True
-        return (
-            got.startswith("Bearer ")
-            and got[len("Bearer "):] in type(self).issued_tokens
-        )
+        if not got.startswith("Bearer "):
+            return False
+        import time as _time
+
+        tok = got[len("Bearer "):]
+        with self.lock:
+            issued = type(self).issued_tokens.get(tok)
+            if issued is None:
+                return False
+            if _time.monotonic() - issued > self.token_expires_in:
+                # expired: drop it so the set stays bounded and the
+                # client's 401 re-grant path actually runs
+                del type(self).issued_tokens[tok]
+                return False
+        return True
 
     def _body(self) -> dict:
         n = int(self.headers.get("Content-Length", 0))
@@ -1203,9 +1220,15 @@ class _Handler(BaseHTTPRequestHandler):
                     "error_description": f"unsupported grant: {grant!r}",
                 },
             )
+        import hmac
+
         cid = form.get("client_id", [""])[0]
         secret = form.get("client_secret", [""])[0]
-        if f"{cid}:{secret}" != self.oauth_credential:
+        # constant-time compare: a string != leaks a length/prefix
+        # timing oracle on the credential (ADVICE r14)
+        if not hmac.compare_digest(
+            f"{cid}:{secret}".encode(), self.oauth_credential.encode()
+        ):
             return self._send(
                 401,
                 {
@@ -1213,15 +1236,17 @@ class _Handler(BaseHTTPRequestHandler):
                     "error_description": "bad client credentials",
                 },
             )
+        import time as _time
+
         tok = secrets.token_urlsafe(24)
         with self.lock:
-            type(self).issued_tokens.add(tok)
+            type(self).issued_tokens[tok] = _time.monotonic()
         return self._send(
             200,
             {
                 "access_token": tok,
                 "token_type": "bearer",
-                "expires_in": 3600,
+                "expires_in": self.token_expires_in,
                 "scope": form.get("scope", ["catalog"])[0],
             },
         )
@@ -1775,6 +1800,7 @@ def serve_rest_catalog(
     credential: str | None = None,
     max_page_size: int = 1000,
     prefix: str | None = None,
+    token_expires_in: int = 3600,
 ) -> RestCatalogServer:
     """Start an Iceberg-REST-protocol server over ``backing`` on an
     ephemeral port; returns a handle whose ``uri`` a :class:`RestCatalog`
@@ -1792,7 +1818,8 @@ def serve_rest_catalog(
             "lock": threading.Lock(),
             "token": token,
             "oauth_credential": credential,
-            "issued_tokens": set(),
+            "issued_tokens": {},
+            "token_expires_in": token_expires_in,
             "max_page_size": max_page_size,
             "prefix": prefix,
             "namespaces_mem": {},

@@ -948,3 +948,37 @@ def test_torn_refs_orphan_does_not_brick_writers(cat):
     assert k3 >= k + 2 and "pin" in refs3 and "audit" in refs3
     # the orphan stays on disk (immutable history) but is never read
     assert os.path.getsize(orphan) == 0
+
+
+def test_transiently_lagging_ref_gets_grace_before_skip(cat):
+    """ADVICE r14 (catalog.py _refs_cas): a listed-but-unreadable
+    NEWEST refs.v<K>.json that is merely read-after-write LAG (not a
+    torn orphan) must become visible within the staged-skip grace —
+    the writer backs off across the first attempts (multi-second total
+    budget) instead of skipping past a committed mutation after
+    ~160 ms.  Here the lagging version materializes ~0.25 s in; the
+    writer must build ON it, not shadow it."""
+    import json as _json
+    import threading
+    import time as _time
+
+    cat.create_branch("t", "audit")
+    k, refs = cat._refs_state("t")
+    lag_path = cat._refs_vpath("t", k + 1)
+    lagged = dict(refs)
+    lagged["lagged"] = dict(refs["audit"])  # a committed-but-lagging ref
+    with open(lag_path, "wb"):
+        pass  # listed, unreadable: visibility lag in progress
+    t = threading.Thread(
+        target=lambda: (
+            _time.sleep(0.25),
+            open(lag_path, "w").write(_json.dumps(lagged)),
+        ),
+        daemon=True,
+    )
+    t.start()
+    cat.create_tag("t", "pin")  # must wait out the lag, then build on it
+    t.join()
+    _, final = cat._refs_state("t")
+    assert "lagged" in final, "lagging committed ref was lost (skipped)"
+    assert "pin" in final and "audit" in final

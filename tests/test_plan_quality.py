@@ -781,14 +781,18 @@ def test_geo_spatial_joins_broadcast_tiles_no_cartesian(spark):
 
 
 def test_variant_shredded_read_single_decode_pass(spark):
-    """Spec-shape shredding (round 14): the write-time shred is ONE
-    Arrow-batched pass and the shredded-path read adds NO second
-    Python eval — exactly two Python evals total in the end-to-end
-    entry (encode + shred), zero on the read side."""
+    """Spec-shape shredding (round 14; fallback per ADVICE r14): the
+    write-time shred is ONE Arrow-batched pass; the default read adds
+    only the NULL-masked residual-fallback eval (input null for every
+    shredded row — the spec reader's required fallback), so the
+    end-to-end entry holds at three Python evals (encode + shred +
+    masked fallback).  The strictly zero-Python read plan under a
+    writer-guaranteed contract is pinned in tests/test_variant.py
+    (assume_shredded=True)."""
     from iceberg_compaction_spark import registry
 
     s = plan_of(registry.QUERIES["variant_shredded_read"](spark, SF))
-    assert s.count("ArrowEvalPython") <= 2
+    assert s.count("ArrowEvalPython") <= 3
 
 
 def test_events_ohlc_struct_argminmax_no_window(spark):

@@ -1316,6 +1316,30 @@ def test_oauth_client_credentials_flow(tmp_path, fragmented):
         assert cli.token != old
 
 
+def test_oauth_token_natural_expiry_triggers_regrant(tmp_path, fragmented):
+    """ADVICE r14: issued tokens expire server-side after the
+    advertised expires_in (issue timestamps recorded, stale entries
+    dropped so the set stays bounded), and the client's 401 re-grant
+    path runs on NATURAL expiry — not only on explicit revocation."""
+    backing = FileCatalog(warehouse=str(tmp_path / "whe"))
+    with serve_rest_catalog(
+        backing, credential="svc:pw", token_expires_in=3600
+    ) as srv:
+        cli = RestCatalog(uri=srv.uri, credential="svc:pw")
+        cli.create_table("t", fragmented)
+        handler = srv._httpd.RequestHandlerClass
+        old = cli.token
+        assert old in handler.issued_tokens
+        # age the token past expires_in (no sleeping: rewind its
+        # recorded issue time) — the next call 401s, the client
+        # re-grants transparently, and the stale entry is dropped
+        handler.issued_tokens[old] -= 3601
+        assert cli.load_table("t").snapshot_id >= 1
+        assert cli.token != old
+        assert old not in handler.issued_tokens
+        assert cli.token in handler.issued_tokens
+
+
 def test_oauth_rejects_unsupported_grant(tmp_path):
     import urllib.error
     import urllib.request

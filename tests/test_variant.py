@@ -518,11 +518,20 @@ def test_spec_shred_footer_visible_and_zero_python_read(spark, tmp_path):
     assert a_names == {"value", "typed_value"}
 
     stored = spark.read.parquet(d)
-    got = variant_get_path(stored, "v", "$.a", "long", "out")
+    # writer-guaranteed contract: strictly zero-Python read plan
+    got = variant_get_path(
+        stored, "v", "$.a", "long", "out", assume_shredded=True
+    )
     plan = got._jdf.queryExecution().executedPlan().toString()
     assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
     vals = {r["id"]: r["out"] for r in got.select("id", "out").collect()}
     assert vals[0] == 1 and vals[1] == -7 and vals[2] == 0
+    # default (spec reader algorithm): typed reference + NULL-masked
+    # residual fallback — same values here, one extra Arrow eval whose
+    # input is null for every shredded row
+    dflt = variant_get_path(stored, "v", "$.a", "long", "out")
+    vals2 = {r["id"]: r["out"] for r in dflt.select("id", "out").collect()}
+    assert vals2 == vals
 
 
 def test_spec_shred_unshred_roundtrip(spark):
@@ -631,7 +640,9 @@ def test_spec_shred_reads_through_datasource_zero_python(spark, tmp_path):
         "a": "bigint",
         "f": "double",
     }
-    got = variant_get_path(out, "v", "$.a", "long", "out")
+    got = variant_get_path(
+        out, "v", "$.a", "long", "out", assume_shredded=True
+    )
     plan = got._jdf.queryExecution().executedPlan().toString()
     assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
     vals = {r["id"]: r["out"] for r in got.select("id", "out").collect()}
@@ -686,3 +697,246 @@ def test_spec_shred_preserves_decimal_precision(spark):
 
     got = _json.loads(r["js"], parse_float=Decimal)
     assert got["p"] == Decimal(precise)
+
+
+# ---------------------------------------------------------------------------
+# round 15: the spec READER algorithm (residual fallback on shredded
+# reads — ADVICE r14), nested-object and array-of-scalar spec shredding
+# ---------------------------------------------------------------------------
+
+
+def test_spec_shredded_read_falls_back_to_residual(spark):
+    """ADVICE r14: rows the writer left unshredded (here: 'k' arrives
+    as a STRING, failing the long target) must still read their true
+    value through the residual — the spec reader's required fallback.
+    assume_shredded=True is the strict zero-Python variant that
+    documents away exactly these rows."""
+    from iceberg_compaction_spark.operators.variant_ops import (
+        shred_variant_spec,
+        variant_get_path,
+    )
+
+    df = spark.createDataFrame(
+        [(1, '{"k": 5}'), (2, '{"k": "7"}'), (3, '{"x": 1}')],
+        "id long, j string",
+    )
+    v = json_to_variant(df, "j", "v").select("id", "v")
+    s = shred_variant_spec(v, "v", {"$.k": "long"})
+    rows = {r["id"]: r["v"] for r in s.collect()}
+    assert rows[1]["typed_value"]["k"]["typed_value"] == 5
+    assert rows[2]["typed_value"] is None  # writer fallback: "7" not long
+    # default read = spec reader algorithm: typed OR residual decode
+    got = variant_get_path(s, "v", "$.k", "long", "out")
+    assert {r["id"]: r["out"] for r in got.collect()} == {
+        1: 5,
+        2: 7,  # cast("7" -> 7) through the residual, NOT silently null
+        3: None,
+    }
+    # strict mode loses exactly the fallback row — by declared contract
+    strict = variant_get_path(
+        s, "v", "$.k", "long", "out", assume_shredded=True
+    )
+    assert {r["id"]: r["out"] for r in strict.collect()} == {
+        1: 5,
+        2: None,
+        3: None,
+    }
+
+
+NESTED_JS = [
+    '{"a": {"b": 10, "c": "x", "extra": true}, "top": 1}',
+    '{"a": {"b": -3}, "xs": [1, 2, 3]}',
+    '{"a": "not an object"}',
+    '{"xs": [4, "five", 6]}',
+    '{"xs": []}',
+    "7",
+    None,
+]
+
+
+def _nested_shredded(spark):
+    from iceberg_compaction_spark.operators.variant_ops import (
+        shred_variant_spec,
+    )
+
+    df = spark.createDataFrame(
+        [(i, NESTED_JS[i]) for i in range(len(NESTED_JS))],
+        "id long, j string",
+    )
+    v = json_to_variant(df, "j", "v").select("id", "v")
+    return shred_variant_spec(
+        v, "v", {"$.a.b": "long", "$.xs": "array<long>"}
+    )
+
+
+def test_spec_shred_nested_and_array_shapes(spark):
+    """Nested object fields shred as recursive field groups; arrays of
+    scalars as repeated (value, typed_value) element groups; rows not
+    matching the shapes take the whole-row fallback."""
+    from iceberg_compaction_spark.operators.variant_ops import (
+        variant_spec_shredded_fields,
+    )
+
+    s = _nested_shredded(spark)
+    assert variant_spec_shredded_fields(s, "v") == {
+        "a.b": "bigint",
+        "xs": "array<bigint>",
+    }
+    rows = {r["id"]: r["v"] for r in s.collect()}
+    # row 0: a.b typed; a's leftover fields (c, extra) ride the
+    # top-level residual under key "a"; xs absent
+    assert rows[0]["typed_value"]["a"]["typed_value"]["b"]["typed_value"] == 10
+    assert rows[0]["typed_value"]["xs"]["typed_value"] is None
+    assert rows[0]["value"] is not None
+    # row 1: both paths shred; residual empty
+    assert rows[1]["typed_value"]["a"]["typed_value"]["b"]["typed_value"] == -3
+    xs = rows[1]["typed_value"]["xs"]["typed_value"]
+    assert [e["typed_value"] for e in xs] == [1, 2, 3]
+    assert rows[1]["value"] is None
+    # row 2: a not an object -> whole-row fallback
+    assert rows[2]["typed_value"] is None and rows[2]["value"] is not None
+    # row 3: "five" fails the long element target -> whole-row fallback
+    assert rows[3]["typed_value"] is None
+    # row 4: empty array still shreds (zero element groups)
+    assert rows[4]["typed_value"]["xs"]["typed_value"] == []
+    # row 5: non-object -> fallback; row 6: null json -> null cell
+    assert rows[5]["typed_value"] is None
+
+
+def test_spec_shred_nested_array_reads(spark):
+    """Fast-path reads over the nested/array groups: $.a.b is a plain
+    nested reference, $.xs[i] is try_element_at over the element
+    groups (zero Python under assume_shredded), and the DEFAULT reads
+    recover fallback rows through the residual."""
+    from iceberg_compaction_spark.operators.variant_ops import (
+        variant_get_path,
+    )
+
+    s = _nested_shredded(spark)
+    ab = variant_get_path(
+        s, "v", "$.a.b", "long", "ab", assume_shredded=True
+    )
+    plan = ab._jdf.queryExecution().executedPlan().toString()
+    # encode+shred are upstream evals; the READ adds none on top
+    assert plan.count("ArrowEvalPython") <= 2
+    vals = {r["id"]: r["ab"] for r in ab.collect()}
+    assert vals[0] == 10 and vals[1] == -3 and vals[2] is None
+    # default read: row 2's a is a bare string -> $.a.b truly null;
+    # row 3's fallback row has no a at all
+    dflt = variant_get_path(s, "v", "$.a.b", "long", "ab")
+    assert {r["id"]: r["ab"] for r in dflt.collect()} == {
+        0: 10, 1: -3, 2: None, 3: None, 4: None, 5: None, 6: None,
+    }
+    # array element access: in-range, out-of-range, fallback row
+    x1 = variant_get_path(s, "v", "$.xs[1]", "long", "x1")
+    got = {r["id"]: r["x1"] for r in x1.collect()}
+    assert got[1] == 2 and got[4] is None and got[0] is None
+    # fallback row: $.xs[1] is the STRING "five" — a long read yields
+    # NULL (try_variant_get contract), never an ANSI cast failure
+    assert got[3] is None
+    x0 = variant_get_path(s, "v", "$.xs[0]", "long", "x0")
+    assert {r["id"]: r["x0"] for r in x0.collect()}[3] == 4
+    x9 = variant_get_path(
+        s, "v", "$.xs[9]", "long", "x9", assume_shredded=True
+    )
+    assert {r["id"]: r["x9"] for r in x9.collect()}[1] is None
+
+
+def test_spec_shred_whole_subtree_reads_reconstruct(spark):
+    """Reads of an intermediate node ($.a) or a whole array target
+    ($.xs) cannot be served by the residual alone — they route through
+    reconstruction and return the COMPLETE original value."""
+    import json as _json
+
+    from iceberg_compaction_spark.operators.variant_ops import (
+        variant_get_path,
+    )
+
+    s = _nested_shredded(spark)
+    a = variant_get_path(s, "v", "$.a", "string", "a_js")
+    got = {r["id"]: r["a_js"] for r in a.collect()}
+    assert _json.loads(got[0]) == {"b": 10, "c": "x", "extra": True}
+    assert _json.loads(got[1]) == {"b": -3}
+    assert got[2] == "not an object"
+    xs = variant_get_path(s, "v", "$.xs", "string", "xs_js")
+    gx = {r["id"]: r["xs_js"] for r in xs.collect()}
+    assert _json.loads(gx[1]) == [1, 2, 3]
+    assert _json.loads(gx[3]) == [4, "five", 6]
+    assert _json.loads(gx[4]) == []
+
+
+def test_spec_shred_nested_roundtrip_and_footer(spark, tmp_path):
+    """Unshred reconstructs the original JSON across nested + array
+    shapes, and the parquet footer carries the recursive group."""
+    import glob
+    import json as _json
+
+    import pyarrow.parquet as pq_
+
+    from iceberg_compaction_spark.operators.variant_ops import (
+        unshred_variant_spec,
+        variant_to_json,
+    )
+
+    s = _nested_shredded(spark)
+    back = variant_to_json(unshred_variant_spec(s, "v"), "v", "js")
+    got = {r["id"]: r["js"] for r in back.collect()}
+    for i, j in enumerate(NESTED_JS):
+        if j is None:
+            assert got[i] is None
+        else:
+            assert _json.loads(got[i]) == _json.loads(j), i
+    d = str(tmp_path / "nestedshred")
+    s.write.mode("overwrite").parquet(d)
+    [f] = glob.glob(d + "/*.parquet")[:1]
+    sch = pq_.read_schema(f)
+    v_type = sch.field("v").type
+    tv = v_type.field(
+        [v_type.field(i).name for i in range(v_type.num_fields)].index(
+            "typed_value"
+        )
+    ).type
+    names = {tv.field(i).name for i in range(tv.num_fields)}
+    assert names == {"a", "xs"}
+    a_grp = tv.field(0 if tv.field(0).name == "a" else 1).type
+    a_tv = a_grp.field(
+        [a_grp.field(i).name for i in range(a_grp.num_fields)].index(
+            "typed_value"
+        )
+    ).type
+    assert {a_tv.field(i).name for i in range(a_tv.num_fields)} == {"b"}
+
+
+def test_spec_shred_double_digit_fidelity(spark):
+    """ADVICE r14: Decimals whose float round-trip changes the stored
+    digits (1.10) refuse the double target and take the whole-row
+    fallback, so shred+unshred never alters digits; floats that
+    round-trip exactly (1.5) shred normally.  Wide ints beyond the
+    float mantissa refuse too."""
+    import json as _json
+
+    from iceberg_compaction_spark.operators.variant_ops import (
+        shred_variant_spec,
+        unshred_variant_spec,
+        variant_to_json,
+    )
+
+    df = spark.createDataFrame(
+        [
+            (1, '{"f": 1.5}'),
+            (2, '{"f": 1.10}'),
+            (3, '{"f": 9223372036854775807}'),
+        ],
+        "id long, j string",
+    )
+    v = json_to_variant(df, "j", "v").select("id", "v")
+    s = shred_variant_spec(v, "v", {"$.f": "double"})
+    rows = {r["id"]: r["v"] for r in s.collect()}
+    assert rows[1]["typed_value"]["f"]["typed_value"] == 1.5
+    assert rows[2]["typed_value"] is None  # 1.10 would reread as 1.1
+    assert rows[3]["typed_value"] is None  # beyond float53
+    back = variant_to_json(unshred_variant_spec(s, "v"), "v", "js")
+    got = {r["id"]: r["js"] for r in back.collect()}
+    assert _json.loads(got[2])["f"] != 1.2  # parse sanity
+    assert '"f":1.10' in got[2].replace(" ", "")
+    assert _json.loads(got[3])["f"] == 9223372036854775807
