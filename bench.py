@@ -99,6 +99,9 @@ BENCH_QUERIES = [
     "variant_shredded_read",
     "events_ohlc",
     "geo_tile_pyramid",
+    # round 15
+    "geo_multipolygon_join",
+    "geo_antimeridian_filter",
 ]
 
 

@@ -715,3 +715,325 @@ def test_ewkb_srid_interop(spark):
         for r in st_within_bbox(df, "geom", 0, -10, 10, 10).collect()
     }
     assert hit[1] is True and hit[2] is True and hit[5] is False
+
+
+# ---------------------------------------------------------------------------
+# round 15: multi-geometry WKB (codes 4-7), batch-vectorized parsers,
+# antimeridian boxes, join guards
+# ---------------------------------------------------------------------------
+
+
+def test_multi_geometry_codec_mixed_batch(spark):
+    """MULTIPOINT / MULTILINESTRING / MULTIPOLYGON /
+    GEOMETRYCOLLECTION decode in every accessor (VERDICT r14 #2) —
+    both byte orders, EWKB SRID, mixed-endian children, invalid and
+    empty containers NULL."""
+    from iceberg_compaction_spark.operators.geo import (
+        st_area,
+        st_envelope,
+        st_geom_type,
+        st_length,
+        st_num_points,
+        wkb_collection,
+        wkb_linestring,
+        wkb_multilinestring,
+        wkb_multipoint,
+        wkb_multipolygon,
+        wkb_point,
+        wkb_polygon,
+    )
+
+    sq = [(0.0, 0.0), (4.0, 0.0), (4.0, 4.0), (0.0, 4.0), (0.0, 0.0)]
+    hole = [(1.0, 1.0), (2.0, 1.0), (2.0, 2.0), (1.0, 2.0), (1.0, 1.0)]
+    sq2 = [(10.0, 10.0), (12.0, 10.0), (12.0, 12.0), (10.0, 12.0),
+           (10.0, 10.0)]
+    rows = [
+        (1, wkb_multipoint([(1.0, 1.0), (5.0, -2.0), (3.0, 9.0)])),
+        (2, wkb_multilinestring([[(0.0, 0.0), (0.0, 5.0)],
+                                 [(1.0, 1.0), (4.0, 5.0)]])),
+        (3, wkb_multipolygon([[sq, hole], [sq2]])),
+        (4, wkb_collection([wkb_point(7.0, 7.0), wkb_polygon([sq]),
+                            wkb_multipoint([(0.0, -9.0)])])),
+        (5, wkb_multipolygon([[sq]], big_endian=True, srid=4326)),
+        # mixed-endian children inside one collection (spec-legal)
+        (6, wkb_collection([wkb_point(1.0, 1.0, big_endian=True),
+                            wkb_linestring([(2.0, 2.0), (3.0, 3.0)])])),
+        (7, wkb_multipoint([])),              # zero children: invalid
+        # MULTIPOLYGON whose child is a point: type-violating, invalid
+        (8, wkb_collection([wkb_point(0.0, 0.0)], code=6)),
+        (9, wkb_multipolygon([[sq]])[:-8]),   # truncated child body
+        (10, None),
+    ]
+    df = spark.createDataFrame(rows, "id long, geom binary")
+    out = st_length(st_area(st_num_points(st_geom_type(
+        st_envelope(df, "geom"), "geom"), "geom"), "geom"), "geom")
+    got = {
+        r["id"]: (
+            r["geom_type"],
+            r["num_points"],
+            None if r["envelope"] is None else tuple(r["envelope"]),
+            r["area"],
+            r["length"],
+        )
+        for r in out.collect()
+    }
+    assert got[1] == ("MULTIPOINT", 3, (1.0, -2.0, 5.0, 9.0), 0.0, 0.0)
+    assert got[2] == (
+        "MULTILINESTRING", 4, (0.0, 0.0, 4.0, 5.0), 0.0, 10.0)
+    assert got[3] == (
+        "MULTIPOLYGON", 15, (0.0, 0.0, 12.0, 12.0), 19.0, 28.0)
+    assert got[4] == (
+        "GEOMETRYCOLLECTION", 7, (0.0, -9.0, 7.0, 7.0), 16.0, 16.0)
+    assert got[5] == ("MULTIPOLYGON", 5, (0.0, 0.0, 4.0, 4.0), 16.0, 16.0)
+    assert got[6] == (
+        "GEOMETRYCOLLECTION", 3, (1.0, 1.0, 3.0, 3.0), 0.0,
+        2.0 ** 0.5)
+    for bad in (7, 8, 9, 10):
+        assert got[bad][1] is None and got[bad][2] is None, bad
+        assert got[bad][3] is None and got[bad][4] is None, bad
+    # header-tier names may legitimately resolve for 8/9 (body-tier
+    # damage); the structural accessors above are the validation
+    assert got[7][0] is None or got[7][0] == "MULTIPOINT"
+
+
+def test_area_clamps_invalid_hole_to_zero(spark):
+    """ADVICE r14: a polygon whose hole ring outgrows its shell reads
+    area 0, never negative — per PART in a multipolygon, so valid
+    sibling parts still count."""
+    from iceberg_compaction_spark.operators.geo import (
+        st_area,
+        wkb_multipolygon,
+        wkb_polygon,
+    )
+
+    sq = [(0.0, 0.0), (4.0, 0.0), (4.0, 4.0), (0.0, 4.0), (0.0, 0.0)]
+    big = [(-9.0, -9.0), (9.0, -9.0), (9.0, 9.0), (-9.0, 9.0),
+           (-9.0, -9.0)]
+    rows = [
+        (1, wkb_polygon([sq, big])),                 # hole > shell -> 0
+        (2, wkb_multipolygon([[sq, big], [sq]])),    # 0 + 16
+    ]
+    df = spark.createDataFrame(rows, "id long, geom binary")
+    got = {r["id"]: r["area"] for r in st_area(df, "geom").collect()}
+    assert got[1] == 0.0
+    assert got[2] == 16.0
+
+
+def test_multi_geometry_parser_properties():
+    """Property fuzz extended to codes 4-7 (VERDICT r14 #2): for
+    random multi-geometries in random byte orders / SRIDs, the per-row
+    reference parsers agree with hand-computed stats, the BATCH parser
+    agrees with the per-row reference bit-for-bit on envelopes and
+    counts (and to 1e-9 on area/length), and every truncation is NULL."""
+    import math
+
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from iceberg_compaction_spark.operators.geo import (
+        _batch_stats,
+        _parse_envelope,
+        _parse_length,
+        _parse_num_points,
+        wkb_collection,
+        wkb_multilinestring,
+        wkb_multipoint,
+        wkb_multipolygon,
+        wkb_point,
+    )
+
+    coord = st.floats(
+        min_value=-1e6, max_value=1e6, allow_nan=False, allow_infinity=False
+    )
+    pt = st.tuples(coord, coord)
+    line = st.lists(pt, min_size=1, max_size=8)
+
+    @settings(max_examples=120, deadline=None)
+    @given(
+        kind=st.integers(4, 7),
+        pts=st.lists(pt, min_size=1, max_size=6),
+        lines=st.lists(line, min_size=1, max_size=4),
+        big=st.booleans(),
+        srid=st.one_of(st.none(), st.integers(0, 10**6)),
+    )
+    def check(kind, pts, lines, big, srid):
+        flat = []
+        if kind == 4:
+            b = wkb_multipoint(pts, big_endian=big, srid=srid)
+            flat = list(pts)
+            n_expected = len(pts)
+        elif kind == 5:
+            b = wkb_multilinestring(lines, big_endian=big, srid=srid)
+            flat = [p for ln in lines for p in ln]
+            n_expected = len(flat)
+        elif kind == 6:
+            rings = [ln + [ln[0]] for ln in lines]
+            b = wkb_multipolygon([[r] for r in rings],
+                                 big_endian=big, srid=srid)
+            flat = [p for r in rings for p in r]
+            n_expected = len(flat)
+        else:
+            children = [wkb_point(x, y, big_endian=not big)
+                        for x, y in pts]
+            children.append(wkb_multipoint(pts, big_endian=big))
+            b = wkb_collection(children, big_endian=big, srid=srid)
+            flat = list(pts) + list(pts)
+            n_expected = 2 * len(pts)
+        assert _parse_num_points(b) == n_expected
+        xs = [p[0] for p in flat]
+        ys = [p[1] for p in flat]
+        assert _parse_envelope(b) == (min(xs), min(ys), max(xs), max(ys))
+        if kind == 5:
+            want = sum(
+                math.dist(a, c)
+                for ln in lines
+                for a, c in zip(ln, ln[1:])
+            )
+            got = _parse_length(b)
+            assert abs(got - want) <= 1e-9 * max(1.0, want)
+        # batch parser == per-row reference
+        r = _batch_stats([b, None, b"\xff"])
+        assert bool(r["valid"][0]) and not r["valid"][1] and not r["valid"][2]
+        assert (
+            r["xmin"][0], r["ymin"][0], r["xmax"][0], r["ymax"][0]
+        ) == _parse_envelope(b)
+        assert r["npts"][0] == n_expected
+        assert abs(r["length"][0] - _parse_length(b)) <= 1e-9 * max(
+            1.0, _parse_length(b)
+        )
+        # truncation fuzz on a sample of prefixes (full loop is O(n^2))
+        for cut in range(0, len(b), max(1, len(b) // 16)):
+            assert _parse_envelope(b[:cut]) is None
+
+    check()
+
+
+def test_batch_parser_speedup_pin():
+    """VERDICT r14 #6: the struct-of-arrays batch parse must beat a
+    per-row reference-parser loop by >=5x on a polygon-heavy batch —
+    the same vectorization pin the DataSource reader carries."""
+    import math
+    import random
+    import time
+
+    from iceberg_compaction_spark.operators.geo import (
+        _batch_stats,
+        _parse_area,
+        _parse_envelope,
+        _parse_length,
+        _parse_num_points,
+        wkb_polygon,
+    )
+
+    random.seed(7)
+    bufs = []
+    for i in range(8000):
+        cx, cy = random.uniform(-100, 100), random.uniform(-40, 40)
+        ring = [
+            (cx + 2 * math.cos(a), cy + 2 * math.sin(a))
+            for a in [j * 0.35 for j in range(18)]
+        ]
+        ring.append(ring[0])
+        hole = [
+            (cx + 0.5 * math.cos(a), cy + 0.5 * math.sin(a))
+            for a in [j * 0.7 for j in range(9)]
+        ]
+        hole.append(hole[0])
+        bufs.append(wkb_polygon([ring, hole], big_endian=(i % 4 == 0)))
+    best = 0.0
+    for _ in range(3):  # best-of-3 damps CI noise
+        t0 = time.perf_counter()
+        r = _batch_stats(bufs)
+        t1 = time.perf_counter()
+        for b in bufs:
+            _parse_envelope(b)
+            _parse_num_points(b)
+            _parse_area(b)
+            _parse_length(b)
+        t2 = time.perf_counter()
+        best = max(best, (t2 - t1) / (t1 - t0))
+    assert r["valid"].all()
+    assert best >= 5.0, f"batch speedup only {best:.1f}x"
+
+
+def test_antimeridian_bbox_predicates(spark):
+    """VERDICT r14 #5: lon_wrap boxes (xmin > xmax) split at the seam
+    — Pacific-crossing queries return the right rows; without the
+    flag, reversed bounds raise loudly."""
+    import pytest as _pytest
+
+    from iceberg_compaction_spark.operators.geo import (
+        st_intersects_bbox,
+        st_point,
+        st_within_bbox,
+    )
+
+    rows = [
+        (1, 175.0, 10.0),    # east of the seam: inside
+        (2, -175.0, 10.0),   # west of the seam: inside
+        (3, 0.0, 10.0),      # Greenwich: outside
+        (4, 160.0, 10.0),    # west of xmin: outside
+        (5, 175.0, 60.0),    # right lon, wrong lat
+        (6, 180.0, 0.0),     # seam edge: inside (east half closed)
+        (7, -180.0, 0.0),    # seam edge: inside (west half closed)
+    ]
+    df = st_point(
+        spark.createDataFrame(rows, "id long, lon double, lat double"),
+        "lon", "lat",
+    )
+    got = {
+        r["id"]: r["in_bbox"]
+        for r in st_within_bbox(
+            df, "geom", 170.0, -30.0, -160.0, 30.0, lon_wrap=True
+        ).collect()
+    }
+    assert got == {1: True, 2: True, 3: False, 4: False, 5: False,
+                   6: True, 7: True}
+    hits = {
+        r["id"]: r["hits_bbox"]
+        for r in st_intersects_bbox(
+            df, "geom", 170.0, -30.0, -160.0, 30.0, lon_wrap=True
+        ).collect()
+    }
+    assert hits == got  # point envelopes: within == intersects
+    with _pytest.raises(ValueError, match="lon_wrap"):
+        st_within_bbox(df, "geom", 170.0, -30.0, -160.0, 30.0)
+
+
+def test_tile_bbox_join_lon_wrap_and_collision_guard(spark):
+    """The tile join splits wrap regions into two disjoint halves
+    before exploding (exactly-once preserved), and rejects a points
+    side that already carries bbox column names (VERDICT r14 #7)."""
+    import pytest as _pytest
+
+    from iceberg_compaction_spark.operators.geo import st_tile_bbox_join
+
+    pts = spark.createDataFrame(
+        [
+            (1, 175.0, 10.0),
+            (2, -175.0, 10.0),
+            (3, 0.0, 10.0),
+            (4, 150.0, 10.0),
+        ],
+        "pid long, lon double, lat double",
+    )
+    regions = spark.createDataFrame(
+        [("pacific", 170.0, -30.0, -160.0, 30.0),
+         ("atlantic", -30.0, -30.0, 30.0, 30.0)],
+        "region string, xmin double, ymin double, xmax double, ymax double",
+    )
+    out = st_tile_bbox_join(
+        pts, "lon", "lat", regions,
+        x_range=(-180.0, 180.0), y_range=(-90.0, 90.0), bits=5,
+        lon_wrap=True,
+    )
+    got = sorted((r["pid"], r["region"]) for r in out.collect())
+    assert got == [(1, "pacific"), (2, "pacific"), (3, "atlantic")]
+    # exactly-once: no pair duplicated by the two halves
+    assert len(got) == len(set(got))
+    bad_pts = pts.withColumn("xmin", pts.lon)
+    with _pytest.raises(ValueError, match="bbox columns"):
+        st_tile_bbox_join(
+            bad_pts, "lon", "lat", regions,
+            x_range=(-180.0, 180.0), y_range=(-90.0, 90.0),
+        )

@@ -773,7 +773,12 @@ def test_geo_spatial_joins_broadcast_tiles_no_cartesian(spark):
     tiles)."""
     from iceberg_compaction_spark import registry
 
-    for name in ("geo_spatial_join", "geo_envelope_join", "geo_knn_join"):
+    for name in (
+        "geo_spatial_join",
+        "geo_envelope_join",
+        "geo_knn_join",
+        "geo_multipolygon_join",  # round 15: multipolygon-fed envelopes
+    ):
         s = plan_of(registry.QUERIES[name](spark, SF))
         assert "CartesianProduct" not in s, name
         assert "BroadcastNestedLoopJoin" not in s, name

@@ -109,6 +109,11 @@ TRACKED = [
     # scan-priced (key spaces are fixed; only the stream grows)
     "events_ohlc",
     "geo_tile_pyramid",
+    # round 15: multi-geometry codec through the envelope join (encode
+    # + batch parse + tile join must all stay linear in the scan), and
+    # the antimeridian split (two boolean ranges, still scan-priced)
+    "geo_multipolygon_join",
+    "geo_antimeridian_filter",
 ]
 
 
