@@ -1414,3 +1414,164 @@ def test_head_endpoints_re_grant_on_401(tmp_path, fragmented):
         assert cli.namespace_exists("default") is True
         srv._httpd.RequestHandlerClass.issued_tokens.clear()
         assert cli.table_exists("nope") is False
+
+
+# ---------------------------------------------------------------------------
+# round 15 (VERDICT r14 #8): server-side scan planning — the spec's
+# plan / plan-id / tasks surface, feature-detected via config endpoints
+# ---------------------------------------------------------------------------
+
+
+def test_scan_planning_server_side_end_to_end(spark, tmp_path, fragmented):
+    """An HTTP client drives a table scan fully through SERVER-side
+    planning: the filter ships as the spec's JSON expression, the
+    server prunes files against their column bounds (6 of 8 never
+    cross the wire), and the planned manifest reads through the
+    ordinary engine read path to the exact filtered result."""
+    from iceberg_compaction_spark.sources.ingest import read_table_mor
+
+    backing = FileCatalog(warehouse=str(tmp_path / "whp"))
+    with serve_rest_catalog(backing) as srv:
+        cli = RestCatalog(uri=srv.uri)
+        cli.create_table("t", fragmented)
+        assert cli.supports_scan_planning() is True
+        planned = cli.plan_table_scan("t", where="id >= 96")
+        # files hold ids [0,16) ... [112,128): bounds prove only 2 match
+        assert len(planned.data_files) == 2
+        assert all(
+            t.column_bounds["id"][1] >= 96 for t in planned.data_files
+        )
+        df = read_table_mor(spark, planned).where("id >= 96")
+        assert sorted(r["id"] for r in df.collect()) == list(range(96, 128))
+        # unfiltered plan returns everything
+        assert len(cli.plan_table_scan("t").data_files) == 8
+
+
+def test_scan_planning_chunked_plan_tasks(tmp_path, fragmented):
+    """A server bounding its responses chunks the plan into opaque
+    plan-tasks; the client fetches every chunk via POST .../tasks and
+    the union is the full plan.  Unknown plan-tasks are a loud 404."""
+    backing = FileCatalog(warehouse=str(tmp_path / "whc"))
+    with serve_rest_catalog(backing, plan_task_size=3) as srv:
+        cli = RestCatalog(uri=srv.uri)
+        cli.create_table("t", fragmented)
+        planned = cli.plan_table_scan("t")
+        assert len(planned.data_files) == 8
+        assert len({t.data_file_path for t in planned.data_files}) == 8
+        # raw: the plan response itself carries handles, not tasks
+        raw = cli._request(
+            "POST",
+            cli._url("namespaces", "default", "tables", "t", "plan"),
+            {},
+        )
+        assert raw["status"] == "completed"
+        assert len(raw["plan-tasks"]) == 3  # ceil(8 / 3)
+        assert "file-scan-tasks" not in raw
+        with pytest.raises(RuntimeError, match="404"):
+            cli._request(
+                "POST",
+                cli._url("namespaces", "default", "tables", "t", "tasks"),
+                {"plan-task": "nope:0"},
+            )
+
+
+def test_scan_planning_async_lifecycle(tmp_path, fragmented):
+    """plan_async servers answer 'submitted'; the client polls GET
+    /plan/{plan-id} to completion; DELETE cancels and a later fetch is
+    404."""
+    backing = FileCatalog(warehouse=str(tmp_path / "wha"))
+    with serve_rest_catalog(backing, plan_async=True) as srv:
+        cli = RestCatalog(uri=srv.uri)
+        cli.create_table("t", fragmented)
+        planned = cli.plan_table_scan("t", where="id < 16")
+        assert len(planned.data_files) == 1
+        # raw lifecycle: submit -> fetch -> cancel -> 404
+        raw = cli._request(
+            "POST",
+            cli._url("namespaces", "default", "tables", "t", "plan"),
+            {},
+        )
+        assert raw["status"] == "submitted" and raw["plan-id"]
+        pid = raw["plan-id"]
+        got = cli._request(
+            "GET",
+            cli._url("namespaces", "default", "tables", "t", "plan", pid),
+        )
+        assert got["status"] == "completed"
+        assert len(got["file-scan-tasks"]) == 8
+        cli.cancel_plan("t", pid)
+        with pytest.raises(RuntimeError, match="404"):
+            cli._request(
+                "GET",
+                cli._url(
+                    "namespaces", "default", "tables", "t", "plan", pid
+                ),
+            )
+
+
+def test_scan_planning_feature_detection(tmp_path, fragmented):
+    """A server without the capability advertises no plan endpoints;
+    the client raises ScanPlanningUnsupported (fall back to
+    client-side planning) and the routes themselves 404."""
+    from iceberg_compaction_spark.sources.rest_catalog import (
+        ScanPlanningUnsupported,
+    )
+
+    backing = FileCatalog(warehouse=str(tmp_path / "whn"))
+    with serve_rest_catalog(backing, scan_planning=False) as srv:
+        cli = RestCatalog(uri=srv.uri)
+        cli.create_table("t", fragmented)
+        assert cli.supports_scan_planning() is False
+        with pytest.raises(ScanPlanningUnsupported):
+            cli.plan_table_scan("t")
+        with pytest.raises(Exception, match="not enabled"):
+            cli._request(
+                "POST",
+                cli._url("namespaces", "default", "tables", "t", "plan"),
+                {},
+            )
+
+
+def test_scan_planning_rejects_inexpressible_filter(tmp_path, fragmented):
+    """Filter shapes the planner cannot express (or-trees) are a loud
+    400 — the spec lets a server reject plans; silent full-scan would
+    misreport pruning."""
+    backing = FileCatalog(warehouse=str(tmp_path / "whr"))
+    with serve_rest_catalog(backing) as srv:
+        cli = RestCatalog(uri=srv.uri)
+        cli.create_table("t", fragmented)
+        bad = {
+            "type": "or",
+            "left": {"type": "eq", "term": "id", "value": ["int", 1]},
+            "right": {"type": "eq", "term": "id", "value": ["int", 2]},
+        }
+        with pytest.raises(RuntimeError, match="400"):
+            cli._request(
+                "POST",
+                cli._url("namespaces", "default", "tables", "t", "plan"),
+                {"filter": bad},
+            )
+
+
+def test_scan_planning_snapshot_pinned(tmp_path, fragmented):
+    """snapshot-id pins planning to a historical snapshot: a later
+    append is invisible to the pinned plan."""
+    import os as _os
+
+    backing = FileCatalog(warehouse=str(tmp_path / "whs"))
+    root = _os.path.dirname(fragmented.data_files[0].data_file_path)
+    with serve_rest_catalog(backing) as srv:
+        cli = RestCatalog(uri=srv.uri)
+        m1 = cli.create_table("t", fragmented)
+        ids = list(range(128, 144))
+        pq.write_table(
+            pa.table({"id": pa.array(ids, type=pa.int64())}),
+            _os.path.join(root, "part8.parquet"),
+        )
+        m2 = Manifest.from_parquet_dir(root, sequence_number=2)
+        m2.snapshot_id = m1.snapshot_id + 1
+        m2.operation = "append"
+        cli.commit_table("t", m1.snapshot_id, m2)
+        assert len(cli.plan_table_scan("t").data_files) == 9
+        pinned = cli.plan_table_scan("t", snapshot_id=m1.snapshot_id)
+        assert len(pinned.data_files) == 8
