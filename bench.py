@@ -102,6 +102,8 @@ BENCH_QUERIES = [
     # round 15
     "geo_multipolygon_join",
     "geo_antimeridian_filter",
+    "variant_shredded_nested",
+    "geo_multipolygon_stats",
 ]
 
 

@@ -305,7 +305,13 @@ def with_repetition(df: DataFrame, text_col: str = "text") -> DataFrame:
     documents emit zeros (matching with_token_counts' ws_tokens edge).
     """
     c = F.col(text_col)
-    tk = _tokens(c)
+    # MATERIALIZE the token array before the per-index bigram lambda:
+    # a HOF lambda closing over the tokenization EXPRESSION re-runs
+    # the whole split per element (interpreted eval, no cross-element
+    # CSE) — O(n_tokens) re-tokenizations per row (round 15, same plan
+    # bug as span_dup_coverage's window hash)
+    staged = df.withColumn("__rep_tk", _tokens(c))
+    tk = F.col("__rep_tk")
     n_toks = F.when(F.trim(c) == "", F.lit(0)).otherwise(F.size(tk))
     bi = F.when(
         n_toks >= 2,
@@ -322,9 +328,10 @@ def with_repetition(df: DataFrame, text_col: str = "text") -> DataFrame:
         n_toks > 0, _ppm(_max_sorted_run(F.array_sort(tk)) * 1.0 / n_toks)
     ).otherwise(F.lit(0).cast("long"))
     return (
-        df.withColumn("n_bigrams", n_bi.cast("int"))
+        staged.withColumn("n_bigrams", n_bi.cast("int"))
         .withColumn("dup_bigram_ppm", dup)
         .withColumn("top_token_ppm", top)
+        .drop("__rep_tk")
     )
 
 
@@ -345,16 +352,24 @@ def chunk_documents(
     shorter than one window yields exactly one chunk.  Empty docs yield
     none.
 
-    Plan shape: tokenization, the window index sequence, slicing and
-    re-joining are all array HOFs in ONE projection feeding a
-    posexplode — narrow until the explode, no shuffle at all, and the
-    explode's fan-out (~n_tokens/stride per doc) is the output itself.
-    Chunking a 100 TB corpus is scan-bound, which is the correct cost.
+    Plan shape: the token array MATERIALIZES in a staging projection
+    (a HOF lambda closing over the tokenization expression would
+    re-run the split per WINDOW — round-15 plan-bug class, see
+    span_dup_coverage); the window index sequence and slicing are then
+    array HOFs over the bound column feeding a posexplode — narrow
+    until the explode, no shuffle at all, and the explode's fan-out
+    (~n_tokens/stride per doc) is the output itself.  Chunking a
+    100 TB corpus is scan-bound, which is the correct cost.
     """
-    toks = _tokens(F.col(text_col))
+    staged = df.select(
+        F.col(id_col),
+        F.trim(F.col(text_col)).alias("__trim"),
+        _tokens(F.col(text_col)).alias("__toks"),
+    )
+    toks = F.col("__toks")
     n = F.size(toks)
     # number of windows: 1 + ceil(max(0, n - chunk) / stride), 0 if empty
-    n_win = F.when(F.trim(F.col(text_col)) == "", F.lit(0)).otherwise(
+    n_win = F.when(F.col("__trim") == "", F.lit(0)).otherwise(
         F.lit(1)
         + F.floor(
             (
@@ -368,7 +383,7 @@ def chunk_documents(
         F.sequence(F.lit(0), n_win - 1),
         lambda w: F.slice(toks, w * stride + 1, chunk_tokens),
     )
-    out = df.select(
+    out = staged.select(
         F.col(id_col),
         F.posexplode(
             F.when(n_win > 0, chunks).otherwise(F.array())

@@ -3129,7 +3129,7 @@ def q_cdc_update_images(spark, sf_dir):
     Replication consumers need the distinction: updates keep the key
     live, deletes tombstone it.
 
-    Scale shape: the exceptAll anti-diffs as before, plus two windowed
+    Scale shape: the signed-count diff pass as before, plus two windowed
     presence flags over ONE hash shuffle on the key — no self-join, no
     driver work."""
     from iceberg_compaction_spark.sources.changes import (
@@ -3158,12 +3158,16 @@ def q_cdc_update_images(spark, sf_dir):
 def q_cdc_changelog(spark, sf_dir):
     """Row-level changelog of an upsert commit (Iceberg changelog-scan
     semantics: updates appear as delete+insert pairs) — the distributed
-    exceptAll core the manifest-level table_changes/changelog_between
-    delegate to (sources/changes.py:row_changes).
+    multiset-diff core the manifest-level table_changes/
+    changelog_between delegate to (sources/changes.py:row_changes).
 
-    Scale shape: two hash-partitioned anti-diffs over only the AFFECTED
-    row sets (the manifest layer restricts to changed files before this
-    runs); no window, no driver materialization."""
+    Scale shape: ONE signed-count diff pass over only the AFFECTED row
+    sets (the manifest layer restricts to changed files before this
+    runs) — each snapshot scanned once, one full-row exchange with
+    map-side cancellation of carried rows (row_changes, round 15); the
+    NEW side derives from a single scan (conditional filter + update
+    expression, not a two-branch union); no window, no driver
+    materialization."""
     from iceberg_compaction_spark.sources.changes import row_changes
 
     old = syn.output_select(
@@ -3172,12 +3176,14 @@ def q_cdc_changelog(spark, sf_dir):
         )
     )
     touched = F.col("l_orderkey") % 17 == 0
-    updated = (
-        old.where(touched & (F.col("l_linenumber") == 1))
-        .withColumn("l_quantity", F.col("l_quantity") + 1000)
-        .select(*old.columns)
+    # new = (old minus touched) union (touched line-1 rows updated),
+    # expressed as ONE conditional pass over the same scan
+    new = old.where(~touched | (F.col("l_linenumber") == 1)).withColumn(
+        "l_quantity",
+        F.when(touched, F.col("l_quantity") + 1000).otherwise(
+            F.col("l_quantity")
+        ),
     )
-    new = old.where(~touched).unionByName(updated)
     return row_changes(old, new)
 
 
@@ -3448,7 +3454,8 @@ def q_cdc_changelog_branch(spark, sf_dir):
     the changelog and flip the hash.
 
     Scale shape: the changelog is delta-priced (only the upsert's
-    affected files are diffed, exceptAll on hash-partitioned row sets);
+    affected files are diffed, one signed-count hash aggregate over
+    the affected row sets);
     the lineage walk is O(history) driver-side metadata."""
     from iceberg_compaction_spark.sources.catalog import FileCatalog
     from iceberg_compaction_spark.sources.changes import changelog_for_ref
@@ -5424,6 +5431,143 @@ def q_geo_antimeridian_filter(spark, sf_dir):
         F.sum(F.floor(F.col("value") * 100).cast("long"))
         .cast("long")
         .alias("sum_cents"),
+    )
+
+
+@register(
+    "variant_shredded_nested",
+    """
+    SELECT event_type,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(user_id % 23) AS BIGINT) AS sum_k,
+           CAST(SUM(user_id % 23 + 1) AS BIGINT) AS sum_x1
+    FROM events WHERE event_id % 5 = 0 GROUP BY event_type
+    """,
+)
+def q_variant_shredded_nested(spark, sf_dir):
+    """Nested-object + array spec shredding (round 15 — VERDICT r14
+    #4; operators/variant_ops.py): each event's payload encodes as a
+    variant ``{"o": {"k": user_id % 23}, "xs": [event_id % 7, k + 1]}``,
+    shreds into the v3 spec's RECURSIVE footer groups (``$.o.k`` as a
+    nested object field, ``$.xs`` as the repeated element-group array
+    shape), and reads back through the typed fast paths — ``$.o.k`` a
+    plain nested reference through two group levels, ``$.xs[1]`` a
+    try_element_at over the element groups.  The oracle computes the
+    same values from the raw columns, so the hash pins the whole
+    encode -> nested shred -> typed read chain; reads use the DEFAULT
+    spec-reader semantics (typed dispatch + NULL-masked residual
+    fallback, near-free here since every row conforms).
+
+    Scale shape: decode cost sits entirely at write time (one
+    Arrow-batched pass); both reads are JVM nested-column references
+    plus one masked fallback eval whose input is NULL for every row."""
+    from iceberg_compaction_spark.operators.variant_ops import (
+        json_to_variant,
+        shred_variant_spec,
+        variant_get_path,
+    )
+
+    # bounded-enum payload (k in [0, 23), xs elements derived from it):
+    # ~160 distinct JSON values, the realistic templated-payload shape
+    # the codec's per-distinct memo is built for — a unique-per-row
+    # payload would instead time the raw python codec (that cost story
+    # is variant_extract's documented cold path, not this entry's)
+    # 1-in-5 sample: this entry pins the nested/array SHRED SHAPES
+    # (the throughput story is variant_shredded_read's); the sample
+    # keeps the four Arrow boundary crossings off the bench's critical
+    # path while the 10x scale gate still tracks its linearity
+    e = (
+        ev.read_events(spark, sf_dir)
+        .where(F.col("event_id") % 5 == 0)
+        .select(
+            "event_type",
+            F.to_json(
+                F.struct(
+                    F.struct((F.col("user_id") % 23).alias("k")).alias("o"),
+                    F.array(
+                        F.col("event_id") % 7, F.col("user_id") % 23 + 1
+                    ).alias("xs"),
+                )
+            ).alias("j"),
+        )
+    )
+    v = json_to_variant(e, "j", "pv").select("event_type", "pv")
+    s = shred_variant_spec(
+        v, "pv", {"$.o.k": "long", "$.xs": "array<long>"}
+    )
+    k = variant_get_path(s, "pv", "$.o.k", "long", "k")
+    x = variant_get_path(k, "pv", "$.xs[1]", "long", "x1")
+    return x.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("k").cast("long").alias("sum_k"),
+        F.sum("x1").cast("long").alias("sum_x1"),
+    )
+
+
+@register(
+    "geo_multipolygon_stats",
+    """
+    WITH g AS (
+      SELECT event_type,
+             1 + (event_id % 3) AS w1,
+             1 + (event_id % 2) AS h1
+      FROM events
+    )
+    SELECT event_type,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(4 * w1 * h1 + 4) AS BIGINT) AS sum_area,
+           CAST(SUM(4 * (w1 + h1) + 8) AS BIGINT) AS sum_perim,
+           CAST(SUM(10) AS BIGINT) AS sum_pts
+    FROM g GROUP BY event_type
+    """,
+)
+def q_geo_multipolygon_stats(spark, sf_dir):
+    """Area / perimeter / vertex-count accessors over MULTIPOLYGON WKB
+    with a value-hash oracle (round 15): each event encodes a 2-part
+    multipolygon with INTEGER vertices (half-extents 1-3 from
+    event_id, a fixed 2x2 satellite), so the shoelace area and the
+    perimeter are exact integers — FP association order cannot perturb
+    the hash — and the oracle computes the same figures by pure
+    rectangle arithmetic.  Pins the batch parser's area (per-part
+    shoelace with hole clamping), length, and vertex-count paths
+    end-to-end, beyond the pytest-only unit checks.
+
+    Scale shape: vectorized encode + ONE batch parse per accessor over
+    the struct-of-arrays parser; one rollup exchange."""
+    from iceberg_compaction_spark.operators.geo import (
+        st_area,
+        st_length,
+        st_multipolygon_boxes,
+        st_num_points,
+    )
+
+    e = ev.read_events(spark, sf_dir).select(
+        "event_type",
+        F.floor("value").cast("double").alias("__cx"),
+        (F.col("user_id") % 50).cast("double").alias("__cy"),
+        (1 + F.col("event_id") % 3).cast("double").alias("__w"),
+        (1 + F.col("event_id") % 2).cast("double").alias("__h"),
+    )
+    b = e.select(
+        "event_type",
+        (F.col("__cx") - F.col("__w")).alias("ax0"),
+        (F.col("__cy") - F.col("__h")).alias("ay0"),
+        (F.col("__cx") + F.col("__w")).alias("ax1"),
+        (F.col("__cy") + F.col("__h")).alias("ay1"),
+        (F.col("__cx") + 5.0).alias("bx0"),
+        (F.col("__cy") + 5.0).alias("by0"),
+        (F.col("__cx") + 7.0).alias("bx1"),
+        (F.col("__cy") + 7.0).alias("by1"),
+    )
+    g = st_multipolygon_boxes(
+        b, [("ax0", "ay0", "ax1", "ay1"), ("bx0", "by0", "bx1", "by1")]
+    )
+    s = st_num_points(st_length(st_area(g, "geom"), "geom"), "geom")
+    return s.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum(F.col("area").cast("long")).cast("long").alias("sum_area"),
+        F.sum(F.col("length").cast("long")).cast("long").alias("sum_perim"),
+        F.sum("num_points").cast("long").alias("sum_pts"),
     )
 
 

@@ -414,16 +414,20 @@ def test_argmin_uses_partial_aggregate_not_window(spark):
 
 
 def test_cdc_changelog_no_cartesian_and_no_broadcast_of_big_sides(spark):
-    """The changelog diff is two hash-partitioned exceptAll anti-diffs:
-    no cartesian product, no sort-merge surprises on the data side —
-    the plan must stay a hash-aggregate/hash-join shape that scales by
-    adding reducers."""
+    """The changelog diff (round 15): ONE signed-count hash aggregate
+    over the tagged union — no join at all in the diff core (the
+    previous two-exceptAll shape paid two exchanges and evaluated each
+    snapshot scan twice), no cartesian, no window; the plan must stay
+    a hash-aggregate shape that scales by adding reducers, with the
+    map-side partial sum cancelling carried rows before the exchange."""
     from iceberg_compaction_spark import registry
 
     df = registry.QUERIES["cdc_changelog"](spark, SF)
     s = plan_of(df)
     assert "CartesianProduct" not in s
     assert "BroadcastNestedLoopJoin" not in s
+    assert "SortMergeJoin" not in s  # the diff core is join-free now
+    assert "partial_sum" in formatted(df)  # map-side cancellation
 
 
 def test_incremental_dedup_broadcasts_delta_no_cartesian(spark):
@@ -810,3 +814,16 @@ def test_events_ohlc_struct_argminmax_no_window(spark):
     assert "Window" not in s
     assert "Join" not in s
     assert "BatchEvalPython" not in s and "ArrowEvalPython" not in s
+
+
+def test_variant_shredded_nested_reads_stay_typed(spark):
+    """Nested/array spec shredding (round 15): the two typed reads add
+    only their NULL-masked fallback evals on top of encode + shred —
+    four Python evals total, no join, no window; the array element
+    access is try_element_at over the element groups, JVM-side."""
+    from iceberg_compaction_spark import registry
+
+    df = registry.QUERIES["variant_shredded_nested"](spark, SF)
+    s = plan_of(df)
+    assert s.count("ArrowEvalPython") <= 4
+    assert "Join" not in s and "Window" not in s

@@ -114,6 +114,7 @@ TRACKED = [
     # the antimeridian split (two boolean ranges, still scan-priced)
     "geo_multipolygon_join",
     "geo_antimeridian_filter",
+    "variant_shredded_nested",
 ]
 
 
