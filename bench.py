@@ -104,6 +104,9 @@ BENCH_QUERIES = [
     "geo_antimeridian_filter",
     "variant_shredded_nested",
     "geo_multipolygon_stats",
+    # stream_ohlc shares events_ohlc's oracle and is NOT benched (the
+    # stream_* policy above); geo_knn_wrap is the seam-wrap kNN twin
+    "geo_knn_wrap",
 ]
 
 

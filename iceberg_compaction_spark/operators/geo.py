@@ -1231,10 +1231,18 @@ def st_tile_knn_join(
     tiebreak_cols: tuple = (),
     dist_col: str = "dist2",
     broadcast_queries: bool = True,
+    lon_wrap: bool = False,
 ) -> DataFrame:
     """Radius-bounded k-nearest-neighbor JOIN on the tile tier: for
     each query point, the ``k`` nearest points within ``radius``
     (planar squared distance), found WITHOUT a cartesian product.
+
+    ``lon_wrap=True`` (round 15): distances wrap around the x seam at
+    the ``x_range`` edges — ``dx = min(|x - qx|, span - |x - qx|)`` —
+    and a query disk overhanging the seam wraps its bbox into the
+    crossing form ``xmin > xmax`` that the tile join splits into two
+    disjoint halves, so a query at +179° sees its neighbors at −179°.
+    Requires ``2 * radius < span`` (a disk may not lap the globe).
 
     Exactness: each query's search disk is covered by the bbox
     ``[qx ± radius] x [qy ± radius]``, which explodes into exactly the
@@ -1265,9 +1273,22 @@ def st_tile_knn_join(
         )
     from pyspark.sql import Window
 
+    raw_xmin = F.col(qx_col) - r
+    raw_xmax = F.col(qx_col) + r
+    if lon_wrap:
+        lo, hi = (float(v) for v in x_range)
+        span = hi - lo
+        if 2 * r >= span:
+            raise ValueError(
+                f"radius {r} laps the whole x span {span} under lon_wrap"
+            )
+        # a disk overhanging a seam edge wraps to the other side,
+        # producing the xmin > xmax crossing form the tile join splits
+        raw_xmin = F.when(raw_xmin < lo, raw_xmin + span).otherwise(raw_xmin)
+        raw_xmax = F.when(raw_xmax > hi, raw_xmax - span).otherwise(raw_xmax)
     q = (
-        queries.withColumn("xmin", F.col(qx_col) - r)
-        .withColumn("xmax", F.col(qx_col) + r)
+        queries.withColumn("xmin", raw_xmin)
+        .withColumn("xmax", raw_xmax)
         .withColumn("ymin", F.col(qy_col) - r)
         .withColumn("ymax", F.col(qy_col) + r)
     )
@@ -1280,8 +1301,13 @@ def st_tile_knn_join(
         y_range,
         bits,
         broadcast_regions=broadcast_queries,
+        lon_wrap=lon_wrap,
     ).drop("xmin", "xmax", "ymin", "ymax")
-    dx = F.col(x_col) - F.col(qx_col)
+    if lon_wrap:
+        adx = F.abs(F.col(x_col) - F.col(qx_col))
+        dx = F.least(adx, F.lit(span) - adx)
+    else:
+        dx = F.col(x_col) - F.col(qx_col)
     dy = F.col(y_col) - F.col(qy_col)
     cand = cand.withColumn(dist_col, dx * dx + dy * dy).where(
         F.col(dist_col) <= F.lit(r * r)

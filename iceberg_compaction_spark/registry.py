@@ -5571,6 +5571,109 @@ def q_geo_multipolygon_stats(spark, sf_dir):
     )
 
 
+@register(
+    "geo_knn_wrap",
+    """
+    WITH e AS (
+      SELECT user_id, event_id,
+             (value * 2.0) % 360.0 - 180.0 AS lon,
+             CAST(user_id % 120 AS DOUBLE) - 60.0 AS lat
+      FROM events
+    ),
+    q(qid, qx, qy) AS (
+      VALUES (1, 178.0, 0.0), (2, -176.0, 20.0), (3, 0.0, -30.0)
+    ),
+    cand AS (
+      SELECT qid, user_id, event_id,
+             LEAST(ABS(lon - qx), 360.0 - ABS(lon - qx)) AS dx,
+             lat - qy AS dy
+      FROM e, q
+    ),
+    ranked AS (
+      SELECT qid, user_id, event_id, dx * dx + dy * dy AS d2,
+             ROW_NUMBER() OVER (
+               PARTITION BY qid
+               ORDER BY dx * dx + dy * dy, user_id, event_id
+             ) AS rn
+      FROM cand WHERE dx * dx + dy * dy <= 16.0
+    )
+    SELECT CAST(qid AS BIGINT) AS qid,
+           CAST(rn AS BIGINT) AS knn_rank,
+           user_id, event_id,
+           CAST(FLOOR(d2 * 1000000) AS BIGINT) AS d2_micro
+    FROM ranked WHERE rn <= 5
+    """,
+)
+def q_geo_knn_wrap(spark, sf_dir):
+    """Seam-aware k-nearest-neighbor JOIN (round 15 — the lon_wrap
+    geography tier applied to kNN; operators/geo.py st_tile_knn_join):
+    queries at +178° and −176° find their nearest events ACROSS the
+    antimeridian — the wrapped distance ``dx = min(|Δ|, 360 − |Δ|)``
+    and a disk overhanging the seam wrapping into the split-box form.
+    The oracle is the naive cross join with the same wrapped planar
+    arithmetic (identical IEEE expressions), so the hash pins both the
+    wrap semantics and the exactly-once tile coverage.
+
+    Scale shape: same as geo_knn_join — tile equi-join over the disk's
+    (possibly two-part) bbox, residual circle filter, per-query top-k
+    window over radius-bounded candidates."""
+    from iceberg_compaction_spark.operators.geo import st_tile_knn_join
+
+    e = ev.read_events(spark, sf_dir).select(
+        "user_id",
+        "event_id",
+        ((F.col("value") * 2.0) % 360.0 - 180.0).alias("lon"),
+        ((F.col("user_id") % 120).cast("double") - 60.0).alias("lat"),
+    )
+    queries = spark.createDataFrame(
+        [(1, 178.0, 0.0), (2, -176.0, 20.0), (3, 0.0, -30.0)],
+        "qid long, qx double, qy double",
+    )
+    j = st_tile_knn_join(
+        e,
+        "lon",
+        "lat",
+        queries,
+        "qid",
+        "qx",
+        "qy",
+        k=5,
+        radius=4.0,
+        x_range=(-180.0, 180.0),
+        y_range=(-90.0, 90.0),
+        bits=6,
+        tiebreak_cols=("user_id", "event_id"),
+        lon_wrap=True,
+    )
+    return j.select(
+        "qid",
+        F.col("knn_rank").cast("long").alias("knn_rank"),
+        "user_id",
+        "event_id",
+        F.floor(F.col("dist2") * 1_000_000).cast("long").alias("d2_micro"),
+    )
+
+
+@register("stream_ohlc", ORACLES["events_ohlc"])
+def q_stream_ohlc(spark, sf_dir):
+    """Streaming OHLC candles (round 15; streaming/pipeline.py
+    streaming_ohlc_rollup): readStream -> watermark -> tumbling 1h
+    window with the SAME struct-argmin/argmax aggregate as the batch
+    ohlc_rollup, run to completion with availableNow.  Shares
+    events_ohlc's oracle, so the hash pins that the incremental
+    windowed aggregation (state = one candle buffer per open window)
+    is byte-identical to the batch rollup — including ns-precision tie
+    ordering, which uses the raw int64 ts inside the struct, not the
+    micro-truncated event time.
+
+    Scale shape: per-trigger partial aggregation into bounded window
+    state; no rank window, no second shuffle, watermark bounds state."""
+    from iceberg_compaction_spark.streaming import pipeline as sp
+
+    stream = sp.read_events_stream(spark, sf_dir)
+    return sp.run_available_now(sp.streaming_ohlc_rollup(stream), spark)
+
+
 # Round-15 window recomposition (VERDICT r14 #3): none of round 14's
 # flagship entries sat in the driver-checked first 50.  Promote four —
 # `geo_spatial_join` (the tile-bucketed point-in-bbox JOIN: the first

@@ -91,6 +91,50 @@ def streaming_hourly_rollup(
     )
 
 
+def streaming_ohlc_rollup(
+    stream: DataFrame, watermark: str = "2 hours"
+) -> DataFrame:
+    """Streaming twin of :func:`streaming.events.ohlc_rollup` (round
+    15): per (hour window, event_type) the open/high/low/close candle
+    in integer micro-units, open/close by the SAME struct
+    argmin/argmax the batch path uses — the aggregate buffer per open
+    window is four scalars and one struct, fully incremental, no rank
+    window, no second shuffle.  Ordering ties use the raw int64-ns
+    ``ts`` (not the micro-truncated event_time), so the candle is
+    byte-identical to the batch rollup whatever the trigger slicing —
+    pinned by sharing events_ohlc's oracle."""
+    ev = _with_event_time(stream).withWatermark("event_time", watermark)
+    e = ev.select(
+        "event_time",
+        "event_type",
+        F.col("ts").alias("__ts"),
+        "event_id",
+        F.floor(F.col("value") * 1000000).cast("long").alias("vmicro"),
+    )
+    o = F.struct("__ts", "event_id", "vmicro")
+    return (
+        e.groupBy(F.window("event_time", "1 hour"), F.col("event_type"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_events"),
+            F.min(o)["vmicro"].cast("long").alias("open_micro"),
+            F.max("vmicro").cast("long").alias("high_micro"),
+            F.min("vmicro").cast("long").alias("low_micro"),
+            F.max(o)["vmicro"].cast("long").alias("close_micro"),
+        )
+        .select(
+            F.expr("CAST(window.start AS LONG) div 3600")
+            .cast("long")
+            .alias("hour_bucket"),
+            "event_type",
+            "n_events",
+            "open_micro",
+            "high_micro",
+            "low_micro",
+            "close_micro",
+        )
+    )
+
+
 def streaming_sliding_rollup(
     stream: DataFrame,
     window: str = "1 hour",

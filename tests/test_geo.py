@@ -1037,3 +1037,39 @@ def test_tile_bbox_join_lon_wrap_and_collision_guard(spark):
             bad_pts, "lon", "lat", regions,
             x_range=(-180.0, 180.0), y_range=(-90.0, 90.0),
         )
+
+
+def test_tile_knn_join_lon_wrap(spark):
+    """Round 15: seam-aware kNN — a query at +178 deg finds its
+    neighbors at -179 deg via the wrapped distance and the split-box
+    tile cover; a radius lapping the whole span raises loudly."""
+    import pytest as _pytest
+
+    from iceberg_compaction_spark.operators.geo import st_tile_knn_join
+
+    pts = spark.createDataFrame(
+        [
+            (1, -179.0, 0.0),   # 3 deg across the seam from the query
+            (2, 176.0, 0.0),    # 2 deg on the same side
+            (3, -170.0, 0.0),   # 11 deg away (outside radius)
+            (4, 0.0, 0.0),      # Greenwich (far)
+        ],
+        "pid long, lon double, lat double",
+    )
+    q = spark.createDataFrame([(1, 178.0, 0.0)], "qid long, qx double, qy double")
+    out = st_tile_knn_join(
+        pts, "lon", "lat", q, "qid", "qx", "qy",
+        k=3, radius=5.0,
+        x_range=(-180.0, 180.0), y_range=(-90.0, 90.0), bits=5,
+        tiebreak_cols=("pid",), lon_wrap=True,
+    )
+    got = [(r["knn_rank"], r["pid"], r["dist2"]) for r in
+           sorted(out.collect(), key=lambda r: r["knn_rank"])]
+    assert got == [(1, 2, 4.0), (2, 1, 9.0)]
+    with _pytest.raises(ValueError, match="laps"):
+        st_tile_knn_join(
+            pts, "lon", "lat", q, "qid", "qx", "qy",
+            k=3, radius=200.0,
+            x_range=(-180.0, 180.0), y_range=(-90.0, 90.0), bits=5,
+            lon_wrap=True,
+        )

@@ -426,3 +426,28 @@ def test_stateful_funnel_completes_across_triggers_once(spark, tmp_path):
     ).collect()
     assert [(r["user_id"], r["step0_us"], r["step1_us"], r["step2_us"])
             for r in out] == [(1, 100 * 10**6, 200 * 10**6, 300 * 10**6)]
+
+
+def test_streaming_ohlc_matches_batch(spark):
+    """Round 15: the streaming OHLC twin produces byte-identical
+    candles to the batch struct-argmin/argmax rollup — including the
+    ns-precision tie ordering carried inside the struct."""
+    batch = ev.ohlc_rollup(ev.read_events(spark, SF))
+    batch_rows = {
+        (r["hour_bucket"], r["event_type"]): (
+            r["n_events"], r["open_micro"], r["high_micro"],
+            r["low_micro"], r["close_micro"],
+        )
+        for r in batch.collect()
+    }
+
+    stream = sp.read_events_stream(spark, SF)
+    out = sp.run_available_now(sp.streaming_ohlc_rollup(stream), spark)
+    stream_rows = {
+        (r["hour_bucket"], r["event_type"]): (
+            r["n_events"], r["open_micro"], r["high_micro"],
+            r["low_micro"], r["close_micro"],
+        )
+        for r in out.collect()
+    }
+    assert stream_rows == batch_rows
