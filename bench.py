@@ -107,6 +107,7 @@ BENCH_QUERIES = [
     # stream_ohlc shares events_ohlc's oracle and is NOT benched (the
     # stream_* policy above); geo_knn_wrap is the seam-wrap kNN twin
     "geo_knn_wrap",
+    "geo_haversine_join",
 ]
 
 

@@ -70,6 +70,7 @@ __all__ = [
     "st_envelope",
     "st_area",
     "st_length",
+    "st_geom_stats",
     "st_within_bbox",
     "st_intersects_bbox",
     "st_haversine_m",
@@ -77,6 +78,7 @@ __all__ = [
     "st_tile_id",
     "st_tile_bbox_join",
     "st_tile_knn_join",
+    "st_haversine_radius_join",
     "st_tile_envelope_join",
     "wkb_point",
     "wkb_linestring",
@@ -890,6 +892,104 @@ def st_envelope(
     )
 
 
+_GEOM_STATS_TYPE = T.StructType(
+    [
+        T.StructField("num_points", T.LongType()),
+        T.StructField("area", T.DoubleType()),
+        T.StructField("length", T.DoubleType()),
+        T.StructField("xmin", T.DoubleType()),
+        T.StructField("ymin", T.DoubleType()),
+        T.StructField("xmax", T.DoubleType()),
+        T.StructField("ymax", T.DoubleType()),
+    ]
+)
+
+
+def st_geom_stats(
+    df: DataFrame, geom_col: str, out_col: str = "geom_stats"
+) -> DataFrame:
+    """EVERY geometry statistic in ONE batch parse: a struct
+    ``(num_points, area, length, xmin, ymin, xmax, ymax)`` with the
+    exact semantics of :func:`st_num_points` / :func:`st_area` /
+    :func:`st_length` / :func:`st_envelope`; NULL struct for invalid
+    WKB.
+
+    This is the accessor a polygon-heavy 100 TB scan should use when
+    it needs more than one figure: the per-accessor UDFs each run the
+    structural walk + vertex pack over the same bytes, so computing
+    three statistics costs three parses — here the batch parser
+    (``_batch_stats``) walks once and fills every statistic from the
+    one packed vertex buffer.  21-byte POINTs still take the fully
+    vectorized two-view fast path (npts=1, area=length=0)."""
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf(_GEOM_STATS_TYPE)
+    def _st(s):
+        import numpy as np
+        import pandas as pd
+
+        from iceberg_compaction_spark.operators import geo as _geo
+
+        n = len(s)
+        cols = {
+            k: np.full(n, np.nan)
+            for k in (
+                "num_points", "area", "length",
+                "xmin", "ymin", "xmax", "ymax",
+            )
+        }
+        lens = s.str.len()
+        pm = lens.eq(21).fillna(False).to_numpy()
+        if pm.any():
+            joined = bytes().join(s[pm].tolist())
+            le = np.frombuffer(
+                joined,
+                dtype=np.dtype(
+                    [("bo", "u1"), ("t", "<u4"), ("x", "<f8"), ("y", "<f8")]
+                ),
+            )
+            be = np.frombuffer(
+                joined,
+                dtype=np.dtype(
+                    [("bo", "u1"), ("t", ">u4"), ("x", ">f8"), ("y", ">f8")]
+                ),
+            )
+            ok_le = (le["bo"] == 1) & (le["t"] == 1)
+            ok_be = (le["bo"] == 0) & (be["t"] == 1)
+            ok = ok_le | ok_be
+            px = np.where(ok_le, le["x"], np.where(ok_be, be["x"], np.nan))
+            py = np.where(ok_le, le["y"], np.where(ok_be, be["y"], np.nan))
+            for k, v in (("xmin", px), ("xmax", px), ("ymin", py), ("ymax", py)):
+                cols[k][pm] = v
+            z = np.where(ok, 0.0, np.nan)
+            cols["num_points"][pm] = np.where(ok, 1.0, np.nan)
+            cols["area"][pm] = z
+            cols["length"][pm] = z
+        vm = (lens.notna() & ~lens.eq(21)).to_numpy()
+        if vm.any():
+            idx = np.flatnonzero(vm)
+            r = _geo._batch_stats(s.iloc[idx].tolist())
+            ok = r["valid"]
+            for dst, key in (
+                ("num_points", "npts"), ("area", "area"),
+                ("length", "length"), ("xmin", "xmin"), ("ymin", "ymin"),
+                ("xmax", "xmax"), ("ymax", "ymax"),
+            ):
+                vals = r[key].astype(np.float64, copy=True)
+                vals[~ok] = np.nan
+                cols[dst][idx] = vals
+        out = pd.DataFrame(cols, index=s.index)
+        out["num_points"] = out["num_points"].astype("Int64")
+        return out
+
+    out = df.withColumn(out_col, _st(F.col(geom_col)))
+    # all-NaN struct row means "undecodable" -> collapse to NULL
+    return out.withColumn(
+        out_col,
+        F.when(F.col(f"{out_col}.xmin").isNotNull(), F.col(out_col)),
+    )
+
+
 def st_geom_type(
     df: DataFrame, geom_col: str, out_col: str = "geom_type"
 ) -> DataFrame:
@@ -1319,6 +1419,103 @@ def st_tile_knn_join(
         .where(F.col("__rn") <= int(k))
         .withColumnRenamed("__rn", "knn_rank")
     )
+
+
+def st_haversine_radius_join(
+    points: DataFrame,
+    lon_col: str,
+    lat_col: str,
+    queries: DataFrame,
+    query_id_col: str,
+    qlon_col: str,
+    qlat_col: str,
+    radius_m: float,
+    bits: int = 6,
+    broadcast_queries: bool = True,
+    dist_col: str = "dist_m",
+) -> DataFrame:
+    """Spherical radius JOIN (geography semantics, round 15): for each
+    query (lon, lat) in degrees, every point whose great-circle
+    distance (haversine, IUGG mean radius — the same formula as
+    :func:`st_haversine_m`) is within ``radius_m`` metres — found via
+    the Morton tile equi-join, never a cartesian product.
+
+    Each query's spherical cap is covered by a geographic bbox derived
+    with column arithmetic: the latitude half-height is
+    ``radius / metres-per-degree`` and the longitude half-width widens
+    by ``1 / cos(band's most polar latitude)`` (the tightest safe
+    planar cover of a cap — longitude degrees shrink toward the
+    poles).  A cap that touches a pole, or whose widened box laps the
+    globe, covers the full longitude span of its latitude band; a box
+    overhanging the ±180° seam wraps into the ``xmin > xmax`` crossing
+    form the tile join splits — so Pacific and polar queries are both
+    exact.  The haversine residual itself needs no wrap handling:
+    ``sin²(Δlon/2)`` is 360°-periodic, so the raw degree difference
+    gives the right distance across the seam.
+
+    Scale shape: identical to :func:`st_tile_knn_join` — points scan
+    once and equi-join on their single tile; queries explode into
+    their cap-cover tiles (broadcast when small); residual work is
+    candidates-per-cap, priced by radius and density, not by
+    |points| × |queries|.  All expressions are JVM-side trig — no
+    UDF, whole-stage codegen end to end."""
+    r = float(radius_m)
+    if r <= 0:
+        raise ValueError(f"radius_m must be positive, got {radius_m!r}")
+    clash = {"xmin", "ymin", "xmax", "ymax"} & set(queries.columns)
+    if clash:
+        raise ValueError(
+            f"queries DataFrame already carries bbox columns "
+            f"{sorted(clash)} — rename them; the join derives its own "
+            f"cap-cover bbox under those names"
+        )
+    import math
+
+    # metres per degree of latitude at the IUGG mean radius
+    m_per_deg = math.pi * 6371008.8 / 180.0
+    dlat = r / m_per_deg
+    if dlat >= 180.0:
+        raise ValueError(
+            f"radius {r} m spans the whole sphere; filter without a join"
+        )
+    qlat = F.col(qlat_col)
+    qlon = F.col(qlon_col)
+    ymin = F.greatest(qlat - dlat, F.lit(-90.0))
+    ymax = F.least(qlat + dlat, F.lit(90.0))
+    # most polar latitude the cap's band reaches; cos() there is the
+    # smallest in the band, so dividing by it over-covers (safe)
+    lat_edge = F.least(F.abs(qlat) + dlat, F.lit(90.0))
+    dlon = F.lit(dlat) / F.cos(F.radians(lat_edge))
+    # cap touches a pole (cos -> 0, dlon blows up / goes negative) or
+    # the widened box laps the globe: full longitude span, no wrap
+    full = (F.abs(qlat) + dlat >= 90.0) | (dlon >= 180.0)
+    raw_xmin = qlon - dlon
+    raw_xmax = qlon + dlon
+    raw_xmin = F.when(raw_xmin < -180.0, raw_xmin + 360.0).otherwise(raw_xmin)
+    raw_xmax = F.when(raw_xmax > 180.0, raw_xmax - 360.0).otherwise(raw_xmax)
+    q = (
+        queries.withColumn(
+            "xmin", F.when(full, F.lit(-180.0)).otherwise(raw_xmin)
+        )
+        .withColumn("xmax", F.when(full, F.lit(180.0)).otherwise(raw_xmax))
+        .withColumn("ymin", ymin)
+        .withColumn("ymax", ymax)
+    )
+    cand = st_tile_bbox_join(
+        points,
+        lon_col,
+        lat_col,
+        q,
+        (-180.0, 180.0),
+        (-90.0, 90.0),
+        bits,
+        broadcast_regions=broadcast_queries,
+        lon_wrap=True,
+    ).drop("xmin", "xmax", "ymin", "ymax")
+    cand = st_haversine_m(
+        cand, qlon_col, qlat_col, lon_col, lat_col, out_col=dist_col
+    )
+    return cand.where(F.col(dist_col) <= F.lit(r))
 
 
 def _explode_tiles(

@@ -5532,13 +5532,14 @@ def q_geo_multipolygon_stats(spark, sf_dir):
     shoelace with hole clamping), length, and vertex-count paths
     end-to-end, beyond the pytest-only unit checks.
 
-    Scale shape: vectorized encode + ONE batch parse per accessor over
-    the struct-of-arrays parser; one rollup exchange."""
+    Scale shape: vectorized encode + ONE batch parse TOTAL
+    (st_geom_stats computes area, perimeter, and vertex count from a
+    single structural walk + vertex pack — round 15; three separate
+    accessors would parse the same bytes three times); one rollup
+    exchange."""
     from iceberg_compaction_spark.operators.geo import (
-        st_area,
-        st_length,
+        st_geom_stats,
         st_multipolygon_boxes,
-        st_num_points,
     )
 
     e = ev.read_events(spark, sf_dir).select(
@@ -5562,12 +5563,13 @@ def q_geo_multipolygon_stats(spark, sf_dir):
     g = st_multipolygon_boxes(
         b, [("ax0", "ay0", "ax1", "ay1"), ("bx0", "by0", "bx1", "by1")]
     )
-    s = st_num_points(st_length(st_area(g, "geom"), "geom"), "geom")
+    s = st_geom_stats(g, "geom", "__st")
     return s.groupBy("event_type").agg(
         F.count(F.lit(1)).cast("long").alias("n"),
-        F.sum(F.col("area").cast("long")).cast("long").alias("sum_area"),
-        F.sum(F.col("length").cast("long")).cast("long").alias("sum_perim"),
-        F.sum("num_points").cast("long").alias("sum_pts"),
+        F.sum(F.col("__st.area").cast("long")).cast("long").alias("sum_area"),
+        F.sum(F.col("__st.length").cast("long")).cast("long")
+        .alias("sum_perim"),
+        F.sum("__st.num_points").cast("long").alias("sum_pts"),
     )
 
 
@@ -5672,6 +5674,74 @@ def q_stream_ohlc(spark, sf_dir):
 
     stream = sp.read_events_stream(spark, sf_dir)
     return sp.run_available_now(sp.streaming_ohlc_rollup(stream), spark)
+
+
+@register(
+    "geo_haversine_join",
+    """
+    WITH e AS (
+      SELECT user_id, event_id,
+             (value * 2.0) % 360.0 - 180.0 AS lon,
+             CAST(event_id % 178 AS DOUBLE) - 89.0 AS lat
+      FROM events
+    ),
+    q(qid, qlon, qlat) AS (
+      VALUES (1, 179.5, 10.0), (2, -170.0, 85.0), (3, 20.0, -45.0)
+    ),
+    d AS (
+      SELECT qid, user_id, event_id,
+             2 * 6371008.8 * ASIN(SQRT(
+               POWER(SIN(RADIANS(lat - qlat) / 2), 2)
+               + COS(RADIANS(qlat)) * COS(RADIANS(lat))
+                 * POWER(SIN(RADIANS(lon - qlon) / 2), 2)
+             )) AS dist_m
+      FROM e, q
+    )
+    SELECT CAST(qid AS BIGINT) AS qid, user_id, event_id,
+           CAST(FLOOR(dist_m / 10.0) AS BIGINT) AS dist_decam
+    FROM d WHERE dist_m <= 800000.0
+    """,
+)
+def q_geo_haversine_join(spark, sf_dir):
+    """Spherical (haversine) radius JOIN (round 15 — the geography
+    tier's spherical join; operators/geo.py st_haversine_radius_join):
+    every event within 800 km great-circle distance of each query,
+    including a query at +179.5° whose spherical cap crosses the
+    antimeridian and one at 85°N whose cap-cover box widens toward the
+    pole.  The oracle is the naive cross join with the identical
+    haversine expression; distances land as decametre buckets so the
+    hash is robust to last-ulp libm differences between engines while
+    still pinning every membership decision and the distance itself to
+    10 m.
+
+    Scale shape: Morton-tile equi-join over each cap's (possibly
+    seam-split) cover box, JVM-side trig residual — work is
+    candidates-per-cap, never |events| x |queries|; no UDF, no
+    cartesian."""
+    from iceberg_compaction_spark.operators.geo import (
+        st_haversine_radius_join,
+    )
+
+    e = ev.read_events(spark, sf_dir).select(
+        "user_id",
+        "event_id",
+        ((F.col("value") * 2.0) % 360.0 - 180.0).alias("lon"),
+        ((F.col("event_id") % 178).cast("double") - 89.0).alias("lat"),
+    )
+    queries = spark.createDataFrame(
+        [(1, 179.5, 10.0), (2, -170.0, 85.0), (3, 20.0, -45.0)],
+        "qid long, qlon double, qlat double",
+    )
+    j = st_haversine_radius_join(
+        e, "lon", "lat", queries, "qid", "qlon", "qlat",
+        radius_m=800_000.0, bits=6,
+    )
+    return j.select(
+        "qid",
+        "user_id",
+        "event_id",
+        F.floor(F.col("dist_m") / 10.0).cast("long").alias("dist_decam"),
+    )
 
 
 # Round-15 window recomposition (VERDICT r14 #3): none of round 14's

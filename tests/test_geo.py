@@ -1073,3 +1073,122 @@ def test_tile_knn_join_lon_wrap(spark):
             x_range=(-180.0, 180.0), y_range=(-90.0, 90.0), bits=5,
             lon_wrap=True,
         )
+
+
+def test_haversine_radius_join_matches_bruteforce(spark):
+    """Round 15: the spherical cap-cover radius join returns exactly
+    the brute-force haversine result — including a Pacific query whose
+    cap crosses the seam and a polar query whose cap covers the full
+    longitude band."""
+    import math
+    import random
+
+    from iceberg_compaction_spark.operators.geo import (
+        st_haversine_radius_join,
+    )
+
+    rng = random.Random(1514)
+    pts = [
+        (i, rng.uniform(-180.0, 180.0), rng.uniform(-90.0, 90.0))
+        for i in range(400)
+    ]
+    # plant guaranteed cross-seam and polar neighbors
+    pts += [(400, -179.5, 10.0), (401, 179.5, 10.2), (402, 30.0, 89.2)]
+    queries = [(1, 179.0, 10.0), (2, -150.0, 88.5), (3, 0.0, 0.0)]
+    radius = 500_000.0  # 500 km
+
+    def hav(lon1, lat1, lon2, lat2):
+        r = 6371008.8
+        p1, p2 = math.radians(lat1), math.radians(lat2)
+        dp = math.radians(lat2 - lat1) / 2
+        dl = math.radians(lon2 - lon1) / 2
+        a = math.sin(dp) ** 2 + math.cos(p1) * math.cos(p2) * math.sin(dl) ** 2
+        return 2 * r * math.asin(math.sqrt(a))
+
+    expect = sorted(
+        (qid, pid)
+        for qid, qlon, qlat in queries
+        for pid, lon, lat in pts
+        if hav(qlon, qlat, lon, lat) <= radius
+    )
+    assert any(q == 1 and p in (400, 401) for q, p in expect)
+    assert any(q == 2 for q, p in expect)  # polar cap has neighbors
+
+    p_df = spark.createDataFrame(pts, "pid long, lon double, lat double")
+    q_df = spark.createDataFrame(
+        queries, "qid long, qlon double, qlat double"
+    )
+    out = st_haversine_radius_join(
+        p_df, "lon", "lat", q_df, "qid", "qlon", "qlat", radius, bits=6
+    )
+    got = sorted((r["qid"], r["pid"]) for r in out.collect())
+    assert got == expect
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="positive"):
+        st_haversine_radius_join(
+            p_df, "lon", "lat", q_df, "qid", "qlon", "qlat", 0.0
+        )
+    with _pytest.raises(ValueError, match="bbox columns"):
+        st_haversine_radius_join(
+            p_df, "lon", "lat", q_df.withColumn("xmin", q_df.qlon),
+            "qid", "qlon", "qlat", radius,
+        )
+
+
+def test_geom_stats_one_parse_matches_accessors(spark):
+    """Round 15: st_geom_stats (every statistic in ONE batch parse)
+    agrees field-for-field with the individual accessors over mixed
+    geometries — points (fast path), linestrings, multipolygons, both
+    byte orders, and invalid WKB (NULL struct)."""
+    from iceberg_compaction_spark.operators.geo import (
+        st_area,
+        st_envelope,
+        st_geom_stats,
+        st_length,
+        st_num_points,
+        wkb_linestring,
+        wkb_multipolygon,
+        wkb_point,
+        wkb_polygon,
+    )
+
+    sq = [(0.0, 0.0), (4.0, 0.0), (4.0, 4.0), (0.0, 4.0), (0.0, 0.0)]
+    hole = [(1.0, 1.0), (2.0, 1.0), (2.0, 2.0), (1.0, 2.0), (1.0, 1.0)]
+    rows = [
+        (1, wkb_point(3.5, -2.0)),
+        (2, wkb_point(7.0, 8.0, big_endian=True)),
+        (3, wkb_linestring([(0.0, 0.0), (3.0, 4.0)])),
+        (4, wkb_polygon([sq, hole])),
+        (5, wkb_multipolygon([[sq], [[(t[0] + 10, t[1]) for t in sq]]],
+                             big_endian=True)),
+        (6, b"\x01\x99garbage"),
+        (7, None),
+    ]
+    df = spark.createDataFrame(rows, "id long, geom binary")
+    combo = {
+        r["id"]: r["s"]
+        for r in st_geom_stats(df, "geom", "s").collect()
+    }
+    sep = {
+        r["id"]: r
+        for r in st_envelope(
+            st_num_points(st_length(st_area(df, "geom"), "geom"), "geom"),
+            "geom", "env",
+        ).collect()
+    }
+    for i in (1, 2, 3, 4, 5):
+        c, e = combo[i], sep[i]
+        assert c["num_points"] == e["num_points"], i
+        assert c["area"] == e["area"], i
+        assert c["length"] == e["length"], i
+        assert (c["xmin"], c["ymin"], c["xmax"], c["ymax"]) == (
+            e["env"]["xmin"], e["env"]["ymin"],
+            e["env"]["xmax"], e["env"]["ymax"],
+        ), i
+    assert combo[6] is None and combo[7] is None
+    # spot values: hole-punched square area, two-part multipolygon
+    assert combo[4]["area"] == 15.0 and combo[4]["length"] == 20.0
+    assert combo[5]["area"] == 32.0 and combo[5]["num_points"] == 10
+    assert combo[3]["length"] == 5.0 and combo[3]["area"] == 0.0
