@@ -108,6 +108,9 @@ BENCH_QUERIES = [
     # stream_* policy above); geo_knn_wrap is the seam-wrap kNN twin
     "geo_knn_wrap",
     "geo_haversine_join",
+    # geo_haversine_knn shares geo_haversine_join's whole candidate
+    # path (one extra per-cap rank window) — family-representative
+    # benched, the knn variant is oracle-checked in the tail
 ]
 
 

@@ -79,6 +79,7 @@ __all__ = [
     "st_tile_bbox_join",
     "st_tile_knn_join",
     "st_haversine_radius_join",
+    "st_haversine_knn_join",
     "st_tile_envelope_join",
     "wkb_point",
     "wkb_linestring",
@@ -1516,6 +1517,54 @@ def st_haversine_radius_join(
         cand, qlon_col, qlat_col, lon_col, lat_col, out_col=dist_col
     )
     return cand.where(F.col(dist_col) <= F.lit(r))
+
+
+def st_haversine_knn_join(
+    points: DataFrame,
+    lon_col: str,
+    lat_col: str,
+    queries: DataFrame,
+    query_id_col: str,
+    qlon_col: str,
+    qlat_col: str,
+    k: int,
+    radius_m: float,
+    bits: int = 6,
+    tiebreak_cols: tuple = (),
+    dist_col: str = "dist_m",
+    broadcast_queries: bool = True,
+) -> DataFrame:
+    """Spherical k-nearest-neighbor JOIN: for each query, the ``k``
+    points with the smallest great-circle distance within
+    ``radius_m`` — :func:`st_haversine_radius_join`'s cap-cover tile
+    equi-join plus a per-query rank window over the radius-bounded
+    candidates (the same two-stage shape as the planar
+    :func:`st_tile_knn_join`: per-query cost is candidates-in-cap,
+    priced by the radius knob, never |points| × |queries|).  Ties on
+    distance order by ``tiebreak_cols``; ranks arrive in
+    ``knn_rank``."""
+    from pyspark.sql import Window
+
+    cand = st_haversine_radius_join(
+        points,
+        lon_col,
+        lat_col,
+        queries,
+        query_id_col,
+        qlon_col,
+        qlat_col,
+        radius_m,
+        bits=bits,
+        broadcast_queries=broadcast_queries,
+        dist_col=dist_col,
+    )
+    order = [F.col(dist_col), *(F.col(c) for c in tiebreak_cols)]
+    w = Window.partitionBy(query_id_col).orderBy(*order)
+    return (
+        cand.withColumn("__rn", F.row_number().over(w))
+        .where(F.col("__rn") <= int(k))
+        .withColumnRenamed("__rn", "knn_rank")
+    )
 
 
 def _explode_tiles(

@@ -5744,6 +5744,80 @@ def q_geo_haversine_join(spark, sf_dir):
     )
 
 
+@register(
+    "geo_haversine_knn",
+    """
+    WITH e AS (
+      SELECT user_id, event_id,
+             (value * 2.0) % 360.0 - 180.0 AS lon,
+             CAST(event_id % 178 AS DOUBLE) - 89.0 AS lat
+      FROM events
+    ),
+    q(qid, qlon, qlat) AS (
+      VALUES (1, 179.5, 10.0), (2, -170.0, 85.0), (3, 20.0, -45.0)
+    ),
+    d AS (
+      SELECT qid, user_id, event_id,
+             2 * 6371008.8 * ASIN(SQRT(
+               POWER(SIN(RADIANS(lat - qlat) / 2), 2)
+               + COS(RADIANS(qlat)) * COS(RADIANS(lat))
+                 * POWER(SIN(RADIANS(lon - qlon) / 2), 2)
+             )) AS dist_m
+      FROM e, q
+    ),
+    ranked AS (
+      SELECT qid, user_id, event_id, dist_m,
+             ROW_NUMBER() OVER (
+               PARTITION BY qid ORDER BY dist_m, user_id, event_id
+             ) AS rn
+      FROM d WHERE dist_m <= 800000.0
+    )
+    SELECT CAST(qid AS BIGINT) AS qid, CAST(rn AS BIGINT) AS knn_rank,
+           user_id, event_id,
+           CAST(FLOOR(dist_m / 10.0) AS BIGINT) AS dist_decam
+    FROM ranked WHERE rn <= 5
+    """,
+)
+def q_geo_haversine_knn(spark, sf_dir):
+    """Spherical k-nearest-neighbor JOIN (round 15;
+    operators/geo.py st_haversine_knn_join): the 5 great-circle
+    nearest events per query within 800 km — the cap-cover tile
+    equi-join of geo_haversine_join plus a per-query rank window over
+    the radius-bounded candidates.  Same query set (seam + polar +
+    mid-latitude); the oracle ranks the naive cross join with the
+    identical haversine expression and tiebreaks, pinning both
+    membership and ORDER.
+
+    Scale shape: candidates-per-cap then a window partitioned by
+    query id — the rank never sees more than one cap's rows."""
+    from iceberg_compaction_spark.operators.geo import (
+        st_haversine_knn_join,
+    )
+
+    e = ev.read_events(spark, sf_dir).select(
+        "user_id",
+        "event_id",
+        ((F.col("value") * 2.0) % 360.0 - 180.0).alias("lon"),
+        ((F.col("event_id") % 178).cast("double") - 89.0).alias("lat"),
+    )
+    queries = spark.createDataFrame(
+        [(1, 179.5, 10.0), (2, -170.0, 85.0), (3, 20.0, -45.0)],
+        "qid long, qlon double, qlat double",
+    )
+    j = st_haversine_knn_join(
+        e, "lon", "lat", queries, "qid", "qlon", "qlat",
+        k=5, radius_m=800_000.0, bits=6,
+        tiebreak_cols=("user_id", "event_id"),
+    )
+    return j.select(
+        "qid",
+        F.col("knn_rank").cast("long").alias("knn_rank"),
+        "user_id",
+        "event_id",
+        F.floor(F.col("dist_m") / 10.0).cast("long").alias("dist_decam"),
+    )
+
+
 # Round-15 window recomposition (VERDICT r14 #3): none of round 14's
 # flagship entries sat in the driver-checked first 50.  Promote four —
 # `geo_spatial_join` (the tile-bucketed point-in-bbox JOIN: the first

@@ -784,6 +784,7 @@ def test_geo_spatial_joins_broadcast_tiles_no_cartesian(spark):
         "geo_multipolygon_join",  # round 15: multipolygon-fed envelopes
         "geo_knn_wrap",  # round 15: seam-wrap kNN
         "geo_haversine_join",  # round 15: spherical cap-cover join
+        "geo_haversine_knn",  # round 15: spherical kNN
     ):
         s = plan_of(registry.QUERIES[name](spark, SF))
         assert "CartesianProduct" not in s, name

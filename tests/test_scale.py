@@ -115,6 +115,12 @@ TRACKED = [
     "geo_multipolygon_join",
     "geo_antimeridian_filter",
     "variant_shredded_nested",
+    # round 15: spherical cap-cover join — candidates-per-cap pricing
+    # must hold as the point stream grows (caps are fixed, density
+    # scales linearly), and the one-parse stats accessor must stay
+    # vertex-linear
+    "geo_haversine_join",
+    "geo_multipolygon_stats",
 ]
 
 
