@@ -1094,7 +1094,8 @@ def test_haversine_radius_join_matches_bruteforce(spark):
     ]
     # plant guaranteed cross-seam and polar neighbors
     pts += [(400, -179.5, 10.0), (401, 179.5, 10.2), (402, 30.0, 89.2)]
-    queries = [(1, 179.0, 10.0), (2, -150.0, 88.5), (3, 0.0, 0.0)]
+    queries = [(1, 179.0, 10.0), (2, -150.0, 88.5), (3, 0.0, 0.0),
+               (4, 45.0, 90.0)]  # 4: the literal north pole
     radius = 500_000.0  # 500 km
 
     def hav(lon1, lat1, lon2, lat2):
