@@ -111,6 +111,7 @@ BENCH_QUERIES = [
     # geo_haversine_knn shares geo_haversine_join's whole candidate
     # path (one extra per-cap rank window) — family-representative
     # benched, the knn variant is oracle-checked in the tail
+    "text_winnow",
 ]
 
 

@@ -150,6 +150,73 @@ def with_fingerprints(
     )
 
 
+def winnow_fingerprints(
+    df: DataFrame,
+    text_col: str = "text",
+    k: int = 5,
+    w: int = 4,
+    out_col: str = "fps",
+) -> DataFrame:
+    """Winnowing document fingerprints (Schleimer-Wilkerson-Aiken,
+    SIGMOD'03 — the MOSS algorithm): hash every k-token shingle, slide
+    a window of ``w`` consecutive hashes, keep each window's MINIMUM;
+    the distinct selected values are the document's fingerprint set
+    (``out_col``, array<long>).  The guarantee: any token run shared
+    between two documents spanning at least ``w + k - 1`` tokens
+    contributes at least one COMMON fingerprint — so overlap detection
+    joins fingerprint sets instead of comparing documents pairwise,
+    while storing ~2/(w+1) of the shingle hashes.
+
+    Documents with fewer than ``k + w - 1`` tokens (no full window)
+    get an empty set — below the guarantee threshold the sample says
+    nothing, and emitting partial minima would make a doc's
+    fingerprints depend on padding decisions engines disagree on.
+
+    Hashes are :func:`~iceberg_compaction_spark.operators.dedup.md5_hash64`
+    (engine-agnostic, so the DuckDB oracle reproduces the selection
+    bit-for-bit).  Entirely JVM-side: token array and shingle-hash
+    array are STAGED as columns before each higher-order transform
+    (a lambda closing over an unstaged expression re-evaluates it per
+    element — the HOF pitfall), so the work is one tokenize + one hash
+    pass + one window-min pass per document.
+
+    Scale shape: per-row array work linear in token count; no shuffle,
+    no UDF.  The fingerprint explode that feeds an overlap join is the
+    caller's choice (posexplode + groupBy fp — the same banded shape
+    as every LSH tier here)."""
+    if k < 1 or w < 1:
+        raise ValueError(f"k and w must be >= 1 (got k={k}, w={w})")
+    from iceberg_compaction_spark.operators.dedup import md5_hash64
+
+    toks = "__winnow_toks"
+    hs = "__winnow_hs"
+    out = df.withColumn(toks, F.split(normalize_text(F.col(text_col)), " "))
+    n = F.size(F.col(toks))
+    out = out.withColumn(
+        hs,
+        F.when(
+            n >= k,
+            F.transform(
+                F.sequence(F.lit(1), n - k + 1),
+                lambda i: md5_hash64(
+                    F.concat_ws(" ", F.slice(F.col(toks), i, k))
+                ),
+            ),
+        ).otherwise(F.array().cast("array<bigint>")),
+    )
+    m = F.size(F.col(hs))
+    wins = F.transform(
+        F.sequence(F.lit(1), m - w + 1),
+        lambda j: F.array_min(F.slice(F.col(hs), j, w)),
+    )
+    return out.withColumn(
+        out_col,
+        F.when(m >= w, F.array_distinct(wins)).otherwise(
+            F.array().cast("array<bigint>")
+        ),
+    ).drop(toks, hs)
+
+
 def unigram_logprob(
     df: DataFrame,
     text_col: str = "text",

@@ -5818,6 +5818,60 @@ def q_geo_haversine_knn(spark, sf_dir):
     )
 
 
+@register(
+    "text_winnow",
+    f"""
+    WITH t AS (
+      SELECT doc_id, string_split({_NORM}, ' ') AS toks
+      FROM documents WHERE doc_id % 20 = 0
+    ),
+    g AS (
+      SELECT doc_id,
+             list_transform(range(1, len(toks) - 5 + 2),
+               i -> ('0x' || substr(md5(array_to_string(
+                      list_slice(toks, i, i + 4), ' ')), 1, 8))::BIGINT
+             ) AS hs
+      FROM t WHERE len(toks) >= 5
+    ),
+    w AS (
+      SELECT doc_id,
+             list_distinct(list_transform(range(1, len(hs) - 4 + 2),
+               j -> list_min(list_slice(hs, j, j + 3)))) AS fps
+      FROM g WHERE len(hs) >= 4
+    )
+    SELECT doc_id, unnest(fps) AS fp FROM w
+    """,
+)
+def q_text_winnow(spark, sf_dir):
+    """Winnowing document fingerprints (round 15;
+    operators/text.py winnow_fingerprints — Schleimer-Wilkerson-Aiken
+    / MOSS): k=5-token shingle hashes, window w=4 minima, distinct
+    selected values per document, over a 1-in-20 deterministic doc
+    subset (full value-hash pin at bounded output size).  The oracle
+    rebuilds the identical selection with DuckDB list lambdas over the
+    same md5-derived hashes — window minima are bit-exact across
+    engines, so the hash pins tokenization, shingle hashing, AND the
+    winnowing selection rule.
+
+    Scale shape: per-row array transforms (staged token + hash
+    columns, no HOF re-evaluation), no shuffle until the caller's
+    overlap join; fingerprint density ~2/(w+1) of the shingle
+    stream."""
+    from iceberg_compaction_spark.operators.text import (
+        winnow_fingerprints,
+    )
+
+    docs = (
+        spark.read.parquet(f"{sf_dir}/documents.parquet")
+        .where(F.col("doc_id") % 20 == 0)
+        .select("doc_id", "text")
+    )
+    fp = winnow_fingerprints(docs, k=5, w=4)
+    return fp.select(
+        "doc_id", F.explode("fps").alias("fp")
+    )
+
+
 # Round-15 window recomposition (VERDICT r14 #3): none of round 14's
 # flagship entries sat in the driver-checked first 50.  Promote four —
 # `geo_spatial_join` (the tile-bucketed point-in-bbox JOIN: the first

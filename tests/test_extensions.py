@@ -849,3 +849,55 @@ def test_classifier_score_self_fit_and_external(spark):
     }
     assert vocab["good"] == 997           # rank 1 (4 occurrences)
     assert len(vocab) == 2 and min(vocab.values()) == 994
+
+
+def test_winnow_fingerprints_reference_and_guarantee(spark):
+    """Round 15: winnowing (SWA/MOSS) — window minima match a pure
+    Python reference bit-for-bit, the short-doc threshold yields an
+    empty set, and the w+k-1 shared-run guarantee holds: two docs
+    sharing a long token run share at least one fingerprint while a
+    disjoint doc shares none."""
+    import hashlib
+
+    from iceberg_compaction_spark.operators.text import (
+        winnow_fingerprints,
+    )
+
+    k, w = 3, 2
+
+    def h(s):
+        return int(hashlib.md5(s.encode()).hexdigest()[:8], 16)
+
+    def ref(text):
+        toks = " ".join(text.lower().split()).split(" ")
+        hs = [
+            h(" ".join(toks[i:i + k]))
+            for i in range(len(toks) - k + 1)
+        ]
+        if len(hs) < w:
+            return []
+        wins = [min(hs[j:j + w]) for j in range(len(hs) - w + 1)]
+        return sorted(set(wins))
+
+    shared = "the quick brown fox jumps over the lazy dog"
+    rows = [
+        (1, f"intro words {shared} closing remark"),
+        (2, f"{shared} entirely different tail content here"),
+        (3, "nothing in common with either document at all today"),
+        (4, "too short"),  # < k+w-1 tokens -> empty set
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        r["doc_id"]: sorted(r["fps"])
+        for r in winnow_fingerprints(df, k=k, w=w).collect()
+    }
+    for i, text in rows:
+        assert got[i] == ref(text), i
+    assert got[4] == []
+    assert set(got[1]) & set(got[2])          # guarantee: shared run
+    assert not (set(got[1]) & set(got[3]))    # disjoint docs
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="k and w"):
+        winnow_fingerprints(df, k=0, w=2)
