@@ -112,6 +112,7 @@ BENCH_QUERIES = [
     # path (one extra per-cap rank window) — family-representative
     # benched, the knn variant is oracle-checked in the tail
     "text_winnow",
+    "dedup_winnow_pairs",
 ]
 
 

@@ -150,71 +150,94 @@ def with_fingerprints(
     )
 
 
+# winnowing k-gram fold constants: a prime modulus keeping every
+# intermediate < 2^51 (safe integer territory in Spark AND DuckDB) and
+# a multiplier coprime to it — shared verbatim with the DuckDB oracles
+WINNOW_B = 1000003
+WINNOW_M = 2147483647
+
+
 def winnow_fingerprints(
     df: DataFrame,
+    id_col: str = "doc_id",
     text_col: str = "text",
     k: int = 5,
     w: int = 4,
-    out_col: str = "fps",
+    out_col: str = "fp",
 ) -> DataFrame:
     """Winnowing document fingerprints (Schleimer-Wilkerson-Aiken,
     SIGMOD'03 — the MOSS algorithm): hash every k-token shingle, slide
     a window of ``w`` consecutive hashes, keep each window's MINIMUM;
-    the distinct selected values are the document's fingerprint set
-    (``out_col``, array<long>).  The guarantee: any token run shared
-    between two documents spanning at least ``w + k - 1`` tokens
-    contributes at least one COMMON fingerprint — so overlap detection
-    joins fingerprint sets instead of comparing documents pairwise,
-    while storing ~2/(w+1) of the shingle hashes.
+    the distinct selected values are the document's fingerprint set.
+    Returns the ``(id_col, out_col)`` fingerprint stream — the shape
+    every consumer (overlap join, per-doc collect) wants first.  The
+    guarantee: any token run shared between two documents spanning at
+    least ``w + k - 1`` tokens contributes at least one COMMON
+    fingerprint — so overlap detection joins fingerprint sets instead
+    of comparing documents pairwise, while storing ~2/(w+1) of the
+    shingle hashes.
 
     Documents with fewer than ``k + w - 1`` tokens (no full window)
-    get an empty set — below the guarantee threshold the sample says
+    contribute nothing — below the guarantee threshold the sample says
     nothing, and emitting partial minima would make a doc's
     fingerprints depend on padding decisions engines disagree on.
 
-    Hashes are :func:`~iceberg_compaction_spark.operators.dedup.md5_hash64`
-    (engine-agnostic, so the DuckDB oracle reproduces the selection
-    bit-for-bit).  Entirely JVM-side: token array and shingle-hash
-    array are STAGED as columns before each higher-order transform
-    (a lambda closing over an unstaged expression re-evaluates it per
-    element — the HOF pitfall), so the work is one tokenize + one hash
-    pass + one window-min pass per document.
+    Hashing (cross-engine AND cheap): each TOKEN hashes once via
+    :func:`~iceberg_compaction_spark.operators.dedup.md5_hash64` (n
+    md5s per doc, one flat JVM transform), and a k-gram's key is the
+    exact-integer polynomial fold of its k token hashes —
+    ``acc = (acc * WINNOW_B + t) mod WINNOW_M`` from 0 — expressed as
+    ``k`` chained ``lead()`` references over the posexploded
+    token-hash stream, NOT as nested array higher-order functions
+    (a ``transform``-of-``aggregate``-over-``slice`` formulation
+    measured ~1000x slower: interpreted nested-lambda evaluation, no
+    codegen).  DuckDB reproduces the fold digit-exactly with list
+    lambdas (where it IS fast), so the oracle pins the SELECTED set
+    bit-for-bit; intermediates stay < 2^51, far from either engine's
+    overflow edge.
 
-    Scale shape: per-row array work linear in token count; no shuffle,
-    no UDF.  The fingerprint explode that feeds an overlap join is the
-    caller's choice (posexplode + groupBy fp — the same banded shape
-    as every LSH tier here)."""
+    Scale shape: ONE exchange (hash by ``id_col``) and ONE sort under
+    two chained window frames — the k-1 ``lead``s and the w-wide
+    ``min`` share the same (partition, order), so the second Window
+    reuses the first's sort; the closing distinct is a
+    map-side-combinable aggregate over the winnowed stream (density
+    ~2/(w+1) of the shingle stream).  The posexplode fan-out of token
+    hashes is the honest cost — the same stance as the span-coverage
+    operator."""
     if k < 1 or w < 1:
         raise ValueError(f"k and w must be >= 1 (got k={k}, w={w})")
+    from pyspark.sql import Window
+
     from iceberg_compaction_spark.operators.dedup import md5_hash64
 
-    toks = "__winnow_toks"
-    hs = "__winnow_hs"
-    out = df.withColumn(toks, F.split(normalize_text(F.col(text_col)), " "))
-    n = F.size(F.col(toks))
-    out = out.withColumn(
-        hs,
-        F.when(
-            n >= k,
+    base = (
+        df.select(
+            F.col(id_col),
             F.transform(
-                F.sequence(F.lit(1), n - k + 1),
-                lambda i: md5_hash64(
-                    F.concat_ws(" ", F.slice(F.col(toks), i, k))
-                ),
-            ),
-        ).otherwise(F.array().cast("array<bigint>")),
+                F.split(normalize_text(F.col(text_col)), " "), md5_hash64
+            ).alias("__th"),
+        )
+        .withColumn("__n", F.size("__th"))
+        .where(F.col("__n") >= k + w - 1)
     )
-    m = F.size(F.col(hs))
-    wins = F.transform(
-        F.sequence(F.lit(1), m - w + 1),
-        lambda j: F.array_min(F.slice(F.col(hs), j, w)),
+    stream = base.select(
+        id_col, "__n", F.posexplode("__th").alias("__pos", "__t")
     )
-    return out.withColumn(
-        out_col,
-        F.when(m >= w, F.array_distinct(wins)).otherwise(
-            F.array().cast("array<bigint>")
-        ),
-    ).drop(toks, hs)
+    wl = Window.partitionBy(id_col).orderBy("__pos")
+    acc = F.lit(0).cast("long")
+    for j in range(k):
+        c = F.col("__t") if j == 0 else F.lead("__t", j).over(wl)
+        acc = (acc * WINNOW_B + c) % WINNOW_M
+    grams = stream.withColumn("__gram", acc).where(
+        F.col("__pos") <= F.col("__n") - k
+    )
+    wm = Window.partitionBy(id_col).orderBy("__pos").rowsBetween(0, w - 1)
+    return (
+        grams.withColumn(out_col, F.min("__gram").over(wm))
+        .where(F.col("__pos") <= F.col("__n") - (k + w - 1))
+        .select(id_col, out_col)
+        .distinct()
+    )
 
 
 def unigram_logprob(

@@ -5825,13 +5825,20 @@ def q_geo_haversine_knn(spark, sf_dir):
       SELECT doc_id, string_split({_NORM}, ' ') AS toks
       FROM documents WHERE doc_id % 20 = 0
     ),
+    th AS (
+      SELECT doc_id,
+             list_transform(toks,
+               x -> ('0x' || substr(md5(x), 1, 8))::BIGINT) AS hts
+      FROM t WHERE len(toks) >= 5
+    ),
     g AS (
       SELECT doc_id,
-             list_transform(range(1, len(toks) - 5 + 2),
-               i -> ('0x' || substr(md5(array_to_string(
-                      list_slice(toks, i, i + 4), ' ')), 1, 8))::BIGINT
+             list_transform(range(1, len(hts) - 5 + 2),
+               i -> list_reduce(
+                      list_prepend(0::BIGINT, list_slice(hts, i, i + 4)),
+                      (a, b) -> (a * 1000003 + b) % 2147483647)
              ) AS hs
-      FROM t WHERE len(toks) >= 5
+      FROM th
     ),
     w AS (
       SELECT doc_id,
@@ -5851,12 +5858,14 @@ def q_text_winnow(spark, sf_dir):
     rebuilds the identical selection with DuckDB list lambdas over the
     same md5-derived hashes — window minima are bit-exact across
     engines, so the hash pins tokenization, shingle hashing, AND the
-    winnowing selection rule.
+    winnowing selection rule (per-token md5 hashes folded with the
+    exact-integer polynomial both engines compute digit-identically).
 
-    Scale shape: per-row array transforms (staged token + hash
-    columns, no HOF re-evaluation), no shuffle until the caller's
-    overlap join; fingerprint density ~2/(w+1) of the shingle
-    stream."""
+    Scale shape: one exchange + one sort under two chained window
+    frames over the posexploded token-hash stream (the k-1 leads and
+    the w-wide min share the same partition/order), then a
+    map-side-combinable distinct; fingerprint density ~2/(w+1) of the
+    shingle stream."""
     from iceberg_compaction_spark.operators.text import (
         winnow_fingerprints,
     )
@@ -5866,9 +5875,79 @@ def q_text_winnow(spark, sf_dir):
         .where(F.col("doc_id") % 20 == 0)
         .select("doc_id", "text")
     )
-    fp = winnow_fingerprints(docs, k=5, w=4)
-    return fp.select(
-        "doc_id", F.explode("fps").alias("fp")
+    return winnow_fingerprints(docs, k=5, w=4)
+
+
+@register(
+    "dedup_winnow_pairs",
+    f"""
+    WITH t AS (
+      SELECT doc_id, string_split({_NORM}, ' ') AS toks
+      FROM documents
+    ),
+    th AS (
+      SELECT doc_id,
+             list_transform(toks,
+               x -> ('0x' || substr(md5(x), 1, 8))::BIGINT) AS hts
+      FROM t WHERE len(toks) >= 5
+    ),
+    g AS (
+      SELECT doc_id,
+             list_transform(range(1, len(hts) - 5 + 2),
+               i -> list_reduce(
+                      list_prepend(0::BIGINT, list_slice(hts, i, i + 4)),
+                      (a, b) -> (a * 1000003 + b) % 2147483647)
+             ) AS hs
+      FROM th
+    ),
+    w AS (
+      SELECT doc_id,
+             list_distinct(list_transform(range(1, len(hs) - 4 + 2),
+               j -> list_min(list_slice(hs, j, j + 3)))) AS fps
+      FROM g WHERE len(hs) >= 4
+    ),
+    e AS (SELECT doc_id, unnest(fps) AS fp FROM w)
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           CAST(count(*) AS BIGINT) AS n_shared
+    FROM e a JOIN e b ON a.fp = b.fp AND a.doc_id < b.doc_id
+    GROUP BY 1, 2 HAVING count(*) >= 2
+    """,
+)
+def q_dedup_winnow_pairs(spark, sf_dir):
+    """Winnowing overlap pairs (round 15 — the MOSS use-case over
+    winnow_fingerprints): documents sharing >= 2 selected fingerprints,
+    with the shared count.  Because winnowing guarantees a common
+    fingerprint for any shared run of w+k-1 tokens, this finds
+    copied-passage pairs with a FINGERPRINT equi-join — the corpus is
+    never compared pairwise; quadratic work exists only inside a
+    shared-fingerprint bucket, the same banded-bucket shape as every
+    LSH tier here.
+
+    Scale shape: explode (density ~2/(w+1) of shingles) -> self
+    equi-join on the fingerprint -> pair count aggregate; one shuffle
+    on fp, one on the pair key, both map-side combinable."""
+    from iceberg_compaction_spark.operators.text import (
+        winnow_fingerprints,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", "text"
+    )
+    e = winnow_fingerprints(docs, k=5, w=4)
+    a = e.alias("a")
+    b = e.alias("b")
+    pairs = a.join(
+        b,
+        (F.col("a.fp") == F.col("b.fp"))
+        & (F.col("a.doc_id") < F.col("b.doc_id")),
+    )
+    return (
+        pairs.groupBy(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+        )
+        .agg(F.count(F.lit(1)).cast("long").alias("n_shared"))
+        .where(F.col("n_shared") >= 2)
     )
 
 
