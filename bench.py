@@ -113,6 +113,7 @@ BENCH_QUERIES = [
     # benched, the knn variant is oracle-checked in the tail
     "text_winnow",
     "dedup_winnow_pairs",
+    "variant_shredded_array_obj",
 ]
 
 

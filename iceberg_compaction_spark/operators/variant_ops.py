@@ -298,20 +298,59 @@ def shred_variant(
 # ---------------------------------------------------------------------------
 
 
+def _descend(cur: dict, s: str, kind: str, p: str) -> dict:
+    """Get-or-create an interior ``kind`` node named ``s`` in ``cur``
+    (conflicting kinds raise) and return its subtree."""
+    node = cur.get(s)
+    if node is None:
+        node = (kind, {})
+        cur[s] = node
+    elif node[0] != kind:
+        raise ValueError(
+            f"shred path conflict at {s!r} in {p!r}: already a "
+            f"{node[0]} target"
+        )
+    return node[1]
+
+
 def _spec_tree(paths: dict) -> dict:
-    """Parse ``{"$.a.b": "long", "$.xs": "array<long>", ...}`` into a
-    field tree ``{name: ("leaf", t) | ("array", t) | ("node", sub)}``.
-    Paths must address object fields (array ELEMENTS are not shred
-    targets — declare the whole array); a path may not be both a leaf
-    and a prefix of another."""
+    """Parse ``{"$.a.b": "long", "$.xs": "array<long>",
+    "$.items[].a": "long", ...}`` into a field tree ``{name:
+    ("leaf", t) | ("array", t) | ("node", sub) | ("aobj", sub)}``.
+    ``[]`` descends into ARRAY-OF-OBJECT elements (the spec's
+    recursive element-group shape) and must be followed by at least
+    one field (a scalar array shreds via an ``array<...>`` target on
+    the field itself); one ``[]`` per path.  Numeric index steps are
+    not shred targets; a path may not be both a leaf and a prefix of
+    another."""
     tree: dict = {}
     for p, t in sorted(paths.items()):
-        steps = _parse_path(p)
-        if not steps or not all(isinstance(s, str) for s in steps):
+        if "[]" in p:
+            if p.count("[]") > 1:
+                raise ValueError(
+                    f"one '[]' per shred path (got {p!r}); nested "
+                    f"array-of-array-of-object targets are out of scope"
+                )
+            outer_s, inner_s = p.split("[]", 1)
+            if not inner_s.startswith("."):
+                raise ValueError(
+                    f"'[]' must be followed by a field (got {p!r}); a "
+                    f"scalar array shreds via an array<...> target"
+                )
+            outer = _parse_path(outer_s)
+            steps = _parse_path("$" + inner_s)
+        else:
+            outer = None
+            steps = _parse_path(p)
+        if (
+            not steps
+            or not all(isinstance(s, str) for s in steps)
+            or (outer is not None and not all(isinstance(s, str) for s in outer))
+        ):
             raise ValueError(
                 f"spec shredding addresses object fields (got {p!r}); "
                 f"array elements shred via an array<...> target on the "
-                f"array field itself"
+                f"array field itself or an '[]' object descent"
             )
         if isinstance(t, str) and t.startswith("array<") and t.endswith(">"):
             kind, leaf_t = "array", t[len("array<"):-1]
@@ -320,17 +359,12 @@ def _spec_tree(paths: dict) -> dict:
         if leaf_t not in _CAST:
             raise ValueError(f"unsupported shred type {t!r} for {p!r}")
         cur = tree
+        if outer is not None:
+            for s in outer[:-1]:
+                cur = _descend(cur, s, "node", p)
+            cur = _descend(cur, outer[-1], "aobj", p)
         for s in steps[:-1]:
-            node = cur.get(s)
-            if node is None:
-                node = ("node", {})
-                cur[s] = node
-            elif node[0] != "node":
-                raise ValueError(
-                    f"shred path conflict at {s!r} in {p!r}: already a "
-                    f"{node[0]} target"
-                )
-            cur = node[1]
+            cur = _descend(cur, s, "node", p)
         if steps[-1] in cur:
             raise ValueError(f"shred path conflict: {p!r}")
         cur[steps[-1]] = (kind, leaf_t)
@@ -354,6 +388,10 @@ def _tree_type(tree: dict) -> T.StructType:
             tv: T.DataType = _CAST[sub]
         elif kind == "array":
             tv = T.ArrayType(_element_group_type(_CAST[sub]), True)
+        elif kind == "aobj":
+            tv = T.ArrayType(
+                _element_group_type(_tree_type(sub)), True
+            )
         else:
             tv = _tree_type(sub)
         fields.append(T.StructField(name, _element_group_type(tv), True))
@@ -362,9 +400,11 @@ def _tree_type(tree: dict) -> T.StructType:
 
 def variant_spec_shred_type(paths: dict) -> T.StructType:
     """Spark type of a spec-shredded variant column for ``paths`` —
-    ``{"$.k": "long", "$.a.b": "string", "$.xs": "array<long>"}``:
-    scalars, nested object fields (recursive groups), and arrays of
-    scalars (repeated element groups)."""
+    ``{"$.k": "long", "$.a.b": "string", "$.xs": "array<long>",
+    "$.items[].a": "long"}``: scalars, nested object fields
+    (recursive groups), arrays of scalars (repeated element groups),
+    and arrays of OBJECTS (element groups whose typed_value is itself
+    a field-group struct — the spec's full recursion)."""
     return T.StructType(
         [
             T.StructField("metadata", T.BinaryType(), True),
@@ -525,6 +565,24 @@ def _shred_tree(py: dict, tree: dict, fits):
                     raise _ShredFallback
                 elems.append({"value": None, "typed_value": tv})
             typed[name] = {"value": None, "typed_value": elems}
+        elif kind == "aobj":  # array of objects: shred each element
+            if not isinstance(val, list):
+                raise _ShredFallback
+            elems = []
+            elem_res = []
+            any_res = False
+            for e in val:
+                if not isinstance(e, dict):
+                    raise _ShredFallback
+                e_typed, e_res = _shred_tree(e, sub, fits)
+                elems.append({"value": None, "typed_value": e_typed})
+                elem_res.append(e_res)
+                any_res = any_res or bool(e_res)
+            typed[name] = {"value": None, "typed_value": elems}
+            if any_res:
+                # positional residual list: element i's non-shredded
+                # fields ({} when none) — unshred re-merges by index
+                residual[name] = elem_res
         else:  # nested object
             if not isinstance(val, dict):
                 raise _ShredFallback
@@ -604,7 +662,14 @@ def variant_spec_shredded_fields(df: DataFrame, variant_col: str) -> dict:
                 inner.elementType
             ):
                 elem = inner.elementType["typed_value"].dataType
-                out[path] = f"array<{elem.simpleString()}>"
+                if isinstance(elem, T.StructType) and elem.fields and all(
+                    _is_field_group(c.dataType) for c in elem.fields
+                ):
+                    # array-of-object elements: recurse with the []
+                    # descent marker
+                    walk(elem, path + "[].")
+                else:
+                    out[path] = f"array<{elem.simpleString()}>"
             else:
                 out[path] = inner.simpleString()
 
@@ -614,17 +679,22 @@ def variant_spec_shredded_fields(df: DataFrame, variant_col: str) -> dict:
 
 def _tree_from_fields(fields: dict) -> dict:
     """Rebuild the shred field tree from the dotted-path dict
-    :func:`variant_spec_shredded_fields` returns."""
+    :func:`variant_spec_shredded_fields` returns (``a.b`` object
+    descent, ``items[].a`` array-of-object descent)."""
     tree: dict = {}
     for path in sorted(fields):
         t = fields[path]
         steps = path.split(".")
         cur = tree
         for s in steps[:-1]:
-            node = cur.get(s)
+            if s.endswith("[]"):
+                name, kind = s[:-2], "aobj"
+            else:
+                name, kind = s, "node"
+            node = cur.get(name)
             if node is None:
-                node = ("node", {})
-                cur[s] = node
+                node = (kind, {})
+                cur[name] = node
             cur = node[1]
         kind = "array" if t.startswith("array<") else "leaf"
         cur[steps[-1]] = (kind, t)
@@ -649,6 +719,25 @@ def _overlay_typed(tv, tree: dict, merged: dict) -> None:
                 e.get("typed_value") if isinstance(e, dict) else None
                 for e in gtv
             ]
+        elif kind == "aobj":
+            # per-element merge: the residual carries a positional
+            # list of each element's non-shredded fields ({} when
+            # none) — overlay each element's typed group onto it
+            res_list = merged.get(name)
+            out_elems = []
+            for i, e in enumerate(gtv):
+                base = (
+                    res_list[i]
+                    if isinstance(res_list, list)
+                    and i < len(res_list)
+                    and isinstance(res_list[i], dict)
+                    else {}
+                )
+                etv = e.get("typed_value") if isinstance(e, dict) else None
+                if etv is not None:
+                    _overlay_typed(etv, sub, base)
+                out_elems.append(base)
+            merged[name] = out_elems
         else:
             inner = merged.get(name)
             if not isinstance(inner, dict):
@@ -794,32 +883,49 @@ def _extract_udf(steps: list):
 
 def _spec_typed_ref(variant_col: str, steps: list, spec_fields: dict):
     """Column expr reading ``steps`` through the spec ``typed_value``
-    groups, or None when the path is not fully shredded.  Handles
-    nested object groups (``$.a.b``) and array element access on an
-    array target (``$.xs[1]`` — try_element_at, out-of-range -> NULL,
-    matching the try contract under ANSI mode)."""
-    if all(isinstance(s, str) for s in steps):
-        key = ".".join(steps)
-        if key in spec_fields and not spec_fields[key].startswith("array<"):
-            return F.col(
-                variant_col
-                + "".join(f".typed_value.{s}" for s in steps)
-                + ".typed_value"
+    groups, or None when the path is not fully shredded.  A generic
+    walk of the discovered field tree: nested object groups
+    (``$.a.b``), element access on a scalar-array target (``$.xs[1]``
+    — try_element_at, out-of-range -> NULL, matching the try contract
+    under ANSI mode), and indexed descent through array-of-object
+    element groups (``$.items[2].a`` — try_element_at into the element
+    group, then plain nested references)."""
+    tree = _tree_from_fields(spec_fields)
+    expr = F.col(f"{variant_col}.typed_value")
+    i = 0
+    while i < len(steps):
+        s = steps[i]
+        if not isinstance(s, str):
+            return None  # an index where an object field is required
+        node = tree.get(s)
+        if node is None:
+            return None
+        kind, sub = node
+        group = expr[s]
+        if kind == "leaf":
+            return group["typed_value"] if i == len(steps) - 1 else None
+        if kind == "array":
+            if i == len(steps) - 2 and isinstance(steps[i + 1], int):
+                return F.try_element_at(
+                    group["typed_value"], F.lit(steps[i + 1] + 1)
+                )["typed_value"]
+            return None  # whole-array / deeper reads reconstruct
+        if kind == "aobj":
+            if i + 1 >= len(steps) or not isinstance(steps[i + 1], int):
+                return None  # whole-array-of-object reads reconstruct
+            elem = F.try_element_at(
+                group["typed_value"], F.lit(steps[i + 1] + 1)
             )
-        return None
-    if (
-        len(steps) >= 2
-        and isinstance(steps[-1], int)
-        and all(isinstance(s, str) for s in steps[:-1])
-    ):
-        key = ".".join(steps[:-1])
-        if spec_fields.get(key, "").startswith("array<"):
-            arr = F.col(
-                variant_col
-                + "".join(f".typed_value.{s}" for s in steps[:-1])
-                + ".typed_value"
-            )
-            return F.try_element_at(arr, F.lit(steps[-1] + 1))["typed_value"]
+            expr = elem["typed_value"]
+            tree = sub
+            i += 2
+            continue
+        # interior object node
+        if i == len(steps) - 1:
+            return None  # partially-shredded object: reconstruct
+        expr = group["typed_value"]
+        tree = sub
+        i += 1
     return None
 
 
@@ -904,7 +1010,10 @@ def variant_get_path(
         # genuinely mixed shape.
         head = steps[0] if steps and isinstance(steps[0], str) else None
         if head is not None and any(
-            k == head or k.startswith(head + ".") for k in spec_fields
+            k == head
+            or k.startswith(head + ".")
+            or k.startswith(head + "[]")
+            for k in spec_fields
         ):
             rec_col = "__vg_rec"
             while rec_col in df.columns:

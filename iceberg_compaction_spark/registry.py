@@ -5951,6 +5951,88 @@ def q_dedup_winnow_pairs(spark, sf_dir):
     )
 
 
+@register(
+    "variant_shredded_array_obj",
+    """
+    SELECT event_type,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(user_id % 13) AS BIGINT) AS sum_a0,
+           CAST(SUM(CASE WHEN event_id % 3 = 0
+                         THEN user_id % 13 + 7 END) AS BIGINT) AS sum_a1
+    FROM events WHERE event_id % 7 = 0 GROUP BY event_type
+    """,
+)
+def q_variant_shredded_array_obj(spark, sf_dir):
+    """Array-of-OBJECT spec shredding (round 15 — closing the v3
+    spec's recursion; operators/variant_ops.py): each event's payload
+    encodes ``{"items": [{"a": u13, "b": "p"}, ...], "tag": ...}``
+    with one or two elements, shreds ``$.items[].a`` into element
+    groups whose typed_value is itself a field-group struct, and reads
+    ``$.items[0].a`` / ``$.items[1].a`` through try_element_at + plain
+    nested references.  The second element exists only when
+    ``event_id % 3 = 0``, so the [1] read pins both the in-range
+    element descent and the out-of-range NULL contract; ``b`` and
+    ``tag`` stay unshredded (per-element positional residual + row
+    residual both exercised on the write path).  The oracle computes
+    the same sums from the raw columns.
+
+    Scale shape: decode cost sits at write time (one Arrow-batched
+    pass); both reads are JVM element+nested references plus the
+    NULL-masked residual fallback eval."""
+    from iceberg_compaction_spark.operators.variant_ops import (
+        json_to_variant,
+        shred_variant_spec,
+        variant_get_path,
+    )
+
+    # bounded-enum payload (a in [0,13), 1-2 elements) — the memo's
+    # templated-payload shape; 1-in-7 sample keeps the Arrow passes
+    # off the bench critical path
+    e = (
+        ev.read_events(spark, sf_dir)
+        .where(F.col("event_id") % 7 == 0)
+        .select(
+            "event_type",
+            F.to_json(
+                F.struct(
+                    F.when(
+                        F.col("event_id") % 3 == 0,
+                        F.array(
+                            F.struct(
+                                (F.col("user_id") % 13).alias("a"),
+                                F.lit("p").alias("b"),
+                            ),
+                            F.struct(
+                                (F.col("user_id") % 13 + 7).alias("a"),
+                                F.lit("q").alias("b"),
+                            ),
+                        ),
+                    )
+                    .otherwise(
+                        F.array(
+                            F.struct(
+                                (F.col("user_id") % 13).alias("a"),
+                                F.lit("p").alias("b"),
+                            )
+                        )
+                    )
+                    .alias("items"),
+                    (F.col("event_id") % 2).alias("tag"),
+                )
+            ).alias("j"),
+        )
+    )
+    v = json_to_variant(e, "j", "pv").select("event_type", "pv")
+    s = shred_variant_spec(v, "pv", {"$.items[].a": "long"})
+    a0 = variant_get_path(s, "pv", "$.items[0].a", "long", "a0")
+    a1 = variant_get_path(a0, "pv", "$.items[1].a", "long", "a1")
+    return a1.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("a0").cast("long").alias("sum_a0"),
+        F.sum("a1").cast("long").alias("sum_a1"),
+    )
+
+
 # Round-15 window recomposition (VERDICT r14 #3): none of round 14's
 # flagship entries sat in the driver-checked first 50.  Promote four —
 # `geo_spatial_join` (the tile-bucketed point-in-bbox JOIN: the first

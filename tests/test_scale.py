@@ -115,12 +115,17 @@ TRACKED = [
     "geo_multipolygon_join",
     "geo_antimeridian_filter",
     "variant_shredded_nested",
+    "variant_shredded_array_obj",
     # round 15: spherical cap-cover join — candidates-per-cap pricing
     # must hold as the point stream grows (caps are fixed, density
     # scales linearly), and the one-parse stats accessor must stay
     # vertex-linear
     "geo_haversine_join",
     "geo_multipolygon_stats",
+    # round 15: winnowing — posexplode + two shared-sort window frames
+    # must stay linear in the token stream; the pairs join is bucketed
+    # by fingerprint
+    "dedup_winnow_pairs",
 ]
 
 

@@ -940,3 +940,102 @@ def test_spec_shred_double_digit_fidelity(spark):
     assert _json.loads(got[2])["f"] != 1.2  # parse sanity
     assert '"f":1.10' in got[2].replace(" ", "")
     assert _json.loads(got[3])["f"] == 9223372036854775807
+
+
+AOBJ_JS = [
+    # 0: full conformance, one element with a leftover field
+    '{"items": [{"a": 1, "b": "x"}, {"a": 2, "b": "y", "extra": true}],'
+    ' "tag": "t0"}',
+    # 1: element missing a shredded field (absent -> both slots null)
+    '{"items": [{"b": "only-b"}], "tag": "t1"}',
+    # 2: empty array still shreds
+    '{"items": [], "tag": "t2"}',
+    # 3: element not an object -> whole-row fallback
+    '{"items": [{"a": 1}, 7], "tag": "t3"}',
+    # 4: "a" fails the long target -> whole-row fallback
+    '{"items": [{"a": "NaN"}], "tag": "t4"}',
+    # 5: items absent entirely
+    '{"tag": "t5"}',
+]
+
+
+def _aobj_shredded(spark):
+    from iceberg_compaction_spark.operators.variant_ops import (
+        shred_variant_spec,
+    )
+
+    df = spark.createDataFrame(
+        [(i, AOBJ_JS[i]) for i in range(len(AOBJ_JS))],
+        "id long, j string",
+    )
+    v = json_to_variant(df, "j", "v").select("id", "v")
+    return shred_variant_spec(
+        v, "v", {"$.items[].a": "long", "$.items[].b": "string"}
+    )
+
+
+def test_spec_shred_array_of_objects_shapes(spark):
+    """Round 15: array-of-OBJECT targets ($.items[].a) shred as
+    element groups whose typed_value is itself a field-group struct —
+    the spec's full recursion; per-element leftovers ride the row
+    residual as a positional list; non-conforming rows take the
+    whole-row fallback."""
+    from iceberg_compaction_spark.operators.variant_ops import (
+        variant_spec_shredded_fields,
+    )
+
+    s = _aobj_shredded(spark)
+    assert variant_spec_shredded_fields(s, "v") == {
+        "items[].a": "bigint",
+        "items[].b": "string",
+    }
+    rows = {r["id"]: r["v"] for r in s.collect()}
+    elems = rows[0]["typed_value"]["items"]["typed_value"]
+    assert [e["typed_value"]["a"]["typed_value"] for e in elems] == [1, 2]
+    assert [e["typed_value"]["b"]["typed_value"] for e in elems] == ["x", "y"]
+    assert rows[0]["value"] is not None  # tag + element-1 extra
+    only_b = rows[1]["typed_value"]["items"]["typed_value"][0]["typed_value"]
+    assert only_b["a"]["typed_value"] is None
+    assert only_b["b"]["typed_value"] == "only-b"
+    assert rows[2]["typed_value"]["items"]["typed_value"] == []
+    assert rows[3]["typed_value"] is None and rows[3]["value"] is not None
+    assert rows[4]["typed_value"] is None
+    assert rows[5]["typed_value"]["items"]["typed_value"] is None
+
+
+def test_spec_shred_array_of_objects_reads_and_roundtrip(spark):
+    """$.items[i].a reads as try_element_at + plain nested references
+    (zero Python on top under assume_shredded); default reads recover
+    fallback rows; unshred reconstructs every original value
+    digit-for-digit including per-element residual fields."""
+    import json
+
+    from iceberg_compaction_spark.operators.variant_ops import (
+        unshred_variant_spec,
+        variant_get_path,
+        variant_to_json,
+    )
+
+    s = _aobj_shredded(spark)
+    a0 = variant_get_path(
+        s, "v", "$.items[0].a", "long", "a0", assume_shredded=True
+    )
+    plan = a0._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("ArrowEvalPython") <= 2  # encode+shred upstream only
+    vals = {r["id"]: r["a0"] for r in a0.collect()}
+    assert vals[0] == 1 and vals[1] is None and vals[2] is None
+    b1 = variant_get_path(s, "v", "$.items[1].b", "string", "b1")
+    got = {r["id"]: r["b1"] for r in b1.collect()}
+    assert got[0] == "y" and got[1] is None
+    # default read recovers the fallback rows through the residual
+    a_fb = variant_get_path(s, "v", "$.items[0].a", "long", "af")
+    fb = {r["id"]: r["af"] for r in a_fb.collect()}
+    assert fb[3] == 1 and fb[4] is None and fb[0] == 1
+    # whole-subtree read reconstructs (typed + positional residual)
+    tag = variant_get_path(s, "v", "$.tag", "string", "tag")
+    assert {r["id"]: r["tag"] for r in tag.collect()}[0] == "t0"
+    u = unshred_variant_spec(s, "v", "u")
+    js = variant_to_json(u, "u", "uj")
+    back = {r["id"]: r["uj"] for r in js.collect()}
+    for i, orig in enumerate(AOBJ_JS):
+        assert json.loads(back[i]) == json.loads(orig), i
