@@ -80,6 +80,8 @@ __all__ = [
     "st_tile_knn_join",
     "st_haversine_radius_join",
     "st_haversine_knn_join",
+    "cap_cover_boxes",
+    "prune_tasks_for_cap",
     "st_tile_envelope_join",
     "wkb_point",
     "wkb_linestring",
@@ -1517,6 +1519,92 @@ def st_haversine_radius_join(
         cand, qlon_col, qlat_col, lon_col, lat_col, out_col=dist_col
     )
     return cand.where(F.col(dist_col) <= F.lit(r))
+
+
+def cap_cover_boxes(
+    qlon: float, qlat: float, radius_m: float
+) -> list:
+    """Geographic bbox cover of a spherical cap, as plain floats —
+    the driver-side twin of :func:`st_haversine_radius_join`'s
+    per-query cover columns, for planning-time file pruning.  Returns
+    ``[(xmin, xmax, ymin, ymax), ...]``: one box normally, TWO when
+    the cap overhangs the ±180° seam (split at the seam — no
+    ``xmin > xmax`` crossing form leaks into min/max predicate logic),
+    and the full longitude band when the cap touches a pole or its
+    widened box laps the globe.  The cover is padded by a relative
+    1e-9 so a libm ulp difference between the driver's cos and the
+    executor's can never prune a file holding a boundary match —
+    pruning may over-keep, never over-drop."""
+    import math
+
+    r = float(radius_m)
+    if r <= 0:
+        raise ValueError(f"radius_m must be positive, got {radius_m!r}")
+    m_per_deg = math.pi * 6371008.8 / 180.0
+    dlat = (r / m_per_deg) * (1 + 1e-9)
+    if dlat >= 180.0:
+        raise ValueError(
+            f"radius {r} m spans the whole sphere; scan without pruning"
+        )
+    ymin = max(qlat - dlat, -90.0)
+    ymax = min(qlat + dlat, 90.0)
+    full = abs(qlat) + dlat >= 90.0
+    if not full:
+        c = math.cos(math.radians(min(abs(qlat) + dlat, 90.0)))
+        dlon = (dlat / c) * (1 + 1e-9) if c > 0 else float("inf")
+        full = dlon >= 180.0
+    if full:
+        return [(-180.0, 180.0, ymin, ymax)]
+    xmin, xmax = qlon - dlon, qlon + dlon
+    if xmin < -180.0:
+        return [
+            (-180.0, xmax, ymin, ymax),
+            (xmin + 360.0, 180.0, ymin, ymax),
+        ]
+    if xmax > 180.0:
+        return [
+            (xmin, 180.0, ymin, ymax),
+            (-180.0, xmax - 360.0, ymin, ymax),
+        ]
+    return [(xmin, xmax, ymin, ymax)]
+
+
+def prune_tasks_for_cap(
+    tasks,
+    lon_col: str,
+    lat_col: str,
+    qlon: float,
+    qlat: float,
+    radius_m: float,
+) -> list:
+    """Planning-time file prune for a spherical-cap query: keep the
+    data files whose shredded ``lon_col``/``lat_col`` min/max ranges
+    can intersect ANY of the cap's cover boxes (union across the two
+    seam halves when the cap crosses ±180°).  This is the scan-time
+    complement of :func:`st_haversine_radius_join` — on a 100 TB
+    geo-partitioned table the cap touches a handful of files, and this
+    eliminates the rest before any data is read, with the same
+    coordinate-shredding contract the bbox pruning test pins.  Order
+    of surviving tasks is preserved; a file without coordinate stats
+    is conservatively kept (prune_tasks' contract)."""
+    from iceberg_compaction_spark.plans.pruning import (
+        ColumnPredicate,
+        prune_tasks,
+    )
+
+    keep = set()
+    for xmin, xmax, ymin, ymax in cap_cover_boxes(qlon, qlat, radius_m):
+        for t in prune_tasks(
+            tasks,
+            [
+                ColumnPredicate(col=lon_col, op="ge", value=xmin),
+                ColumnPredicate(col=lon_col, op="le", value=xmax),
+                ColumnPredicate(col=lat_col, op="ge", value=ymin),
+                ColumnPredicate(col=lat_col, op="le", value=ymax),
+            ],
+        ):
+            keep.add(t.data_file_path)
+    return [t for t in tasks if t.data_file_path in keep]
 
 
 def st_haversine_knn_join(

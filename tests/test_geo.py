@@ -1193,3 +1193,73 @@ def test_geom_stats_one_parse_matches_accessors(spark):
     assert combo[4]["area"] == 15.0 and combo[4]["length"] == 20.0
     assert combo[5]["area"] == 32.0 and combo[5]["num_points"] == 10
     assert combo[3]["length"] == 5.0 and combo[3]["area"] == 0.0
+
+
+def test_cap_file_pruning_with_seam_and_pole(spark, tmp_path):
+    """Round 15: spherical-cap file pruning — a Pacific cap keeps the
+    files on BOTH sides of the seam and drops Greenwich; a polar cap
+    keeps every longitude band inside its latitude reach; kept files
+    always cover the haversine join's true matches."""
+    import glob
+    import shutil
+
+    from iceberg_compaction_spark.operators.geo import (
+        cap_cover_boxes,
+        prune_tasks_for_cap,
+        st_haversine_radius_join,
+    )
+    from iceberg_compaction_spark.sources.manifest import Manifest
+
+    root = str(tmp_path / "geo")
+    os.makedirs(root)
+    # four lon-banded files at lat 0-60: [-180,-170], [-10,0], [0,10], [170,180]
+    bands = [(-180.0, -170.0), (-10.0, 0.0), (0.0, 10.0), (170.0, 180.0)]
+    for i, (lo, hi) in enumerate(bands):
+        df = spark.createDataFrame(
+            [(i * 100 + j, lo + (hi - lo) * j / 9.0, 6.0 * j)
+             for j in range(10)],
+            "pid long, lon double, lat double",
+        )
+        df.coalesce(1).write.mode("overwrite").parquet(f"{root}/s{i}")
+        [part] = glob.glob(f"{root}/s{i}/*.parquet")
+        shutil.move(part, f"{root}/band{i}.parquet")
+        shutil.rmtree(f"{root}/s{i}")
+    m = Manifest.from_parquet_dir(root, sequence_number=1)
+    assert len(m.data_files) == 4
+
+    def kept(qlon, qlat, r):
+        return sorted(
+            os.path.basename(t.data_file_path)
+            for t in prune_tasks_for_cap(
+                m.data_files, "lon", "lat", qlon, qlat, r
+            )
+        )
+
+    # Pacific cap at +179: seam halves keep band0 and band3 only
+    assert kept(179.0, 10.0, 500_000.0) == ["band0.parquet", "band3.parquet"]
+    assert len(cap_cover_boxes(179.0, 10.0, 500_000.0)) == 2
+    # Greenwich cap keeps the two central bands
+    assert kept(0.0, 30.0, 500_000.0) == ["band1.parquet", "band2.parquet"]
+    # polar cap at 88N: full lon band, but lat reach [<=90] touches
+    # every file's lat range top (54) only if dlat >= 34 deg (~3800km)
+    assert kept(0.0, 88.0, 500_000.0) == []
+    assert kept(0.0, 88.0, 4_000_000.0) == [
+        "band0.parquet", "band1.parquet", "band2.parquet", "band3.parquet"
+    ]
+    # safety: kept files cover the join's true matches for the seam cap
+    pts = spark.read.parquet(*[t.data_file_path for t in m.data_files])
+    q = spark.createDataFrame(
+        [(1, 179.0, 10.0)], "qid long, qlon double, qlat double"
+    )
+    hits = st_haversine_radius_join(
+        pts, "lon", "lat", q, "qid", "qlon", "qlat", 500_000.0, bits=5
+    ).select("pid").collect()
+    hit_pids = {r["pid"] for r in hits}
+    assert hit_pids  # the cap does match rows
+    kept_pts = spark.read.parquet(*[
+        t.data_file_path for t in prune_tasks_for_cap(
+            m.data_files, "lon", "lat", 179.0, 10.0, 500_000.0
+        )
+    ])
+    kept_pids = {r["pid"] for r in kept_pts.select("pid").collect()}
+    assert hit_pids <= kept_pids
