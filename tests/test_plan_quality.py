@@ -830,3 +830,19 @@ def test_variant_shredded_nested_reads_stay_typed(spark):
     s = plan_of(df)
     assert s.count("ArrowEvalPython") <= 4
     assert "Join" not in s and "Window" not in s
+
+
+def test_winnow_one_exchange_shared_sort(spark):
+    """Winnowing (round 15): the k-gram lead fold and the w-wide min
+    window share ONE hash exchange and ONE sort (same partition +
+    order), and the closing distinct reuses the doc_id partitioning —
+    no second shuffle, no Python in the plan."""
+    import re
+
+    from iceberg_compaction_spark import registry
+
+    p = plan_of(registry.QUERIES["text_winnow"](spark, SF))
+    assert len(re.findall(r"Exchange hashpartitioning", p)) == 1, p
+    assert len(re.findall(r"\bSort \[", p)) == 1, p
+    assert p.count("Window [") == 2, p
+    assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p
