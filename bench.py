@@ -115,6 +115,7 @@ BENCH_QUERIES = [
     "dedup_winnow_pairs",
     "variant_shredded_array_obj",
     "multimodal_pixel_stats",
+    "multimodal_audio_stats",
 ]
 
 

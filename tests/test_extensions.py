@@ -970,3 +970,64 @@ def test_multimodal_resize_and_features_reference(spark):
         mm.resize_nearest(dec, 0, 4)
     with _pytest.raises(ValueError, match="grid"):
         mm.pixel_features(dec, grid=0)
+
+
+def test_multimodal_audio_decode_and_features(spark):
+    """Round 15: real RIFF/WAVE PCM16 decode (chunk walk incl. a LIST
+    chunk and word alignment) and integer-exact windowed features
+    match a pure-Python reference; compressed tags raise."""
+    import struct
+
+    import numpy as np
+
+    def wav(samples: np.ndarray, rate=8000, extra_chunk=False) -> bytes:
+        nch = samples.shape[1]
+        body = samples.astype("<i2").tobytes()
+        fmt = struct.pack(
+            "<HHIIHH", 1, nch, rate, rate * 2 * nch, 2 * nch, 16
+        )
+        chunks = b"fmt " + struct.pack("<I", len(fmt)) + fmt
+        if extra_chunk:  # odd-sized LIST chunk: tests skip + alignment
+            chunks += b"LIST" + struct.pack("<I", 5) + b"INFOx" + b"\x00"
+        chunks += b"data" + struct.pack("<I", len(body)) + body
+        return b"RIFF" + struct.pack("<I", 4 + len(chunks)) + b"WAVE" + chunks
+
+    rng = np.random.default_rng(99)
+    mono = rng.integers(-3000, 3000, (300, 1), dtype=np.int16)
+    stereo = rng.integers(-3000, 3000, (150, 2), dtype=np.int16)
+    df = spark.createDataFrame(
+        [(1, wav(mono, extra_chunk=True)), (2, wav(stereo, rate=16000))],
+        "doc_id long, payload binary",
+    )
+    dec = mm.decode_audio(df)
+    got = {r["doc_id"]: r for r in dec.collect()}
+    assert (got[1]["sample_rate"], got[1]["channels"],
+            got[1]["n_samples"]) == (8000, 1, 300)
+    assert (got[2]["sample_rate"], got[2]["channels"],
+            got[2]["n_samples"]) == (16000, 2, 150)
+    assert bytes(got[2]["samples"]) == stereo.astype("<i2").tobytes()
+
+    W = 64
+    feats = {(r["doc_id"], r["window_idx"]): r
+             for r in mm.audio_features(dec, window=W).collect()}
+    for doc, arr in ((1, mono), (2, stereo)):
+        a = arr.astype(np.int64)
+        nw = a.shape[0] // W
+        assert sum(1 for (d, _) in feats if d == doc) == nw
+        for wi in range(nw):
+            seg = a[wi * W:(wi + 1) * W]
+            r = feats[(doc, wi)]
+            assert r["energy"] == (seg * seg).sum(axis=0).tolist()
+            assert r["zero_crossings"] == (
+                (seg[1:] * seg[:-1] < 0).sum(axis=0).tolist()
+            )
+
+    import pytest as _pytest
+
+    mp3ish = b"RIFF" + struct.pack("<I", 30) + b"WAVE" + b"fmt " + \
+        struct.pack("<I", 16) + struct.pack("<HHIIHH", 85, 1, 8000, 8000, 1, 16)
+    bad = spark.createDataFrame([(9, mp3ish)], "doc_id long, payload binary")
+    with _pytest.raises(Exception, match="PCM16|format tag"):
+        mm.decode_audio(bad).collect()
+    with _pytest.raises(ValueError, match="window"):
+        mm.audio_features(dec, window=1)
