@@ -216,7 +216,7 @@ def decode_payload(
     )
 
 
-def decode_pixels(binary_df: DataFrame) -> DataFrame:
+def decode_pixels(binary_df: DataFrame, strict: bool = True) -> DataFrame:
     """Real pixel decode to (doc_id, height, width, channels, pixels).
 
     Arrow-batched ``mapInPandas``: per batch, each payload is decoded by
@@ -226,6 +226,14 @@ def decode_pixels(binary_df: DataFrame) -> DataFrame:
     non-netpbm payload raises ``NotImplementedError`` naming the probe
     result — the documented environment limitation, now scoped to the
     formats that genuinely need a codec instead of the whole operator.
+
+    ``strict=False`` DROPS undecodable payloads instead of failing the
+    job — the WKB tier's NULL-never-garbage stance applied to media: a
+    100 TB crawl always contains corrupt bytes, and one of them must
+    not kill a fleet-wide decode.  Strict (default) keeps the
+    fail-loud contract for curated inputs.  A ``NotImplementedError``
+    (missing codec) raises under EITHER mode: absent capability is a
+    deployment problem to surface, not a data problem to skip.
 
     Scale shape: the payload never leaves the executor, transfer is
     Arrow-batched both ways, and the output is raw uint8 bytes (no
@@ -241,7 +249,14 @@ def decode_pixels(binary_df: DataFrame) -> DataFrame:
         for pdf in batches:
             out = {"doc_id": [], "height": [], "width": [], "channels": [], "pixels": []}
             for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
-                h, w, c, px = decode_payload(bytes(payload), codec)
+                try:
+                    h, w, c, px = decode_payload(bytes(payload), codec)
+                except NotImplementedError:
+                    raise
+                except Exception:
+                    if strict:
+                        raise
+                    continue
                 out["doc_id"].append(int(doc_id))
                 out["height"].append(h)
                 out["width"].append(w)
@@ -430,7 +445,7 @@ DECODED_AUDIO_SCHEMA = StructType(
 )
 
 
-def decode_audio(binary_df: DataFrame) -> DataFrame:
+def decode_audio(binary_df: DataFrame, strict: bool = True) -> DataFrame:
     """Real audio decode, no codec library: RIFF/WAVE PCM16 payloads
     (format tag 1, 16-bit — the uncompressed interchange shape every
     encoder can emit) parse to raw int16 sample buffers.  Chunks are
@@ -439,6 +454,11 @@ def decode_audio(binary_df: DataFrame) -> DataFrame:
     LIST/INFO metadata decode too.  Compressed formats raise
     ``NotImplementedError`` naming the tag — the same honest
     env-limitation stance as the pixel tier.
+
+    ``strict=False`` DROPS malformed payloads instead of failing the
+    job (same stance as :func:`decode_pixels`); a compressed format
+    tag (``NotImplementedError``) raises under either mode — missing
+    capability is a deployment problem, not a data problem.
 
     Scale shape: Arrow-batched ``mapInPandas``; payloads never leave
     the executor; output is the raw sample buffer (no per-sample
@@ -452,8 +472,7 @@ def decode_audio(binary_df: DataFrame) -> DataFrame:
                 "doc_id": [], "sample_rate": [], "channels": [],
                 "n_samples": [], "samples": [],
             }
-            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
-                data = bytes(payload)
+            def _parse(data: bytes):
                 if data[:4] != b"RIFF" or data[8:12] != b"WAVE":
                     raise ValueError("not a RIFF/WAVE payload")
                 pos, fmt, body = 12, None, None
@@ -478,6 +497,17 @@ def decode_audio(binary_df: DataFrame) -> DataFrame:
                 nch, rate = fmt
                 if len(body) % (2 * nch):
                     raise ValueError("truncated PCM body")
+                return nch, rate, body
+
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                try:
+                    nch, rate, body = _parse(bytes(payload))
+                except NotImplementedError:
+                    raise
+                except Exception:
+                    if strict:
+                        raise
+                    continue
                 out["doc_id"].append(int(doc_id))
                 out["sample_rate"].append(rate)
                 out["channels"].append(nch)

@@ -1031,3 +1031,44 @@ def test_multimodal_audio_decode_and_features(spark):
         mm.decode_audio(bad).collect()
     with _pytest.raises(ValueError, match="window"):
         mm.audio_features(dec, window=1)
+
+
+def test_multimodal_decoders_strict_false_drops_corrupt(spark):
+    """Round 15: strict=False drops corrupt payloads instead of
+    failing the job (the NULL-never-garbage stance applied to media);
+    strict (default) still raises, and a missing-capability
+    NotImplementedError raises under either mode."""
+    import struct
+
+    import numpy as np
+    import pytest as _pytest
+
+    good_img = b"P6\n2 2\n255\n" + bytes(12)
+    bad_img = b"P6\n9 9\n255\nshort"          # truncated body
+    df = spark.createDataFrame(
+        [(1, good_img), (2, bad_img)], "doc_id long, payload binary"
+    )
+    with _pytest.raises(Exception, match="truncated"):
+        mm.decode_pixels(df).collect()
+    kept = mm.decode_pixels(df, strict=False).collect()
+    assert [r["doc_id"] for r in kept] == [1]
+
+    samples = np.zeros((64, 1), dtype=np.int16)
+    body = samples.tobytes()
+    fmt = struct.pack("<HHIIHH", 1, 1, 8000, 16000, 2, 16)
+    chunks = (b"fmt " + struct.pack("<I", len(fmt)) + fmt
+              + b"data" + struct.pack("<I", len(body)) + body)
+    good_wav = b"RIFF" + struct.pack("<I", 4 + len(chunks)) + b"WAVE" + chunks
+    adf = spark.createDataFrame(
+        [(1, good_wav), (2, b"RIFFjunk")], "doc_id long, payload binary"
+    )
+    with _pytest.raises(Exception, match="RIFF/WAVE|fmt/data"):
+        mm.decode_audio(adf).collect()
+    akept = mm.decode_audio(adf, strict=False).collect()
+    assert [r["doc_id"] for r in akept] == [1]
+    # capability gap raises under strict=False too
+    mp3 = b"RIFF" + struct.pack("<I", 30) + b"WAVE" + b"fmt " + \
+        struct.pack("<I", 16) + struct.pack("<HHIIHH", 85, 1, 8000, 8000, 1, 16)
+    bad_cap = spark.createDataFrame([(3, mp3)], "doc_id long, payload binary")
+    with _pytest.raises(Exception, match="PCM16|format tag"):
+        mm.decode_audio(bad_cap, strict=False).collect()
