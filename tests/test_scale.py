@@ -126,6 +126,10 @@ TRACKED = [
     # must stay linear in the token stream; the pairs join is bucketed
     # by fingerprint
     "dedup_winnow_pairs",
+    # round 15: real media decode chains — three Arrow passes must
+    # stay linear in the (subset-bounded) payload stream
+    "multimodal_pixel_stats",
+    "multimodal_audio_stats",
 ]
 
 
