@@ -650,6 +650,132 @@ def _parse_length(b):
 _ALL_STATS = frozenset(("env", "npts", "area", "len"))
 
 
+def _row_batch_walk(bufs, valid):
+    """Per-row structural walk (the general path): per-endianness ring
+    descriptor rows ``(row, gtype, part, ring, nverts)`` plus one
+    packed vertex buffer per byte order (dst offsets assigned during
+    the walk via a running vertex counter, so packing is one pass).
+    Returns ``(desc, packed, part_row)`` and marks ``valid``."""
+    import numpy as np
+
+    desc = {"<": [], ">": []}
+    copies = {"<": [], ">": []}  # (src_buf, src_off, n_bytes, dst_off)
+    vbytes = {"<": 0, ">": 0}
+    part_row: list = []
+    for i, b in enumerate(bufs):
+        if b is None:
+            continue
+        parts = _parts(b)
+        if parts is None:
+            continue
+        valid[i] = True
+        for e, t, rings in parts:
+            pid = len(part_row)
+            part_row.append(i)
+            for ri, (nv, voff) in enumerate(rings):
+                desc[e].append((i, t, pid, ri, nv))
+                nb = 16 * nv
+                copies[e].append((b, voff, nb, vbytes[e]))
+                vbytes[e] += nb
+    packed = {}
+    for e in ("<", ">"):
+        buf = bytearray(vbytes[e])
+        for src, so, nb, do in copies[e]:
+            buf[do : do + nb] = src[so : so + nb]
+        packed[e] = buf
+    return desc, packed, np.asarray(part_row, dtype=np.int64)
+
+
+def _uniform_batch_walk(bufs, valid):
+    """Uniform-layout fast path (optimization r15, guide §4.2): when
+    every non-null buffer in the batch has the same length AND the same
+    structural bytes (headers, type codes, ring counts) as the first
+    one — the common case for machine-written geometry columns, where
+    one encoder emitted the same shape for every row — the per-row
+    Python walk collapses to ONE template walk plus whole-batch numpy:
+    a single byte-matrix comparison validates all rows at once, and the
+    packed vertex buffers are one fancy-index gather instead of a
+    Python memcpy per ring per row.  The descriptor arrays and packed
+    bytes are constructed in exactly the order :func:`_row_batch_walk`
+    produces, so every downstream statistic is bit-identical.  Returns
+    None (fall back to the row walk) on mixed layouts, any
+    non-matching row, or small batches where the setup outweighs the
+    win."""
+    import numpy as np
+
+    n = len(bufs)
+    if n < 16:
+        return None
+    first = None
+    for b in bufs:
+        if b is None:
+            continue
+        if first is None:
+            first = b
+        elif len(b) != len(first):
+            return None
+    if first is None:
+        return None
+    L = len(first)
+    parts = _parts(first)
+    if parts is None:
+        return None
+    nn_idx = np.fromiter(
+        (i for i, b in enumerate(bufs) if b is not None), dtype=np.int64
+    )
+    B = np.frombuffer(
+        b"".join(b for b in bufs if b is not None), dtype=np.uint8
+    ).reshape(len(nn_idx), L)
+    tarr = np.frombuffer(first, dtype=np.uint8)
+    smask = np.ones(L, dtype=bool)
+    for _e, _t, rings in parts:
+        for nv, voff in rings:
+            smask[voff : voff + 16 * nv] = False
+    spos = np.flatnonzero(smask)
+    if not (B[:, spos] == tarr[spos]).all():
+        return None
+    valid[nn_idx] = True
+    nrow = len(nn_idx)
+    P = len(parts)
+    part_row = np.repeat(nn_idx, P)
+    desc = {}
+    packed = {}
+    for e in ("<", ">"):
+        entries = [
+            (t, p_idx, ri, nv, voff)
+            for p_idx, (ee, t, rings) in enumerate(parts)
+            if ee == e
+            for ri, (nv, voff) in enumerate(rings)
+        ]
+        if not entries:
+            desc[e] = np.zeros((0, 5), dtype=np.int64)
+            packed[e] = b""
+            continue
+        t_a, p_a, ri_a, nv_a, voff_a = (
+            np.asarray(x, dtype=np.int64) for x in zip(*entries)
+        )
+        K = len(entries)
+        rows = np.repeat(nn_idx, K)
+        pid = np.repeat(np.arange(nrow, dtype=np.int64) * P, K) + np.tile(
+            p_a, nrow
+        )
+        desc[e] = np.stack(
+            [
+                rows,
+                np.tile(t_a, nrow),
+                pid,
+                np.tile(ri_a, nrow),
+                np.tile(nv_a, nrow),
+            ],
+            axis=1,
+        )
+        cols = np.concatenate(
+            [np.arange(vo, vo + 16 * nv) for _, _, _, nv, vo in entries]
+        )
+        packed[e] = np.ascontiguousarray(B[:, cols])
+    return desc, packed, part_row
+
+
 def _batch_stats(bufs, need=_ALL_STATS):
     """Struct-of-arrays batch parse of variable-length WKB (VERDICT
     r14 #6).  Per-row Python is ONLY the structural walk (headers and
@@ -682,41 +808,21 @@ def _batch_stats(bufs, need=_ALL_STATS):
     if "len" in need:
         res["length"] = np.zeros(n)
 
-    # structural walk: per-endianness ring descriptor columns + the
-    # pending vertex-block copies (dst offsets assigned during the
-    # walk via a running vertex counter, so packing is one pass)
-    desc = {"<": [], ">": []}  # (row, gtype, part, ring, nverts)
-    copies = {"<": [], ">": []}  # (src_buf, src_off, n_bytes, dst_off)
-    vbytes = {"<": 0, ">": 0}
-    part_row: list = []
-    for i, b in enumerate(bufs):
-        if b is None:
-            continue
-        parts = _parts(b)
-        if parts is None:
-            continue
-        valid[i] = True
-        for e, t, rings in parts:
-            pid = len(part_row)
-            part_row.append(i)
-            for ri, (nv, voff) in enumerate(rings):
-                desc[e].append((i, t, pid, ri, nv))
-                nb = 16 * nv
-                copies[e].append((b, voff, nb, vbytes[e]))
-                vbytes[e] += nb
-    if not part_row:
+    walk = _uniform_batch_walk(bufs, valid)
+    if walk is None:
+        walk = _row_batch_walk(bufs, valid)
+    desc, packed, part_row = walk
+    if not len(part_row):
         return res
     part_sum = np.zeros(len(part_row)) if "area" in need else None
 
-    for e, rows_ in desc.items():
-        if not rows_:
+    for e in ("<", ">"):
+        d = desc[e]
+        if not len(d):
             continue
-        packed = bytearray(vbytes[e])
-        for src, so, nb, do in copies[e]:
-            packed[do : do + nb] = src[so : so + nb]
-        d = np.asarray(rows_, dtype=np.int64)
+        d = np.asarray(d, dtype=np.int64)
         rr, tt, pp, ri, nv = (d[:, k] for k in range(5))
-        coords = np.frombuffer(packed, dtype=e + "f8")
+        coords = np.frombuffer(packed[e], dtype=e + "f8")
         xs, ys = coords[0::2], coords[1::2]
         vs = np.zeros(len(nv), dtype=np.int64)
         np.cumsum(nv[:-1], out=vs[1:])

@@ -1263,3 +1263,74 @@ def test_cap_file_pruning_with_seam_and_pole(spark, tmp_path):
     ])
     kept_pids = {r["pid"] for r in kept_pts.select("pid").collect()}
     assert hit_pids <= kept_pids
+
+
+def test_uniform_batch_fast_path_engages_and_matches():
+    """Optimization r15: machine-written geometry columns (one encoder,
+    one shape per row) take the uniform-layout walk — a single template
+    parse + whole-batch structural verification — and must produce
+    BIT-identical descriptors/stats to the per-row walk; any
+    non-conforming row must disable it for the batch (never a wrong
+    answer)."""
+    import numpy as np
+
+    from iceberg_compaction_spark.operators import geo as g
+
+    def mp(x0, y0, x1, y1):
+        return g.wkb_multipolygon(
+            [
+                [[(x0, y0), (x1, y0), (x1, y1), (x0, y1), (x0, y0)]],
+                [
+                    [
+                        (x0 + 5, y0 + 5),
+                        (x1 + 5, y0 + 5),
+                        (x1 + 5, y1 + 5),
+                        (x0 + 5, y1 + 5),
+                        (x0 + 5, y0 + 5),
+                    ]
+                ],
+            ]
+        )
+
+    uniform = [mp(i % 37, i % 31, i % 37 + 2, i % 31 + 3) for i in range(600)]
+    # 1) fast path engages on the uniform batch
+    called = {"row_walk": False}
+    orig_row = g._row_batch_walk
+
+    def spy(bufs, valid):
+        called["row_walk"] = True
+        return orig_row(bufs, valid)
+
+    g._row_batch_walk = spy
+    try:
+        r_fast = g._batch_stats(uniform)
+    finally:
+        g._row_batch_walk = orig_row
+    assert not called["row_walk"], "uniform batch must take the fast path"
+
+    # 2) bit-identical to the row walk
+    orig_uni = g._uniform_batch_walk
+    g._uniform_batch_walk = lambda bufs, valid: None
+    try:
+        r_slow = g._batch_stats(uniform)
+    finally:
+        g._uniform_batch_walk = orig_uni
+    for key in r_fast:
+        assert np.array_equal(r_fast[key], r_slow[key]), key
+
+    # 3) one same-length corrupt row disables the fast path, results
+    # stay correct (corrupt row invalid, the rest parsed)
+    bad = bytearray(uniform[0])
+    bad[1] = 0x99  # invalid geometry type code, same buffer length
+    mixed = uniform[:100] + [bytes(bad)] + uniform[100:200]
+    r_m = g._batch_stats(mixed)
+    assert r_m["valid"][:100].all()
+    assert not r_m["valid"][100]
+    assert r_m["valid"][101:].all()
+
+    # 4) nulls inside a uniform batch stay null, others fast-parse
+    with_nulls = uniform[:50] + [None] + uniform[50:100]
+    r_n = g._batch_stats(with_nulls)
+    assert not r_n["valid"][50]
+    assert r_n["valid"][:50].all() and r_n["valid"][51:].all()
+    assert np.array_equal(r_n["area"][:50], r_fast["area"][:50])
