@@ -3129,28 +3129,32 @@ def q_cdc_update_images(spark, sf_dir):
     Replication consumers need the distinction: updates keep the key
     live, deletes tombstone it.
 
-    Scale shape: the signed-count diff pass as before, plus two windowed
-    presence flags over ONE hash shuffle on the key — no self-join, no
-    driver work."""
+    Scale shape: the single-scan signed-count diff pass (carried rows
+    cancel map-side, optimization r15), plus two windowed presence
+    flags over ONE hash shuffle on the key — no self-join, no driver
+    work."""
     from iceberg_compaction_spark.sources.changes import (
         pair_update_images,
-        row_changes,
+        row_changes_single_scan,
     )
 
-    old = syn.output_select(
+    base = syn.output_select(
         spark.read.parquet(syn.lineitem_path(sf_dir)).where(
             ~F.expr(syn.POS_RULE_SQL)
         )
     )
     touched = F.col("l_orderkey") % 17 == 0
-    updated = (
-        old.where(touched & (F.col("l_linenumber") == 1))
-        .withColumn("l_quantity", F.col("l_quantity") + 1000)
-        .select(*old.columns)
+    changes = row_changes_single_scan(
+        base,
+        new_keep=~touched | (F.col("l_linenumber") == 1),
+        new_overrides={
+            "l_quantity": F.when(
+                touched, F.col("l_quantity") + 1000
+            ).otherwise(F.col("l_quantity"))
+        },
     )
-    new = old.where(~touched).unionByName(updated)
     return pair_update_images(
-        row_changes(old, new), keys=["l_orderkey", "l_linenumber"]
+        changes, keys=["l_orderkey", "l_linenumber"]
     )
 
 
@@ -3163,14 +3167,15 @@ def q_cdc_changelog(spark, sf_dir):
 
     Scale shape: ONE signed-count diff pass over only the AFFECTED row
     sets (the manifest layer restricts to changed files before this
-    runs) — each snapshot scanned once, one full-row exchange with
-    map-side cancellation of carried rows (row_changes, round 15); the
-    NEW side derives from a single scan (conditional filter + update
-    expression, not a two-branch union); no window, no driver
-    materialization."""
-    from iceberg_compaction_spark.sources.changes import row_changes
+    runs) — BOTH row variants of each input row emitted from a single
+    scan (row_changes_single_scan, optimization r15), so carried rows
+    cancel inside the map task and only changed rows cross the
+    exchange; no window, no driver materialization."""
+    from iceberg_compaction_spark.sources.changes import (
+        row_changes_single_scan,
+    )
 
-    old = syn.output_select(
+    base = syn.output_select(
         spark.read.parquet(syn.lineitem_path(sf_dir)).where(
             ~F.expr(syn.POS_RULE_SQL)
         )
@@ -3178,13 +3183,15 @@ def q_cdc_changelog(spark, sf_dir):
     touched = F.col("l_orderkey") % 17 == 0
     # new = (old minus touched) union (touched line-1 rows updated),
     # expressed as ONE conditional pass over the same scan
-    new = old.where(~touched | (F.col("l_linenumber") == 1)).withColumn(
-        "l_quantity",
-        F.when(touched, F.col("l_quantity") + 1000).otherwise(
-            F.col("l_quantity")
-        ),
+    return row_changes_single_scan(
+        base,
+        new_keep=~touched | (F.col("l_linenumber") == 1),
+        new_overrides={
+            "l_quantity": F.when(
+                touched, F.col("l_quantity") + 1000
+            ).otherwise(F.col("l_quantity"))
+        },
     )
-    return row_changes(old, new)
 
 
 # ===========================================================================

@@ -190,6 +190,13 @@ def row_changes(old_rows: DataFrame, new_rows: DataFrame) -> DataFrame:
             )
         )
     )
+    return _expand_signed_delta(tagged, cols)
+
+
+def _expand_signed_delta(tagged: DataFrame, cols: list) -> DataFrame:
+    """Shared diff tail: group the ±1-tagged row stream by full row
+    value (map-side-combined sum), drop delta-0 rows, re-expand
+    multiplicity, tag insert/delete."""
     delta = (
         tagged.groupBy(*cols)
         .agg(F.sum("__side").alias("__delta"))
@@ -202,6 +209,53 @@ def row_changes(old_rows: DataFrame, new_rows: DataFrame) -> DataFrame:
         .alias(CHANGE_TYPE),
         F.explode(F.sequence(F.lit(1), F.abs("__delta"))).alias("__m"),
     ).drop("__m")
+
+
+def row_changes_single_scan(
+    base: DataFrame,
+    new_keep,
+    new_overrides: dict,
+) -> DataFrame:
+    """:func:`row_changes` for the upsert-shaped case where BOTH row
+    sets derive from ONE scan: ``old`` is every ``base`` row, ``new``
+    is the rows passing ``new_keep`` with the ``new_overrides``
+    column expressions substituted.
+
+    Optimization r15 (guide §2.3, aggregate before you shuffle): the
+    two-branch union form scans the base twice and — because the
+    branches are separate tasks — can only cancel carried rows at the
+    REDUCE side, so the full row stream crosses the exchange.  Here
+    each input row emits its old-form (−1) and, when kept, its
+    new-form (+1) variant from one array+explode projection, so a
+    carried row's two variants land in the SAME map task and cancel in
+    the partial aggregate: one scan instead of two, and the shuffle
+    carries only genuinely changed rows.  Output is multiset-identical
+    to ``row_changes(base, base.where(new_keep).withColumns(...))``.
+    """
+    cols = base.columns
+    old_struct = F.struct(
+        *[F.col(c).alias(c) for c in cols],
+        F.lit(-1).cast("long").alias("__side"),
+    )
+    new_struct = F.struct(
+        *[
+            new_overrides[c].alias(c)
+            if c in new_overrides
+            else F.col(c).alias(c)
+            for c in cols
+        ],
+        F.lit(1).cast("long").alias("__side"),
+    )
+    tagged = (
+        base.select(
+            F.explode(
+                F.array(old_struct, F.when(new_keep, new_struct))
+            ).alias("__v")
+        )
+        .where(F.col("__v").isNotNull())
+        .select("__v.*")
+    )
+    return _expand_signed_delta(tagged, cols)
 
 
 @dataclass
