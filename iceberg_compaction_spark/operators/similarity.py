@@ -122,37 +122,45 @@ def quantize_int8(
     micro-units for engine-stable hashing.  All-zero vectors quantize
     to all-zero with NULL scale (no max magnitude to normalize by).
 
-    ``absmax``/``scale`` are STAGED as real columns before the
-    per-element ``transform`` — same O(d²)-avoidance as
-    :func:`l2_normalize` (an aggregate referenced inside a transform
-    lambda re-runs per element).
+    Quantization runs as a vectorized Arrow kernel (optimization r15,
+    guide §4.2) instead of interpreted per-element lambda HOFs — still
+    a narrow zero-shuffle projection (the plan gate), with the
+    identical IEEE arithmetic: ``max(|x|)`` is order-independent so it
+    equals the ``greatest`` fold exactly; ``127.0/absmax``,
+    ``floor(scale*1e6)`` and ``floor(x*scale)`` are the same
+    elementwise double ops; and the ``~(absmax <= 0)`` mask reproduces
+    Spark's NaN-is-largest comparison semantics for degenerate inputs.
     """
-    staged = df.select(
-        F.col(id_col), as_double(F.col(vec_col)).alias("__v")
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("struct<scale_micro: bigint, q: array<bigint>>")
+    def _q(embs: pd.Series) -> pd.DataFrame:
+        import numpy as np
+
+        V = np.vstack(embs.to_numpy()).astype(np.float64)
+        absm = np.abs(V).max(1)
+        mask = ~(absm <= 0)  # NaN -> True, matching Spark's NaN > 0
+        with np.errstate(divide="ignore", invalid="ignore"):
+            scale = np.where(mask, 127.0 / absm, np.nan)
+            sm = np.floor(scale * 1_000_000)
+            qf = np.floor(V * scale[:, None])
+        q = np.where(np.isfinite(qf), qf, 0.0).astype(np.int64)
+        q[~mask] = 0
+        return pd.DataFrame(
+            {
+                "scale_micro": [
+                    int(v) if np.isfinite(v) else None for v in sm
+                ],
+                "q": list(q),
+            }
+        )
+
+    return df.select(
+        F.col(id_col), _q(F.col(vec_col)).alias("__s")
     ).select(
         F.col(id_col),
-        F.col("__v"),
-        F.aggregate(
-            F.col("__v"), F.lit(0.0), lambda acc, x: F.greatest(acc, F.abs(x))
-        ).alias("__absmax"),
-    ).select(
-        F.col(id_col),
-        F.col("__v"),
-        F.col("__absmax"),
-        F.when(F.col("__absmax") > 0, F.lit(127.0) / F.col("__absmax")).alias(
-            "__scale"
-        ),
-    )
-    absmax, scale = F.col("__absmax"), F.col("__scale")
-    return staged.select(
-        F.col(id_col),
-        F.floor(scale * 1000000).cast("long").alias("scale_micro"),
-        F.transform(
-            F.col("__v"),
-            lambda x: F.when(absmax > 0, F.floor(x * scale))
-            .otherwise(F.lit(0))
-            .cast("long"),
-        ).alias("q"),
+        F.col("__s.scale_micro").alias("scale_micro"),
+        F.col("__s.q").alias("q"),
     )
 
 
