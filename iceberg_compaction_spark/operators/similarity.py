@@ -592,39 +592,124 @@ def lsh_topk(
     a pure projection (no centroid broadcast, no assignment shuffle):
     bucket each vector by hyperplane sign bits, join queries to corpus on
     the bucket, rank within the bucket.
+
+    Scoring is a vectorized Arrow kernel with per-batch partial top-k
+    (optimization r15, guide §4.2/§2.3 — the same port as
+    :func:`pq_topk`): the query set collects driver-side (it was
+    already broadcast whole as the build side of the bucket join) with
+    its buckets and norms computed in numpy; each corpus batch buckets
+    its vectors, scores only the within-bucket (query, doc) pairs, and
+    emits its LOCAL top-k per query, so the only exchange carries
+    (#batches x #queries x k) candidate rows instead of every scored
+    pair.  Bit-equality with the interpreted HOF expressions this
+    replaces: every dot product (bucket sign bits, norms, pair scores)
+    accumulates DIMENSION BY DIMENSION across the batch, reproducing
+    ``aggregate``'s fold-left IEEE order exactly, and the final
+    ``floor(dot / (qn * cn) * 1e6)`` evaluates in the same operation
+    order — oracle hashes are unchanged.  Local top-k is lossless: the
+    global top-k is a subset of the union of batch top-ks.
     """
     from pyspark.sql.window import Window
 
-    c = corpus.select(
-        F.col(id_col).alias("neighbor_id"),
-        as_double(F.col(vec_col)).alias("cv"),
-    ).withColumn("bucket", lsh_bucket(F.col("cv"), anchor_pairs)).withColumn(
-        "cn", vec_norm(F.col("cv"))
-    )
-    q = queries.select(
-        F.col(id_col).alias("query_id"),
-        as_double(F.col(vec_col)).alias("qv"),
-    ).withColumn("bucket", lsh_bucket(F.col("qv"), anchor_pairs)).withColumn(
-        "qn", vec_norm(F.col("qv"))
-    )
+    spark = corpus.sparkSession
+    id_type = corpus.schema[id_col].dataType.simpleString()
+    out_fields = f"query_id {id_type}, neighbor_id {id_type}, cos_ppm long"
 
-    scored = (
-        F.broadcast(q)
-        .join(c, on="bucket")
-        .where(F.col("query_id") != F.col("neighbor_id"))
-        .select(
-            "query_id",
-            "neighbor_id",
-            cosine_ppm_prenorm(
-                F.col("qv"), F.col("cv"), F.col("qn"), F.col("cn")
-            ).alias("cos_ppm"),
-        )
+    q_rows = sorted(
+        (r[0], r[1])
+        for r in queries.select(F.col(id_col), F.col(vec_col)).collect()
     )
+    if not q_rows:
+        return spark.createDataFrame([], out_fields + ", rank int")
+
+    # anchor matrix (2 * npairs, d): rows 2i / 2i+1 are pair i's (a, b)
+    A = np.asarray(
+        [v for ea, eb in anchor_pairs for v in (ea, eb)], dtype=np.float64
+    )
+    npairs = len(anchor_pairs)
+    qids_np = np.asarray([q for q, _ in q_rows], dtype=np.int64)
+    Q = np.asarray([[float(x) for x in v] for _, v in q_rows], dtype=np.float64)
+
+    def _buckets_norms(V):
+        # fold-left dot products, dimension by dimension: acc_k after
+        # processing dim j equals aggregate()'s partial sum after the
+        # j-th zip_with element — bit-identical to the interpreted HOF
+        d = V.shape[1]
+        acc = np.zeros((V.shape[0], 2 * npairs), dtype=np.float64)
+        nrm = np.zeros(V.shape[0], dtype=np.float64)
+        for j in range(d):
+            acc += V[:, j, None] * A[None, :, j]
+            nrm += V[:, j] * V[:, j]
+        bits = (acc[:, 0::2] >= acc[:, 1::2]) << np.arange(npairs)
+        return bits.sum(1).astype(np.int64), np.sqrt(nrm)
+
+    q_bucket, q_norm = _buckets_norms(Q)
+    bc = spark.sparkContext.broadcast((qids_np, Q, q_bucket, q_norm))
+    kk = int(k)
+
+    def _score(batches):
+        import numpy as np
+        import pyarrow as pa
+
+        qids, Qv, qb, qn = bc.value
+        for batch in batches:
+            if batch.num_rows == 0:
+                continue
+            nid = batch.column(0).to_numpy(zero_copy_only=False).astype(
+                np.int64
+            )
+            vals = batch.column(1).flatten().to_numpy(zero_copy_only=False)
+            V = np.asarray(vals, dtype=np.float64).reshape(
+                batch.num_rows, Qv.shape[1]
+            )
+            cb, cn = _buckets_norms(V)
+            out_q, out_n, out_c = [], [], []
+            for b in np.unique(cb):
+                qi = np.nonzero(qb == b)[0]
+                if qi.size == 0:
+                    continue
+                ci = np.nonzero(cb == b)[0]
+                Qb, Cb = Qv[qi], V[ci]
+                acc = np.zeros((qi.size, ci.size), dtype=np.float64)
+                for j in range(Qv.shape[1]):
+                    acc += Qb[:, j, None] * Cb[None, :, j]
+                cos = np.floor(
+                    acc / (qn[qi, None] * cn[None, ci]) * 1e6
+                ).astype(np.int64)
+                self_pair = qids[qi, None] == nid[None, ci]
+                # exclude self-pairs from the local top-k via a sentinel
+                # below any real cos_ppm (and safely negatable for the
+                # descending sort key — int64 min would overflow under
+                # negation), then drop them after the take
+                excl = np.int64(-(1 << 62))
+                cos = np.where(self_pair, excl, cos)
+                take = min(kk, ci.size)
+                order = np.lexsort(
+                    (np.broadcast_to(nid[ci], cos.shape), -cos), axis=-1
+                )[:, :take]
+                cv = np.take_along_axis(cos, order, 1).ravel()
+                keep = cv != excl
+                out_q.append(np.repeat(qids[qi], take)[keep])
+                out_n.append(nid[ci][order].ravel()[keep])
+                out_c.append(cv[keep])
+            if out_q:
+                yield pa.RecordBatch.from_arrays(
+                    [
+                        pa.array(np.concatenate(out_q)),
+                        pa.array(np.concatenate(out_n)),
+                        pa.array(np.concatenate(out_c)),
+                    ],
+                    names=["query_id", "neighbor_id", "cos_ppm"],
+                )
+
+    cand = corpus.select(
+        F.col(id_col), as_double(F.col(vec_col)).alias("__v")
+    ).mapInArrow(_score, out_fields)
     w = Window.partitionBy("query_id").orderBy(
         F.col("cos_ppm").desc(), F.col("neighbor_id").asc()
     )
     return (
-        scored.withColumn("rank", F.row_number().over(w))
+        cand.withColumn("rank", F.row_number().over(w))
         .where(F.col("rank") <= k)
         .select(
             "query_id",

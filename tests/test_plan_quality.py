@@ -74,18 +74,19 @@ def test_minhash_signatures_have_no_shuffle(spark):
     assert "Exchange" not in s
 
 
-def test_ann_lsh_broadcasts_queries_no_corpus_shuffle(spark):
-    """LSH ANN: bucketing is a projection over the scan; the query set is
-    broadcast — the corpus side reaches the join without any Exchange."""
+def test_ann_lsh_kernel_no_join_no_corpus_shuffle(spark):
+    """LSH ANN (optimization r15): bucketing + within-bucket scoring is
+    one Arrow kernel over the corpus scan — no join at all; the only
+    exchange carries the per-batch top-k candidate stream into the
+    ranking window, never the corpus itself."""
     from iceberg_compaction_spark import registry
 
     df = registry.QUERIES["ann_lsh"](spark, SF)
     s = plan_of(df)
-    assert "BroadcastHashJoin" in s
+    assert "MapInArrow" in s
+    assert "Join" not in s  # neither broadcast nor shuffle join remains
     # exactly one exchange: the window's hashpartitioning on query_id
-    # (scored candidates), never the corpus scan itself
-    import re
-
+    # (local top-k candidates), never the corpus scan itself
     exchanges = [
         ln
         for ln in s.splitlines()
