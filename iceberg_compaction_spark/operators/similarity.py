@@ -173,37 +173,103 @@ def brute_force_topk(
 ) -> DataFrame:
     """Exact cosine top-k: (query_id, neighbor_id, cos_ppm, rank).
 
-    The query set is broadcast (it is small by construction); ranking is a
-    window partitioned by query — each partition holds |corpus| rows
-    pre-aggregation but Spark's TopK (rank <= k) pushes the limit into
-    the sort. Ties break by neighbor id for determinism.
+    Scoring is a vectorized Arrow kernel with per-batch partial top-k
+    (optimization r15 — the same port as :func:`pq_topk` /
+    :func:`lsh_topk`, minus any bucketing: this stays the EXACT
+    correctness baseline, every (query, doc) pair is scored).  The
+    query set collects driver-side (it is small by construction — it
+    was already broadcast whole as the crossJoin build side); each
+    corpus batch computes the full (queries x batch) cosine matrix in
+    numpy and emits its LOCAL top-k per query, so the one remaining
+    exchange carries (#batches x #queries x k) candidate rows instead
+    of the full |corpus| x |queries| scored cross product the old
+    BroadcastNestedLoopJoin pushed through the ranking window.
+
+    Bit-equality with the interpreted HOF expressions this replaces:
+    dot products and norms accumulate DIMENSION BY DIMENSION across
+    the batch (reproducing ``aggregate``'s fold-left IEEE order), and
+    ``floor(dot / (qn * cn) * 1e6)`` evaluates in the same operation
+    order — oracle hashes are unchanged.  Local top-k is lossless
+    under the (cos_ppm desc, neighbor_id asc) total order: the global
+    top-k is a subset of the union of batch top-ks.  Ties break by
+    neighbor id for determinism, as before.
     """
     from pyspark.sql.window import Window
 
-    q = F.broadcast(
-        queries.select(
-            F.col(id_col).alias("query_id"), as_double(F.col(vec_col)).alias("qv")
-        ).withColumn("qn", vec_norm(F.col("qv")))
+    spark = corpus.sparkSession
+    id_type = corpus.schema[id_col].dataType.simpleString()
+    out_fields = f"query_id {id_type}, neighbor_id {id_type}, cos_ppm long"
+
+    q_rows = sorted(
+        (r[0], r[1])
+        for r in queries.select(F.col(id_col), F.col(vec_col)).collect()
     )
-    c = corpus.select(
-        F.col(id_col).alias("neighbor_id"), as_double(F.col(vec_col)).alias("cv")
-    ).withColumn("cn", vec_norm(F.col("cv")))
-    scored = (
-        q.crossJoin(c)
-        .where(F.col("query_id") != F.col("neighbor_id"))
-        .select(
-            "query_id",
-            "neighbor_id",
-            cosine_ppm_prenorm(
-                F.col("qv"), F.col("cv"), F.col("qn"), F.col("cn")
-            ).alias("cos_ppm"),
-        )
+    if not q_rows:
+        return spark.createDataFrame([], out_fields + ", rank int")
+
+    qids_np = np.asarray([q for q, _ in q_rows], dtype=np.int64)
+    Q = np.asarray(
+        [[float(x) for x in v] for _, v in q_rows], dtype=np.float64
     )
+    qn = np.zeros(len(q_rows), dtype=np.float64)
+    for j in range(Q.shape[1]):
+        qn += Q[:, j] * Q[:, j]
+    qn = np.sqrt(qn)
+    bc = spark.sparkContext.broadcast((qids_np, Q, qn))
+    kk = int(k)
+
+    def _score(batches):
+        import numpy as np
+        import pyarrow as pa
+
+        qids, Qv, qnorm = bc.value
+        for batch in batches:
+            if batch.num_rows == 0:
+                continue
+            nid = batch.column(0).to_numpy(zero_copy_only=False).astype(
+                np.int64
+            )
+            vals = batch.column(1).flatten().to_numpy(zero_copy_only=False)
+            V = np.asarray(vals, dtype=np.float64).reshape(
+                batch.num_rows, Qv.shape[1]
+            )
+            # fold-left dot matrix + corpus norms, dimension by dimension
+            acc = np.zeros((len(qids), batch.num_rows), dtype=np.float64)
+            cn = np.zeros(batch.num_rows, dtype=np.float64)
+            for j in range(Qv.shape[1]):
+                acc += Qv[:, j, None] * V[None, :, j]
+                cn += V[:, j] * V[:, j]
+            cn = np.sqrt(cn)
+            cos = np.floor(
+                acc / (qnorm[:, None] * cn[None, :]) * 1e6
+            ).astype(np.int64)
+            # exclude self-pairs via a sentinel below any real cos_ppm
+            # (safely negatable for the descending sort key)
+            excl = np.int64(-(1 << 62))
+            cos = np.where(qids[:, None] == nid[None, :], excl, cos)
+            take = min(kk, batch.num_rows)
+            order = np.lexsort(
+                (np.broadcast_to(nid, cos.shape), -cos), axis=-1
+            )[:, :take]
+            cv = np.take_along_axis(cos, order, 1).ravel()
+            keep = cv != excl
+            yield pa.RecordBatch.from_arrays(
+                [
+                    pa.array(np.repeat(qids, take)[keep]),
+                    pa.array(nid[order].ravel()[keep]),
+                    pa.array(cv[keep]),
+                ],
+                names=["query_id", "neighbor_id", "cos_ppm"],
+            )
+
+    cand = corpus.select(
+        F.col(id_col), as_double(F.col(vec_col)).alias("__v")
+    ).mapInArrow(_score, out_fields)
     w = Window.partitionBy("query_id").orderBy(
         F.col("cos_ppm").desc(), F.col("neighbor_id").asc()
     )
     return (
-        scored.withColumn("rank", F.row_number().over(w))
+        cand.withColumn("rank", F.row_number().over(w))
         .where(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "cos_ppm", F.col("rank").cast("int").alias("rank"))
     )

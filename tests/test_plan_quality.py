@@ -96,6 +96,27 @@ def test_ann_lsh_kernel_no_join_no_corpus_shuffle(spark):
     assert "query_id" in exchanges[0]
 
 
+def test_ann_topk_kernel_no_cross_product(spark):
+    """Exact top-k (optimization r15): scoring is one Arrow kernel over
+    the corpus scan with per-batch local top-k — the old
+    BroadcastNestedLoopJoin cross product (|corpus| x |queries| scored
+    rows into the ranking window) is gone; the only exchange carries
+    the candidate stream, never the corpus."""
+    from iceberg_compaction_spark import registry
+
+    df = registry.QUERIES["ann_topk"](spark, SF)
+    s = plan_of(df)
+    assert "MapInArrow" in s
+    assert "Join" not in s  # no BNLJ cross product, no other join
+    exchanges = [
+        ln
+        for ln in s.splitlines()
+        if "Exchange" in ln and "Reused" not in ln and "BroadcastExchange" not in ln
+    ]
+    assert len(exchanges) == 1, exchanges
+    assert "query_id" in exchanges[0]
+
+
 def test_star_query_broadcasts_all_dims(spark):
     from iceberg_compaction_spark import registry
 
