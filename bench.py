@@ -120,42 +120,20 @@ BENCH_QUERIES = [
 
 
 def build_spark(cpus: int):
-    from pyspark.sql import SparkSession
+    # The shared builder carries the engine's session defaults — AQE
+    # coalescing, UTC, and the preloading Python-worker daemon (see
+    # OPTIMIZATION_r15.md finding 1 / guide §4.5: a flushed worker pool
+    # otherwise re-imports pandas on every core at once, measured 17 s
+    # wall for the first Arrow query after a flush vs ~1.5 s warm).
+    # Effective bench config is unchanged from round 15.
+    from iceberg_compaction_spark.session import session_builder
 
-    # the preloading daemon (iceberg_compaction_spark/pydaemon.py) must be
-    # importable from the daemon process, which inherits the JVM's env,
-    # not the driver's sys.path
-    repo = os.path.dirname(os.path.abspath(__file__))
-    existing = os.environ.get("PYTHONPATH", "")
-    if repo not in existing.split(os.pathsep):
-        os.environ["PYTHONPATH"] = (
-            repo + (os.pathsep + existing if existing else "")
-        )
-
-    return (
-        SparkSession.builder.master(f"local[{cpus}]")
-        .appName("iceberg-compaction-spark-bench")
-        .config("spark.sql.shuffle.partitions", str(cpus))
-        .config("spark.sql.adaptive.enabled", "true")
-        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
-        .config("spark.sql.session.timeZone", "UTC")
-        .config("spark.ui.enabled", "false")
-        .config("spark.driver.memory", "16g")
-        # Preload the Arrow/pandas worker stack in the Python daemon so
-        # replacement workers fork with it copy-on-write (guide §4.5).
-        # Spark kills workers that tasks end without draining (limits,
-        # short-circuit joins), and a flushed pool otherwise re-imports
-        # pandas on every core at once before the next Python-boundary
-        # query: measured 17 s wall for the first Arrow query after a
-        # flush vs ~1.5 s warm on this 32-core box — see
-        # OPTIMIZATION_r15.md.  Production-honest: any long-lived
-        # deployment wants worker startup off the query path.
-        .config(
-            "spark.python.daemon.module",
-            "iceberg_compaction_spark.pydaemon",
-        )
-        .getOrCreate()
-    )
+    return session_builder(
+        master=f"local[{cpus}]",
+        app_name="iceberg-compaction-spark-bench",
+        shuffle_partitions=cpus,
+        **{"spark.driver.memory": "16g"},
+    ).getOrCreate()
 
 
 def run_query(df) -> None:

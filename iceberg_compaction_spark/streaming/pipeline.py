@@ -258,18 +258,82 @@ def streaming_interval_join(
     )
 
 
+# Failure signatures of a Python worker/daemon that never came up.  The
+# connect-back accept timeout in Spark's PythonWorkerFactory is a
+# HARDCODED 10 s (verified against the 4.1.2 bytecode: `ldc2_w 10000L`
+# right before "Timed out while waiting for the Python worker to connect
+# back") — not reachable by any conf — so on a loaded host where 32
+# freshly forked workers all import pyspark at once, a streaming
+# DataSource's planner/reader worker can miss the window and the whole
+# query dies at state INITIALIZING with no retry.  Observed twice in
+# round 15 (driver's oracle run; round-start pytest under full-core
+# load).  The only engine-level remedy is a bounded restart of the
+# stream: availableNow + a fresh memory-sink table per attempt means a
+# restart recomputes from the source snapshots with no partial state.
+_WORKER_SPAWN_SIGNATURES = (
+    "failed to connect back",
+    "Timed out while waiting for the Python worker",
+    "Python daemon failed to launch worker",
+    "Failed to open socket to Python daemon",
+    "SocketTimeoutException",
+)
+
+
+def _is_worker_spawn_failure(exc: BaseException) -> bool:
+    """True when an exception chain carries a Python-worker spawn
+    failure (SocketTimeout at stream INITIALIZING), the one transient
+    infrastructure error worth restarting a stream for."""
+    seen = set()
+    stack = [exc]
+    while stack:
+        e = stack.pop()
+        if id(e) in seen or e is None:
+            continue
+        seen.add(id(e))
+        text = f"{type(e).__name__}: {e}"
+        if any(sig in text for sig in _WORKER_SPAWN_SIGNATURES):
+            return True
+        stack.extend([e.__cause__, e.__context__])
+    return False
+
+
 def run_available_now(
-    result: DataFrame, spark: SparkSession, output_mode: str = "complete"
+    result: DataFrame,
+    spark: SparkSession,
+    output_mode: str = "complete",
+    max_start_retries: int = 2,
 ) -> DataFrame:
     """Run a streaming DataFrame to completion (availableNow) into a
-    memory sink; return the materialized result as a batch DataFrame."""
-    name = f"mem_{uuid.uuid4().hex[:8]}"
-    q = (
-        result.writeStream.format("memory")
-        .queryName(name)
-        .outputMode(output_mode)
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
-    return spark.table(name)
+    memory sink; return the materialized result as a batch DataFrame.
+
+    Worker-spawn failures (see ``_is_worker_spawn_failure``) are retried
+    up to ``max_start_retries`` times with a fresh sink table and a
+    fresh (temp) checkpoint per attempt, so a retry is a clean
+    recomputation, never an append onto partial output.  Any other
+    failure propagates immediately.
+    """
+    last_exc: BaseException | None = None
+    for attempt in range(1 + max_start_retries):
+        name = f"mem_{uuid.uuid4().hex[:8]}"
+        q = None
+        try:
+            q = (
+                result.writeStream.format("memory")
+                .queryName(name)
+                .outputMode(output_mode)
+                .trigger(availableNow=True)
+                .start()
+            )
+            q.awaitTermination()
+            return spark.table(name)
+        except Exception as exc:  # noqa: BLE001 — classified below
+            if q is not None:
+                try:
+                    q.stop()
+                except Exception:
+                    pass
+            if attempt < max_start_retries and _is_worker_spawn_failure(exc):
+                last_exc = exc
+                continue
+            raise
+    raise last_exc  # unreachable; loop either returns or raises

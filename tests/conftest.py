@@ -1,17 +1,18 @@
 import pytest
-from pyspark.sql import SparkSession
+
+from iceberg_compaction_spark.session import session_builder
 
 
 @pytest.fixture(scope="session")
 def spark():
-    spark = (
-        SparkSession.builder.master("local[4]")
-        .appName("iceberg-compaction-spark-tests")
-        .config("spark.sql.shuffle.partitions", "4")
-        .config("spark.sql.session.timeZone", "UTC")
-        .config("spark.ui.enabled", "false")
-        .config("spark.sql.adaptive.enabled", "true")
-        .getOrCreate()
-    )
+    # the shared builder adds the preloading worker daemon (guide §4.5),
+    # so workers forked mid-suite inherit pandas/pyarrow copy-on-write
+    # instead of re-importing them — the bench session has run this way
+    # since r15; r16 extends it to the suite (VERDICT r15 item 7)
+    spark = session_builder(
+        master="local[4]",
+        app_name="iceberg-compaction-spark-tests",
+        shuffle_partitions=4,
+    ).getOrCreate()
     yield spark
     spark.stop()

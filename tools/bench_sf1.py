@@ -57,20 +57,16 @@ def build_replicated(factor: int = 10) -> str:
 
 
 def main() -> None:
-    from pyspark.sql import SparkSession
-
     from iceberg_compaction_spark import registry
 
-    spark = (
-        SparkSession.builder.master(
-            f"local[{os.environ.get('SPARK_GRAFT_CPUS', '32')}]"
-        )
-        .config("spark.sql.shuffle.partitions", "32")
-        .config("spark.sql.adaptive.enabled", "true")
-        .config("spark.driver.memory", "48g")
-        .appName("bench-sf1")
-        .getOrCreate()
-    )
+    from iceberg_compaction_spark.session import session_builder
+
+    spark = session_builder(
+        master=f"local[{os.environ.get('SPARK_GRAFT_CPUS', '32')}]",
+        app_name="bench-sf1",
+        shuffle_partitions=32,
+        **{"spark.driver.memory": "48g"},
+    ).getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     repl = build_replicated()
 

@@ -58,7 +58,6 @@ def table_hash(cols: list[str], rows: list[tuple]) -> str:
 
 def main() -> int:
     import duckdb
-    from pyspark.sql import SparkSession
 
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
     only = set(sys.argv[2:])
@@ -68,14 +67,16 @@ def main() -> int:
     qs = entry_mod.queries()
     oracles = entry_mod.oracle_sql()
 
-    spark = (
-        SparkSession.builder.master("local[8]")
-        .appName("oracle-check")
-        .config("spark.sql.shuffle.partitions", "8")
-        .config("spark.sql.session.timeZone", "UTC")
-        .config("spark.ui.enabled", "false")
-        .getOrCreate()
-    )
+    # the shared builder adds the preloading worker daemon (guide §4.5)
+    # so this runner's Python-boundary queries fork warm workers, same
+    # as the bench session (r16: previously bench-only)
+    from iceberg_compaction_spark.session import session_builder
+
+    spark = session_builder(
+        master="local[8]",
+        app_name="oracle-check",
+        shuffle_partitions=8,
+    ).getOrCreate()
     con = duckdb.connect()
     for t in TABLES:
         con.execute(
