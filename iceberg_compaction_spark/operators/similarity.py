@@ -146,10 +146,16 @@ def quantize_int8(
             qf = np.floor(V * scale[:, None])
         q = np.where(np.isfinite(qf), qf, 0.0).astype(np.int64)
         q[~mask] = 0
+        # scale_micro mirrors `floor(scale * 1e6).cast("long")` exactly:
+        # NULL only when the WHEN guard failed (absmax <= 0, scale NULL);
+        # a NaN scale (NaN absmax passes Spark's NaN-is-largest `> 0`)
+        # casts to 0L like any non-finite double-to-long cast (r16 fix,
+        # ADVICE r15 — previously emitted NULL here)
         return pd.DataFrame(
             {
                 "scale_micro": [
-                    int(v) if np.isfinite(v) else None for v in sm
+                    int(v) if np.isfinite(v) else (0 if m else None)
+                    for v, m in zip(sm, mask)
                 ],
                 "q": list(q),
             }
@@ -170,6 +176,7 @@ def brute_force_topk(
     k: int = 5,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    max_query_rows: int = None,
 ) -> DataFrame:
     """Exact cosine top-k: (query_id, neighbor_id, cos_ppm, rank).
 
@@ -197,12 +204,16 @@ def brute_force_topk(
     from pyspark.sql.window import Window
 
     spark = corpus.sparkSession
+    _require_bigint_ids(corpus, id_col, "brute_force_topk")
+    _require_bigint_ids(queries, id_col, "brute_force_topk")
     id_type = corpus.schema[id_col].dataType.simpleString()
     out_fields = f"query_id {id_type}, neighbor_id {id_type}, cos_ppm long"
 
     q_rows = sorted(
         (r[0], r[1])
-        for r in queries.select(F.col(id_col), F.col(vec_col)).collect()
+        for r in _collect_queries_guarded(
+            queries, id_col, vec_col, max_query_rows, "brute_force_topk"
+        )
     )
     if not q_rows:
         return spark.createDataFrame([], out_fields + ", rank int")
@@ -226,6 +237,11 @@ def brute_force_topk(
         for batch in batches:
             if batch.num_rows == 0:
                 continue
+            if batch.column(0).null_count or batch.column(1).null_count:
+                raise ValueError(
+                    "top-k Arrow kernel: NULL ids/embeddings are not "
+                    "supported; filter them out before calling"
+                )
             nid = batch.column(0).to_numpy(zero_copy_only=False).astype(
                 np.int64
             )
@@ -328,6 +344,11 @@ def assign_clusters(
     def _best(embs: pd.Series) -> pd.Series:
         import numpy as np
 
+        if embs.isna().any():
+            raise ValueError(
+                "assign_clusters: NULL embeddings are not supported; "
+                "filter them out before calling"
+            )
         V = np.vstack(embs.to_numpy()).astype(np.float64)
         n = len(V)
         vn2 = np.zeros(n)
@@ -349,12 +370,20 @@ def assign_clusters(
     )
 
 
+# semantic_dedup's grouped kernel materializes each cluster's rows in
+# ONE Python worker (applyInPandas group residency); this cap bounds
+# that residency — 500k rows x 64 dims x 8 B ≈ 256 MB of vectors plus
+# the pandas frame.  Clusters above it fall back to the self-join form.
+DEFAULT_SEMANTIC_CLUSTER_MAX_ROWS = 500_000
+
+
 def semantic_dedup(
     vectors: DataFrame,
     centroids: DataFrame,
     threshold_ppm: int,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    max_cluster_rows: int | None = DEFAULT_SEMANTIC_CLUSTER_MAX_ROWS,
 ) -> DataFrame:
     """SemDeDup-style semantic deduplication (Abbas et al. 2023,
     arXiv:2303.09540): cluster the embedding space, then remove
@@ -377,7 +406,7 @@ def semantic_dedup(
 
     The within-cluster pair stage is a vectorized grouped kernel
     (optimization r15, guide §4.2): one exchange routes each cluster's
-    vectors to a task, where the full pairwise cosine block computes in
+    vectors to a task, where the pairwise cosine blocks compute in
     numpy — accumulating the dot products DIMENSION BY DIMENSION so
     every pair's sum is evaluated in exactly the fold-left IEEE order
     of :func:`dot` (and each norm in the order of :func:`vec_norm`),
@@ -385,10 +414,22 @@ def semantic_dedup(
     it replaces.  That formulation evaluated ~n²/(2k) interpreted
     zip_with+aggregate folds (no codegen for lambda HOFs) across a
     self-join that shuffled the vectors twice; the kernel shuffles them
-    once and emits only the removed ids.  Column blocks bound memory at
-    nc x 4096 doubles, so a skewed cluster degrades to more blocks,
-    never an OOM — the paper's k-knob remains the cost control.
+    once and emits only the removed ids.
+
+    Memory (r16, ADVICE r15): pair blocks are tiled 4096 x 4096 (128 MB
+    of doubles each) in BOTH dimensions, and only the lower-triangle
+    row tiles are computed — id-sorted rows mean a remover is always a
+    lower index, so tiles entirely above the diagonal are skipped
+    (~half the FLOPs of the r15 column-strip form, identical results).
+    The remaining per-task residency is the cluster's own rows, which
+    ``applyInPandas`` materializes by construction; ``max_cluster_rows``
+    caps that: clusters above the cap are diverted to an equivalent
+    within-cluster self-join (the r14 formulation — quadratic but
+    spillable, never a single-worker OOM), decided from one cheap
+    (cluster_id) count aggregation.  Pass ``max_cluster_rows=None`` to
+    skip the sizing pass when cluster sizes are known-bounded.
     """
+    _require_bigint_ids(vectors, id_col, "semantic_dedup")
     assigned = assign_clusters(vectors, centroids, id_col, vec_col)
 
     thr = int(threshold_ppm)
@@ -399,6 +440,11 @@ def semantic_dedup(
         nc = len(pdf)
         if nc < 2:
             return pd.DataFrame({"__removed_id": pd.Series([], dtype="int64")})
+        if pdf["v"].isna().any():
+            raise ValueError(
+                "semantic_dedup: NULL embeddings are not supported; "
+                "filter them out before calling"
+            )
         order = np.argsort(pdf[id_col].to_numpy(), kind="stable")
         ids = pdf[id_col].to_numpy()[order]
         V = np.vstack(pdf["v"].to_numpy()[order]).astype(np.float64)
@@ -410,24 +456,69 @@ def semantic_dedup(
             nrm2 += V[:, j] * V[:, j]
         na = np.sqrt(nrm2)
         removed = np.zeros(nc, dtype=bool)
-        for lo in range(0, nc, 4096):
-            hi = min(lo + 4096, nc)
-            M = np.zeros((nc, hi - lo))
-            for j in range(d):
-                M += V[:, j][:, None] * V[lo:hi, j][None, :]
-            with np.errstate(divide="ignore", invalid="ignore"):
-                ppm = np.floor(M / (na[:, None] * na[None, lo:hi]) * 1000000)
-            # lower-id rows only (ids sorted: row index < col index)
-            hit = ppm >= thr
-            rows = np.arange(nc)[:, None]
+        B = 4096
+        for lo in range(0, nc, B):  # column tile: removal candidates
+            hi = min(lo + B, nc)
             cols = np.arange(lo, hi)[None, :]
-            hit &= rows < cols
-            removed[lo:hi] |= hit.any(axis=0)
+            hit_any = np.zeros(hi - lo, dtype=bool)
+            # row tiles: potential removers; ids are sorted, so only
+            # rows with index < hi can satisfy row < col — tiles above
+            # the diagonal are never computed
+            for rlo in range(0, hi, B):
+                rhi = min(rlo + B, hi)
+                M = np.zeros((rhi - rlo, hi - lo))
+                for j in range(d):
+                    M += V[rlo:rhi, j][:, None] * V[lo:hi, j][None, :]
+                with np.errstate(divide="ignore", invalid="ignore"):
+                    ppm = np.floor(
+                        M / (na[rlo:rhi, None] * na[None, lo:hi]) * 1000000
+                    )
+                hit = ppm >= thr
+                hit &= np.arange(rlo, rhi)[:, None] < cols
+                hit_any |= hit.any(axis=0)
+            removed[lo:hi] |= hit_any
         return pd.DataFrame({"__removed_id": ids[removed].astype("int64")})
 
-    removed = assigned.groupBy("cluster_id").applyInPandas(
+    big_ids: list = []
+    if max_cluster_rows is not None:
+        # one k-row aggregation; the collect is bounded by #clusters
+        big_ids = [
+            r[0]
+            for r in assigned.groupBy("cluster_id")
+            .count()
+            .where(F.col("count") > int(max_cluster_rows))
+            .select("cluster_id")
+            .collect()
+        ]
+
+    kernel_side = (
+        assigned.where(~F.col("cluster_id").isin(big_ids))
+        if big_ids
+        else assigned
+    )
+    removed = kernel_side.groupBy("cluster_id").applyInPandas(
         _removed_in_cluster, "__removed_id long"
     )
+    if big_ids:
+        big = assigned.where(F.col("cluster_id").isin(big_ids))
+        a = big.select(
+            "cluster_id",
+            F.col(id_col).alias("__ida"),
+            F.col("v").alias("__va"),
+        )
+        b = big.select(
+            "cluster_id",
+            F.col(id_col).alias("__idb"),
+            F.col("v").alias("__vb"),
+        )
+        removed_big = (
+            a.join(b, "cluster_id")
+            .where(F.col("__ida") < F.col("__idb"))
+            .where(cosine_ppm(F.col("__va"), F.col("__vb")) >= F.lit(thr))
+            .select(F.col("__idb").cast("long").alias("__removed_id"))
+            .distinct()
+        )
+        removed = removed.unionByName(removed_big)
     return assigned.join(
         removed,
         assigned[id_col] == removed["__removed_id"],
@@ -651,6 +742,7 @@ def lsh_topk(
     k: int = 5,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    max_query_rows: int = None,
 ) -> DataFrame:
     """LSH-bucketed ANN: search only the query's hash bucket.
 
@@ -678,12 +770,16 @@ def lsh_topk(
     from pyspark.sql.window import Window
 
     spark = corpus.sparkSession
+    _require_bigint_ids(corpus, id_col, "lsh_topk")
+    _require_bigint_ids(queries, id_col, "lsh_topk")
     id_type = corpus.schema[id_col].dataType.simpleString()
     out_fields = f"query_id {id_type}, neighbor_id {id_type}, cos_ppm long"
 
     q_rows = sorted(
         (r[0], r[1])
-        for r in queries.select(F.col(id_col), F.col(vec_col)).collect()
+        for r in _collect_queries_guarded(
+            queries, id_col, vec_col, max_query_rows, "lsh_topk"
+        )
     )
     if not q_rows:
         return spark.createDataFrame([], out_fields + ", rank int")
@@ -721,6 +817,11 @@ def lsh_topk(
         for batch in batches:
             if batch.num_rows == 0:
                 continue
+            if batch.column(0).null_count or batch.column(1).null_count:
+                raise ValueError(
+                    "top-k Arrow kernel: NULL ids/embeddings are not "
+                    "supported; filter them out before calling"
+                )
             nid = batch.column(0).to_numpy(zero_copy_only=False).astype(
                 np.int64
             )
@@ -979,6 +1080,56 @@ def _guard_all_pairs(vectors: DataFrame, max_rows: int, what: str) -> None:
         )
 
 
+# The top-k kernels collect the QUERY side onto the driver (it is the
+# former broadcast build side, small by construction) — but a collect
+# has no planner size accounting, so an oversized query set would be a
+# silent driver OOM instead of a broadcast-threshold error.  Cap it
+# (ADVICE r15): ~100k queries x 64 dims x 8 B ≈ 51 MB driver-resident,
+# comparable to what the replaced broadcast carried.  The cap rides the
+# collect itself (limit(max+1)) — no extra guard job, and the driver
+# transfer is bounded even when the input is huge.
+DEFAULT_QUERY_COLLECT_MAX_ROWS = 100_000
+
+
+def _require_bigint_ids(df: DataFrame, id_col: str, what: str) -> None:
+    """The Arrow top-k kernels build their id arrays as int64 and
+    declare the mapInArrow schema from the input's id type — any other
+    id type would die deep in the kernel with an Arrow schema-mismatch
+    (ADVICE r15).  Fail fast with the actual restriction instead."""
+    dt = df.schema[id_col].dataType.simpleString()
+    if dt != "bigint":
+        raise TypeError(
+            f"{what} requires a BIGINT id column ({id_col} is {dt}); "
+            "cast ids to bigint (or map string ids through xxhash64) "
+            "before calling the kernel."
+        )
+
+
+def _collect_queries_guarded(
+    queries: DataFrame,
+    id_col: str,
+    vec_col: str,
+    max_rows: int | None,
+    what: str,
+) -> list:
+    cap = (
+        max_rows if max_rows is not None else DEFAULT_QUERY_COLLECT_MAX_ROWS
+    )
+    rows = (
+        queries.select(F.col(id_col), F.col(vec_col))
+        .limit(cap + 1)
+        .collect()
+    )
+    if len(rows) > cap:
+        raise AllPairsScaleError(
+            f"{what} collects the query set driver-side for its scoring "
+            f"kernel; input exceeds max_query_rows={cap}. Split the "
+            "query set, or pass a larger max_query_rows to acknowledge "
+            "the driver memory cost."
+        )
+    return rows
+
+
 def cosine_pairs(
     vectors: DataFrame,
     threshold_ppm: int,
@@ -1197,6 +1348,7 @@ def pq_topk(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     max_rows: int = DEFAULT_ALL_PAIRS_MAX_ROWS,
+    max_query_rows: int = None,
 ) -> DataFrame:
     """Asymmetric-distance (ADC) PQ search: exact query-to-codebook
     distance tables + code lookups over the encoded corpus.
@@ -1235,6 +1387,8 @@ def pq_topk(
     """
     from pyspark.sql.window import Window
 
+    _require_bigint_ids(corpus, id_col, "pq_topk")
+    _require_bigint_ids(queries, id_col, "pq_topk")
     _guard_all_pairs(corpus, max_rows, "pq_topk (exhaustive ADC baseline)")
 
     m = len(codebook)
@@ -1251,7 +1405,9 @@ def pq_topk(
     # arithmetic micro_vec/_pq_subdist express in Catalyst.
     q_rows = sorted(
         (r[0], r[1])
-        for r in queries.select(F.col(id_col), F.col(vec_col)).collect()
+        for r in _collect_queries_guarded(
+            queries, id_col, vec_col, max_query_rows, "pq_topk"
+        )
     )
     if not q_rows:
         empty = spark.createDataFrame([], out_fields + ", rank int")
