@@ -242,17 +242,32 @@ def minhash_signatures(
     SAME DataFrame object guarantees cache reuse, where rebuilding the
     plan would rely on cache-manager plan matching (which the NGram
     UDF instances inside shingle_sets defeat).
+
+    The md5 of each shingle is STAGED as one hashed array column before
+    the per-signature affine folds (r16, guide §4.2 — the same
+    HOF-closure staging as dedup_span_coverage): interpreted lambda
+    HOFs get no cross-expression CSE, so ``md5_hash64(s)`` inside each
+    of the ``num_hashes`` transforms re-hashed every shingle once PER
+    SIGNATURE.  Staging makes it once per shingle total; the per-hash
+    transforms then fold cheap integer affine maps.  Identical values —
+    md5 is deterministic — so signatures, bands, candidates and the
+    oracle hash are unchanged.
     """
     if sets is None:
         sets = shingle_sets(df, id_col, text_col, n)
+
+    hashed = sets.select(
+        F.col(id_col),
+        F.transform(F.col("shs"), md5_hash64).alias("__hs"),
+    )
 
     def _sig(a: int, b: int) -> Column:
         # NB: pyspark HOF lambdas must take exactly 1-2 positional args,
         # so close over (a, b) via this factory, not lambda defaults
         return F.array_min(
             F.transform(
-                F.col("shs"),
-                lambda s: (F.lit(a) * md5_hash64(s) + F.lit(b)) % MERSENNE_P,
+                F.col("__hs"),
+                lambda h: (F.lit(a) * h + F.lit(b)) % MERSENNE_P,
             )
         )
 
@@ -260,7 +275,7 @@ def minhash_signatures(
         _sig(a, b).alias(f"sig_{i}")
         for i, (a, b) in enumerate(hash_params(num_hashes))
     ]
-    return sets.select(F.col(id_col), *cols)
+    return hashed.select(F.col(id_col), *cols)
 
 
 def band_table(
@@ -733,9 +748,37 @@ def connected_components(
     # full upstream pair join in their physical plan, so the edge build
     # runs it twice.  At corpus scale the pair join is the dominant cost
     # of the whole CC call — halving it is structural, not a micro-win.
-    half_edges = pairs.select(
-        F.col(id_a).alias("src"), F.col(id_b).alias("dst")
-    ).localCheckpoint()
+    half_edges = (
+        pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
+        .dropDuplicates()
+        .localCheckpoint()
+    )
+    # Small-graph fast path: the fixpoint loop below costs ~2 Spark jobs
+    # per round of pure fixed overhead, which dominates when the survivor
+    # pair graph is small (the common case — measured 4.4 s -> ~2 s on
+    # the sf0.1 curation flagship).  r16: the fast path decides and
+    # collects from the HALF edges directly — the symmetrize + global
+    # dropDuplicates + second localCheckpoint (a second materialization
+    # job over the whole edge set) now runs only on the distributed path
+    # (guide §2.4: one materialization, not two).  Each undirected edge
+    # contributes 2 rows to the symmetrized set the driver_max_edges
+    # threshold was calibrated against, hence the 2x.
+    n_half = half_edges.count()
+    if n_half == 0:
+        # clean corpus: no pairs, no components — skip the fixpoint loop
+        return half_edges.select(
+            F.col("src").alias("doc_id"), F.col("dst").alias("component_id")
+        )
+    if 2 * n_half <= driver_max_edges:
+        half = [
+            (r["src"], r["dst"])
+            for r in half_edges.where(F.col("src") != F.col("dst")).collect()
+        ]
+        comp = _union_find_components(half)
+        spark = pairs.sparkSession
+        return spark.createDataFrame(
+            sorted(comp.items()), schema="doc_id long, component_id long"
+        )
     edges = (
         half_edges.union(
             half_edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
@@ -743,27 +786,6 @@ def connected_components(
         .dropDuplicates()
         .localCheckpoint()
     )
-    # Small-graph fast path: the fixpoint loop below costs ~2 Spark jobs
-    # per round of pure fixed overhead, which dominates when the survivor
-    # pair graph is small (the common case — measured 4.4 s -> ~2 s on
-    # the sf0.1 curation flagship).  edges is already materialized by the
-    # checkpoint, so the count reads cached partitions.
-    n_edges = edges.count()
-    if n_edges == 0:
-        # clean corpus: no pairs, no components — skip the fixpoint loop
-        return edges.select(
-            F.col("src").alias("doc_id"), F.col("dst").alias("component_id")
-        )
-    if n_edges <= driver_max_edges:
-        half = [
-            (r["src"], r["dst"])
-            for r in edges.where(F.col("src") < F.col("dst")).collect()
-        ]
-        comp = _union_find_components(half)
-        spark = pairs.sparkSession
-        return spark.createDataFrame(
-            sorted(comp.items()), schema="doc_id long, component_id long"
-        )
     labels = (
         edges.select(F.col("src").alias("node"))
         .dropDuplicates()
@@ -780,19 +802,24 @@ def connected_components(
             .join(labels.alias("y"), F.col("x.lbl") == F.col("y.node"))
             .select(F.col("x.node").alias("node"), F.col("y.lbl").alias("lbl"))
         )
+        # Convergence detection rides the SAME aggregation (r16, guide
+        # §2.4): the labels branch carries its current label in an
+        # `old` column (every node has exactly one labels row, so
+        # max(old) recovers it; the other branches contribute NULLs),
+        # and `changed` becomes a filter-count over the checkpointed
+        # result — the r15 form re-joined new_labels against labels
+        # every round, one extra join job per iteration.
+        null_old = F.lit(None).cast(labels.schema["lbl"].dataType)
         new_labels = (
-            labels.unionByName(neighbor)
-            .unionByName(jumped)
+            labels.withColumn("old", F.col("lbl"))
+            .unionByName(neighbor.withColumn("old", null_old))
+            .unionByName(jumped.withColumn("old", null_old))
             .groupBy("node")
-            .agg(F.min("lbl").alias("lbl"))
+            .agg(F.min("lbl").alias("lbl"), F.max("old").alias("old"))
             .localCheckpoint()
         )
-        changed = (
-            new_labels.join(labels.withColumnRenamed("lbl", "old"), "node")
-            .where(F.col("lbl") != F.col("old"))
-            .count()
-        )
-        labels = new_labels
+        changed = new_labels.where(F.col("lbl") != F.col("old")).count()
+        labels = new_labels.select("node", "lbl")
         if changed == 0:
             break
     return labels.select(
