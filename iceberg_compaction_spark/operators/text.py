@@ -263,14 +263,20 @@ def unigram_logprob(
     oracle applies.
 
     Scale shape (self-fit): the token stream is computed twice — once
-    to FIT the model (map-side-combinable token counts; the total comes
-    from summing the vocabulary-sized counts via a broadcast scalar,
-    never a driver action) and once as the probe side of the token->p
-    join (the model is vocabulary-sized; Spark picks broadcast when it
-    fits) — then one groupBy(doc).  No Python in the row path, no
-    window, no ``.count()`` job.  With an external ``freqs`` model the
-    corpus is scanned once.  Returns ``id_cols + [n_tokens, logprob]``
-    (documents with zero tokens are dropped — they have no LM score).
+    to FIT the model (map-side-combinable token counts) and once as
+    the probe side of the token->p join (the model is
+    vocabulary-sized; Spark picks broadcast when it fits) — then one
+    groupBy(doc).  No Python in the row path, no ``.count()`` job.
+    The corpus total rides a global window over the VOCABULARY-sized
+    count table (r16, guide §7.2): the previous
+    ``crossJoin(broadcast(counts.agg(sum)))`` duplicated the whole
+    counts subtree in the physical plan — the corpus was tokenized a
+    THIRD time and token-shuffled a second time just to produce one
+    scalar.  Same division, same bigint total, hash-identical output;
+    the single-partition window exchange carries only distinct tokens.
+    With an external ``freqs`` model the corpus is scanned once.
+    Returns ``id_cols + [n_tokens, logprob]`` (documents with zero
+    tokens are dropped — they have no LM score).
     """
     if id_cols is None:
         id_cols = ["doc_id"]
@@ -284,12 +290,16 @@ def unigram_logprob(
         ).alias("token"),
     )
     if freqs is None:
+        from pyspark.sql.window import Window
+
         counts = toks.groupBy("token").agg(
             F.count(F.lit(1)).alias("__n")
         )
-        total = counts.agg(F.sum("__n").alias("__t"))
-        freqs = counts.crossJoin(F.broadcast(total)).select(
-            "token", (F.col("__n") / F.col("__t")).alias("p")
+        freqs = counts.select(
+            "token",
+            (
+                F.col("__n") / F.sum("__n").over(Window.partitionBy())
+            ).alias("p"),
         )
     scored = toks.join(freqs, "token", "left").withColumn(
         # OOV under an external model: floor probability so one unseen

@@ -5930,9 +5930,16 @@ def q_dedup_winnow_pairs(spark, sf_dir):
     shared-fingerprint bucket, the same banded-bucket shape as every
     LSH tier here.
 
-    Scale shape: explode (density ~2/(w+1) of shingles) -> self
-    equi-join on the fingerprint -> pair count aggregate; one shuffle
-    on fp, one on the pair key, both map-side combinable."""
+    Scale shape (r16 restructure, guide §2.4): the fingerprint stream
+    is computed ONCE — the previous self-join's two aliases each
+    embedded the whole winnow pipeline (posexplode + two window sorts
+    + per-token md5 over the corpus, evaluated twice) and shuffled two
+    copies of the stream by fp.  Now one groupBy(fp) buckets the
+    stream (map-side-combinable collect_list), each >=2-doc bucket
+    expands to its id-ordered pairs in place (exactly the rows the
+    join produced), and the pair-count aggregate is unchanged — the
+    corpus-sized map work runs once and one exchange replaces the
+    join's two."""
     from iceberg_compaction_spark.operators.text import (
         winnow_fingerprints,
     )
@@ -5941,18 +5948,29 @@ def q_dedup_winnow_pairs(spark, sf_dir):
         "doc_id", "text"
     )
     e = winnow_fingerprints(docs, k=5, w=4)
-    a = e.alias("a")
-    b = e.alias("b")
-    pairs = a.join(
-        b,
-        (F.col("a.fp") == F.col("b.fp"))
-        & (F.col("a.doc_id") < F.col("b.doc_id")),
+    buckets = (
+        e.groupBy("fp")
+        .agg(F.array_sort(F.collect_list("doc_id")).alias("__ids"))
+        .where(F.size("__ids") >= 2)
+    )
+    pair_structs = F.flatten(
+        F.transform(
+            F.col("__ids"),
+            lambda x, i: F.transform(
+                F.slice(
+                    F.col("__ids"), i + 2, F.size(F.col("__ids")) - i - 1
+                ),
+                lambda y: F.struct(
+                    x.alias("doc_a"), y.alias("doc_b")
+                ),
+            ),
+        )
+    )
+    pairs = buckets.select(F.explode(pair_structs).alias("__p")).select(
+        F.col("__p.doc_a").alias("doc_a"), F.col("__p.doc_b").alias("doc_b")
     )
     return (
-        pairs.groupBy(
-            F.col("a.doc_id").alias("doc_a"),
-            F.col("b.doc_id").alias("doc_b"),
-        )
+        pairs.groupBy("doc_a", "doc_b")
         .agg(F.count(F.lit(1)).cast("long").alias("n_shared"))
         .where(F.col("n_shared") >= 2)
     )
