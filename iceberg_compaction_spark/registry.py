@@ -606,17 +606,19 @@ def q_dedup_embedding(spark, sf_dir):
 )
 def q_pipeline_corpus_filter(spark, sf_dir):
     """Composed cleaning pipeline: exact-dedup survivors -> token-count
-    and stopword-ratio gates -> language tag.  Demonstrates operator
-    composition staying lazy end-to-end: one narrow quality pass + one
-    fingerprint shuffle + one id join, no materialization between
-    stages."""
+    and stopword-ratio gates -> language tag.  Quality and language are
+    both narrow per-row projections over the SAME survivor rows, so
+    they chain in one pass (r16, guide §2.4/§7.2): the previous
+    two-branch + join form embedded the full exact_dedup lineage in
+    BOTH branches — the corpus was scanned, fingerprint-shuffled and
+    semi-joined twice, then re-joined on doc_id to glue columns the
+    single pass already had side by side.  Same rows, same values; the
+    join and one whole dedup evaluation are gone."""
     docs = _docs(spark, sf_dir)
     kept = dd.exact_dedup(docs)
-    q = tx.with_quality(kept).select("doc_id", "n_tokens", "stopword_ppm")
-    lang = tx.with_language_id(kept).select("doc_id", "pred_lang")
     return (
-        q.where((F.col("n_tokens") >= 40) & (F.col("stopword_ppm") >= 50000))
-        .join(lang, on="doc_id")
+        tx.with_language_id(tx.with_quality(kept))
+        .where((F.col("n_tokens") >= 40) & (F.col("stopword_ppm") >= 50000))
         .select("doc_id", "n_tokens", "stopword_ppm", "pred_lang")
     )
 
@@ -5935,11 +5937,15 @@ def q_dedup_winnow_pairs(spark, sf_dir):
     embedded the whole winnow pipeline (posexplode + two window sorts
     + per-token md5 over the corpus, evaluated twice) and shuffled two
     copies of the stream by fp.  Now one groupBy(fp) buckets the
-    stream (map-side-combinable collect_list), each >=2-doc bucket
-    expands to its id-ordered pairs in place (exactly the rows the
-    join produced), and the pair-count aggregate is unchanged — the
-    corpus-sized map work runs once and one exchange replaces the
-    join's two."""
+    stream (map-side-combinable collect_list), and each >=2-doc bucket
+    expands to its ordered pairs with two chained codegen Generates
+    (explode the bucket, explode it again, keep doc_a < doc_b) —
+    exactly the rows the join produced, with the corpus-sized map work
+    run once and one exchange in place of the join's two.  (A first
+    attempt expanded pairs with nested transform+slice HOFs: measured
+    6.6x WORSE than the join — interpreted lambdas copy the array tail
+    per element, O(n²) copies per bucket.  Generates are the codegen
+    path.)"""
     from iceberg_compaction_spark.operators.text import (
         winnow_fingerprints,
     )
@@ -5950,25 +5956,14 @@ def q_dedup_winnow_pairs(spark, sf_dir):
     e = winnow_fingerprints(docs, k=5, w=4)
     buckets = (
         e.groupBy("fp")
-        .agg(F.array_sort(F.collect_list("doc_id")).alias("__ids"))
+        .agg(F.collect_list("doc_id").alias("__ids"))
         .where(F.size("__ids") >= 2)
     )
-    pair_structs = F.flatten(
-        F.transform(
-            F.col("__ids"),
-            lambda x, i: F.transform(
-                F.slice(
-                    F.col("__ids"), i + 2, F.size(F.col("__ids")) - i - 1
-                ),
-                lambda y: F.struct(
-                    x.alias("doc_a"), y.alias("doc_b")
-                ),
-            ),
-        )
-    )
-    pairs = buckets.select(F.explode(pair_structs).alias("__p")).select(
-        F.col("__p.doc_a").alias("doc_a"), F.col("__p.doc_b").alias("doc_b")
-    )
+    pairs = buckets.select(
+        F.explode("__ids").alias("doc_a"), F.col("__ids").alias("__rest")
+    ).select(
+        "doc_a", F.explode("__rest").alias("doc_b")
+    ).where(F.col("doc_a") < F.col("doc_b"))
     return (
         pairs.groupBy("doc_a", "doc_b")
         .agg(F.count(F.lit(1)).cast("long").alias("n_shared"))

@@ -61,6 +61,15 @@ def session_builder(
         "spark.sql.session.timeZone": "UTC",
         "spark.ui.enabled": "false",
         "spark.python.daemon.module": _DAEMON_MODULE,
+        # The post-accept auth handshake of every Python worker/daemon
+        # socket is bounded by this (default 15 s) — on a saturated host
+        # a freshly forked worker importing under load can miss it and
+        # kill the whole query (the round-15 stream_update_images
+        # failure class).  60 s only delays FAILURE detection; it never
+        # slows a healthy connect.  The other half of that failure class
+        # (the hardcoded 10 s connect-back accept in PythonWorkerFactory)
+        # is not reachable by conf — streaming/pipeline.py retries it.
+        "spark.python.authenticate.socketTimeout": "60s",
     }
     conf.update(extra_conf)
     builder = SparkSession.builder.master(master).appName(app_name)

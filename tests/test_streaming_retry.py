@@ -136,6 +136,56 @@ def test_retry_budget_is_bounded():
     assert len(started) == 3, "initial attempt + 2 retries, then raise"
 
 
+def test_stream_starts_under_synthetic_cpu_load(spark):
+    """The round-15 failure mode, reproduced as closely as a test can:
+    start the streaming-DataSource CDC query while every core is busy,
+    so worker spawn races the connect-back window.  With the bounded
+    restart this must complete and match the calm-run result."""
+    import multiprocessing
+    import os
+
+    from iceberg_compaction_spark import registry
+
+    sf_dir = "/root/testdata/sf0.001"
+    calm = sorted(
+        tuple(r)
+        for r in registry.QUERIES["stream_update_images"](
+            spark, sf_dir
+        ).collect()
+    )
+    assert calm, "fixture must produce update pairs"
+
+    def _spin(stop_ns):
+        import time as _t
+
+        x = 0
+        while _t.monotonic_ns() < stop_ns:
+            x += 1
+        return x
+
+    n = os.cpu_count() or 8
+    stop_ns = __import__("time").monotonic_ns() + 45_000_000_000
+    procs = [
+        multiprocessing.Process(target=_spin, args=(stop_ns,), daemon=True)
+        for _ in range(n)
+    ]
+    for p in procs:
+        p.start()
+    try:
+        loaded = sorted(
+            tuple(r)
+            for r in registry.QUERIES["stream_update_images"](
+                spark, sf_dir
+            ).collect()
+        )
+    finally:
+        for p in procs:
+            p.terminate()
+        for p in procs:
+            p.join(timeout=5)
+    assert loaded == calm
+
+
 def test_non_spawn_failure_propagates_immediately():
     tables: dict = {}
     started: list = []
