@@ -7,6 +7,14 @@ ann_kmeans_iteration miss shipped with a 244-green suite).  This suite
 now runs the rows/columns/value-hash comparison for ALL entries at
 sf0.001 — in-window and tail alike — so a red driver row can no longer
 coexist with a green pytest run.
+
+Budgeting (r16, VERDICT r15 item 2a): the full 146-entry sweep pushed
+the DEFAULT suite past the driver's verify wall-clock budget, so the
+sweep is marked ``oracle_tail`` and deselected by default (pytest.ini).
+Run it with ``pytest -m oracle_tail``; the same comparison also runs
+for all 146 entries in ``tools/oracle_check.py`` (sf0.001 and sf0.01),
+which is the round-close gate of record.  The static oracle-convention
+check below stays in the default run (it is instant).
 """
 
 import hashlib
@@ -75,6 +83,7 @@ def duck():
     con.close()
 
 
+@pytest.mark.oracle_tail
 @pytest.mark.parametrize("name", _all_names())
 def test_query_matches_oracle(spark, duck, name):
     from iceberg_compaction_spark import registry
