@@ -228,11 +228,29 @@ def row_changes_single_scan(
     each input row emits its old-form (−1) and, when kept, its
     new-form (+1) variant from one array+explode projection, so a
     carried row's two variants land in the SAME map task and cancel in
-    the partial aggregate: one scan instead of two, and the shuffle
-    carries only genuinely changed rows.  Output is multiset-identical
-    to ``row_changes(base, base.where(new_keep).withColumns(...))``.
+    the partial aggregate: one scan instead of two.
+
+    Optimization r16 (guide §2.3, shuffle fewer bytes): a carried
+    row's cancelled pair still crossed the exchange as ONE zero-delta
+    group — the partial aggregate cannot drop sum-0 groups, only the
+    post-shuffle ``__delta != 0`` filter can.  Since a row is provably
+    carried exactly when it is kept AND every override expression
+    null-safe-equals the original column (non-overridden columns are
+    identical by construction), a cheap codegen pre-filter skips
+    emitting its variants entirely: the explode, the per-task hash
+    table and the exchange now see only rows that can actually appear
+    in the changelog.  Dropping a (+1, −1) pair of identical values
+    changes its group's delta by exactly 0, so the output multiset is
+    unchanged.  ``new_keep`` and the override expressions are
+    evaluated twice (filter + struct) and must be deterministic.
+    Output is multiset-identical to
+    ``row_changes(base, base.where(new_keep).withColumns(...))``.
     """
     cols = base.columns
+    carried = F.coalesce(new_keep, F.lit(False))
+    for c in cols:
+        if c in new_overrides:
+            carried = carried & new_overrides[c].eqNullSafe(F.col(c))
     old_struct = F.struct(
         *[F.col(c).alias(c) for c in cols],
         F.lit(-1).cast("long").alias("__side"),
@@ -247,7 +265,8 @@ def row_changes_single_scan(
         F.lit(1).cast("long").alias("__side"),
     )
     tagged = (
-        base.select(
+        base.where(~carried)
+        .select(
             F.explode(
                 F.array(old_struct, F.when(new_keep, new_struct))
             ).alias("__v")

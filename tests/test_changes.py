@@ -340,3 +340,45 @@ def test_changelog_for_ref_tolerates_expired_tail(spark, cat):
     }
     retained = cat.table_history("t")
     assert commits == set(retained[1:])  # steps between retained snaps
+
+
+def test_single_scan_pre_filter_equivalence_and_plan(spark):
+    """r16: row_changes_single_scan skips emitting the ±1 variant pair
+    for provably-carried rows (kept AND every override null-safe-equals
+    the original).  Must stay multiset-identical to the generic
+    row_changes formulation on the tricky shapes the filter reasons
+    about — NULL override values, NULL new_keep, duplicate rows — and
+    the plan must show the carried-row filter BELOW the explode so the
+    exchange only sees changeable rows."""
+    rows = [
+        (1, 10.0),   # untouched (carried) -> must not appear
+        (2, None),   # override NULL == original NULL -> carried
+        (2, None),   # duplicate of the carried row
+        (3, 5.0),    # touched: quantity bumped -> delete+insert
+        (4, 7.0),    # dropped (new_keep false) -> delete
+        (5, None),   # touched with NULL -> NULL+1 stays NULL -> carried
+        (6, 6.0),
+        (6, 6.0),    # duplicate touched rows -> 2 deletes + 2 inserts
+    ]
+    base = spark.createDataFrame(rows, "id long, qty double")
+    touched = F.col("id").isin(3, 5, 6)
+    new_keep = ~F.col("id").eqNullSafe(4)
+    overrides = {
+        "qty": F.when(touched, F.col("qty") + 1).otherwise(F.col("qty"))
+    }
+    got = ch.row_changes_single_scan(base, new_keep, overrides)
+    ref = ch.row_changes(
+        base,
+        base.where(new_keep).withColumns(overrides),
+    )
+    key = lambda r: (r["id"], r["qty"], r[ch.CHANGE_TYPE])
+    assert sorted(map(key, got.collect())) == sorted(
+        map(key, ref.collect())
+    )
+    # note id=5: qty NULL + 1 is NULL <=> NULL -> carried, not a change
+    ids = {r["id"] for r in got.collect()}
+    assert ids == {3, 4, 6}
+    # plan: the null-safe carried-row filter sits below the Generate
+    plan = got._jdf.queryExecution().executedPlan().toString()
+    gen_pos = plan.index("Generate explode")
+    assert "<=>" in plan[gen_pos:], "carried filter missing"
