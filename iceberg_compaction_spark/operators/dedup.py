@@ -1034,15 +1034,14 @@ def span_dup_coverage(
     every document with at least ``k`` tokens; ``dup_ppm`` is the
     integer-exact duplicated-shingle fraction (floor ppm).
 
-    Scale shape: one posexplode fan-out of the shingle stream (the
+    Scale shape: one explode fan-out of the shingle stream (the
     honest cost — a 100 TB corpus has ~100 TB of shingle hashes), one
-    hash-partitioned count per shingle with map-side partial
-    aggregation, and one shuffle join of the stream against the
-    cross-doc-duplicated hash set.  No window functions, no driver
-    materialization, no quadratic pair set.  The "appears in >= 2
-    distinct docs" predicate is expressed as ``min(doc_id) !=
-    max(doc_id)`` — fully map-side combinable, one exchange cheaper
-    than a distinct-count.
+    hash-partitioned count per (shingle, doc) with map-side partial
+    aggregation, then the "appears in >= 2 distinct docs" predicate as
+    ``min(doc_id) != max(doc_id)`` over a WINDOW on the reduced set's
+    h partition (r16 — the corpus-sized lineage runs once; the join
+    formulation re-evaluated it per consumer).  No driver
+    materialization, no quadratic pair set.
 
     Round-15 cost cuts (VERDICT r14 #1), both shape-preserving:
     ``total_shingles`` is ARITHMETIC (``n_tokens - k + 1`` per row —
@@ -1098,33 +1097,31 @@ def span_dup_coverage(
     )
     sh = base.select(F.col(id_col), F.explode(shingles).alias("h"))
     # ONE pass over the raw stream: reduce to per-(shingle, doc)
-    # occurrence counts first.  The tokenize+hash+explode map stage —
-    # the corpus-sized CPU cost — runs ONCE, and the full stream
-    # crosses the network ONCE (this exchange); everything downstream
-    # (dup-set derivation AND the per-doc dup counts) reads the
-    # reduced (h, doc, count) set, which the previous two-consumer
-    # shape recomputed the whole fan-out for (twice the map work, two
-    # full-stream exchanges).
+    # occurrence counts first (map-side combinable).
     g = sh.groupBy("h", id_col).agg(F.count(F.lit(1)).alias("__c"))
+    # r16 (guide §7.2 duplicated subtree): the r15 shape derived the
+    # duplicated-shingle set as a SECOND aggregation over `g` and
+    # joined it back — but `g` fed two consumers and Catalyst has no
+    # plan-level CSE across them, so the whole corpus-sized
+    # tokenize+hash+explode lineage (and its full-stream exchange) ran
+    # TWICE (3 documents scans in the physical plan).  The dup decision
+    # is a per-h-group predicate, so it rides a WINDOW over the reduced
+    # (h, doc, count) set instead: one corpus map pass, one full-stream
+    # exchange, then a reduced-set exchange + per-h sort (spillable —
+    # no per-group buffering, hot boilerplate shingles can't OOM a
+    # task).  Values are identical: min/max (or row-count) over the h
+    # partition equal the grouped min/max (count) the join form used.
+    from pyspark.sql import Window as _W
+
+    _w = _W.partitionBy("h")
     if max_df is None:
-        # ">= 2 distinct docs" as min != max: partial min/max combine
-        # map-side (no two-phase distinct rewrite).
-        dup = (
-            g.groupBy("h")
-            .agg(F.min(id_col).alias("__lo"), F.max(id_col).alias("__hi"))
-            .where(F.col("__lo") != F.col("__hi"))
-            .select("h")
-        )
+        # ">= 2 distinct docs" as min != max over the h partition.
+        dup_flag = F.min(id_col).over(_w) != F.max(id_col).over(_w)
     else:
-        # g's rows are distinct (h, doc) pairs by construction, so a
-        # plain count IS the distinct-doc frequency — no expensive
-        # count_distinct expansion needed.
-        dup = (
-            g.groupBy("h")
-            .agg(F.count(F.lit(1)).alias("__docs"))
-            .where((F.col("__docs") >= 2) & (F.col("__docs") <= max_df))
-            .select("h")
-        )
+        # g's rows are distinct (h, doc) pairs by construction, so the
+        # partition row-count IS the distinct-doc frequency.
+        _df = F.count(F.lit(1)).over(_w)
+        dup_flag = (_df >= 2) & (_df <= max_df)
     # per-doc stream cardinality is n - k + 1 by construction: compute
     # it arithmetically instead of re-streaming + re-aggregating the
     # whole shingle fan-out (one full pass and one exchange deleted)
@@ -1133,7 +1130,8 @@ def span_dup_coverage(
         (F.col("__n") - k + 1).cast("long").alias("total_shingles"),
     )
     d = (
-        g.join(dup, "h")
+        g.withColumn("__dup", dup_flag)
+        .where(F.col("__dup"))
         .groupBy(id_col)
         .agg(F.sum("__c").alias("dup_shingles"))
     )

@@ -501,28 +501,30 @@ def test_field_id_read_keeps_pushdown_and_codegen(spark, tmp_path):
     assert [r["id"] for r in df.collect()] == [7]
 
 
-def test_span_coverage_dup_set_is_min_max_not_distinct(spark):
-    """The duplicated-shingle set uses min(doc_id) != max(doc_id): fully
-    map-side combinable, so the shingle stream shuffles once per agg —
-    the two-phase distinct rewrite (one extra exchange) must only appear
-    when a max_df cap genuinely needs a document-frequency count."""
+def test_span_coverage_single_tokenize_pass(spark):
+    """r16: the dup-shingle decision rides a window over the reduced
+    (h, doc, count) set, so the corpus-sized tokenize+hash+explode
+    lineage appears ONCE in the plan (the r15 join-back form evaluated
+    it once per consumer — 3 documents scans, two full-stream
+    exchanges).  One Generate, exactly two documents scans (stream +
+    arithmetic totals), and no two-phase distinct rewrite in either
+    branch."""
     from iceberg_compaction_spark.operators import dedup as dd
 
     df = spark.read.parquet(f"{SF}/documents.parquet")
-    p_default = plan_of(dd.span_dup_coverage(df, k=8))
-    p_capped = plan_of(dd.span_dup_coverage(df, k=8, max_df=50))
-    assert "distinct" not in p_default.lower()
-
-    def n_exchanges(p: str) -> int:
-        return sum(
-            1
-            for ln in p.splitlines()
-            if "Exchange" in ln
-            and "Reused" not in ln
-            and "BroadcastExchange" not in ln
+    for kwargs in ({}, {"max_df": 50}):
+        p = plan_of(dd.span_dup_coverage(df, k=8, **kwargs))
+        assert "distinct" not in p.lower()
+        gen = sum(
+            1 for ln in p.splitlines() if ln.lstrip().startswith("+- Generate")
+            or ln.lstrip().startswith(":- Generate")
+            or ln.lstrip().startswith("Generate")
         )
-
-    assert n_exchanges(p_default) < n_exchanges(p_capped)
+        assert gen == 1, f"shingle fan-out duplicated: {gen} Generates"
+        scans = sum(
+            1 for ln in p.splitlines() if "documents.parquet" in ln
+        )
+        assert scans == 2, f"corpus scanned {scans}x (want stream + totals)"
 
 
 def test_dml_matched_scan_and_merge_join_shapes(spark, tmp_path):
