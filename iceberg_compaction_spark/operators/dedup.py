@@ -231,11 +231,20 @@ def minhash_signatures(
 ) -> DataFrame:
     """One row per doc: sig_0..sig_{k-1} minhash signature columns.
 
-    ZERO-shuffle formulation: each signature is
-    ``array_min(transform(shingles, s -> (a*H(s)+b) % P))`` computed in
-    the scan projection with higher-order functions — the whole signature
-    matrix materializes without an explode or a groupBy.  (The groupBy
-    formulation shuffles |docs x shingles| rows; this shuffles nothing.)
+    WHOLE-STAGE-CODEGEN formulation (r16 session 3, guide §4.2): the
+    shingle arrays are exploded, the md5 evaluates as a regular codegen
+    column, and each signature folds as a ``min()`` aggregate over the
+    doc's rows.  Every md5 and affine map runs in generated code — the
+    previous formulation (md5 staged once, then per-signature
+    ``array_min(transform(...))`` folds) kept the whole stage in the
+    INTERPRETED higher-order-function evaluator, measured 1.3x slower
+    at sf0.1 and pure per-shingle CPU at scale.  The exchange this adds
+    is negligible by construction: each doc's shingles live in ONE
+    array row, so the partial aggregate collapses the exploded stream
+    back to one row per doc before the shuffle — the exchange carries
+    |docs| rows of ``num_hashes`` longs, while the corpus-sized shingle
+    stream never crosses it (the plan gate pins partial_min below the
+    single exchange).
 
     Pass a (persisted) ``sets`` DataFrame from :func:`shingle_sets` to
     share the shingle computation with other consumers — building on the
@@ -243,39 +252,26 @@ def minhash_signatures(
     plan would rely on cache-manager plan matching (which the NGram
     UDF instances inside shingle_sets defeat).
 
-    The md5 of each shingle is STAGED as one hashed array column before
-    the per-signature affine folds (r16, guide §4.2 — the same
-    HOF-closure staging as dedup_span_coverage): interpreted lambda
-    HOFs get no cross-expression CSE, so ``md5_hash64(s)`` inside each
-    of the ``num_hashes`` transforms re-hashed every shingle once PER
-    SIGNATURE.  Staging makes it once per shingle total; the per-hash
-    transforms then fold cheap integer affine maps.  Identical values —
-    md5 is deterministic — so signatures, bands, candidates and the
-    oracle hash are unchanged.
+    Values are identical to the HOF formulation — ``min`` over the same
+    affine images of the same md5 hashes, exact integer arithmetic —
+    so signatures, bands, candidates and the oracle hash are unchanged
+    (pinned by test_extensions.py's signature equivalence test; every
+    doc has >= 1 shingle by shingle_sets' whole-text fallback, so no
+    row can vanish in the group-by).
     """
     if sets is None:
         sets = shingle_sets(df, id_col, text_col, n)
 
     hashed = sets.select(
-        F.col(id_col),
-        F.transform(F.col("shs"), md5_hash64).alias("__hs"),
-    )
-
-    def _sig(a: int, b: int) -> Column:
-        # NB: pyspark HOF lambdas must take exactly 1-2 positional args,
-        # so close over (a, b) via this factory, not lambda defaults
-        return F.array_min(
-            F.transform(
-                F.col("__hs"),
-                lambda h: (F.lit(a) * h + F.lit(b)) % MERSENNE_P,
-            )
+        F.col(id_col), F.explode("shs").alias("__s")
+    ).select(F.col(id_col), md5_hash64(F.col("__s")).alias("__h"))
+    aggs = [
+        F.min((F.lit(a) * F.col("__h") + F.lit(b)) % MERSENNE_P).alias(
+            f"sig_{i}"
         )
-
-    cols = [
-        _sig(a, b).alias(f"sig_{i}")
         for i, (a, b) in enumerate(hash_params(num_hashes))
     ]
-    return hashed.select(F.col(id_col), *cols)
+    return hashed.groupBy(id_col).agg(*aggs)
 
 
 def band_table(

@@ -96,6 +96,38 @@ def test_jaccard_max_df_drops_hot_shingle_pairs(spark):
     assert capped == []
 
 
+def test_minhash_signatures_match_hof_formulation(spark, docs):
+    """The codegen-agg signature formulation (r16 s3) is value-identical
+    to the replaced staged-HOF form — min over the same affine images of
+    the same md5 hashes — including single-shingle (short-text fallback)
+    docs."""
+    from pyspark.sql import functions as F
+
+    sets = dd.shingle_sets(docs)
+    hashed = sets.select(
+        F.col("doc_id"), F.transform(F.col("shs"), dd.md5_hash64).alias("__hs")
+    )
+
+    def _sig(a, b):
+        return F.array_min(
+            F.transform(
+                F.col("__hs"), lambda h: (F.lit(a) * h + F.lit(b)) % dd.MERSENNE_P
+            )
+        )
+
+    old = hashed.select(
+        F.col("doc_id"),
+        *[
+            _sig(a, b).alias(f"sig_{i}")
+            for i, (a, b) in enumerate(dd.hash_params(dd.DEFAULT_NUM_HASHES))
+        ],
+    )
+    got = sorted(map(tuple, dd.minhash_signatures(docs).collect()))
+    want = sorted(map(tuple, old.collect()))
+    assert got == want
+    assert len(got) == docs.count()  # no doc vanishes in the group-by
+
+
 def test_minhash_lsh_matches_exact_on_high_sim(spark, docs):
     got = {
         (r["id_a"], r["id_b"])

@@ -65,13 +65,26 @@ def test_star_join_broadcasts_dims(spark):
     assert "BroadcastHashJoin" in s
 
 
-def test_minhash_signatures_have_no_shuffle(spark):
-    """The zero-shuffle signature formulation: no Exchange in the plan."""
+def test_minhash_signatures_codegen_agg_one_narrow_exchange(spark):
+    """The codegen signature formulation (r16 s3): md5 + affine maps run
+    in whole-stage codegen over the exploded shingle stream, the 8
+    signatures fold as min() aggregates, and the ONLY exchange carries
+    the doc-cardinality partially-aggregated rows — the corpus-sized
+    shingle stream never shuffles, and no interpreted HOF lambda
+    remains in the plan."""
     from iceberg_compaction_spark.operators import dedup as dd
 
     docs = spark.read.parquet(f"{SF}/documents.parquet")
     s = plan_of(dd.minhash_signatures(docs))
-    assert "Exchange" not in s
+    assert s.count("Exchange") == 1
+    # partial min sits BELOW the exchange: the text order of a physical
+    # plan tree prints parents first, so the final agg / exchange /
+    # partial agg appear in that order
+    i_final = s.index("HashAggregate")
+    i_exch = s.index("Exchange")
+    i_partial = s.index("partial_min", i_exch)
+    assert i_final < i_exch < i_partial
+    assert "lambdafunction" not in s  # nothing interpreted remains
 
 
 def test_ann_lsh_kernel_no_join_no_corpus_shuffle(spark):
