@@ -51,6 +51,8 @@ def _tokens(col: Column) -> Column:
 def with_token_counts(df: DataFrame, text_col: str = "text") -> DataFrame:
     c = F.col(text_col)
     ws = F.when(F.trim(c) == "", F.lit(0)).otherwise(F.size(_tokens(c)))
+    # NB: regexp_count would read nicer but is RuntimeReplaceable —
+    # Catalyst expands it to this exact size(regexp_extract_all) plan
     return df.withColumn("ws_tokens", ws.cast("int")).withColumn(
         "bpe_tokens", F.size(F.regexp_extract_all(c, F.lit(BPE_TOKEN_RE), 0)).cast("int")
     )
@@ -65,8 +67,19 @@ def _ppm(x: Column) -> Column:
 
 
 def with_quality(df: DataFrame, text_col: str = "text") -> DataFrame:
-    """Quality-scoring columns; ratios as integer ppm (see _ppm)."""
+    """Quality-scoring columns; ratios as integer ppm (see _ppm).
+
+    The token array is STAGED as a real column before the scoring
+    projection (r16 s3, guide §4.2 — the HOF-closure staging class):
+    ``_tokens`` appeared both under ``size`` (codegen) and inside the
+    stopword ``filter`` HOF (interpreted CodegenFallback), and codegen
+    subexpression elimination does not reach into fallback expressions,
+    so every row tokenized twice.  Staging makes it once; CollapseProject
+    keeps the staging projection separate because the alias is referenced
+    more than once.  Values unchanged — same tokens, same counts.
+    """
     c = F.col(text_col)
+    staged = df.withColumn("__toks_q", _tokens(c))
     n = F.length(c)
     n_safe = F.greatest(n, F.lit(1))
     # char-class counts via translate (char-map lookup, ~3x faster than a
@@ -75,7 +88,7 @@ def with_quality(df: DataFrame, text_col: str = "text") -> DataFrame:
     alpha = n - F.length(F.translate(c, _ALPHA, ""))
     digit = n - F.length(F.translate(c, "0123456789", ""))
     space = n - F.length(F.translate(c, " ", ""))
-    toks = _tokens(c)
+    toks = F.col("__toks_q")
     n_toks = F.when(F.trim(c) == "", F.lit(0)).otherwise(F.size(toks))
     n_toks_safe = F.greatest(n_toks, F.lit(1))
     stop_hits = F.size(
@@ -96,7 +109,7 @@ def with_quality(df: DataFrame, text_col: str = "text") -> DataFrame:
         F.lit(1.0),
     )
     return (
-        df.withColumn("n_chars_c", n.cast("int"))
+        staged.withColumn("n_chars_c", n.cast("int"))
         .withColumn("n_tokens", n_toks.cast("int"))
         .withColumn("alpha_ppm", _ppm(alpha / n_safe))
         .withColumn("digit_ppm", _ppm(digit / n_safe))
@@ -104,6 +117,7 @@ def with_quality(df: DataFrame, text_col: str = "text") -> DataFrame:
         .withColumn("stopword_ppm", _ppm(stop_hits / n_toks_safe))
         .withColumn("avg_token_len_ppm", _ppm(avg_tok_len))
         .withColumn("quality_ppm", _ppm(score))
+        .drop("__toks_q")
     )
 
 
@@ -113,13 +127,20 @@ def with_language_id(df: DataFrame, text_col: str = "text") -> DataFrame:
     Ties break toward the earlier profile in LANG_PROFILES — implemented
     as strict-greater comparison walking the list in order, which the SQL
     oracle reproduces with a CASE chain.
+
+    The token array is STAGED once (r16 s3, guide §4.2): each profile's
+    ``filter`` HOF embedded its own ``_tokens`` expression, so every row
+    tokenized len(LANG_PROFILES) times — interpreted HOFs get no
+    cross-expression CSE.  Staged, it tokenizes once and the six filters
+    read the column.  Values unchanged.
     """
     def _hits(words: list[str]) -> Column:
-        toks = _tokens(F.col(text_col))
-        return F.size(F.filter(toks, lambda t: t.isin(*words)))
+        return F.size(
+            F.filter(F.col("__toks_l"), lambda t: t.isin(*words))
+        )
 
     scores = [_hits(words) for _, words in LANG_PROFILES]
-    out = df
+    out = df.withColumn("__toks_l", _tokens(F.col(text_col)))
     for (name, _), s in zip(LANG_PROFILES, scores):
         out = out.withColumn(f"score_{name}", s.cast("int"))
     # argmax with first-wins tie-break
@@ -129,8 +150,10 @@ def with_language_id(df: DataFrame, text_col: str = "text") -> DataFrame:
         s = F.col(f"score_{name}")
         best_name = F.when(s > best_score, F.lit(name)).otherwise(best_name)
         best_score = F.when(s > best_score, s).otherwise(best_score)
-    return out.withColumn("pred_lang", best_name).withColumn(
-        "pred_score", best_score.cast("int")
+    return (
+        out.withColumn("pred_lang", best_name)
+        .withColumn("pred_score", best_score.cast("int"))
+        .drop("__toks_l")
     )
 
 

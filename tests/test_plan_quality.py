@@ -87,6 +87,20 @@ def test_minhash_signatures_codegen_agg_one_narrow_exchange(spark):
     assert "lambdafunction" not in s  # nothing interpreted remains
 
 
+def test_text_scoring_tokenizes_once(spark):
+    """with_quality / with_language_id (r16 s3): the token array is
+    staged as one column, so the plan contains exactly ONE split() —
+    previously the stopword filter HOF re-tokenized (2 splits) and each
+    language profile's filter HOF re-tokenized (6 splits), since codegen
+    subexpression elimination does not reach into interpreted
+    CodegenFallback expressions."""
+    from iceberg_compaction_spark.operators import text as tx
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    assert plan_of(tx.with_quality(docs)).count("split(") == 1
+    assert plan_of(tx.with_language_id(docs)).count("split(") == 1
+
+
 def test_ann_lsh_kernel_no_join_no_corpus_shuffle(spark):
     """LSH ANN (optimization r15): bucketing + within-bucket scoring is
     one Arrow kernel over the corpus scan — no join at all; the only
